@@ -1,0 +1,420 @@
+"""Iceberg table metadata: parse, resolve, snapshot-select, commit.
+
+Mirrors the reference's metadata model
+(reference: src/include/core/metadata/iceberg_table_metadata.hpp:36-156) and
+its metadata-location resolution rules
+(reference: src/core/metadata/iceberg_table_metadata.cpp:203-281):
+``version-hint.text`` → explicit version → glob-latest guessing with the
+``v%s%s.metadata.json`` name format and optional ``.gz`` codec.
+
+Snapshot selection — latest, by id, by timestamp via the snapshot-log —
+follows iceberg_table_metadata.cpp:23-143.
+
+Commits on plain filesystems write ``v{N+1}.metadata.json`` then swap
+``version-hint.text``; non-atomic on non-transactional stores (same caveat as
+the reference's version-hint guessing, documented in SURVEY.md §7 risk
+register).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import json
+import os
+import re
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from . import types as ice_types
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    timestamp_ms: int
+    manifest_list: str
+    sequence_number: int = 0
+    parent_snapshot_id: Optional[int] = None
+    summary: dict = field(default_factory=dict)
+    schema_id: Optional[int] = None
+    first_row_id: Optional[int] = None
+
+    @property
+    def operation(self) -> str:
+        return self.summary.get("operation", "append")
+
+    def to_json(self) -> dict:
+        out: dict[str, Any] = {
+            "snapshot-id": self.snapshot_id,
+            "sequence-number": self.sequence_number,
+            "timestamp-ms": self.timestamp_ms,
+            "manifest-list": self.manifest_list,
+            "summary": self.summary or {"operation": "append"},
+        }
+        if self.parent_snapshot_id is not None:
+            out["parent-snapshot-id"] = self.parent_snapshot_id
+        if self.schema_id is not None:
+            out["schema-id"] = self.schema_id
+        if self.first_row_id is not None:
+            out["first-row-id"] = self.first_row_id
+        return out
+
+    @staticmethod
+    def from_json(j: dict) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=j["snapshot-id"],
+            timestamp_ms=j.get("timestamp-ms", 0),
+            manifest_list=j.get("manifest-list", ""),
+            sequence_number=j.get("sequence-number", 0),
+            parent_snapshot_id=j.get("parent-snapshot-id"),
+            summary=j.get("summary", {}),
+            schema_id=j.get("schema-id"),
+            first_row_id=j.get("first-row-id"),
+        )
+
+
+@dataclass
+class PartitionField:
+    source_id: int
+    field_id: int
+    name: str
+    transform: str
+
+    def to_json(self) -> dict:
+        return {
+            "source-id": self.source_id,
+            "field-id": self.field_id,
+            "name": self.name,
+            "transform": self.transform,
+        }
+
+
+@dataclass
+class PartitionSpec:
+    spec_id: int
+    fields: list[PartitionField]
+
+    def to_json(self) -> dict:
+        return {"spec-id": self.spec_id, "fields": [f.to_json() for f in self.fields]}
+
+    @staticmethod
+    def from_json(j: dict) -> "PartitionSpec":
+        return PartitionSpec(
+            spec_id=j.get("spec-id", 0),
+            fields=[
+                PartitionField(f["source-id"], f["field-id"], f["name"], f["transform"])
+                for f in j.get("fields", [])
+            ],
+        )
+
+    @property
+    def is_unpartitioned(self) -> bool:
+        return not [f for f in self.fields if f.transform != "void"]
+
+
+@dataclass
+class SortField:
+    source_id: int
+    transform: str
+    direction: str  # asc | desc
+    null_order: str  # nulls-first | nulls-last
+
+
+@dataclass
+class SortOrder:
+    order_id: int
+    fields: list[SortField]
+
+    def to_json(self) -> dict:
+        return {
+            "order-id": self.order_id,
+            "fields": [
+                {
+                    "transform": f.transform,
+                    "source-id": f.source_id,
+                    "direction": f.direction,
+                    "null-order": f.null_order,
+                }
+                for f in self.fields
+            ],
+        }
+
+    @staticmethod
+    def from_json(j: dict) -> "SortOrder":
+        return SortOrder(
+            order_id=j.get("order-id", 0),
+            fields=[
+                SortField(f["source-id"], f["transform"], f.get("direction", "asc"),
+                          f.get("null-order", "nulls-first"))
+                for f in j.get("fields", [])
+            ],
+        )
+
+
+class TableMetadata:
+    """In-memory Iceberg table metadata (driver-side, one per table)."""
+
+    def __init__(self, j: dict, metadata_location: str | None = None) -> None:
+        self.raw = j
+        self.metadata_location = metadata_location
+        self.format_version: int = j.get("format-version", 1)
+        self.table_uuid: str = j.get("table-uuid", str(uuid.uuid4()))
+        self.location: str = j.get("location", "")
+        self.last_sequence_number: int = j.get("last-sequence-number", 0)
+        self.last_updated_ms: int = j.get("last-updated-ms", 0)
+        self.last_column_id: int = j.get("last-column-id", 0)
+        self.next_row_id: int = j.get("next-row-id", 0)
+
+        if "schemas" in j:
+            self.schemas: dict[int, dict] = {
+                s.get("schema-id", 0): s for s in j["schemas"]
+            }
+            self.current_schema_id: int = j.get("current-schema-id", 0)
+        else:  # v1 single-schema form
+            sch = dict(j.get("schema", {"type": "struct", "fields": []}))
+            sch.setdefault("schema-id", 0)
+            self.schemas = {sch["schema-id"]: sch}
+            self.current_schema_id = sch["schema-id"]
+
+        if "partition-specs" in j:
+            self.partition_specs: dict[int, PartitionSpec] = {
+                s.get("spec-id", 0): PartitionSpec.from_json(s) for s in j["partition-specs"]
+            }
+            self.default_spec_id: int = j.get("default-spec-id", 0)
+        elif "partition-spec" in j:  # v1
+            spec = PartitionSpec(0, [
+                PartitionField(f["source-id"], f["field-id"], f["name"], f["transform"])
+                for f in j["partition-spec"]
+            ])
+            self.partition_specs = {0: spec}
+            self.default_spec_id = 0
+        else:
+            self.partition_specs = {0: PartitionSpec(0, [])}
+            self.default_spec_id = 0
+        self.last_partition_id: int = j.get(
+            "last-partition-id",
+            max([f.field_id for s in self.partition_specs.values() for f in s.fields], default=999),
+        )
+
+        self.sort_orders: dict[int, SortOrder] = {
+            s.get("order-id", 0): SortOrder.from_json(s) for s in j.get("sort-orders", [])
+        } or {0: SortOrder(0, [])}
+        self.default_sort_order_id: int = j.get("default-sort-order-id", 0)
+
+        self.properties: dict[str, str] = dict(j.get("properties", {}))
+        self.current_snapshot_id: Optional[int] = j.get("current-snapshot-id")
+        if self.current_snapshot_id == -1:
+            self.current_snapshot_id = None
+        self.snapshots: list[Snapshot] = [
+            Snapshot.from_json(s) for s in j.get("snapshots", [])
+        ]
+        self.snapshot_log: list[dict] = list(j.get("snapshot-log", []))
+        self.metadata_log: list[dict] = list(j.get("metadata-log", []))
+        self.refs: dict[str, dict] = dict(j.get("refs", {}))
+
+    # -- schema helpers ----------------------------------------------------
+    def schema_json(self, schema_id: int | None = None) -> dict:
+        sid = self.current_schema_id if schema_id is None else schema_id
+        return self.schemas[sid]
+
+    def spark_schema(self, schema_id: int | None = None):
+        return ice_types.schema_to_struct(self.schema_json(schema_id))
+
+    def field_by_id(self, field_id: int, schema_id: int | None = None) -> Optional[dict]:
+        for f in self.schema_json(schema_id)["fields"]:
+            if f["id"] == field_id:
+                return f
+        return None
+
+    def field_by_name(self, name: str, schema_id: int | None = None) -> Optional[dict]:
+        for f in self.schema_json(schema_id)["fields"]:
+            if f["name"] == name:
+                return f
+        return None
+
+    def default_spec(self) -> PartitionSpec:
+        return self.partition_specs[self.default_spec_id]
+
+    def default_sort_order(self) -> SortOrder:
+        return self.sort_orders.get(self.default_sort_order_id, SortOrder(0, []))
+
+    # -- snapshot selection (reference: iceberg_table_metadata.cpp:23-143) --
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        for s in self.snapshots:
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise KeyError(f"no snapshot with id {snapshot_id}")
+
+    def snapshot_by_timestamp(self, ts_ms: int) -> Snapshot:
+        # latest snapshot-log entry at-or-before ts
+        best = None
+        for entry in self.snapshot_log:
+            if entry["timestamp-ms"] <= ts_ms and (
+                best is None or entry["timestamp-ms"] > best["timestamp-ms"]
+            ):
+                best = entry
+        if best is None:
+            # fall back to scanning snapshots directly
+            cands = [s for s in self.snapshots if s.timestamp_ms <= ts_ms]
+            if not cands:
+                raise KeyError(f"no snapshot at or before timestamp {ts_ms}")
+            return max(cands, key=lambda s: s.timestamp_ms)
+        return self.snapshot_by_id(best["snapshot-id"])
+
+    def current_snapshot(self) -> Optional[Snapshot]:
+        if self.current_snapshot_id is None:
+            return None
+        return self.snapshot_by_id(self.current_snapshot_id)
+
+    def select_snapshot(
+        self,
+        snapshot_id: int | None = None,
+        as_of: Any = None,
+    ) -> Optional[Snapshot]:
+        if snapshot_id is not None:
+            return self.snapshot_by_id(snapshot_id)
+        if as_of is not None:
+            ts_ms = _to_ts_ms(as_of)
+            return self.snapshot_by_timestamp(ts_ms)
+        return self.current_snapshot()
+
+    # -- serialization -----------------------------------------------------
+    def to_json(self) -> dict:
+        j: dict[str, Any] = {
+            "format-version": self.format_version,
+            "table-uuid": self.table_uuid,
+            "location": self.location,
+            "last-sequence-number": self.last_sequence_number,
+            "last-updated-ms": self.last_updated_ms,
+            "last-column-id": self.last_column_id,
+            "current-schema-id": self.current_schema_id,
+            "schemas": list(self.schemas.values()),
+            "default-spec-id": self.default_spec_id,
+            "partition-specs": [s.to_json() for s in self.partition_specs.values()],
+            "last-partition-id": self.last_partition_id,
+            "default-sort-order-id": self.default_sort_order_id,
+            "sort-orders": [s.to_json() for s in self.sort_orders.values()],
+            "properties": self.properties,
+            "snapshots": [s.to_json() for s in self.snapshots],
+            "snapshot-log": self.snapshot_log,
+            "metadata-log": self.metadata_log,
+            "refs": self.refs,
+        }
+        if self.current_snapshot_id is not None:
+            j["current-snapshot-id"] = self.current_snapshot_id
+        if self.format_version >= 3:
+            j["next-row-id"] = self.next_row_id
+        return j
+
+
+def _to_ts_ms(v: Any) -> int:
+    import datetime as dt
+
+    if isinstance(v, (int, float)):
+        return int(v)
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        return int(v.timestamp() * 1000)
+    if isinstance(v, str):
+        d = dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=dt.timezone.utc)
+        return int(d.timestamp() * 1000)
+    raise ValueError(f"bad timestamp {v!r}")
+
+
+# ---------------------------------------------------------------------------
+# location resolution + IO
+# ---------------------------------------------------------------------------
+
+_VERSIONED_RE = re.compile(r"v(\d+)(?:\.gz)?\.metadata\.json(?:\.gz)?$")
+_OBJSTORE_RE = re.compile(r"(\d+)-[0-9a-f-]+(?:\.gz)?\.metadata\.json(?:\.gz)?$")
+
+
+def _read_text(path: str) -> str:
+    if path.endswith(".gz"):
+        with gzip.open(path, "rt") as fh:
+            return fh.read()
+    with open(path, "r") as fh:
+        return fh.read()
+
+
+def resolve_metadata_location(table_location: str, version: str | None = None) -> str:
+    """Find the current metadata JSON for a filesystem table
+    (reference: iceberg_table_metadata.cpp:203-281)."""
+    if table_location.endswith(".json") or table_location.endswith(".json.gz"):
+        return table_location
+    meta_dir = os.path.join(table_location, "metadata")
+    if version is not None and version != "?":
+        for cand in (
+            os.path.join(meta_dir, f"v{version}.metadata.json"),
+            os.path.join(meta_dir, f"v{version}.gz.metadata.json"),
+            os.path.join(meta_dir, f"v{version}.metadata.json.gz"),
+        ):
+            if os.path.exists(cand):
+                return cand
+        raise FileNotFoundError(f"metadata version {version} not found in {meta_dir}")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        v = _read_text(hint).strip()
+        return resolve_metadata_location(table_location, v)
+    # guess latest by glob (version_name_format='v%s%s.metadata.json' plus
+    # the object-store '00000-uuid.metadata.json' style)
+    best: tuple[int, str] | None = None
+    for cand in _glob.glob(os.path.join(_glob.escape(meta_dir), "*metadata.json*")):
+        base = os.path.basename(cand)
+        m = _VERSIONED_RE.match(base) or _OBJSTORE_RE.match(base)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, cand)
+    if best is None:
+        raise FileNotFoundError(f"no iceberg metadata found under {meta_dir}")
+    return best[1]
+
+
+def load_table_metadata(
+    table_location: str, version: str | None = None
+) -> TableMetadata:
+    loc = resolve_metadata_location(table_location, version)
+    j = json.loads(_read_text(loc))
+    tm = TableMetadata(j, metadata_location=loc)
+    if not tm.location:
+        tm.location = table_location if not table_location.endswith(".json") else os.path.dirname(os.path.dirname(table_location))
+    return tm
+
+
+def current_version_number(table_location: str) -> int:
+    try:
+        loc = resolve_metadata_location(table_location)
+    except FileNotFoundError:
+        return 0
+    m = _VERSIONED_RE.match(os.path.basename(loc)) or _OBJSTORE_RE.match(os.path.basename(loc))
+    return int(m.group(1)) if m else 0
+
+
+def write_table_metadata(tm: TableMetadata, table_location: str) -> str:
+    """Write v{N+1}.metadata.json + version-hint swap. Returns the path."""
+    meta_dir = os.path.join(table_location, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    n = current_version_number(table_location) + 1
+    if tm.metadata_location and os.path.exists(tm.metadata_location):
+        tm.metadata_log.append(
+            {"timestamp-ms": tm.last_updated_ms, "metadata-file": tm.metadata_location}
+        )
+    tm.last_updated_ms = int(time.time() * 1000)
+    path = os.path.join(meta_dir, f"v{n}.metadata.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(tm.to_json(), fh, indent=1)
+    os.replace(tmp, path)
+    hint_tmp = os.path.join(meta_dir, "version-hint.text.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(n))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    tm.metadata_location = path
+    return path

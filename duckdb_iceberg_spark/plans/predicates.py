@@ -1,0 +1,401 @@
+"""Pruning predicates: tiny AST, best-effort SQL parser, bounds truth tables.
+
+Mirrors the reference's conservative predicate evaluation
+(reference: src/planning/pruning/iceberg_predicate.cpp:44-321 — MatchBounds
+dispatch over =, <, <=, >, >=, IN, IS [NOT] NULL, AND conjunctions;
+conservative TRUE on anything not understood) and the transform-aware
+comparators (reference: src/include/core/expression/iceberg_transform.hpp:64-342).
+
+The same filter string is also handed verbatim to Spark as the residual
+filter (``df.filter(expr(where))``), so a predicate this parser cannot
+understand only costs pruning opportunity, never correctness — the exact
+contract the reference has with its host engine.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from dataclasses import dataclass
+from decimal import Decimal
+from typing import Any, Callable, Optional
+
+from . import transforms as tr
+from ..metadata import types as ice_types
+
+
+# --- AST -------------------------------------------------------------------
+
+@dataclass
+class Comparison:
+    column: str
+    op: str  # '=', '<', '<=', '>', '>=', '!='
+    value: Any
+
+
+@dataclass
+class InList:
+    column: str
+    values: list
+
+
+@dataclass
+class IsNull:
+    column: str
+
+
+@dataclass
+class NotNull:
+    column: str
+
+
+@dataclass
+class And:
+    children: list
+
+
+@dataclass
+class Or:
+    children: list
+
+
+Predicate = Any  # Comparison | InList | IsNull | NotNull | And | Or | None
+
+
+# --- parser ----------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lpar>\()|(?P<rpar>\))|(?P<comma>,)|
+        (?P<op><=|>=|!=|<>|=|<|>)|
+        (?P<str>'(?:[^']|'')*')|
+        (?P<num>-?\d+\.\d+|-?\d+)|
+        (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
+    )""",
+    re.VERBOSE,
+)
+
+
+class _Tokens:
+    def __init__(self, s: str) -> None:
+        self.toks: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(s):
+            m = _TOKEN_RE.match(s, pos)
+            if not m or m.end() == pos:
+                if s[pos:].strip():
+                    raise ValueError(f"cannot tokenize {s[pos:]!r}")
+                break
+            pos = m.end()
+            for k, v in m.groupdict().items():
+                if v is not None:
+                    self.toks.append((k, v))
+                    break
+        self.i = 0
+
+    def peek(self, kind: str | None = None, value: str | None = None) -> Optional[tuple[str, str]]:
+        if self.i >= len(self.toks):
+            return None
+        k, v = self.toks[self.i]
+        if kind and k != kind:
+            return None
+        if value and v.upper() != value.upper():
+            return None
+        return (k, v)
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept_word(self, w: str) -> bool:
+        if self.peek("word", w):
+            self.i += 1
+            return True
+        return False
+
+
+def _parse_literal(tk: _Tokens) -> Any:
+    t = tk.peek()
+    if t is None:
+        raise ValueError("eof in literal")
+    kind, val = t
+    if kind == "str":
+        tk.next()
+        return val[1:-1].replace("''", "'")
+    if kind == "num":
+        tk.next()
+        if "." in val:
+            return float(val)
+        return int(val)
+    if kind == "word":
+        up = val.upper()
+        if up in ("DATE", "TIMESTAMP", "TIMESTAMPTZ"):
+            tk.next()
+            s = tk.next()
+            if s[0] != "str":
+                raise ValueError("expected string after DATE/TIMESTAMP")
+            raw = s[1][1:-1]
+            if up == "DATE":
+                return _dt.date.fromisoformat(raw)
+            d = _dt.datetime.fromisoformat(raw.replace("Z", "+00:00"))
+            return d
+        if up == "TRUE":
+            tk.next()
+            return True
+        if up == "FALSE":
+            tk.next()
+            return False
+        if up == "NULL":
+            tk.next()
+            return None
+    raise ValueError(f"bad literal {t!r}")
+
+
+def _parse_primary(tk: _Tokens) -> Predicate:
+    if tk.peek("lpar"):
+        tk.next()
+        p = _parse_or(tk)
+        if not tk.peek("rpar"):
+            raise ValueError("expected )")
+        tk.next()
+        return p
+    t = tk.peek("word")
+    if not t:
+        raise ValueError(f"expected column, got {tk.peek()!r}")
+    col = tk.next()[1]
+    if tk.accept_word("IS"):
+        neg = tk.accept_word("NOT")
+        if not tk.accept_word("NULL"):
+            raise ValueError("expected NULL")
+        return NotNull(col) if neg else IsNull(col)
+    if tk.accept_word("NOT"):
+        if tk.accept_word("IN"):
+            raise ValueError("NOT IN unsupported")  # conservative: parser fails → no pruning
+        raise ValueError("NOT unsupported")
+    if tk.accept_word("IN"):
+        if not tk.peek("lpar"):
+            raise ValueError("expected ( after IN")
+        tk.next()
+        vals = [_parse_literal(tk)]
+        while tk.peek("comma"):
+            tk.next()
+            vals.append(_parse_literal(tk))
+        if not tk.peek("rpar"):
+            raise ValueError("expected )")
+        tk.next()
+        return InList(col, vals)
+    if tk.accept_word("BETWEEN"):
+        lo = _parse_literal(tk)
+        if not tk.accept_word("AND"):
+            raise ValueError("expected AND in BETWEEN")
+        hi = _parse_literal(tk)
+        return And([Comparison(col, ">=", lo), Comparison(col, "<=", hi)])
+    t = tk.peek("op")
+    if not t:
+        raise ValueError(f"expected operator after {col}")
+    op = tk.next()[1]
+    if op == "<>":
+        op = "!="
+    val = _parse_literal(tk)
+    return Comparison(col, op, val)
+
+
+def _parse_and(tk: _Tokens) -> Predicate:
+    children = [_parse_primary(tk)]
+    while tk.accept_word("AND"):
+        children.append(_parse_primary(tk))
+    return children[0] if len(children) == 1 else And(children)
+
+
+def _parse_or(tk: _Tokens) -> Predicate:
+    children = [_parse_and(tk)]
+    while tk.accept_word("OR"):
+        children.append(_parse_and(tk))
+    return children[0] if len(children) == 1 else Or(children)
+
+
+def parse_where(where: str | None) -> Predicate:
+    """Best-effort parse; returns None (no pruning) when not understood."""
+    if not where:
+        return None
+    try:
+        tk = _Tokens(where)
+        p = _parse_or(tk)
+        if tk.i != len(tk.toks):
+            return None
+        return p
+    except (ValueError, IndexError):
+        return None
+
+
+# --- literal coercion ------------------------------------------------------
+
+def coerce_literal(value: Any, src_type: Any) -> Any:
+    """Coerce a parsed literal to the column's Iceberg type domain."""
+    if value is None or not isinstance(src_type, str):
+        return value
+    name = ice_types.primitive_name(src_type)
+    try:
+        if name in ("int", "long") and not isinstance(value, bool):
+            return int(value)
+        if name in ("float", "double"):
+            return float(value)
+        if name == "decimal":
+            return Decimal(str(value))
+        if name == "date":
+            if isinstance(value, str):
+                return _dt.date.fromisoformat(value)
+            if isinstance(value, _dt.datetime):
+                return value.date()
+            return value
+        if name in ("timestamp", "timestamptz", "timestamp_ns", "timestamptz_ns"):
+            if isinstance(value, str):
+                return _dt.datetime.fromisoformat(value.replace("Z", "+00:00"))
+            return value
+        if name == "string":
+            return str(value)
+    except (ValueError, ArithmeticError):
+        return value
+    return value
+
+
+# --- bounds evaluation -----------------------------------------------------
+
+class ColumnStats:
+    """What pruning knows about one column in one file/manifest."""
+
+    __slots__ = ("lower", "upper", "contains_null", "contains_nan", "all_null")
+
+    def __init__(self, lower=None, upper=None, contains_null=True, contains_nan=None, all_null=False):
+        self.lower = lower
+        self.upper = upper
+        self.contains_null = contains_null
+        self.contains_nan = contains_nan
+        self.all_null = all_null
+
+
+def _cmp(a: Any, b: Any) -> Optional[int]:
+    try:
+        if a is None or b is None:
+            return None
+        if isinstance(a, _dt.datetime) and isinstance(b, _dt.datetime):
+            if (a.tzinfo is None) != (b.tzinfo is None):
+                a = a.replace(tzinfo=_dt.timezone.utc) if a.tzinfo is None else a
+                b = b.replace(tzinfo=_dt.timezone.utc) if b.tzinfo is None else b
+        if isinstance(a, (int, float, Decimal)) and isinstance(b, (int, float, Decimal)):
+            a2, b2 = float(a), float(b)
+            return -1 if a2 < b2 else (1 if a2 > b2 else 0)
+        if type(a) is not type(b) and not (
+            isinstance(a, str) and isinstance(b, str)
+        ):
+            if isinstance(a, _dt.date) and isinstance(b, _dt.date):
+                pass
+            else:
+                return None
+        return -1 if a < b else (1 if a > b else 0)
+    except TypeError:
+        return None
+
+
+def match_bounds(pred: Predicate, stats_for: Callable[[str], Optional[ColumnStats]]) -> bool:
+    """Can rows in a file/manifest with these stats match the predicate?
+    Conservative: unknown → True (Spark re-applies the residual filter)."""
+    if pred is None:
+        return True
+    if isinstance(pred, And):
+        return all(match_bounds(c, stats_for) for c in pred.children)
+    if isinstance(pred, Or):
+        return any(match_bounds(c, stats_for) for c in pred.children)
+    st = stats_for(_pred_col(pred))
+    if st is None:
+        return True
+    if isinstance(pred, IsNull):
+        return st.contains_null
+    if isinstance(pred, NotNull):
+        return not st.all_null
+    if isinstance(pred, InList):
+        if st.all_null:
+            return False
+        return any(_value_in_range(v, st) for v in pred.values)
+    if isinstance(pred, Comparison):
+        if st.all_null:
+            return False
+        v = pred.value
+        if v is None:
+            return False  # `col = NULL` matches nothing
+        if pred.op == "=":
+            return _value_in_range(v, st)
+        if pred.op == "!=":
+            return True  # bounds can't disprove != (unless lower==upper==v; keep simple+safe)
+        if pred.op == "<":
+            c = _cmp(st.lower, v)
+            return c is None or c < 0
+        if pred.op == "<=":
+            c = _cmp(st.lower, v)
+            return c is None or c <= 0
+        if pred.op == ">":
+            c = _cmp(st.upper, v)
+            return c is None or c > 0
+        if pred.op == ">=":
+            c = _cmp(st.upper, v)
+            return c is None or c >= 0
+    return True
+
+
+def _value_in_range(v: Any, st: ColumnStats) -> bool:
+    lo = _cmp(st.lower, v)
+    hi = _cmp(st.upper, v)
+    if lo is not None and lo > 0:
+        return False
+    if hi is not None and hi < 0:
+        return False
+    return True
+
+
+def _pred_col(pred: Predicate) -> str:
+    return pred.column
+
+
+def transform_predicate(pred: Predicate, column: str, transform: str, src_type: Any) -> Predicate:
+    """Rewrite a predicate on `column` into one on transform(column) for
+    partition pruning (iceberg_transform.hpp comparators). Order-preserving
+    transforms keep inequalities with inclusive bounds; bucket keeps only
+    equality-shaped predicates; anything else → None (match all)."""
+    if pred is None:
+        return None
+    if isinstance(pred, And):
+        return And([transform_predicate(c, column, transform, src_type) for c in pred.children])
+    if isinstance(pred, Or):
+        return Or([transform_predicate(c, column, transform, src_type) for c in pred.children])
+    if _pred_col(pred) != column:
+        return None  # other column ⇒ no constraint here
+    kind, _ = tr.parse_transform(transform)
+    if isinstance(pred, IsNull):
+        return IsNull(column)
+    if isinstance(pred, NotNull):
+        return NotNull(column) if kind != "void" else None
+    if kind == "void":
+        return None
+    if isinstance(pred, InList):
+        vals = [tr.apply_python(transform, coerce_literal(v, src_type), src_type) for v in pred.values]
+        return InList(column, [v for v in vals if v is not None])
+    if isinstance(pred, Comparison):
+        v = coerce_literal(pred.value, src_type)
+        if v is None:
+            return pred
+        if kind == "identity":
+            return Comparison(column, pred.op, v)
+        tv = tr.apply_python(transform, v, src_type)
+        if tv is None:
+            return None
+        if kind == "bucket":
+            if pred.op == "=":
+                return Comparison(column, "=", tv)
+            return None  # bucket destroys order
+        # order-preserving: widen strict ops to inclusive on transformed values
+        op = {"<": "<=", ">": ">=", "=": "=", "<=": "<=", ">=": ">=", "!=": "!="}[pred.op]
+        if pred.op == "!=":
+            return None
+        return Comparison(column, op, tv)
+    return None

@@ -1,0 +1,341 @@
+"""Driver-side scan planning: snapshot → manifest list → pruned file list
+with per-file delete assignments and partition constants.
+
+This is the PySpark re-expression of the reference's planning pipeline
+(reference: src/planning/iceberg_multi_file_list.cpp:437-553 lazy file
+surfacing; src/planning/pruning/iceberg_file_pruner.cpp manifest/file/delete
+pruning; src/planning/deletes/iceberg_delete_planner.cpp per-file delete
+assignment). Everything here is metadata-sized work that runs on the driver
+before any Spark job; the data-sized work is expressed as DataFrames.
+
+Scale notes (100 TB design):
+- manifests are pruned *before* being opened (field summaries), mirroring the
+  reference's lazy materialization — a 256-manifest table with a selective
+  partition filter opens only matching manifests (BASELINE.md late-material.
+  benchmark).
+- per-manifest parsing is O(entries) driver CPU; at huge manifest counts the
+  same pruning can be run as a Spark job over the Avro bytes (manifests are
+  independent), which keeps the driver O(#manifests). Hook: `parallel_threshold`.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from dataclasses import dataclass, field
+from decimal import Decimal
+from typing import Any, Optional
+
+from ..metadata import manifest as mf
+from ..metadata import types as ice_types
+from ..metadata.table_metadata import PartitionSpec, Snapshot, TableMetadata
+from . import predicates as P
+from . import transforms as tr
+
+
+@dataclass
+class FileScanTask:
+    data_file: mf.DataFile
+    sequence_number: int
+    spec_id: int
+    positional_deletes: list[mf.DataFile] = field(default_factory=list)
+    equality_deletes: list[tuple[int, mf.DataFile]] = field(default_factory=list)  # (seq, file)
+    first_row_id: Optional[int] = None
+
+    @property
+    def has_deletes(self) -> bool:
+        return bool(self.positional_deletes or self.equality_deletes)
+
+
+@dataclass
+class ScanPlan:
+    tm: TableMetadata
+    snapshot: Optional[Snapshot]
+    tasks: list[FileScanTask]
+    residual: Optional[str]
+    schema_id: Optional[int]
+    stats: dict = field(default_factory=dict)
+
+    @property
+    def schema_json(self) -> dict:
+        sid = self.schema_id
+        if sid is None or sid not in self.tm.schemas:
+            sid = self.tm.current_schema_id
+        return self.tm.schemas[sid]
+
+    def spark_schema(self):
+        return ice_types.schema_to_struct(self.schema_json)
+
+    @property
+    def has_deletes(self) -> bool:
+        return any(t.has_deletes for t in self.tasks)
+
+    def exact_row_count(self) -> Optional[int]:
+        """count(*) from metadata when no deletes apply
+        (reference: iceberg_multi_file_list.cpp:395-427)."""
+        if self.residual or self.has_deletes:
+            return None
+        return sum(t.data_file.record_count for t in self.tasks)
+
+
+def _localize(tm: TableMetadata, path: str) -> str:
+    """Map absolute table-relative paths onto the actual table location
+    (allow_moved_paths analogue, reference: iceberg_scan.cpp:40-48)."""
+    if os.path.exists(path):
+        return path
+    loc = tm.location.rstrip("/")
+    for marker in ("/data/", "/metadata/"):
+        idx = path.find(marker)
+        if idx >= 0:
+            cand = loc + path[idx:]
+            if os.path.exists(cand):
+                return cand
+    base = os.path.basename(path)
+    for sub in ("data", "metadata"):
+        cand = os.path.join(loc, sub, base)
+        if os.path.exists(cand):
+            return cand
+    return path
+
+
+def _partition_stats_for(
+    spec: PartitionSpec, tm: TableMetadata, summaries: list[mf.FieldSummary]
+):
+    """stats_for callback over manifest-list field summaries, keyed by source
+    column name, bounds in transformed space."""
+    by_col: dict[str, tuple[P.ColumnStats, str, Any]] = {}
+    for pf, summ in zip(spec.fields, summaries):
+        src = tm.field_by_id(pf.source_id)
+        if src is None:
+            continue
+        rt = tr.transform_result_type(pf.transform, src["type"])
+        st = P.ColumnStats(
+            lower=ice_types.decode_bound(rt, summ.lower_bound) if rt else None,
+            upper=ice_types.decode_bound(rt, summ.upper_bound) if rt else None,
+            contains_null=summ.contains_null,
+            contains_nan=summ.contains_nan,
+        )
+        by_col[src["name"]] = (st, pf.transform, src["type"])
+    return by_col
+
+
+def _manifest_matches(
+    manifest: mf.ManifestFile, tm: TableMetadata, pred: P.Predicate
+) -> bool:
+    """Manifest-level pruning on partition field summaries
+    (reference: iceberg_file_pruner.cpp:396-447)."""
+    if pred is None or not manifest.partitions:
+        return True
+    spec = tm.partition_specs.get(manifest.partition_spec_id)
+    if spec is None or len(spec.fields) != len(manifest.partitions):
+        return True
+    by_col = _partition_stats_for(spec, tm, manifest.partitions)
+    # evaluate column-by-column: transform each leaf into partition space
+    return _match_transformed(pred, by_col)
+
+
+def _match_transformed(pred: P.Predicate, by_col: dict) -> bool:
+    if pred is None:
+        return True
+    if isinstance(pred, P.And):
+        return all(_match_transformed(c, by_col) for c in pred.children)
+    if isinstance(pred, P.Or):
+        return any(_match_transformed(c, by_col) for c in pred.children)
+    col = pred.column
+    ent = by_col.get(col)
+    if ent is None:
+        return True
+    st, transform, src_type = ent
+    tp = P.transform_predicate(pred, col, transform, src_type)
+    if tp is None:
+        return True
+    return P.match_bounds(tp, lambda c: st if c == col else None)
+
+
+def _file_matches(
+    entry: mf.ManifestEntry, spec: PartitionSpec, tm: TableMetadata, pred: P.Predicate,
+    schema_json: dict,
+) -> bool:
+    """File-level pruning: partition values + column zone maps + null counts
+    (reference: iceberg_file_pruner.cpp:12-172)."""
+    if pred is None:
+        return True
+    df = entry.data_file
+
+    # 1. partition-value pruning (exact, transformed space)
+    part_by_col: dict[str, tuple[P.ColumnStats, str, Any]] = {}
+    for pf in spec.fields:
+        src = tm.field_by_id(pf.source_id)
+        if src is None or pf.name not in df.partition:
+            continue
+        v = _norm_partition_value(df.partition[pf.name],
+                                  tr.transform_result_type(pf.transform, src["type"]))
+        st = P.ColumnStats(lower=v, upper=v, contains_null=v is None, all_null=v is None)
+        part_by_col[src["name"]] = (st, pf.transform, src["type"])
+    if part_by_col and not _match_transformed(pred, part_by_col):
+        return False
+
+    # 2. column-stat pruning in source space
+    fields_by_name = {f["name"]: f for f in schema_json["fields"]}
+
+    def stats_for(col: str) -> Optional[P.ColumnStats]:
+        f = fields_by_name.get(col)
+        if f is None:
+            return None
+        fid = f["id"]
+        lower = upper = None
+        if df.lower_bounds and fid in df.lower_bounds:
+            lower = ice_types.decode_bound(f["type"], df.lower_bounds[fid])
+        if df.upper_bounds and fid in df.upper_bounds:
+            upper = ice_types.decode_bound(f["type"], df.upper_bounds[fid])
+        nulls = (df.null_value_counts or {}).get(fid)
+        values = (df.value_counts or {}).get(fid)
+        if lower is None and upper is None and nulls is None:
+            return None
+        contains_null = nulls is None or nulls > 0
+        all_null = (
+            nulls is not None and values is not None and values > 0 and nulls == values
+        )
+        return P.ColumnStats(lower, upper, contains_null, None, all_null)
+
+    coerced = _coerce_pred(pred, fields_by_name)
+    return P.match_bounds(coerced, stats_for)
+
+
+def _coerce_pred(pred: P.Predicate, fields_by_name: dict) -> P.Predicate:
+    if isinstance(pred, P.And):
+        return P.And([_coerce_pred(c, fields_by_name) for c in pred.children])
+    if isinstance(pred, P.Or):
+        return P.Or([_coerce_pred(c, fields_by_name) for c in pred.children])
+    if isinstance(pred, P.Comparison):
+        f = fields_by_name.get(pred.column)
+        if f is not None:
+            return P.Comparison(pred.column, pred.op, P.coerce_literal(pred.value, f["type"]))
+    if isinstance(pred, P.InList):
+        f = fields_by_name.get(pred.column)
+        if f is not None:
+            return P.InList(pred.column, [P.coerce_literal(v, f["type"]) for v in pred.values])
+    return pred
+
+
+def _norm_partition_value(v: Any, result_type: Any) -> Any:
+    """Avro-decoded partition value → Python domain value."""
+    if v is None or not isinstance(result_type, str):
+        return v
+    name = ice_types.primitive_name(result_type)
+    if name == "date" and isinstance(v, int):
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+    if name in ("timestamp", "timestamptz") and isinstance(v, int):
+        base = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc if name == "timestamptz" else None)
+        return base + _dt.timedelta(microseconds=v)
+    if name == "decimal" and isinstance(v, (bytes, bytearray)):
+        _, s = ice_types.decimal_precision_scale(result_type)
+        return Decimal(int.from_bytes(bytes(v), "big", signed=True)).scaleb(-s)
+    if name == "uuid" and isinstance(v, (bytes, bytearray)):
+        import uuid as _uuid
+
+        return str(_uuid.UUID(bytes=bytes(v)))
+    return v
+
+
+def _partitions_overlap(data_entry: mf.ManifestEntry, del_entry: mf.ManifestEntry,
+                        data_spec_id: int, del_spec_id: int) -> bool:
+    """Conservative partition match for delete application
+    (reference: iceberg_file_pruner.cpp:326-394)."""
+    if del_entry.data_file.referenced_data_file:
+        return del_entry.data_file.referenced_data_file == data_entry.data_file.file_path
+    if data_spec_id != del_spec_id:
+        return True  # different spec ⇒ conservative apply
+    dp, pp = data_entry.data_file.partition, del_entry.data_file.partition
+    if not pp:
+        return True  # unpartitioned delete applies everywhere
+    for k, v in pp.items():
+        if k in dp and dp[k] != v and v is not None and dp[k] is not None:
+            return False
+    return True
+
+
+def plan_scan(
+    tm: TableMetadata,
+    snapshot: Optional[Snapshot],
+    where: str | None = None,
+) -> ScanPlan:
+    """Build the file-level scan plan for a snapshot."""
+    pred = P.parse_where(where)
+    stats = {"manifests_total": 0, "manifests_pruned": 0, "files_total": 0,
+             "files_pruned": 0, "delete_files": 0}
+    if snapshot is None or not snapshot.manifest_list:
+        return ScanPlan(tm, snapshot, [], where, None, stats)
+
+    ml_path = _localize(tm, snapshot.manifest_list)
+    manifests = mf.read_manifest_list(ml_path)
+    stats["manifests_total"] = len(manifests)
+
+    data_entries: list[tuple[mf.ManifestEntry, int]] = []  # (entry, spec_id)
+    pos_deletes: list[tuple[mf.ManifestEntry, int]] = []
+    eq_deletes: list[tuple[mf.ManifestEntry, int]] = []
+
+    for m in manifests:
+        if not _manifest_matches(m, tm, pred):
+            # a delete manifest whose partitions can't overlap the filtered
+            # data can be skipped entirely (prune_positional_deletes bench)
+            stats["manifests_pruned"] += 1
+            continue
+        entries = mf.read_manifest(_localize(tm, m.manifest_path))
+        for e in entries:
+            if e.status == mf.STATUS_DELETED:
+                continue
+            if e.sequence_number is None:
+                e.sequence_number = m.sequence_number
+            if e.file_sequence_number is None:
+                e.file_sequence_number = m.sequence_number
+            content = e.data_file.content
+            if m.content == mf.MANIFEST_DELETES or content in (
+                mf.CONTENT_POSITION_DELETES, mf.CONTENT_EQUALITY_DELETES
+            ):
+                if content == mf.CONTENT_EQUALITY_DELETES:
+                    eq_deletes.append((e, m.partition_spec_id))
+                else:
+                    pos_deletes.append((e, m.partition_spec_id))
+            else:
+                data_entries.append((e, m.partition_spec_id))
+
+    stats["files_total"] = len(data_entries)
+    stats["delete_files"] = len(pos_deletes) + len(eq_deletes)
+
+    schema_json = tm.schemas.get(
+        snapshot.schema_id if snapshot.schema_id is not None else tm.current_schema_id,
+        tm.schemas[tm.current_schema_id],
+    )
+
+    tasks: list[FileScanTask] = []
+    for e, spec_id in data_entries:
+        spec = tm.partition_specs.get(spec_id, PartitionSpec(spec_id, []))
+        if not _file_matches(e, spec, tm, pred, schema_json):
+            stats["files_pruned"] += 1
+            continue
+        e.data_file.file_path = _localize(tm, e.data_file.file_path)
+        task = FileScanTask(
+            data_file=e.data_file,
+            sequence_number=e.sequence_number or 0,
+            spec_id=spec_id,
+            first_row_id=e.data_file.first_row_id,
+        )
+        data_seq = e.sequence_number or 0
+        for de, dspec in pos_deletes:
+            # positional deletes apply at delete.seq >= data.seq
+            # (reference: iceberg_file_pruner.cpp:340-356)
+            if (de.sequence_number or 0) >= data_seq and _partitions_overlap(e, de, spec_id, dspec):
+                df2 = de.data_file
+                df2.file_path = _localize(tm, df2.file_path)
+                task.positional_deletes.append(df2)
+        for de, dspec in eq_deletes:
+            # equality deletes apply strictly after: delete.seq > data.seq
+            if (de.sequence_number or 0) > data_seq and _partitions_overlap(e, de, spec_id, dspec):
+                df2 = de.data_file
+                df2.file_path = _localize(tm, df2.file_path)
+                task.equality_deletes.append(((de.sequence_number or 0), df2))
+        tasks.append(task)
+
+    return ScanPlan(tm, snapshot, tasks, where,
+                    snapshot.schema_id if snapshot.schema_id is not None else None, stats)

@@ -1,0 +1,162 @@
+"""Unit tests for the driver-side metadata core (no Spark needed)."""
+
+import datetime as dt
+import os
+from decimal import Decimal
+
+import pytest
+
+from duckdb_iceberg_spark.metadata import avro_io
+from duckdb_iceberg_spark.metadata import types as ice_types
+from duckdb_iceberg_spark.plans import predicates as P
+from duckdb_iceberg_spark.plans import transforms as tr
+
+
+def test_avro_roundtrip(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "ob", "type": ["null", "bytes"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {
+                "name": "nested",
+                "type": ["null", {"type": "record", "name": "inner", "fields": [
+                    {"name": "x", "type": "double"}]}],
+                "default": None,
+            },
+        ],
+    }
+    recs = [
+        {"s": "héllo", "n": -12345678901234, "ob": b"\x00\x01", "arr": [1, -2, 3],
+         "m": {"a": 1, "b": -2}, "nested": {"x": 1.5}},
+        {"s": "", "n": 0, "ob": None, "arr": [], "m": {}, "nested": None},
+    ]
+    path = str(tmp_path / "t.avro")
+    avro_io.write_avro_file(path, schema, recs, metadata={"k": "v"})
+    rschema, meta, out = avro_io.read_avro_file(path)
+    assert out == recs
+    assert meta["k"] == b"v"
+
+    # null codec too
+    avro_io.write_avro_file(path, schema, recs, codec="null")
+    _, _, out2 = avro_io.read_avro_file(path)
+    assert out2 == recs
+
+
+# Iceberg spec Appendix B hash test vectors
+@pytest.mark.parametrize(
+    "value,src_type,expected",
+    [
+        (34, "int", 2017239379),
+        (34, "long", 2017239379),
+        (Decimal("14.20"), "decimal(9, 2)", -500754589),
+        (dt.date(2017, 11, 16), "date", -653330422),
+        (81068000000, "time", -662762989),
+        (dt.datetime(2017, 11, 16, 22, 31, 8), "timestamp", -2047944441),
+        (dt.datetime(2017, 11, 16, 14, 31, 8,
+                     tzinfo=dt.timezone(dt.timedelta(hours=-8))), "timestamptz", -2047944441),
+        ("iceberg", "string", 1210000089),
+        ("f79c3e09-677c-4bbd-a479-3f349cb785e7", "uuid", 1488055340),
+        (b"\x00\x01\x02\x03", "binary", -188683207),
+    ],
+)
+def test_bucket_hash_vectors(value, src_type, expected):
+    h = tr.murmur3_32(tr._hash_bytes_for(value, src_type))
+    signed = h - (1 << 32) if h >= (1 << 31) else h
+    assert signed == expected
+
+
+def test_bucket_value_mod():
+    assert tr.bucket_value(34, 16, "int") == (2017239379 & 0x7FFFFFFF) % 16
+    assert tr.bucket_value(None, 16, "int") is None
+
+
+def test_truncate():
+    assert tr.apply_python("truncate[10]", 7, "int") == 0
+    assert tr.apply_python("truncate[10]", -7, "int") == -10
+    assert tr.apply_python("truncate[3]", "iceberg", "string") == "ice"
+    assert tr.apply_python("truncate[2]", b"abcd", "binary") == b"ab"
+    assert tr.apply_python("truncate[50]", Decimal("10.65"), "decimal(9, 2)") == Decimal("10.50")
+
+
+def test_temporal_transforms():
+    d = dt.date(2017, 11, 16)
+    assert tr.apply_python("year", d, "date") == 47
+    assert tr.apply_python("month", d, "date") == (2017 - 1970) * 12 + 10
+    assert tr.apply_python("day", d, "date") == 17486
+    ts = dt.datetime(2017, 11, 16, 22, 31, 8)
+    assert tr.apply_python("hour", ts, "timestamp") == 17486 * 24 + 22
+
+
+def test_bound_roundtrip():
+    cases = [
+        ("int", 42),
+        ("long", -1), ("double", 1.5), ("float", 2.0),
+        ("string", "abc"),
+        ("date", dt.date(2020, 1, 2)),
+        ("timestamp", dt.datetime(2020, 1, 2, 3, 4, 5, 123456)),
+        ("decimal(9, 2)", Decimal("-123.45")),
+        ("binary", b"\x01\x02"),
+        ("boolean", True),
+    ]
+    for t, v in cases:
+        b = ice_types.encode_bound(t, v)
+        assert ice_types.decode_bound(t, b) == v, t
+
+
+def test_schema_struct_roundtrip():
+    schema_json = {
+        "type": "struct", "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {"id": 2, "name": "name", "required": False, "type": "string"},
+            {"id": 3, "name": "meas", "required": False, "type": "decimal(15, 2)"},
+            {"id": 4, "name": "addr", "required": False, "type": {
+                "type": "struct", "fields": [
+                    {"id": 5, "name": "city", "required": False, "type": "string"}]}},
+            {"id": 6, "name": "tags", "required": False, "type": {
+                "type": "list", "element-id": 7, "element": "string"}},
+        ],
+    }
+    st = ice_types.schema_to_struct(schema_json)
+    assert [f.name for f in st.fields] == ["id", "name", "meas", "addr", "tags"]
+    assert st["id"].metadata[ice_types.FIELD_ID_KEY] == 1
+    back, last = ice_types.struct_to_schema_json(st)
+    assert [f["id"] for f in back["fields"]] == [1, 2, 3, 4, 6]
+
+
+def test_predicate_parser_and_bounds():
+    p = P.parse_where("l_shipdate >= DATE '1994-01-01' AND l_discount BETWEEN 0.05 AND 0.07")
+    assert isinstance(p, P.And)
+
+    st = P.ColumnStats(lower=dt.date(1995, 1, 1), upper=dt.date(1995, 12, 31), contains_null=False)
+    assert P.match_bounds(P.parse_where("d >= DATE '1994-01-01'"), lambda c: st)
+    assert not P.match_bounds(P.parse_where("d >= DATE '1996-01-01'"), lambda c: st)
+    assert not P.match_bounds(P.parse_where("d = DATE '1994-06-01'"), lambda c: st)
+    assert P.match_bounds(P.parse_where("d IN (DATE '1995-06-01', DATE '1999-01-01')"), lambda c: st)
+
+    # unparseable → None → match everything (conservative)
+    assert P.parse_where("complex_func(x) = 1") is None
+    assert P.match_bounds(None, lambda c: st)
+
+    ist = P.ColumnStats(lower=10, upper=20, contains_null=False)
+    assert not P.match_bounds(P.parse_where("x < 10"), lambda c: ist)
+    assert P.match_bounds(P.parse_where("x <= 10"), lambda c: ist)
+    assert not P.match_bounds(P.parse_where("x > 20"), lambda c: ist)
+    assert P.match_bounds(P.parse_where("x > 19"), lambda c: ist)
+    assert P.match_bounds(P.parse_where("x IS NOT NULL"), lambda c: ist)
+    nst = P.ColumnStats(lower=None, upper=None, contains_null=True, all_null=True)
+    assert not P.match_bounds(P.parse_where("x = 5"), lambda c: nst)
+    assert P.match_bounds(P.parse_where("x IS NULL"), lambda c: nst)
+
+
+def test_transform_predicate_bucket():
+    tp = P.transform_predicate(P.parse_where("v = 34"), "v", "bucket[16]", "int")
+    assert isinstance(tp, P.Comparison)
+    assert tp.value == tr.bucket_value(34, 16, "int")
+    # inequality on bucket → no constraint
+    assert P.transform_predicate(P.parse_where("v > 34"), "v", "bucket[16]", "int") is None

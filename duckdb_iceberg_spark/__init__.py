@@ -1,0 +1,19 @@
+"""duckdb_iceberg_spark — a PySpark-native Iceberg engine.
+
+Brand-new engine with the query/data-processing capabilities of the
+DuckDB-Iceberg extension (reference study in SURVEY.md), re-expressed
+Spark-first: Iceberg metadata planning on the driver, all data movement as
+Catalyst-optimized DataFrames.
+"""
+
+from .session import get_spark
+from .sources.scan import iceberg_scan, iceberg_count
+from .sources.writer import create_table, write_iceberg
+
+__all__ = [
+    "get_spark",
+    "iceberg_scan",
+    "iceberg_count",
+    "create_table",
+    "write_iceberg",
+]

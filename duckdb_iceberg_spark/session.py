@@ -1,0 +1,55 @@
+"""SparkSession factory with the engine's load-bearing configuration.
+
+Every consumer (tests, bench, __spark_entry__) must build sessions here so
+that parquet field-id resolution (schema evolution correctness, SURVEY.md
+§1.2), UTC session time, and AQE are uniformly on.
+
+Scale posture: these settings are sized for local[32]/128GiB but the same
+knobs are what a 1000-executor cluster tunes — shuffle partitions scale with
+cluster cores, maxPartitionBytes controls scan task granularity, AQE handles
+skew/coalesce at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "duckdb-iceberg-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # field-id based parquet column resolution — correctness under
+        # schema evolution (reference resolves BY_FIELD_ID,
+        # iceberg_multi_file_reader.cpp:113)
+        .config("spark.sql.parquet.fieldId.write.enabled", "true")
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
+        .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+        # arrow for pandas UDFs (bucket transform, dedup/similarity ops)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

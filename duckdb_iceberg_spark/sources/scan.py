@@ -1,0 +1,299 @@
+"""Read executor: ScanPlan → Spark DataFrame.
+
+The PySpark re-expression of the reference's scan
+(reference: src/function/scan/iceberg_scan.cpp:92-126 +
+src/planning/iceberg_multi_file_reader.cpp): the driver plans a pruned file
+list (plans/scan_plan.py), then the data path is a single declarative
+``spark.read.schema(s).parquet(*files)`` so Catalyst/Tungsten provide
+vectorized reads, whole-stage codegen, residual filter pushdown and column
+pruning. Delete application is expressed as DataFrame ops:
+
+- positional deletes / deletion vectors → left-anti join on
+  ``(_metadata.file_path, _metadata.row_index)``
+  (reference applies a deletion_filter per reader,
+  iceberg_multi_file_reader.cpp:407; we let Spark's join engine do it —
+  the delete side is small relative to data and broadcast when possible)
+- equality deletes → null-safe anti-join on the equality_id columns,
+  honoring sequence numbers per file
+  (reference builds IS-DISTINCT-FROM conjunctions per chunk,
+  iceberg_multi_file_reader.cpp:436-558)
+- identity partition constants for files that omit the partition column →
+  broadcast join on a tiny (file_path → constants) map
+  (reference: ApplyPartitionConstants, iceberg_multi_file_reader.cpp:292-378)
+
+Virtual columns (reference: iceberg_multi_file_reader.cpp:604-713):
+``filename``, ``file_row_number``, and v3 row lineage ``_row_id`` /
+``_last_updated_sequence_number`` derived from per-file first_row_id.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..metadata import manifest as mf
+from ..metadata import types as ice_types
+from ..metadata.table_metadata import TableMetadata, load_table_metadata
+from ..plans.scan_plan import FileScanTask, ScanPlan, plan_scan
+
+_FILE_COL = "__ice_file"
+_POS_COL = "__ice_pos"
+
+
+def _norm_path(col):
+    # _metadata.file_path is file:///... ; manifests store plain paths
+    return F.regexp_replace(col, r"^file:/+", "/")
+
+
+def iceberg_scan(
+    spark: SparkSession,
+    path: str,
+    *,
+    snapshot_id: int | None = None,
+    as_of: Any = None,
+    version: str | None = None,
+    where: str | None = None,
+    with_file_info: bool = False,
+    with_row_lineage: bool = False,
+    plan: ScanPlan | None = None,
+) -> DataFrame:
+    """Scan an Iceberg table at ``path`` into a DataFrame.
+
+    Mirrors ``iceberg_scan(path, version, snapshot_from_timestamp,
+    snapshot_from_id)`` (reference: iceberg_scan.cpp:40-48). ``where`` is
+    both a pruning hint (driver-side file pruning) and a residual filter
+    (applied by Spark, so over-approximation is safe).
+    """
+    if plan is None:
+        tm = load_table_metadata(path, version)
+        snapshot = tm.select_snapshot(snapshot_id=snapshot_id, as_of=as_of)
+        plan = plan_scan(tm, snapshot, where)
+    return scan_to_dataframe(spark, plan, with_file_info=with_file_info,
+                             with_row_lineage=with_row_lineage)
+
+
+def scan_to_dataframe(
+    spark: SparkSession,
+    plan: ScanPlan,
+    *,
+    with_file_info: bool = False,
+    with_row_lineage: bool = False,
+) -> DataFrame:
+    schema = plan.spark_schema()
+    if not plan.tasks:
+        df = spark.createDataFrame([], schema)
+        if with_file_info:
+            df = df.withColumn("filename", F.lit(None).cast(T.StringType())) \
+                   .withColumn("file_row_number", F.lit(None).cast(T.LongType()))
+        if with_row_lineage:
+            df = df.withColumn("_row_id", F.lit(None).cast(T.LongType())) \
+                   .withColumn("_last_updated_sequence_number", F.lit(None).cast(T.LongType()))
+        if plan.residual:
+            df = df.filter(F.expr(plan.residual))
+        return df
+
+    files = [t.data_file.file_path for t in plan.tasks]
+    need_pos = (
+        plan.has_deletes
+        or with_file_info
+        or with_row_lineage
+        or _needs_partition_constants(plan)
+    )
+
+    reader = spark.read.schema(schema)
+    df = reader.parquet(*files)
+    if need_pos:
+        df = df.withColumn(_FILE_COL, _norm_path(F.col("_metadata.file_path"))) \
+               .withColumn(_POS_COL, F.col("_metadata.row_index"))
+
+    df = _apply_partition_constants(spark, df, plan)
+    df = _apply_positional_deletes(spark, df, plan)
+    df = _apply_equality_deletes(spark, df, plan)
+
+    if with_row_lineage:
+        df = _add_row_lineage(spark, df, plan)
+    if with_file_info:
+        df = df.withColumn("filename", F.col(_FILE_COL)) \
+               .withColumn("file_row_number", F.col(_POS_COL))
+
+    keep = [f.name for f in schema.fields]
+    if with_file_info:
+        keep += ["filename", "file_row_number"]
+    if with_row_lineage:
+        keep += ["_row_id", "_last_updated_sequence_number"]
+    df = df.select(*keep)
+
+    if plan.residual:
+        df = df.filter(F.expr(plan.residual))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# partition constants (identity partitions whose column may be absent in files)
+# ---------------------------------------------------------------------------
+
+def _identity_constant_fields(plan: ScanPlan) -> list[tuple[str, str, Any]]:
+    """[(column_name, iceberg_type, None)] for identity-partitioned columns."""
+    tm = plan.tm
+    out = []
+    seen = set()
+    for t in plan.tasks:
+        spec = tm.partition_specs.get(t.spec_id)
+        if not spec:
+            continue
+        for pf in spec.fields:
+            if pf.transform != "identity" or pf.field_id in seen:
+                continue
+            src = tm.field_by_id(pf.source_id)
+            if src is None:
+                continue
+            seen.add(pf.field_id)
+            out.append((src["name"], src["type"], pf.name))
+    return out
+
+
+def _needs_partition_constants(plan: ScanPlan) -> bool:
+    return bool(_identity_constant_fields(plan))
+
+
+def _apply_partition_constants(spark: SparkSession, df: DataFrame, plan: ScanPlan) -> DataFrame:
+    """Identity-partition columns materialized from partition metadata when a
+    file omits them (reference: iceberg_multi_file_reader.cpp:292-378).
+    Implemented as a broadcast join on a (file_path → constant…) map so it
+    scales to any file count without per-file plan branches."""
+    fields = _identity_constant_fields(plan)
+    if not fields:
+        return df
+    from ..plans.scan_plan import _norm_partition_value
+
+    rows = []
+    for t in plan.tasks:
+        spec = plan.tm.partition_specs.get(t.spec_id)
+        row: dict[str, Any] = {"__pc_file": t.data_file.file_path}
+        for col, ice_t, pname in fields:
+            v = t.data_file.partition.get(pname)
+            row["__pc_" + col] = _norm_partition_value(v, ice_t)
+        rows.append(row)
+
+    fields_schema = [T.StructField("__pc_file", T.StringType())]
+    for col, ice_t, _ in fields:
+        fields_schema.append(T.StructField("__pc_" + col, ice_types.iceberg_to_spark(ice_t)))
+    const_df = spark.createDataFrame(rows, T.StructType(fields_schema))
+    df = df.join(F.broadcast(const_df), df[_FILE_COL] == const_df["__pc_file"], "left")
+    for col, _, _ in fields:
+        df = df.withColumn(col, F.coalesce(F.col(col), F.col("__pc_" + col)))
+    return df.drop("__pc_file", *["__pc_" + c for c, _, _ in fields])
+
+
+# ---------------------------------------------------------------------------
+# deletes
+# ---------------------------------------------------------------------------
+
+def _apply_positional_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) -> DataFrame:
+    delete_files = sorted({d.file_path for t in plan.tasks for d in t.positional_deletes})
+    if not delete_files:
+        return df
+    # positional-delete parquet schema: file_path string (fid 2147483546),
+    # pos long (fid 2147483545)
+    del_df = (
+        spark.read.parquet(*delete_files)
+        .select(
+            _norm_path(F.col("file_path")).alias("__del_file"),
+            F.col("pos").cast(T.LongType()).alias("__del_pos"),
+        )
+    )
+    return df.join(
+        del_df.hint("broadcast"),
+        (df[_FILE_COL] == del_df["__del_file"]) & (df[_POS_COL] == del_df["__del_pos"]),
+        "left_anti",
+    )
+
+
+def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) -> DataFrame:
+    """Equality deletes: null-safe anti-join on the equality_id columns.
+    Applies per delete-file to exactly the data files whose sequence number
+    admits it (delete.seq > data.seq, iceberg_file_pruner.cpp:340-356);
+    absent fields compare as NULL (IS NOT DISTINCT FROM semantics,
+    iceberg_multi_file_reader.cpp:436-523)."""
+    # group equality delete files by (frozenset of applicable data files)
+    groups: dict[str, tuple[mf.DataFile, set[str]]] = {}
+    for t in plan.tasks:
+        for seq, d in t.equality_deletes:
+            ent = groups.setdefault(d.file_path, (d, set()))
+            ent[1].add(t.data_file.file_path)
+    if not groups:
+        return df
+
+    all_files = {t.data_file.file_path for t in plan.tasks}
+    tm = plan.tm
+    for path, (d, applicable) in sorted(groups.items()):
+        eq_ids = d.equality_ids or []
+        cols = []
+        for fid in eq_ids:
+            f = tm.field_by_id(fid)
+            if f is not None:
+                cols.append(f["name"])
+        if not cols:
+            continue
+        keys = spark.read.parquet(path).select(
+            *[F.col(c).alias("__eq_" + c) for c in cols]
+        ).dropDuplicates()
+        cond = None
+        for c in cols:
+            piece = df[c].eqNullSafe(keys["__eq_" + c])
+            cond = piece if cond is None else (cond & piece)
+        if applicable != all_files:
+            # restrict to the data files this delete may touch
+            lst = sorted(applicable)
+            cond = cond & df[_FILE_COL].isin(lst)
+        df = df.join(keys.hint("broadcast"), cond, "left_anti")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# row lineage (v3)
+# ---------------------------------------------------------------------------
+
+def _add_row_lineage(spark: SparkSession, df: DataFrame, plan: ScanPlan) -> DataFrame:
+    """_row_id = file.first_row_id + file_row_number; _last_updated_sequence_number
+    from the file's sequence number (reference:
+    iceberg_table_schema_version.cpp:116-125, COALESCE semantics)."""
+    rows = [
+        (t.data_file.file_path, t.first_row_id, t.sequence_number)
+        for t in plan.tasks
+    ]
+    map_df = spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("__rl_file", T.StringType()),
+            T.StructField("__rl_first_row_id", T.LongType()),
+            T.StructField("__rl_seq", T.LongType()),
+        ])
+    )
+    df = df.join(F.broadcast(map_df), df[_FILE_COL] == map_df["__rl_file"], "left")
+    df = df.withColumn(
+        "_row_id",
+        F.when(F.col("__rl_first_row_id").isNotNull(),
+               F.col("__rl_first_row_id") + F.col(_POS_COL)),
+    ).withColumn("_last_updated_sequence_number", F.col("__rl_seq"))
+    return df.drop("__rl_file", "__rl_first_row_id", "__rl_seq")
+
+
+# ---------------------------------------------------------------------------
+# metadata-only count(*)
+# ---------------------------------------------------------------------------
+
+def iceberg_count(path: str, *, snapshot_id: int | None = None, as_of: Any = None,
+                  where: str | None = None) -> Optional[int]:
+    """Exact count(*) from manifest metadata when no deletes/filters apply
+    (reference: iceberg_multi_file_list.cpp:395-427). Returns None when the
+    metadata alone cannot answer."""
+    tm = load_table_metadata(path)
+    snapshot = tm.select_snapshot(snapshot_id=snapshot_id, as_of=as_of)
+    plan = plan_scan(tm, snapshot, where)
+    if where is not None:
+        return None
+    return plan.exact_row_count()

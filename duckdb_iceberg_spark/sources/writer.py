@@ -1,0 +1,613 @@
+"""Write path: DataFrame → parquet data files → manifests → snapshot commit.
+
+The PySpark re-expression of the reference's INSERT/CTAS sink
+(reference: src/execution/operator/iceberg_insert.cpp): the transform
+projection (GetTransformExpression, :403-475) becomes `withColumn` of
+transform Columns, the sort order (:497-511) becomes `sortWithinPartitions`,
+the parquet copy becomes `df.write.partitionBy(...)`, per-file stats
+(AddFiles, :150-237) are collected from parquet footers — distributed via
+mapInPandas when the file count is large, so the driver never holds
+data-sized state — and Finalize (:286-329) becomes manifest + manifest-list
++ metadata-JSON commit (COPY TO FORMAT ICEBERG analogue,
+src/function/copy/iceberg_copy_function.cpp:11-31).
+
+Scale notes (100 TB design):
+- data movement is one Spark write job; `repartition(partition_cols)`
+  co-locates rows per partition so each task writes few files (small-file
+  control); AQE coalesces tiny partitions.
+- footer-stat collection reads only parquet footers: O(#files) metadata work,
+  distributed over executors above `_DISTRIBUTED_STATS_THRESHOLD` files.
+- manifests are written per-snapshot; at many-snapshot scale, rewrite_data_
+  files (maintenance.py) bin-packs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import re
+import urllib.parse
+import uuid as _uuid
+from decimal import Decimal
+from typing import Any, Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..metadata import manifest as mf
+from ..metadata import types as ice_types
+from ..metadata.table_metadata import (
+    PartitionField,
+    PartitionSpec,
+    Snapshot,
+    SortField,
+    SortOrder,
+    TableMetadata,
+    current_version_number,
+    load_table_metadata,
+    write_table_metadata,
+)
+from ..plans import transforms as tr
+
+_DISTRIBUTED_STATS_THRESHOLD = 64
+_TRANSFORM_CALL_RE = re.compile(r"^\s*(\w+)\s*\(\s*(.*?)\s*\)\s*$")
+
+
+# ---------------------------------------------------------------------------
+# partition spec / sort order construction from user input
+# ---------------------------------------------------------------------------
+
+def parse_partition_by(partition_by: Iterable[str] | None, schema_json: dict,
+                       start_field_id: int = 1000) -> PartitionSpec:
+    """['l_shipmode', 'bucket(4, l_orderkey)', 'month(d)'] → PartitionSpec."""
+    fields: list[PartitionField] = []
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    fid = start_field_id
+    for item in partition_by or []:
+        m = _TRANSFORM_CALL_RE.match(item)
+        if m:
+            fn = m.group(1).lower()
+            args = [a.strip() for a in m.group(2).split(",")]
+            if fn == "bucket":
+                n, col = int(args[0]), args[1]
+                transform, suffix = f"bucket[{n}]", f"_bucket"
+            elif fn == "truncate":
+                w, col = int(args[0]), args[1]
+                transform, suffix = f"truncate[{w}]", f"_trunc"
+            elif fn in ("year", "month", "day", "hour"):
+                col = args[0]
+                transform, suffix = fn, f"_{fn}"
+            elif fn == "void":
+                col = args[0]
+                transform, suffix = "void", "_null"
+            else:
+                raise ValueError(f"unknown partition transform {fn}")
+        else:
+            col, transform, suffix = item.strip(), "identity", ""
+        src = by_name.get(col)
+        if src is None:
+            raise ValueError(f"partition column {col!r} not in schema")
+        name = col + suffix
+        fields.append(PartitionField(source_id=src["id"], field_id=fid, name=name,
+                                     transform=transform))
+        fid += 1
+    return PartitionSpec(spec_id=0, fields=fields)
+
+
+def parse_sort_by(sort_by, schema_json: dict) -> SortOrder:
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    fields = []
+    for item in sort_by or []:
+        if isinstance(item, str):
+            col, direction = item, "asc"
+        else:
+            col, direction = item[0], item[1].lower()
+        src = by_name.get(col)
+        if src is None:
+            raise ValueError(f"sort column {col!r} not in schema")
+        fields.append(SortField(source_id=src["id"], transform="identity",
+                                direction=direction,
+                                null_order="nulls-first" if direction == "asc" else "nulls-last"))
+    return SortOrder(order_id=1 if fields else 0, fields=fields)
+
+
+# ---------------------------------------------------------------------------
+# table creation
+# ---------------------------------------------------------------------------
+
+def create_table(
+    location: str,
+    spark_schema: T.StructType,
+    *,
+    partition_by: Iterable[str] | None = None,
+    sort_by=None,
+    properties: dict[str, str] | None = None,
+    format_version: int = 2,
+) -> TableMetadata:
+    """CREATE TABLE analogue for filesystem tables
+    (reference: physical_iceberg_create_table.cpp)."""
+    schema_json, last_col = ice_types.struct_to_schema_json(spark_schema, 0)
+    spec = parse_partition_by(partition_by, schema_json)
+    order = parse_sort_by(sort_by, schema_json)
+    tm = TableMetadata(
+        {
+            "format-version": format_version,
+            "table-uuid": str(_uuid.uuid4()),
+            "location": location,
+            "last-column-id": last_col,
+            "schemas": [schema_json],
+            "current-schema-id": 0,
+            "partition-specs": [spec.to_json()],
+            "default-spec-id": 0,
+            "last-partition-id": max([f.field_id for f in spec.fields], default=999),
+            "sort-orders": [order.to_json()],
+            "default-sort-order-id": order.order_id,
+            "properties": dict(properties or {}),
+        }
+    )
+    write_table_metadata(tm, location)
+    return tm
+
+
+# ---------------------------------------------------------------------------
+# parquet footer stats → DataFile entries
+# ---------------------------------------------------------------------------
+
+def _footer_stats_one(path: str) -> dict:
+    """Read one parquet footer: row count, size, per-field-id stats."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    meta = pf.metadata
+    arrow_schema = pf.schema_arrow
+    fid_by_col: dict[str, int] = {}
+    for field in arrow_schema:
+        fid = None
+        if field.metadata and b"PARQUET:field_id" in field.metadata:
+            fid = int(field.metadata[b"PARQUET:field_id"])
+        if fid is not None:
+            fid_by_col[field.name] = fid
+
+    value_counts: dict[int, int] = {}
+    null_counts: dict[int, int] = {}
+    col_sizes: dict[int, int] = {}
+    mins: dict[int, Any] = {}
+    maxs: dict[int, Any] = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            top = c.path_in_schema.split(".")[0]
+            fid = fid_by_col.get(top)
+            if fid is None or "." in c.path_in_schema:
+                continue
+            value_counts[fid] = value_counts.get(fid, 0) + c.num_values
+            col_sizes[fid] = col_sizes.get(fid, 0) + c.total_compressed_size
+            st = c.statistics
+            if st is None:
+                continue
+            if st.has_null_count:
+                null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+            if st.has_min_max:
+                mn, mx = st.min, st.max
+                if fid not in mins or _stat_lt(mn, mins[fid]):
+                    mins[fid] = mn
+                if fid not in maxs or _stat_lt(maxs[fid], mx):
+                    maxs[fid] = mx
+    return {
+        "path": path,
+        "record_count": meta.num_rows,
+        "file_size": os.path.getsize(path),
+        "value_counts": value_counts,
+        "null_counts": null_counts,
+        "col_sizes": col_sizes,
+        "mins": mins,
+        "maxs": maxs,
+    }
+
+
+def _stat_lt(a: Any, b: Any) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
+def _collect_stats(spark: SparkSession, paths: list[str]) -> list[dict]:
+    if len(paths) < _DISTRIBUTED_STATS_THRESHOLD:
+        return [_footer_stats_one(p) for p in paths]
+    # distributed footer reads: executors each open only footers
+    import pickle
+
+    sc = spark.sparkContext
+    rdd = sc.parallelize(paths, min(len(paths), 256))
+    return rdd.map(_footer_stats_one).collect()
+
+
+def _partition_values_from_path(path: str, data_root: str, spec: PartitionSpec,
+                                tm: TableMetadata) -> dict[str, Any]:
+    """Recover partition values from hive-style dirs written by partitionBy."""
+    rel = os.path.relpath(os.path.dirname(path), data_root)
+    values: dict[str, Any] = {}
+    raw: dict[str, str] = {}
+    for comp in rel.split(os.sep):
+        if "=" in comp:
+            k, v = comp.split("=", 1)
+            raw[k] = urllib.parse.unquote(v)
+    for pf in spec.fields:
+        if pf.name not in raw:
+            continue
+        sval = raw[pf.name]
+        if sval == "__HIVE_DEFAULT_PARTITION__":
+            values[pf.name] = None
+            continue
+        src = tm.field_by_id(pf.source_id)
+        rt = tr.transform_result_type(pf.transform, src["type"] if src else "string")
+        values[pf.name] = _parse_partition_string(sval, rt)
+    return values
+
+
+def _parse_partition_string(s: str, result_type: Any) -> Any:
+    if not isinstance(result_type, str):
+        return s
+    name = ice_types.primitive_name(result_type)
+    try:
+        if name in ("int", "long"):
+            return int(s)
+        if name in ("float", "double"):
+            return float(s)
+        if name == "decimal":
+            return Decimal(s)
+        if name == "date":
+            return _dt.date.fromisoformat(s)
+        if name in ("timestamp", "timestamptz"):
+            return _dt.datetime.fromisoformat(s.replace(" ", "T"))
+        if name == "boolean":
+            return s.lower() == "true"
+    except (ValueError, ArithmeticError):
+        return s
+    return s
+
+
+def _build_data_files(
+    stats: list[dict], tm: TableMetadata, spec: PartitionSpec, data_root: str
+) -> list[mf.DataFile]:
+    schema_json = tm.schema_json()
+    type_by_id = {f["id"]: f["type"] for f in schema_json["fields"]}
+    out = []
+    for st in stats:
+        lower = {}
+        upper = {}
+        for fid, v in st["mins"].items():
+            t = type_by_id.get(fid)
+            b = _encode_stat_bound(t, v)
+            if b is not None:
+                lower[fid] = b
+        for fid, v in st["maxs"].items():
+            t = type_by_id.get(fid)
+            b = _encode_stat_bound(t, v)
+            if b is not None:
+                upper[fid] = b
+        out.append(
+            mf.DataFile(
+                content=mf.CONTENT_DATA,
+                file_path=st["path"],
+                file_format="PARQUET",
+                partition=_partition_values_from_path(st["path"], data_root, spec, tm),
+                record_count=st["record_count"],
+                file_size_in_bytes=st["file_size"],
+                column_sizes=st["col_sizes"] or None,
+                value_counts={k: st["record_count"] for k in st["value_counts"]} or None,
+                null_value_counts=st["null_counts"] or None,
+                lower_bounds=lower or None,
+                upper_bounds=upper or None,
+            )
+        )
+    return out
+
+
+def _encode_stat_bound(t: Any, v: Any) -> bytes | None:
+    """Parquet footer stat value → Iceberg bound bytes. Strings longer than
+    64 chars are dropped (truncated parquet stats can't be trusted as exact
+    Iceberg bounds without increment logic)."""
+    if t is None or v is None:
+        return None
+    try:
+        if isinstance(v, str) and len(v) > 64:
+            return None
+        if isinstance(v, bytes) and ice_types.primitive_name(t) == "string":
+            v = v.decode("utf-8", errors="replace")
+        return ice_types.encode_bound(t, v)
+    except (ValueError, ArithmeticError, OverflowError):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# the write job
+# ---------------------------------------------------------------------------
+
+def _with_field_id_metadata(df: DataFrame, schema_json: dict) -> DataFrame:
+    """Alias every column with parquet.field.id metadata so Spark's parquet
+    writer emits field-ids (needs spark.sql.parquet.fieldId.write.enabled)."""
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    cols = []
+    for f in df.schema.fields:
+        ice = by_name.get(f.name)
+        if ice is None:
+            cols.append(F.col(f.name))
+        else:
+            md = dict(f.metadata or {})
+            md[ice_types.FIELD_ID_KEY] = ice["id"]
+            cols.append(F.col(f.name).alias(f.name, metadata=md))
+    return df.select(*cols)
+
+
+def _cast_to_table_schema(df: DataFrame, schema_json: dict) -> DataFrame:
+    """Align df columns (by name) to the table schema's Spark types."""
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    cols = []
+    for name, ice in by_name.items():
+        if name in df.columns:
+            target = ice_types.iceberg_to_spark(ice["type"])
+            cur = df.schema[name].dataType
+            c = F.col(name)
+            if cur != target and not isinstance(target, T.NullType):
+                c = c.cast(target)
+            cols.append(c.alias(name))
+        else:
+            cols.append(F.lit(None).cast(ice_types.iceberg_to_spark(ice["type"])).alias(name))
+    return df.select(*cols)
+
+
+def write_data_files(
+    spark: SparkSession,
+    df: DataFrame,
+    tm: TableMetadata,
+    *,
+    target_file_rows: int | None = None,
+) -> tuple[list[mf.DataFile], str]:
+    """Execute the distributed parquet write; returns (DataFiles, data_root)."""
+    spec = tm.default_spec()
+    order = tm.default_sort_order()
+    schema_json = tm.schema_json()
+    by_id = {f["id"]: f for f in schema_json["fields"]}
+
+    df = _cast_to_table_schema(df, schema_json)
+
+    part_cols: list[str] = []
+    identity_cols: list[str] = []
+    for pf in spec.fields:
+        if pf.transform == "void":
+            continue
+        src = by_id[pf.source_id]
+        if pf.transform == "identity":
+            # partition directly on the raw column
+            # (CanWriteIdentityPartitionsDirectly, iceberg_insert.cpp:136-148)
+            part_cols.append(src["name"])
+            identity_cols.append(src["name"])
+        else:
+            col = tr.transform_column(pf.transform, F.col(src["name"]), src["type"])
+            df = df.withColumn(pf.name, col)
+            part_cols.append(pf.name)
+
+    if part_cols:
+        df = df.repartition(*[F.col(c) for c in part_cols])
+    if order.fields:
+        sort_cols = []
+        for sf in order.fields:
+            src = by_id.get(sf.source_id)
+            if src is None:
+                continue
+            c = F.col(src["name"])
+            sort_cols.append(c.desc() if sf.direction == "desc" else c.asc())
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
+
+    df = _with_field_id_metadata(df, schema_json)
+
+    write_uuid = str(_uuid.uuid4())[:8]
+    data_root = os.path.join(tm.location, "data", write_uuid)
+    writer = df.write.mode("errorifexists")
+    # parquet write properties (reference maps iceberg write props →
+    # parquet options, iceberg_insert.cpp:596-648)
+    codec = tm.properties.get("write.parquet.compression-codec", "zstd")
+    writer = writer.option("compression", codec)
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(data_root)
+
+    paths = []
+    for root, _dirs, files in os.walk(data_root):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                paths.append(os.path.join(root, fn))
+    paths.sort()
+    stats = _collect_stats(spark, paths)
+
+    data_files = _build_data_files_with_names(stats, tm, spec, data_root)
+    return data_files, data_root
+
+
+def _build_data_files_with_names(stats, tm, spec, data_root):
+    # Directory component keys are the raw column name for identity fields
+    # (we partitionBy the raw column) and the spec field name for derived
+    # transforms; parse with those keys, then rename to spec field names.
+    by_id = {f["id"]: f for f in tm.schema_json()["fields"]}
+    spec_for_parse = PartitionSpec(
+        spec.spec_id,
+        [
+            PartitionField(
+                pf.source_id,
+                pf.field_id,
+                (by_id[pf.source_id]["name"] if pf.transform == "identity" and pf.source_id in by_id else pf.name),
+                pf.transform,
+            )
+            for pf in spec.fields
+        ],
+    )
+    raw = _build_data_files(stats, tm, spec_for_parse, data_root)
+    # rename partition keys back to spec field names
+    name_map = {
+        (by_id[pf.source_id]["name"] if pf.transform == "identity" and pf.source_id in by_id else pf.name): pf.name
+        for pf in spec.fields
+    }
+    for d in raw:
+        d.partition = {name_map.get(k, k): v for k, v in d.partition.items()}
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# snapshot commit
+# ---------------------------------------------------------------------------
+
+def commit_snapshot(
+    tm: TableMetadata,
+    *,
+    operation: str,
+    new_data_files: list[mf.DataFile] | None = None,
+    new_delete_files: list[mf.DataFile] | None = None,
+    removed_data_paths: set[str] | None = None,
+    keep_existing: bool = True,
+    extra_summary: dict | None = None,
+) -> Snapshot:
+    """Stage and commit one snapshot (append/delete/overwrite/replace).
+    Mirrors the reference's Finalize + transaction commit
+    (iceberg_insert.cpp:286-329; iceberg_transaction.cpp requirements are
+    the filesystem version-hint swap here)."""
+    import time as _time
+
+    location = tm.location
+    meta_dir = os.path.join(location, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    snapshot_id = int.from_bytes(os.urandom(7), "big")
+    parent = tm.current_snapshot_id
+    seq = tm.last_sequence_number + 1
+    spec = tm.default_spec()
+
+    manifests: list[mf.ManifestFile] = []
+
+    # carry forward prior manifests
+    prior = tm.current_snapshot()
+    if keep_existing and prior is not None and prior.manifest_list:
+        from ..plans.scan_plan import _localize
+
+        for m in mf.read_manifest_list(_localize(tm, prior.manifest_list)):
+            if removed_data_paths and m.content == mf.MANIFEST_DATA:
+                entries = mf.read_manifest(_localize(tm, m.manifest_path))
+                live = [e for e in entries
+                        if e.status != mf.STATUS_DELETED
+                        and e.data_file.file_path not in removed_data_paths
+                        and _localize(tm, e.data_file.file_path) not in removed_data_paths]
+                if len(live) == len([e for e in entries if e.status != mf.STATUS_DELETED]):
+                    manifests.append(m)
+                elif live:
+                    for e in live:
+                        e.status = mf.STATUS_EXISTING
+                    mpath = os.path.join(meta_dir, f"m-{_uuid.uuid4()}.avro")
+                    spec_m = tm.partition_specs.get(m.partition_spec_id, spec)
+                    nm = mf.write_manifest(mpath, live, tm, spec_m, mf.MANIFEST_DATA)
+                    nm.added_snapshot_id = snapshot_id
+                    manifests.append(nm)
+                # else: manifest fully removed
+            else:
+                manifests.append(m)
+
+    if new_data_files:
+        entries = [
+            mf.ManifestEntry(
+                status=mf.STATUS_ADDED, snapshot_id=snapshot_id,
+                sequence_number=seq, file_sequence_number=seq, data_file=d,
+            )
+            for d in new_data_files
+        ]
+        mpath = os.path.join(meta_dir, f"m-{_uuid.uuid4()}.avro")
+        nm = mf.write_manifest(mpath, entries, tm, spec, mf.MANIFEST_DATA)
+        nm.added_snapshot_id = snapshot_id
+        nm.sequence_number = seq
+        nm.min_sequence_number = seq
+        manifests.append(nm)
+
+    if new_delete_files:
+        entries = [
+            mf.ManifestEntry(
+                status=mf.STATUS_ADDED, snapshot_id=snapshot_id,
+                sequence_number=seq, file_sequence_number=seq, data_file=d,
+            )
+            for d in new_delete_files
+        ]
+        mpath = os.path.join(meta_dir, f"dm-{_uuid.uuid4()}.avro")
+        nm = mf.write_manifest(mpath, entries, tm, spec, mf.MANIFEST_DELETES)
+        nm.added_snapshot_id = snapshot_id
+        nm.sequence_number = seq
+        nm.min_sequence_number = seq
+        manifests.append(nm)
+
+    ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    mf.write_manifest_list(ml_path, manifests, snapshot_id, parent, seq, tm.format_version)
+
+    added_rows = sum(d.record_count for d in (new_data_files or []))
+    total_rows = sum(m.added_rows_count + m.existing_rows_count for m in manifests
+                     if m.content == mf.MANIFEST_DATA)
+    summary = {
+        "operation": operation,
+        "added-data-files": str(len(new_data_files or [])),
+        "added-records": str(added_rows),
+        "total-records": str(total_rows),
+        "total-data-files": str(sum(m.added_files_count + m.existing_files_count
+                                    for m in manifests if m.content == mf.MANIFEST_DATA)),
+    }
+    summary.update(extra_summary or {})
+    snap = Snapshot(
+        snapshot_id=snapshot_id,
+        parent_snapshot_id=parent,
+        sequence_number=seq,
+        timestamp_ms=int(_time.time() * 1000),
+        manifest_list=ml_path,
+        summary=summary,
+        schema_id=tm.current_schema_id,
+    )
+    tm.snapshots.append(snap)
+    tm.snapshot_log.append({"timestamp-ms": snap.timestamp_ms, "snapshot-id": snapshot_id})
+    tm.current_snapshot_id = snapshot_id
+    tm.last_sequence_number = seq
+    tm.refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    write_table_metadata(tm, location)
+    return snap
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def write_iceberg(
+    df: DataFrame,
+    location: str,
+    *,
+    mode: str = "append",  # append | overwrite | error (create-if-absent always)
+    partition_by: Iterable[str] | None = None,
+    sort_by=None,
+    properties: dict[str, str] | None = None,
+    format_version: int = 2,
+) -> TableMetadata:
+    """COPY (query) TO 'path' (FORMAT ICEBERG) analogue
+    (reference: iceberg_copy_function.cpp:11-31): write parquet + author
+    metadata at a bare filesystem path, creating the table if needed."""
+    spark = df.sparkSession
+    exists = current_version_number(location) > 0
+    if exists and mode == "error":
+        raise FileExistsError(f"iceberg table already exists at {location}")
+    if exists:
+        tm = load_table_metadata(location)
+    else:
+        tm = create_table(
+            location, df.schema, partition_by=partition_by, sort_by=sort_by,
+            properties=properties, format_version=format_version,
+        )
+    data_files, _root = write_data_files(spark, df, tm)
+    if mode == "overwrite" and exists:
+        commit_snapshot(tm, operation="overwrite", new_data_files=data_files,
+                        keep_existing=False)
+    else:
+        commit_snapshot(tm, operation="append", new_data_files=data_files)
+    return tm

@@ -1,0 +1,112 @@
+"""End-to-end write → scan roundtrips on driver testdata."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_iceberg_spark import iceberg_count, iceberg_scan, write_iceberg
+from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+from .conftest import load
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_roundtrip_unpartitioned(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "nation_ice")
+    write_iceberg(src, loc)
+    out = iceberg_scan(spark, loc)
+    cols = src.columns
+    assert _sorted_rows(out, cols) == _sorted_rows(src, cols)
+    # metadata-only exact count
+    assert iceberg_count(loc) == src.count()
+
+
+def test_roundtrip_identity_partitioned(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("date")
+    )
+    loc = str(tmp_path / "li_part")
+    write_iceberg(src, loc, partition_by=["l_returnflag"])
+    out = iceberg_scan(spark, loc)
+    assert out.count() == src.count()
+    # identity partition column restored from partition metadata
+    got = _sorted_rows(out.groupBy("l_returnflag").count(), ["l_returnflag", "count"])
+    want = _sorted_rows(src.groupBy("l_returnflag").count(), ["l_returnflag", "count"])
+    assert got == want
+
+
+def test_partition_pruning_bucket_and_month(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("date")
+    )
+    loc = str(tmp_path / "li_bucket")
+    write_iceberg(src, loc, partition_by=["bucket(4, l_orderkey)", "month(l_shipdate)"])
+
+    tm = load_table_metadata(loc)
+    full = plan_scan(tm, tm.select_snapshot())
+    pruned = plan_scan(tm, tm.select_snapshot(),
+                       where="l_shipdate >= DATE '1995-03-01' AND l_shipdate < DATE '1995-04-01'")
+    assert 0 < len(pruned.tasks) < len(full.tasks)
+
+    out = iceberg_scan(spark, loc,
+                       where="l_shipdate >= DATE '1995-03-01' AND l_shipdate < DATE '1995-04-01'")
+    want = src.filter("l_shipdate >= DATE '1995-03-01' AND l_shipdate < DATE '1995-04-01'")
+    assert out.count() == want.count()
+    assert out.agg(F.sum("l_quantity")).first()[0] == pytest.approx(
+        want.agg(F.sum("l_quantity")).first()[0]
+    )
+
+    # bucket pruning on equality
+    one = plan_scan(tm, tm.select_snapshot(), where="l_orderkey = 1")
+    assert len(one.tasks) < len(full.tasks)
+    got = iceberg_scan(spark, loc, where="l_orderkey = 1").count()
+    assert got == src.filter("l_orderkey = 1").count()
+
+
+def test_append_and_time_travel(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "region_ice")
+    tm1 = write_iceberg(src, loc)
+    snap1 = tm1.current_snapshot_id
+    write_iceberg(src, loc)  # append again → doubled
+    assert iceberg_scan(spark, loc).count() == 2 * src.count()
+    assert iceberg_scan(spark, loc, snapshot_id=snap1).count() == src.count()
+    # snapshot list grows
+    tm = load_table_metadata(loc)
+    assert len(tm.snapshots) == 2
+    assert tm.snapshots[1].parent_snapshot_id == snap1
+
+
+def test_overwrite(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "region_ow")
+    write_iceberg(src, loc)
+    write_iceberg(src.limit(2), loc, mode="overwrite")
+    assert iceberg_scan(spark, loc).count() == 2
+
+
+def test_sorted_write(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "supplier")
+    loc = str(tmp_path / "supp_sorted")
+    write_iceberg(src, loc, sort_by=["s_suppkey"])
+    out = iceberg_scan(spark, loc)
+    assert out.count() == src.count()
+    tm = load_table_metadata(loc)
+    assert tm.default_sort_order().fields[0].direction == "asc"
+
+
+def test_file_info_virtual_columns(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "region_fi")
+    write_iceberg(src, loc)
+    out = iceberg_scan(spark, loc, with_file_info=True)
+    rows = out.select("filename", "file_row_number").collect()
+    assert all(r.filename and r.filename.endswith(".parquet") for r in rows)
+    assert sorted({r.file_row_number for r in rows})[0] == 0

@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": ..., "value": <total query sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": <dir>, ...}
+
+Fixture construction (Iceberg table builds from the parquet testdata) is
+timed separately as fixture_build_sec — the reference's benchmarks likewise
+exclude data loading from per-query timings (BASELINE.md: timed runs are the
+queries, the persistent dataset is pre-built).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_revenue_forecast",
+    "q_rollup",
+    "q_window_top_order",
+    "q_events_hourly",
+    "ice_mor_delete_scan",
+    "ice_update_scan",
+    "ice_count_star_metadata",
+    "docs_exact_dedup",
+    "docs_lang_scores",
+    "docs_minhash_dedup",
+    "emb_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import __spark_entry__ as entry
+    from duckdb_iceberg_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    # build fixtures (cached across runs) outside per-query timing
+    t0 = time.time()
+    for fn in (entry._ice_lineitem, entry._ice_orders_mor, entry._ice_customer_upd):
+        fn(spark, sf_dir)
+    build_s = time.time() - t0
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        rows = fn(spark, sf_dir).collect()
+        results[name] = round(time.time() - t0, 3)
+        assert rows is not None
+    total = round(sum(results.values()), 3)
+    print(json.dumps({
+        "metric": "headline query wall-clock (iceberg roundtrips + relational + LLM ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_dir,
+        "fixture_build_sec": round(build_s, 3),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,307 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Designed for 100 TB corpora:
+
+- exact_dedup: hash-groupBy on a deterministic fingerprint — one shuffle,
+  map-side partial aggregation, no Python.
+- minhash_signatures: Arrow-batched pandas UDF computing k minhashes of
+  character shingles (numpy-vectorized per doc; crc32 shingle hashing is
+  stable across executors/runs).
+- lsh_candidate_pairs: band the signatures → explode (band, bucket) →
+  self-join per bucket. The join is on (band_id, bucket_hash) so skew is
+  bounded by bucket size; pair output is deduplicated (id1 < id2).
+- verify_jaccard: exact n-gram Jaccard on candidate pairs only (pandas UDF,
+  runs on the tiny candidate set, not the corpus).
+- simhash64: 64-bit SimHash via token-hash sign aggregation; near-dup
+  candidates share a 16-bit band (4 bands → Hamming distance ≤ 3 detection
+  probability per the standard Charikar construction).
+
+Determinism: all hash seeds are fixed constants; no Date.now()/random state.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .text import doc_fingerprint
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (minimal id) per normalized-text fingerprint.
+    One shuffle on the fingerprint; survivors joined back for full rows."""
+    fp = df.withColumn("__fp", doc_fingerprint(text_col))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        fp.join(keep, [id_col, "__fp"], "left_semi")
+        .drop("__fp")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_dupes, keep_id) for groups with >1 member."""
+    return (
+        df.withColumn("fingerprint", doc_fingerprint(text_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dupes"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        t = t.ljust(k, "_")
+    out = np.empty(len(t) - k + 1, dtype=np.int64)
+    for i in range(len(t) - k + 1):
+        out[i] = zlib.crc32(t[i : i + k].encode("utf-8"))
+    return np.unique(out)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, signature array<long>[num_hashes]) via vectorized pandas UDF."""
+    a, b = _hash_params(num_hashes)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            sh = _shingle_hashes(t, shingle_k)
+            # (a*x + b) mod p, broadcast over shingles × hashes
+            vals = (a[None, :] * sh[:, None] + b[None, :]) % _MERSENNE
+            out.append(vals.min(axis=0).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+) -> DataFrame:
+    """Band the signatures and emit candidate (id_a, id_b) pairs sharing any
+    band bucket. Shuffle is on (band, bucket-hash); output deduplicated."""
+    num_hashes = None  # derived at runtime from array length
+    sig = signatures
+    rows_per_band = F.floor(F.size("signature") / F.lit(bands))
+    banded = (
+        sig.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.hash(F.slice(F.col("signature"),
+                                             i * rows_per_band + 1, rows_per_band)),
+                )
+            ).alias("band", "bucket"),
+        )
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs (small set): returns
+    (id_a, id_b, jaccard) with jaccard >= threshold."""
+    d = docs.select(F.col(id_col), F.col(text_col))
+    joined = (
+        pairs.join(d.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a"), "id_a")
+        .join(d.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "text_b"), "id_b")
+    )
+
+    @pandas_udf(T.DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ta, tb):
+            if x is None or y is None:
+                out.append(0.0)
+                continue
+            sa = set(_shingle_hashes(x, shingle_k).tolist())
+            sb = set(_shingle_hashes(y, shingle_k).tolist())
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            out.append(inter / union if union else 1.0)
+        return pd.Series(out)
+
+    return (
+        joined.withColumn("jaccard", F.round(jac(F.col("text_a"), F.col("text_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dedup pipeline: signatures → LSH candidates → exact verify →
+    drop the higher id of each verified pair (deterministic min-keeps-winner;
+    one LSH pass, transitive chains collapse to the min id over one hop)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    dupes = verify_jaccard(cands, df, text_col, id_col, shingle_k, threshold)
+    losers = dupes.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash long): Charikar 64-bit simhash over whitespace tokens.
+    Arrow-batched; token hashing crc32-stable."""
+
+    @pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = t.lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(32, dtype=np.uint32)
+            for tok in toks:
+                h1 = np.uint32(zlib.crc32(tok.encode()))
+                h2 = np.uint32(zlib.crc32(tok[::-1].encode()))
+                bits = np.concatenate([(h1 >> shifts) & 1, (h2 >> shifts) & 1])
+                acc += np.where(bits == 1, 1, -1).astype(np.int64)
+            val = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    val |= 1 << i
+            # to signed 64
+            if val >= 1 << 63:
+                val -= 1 << 64
+            out.append(val)
+        return pd.Series(out, dtype="object")
+
+    return df.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidates(hashes: DataFrame, id_col: str = "doc_id",
+                       bands: int = 4) -> DataFrame:
+    """Near-dup candidates sharing any 16-bit band of the simhash."""
+    width = 64 // bands
+    banded = hashes.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+                for i in range(bands)
+            ])
+        ).alias("band", "chunk"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.chunk") == F.col("r.chunk"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for modest candidate sets)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Word n-gram Jaccard dedup using set ops on JVM-side arrays: tokens →
+    n-grams → explode → pair counts. Quadratic in corpus size — intended for
+    within-bucket refinement; minhash_dedup is the corpus-scale path."""
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0),
+                           F.greatest(F.size(F.split(F.lower(F.col(text_col)), r"\s+")) - n, F.lit(0))),
+                lambda i: F.hash(F.concat_ws(" ", F.slice(F.split(F.lower(F.col(text_col)), r"\s+"), i + 1, n))),
+            )
+        ).alias("grams"),
+    )
+    ex = grams.select(id_col, F.explode("grams").alias("g"))
+    sizes = grams.select(id_col, F.size("grams").alias("sz"))
+    pair_inter = (
+        ex.alias("l").join(ex.alias("r"),
+                           (F.col("l.g") == F.col("r.g"))
+                           & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    with_j = (
+        pair_inter
+        .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    losers = with_j.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k — JVM-side dot products via
+  F.aggregate/zip_with (no Python in the hot path), then a top-k sort.
+  The scale baseline: one scan, no shuffle until the final k-row sort.
+- hyperplane LSH (SRP): deterministic random-hyperplane signatures assign
+  each vector a bucket; probing only the query's bucket turns top-k into a
+  fraction-of-corpus scan (the scale path; recall < 1 by construction).
+- knn_join: top-k neighbors for each of a small query set via broadcast +
+  window rank.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity against one query vector.
+    Returns (id, similarity) ordered desc, ties broken by id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col).cast(T.ArrayType(T.DoubleType())), q), 6).alias("similarity"),
+    )
+    return scored.orderBy(F.col("similarity").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# signed-random-projection LSH
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).astype("float64")
+
+
+def srp_bucket_column(vec_col: Column, planes: np.ndarray) -> Column:
+    """Bucket id = sign-bit string of hyperplane dot products, as a long.
+    Pure Column math: sum(plane_i ⊙ v) per plane, bit-packed."""
+    bits = []
+    for i, plane in enumerate(planes):
+        coeffs = F.array(*[F.lit(float(c)) for c in plane])
+        d = _dot(vec_col.cast(T.ArrayType(T.DoubleType())), coeffs)
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast(T.LongType())
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only vectors whose SRP bucket matches the
+    query's. At N vectors and b planes the probed fraction is ~2^-b — the
+    100 TB path (recall traded for a 2^b scan reduction)."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsigns = (planes @ np.asarray(query_vec, dtype="float64")) >= 0
+    qbucket = int(sum(1 << i for i, s in enumerate(qsigns) if s))
+    bucketed = df.withColumn("__bucket", srp_bucket_column(F.col(vec_col), planes))
+    probe = bucketed.filter(F.col("__bucket") == qbucket)
+    return cosine_topk(probe, query_vec, k, vec_col, id_col)
+
+
+def knn_join(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Top-k corpus neighbors for each query row (queries broadcast —
+    intended for small query sets): (q_id, vec_id, similarity, rank)."""
+    from pyspark.sql.window import Window
+
+    joined = df.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_similarity(
+                F.col(vec_col).cast(T.ArrayType(T.DoubleType())),
+                F.col(q_vec_col).cast(T.ArrayType(T.DoubleType())),
+            ),
+            6,
+        ).alias("similarity"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

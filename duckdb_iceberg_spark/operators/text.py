@@ -1,0 +1,123 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side Column expressions (whole-stage codegen) — no
+Python UDFs — so they scale linearly with executors at 100 TB:
+
+- token_count: whitespace tokenization + a BPE-ish word/punct regex count
+- language_id: n-gram/stopword-marker heuristic over a fixed marker table
+- quality_score: length / punctuation / stopword-ratio / word-length signals
+- doc_fingerprint: md5 of whitespace-normalized lowercased text (exact-dup key)
+
+Each returns Columns so callers compose them into selects without extra
+scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker words per language, chosen for testdata's en/de/fr/es-ish content;
+# counted as substring hits on the space-padded lowercased text
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "und", "die", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "una", "por"],
+}
+
+
+def _norm(col: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(F.regexp_replace(col, r"\s+", " ")), F.lit(" "))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def word_punct_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: words, numbers, and punctuation runs counted
+    separately (regexp-extracted, JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("long")
+
+
+def _marker_hits(norm: Column, word: str) -> Column:
+    # count occurrences of ' word ' in the padded text
+    return (
+        (F.length(norm) - F.length(F.regexp_replace(norm, f" {word} ", " ")))
+        / F.lit(len(word) + 1)
+    ).cast("int")
+
+
+def language_scores(col: Column | str) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    norm = _norm(c)
+    return {
+        lang: sum((_marker_hits(norm, w) for w in words), F.lit(0))
+        for lang, words in _LANG_MARKERS.items()
+    }
+
+
+def language_id(col: Column | str) -> Column:
+    """Argmax language over marker-hit scores; 'und' when no marker hits.
+    Deterministic tie-break: language name order en<de<es<fr via struct max."""
+    scores = language_scores(col)
+    # struct ordering: (score, -ord) — pick max score, then lexicographically
+    # smallest language for ties via greatest over structs
+    pairs = [
+        F.struct(s.alias("s"), F.lit(-i).alias("prio"), F.lit(lang).alias("lang"))
+        for i, lang in enumerate(sorted(scores))
+        for s in [scores[lang]]
+    ]
+    best = F.greatest(*pairs)
+    return F.when(best["s"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def quality_signals(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring signal set (each a Column, all codegen-able)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")).cast("double")
+    toks = token_count(c).cast("double")
+    stop_hits = sum(
+        (_marker_hits(_norm(c), w) for w in _LANG_MARKERS["en"]), F.lit(0)
+    ).cast("double")
+    safe_n = F.when(n > 0, n).otherwise(F.lit(1.0))
+    safe_t = F.when(toks > 0, toks).otherwise(F.lit(1.0))
+    return {
+        "n_chars": n.cast("long"),
+        "n_tokens": toks.cast("long"),
+        "alpha_ratio": F.round(alpha / safe_n, 6),
+        "digit_ratio": F.round(digits / safe_n, 6),
+        "punct_ratio": F.round(punct / safe_n, 6),
+        "avg_token_len": F.round(n / safe_t, 6),
+        "stopword_ratio": F.round(stop_hits / safe_t, 6),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Scalar quality score in [0, 1]: rewards alpha-heavy prose with sane
+    token lengths and some stopwords; penalizes digit/punct soup."""
+    s = quality_signals(col)
+    score = (
+        F.lit(0.35) * F.least(s["alpha_ratio"] / F.lit(0.7), F.lit(1.0))
+        + F.lit(0.25) * F.least(s["stopword_ratio"] / F.lit(0.2), F.lit(1.0))
+        + F.lit(0.20) * F.when((s["avg_token_len"] >= 3) & (s["avg_token_len"] <= 12), 1.0).otherwise(0.3)
+        + F.lit(0.20) * (F.lit(1.0) - F.least(s["punct_ratio"] * 4 + s["digit_ratio"] * 2, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of lowercased
+    whitespace-normalized text. Identical across engines (exact-dedup key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))

@@ -343,6 +343,57 @@ def match_bounds(pred: Predicate, stats_for: Callable[[str], Optional[ColumnStat
     return True
 
 
+def definitely_matches(pred: Predicate, stats_for: Callable[[str], Optional[ColumnStats]]) -> bool:
+    """Do ALL rows in a file provably match the predicate? Used by
+    copy-on-write DELETE to drop whole files without rewriting them
+    (the metadata-only delete the reference gets from its planner).
+    Conservative: unknown → False."""
+    if pred is None:
+        return False
+    if isinstance(pred, And):
+        return all(definitely_matches(c, stats_for) for c in pred.children)
+    if isinstance(pred, Or):
+        return any(definitely_matches(c, stats_for) for c in pred.children)
+    st = stats_for(_pred_col(pred))
+    if st is None:
+        return False
+    if isinstance(pred, IsNull):
+        return st.all_null
+    if isinstance(pred, NotNull):
+        return not st.contains_null
+    if st.contains_null:
+        return False  # NULL rows never match a comparison
+    if isinstance(pred, InList):
+        return (
+            st.lower is not None
+            and _cmp(st.lower, st.upper) == 0
+            and any(_cmp(st.lower, v) == 0 for v in pred.values)
+        )
+    if isinstance(pred, Comparison):
+        v = pred.value
+        if v is None or st.lower is None or st.upper is None:
+            return False
+        if pred.op == "=":
+            return _cmp(st.lower, v) == 0 and _cmp(st.upper, v) == 0
+        if pred.op == "<":
+            c = _cmp(st.upper, v)
+            return c is not None and c < 0
+        if pred.op == "<=":
+            c = _cmp(st.upper, v)
+            return c is not None and c <= 0
+        if pred.op == ">":
+            c = _cmp(st.lower, v)
+            return c is not None and c > 0
+        if pred.op == ">=":
+            c = _cmp(st.lower, v)
+            return c is not None and c >= 0
+        if pred.op == "!=":
+            below = _cmp(st.upper, v)
+            above = _cmp(st.lower, v)
+            return (below is not None and below < 0) or (above is not None and above > 0)
+    return False
+
+
 def _value_in_range(v: Any, st: ColumnStats) -> bool:
     lo = _cmp(st.lower, v)
     hi = _cmp(st.upper, v)

@@ -46,6 +46,10 @@ def get_spark(
         # arrow for pandas UDFs (bucket transform, dedup/similarity ops)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
+        # timestamps — read as long (µs conversion at use sites); same lossy
+        # ns→µs posture as the type mapping (SURVEY.md §1.2)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,146 @@
+"""DDL: schema evolution and table/namespace properties.
+
+Mirrors the reference's ALTER surface
+(reference: src/catalog/rest/catalog_entry/schema/iceberg_schema_entry.cpp —
+ADD COLUMN :410, DROP COLUMN :448, ALTER TYPE widening :488-497, RENAME
+COLUMN :522, SET/DROP NOT NULL :505-509) and the property table functions
+(reference: src/function/metadata/iceberg_table_properties_functions.cpp:268-291).
+
+Every evolution appends a NEW schema with a new schema-id and flips
+``current-schema-id`` — old data files remain readable because scans resolve
+columns by field-id (the new schema keeps the original ids; a renamed column
+keeps its id, an added column gets a fresh id that old files simply lack)."""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+from pyspark.sql import types as T
+
+from ..metadata import types as ice_types
+from ..metadata.table_metadata import TableMetadata, load_table_metadata, write_table_metadata
+
+_WIDENINGS = {
+    ("int", "long"),
+    ("float", "double"),
+}
+
+
+def _next_schema(tm: TableMetadata) -> dict:
+    sch = copy.deepcopy(tm.schema_json())
+    sch["schema-id"] = max(tm.schemas) + 1
+    return sch
+
+
+def _commit_schema(tm: TableMetadata, sch: dict) -> TableMetadata:
+    tm.schemas[sch["schema-id"]] = sch
+    tm.current_schema_id = sch["schema-id"]
+    write_table_metadata(tm, tm.location)
+    return tm
+
+
+def add_column(location: str, name: str, ice_type: Any, *, required: bool = False,
+               doc: str | None = None) -> TableMetadata:
+    """ADD COLUMN (top-level; nested adds unsupported, same as the reference
+    iceberg_schema_entry.cpp:414)."""
+    tm = load_table_metadata(location)
+    sch = _next_schema(tm)
+    if any(f["name"] == name for f in sch["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    if required:
+        raise ValueError("adding a required column to existing rows needs a default; "
+                         "add as optional (reference enforces the same)")
+    if isinstance(ice_type, T.DataType):
+        alloc = ice_types._IdAllocator(tm.last_column_id)
+        ice_type = ice_types.spark_to_iceberg(ice_type, alloc)
+        tm.last_column_id = alloc.last
+    fid = tm.last_column_id + 1
+    tm.last_column_id = fid
+    f: dict[str, Any] = {"id": fid, "name": name, "required": False, "type": ice_type}
+    if doc:
+        f["doc"] = doc
+    sch["fields"].append(f)
+    return _commit_schema(tm, sch)
+
+
+def drop_column(location: str, name: str) -> TableMetadata:
+    tm = load_table_metadata(location)
+    sch = _next_schema(tm)
+    before = len(sch["fields"])
+    sch["fields"] = [f for f in sch["fields"] if f["name"] != name]
+    if len(sch["fields"]) == before:
+        raise KeyError(f"no column {name!r}")
+    for spec in tm.partition_specs.values():
+        if any(tm.field_by_name(name) and pf.source_id == tm.field_by_name(name)["id"]
+               for pf in spec.fields):
+            raise ValueError(f"cannot drop partition source column {name!r}")
+    return _commit_schema(tm, sch)
+
+
+def rename_column(location: str, old: str, new: str) -> TableMetadata:
+    """Field-id is preserved, so old files keep resolving (BY_FIELD_ID)."""
+    tm = load_table_metadata(location)
+    sch = _next_schema(tm)
+    if any(f["name"] == new for f in sch["fields"]):
+        raise ValueError(f"column {new!r} already exists")
+    hit = False
+    for f in sch["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+            hit = True
+    if not hit:
+        raise KeyError(f"no column {old!r}")
+    return _commit_schema(tm, sch)
+
+
+def widen_column(location: str, name: str, new_type: str) -> TableMetadata:
+    """ALTER TYPE — widenings only (int→long, float→double, decimal scale-
+    preserving precision increase), per iceberg_schema_entry.cpp:488-497."""
+    tm = load_table_metadata(location)
+    sch = _next_schema(tm)
+    for f in sch["fields"]:
+        if f["name"] != name:
+            continue
+        old_t = f["type"]
+        ok = (old_t, new_type) in _WIDENINGS
+        if not ok and isinstance(old_t, str) and old_t.startswith("decimal") and new_type.startswith("decimal"):
+            op, os_ = ice_types.decimal_precision_scale(old_t)
+            np_, ns_ = ice_types.decimal_precision_scale(new_type)
+            ok = ns_ == os_ and np_ >= op
+        if not ok:
+            raise ValueError(f"cannot widen {old_t} → {new_type}")
+        f["type"] = new_type
+        return _commit_schema(tm, sch)
+    raise KeyError(f"no column {name!r}")
+
+
+def set_not_null(location: str, name: str, required: bool) -> TableMetadata:
+    tm = load_table_metadata(location)
+    sch = _next_schema(tm)
+    for f in sch["fields"]:
+        if f["name"] == name:
+            f["required"] = required
+            return _commit_schema(tm, sch)
+    raise KeyError(f"no column {name!r}")
+
+
+# -- properties (reference: iceberg_table_properties_functions.cpp) ---------
+
+def table_properties(location: str) -> dict[str, str]:
+    return dict(load_table_metadata(location).properties)
+
+
+def set_table_properties(location: str, props: dict[str, str]) -> TableMetadata:
+    tm = load_table_metadata(location)
+    tm.properties.update({str(k): str(v) for k, v in props.items()})
+    write_table_metadata(tm, tm.location)
+    return tm
+
+
+def remove_table_properties(location: str, keys: list[str]) -> TableMetadata:
+    tm = load_table_metadata(location)
+    for k in keys:
+        tm.properties.pop(k, None)
+    write_table_metadata(tm, tm.location)
+    return tm

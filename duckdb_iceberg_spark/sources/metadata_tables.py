@@ -1,0 +1,199 @@
+"""Metadata-inspection table functions as DataFrames.
+
+Schemas mirror the reference's table functions:
+- iceberg_snapshots   (reference: src/function/metadata/iceberg_snapshots.cpp:77-100)
+- iceberg_metadata    (reference: src/function/metadata/iceberg_metadata.cpp:119-123)
+- iceberg_column_stats (reference: src/function/metadata/iceberg_column_stats.cpp:79-116)
+- iceberg_partition_stats (reference: src/function/metadata/iceberg_partition_stats.cpp:77-111)
+
+These are driver-parsed metadata (small) lifted into DataFrames so they
+compose with Spark SQL. At huge-manifest scale the same Avro bytes can be
+read distributed; the planner API returns the raw entries for that path.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..metadata import manifest as mf
+from ..metadata import types as ice_types
+from ..metadata.table_metadata import load_table_metadata
+from ..plans.scan_plan import _localize
+from ..plans import transforms as tr
+
+
+def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
+    """(sequence_number, snapshot_id, timestamp_ms, manifest_list, operation)."""
+    tm = load_table_metadata(path)
+    schema = T.StructType([
+        T.StructField("sequence_number", T.LongType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("timestamp_ms", T.TimestampType()),
+        T.StructField("manifest_list", T.StringType()),
+        T.StructField("operation", T.StringType()),
+    ])
+    rows = [
+        (
+            s.sequence_number,
+            s.snapshot_id,
+            _dt.datetime.fromtimestamp(s.timestamp_ms / 1000, tz=_dt.timezone.utc),
+            s.manifest_list,
+            s.operation,
+        )
+        for s in tm.snapshots
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def iceberg_metadata(spark: SparkSession, path: str, **scan_opts) -> DataFrame:
+    """Manifest entries of the selected snapshot:
+    (manifest_path, manifest_sequence_number, manifest_content, status,
+    content, file_path, file_format, record_count, file_size_in_bytes)."""
+    tm = load_table_metadata(path)
+    snap = tm.select_snapshot(**scan_opts)
+    schema = T.StructType([
+        T.StructField("manifest_path", T.StringType()),
+        T.StructField("manifest_sequence_number", T.LongType()),
+        T.StructField("manifest_content", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("file_path", T.StringType()),
+        T.StructField("file_format", T.StringType()),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("file_size_in_bytes", T.LongType()),
+    ])
+    rows = []
+    status_names = {0: "EXISTING", 1: "ADDED", 2: "DELETED"}
+    content_names = {0: "EXISTING", 1: "POSITION_DELETES", 2: "EQUALITY_DELETES"}
+    if snap is not None and snap.manifest_list:
+        for m in mf.read_manifest_list(_localize(tm, snap.manifest_list)):
+            for e in mf.read_manifest(_localize(tm, m.manifest_path)):
+                rows.append(
+                    (
+                        m.manifest_path,
+                        m.sequence_number,
+                        "DATA" if m.content == mf.MANIFEST_DATA else "DELETE",
+                        status_names.get(e.status, str(e.status)),
+                        content_names.get(e.data_file.content, str(e.data_file.content)),
+                        e.data_file.file_path,
+                        e.data_file.file_format,
+                        e.data_file.record_count,
+                        e.data_file.file_size_in_bytes,
+                    )
+                )
+    return spark.createDataFrame(rows, schema)
+
+
+def iceberg_column_stats(spark: SparkSession, path: str, **scan_opts) -> DataFrame:
+    """Per data-file per-column stats (reference schema,
+    iceberg_column_stats.cpp:79-116); bounds rendered as strings."""
+    tm = load_table_metadata(path)
+    snap = tm.select_snapshot(**scan_opts)
+    schema = T.StructType([
+        T.StructField("status", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("file_path", T.StringType()),
+        T.StructField("column_id", T.IntegerType()),
+        T.StructField("column_name", T.StringType()),
+        T.StructField("column_type", T.StringType()),
+        T.StructField("lower_bound", T.StringType()),
+        T.StructField("upper_bound", T.StringType()),
+        T.StructField("column_size", T.LongType()),
+        T.StructField("value_count", T.LongType()),
+        T.StructField("null_value_count", T.LongType()),
+        T.StructField("nan_value_count", T.LongType()),
+        T.StructField("file_sequence_number", T.LongType()),
+    ])
+    rows = []
+    status_names = {0: "EXISTING", 1: "ADDED", 2: "DELETED"}
+    if snap is not None and snap.manifest_list:
+        sid = snap.schema_id if snap.schema_id is not None else tm.current_schema_id
+        fields = tm.schemas[sid]["fields"]
+        for m in mf.read_manifest_list(_localize(tm, snap.manifest_list)):
+            if m.content != mf.MANIFEST_DATA:
+                continue
+            for e in mf.read_manifest(_localize(tm, m.manifest_path)):
+                if e.status == mf.STATUS_DELETED:
+                    continue
+                df = e.data_file
+                for f in fields:
+                    fid = f["id"]
+                    lo = (df.lower_bounds or {}).get(fid)
+                    hi = (df.upper_bounds or {}).get(fid)
+                    rows.append(
+                        (
+                            status_names.get(e.status, str(e.status)),
+                            "DATA",
+                            df.file_path,
+                            fid,
+                            f["name"],
+                            f["type"] if isinstance(f["type"], str) else f["type"]["type"],
+                            _render(f["type"], lo),
+                            _render(f["type"], hi),
+                            (df.column_sizes or {}).get(fid),
+                            (df.value_counts or {}).get(fid),
+                            (df.null_value_counts or {}).get(fid),
+                            (df.nan_value_counts or {}).get(fid),
+                            e.file_sequence_number,
+                        )
+                    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _render(t: Any, b: bytes | None) -> str | None:
+    if b is None:
+        return None
+    v = ice_types.decode_bound(t, b)
+    return None if v is None else str(v)
+
+
+def iceberg_partition_stats(spark: SparkSession, path: str, **scan_opts) -> DataFrame:
+    """Manifest-level partition field summaries (reference schema,
+    iceberg_partition_stats.cpp:77-111)."""
+    tm = load_table_metadata(path)
+    snap = tm.select_snapshot(**scan_opts)
+    schema = T.StructType([
+        T.StructField("manifest_path", T.StringType()),
+        T.StructField("added_snapshot_id", T.LongType()),
+        T.StructField("partition_spec_id", T.IntegerType()),
+        T.StructField("partition_field_id", T.IntegerType()),
+        T.StructField("partition_field_name", T.StringType()),
+        T.StructField("partition_source_column", T.StringType()),
+        T.StructField("transform", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("lower_bound", T.StringType()),
+        T.StructField("upper_bound", T.StringType()),
+        T.StructField("contains_null", T.BooleanType()),
+        T.StructField("contains_nan", T.BooleanType()),
+    ])
+    rows = []
+    if snap is not None and snap.manifest_list:
+        for m in mf.read_manifest_list(_localize(tm, snap.manifest_list)):
+            spec = tm.partition_specs.get(m.partition_spec_id)
+            if spec is None:
+                continue
+            for pf, summ in zip(spec.fields, m.partitions):
+                src = tm.field_by_id(pf.source_id)
+                rt = tr.transform_result_type(pf.transform, src["type"] if src else "string")
+                rows.append(
+                    (
+                        m.manifest_path,
+                        m.added_snapshot_id,
+                        m.partition_spec_id,
+                        pf.field_id,
+                        pf.name,
+                        src["name"] if src else None,
+                        pf.transform,
+                        rt if isinstance(rt, str) else None,
+                        _render(rt, summ.lower_bound) if rt else None,
+                        _render(rt, summ.upper_bound) if rt else None,
+                        summ.contains_null,
+                        summ.contains_nan,
+                    )
+                )
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,140 @@
+"""DML tests: DELETE / UPDATE / MERGE, CoW and MoR, + metadata tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+from duckdb_iceberg_spark.sources.dml import delete_from, merge_into, update_iceberg
+from duckdb_iceberg_spark.sources import metadata_tables as mt
+
+from .conftest import load
+
+
+def test_delete_cow(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "orders")
+    loc = str(tmp_path / "ord_del_cow")
+    write_iceberg(src, loc)
+    delete_from(spark, loc, "o_orderkey % 7 = 0", mode="copy-on-write")
+    out = iceberg_scan(spark, loc)
+    want = src.filter("o_orderkey % 7 != 0")
+    assert out.count() == want.count()
+    assert out.filter("o_orderkey % 7 = 0").count() == 0
+
+
+def test_delete_mor_positional(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "orders")
+    loc = str(tmp_path / "ord_del_mor")
+    write_iceberg(src, loc)
+    delete_from(spark, loc, "o_orderstatus = 'F'", mode="merge-on-read")
+    out = iceberg_scan(spark, loc)
+    want = src.filter("o_orderstatus != 'F'")
+    assert out.count() == want.count()
+    # delete files exist in metadata
+    meta = mt.iceberg_metadata(spark, loc)
+    assert meta.filter("content = 'POSITION_DELETES'").count() > 0
+    # a second MoR delete stacks
+    delete_from(spark, loc, "o_orderstatus = 'O'", mode="merge-on-read")
+    out2 = iceberg_scan(spark, loc)
+    assert out2.count() == src.filter("o_orderstatus NOT IN ('F','O')").count()
+
+
+def test_delete_cow_drops_whole_files(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("date"))
+    loc = str(tmp_path / "li_drop")
+    write_iceberg(src, loc, partition_by=["l_returnflag"])
+    tm0 = load_table_metadata(loc)
+    n_files_before = mt.iceberg_metadata(spark, loc).count()
+    # partition bounds prove every row in l_returnflag='R' files matches
+    delete_from(spark, loc, "l_returnflag = 'R'", mode="copy-on-write")
+    out = iceberg_scan(spark, loc)
+    assert out.filter("l_returnflag = 'R'").count() == 0
+    assert out.count() == src.filter("l_returnflag != 'R'").count()
+    # whole-file drop: no rewritten data files added (delete-only snapshot)
+    tm = load_table_metadata(loc)
+    assert tm.current_snapshot().summary["operation"] == "delete"
+
+
+def test_update_cow(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "customer")
+    loc = str(tmp_path / "cust_upd")
+    write_iceberg(src, loc)
+    update_iceberg(spark, loc, {"c_acctbal": "c_acctbal + 100.0"},
+                   "c_mktsegment = 'BUILDING'", mode="copy-on-write")
+    out = iceberg_scan(spark, loc)
+    want_sum = (
+        src.withColumn("c_acctbal",
+                       F.when(F.col("c_mktsegment") == "BUILDING",
+                              F.col("c_acctbal") + 100.0).otherwise(F.col("c_acctbal")))
+        .agg(F.sum("c_acctbal")).first()[0]
+    )
+    assert out.agg(F.sum("c_acctbal")).first()[0] == pytest.approx(want_sum)
+    assert out.count() == src.count()
+
+
+def test_update_mor(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "customer")
+    loc = str(tmp_path / "cust_upd_mor")
+    write_iceberg(src, loc)
+    update_iceberg(spark, loc, {"c_name": "'REDACTED'"},
+                   "c_nationkey = 3", mode="merge-on-read")
+    out = iceberg_scan(spark, loc)
+    assert out.count() == src.count()
+    assert out.filter("c_nationkey = 3 AND c_name != 'REDACTED'").count() == 0
+    assert out.filter("c_name = 'REDACTED'").count() == src.filter("c_nationkey = 3").count()
+
+
+def test_merge_into(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "region_merge")
+    write_iceberg(src, loc)
+    updates = spark.createDataFrame(
+        [(0, "ZERO-NEW"), (99, "NEW-REGION")], ["r_regionkey", "r_name"]
+    )
+    merge_into(
+        spark, loc, updates, "tgt.r_regionkey = src.r_regionkey",
+        when_matched_update={"r_name": "src.r_name"},
+        when_not_matched_insert=True,
+    )
+    out = iceberg_scan(spark, loc)
+    rows = {r.r_regionkey: r.r_name for r in out.collect()}
+    assert rows[0] == "ZERO-NEW"
+    assert rows[99] == "NEW-REGION"
+    assert out.count() == src.count() + 1
+
+
+def test_merge_delete(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "nation_merge_del")
+    write_iceberg(src, loc)
+    victims = spark.createDataFrame([(1,), (2,)], ["n_nationkey"])
+    merge_into(spark, loc, victims, "tgt.n_nationkey = src.n_nationkey",
+               when_matched_delete=True)
+    out = iceberg_scan(spark, loc)
+    assert out.count() == src.count() - 2
+    assert out.filter("n_nationkey IN (1, 2)").count() == 0
+
+
+def test_metadata_tables(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "supplier")
+    loc = str(tmp_path / "supp_meta")
+    write_iceberg(src, loc, partition_by=["s_nationkey"])
+    write_iceberg(src, loc)
+
+    snaps = mt.iceberg_snapshots(spark, loc)
+    assert snaps.count() == 2
+    assert {r.operation for r in snaps.collect()} == {"append"}
+
+    meta = mt.iceberg_metadata(spark, loc)
+    assert meta.count() > 0
+    assert meta.filter("record_count <= 0").count() == 0
+
+    cstats = mt.iceberg_column_stats(spark, loc)
+    row = cstats.filter("column_name = 's_suppkey'").first()
+    assert row.lower_bound is not None and int(row.lower_bound) >= 1
+
+    pstats = mt.iceberg_partition_stats(spark, loc)
+    prow = pstats.first()
+    assert prow.partition_source_column == "s_nationkey"
+    assert prow.transform == "identity"

@@ -1,0 +1,114 @@
+"""Local mirror of the driver's t2 correctness check: run every
+queries() entry and its oracle_sql() twin, compare row-count + sorted-column
+value hash. Usage: python tools/check_oracle.py [sf_dir] [name_filter]"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def value_hash(rows, cols) -> str:
+    # order-insensitive: sort columns by name, then sort row tuples rendered
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rendered = sorted(
+        "|".join(_render(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.md5()
+    for line in rendered:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def _render(v) -> str:
+    import datetime as dt
+    from decimal import Decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, Decimal):
+        return _render(float(v))
+    if isinstance(v, dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    import __spark_entry__ as entry
+    from duckdb_iceberg_spark.session import get_spark
+
+    spark = get_spark(app_name="check_oracle", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if name_filter and name_filter not in name:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        el = time.time() - t0
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(srows)} rows, {el:.1f}s) [no oracle]")
+            if len(srows) == 0:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            ores = con.sql(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {str(e)[:200]}")
+            failures += 1
+            continue
+        ok_rows = len(srows) == len(orows)
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_hash = value_hash(srows, scols) == value_hash(orows, ocols)
+        if ok_rows and ok_cols and ok_hash:
+            print(f"PASS {name} ({len(srows)} rows, {el:.1f}s)")
+        else:
+            failures += 1
+            print(f"FAIL {name}: rows {len(srows)}/{len(orows)} cols_ok={ok_cols} hash_ok={ok_hash}")
+            if not ok_cols:
+                print(f"     spark cols: {sorted(scols)}\n     oracle cols: {sorted(ocols)}")
+            else:
+                for i, (a, b) in enumerate(zip(sorted(srows), sorted(orows))):
+                    if a != b:
+                        print(f"     first diff row {i}:\n       spark : {a}\n       oracle: {b}")
+                        break
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -598,16 +598,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _FP_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
 
 
-def _marker_sql(word: str) -> str:
-    norm = "(' ' || lower(regexp_replace(text, '\\s+', ' ', 'g')) || ' ')"
-    return (
-        f"CAST((length({norm}) - length(regexp_replace({norm}, ' {word} ', ' ', 'g')))"
-        f" / {len(word) + 1} AS INT)"
-    )
-
-
 def _lang_score_sql(words: list[str]) -> str:
-    return " + ".join(_marker_sql(w) for w in words)
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"x -> list_contains([{lst}], x)))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:

@@ -72,14 +72,26 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_FNV_PRIME = np.uint64(1099511628211)
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Hashes of all k-byte shingles of the normalized text, fully
+    numpy-vectorized (polynomial hash over utf-8 bytes with uint64
+    wraparound — deterministic across platforms). Shingles are k *bytes*,
+    which equals k chars for ASCII corpora."""
     t = " ".join(text.lower().split())
-    if len(t) < k:
-        t = t.ljust(k, "_")
-    out = np.empty(len(t) - k + 1, dtype=np.int64)
-    for i in range(len(t) - k + 1):
-        out[i] = zlib.crc32(t[i : i + k].encode("utf-8"))
-    return np.unique(out)
+    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)), constant_values=95)  # '_'
+    win = np.lib.stride_tricks.sliding_window_view(b, k)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash design
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * _FNV_PRIME
+        h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
 
 
 def minhash_signatures(
@@ -92,6 +104,10 @@ def minhash_signatures(
     """(id, signature array<long>[num_hashes]) via vectorized pandas UDF."""
     a, b = _hash_params(num_hashes)
 
+    au = a.astype(np.uint64)
+    bu = b.astype(np.uint64)
+    mer = np.uint64(_MERSENNE)
+
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
         out = []
@@ -100,9 +116,9 @@ def minhash_signatures(
                 out.append(None)
                 continue
             sh = _shingle_hashes(t, shingle_k)
-            # (a*x + b) mod p, broadcast over shingles × hashes
-            vals = (a[None, :] * sh[:, None] + b[None, :]) % _MERSENNE
-            out.append(vals.min(axis=0).tolist())
+            # (a*x + b) mod p with uint64 wraparound — deterministic hash family
+            vals = (au[None, :] * sh[:, None] + bu[None, :]) % mer
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
@@ -168,10 +184,10 @@ def verify_jaccard(
             if x is None or y is None:
                 out.append(0.0)
                 continue
-            sa = set(_shingle_hashes(x, shingle_k).tolist())
-            sb = set(_shingle_hashes(y, shingle_k).tolist())
-            inter = len(sa & sb)
-            union = len(sa | sb)
+            sa = _shingle_hashes(x, shingle_k)
+            sb = _shingle_hashes(y, shingle_k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
             out.append(inter / union if union else 1.0)
         return pd.Series(out)
 

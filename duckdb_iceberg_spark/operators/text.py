@@ -47,19 +47,18 @@ def word_punct_token_count(col: Column | str) -> Column:
     ).cast("long")
 
 
-def _marker_hits(norm: Column, word: str) -> Column:
-    # count occurrences of ' word ' in the padded text
-    return (
-        (F.length(norm) - F.length(F.regexp_replace(norm, f" {word} ", " ")))
-        / F.lit(len(word) + 1)
-    ).cast("int")
+def _tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
 
 
 def language_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-token counts per language: one tokenize, one array filter per
+    language — instead of per-word regex passes (20× fewer scans of the
+    text at 100 TB)."""
     c = F.col(col) if isinstance(col, str) else col
-    norm = _norm(c)
+    toks = _tokens(c)
     return {
-        lang: sum((_marker_hits(norm, w) for w in words), F.lit(0))
+        lang: F.size(F.filter(toks, lambda x: x.isin(*words))).cast("int")
         for lang, words in _LANG_MARKERS.items()
     }
 
@@ -87,8 +86,8 @@ def quality_signals(col: Column | str) -> dict[str, Column]:
     digits = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double")
     punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")).cast("double")
     toks = token_count(c).cast("double")
-    stop_hits = sum(
-        (_marker_hits(_norm(c), w) for w in _LANG_MARKERS["en"]), F.lit(0)
+    stop_hits = F.size(
+        F.filter(_tokens(c), lambda x: x.isin(*_LANG_MARKERS["en"]))
     ).cast("double")
     safe_n = F.when(n > 0, n).otherwise(F.lit(1.0))
     safe_t = F.when(toks > 0, toks).otherwise(F.lit(1.0))

@@ -245,6 +245,278 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS semi-join with non-equi condition); adapted to
+    the testdata schema: late shipment = l_shipdate > o_orderdate + 60 days."""
+    orders = _pq(spark, sf_dir, "orders").filter(
+        "o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'")
+    li = _scan_lineitem(spark, sf_dir)
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _cust_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _pq(spark, sf_dir, "customer")
+        .join(_pq(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(_pq(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"),
+                F.col("r_name").alias("cust_region"))
+    )
+
+
+def _supp_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _pq(spark, sf_dir, "supplier")
+        .join(_pq(spark, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(_pq(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"),
+                F.col("r_name").alias("supp_region"))
+    )
+
+
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape; region pair ASIA<->EUROPE (testdata nations are
+    synthetic, regions are real)."""
+    li = _scan_lineitem(
+        spark, sf_dir,
+        where="l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'")
+    orders = _pq(spark, sf_dir, "orders")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_cust_region(spark, sf_dir), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(_supp_region(spark, sf_dir)), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter("(supp_region = 'ASIA' AND cust_region = 'EUROPE') OR "
+                "(supp_region = 'EUROPE' AND cust_region = 'ASIA')")
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_region", "cust_region", "l_year")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: ASIA-supplier share of PROMO-part volume sold to ASIA
+    customers, by order year. Conditional-aggregation ratio."""
+    li = _scan_lineitem(spark, sf_dir)
+    orders = _pq(spark, sf_dir, "orders").filter(
+        "o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'")
+    part = _pq(spark, sf_dir, "part").filter("p_type = 'PROMO'")
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_cust_region(spark, sf_dir), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(_supp_region(spark, sf_dir)), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter("cust_region = 'ASIA'")
+    )
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(28,4)")
+    return (
+        j.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_region") == "ASIA", vol).otherwise(F.lit(0).cast("decimal(28,4)"))).cast("double")
+            / F.sum(vol).cast("double"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp in testdata → profit = discounted price);
+    LIKE filter + 4-way join + group by (nation, year)."""
+    li = _scan_lineitem(spark, sf_dir)
+    part = _pq(spark, sf_dir, "part").filter("p_name LIKE '%widget%'")
+    supp_nation = (
+        _pq(spark, sf_dir, "supplier")
+        .join(_pq(spark, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _pq(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("nation", "o_year")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue in a quarter."""
+    li = _scan_lineitem(spark, sf_dir, where=None).filter("l_returnflag = 'R'")
+    orders = _pq(spark, sf_dir, "orders").filter(
+        "o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'")
+    cust = _pq(spark, sf_dir, "customer")
+    nation = _pq(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"),
+                "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: left outer join with join-time predicate, two-level agg."""
+    cust = _pq(spark, sf_dir, "customer")
+    orders = _pq(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders,
+                  (F.col("c_custkey") == F.col("o_custkey"))
+                  & (F.col("o_orderpriority") != "5-LOW"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: conditional-aggregation percentage over one year."""
+    li = _scan_lineitem(
+        spark, sf_dir,
+        where="l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'")
+    part = _pq(spark, sf_dir, "part")
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(28,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(28,4)"))).cast("double")
+            / F.sum(vol).cast("double"), 6).alias("promo_revenue"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: scalar-max subquery over an aggregated view."""
+    li = _scan_lineitem(
+        spark, sf_dir,
+        where="l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = _pq(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: count(distinct supplier) per part attribute group
+    (partsupp replaced by lineitem's part-supplier pairs)."""
+    part = _pq(spark, sf_dir, "part").filter(
+        "p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25)")
+    li = _scan_lineitem(spark, sf_dir)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated avg-quantity subquery per part, decorrelated to
+    a per-part aggregate join. The threshold compare is done in exact integer
+    arithmetic (5 * qty * cnt < sum_qty <=> qty < 0.2 * avg) so both engines
+    agree bit-for-bit."""
+    li = _scan_lineitem(spark, sf_dir)
+    part = _pq(spark, sf_dir, "part").filter("p_brand = 'Brand#1'")
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("agg_partkey"))
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("agg_partkey"))
+        .filter(F.lit(5) * F.col("l_quantity").cast("bigint") * F.col("cnt") < F.col("sq"))
+        .agg(F.round(
+            F.sum(F.round("l_extendedprice", 2).cast("decimal(28,2)")).cast("double")
+            / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: IN-subquery on a grouped HAVING (orders with >150 total
+    quantity), then re-aggregation."""
+    li = _scan_lineitem(spark, sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter("sum_qty > 150")
+        .select(F.col("l_orderkey").alias("big_orderkey"), "sum_qty")
+    )
+    orders = _pq(spark, sf_dir, "orders")
+    cust = _pq(spark, sf_dir, "customer")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("big_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive join predicates — an
+    optimizer stress case (predicate must still push the p join key)."""
+    li = _scan_lineitem(spark, sf_dir)
+    part = _pq(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 40))
+    )
+    return j.filter(cond).agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar avg subquery + anti-join, grouped by nation.
+    Above-average compare in exact decimal (bal * cnt > sum)."""
+    cust = _pq(spark, sf_dir, "customer").withColumn(
+        "bal", F.col("c_acctbal").cast("decimal(18,2)"))
+    pos = cust.filter("c_acctbal > 0.0")
+    stats = pos.agg(F.count(F.lit(1)).alias("cnt"), F.sum("bal").alias("total"))
+    urgent = _pq(spark, sf_dir, "orders").filter("o_orderpriority = '1-URGENT'")
+    return (
+        pos.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal") * F.col("cnt") > F.col("total"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum("bal").cast("double"), 2).alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
 def q_window_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -565,6 +837,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_shipping_priority": q03_shipping_priority,
         "q05_region_revenue": q05_region_revenue,
         "q06_revenue_forecast": q06_revenue_forecast,
+        "q04_order_priority": q04_order_priority,
+        "q07_volume_shipping": q07_volume_shipping,
+        "q08_market_share": q08_market_share,
+        "q09_product_profit": q09_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive": q19_disjunctive,
+        "q22_sales_opportunity": q22_sales_opportunity,
         "q_window_top_order": q_window_top_order,
         "q_rollup": q_rollup,
         "q_distinct_parts": q_distinct_parts,
@@ -657,6 +942,155 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
               AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "q04_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q07_volume_shipping": """
+            SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
+                   year(l_shipdate) AS l_year,
+                   round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((sr.r_name = 'ASIA' AND cr.r_name = 'EUROPE')
+                   OR (sr.r_name = 'EUROPE' AND cr.r_name = 'ASIA'))
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q08_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(
+                     CAST(sum(CASE WHEN sr.r_name = 'ASIA'
+                              THEN CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))
+                              ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE),
+                     6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region cr ON cn.n_regionkey = cr.r_regionkey AND cr.r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q09_product_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 2) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+                   round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+                GROUP BY c_custkey) t
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "q14_promo_revenue": """
+            SELECT round(
+                     100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))
+                              ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE),
+                     6) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 2) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q17_small_quantity": """
+            SELECT round(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(28,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#1'
+            JOIN (SELECT l_partkey AS agg_partkey, count(*) AS cnt,
+                         sum(CAST(l_quantity AS BIGINT)) AS sq
+                  FROM lineitem GROUP BY l_partkey) pa
+              ON l_partkey = agg_partkey
+            WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq
+        """,
+        "q18_large_volume": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice, sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "q19_disjunctive": """
+            SELECT round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE), 2) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 40)
+        """,
+        "q22_sales_opportunity": """
+            WITH pos AS (SELECT c_custkey, c_nationkey,
+                                CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+                         FROM customer WHERE c_acctbal > 0.0),
+                 stats AS (SELECT count(*) AS cnt, sum(bal) AS total FROM pos)
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(CAST(sum(bal) AS DOUBLE), 2) AS totacctbal
+            FROM pos, stats
+            WHERE bal * cnt > total
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "q_window_top_order": """
             SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price

@@ -25,6 +25,11 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_region_revenue",
     "q06_revenue_forecast",
+    "q08_market_share",
+    "q09_product_profit",
+    "q13_customer_distribution",
+    "q17_small_quantity",
+    "q18_large_volume",
     "q_rollup",
     "q_window_top_order",
     "q_events_hourly",

@@ -81,6 +81,20 @@ def _ice_orders_mor(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(sf_dir, "orders_mor_delete", build)
 
 
+def _ice_orders_dv(spark: SparkSession, sf_dir: str) -> str:
+    """v3 table with Puffin deletion vectors: two MoR deletes so the second
+    must merge into (and supersede) the first file-level DV."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.dml import delete_from
+
+        write_iceberg(_pq(spark, sf_dir, "orders"), loc, format_version=3)
+        delete_from(spark, loc, "o_orderkey % 7 = 0", mode="merge-on-read")
+        delete_from(spark, loc, "o_orderkey % 11 = 0", mode="merge-on-read")
+
+    return _build_once(sf_dir, "orders_dv_delete", build)
+
+
 def _ice_customer_upd(spark: SparkSession, sf_dir: str) -> str:
     def build(loc: str) -> None:
         from duckdb_iceberg_spark import write_iceberg
@@ -603,6 +617,19 @@ def ice_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_orders_dv(spark, sf_dir)
+    return (
+        iceberg_scan(spark, loc)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             _dec_sum(F.col("o_totalprice"), 6).alias("sum_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
 def ice_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_iceberg_spark import iceberg_scan
 
@@ -858,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anti_join": q_anti_join,
         "q_events_hourly": q_events_hourly,
         "ice_mor_delete_scan": ice_mor_delete_scan,
+        "ice_dv_delete_scan": ice_dv_delete_scan,
         "ice_update_scan": ice_update_scan,
         "ice_merge_scan": ice_merge_scan,
         "ice_time_travel": ice_time_travel,
@@ -1140,6 +1168,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, count(*) AS cnt,
                    round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_price
             FROM orders WHERE o_orderkey % 7 <> 0
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "ice_dv_delete_scan": """
+            SELECT o_orderstatus, count(*) AS cnt,
+                   round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_price
+            FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
             GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "ice_update_scan": """

@@ -1,0 +1,271 @@
+"""Puffin file format + deletion-vector-v1 blobs (Iceberg v3).
+
+Format parity with the reference implementation:
+- blob framing, magic D1 D3 39 64, CRC-32 over magic..bitmaps:
+  /root/reference/src/core/deletes/iceberg_deletion_vector.cpp:67-170 (read),
+  :213-263 (ToBlob write)
+- Puffin container (Magic | Blob* | Footer) and footer payload JSON:
+  iceberg_deletion_vector.cpp:265-330 (ToPuffinFile),
+  /root/reference/src/core/metadata/puffin/iceberg_puffin_metadata.cpp (parse)
+
+The 64-bit position set is stored as {high-32-bits -> 32-bit roaring bitmap};
+32-bit bitmaps use the standard roaring "portable" serialization
+(https://github.com/RoaringBitmap/RoaringFormatSpec). Serialization here is
+pure numpy: array containers for sparse chunks, bitset containers for dense
+chunks; reads additionally accept run containers.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+PUFFIN_MAGIC = b"PFA1"
+DV_MAGIC = b"\xd1\xd3\x39\x64"
+DV_BLOB_TYPE = "deletion-vector-v1"
+
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE_RUN = 12347
+_NO_OFFSET_THRESHOLD = 4
+_ARRAY_MAX = 4096
+_BITSET_BYTES = 1 << 13  # 1024 * 8
+
+
+# ---------------------------------------------------------------------------
+# roaring 32-bit portable serialization
+# ---------------------------------------------------------------------------
+
+def roaring32_serialize(values: np.ndarray) -> bytes:
+    """Serialize sorted unique uint32 values. Always writes the
+    no-run-container layout (cookie 12346 + offsets) — maximally portable."""
+    values = np.asarray(values, dtype=np.uint32)
+    keys = (values >> 16).astype(np.uint16)
+    lows = (values & 0xFFFF).astype(np.uint16)
+    uniq_keys, starts = np.unique(keys, return_index=True)
+    bounds = list(starts) + [len(values)]
+    n = len(uniq_keys)
+
+    out = bytearray()
+    out += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+    containers: list[bytes] = []
+    for i in range(n):
+        chunk = lows[bounds[i]:bounds[i + 1]]
+        card = len(chunk)
+        out += struct.pack("<HH", int(uniq_keys[i]), card - 1)
+        if card <= _ARRAY_MAX:
+            containers.append(chunk.astype("<u2").tobytes())
+        else:
+            bits = np.zeros(_BITSET_BYTES, dtype=np.uint8)
+            np.bitwise_or.at(bits, chunk >> 3,
+                             np.left_shift(np.uint8(1), (chunk & 7).astype(np.uint8)))
+            containers.append(bits.tobytes())
+    # offsets section (present for cookie 12346)
+    off = len(out) + 4 * n
+    for c in containers:
+        out += struct.pack("<I", off)
+        off += len(c)
+    for c in containers:
+        out += c
+    return bytes(out)
+
+
+def roaring32_deserialize(buf: bytes, pos: int = 0) -> tuple[np.ndarray, int]:
+    """Parse one portable 32-bit roaring bitmap at buf[pos:].
+    Returns (sorted uint32 values, bytes consumed)."""
+    start = pos
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    has_run = False
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE_RUN:
+        has_run = True
+        n = (cookie >> 16) + 1
+        pos += 4
+        run_flags = np.frombuffer(buf, dtype=np.uint8, count=(n + 7) // 8, offset=pos)
+        pos += (n + 7) // 8
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", buf, pos + 4)
+        pos += 8
+        run_flags = np.zeros((n + 7) // 8, dtype=np.uint8)
+    else:
+        raise ValueError(f"bad roaring cookie {cookie}")
+
+    hdr = np.frombuffer(buf, dtype="<u2", count=2 * n, offset=pos).reshape(n, 2)
+    pos += 4 * n
+    if not has_run or n >= _NO_OFFSET_THRESHOLD:
+        pos += 4 * n  # skip offsets; containers are contiguous after them
+
+    parts: list[np.ndarray] = []
+    for i in range(n):
+        key = int(hdr[i, 0])
+        card = int(hdr[i, 1]) + 1
+        base = np.uint32(key) << np.uint32(16)
+        if (run_flags[i // 8] >> (i % 8)) & 1:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            runs = np.frombuffer(buf, dtype="<u2", count=2 * n_runs, offset=pos).reshape(n_runs, 2)
+            pos += 4 * n_runs
+            vals = np.concatenate([
+                np.arange(int(s), int(s) + int(l) + 1, dtype=np.uint32) for s, l in runs
+            ]) if n_runs else np.empty(0, dtype=np.uint32)
+        elif card <= _ARRAY_MAX:
+            vals = np.frombuffer(buf, dtype="<u2", count=card, offset=pos).astype(np.uint32)
+            pos += 2 * card
+        else:
+            bits = np.frombuffer(buf, dtype=np.uint8, count=_BITSET_BYTES, offset=pos)
+            pos += _BITSET_BYTES
+            vals = np.flatnonzero(np.unpackbits(bits, bitorder="little")).astype(np.uint32)
+        parts.append(base | vals)
+    values = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint32)
+    return values, pos - start
+
+
+# ---------------------------------------------------------------------------
+# deletion-vector-v1 blob
+# ---------------------------------------------------------------------------
+
+def serialize_dv_blob(positions: np.ndarray) -> bytes:
+    """int64 row positions -> deletion-vector-v1 blob
+    (u32-BE length | magic | u64-LE bitmap count | (i32-LE key, bitmap)* |
+    u32-BE crc32 over magic..bitmaps)."""
+    positions = np.unique(np.asarray(positions, dtype=np.int64))
+    highs = (positions >> 32).astype(np.int32)
+    lows = (positions & 0xFFFFFFFF).astype(np.uint32)
+    uniq, starts = np.unique(highs, return_index=True)
+    bounds = list(starts) + [len(positions)]
+
+    body = bytearray()
+    body += DV_MAGIC
+    body += struct.pack("<q", len(uniq))
+    for i, key in enumerate(uniq):
+        body += struct.pack("<i", int(key))
+        body += roaring32_serialize(lows[bounds[i]:bounds[i + 1]])
+    crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + bytes(body) + struct.pack(">I", crc)
+
+
+def parse_dv_blob(blob: bytes) -> np.ndarray:
+    """deletion-vector-v1 blob -> sorted int64 positions. Verifies magic+CRC
+    (reference: iceberg_deletion_vector.cpp:67-135)."""
+    if len(blob) < 12:
+        raise ValueError(f"blob too small ({len(blob)} bytes) for deletion-vector-v1")
+    (length,) = struct.unpack_from(">I", blob, 0)
+    body = blob[4:4 + length]
+    if body[:4] != DV_MAGIC:
+        raise ValueError("magic bytes mismatch, deletion vector is corrupt")
+    (stored_crc,) = struct.unpack_from(">I", blob, 4 + length)
+    if (zlib.crc32(body) & 0xFFFFFFFF) != stored_crc:
+        raise ValueError("deletion vector CRC mismatch")
+    pos = 4
+    (n_bitmaps,) = struct.unpack_from("<q", body, pos)
+    pos += 8
+    parts: list[np.ndarray] = []
+    for _ in range(n_bitmaps):
+        (key,) = struct.unpack_from("<i", body, pos)
+        pos += 4
+        vals, used = roaring32_deserialize(body, pos)
+        pos += used
+        parts.append((np.int64(key) << np.int64(32)) | vals.astype(np.int64))
+    return np.sort(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# puffin container
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PuffinBlob:
+    type: str
+    offset: int
+    length: int
+    snapshot_id: int = -1
+    sequence_number: int = -1
+    fields: list[int] = field(default_factory=list)
+    properties: dict[str, str] = field(default_factory=dict)
+
+
+def write_puffin_dvs(path: str, dvs: dict[str, np.ndarray]) -> dict[str, PuffinBlob]:
+    """Write one Puffin file holding one deletion-vector blob per referenced
+    data file. Returns {data_file_path: blob metadata} for manifest entries
+    (content_offset / content_size_in_bytes)."""
+    blobs_meta: list[dict] = []
+    out: dict[str, PuffinBlob] = {}
+    body = bytearray(PUFFIN_MAGIC)
+    for data_path in sorted(dvs):
+        blob = serialize_dv_blob(dvs[data_path])
+        offset = len(body)
+        body += blob
+        meta = {
+            "type": DV_BLOB_TYPE,
+            "fields": [],
+            "snapshot-id": -1,
+            "sequence-number": -1,
+            "offset": offset,
+            "length": len(blob),
+            "properties": {
+                "referenced-data-file": data_path,
+                "cardinality": str(int(np.unique(np.asarray(dvs[data_path])).size)),
+            },
+        }
+        blobs_meta.append(meta)
+        out[data_path] = PuffinBlob(
+            type=DV_BLOB_TYPE, offset=offset, length=len(blob),
+            properties=meta["properties"],
+        )
+    payload = json.dumps({"blobs": blobs_meta}).encode("utf-8")
+    body += PUFFIN_MAGIC + payload
+    body += struct.pack("<i", len(payload))
+    body += struct.pack("<I", 0)  # flags: payload not compressed
+    body += PUFFIN_MAGIC
+    with open(path, "wb") as fh:
+        fh.write(bytes(body))
+    return out
+
+
+def read_puffin_footer(path: str) -> list[PuffinBlob]:
+    """Parse the footer payload (reference: iceberg_puffin_metadata.cpp)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != PUFFIN_MAGIC or data[-4:] != PUFFIN_MAGIC:
+        raise ValueError(f"{path}: not a Puffin file (bad magic)")
+    (payload_size,) = struct.unpack_from("<i", data, len(data) - 12)
+    (flags,) = struct.unpack_from("<I", data, len(data) - 8)
+    payload_end = len(data) - 12
+    payload = data[payload_end - payload_size:payload_end]
+    if flags & 1:
+        import zstandard  # pragma: no cover - optional codec
+
+        payload = zstandard.ZstdDecompressor().decompress(payload)
+    meta = json.loads(payload.decode("utf-8"))
+    blobs = []
+    for b in meta.get("blobs", []):
+        blobs.append(PuffinBlob(
+            type=b["type"], offset=b["offset"], length=b["length"],
+            snapshot_id=b.get("snapshot-id", -1),
+            sequence_number=b.get("sequence-number", -1),
+            fields=b.get("fields", []),
+            properties=b.get("properties", {}) or {},
+        ))
+    return blobs
+
+
+def read_dv_positions(path: str, offset: int | None, length: int | None,
+                      referenced_data_file: str | None = None) -> np.ndarray:
+    """Read one deletion vector from a Puffin file. With offset/length
+    (manifest content_offset/content_size_in_bytes) the blob is read
+    directly; otherwise the footer is consulted for the blob whose
+    referenced-data-file property matches."""
+    if offset is not None and length is not None:
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            blob = fh.read(length)
+        return parse_dv_blob(blob)
+    for b in read_puffin_footer(path):
+        if b.type == DV_BLOB_TYPE and (
+            referenced_data_file is None
+            or b.properties.get("referenced-data-file") == referenced_data_file
+        ):
+            return read_dv_positions(path, b.offset, b.length)
+    raise ValueError(f"{path}: no deletion-vector blob for {referenced_data_file}")

@@ -143,6 +143,76 @@ def _write_positional_deletes(
     return out
 
 
+def _write_deletion_vectors(
+    spark: SparkSession, tm: TableMetadata, pairs: DataFrame, plan: ScanPlan
+) -> tuple[list[mf.DataFile], set[str]]:
+    """v3 deletes: (file_path, pos) pairs → ONE Puffin file holding one
+    deletion-vector-v1 blob per affected data file (reference:
+    iceberg_delete.cpp:165-206 WriteDeletionVectorFile). Positions from a
+    file's prior DV are merged in and the old DV is superseded — the spec
+    allows at most one DV per data file ("two DVs = corrupt",
+    iceberg_multi_file_list.cpp:24-63). Prior positional-delete *parquet*
+    (mixed v2 history) is left in place; it still applies at read.
+
+    Driver-side: each file's DV is a compressed bitmap; even 10^9 deleted
+    rows per file is ~128 MB worst-case. The pairs aggregation itself is a
+    Spark job; only the per-file bitmaps are collected."""
+    import numpy as np
+
+    from ..metadata import puffin as pf
+
+    pdf = pairs.groupBy("file_path").agg(
+        F.sort_array(F.collect_list(F.col("pos").cast(T.LongType()))).alias("positions")
+    ).toPandas()
+    if pdf.empty:
+        return [], set()
+    dvs: dict[str, Any] = {
+        r.file_path: np.asarray(r.positions, dtype=np.int64) for r in pdf.itertuples()
+    }
+    replaced: set[str] = set()
+    for t in plan.tasks:
+        fp = t.data_file.file_path
+        if fp not in dvs:
+            continue
+        for d in t.positional_deletes:
+            if (d.file_format or "").lower() == "puffin":
+                prev = pf.read_dv_positions(
+                    d.file_path, d.content_offset, d.content_size_in_bytes, fp)
+                dvs[fp] = np.union1d(dvs[fp], prev)
+                replaced.add(d.file_path)
+
+    out_path = os.path.join(
+        tm.location, "data", f"dv-{str(_uuid.uuid4())[:8]}.puffin")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    blobs = pf.write_puffin_dvs(out_path, dvs)
+    file_size = os.path.getsize(out_path)
+    entries = []
+    for data_path, blob in sorted(blobs.items()):
+        entries.append(mf.DataFile(
+            content=mf.CONTENT_POSITION_DELETES,
+            file_path=out_path,
+            file_format="puffin",
+            partition={},
+            record_count=int(dvs[data_path].size),
+            file_size_in_bytes=file_size,
+            referenced_data_file=data_path,
+            content_offset=blob.offset,
+            content_size_in_bytes=blob.length,
+        ))
+    return entries, replaced
+
+
+def _write_row_deletes(
+    spark: SparkSession, tm: TableMetadata, pairs: DataFrame, plan: ScanPlan
+) -> tuple[list[mf.DataFile], set[str]]:
+    """Dispatch on format version: v3 → Puffin deletion vectors,
+    v1/v2 → positional-delete parquet (format switch mirrors
+    iceberg_delete.cpp:313,350-372)."""
+    if tm.format_version >= 3:
+        return _write_deletion_vectors(spark, tm, pairs, plan)
+    return _write_positional_deletes(spark, tm, pairs), set()
+
+
 def _stat_bound(v: Any) -> bytes | None:
     if isinstance(v, bytes):
         try:
@@ -183,10 +253,11 @@ def delete_from(
             F.col("filename").alias("file_path"),
             F.col("file_row_number").alias("pos"),
         )
-        delete_files = _write_positional_deletes(spark, tm, pairs)
+        delete_files, replaced = _write_row_deletes(spark, tm, pairs, plan)
         if not delete_files:
             return tm
-        commit_snapshot(tm, operation="delete", new_delete_files=delete_files)
+        commit_snapshot(tm, operation="delete", new_delete_files=delete_files,
+                        removed_delete_paths=replaced or None)
         return tm
 
     # copy-on-write: drop provably-all-match files, rewrite the rest
@@ -249,14 +320,15 @@ def update_iceberg(
         pairs = matched.select(
             F.col("filename").alias("file_path"), F.col("file_row_number").alias("pos")
         )
-        delete_files = _write_positional_deletes(spark, tm, pairs)
+        delete_files, replaced = _write_row_deletes(spark, tm, pairs, plan)
         if not delete_files:
             return tm
         cols = [f.name for f in plan.spark_schema().fields]
         new_rows = apply_set(matched.select(*cols), only_matched=True)
         new_files, _ = write_data_files(spark, new_rows, tm)
         commit_snapshot(tm, operation="overwrite", new_data_files=new_files,
-                        new_delete_files=delete_files)
+                        new_delete_files=delete_files,
+                        removed_delete_paths=replaced or None)
         return tm
 
     # copy-on-write: rewrite candidate files with the SET applied to matches

@@ -194,23 +194,73 @@ def _apply_partition_constants(spark: SparkSession, df: DataFrame, plan: ScanPla
 # ---------------------------------------------------------------------------
 
 def _apply_positional_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) -> DataFrame:
-    delete_files = sorted({d.file_path for t in plan.tasks for d in t.positional_deletes})
-    if not delete_files:
+    parquet_files: set[str] = set()
+    dv_blobs: dict[str, "mf.DataFile"] = {}  # referenced data file -> DV entry
+    for t in plan.tasks:
+        for d in t.positional_deletes:
+            if (d.file_format or "").lower() == "puffin":
+                ref = d.referenced_data_file or t.data_file.file_path
+                prev = dv_blobs.get(ref)
+                if prev is not None and (
+                    prev.file_path != d.file_path
+                    or prev.content_offset != d.content_offset
+                ):
+                    # reference: iceberg_multi_file_list.cpp:24-63
+                    raise ValueError(
+                        f"corrupt table: two deletion vectors reference {ref}")
+                dv_blobs[ref] = d
+            else:
+                parquet_files.add(d.file_path)
+    if not parquet_files and not dv_blobs:
         return df
-    # positional-delete parquet schema: file_path string (fid 2147483546),
-    # pos long (fid 2147483545)
-    del_df = (
-        spark.read.parquet(*delete_files)
-        .select(
-            _norm_path(F.col("file_path")).alias("__del_file"),
-            F.col("pos").cast(T.LongType()).alias("__del_pos"),
+
+    parts = []
+    if parquet_files:
+        # positional-delete parquet schema: file_path string (fid 2147483546),
+        # pos long (fid 2147483545)
+        parts.append(
+            spark.read.parquet(*sorted(parquet_files))
+            .select(
+                _norm_path(F.col("file_path")).alias("__del_file"),
+                F.col("pos").cast(T.LongType()).alias("__del_pos"),
+            )
         )
-    )
+    if dv_blobs:
+        parts.append(_dv_positions_df(spark, dv_blobs))
+    del_df = parts[0]
+    for p in parts[1:]:
+        del_df = del_df.unionByName(p)
     return df.join(
         del_df.hint("broadcast"),
         (df[_FILE_COL] == del_df["__del_file"]) & (df[_POS_COL] == del_df["__del_pos"]),
         "left_anti",
     )
+
+
+def _dv_positions_df(spark: SparkSession, dv_blobs: dict[str, "mf.DataFile"]) -> DataFrame:
+    """Decode Puffin deletion vectors into a (__del_file, __del_pos)
+    DataFrame. Blob decode runs on executors via mapInPandas — the driver
+    ships only (path, offset, length) triples, so a table with thousands of
+    DVs doesn't funnel bitmap bytes through the driver."""
+    import pandas as pd
+
+    meta = [(ref, d.file_path, int(d.content_offset or 0),
+             int(d.content_size_in_bytes or 0)) for ref, d in sorted(dv_blobs.items())]
+    meta_df = spark.createDataFrame(
+        meta, "ref: string, puffin: string, offset: long, length: long")
+
+    def decode(batches):
+        from ..metadata.puffin import read_dv_positions
+
+        for pdf in batches:
+            for r in pdf.itertuples():
+                pos = read_dv_positions(
+                    r.puffin, r.offset if r.length else None,
+                    r.length if r.length else None, r.ref)
+                yield pd.DataFrame({"__del_file": r.ref, "__del_pos": pos})
+
+    return meta_df.repartition(max(1, min(32, len(meta)))).mapInPandas(
+        decode, "`__del_file` string, `__del_pos` long")
 
 
 def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) -> DataFrame:

@@ -468,6 +468,7 @@ def commit_snapshot(
     new_data_files: list[mf.DataFile] | None = None,
     new_delete_files: list[mf.DataFile] | None = None,
     removed_data_paths: set[str] | None = None,
+    removed_delete_paths: set[str] | None = None,
     keep_existing: bool = True,
     extra_summary: dict | None = None,
 ) -> Snapshot:
@@ -510,6 +511,25 @@ def commit_snapshot(
                     nm.added_snapshot_id = snapshot_id
                     manifests.append(nm)
                 # else: manifest fully removed
+            elif removed_delete_paths and m.content == mf.MANIFEST_DELETES:
+                # v3 DV replacement: a new deletion vector supersedes the
+                # file's previous DV (reference: iceberg_delete.cpp
+                # altered_manifests handling)
+                entries = mf.read_manifest(_localize(tm, m.manifest_path))
+                live = [e for e in entries
+                        if e.status != mf.STATUS_DELETED
+                        and e.data_file.file_path not in removed_delete_paths
+                        and _localize(tm, e.data_file.file_path) not in removed_delete_paths]
+                if len(live) == len([e for e in entries if e.status != mf.STATUS_DELETED]):
+                    manifests.append(m)
+                elif live:
+                    for e in live:
+                        e.status = mf.STATUS_EXISTING
+                    mpath = os.path.join(meta_dir, f"dm-{_uuid.uuid4()}.avro")
+                    spec_m = tm.partition_specs.get(m.partition_spec_id, spec)
+                    nm = mf.write_manifest(mpath, live, tm, spec_m, mf.MANIFEST_DELETES)
+                    nm.added_snapshot_id = snapshot_id
+                    manifests.append(nm)
             else:
                 manifests.append(m)
 

@@ -1,0 +1,298 @@
+"""Iceberg REST catalog client (driver-side, stdlib HTTP).
+
+PySpark-native re-expression of the reference's catalog layer:
+- ATTACH / endpoint + auth resolution: /root/reference/src/iceberg_attach.cpp
+- REST calls (GetTable, ListTables, CreateTable, CommitTable, namespaces):
+  /root/reference/src/catalog/rest/api/catalog_api.cpp:189-246 and peers
+- OAuth2 client-credentials + refresh:
+  /root/reference/src/catalog/rest/storage/authorization/oauth2.cpp
+- optimistic commit retry with requirement re-validation:
+  /root/reference/src/catalog/rest/transaction/iceberg_transaction.cpp:93-330
+
+All catalog work happens on the Spark driver; executors only ever see file
+paths. SigV4 signing (Glue/S3Tables) is not implemented — tables behind
+SigV4 need an OAuth2- or token-fronted proxy (documented gap)."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from ..metadata.table_metadata import TableMetadata
+
+
+class CatalogError(RuntimeError):
+    def __init__(self, status: int, message: str):
+        super().__init__(f"HTTP {status}: {message}")
+        self.status = status
+
+
+class CommitConflict(CatalogError):
+    """409: requirements failed — caller may refresh and retry."""
+
+
+@dataclass
+class OAuth2Config:
+    """Client-credentials flow (RFC 6749 §4.4), token refresh on expiry
+    (reference: oauth2.cpp FetchOAuth2TokenResponse)."""
+
+    server_uri: str
+    client_id: str
+    client_secret: str
+    scope: str = "PRINCIPAL_ROLE:ALL"
+    grant_type: str = "client_credentials"
+
+
+@dataclass
+class RestCatalogConfig:
+    uri: str
+    warehouse: str | None = None
+    prefix: str | None = None  # filled from GET /v1/config when None
+    token: str | None = None  # static bearer token
+    oauth2: OAuth2Config | None = None
+    default_headers: dict[str, str] = field(default_factory=dict)
+    max_commit_retries: int = 4
+
+
+class RestCatalog:
+    """Minimal-complete Iceberg REST catalog client."""
+
+    def __init__(self, config: RestCatalogConfig, *, opener=None):
+        self.config = config
+        self._opener = opener or urllib.request.urlopen
+        self._token: str | None = config.token
+        self._token_expiry: float = float("inf") if config.token else 0.0
+        self._prefix = config.prefix
+        if self._prefix is None:
+            self._load_config()
+
+    # -- auth ---------------------------------------------------------------
+
+    def _ensure_token(self) -> str | None:
+        o = self.config.oauth2
+        if o is None:
+            return self._token
+        if self._token is not None and time.time() < self._token_expiry - 30:
+            return self._token
+        body = urllib.parse.urlencode({
+            "grant_type": o.grant_type,
+            "client_id": o.client_id,
+            "client_secret": o.client_secret,
+            "scope": o.scope,
+        }).encode()
+        req = urllib.request.Request(
+            o.server_uri, data=body, method="POST",
+            headers={"Content-Type": "application/x-www-form-urlencoded"})
+        with self._opener(req) as resp:
+            payload = json.loads(resp.read().decode())
+        self._token = payload["access_token"]
+        self._token_expiry = time.time() + float(payload.get("expires_in", 3600))
+        return self._token
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _url(self, path: str) -> str:
+        base = self.config.uri.rstrip("/")
+        pfx = f"/{self._prefix}" if self._prefix else ""
+        return f"{base}/v1{pfx}{path}"
+
+    def _request(self, method: str, path: str, body: Any = None,
+                 *, absolute: bool = False, params: dict | None = None) -> dict:
+        url = path if absolute else self._url(path)
+        if params:
+            url += "?" + urllib.parse.urlencode(params)
+        data = json.dumps(body).encode() if body is not None else None
+        headers = {"Content-Type": "application/json", **self.config.default_headers}
+        token = self._ensure_token()
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(url, data=data, method=method, headers=headers)
+        try:
+            with self._opener(req) as resp:
+                raw = resp.read()
+                return json.loads(raw.decode()) if raw else {}
+        except urllib.error.HTTPError as e:
+            msg = e.read().decode(errors="replace")
+            if e.code == 409:
+                raise CommitConflict(e.code, msg) from None
+            raise CatalogError(e.code, msg) from None
+
+    def _load_config(self) -> None:
+        base = self.config.uri.rstrip("/")
+        url = f"{base}/v1/config"
+        if self.config.warehouse:
+            url += "?" + urllib.parse.urlencode({"warehouse": self.config.warehouse})
+        resp = self._request("GET", url, absolute=True)
+        overrides = resp.get("overrides", {}) or {}
+        defaults = resp.get("defaults", {}) or {}
+        self._prefix = overrides.get("prefix") or defaults.get("prefix") or ""
+
+    @staticmethod
+    def _ns(namespace: str | tuple) -> str:
+        parts = namespace.split(".") if isinstance(namespace, str) else list(namespace)
+        # multipart namespaces joined by the %1F unit separator per REST spec
+        return urllib.parse.quote("\x1f".join(parts), safe="")
+
+    # -- namespaces ---------------------------------------------------------
+
+    def list_namespaces(self) -> list[list[str]]:
+        return self._request("GET", "/namespaces").get("namespaces", [])
+
+    def create_namespace(self, namespace: str | tuple,
+                         properties: dict[str, str] | None = None) -> dict:
+        parts = namespace.split(".") if isinstance(namespace, str) else list(namespace)
+        return self._request("POST", "/namespaces", {
+            "namespace": parts, "properties": properties or {}})
+
+    def drop_namespace(self, namespace: str | tuple) -> None:
+        self._request("DELETE", f"/namespaces/{self._ns(namespace)}")
+
+    def namespace_properties(self, namespace: str | tuple) -> dict[str, str]:
+        resp = self._request("GET", f"/namespaces/{self._ns(namespace)}")
+        return resp.get("properties", {}) or {}
+
+    def update_namespace_properties(
+        self, namespace: str | tuple, *, updates: dict[str, str] | None = None,
+        removals: list[str] | None = None,
+    ) -> dict:
+        """reference: iceberg_schema_properties_functions.cpp set/remove."""
+        return self._request(
+            "POST", f"/namespaces/{self._ns(namespace)}/properties",
+            {"updates": updates or {}, "removals": removals or []})
+
+    # -- tables -------------------------------------------------------------
+
+    def list_tables(self, namespace: str | tuple) -> list[dict]:
+        resp = self._request("GET", f"/namespaces/{self._ns(namespace)}/tables")
+        return resp.get("identifiers", [])
+
+    def load_table(self, namespace: str | tuple, name: str) -> "RestTable":
+        resp = self._request(
+            "GET", f"/namespaces/{self._ns(namespace)}/tables/{urllib.parse.quote(name)}")
+        return RestTable.from_load_result(self, namespace, name, resp)
+
+    def table_exists(self, namespace: str | tuple, name: str) -> bool:
+        try:
+            self.load_table(namespace, name)
+            return True
+        except CatalogError as e:
+            if e.status == 404:
+                return False
+            raise
+
+    def create_table(self, namespace: str | tuple, name: str, schema: dict,
+                     *, location: str | None = None,
+                     partition_spec: dict | None = None,
+                     properties: dict[str, str] | None = None,
+                     stage_create: bool = False) -> "RestTable":
+        """reference: physical_iceberg_create_table.cpp — stage-create, then
+        the first append commits it."""
+        body: dict[str, Any] = {
+            "name": name, "schema": schema,
+            "stage-create": stage_create,
+            "properties": properties or {},
+        }
+        if location:
+            body["location"] = location
+        if partition_spec:
+            body["partition-spec"] = partition_spec
+        resp = self._request("POST", f"/namespaces/{self._ns(namespace)}/tables", body)
+        return RestTable.from_load_result(self, namespace, name, resp)
+
+    def drop_table(self, namespace: str | tuple, name: str, *, purge: bool = False) -> None:
+        self._request(
+            "DELETE", f"/namespaces/{self._ns(namespace)}/tables/{urllib.parse.quote(name)}",
+            params={"purgeRequested": "true"} if purge else None)
+
+    def rename_table(self, src_ns: str | tuple, src_name: str,
+                     dst_ns: str | tuple, dst_name: str) -> None:
+        """reference: iceberg_schema_entry.cpp:333-350 (RENAME TABLE)."""
+        def ident(ns, n):
+            parts = ns.split(".") if isinstance(ns, str) else list(ns)
+            return {"namespace": parts, "name": n}
+
+        self._request("POST", "/tables/rename", {
+            "source": ident(src_ns, src_name),
+            "destination": ident(dst_ns, dst_name)})
+
+    # -- commits ------------------------------------------------------------
+
+    def commit_table(self, namespace: str | tuple, name: str,
+                     requirements: list[dict], updates: list[dict]) -> dict:
+        return self._request(
+            "POST", f"/namespaces/{self._ns(namespace)}/tables/{urllib.parse.quote(name)}",
+            {"identifier": {
+                "namespace": namespace.split(".") if isinstance(namespace, str) else list(namespace),
+                "name": name},
+             "requirements": requirements, "updates": updates})
+
+
+@dataclass
+class RestTable:
+    """A catalog-resident table: parsed metadata + commit affordances."""
+
+    catalog: RestCatalog
+    namespace: str | tuple
+    name: str
+    metadata_location: Optional[str]
+    metadata: TableMetadata
+
+    @classmethod
+    def from_load_result(cls, catalog: RestCatalog, namespace, name, resp: dict) -> "RestTable":
+        meta_json = resp["metadata"]
+        tm = TableMetadata(meta_json, meta_json.get("location", ""))
+        return cls(catalog=catalog, namespace=namespace, name=name,
+                   metadata_location=resp.get("metadata-location"), metadata=tm)
+
+    def refresh(self) -> "RestTable":
+        fresh = self.catalog.load_table(self.namespace, self.name)
+        self.metadata_location = fresh.metadata_location
+        self.metadata = fresh.metadata
+        return self
+
+    def commit_snapshot(self, snapshot_json: dict, *,
+                        operation: str = "append") -> dict:
+        """Optimistic append/delete commit with retry: on 409 refresh and
+        re-validate (appends are always retryable; the reference re-verifies
+        delete retries against new snapshots — iceberg_transaction.cpp:210-270;
+        here delete/overwrite conflicts are NOT retried)."""
+        retryable = operation == "append"
+        attempts = self.catalog.config.max_commit_retries
+        last: Exception | None = None
+        for _ in range(max(1, attempts)):
+            cur = self.metadata.current_snapshot_id
+            requirements: list[dict] = [{"type": "assert-table-uuid",
+                                         "uuid": self.metadata.table_uuid}]
+            if cur is None:
+                requirements.append({"type": "assert-ref-snapshot-id",
+                                     "ref": "main", "snapshot-id": None})
+            else:
+                requirements.append({"type": "assert-ref-snapshot-id",
+                                     "ref": "main", "snapshot-id": cur})
+            updates = [
+                {"action": "add-snapshot", "snapshot": snapshot_json},
+                {"action": "set-snapshot-ref", "ref-name": "main",
+                 "type": "branch",
+                 "snapshot-id": snapshot_json["snapshot-id"]},
+            ]
+            try:
+                resp = self.catalog.commit_table(
+                    self.namespace, self.name, requirements, updates)
+                self.refresh()
+                return resp
+            except CommitConflict as e:
+                last = e
+                if not retryable:
+                    raise
+                # another writer won the race: rebase the parent and retry
+                self.refresh()
+                snapshot_json = dict(snapshot_json)
+                snapshot_json["parent-snapshot-id"] = self.metadata.current_snapshot_id
+                seq = self.metadata.last_sequence_number + 1
+                snapshot_json["sequence-number"] = seq
+        raise last  # type: ignore[misc]

@@ -1,0 +1,286 @@
+"""REST catalog client tests against an in-process stub server implementing
+the Iceberg REST spec subset the client uses (config, oauth tokens,
+namespaces, tables, CAS commits). Mirrors the reference's catalog tests'
+behavior checks (catalog_api.cpp, iceberg_transaction.cpp) without docker."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from duckdb_iceberg_spark.catalog.rest_catalog import (
+    CatalogError,
+    CommitConflict,
+    OAuth2Config,
+    RestCatalog,
+    RestCatalogConfig,
+)
+
+PREFIX = "whx"
+
+
+class _StubState:
+    def __init__(self):
+        self.namespaces: dict[tuple, dict] = {}
+        self.tables: dict[tuple, dict] = {}  # (ns..., name) -> metadata json
+        self.tokens_issued = 0
+        self.commit_conflicts_to_inject = 0
+        self.requests: list[tuple[str, str]] = []
+
+
+def _make_handler(state: _StubState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, body: dict | None = None):
+            payload = json.dumps(body or {}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0) or 0)
+            return json.loads(self.rfile.read(n).decode()) if n else {}
+
+        def _route(self):
+            state.requests.append((self.command, self.path))
+            parts = self.path.split("?")[0].strip("/").split("/")
+            # /v1/config
+            if parts == ["v1", "config"]:
+                return self._send(200, {"overrides": {"prefix": PREFIX}, "defaults": {}})
+            # /tokens (oauth)
+            if parts == ["tokens"]:
+                state.tokens_issued += 1
+                return self._send(200, {"access_token": f"tok-{state.tokens_issued}",
+                                        "token_type": "bearer", "expires_in": 3600})
+            if parts[:2] != ["v1", PREFIX]:
+                return self._send(404, {"error": {"message": "bad prefix"}})
+            # require bearer auth beyond config/tokens
+            auth = self.headers.get("Authorization", "")
+            if not auth.startswith("Bearer "):
+                return self._send(401, {"error": {"message": "no token"}})
+            rest = parts[2:]
+            if rest == ["namespaces"]:
+                if self.command == "GET":
+                    return self._send(200, {"namespaces": [list(k) for k in state.namespaces]})
+                if self.command == "POST":
+                    b = self._body()
+                    ns = tuple(b["namespace"])
+                    state.namespaces[ns] = b.get("properties", {})
+                    return self._send(200, {"namespace": list(ns)})
+            if len(rest) == 2 and rest[0] == "namespaces":
+                ns = tuple(urllib.parse.unquote(rest[1]).split("\x1f"))
+                if ns not in state.namespaces:
+                    return self._send(404, {"error": {"message": "no such namespace"}})
+                if self.command == "GET":
+                    return self._send(200, {"namespace": list(ns),
+                                            "properties": state.namespaces[ns]})
+                if self.command == "DELETE":
+                    del state.namespaces[ns]
+                    return self._send(204)
+            if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "properties":
+                ns = tuple(urllib.parse.unquote(rest[1]).split("\x1f"))
+                b = self._body()
+                props = state.namespaces.setdefault(ns, {})
+                for k in b.get("removals", []):
+                    props.pop(k, None)
+                props.update(b.get("updates", {}))
+                return self._send(200, {"updated": list(b.get("updates", {})),
+                                        "removed": b.get("removals", [])})
+            if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "tables":
+                ns = tuple(urllib.parse.unquote(rest[1]).split("\x1f"))
+                if self.command == "GET":
+                    idents = [{"namespace": list(k[:-1]), "name": k[-1]}
+                              for k in state.tables if k[:-1] == ns]
+                    return self._send(200, {"identifiers": idents})
+                if self.command == "POST":
+                    b = self._body()
+                    key = ns + (b["name"],)
+                    meta = {
+                        "format-version": 2,
+                        "table-uuid": f"uuid-{b['name']}",
+                        "location": b.get("location", f"mem://{b['name']}"),
+                        "schemas": [b["schema"]],
+                        "current-schema-id": b["schema"].get("schema-id", 0),
+                        "partition-specs": [{"spec-id": 0, "fields": []}],
+                        "default-spec-id": 0,
+                        "last-sequence-number": 0,
+                        "snapshots": [],
+                        "properties": b.get("properties", {}),
+                    }
+                    state.tables[key] = meta
+                    return self._send(200, {"metadata-location": f"mem://{b['name']}/m0.json",
+                                            "metadata": meta})
+            if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
+                ns = tuple(urllib.parse.unquote(rest[1]).split("\x1f"))
+                key = ns + (rest[3],)
+                if key not in state.tables:
+                    return self._send(404, {"error": {"message": "no such table"}})
+                if self.command == "GET":
+                    return self._send(200, {"metadata-location": "mem://m.json",
+                                            "metadata": state.tables[key]})
+                if self.command == "DELETE":
+                    del state.tables[key]
+                    return self._send(204)
+                if self.command == "POST":  # commit
+                    b = self._body()
+                    meta = state.tables[key]
+                    cur = None
+                    for s in meta.get("snapshots", []):
+                        if s["snapshot-id"] == meta.get("current-snapshot-id"):
+                            cur = s["snapshot-id"]
+                    for r in b.get("requirements", []):
+                        if r["type"] == "assert-ref-snapshot-id":
+                            if r.get("snapshot-id") != cur:
+                                return self._send(409, {"error": {"message": "stale snapshot"}})
+                        elif r["type"] == "assert-table-uuid":
+                            if r["uuid"] != meta["table-uuid"]:
+                                return self._send(409, {"error": {"message": "uuid mismatch"}})
+                    if state.commit_conflicts_to_inject > 0:
+                        state.commit_conflicts_to_inject -= 1
+                        # simulate a concurrent winner: bump current snapshot
+                        sid = int(time.time() * 1000) % 10**9 + len(meta["snapshots"]) + 777
+                        meta["snapshots"].append({"snapshot-id": sid, "sequence-number":
+                                                  meta["last-sequence-number"] + 1,
+                                                  "timestamp-ms": 1, "summary": {"operation": "append"},
+                                                  "manifest-list": "mem://x.avro"})
+                        meta["current-snapshot-id"] = sid
+                        meta["last-sequence-number"] += 1
+                        return self._send(409, {"error": {"message": "injected conflict"}})
+                    for u in b.get("updates", []):
+                        if u["action"] == "add-snapshot":
+                            meta["snapshots"].append(u["snapshot"])
+                            meta["last-sequence-number"] = max(
+                                meta["last-sequence-number"],
+                                u["snapshot"].get("sequence-number", 0))
+                        elif u["action"] == "set-snapshot-ref":
+                            meta["current-snapshot-id"] = u["snapshot-id"]
+                    return self._send(200, {"metadata-location": "mem://m2.json",
+                                            "metadata": meta})
+            if rest == ["tables", "rename"]:
+                b = self._body()
+                src = tuple(b["source"]["namespace"]) + (b["source"]["name"],)
+                dst = tuple(b["destination"]["namespace"]) + (b["destination"]["name"],)
+                if src not in state.tables:
+                    return self._send(404, {"error": {"message": "no such table"}})
+                state.tables[dst] = state.tables.pop(src)
+                return self._send(204)
+            return self._send(404, {"error": {"message": f"unhandled {self.command} {self.path}"}})
+
+        do_GET = do_POST = do_DELETE = _route
+
+    return Handler
+
+
+@pytest.fixture()
+def stub():
+    state = _StubState()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, state
+    server.shutdown()
+
+
+def _catalog(base: str) -> RestCatalog:
+    return RestCatalog(RestCatalogConfig(
+        uri=base,
+        oauth2=OAuth2Config(server_uri=f"{base}/tokens",
+                            client_id="id", client_secret="secret"),
+    ))
+
+
+SCHEMA = {"type": "struct", "schema-id": 0, "fields": [
+    {"id": 1, "name": "id", "required": True, "type": "long"},
+    {"id": 2, "name": "v", "required": False, "type": "string"},
+]}
+
+
+def test_config_prefix_and_oauth(stub):
+    base, state = stub
+    cat = _catalog(base)
+    assert cat._prefix == PREFIX
+    cat.list_namespaces()
+    assert state.tokens_issued == 1
+    cat.list_namespaces()  # token cached, no second fetch
+    assert state.tokens_issued == 1
+
+
+def test_namespace_crud_and_properties(stub):
+    base, _ = stub
+    cat = _catalog(base)
+    cat.create_namespace("analytics.prod", {"owner": "me"})
+    assert ["analytics", "prod"] in cat.list_namespaces()
+    assert cat.namespace_properties("analytics.prod") == {"owner": "me"}
+    cat.update_namespace_properties("analytics.prod",
+                                    updates={"tier": "gold"}, removals=["owner"])
+    assert cat.namespace_properties("analytics.prod") == {"tier": "gold"}
+    cat.drop_namespace("analytics.prod")
+    assert cat.list_namespaces() == []
+
+
+def test_table_lifecycle(stub):
+    base, _ = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    tbl = cat.create_table("db", "events", SCHEMA, properties={"k": "v"})
+    assert tbl.metadata.table_uuid == "uuid-events"
+    assert cat.table_exists("db", "events")
+    assert not cat.table_exists("db", "missing")
+    names = [i["name"] for i in cat.list_tables("db")]
+    assert names == ["events"]
+    cat.rename_table("db", "events", "db", "events_v2")
+    assert cat.table_exists("db", "events_v2") and not cat.table_exists("db", "events")
+    cat.drop_table("db", "events_v2")
+    assert not cat.table_exists("db", "events_v2")
+
+
+def _snap(sid: int, seq: int) -> dict:
+    return {"snapshot-id": sid, "sequence-number": seq, "timestamp-ms": 123,
+            "summary": {"operation": "append"}, "manifest-list": "mem://ml.avro"}
+
+
+def test_commit_and_retry_on_conflict(stub):
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    tbl = cat.create_table("db", "t", SCHEMA)
+
+    tbl.commit_snapshot(_snap(101, 1))
+    assert tbl.metadata.current_snapshot_id == 101
+
+    # inject one 409; append must rebase (new parent + sequence) and succeed
+    state.commit_conflicts_to_inject = 1
+    tbl.commit_snapshot(_snap(202, 2))
+    snap_ids = [s.snapshot_id for s in tbl.metadata.snapshots]
+    assert 202 in snap_ids and tbl.metadata.current_snapshot_id == 202
+    committed = next(s for s in tbl.metadata.snapshots if s.snapshot_id == 202)
+    assert committed.parent_snapshot_id is not None  # rebased onto the winner
+
+
+def test_delete_commit_conflict_not_retried(stub):
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    tbl = cat.create_table("db", "t", SCHEMA)
+    tbl.commit_snapshot(_snap(11, 1))
+    state.commit_conflicts_to_inject = 1
+    with pytest.raises(CommitConflict):
+        tbl.commit_snapshot(_snap(22, 2), operation="delete")
+
+
+def test_http_errors_surface(stub):
+    base, _ = stub
+    cat = _catalog(base)
+    with pytest.raises(CatalogError) as ei:
+        cat.load_table("nope", "missing")
+    assert ei.value.status == 404

@@ -150,6 +150,20 @@ def _ice_part_evo(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(sf_dir, "part_evolution", build)
 
 
+def _ice_part_compacted(spark: SparkSession, sf_dir: str) -> str:
+    """Three small appends then bin-pack compaction (REPLACE snapshot)."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.maintenance import rewrite_data_files
+
+        part = _pq(spark, sf_dir, "part")
+        for _ in range(3):
+            write_iceberg(part.repartition(2), loc)
+        rewrite_data_files(spark, loc, min_input_files=2)
+
+    return _build_once(sf_dir, "part_compacted", build)
+
+
 def _ice_supplier_hist(spark: SparkSession, sf_dir: str) -> str:
     def build(loc: str) -> None:
         from duckdb_iceberg_spark import write_iceberg
@@ -672,6 +686,26 @@ def ice_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_compaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data survives bin-pack compaction byte-for-byte; the scan now reads
+    the compacted (fewer-files) layout."""
+    from duckdb_iceberg_spark import iceberg_scan
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    loc = _ice_part_compacted(spark, sf_dir)
+    tm = load_table_metadata(loc)
+    n_files = len(plan_scan(tm, tm.select_snapshot()).tasks)
+    return (
+        iceberg_scan(spark, loc)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             _dec_sum(F.col("p_retailprice"), 6).alias("sum_price"))
+        .withColumn("files_after_compaction", F.lit(n_files))
+        .orderBy("p_brand")
+    )
+
+
 def ice_count_star_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_iceberg_spark import iceberg_count
 
@@ -890,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_merge_scan": ice_merge_scan,
         "ice_time_travel": ice_time_travel,
         "ice_schema_evolution": ice_schema_evolution,
+        "ice_compaction_scan": ice_compaction_scan,
         "ice_count_star_metadata": ice_count_star_metadata,
         "ice_snapshot_history": ice_snapshot_history,
         "ice_partition_stats": ice_partition_stats_q,
@@ -1200,6 +1235,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS with_price,
                    round(CAST(sum(CAST(round(p_retailprice, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_price
             FROM part
+        """,
+        "ice_compaction_scan": """
+            SELECT p_brand, 3 * count(*) AS cnt,
+                   round(CAST(sum(CAST(round(p_retailprice, 6) AS DECIMAL(28,6))) AS DOUBLE) * 3, 2) AS sum_price,
+                   1 AS files_after_compaction
+            FROM part GROUP BY p_brand ORDER BY p_brand
         """,
         "ice_count_star_metadata": "SELECT count(*) AS cnt FROM lineitem",
         "ice_snapshot_history": """

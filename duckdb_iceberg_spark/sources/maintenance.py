@@ -1,0 +1,112 @@
+"""Table maintenance: iceberg_rewrite_data_files (bin-pack compaction).
+
+Reference parity:
+- candidate selection + per-partition grouping:
+  /root/reference/src/maintenance/rewrite_data_files_planner.cpp:25-95
+  (files < target unless rewrite_all; groups need >= min_input_files)
+- options & target-size resolution from table properties:
+  /root/reference/src/function/metadata/iceberg_rewrite_data_files.cpp:29-90
+- REPLACE-snapshot commit semantics: rewritten files removed, compacted
+  files added, delete files referencing rewritten data dropped (the rewrite
+  materializes merge-on-read deletes).
+
+Spark shape: each group is read through the normal scan path (so DVs,
+positional and equality deletes are applied), coalesced to
+ceil(bytes/target) output tasks, and written with the table's partition
+spec/sort order; one commit covers all groups."""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from ..metadata import manifest as mf
+from ..metadata.table_metadata import TableMetadata, load_table_metadata
+from ..plans.scan_plan import ScanPlan, plan_scan
+from .scan import scan_to_dataframe
+from .writer import commit_snapshot, write_data_files
+
+DEFAULT_TARGET_FILE_SIZE_BYTES = 512 * 1024 * 1024
+MIN_TARGET_FILE_SIZE_BYTES = 1024
+
+
+def _resolve_target_size(tm: TableMetadata, explicit: int | None) -> int:
+    if explicit is not None:
+        if explicit < MIN_TARGET_FILE_SIZE_BYTES:
+            raise ValueError(
+                f"target_file_size_bytes must be >= {MIN_TARGET_FILE_SIZE_BYTES}")
+        return explicit
+    for prop in ("write.parquet.target-file-size-bytes", "write.target-file-size-bytes"):
+        if prop in tm.properties:
+            return int(tm.properties[prop])
+    return DEFAULT_TARGET_FILE_SIZE_BYTES
+
+
+def _partition_key(partition: dict) -> tuple:
+    return tuple(sorted((k, repr(v)) for k, v in (partition or {}).items()))
+
+
+def rewrite_data_files(
+    spark: SparkSession,
+    location: str,
+    *,
+    target_file_size_bytes: int | None = None,
+    min_input_files: int = 5,
+    rewrite_all: bool = False,
+    snapshot_properties: dict[str, str] | None = None,
+) -> dict[str, Any]:
+    """Bin-pack small data files into ~target-size files, one REPLACE commit."""
+    if min_input_files < 1:
+        raise ValueError("min_input_files must be >= 1")
+    tm = load_table_metadata(location)
+    snapshot = tm.select_snapshot()
+    plan = plan_scan(tm, snapshot, None)
+    target = _resolve_target_size(tm, target_file_size_bytes)
+
+    per_partition: dict[tuple, list] = {}
+    for t in plan.tasks:
+        if not rewrite_all and t.data_file.file_size_in_bytes >= target:
+            continue
+        per_partition.setdefault(_partition_key(t.data_file.partition), []).append(t)
+
+    groups = [
+        tasks for tasks in per_partition.values()
+        if rewrite_all or len(tasks) >= min_input_files
+    ]
+    summary: dict[str, Any] = {
+        "rewritten_data_files_count": 0,
+        "added_data_files_count": 0,
+        "rewritten_bytes_count": 0,
+        "group_count": len(groups),
+    }
+    if not groups:
+        return summary
+
+    new_files: list[mf.DataFile] = []
+    removed: set[str] = set()
+    for tasks in groups:
+        sub = ScanPlan(tm, snapshot, list(tasks), None, plan.schema_id)
+        df = scan_to_dataframe(spark, sub)
+        group_bytes = sum(t.data_file.file_size_in_bytes for t in tasks)
+        n_out = max(1, math.ceil(group_bytes / target))
+        df = df.coalesce(n_out)
+        files, _root = write_data_files(spark, df, tm)
+        new_files.extend(files)
+        removed.update(t.data_file.file_path for t in tasks)
+        summary["rewritten_data_files_count"] += len(tasks)
+        summary["rewritten_bytes_count"] += group_bytes
+
+    summary["added_data_files_count"] = len(new_files)
+    extra = {"rewrite-target-file-size-bytes": str(target)}
+    for k, v in (snapshot_properties or {}).items():
+        extra[k] = v
+    commit_snapshot(
+        tm, operation="replace",
+        new_data_files=new_files,
+        removed_data_paths=removed,
+        extra_summary=extra,
+    )
+    summary["snapshot_id"] = tm.current_snapshot_id
+    return summary

@@ -511,15 +511,25 @@ def commit_snapshot(
                     nm.added_snapshot_id = snapshot_id
                     manifests.append(nm)
                 # else: manifest fully removed
-            elif removed_delete_paths and m.content == mf.MANIFEST_DELETES:
+            elif (removed_delete_paths or removed_data_paths) and m.content == mf.MANIFEST_DELETES:
                 # v3 DV replacement: a new deletion vector supersedes the
                 # file's previous DV (reference: iceberg_delete.cpp
-                # altered_manifests handling)
+                # altered_manifests handling). Compaction additionally drops
+                # delete entries whose referenced data file was rewritten —
+                # the rewrite materialized those deletes.
+                rdel = removed_delete_paths or set()
+                rdata = removed_data_paths or set()
+
+                def _dead(e) -> bool:
+                    d = e.data_file
+                    if d.file_path in rdel or _localize(tm, d.file_path) in rdel:
+                        return True
+                    ref = d.referenced_data_file
+                    return bool(ref) and (ref in rdata or _localize(tm, ref) in rdata)
+
                 entries = mf.read_manifest(_localize(tm, m.manifest_path))
                 live = [e for e in entries
-                        if e.status != mf.STATUS_DELETED
-                        and e.data_file.file_path not in removed_delete_paths
-                        and _localize(tm, e.data_file.file_path) not in removed_delete_paths]
+                        if e.status != mf.STATUS_DELETED and not _dead(e)]
                 if len(live) == len([e for e in entries if e.status != mf.STATUS_DELETED]):
                     manifests.append(m)
                 elif live:

@@ -1,0 +1,99 @@
+"""iceberg_rewrite_data_files tests (reference:
+rewrite_data_files_planner.cpp grouping; REPLACE-snapshot commit)."""
+
+import pytest
+
+from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+from duckdb_iceberg_spark.sources.maintenance import rewrite_data_files
+
+
+def _file_count(loc):
+    tm = load_table_metadata(loc)
+    return len(plan_scan(tm, tm.select_snapshot()).tasks)
+
+
+def test_binpack_compacts_small_files(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    for i in range(4):
+        write_iceberg(
+            spark.range(i * 100, (i + 1) * 100).selectExpr("id", "id * 2 AS v")
+            .repartition(2), loc)
+    before = _file_count(loc)
+    assert before >= 8
+
+    res = rewrite_data_files(spark, loc, min_input_files=2)
+    assert res["rewritten_data_files_count"] == before
+    assert res["added_data_files_count"] < before
+
+    after = _file_count(loc)
+    assert after == res["added_data_files_count"]
+    tm = load_table_metadata(loc)
+    assert tm.current_snapshot().summary["operation"] == "replace"
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == list(range(400))
+
+
+def test_min_input_files_respected(spark, tmp_path):
+    loc = str(tmp_path / "t2")
+    write_iceberg(spark.range(100).coalesce(1), loc)
+    write_iceberg(spark.range(100, 200).coalesce(1), loc)
+    res = rewrite_data_files(spark, loc, min_input_files=5)
+    assert res["group_count"] == 0 and res["rewritten_data_files_count"] == 0
+    assert _file_count(loc) == 2  # untouched, no new snapshot
+
+
+def test_partitioned_rewrite_keeps_partitions(spark, tmp_path):
+    loc = str(tmp_path / "t3")
+    df = spark.range(300).selectExpr("id", "CAST(id % 3 AS INT) AS bucket")
+    for _ in range(3):
+        write_iceberg(df, loc, partition_by=["bucket"])
+    res = rewrite_data_files(spark, loc, min_input_files=2)
+    assert res["group_count"] == 3  # one group per partition value
+    tm = load_table_metadata(loc)
+    tasks = plan_scan(tm, tm.select_snapshot()).tasks
+    parts = {t.data_file.partition.get("bucket") for t in tasks}
+    assert parts == {0, 1, 2}
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == sorted(list(range(300)) * 3)
+
+
+def test_rewrite_materializes_deletion_vectors(spark, tmp_path):
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    loc = str(tmp_path / "t4")
+    write_iceberg(spark.range(1000).selectExpr("id", "id % 10 AS k").repartition(3),
+                  loc, format_version=3)
+    delete_from(spark, loc, "k = 4", mode="merge-on-read")
+
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    assert any(t.positional_deletes for t in plan.tasks)
+
+    rewrite_data_files(spark, loc, rewrite_all=True)
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    assert not any(t.positional_deletes for t in plan.tasks), \
+        "compaction must drop materialized deletion vectors"
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(1000) if i % 10 != 4]
+
+
+def test_rewrite_all_single_file(spark, tmp_path):
+    loc = str(tmp_path / "t5")
+    write_iceberg(spark.range(50).coalesce(1), loc)
+    res = rewrite_data_files(spark, loc, rewrite_all=True)
+    assert res["rewritten_data_files_count"] == 1
+    assert _file_count(loc) == 1
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == list(range(50))
+
+
+def test_bad_options(spark, tmp_path):
+    loc = str(tmp_path / "t6")
+    write_iceberg(spark.range(10), loc)
+    with pytest.raises(ValueError):
+        rewrite_data_files(spark, loc, min_input_files=0)
+    with pytest.raises(ValueError):
+        rewrite_data_files(spark, loc, target_file_size_bytes=10)

@@ -892,6 +892,66 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: IVF probes nprobe/n_centroids of the corpus (approximate)
+    from duckdb_iceberg_spark.operators.similarity import ivf_topk
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    return ivf_topk(emb.filter("vec_id != 0"), qvec, k=10,
+                    n_centroids=16, nprobe=4).select("vec_id", "similarity")
+
+
+def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: SRP-bucketed pairwise cosine dedup
+    from duckdb_iceberg_spark.operators.dedup import embedding_neardup
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    return embedding_neardup(emb, threshold=0.99).agg(
+        F.count(F.lit(1)).alias("survivors"))
+
+
+def _mm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal fixture derived from documents: the text bytes stand in
+    for an opaque media blob; duration scales with length."""
+    return (
+        _pq(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.encode("text", "utf-8").alias("blob"),
+            (F.col("n_chars").cast("long") * 10).alias("duration_ms"),
+        )
+    )
+
+
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: decoder is the documented deterministic fake (no image
+    # libs in this container); the mapInPandas plumbing is real
+    from duckdb_iceberg_spark.operators.multimodal import extract_image_features
+
+    feats = extract_image_features(_mm_docs(spark, sf_dir))
+    return (
+        feats.select("id", "n_bytes", "width", "height",
+                     F.round(F.aggregate("feature", F.lit(0.0),
+                                         lambda a, x: a + x), 4).alias("feat_sum"))
+        .orderBy("id")
+        .limit(500)
+    )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_iceberg_spark.operators.multimodal import frame_sample_plan
+
+    plan = frame_sample_plan(_mm_docs(spark, sf_dir), every_ms=1000)
+    return (
+        plan.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_frames"),
+             F.max("frame_ts_ms").alias("last_ts"))
+        .orderBy("id")
+        .limit(1000)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -940,6 +1000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": docs_simhash,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_knn_join": emb_knn_join,
+        "emb_ivf_topk": emb_ivf_topk,
+        "emb_neardup": emb_neardup,
+        "mm_image_features": mm_image_features,
+        "mm_frame_sample": mm_frame_sample,
     }
 
 
@@ -1314,6 +1378,17 @@ def oracle_sql() -> dict[str, str]:
                      vec_id
             LIMIT 10
         """,
-        # ice_bucket_fn, docs_minhash_dedup, docs_simhash, emb_knn_join:
-        # intentionally omitted (non-SQL-expressible; rows-only check)
+        "mm_frame_sample": """
+            SELECT doc_id AS id,
+                   count(*) AS n_frames,
+                   max(ts) AS last_ts
+            FROM (SELECT doc_id,
+                         unnest(range(0, greatest(n_chars * 10 - 1, 0) + 1, 1000)) AS ts
+                  FROM documents) t
+            GROUP BY doc_id ORDER BY id LIMIT 1000
+        """,
+        # ice_bucket_fn, docs_minhash_dedup, docs_simhash, emb_knn_join,
+        # emb_ivf_topk, emb_neardup, mm_image_features:
+        # intentionally omitted (non-SQL-expressible or fake-decoder-backed;
+        # rows-only check)
     }

@@ -218,6 +218,44 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dedup: SRP-LSH buckets bound the candidate set
+    (vectors with cosine ≥ threshold land in the same bucket with prob
+    (1 - θ/π)^b), then exact within-bucket pairwise cosine drops the higher
+    id of each ≥-threshold pair. All-pairs work is per-bucket, so the join
+    is bucket-local — no corpus×corpus shuffle at 100 TB."""
+    from .similarity import _hyperplanes, cosine_similarity, srp_bucket_column
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col), F.col(vec_col),
+        srp_bucket_column(F.col(vec_col), planes).alias("__bucket"),
+    )
+    l = b.alias("l")
+    r = b.alias("r")
+    losers = (
+        l.join(r, (F.col("l.__bucket") == F.col("r.__bucket"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .withColumn("__cos", cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")))
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col(f"r.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -15,9 +15,11 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -96,6 +98,50 @@ def cosine_topk_lsh(
     bucketed = df.withColumn("__bucket", srp_bucket_column(F.col(vec_col), planes))
     probe = bucketed.filter(F.col("__bucket") == qbucket)
     return cosine_topk(probe, query_vec, k, vec_col, id_col)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: vectors are assigned to their nearest
+    centroid (inverted lists); the query probes only the ``nprobe`` nearest
+    lists, scanning ~nprobe/n_centroids of the corpus.
+
+    Centroids are a deterministic hash-sample of the corpus itself (seeded;
+    no iterative training — at 100 TB a k-means fit would be its own job,
+    and spherical IVF with sampled centroids is the standard cheap variant).
+    Assignment runs as an Arrow-batched pandas UDF (one matmul per batch)."""
+    # deterministic sample: first n_centroids ids by murmur-ish hash order
+    cand = (
+        df.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.asarray([list(r[vec_col]) for r in cand], dtype="float64")
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype("int32"))
+
+    q = np.asarray(query_vec, dtype="float64")
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_lists = np.argsort(-(cents @ qn))[:nprobe].tolist()
+
+    assigned = df.withColumn("__list", assign(F.col(vec_col)))
+    probed = assigned.filter(F.col("__list").isin([int(x) for x in probe_lists]))
+    return cosine_topk(probed, query_vec, k, vec_col, id_col)
 
 
 def knn_join(

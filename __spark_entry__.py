@@ -892,6 +892,39 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental read: only the rows appended after snapshot 1
+    of the two-append nation fixture."""
+    from duckdb_iceberg_spark.streaming import incremental_scan
+
+    loc, snap1 = _ice_nation_tt(spark, sf_dir)
+    return (
+        incremental_scan(spark, loc, from_snapshot_id=snap1)
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window over the events table (unified helper —
+    identical semantics on readStream inputs)."""
+    from duckdb_iceberg_spark.streaming import tumbling_agg
+
+    ev = _pq(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    agg = tumbling_agg(
+        ev, "ts", "1 hour",
+        {"cnt": F.count(F.lit(1)), "sum_value": _dec_sum(F.col("value"), 6)},
+        keys=["event_type"],
+    )
+    return (
+        agg.select(F.col("window_start").cast("string").alias("window_start"),
+                   "event_type", "cnt", "sum_value")
+        .orderBy("window_start", "event_type")
+        .limit(500)
+    )
+
+
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: IVF probes nprobe/n_centroids of the corpus (approximate)
     from duckdb_iceberg_spark.operators.similarity import ivf_topk
@@ -1000,6 +1033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": docs_simhash,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_knn_join": emb_knn_join,
+        "stream_incremental": stream_incremental,
+        "stream_tumbling_events": stream_tumbling_events,
         "emb_ivf_topk": emb_ivf_topk,
         "emb_neardup": emb_neardup,
         "mm_image_features": mm_image_features,
@@ -1377,6 +1412,16 @@ def oracle_sql() -> dict[str, str]:
                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) DESC,
                      vec_id
             LIMIT 10
+        """,
+        "stream_incremental": """
+            SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey
+        """,
+        "stream_tumbling_events": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+                   event_type, count(*) AS cnt,
+                   round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY window_start, event_type LIMIT 500
         """,
         "mm_frame_sample": """
             SELECT doc_id AS id,

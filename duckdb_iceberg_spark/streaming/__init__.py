@@ -1,0 +1,16 @@
+"""Structured Streaming over Iceberg: incremental scans, a Python Data
+Source stream reader, and event-time window helpers."""
+
+from .incremental import appended_snapshots, incremental_scan  # noqa: F401
+from .source import (  # noqa: F401
+    FORMAT_NAME,
+    IcebergStreamDataSource,
+    register_stream_source,
+)
+from .windows import (  # noqa: F401
+    session_agg,
+    sliding_agg,
+    streaming_dedup,
+    tumbling_agg,
+    with_watermark,
+)

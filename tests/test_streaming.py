@@ -1,0 +1,140 @@
+"""Streaming tests: snapshot-incremental batch reads, the iceberg_inc
+Python Data Source (availableNow microbatches + checkpoint resume), and
+window helpers (unified batch semantics)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_iceberg_spark import write_iceberg
+from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+from duckdb_iceberg_spark.streaming import (
+    incremental_scan,
+    register_stream_source,
+    session_agg,
+    streaming_dedup,
+    tumbling_agg,
+)
+
+
+def test_incremental_scan_between_snapshots(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    write_iceberg(spark.range(0, 10).selectExpr("id"), loc)
+    snap1 = load_table_metadata(loc).current_snapshot_id
+    write_iceberg(spark.range(10, 25).selectExpr("id"), loc)
+
+    inc = sorted(r.id for r in incremental_scan(
+        spark, loc, from_snapshot_id=snap1).collect())
+    assert inc == list(range(10, 25))
+    full = sorted(r.id for r in incremental_scan(spark, loc).collect())
+    assert full == list(range(25))
+
+
+def test_incremental_scan_skips_compaction(spark, tmp_path):
+    from duckdb_iceberg_spark.sources.maintenance import rewrite_data_files
+
+    loc = str(tmp_path / "t2")
+    write_iceberg(spark.range(0, 50).repartition(2), loc)
+    snap1 = load_table_metadata(loc).current_snapshot_id
+    write_iceberg(spark.range(50, 80).repartition(2), loc)
+    rewrite_data_files(spark, loc, rewrite_all=True)
+
+    inc = sorted(r.id for r in incremental_scan(
+        spark, loc, from_snapshot_id=snap1).collect())
+    assert inc == list(range(50, 80))  # replace snapshot contributes nothing
+
+
+def test_incremental_scan_rejects_delete_by_default(spark, tmp_path):
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    loc = str(tmp_path / "t3")
+    write_iceberg(spark.range(0, 40).selectExpr("id", "id % 4 AS k"), loc)
+    snap1 = load_table_metadata(loc).current_snapshot_id
+    delete_from(spark, loc, "k = 1", mode="merge-on-read")
+    write_iceberg(spark.range(40, 50).selectExpr("id", "id % 4 AS k"), loc)
+
+    with pytest.raises(ValueError, match="non-append"):
+        incremental_scan(spark, loc, from_snapshot_id=snap1)
+    inc = sorted(r.id for r in incremental_scan(
+        spark, loc, from_snapshot_id=snap1, on_non_append="skip").collect())
+    assert inc == list(range(40, 50))
+
+
+def _run_available_now(spark, loc, checkpoint, out_dir):
+    df = (spark.readStream.format("iceberg_inc")
+          .option("path", loc).option("starting", "earliest").load())
+    q = (df.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_stream_source_available_now_and_resume(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_iceberg(spark.range(0, 20).selectExpr("id", "id * 2 AS v"), loc)
+    write_iceberg(spark.range(20, 30).selectExpr("id", "id * 2 AS v"), loc)
+
+    register_stream_source(spark)
+    _run_available_now(spark, loc, ckpt, out)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(30))
+
+    # append more; resuming from the checkpoint must emit ONLY the new rows
+    write_iceberg(spark.range(30, 37).selectExpr("id", "id * 2 AS v"), loc)
+    _run_available_now(spark, loc, ckpt, out)
+    got2 = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got2 == list(range(37))  # 30 old + exactly the 7 new
+
+
+def test_stream_windowed_aggregation(spark, tmp_path):
+    loc = str(tmp_path / "tbl_w")
+    rows = [(i, f"2024-01-01 00:{i // 10:02d}:{(i * 7) % 60:02d}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id: long, ts_s: string") \
+        .selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    write_iceberg(df, loc)
+
+    register_stream_source(spark)
+    sdf = (spark.readStream.format("iceberg_inc")
+           .option("path", loc).option("starting", "earliest").load())
+    agg = tumbling_agg(sdf, "ts", "1 minute",
+                       {"cnt": F.count(F.lit(1))}, watermark="2 minutes")
+    q = (agg.writeStream.format("memory").queryName("w1")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # batch equivalence: same helper over the same data as a batch frame
+    batch = {(r.window_start, r.cnt)
+             for r in tumbling_agg(df, "ts", "1 minute",
+                                   {"cnt": F.count(F.lit(1))}).collect()}
+    # append-mode stream emits only watermark-closed windows; every emitted
+    # window must match the batch result
+    stream = {(r.window_start, r.cnt) for r in spark.sql("SELECT * FROM w1").collect()}
+    assert stream <= batch
+    assert len(batch) == 4
+
+
+def test_window_helpers_batch_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:05", "a"), (2, "2024-01-01 00:00:20", "a"),
+         (3, "2024-01-01 00:02:00", "a"), (4, "2024-01-01 00:00:30", "b")],
+        "id: long, ts_s: string, k: string",
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts", "k")
+
+    t = tumbling_agg(df, "ts", "1 minute", {"cnt": F.count(F.lit(1))}, keys=["k"])
+    got = {(str(r.window_start), r.k): r.cnt for r in t.collect()}
+    assert got[("2024-01-01 00:00:00", "a")] == 2
+    assert got[("2024-01-01 00:02:00", "a")] == 1
+    assert got[("2024-01-01 00:00:00", "b")] == 1
+
+    s = session_agg(df.filter("k = 'a'"), "ts", "30 seconds",
+                    {"cnt": F.count(F.lit(1))})
+    sessions = sorted((str(r.session_start), r.cnt) for r in s.collect())
+    assert sessions == [("2024-01-01 00:00:05", 2), ("2024-01-01 00:02:00", 1)]
+
+    d = streaming_dedup(df, ["k"])
+    assert d.count() == 2

@@ -101,24 +101,27 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, signature array<long>[num_hashes]) via vectorized pandas UDF."""
-    a, b = _hash_params(num_hashes)
+    """(id, signature array<long>[num_hashes]) via vectorized pandas UDF.
 
+    Hash family is multiply-shift (a*x + b with uint64 wraparound, top bits
+    kept) — no modulo in the inner loop; per-doc matrices stay small enough
+    to live in cache (shingles × num_hashes)."""
+    a, b = _hash_params(num_hashes)
     au = a.astype(np.uint64)
     bu = b.astype(np.uint64)
-    mer = np.uint64(_MERSENNE)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-                continue
-            sh = _shingle_hashes(t, shingle_k)
-            # (a*x + b) mod p with uint64 wraparound — deterministic hash family
-            vals = (au[None, :] * sh[:, None] + bu[None, :]) % mer
-            out.append(vals.min(axis=0).astype(np.int64).tolist())
+        with np.errstate(over="ignore"):
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                sh = _shingle_hashes(t, shingle_k)
+                vals = au[None, :] * sh[:, None] + bu[None, :]
+                # shift into non-negative int64 range for the LongType column
+                out.append((vals.min(axis=0) >> np.uint64(1)).astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
@@ -128,14 +131,20 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 16,
+    pairing: str = "min",  # min | all
 ) -> DataFrame:
-    """Band the signatures and emit candidate (id_a, id_b) pairs sharing any
-    band bucket. Shuffle is on (band, bucket-hash); output deduplicated."""
-    num_hashes = None  # derived at runtime from array length
-    sig = signatures
+    """Band the signatures and emit candidate (id_a, id_b) pairs sharing a
+    band bucket. Shuffle is on (band, bucket-hash).
+
+    ``pairing='min'`` (default, the scale path) pairs every bucket member
+    with the bucket's minimum id — LINEAR in bucket size, so a bucket of m
+    near-identical docs yields m-1 pairs instead of m(m-1)/2. For dedup
+    that's the cluster-representative trick: members verify against the
+    representative, not each other. ``pairing='all'`` is the classic
+    all-pairs emission for similarity mining on small candidate sets."""
     rows_per_band = F.floor(F.size("signature") / F.lit(bands))
     banded = (
-        sig.select(
+        signatures.select(
             F.col(id_col),
             F.posexplode(
                 F.transform(
@@ -146,9 +155,19 @@ def lsh_candidate_pairs(
             ).alias("band", "bucket"),
         )
     )
+    if pairing == "min":
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bucket")
+        return (
+            banded.withColumn("__min", F.min(id_col).over(w))
+            .filter(F.col(id_col) != F.col("__min"))
+            .select(F.col("__min").alias("id_a"), F.col(id_col).alias("id_b"))
+            .distinct()
+        )
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -158,7 +177,6 @@ def lsh_candidate_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def verify_jaccard(
@@ -207,14 +225,23 @@ def minhash_dedup(
     shingle_k: int = 5,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Full near-dedup pipeline: signatures → LSH candidates → exact verify →
-    drop the higher id of each verified pair (deterministic min-keeps-winner;
-    one LSH pass, transitive chains collapse to the min id over one hop)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    """Full near-dedup pipeline: exact-collapse → signatures → LSH
+    candidates (bucket-min pairing) → exact verify → drop verified losers.
+
+    The exact-dup pre-collapse is load-bearing at scale: web corpora are
+    dominated by byte-identical copies, and every group of m identical docs
+    would land in the same LSH bucket in EVERY band — the hash-groupBy
+    removes that quadratic blowup before the minhash UDF ever runs, and
+    only distinct texts pay for signatures."""
+    fp = df.withColumn("__fp", doc_fingerprint(text_col))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    reps = fp.join(keep, [id_col, "__fp"], "left_semi").drop("__fp")
+
+    sigs = minhash_signatures(reps, text_col, id_col, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(sigs, id_col, bands)
-    dupes = verify_jaccard(cands, df, text_col, id_col, shingle_k, threshold)
+    dupes = verify_jaccard(cands, reps, text_col, id_col, shingle_k, threshold)
     losers = dupes.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    return reps.join(losers, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -266,7 +266,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _scan_lineitem(
         spark, sf_dir,
-        where="l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'",
+        where="l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'",
     )
     return li.filter("l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24").agg(
         _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue")
@@ -1101,8 +1101,8 @@ def oracle_sql() -> dict[str, str]:
         "q06_revenue_forecast": """
             SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount, 4) AS DECIMAL(28,4))) AS DOUBLE), 2) AS revenue
             FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-              AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
               AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
         """,
         "q04_order_priority": """

@@ -122,6 +122,22 @@ def _ice_region_merge(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(sf_dir, "region_merge", build)
 
 
+def _ice_supplier_upsert(spark: SparkSession, sf_dir: str) -> str:
+    """CDC-style equality-delete upsert: every 3rd supplier gets a new
+    balance via one snapshot carrying equality deletes + new data files."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.dml import upsert_equality
+
+        sup = _pq(spark, sf_dir, "supplier")
+        write_iceberg(sup, loc)
+        changed = sup.filter("s_suppkey % 3 = 0").withColumn(
+            "s_acctbal", F.col("s_acctbal") + 500.0)
+        upsert_equality(spark, loc, changed, key_columns=["s_suppkey"])
+
+    return _build_once(sf_dir, "supplier_upsert", build)
+
+
 def _ice_nation_tt(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     def build(loc: str) -> None:
         from duckdb_iceberg_spark import write_iceberg
@@ -657,6 +673,19 @@ def ice_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_supplier_upsert(spark, sf_dir)
+    return (
+        iceberg_scan(spark, loc)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             _dec_sum(F.col("s_acctbal"), 6).alias("sum_bal"))
+        .orderBy("s_nationkey")
+    )
+
+
 def ice_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_iceberg_spark import iceberg_scan
 
@@ -1014,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_mor_delete_scan": ice_mor_delete_scan,
         "ice_dv_delete_scan": ice_dv_delete_scan,
         "ice_update_scan": ice_update_scan,
+        "ice_upsert_scan": ice_upsert_scan,
         "ice_merge_scan": ice_merge_scan,
         "ice_time_travel": ice_time_travel,
         "ice_schema_evolution": ice_schema_evolution,
@@ -1314,6 +1344,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, count(*) AS cnt,
                    round(CAST(sum(CAST(round(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0 ELSE c_acctbal END, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_bal
             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "ice_upsert_scan": """
+            SELECT s_nationkey, count(*) AS cnt,
+                   round(CAST(sum(CAST(round(
+                     CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 500.0
+                          ELSE s_acctbal END, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_bal
+            FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
         """,
         "ice_merge_scan": """
             SELECT r_regionkey,

@@ -202,6 +202,110 @@ def _write_deletion_vectors(
     return entries, replaced
 
 
+def equality_delete(
+    spark: SparkSession,
+    location: str,
+    keys: DataFrame,
+    key_columns: list[str] | None = None,
+) -> TableMetadata:
+    """Write an equality-delete file: every table row whose key columns
+    match ANY row of ``keys`` is deleted, merge-on-read, without touching
+    data files (reference: equality_delete_helpers.cpp:33-70, write gated
+    behind ICEBERG_ENABLE_EQUALITY_DELETE_WRITES).
+
+    The delete file stores only the key rows; equality_ids carries the
+    table field-ids of the key columns. Sequence-number semantics make it
+    apply strictly to EARLIER data files (delete.seq > data.seq), so rows
+    appended afterwards with the same keys survive — exactly the CDC upsert
+    contract."""
+    tm = load_table_metadata(location)
+    key_columns = key_columns or keys.columns
+    schema_json = tm.schema_json()
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    eq_ids = []
+    for c in key_columns:
+        if c not in by_name:
+            raise ValueError(f"equality-delete column {c!r} not in table schema")
+        eq_ids.append(by_name[c]["id"])
+
+    out_dir = os.path.join(tm.location, "data", f"eq-deletes-{str(_uuid.uuid4())[:8]}")
+    rows = keys.select(*[
+        F.col(c).cast(ice_types.iceberg_to_spark(by_name[c]["type"]))
+        .alias(c, metadata={ice_types.FIELD_ID_KEY: by_name[c]["id"]})
+        for c in key_columns
+    ]).dropDuplicates()
+    rows.coalesce(1).write.mode("errorifexists").parquet(out_dir)
+    paths = sorted(
+        os.path.join(r, fn) for r, _d, fns in os.walk(out_dir)
+        for fn in fns if fn.endswith(".parquet"))
+    stats = _collect_stats(spark, paths)
+    delete_files = []
+    for st in stats:
+        lower, upper = {}, {}
+        for fid, v in st["mins"].items():
+            b = _stat_bound(v)
+            if b is not None:
+                lower[fid] = b
+        for fid, v in st["maxs"].items():
+            b = _stat_bound(v)
+            if b is not None:
+                upper[fid] = b
+        delete_files.append(mf.DataFile(
+            content=mf.CONTENT_EQUALITY_DELETES,
+            file_path=st["path"],
+            file_format="PARQUET",
+            partition={},
+            record_count=st["record_count"],
+            file_size_in_bytes=st["file_size"],
+            lower_bounds=lower or None,
+            upper_bounds=upper or None,
+            equality_ids=eq_ids,
+        ))
+    if not delete_files:
+        return tm
+    commit_snapshot(tm, operation="delete", new_delete_files=delete_files)
+    return tm
+
+
+def upsert_equality(
+    spark: SparkSession,
+    location: str,
+    df: DataFrame,
+    key_columns: list[str],
+) -> TableMetadata:
+    """CDC-style merge-on-read upsert (the Flink-connector pattern): ONE
+    snapshot carrying an equality-delete file for the incoming keys plus
+    the new data files. Old rows with those keys vanish (delete.seq >
+    data.seq), the new rows live in files at the same sequence number and
+    are untouched by it."""
+    tm = load_table_metadata(location)
+    schema_json = tm.schema_json()
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    eq_ids = [by_name[c]["id"] for c in key_columns]
+
+    out_dir = os.path.join(tm.location, "data", f"eq-deletes-{str(_uuid.uuid4())[:8]}")
+    keys = df.select(*[
+        F.col(c).cast(ice_types.iceberg_to_spark(by_name[c]["type"]))
+        .alias(c, metadata={ice_types.FIELD_ID_KEY: by_name[c]["id"]})
+        for c in key_columns
+    ]).dropDuplicates()
+    keys.coalesce(1).write.mode("errorifexists").parquet(out_dir)
+    paths = sorted(
+        os.path.join(r, fn) for r, _d, fns in os.walk(out_dir)
+        for fn in fns if fn.endswith(".parquet"))
+    stats = _collect_stats(spark, paths)
+    delete_files = [mf.DataFile(
+        content=mf.CONTENT_EQUALITY_DELETES,
+        file_path=st["path"], file_format="PARQUET", partition={},
+        record_count=st["record_count"], file_size_in_bytes=st["file_size"],
+        equality_ids=eq_ids,
+    ) for st in stats]
+    new_files, _root = write_data_files(spark, df, tm)
+    commit_snapshot(tm, operation="overwrite",
+                    new_data_files=new_files, new_delete_files=delete_files)
+    return tm
+
+
 def _write_row_deletes(
     spark: SparkSession, tm: TableMetadata, pairs: DataFrame, plan: ScanPlan
 ) -> tuple[list[mf.DataFile], set[str]]:

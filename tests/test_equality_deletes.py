@@ -1,0 +1,70 @@
+"""Equality-delete WRITE path + CDC upsert tests (read path covered via
+scan tests; reference: equality_delete_helpers.cpp, sequence semantics
+iceberg_file_pruner.cpp:340-356)."""
+
+import pytest
+
+from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+from duckdb_iceberg_spark.sources.dml import equality_delete, upsert_equality
+
+
+def test_equality_delete_basic(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    write_iceberg(spark.range(100).selectExpr("id", "id % 5 AS k"), loc)
+    keys = spark.createDataFrame([(1,), (3,)], "k: long")
+    equality_delete(spark, loc, keys)
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(100) if i % 5 not in (1, 3)]
+
+
+def test_equality_delete_only_hits_earlier_files(spark, tmp_path):
+    loc = str(tmp_path / "t2")
+    write_iceberg(spark.range(0, 50).selectExpr("id", "id AS k"), loc)
+    equality_delete(spark, loc, spark.createDataFrame([(7,), (49,)], "k: long"))
+    # rows appended AFTER the delete with the same keys must survive
+    write_iceberg(spark.createDataFrame([(7, 7), (49, 49)], "id: long, k: long"), loc)
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == list(range(50))  # every id exactly once: old 7/49 gone, new ones live
+
+
+def test_equality_delete_multi_column_and_nulls(spark, tmp_path):
+    loc = str(tmp_path / "t3")
+    rows = [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "a", 40)]
+    write_iceberg(spark.createDataFrame(rows, "id: long, s: string, v: long"), loc)
+    keys = spark.createDataFrame([("a", 10), (None, 30)], "s: string, v: long")
+    equality_delete(spark, loc, keys, key_columns=["s", "v"])
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    # (1,'a',10) matches; (3,NULL,30) matches via null-safe equality;
+    # (4,'a',40) survives (v differs)
+    assert got == [2, 4]
+
+
+def test_equality_delete_unknown_column(spark, tmp_path):
+    loc = str(tmp_path / "t4")
+    write_iceberg(spark.range(5), loc)
+    with pytest.raises(ValueError, match="not in table schema"):
+        equality_delete(spark, loc, spark.createDataFrame([(1,)], "nope: long"))
+
+
+def test_upsert_updates_and_inserts(spark, tmp_path):
+    loc = str(tmp_path / "t5")
+    write_iceberg(
+        spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "id: long, v: double"),
+        loc)
+    upsert_equality(
+        spark, loc,
+        spark.createDataFrame([(2, 200.0), (4, 400.0)], "id: long, v: double"),
+        key_columns=["id"])
+    got = {r.id: r.v for r in iceberg_scan(spark, loc).collect()}
+    assert got == {1: 10.0, 2: 200.0, 3: 30.0, 4: 400.0}
+
+
+def test_upsert_twice_same_key(spark, tmp_path):
+    loc = str(tmp_path / "t6")
+    write_iceberg(spark.createDataFrame([(1, 1.0)], "id: long, v: double"), loc)
+    upsert_equality(spark, loc,
+                    spark.createDataFrame([(1, 2.0)], "id: long, v: double"), ["id"])
+    upsert_equality(spark, loc,
+                    spark.createDataFrame([(1, 3.0)], "id: long, v: double"), ["id"])
+    rows = iceberg_scan(spark, loc).collect()
+    assert len(rows) == 1 and rows[0].v == 3.0

@@ -782,6 +782,17 @@ def ice_column_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-level ORDER BY + LIMIT: file bounds order the scan and prune
+    files that can't reach the top k (only the value column is output, so
+    boundary ties hash identically in both engines)."""
+    from duckdb_iceberg_spark.sources.scan import topk_scan
+
+    loc = _ice_lineitem(spark, sf_dir)
+    return topk_scan(spark, loc, "l_extendedprice", 25).select(
+        F.round("l_extendedprice", 2).alias("l_extendedprice"))
+
+
 def ice_truncate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_iceberg_spark.functions import iceberg_truncate
 
@@ -1052,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_snapshot_history": ice_snapshot_history,
         "ice_partition_stats": ice_partition_stats_q,
         "ice_column_stats": ice_column_stats_q,
+        "ice_topk_scan": ice_topk_scan,
         "ice_truncate_fn": ice_truncate_fn,
         "ice_bucket_fn": ice_bucket_fn,
         "docs_exact_dedup": docs_exact_dedup,
@@ -1399,6 +1411,10 @@ def oracle_sql() -> dict[str, str]:
                    max(l_orderkey) AS max_orderkey,
                    count(*) AS total_values
             FROM lineitem
+        """,
+        "ice_topk_scan": """
+            SELECT round(l_extendedprice, 2) AS l_extendedprice
+            FROM lineitem ORDER BY l_extendedprice DESC LIMIT 25
         """,
         "ice_truncate_fn": """
             SELECT p_partkey,

@@ -76,6 +76,34 @@ def iceberg_scan(
                              with_row_lineage=with_row_lineage)
 
 
+def topk_scan(
+    spark: SparkSession,
+    path: str,
+    order_by: str,
+    limit: int,
+    *,
+    descending: bool = True,
+    where: str | None = None,
+    **scan_opts,
+) -> DataFrame:
+    """ORDER BY <col> [DESC] LIMIT <k> over an Iceberg table with
+    metadata-level file ordering + pruning (reference:
+    iceberg_scan_order.cpp hook in iceberg_scan.cpp:75-79). Files whose
+    bounds provably cannot reach the top k are never read; Spark's TakeOrdered
+    handles the surviving rows."""
+    from ..plans.scan_order import topk_order_plan
+
+    tm = load_table_metadata(path, scan_opts.pop("version", None))
+    snapshot = tm.select_snapshot(
+        snapshot_id=scan_opts.pop("snapshot_id", None),
+        as_of=scan_opts.pop("as_of", None))
+    plan = plan_scan(tm, snapshot, where)
+    plan = topk_order_plan(plan, order_by, limit, descending)
+    df = scan_to_dataframe(spark, plan, **scan_opts)
+    col = F.col(order_by).desc() if descending else F.col(order_by).asc()
+    return df.orderBy(col).limit(limit)
+
+
 def scan_to_dataframe(
     spark: SparkSession,
     plan: ScanPlan,

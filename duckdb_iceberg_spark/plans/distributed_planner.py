@@ -1,0 +1,157 @@
+"""Distributed scan planning for many-manifest tables.
+
+The driver-side planner (`plan_scan`) parses every surviving manifest
+serially — fine up to ~100 manifests, a bottleneck for a 100 TB table whose
+snapshot holds thousands (the reference's answer is lazy per-manifest
+batches, `iceberg_multi_file_list.cpp:437-498`; benchmarks
+`benchmark/metadata_late_materialization/`). Here the Spark-native answer:
+manifest-level pruning stays on the driver (the manifest LIST is one small
+Avro file holding the partition summaries), then the surviving manifests
+are read and file-pruned IN PARALLEL on executors — each task fastavro-
+parses its manifest, applies the same predicate truth tables, and ships
+back only the surviving entries (pickled dataclasses, KBs per manifest).
+Only file descriptors ever reach the driver; at no point do row data or
+full manifest contents concentrate anywhere."""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from ..metadata import manifest as mf
+from ..metadata.table_metadata import Snapshot, TableMetadata
+from . import predicates as P
+from .scan_plan import (
+    FileScanTask,
+    PartitionSpec,
+    ScanPlan,
+    _file_matches,
+    _localize,
+    _manifest_matches,
+    _partitions_overlap,
+    plan_scan,
+)
+
+DEFAULT_DISTRIBUTE_THRESHOLD = 64
+
+
+def plan_scan_distributed(
+    spark: SparkSession,
+    tm: TableMetadata,
+    snapshot: Optional[Snapshot],
+    where: str | None = None,
+    *,
+    manifest_threshold: int = DEFAULT_DISTRIBUTE_THRESHOLD,
+) -> ScanPlan:
+    """Like ``plan_scan`` but parallelizes manifest parsing + file pruning
+    across executors once the (post-pruning) data-manifest count exceeds
+    ``manifest_threshold``. Falls back to the driver planner below it."""
+    pred = P.parse_where(where)
+    if snapshot is None or not snapshot.manifest_list:
+        return plan_scan(tm, snapshot, where)
+
+    ml_path = _localize(tm, snapshot.manifest_list)
+    manifests = mf.read_manifest_list(ml_path)
+
+    data_manifests: list[mf.ManifestFile] = []
+    delete_manifests: list[mf.ManifestFile] = []
+    pruned = 0
+    for m in manifests:
+        if not _manifest_matches(m, tm, pred):
+            pruned += 1
+            continue
+        (delete_manifests if m.content == mf.MANIFEST_DELETES else data_manifests).append(m)
+
+    if len(data_manifests) <= manifest_threshold:
+        return plan_scan(tm, snapshot, where)
+
+    schema_json = tm.schemas.get(
+        snapshot.schema_id if snapshot.schema_id is not None else tm.current_schema_id,
+        tm.schemas[tm.current_schema_id],
+    )
+    tm_blob = pickle.dumps(tm)
+    pred_blob = pickle.dumps(pred)
+    schema_blob = pickle.dumps(schema_json)
+
+    def prune_manifest(item: tuple[str, int, Optional[int]]) -> list[bytes]:
+        path, spec_id, m_seq = item
+        tm_l: TableMetadata = pickle.loads(tm_blob)
+        pred_l = pickle.loads(pred_blob)
+        schema_l = pickle.loads(schema_blob)
+        spec = tm_l.partition_specs.get(spec_id, PartitionSpec(spec_id, []))
+        out = []
+        for e in mf.read_manifest(_localize(tm_l, path)):
+            if e.status == mf.STATUS_DELETED:
+                continue
+            if e.sequence_number is None:
+                e.sequence_number = m_seq
+            if e.file_sequence_number is None:
+                e.file_sequence_number = m_seq
+            if not _file_matches(e, spec, tm_l, pred_l, schema_l):
+                continue
+            out.append(pickle.dumps((e, spec_id)))
+        return out
+
+    items = [(m.manifest_path, m.partition_spec_id, m.sequence_number)
+             for m in data_manifests]
+    n_slices = min(len(items), spark.sparkContext.defaultParallelism * 2)
+    survivors_raw = (
+        spark.sparkContext.parallelize(items, n_slices)
+        .flatMap(prune_manifest)
+        .collect()
+    )
+    data_entries = [pickle.loads(b) for b in survivors_raw]
+
+    # delete manifests: usually few — parse on the driver
+    pos_deletes: list[tuple[mf.ManifestEntry, int]] = []
+    eq_deletes: list[tuple[mf.ManifestEntry, int]] = []
+    for m in delete_manifests:
+        for e in mf.read_manifest(_localize(tm, m.manifest_path)):
+            if e.status == mf.STATUS_DELETED:
+                continue
+            if e.sequence_number is None:
+                e.sequence_number = m.sequence_number
+            if e.file_sequence_number is None:
+                e.file_sequence_number = m.sequence_number
+            if e.data_file.content == mf.CONTENT_EQUALITY_DELETES:
+                eq_deletes.append((e, m.partition_spec_id))
+            else:
+                pos_deletes.append((e, m.partition_spec_id))
+
+    stats = {
+        "manifests_total": len(manifests),
+        "manifests_pruned": pruned,
+        "files_total": len(data_entries),
+        "files_pruned": 0,  # executor-side pruning already applied
+        "delete_files": len(pos_deletes) + len(eq_deletes),
+        "distributed_manifests": len(data_manifests),
+    }
+
+    tasks: list[FileScanTask] = []
+    for e, spec_id in data_entries:
+        e.data_file.file_path = _localize(tm, e.data_file.file_path)
+        task = FileScanTask(
+            data_file=e.data_file,
+            sequence_number=e.sequence_number or 0,
+            spec_id=spec_id,
+            first_row_id=e.data_file.first_row_id,
+        )
+        data_seq = e.sequence_number or 0
+        for de, dspec in pos_deletes:
+            if (de.sequence_number or 0) >= data_seq and _partitions_overlap(e, de, spec_id, dspec):
+                df2 = de.data_file
+                df2.file_path = _localize(tm, df2.file_path)
+                task.positional_deletes.append(df2)
+        for de, dspec in eq_deletes:
+            if (de.sequence_number or 0) > data_seq and _partitions_overlap(e, de, spec_id, dspec):
+                df2 = de.data_file
+                df2.file_path = _localize(tm, df2.file_path)
+                task.equality_deletes.append(((de.sequence_number or 0), df2))
+        tasks.append(task)
+
+    tasks.sort(key=lambda t: t.data_file.file_path)  # determinism across runs
+    return ScanPlan(tm, snapshot, tasks, where,
+                    snapshot.schema_id if snapshot.schema_id is not None else None,
+                    stats)

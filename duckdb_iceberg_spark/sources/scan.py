@@ -71,7 +71,11 @@ def iceberg_scan(
     if plan is None:
         tm = load_table_metadata(path, version)
         snapshot = tm.select_snapshot(snapshot_id=snapshot_id, as_of=as_of)
-        plan = plan_scan(tm, snapshot, where)
+        # many-manifest tables plan on executors (metadata late
+        # materialization at 100 TB); small tables stay on the driver
+        from ..plans.distributed_planner import plan_scan_distributed
+
+        plan = plan_scan_distributed(spark, tm, snapshot, where)
     return scan_to_dataframe(spark, plan, with_file_info=with_file_info,
                              with_row_lineage=with_row_lineage)
 

@@ -34,12 +34,18 @@ HEADLINE = [
     "q_window_top_order",
     "q_events_hourly",
     "ice_mor_delete_scan",
+    "ice_dv_delete_scan",
     "ice_update_scan",
+    "ice_upsert_scan",
+    "ice_topk_scan",
     "ice_count_star_metadata",
     "docs_exact_dedup",
     "docs_lang_scores",
     "docs_minhash_dedup",
     "emb_cosine_topk",
+    "emb_ivf_topk",
+    "stream_tumbling_events",
+    "mm_frame_sample",
 ]
 
 
@@ -61,7 +67,8 @@ def main() -> None:
 
     # build fixtures (cached across runs) outside per-query timing
     t0 = time.time()
-    for fn in (entry._ice_lineitem, entry._ice_orders_mor, entry._ice_customer_upd):
+    for fn in (entry._ice_lineitem, entry._ice_orders_mor, entry._ice_customer_upd,
+               entry._ice_orders_dv, entry._ice_supplier_upsert):
         fn(spark, sf_dir)
     build_s = time.time() - t0
 

@@ -455,13 +455,20 @@ def merge_into(
     when_matched_update: Mapping[str, Any] | None = None,
     when_matched_delete: bool = False,
     when_not_matched_insert: Mapping[str, Any] | bool | None = None,
+    mode: str | None = None,
 ) -> TableMetadata:
-    """MERGE INTO target USING source ON cond — copy-on-write, two-phase
-    (reference: merge_into/iceberg_merge_into.cpp:136-266; all WHEN actions
-    share one join of source and target, here too).
+    """MERGE INTO target USING source ON cond — all WHEN actions share one
+    join of source and target (reference:
+    merge_into/iceberg_merge_into.cpp:136-266).
 
     ``on`` references target columns bare and source columns as ``src.<col>``
-    (source is registered with alias ``src``; target alias ``tgt``)."""
+    (source is registered with alias ``src``; target alias ``tgt``).
+
+    Copy-on-write rewrites only the target files containing matches;
+    merge-on-read (``mode='merge-on-read'`` or table property
+    ``write.merge.mode``) instead writes row deletes for the matched rows
+    (Puffin DVs on v3, positional parquet on v2) plus data files holding
+    the updated/inserted rows — one snapshot, O(delta) write volume."""
     tm = load_table_metadata(location)
     snapshot = tm.select_snapshot()
     plan = plan_scan(tm, snapshot, None)
@@ -471,6 +478,12 @@ def merge_into(
     target = scan_to_dataframe(spark, plan, with_file_info=True).alias("tgt")
     src = source.alias("src")
     cond = F.expr(on)
+    mode = _resolve_mode(tm, mode, "write.merge.mode")
+
+    if mode == "merge-on-read":
+        return _merge_into_mor(
+            spark, tm, plan, target, src, cond, schema,
+            when_matched_update, when_matched_delete, when_not_matched_insert)
 
     # phase 1: which target files contain matched rows?
     matched_files = [
@@ -535,5 +548,75 @@ def merge_into(
     commit_snapshot(
         tm, operation="overwrite", new_data_files=new_files,
         removed_data_paths=affected or None,
+    )
+    return tm
+
+
+def _merge_into_mor(
+    spark: SparkSession,
+    tm: TableMetadata,
+    plan: ScanPlan,
+    target: DataFrame,
+    src: DataFrame,
+    cond: Column,
+    schema: list[str],
+    when_matched_update: Mapping[str, Any] | None,
+    when_matched_delete: bool,
+    when_not_matched_insert: Mapping[str, Any] | bool | None,
+) -> TableMetadata:
+    """Merge-on-read MERGE: matched rows become row deletes; updates and
+    inserts become new data files; one snapshot carries both."""
+    matched = target.join(src, cond, "inner")
+    pairs = matched.select(
+        F.col("tgt.filename").alias("file_path"),
+        F.col("tgt.file_row_number").alias("pos"),
+    )
+
+    new_parts: list[DataFrame] = []
+    if when_matched_update:
+        cols = []
+        for c in schema:
+            if c in when_matched_update:
+                expr = when_matched_update[c]
+                val = expr if isinstance(expr, Column) else F.expr(str(expr))
+                cols.append(val.alias(c))
+            else:
+                cols.append(F.col(f"tgt.{c}").alias(c))
+        new_parts.append(matched.select(*cols))
+
+    if when_not_matched_insert:
+        inserts = src.join(target, cond, "left_anti")
+        if when_not_matched_insert is True:
+            ins_cols = [
+                (F.col(c) if c in inserts.columns else F.lit(None)).alias(c)
+                for c in schema
+            ]
+        else:
+            ins_cols = []
+            for c in schema:
+                if c in when_not_matched_insert:
+                    expr = when_not_matched_insert[c]
+                    val = expr if isinstance(expr, Column) else F.expr(str(expr))
+                    ins_cols.append(val.alias(c))
+                else:
+                    ins_cols.append(F.lit(None).alias(c))
+        new_parts.append(inserts.select(*ins_cols))
+
+    delete_files: list[mf.DataFile] = []
+    replaced: set[str] = set()
+    if when_matched_update or when_matched_delete:
+        delete_files, replaced = _write_row_deletes(spark, tm, pairs, plan)
+    if not delete_files and not new_parts:
+        return tm
+    new_files: list[mf.DataFile] = []
+    if new_parts:
+        union = new_parts[0]
+        for p in new_parts[1:]:
+            union = union.unionByName(p)
+        new_files, _ = write_data_files(spark, union, tm)
+    commit_snapshot(
+        tm, operation="overwrite",
+        new_data_files=new_files, new_delete_files=delete_files,
+        removed_delete_paths=replaced or None,
     )
     return tm

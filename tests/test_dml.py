@@ -138,3 +138,58 @@ def test_metadata_tables(spark, sf_dir, tmp_path):
     prow = pstats.first()
     assert prow.partition_source_column == "s_nationkey"
     assert prow.transform == "identity"
+
+
+def test_merge_into_merge_on_read_v3(spark, tmp_path):
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.dml import merge_into
+
+    loc = str(tmp_path / "merge_mor")
+    write_iceberg(
+        spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "id: long, v: double"),
+        loc, format_version=3)
+    updates = spark.createDataFrame([(2, 200.0), (9, 900.0)], "id: long, v: double")
+    merge_into(spark, loc, updates, "tgt.id = src.id",
+               when_matched_update={"v": "src.v"},
+               when_not_matched_insert=True,
+               mode="merge-on-read")
+
+    got = {r.id: r.v for r in iceberg_scan(spark, loc).collect()}
+    assert got == {1: 10.0, 2: 200.0, 3: 30.0, 9: 900.0}
+    # matched rows were deleted via a deletion vector, not a file rewrite
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    assert any((d.file_format or "").lower() == "puffin"
+               for t in plan.tasks for d in t.positional_deletes)
+
+
+def test_merge_into_mor_delete_action(spark, tmp_path):
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.dml import merge_into
+
+    loc = str(tmp_path / "merge_mor_del")
+    write_iceberg(spark.range(10).selectExpr("id", "id * 1.0 AS v"), loc)
+    merge_into(spark, loc,
+               spark.createDataFrame([(3,), (7,)], "id: long"),
+               "tgt.id = src.id",
+               when_matched_delete=True,
+               mode="merge-on-read")
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+def test_merge_into_mor_insert_only_preserves_matches(spark, tmp_path):
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.dml import merge_into
+
+    loc = str(tmp_path / "merge_mor_ins")
+    write_iceberg(spark.createDataFrame([(1, 1.0)], "id: long, v: double"), loc)
+    merge_into(spark, loc,
+               spark.createDataFrame([(1, 99.0), (2, 2.0)], "id: long, v: double"),
+               "tgt.id = src.id",
+               when_not_matched_insert=True,
+               mode="merge-on-read")
+    got = {r.id: r.v for r in iceberg_scan(spark, loc).collect()}
+    assert got == {1: 1.0, 2: 2.0}  # matched row untouched, no delete written

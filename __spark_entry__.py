@@ -166,6 +166,19 @@ def _ice_part_evo(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(sf_dir, "part_evolution", build)
 
 
+def _ice_orders_bucketed(spark: SparkSession, sf_dir: str) -> str:
+    """Orders bucketed by murmur3(o_orderkey) % 8 — equality filters prune
+    to one bucket file; a wrong bucket hash would prune the WRONG file and
+    fail the oracle (end-to-end spec-exactness check)."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+
+        write_iceberg(_pq(spark, sf_dir, "orders"), loc,
+                      partition_by=["bucket(8, o_orderkey)"])
+
+    return _build_once(sf_dir, "orders_bucket8", build)
+
+
 def _ice_part_compacted(spark: SparkSession, sf_dir: str) -> str:
     """Three small appends then bin-pack compaction (REPLACE snapshot)."""
     def build(loc: str) -> None:
@@ -782,6 +795,32 @@ def ice_column_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_bucket_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_orders_bucketed(spark, sf_dir)
+    return (
+        iceberg_scan(spark, loc,
+                     where="o_orderkey IN (1, 7, 32, 129, 1000)")
+        .select("o_orderkey", "o_orderstatus",
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+def ice_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iceberg_metadata() table function: manifest entries for the lineitem
+    fixture; record counts must reconcile with the table row count."""
+    from duckdb_iceberg_spark.sources.metadata_tables import iceberg_metadata
+
+    loc = _ice_lineitem(spark, sf_dir)
+    md = iceberg_metadata(spark, loc)
+    return (
+        md.filter("manifest_content = 'DATA' AND status <> 'DELETED'")
+        .agg(F.sum("record_count").alias("total_records"))
+    )
+
+
 def ice_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-level ORDER BY + LIMIT: file bounds order the scan and prune
     files that can't reach the top k (only the value column is output, so
@@ -1063,6 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_snapshot_history": ice_snapshot_history,
         "ice_partition_stats": ice_partition_stats_q,
         "ice_column_stats": ice_column_stats_q,
+        "ice_bucket_pruned_scan": ice_bucket_pruned_scan,
+        "ice_metadata_files": ice_metadata_files,
         "ice_topk_scan": ice_topk_scan,
         "ice_truncate_fn": ice_truncate_fn,
         "ice_bucket_fn": ice_bucket_fn,
@@ -1412,6 +1453,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS total_values
             FROM lineitem
         """,
+        "ice_bucket_pruned_scan": """
+            SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+            FROM orders WHERE o_orderkey IN (1, 7, 32, 129, 1000)
+            ORDER BY o_orderkey
+        """,
+        "ice_metadata_files": "SELECT count(*) AS total_records FROM lineitem",
         "ice_topk_scan": """
             SELECT round(l_extendedprice, 2) AS l_extendedprice
             FROM lineitem ORDER BY l_extendedprice DESC LIMIT 25

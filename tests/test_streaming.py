@@ -138,3 +138,72 @@ def test_window_helpers_batch_semantics(spark):
 
     d = streaming_dedup(df, ["k"])
     assert d.count() == 2
+
+
+def _stream(spark, loc):
+    register_stream_source(spark)
+    return (spark.readStream.format("iceberg_inc")
+            .option("path", loc).option("starting", "earliest").load())
+
+
+def test_stateful_running_counts_accumulate_across_runs(spark, tmp_path):
+    from duckdb_iceberg_spark.streaming import running_counts
+
+    loc = str(tmp_path / "tbl_rc")
+    ckpt = str(tmp_path / "ckpt_rc")
+    out = str(tmp_path / "out_rc")
+    write_iceberg(spark.range(10).selectExpr("id % 3 AS k", "id"), loc)
+
+    def run():
+        agg = running_counts(_stream(spark, loc), ["k"])
+        q = (agg.writeStream.format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    got1 = {r.k: r.events for r in spark.read.parquet(out).collect()}
+    assert got1 == {0: 4, 1: 3, 2: 3}
+
+    # second batch: counts must ACCUMULATE via the state store
+    write_iceberg(spark.range(10, 16).selectExpr("id % 3 AS k", "id"), loc)
+    run()
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        latest[r.k] = max(latest.get(r.k, 0), r.events)
+    assert latest == {0: 6, 1: 5, 2: 5}  # ids 10-15 add two per key
+
+    # batch fallback has the same shape
+    batch = running_counts(spark.read.parquet(out).limit(0)
+                           .selectExpr("k", "events AS id"), ["k"])
+    assert batch.columns == ["k", "events"]
+
+
+def test_stateful_first_seen_filter(spark, tmp_path):
+    from duckdb_iceberg_spark.streaming import first_seen_filter
+
+    loc = str(tmp_path / "tbl_fs")
+    ckpt = str(tmp_path / "ckpt_fs")
+    out = str(tmp_path / "out_fs")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k: long, payload: string"), loc)
+
+    def run():
+        dd = first_seen_filter(_stream(spark, loc), ["k"])
+        q = (dd.writeStream.format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    assert {(r.k, r.payload) for r in spark.read.parquet(out).collect()} == \
+        {(1, "a"), (2, "b")}
+
+    # same keys again + one new: only the new key may appear
+    write_iceberg(spark.createDataFrame(
+        [(1, "a2"), (3, "c")], "k: long, payload: string"), loc)
+    run()
+    rows = {(r.k, r.payload) for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}

@@ -947,6 +947,31 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, "text", "doc_id").orderBy("doc_id").limit(500)
 
 
+def docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: winnowing fingerprint selection is not SQL-expressible
+    from duckdb_iceberg_spark.operators.text import winnow_fingerprint
+
+    docs = _pq(spark, sf_dir, "documents")
+    return (
+        winnow_fingerprint(docs)
+        .select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
+        .orderBy("doc_id")
+        .limit(1000)
+    )
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: fake decoder (no audio libs); mapInPandas plumbing is real
+    from duckdb_iceberg_spark.operators.multimodal import extract_audio_features
+
+    feats = extract_audio_features(_mm_docs(spark, sf_dir))
+    return (
+        feats.select("id", "n_bytes", "duration_ms", "sample_rate")
+        .orderBy("id")
+        .limit(500)
+    )
+
+
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_iceberg_spark.operators.similarity import cosine_topk
 
@@ -1121,7 +1146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": emb_ivf_topk,
         "emb_neardup": emb_neardup,
         "mm_image_features": mm_image_features,
+        "mm_audio_features": mm_audio_features,
         "mm_frame_sample": mm_frame_sample,
+        "docs_winnow": docs_winnow,
     }
 
 

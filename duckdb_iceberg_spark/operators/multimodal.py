@@ -80,6 +80,53 @@ def extract_image_features(
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def fake_decode_audio(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """DETERMINISTIC FAKE audio decoder (no audio libs in this container):
+    (duration_ms, sample_rate, 8-dim feature) from crc32. Swap for a real
+    soundfile/librosa decoder in production."""
+    h = zlib.crc32(blob)
+    duration = 100 + (h & 0xFFFF)
+    rate = (8000, 16000, 22050, 44100)[(h >> 16) & 3]
+    rng = np.random.RandomState((h >> 2) & 0x7FFFFFFF)
+    return duration, rate, rng.normal(size=8).astype("float32")
+
+
+def extract_audio_features(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    decode: Callable[[bytes], tuple[int, int, np.ndarray]] | None = None,
+) -> DataFrame:
+    """mapInPandas audio feature extraction — same plumbing contract as
+    extract_image_features (decode is the stubbed step)."""
+    dec = decode or fake_decode_audio
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _i, row in pdf.iterrows():
+                blob = row[blob_col]
+                if blob is None:
+                    rows.append((row[id_col], None, None, 0, None))
+                    continue
+                b = bytes(blob)
+                dur, rate, feat = dec(b)
+                rows.append((row[id_col], dur, rate, len(b), feat.tolist()))
+            yield pd.DataFrame(
+                rows, columns=["id", "duration_ms", "sample_rate", "n_bytes", "feature"])
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_ms: int = 1000,

@@ -14,6 +14,8 @@ scans.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -76,6 +78,60 @@ def language_id(col: Column | str) -> Column:
     ]
     best = F.greatest(*pairs)
     return F.when(best["s"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def winnow_fingerprint(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+):
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken): rolling
+    k-byte polynomial hashes, then the minimum of each sliding window of
+    ``window`` hashes — guarantees any match of length >= k+window-1 shares
+    a fingerprint, at ~2/(window+1) the storage of full shingles. Output:
+    (id, fingerprints array<long> sorted distinct). Arrow-batched numpy; a
+    fingerprint overlap-join on ``explode(fingerprints)`` finds candidate
+    near-dups like LSH buckets do."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            norm = " ".join(t.lower().split())
+            b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(b) < k:
+                b = np.pad(b, (0, k - len(b)), constant_values=95)
+            h = _shingle_hashes_positional(b, k)
+            if len(h) < window:
+                sel = h
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(h, window)
+                sel = win.min(axis=1)
+            vals = np.unique(sel.astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF))
+            out.append(vals.tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprints"))
+
+
+def _shingle_hashes_positional(b, k: int):
+    """Positional (non-deduplicated) k-byte rolling polynomial hashes —
+    winnowing needs position order preserved, unlike MinHash shingles."""
+    win = np.lib.stride_tricks.sliding_window_view(b, k)
+    with np.errstate(over="ignore"):
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        prime = np.uint64(1099511628211)
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * prime
+        return (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
 
 
 def quality_signals(col: Column | str) -> dict[str, Column]:

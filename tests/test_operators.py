@@ -157,3 +157,37 @@ def test_text_quality_and_tokens(spark):
     assert abs(row.alpha - 10 / 14) < 1e-6
     assert abs(row.digit - 2 / 14) < 1e-6
     assert df.filter("doc_id = 2").select(token_count("text").alias("n")).first().n == 0
+
+
+def test_winnow_fingerprint_detects_overlap(spark):
+    from duckdb_iceberg_spark.operators.text import winnow_fingerprint
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, base),
+        (2, base + " with a small suffix added"),   # large shared prefix
+        (3, "an entirely different document about iceberg manifests and avro"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r.fingerprints for r in winnow_fingerprint(df).collect()}
+    assert out[4] is None
+    s1, s2, s3 = set(out[1]), set(out[2]), set(out[3])
+    overlap_12 = len(s1 & s2) / len(s1)
+    overlap_13 = len(s1 & s3) / len(s1)
+    assert overlap_12 > 0.6          # near-dup shares most fingerprints
+    assert overlap_13 < 0.2          # unrelated doc shares few
+    # determinism
+    again = {r.doc_id: r.fingerprints for r in winnow_fingerprint(df).collect()}
+    assert again[1] == out[1]
+
+
+def test_audio_features_stub(spark):
+    from duckdb_iceberg_spark.operators.multimodal import extract_audio_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"RIFFxxxx")), (2, None)], "id: long, blob: binary")
+    out = {r.id: r for r in extract_audio_features(df).collect()}
+    assert out[1].n_bytes == 8 and out[1].sample_rate in (8000, 16000, 22050, 44100)
+    assert len(out[1].feature) == 8
+    assert out[2].feature is None

@@ -64,6 +64,15 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet")).select("r_regionkey")
     warm.join(warm.limit(1), ["r_regionkey"], "left").groupBy("r_regionkey").count().collect()
+    # spin up the Python UDF worker pool (pandas import per worker) so the
+    # first pandas-UDF query measures steady-state, not interpreter startup
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm_udf(s):
+        return s
+
+    spark.range(32 * 1024).repartition(32).select(_warm_udf("id")).count()
 
     # build fixtures (cached across runs) outside per-query timing
     t0 = time.time()

@@ -235,7 +235,10 @@ def minhash_dedup(
     only distinct texts pay for signatures."""
     fp = df.withColumn("__fp", doc_fingerprint(text_col))
     keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    reps = fp.join(keep, [id_col, "__fp"], "left_semi").drop("__fp")
+    # reps feeds three downstream consumers (signatures, the two-sided verify
+    # join, and the final anti-join); persist so the parquet scan + collapse
+    # shuffle runs once, not four times (MEMORY_AND_DISK: spills, never OOMs)
+    reps = fp.join(keep, [id_col, "__fp"], "left_semi").drop("__fp").persist()
 
     sigs = minhash_signatures(reps, text_col, id_col, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(sigs, id_col, bands)

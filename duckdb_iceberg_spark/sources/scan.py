@@ -269,15 +269,38 @@ def _apply_positional_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan
     )
 
 
+#: below this many DV blobs the driver decodes them locally (they are tiny
+#: roaring bitmaps) instead of paying a mapInPandas Python-worker round trip.
+_DV_DRIVER_DECODE_MAX = 64
+
+
 def _dv_positions_df(spark: SparkSession, dv_blobs: dict[str, "mf.DataFile"]) -> DataFrame:
     """Decode Puffin deletion vectors into a (__del_file, __del_pos)
-    DataFrame. Blob decode runs on executors via mapInPandas — the driver
-    ships only (path, offset, length) triples, so a table with thousands of
-    DVs doesn't funnel bitmap bytes through the driver."""
+    DataFrame. Few blobs: decoded on the driver (bitmaps are KB-sized) and
+    shipped via Arrow. Many blobs: decode runs on executors via mapInPandas —
+    the driver ships only (path, offset, length) triples, so a table with
+    thousands of DVs doesn't funnel bitmap bytes through the driver."""
+    import numpy as np
     import pandas as pd
 
     meta = [(ref, d.file_path, int(d.content_offset or 0),
              int(d.content_size_in_bytes or 0)) for ref, d in sorted(dv_blobs.items())]
+
+    if len(meta) <= _DV_DRIVER_DECODE_MAX:
+        from ..metadata.puffin import read_dv_positions
+
+        frames = []
+        for ref, path, offset, length in meta:
+            pos = read_dv_positions(path, offset if length else None,
+                                    length if length else None, ref)
+            frames.append(pd.DataFrame(
+                {"__del_file": ref,
+                 "__del_pos": np.asarray(pos, dtype=np.int64)}))
+        pdf = (pd.concat(frames, ignore_index=True) if frames
+               else pd.DataFrame({"__del_file": pd.Series(dtype="object"),
+                                  "__del_pos": pd.Series(dtype="int64")}))
+        return spark.createDataFrame(
+            pdf, "`__del_file` string, `__del_pos` long")
     meta_df = spark.createDataFrame(
         meta, "ref: string, puffin: string, offset: long, length: long")
 

@@ -574,6 +574,143 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp in testdata → unit cost from lineitem):
+    correlated min-subquery rewritten as aggregate + join-back, 4-way
+    dimension join, region filter, deterministic top-100."""
+    li = _scan_lineitem(spark, sf_dir)
+    partsup = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias("cost"))
+    )
+    minc = partsup.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    part = _pq(spark, sf_dir, "part").filter("p_type = 'LARGE'")
+    nation_region = (
+        _pq(spark, sf_dir, "nation")
+        .join(_pq(spark, sf_dir, "region").filter("r_name = 'EUROPE'"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", F.col("n_name").alias("nation"))
+    )
+    supp = _pq(spark, sf_dir, "supplier").join(
+        F.broadcast(nation_region), F.col("s_nationkey") == F.col("n_nationkey"))
+    return (
+        partsup.join(minc, "l_partkey")
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "p_name", "cost")
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value for one nation's suppliers, HAVING
+    against a scalar fraction-of-total subquery; compare in exact decimal."""
+    li = _scan_lineitem(spark, sf_dir)
+    supp = (
+        _pq(spark, sf_dir, "supplier")
+        .join(_pq(spark, sf_dir, "nation").filter("n_name = 'NATION_3'"),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+                   .cast("decimal(28,4)")).alias("val_dec"))
+    )
+    total = val.agg(F.sum("val_dec").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("val_dec") * 1000 > F.col("total"))
+        .select("l_partkey", F.round(F.col("val_dec").cast("double"), 2).alias("val"))
+        .orderBy(F.col("val").desc(), "l_partkey")
+    )
+
+
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode/receiptdate → returnflag as mode,
+    late = shipped >60 days after order date): join + conditional
+    two-priority-class aggregation."""
+    li = _scan_lineitem(
+        spark, sf_dir,
+        where="l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"
+              " AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'")
+    orders = _pq(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("mode"))
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("mode")
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp → shipped-quantity totals): doubly
+    nested subquery — per-supplier qty over LIKE-filtered parts in a year,
+    kept if above half the max across suppliers, then IN-subquery semi-join
+    back to supplier."""
+    li = _scan_lineitem(
+        spark, sf_dir,
+        where="l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+              " AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'")
+    bolts = _pq(spark, sf_dir, "part").filter("p_name LIKE '%bolt%'").select("p_partkey")
+    qty = (
+        li.join(F.broadcast(bolts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("qty"))
+    )
+    maxq = qty.agg(F.max("qty").alias("maxq"))
+    excess = (
+        qty.crossJoin(F.broadcast(maxq))
+        .filter(F.col("qty") * 2 > F.col("maxq"))
+        .select("l_suppkey")
+    )
+    return (
+        _pq(spark, sf_dir, "supplier")
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (late = shipped >60 days after order date): EXISTS /
+    NOT EXISTS self-joins on lineitem — multi-supplier orders where only
+    this supplier was late — as semi/anti joins, top-100 waiters."""
+    li = _scan_lineitem(spark, sf_dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _pq(spark, sf_dir, "orders").filter("o_orderstatus = 'F'") \
+        .select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late
+    other = li.select(F.col("l_orderkey").alias("o2_orderkey"),
+                      F.col("l_suppkey").alias("o2_suppkey")).distinct()
+    other_late = late.select(F.col("l_orderkey").alias("o3_orderkey"),
+                             F.col("l_suppkey").alias("o3_suppkey")).distinct()
+    waiting = (
+        l1.join(other, (F.col("l_orderkey") == F.col("o2_orderkey"))
+                & (F.col("l_suppkey") != F.col("o2_suppkey")), "left_semi")
+        .join(other_late, (F.col("l_orderkey") == F.col("o3_orderkey"))
+              & (F.col("l_suppkey") != F.col("o3_suppkey")), "left_anti")
+    )
+    return (
+        waiting.join(F.broadcast(_pq(spark, sf_dir, "supplier")),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 def q_window_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -1092,6 +1229,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
+        "q02_min_cost_supplier": q02_min_cost_supplier,
         "q03_shipping_priority": q03_shipping_priority,
         "q05_region_revenue": q05_region_revenue,
         "q06_revenue_forecast": q06_revenue_forecast,
@@ -1100,6 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_market_share": q08_market_share,
         "q09_product_profit": q09_product_profit,
         "q10_returned_items": q10_returned_items,
+        "q11_important_stock": q11_important_stock,
+        "q12_late_lines": q12_late_lines,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_revenue": q14_promo_revenue,
         "q15_top_supplier": q15_top_supplier,
@@ -1107,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": q17_small_quantity,
         "q18_large_volume": q18_large_volume,
         "q19_disjunctive": q19_disjunctive,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_supplier": q21_waiting_supplier,
         "q22_sales_opportunity": q22_sales_opportunity,
         "q_window_top_order": q_window_top_order,
         "q_rollup": q_rollup,
@@ -1350,6 +1492,83 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 1 AND 20)
                OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
                    AND l_quantity BETWEEN 10 AND 40)
+        """,
+        "q02_min_cost_supplier": """
+            WITH partsup AS (
+              SELECT l_partkey, l_suppkey,
+                     min(round(l_extendedprice / l_quantity, 4)) AS cost
+              FROM lineitem GROUP BY 1, 2
+            ), minc AS (
+              SELECT l_partkey, min(cost) AS min_cost FROM partsup GROUP BY 1
+            )
+            SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name, cost
+            FROM partsup
+            JOIN minc USING (l_partkey)
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE cost = min_cost AND p_type = 'LARGE'
+              AND r_name = 'EUROPE'
+            ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100
+        """,
+        "q11_important_stock": """
+            WITH val AS (
+              SELECT l_partkey,
+                     sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS val_dec
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'
+              GROUP BY 1
+            )
+            SELECT l_partkey, round(CAST(val_dec AS DOUBLE), 2) AS val
+            FROM val
+            WHERE val_dec * 1000 > (SELECT sum(val_dec) FROM val)
+            ORDER BY val DESC, l_partkey
+        """,
+        "q12_late_lines": """
+            SELECT l_returnflag AS mode,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q20_excess_shippers": """
+            WITH qty AS (
+              SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(28,2))) AS qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE '%bolt%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1
+            )
+            SELECT s_name, s_acctbal FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey FROM qty
+                                WHERE qty * 2 > (SELECT max(qty) FROM qty))
+            ORDER BY s_name
+        """,
+        "q21_waiting_supplier": """
+            WITH late AS (
+              SELECT l_orderkey, l_suppkey
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
         """,
         "q22_sales_opportunity": """
             WITH pos AS (SELECT c_custkey, c_nationkey,

@@ -303,10 +303,16 @@ def plan_scan(
     stats["files_total"] = len(data_entries)
     stats["delete_files"] = len(pos_deletes) + len(eq_deletes)
 
-    schema_json = tm.schemas.get(
-        snapshot.schema_id if snapshot.schema_id is not None else tm.current_schema_id,
-        tm.schemas[tm.current_schema_id],
-    )
+    # Latest-snapshot reads resolve against the table's CURRENT schema (a
+    # DDL-only commit advances current-schema-id without a new snapshot);
+    # the snapshot's schema-id applies only to time travel.
+    cur = tm.current_snapshot()
+    is_current = cur is not None and snapshot.snapshot_id == cur.snapshot_id
+    if is_current or snapshot.schema_id is None:
+        scan_schema_id = tm.current_schema_id
+    else:
+        scan_schema_id = snapshot.schema_id
+    schema_json = tm.schemas.get(scan_schema_id, tm.schemas[tm.current_schema_id])
 
     tasks: list[FileScanTask] = []
     for e, spec_id in data_entries:
@@ -337,5 +343,4 @@ def plan_scan(
                 task.equality_deletes.append(((de.sequence_number or 0), df2))
         tasks.append(task)
 
-    return ScanPlan(tm, snapshot, tasks, where,
-                    snapshot.schema_id if snapshot.schema_id is not None else None, stats)
+    return ScanPlan(tm, snapshot, tasks, where, scan_schema_id, stats)

@@ -136,11 +136,31 @@ def scan_to_dataframe(
         or _needs_partition_constants(plan)
     )
 
-    reader = spark.read.schema(schema)
-    df = reader.parquet(*files)
-    if need_pos:
-        df = df.withColumn(_FILE_COL, _norm_path(F.col("_metadata.file_path"))) \
-               .withColumn(_POS_COL, F.col("_metadata.row_index"))
+    def _with_pos(d: DataFrame) -> DataFrame:
+        if need_pos:
+            d = d.withColumn(_FILE_COL, _norm_path(F.col("_metadata.file_path"))) \
+                 .withColumn(_POS_COL, F.col("_metadata.row_index"))
+        return d
+
+    # name-mapping fallback for files written without parquet field-ids
+    # (reference: ApplyFieldMapping, iceberg_multi_file_reader.cpp:203-238):
+    # such files are read by mapped column name and aliased/cast onto the
+    # current schema, then unioned with the field-id read.
+    legacy: dict[str, list[str]] = {}
+    mapping_prop = plan.tm.properties.get("schema.name-mapping.default")
+    if mapping_prop:
+        legacy = _files_without_field_ids(spark, files)
+    main_files = [f for f in files if f not in legacy]
+
+    parts: list[DataFrame] = []
+    if main_files:
+        parts.append(_with_pos(spark.read.schema(schema).parquet(*main_files)))
+    if legacy:
+        parts.extend(_read_by_name_mapping(spark, legacy, mapping_prop,
+                                           plan, need_pos))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
 
     df = _apply_partition_constants(spark, df, plan)
     df = _apply_positional_deletes(spark, df, plan)
@@ -162,6 +182,100 @@ def scan_to_dataframe(
     if plan.residual:
         df = df.filter(F.expr(plan.residual))
     return df
+
+
+# ---------------------------------------------------------------------------
+# name-mapping fallback (files written without parquet field-ids)
+# ---------------------------------------------------------------------------
+
+#: above this many files, footer sniffing fans out to executors
+_FOOTER_SNIFF_DRIVER_MAX = 64
+
+
+def _files_without_field_ids(spark: SparkSession, files: list[str]) -> dict[str, list[str]]:
+    """{file_path: [file column names]} for data files whose parquet schema
+    carries no field-id metadata. Only consulted when the table declares
+    ``schema.name-mapping.default``. Footer reads are distributed above
+    _FOOTER_SNIFF_DRIVER_MAX files so the driver never serially opens
+    thousands of footers (manifest-late-materialization posture)."""
+
+    def sniff(path: str) -> tuple[str, bool, list[str]]:
+        import pyarrow.parquet as pq
+
+        sch = pq.read_schema(path)
+        has = any(f.metadata and b"PARQUET:field_id" in f.metadata for f in sch)
+        return path, has, list(sch.names)
+
+    if len(files) <= _FOOTER_SNIFF_DRIVER_MAX:
+        rows = [sniff(f) for f in files]
+    else:
+        import pandas as pd
+
+        def sniff_batches(batches):
+            for pdf in batches:
+                out = [sniff(p) for p in pdf["path"]]
+                yield pd.DataFrame(
+                    {"path": [o[0] for o in out],
+                     "has_ids": [o[1] for o in out],
+                     "names": [o[2] for o in out]})
+
+        meta = spark.createDataFrame([(f,) for f in files], "path: string")
+        rows = [
+            (r.path, r.has_ids, list(r.names))
+            for r in meta.repartition(32).mapInPandas(
+                sniff_batches,
+                "path string, has_ids boolean, names array<string>").collect()
+        ]
+    return {p: names for p, has, names in rows if not has}
+
+
+def _read_by_name_mapping(
+    spark: SparkSession,
+    legacy: dict[str, list[str]],
+    mapping_prop: str,
+    plan: ScanPlan,
+    need_pos: bool,
+) -> list[DataFrame]:
+    """Read legacy files by name via ``schema.name-mapping.default``: each
+    mapping entry lists historical column names for a field-id; the file's
+    actual column is matched against that list, aliased to the current name
+    and cast to the current type; unmatched fields become NULL (top-level
+    columns; nested name mapping is a documented gap)."""
+    import json
+
+    id_to_names: dict[int, list[str]] = {}
+    for ent in json.loads(mapping_prop):
+        fid = ent.get("field-id")
+        if fid is not None:
+            id_to_names[int(fid)] = list(ent.get("names", []))
+
+    # group files by their column-name signature so heterogeneous legacy
+    # layouts each get one reader (bounded by distinct layouts, not files)
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for path, names in legacy.items():
+        groups.setdefault(tuple(names), []).append(path)
+
+    out = []
+    for names_key, paths in sorted(groups.items()):
+        present = set(names_key)
+        raw = spark.read.parquet(*sorted(paths))
+        if need_pos:
+            # resolve the hidden _metadata column while the plan leaf is
+            # still the file scan, before the rename projection drops it
+            raw = raw.withColumn(_FILE_COL, _norm_path(F.col("_metadata.file_path"))) \
+                     .withColumn(_POS_COL, F.col("_metadata.row_index"))
+        sel = []
+        for f in plan.schema_json["fields"]:
+            spark_t = ice_types.iceberg_to_spark(f["type"])
+            src = next((n for n in id_to_names.get(f["id"], []) if n in present), None)
+            if src is None:
+                sel.append(F.lit(None).cast(spark_t).alias(f["name"]))
+            else:
+                sel.append(F.col(src).cast(spark_t).alias(f["name"]))
+        if need_pos:
+            sel += [F.col(_FILE_COL), F.col(_POS_COL)]
+        out.append(raw.select(*sel))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,114 @@
+"""Name-mapping fallback: files written without parquet field-ids are
+resolved via ``schema.name-mapping.default``
+(reference: ApplyFieldMapping, iceberg_multi_file_reader.cpp:203-238;
+load-bearing config note in SURVEY.md §1.2)."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pyarrow as pa
+
+from tests.conftest import load
+
+
+def _strip_field_ids(parquet_path: str, rename: dict[str, str] | None = None) -> None:
+    """Rewrite a parquet file dropping field-id metadata (and optionally
+    renaming columns) — simulates a legacy non-Iceberg writer."""
+    t = pq.read_table(parquet_path)
+    fields = []
+    for f in t.schema:
+        name = (rename or {}).get(f.name, f.name)
+        fields.append(pa.field(name, f.type, f.nullable))  # metadata dropped
+    clean = pa.Table.from_arrays(t.columns, schema=pa.schema(fields))
+    pq.write_table(clean, parquet_path)
+    # drop the Hadoop local-FS checksum sidecar the rewrite invalidated
+    crc = os.path.join(os.path.dirname(parquet_path),
+                       "." + os.path.basename(parquet_path) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def _data_files(loc: str) -> list[str]:
+    out = []
+    for root, _, names in os.walk(os.path.join(loc, "data")):
+        out += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
+    return sorted(out)
+
+
+def _name_mapping_for(loc: str) -> str:
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+
+    tm = load_table_metadata(loc)
+    return json.dumps([
+        {"field-id": f["id"], "names": [f["name"]]}
+        for f in tm.schema_json()["fields"]
+    ])
+
+
+def test_legacy_file_without_field_ids(spark, sf_dir, tmp_path):
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import set_table_properties
+
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "t")
+    write_iceberg(src, loc)
+    mapping = _name_mapping_for(loc)
+    for f in _data_files(loc):
+        _strip_field_ids(f)
+
+    set_table_properties(loc, {"schema.name-mapping.default": mapping})
+    got = iceberg_scan(spark, loc).orderBy("r_regionkey").collect()
+    want = src.orderBy("r_regionkey").collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_name_mapping_with_renamed_column(spark, sf_dir, tmp_path):
+    """Current schema renamed a column after the legacy file was written:
+    the mapping's historical names list resolves the file column."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import rename_column, set_table_properties
+
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "t")
+    write_iceberg(src, loc)
+    mapping = _name_mapping_for(loc)  # maps historical name r_name
+    for f in _data_files(loc):
+        _strip_field_ids(f)
+    rename_column(loc, "r_name", "region_name")
+
+    # without the mapping, neither field-id nor by-name matching can
+    # resolve the renamed column from the legacy file
+    nulls = iceberg_scan(spark, loc).where("region_name IS NULL").count()
+    assert nulls == src.count()
+
+    set_table_properties(loc, {"schema.name-mapping.default": mapping})
+
+    df = iceberg_scan(spark, loc)
+    assert "region_name" in df.columns
+    got = {r.r_regionkey: r.region_name for r in df.collect()}
+    want = {r.r_regionkey: r.r_name for r in src.collect()}
+    assert got == want
+
+
+def test_mixed_legacy_and_field_id_files(spark, sf_dir, tmp_path):
+    """One appended file keeps field-ids, the original is stripped: the scan
+    unions the by-id read with the by-name read."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import set_table_properties
+
+    src = load(spark, sf_dir, "nation")
+    first = src.where("n_nationkey < 10")
+    second = src.where("n_nationkey >= 10")
+    loc = str(tmp_path / "t")
+    write_iceberg(first, loc)
+    mapping = _name_mapping_for(loc)
+    legacy_files = _data_files(loc)
+    for f in legacy_files:
+        _strip_field_ids(f)
+    write_iceberg(second, loc)
+    set_table_properties(loc, {"schema.name-mapping.default": mapping})
+
+    got = iceberg_scan(spark, loc).orderBy("n_nationkey").collect()
+    want = src.orderBy("n_nationkey").collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]

@@ -8,3 +8,8 @@ from .rest_catalog import (  # noqa: F401
     RestCatalogConfig,
     RestTable,
 )
+from .scan_planning import (  # noqa: F401
+    plan_table_scan,
+    predicate_to_rest,
+    scan_rest_table,
+)

@@ -31,6 +31,13 @@ class _StubState:
         self.tokens_issued = 0
         self.commit_conflicts_to_inject = 0
         self.requests: list[tuple[str, str]] = []
+        # planTableScan: plan_response is returned for POST .../plan;
+        # plan_pages maps plan-task token -> page response; async_polls
+        # makes the first N GET plan/{id} return "submitted"
+        self.plan_response: dict | None = None
+        self.plan_pages: dict[str, dict] = {}
+        self.async_polls = 0
+        self.last_plan_filter: dict | None = None
 
 
 def _make_handler(state: _StubState):
@@ -165,6 +172,26 @@ def _make_handler(state: _StubState):
                             meta["current-snapshot-id"] = u["snapshot-id"]
                     return self._send(200, {"metadata-location": "mem://m2.json",
                                             "metadata": meta})
+            if len(rest) >= 5 and rest[0] == "namespaces" and rest[2] == "tables" \
+                    and rest[4] in ("plan", "tasks"):
+                if state.plan_response is None:
+                    return self._send(404, {"error": {"message": "plan unsupported"}})
+                if rest[4] == "plan" and len(rest) == 5 and self.command == "POST":
+                    b = self._body()
+                    state.last_plan_filter = b.get("filter")
+                    if state.async_polls > 0:
+                        return self._send(200, {"status": "submitted",
+                                                "plan-id": "plan-1"})
+                    return self._send(200, state.plan_response)
+                if rest[4] == "plan" and len(rest) == 6 and self.command == "GET":
+                    if state.async_polls > 0:
+                        state.async_polls -= 1
+                        return self._send(200, {"status": "submitted",
+                                                "plan-id": rest[5]})
+                    return self._send(200, state.plan_response)
+                if rest[4] == "tasks" and self.command == "POST":
+                    token = self._body().get("plan-task")
+                    return self._send(200, state.plan_pages.get(token, {}))
             if rest == ["tables", "rename"]:
                 b = self._body()
                 src = tuple(b["source"]["namespace"]) + (b["source"]["name"],)
@@ -284,3 +311,134 @@ def test_http_errors_surface(stub):
     with pytest.raises(CatalogError) as ei:
         cat.load_table("nope", "missing")
     assert ei.value.status == 404
+
+
+# --- server-side scan planning (planTableScan) ------------------------------
+
+def _content_file_json(df, spec_id=0, content="data"):
+    return {"content": content, "file-path": df.file_path,
+            "file-format": "parquet", "spec-id": spec_id,
+            "record-count": df.record_count,
+            "file-size-in-bytes": df.file_size_in_bytes,
+            "equality-ids": df.equality_ids,
+            "content-offset": df.content_offset,
+            "content-size-in-bytes": df.content_size_in_bytes}
+
+
+def _register_disk_table(state, loc, name="t"):
+    """Expose an on-disk Iceberg table through the stub catalog."""
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+
+    tm = load_table_metadata(loc)
+    state.namespaces[("db",)] = {}
+    state.tables[("db", name)] = tm.to_json()
+    return tm
+
+
+def test_predicate_to_rest_serialization():
+    from duckdb_iceberg_spark.catalog.scan_planning import predicate_to_rest
+    from duckdb_iceberg_spark.plans.predicates import parse_where
+
+    f = predicate_to_rest(parse_where(
+        "a = 1 AND b >= 2.5 OR c IN ('x', 'y') AND d IS NOT NULL"))
+    assert f == {
+        "type": "or",
+        "left": {"type": "and",
+                 "left": {"type": "eq", "term": "a", "value": 1},
+                 "right": {"type": "gt-eq", "term": "b", "value": 2.5}},
+        "right": {"type": "and",
+                  "left": {"type": "in", "term": "c", "values": ["x", "y"]},
+                  "right": {"type": "not-null", "term": "d"}},
+    }
+    assert predicate_to_rest(parse_where(
+        "ts < TIMESTAMP '1997-01-01 00:00:00'")) == {
+        "type": "lt", "term": "ts", "value": "1997-01-01T00:00:00"}
+    assert predicate_to_rest(None) is None
+
+
+def test_server_planned_scan_matches_client(stub, spark, sf_dir, tmp_path):
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "nation").repartition(2), loc)
+    tm = _register_disk_table(state, loc)
+    client_plan = plan_scan(tm, tm.select_snapshot())
+    assert len(client_plan.tasks) == 2
+
+    # first task inline, second behind a plan-task page (pagination)
+    t0, t1 = client_plan.tasks
+    state.plan_response = {
+        "status": "completed",
+        "file-scan-tasks": [{"data-file": _content_file_json(t0.data_file)}],
+        "plan-tasks": ["page-1"],
+    }
+    state.plan_pages["page-1"] = {
+        "file-scan-tasks": [{"data-file": _content_file_json(t1.data_file)}]}
+
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "t")
+    got = scan_rest_table(spark, tbl, "n_nationkey < 10")
+    want = iceberg_scan(spark, loc, where="n_nationkey < 10")
+    assert sorted(r.n_nationkey for r in got.collect()) == \
+        sorted(r.n_nationkey for r in want.collect())
+    assert state.last_plan_filter == {"type": "lt", "term": "n_nationkey",
+                                      "value": 10}
+
+
+def test_server_planned_scan_async_and_deletes(stub, spark, sf_dir, tmp_path):
+    """Async submitted/poll protocol + delete-file-references application."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "orders"), loc)
+    delete_from(spark, loc, "o_orderkey % 7 = 0", mode="merge-on-read")
+    tm = _register_disk_table(state, loc)
+    client_plan = plan_scan(tm, tm.select_snapshot())
+
+    delete_files, fst = [], []
+    for t in client_plan.tasks:
+        refs = []
+        for d in t.positional_deletes:
+            refs.append(len(delete_files))
+            delete_files.append(_content_file_json(d, content="position-deletes"))
+        fst.append({"data-file": _content_file_json(t.data_file),
+                    "delete-file-references": refs})
+    state.plan_response = {"status": "completed", "file-scan-tasks": fst,
+                           "delete-files": delete_files}
+    state.async_polls = 2
+
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "t")
+    got = scan_rest_table(spark, tbl).count()
+    want = iceberg_scan(spark, loc).count()
+    assert got == want
+    # polled GET plan/{id} until completed
+    polls = [p for m, p in state.requests if m == "GET" and "/plan/" in p]
+    assert len(polls) >= 2
+
+
+def test_server_planning_falls_back_to_client(stub, spark, sf_dir, tmp_path):
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "region"), loc)
+    _register_disk_table(state, loc)
+    state.plan_response = None  # endpoint 404s -> client-side planning
+
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "t")
+    got = scan_rest_table(spark, tbl).count()
+    assert got == iceberg_scan(spark, loc).count()

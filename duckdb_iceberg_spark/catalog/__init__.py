@@ -8,6 +8,7 @@ from .rest_catalog import (  # noqa: F401
     RestCatalogConfig,
     RestTable,
 )
+from .sigv4 import SigV4Config, sign_request  # noqa: F401
 from .scan_planning import (  # noqa: F401
     plan_table_scan,
     predicate_to_rest,

@@ -55,6 +55,7 @@ class RestCatalogConfig:
     prefix: str | None = None  # filled from GET /v1/config when None
     token: str | None = None  # static bearer token
     oauth2: OAuth2Config | None = None
+    sigv4: "SigV4Config | None" = None  # Glue/S3Tables-style signed requests
     default_headers: dict[str, str] = field(default_factory=dict)
     max_commit_retries: int = 4
 
@@ -108,9 +109,14 @@ class RestCatalog:
             url += "?" + urllib.parse.urlencode(params)
         data = json.dumps(body).encode() if body is not None else None
         headers = {"Content-Type": "application/json", **self.config.default_headers}
-        token = self._ensure_token()
-        if token:
-            headers["Authorization"] = f"Bearer {token}"
+        if self.config.sigv4 is not None:
+            from .sigv4 import sign_request
+
+            headers = sign_request(self.config.sigv4, method, url, headers, data)
+        else:
+            token = self._ensure_token()
+            if token:
+                headers["Authorization"] = f"Bearer {token}"
         req = urllib.request.Request(url, data=data, method=method, headers=headers)
         try:
             with self._opener(req) as resp:

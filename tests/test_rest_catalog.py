@@ -38,6 +38,7 @@ class _StubState:
         self.plan_pages: dict[str, dict] = {}
         self.async_polls = 0
         self.last_plan_filter: dict | None = None
+        self.last_signed_request: tuple | None = None
 
 
 def _make_handler(state: _StubState):
@@ -70,9 +71,12 @@ def _make_handler(state: _StubState):
                                         "token_type": "bearer", "expires_in": 3600})
             if parts[:2] != ["v1", PREFIX]:
                 return self._send(404, {"error": {"message": "bad prefix"}})
-            # require bearer auth beyond config/tokens
+            # require bearer or SigV4 auth beyond config/tokens
             auth = self.headers.get("Authorization", "")
-            if not auth.startswith("Bearer "):
+            if auth.startswith("AWS4-HMAC-SHA256 "):
+                state.last_signed_request = (
+                    self.command, self.path, dict(self.headers))
+            elif not auth.startswith("Bearer "):
                 return self._send(401, {"error": {"message": "no token"}})
             rest = parts[2:]
             if rest == ["namespaces"]:
@@ -442,3 +446,63 @@ def test_server_planning_falls_back_to_client(stub, spark, sf_dir, tmp_path):
     tbl = cat.load_table("db", "t")
     got = scan_rest_table(spark, tbl).count()
     assert got == iceberg_scan(spark, loc).count()
+
+
+# --- SigV4 ------------------------------------------------------------------
+
+def test_sigv4_aws_doc_vector():
+    """The published AWS SigV4 example request (doc test vector) must
+    reproduce the documented signature exactly."""
+    import datetime
+
+    from duckdb_iceberg_spark.catalog.sigv4 import SigV4Config, sign_request
+
+    cfg = SigV4Config(access_key="AKIDEXAMPLE",
+                      secret_key="wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+                      region="us-east-1", service="iam",
+                      sign_payload_header=False)
+    now = datetime.datetime(2015, 8, 30, 12, 36, 0,
+                            tzinfo=datetime.timezone.utc)
+    h = sign_request(
+        cfg, "GET",
+        "https://iam.amazonaws.com/?Action=ListUsers&Version=2010-05-08",
+        {"content-type": "application/x-www-form-urlencoded; charset=utf-8"},
+        b"", now=now)
+    assert h["Authorization"] == (
+        "AWS4-HMAC-SHA256 "
+        "Credential=AKIDEXAMPLE/20150830/us-east-1/iam/aws4_request, "
+        "SignedHeaders=content-type;host;x-amz-date, "
+        "Signature=5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7")
+
+
+def test_sigv4_catalog_round_trip(stub):
+    """Catalog requests carry a SigV4 Authorization the server can verify
+    by re-deriving the signature from the received request."""
+    import datetime
+
+    from duckdb_iceberg_spark.catalog.sigv4 import SigV4Config, sign_request
+
+    base, state = stub
+    cfg = SigV4Config(access_key="AKID", secret_key="SECRET",
+                      region="eu-west-1", service="glue",
+                      session_token="SESSTOK")
+    cat = RestCatalog(RestCatalogConfig(uri=base, sigv4=cfg))
+    cat.create_namespace("db")
+    assert cat.list_namespaces() == [["db"]]
+
+    method, path, raw_headers = state.last_signed_request
+    headers = {k.lower(): v for k, v in raw_headers.items()}
+    auth = headers["authorization"]
+    assert "Credential=AKID/" in auth and "/eu-west-1/glue/aws4_request" in auth
+    assert "x-amz-security-token" in auth  # session token is signed
+
+    # server-side verification: re-sign the received request with the same
+    # secret at the transmitted x-amz-date; signatures must agree
+    amz = headers["x-amz-date"]
+    now = datetime.datetime.strptime(amz, "%Y%m%dT%H%M%SZ").replace(
+        tzinfo=datetime.timezone.utc)
+    resigned = sign_request(
+        cfg, method, base + path,
+        {"Content-Type": headers["content-type"]}, None, now=now)
+    assert resigned["Authorization"].split("Signature=")[1] == \
+        auth.split("Signature=")[1]

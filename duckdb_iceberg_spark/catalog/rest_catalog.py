@@ -237,6 +237,15 @@ class RestCatalog:
                 "name": name},
              "requirements": requirements, "updates": updates})
 
+    def commit_transaction(self, table_changes: list[dict]) -> dict:
+        """Atomic multi-table commit (CommitTransactionRequest; reference:
+        iceberg_transaction.cpp:141-145): every table's requirements are
+        validated and all updates apply, or none do. Each entry:
+        {"identifier": {"namespace": [...], "name": ...},
+         "requirements": [...], "updates": [...]}."""
+        return self._request("POST", "/transactions/commit",
+                             {"table-changes": table_changes})
+
 
 @dataclass
 class RestTable:

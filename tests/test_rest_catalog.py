@@ -196,6 +196,39 @@ def _make_handler(state: _StubState):
                 if rest[4] == "tasks" and self.command == "POST":
                     token = self._body().get("plan-task")
                     return self._send(200, state.plan_pages.get(token, {}))
+            if rest == ["transactions", "commit"] and self.command == "POST":
+                b = self._body()
+                changes = b.get("table-changes", [])
+                # validate every table first: all-or-nothing
+                metas = []
+                for ch in changes:
+                    ident = ch["identifier"]
+                    key = tuple(ident["namespace"]) + (ident["name"],)
+                    if key not in state.tables:
+                        return self._send(404, {"error": {"message": "no such table"}})
+                    meta = state.tables[key]
+                    cur = None
+                    for s in meta.get("snapshots", []):
+                        if s["snapshot-id"] == meta.get("current-snapshot-id"):
+                            cur = s["snapshot-id"]
+                    for r in ch.get("requirements", []):
+                        if r["type"] == "assert-ref-snapshot-id" \
+                                and r.get("snapshot-id") != cur:
+                            return self._send(409, {"error": {"message": "stale snapshot"}})
+                        if r["type"] == "assert-table-uuid" \
+                                and r["uuid"] != meta["table-uuid"]:
+                            return self._send(409, {"error": {"message": "uuid mismatch"}})
+                    metas.append((meta, ch))
+                for meta, ch in metas:
+                    for u in ch.get("updates", []):
+                        if u["action"] == "add-snapshot":
+                            meta["snapshots"].append(u["snapshot"])
+                            meta["last-sequence-number"] = max(
+                                meta["last-sequence-number"],
+                                u["snapshot"].get("sequence-number", 0))
+                        elif u["action"] == "set-snapshot-ref":
+                            meta["current-snapshot-id"] = u["snapshot-id"]
+                return self._send(204)
             if rest == ["tables", "rename"]:
                 b = self._body()
                 src = tuple(b["source"]["namespace"]) + (b["source"]["name"],)
@@ -506,3 +539,52 @@ def test_sigv4_catalog_round_trip(stub):
         {"Content-Type": headers["content-type"]}, None, now=now)
     assert resigned["Authorization"].split("Signature=")[1] == \
         auth.split("Signature=")[1]
+
+
+# --- multi-table transactions ----------------------------------------------
+
+def _change(tbl, snap):
+    ns = tbl.namespace.split(".") if isinstance(tbl.namespace, str) \
+        else list(tbl.namespace)
+    return {
+        "identifier": {"namespace": ns, "name": tbl.name},
+        "requirements": [
+            {"type": "assert-table-uuid", "uuid": tbl.metadata.table_uuid},
+            {"type": "assert-ref-snapshot-id", "ref": "main",
+             "snapshot-id": tbl.metadata.current_snapshot_id},
+        ],
+        "updates": [
+            {"action": "add-snapshot", "snapshot": snap},
+            {"action": "set-snapshot-ref", "ref-name": "main",
+             "type": "branch", "snapshot-id": snap["snapshot-id"]},
+        ],
+    }
+
+
+def test_multi_table_transaction_commit(stub):
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    ta = cat.create_table("db", "a", SCHEMA)
+    tb = cat.create_table("db", "b", SCHEMA)
+
+    cat.commit_transaction([_change(ta, _snap(101, 1)), _change(tb, _snap(202, 1))])
+    assert ta.refresh().metadata.current_snapshot_id == 101
+    assert tb.refresh().metadata.current_snapshot_id == 202
+
+
+def test_multi_table_transaction_atomic_on_conflict(stub):
+    """A stale requirement on the second table aborts the whole
+    transaction — the first table must not advance either."""
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    ta = cat.create_table("db", "a", SCHEMA)
+    tb = cat.create_table("db", "b", SCHEMA)
+
+    bad = _change(tb, _snap(404, 1))
+    bad["requirements"][1]["snapshot-id"] = 999  # stale
+    with pytest.raises(CommitConflict):
+        cat.commit_transaction([_change(ta, _snap(303, 1)), bad])
+    assert ta.refresh().metadata.current_snapshot_id is None
+    assert tb.refresh().metadata.current_snapshot_id is None

@@ -180,6 +180,9 @@ def spark_to_iceberg(dt: T.DataType, alloc: _IdAllocator) -> Any:
         return "binary"
     if isinstance(dt, T.NullType):
         return "unknown"
+    vt = getattr(T, "VariantType", None)
+    if vt is not None and isinstance(dt, vt):
+        return "variant"  # v3 type (reference: iceberg_column_definition.cpp:142-144)
     if isinstance(dt, T.StructType):
         fields = []
         # allocate ids breadth-first like Iceberg's fresh-id assignment

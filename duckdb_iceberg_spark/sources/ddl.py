@@ -41,14 +41,17 @@ def _commit_schema(tm: TableMetadata, sch: dict) -> TableMetadata:
 
 
 def add_column(location: str, name: str, ice_type: Any, *, required: bool = False,
-               doc: str | None = None) -> TableMetadata:
+               doc: str | None = None, default: Any = None) -> TableMetadata:
     """ADD COLUMN (top-level; nested adds unsupported, same as the reference
-    iceberg_schema_entry.cpp:414)."""
+    iceberg_schema_entry.cpp:414). ``default`` sets ``initial-default`` and
+    ``write-default`` (JSON single-value form, v3 column defaults;
+    reference: iceberg_column_definition.cpp:26-75) — existing rows then
+    surface the default instead of NULL, and a required add is allowed."""
     tm = load_table_metadata(location)
     sch = _next_schema(tm)
     if any(f["name"] == name for f in sch["fields"]):
         raise ValueError(f"column {name!r} already exists")
-    if required:
+    if required and default is None:
         raise ValueError("adding a required column to existing rows needs a default; "
                          "add as optional (reference enforces the same)")
     if isinstance(ice_type, T.DataType):
@@ -57,7 +60,11 @@ def add_column(location: str, name: str, ice_type: Any, *, required: bool = Fals
         tm.last_column_id = alloc.last
     fid = tm.last_column_id + 1
     tm.last_column_id = fid
-    f: dict[str, Any] = {"id": fid, "name": name, "required": False, "type": ice_type}
+    f: dict[str, Any] = {"id": fid, "name": name, "required": bool(required),
+                         "type": ice_type}
+    if default is not None:
+        f["initial-default"] = default
+        f["write-default"] = default
     if doc:
         f["doc"] = doc
     sch["fields"].append(f)

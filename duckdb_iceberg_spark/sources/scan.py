@@ -134,6 +134,7 @@ def scan_to_dataframe(
         or with_file_info
         or with_row_lineage
         or _needs_partition_constants(plan)
+        or bool(_defaulted_fields(plan))
     )
 
     def _with_pos(d: DataFrame) -> DataFrame:
@@ -162,6 +163,7 @@ def scan_to_dataframe(
     for p in parts[1:]:
         df = df.unionByName(p)
 
+    df = _apply_initial_defaults(spark, df, plan, files)
     df = _apply_partition_constants(spark, df, plan)
     df = _apply_positional_deletes(spark, df, plan)
     df = _apply_equality_deletes(spark, df, plan)
@@ -192,41 +194,51 @@ def scan_to_dataframe(
 _FOOTER_SNIFF_DRIVER_MAX = 64
 
 
-def _files_without_field_ids(spark: SparkSession, files: list[str]) -> dict[str, list[str]]:
-    """{file_path: [file column names]} for data files whose parquet schema
-    carries no field-id metadata. Only consulted when the table declares
-    ``schema.name-mapping.default``. Footer reads are distributed above
-    _FOOTER_SNIFF_DRIVER_MAX files so the driver never serially opens
-    thousands of footers (manifest-late-materialization posture)."""
+def _sniff_footers(spark: SparkSession, files: list[str]) -> list[tuple[str, bool, list[str], list[int]]]:
+    """(path, has_field_ids, column names, field-ids) per file. Footer reads
+    are distributed above _FOOTER_SNIFF_DRIVER_MAX files so the driver never
+    serially opens thousands of footers (manifest-late-materialization
+    posture)."""
 
-    def sniff(path: str) -> tuple[str, bool, list[str]]:
+    def sniff(path: str) -> tuple[str, bool, list[str], list[int]]:
         import pyarrow.parquet as pq
 
         sch = pq.read_schema(path)
-        has = any(f.metadata and b"PARQUET:field_id" in f.metadata for f in sch)
-        return path, has, list(sch.names)
+        fids = []
+        for f in sch:
+            if f.metadata and b"PARQUET:field_id" in f.metadata:
+                fids.append(int(f.metadata[b"PARQUET:field_id"]))
+        return path, bool(fids), list(sch.names), fids
 
     if len(files) <= _FOOTER_SNIFF_DRIVER_MAX:
-        rows = [sniff(f) for f in files]
-    else:
-        import pandas as pd
+        return [sniff(f) for f in files]
+    import pandas as pd
 
-        def sniff_batches(batches):
-            for pdf in batches:
-                out = [sniff(p) for p in pdf["path"]]
-                yield pd.DataFrame(
-                    {"path": [o[0] for o in out],
-                     "has_ids": [o[1] for o in out],
-                     "names": [o[2] for o in out]})
+    def sniff_batches(batches):
+        for pdf in batches:
+            out = [sniff(p) for p in pdf["path"]]
+            yield pd.DataFrame(
+                {"path": [o[0] for o in out],
+                 "has_ids": [o[1] for o in out],
+                 "names": [o[2] for o in out],
+                 "fids": [o[3] for o in out]})
 
-        meta = spark.createDataFrame([(f,) for f in files], "path: string")
-        rows = [
-            (r.path, r.has_ids, list(r.names))
-            for r in meta.repartition(32).mapInPandas(
-                sniff_batches,
-                "path string, has_ids boolean, names array<string>").collect()
-        ]
-    return {p: names for p, has, names in rows if not has}
+    meta = spark.createDataFrame([(f,) for f in files], "path: string")
+    return [
+        (r.path, r.has_ids, list(r.names), [int(i) for i in r.fids])
+        for r in meta.repartition(32).mapInPandas(
+            sniff_batches,
+            "path string, has_ids boolean, names array<string>, fids array<int>"
+        ).collect()
+    ]
+
+
+def _files_without_field_ids(spark: SparkSession, files: list[str]) -> dict[str, list[str]]:
+    """{file_path: [file column names]} for data files whose parquet schema
+    carries no field-id metadata. Only consulted when the table declares
+    ``schema.name-mapping.default``."""
+    return {p: names for p, has, names, _ in _sniff_footers(spark, files)
+            if not has}
 
 
 def _read_by_name_mapping(
@@ -276,6 +288,52 @@ def _read_by_name_mapping(
             sel += [F.col(_FILE_COL), F.col(_POS_COL)]
         out.append(raw.select(*sel))
     return out
+
+
+# ---------------------------------------------------------------------------
+# initial-default column values (schema evolution)
+# ---------------------------------------------------------------------------
+
+def _defaulted_fields(plan: ScanPlan) -> list[dict]:
+    return [f for f in plan.schema_json["fields"]
+            if f.get("initial-default") is not None]
+
+
+def _apply_initial_defaults(
+    spark: SparkSession, df: DataFrame, plan: ScanPlan, files: list[str]
+) -> DataFrame:
+    """Columns added with ``initial-default`` surface the default (not NULL)
+    for data files written before the column existed (reference:
+    iceberg_column_definition.cpp:26-75 + missing-column handling in
+    iceberg_multi_file_reader.cpp:100-115). Implemented like partition
+    constants: a broadcast (file → field-missing flags) map drives a
+    per-row conditional, so any file count scales."""
+    defaulted = _defaulted_fields(plan)
+    if not defaulted or not files:
+        return df
+
+    rows = []
+    for path, has_ids, names, fids in _sniff_footers(spark, files):
+        row: dict[str, Any] = {"__def_file": path}
+        for f in defaulted:
+            present = (f["id"] in fids) if has_ids else (f["name"] in names)
+            row["__def_" + f["name"]] = not present
+        rows.append(row)
+    schema = T.StructType(
+        [T.StructField("__def_file", T.StringType())]
+        + [T.StructField("__def_" + f["name"], T.BooleanType()) for f in defaulted])
+    flag_df = spark.createDataFrame(rows, schema)
+    df = df.join(F.broadcast(flag_df), df[_FILE_COL] == flag_df["__def_file"], "left")
+    for f in defaulted:
+        default_val = ice_types.json_default_to_python(
+            f["type"], f["initial-default"])
+        spark_t = ice_types.iceberg_to_spark(f["type"])
+        df = df.withColumn(
+            f["name"],
+            F.when(F.coalesce(F.col("__def_" + f["name"]), F.lit(False)),
+                   F.lit(default_val).cast(spark_t))
+            .otherwise(F.col(f["name"])))
+    return df.drop("__def_file", *["__def_" + f["name"] for f in defaulted])
 
 
 # ---------------------------------------------------------------------------

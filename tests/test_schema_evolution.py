@@ -1,0 +1,80 @@
+"""Schema evolution with column defaults: ``initial-default`` must surface
+for pre-existing files while post-add files keep their written values
+(reference: iceberg_column_definition.cpp:26-75; missing-column handling
+iceberg_multi_file_reader.cpp:100-115)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+
+
+def test_initial_default_on_old_files(spark, sf_dir, tmp_path):
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import add_column
+
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "region"), loc)
+    add_column(loc, "score", "int", default=7)
+
+    got = iceberg_scan(spark, loc)
+    assert got.schema["score"].dataType.typeName() == "integer"
+    assert [r.score for r in got.collect()] == [7] * got.count()
+
+
+def test_initial_default_mixed_old_and_new_files(spark, sf_dir, tmp_path):
+    """Old files surface the default; files written after the add keep
+    their values — including explicit NULLs."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import add_column
+
+    loc = str(tmp_path / "t")
+    old = load(spark, sf_dir, "nation").where("n_nationkey < 10")
+    write_iceberg(old, loc)
+    add_column(loc, "score", "long", default=42)
+
+    new = (load(spark, sf_dir, "nation").where("n_nationkey >= 10")
+           .withColumn("score",
+                       F.when(F.col("n_nationkey") % 2 == 0, F.col("n_nationkey"))
+                       .cast("long")))
+    write_iceberg(new, loc)
+
+    rows = {r.n_nationkey: r.score
+            for r in iceberg_scan(spark, loc).collect()}
+    for k, v in rows.items():
+        if k < 10:
+            assert v == 42, (k, v)
+        elif k % 2 == 0:
+            assert v == k, (k, v)
+        else:
+            assert v is None, (k, v)
+
+
+def test_required_add_with_default_and_date_type(spark, sf_dir, tmp_path):
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.ddl import add_column
+
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "region"), loc)
+    add_column(loc, "valid_from", "date", required=True, default="2020-01-01")
+
+    tm = load_table_metadata(loc)
+    f = [x for x in tm.schema_json()["fields"] if x["name"] == "valid_from"][0]
+    assert f["required"] is True
+    assert f["initial-default"] == "2020-01-01"
+    got = iceberg_scan(spark, loc).select("valid_from").distinct().collect()
+    assert [r.valid_from for r in got] == [datetime.date(2020, 1, 1)]
+
+
+def test_required_add_without_default_still_rejected(spark, sf_dir, tmp_path):
+    import pytest
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import add_column
+
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "region"), loc)
+    with pytest.raises(ValueError, match="default"):
+        add_column(loc, "x", "int", required=True)

@@ -21,15 +21,30 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # full TPC-H-shaped suite (the reference benchmarks Q1-Q22 over Iceberg,
+    # BASELINE.md; same coverage here, adapted shapes per __spark_entry__)
     "q01_pricing_summary",
+    "q02_min_cost_supplier",
     "q03_shipping_priority",
+    "q04_order_priority",
     "q05_region_revenue",
     "q06_revenue_forecast",
+    "q07_volume_shipping",
     "q08_market_share",
     "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_lines",
     "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
     "q17_small_quantity",
     "q18_large_volume",
+    "q19_disjunctive",
+    "q20_excess_shippers",
+    "q21_waiting_supplier",
+    "q22_sales_opportunity",
     "q_rollup",
     "q_window_top_order",
     "q_events_hourly",

@@ -570,7 +570,18 @@ def iceberg_count(path: str, *, snapshot_id: int | None = None, as_of: Any = Non
     metadata alone cannot answer."""
     tm = load_table_metadata(path)
     snapshot = tm.select_snapshot(snapshot_id=snapshot_id, as_of=as_of)
-    plan = plan_scan(tm, snapshot, where)
     if where is not None:
         return None
+    if snapshot is None or not snapshot.manifest_list:
+        return 0
+    # fast path: manifest-LIST row-count sums answer count(*) without
+    # opening any manifest when no delete manifests exist (reference:
+    # cardinality from manifest list, iceberg_multi_file_list.cpp:332-364)
+    from ..plans.scan_plan import _localize
+
+    manifests = mf.read_manifest_list(_localize(tm, snapshot.manifest_list))
+    if all(m.content == 0 for m in manifests):  # data manifests only
+        return sum(m.added_rows_count + m.existing_rows_count
+                   for m in manifests)
+    plan = plan_scan(tm, snapshot, where)
     return plan.exact_row_count()

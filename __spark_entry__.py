@@ -579,12 +579,16 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated min-subquery rewritten as aggregate + join-back, 4-way
     dimension join, region filter, deterministic top-100."""
     li = _scan_lineitem(spark, sf_dir)
+    part = _pq(spark, sf_dir, "part").filter("p_type = 'LARGE'")
+    # the min is per part, so restricting to the filtered parts BEFORE the
+    # aggregation is equivalent and prunes most of the shuffle input
+    li = li.join(F.broadcast(part.select(F.col("p_partkey").alias("__pk"))),
+                 F.col("l_partkey") == F.col("__pk"), "left_semi")
     partsup = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias("cost"))
     )
     minc = partsup.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
-    part = _pq(spark, sf_dir, "part").filter("p_type = 'LARGE'")
     nation_region = (
         _pq(spark, sf_dir, "nation")
         .join(_pq(spark, sf_dir, "region").filter("r_name = 'EUROPE'"),

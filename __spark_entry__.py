@@ -1763,6 +1763,22 @@ def oracle_sql() -> dict[str, str]:
                      vec_id
             LIMIT 10
         """,
+        "emb_knn_join": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+                       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+            scored AS (
+              SELECT q.q_id, e.vec_id,
+                     round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.q_vec), 6) AS sim
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id > 2),
+            ranked AS (
+              SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY sim DESC, vec_id) AS "rank"
+              FROM scored)
+            SELECT q_id, vec_id, "rank" FROM ranked
+            WHERE "rank" <= 5 ORDER BY q_id, "rank"
+        """,
         "stream_incremental": """
             SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey
         """,

@@ -491,44 +491,88 @@ def _dv_positions_df(spark: SparkSession, dv_blobs: dict[str, "mf.DataFile"]) ->
 
 
 def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) -> DataFrame:
-    """Equality deletes: null-safe anti-join on the equality_id columns.
-    Applies per delete-file to exactly the data files whose sequence number
-    admits it (delete.seq > data.seq, iceberg_file_pruner.cpp:340-356);
-    absent fields compare as NULL (IS NOT DISTINCT FROM semantics,
-    iceberg_multi_file_reader.cpp:436-523)."""
-    # group equality delete files by (frozenset of applicable data files)
-    groups: dict[str, tuple[mf.DataFile, set[str]]] = {}
+    """Equality deletes: null-safe anti-join on the equality_id columns,
+    honoring per-pair sequence numbers (delete.seq > data.seq,
+    iceberg_file_pruner.cpp:340-356); absent fields compare as NULL
+    (IS NOT DISTINCT FROM, iceberg_multi_file_reader.cpp:436-523).
+
+    Scale shape: ONE anti-join per distinct equality-id signature — not per
+    delete file. Delete files of a signature are read in a single parquet
+    scan; per-file sequence numbers attach via a broadcast (path → seq)
+    map. Globally-applicable deletes join on keys+seq alone; partition-
+    scoped deletes additionally carry the planner's (delete file → data
+    file) applicability pairs, so planner truth (partition match,
+    referenced_data_file) is preserved without per-file IN lists."""
+    by_sig: dict[tuple, dict[str, tuple[mf.DataFile, int, set[str]]]] = {}
     for t in plan.tasks:
         for seq, d in t.equality_deletes:
-            ent = groups.setdefault(d.file_path, (d, set()))
-            ent[1].add(t.data_file.file_path)
-    if not groups:
+            sig = tuple(d.equality_ids or [])
+            ent = by_sig.setdefault(sig, {}).setdefault(
+                d.file_path, (d, seq, set()))
+            ent[2].add(t.data_file.file_path)
+    if not by_sig:
         return df
 
     all_files = {t.data_file.file_path for t in plan.tasks}
+    seq_rows = [(t.data_file.file_path, int(t.sequence_number or 0))
+                for t in plan.tasks]
+    data_seq = spark.createDataFrame(
+        seq_rows, "`__ds_file` string, `__data_seq` long").dropDuplicates()
+    df = df.join(F.broadcast(data_seq),
+                 df[_FILE_COL] == data_seq["__ds_file"], "left").drop("__ds_file")
+
     tm = plan.tm
-    for path, (d, applicable) in sorted(groups.items()):
-        eq_ids = d.equality_ids or []
+    for sig, files in sorted(by_sig.items()):
         cols = []
-        for fid in eq_ids:
+        for fid in sig:
             f = tm.field_by_id(fid)
             if f is not None:
                 cols.append(f["name"])
         if not cols:
             continue
-        keys = spark.read.parquet(path).select(
-            *[F.col(c).alias("__eq_" + c) for c in cols]
-        ).dropDuplicates()
-        cond = None
-        for c in cols:
-            piece = df[c].eqNullSafe(keys["__eq_" + c])
-            cond = piece if cond is None else (cond & piece)
-        if applicable != all_files:
-            # restrict to the data files this delete may touch
-            lst = sorted(applicable)
-            cond = cond & df[_FILE_COL].isin(lst)
-        df = df.join(keys.hint("broadcast"), cond, "left_anti")
-    return df
+        is_global = all(applicable == all_files
+                        for _, _, applicable in files.values())
+        del_meta = spark.createDataFrame(
+            [(p, int(seq)) for p, (_, seq, _) in sorted(files.items())],
+            "`__del_file` string, `__del_seq` long")
+        keys = (
+            spark.read.parquet(*sorted(files))
+            .withColumn("__kf", _norm_path(F.col("_metadata.file_path")))
+            .join(F.broadcast(del_meta), F.col("__kf") == F.col("__del_file"))
+        )
+        if is_global:
+            keys = keys.select(
+                *[F.col(c).alias("__eq_" + c) for c in cols], "__del_seq"
+            ).dropDuplicates()
+            eq_cond = None
+            for c in cols:
+                piece = df[c].eqNullSafe(keys["__eq_" + c])
+                eq_cond = piece if eq_cond is None else (eq_cond & piece)
+            df = df.join(keys.hint("broadcast"),
+                         eq_cond & (keys["__del_seq"] > df["__data_seq"]),
+                         "left_anti")
+        else:
+            pairs = [(p, target) for p, (_, _, applicable) in files.items()
+                     for target in applicable]
+            pair_df = spark.createDataFrame(
+                pairs, "`__p_del` string, `__p_data` string")
+            keys = (
+                keys.join(F.broadcast(pair_df),
+                          F.col("__del_file") == F.col("__p_del"))
+                .select(*[F.col(c).alias("__eq_" + c) for c in cols],
+                        "__del_seq", F.col("__p_data"))
+                .dropDuplicates()
+            )
+            eq_cond = None
+            for c in cols:
+                piece = df[c].eqNullSafe(keys["__eq_" + c])
+                eq_cond = piece if eq_cond is None else (eq_cond & piece)
+            df = df.join(
+                keys.hint("broadcast"),
+                eq_cond & (keys["__del_seq"] > df["__data_seq"])
+                & (df[_FILE_COL] == keys["__p_data"]),
+                "left_anti")
+    return df.drop("__data_seq")
 
 
 # ---------------------------------------------------------------------------

@@ -434,8 +434,16 @@ def _apply_positional_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan
     del_df = parts[0]
     for p in parts[1:]:
         del_df = del_df.unionByName(p)
+    # broadcast only when the manifests say the delete side is small; a
+    # 100 TB table's delete files can exceed executor memory, where the
+    # anti-join should shuffle (AQE decides from real sizes)
+    total_del_rows = sum(
+        int(d.record_count or 0)
+        for t in plan.tasks for d in t.positional_deletes)
+    if total_del_rows <= 20_000_000:
+        del_df = del_df.hint("broadcast")
     return df.join(
-        del_df.hint("broadcast"),
+        del_df,
         (df[_FILE_COL] == del_df["__del_file"]) & (df[_POS_COL] == del_df["__del_pos"]),
         "left_anti",
     )

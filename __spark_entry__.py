@@ -1170,6 +1170,46 @@ def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_stream_sink(spark: SparkSession, sf_dir: str) -> str:
+    """supplier streamed file-by-file into an Iceberg table via the
+    foreachBatch sink (availableNow), checkpointed for exactly-once."""
+    def build(loc: str) -> None:
+        import tempfile
+
+        from duckdb_iceberg_spark.streaming import iceberg_sink
+
+        with tempfile.TemporaryDirectory() as tmp:
+            src = os.path.join(tmp, "src")
+            (_pq(spark, sf_dir, "supplier").repartition(4)
+             .write.parquet(src, mode="overwrite"))
+            schema = _pq(spark, sf_dir, "supplier").schema
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+            q = (stream.writeStream
+                 .foreachBatch(iceberg_sink(loc, query_id="bench-sink"))
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination(300)
+
+    return _build_once(sf_dir, "supplier_stream_sink", build)
+
+
+def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows streamed through the exactly-once Iceberg sink must aggregate
+    identically to the batch source table."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_stream_sink(spark, sf_dir)
+    return (
+        iceberg_scan(spark, loc)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             _dec_sum(F.col("s_acctbal"), 6).alias("sum_bal"))
+        .orderBy("s_nationkey")
+    )
+
+
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: IVF probes nprobe/n_centroids of the corpus (approximate)
     from duckdb_iceberg_spark.operators.similarity import ivf_topk
@@ -1288,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": emb_cosine_topk,
         "emb_knn_join": emb_knn_join,
         "stream_incremental": stream_incremental,
+        "stream_sink_roundtrip": stream_sink_roundtrip,
         "stream_tumbling_events": stream_tumbling_events,
         "emb_ivf_topk": emb_ivf_topk,
         "emb_neardup": emb_neardup,
@@ -1781,6 +1822,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_incremental": """
             SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey
+        """,
+        "stream_sink_roundtrip": """
+            SELECT s_nationkey, count(*) AS cnt,
+                   round(CAST(sum(CAST(round(s_acctbal, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_bal
+            FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
         """,
         "stream_tumbling_events": """
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,

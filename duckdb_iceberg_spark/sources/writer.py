@@ -619,10 +619,13 @@ def write_iceberg(
     sort_by=None,
     properties: dict[str, str] | None = None,
     format_version: int = 2,
+    snapshot_properties: dict[str, str] | None = None,
 ) -> TableMetadata:
     """COPY (query) TO 'path' (FORMAT ICEBERG) analogue
     (reference: iceberg_copy_function.cpp:11-31): write parquet + author
-    metadata at a bare filesystem path, creating the table if needed."""
+    metadata at a bare filesystem path, creating the table if needed.
+    ``snapshot_properties`` land in the snapshot summary (cf. the
+    reference's snapshot_property.* named params)."""
     spark = df.sparkSession
     exists = current_version_number(location) > 0
     if exists and mode == "error":
@@ -637,7 +640,8 @@ def write_iceberg(
     data_files, _root = write_data_files(spark, df, tm)
     if mode == "overwrite" and exists:
         commit_snapshot(tm, operation="overwrite", new_data_files=data_files,
-                        keep_existing=False)
+                        keep_existing=False, extra_summary=snapshot_properties)
     else:
-        commit_snapshot(tm, operation="append", new_data_files=data_files)
+        commit_snapshot(tm, operation="append", new_data_files=data_files,
+                        extra_summary=snapshot_properties)
     return tm

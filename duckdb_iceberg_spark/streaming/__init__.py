@@ -2,6 +2,7 @@
 Source stream reader, and event-time window helpers."""
 
 from .incremental import appended_snapshots, incremental_scan  # noqa: F401
+from .sink import iceberg_sink, last_committed_batch  # noqa: F401
 from .source import (  # noqa: F401
     FORMAT_NAME,
     IcebergStreamDataSource,

@@ -1,0 +1,77 @@
+"""Streaming Iceberg sink: exactly-once appends via foreachBatch.
+
+Beyond the reference's scope (it has no streaming; SURVEY.md §2.4) but the
+natural Spark-first completion of the streaming layer: each micro-batch is
+appended with ``write_iceberg`` and the (query-id, batch-id) watermark is
+recorded in the snapshot summary, so a restarted query that replays a
+micro-batch recognizes the already-committed batch and skips it —
+exactly-once table contents on top of Spark's at-least-once replay.
+
+Usage::
+
+    writer = iceberg_sink(location)
+    q = (df.writeStream.foreachBatch(writer)
+           .option("checkpointLocation", ckpt).start())
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+
+from ..metadata.table_metadata import load_table_metadata
+
+__all__ = ["iceberg_sink", "last_committed_batch"]
+
+_QUERY_PROP = "spark.streaming.query-id"
+_BATCH_PROP = "spark.streaming.batch-id"
+
+
+def last_committed_batch(location: str, query_id: str | None = None) -> Optional[int]:
+    """Highest batch-id recorded in any snapshot summary (optionally
+    restricted to one streaming query)."""
+    try:
+        tm = load_table_metadata(location)
+    except FileNotFoundError:
+        return None
+    best: Optional[int] = None
+    for s in tm.snapshots:
+        summary = s.summary or {}
+        if _BATCH_PROP not in summary:
+            continue
+        if query_id is not None and summary.get(_QUERY_PROP) != query_id:
+            continue
+        b = int(summary[_BATCH_PROP])
+        best = b if best is None or b > best else best
+    return best
+
+
+def iceberg_sink(
+    location: str,
+    *,
+    partition_by=None,
+    query_id: str | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` function appending micro-batches to the
+    Iceberg table at ``location`` with batch-id idempotence."""
+    from ..sources.writer import write_iceberg
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        qid = query_id
+        if qid is None:
+            # foreachBatch runs on the driver; the active query is available
+            streams = batch_df.sparkSession.streams.active
+            qid = str(streams[-1].id) if streams else "default"
+        done = last_committed_batch(location, qid)
+        if done is not None and batch_id <= done:
+            return  # replayed batch: already committed
+        if transform is not None:
+            batch_df = transform(batch_df)
+        write_iceberg(
+            batch_df, location, partition_by=partition_by,
+            snapshot_properties={_QUERY_PROP: qid,
+                                 _BATCH_PROP: str(batch_id)})
+
+    return write_batch

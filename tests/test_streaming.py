@@ -207,3 +207,50 @@ def test_stateful_first_seen_filter(spark, tmp_path):
     run()
     rows = {(r.k, r.payload) for r in spark.read.parquet(out).collect()}
     assert rows == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_iceberg_sink_foreachbatch_exactly_once(spark, tmp_path):
+    """Micro-batches append via foreachBatch; a replayed batch-id is a
+    no-op, so restart replays don't duplicate rows."""
+    from duckdb_iceberg_spark import iceberg_scan
+    from duckdb_iceberg_spark.streaming import iceberg_sink, last_committed_batch
+
+    loc = str(tmp_path / "sink")
+    writer = iceberg_sink(loc, query_id="q1")
+
+    writer(spark.range(0, 5).selectExpr("id"), 0)
+    writer(spark.range(5, 9).selectExpr("id"), 1)
+    assert last_committed_batch(loc, "q1") == 1
+    assert sorted(r.id for r in iceberg_scan(spark, loc).collect()) == list(range(9))
+
+    # replay of batch 1 (e.g. after a restart) must not duplicate
+    writer(spark.range(5, 9).selectExpr("id"), 1)
+    assert sorted(r.id for r in iceberg_scan(spark, loc).collect()) == list(range(9))
+    writer(spark.range(9, 12).selectExpr("id"), 2)
+    assert sorted(r.id for r in iceberg_scan(spark, loc).collect()) == list(range(12))
+
+
+def test_iceberg_sink_with_real_stream(spark, tmp_path):
+    """End-to-end: a rate-limited file stream writes into an Iceberg table
+    with availableNow, and the table reads back complete."""
+    import os
+
+    from duckdb_iceberg_spark import iceberg_scan
+    from duckdb_iceberg_spark.streaming import iceberg_sink
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.range(0, 30).selectExpr("id").coalesce(1).write.parquet(src, mode="overwrite")
+
+    loc = str(tmp_path / "sink")
+    stream = (spark.readStream.schema("id long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(iceberg_sink(loc, query_id="q2"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == list(range(30))

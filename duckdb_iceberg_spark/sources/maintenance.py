@@ -23,7 +23,11 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from ..metadata import manifest as mf
-from ..metadata.table_metadata import TableMetadata, load_table_metadata
+from ..metadata.table_metadata import (
+    TableMetadata,
+    load_table_metadata,
+    write_table_metadata,
+)
 from ..plans.scan_plan import ScanPlan, plan_scan
 from .scan import scan_to_dataframe
 from .writer import commit_snapshot, write_data_files
@@ -110,3 +114,111 @@ def rewrite_data_files(
     )
     summary["snapshot_id"] = tm.current_snapshot_id
     return summary
+
+
+# ---------------------------------------------------------------------------
+# snapshot expiration & orphan cleanup (beyond-reference maintenance)
+# ---------------------------------------------------------------------------
+
+def _reachable_files(tm: TableMetadata, snapshots) -> tuple[set, set]:
+    """(manifest-list/manifest paths, data/delete file paths) referenced by
+    the given snapshots."""
+    from ..plans.scan_plan import _localize
+
+    meta_paths: set[str] = set()
+    data_paths: set[str] = set()
+    for s in snapshots:
+        if not s.manifest_list:
+            continue
+        ml = _localize(tm, s.manifest_list)
+        meta_paths.add(ml)
+        try:
+            manifests = mf.read_manifest_list(ml)
+        except FileNotFoundError:
+            continue
+        for m in manifests:
+            mp = _localize(tm, m.manifest_path)
+            meta_paths.add(mp)
+            try:
+                entries = mf.read_manifest(mp)
+            except FileNotFoundError:
+                continue
+            for e in entries:
+                data_paths.add(_localize(tm, e.data_file.file_path))
+    return meta_paths, data_paths
+
+
+def expire_snapshots(
+    location: str,
+    *,
+    older_than_ms: int | None = None,
+    retain_last: int = 1,
+    delete_files: bool = True,
+) -> dict:
+    """Expire snapshots (cf. Iceberg's ``expire_snapshots`` procedure —
+    not in the reference, whose maintenance surface is compaction only):
+    drops expired snapshots from table metadata, then deletes any
+    manifest/data files no longer reachable from a retained snapshot.
+
+    Returns {"expired": n, "deleted_files": n}."""
+    import os as _os
+
+    tm = load_table_metadata(location)
+    snaps = sorted(tm.snapshots, key=lambda s: s.timestamp_ms)
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    keep = set(s.snapshot_id for s in snaps[-retain_last:])
+    cur = tm.current_snapshot_id
+    if cur is not None:
+        keep.add(cur)
+    expired = [
+        s for s in snaps
+        if s.snapshot_id not in keep
+        and (older_than_ms is None or s.timestamp_ms < older_than_ms)
+    ]
+    if not expired:
+        return {"expired": 0, "deleted_files": 0}
+
+    retained = [s for s in snaps if s not in expired]
+    deleted = 0
+    if delete_files:
+        keep_meta, keep_data = _reachable_files(tm, retained)
+        drop_meta, drop_data = _reachable_files(tm, expired)
+        for path in sorted((drop_meta - keep_meta) | (drop_data - keep_data)):
+            try:
+                _os.remove(path)
+                deleted += 1
+            except FileNotFoundError:
+                pass
+
+    expired_ids = {s.snapshot_id for s in expired}
+    tm.snapshots = retained
+    tm.snapshot_log = [
+        e for e in tm.snapshot_log if e.get("snapshot-id") not in expired_ids]
+    write_table_metadata(tm, location)
+    return {"expired": len(expired), "deleted_files": deleted}
+
+
+def remove_orphan_files(location: str, *, dry_run: bool = False) -> list[str]:
+    """Delete data-directory files not referenced by ANY snapshot (failed
+    writes, aborted jobs). Returns the removed (or would-remove) paths."""
+    import os as _os
+
+    tm = load_table_metadata(location)
+    _, referenced = _reachable_files(tm, tm.snapshots)
+    orphans = []
+    data_root = _os.path.join(location, "data")
+    for root, _dirs, names in _os.walk(data_root):
+        for n in names:
+            p = _os.path.join(root, n)
+            if n.startswith(".") or n.startswith("_"):
+                continue
+            if p not in referenced:
+                orphans.append(p)
+    if not dry_run:
+        for p in orphans:
+            try:
+                _os.remove(p)
+            except FileNotFoundError:
+                pass
+    return sorted(orphans)

@@ -97,3 +97,73 @@ def test_bad_options(spark, tmp_path):
         rewrite_data_files(spark, loc, min_input_files=0)
     with pytest.raises(ValueError):
         rewrite_data_files(spark, loc, target_file_size_bytes=10)
+
+
+def test_expire_snapshots_retains_and_deletes(spark, tmp_path):
+    """Expired snapshots leave the metadata; files only they referenced are
+    removed from disk; retained snapshots still scan."""
+    import os
+
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.maintenance import (
+        expire_snapshots,
+        rewrite_data_files,
+    )
+
+    loc = str(tmp_path / "t")
+    write_iceberg(spark.range(0, 10).selectExpr("id"), loc)
+    write_iceberg(spark.range(10, 20).selectExpr("id"), loc)
+    rewrite_data_files(spark, loc, rewrite_all=True)  # old files now unreachable
+    assert len(load_table_metadata(loc).snapshots) == 3
+
+    before = sum(len(fs) for _, _, fs in os.walk(os.path.join(loc, "data")))
+    out = expire_snapshots(loc, retain_last=1)
+    assert out["expired"] == 2
+    assert out["deleted_files"] > 0
+
+    tm = load_table_metadata(loc)
+    assert len(tm.snapshots) == 1
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == list(range(20))
+    after = sum(len(fs) for _, _, fs in os.walk(os.path.join(loc, "data")))
+    assert after < before
+
+
+def test_expire_snapshots_respects_retain_last(spark, tmp_path):
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.maintenance import expire_snapshots
+    from duckdb_iceberg_spark.sources.writer import write_iceberg
+
+    loc = str(tmp_path / "t")
+    for lo in range(0, 30, 10):
+        write_iceberg(spark.range(lo, lo + 10).selectExpr("id"), loc)
+    out = expire_snapshots(loc, retain_last=2)
+    assert out["expired"] == 1
+    assert len(load_table_metadata(loc).snapshots) == 2
+    # time travel to the older retained snapshot still works
+    from duckdb_iceberg_spark import iceberg_scan
+
+    tm = load_table_metadata(loc)
+    older = min(tm.snapshots, key=lambda s: s.timestamp_ms)
+    got = iceberg_scan(spark, loc, snapshot_id=older.snapshot_id).count()
+    assert got == 20
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    import os
+
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.maintenance import remove_orphan_files
+
+    loc = str(tmp_path / "t")
+    write_iceberg(spark.range(0, 10).selectExpr("id"), loc)
+    orphan = os.path.join(loc, "data", "stray-aborted-write.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+
+    listed = remove_orphan_files(loc, dry_run=True)
+    assert listed == [orphan] and os.path.exists(orphan)
+    removed = remove_orphan_files(loc)
+    assert removed == [orphan] and not os.path.exists(orphan)
+    assert iceberg_scan(spark, loc).count() == 10

@@ -42,14 +42,25 @@ def _commit_schema(tm: TableMetadata, sch: dict) -> TableMetadata:
 
 def add_column(location: str, name: str, ice_type: Any, *, required: bool = False,
                doc: str | None = None, default: Any = None) -> TableMetadata:
-    """ADD COLUMN (top-level; nested adds unsupported, same as the reference
-    iceberg_schema_entry.cpp:414). ``default`` sets ``initial-default`` and
-    ``write-default`` (JSON single-value form, v3 column defaults;
-    reference: iceberg_column_definition.cpp:26-75) — existing rows then
-    surface the default instead of NULL, and a required add is allowed."""
+    """ADD COLUMN. A dotted ``name`` (``parent.child``) adds a member inside
+    an existing struct column — a capability beyond the reference, which
+    rejects nested adds (iceberg_schema_entry.cpp:414). ``default`` sets
+    ``initial-default`` and ``write-default`` (JSON single-value form, v3
+    column defaults; reference: iceberg_column_definition.cpp:26-75) —
+    existing rows then surface the default instead of NULL, and a required
+    add is allowed."""
     tm = load_table_metadata(location)
     sch = _next_schema(tm)
-    if any(f["name"] == name for f in sch["fields"]):
+    parts = name.split(".")
+    fields = sch["fields"]
+    for p in parts[:-1]:
+        parent = next((f for f in fields if f["name"] == p), None)
+        if parent is None or not (isinstance(parent["type"], dict)
+                                  and parent["type"].get("type") == "struct"):
+            raise KeyError(f"no struct column {p!r} to add into")
+        fields = parent["type"]["fields"]
+    leaf = parts[-1]
+    if any(f["name"] == leaf for f in fields):
         raise ValueError(f"column {name!r} already exists")
     if required and default is None:
         raise ValueError("adding a required column to existing rows needs a default; "
@@ -60,14 +71,14 @@ def add_column(location: str, name: str, ice_type: Any, *, required: bool = Fals
         tm.last_column_id = alloc.last
     fid = tm.last_column_id + 1
     tm.last_column_id = fid
-    f: dict[str, Any] = {"id": fid, "name": name, "required": bool(required),
+    f: dict[str, Any] = {"id": fid, "name": leaf, "required": bool(required),
                          "type": ice_type}
     if default is not None:
         f["initial-default"] = default
         f["write-default"] = default
     if doc:
         f["doc"] = doc
-    sch["fields"].append(f)
+    fields.append(f)
     return _commit_schema(tm, sch)
 
 

@@ -194,21 +194,50 @@ def scan_to_dataframe(
 _FOOTER_SNIFF_DRIVER_MAX = 64
 
 
-def _sniff_footers(spark: SparkSession, files: list[str]) -> list[tuple[str, bool, list[str], list[int]]]:
-    """(path, has_field_ids, column names, field-ids) per file. Footer reads
-    are distributed above _FOOTER_SNIFF_DRIVER_MAX files so the driver never
-    serially opens thousands of footers (manifest-late-materialization
-    posture)."""
+def _arrow_schema_info(sch) -> tuple[list[str], list[int], str]:
+    """Recursive walk of an arrow schema: (dotted field-name paths, all
+    field-ids incl. nested, layout signature for grouping). List elements and
+    map key/values appear under ``element``/``key``/``value`` path segments
+    to match Iceberg name-mapping conventions."""
+    import pyarrow as pa
 
-    def sniff(path: str) -> tuple[str, bool, list[str], list[int]]:
+    names: list[str] = []
+    fids: list[int] = []
+    sig: list[str] = []
+
+    def visit(f, prefix: str) -> None:
+        path = f"{prefix}.{f.name}" if prefix else f.name
+        names.append(path)
+        if f.metadata and b"PARQUET:field_id" in f.metadata:
+            fids.append(int(f.metadata[b"PARQUET:field_id"]))
+        t = f.type
+        if pa.types.is_struct(t):
+            for c in t:
+                visit(c, path)
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            visit(t.value_field, path)
+        elif pa.types.is_map(t):
+            visit(t.key_field, path)
+            visit(t.item_field, path)
+        if not prefix:
+            sig.append(f"{f.name}:{t}")
+
+    for f in sch:
+        visit(f, "")
+    return names, fids, "|".join(sig)
+
+
+def _sniff_footers(spark: SparkSession, files: list[str]) -> list[tuple[str, bool, list[str], list[int], str]]:
+    """(path, has_field_ids, dotted column-name paths, field-ids incl.
+    nested, layout signature) per file. Footer reads are distributed above
+    _FOOTER_SNIFF_DRIVER_MAX files so the driver never serially opens
+    thousands of footers (manifest-late-materialization posture)."""
+
+    def sniff(path: str) -> tuple[str, bool, list[str], list[int], str]:
         import pyarrow.parquet as pq
 
-        sch = pq.read_schema(path)
-        fids = []
-        for f in sch:
-            if f.metadata and b"PARQUET:field_id" in f.metadata:
-                fids.append(int(f.metadata[b"PARQUET:field_id"]))
-        return path, bool(fids), list(sch.names), fids
+        names, fids, sig = _arrow_schema_info(pq.read_schema(path))
+        return path, bool(fids), names, fids, sig
 
     if len(files) <= _FOOTER_SNIFF_DRIVER_MAX:
         return [sniff(f) for f in files]
@@ -221,29 +250,96 @@ def _sniff_footers(spark: SparkSession, files: list[str]) -> list[tuple[str, boo
                 {"path": [o[0] for o in out],
                  "has_ids": [o[1] for o in out],
                  "names": [o[2] for o in out],
-                 "fids": [o[3] for o in out]})
+                 "fids": [o[3] for o in out],
+                 "sig": [o[4] for o in out]})
 
     meta = spark.createDataFrame([(f,) for f in files], "path: string")
     return [
-        (r.path, r.has_ids, list(r.names), [int(i) for i in r.fids])
+        (r.path, r.has_ids, list(r.names), [int(i) for i in r.fids], r.sig)
         for r in meta.repartition(32).mapInPandas(
             sniff_batches,
-            "path string, has_ids boolean, names array<string>, fids array<int>"
+            "path string, has_ids boolean, names array<string>, "
+            "fids array<int>, sig string"
         ).collect()
     ]
 
 
-def _files_without_field_ids(spark: SparkSession, files: list[str]) -> dict[str, list[str]]:
-    """{file_path: [file column names]} for data files whose parquet schema
+def _files_without_field_ids(spark: SparkSession, files: list[str]) -> dict[str, str]:
+    """{file_path: layout signature} for data files whose parquet schema
     carries no field-id metadata. Only consulted when the table declares
     ``schema.name-mapping.default``."""
-    return {p: names for p, has, names, _ in _sniff_footers(spark, files)
+    return {p: sig for p, has, _names, _fids, sig in _sniff_footers(spark, files)
             if not has}
+
+
+def _mapping_entry(mapping: list | None, fid: int) -> dict | None:
+    for ent in mapping or []:
+        if ent.get("field-id") == fid:
+            return ent
+    return None
+
+
+def _mapped_field_expr(f: dict, mapping: list, file_st: T.DataType, parent):
+    """Resolve current-schema field ``f`` at one nesting level of a legacy
+    file: the mapping entry's historical ``names`` are matched against the
+    file's struct members; unmatched → NULL (reference: ApplyFieldMapping,
+    iceberg_multi_file_reader.cpp:203-238, recursing into child mappings)."""
+    spark_t = ice_types.iceberg_to_spark(f["type"])
+    ent = _mapping_entry(mapping, f["id"])
+    names = list(ent.get("names", [])) if ent else []
+    if not isinstance(file_st, T.StructType):
+        return F.lit(None).cast(spark_t)
+    src_name = next((n for n in names if n in file_st.names), None)
+    if src_name is None:
+        return F.lit(None).cast(spark_t)
+    src = F.col(src_name) if parent is None else parent.getField(src_name)
+    return _mapped_value_expr(f["type"], ent.get("fields", []) if ent else [],
+                              file_st[src_name].dataType, src)
+
+
+def _mapped_value_expr(ice_t: Any, child_mapping: list, file_t: T.DataType, src):
+    """Value-level name-mapping resolution: primitives cast; structs rebuild
+    member-by-member; lists/maps recurse through ``element``/``key``/``value``
+    mapping entries via higher-order functions (stays in codegen)."""
+    spark_t = ice_types.iceberg_to_spark(ice_t)
+    if ice_types.is_primitive(ice_t):
+        return src.cast(spark_t)
+    kind = ice_t.get("type")
+    if kind == "struct":
+        if not isinstance(file_t, T.StructType):
+            return F.lit(None).cast(spark_t)
+        children = [
+            _mapped_field_expr(cf, child_mapping, file_t, src).alias(cf["name"])
+            for cf in ice_t["fields"]
+        ]
+        return F.when(src.isNull(), F.lit(None).cast(spark_t)) \
+                .otherwise(F.struct(*children))
+    if kind == "list":
+        if not isinstance(file_t, T.ArrayType):
+            return F.lit(None).cast(spark_t)
+        elem_ent = next((e for e in child_mapping
+                         if "element" in e.get("names", [])), None)
+        elem_children = elem_ent.get("fields", []) if elem_ent else []
+        return F.transform(src, lambda x: _mapped_value_expr(
+            ice_t["element"], elem_children, file_t.elementType, x))
+    if kind == "map":
+        if not isinstance(file_t, T.MapType):
+            return F.lit(None).cast(spark_t)
+        key_ent = next((e for e in child_mapping if "key" in e.get("names", [])), None)
+        val_ent = next((e for e in child_mapping if "value" in e.get("names", [])), None)
+        keys = F.transform(F.map_keys(src), lambda k: _mapped_value_expr(
+            ice_t["key"], key_ent.get("fields", []) if key_ent else [],
+            file_t.keyType, k))
+        vals = F.transform(F.map_values(src), lambda v: _mapped_value_expr(
+            ice_t["value"], val_ent.get("fields", []) if val_ent else [],
+            file_t.valueType, v))
+        return F.map_from_arrays(keys, vals)
+    return F.lit(None).cast(spark_t)
 
 
 def _read_by_name_mapping(
     spark: SparkSession,
-    legacy: dict[str, list[str]],
+    legacy: dict[str, str],
     mapping_prop: str,
     plan: ScanPlan,
     need_pos: bool,
@@ -251,39 +347,33 @@ def _read_by_name_mapping(
     """Read legacy files by name via ``schema.name-mapping.default``: each
     mapping entry lists historical column names for a field-id; the file's
     actual column is matched against that list, aliased to the current name
-    and cast to the current type; unmatched fields become NULL (top-level
-    columns; nested name mapping is a documented gap)."""
+    and cast to the current type; unmatched fields become NULL. Nested
+    structs, lists, and maps resolve recursively through the mapping's
+    ``fields`` children (_mapped_field_expr)."""
     import json
 
-    id_to_names: dict[int, list[str]] = {}
-    for ent in json.loads(mapping_prop):
-        fid = ent.get("field-id")
-        if fid is not None:
-            id_to_names[int(fid)] = list(ent.get("names", []))
+    mapping = json.loads(mapping_prop)
 
-    # group files by their column-name signature so heterogeneous legacy
+    # group files by their full-layout signature so heterogeneous legacy
     # layouts each get one reader (bounded by distinct layouts, not files)
-    groups: dict[tuple[str, ...], list[str]] = {}
-    for path, names in legacy.items():
-        groups.setdefault(tuple(names), []).append(path)
+    groups: dict[str, list[str]] = {}
+    for path, sig in legacy.items():
+        groups.setdefault(sig, []).append(path)
 
     out = []
-    for names_key, paths in sorted(groups.items()):
-        present = set(names_key)
+    for sig, paths in sorted(groups.items()):
         raw = spark.read.parquet(*sorted(paths))
         if need_pos:
             # resolve the hidden _metadata column while the plan leaf is
             # still the file scan, before the rename projection drops it
             raw = raw.withColumn(_FILE_COL, _norm_path(F.col("_metadata.file_path"))) \
                      .withColumn(_POS_COL, F.col("_metadata.row_index"))
-        sel = []
-        for f in plan.schema_json["fields"]:
-            spark_t = ice_types.iceberg_to_spark(f["type"])
-            src = next((n for n in id_to_names.get(f["id"], []) if n in present), None)
-            if src is None:
-                sel.append(F.lit(None).cast(spark_t).alias(f["name"]))
-            else:
-                sel.append(F.col(src).cast(spark_t).alias(f["name"]))
+        file_st = T.StructType(
+            [fl for fl in raw.schema.fields if fl.name not in (_FILE_COL, _POS_COL)])
+        sel = [
+            _mapped_field_expr(f, mapping, file_st, None).alias(f["name"])
+            for f in plan.schema_json["fields"]
+        ]
         if need_pos:
             sel += [F.col(_FILE_COL), F.col(_POS_COL)]
         out.append(raw.select(*sel))
@@ -294,9 +384,24 @@ def _read_by_name_mapping(
 # initial-default column values (schema evolution)
 # ---------------------------------------------------------------------------
 
-def _defaulted_fields(plan: ScanPlan) -> list[dict]:
-    return [f for f in plan.schema_json["fields"]
-            if f.get("initial-default") is not None]
+def _defaulted_fields(plan: ScanPlan) -> list[tuple[tuple[str, ...], dict]]:
+    """(dotted path, field json) for every field carrying an
+    ``initial-default``, recursing into struct members (defaults inside
+    list/map element types are out of scope — the spec restricts defaults to
+    primitive values anyway)."""
+    out: list[tuple[tuple[str, ...], dict]] = []
+
+    def walk(fields: list[dict], prefix: tuple[str, ...]) -> None:
+        for f in fields:
+            path = prefix + (f["name"],)
+            if f.get("initial-default") is not None:
+                out.append((path, f))
+            t = f["type"]
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t["fields"], path)
+
+    walk(plan.schema_json["fields"], ())
+    return out
 
 
 def _apply_initial_defaults(
@@ -313,27 +418,33 @@ def _apply_initial_defaults(
         return df
 
     rows = []
-    for path, has_ids, names, fids in _sniff_footers(spark, files):
+    for path, has_ids, names, fids, _sig in _sniff_footers(spark, files):
         row: dict[str, Any] = {"__def_file": path}
-        for f in defaulted:
-            present = (f["id"] in fids) if has_ids else (f["name"] in names)
-            row["__def_" + f["name"]] = not present
+        for i, (fpath, f) in enumerate(defaulted):
+            present = (f["id"] in fids) if has_ids else (".".join(fpath) in names)
+            row[f"__def_{i}"] = not present
         rows.append(row)
     schema = T.StructType(
         [T.StructField("__def_file", T.StringType())]
-        + [T.StructField("__def_" + f["name"], T.BooleanType()) for f in defaulted])
+        + [T.StructField(f"__def_{i}", T.BooleanType())
+           for i in range(len(defaulted))])
     flag_df = spark.createDataFrame(rows, schema)
     df = df.join(F.broadcast(flag_df), df[_FILE_COL] == flag_df["__def_file"], "left")
-    for f in defaulted:
+    for i, (fpath, f) in enumerate(defaulted):
         default_val = ice_types.json_default_to_python(
             f["type"], f["initial-default"])
         spark_t = ice_types.iceberg_to_spark(f["type"])
-        df = df.withColumn(
-            f["name"],
-            F.when(F.coalesce(F.col("__def_" + f["name"]), F.lit(False)),
-                   F.lit(default_val).cast(spark_t))
-            .otherwise(F.col(f["name"])))
-    return df.drop("__def_file", *["__def_" + f["name"] for f in defaulted])
+        flag = F.coalesce(F.col(f"__def_{i}"), F.lit(False))
+        repl = F.when(flag, F.lit(default_val).cast(spark_t)) \
+                .otherwise(F.col(".".join(fpath)))
+        if len(fpath) == 1:
+            df = df.withColumn(fpath[0], repl)
+        else:
+            # nested member: rebuild via withField so only the defaulted
+            # leaf changes; a NULL parent struct stays NULL
+            df = df.withColumn(
+                fpath[0], F.col(fpath[0]).withField(".".join(fpath[1:]), repl))
+    return df.drop("__def_file", *[f"__def_{i}" for i in range(len(defaulted))])
 
 
 # ---------------------------------------------------------------------------

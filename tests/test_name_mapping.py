@@ -112,3 +112,119 @@ def test_mixed_legacy_and_field_id_files(spark, sf_dir, tmp_path):
     got = iceberg_scan(spark, loc).orderBy("n_nationkey").collect()
     want = src.orderBy("n_nationkey").collect()
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def _nested_df(spark):
+    from pyspark.sql import Row
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("s", T.StructType([
+            T.StructField("x", T.IntegerType(), True),
+            T.StructField("y", T.StringType(), True),
+        ]), True),
+        T.StructField("arr", T.ArrayType(T.LongType()), True),
+        T.StructField("m", T.MapType(T.StringType(), T.DoubleType(), False), True),
+    ])
+    rows = [
+        (1, Row(x=10, y="a"), [1, 2, 3], {"k1": 1.5}),
+        (2, Row(x=None, y="b"), [], {}),
+        (3, None, None, None),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def _nested_mapping_for(loc: str, x_names: list[str]) -> str:
+    """Full name-mapping JSON incl. nested struct/list/map children; the
+    struct member x lists the historical names in ``x_names``."""
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+
+    by = {f["name"]: f for f in
+          load_table_metadata(loc).schema_json()["fields"]}
+    s_t, arr_t, m_t = by["s"]["type"], by["arr"]["type"], by["m"]["type"]
+    s_kids = {c["name"]: c["id"] for c in s_t["fields"]}
+    return json.dumps([
+        {"field-id": by["id"]["id"], "names": ["id"]},
+        {"field-id": by["s"]["id"], "names": ["s"], "fields": [
+            {"field-id": s_kids["x"], "names": x_names},
+            {"field-id": s_kids["y"], "names": ["y"]},
+        ]},
+        {"field-id": by["arr"]["id"], "names": ["arr"], "fields": [
+            {"field-id": arr_t["element-id"], "names": ["element"]},
+        ]},
+        {"field-id": by["m"]["id"], "names": ["m"], "fields": [
+            {"field-id": m_t["key-id"], "names": ["key"]},
+            {"field-id": m_t["value-id"], "names": ["value"]},
+        ]},
+    ])
+
+
+def _replace_data_file_with_legacy(spark, loc: str, legacy_df, tmp_dir: str) -> None:
+    """Overwrite the table's single data file with a field-id-less rewrite
+    of the same rows (simulates a legacy non-Iceberg writer)."""
+    import shutil
+
+    [target] = _data_files(loc)
+    out = os.path.join(tmp_dir, "legacy_out")
+    legacy_df.coalesce(1).write.mode("overwrite").parquet(out)
+    [part] = [os.path.join(out, n) for n in os.listdir(out)
+              if n.endswith(".parquet")]
+    shutil.copyfile(part, target)
+    crc = os.path.join(os.path.dirname(target),
+                       "." + os.path.basename(target) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_nested_name_mapping_round_trip(spark, tmp_path):
+    """Legacy file without field-ids: struct members, list elements, and map
+    values all resolve through the mapping's nested ``fields`` entries."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import set_table_properties
+
+    src = _nested_df(spark)
+    loc = str(tmp_path / "t")
+    write_iceberg(src.coalesce(1), loc)
+    _replace_data_file_with_legacy(spark, loc, src, str(tmp_path))
+    set_table_properties(
+        loc, {"schema.name-mapping.default": _nested_mapping_for(loc, ["x"])})
+
+    got = {r.id: r for r in iceberg_scan(spark, loc).collect()}
+    assert got[1].s.x == 10 and got[1].s.y == "a"
+    assert got[1].arr == [1, 2, 3] and got[1].m == {"k1": 1.5}
+    assert got[2].s.x is None and got[2].arr == [] and got[2].m == {}
+    assert got[3].s is None and got[3].arr is None and got[3].m is None
+
+
+def test_nested_name_mapping_renamed_member(spark, tmp_path):
+    """The legacy file wrote the struct member as ``ex``; the mapping's
+    historical-names list resolves it onto the current ``x``."""
+    from pyspark.sql import functions as F
+    import pyspark.sql.types as T
+
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import set_table_properties
+
+    src = _nested_df(spark)
+    loc = str(tmp_path / "t")
+    write_iceberg(src.coalesce(1), loc)
+
+    legacy_st = T.StructType([
+        T.StructField("ex", T.IntegerType(), True),
+        T.StructField("y", T.StringType(), True),
+    ])
+    legacy = src.withColumn(
+        "s",
+        F.when(F.col("s").isNotNull(),
+               F.struct(F.col("s.x").alias("ex"), F.col("s.y").alias("y")))
+        .otherwise(F.lit(None).cast(legacy_st)))
+    _replace_data_file_with_legacy(spark, loc, legacy, str(tmp_path))
+    set_table_properties(
+        loc,
+        {"schema.name-mapping.default": _nested_mapping_for(loc, ["ex", "x"])})
+
+    got = {r.id: r for r in iceberg_scan(spark, loc).collect()}
+    assert got[1].s.x == 10 and got[1].s.y == "a"
+    assert got[2].s.x is None and got[2].s.y == "b"
+    assert got[3].s is None

@@ -78,3 +78,32 @@ def test_required_add_without_default_still_rejected(spark, sf_dir, tmp_path):
     write_iceberg(load(spark, sf_dir, "region"), loc)
     with pytest.raises(ValueError, match="default"):
         add_column(loc, "x", "int", required=True)
+
+
+def test_nested_initial_default_on_old_files(spark, tmp_path):
+    """A member added inside a struct (dotted add_column — beyond the
+    reference, which rejects nested adds) surfaces its initial-default for
+    pre-add files; a NULL parent struct stays NULL."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import add_column
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("s", T.StructType([
+            T.StructField("x", T.IntegerType(), True),
+            T.StructField("y", T.StringType(), True),
+        ]), True),
+    ])
+    df = spark.createDataFrame(
+        [(1, Row(x=10, y="a")), (2, Row(x=None, y="b")), (3, None)], schema)
+    loc = str(tmp_path / "t")
+    write_iceberg(df, loc)
+    add_column(loc, "s.z", "int", default=5)
+
+    got = {r.id: r.s for r in iceberg_scan(spark, loc).collect()}
+    assert got[1].z == 5 and got[1].x == 10 and got[1].y == "a"
+    assert got[2].z == 5 and got[2].x is None
+    assert got[3] is None

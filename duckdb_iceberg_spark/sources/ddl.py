@@ -162,3 +162,66 @@ def remove_table_properties(location: str, keys: list[str]) -> TableMetadata:
         tm.properties.pop(k, None)
     write_table_metadata(tm, tm.location)
     return tm
+
+
+# -- partition-spec / sort-order evolution ----------------------------------
+
+def set_partitioned_by(location: str, partition_by: list[str]) -> TableMetadata:
+    """SET PARTITIONED BY — partition-spec evolution (reference:
+    iceberg_schema_entry.cpp:388). Appends a new spec with a fresh spec-id
+    and flips ``default-spec-id``; writes after this use the new layout while
+    existing data files keep their original spec (scans plan partition
+    constants and pruning per-file by spec-id). Accepts the same transform
+    strings as ``write_iceberg(partition_by=...)``, e.g.
+    ``["l_shipmode", "bucket(4, l_orderkey)", "month(d)"]``."""
+    from .writer import parse_partition_by
+
+    tm = load_table_metadata(location)
+    spec = parse_partition_by(partition_by, tm.schema_json(),
+                              start_field_id=tm.last_partition_id + 1)
+    # identical field layout → reuse an existing spec instead of a new id
+    for existing in tm.partition_specs.values():
+        if [(f.source_id, f.transform) for f in existing.fields] == \
+           [(f.source_id, f.transform) for f in spec.fields]:
+            tm.default_spec_id = existing.spec_id
+            write_table_metadata(tm, tm.location)
+            return tm
+    spec.spec_id = max(tm.partition_specs) + 1
+    tm.partition_specs[spec.spec_id] = spec
+    tm.default_spec_id = spec.spec_id
+    tm.last_partition_id = max(
+        [f.field_id for f in spec.fields] + [tm.last_partition_id])
+    write_table_metadata(tm, tm.location)
+    return tm
+
+
+def set_sorted_by(location: str, sort_by: list) -> TableMetadata:
+    """SET SORTED BY — sort-order evolution (reference:
+    iceberg_schema_entry.cpp:399). Appends a new order with a fresh order-id
+    and flips ``default-sort-order-id``; subsequent writes sort within
+    partitions by it (iceberg_insert.cpp:497-511). ``sort_by`` entries are
+    column names or ``(name, "asc"|"desc")`` pairs; ``[]`` unsorts."""
+    from .writer import parse_sort_by
+
+    tm = load_table_metadata(location)
+    order = parse_sort_by(sort_by, tm.schema_json())
+    if not order.fields:
+        from ..metadata.table_metadata import SortOrder
+
+        tm.default_sort_order_id = 0
+        tm.sort_orders.setdefault(0, SortOrder(0, []))
+        write_table_metadata(tm, tm.location)
+        return tm
+    for existing in tm.sort_orders.values():
+        if [(f.source_id, f.transform, f.direction, f.null_order)
+                for f in existing.fields] == \
+           [(f.source_id, f.transform, f.direction, f.null_order)
+                for f in order.fields]:
+            tm.default_sort_order_id = existing.order_id
+            write_table_metadata(tm, tm.location)
+            return tm
+    order.order_id = max(tm.sort_orders) + 1
+    tm.sort_orders[order.order_id] = order
+    tm.default_sort_order_id = order.order_id
+    write_table_metadata(tm, tm.location)
+    return tm

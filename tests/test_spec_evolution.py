@@ -1,0 +1,96 @@
+"""Partition-spec and sort-order evolution (reference: SET PARTITIONED BY
+iceberg_schema_entry.cpp:388, SET SORTED BY :399): new writes use the new
+layout while existing files keep their original spec; scans plan both."""
+
+import os
+
+from tests.conftest import load
+
+
+def test_set_partitioned_by_evolves_spec(spark, sf_dir, tmp_path):
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.ddl import set_partitioned_by
+
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "t")
+    write_iceberg(src.where("n_nationkey < 10"), loc)  # unpartitioned
+    set_partitioned_by(loc, ["n_regionkey"])
+    write_iceberg(src.where("n_nationkey >= 10"), loc)
+
+    tm = load_table_metadata(loc)
+    assert len(tm.partition_specs) == 2
+    assert tm.default_spec().fields[0].transform == "identity"
+
+    # full scan still returns everything across both specs
+    got = iceberg_scan(spark, loc).orderBy("n_nationkey").collect()
+    want = src.orderBy("n_nationkey").collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+    # new-spec files are hive-partitioned on the raw column
+    newdirs = [d for root, dirs, _ in os.walk(os.path.join(loc, "data"))
+               for d in dirs if d.startswith("n_regionkey=")]
+    assert newdirs
+
+    # pruning applies per-file: new-spec files narrow to the matching
+    # partition, old-spec files are conservatively kept
+    plan_all = plan_scan(tm, tm.select_snapshot())
+    plan_one = plan_scan(tm, tm.select_snapshot(), "n_regionkey = 1")
+    assert len(plan_one.tasks) < len(plan_all.tasks)
+    rows = iceberg_scan(spark, loc, where="n_regionkey = 1").collect()
+    assert {r.n_regionkey for r in rows} == {1}
+    assert len(rows) == src.where("n_regionkey = 1").count()
+
+
+def test_set_partitioned_by_reuses_identical_spec(spark, sf_dir, tmp_path):
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.ddl import set_partitioned_by
+
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "region"), loc,
+                  partition_by=["r_regionkey"])
+    before = load_table_metadata(loc)
+    set_partitioned_by(loc, ["r_regionkey"])
+    after = load_table_metadata(loc)
+    assert len(after.partition_specs) == len(before.partition_specs)
+    assert after.default_spec_id == before.default_spec_id
+
+
+def test_set_sorted_by_applies_to_new_writes(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.ddl import set_sorted_by
+
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "t")
+    write_iceberg(src.where("n_nationkey < 10"), loc)
+    set_sorted_by(loc, [("n_name", "desc")])
+
+    tm = load_table_metadata(loc)
+    assert tm.default_sort_order().fields[0].direction == "desc"
+
+    before = {os.path.join(r, n) for r, _, ns in os.walk(os.path.join(loc, "data"))
+              for n in ns if n.endswith(".parquet")}
+    write_iceberg(src.where("n_nationkey >= 10").coalesce(1), loc)
+    after = {os.path.join(r, n) for r, _, ns in os.walk(os.path.join(loc, "data"))
+             for n in ns if n.endswith(".parquet")}
+    [newfile] = sorted(after - before)
+    names = pq.read_table(newfile, columns=["n_name"])["n_name"].to_pylist()
+    assert names == sorted(names, reverse=True)
+
+
+def test_set_sorted_by_empty_unsorts(spark, sf_dir, tmp_path):
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.ddl import set_sorted_by
+
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "region"), loc,
+                  sort_by=[("r_name", "asc")])
+    assert load_table_metadata(loc).default_sort_order().fields
+    set_sorted_by(loc, [])
+    assert not load_table_metadata(loc).default_sort_order().fields

@@ -166,6 +166,23 @@ def _ice_part_evo(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(sf_dir, "part_evolution", build)
 
 
+def _ice_customer_specevo(spark: SparkSession, sf_dir: str) -> str:
+    """Spec evolution mid-table: first append unpartitioned, then SET
+    PARTITIONED BY c_mktsegment + SET SORTED BY c_custkey, second append
+    partitioned — scans must plan pruning per-file by spec-id."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.ddl import set_partitioned_by, set_sorted_by
+
+        cust = _pq(spark, sf_dir, "customer")
+        write_iceberg(cust.where("c_custkey % 2 = 0"), loc)
+        set_partitioned_by(loc, ["c_mktsegment"])
+        set_sorted_by(loc, [("c_custkey", "asc")])
+        write_iceberg(cust.where("c_custkey % 2 = 1"), loc)
+
+    return _build_once(sf_dir, "customer_spec_evo", build)
+
+
 def _ice_orders_bucketed(spark: SparkSession, sf_dir: str) -> str:
     """Orders bucketed by murmur3(o_orderkey) % 8 — equality filters prune
     to one bucket file; a wrong bucket hash would prune the WRONG file and
@@ -869,6 +886,22 @@ def ice_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_spec_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution: filter on the evolved partition column —
+    post-evolution files prune by partition value, pre-evolution files are
+    conservatively read and filtered by Spark."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_customer_specevo(spark, sf_dir)
+    return (
+        iceberg_scan(spark, loc, where="c_mktsegment = 'BUILDING'")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             _dec_sum(F.col("c_acctbal"), 6).alias("sum_bal"))
+        .orderBy("c_nationkey")
+    )
+
+
 def ice_compaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data survives bin-pack compaction byte-for-byte; the scan now reads
     the compacted (fewer-files) layout."""
@@ -1308,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_merge_scan": ice_merge_scan,
         "ice_time_travel": ice_time_travel,
         "ice_schema_evolution": ice_schema_evolution,
+        "ice_spec_evolution_scan": ice_spec_evolution_scan,
         "ice_compaction_scan": ice_compaction_scan,
         "ice_count_star_metadata": ice_count_star_metadata,
         "ice_snapshot_history": ice_snapshot_history,
@@ -1688,6 +1722,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, count(*) AS cnt,
                    round(CAST(sum(CAST(round(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0 ELSE c_acctbal END, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_bal
             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "ice_spec_evolution_scan": """
+            SELECT c_nationkey, count(*) AS cnt,
+                   round(CAST(sum(CAST(round(c_acctbal, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_bal
+            FROM customer WHERE c_mktsegment = 'BUILDING'
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "ice_upsert_scan": """
             SELECT s_nationkey, count(*) AS cnt,

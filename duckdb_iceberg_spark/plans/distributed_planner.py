@@ -30,6 +30,7 @@ from .scan_plan import (
     _file_matches,
     _localize,
     _manifest_matches,
+    _eq_delete_bounds_overlap,
     _partitions_overlap,
     plan_scan,
 )
@@ -145,7 +146,9 @@ def plan_scan_distributed(
                 df2.file_path = _localize(tm, df2.file_path)
                 task.positional_deletes.append(df2)
         for de, dspec in eq_deletes:
-            if (de.sequence_number or 0) > data_seq and _partitions_overlap(e, de, spec_id, dspec):
+            if (de.sequence_number or 0) > data_seq \
+                    and _partitions_overlap(e, de, spec_id, dspec) \
+                    and _eq_delete_bounds_overlap(e, de, tm.schema_json()):
                 df2 = de.data_file
                 df2.file_path = _localize(tm, df2.file_path)
                 task.equality_deletes.append(((de.sequence_number or 0), df2))

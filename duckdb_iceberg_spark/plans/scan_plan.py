@@ -255,6 +255,37 @@ def _partitions_overlap(data_entry: mf.ManifestEntry, del_entry: mf.ManifestEntr
     return True
 
 
+def _eq_delete_bounds_overlap(data_entry: mf.ManifestEntry,
+                              del_entry: mf.ManifestEntry,
+                              schema_json: dict) -> bool:
+    """Bounds-overlap pruning for equality deletes (reference:
+    iceberg_file_pruner.cpp:248-316): if, for any equality column, the
+    delete file's value range provably cannot intersect the data file's
+    range, no delete row can match any data row — skip the delete.
+    Conservative (apply) whenever bounds are missing, the column is
+    non-primitive, or the delete file contains NULL keys."""
+    df, dl = data_entry.data_file, del_entry.data_file
+    fields = {f["id"]: f for f in schema_json["fields"]}
+    for fid in dl.equality_ids or []:
+        f = fields.get(fid)
+        if f is None or not isinstance(f["type"], str):
+            continue
+        if (dl.null_value_counts or {}).get(fid, 0):
+            continue  # NULL delete keys match data NULLs; bounds can't say
+        try:
+            d_lo = ice_types.decode_bound(f["type"], (df.lower_bounds or {}).get(fid))
+            d_hi = ice_types.decode_bound(f["type"], (df.upper_bounds or {}).get(fid))
+            l_lo = ice_types.decode_bound(f["type"], (dl.lower_bounds or {}).get(fid))
+            l_hi = ice_types.decode_bound(f["type"], (dl.upper_bounds or {}).get(fid))
+            if d_lo is None or d_hi is None or l_lo is None or l_hi is None:
+                continue
+            if l_hi < d_lo or l_lo > d_hi:
+                return False
+        except (TypeError, ValueError):
+            continue
+    return True
+
+
 def plan_scan(
     tm: TableMetadata,
     snapshot: Optional[Snapshot],
@@ -337,7 +368,9 @@ def plan_scan(
                 task.positional_deletes.append(df2)
         for de, dspec in eq_deletes:
             # equality deletes apply strictly after: delete.seq > data.seq
-            if (de.sequence_number or 0) > data_seq and _partitions_overlap(e, de, spec_id, dspec):
+            if (de.sequence_number or 0) > data_seq \
+                    and _partitions_overlap(e, de, spec_id, dspec) \
+                    and _eq_delete_bounds_overlap(e, de, schema_json):
                 df2 = de.data_file
                 df2.file_path = _localize(tm, df2.file_path)
                 task.equality_deletes.append(((de.sequence_number or 0), df2))

@@ -238,7 +238,7 @@ def equality_delete(
     paths = sorted(
         os.path.join(r, fn) for r, _d, fns in os.walk(out_dir)
         for fn in fns if fn.endswith(".parquet"))
-    stats = _collect_stats(spark, paths)
+    stats = [st for st in _collect_stats(spark, paths) if st["record_count"]]
     delete_files = []
     for st in stats:
         lower, upper = {}, {}
@@ -259,6 +259,7 @@ def equality_delete(
             file_size_in_bytes=st["file_size"],
             lower_bounds=lower or None,
             upper_bounds=upper or None,
+            null_value_counts=st["null_counts"] or None,
             equality_ids=eq_ids,
         ))
     if not delete_files:
@@ -293,13 +294,21 @@ def upsert_equality(
     paths = sorted(
         os.path.join(r, fn) for r, _d, fns in os.walk(out_dir)
         for fn in fns if fn.endswith(".parquet"))
-    stats = _collect_stats(spark, paths)
-    delete_files = [mf.DataFile(
-        content=mf.CONTENT_EQUALITY_DELETES,
-        file_path=st["path"], file_format="PARQUET", partition={},
-        record_count=st["record_count"], file_size_in_bytes=st["file_size"],
-        equality_ids=eq_ids,
-    ) for st in stats]
+    stats = [st for st in _collect_stats(spark, paths) if st["record_count"]]
+    delete_files = []
+    for st in stats:
+        lower = {fid: b for fid, v in st["mins"].items()
+                 if (b := _stat_bound(v)) is not None}
+        upper = {fid: b for fid, v in st["maxs"].items()
+                 if (b := _stat_bound(v)) is not None}
+        delete_files.append(mf.DataFile(
+            content=mf.CONTENT_EQUALITY_DELETES,
+            file_path=st["path"], file_format="PARQUET", partition={},
+            record_count=st["record_count"], file_size_in_bytes=st["file_size"],
+            lower_bounds=lower or None, upper_bounds=upper or None,
+            null_value_counts=st["null_counts"] or None,
+            equality_ids=eq_ids,
+        ))
     new_files, _root = write_data_files(spark, df, tm)
     commit_snapshot(tm, operation="overwrite",
                     new_data_files=new_files, new_delete_files=delete_files)

@@ -276,6 +276,9 @@ def _build_data_files(
     schema_json = tm.schema_json()
     type_by_id = {f["id"]: f["type"] for f in schema_json["fields"]}
     out = []
+    # 0-row part files (empty input partitions) carry no stats and no data —
+    # committing them only bloats manifests
+    stats = [st for st in stats if st["record_count"]]
     for st in stats:
         lower = {}
         upper = {}

@@ -68,3 +68,51 @@ def test_upsert_twice_same_key(spark, tmp_path):
                     spark.createDataFrame([(1, 3.0)], "id: long, v: double"), ["id"])
     rows = iceberg_scan(spark, loc).collect()
     assert len(rows) == 1 and rows[0].v == 3.0
+
+
+def test_equality_delete_bounds_pruning(spark, sf_dir, tmp_path):
+    """A delete file whose key range cannot overlap a data file's range is
+    never assigned to that file (reference: equality-delete bounds pruning,
+    iceberg_file_pruner.cpp:248-316) — and results stay correct."""
+    from tests.conftest import load
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    src = load(spark, sf_dir, "orders")
+    loc = str(tmp_path / "t")
+    lo = src.where("o_orderkey < 700")
+    hi = src.where("o_orderkey >= 700")
+    write_iceberg(lo.coalesce(1), loc)
+    write_iceberg(hi.coalesce(1), loc)
+
+    keys = spark.createDataFrame(
+        [(int(r.o_orderkey),) for r in hi.limit(5).collect()], "o_orderkey: long")
+    equality_delete(spark, loc, keys)
+
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    by_file = {}
+    for t in plan.tasks:
+        lo_rows = t.data_file.lower_bounds is not None
+        by_file[t.data_file.file_path] = len(t.equality_deletes)
+    counts = sorted(by_file.values())
+    assert counts == [0, 1], counts  # low file pruned, high file assigned
+
+    got = iceberg_scan(spark, loc).count()
+    assert got == lo.count() + hi.count() - 5
+
+
+def test_equality_delete_null_keys_not_bounds_pruned(spark, tmp_path):
+    """A delete file mixing NULL and out-of-range keys must still apply:
+    bounds exclude NULLs, so pruning must consult null_value_counts."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+
+    loc = str(tmp_path / "t")
+    df = spark.createDataFrame([("a", 1), (None, 2), ("b", 3)], "s: string, v: long")
+    write_iceberg(df.coalesce(1), loc)
+    keys = spark.createDataFrame([(None,), ("zzz",)], "s: string")
+    equality_delete(spark, loc, keys, key_columns=["s"])
+
+    got = sorted(r.v for r in iceberg_scan(spark, loc).collect())
+    assert got == [1, 3]  # NULL-key row deleted despite disjoint bounds

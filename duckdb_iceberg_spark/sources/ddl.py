@@ -82,29 +82,49 @@ def add_column(location: str, name: str, ice_type: Any, *, required: bool = Fals
     return _commit_schema(tm, sch)
 
 
+def _navigate_struct(sch: dict, dotted: str) -> tuple[list[dict], str]:
+    """Resolve a dotted column path to (parent fields list, leaf name)."""
+    parts = dotted.split(".")
+    fields = sch["fields"]
+    for p in parts[:-1]:
+        parent = next((f for f in fields if f["name"] == p), None)
+        if parent is None or not (isinstance(parent["type"], dict)
+                                  and parent["type"].get("type") == "struct"):
+            raise KeyError(f"no struct column {p!r}")
+        fields = parent["type"]["fields"]
+    return fields, parts[-1]
+
+
 def drop_column(location: str, name: str) -> TableMetadata:
+    """DROP COLUMN; dotted paths drop struct members (beyond the reference,
+    which handles top level only — iceberg_schema_entry.cpp:448)."""
     tm = load_table_metadata(location)
     sch = _next_schema(tm)
-    before = len(sch["fields"])
-    sch["fields"] = [f for f in sch["fields"] if f["name"] != name]
-    if len(sch["fields"]) == before:
+    fields, leaf = _navigate_struct(sch, name)
+    victim = next((f for f in fields if f["name"] == leaf), None)
+    if victim is None:
         raise KeyError(f"no column {name!r}")
     for spec in tm.partition_specs.values():
-        if any(tm.field_by_name(name) and pf.source_id == tm.field_by_name(name)["id"]
-               for pf in spec.fields):
+        if any(pf.source_id == victim["id"] for pf in spec.fields):
             raise ValueError(f"cannot drop partition source column {name!r}")
+    fields.remove(victim)
     return _commit_schema(tm, sch)
 
 
 def rename_column(location: str, old: str, new: str) -> TableMetadata:
-    """Field-id is preserved, so old files keep resolving (BY_FIELD_ID)."""
+    """Field-id is preserved, so old files keep resolving (BY_FIELD_ID).
+    A dotted ``old`` renames a struct member in place; ``new`` is the bare
+    new name within the same parent."""
     tm = load_table_metadata(location)
     sch = _next_schema(tm)
-    if any(f["name"] == new for f in sch["fields"]):
+    if "." in new:
+        raise ValueError("new name must be a bare name, not a path")
+    fields, leaf = _navigate_struct(sch, old)
+    if any(f["name"] == new for f in fields):
         raise ValueError(f"column {new!r} already exists")
     hit = False
-    for f in sch["fields"]:
-        if f["name"] == old:
+    for f in fields:
+        if f["name"] == leaf:
             f["name"] = new
             hit = True
     if not hit:

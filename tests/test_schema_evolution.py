@@ -107,3 +107,32 @@ def test_nested_initial_default_on_old_files(spark, tmp_path):
     assert got[1].z == 5 and got[1].x == 10 and got[1].y == "a"
     assert got[2].z == 5 and got[2].x is None
     assert got[3] is None
+
+
+def test_nested_rename_and_drop(spark, tmp_path):
+    """Renaming and dropping struct members via dotted paths: field-ids are
+    preserved on rename so old files keep resolving BY_FIELD_ID."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import drop_column, rename_column
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("s", T.StructType([
+            T.StructField("x", T.IntegerType(), True),
+            T.StructField("y", T.StringType(), True),
+        ]), True),
+    ])
+    df = spark.createDataFrame([(1, Row(x=10, y="a")), (2, Row(x=20, y="b"))], schema)
+    loc = str(tmp_path / "t")
+    write_iceberg(df, loc)
+
+    rename_column(loc, "s.x", "ex")
+    got = {r.id: r.s for r in iceberg_scan(spark, loc).collect()}
+    assert got[1].ex == 10 and got[2].ex == 20  # old files resolve by id
+
+    drop_column(loc, "s.y")
+    row = iceberg_scan(spark, loc).where("id = 1").collect()[0]
+    assert row.s.asDict() == {"ex": 10}

@@ -235,10 +235,24 @@ def minhash_dedup(
     only distinct texts pay for signatures."""
     fp = df.withColumn("__fp", doc_fingerprint(text_col))
     keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    reps = fp.join(keep, [id_col, "__fp"], "left_semi").drop("__fp")
+    # the semi-join broadcasts `keep`, so reps inherits the SCAN's partition
+    # count — a small file count (one file = one partition) would serialize
+    # the signature and verify UDFs on a single core. Only widen when the
+    # input has fewer files than cores; a big table already has enough
+    # splits. (inputFiles() is a driver-side listing — cheap — where a
+    # .rdd partition probe would execute AQE query stages.)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        few_inputs = len(df.inputFiles()) < par
+    except Exception:
+        few_inputs = False
+    if few_inputs:
+        reps = reps.repartition(par)
     # reps feeds three downstream consumers (signatures, the two-sided verify
     # join, and the final anti-join); persist so the parquet scan + collapse
     # shuffle runs once, not four times (MEMORY_AND_DISK: spills, never OOMs)
-    reps = fp.join(keep, [id_col, "__fp"], "left_semi").drop("__fp").persist()
+    reps = reps.persist()
 
     sigs = minhash_signatures(reps, text_col, id_col, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(sigs, id_col, bands)

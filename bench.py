@@ -52,6 +52,7 @@ HEADLINE = [
     "ice_dv_delete_scan",
     "ice_update_scan",
     "ice_upsert_scan",
+    "ice_spec_evolution_scan",
     "ice_topk_scan",
     "ice_count_star_metadata",
     "docs_exact_dedup",

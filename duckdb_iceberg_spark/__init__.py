@@ -8,6 +8,7 @@ Catalyst-optimized DataFrames.
 
 from .session import get_spark
 from .sources.scan import iceberg_scan, iceberg_count
+from .sources.sql import attach_catalog, register_table
 from .sources.writer import create_table, write_iceberg
 
 __all__ = [
@@ -16,4 +17,6 @@ __all__ = [
     "iceberg_count",
     "create_table",
     "write_iceberg",
+    "register_table",
+    "attach_catalog",
 ]

@@ -588,3 +588,31 @@ def test_multi_table_transaction_atomic_on_conflict(stub):
         cat.commit_transaction([_change(ta, _snap(303, 1)), bad])
     assert ta.refresh().metadata.current_snapshot_id is None
     assert tb.refresh().metadata.current_snapshot_id is None
+
+
+def test_register_table_and_attach_catalog_sql(stub, spark, sf_dir, tmp_path):
+    """SQL surface: register_table / attach_catalog make tables addressable
+    from spark.sql (the reference's ATTACH makes cat.ns.tbl resolvable)."""
+    from duckdb_iceberg_spark import attach_catalog, register_table, write_iceberg
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    src = load(spark, sf_dir, "nation")
+    write_iceberg(src, loc)
+
+    # filesystem path registration
+    register_table(spark, "nation_v", loc)
+    got = spark.sql("SELECT count(*) AS c FROM nation_v").collect()[0].c
+    assert got == src.count()
+    one = spark.sql(
+        "SELECT n_name FROM nation_v WHERE n_nationkey = 3").collect()
+    assert len(one) == 1
+
+    # catalog attach: every namespace table becomes a view
+    _register_disk_table(state, loc, name="nation")
+    cat = _catalog(base)
+    views = attach_catalog(spark, cat, "db", view_prefix="ice_")
+    assert views == ["ice_nation"]
+    got2 = spark.sql("SELECT count(*) AS c FROM ice_nation").collect()[0].c
+    assert got2 == src.count()

@@ -269,13 +269,23 @@ class TableMetadata:
             return None
         return self.snapshot_by_id(self.current_snapshot_id)
 
+    def snapshot_by_ref(self, ref: str) -> Snapshot:
+        """Resolve a branch or tag name from the metadata ``refs`` map."""
+        r = self.refs.get(ref)
+        if r is None:
+            raise KeyError(f"no branch or tag {ref!r}")
+        return self.snapshot_by_id(int(r["snapshot-id"]))
+
     def select_snapshot(
         self,
         snapshot_id: int | None = None,
         as_of: Any = None,
+        ref: str | None = None,
     ) -> Optional[Snapshot]:
         if snapshot_id is not None:
             return self.snapshot_by_id(snapshot_id)
+        if ref is not None:
+            return self.snapshot_by_ref(ref)
         if as_of is not None:
             ts_ms = _to_ts_ms(as_of)
             return self.snapshot_by_timestamp(ts_ms)

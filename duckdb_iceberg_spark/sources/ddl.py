@@ -245,3 +245,47 @@ def set_sorted_by(location: str, sort_by: list) -> TableMetadata:
     tm.default_sort_order_id = order.order_id
     write_table_metadata(tm, tm.location)
     return tm
+
+
+# -- snapshot refs: branches and tags ---------------------------------------
+
+def create_tag(location: str, name: str, snapshot_id: int | None = None,
+               *, max_ref_age_ms: int | None = None) -> TableMetadata:
+    """Tag a snapshot (defaults to current). Tags are immutable pointers;
+    scans resolve them via ``iceberg_scan(..., ref=name)``."""
+    return _set_ref(location, name, "tag", snapshot_id, max_ref_age_ms)
+
+
+def create_branch(location: str, name: str, snapshot_id: int | None = None,
+                  *, max_ref_age_ms: int | None = None) -> TableMetadata:
+    """Create a branch pointer at a snapshot (defaults to current)."""
+    return _set_ref(location, name, "branch", snapshot_id, max_ref_age_ms)
+
+
+def _set_ref(location: str, name: str, kind: str,
+             snapshot_id: int | None, max_ref_age_ms: int | None) -> TableMetadata:
+    tm = load_table_metadata(location)
+    if snapshot_id is None:
+        cur = tm.current_snapshot()
+        if cur is None:
+            raise ValueError("table has no snapshots to reference")
+        snapshot_id = cur.snapshot_id
+    else:
+        tm.snapshot_by_id(snapshot_id)  # validates existence
+    ref: dict = {"snapshot-id": snapshot_id, "type": kind}
+    if max_ref_age_ms is not None:
+        ref["max-ref-age-ms"] = int(max_ref_age_ms)
+    tm.refs[name] = ref
+    write_table_metadata(tm, tm.location)
+    return tm
+
+
+def drop_ref(location: str, name: str) -> TableMetadata:
+    tm = load_table_metadata(location)
+    if name == "main":
+        raise ValueError("cannot drop the main branch")
+    if name not in tm.refs:
+        raise KeyError(f"no branch or tag {name!r}")
+    del tm.refs[name]
+    write_table_metadata(tm, tm.location)
+    return tm

@@ -55,6 +55,7 @@ def iceberg_scan(
     *,
     snapshot_id: int | None = None,
     as_of: Any = None,
+    ref: str | None = None,
     version: str | None = None,
     where: str | None = None,
     with_file_info: bool = False,
@@ -64,13 +65,14 @@ def iceberg_scan(
     """Scan an Iceberg table at ``path`` into a DataFrame.
 
     Mirrors ``iceberg_scan(path, version, snapshot_from_timestamp,
-    snapshot_from_id)`` (reference: iceberg_scan.cpp:40-48). ``where`` is
-    both a pruning hint (driver-side file pruning) and a residual filter
-    (applied by Spark, so over-approximation is safe).
+    snapshot_from_id)`` (reference: iceberg_scan.cpp:40-48); ``ref``
+    additionally resolves a branch or tag name from the metadata refs map.
+    ``where`` is both a pruning hint (driver-side file pruning) and a
+    residual filter (applied by Spark, so over-approximation is safe).
     """
     if plan is None:
         tm = load_table_metadata(path, version)
-        snapshot = tm.select_snapshot(snapshot_id=snapshot_id, as_of=as_of)
+        snapshot = tm.select_snapshot(snapshot_id=snapshot_id, as_of=as_of, ref=ref)
         # many-manifest tables plan on executors (metadata late
         # materialization at 100 TB); small tables stay on the driver
         from ..plans.distributed_planner import plan_scan_distributed

@@ -94,3 +94,30 @@ def test_set_sorted_by_empty_unsorts(spark, sf_dir, tmp_path):
     assert load_table_metadata(loc).default_sort_order().fields
     set_sorted_by(loc, [])
     assert not load_table_metadata(loc).default_sort_order().fields
+
+
+def test_tags_and_branches(spark, sf_dir, tmp_path):
+    """Snapshot refs: tag a snapshot, append more data, scan by ref name
+    (metadata ``refs`` map; scans resolve branch/tag → snapshot-id)."""
+    import pytest
+
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import create_branch, create_tag, drop_ref
+
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "t")
+    write_iceberg(src.where("n_nationkey < 10"), loc)
+    create_tag(loc, "v1")
+    create_branch(loc, "audit")
+    write_iceberg(src.where("n_nationkey >= 10"), loc)
+
+    assert iceberg_scan(spark, loc).count() == src.count()
+    assert iceberg_scan(spark, loc, ref="v1").count() == 10
+    assert iceberg_scan(spark, loc, ref="audit").count() == 10
+    assert iceberg_scan(spark, loc, ref="main").count() == src.count()
+
+    drop_ref(loc, "v1")
+    with pytest.raises(KeyError):
+        iceberg_scan(spark, loc, ref="v1")
+    with pytest.raises(ValueError):
+        drop_ref(loc, "main")

@@ -171,6 +171,11 @@ def expire_snapshots(
     cur = tm.current_snapshot_id
     if cur is not None:
         keep.add(cur)
+    # never expire a snapshot pinned by a branch or tag ref
+    for r in tm.refs.values():
+        sid = r.get("snapshot-id")
+        if sid is not None:
+            keep.add(int(sid))
     expired = [
         s for s in snaps
         if s.snapshot_id not in keep

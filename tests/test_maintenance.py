@@ -167,3 +167,24 @@ def test_remove_orphan_files(spark, tmp_path):
     removed = remove_orphan_files(loc)
     assert removed == [orphan] and not os.path.exists(orphan)
     assert iceberg_scan(spark, loc).count() == 10
+
+
+def test_expire_keeps_ref_pinned_snapshots(spark, sf_dir, tmp_path):
+    """A snapshot pinned by a tag survives expiration even when older than
+    the cutoff; its files remain readable through the ref."""
+    from tests.conftest import load
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import create_tag
+    from duckdb_iceberg_spark.sources.maintenance import expire_snapshots
+
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "t")
+    write_iceberg(src.where("n_nationkey < 10"), loc)
+    create_tag(loc, "keepme")
+    write_iceberg(src.where("n_nationkey >= 10"), loc)
+    write_iceberg(src.limit(0), loc, mode="append")  # another snapshot
+
+    res = expire_snapshots(loc, older_than_ms=int(1e18), retain_last=1)
+    # the tagged snapshot must survive and stay scannable
+    assert iceberg_scan(spark, loc, ref="keepme").count() == 10
+    assert iceberg_scan(spark, loc).count() == src.count()

@@ -179,14 +179,18 @@ def plan_table_scan(
 
 def scan_rest_table(spark, table, where: str | None = None, *,
                     snapshot_id: int | None = None,
+                    ref: str | None = None,
                     server_planning: bool = True, **scan_opts):
     """Read a catalog table into a DataFrame, preferring server-side
     planning and falling back to client-side manifest planning when the
     service doesn't implement the endpoint (404/400 capability probe, the
-    reference's provider-selection behavior)."""
+    reference's provider-selection behavior). ``ref`` resolves a branch or
+    tag name (always client-side — the plan endpoint takes snapshot ids)."""
     from ..sources.scan import scan_to_dataframe
     from .rest_catalog import CatalogError
 
+    if ref is not None and snapshot_id is None:
+        snapshot_id = table.metadata.snapshot_by_ref(ref).snapshot_id
     if server_planning:
         try:
             plan = plan_table_scan(table, where, snapshot_id=snapshot_id)

@@ -32,6 +32,7 @@ from .scan_plan import (
     _manifest_matches,
     _eq_delete_bounds_overlap,
     _partitions_overlap,
+    _pos_delete_path_overlap,
     plan_scan,
 )
 
@@ -132,7 +133,9 @@ def plan_scan_distributed(
 
     tasks: list[FileScanTask] = []
     for e, spec_id in data_entries:
+        orig_path = e.data_file.file_path
         e.data_file.file_path = _localize(tm, e.data_file.file_path)
+        data_paths = (orig_path, e.data_file.file_path)
         task = FileScanTask(
             data_file=e.data_file,
             sequence_number=e.sequence_number or 0,
@@ -141,7 +144,9 @@ def plan_scan_distributed(
         )
         data_seq = e.sequence_number or 0
         for de, dspec in pos_deletes:
-            if (de.sequence_number or 0) >= data_seq and _partitions_overlap(e, de, spec_id, dspec):
+            if (de.sequence_number or 0) >= data_seq \
+                    and _partitions_overlap(e, de, spec_id, dspec) \
+                    and _pos_delete_path_overlap(de, data_paths):
                 df2 = de.data_file
                 df2.file_path = _localize(tm, df2.file_path)
                 task.positional_deletes.append(df2)

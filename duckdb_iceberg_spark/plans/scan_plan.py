@@ -255,6 +255,28 @@ def _partitions_overlap(data_entry: mf.ManifestEntry, del_entry: mf.ManifestEntr
     return True
 
 
+#: Iceberg reserved field-id of the positional-delete ``file_path`` column
+_POS_PATH_FID = 2147483546
+
+
+def _pos_delete_path_overlap(del_entry: mf.ManifestEntry,
+                             data_paths: tuple[str, ...]) -> bool:
+    """Path-bounds pruning for positional-delete files: manifests record
+    spec-valid lower/upper bounds of the delete file's ``file_path`` column
+    (truncation per spec keeps them valid bounds), so a data file whose path
+    falls outside the range cannot be referenced. ``data_paths`` carries
+    both the manifest-recorded and localized spellings — pruning requires
+    BOTH to miss, staying correct whichever form the delete rows store."""
+    dl = del_entry.data_file
+    if dl.referenced_data_file:
+        return True  # exact per-file targeting handled by partition match
+    lo = (dl.lower_bounds or {}).get(_POS_PATH_FID)
+    hi = (dl.upper_bounds or {}).get(_POS_PATH_FID)
+    if lo is None or hi is None:
+        return True
+    return any(lo <= p.encode("utf-8") <= hi for p in data_paths if p)
+
+
 def _eq_delete_bounds_overlap(data_entry: mf.ManifestEntry,
                               del_entry: mf.ManifestEntry,
                               schema_json: dict) -> bool:
@@ -351,7 +373,9 @@ def plan_scan(
         if not _file_matches(e, spec, tm, pred, schema_json):
             stats["files_pruned"] += 1
             continue
+        orig_path = e.data_file.file_path
         e.data_file.file_path = _localize(tm, e.data_file.file_path)
+        data_paths = (orig_path, e.data_file.file_path)
         task = FileScanTask(
             data_file=e.data_file,
             sequence_number=e.sequence_number or 0,
@@ -362,7 +386,9 @@ def plan_scan(
         for de, dspec in pos_deletes:
             # positional deletes apply at delete.seq >= data.seq
             # (reference: iceberg_file_pruner.cpp:340-356)
-            if (de.sequence_number or 0) >= data_seq and _partitions_overlap(e, de, spec_id, dspec):
+            if (de.sequence_number or 0) >= data_seq \
+                    and _partitions_overlap(e, de, spec_id, dspec) \
+                    and _pos_delete_path_overlap(de, data_paths):
                 df2 = de.data_file
                 df2.file_path = _localize(tm, df2.file_path)
                 task.positional_deletes.append(df2)

@@ -193,3 +193,30 @@ def test_merge_into_mor_insert_only_preserves_matches(spark, tmp_path):
                mode="merge-on-read")
     got = {r.id: r.v for r in iceberg_scan(spark, loc).collect()}
     assert got == {1: 1.0, 2: 2.0}  # matched row untouched, no delete written
+
+
+def test_positional_delete_path_bounds_pruning(spark, sf_dir, tmp_path):
+    """On an UNPARTITIONED MoR table, a positional-delete file whose
+    file_path bounds reference only one data file is never assigned to the
+    others (manifest path-bounds pruning) — and results stay correct."""
+    from tests.conftest import load
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    src = load(spark, sf_dir, "orders")
+    loc = str(tmp_path / "t")
+    write_iceberg(src.where("o_orderkey < 700").coalesce(1), loc)
+    write_iceberg(src.where("o_orderkey >= 700").coalesce(1), loc)
+
+    # delete rows that live only in the second file
+    delete_from(spark, loc, "o_orderkey >= 1400", mode="merge-on-read")
+
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    counts = sorted(len(t.positional_deletes) for t in plan.tasks)
+    assert counts == [0, 1], counts
+
+    got = iceberg_scan(spark, loc).count()
+    assert got == src.where("o_orderkey < 1400").count()

@@ -197,3 +197,52 @@ def iceberg_partition_stats(spark: SparkSession, path: str, **scan_opts) -> Data
                     )
                 )
     return spark.createDataFrame(rows, schema)
+
+
+def iceberg_refs(spark: SparkSession, path: str) -> DataFrame:
+    """(name, type, snapshot_id, max_ref_age_ms) — branch/tag pointers
+    (cf. Iceberg's ``table.refs`` metadata table; the refs map itself is
+    the metadata the reference parses into IcebergTableMetadata)."""
+    tm = load_table_metadata(path)
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("max_ref_age_ms", T.LongType()),
+    ])
+    rows = [
+        (name, r.get("type"), int(r["snapshot-id"]),
+         r.get("max-ref-age-ms"))
+        for name, r in sorted(tm.refs.items())
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def iceberg_history(spark: SparkSession, path: str) -> DataFrame:
+    """(made_current_at, snapshot_id, parent_id, is_current_ancestor) —
+    the snapshot-log lineage view (cf. Iceberg's ``table.history``).
+    ``is_current_ancestor`` walks parent pointers from the current
+    snapshot, marking entries on the live line of history."""
+    tm = load_table_metadata(path)
+    parents = {s.snapshot_id: s.parent_snapshot_id for s in tm.snapshots}
+    ancestors: set[int] = set()
+    cur = tm.current_snapshot_id
+    while cur is not None:
+        ancestors.add(cur)
+        cur = parents.get(cur)
+    schema = T.StructType([
+        T.StructField("made_current_at", T.TimestampType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("parent_id", T.LongType()),
+        T.StructField("is_current_ancestor", T.BooleanType()),
+    ])
+    rows = [
+        (
+            _dt.datetime.fromtimestamp(e["timestamp-ms"] / 1000, tz=_dt.timezone.utc),
+            int(e["snapshot-id"]),
+            parents.get(int(e["snapshot-id"])),
+            int(e["snapshot-id"]) in ancestors,
+        )
+        for e in tm.snapshot_log
+    ]
+    return spark.createDataFrame(rows, schema)

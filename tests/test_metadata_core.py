@@ -160,3 +160,29 @@ def test_transform_predicate_bucket():
     assert tp.value == tr.bucket_value(34, 16, "int")
     # inequality on bucket → no constraint
     assert P.transform_predicate(P.parse_where("v > 34"), "v", "bucket[16]", "int") is None
+
+
+def test_refs_and_history_metadata_tables(spark, sf_dir, tmp_path):
+    from tests.conftest import load
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import create_tag
+    from duckdb_iceberg_spark.sources.metadata_tables import (
+        iceberg_history,
+        iceberg_refs,
+    )
+
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "t")
+    write_iceberg(src.limit(3), loc)
+    create_tag(loc, "first")
+    write_iceberg(src, loc)
+
+    refs = {r.name: r for r in iceberg_refs(spark, loc).collect()}
+    assert set(refs) == {"main", "first"}
+    assert refs["first"].type == "tag"
+    assert refs["main"].type == "branch"
+
+    hist = iceberg_history(spark, loc).orderBy("made_current_at").collect()
+    assert len(hist) == 2
+    assert all(h.is_current_ancestor for h in hist)  # linear history
+    assert hist[1].parent_id == hist[0].snapshot_id

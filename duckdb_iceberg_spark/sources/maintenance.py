@@ -227,3 +227,88 @@ def remove_orphan_files(location: str, *, dry_run: bool = False) -> list[str]:
             except FileNotFoundError:
                 pass
     return sorted(orphans)
+
+
+def rewrite_manifests(
+    location: str,
+    *,
+    target_entries_per_manifest: int = 100_000,
+    min_input_manifests: int = 2,
+) -> dict:
+    """Consolidate small manifests into fewer, larger ones without touching
+    data files (cf. Iceberg's ``rewrite_manifests`` procedure — the
+    metadata-side complement of the reference's data-file compaction).
+    Entries keep their sequence numbers (status EXISTING), grouped by
+    (content, partition-spec) so pruning semantics are unchanged.
+
+    Returns {"rewritten_manifests": n, "new_manifests": n}."""
+    import os as _os
+    import time as _time
+    import uuid as _uuid
+
+    from ..metadata.table_metadata import Snapshot
+    from ..plans.scan_plan import _localize
+
+    tm = load_table_metadata(location)
+    snapshot = tm.current_snapshot()
+    if snapshot is None or not snapshot.manifest_list:
+        return {"rewritten_manifests": 0, "new_manifests": 0}
+    manifests = mf.read_manifest_list(_localize(tm, snapshot.manifest_list))
+    if len(manifests) < min_input_manifests:
+        return {"rewritten_manifests": 0, "new_manifests": 0}
+
+    meta_dir = _os.path.join(location, "metadata")
+    snapshot_id = int.from_bytes(_os.urandom(7), "big")
+    seq = tm.last_sequence_number + 1
+
+    groups: dict[tuple[int, int], list[mf.ManifestEntry]] = {}
+    for m in manifests:
+        for e in mf.read_manifest(_localize(tm, m.manifest_path)):
+            if e.status == mf.STATUS_DELETED:
+                continue
+            # inherit sequence numbers before making the entry EXISTING —
+            # explicit values are required once detached from the original
+            # manifest's inheritance context
+            if e.sequence_number is None:
+                e.sequence_number = m.sequence_number
+            if e.file_sequence_number is None:
+                e.file_sequence_number = m.sequence_number
+            e.status = mf.STATUS_EXISTING
+            groups.setdefault((m.content, m.partition_spec_id), []).append(e)
+
+    new_manifests: list[mf.ManifestFile] = []
+    for (content, spec_id), entries in sorted(groups.items()):
+        spec = tm.partition_specs.get(spec_id, tm.default_spec())
+        for i in range(0, len(entries), target_entries_per_manifest):
+            chunk = entries[i:i + target_entries_per_manifest]
+            prefix = "m" if content == mf.MANIFEST_DATA else "dm"
+            mpath = _os.path.join(meta_dir, f"{prefix}-{_uuid.uuid4()}.avro")
+            nm = mf.write_manifest(mpath, chunk, tm, spec, content)
+            nm.added_snapshot_id = snapshot_id
+            nm.sequence_number = max(e.sequence_number or 0 for e in chunk)
+            nm.min_sequence_number = min(e.sequence_number or 0 for e in chunk)
+            new_manifests.append(nm)
+
+    ml_path = _os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+    mf.write_manifest_list(ml_path, new_manifests, snapshot_id,
+                           tm.current_snapshot_id, seq, tm.format_version)
+    snap = Snapshot(
+        snapshot_id=snapshot_id,
+        parent_snapshot_id=tm.current_snapshot_id,
+        sequence_number=seq,
+        timestamp_ms=int(_time.time() * 1000),
+        manifest_list=ml_path,
+        summary={"operation": "replace",
+                 "rewritten-manifests": str(len(manifests)),
+                 "added-manifests": str(len(new_manifests))},
+        schema_id=tm.current_schema_id,
+    )
+    tm.snapshots.append(snap)
+    tm.snapshot_log.append({"timestamp-ms": snap.timestamp_ms,
+                            "snapshot-id": snapshot_id})
+    tm.current_snapshot_id = snapshot_id
+    tm.last_sequence_number = seq
+    tm.refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    write_table_metadata(tm, location)
+    return {"rewritten_manifests": len(manifests),
+            "new_manifests": len(new_manifests)}

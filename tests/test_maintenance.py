@@ -188,3 +188,36 @@ def test_expire_keeps_ref_pinned_snapshots(spark, sf_dir, tmp_path):
     # the tagged snapshot must survive and stay scannable
     assert iceberg_scan(spark, loc, ref="keepme").count() == 10
     assert iceberg_scan(spark, loc).count() == src.count()
+
+
+def test_rewrite_manifests_consolidates(spark, sf_dir, tmp_path):
+    """Three appends → three data manifests; rewrite_manifests collapses
+    them into one while every row and MoR delete stays intact."""
+    from tests.conftest import load
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata import manifest as mf
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from duckdb_iceberg_spark.sources.maintenance import rewrite_manifests
+
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "t")
+    write_iceberg(src.where("n_nationkey < 8"), loc)
+    write_iceberg(src.where("n_nationkey >= 8 AND n_nationkey < 16"), loc)
+    write_iceberg(src.where("n_nationkey >= 16"), loc)
+    delete_from(spark, loc, "n_nationkey = 3", mode="merge-on-read")
+
+    tm = load_table_metadata(loc)
+    before = mf.read_manifest_list(tm.current_snapshot().manifest_list)
+    assert len([m for m in before if m.content == mf.MANIFEST_DATA]) == 3
+
+    res = rewrite_manifests(loc)
+    assert res["rewritten_manifests"] == len(before)
+
+    tm2 = load_table_metadata(loc)
+    after = mf.read_manifest_list(tm2.current_snapshot().manifest_list)
+    assert len([m for m in after if m.content == mf.MANIFEST_DATA]) == 1
+    assert len([m for m in after if m.content == mf.MANIFEST_DELETES]) == 1
+
+    got = sorted(r.n_nationkey for r in iceberg_scan(spark, loc).collect())
+    assert got == sorted(r.n_nationkey for r in src.collect() if r.n_nationkey != 3)

@@ -550,7 +550,8 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_name", "c_custkey", "o_orderkey",
                 F.col("o_orderdate").cast("string").alias("o_orderdate"),
-                F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty")
+                F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+                "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
@@ -790,10 +791,16 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is TIMESTAMP(NANOS) parquet; Spark can only read it as a raw
+    # long when nanosAsLong is on. The driver's harness session doesn't set it,
+    # so make the query self-contained. Left set (not restored): Spark may
+    # capture the conf at execution (collect) time, after this returns, and
+    # the flag only affects nanos-timestamp parquet reads.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _pq(spark, sf_dir, "events")
-    # events.ts is TIMESTAMP(NANOS) parquet, read as long ns (session conf);
-    # floor to µs for Spark timestamp math
-    ev = ev.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    # floor ns → µs for Spark timestamp math
+    ev = ev.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
     return (
         ev.withColumn("hour_start", F.date_trunc("hour", F.col("ts")).cast("string"))
         .groupBy("hour_start", "event_type")
@@ -1188,6 +1195,8 @@ def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical semantics on readStream inputs)."""
     from duckdb_iceberg_spark.streaming import tumbling_agg
 
+    # self-contained w.r.t. nanos-timestamp parquet (see q_events_hourly)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _pq(spark, sf_dir, "events")
     ev = ev.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
     agg = tumbling_agg(
@@ -1556,7 +1565,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume": """
             SELECT c_name, c_custkey, o_orderkey,
                    CAST(o_orderdate AS VARCHAR) AS o_orderdate,
-                   round(o_totalprice, 2) AS o_totalprice, sum_qty
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, sum_qty
             FROM orders
             JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
                   FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150) big

@@ -465,6 +465,7 @@ def merge_into(
     when_matched_delete: bool = False,
     when_not_matched_insert: Mapping[str, Any] | bool | None = None,
     mode: str | None = None,
+    broadcast_source: bool = True,
 ) -> TableMetadata:
     """MERGE INTO target USING source ON cond — all WHEN actions share one
     join of source and target (reference:
@@ -477,7 +478,15 @@ def merge_into(
     merge-on-read (``mode='merge-on-read'`` or table property
     ``write.merge.mode``) instead writes row deletes for the matched rows
     (Puffin DVs on v3, positional parquet on v2) plus data files holding
-    the updated/inserted rows — one snapshot, O(delta) write volume."""
+    the updated/inserted rows — one snapshot, O(delta) write volume.
+
+    A target row matched by more than one source row is a cardinality
+    violation (SQL standard; Iceberg and the reference raise) — detected via
+    a count over the matched (file, row) pairs and raised before any write.
+
+    ``broadcast_source`` hints the source side of every target⋈source join;
+    the normal MERGE source is delta-sized, and the hint keeps the target
+    from shuffling. Pass ``False`` for a source too large to broadcast."""
     tm = load_table_metadata(location)
     snapshot = tm.select_snapshot()
     plan = plan_scan(tm, snapshot, None)
@@ -485,13 +494,17 @@ def merge_into(
               ice_types.schema_to_struct(plan.schema_json).fields]
 
     target = scan_to_dataframe(spark, plan, with_file_info=True).alias("tgt")
-    src = source.alias("src")
+    # plain source for anti-joins (source is the stream side there — a
+    # broadcast hint is unsupported noise); hinted source where it's the
+    # build side of a target⋈source join
+    src_plain = source.alias("src")
+    src = F.broadcast(src_plain) if broadcast_source else src_plain
     cond = F.expr(on)
     mode = _resolve_mode(tm, mode, "write.merge.mode")
 
     if mode == "merge-on-read":
         return _merge_into_mor(
-            spark, tm, plan, target, src, cond, schema,
+            spark, tm, plan, target, src, src_plain, cond, schema,
             when_matched_update, when_matched_delete, when_not_matched_insert)
 
     # phase 1: which target files contain matched rows?
@@ -503,6 +516,13 @@ def merge_into(
     rewrite_tasks = [t for t in plan.tasks if t.data_file.file_path in affected]
 
     new_parts: list[DataFrame] = []
+    if rewrite_tasks and (when_matched_update is not None or when_matched_delete):
+        sub = ScanPlan(tm, snapshot, rewrite_tasks, None, plan.schema_id)
+        tgt_fi = scan_to_dataframe(spark, sub, with_file_info=True).alias("tgt")
+        _check_merge_cardinality(
+            tgt_fi.join(src, cond, "inner").select(
+                F.col("tgt.filename").alias("file_path"),
+                F.col("tgt.file_row_number").alias("pos")))
     if rewrite_tasks:
         sub = ScanPlan(tm, snapshot, rewrite_tasks, None, plan.schema_id)
         tgt_rows = scan_to_dataframe(spark, sub).alias("tgt")
@@ -528,7 +548,7 @@ def merge_into(
         new_parts.append(out.select(*cols))
 
     if when_not_matched_insert:
-        inserts = src.join(target, cond, "left_anti")
+        inserts = src_plain.join(target, cond, "left_anti")
         if when_not_matched_insert is True:
             ins_cols = [
                 (F.col(c) if c in inserts.columns else F.lit(None)).alias(c)
@@ -561,12 +581,35 @@ def merge_into(
     return tm
 
 
+class MergeCardinalityError(ValueError):
+    """A target row matched more than one source row in MERGE INTO."""
+
+
+def _check_merge_cardinality(pairs: DataFrame) -> None:
+    """Raise if any (file_path, pos) target row appears more than once in the
+    matched set. One aggregation job over the delta-sized match set; the
+    group-by is map-side-combinable so the shuffle carries at most one row
+    per matched target row (reference raises the same SQL-standard
+    cardinality violation in merge_into/iceberg_merge_into.cpp)."""
+    dup = (
+        pairs.groupBy("file_path", "pos").count()
+        .filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        r = dup[0]
+        raise MergeCardinalityError(
+            "MERGE INTO cardinality violation: target row "
+            f"({r['file_path']!r}, pos {r['pos']}) matched {r['count']} "
+            "source rows; deduplicate the source on the ON keys")
+
+
 def _merge_into_mor(
     spark: SparkSession,
     tm: TableMetadata,
     plan: ScanPlan,
     target: DataFrame,
     src: DataFrame,
+    src_plain: DataFrame,
     cond: Column,
     schema: list[str],
     when_matched_update: Mapping[str, Any] | None,
@@ -580,6 +623,8 @@ def _merge_into_mor(
         F.col("tgt.filename").alias("file_path"),
         F.col("tgt.file_row_number").alias("pos"),
     )
+    if when_matched_update or when_matched_delete:
+        _check_merge_cardinality(pairs)
 
     new_parts: list[DataFrame] = []
     if when_matched_update:
@@ -594,7 +639,7 @@ def _merge_into_mor(
         new_parts.append(matched.select(*cols))
 
     if when_not_matched_insert:
-        inserts = src.join(target, cond, "left_anti")
+        inserts = src_plain.join(target, cond, "left_anti")
         if when_not_matched_insert is True:
             ins_cols = [
                 (F.col(c) if c in inserts.columns else F.lit(None)).alias(c)

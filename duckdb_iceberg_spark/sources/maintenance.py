@@ -120,9 +120,12 @@ def rewrite_data_files(
 # snapshot expiration & orphan cleanup (beyond-reference maintenance)
 # ---------------------------------------------------------------------------
 
-def _reachable_files(tm: TableMetadata, snapshots) -> tuple[set, set]:
+def _reachable_files(tm: TableMetadata, snapshots, *, strict: bool = False) -> tuple[set, set]:
     """(manifest-list/manifest paths, data/delete file paths) referenced by
-    the given snapshots."""
+    the given snapshots. ``strict`` raises instead of skipping when a
+    referenced manifest can't be read — required when the result feeds a
+    delete decision (one unreadable manifest must not silently classify all
+    its live data files as orphans)."""
     from ..plans.scan_plan import _localize
 
     meta_paths: set[str] = set()
@@ -135,6 +138,8 @@ def _reachable_files(tm: TableMetadata, snapshots) -> tuple[set, set]:
         try:
             manifests = mf.read_manifest_list(ml)
         except FileNotFoundError:
+            if strict:
+                raise
             continue
         for m in manifests:
             mp = _localize(tm, m.manifest_path)
@@ -142,6 +147,8 @@ def _reachable_files(tm: TableMetadata, snapshots) -> tuple[set, set]:
             try:
                 entries = mf.read_manifest(mp)
             except FileNotFoundError:
+                if strict:
+                    raise
                 continue
             for e in entries:
                 data_paths.add(_localize(tm, e.data_file.file_path))
@@ -204,13 +211,34 @@ def expire_snapshots(
     return {"expired": len(expired), "deleted_files": deleted}
 
 
-def remove_orphan_files(location: str, *, dry_run: bool = False) -> list[str]:
+#: Iceberg's remove_orphan_files default retention (3 days): files younger
+#: than this are presumed to belong to an in-flight, not-yet-committed write.
+_ORPHAN_DEFAULT_OLDER_THAN_MS = 3 * 24 * 3600 * 1000
+
+
+def remove_orphan_files(
+    location: str,
+    *,
+    dry_run: bool = False,
+    older_than_ms: int | None = None,
+) -> list[str]:
     """Delete data-directory files not referenced by ANY snapshot (failed
-    writes, aborted jobs). Returns the removed (or would-remove) paths."""
+    writes, aborted jobs). Returns the removed (or would-remove) paths.
+
+    Only files whose mtime is older than ``older_than_ms`` (default: 3 days,
+    matching Iceberg's procedure) are candidates — a newer unreferenced file
+    may belong to a write that simply hasn't committed yet. Raises if a
+    referenced manifest can't be read rather than treating its files as
+    orphans."""
     import os as _os
+    import time as _time
+
+    if older_than_ms is None:
+        older_than_ms = _ORPHAN_DEFAULT_OLDER_THAN_MS
+    cutoff = _time.time() - older_than_ms / 1000.0
 
     tm = load_table_metadata(location)
-    _, referenced = _reachable_files(tm, tm.snapshots)
+    _, referenced = _reachable_files(tm, tm.snapshots, strict=True)
     orphans = []
     data_root = _os.path.join(location, "data")
     for root, _dirs, names in _os.walk(data_root):
@@ -219,6 +247,11 @@ def remove_orphan_files(location: str, *, dry_run: bool = False) -> list[str]:
             if n.startswith(".") or n.startswith("_"):
                 continue
             if p not in referenced:
+                try:
+                    if _os.path.getmtime(p) > cutoff:
+                        continue
+                except OSError:
+                    continue
                 orphans.append(p)
     if not dry_run:
         for p in orphans:
@@ -273,6 +306,10 @@ def rewrite_manifests(
                 e.sequence_number = m.sequence_number
             if e.file_sequence_number is None:
                 e.file_sequence_number = m.sequence_number
+            # EXISTING entries must carry an explicit snapshot-id (spec;
+            # strict readers reject null) — inherit the source manifest's
+            if e.snapshot_id is None:
+                e.snapshot_id = m.added_snapshot_id
             e.status = mf.STATUS_EXISTING
             groups.setdefault((m.content, m.partition_spec_id), []).append(e)
 

@@ -464,6 +464,24 @@ def _build_data_files_with_names(stats, tm, spec, data_root):
 # snapshot commit
 # ---------------------------------------------------------------------------
 
+def _inherit_before_existing(entries: list[mf.ManifestEntry], m: mf.ManifestFile) -> None:
+    """Re-statusing entries as EXISTING detaches them from their source
+    manifest's v2 inheritance context, so null sequence_number /
+    snapshot_id must be made explicit first (from the manifest-list row):
+    otherwise the new manifest's own (higher) sequence number re-inherits
+    onto old data entries and older positional deletes (del.seq >= data.seq)
+    stop applying — deleted rows resurrect. Null snapshot_id on EXISTING
+    entries also violates the spec (strict readers reject it)."""
+    for e in entries:
+        if e.sequence_number is None:
+            e.sequence_number = m.sequence_number
+        if e.file_sequence_number is None:
+            e.file_sequence_number = m.sequence_number
+        if e.snapshot_id is None:
+            e.snapshot_id = m.added_snapshot_id
+        e.status = mf.STATUS_EXISTING
+
+
 def commit_snapshot(
     tm: TableMetadata,
     *,
@@ -506,12 +524,13 @@ def commit_snapshot(
                 if len(live) == len([e for e in entries if e.status != mf.STATUS_DELETED]):
                     manifests.append(m)
                 elif live:
-                    for e in live:
-                        e.status = mf.STATUS_EXISTING
+                    _inherit_before_existing(live, m)
                     mpath = os.path.join(meta_dir, f"m-{_uuid.uuid4()}.avro")
                     spec_m = tm.partition_specs.get(m.partition_spec_id, spec)
                     nm = mf.write_manifest(mpath, live, tm, spec_m, mf.MANIFEST_DATA)
                     nm.added_snapshot_id = snapshot_id
+                    nm.sequence_number = max(e.sequence_number or 0 for e in live)
+                    nm.min_sequence_number = min(e.sequence_number or 0 for e in live)
                     manifests.append(nm)
                 # else: manifest fully removed
             elif (removed_delete_paths or removed_data_paths) and m.content == mf.MANIFEST_DELETES:
@@ -536,12 +555,13 @@ def commit_snapshot(
                 if len(live) == len([e for e in entries if e.status != mf.STATUS_DELETED]):
                     manifests.append(m)
                 elif live:
-                    for e in live:
-                        e.status = mf.STATUS_EXISTING
+                    _inherit_before_existing(live, m)
                     mpath = os.path.join(meta_dir, f"dm-{_uuid.uuid4()}.avro")
                     spec_m = tm.partition_specs.get(m.partition_spec_id, spec)
                     nm = mf.write_manifest(mpath, live, tm, spec_m, mf.MANIFEST_DELETES)
                     nm.added_snapshot_id = snapshot_id
+                    nm.sequence_number = max(e.sequence_number or 0 for e in live)
+                    nm.min_sequence_number = min(e.sequence_number or 0 for e in live)
                     manifests.append(nm)
             else:
                 manifests.append(m)

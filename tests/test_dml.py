@@ -220,3 +220,43 @@ def test_positional_delete_path_bounds_pruning(spark, sf_dir, tmp_path):
 
     got = iceberg_scan(spark, loc).count()
     assert got == src.where("o_orderkey < 1400").count()
+
+
+def test_merge_cardinality_violation(spark, tmp_path):
+    """A target row matched by two source rows raises (SQL-standard MERGE
+    cardinality violation) instead of silently duplicating it — CoW and MoR."""
+    import pytest
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.dml import MergeCardinalityError, merge_into
+
+    for mode in (None, "merge-on-read"):
+        loc = str(tmp_path / f"card_{mode or 'cow'}")
+        write_iceberg(
+            spark.createDataFrame([(1, 1.0), (2, 2.0)], "id: long, v: double"), loc)
+        dup_src = spark.createDataFrame(
+            [(1, 10.0), (1, 11.0)], "id: long, v: double")
+        with pytest.raises(MergeCardinalityError, match="matched 2 source rows"):
+            merge_into(spark, loc, dup_src, "tgt.id = src.id",
+                       when_matched_update={"v": "src.v"}, mode=mode)
+
+
+def test_merge_cow_broadcasts_source(spark, tmp_path):
+    """The CoW phase-1 semi-join ships the delta-sized source to the target's
+    executors (BroadcastHashJoin), never shuffling the full target."""
+    import pyspark.sql.functions as F
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.scan import scan_to_dataframe
+
+    loc = str(tmp_path / "t")
+    write_iceberg(spark.range(1000).selectExpr("id", "id * 2 AS v"), loc)
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    target = scan_to_dataframe(spark, plan, with_file_info=True).alias("tgt")
+    src = F.broadcast(spark.createDataFrame([(5,)], "id: long").alias("src"))
+    semi = target.join(src, F.expr("tgt.id = src.id"), "left_semi")
+    phys = semi._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys and "SortMergeJoin" not in phys

@@ -116,3 +116,35 @@ def test_equality_delete_null_keys_not_bounds_pruned(spark, tmp_path):
 
     got = sorted(r.v for r in iceberg_scan(spark, loc).collect())
     assert got == [1, 3]  # NULL-key row deleted despite disjoint bounds
+
+
+def test_equality_delete_large_keyset_not_broadcast(spark, tmp_path, monkeypatch):
+    """Above the manifest-record-count threshold the delete-key anti-join must
+    NOT be broadcast-hinted (an accumulated CDC delete set can exceed executor
+    memory; reference streams equality deletes,
+    iceberg_multi_file_reader.cpp:525-558). Below it, it must be."""
+    from duckdb_iceberg_spark.sources import scan as scan_mod
+
+    loc = str(tmp_path / "t")
+    write_iceberg(spark.range(200).selectExpr("id", "id % 7 AS k"), loc)
+    equality_delete(spark, loc, spark.createDataFrame([(2,), (5,)], "k: long"))
+
+    import re
+
+    def anti_join_kinds():
+        df = iceberg_scan(spark, loc)
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        return [m.group(1) for m in
+                re.finditer(r"(\w+Join)\b[^\n]*LeftAnti", phys)]
+
+    # guard open (tiny delete set): broadcast anti-join
+    assert anti_join_kinds() == ["BroadcastHashJoin"]
+
+    # guard tripped: no broadcast on the anti-join — AQE/SMJ takes over
+    monkeypatch.setattr(scan_mod, "_EQ_DELETE_BROADCAST_MAX_ROWS", 0)
+    kinds = anti_join_kinds()
+    assert kinds and all(j != "BroadcastHashJoin" for j in kinds), kinds
+
+    # and the scan is still correct without the hint
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(200) if i % 7 not in (2, 5)]

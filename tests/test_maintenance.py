@@ -162,9 +162,12 @@ def test_remove_orphan_files(spark, tmp_path):
     with open(orphan, "wb") as fh:
         fh.write(b"not really parquet")
 
-    listed = remove_orphan_files(loc, dry_run=True)
+    # default retention (3 days) protects a fresh file — it may belong to an
+    # in-flight uncommitted write
+    assert remove_orphan_files(loc, dry_run=True) == []
+    listed = remove_orphan_files(loc, dry_run=True, older_than_ms=0)
     assert listed == [orphan] and os.path.exists(orphan)
-    removed = remove_orphan_files(loc)
+    removed = remove_orphan_files(loc, older_than_ms=0)
     assert removed == [orphan] and not os.path.exists(orphan)
     assert iceberg_scan(spark, loc).count() == 10
 

@@ -936,6 +936,49 @@ def ice_count_star_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "cnt: bigint")
 
 
+_MOCK_STORE_TABLES: dict[str, str] = {}
+
+
+def _ice_objectstore(spark: SparkSession, sf_dir: str) -> str:
+    """supplier homed entirely on an object store (pyarrow's in-memory mock
+    FileSystem — the same FileSystem API as S3/GCS): metadata JSON, Avro
+    manifests, Puffin DVs and parquet data all flow through the pluggable
+    FileIO (reference deployment: REST catalog + MinIO,
+    benchmark/tpch/sf=1/*.benchmark; credential plumbing
+    iceberg_table_secret_provider.cpp). Built per process (the store is
+    in-memory), including a MoR delete so the read path exercises
+    object-store delete files too."""
+    loc = _MOCK_STORE_TABLES.get(sf_dir)
+    if loc:
+        return loc
+    from pyarrow import fs as pafs
+
+    from duckdb_iceberg_spark import io as fio
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    fio.register_io(
+        "mock", fio.ArrowFileIO("mock", pafs._MockFileSystem(), shippable=False))
+    loc = f"mock://bench/{os.path.basename(sf_dir.rstrip('/'))}/supplier"
+    write_iceberg(_pq(spark, sf_dir, "supplier"), loc)
+    delete_from(spark, loc, "s_suppkey % 10 = 0", mode="merge-on-read")
+    _MOCK_STORE_TABLES[sf_dir] = loc
+    return loc
+
+
+def ice_objectstore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_objectstore(spark, sf_dir)
+    return (
+        iceberg_scan(spark, loc)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             _dec_sum(F.col("s_acctbal"), 6).alias("sum_bal"))
+        .orderBy("s_nationkey")
+    )
+
+
 def ice_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_iceberg_spark.sources.metadata_tables import iceberg_snapshots
 
@@ -1353,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_spec_evolution_scan": ice_spec_evolution_scan,
         "ice_compaction_scan": ice_compaction_scan,
         "ice_count_star_metadata": ice_count_star_metadata,
+        "ice_objectstore_scan": ice_objectstore_scan,
         "ice_snapshot_history": ice_snapshot_history,
         "ice_partition_stats": ice_partition_stats_q,
         "ice_column_stats": ice_column_stats_q,
@@ -1772,6 +1816,12 @@ def oracle_sql() -> dict[str, str]:
             FROM part GROUP BY p_brand ORDER BY p_brand
         """,
         "ice_count_star_metadata": "SELECT count(*) AS cnt FROM lineitem",
+        "ice_objectstore_scan": """
+            SELECT s_nationkey, count(*) AS cnt,
+                   round(CAST(sum(CAST(round(s_acctbal, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_bal
+            FROM supplier WHERE s_suppkey % 10 <> 0
+            GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
         "ice_snapshot_history": """
             SELECT * FROM (VALUES
                 (CAST(1 AS BIGINT), 'append'),

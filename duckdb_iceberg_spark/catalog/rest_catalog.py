@@ -256,13 +256,40 @@ class RestTable:
     name: str
     metadata_location: Optional[str]
     metadata: TableMetadata
+    #: vended storage credentials from LoadTableResult config (may be empty)
+    storage_config: dict = field(default_factory=dict)
 
     @classmethod
     def from_load_result(cls, catalog: RestCatalog, namespace, name, resp: dict) -> "RestTable":
         meta_json = resp["metadata"]
         tm = TableMetadata(meta_json, meta_json.get("location", ""))
-        return cls(catalog=catalog, namespace=namespace, name=name,
-                   metadata_location=resp.get("metadata-location"), metadata=tm)
+        # vended per-table storage credentials (LoadTableResult `config` /
+        # `storage-credentials`; reference:
+        # iceberg_table_secret_provider.cpp CreateSecret): register a
+        # location-scoped FileIO so every metadata/data read under this table
+        # uses the vended credentials, not ambient ones.
+        config = dict(resp.get("config") or {})
+        for cred in resp.get("storage-credentials") or []:
+            if tm.location.startswith(cred.get("prefix", "")):
+                config.update(cred.get("config") or {})
+        if config and tm.location:
+            from .. import io as fio
+
+            fio.io_for_storage_config(tm.location, config)
+        table = cls(catalog=catalog, namespace=namespace, name=name,
+                    metadata_location=resp.get("metadata-location"), metadata=tm)
+        table.storage_config = config
+        return table
+
+    def spark_hadoop_options(self) -> dict[str, str]:
+        """Per-bucket Hadoop conf for clusters reading the data plane
+        natively (hadoop-aws): apply with
+        ``for k, v in t.spark_hadoop_options().items():
+        spark.conf.set("spark.hadoop." + k, v)``."""
+        from .. import io as fio
+
+        return fio.spark_hadoop_options(
+            self.metadata.location, getattr(self, "storage_config", {}) or {})
 
     def refresh(self) -> "RestTable":
         fresh = self.catalog.load_table(self.namespace, self.name)

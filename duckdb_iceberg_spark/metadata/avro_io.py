@@ -264,8 +264,9 @@ def read_avro_file(path_or_bytes: str | bytes) -> tuple[dict, dict[str, bytes], 
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)
     else:
-        with open(path_or_bytes, "rb") as fh:
-            data = fh.read()
+        from .. import io as fio
+
+        data = fio.get_io(path_or_bytes).read_bytes(path_or_bytes)
     if data[:4] != MAGIC:
         raise ValueError("not an Avro object container file")
     dec = _Decoder(data)
@@ -342,8 +343,6 @@ def write_avro_file(
     else:
         # zero-record file: no data blocks at all is valid
         pass
-    tmp = path + ".tmp"
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(tmp, "wb") as fh:
-        fh.write(out.getvalue())
-    os.replace(tmp, path)
+    from .. import io as fio
+
+    fio.get_io(path).write_bytes(path, out.getvalue())

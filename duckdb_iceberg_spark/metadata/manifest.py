@@ -446,7 +446,9 @@ def write_manifest(
         "content": "data" if content == MANIFEST_DATA else "deletes",
     }
     avro_io.write_avro_file(path, schema, recs, metadata=meta)
-    length = os.path.getsize(path)
+    from .. import io as fio
+
+    length = fio.get_io(path).size(path)
 
     # build manifest-list entry with partition field summaries
     summaries: list[FieldSummary] = []

@@ -219,15 +219,17 @@ def write_puffin_dvs(path: str, dvs: dict[str, np.ndarray]) -> dict[str, PuffinB
     body += struct.pack("<i", len(payload))
     body += struct.pack("<I", 0)  # flags: payload not compressed
     body += PUFFIN_MAGIC
-    with open(path, "wb") as fh:
-        fh.write(bytes(body))
+    from .. import io as fio
+
+    fio.get_io(path).write_bytes(path, bytes(body))
     return out
 
 
 def read_puffin_footer(path: str) -> list[PuffinBlob]:
     """Parse the footer payload (reference: iceberg_puffin_metadata.cpp)."""
-    with open(path, "rb") as fh:
-        data = fh.read()
+    from .. import io as fio
+
+    data = fio.get_io(path).read_bytes(path)
     if data[:4] != PUFFIN_MAGIC or data[-4:] != PUFFIN_MAGIC:
         raise ValueError(f"{path}: not a Puffin file (bad magic)")
     (payload_size,) = struct.unpack_from("<i", data, len(data) - 12)
@@ -258,9 +260,10 @@ def read_dv_positions(path: str, offset: int | None, length: int | None,
     directly; otherwise the footer is consulted for the blob whose
     referenced-data-file property matches."""
     if offset is not None and length is not None:
-        with open(path, "rb") as fh:
-            fh.seek(offset)
-            blob = fh.read(length)
+        # ranged read — one GET of exactly the blob on object stores
+        from .. import io as fio
+
+        blob = fio.get_io(path).read_bytes(path, offset, length)
         return parse_dv_blob(blob)
     for b in read_puffin_footer(path):
         if b.type == DV_BLOB_TYPE and (

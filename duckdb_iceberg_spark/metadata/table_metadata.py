@@ -18,7 +18,6 @@ register).
 
 from __future__ import annotations
 
-import glob as _glob
 import gzip
 import json
 import os
@@ -29,6 +28,7 @@ from dataclasses import dataclass, field
 from typing import Any, Optional
 
 from . import types as ice_types
+from .. import io as fio
 
 
 @dataclass
@@ -346,42 +346,48 @@ _OBJSTORE_RE = re.compile(r"(\d+)-[0-9a-f-]+(?:\.gz)?\.metadata\.json(?:\.gz)?$"
 
 
 def _read_text(path: str) -> str:
+    data = fio.get_io(path).read_bytes(path)
     if path.endswith(".gz"):
-        with gzip.open(path, "rt") as fh:
-            return fh.read()
-    with open(path, "r") as fh:
-        return fh.read()
+        data = gzip.decompress(data)
+    return data.decode("utf-8")
 
 
 def resolve_metadata_location(table_location: str, version: str | None = None) -> str:
-    """Find the current metadata JSON for a filesystem table
-    (reference: iceberg_table_metadata.cpp:203-281)."""
+    """Find the current metadata JSON for a filesystem or object-store table
+    (reference: iceberg_table_metadata.cpp:203-281). All probes go through
+    the pluggable FileIO, so ``s3://bucket/table`` resolves the same way a
+    local path does."""
     if table_location.endswith(".json") or table_location.endswith(".json.gz"):
         return table_location
-    meta_dir = os.path.join(table_location, "metadata")
+    io = fio.get_io(table_location)
+    meta_dir = fio.join(table_location, "metadata")
     if version is not None and version != "?":
         for cand in (
-            os.path.join(meta_dir, f"v{version}.metadata.json"),
-            os.path.join(meta_dir, f"v{version}.gz.metadata.json"),
-            os.path.join(meta_dir, f"v{version}.metadata.json.gz"),
+            fio.join(meta_dir, f"v{version}.metadata.json"),
+            fio.join(meta_dir, f"v{version}.gz.metadata.json"),
+            fio.join(meta_dir, f"v{version}.metadata.json.gz"),
         ):
-            if os.path.exists(cand):
+            if io.exists(cand):
                 return cand
         raise FileNotFoundError(f"metadata version {version} not found in {meta_dir}")
-    hint = os.path.join(meta_dir, "version-hint.text")
-    if os.path.exists(hint):
+    hint = fio.join(meta_dir, "version-hint.text")
+    if io.exists(hint):
         v = _read_text(hint).strip()
         return resolve_metadata_location(table_location, v)
-    # guess latest by glob (version_name_format='v%s%s.metadata.json' plus
+    # guess latest by listing (version_name_format='v%s%s.metadata.json' plus
     # the object-store '00000-uuid.metadata.json' style)
     best: tuple[int, str] | None = None
-    for cand in _glob.glob(os.path.join(_glob.escape(meta_dir), "*metadata.json*")):
-        base = os.path.basename(cand)
+    try:
+        entries = list(io.list_files(meta_dir))
+    except FileNotFoundError:
+        entries = []
+    for ent in entries:
+        base = os.path.basename(ent.path)
         m = _VERSIONED_RE.match(base) or _OBJSTORE_RE.match(base)
         if m:
             n = int(m.group(1))
             if best is None or n > best[0]:
-                best = (n, cand)
+                best = (n, ent.path)
     if best is None:
         raise FileNotFoundError(f"no iceberg metadata found under {meta_dir}")
     return best[1]
@@ -408,23 +414,20 @@ def current_version_number(table_location: str) -> int:
 
 
 def write_table_metadata(tm: TableMetadata, table_location: str) -> str:
-    """Write v{N+1}.metadata.json + version-hint swap. Returns the path."""
-    meta_dir = os.path.join(table_location, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
+    """Write v{N+1}.metadata.json + version-hint swap. Returns the path.
+    Local writes are atomic (temp + rename in FileIO); object-store PUTs are
+    atomic per object by the store's own semantics."""
+    io = fio.get_io(table_location)
+    meta_dir = fio.join(table_location, "metadata")
+    io.mkdirs(meta_dir)
     n = current_version_number(table_location) + 1
-    if tm.metadata_location and os.path.exists(tm.metadata_location):
+    if tm.metadata_location and fio.get_io(tm.metadata_location).exists(tm.metadata_location):
         tm.metadata_log.append(
             {"timestamp-ms": tm.last_updated_ms, "metadata-file": tm.metadata_location}
         )
     tm.last_updated_ms = int(time.time() * 1000)
-    path = os.path.join(meta_dir, f"v{n}.metadata.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(tm.to_json(), fh, indent=1)
-    os.replace(tmp, path)
-    hint_tmp = os.path.join(meta_dir, "version-hint.text.tmp")
-    with open(hint_tmp, "w") as fh:
-        fh.write(str(n))
-    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    path = fio.join(meta_dir, f"v{n}.metadata.json")
+    io.write_bytes(path, json.dumps(tm.to_json(), indent=1).encode("utf-8"))
+    io.write_bytes(fio.join(meta_dir, "version-hint.text"), str(n).encode())
     tm.metadata_location = path
     return path

@@ -80,10 +80,27 @@ class ScanPlan:
 
 def _localize(tm: TableMetadata, path: str) -> str:
     """Map absolute table-relative paths onto the actual table location
-    (allow_moved_paths analogue, reference: iceberg_scan.cpp:40-48)."""
+    (allow_moved_paths analogue, reference: iceberg_scan.cpp:40-48).
+
+    Remote tables short-circuit on a prefix match — probing existence per
+    path would be one HEAD request per manifest/data file, a planning-time
+    storm at 100 TB. Rewrites only fire when the recorded path points
+    somewhere other than the table's current location (a copied table)."""
+    from .. import io as fio
+
+    loc = tm.location.rstrip("/")
+    loc_scheme, _ = fio.parse_uri(loc)
+    path_scheme, _ = fio.parse_uri(path)
+    if loc_scheme or path_scheme:
+        if path.startswith(loc + "/") or path == loc:
+            return path
+        for marker in ("/data/", "/metadata/"):
+            idx = path.find(marker)
+            if idx >= 0:
+                return loc + path[idx:]
+        return path
     if os.path.exists(path):
         return path
-    loc = tm.location.rstrip("/")
     for marker in ("/data/", "/metadata/"):
         idx = path.find(marker)
         if idx >= 0:

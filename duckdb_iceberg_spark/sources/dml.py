@@ -42,6 +42,7 @@ from .writer import (
     _collect_stats,
     commit_snapshot,
     write_data_files,
+    write_parquet_dataset,
 )
 
 POS_DELETE_SCHEMA = T.StructType(
@@ -107,13 +108,7 @@ def _write_positional_deletes(
         .repartition(max(1, min(8, n // 1_000_000 + 1)), F.col("file_path"))
         .sortWithinPartitions("file_path", "pos")
     )
-    pairs.write.mode("errorifexists").parquet(out_dir)
-    paths = sorted(
-        os.path.join(r, fn)
-        for r, _d, fns in os.walk(out_dir)
-        for fn in fns
-        if fn.endswith(".parquet")
-    )
+    paths = write_parquet_dataset(spark, pairs, out_dir)
     stats = _collect_stats(spark, paths)
     out = []
     for st in stats:
@@ -181,11 +176,11 @@ def _write_deletion_vectors(
                 dvs[fp] = np.union1d(dvs[fp], prev)
                 replaced.add(d.file_path)
 
-    out_path = os.path.join(
-        tm.location, "data", f"dv-{str(_uuid.uuid4())[:8]}.puffin")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    from .. import io as fio
+
+    out_path = fio.join(tm.location, "data", f"dv-{str(_uuid.uuid4())[:8]}.puffin")
     blobs = pf.write_puffin_dvs(out_path, dvs)
-    file_size = os.path.getsize(out_path)
+    file_size = fio.get_io(out_path).size(out_path)
     entries = []
     for data_path, blob in sorted(blobs.items()):
         entries.append(mf.DataFile(
@@ -234,10 +229,7 @@ def equality_delete(
         .alias(c, metadata={ice_types.FIELD_ID_KEY: by_name[c]["id"]})
         for c in key_columns
     ]).dropDuplicates()
-    rows.coalesce(1).write.mode("errorifexists").parquet(out_dir)
-    paths = sorted(
-        os.path.join(r, fn) for r, _d, fns in os.walk(out_dir)
-        for fn in fns if fn.endswith(".parquet"))
+    paths = write_parquet_dataset(spark, rows.coalesce(1), out_dir)
     stats = [st for st in _collect_stats(spark, paths) if st["record_count"]]
     delete_files = []
     for st in stats:
@@ -290,10 +282,7 @@ def upsert_equality(
         .alias(c, metadata={ice_types.FIELD_ID_KEY: by_name[c]["id"]})
         for c in key_columns
     ]).dropDuplicates()
-    keys.coalesce(1).write.mode("errorifexists").parquet(out_dir)
-    paths = sorted(
-        os.path.join(r, fn) for r, _d, fns in os.walk(out_dir)
-        for fn in fns if fn.endswith(".parquet"))
+    paths = write_parquet_dataset(spark, keys.coalesce(1), out_dir)
     stats = [st for st in _collect_stats(spark, paths) if st["record_count"]]
     delete_files = []
     for st in stats:

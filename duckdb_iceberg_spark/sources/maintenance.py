@@ -194,11 +194,13 @@ def expire_snapshots(
     retained = [s for s in snaps if s not in expired]
     deleted = 0
     if delete_files:
+        from .. import io as fio
+
         keep_meta, keep_data = _reachable_files(tm, retained)
         drop_meta, drop_data = _reachable_files(tm, expired)
         for path in sorted((drop_meta - keep_meta) | (drop_data - keep_data)):
             try:
-                _os.remove(path)
+                fio.get_io(path).remove(path)
                 deleted += 1
             except FileNotFoundError:
                 pass
@@ -233,30 +235,29 @@ def remove_orphan_files(
     import os as _os
     import time as _time
 
+    from .. import io as fio
+
     if older_than_ms is None:
         older_than_ms = _ORPHAN_DEFAULT_OLDER_THAN_MS
-    cutoff = _time.time() - older_than_ms / 1000.0
+    cutoff_ms = _time.time() * 1000 - older_than_ms
 
     tm = load_table_metadata(location)
     _, referenced = _reachable_files(tm, tm.snapshots, strict=True)
     orphans = []
-    data_root = _os.path.join(location, "data")
-    for root, _dirs, names in _os.walk(data_root):
-        for n in names:
-            p = _os.path.join(root, n)
-            if n.startswith(".") or n.startswith("_"):
+    io = fio.get_io(location)
+    data_root = fio.join(location, "data")
+    for ent in io.list_files(data_root):
+        n = _os.path.basename(ent.path)
+        if n.startswith(".") or n.startswith("_"):
+            continue
+        if ent.path not in referenced:
+            if ent.mtime_ms > cutoff_ms:
                 continue
-            if p not in referenced:
-                try:
-                    if _os.path.getmtime(p) > cutoff:
-                        continue
-                except OSError:
-                    continue
-                orphans.append(p)
+            orphans.append(ent.path)
     if not dry_run:
         for p in orphans:
             try:
-                _os.remove(p)
+                io.remove(p)
             except FileNotFoundError:
                 pass
     return sorted(orphans)

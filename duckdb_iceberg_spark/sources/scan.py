@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..io import arrow_data as _ad
 from ..metadata import manifest as mf
 from ..metadata import types as ice_types
 from ..metadata.table_metadata import TableMetadata, load_table_metadata
@@ -45,8 +46,31 @@ _POS_COL = "__ice_pos"
 
 
 def _norm_path(col):
-    # _metadata.file_path is file:///... ; manifests store plain paths
-    return F.regexp_replace(col, r"^file:/+", "/")
+    # _metadata.file_path is file:///... ; manifests store plain paths.
+    # s3a:// (the Hadoop-native rewrite of s3://) normalizes back so join
+    # keys match the manifests' recorded URIs.
+    return F.regexp_replace(
+        F.regexp_replace(col, r"^file:/+", "/"), r"^s3a://", "s3://")
+
+
+def _read_plain_parquet(spark, files, schema, *, with_path_pos=False,
+                        path_col="__kf", pos_col="__kp"):
+    """Read auxiliary parquet (delete files, key files) with an explicit
+    schema, Spark-native when the scheme allows, else through the arrow data
+    plane. ``with_path_pos`` appends (normalized source path, row position)."""
+    st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    if _ad.is_spark_native(spark, files):
+        df = spark.read.schema(st).parquet(
+            *[_ad.to_native_path(f) for f in files])
+        if with_path_pos:
+            df = df.withColumn(path_col, _norm_path(F.col("_metadata.file_path"))) \
+                   .withColumn(pos_col, F.col("_metadata.row_index"))
+        return df
+    df = _ad.read_parquet(spark, files, st, with_path_pos=with_path_pos,
+                          path_col=path_col, pos_col=pos_col)
+    if with_path_pos:
+        df = df.withColumn(path_col, _norm_path(F.col(path_col)))
+    return df
 
 
 def iceberg_scan(
@@ -157,7 +181,13 @@ def scan_to_dataframe(
 
     parts: list[DataFrame] = []
     if main_files:
-        parts.append(_with_pos(spark.read.schema(schema).parquet(*main_files)))
+        if _ad.is_spark_native(spark, main_files):
+            parts.append(_with_pos(spark.read.schema(schema).parquet(
+                *[_ad.to_native_path(f) for f in main_files])))
+        else:
+            parts.append(_ad.read_parquet(
+                spark, main_files, schema, with_path_pos=need_pos,
+                path_col=_FILE_COL, pos_col=_POS_COL))
     if legacy:
         parts.extend(_read_by_name_mapping(spark, legacy, mapping_prop,
                                            plan, need_pos))
@@ -244,10 +274,15 @@ def _sniff_footers(spark: SparkSession, files: list[str]) -> list[tuple[str, boo
     thousands of footers (manifest-late-materialization posture); results
     are cached per path."""
 
-    def sniff(path: str) -> tuple[str, bool, list[str], list[int], str]:
+    from ..io import get_io, io_from_storage_options, storage_options_for
+    from ..io.arrow_data import _open_arrow_input
+
+    def sniff(path: str, fs_io=None) -> tuple[str, bool, list[str], list[int], str]:
         import pyarrow.parquet as pq
 
-        names, fids, sig = _arrow_schema_info(pq.read_schema(path))
+        fs_io = fs_io or get_io(path)
+        names, fids, sig = _arrow_schema_info(
+            pq.read_schema(_open_arrow_input(fs_io, path)))
         return path, bool(fids), names, fids, sig
 
     cached = [_SNIFF_CACHE[f] for f in files if f in _SNIFF_CACHE]
@@ -261,13 +296,16 @@ def _sniff_footers(spark: SparkSession, files: list[str]) -> list[tuple[str, boo
                 _SNIFF_CACHE[r[0]] = r
         return cached + results
 
-    if len(files) <= _FOOTER_SNIFF_DRIVER_MAX:
+    if not get_io(files[0]).shippable or len(files) <= _FOOTER_SNIFF_DRIVER_MAX:
         return _remember([sniff(f) for f in files])
     import pandas as pd
 
+    opts = storage_options_for(files[0])
+
     def sniff_batches(batches):
+        fs_io = io_from_storage_options(opts)
         for pdf in batches:
-            out = [sniff(p) for p in pdf["path"]]
+            out = [sniff(p, fs_io) for p in pdf["path"]]
             yield pd.DataFrame(
                 {"path": [o[0] for o in out],
                  "has_ids": [o[1] for o in out],
@@ -384,12 +422,21 @@ def _read_by_name_mapping(
 
     out = []
     for sig, paths in sorted(groups.items()):
-        raw = spark.read.parquet(*sorted(paths))
-        if need_pos:
-            # resolve the hidden _metadata column while the plan leaf is
-            # still the file scan, before the rename projection drops it
-            raw = raw.withColumn(_FILE_COL, _norm_path(F.col("_metadata.file_path"))) \
-                     .withColumn(_POS_COL, F.col("_metadata.row_index"))
+        paths = sorted(paths)
+        if _ad.is_spark_native(spark, paths):
+            raw = spark.read.parquet(*[_ad.to_native_path(p) for p in paths])
+            if need_pos:
+                # resolve the hidden _metadata column while the plan leaf is
+                # still the file scan, before the rename projection drops it
+                raw = raw.withColumn(_FILE_COL, _norm_path(F.col("_metadata.file_path"))) \
+                         .withColumn(_POS_COL, F.col("_metadata.row_index"))
+        else:
+            # one layout signature per group → the first file's footer schema
+            # holds for the whole group
+            file_st = _ad.infer_spark_schema(paths[0])
+            raw = _ad.read_parquet(spark, paths, file_st,
+                                   with_path_pos=need_pos,
+                                   path_col=_FILE_COL, pos_col=_POS_COL)
         file_st = T.StructType(
             [fl for fl in raw.schema.fields if fl.name not in (_FILE_COL, _POS_COL)])
         sel = [
@@ -556,7 +603,8 @@ def _apply_positional_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan
         # positional-delete parquet schema: file_path string (fid 2147483546),
         # pos long (fid 2147483545)
         parts.append(
-            spark.read.parquet(*sorted(parquet_files))
+            _read_plain_parquet(spark, sorted(parquet_files),
+                                "file_path string, pos long")
             .select(
                 _norm_path(F.col("file_path")).alias("__del_file"),
                 F.col("pos").cast(T.LongType()).alias("__del_pos"),
@@ -620,12 +668,21 @@ def _dv_positions_df(spark: SparkSession, dv_blobs: dict[str, "mf.DataFile"]) ->
                                   "__del_pos": pd.Series(dtype="int64")}))
         return spark.createDataFrame(
             pdf, "`__del_file` string, `__del_pos` long")
+    from ..io import parse_uri, register_io, storage_options_for
+    from ..io import io_from_storage_options
+
+    opts = storage_options_for(meta[0][1]) if meta else {}
+    scheme = parse_uri(meta[0][1])[0] if meta else ""
+
     meta_df = spark.createDataFrame(
         meta, "ref: string, puffin: string, offset: long, length: long")
 
     def decode(batches):
         from ..metadata.puffin import read_dv_positions
 
+        if scheme and opts:
+            # executor process: rebuild the driver's (possibly vended) IO
+            register_io(scheme, io_from_storage_options(opts))
         for pdf in batches:
             for r in pdf.itertuples():
                 pos = read_dv_positions(
@@ -693,9 +750,11 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) 
         del_meta = spark.createDataFrame(
             [(p, int(seq)) for p, (_, seq, _) in sorted(files.items())],
             "`__del_file` string, `__del_seq` long")
+        key_st = T.StructType([
+            T.StructField(c, tm.spark_schema()[c].dataType) for c in cols])
         keys = (
-            spark.read.parquet(*sorted(files))
-            .withColumn("__kf", _norm_path(F.col("_metadata.file_path")))
+            _read_plain_parquet(spark, sorted(files), key_st,
+                                with_path_pos=True, path_col="__kf")
             .join(F.broadcast(del_meta), F.col("__kf") == F.col("__del_file"))
         )
         if is_global:

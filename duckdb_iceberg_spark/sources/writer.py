@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import io as fio
 from ..metadata import manifest as mf
 from ..metadata import types as ice_types
 from ..metadata.table_metadata import (
@@ -154,11 +155,16 @@ def create_table(
 # parquet footer stats → DataFile entries
 # ---------------------------------------------------------------------------
 
-def _footer_stats_one(path: str) -> dict:
-    """Read one parquet footer: row count, size, per-field-id stats."""
+def _footer_stats_one(path: str, fs_io=None) -> dict:
+    """Read one parquet footer: row count, size, per-field-id stats — via
+    the FileIO (a footer read is one ranged GET on object stores)."""
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(path)
+    from ..io import get_io
+    from ..io.arrow_data import _open_arrow_input
+
+    fs_io = fs_io or get_io(path)
+    pf = pq.ParquetFile(_open_arrow_input(fs_io, path))
     meta = pf.metadata
     arrow_schema = pf.schema_arrow
     fid_by_col: dict[str, int] = {}
@@ -198,7 +204,7 @@ def _footer_stats_one(path: str) -> dict:
     return {
         "path": path,
         "record_count": meta.num_rows,
-        "file_size": os.path.getsize(path),
+        "file_size": fs_io.size(path),
         "value_counts": value_counts,
         "null_counts": null_counts,
         "col_sizes": col_sizes,
@@ -215,23 +221,35 @@ def _stat_lt(a: Any, b: Any) -> bool:
 
 
 def _collect_stats(spark: SparkSession, paths: list[str]) -> list[dict]:
-    if len(paths) < _DISTRIBUTED_STATS_THRESHOLD:
+    from ..io import get_io, io_from_storage_options, storage_options_for
+
+    if not paths:
+        return []
+    if (not get_io(paths[0]).shippable
+            or len(paths) < _DISTRIBUTED_STATS_THRESHOLD):
         return [_footer_stats_one(p) for p in paths]
     # distributed footer reads: executors each open only footers
-    import pickle
+    opts = storage_options_for(paths[0])
+
+    def one(p):
+        return _footer_stats_one(p, io_from_storage_options(opts))
 
     sc = spark.sparkContext
     rdd = sc.parallelize(paths, min(len(paths), 256))
-    return rdd.map(_footer_stats_one).collect()
+    return rdd.map(one).collect()
 
 
 def _partition_values_from_path(path: str, data_root: str, spec: PartitionSpec,
                                 tm: TableMetadata) -> dict[str, Any]:
-    """Recover partition values from hive-style dirs written by partitionBy."""
-    rel = os.path.relpath(os.path.dirname(path), data_root)
+    """Recover partition values from hive-style dirs written by partitionBy.
+    Plain prefix-strip, not os.path.relpath — normpath would mangle the
+    ``scheme://`` of object-store paths."""
+    parent = os.path.dirname(path)
+    root = data_root.rstrip("/")
+    rel = parent[len(root):].lstrip("/") if parent.startswith(root) else parent
     values: dict[str, Any] = {}
     raw: dict[str, str] = {}
-    for comp in rel.split(os.sep):
+    for comp in rel.split("/"):
         if "=" in comp:
             k, v = comp.split("=", 1)
             raw[k] = urllib.parse.unquote(v)
@@ -410,26 +428,43 @@ def write_data_files(
     df = _with_field_id_metadata(df, schema_json)
 
     write_uuid = str(_uuid.uuid4())[:8]
-    data_root = os.path.join(tm.location, "data", write_uuid)
-    writer = df.write.mode("errorifexists")
+    data_root = fio.join(tm.location, "data", write_uuid)
     # parquet write properties (reference maps iceberg write props →
     # parquet options, iceberg_insert.cpp:596-648)
     codec = tm.properties.get("write.parquet.compression-codec", "zstd")
-    writer = writer.option("compression", codec)
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(data_root)
-
-    paths = []
-    for root, _dirs, files in os.walk(data_root):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                paths.append(os.path.join(root, fn))
-    paths.sort()
+    paths = write_parquet_dataset(spark, df, data_root, compression=codec,
+                                  partition_cols=part_cols)
     stats = _collect_stats(spark, paths)
 
     data_files = _build_data_files_with_names(stats, tm, spec, data_root)
     return data_files, data_root
+
+
+def write_parquet_dataset(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    *,
+    compression: str = "zstd",
+    partition_cols: list[str] | None = None,
+) -> list[str]:
+    """One write surface for every dataset the engine materializes (data
+    files, positional/equality delete files): Spark-native
+    ``df.write.parquet`` when the scheme allows, otherwise the arrow data
+    plane streams parquet from the executors to the object store. Returns
+    the written file paths (listed through the FileIO either way)."""
+    from ..io import arrow_data as _ad
+
+    if _ad.is_spark_native(spark, [out_dir]):
+        writer = df.write.mode("errorifexists").option("compression", compression)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(_ad.to_native_path(out_dir))
+        return sorted(
+            e.path for e in fio.get_io(out_dir).list_files(out_dir)
+            if e.path.endswith(".parquet"))
+    return _ad.write_parquet(spark, df, out_dir, compression=compression,
+                             partition_cols=partition_cols)
 
 
 def _build_data_files_with_names(stats, tm, spec, data_root):
@@ -500,8 +535,8 @@ def commit_snapshot(
     import time as _time
 
     location = tm.location
-    meta_dir = os.path.join(location, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
+    meta_dir = fio.join(location, "metadata")
+    fio.get_io(meta_dir).mkdirs(meta_dir)
     snapshot_id = int.from_bytes(os.urandom(7), "big")
     parent = tm.current_snapshot_id
     seq = tm.last_sequence_number + 1

@@ -1,0 +1,186 @@
+"""End-to-end Iceberg tables homed on an object store (pyarrow's in-memory
+mock filesystem, which exposes the same FileSystem API as S3/GCS/Azure).
+
+Everything — metadata JSON, Avro manifests, Puffin DVs, parquet data files —
+lives behind ``mock://`` and flows through the pluggable FileIO; nothing
+touches the local filesystem. The reference's equivalent surface is REST
+catalog + MinIO (benchmark/tpch/sf=1/*.benchmark against 127.0.0.1:9000,
+credential plumbing in iceberg_table_secret_provider.cpp)."""
+
+import pytest
+
+from duckdb_iceberg_spark import io as fio
+from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+
+
+@pytest.fixture()
+def mock_fs():
+    from pyarrow import fs as pafs
+
+    mock = pafs._MockFileSystem()
+    fio.register_io("mock", fio.ArrowFileIO("mock", mock, shippable=False))
+    return mock
+
+
+def test_write_scan_roundtrip(spark, mock_fs):
+    loc = "mock://bucket/t1"
+    write_iceberg(spark.range(100).selectExpr("id", "id % 3 AS k"), loc)
+    df = iceberg_scan(spark, loc)
+    assert df.count() == 100
+    assert sorted(r.id for r in df.filter("k = 1").collect()) == [
+        i for i in range(100) if i % 3 == 1]
+
+
+def test_appends_and_time_travel(spark, mock_fs):
+    loc = "mock://bucket/t2"
+    write_iceberg(spark.range(0, 10).selectExpr("id"), loc)
+    write_iceberg(spark.range(10, 30).selectExpr("id"), loc)
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+
+    tm = load_table_metadata(loc)
+    assert len(tm.snapshots) == 2
+    first = min(tm.snapshots, key=lambda s: s.timestamp_ms)
+    assert iceberg_scan(spark, loc).count() == 30
+    assert iceberg_scan(spark, loc, snapshot_id=first.snapshot_id).count() == 10
+
+
+def test_partitioned_table(spark, mock_fs):
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    loc = "mock://bucket/t3"
+    write_iceberg(spark.range(100).selectExpr("id", "id % 4 AS part"), loc,
+                  partition_by=["part"])
+    got = iceberg_scan(spark, loc, where="part = 2")
+    assert sorted(r.id for r in got.collect()) == [i for i in range(100) if i % 4 == 2]
+    # partition pruning happens at the planner (no data read for 3/4 of files)
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot(), where="part = 2")
+    assert plan.stats["files_pruned"] > 0
+
+
+def test_mor_delete_and_dv(spark, mock_fs):
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    loc = "mock://bucket/t4"
+    write_iceberg(spark.range(50).selectExpr("id", "id AS v"), loc)
+    delete_from(spark, loc, "id >= 40", mode="merge-on-read")
+    assert sorted(r.id for r in iceberg_scan(spark, loc).collect()) == list(range(40))
+
+
+def test_equality_delete_on_object_store(spark, mock_fs):
+    from duckdb_iceberg_spark.sources.dml import equality_delete
+
+    loc = "mock://bucket/t5"
+    write_iceberg(spark.range(60).selectExpr("id", "id % 6 AS k"), loc)
+    equality_delete(spark, loc, spark.createDataFrame([(2,), (4,)], "k: long"))
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(60) if i % 6 not in (2, 4)]
+
+
+def test_merge_into_on_object_store(spark, mock_fs):
+    from duckdb_iceberg_spark.sources.dml import merge_into
+
+    loc = "mock://bucket/t6"
+    write_iceberg(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id: long, v: double"), loc)
+    merge_into(spark, loc,
+               spark.createDataFrame([(2, 200.0), (3, 30.0)], "id: long, v: double"),
+               "tgt.id = src.id",
+               when_matched_update={"v": "src.v"}, when_not_matched_insert=True)
+    got = {r.id: r.v for r in iceberg_scan(spark, loc).collect()}
+    assert got == {1: 10.0, 2: 200.0, 3: 30.0}
+
+
+def test_maintenance_on_object_store(spark, mock_fs):
+    from duckdb_iceberg_spark.sources.maintenance import (
+        expire_snapshots,
+        remove_orphan_files,
+        rewrite_manifests,
+    )
+
+    loc = "mock://bucket/t7"
+    for lo in (0, 10, 20):
+        write_iceberg(spark.range(lo, lo + 10).selectExpr("id"), loc)
+    assert rewrite_manifests(loc)["rewritten_manifests"] == 3
+    assert iceberg_scan(spark, loc).count() == 30
+    got = expire_snapshots(loc, retain_last=1)
+    assert got["expired"] >= 2
+    assert iceberg_scan(spark, loc).count() == 30
+    # a stray uncommitted object is an orphan once past the age cutoff
+    io = fio.get_io(loc)
+    io.write_bytes(f"{loc}/data/stray.parquet", b"junk")
+    assert remove_orphan_files(loc, dry_run=True, older_than_ms=0) == [
+        f"{loc}/data/stray.parquet"]
+
+
+def test_vended_credential_registry():
+    """REST LoadTableResult config → a location-scoped FileIO + per-bucket
+    Hadoop conf for native-scheme clusters."""
+    cfg = {
+        "s3.access-key-id": "AK", "s3.secret-access-key": "SK",
+        "s3.session-token": "TOK", "s3.endpoint": "http://127.0.0.1:9000",
+        "s3.region": "us-east-1", "s3.path-style-access": "true",
+    }
+    try:
+        io = fio.io_for_storage_config("s3://bkt/warehouse/tbl", cfg)
+        assert io is not None
+        # the vended IO wins for paths under the table location
+        assert fio.get_io("s3://bkt/warehouse/tbl/metadata/v1.metadata.json") is io
+        opts = io.storage_options()
+        assert opts["access_key"] == "AK" and opts["endpoint_override"].endswith(":9000")
+        # and serializes/deserializes for executors
+        io2 = fio.io_from_storage_options(opts)
+        assert io2.storage_options()["secret_key"] == "SK"
+        hadoop = fio.spark_hadoop_options("s3://bkt/warehouse/tbl", cfg)
+        assert hadoop["fs.s3a.bucket.bkt.access.key"] == "AK"
+        assert hadoop["fs.s3a.bucket.bkt.endpoint"] == "http://127.0.0.1:9000"
+        assert hadoop["fs.s3a.bucket.bkt.path.style.access"] == "true"
+    finally:
+        fio.clear_location_ios()
+
+
+def test_local_tables_unaffected(spark, tmp_path):
+    """The default path (no scheme) still uses plain local IO + native Spark."""
+    loc = str(tmp_path / "t")
+    write_iceberg(spark.range(10).selectExpr("id"), loc)
+    assert iceberg_scan(spark, loc).count() == 10
+    import os
+
+    assert os.path.exists(os.path.join(loc, "metadata", "version-hint.text"))
+
+
+@pytest.fixture()
+def lfs(tmp_path):
+    """A *shippable* object-store-API filesystem on shared disk: drives the
+    distributed mapInArrow read/write path that mock:// (driver-only) can't."""
+    from pyarrow import fs as pafs
+
+    io = fio.ArrowFileIO("lfs", pafs.LocalFileSystem(),
+                         options={"kind": "localfs", "scheme": "lfs"})
+    fio.register_io("lfs", io)
+    return f"lfs://{tmp_path}"
+
+
+def test_distributed_arrow_write_and_read(spark, lfs, monkeypatch):
+    from duckdb_iceberg_spark.io import arrow_data
+
+    # force the distributed read branch even for few files
+    monkeypatch.setattr(arrow_data, "_DRIVER_READ_MAX_FILES", 0)
+    loc = f"{lfs}/t_dist"
+    write_iceberg(spark.range(1000).repartition(6).selectExpr("id", "id % 7 AS k"), loc)
+    df = iceberg_scan(spark, loc)
+    assert df.count() == 1000
+    assert df.filter("k = 3").count() == sum(1 for i in range(1000) if i % 7 == 3)
+
+
+def test_distributed_arrow_mor_delete(spark, lfs, monkeypatch):
+    from duckdb_iceberg_spark.io import arrow_data
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    monkeypatch.setattr(arrow_data, "_DRIVER_READ_MAX_FILES", 0)
+    loc = f"{lfs}/t_dist_mor"
+    write_iceberg(spark.range(200).repartition(4).selectExpr("id", "id AS v"), loc)
+    delete_from(spark, loc, "id % 10 = 0", mode="merge-on-read")
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(200) if i % 10 != 0]

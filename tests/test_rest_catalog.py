@@ -39,6 +39,8 @@ class _StubState:
         self.async_polls = 0
         self.last_plan_filter: dict | None = None
         self.last_signed_request: tuple | None = None
+        # vended storage credentials included in LoadTableResult as `config`
+        self.vended_config: dict | None = None
 
 
 def _make_handler(state: _StubState):
@@ -136,8 +138,11 @@ def _make_handler(state: _StubState):
                 if key not in state.tables:
                     return self._send(404, {"error": {"message": "no such table"}})
                 if self.command == "GET":
-                    return self._send(200, {"metadata-location": "mem://m.json",
-                                            "metadata": state.tables[key]})
+                    resp = {"metadata-location": "mem://m.json",
+                            "metadata": state.tables[key]}
+                    if state.vended_config:
+                        resp["config"] = state.vended_config
+                    return self._send(200, resp)
                 if self.command == "DELETE":
                     del state.tables[key]
                     return self._send(204)
@@ -616,3 +621,35 @@ def test_register_table_and_attach_catalog_sql(stub, spark, sf_dir, tmp_path):
     assert views == ["ice_nation"]
     got2 = spark.sql("SELECT count(*) AS c FROM ice_nation").collect()[0].c
     assert got2 == src.count()
+
+
+def test_vended_credentials_register_table_io(stub):
+    """LoadTableResult `config` storage credentials become a location-scoped
+    FileIO (vended-credential plumbing; reference:
+    iceberg_table_secret_provider.cpp) plus per-bucket Hadoop conf."""
+    from duckdb_iceberg_spark import io as fio
+
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    schema = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"}]}
+    cat.create_table("db", "vt", schema, location="s3://vendbkt/wh/vt")
+    state.vended_config = {
+        "s3.access-key-id": "VAK", "s3.secret-access-key": "VSK",
+        "s3.endpoint": "http://127.0.0.1:9000", "s3.region": "eu-west-1",
+    }
+    try:
+        t = cat.load_table("db", "vt")
+        assert t.storage_config["s3.access-key-id"] == "VAK"
+        io = fio.get_io("s3://vendbkt/wh/vt/metadata/v1.metadata.json")
+        assert io.storage_options().get("access_key") == "VAK"
+        # a path under a different bucket does NOT get the vended creds
+        other = fio.get_io("s3://otherbkt/x")
+        assert other.storage_options().get("access_key") != "VAK"
+        hadoop = t.spark_hadoop_options()
+        assert hadoop["fs.s3a.bucket.vendbkt.access.key"] == "VAK"
+        assert hadoop["fs.s3a.bucket.vendbkt.endpoint.region"] == "eu-west-1"
+    finally:
+        fio.clear_location_ios()
+        state.vended_config = None

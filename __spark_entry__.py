@@ -1164,7 +1164,8 @@ def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check: deterministic simhash values
+    # hash-checked: simhash64 is md5-based JVM Column math, so the DuckDB
+    # oracle recomputes every bit (see _simhash_sql)
     from duckdb_iceberg_spark.operators.dedup import simhash64
 
     docs = _pq(spark, sf_dir, "documents")
@@ -1185,7 +1186,9 @@ def docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: fake decoder (no audio libs); mapInPandas plumbing is real
+    # hash-checked: the fake decoder (no audio libs in this container) is
+    # md5-derived integer arithmetic the DuckDB oracle recomputes exactly;
+    # the mapInPandas plumbing is the real production path
     from duckdb_iceberg_spark.operators.multimodal import extract_audio_features
 
     feats = extract_audio_features(_mm_docs(spark, sf_dir))
@@ -1328,15 +1331,18 @@ def _mm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: decoder is the documented deterministic fake (no image
-    # libs in this container); the mapInPandas plumbing is real
+    # decoder is the documented deterministic fake (no image libs in this
+    # container) — md5-derived arithmetic, so a SQL oracle recomputes every
+    # output. feat_sum256 = sum(feature)*256: each element is k/256 with
+    # k in 0..255, exact in float32 and double, so the scaled sum is an
+    # exact integer in both engines.
     from duckdb_iceberg_spark.operators.multimodal import extract_image_features
 
     feats = extract_image_features(_mm_docs(spark, sf_dir))
     return (
         feats.select("id", "n_bytes", "width", "height",
-                     F.round(F.aggregate("feature", F.lit(0.0),
-                                         lambda a, x: a + x), 4).alias("feat_sum"))
+                     (F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)
+                      * 256).cast("long").alias("feat_sum256"))
         .orderBy("id")
         .limit(500)
     )
@@ -1427,6 +1433,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _FP_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+
+def _simhash_sql() -> str:
+    """DuckDB replica of operators.dedup.simhash64: md5-derived token bits
+    (60 from the first 15 hex chars, 4 from the 16th), ±1 votes per bit,
+    sign-packed into a signed 64-bit value."""
+    votes = ",\n                   ".join(
+        "sum(CASE WHEN (({c} >> {s}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}".format(
+            c="lo" if i < 60 else "hi", s=i if i < 60 else i - 60, i=i)
+        for i in range(64))
+    packs = "\n                 + ".join(
+        f"(CASE WHEN v.v{i} > 0 THEN {1 << i if i < 63 else -(1 << 63)} ELSE 0 END)"
+        for i in range(64))
+    return f"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS lo,
+                     CAST('0x' || substr(md5(tok), 16, 1) AS BIGINT) AS hi
+              FROM t
+            ), v AS (
+              SELECT doc_id,
+                   {votes}
+              FROM h GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST({packs} AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+            ORDER BY d.doc_id LIMIT 500
+    """
+
+
+# 60-bit md5 blob hash shared by the multimodal fake decoders
+# (= operators.multimodal._blob_hash60 over the utf-8 text bytes)
+_MM_HASH_CTE = """
+            WITH h AS (
+              SELECT doc_id AS id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+              FROM documents
+            )
+"""
 
 
 def _lang_score_sql(words: list[str]) -> str:
@@ -1943,8 +1995,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents) t
             GROUP BY doc_id ORDER BY id LIMIT 1000
         """,
-        # ice_bucket_fn, docs_minhash_dedup, docs_simhash, emb_knn_join,
-        # emb_ivf_topk, emb_neardup, mm_image_features:
-        # intentionally omitted (non-SQL-expressible or fake-decoder-backed;
-        # rows-only check)
+        "docs_simhash": _simhash_sql(),
+        "mm_image_features": _MM_HASH_CTE + """
+            SELECT id, n_bytes,
+                   CAST(16 + (h & 255) AS INT) AS width,
+                   CAST(16 + ((h >> 8) & 255) AS INT) AS height,
+                   CAST(((h >> 0) & 255) + ((h >> 4) & 255) + ((h >> 8) & 255)
+                      + ((h >> 12) & 255) + ((h >> 16) & 255) + ((h >> 20) & 255)
+                      + ((h >> 24) & 255) + ((h >> 28) & 255) AS BIGINT) AS feat_sum256
+            FROM h ORDER BY id LIMIT 500
+        """,
+        "mm_audio_features": _MM_HASH_CTE + """
+            SELECT id, n_bytes,
+                   CAST(100 + (h & 65535) AS BIGINT) AS duration_ms,
+                   CAST(([8000, 16000, 22050, 44100])[CAST(((h >> 16) & 3) + 1 AS INT)] AS INT) AS sample_rate
+            FROM h ORDER BY id LIMIT 500
+        """,
+        # ice_bucket_fn, emb_ivf_topk: intentionally omitted (spec-vector /
+        # approximate-by-design; rows-only check)
     }

@@ -305,37 +305,39 @@ def embedding_neardup(
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash long): Charikar 64-bit simhash over whitespace tokens.
-    Arrow-batched; token hashing crc32-stable."""
 
-    @pandas_udf(T.LongType())
-    def sh(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-                continue
-            toks = t.lower().split()
-            if not toks:
-                out.append(0)
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(32, dtype=np.uint32)
-            for tok in toks:
-                h1 = np.uint32(zlib.crc32(tok.encode()))
-                h2 = np.uint32(zlib.crc32(tok[::-1].encode()))
-                bits = np.concatenate([(h1 >> shifts) & 1, (h2 >> shifts) & 1])
-                acc += np.where(bits == 1, 1, -1).astype(np.int64)
-            val = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    val |= 1 << i
-            # to signed 64
-            if val >= 1 << 63:
-                val -= 1 << 64
-            out.append(val)
-        return pd.Series(out, dtype="object")
-
-    return df.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
+    Entirely JVM-side Column expressions (no Python in the hot path — at
+    100 TB the per-row work stays inside Spark's expression evaluator):
+    token bits come from md5 (60+4 bits of the hex digest), per-bit ±1
+    votes accumulate through a higher-order ``aggregate`` over the token
+    array, and the sign vector re-packs into a signed 64-bit value. The
+    md5-derived bits are engine-portable, so the whole operator is
+    verifiable against a SQL oracle bit for bit."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda x: x != "")
+    # (lo: bits 0..59 from 15 hex chars, hi: bits 60..63 from the 16th)
+    th = F.transform(toks, lambda tok: F.struct(
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long").alias("lo"),
+        F.conv(F.substring(F.md5(tok), 16, 1), 16, 10).cast("long").alias("hi")))
+    idx = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc, idx,
+            lambda a, i: a + F.when(
+                F.when(i < 60, F.getbit(t["lo"], i))
+                .otherwise(F.getbit(t["hi"], i - 60)) == 1,
+                F.lit(1)).otherwise(F.lit(-1))),
+    )
+    # bit 63 contributes the sign: adding long-min instead of 1<<63 keeps
+    # the arithmetic in signed range on every engine
+    powers = F.array(*[F.lit(1 << i) for i in range(63)], F.lit(-(1 << 63)))
+    sim = F.aggregate(
+        F.zip_with(votes, powers,
+                   lambda v, p: F.when(v > 0, p).otherwise(F.lit(0))),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    return df.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_candidates(hashes: DataFrame, id_col: str = "doc_id",

@@ -5,7 +5,7 @@ Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas signatures,
 partition sizing — is real and tested. The codec step itself is stubbed:
 the decode libraries (PIL/ffmpeg/librosa) are not in this container, so
 ``decode=`` defaults to a deterministic fake that derives features from the
-bytes' crc32 (clearly marked; swap in a real decoder by passing one).
+bytes' md5 (clearly marked; swap in a real decoder by passing one).
 
 Scale notes: mapInPandas streams Arrow batches, so per-executor memory is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` × max blob size;
@@ -14,7 +14,6 @@ re-partition by size before heavy decodes (``repartition_for_media``).
 
 from __future__ import annotations
 
-import zlib
 from typing import Callable, Iterator
 
 import numpy as np
@@ -41,15 +40,25 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 ])
 
 
+def _blob_hash60(blob: bytes) -> int:
+    """60-bit md5-derived blob hash — the same value ANSI SQL computes as
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``, so fake-decoder
+    outputs are verifiable against a DuckDB oracle."""
+    import hashlib
+
+    return int(hashlib.md5(blob).hexdigest()[:15], 16)
+
+
 def fake_decode_image(blob: bytes) -> tuple[int, int, np.ndarray]:
     """DETERMINISTIC FAKE decoder (no image libs in this container): derives
-    (width, height, 8-dim feature) from crc32 of the bytes. Replace with a
-    real PIL/torchvision decoder in production."""
-    h = zlib.crc32(blob)
+    (width, height, 8-dim feature) from an md5-based hash of the bytes —
+    pure arithmetic, so an external SQL oracle can recompute every output.
+    Replace with a real PIL/torchvision decoder in production."""
+    h = _blob_hash60(blob)
     w = 16 + (h & 0xFF)
     ht = 16 + ((h >> 8) & 0xFF)
-    rng = np.random.RandomState(h & 0x7FFFFFFF)
-    feat = rng.normal(size=8).astype("float32")
+    feat = np.array([((h >> (4 * j)) & 0xFF) / 256.0 for j in range(8)],
+                    dtype="float32")
     return w, ht, feat
 
 
@@ -91,13 +100,15 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
 
 def fake_decode_audio(blob: bytes) -> tuple[int, int, np.ndarray]:
     """DETERMINISTIC FAKE audio decoder (no audio libs in this container):
-    (duration_ms, sample_rate, 8-dim feature) from crc32. Swap for a real
-    soundfile/librosa decoder in production."""
-    h = zlib.crc32(blob)
+    (duration_ms, sample_rate, 8-dim feature) from an md5-based hash —
+    SQL-oracle-verifiable arithmetic. Swap for a real soundfile/librosa
+    decoder in production."""
+    h = _blob_hash60(blob)
     duration = 100 + (h & 0xFFFF)
     rate = (8000, 16000, 22050, 44100)[(h >> 16) & 3]
-    rng = np.random.RandomState((h >> 2) & 0x7FFFFFFF)
-    return duration, rate, rng.normal(size=8).astype("float32")
+    feat = np.array([((h >> (4 * j + 2)) & 0xFF) / 256.0 for j in range(8)],
+                    dtype="float32")
+    return duration, rate, feat
 
 
 def extract_audio_features(

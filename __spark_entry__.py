@@ -1153,7 +1153,9 @@ def docs_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check: LSH banding is not SQL-expressible
+    # hash-checked: the whole LSH pipeline (collapse, shingles, minhash
+    # family, banding, verify) is deterministic and replicated in DuckDB
+    # (see _minhash_sql)
     from duckdb_iceberg_spark.operators.dedup import minhash_dedup
 
     docs = _pq(spark, sf_dir, "documents")
@@ -1173,7 +1175,8 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: winnowing fingerprint selection is not SQL-expressible
+    # hash-checked: the rolling-hash + window-min selection is replicated in
+    # DuckDB via HUGEINT mod-2^64 arithmetic (see _winnow_sql)
     from duckdb_iceberg_spark.operators.text import winnow_fingerprint
 
     docs = _pq(spark, sf_dir, "documents")
@@ -1309,7 +1312,8 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: SRP-bucketed pairwise cosine dedup
+    # hash-checked: SRP buckets + pairwise cosine are deterministic float
+    # math replicated promotion-for-promotion in DuckDB (see _neardup_sql)
     from duckdb_iceberg_spark.operators.dedup import embedding_neardup
 
     emb = _pq(spark, sf_dir, "embeddings")
@@ -1466,6 +1470,165 @@ def _simhash_sql() -> str:
                    CAST({packs} AS BIGINT) AS simhash
             FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
             ORDER BY d.doc_id LIMIT 500
+    """
+
+
+def _rolling_hash_cte(k: int, src: str = "documents") -> str:
+    """Shared CTE chain replicating the package's k-byte polynomial rolling
+    hash (operators.text._shingle_hashes_positional / operators.dedup.
+    _shingle_hashes): uint64 wraparound arithmetic done exactly via HUGEINT
+    mod 2**64. Exact for ASCII corpora (byte == codepoint; the synthetic
+    documents table is ASCII). Yields hh(doc_id, p, h)."""
+    p, powers = 1, []
+    for _ in range(k):
+        powers.append(p)
+        p = (p * 1099511628211) % (1 << 64)
+    terms = "\n                       + ".join(
+        f"unicode(substr(nt, p + {j}, 1)) * CAST({powers[j]} AS HUGEINT)"
+        for j in range(k))
+    return f"""
+            norm AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+              FROM {src}
+            ), padded AS (
+              SELECT doc_id,
+                     CASE WHEN length(nt) < {k}
+                          THEN nt || repeat('_', {k} - length(nt)) ELSE nt END AS nt
+              FROM norm
+            ), pos AS (
+              SELECT doc_id, nt, unnest(generate_series(1, length(nt) - {k - 1})) AS p
+              FROM padded
+            ), hh AS (
+              SELECT doc_id, p,
+                     ({terms}) % 18446744073709551616 AS h
+              FROM pos
+            )"""
+
+
+def _winnow_sql(k: int = 8, window: int = 4) -> str:
+    """DuckDB replica of operators.text.winnow_fingerprint: rolling hashes,
+    sliding-window min selection, distinct count of the low-63-bit values."""
+    return f"""
+            WITH {_rolling_hash_cte(k)}, win AS (
+              SELECT doc_id, p, h,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wmin,
+                     count(*) OVER (PARTITION BY doc_id) AS nh
+              FROM hh
+            ), sel AS (
+              SELECT doc_id, CASE WHEN nh >= {window} THEN wmin ELSE h END AS s
+              FROM win WHERE nh < {window} OR p + {window - 1} <= nh
+            )
+            SELECT doc_id,
+                   CAST(count(DISTINCT s % 9223372036854775808) AS INT) AS n_fingerprints
+            FROM sel GROUP BY doc_id ORDER BY doc_id LIMIT 1000
+    """
+
+
+def _minhash_sql(num_hashes: int = 32, bands: int = 8, shingle_k: int = 5,
+                 threshold: float = 0.7) -> str:
+    """DuckDB replica of operators.dedup.minhash_dedup: exact-fingerprint
+    collapse, k-byte shingle hashes (distinct), a*x+b minhash family with
+    uint64 wraparound (constants from the package's seeded generator),
+    band-slice grouping with bucket-min pairing, exact shingle-Jaccard
+    verify, survivors count. One intentional difference: Spark buckets on
+    murmur3(slice) while this groups on the slice VALUES — Spark's candidate
+    set is a (collision) superset, but candidates only drop rows after the
+    exact-Jaccard verify, so the survivor set is identical."""
+    from duckdb_iceberg_spark.operators.dedup import _hash_params
+
+    a, b = _hash_params(num_hashes)
+    rpb = num_hashes // bands
+    mins = ",\n                     ".join(
+        f"min(((CAST({int(au)} AS HUGEINT) * h + {int(bu)})"
+        f" % 18446744073709551616) // 2) AS s{i}"
+        for i, (au, bu) in enumerate(zip(a, b)))
+    banded = "\n              UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {cols} FROM sig".format(
+            bi=bi, cols=", ".join(f"s{bi * rpb + j} AS k{j}" for j in range(rpb)))
+        for bi in range(bands))
+    keys = ", ".join(f"k{j}" for j in range(rpb))
+    return f"""
+            WITH reps AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY {_FP_SQL}) AS m
+                FROM documents) q WHERE doc_id = m
+            ), {_rolling_hash_cte(shingle_k, 'reps')}, sh AS (
+              SELECT DISTINCT doc_id, h FROM hh
+            ), sig AS (
+              SELECT doc_id,
+                     {mins}
+              FROM sh GROUP BY doc_id
+            ), banded AS (
+              {banded}
+            ), cands AS (
+              SELECT DISTINCT m AS id_a, doc_id AS id_b FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY band, {keys}) AS m
+                FROM banded) q WHERE doc_id <> m
+            ), inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS i
+              FROM cands c
+              JOIN sh x ON x.doc_id = c.id_a
+              JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h
+              GROUP BY c.id_a, c.id_b
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), losers AS (
+              SELECT DISTINCT c.id_b FROM cands c
+              JOIN sizes sa ON sa.doc_id = c.id_a
+              JOIN sizes sb ON sb.doc_id = c.id_b
+              LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+              WHERE round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                          / (sa.n + sb.n - COALESCE(i.i, 0)), 6) >= {threshold}
+            )
+            SELECT count(*) AS survivors FROM reps
+            WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+
+
+def _neardup_sql(dim: int = 64, n_planes: int = 8, seed: int = 42,
+                 threshold: float = 0.99) -> str:
+    """DuckDB replica of operators.dedup.embedding_neardup. Floating-point
+    exactness hinges on replicating Spark's promotion rules: SRP bucket dots
+    are double×double (vec cast to double), while the pairwise cosine
+    multiplies RAW float32 elements (float32 product, then double
+    accumulation) — so products here are CAST(... AS REAL) before the double
+    sum, and every sum is an explicit left-fold chain matching F.aggregate's
+    order. Hyperplane coefficients come from the package's seeded generator,
+    embedded at full repr precision."""
+    from duckdb_iceberg_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        "(CASE WHEN ({d}) >= 0 THEN {v} ELSE 0 END)".format(
+            v=1 << i,
+            d="\n                        + ".join(
+                f"CAST(embedding[{j + 1}] AS DOUBLE) * ({planes[i][j]!r})"
+                for j in range(dim)))
+        for i in range(n_planes))
+    sq = "\n                       + ".join(
+        f"CAST(CAST(embedding[{j + 1}] * embedding[{j + 1}] AS REAL) AS DOUBLE)"
+        for j in range(dim))
+    dot = "\n                         + ".join(
+        f"CAST(CAST(l.embedding[{j + 1}] * r.embedding[{j + 1}] AS REAL) AS DOUBLE)"
+        for j in range(dim))
+    return f"""
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     ({bucket}) AS bucket,
+                     sqrt({sq}) AS nrm
+              FROM embeddings
+            ), losers AS (
+              SELECT DISTINCT r.vec_id
+              FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+              WHERE (CASE WHEN l.nrm * r.nrm > 0
+                          THEN ({dot}) / (l.nrm * r.nrm)
+                          ELSE 0.0 END) >= {threshold}
+            )
+            SELECT count(*) AS survivors FROM embeddings
+            WHERE vec_id NOT IN (SELECT vec_id FROM losers)
     """
 
 
@@ -1996,6 +2159,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY id LIMIT 1000
         """,
         "docs_simhash": _simhash_sql(),
+        "docs_winnow": _winnow_sql(),
+        "docs_minhash_dedup": _minhash_sql(),
+        "emb_neardup": _neardup_sql(),
         "mm_image_features": _MM_HASH_CTE + """
             SELECT id, n_bytes,
                    CAST(16 + (h & 255) AS INT) AS width,

@@ -871,6 +871,42 @@ def ice_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_scan(spark, loc).select("r_regionkey", "r_name").orderBy("r_regionkey")
 
 
+def _ice_supplier_sqlmerge(spark: SparkSession, sf_dir: str) -> str:
+    """Table mutated exclusively through the SQL DML surface: a MERGE
+    (matched-update via alias-qualified refs) then a DELETE, both entered as
+    SQL text and routed by sources.sql.execute_sql to the native DML paths
+    (reference: catalog_agnostic merge/delete sqllogictests)."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+        write_iceberg(_pq(spark, sf_dir, "supplier"), loc)
+        register_table(spark, "sqlmerge_target", loc)
+        (_pq(spark, sf_dir, "supplier").filter("s_suppkey % 4 = 0")
+         .select("s_suppkey").createOrReplaceTempView("sqlmerge_src"))
+        execute_sql(spark, """
+            MERGE INTO sqlmerge_target t USING sqlmerge_src s
+            ON t.s_suppkey = s.s_suppkey
+            WHEN MATCHED THEN UPDATE SET s_acctbal = t.s_acctbal + 1000.0
+        """)
+        execute_sql(spark, "DELETE FROM sqlmerge_target WHERE s_suppkey % 10 = 1")
+
+    return _build_once(sf_dir, "supplier_sqlmerge", build)
+
+
+def ice_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_supplier_sqlmerge(spark, sf_dir)
+    return (
+        iceberg_scan(spark, loc)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             _dec_sum(F.col("s_acctbal"), 6).alias("sum_bal"))
+        .orderBy("s_nationkey")
+    )
+
+
 def ice_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_iceberg_spark import iceberg_scan
 
@@ -1401,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_update_scan": ice_update_scan,
         "ice_upsert_scan": ice_upsert_scan,
         "ice_merge_scan": ice_merge_scan,
+        "ice_sql_merge": ice_sql_merge,
         "ice_time_travel": ice_time_travel,
         "ice_schema_evolution": ice_schema_evolution,
         "ice_spec_evolution_scan": ice_spec_evolution_scan,
@@ -2003,6 +2040,14 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 500.0
                           ELSE s_acctbal END, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_bal
             FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        "ice_sql_merge": """
+            SELECT s_nationkey, count(*) AS cnt,
+                   round(CAST(sum(CAST(round(
+                     CASE WHEN s_suppkey % 4 = 0 THEN s_acctbal + 1000.0
+                          ELSE s_acctbal END, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_bal
+            FROM supplier WHERE s_suppkey % 10 <> 1
+            GROUP BY s_nationkey ORDER BY s_nationkey
         """,
         "ice_merge_scan": """
             SELECT r_regionkey,

@@ -1,25 +1,43 @@
-"""SQL surface: make Iceberg tables addressable from ``spark.sql``.
+"""SQL surface: make Iceberg tables addressable from ``spark.sql`` —
+including DML.
 
 The reference's ``ATTACH '…' (TYPE ICEBERG)`` makes ``cat.ns.tbl``
 name-resolvable in SQL (reference: iceberg_attach.cpp:14-138 +
 IcebergTableSchemaVersion::GetScanFunction injecting iceberg_scan,
-iceberg_table_schema_version.cpp:101-106). The Spark-native analogue is a
-temp view over the planned scan DataFrame: Catalyst then applies
-projection/filter pushdown through the view like any other relation.
+iceberg_table_schema_version.cpp:101-106), and exposes full SQL DML
+(reference sqllogictests under
+test/sql/local/catalog_test_config_setup/catalog_agnostic/delete|merge|
+update). The Spark-native analogue is a temp view over the planned scan
+DataFrame — Catalyst applies projection/filter pushdown through the view
+like any other relation — plus ``execute_sql``, a thin statement router
+that recognizes ``DELETE FROM`` / ``UPDATE`` / ``MERGE INTO`` /
+``INSERT INTO`` against registered views and drives the native DML
+implementations in :mod:`.dml` / :mod:`.writer`; everything else falls
+through to ``spark.sql``.
 
-One semantic difference, documented: the reference resolves the table's
-current snapshot at QUERY time; a temp view freezes the file list at
-registration time. Re-register (or call ``attach_catalog`` again) to see
-new commits — the same read-isolation model as a fixed snapshot scan.
+Snapshot freshness: a bare temp view freezes the file list at
+registration, but ``execute_sql`` re-registers every referenced view
+before running the statement (and after every DML commit), matching the
+reference's resolve-current-snapshot-at-query-time semantics. The
+re-registration cost is one driver-side metadata read + scan plan — the
+same per-query planning work the reference does.
 """
 
 from __future__ import annotations
 
+import re
 from typing import Any
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .scan import iceberg_scan
+
+# per-session registry of live views: lowercased view name ->
+# (original name, source, scan_opts)
+_REGISTRY: "WeakKeyDictionary[SparkSession, dict[str, tuple[str, Any, dict]]]" = (
+    WeakKeyDictionary()
+)
 
 
 def register_table(
@@ -40,7 +58,317 @@ def register_table(
 
         df = scan_rest_table(spark, source, **scan_opts)
     df.createOrReplaceTempView(view_name)
+    _REGISTRY.setdefault(spark, {})[view_name.lower()] = (view_name, source, scan_opts)
     return df
+
+
+def refresh_table(spark: SparkSession, view_name: str) -> DataFrame:
+    """Re-resolve a registered view against the table's CURRENT metadata
+    (new snapshots become visible — the reference's query-time resolution)."""
+    name, source, opts = _REGISTRY[spark][view_name.lower()]
+    return register_table(spark, name, source, **opts)
+
+
+# ---------------------------------------------------------------------------
+# statement router
+# ---------------------------------------------------------------------------
+
+def _scan_top(sql: str, keywords: tuple[str, ...]) -> list[tuple[int, str]]:
+    """(offset, KEYWORD) for every top-level (outside parens/quotes)
+    occurrence of any keyword, in order. Keywords may be multi-word
+    ('NOT MATCHED' is handled by the callers via adjacency)."""
+    out: list[tuple[int, str]] = []
+    depth = 0
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            q = c
+            i += 1
+            while i < n and sql[i] != q:
+                i += 2 if sql[i] == "\\" else 1
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and (c.isalpha() or c == "_"):
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            word = sql[i:j].upper()
+            if word in keywords and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                out.append((i, word))
+            i = j
+            continue
+        i += 1
+    return out
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on top-level (outside parens/quotes) commas."""
+    parts: list[str] = []
+    depth, start = 0, 0
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"`":
+            q = c
+            i += 1
+            while i < n and s[i] != q:
+                i += 2 if s[i] == "\\" else 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts]
+
+
+def _split_assignments(s: str) -> dict[str, str]:
+    """'a = expr, b = expr' -> {a: expr} splitting only top-level commas."""
+    out: dict[str, str] = {}
+    for p in _split_top_commas(s):
+        col, eq, expr = p.partition("=")
+        if not eq:
+            raise ValueError(f"bad assignment: {p!r}")
+        out[col.strip().strip("`")] = expr.strip()
+    return out
+
+
+def _norm_refs(expr: str, tgt_quals: set[str], src_quals: set[str],
+               tgt_repl: str = "") -> str:
+    """Rewrite user aliases to the dml module's convention: target columns
+    bare (or ``tgt.`` for MERGE conditions), source columns
+    ``src.``-qualified."""
+    for q in sorted(tgt_quals, key=len, reverse=True):
+        expr = re.sub(rf"\b{re.escape(q)}\s*\.", tgt_repl, expr, flags=re.I)
+    for q in sorted(src_quals, key=len, reverse=True):
+        if q.lower() != "src":
+            expr = re.sub(rf"\b{re.escape(q)}\s*\.", "src.", expr, flags=re.I)
+    return expr.strip()
+
+
+def _ident_and_alias(fragment: str) -> tuple[str, str | None]:
+    m = re.match(r"\s*([\w.]+)\s*(?:AS\s+)?(\w+)?\s*$", fragment, re.I)
+    if not m:
+        raise ValueError(f"cannot parse relation: {fragment!r}")
+    alias = m.group(2)
+    if alias and alias.upper() in ("WHERE", "SET", "USING", "ON"):
+        alias = None
+    return m.group(1), alias
+
+
+def _location_of(spark: SparkSession, name: str) -> tuple[str, str]:
+    reg = _REGISTRY.get(spark, {})
+    ent = reg.get(name.lower())
+    if ent is None:
+        raise ValueError(
+            f"{name} is not a registered Iceberg view (register_table/attach_catalog)")
+    view, source, _ = ent
+    if not isinstance(source, str):
+        raise NotImplementedError(
+            "SQL DML targets filesystem/object-store tables; commit REST-"
+            "catalog tables through the Python API (sources.dml + RestTable)")
+    return view, source
+
+
+def _result_df(spark: SparkSession, op: str, view: str, tm: Any) -> DataFrame:
+    snap = getattr(tm, "current_snapshot", None)
+    snap_id = None
+    if callable(snap):
+        s = snap()
+        snap_id = getattr(s, "snapshot_id", None) if s else None
+    return spark.createDataFrame(
+        [(op, view, snap_id)], "operation string, target string, snapshot_id long")
+
+
+def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Run a SQL statement with Iceberg DML support over registered views.
+
+    Recognized forms (reference sqllogictests
+    catalog_agnostic/delete|merge|update|insert):
+
+    - ``DELETE FROM view [AS a] [WHERE pred]``
+    - ``UPDATE view [AS a] SET c = e[, …] [WHERE pred]``
+    - ``MERGE INTO view [AS t] USING (rel | (subquery)) [AS s] ON cond
+      WHEN MATCHED [THEN] UPDATE SET c = e[, …] | WHEN MATCHED [THEN] DELETE
+      | WHEN NOT MATCHED [THEN] INSERT * | INSERT (cols) VALUES (exprs)``
+    - ``INSERT INTO view <query>``
+
+    Anything else (SELECT, EXPLAIN, …) falls through to ``spark.sql`` after
+    re-registering every referenced registered view so new snapshots are
+    visible (query-time snapshot resolution). DML statements refresh the
+    target view after commit and return a one-row DataFrame
+    ``(operation, target, snapshot_id)``."""
+    stmt = sql.strip().rstrip(";").strip()
+    head = stmt.split(None, 1)[0].upper() if stmt else ""
+
+    if head == "DELETE":
+        return _exec_delete(spark, stmt)
+    if head == "UPDATE" and _REGISTRY.get(spark) and _is_registered_target(
+            spark, stmt, r"UPDATE\s+([\w.]+)"):
+        return _exec_update(spark, stmt)
+    if head == "MERGE":
+        return _exec_merge(spark, stmt)
+    if head == "INSERT" and _is_registered_target(
+            spark, stmt, r"INSERT\s+INTO\s+([\w.]+)"):
+        return _exec_insert(spark, stmt)
+
+    # non-DML (or DML on unregistered relations): live-view refresh + passthrough
+    reg = _REGISTRY.get(spark, {})
+    if reg:
+        toks = {t.lower() for t in re.findall(r"[A-Za-z_][\w]*", stmt)}
+        for key in list(reg):
+            if key in toks:
+                refresh_table(spark, key)
+    return spark.sql(sql)
+
+
+def _is_registered_target(spark: SparkSession, stmt: str, pattern: str) -> bool:
+    m = re.match(pattern, stmt, re.I)
+    return bool(m) and m.group(1).lower() in _REGISTRY.get(spark, {})
+
+
+def _exec_delete(spark: SparkSession, stmt: str) -> DataFrame:
+    from .dml import delete_from
+
+    m = re.match(r"DELETE\s+FROM\s+(.+)$", stmt, re.I | re.S)
+    if not m:
+        raise ValueError(f"cannot parse DELETE: {stmt!r}")
+    rest = m.group(1)
+    wh = _scan_top(rest, ("WHERE",))
+    where = rest[wh[0][0] + 5:].strip() if wh else None
+    rel = rest[: wh[0][0]] if wh else rest
+    name, alias = _ident_and_alias(rel)
+    view, loc = _location_of(spark, name)
+    quals = {name, *( [alias] if alias else [] )}
+    where_n = _norm_refs(where, quals, set()) if where else None
+    tm = delete_from(spark, loc, where_n if where_n else "true")
+    refresh_table(spark, view)
+    return _result_df(spark, "DELETE", view, tm)
+
+
+def _exec_update(spark: SparkSession, stmt: str) -> DataFrame:
+    from .dml import update_iceberg
+
+    m = re.match(r"UPDATE\s+(.+)$", stmt, re.I | re.S)
+    rest = m.group(1)
+    marks = _scan_top(rest, ("SET", "WHERE"))
+    set_at = next(i for i, w in marks if w == "SET")
+    wh = [i for i, w in marks if w == "WHERE"]
+    rel = rest[:set_at]
+    set_part = rest[set_at + 3: wh[0] if wh else len(rest)]
+    where = rest[wh[0] + 5:].strip() if wh else None
+    name, alias = _ident_and_alias(rel)
+    view, loc = _location_of(spark, name)
+    quals = {name, *( [alias] if alias else [] )}
+    assigns = {c: _norm_refs(e, quals, set())
+               for c, e in _split_assignments(set_part).items()}
+    where_n = _norm_refs(where, quals, set()) if where else None
+    tm = update_iceberg(spark, loc, assigns, where_n)
+    refresh_table(spark, view)
+    return _result_df(spark, "UPDATE", view, tm)
+
+
+def _exec_insert(spark: SparkSession, stmt: str) -> DataFrame:
+    from .writer import write_iceberg
+
+    m = re.match(r"INSERT\s+INTO\s+([\w.]+)\s+(.+)$", stmt, re.I | re.S)
+    view, loc = _location_of(spark, m.group(1))
+    df = spark.sql(m.group(2))
+    tm = write_iceberg(df, loc, mode="append")
+    refresh_table(spark, view)
+    return _result_df(spark, "INSERT", view, tm)
+
+
+def _exec_merge(spark: SparkSession, stmt: str) -> DataFrame:
+    from .dml import merge_into
+
+    m = re.match(r"MERGE\s+INTO\s+(.+)$", stmt, re.I | re.S)
+    if not m:
+        raise ValueError(f"cannot parse MERGE: {stmt!r}")
+    rest = m.group(1)
+    marks = _scan_top(rest, ("USING", "ON", "WHEN"))
+    using_at = next(i for i, w in marks if w == "USING")
+    on_at = next(i for i, w in marks if w == "ON")
+    when_at = next(i for i, w in marks if w == "WHEN")
+    tgt_frag = rest[:using_at]
+    src_frag = rest[using_at + 5: on_at].strip()
+    on_raw = rest[on_at + 2: when_at].strip()
+    clauses_raw = rest[when_at:]
+
+    tname, talias = _ident_and_alias(tgt_frag)
+    view, loc = _location_of(spark, tname)
+
+    # source: bare relation or parenthesized subquery, optional alias
+    sm = re.match(r"(\(.*\)|[\w.]+)\s*(?:AS\s+)?(\w+)?\s*$", src_frag, re.I | re.S)
+    if not sm:
+        raise ValueError(f"cannot parse MERGE source: {src_frag!r}")
+    src_rel, salias = sm.group(1), sm.group(2)
+    if src_rel.startswith("("):
+        source = spark.sql(src_rel[1:-1])
+    else:
+        source = spark.sql(f"SELECT * FROM {src_rel}")
+    tgt_quals = {tname, *( [talias] if talias else [] )}
+    src_quals = ({salias} if salias else set()) | (
+        {src_rel} if not src_rel.startswith("(") else set())
+
+    # dml join convention: target refs as tgt.<col>, source refs as
+    # src.<col>. Columns present on both sides MUST be alias-qualified in
+    # the statement (standard SQL ambiguity rule).
+    on = _norm_refs(on_raw, tgt_quals, src_quals, tgt_repl="tgt.")
+
+    upd: dict[str, str] | None = None
+    delete = False
+    ins: dict[str, str] | bool | None = None
+    whens = _scan_top(clauses_raw, ("WHEN",))
+    spans = [(a, b) for (a, _), (b, _) in
+             zip(whens, whens[1:] + [(len(clauses_raw), "")])]
+    for a, b in spans:
+        clause = clauses_raw[a:b].strip()
+        cm = re.match(
+            r"WHEN\s+(NOT\s+)?MATCHED\s+(?:AND\s+.+?\s+)?THEN\s+(.+)$",
+            clause, re.I | re.S)
+        if not cm:
+            raise ValueError(f"cannot parse WHEN clause: {clause!r}")
+        if re.search(r"MATCHED\s+AND", clause, re.I):
+            raise NotImplementedError("per-clause AND conditions not supported")
+        negated, action = bool(cm.group(1)), cm.group(2).strip()
+        au = action.upper()
+        if not negated and au.startswith("UPDATE"):
+            set_part = re.sub(r"UPDATE\s+SET\s+", "", action, count=1, flags=re.I)
+            upd = {c: _norm_refs(e, tgt_quals, src_quals, tgt_repl="tgt.")
+                   for c, e in _split_assignments(set_part).items()}
+        elif not negated and au == "DELETE":
+            delete = True
+        elif negated and au.replace(" ", "") == "INSERT*":
+            ins = True
+        elif negated and au.startswith("INSERT"):
+            im = re.match(r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$",
+                          action, re.I | re.S)
+            if not im:
+                raise ValueError(f"cannot parse INSERT action: {action!r}")
+            cols = [c.strip().strip("`") for c in im.group(1).split(",")]
+            vals = _split_top_commas(im.group(2))
+            if len(cols) != len(vals):
+                raise ValueError("INSERT column/value count mismatch")
+            ins = {c: _norm_refs(v, tgt_quals, src_quals)
+                   for c, v in zip(cols, vals)}
+        else:
+            raise ValueError(f"unsupported MERGE action: {action!r}")
+
+    tm = merge_into(spark, loc, source, on,
+                    when_matched_update=upd,
+                    when_matched_delete=delete,
+                    when_not_matched_insert=ins)
+    refresh_table(spark, view)
+    return _result_df(spark, "MERGE", view, tm)
 
 
 def attach_catalog(

@@ -1,0 +1,144 @@
+"""SQL DML surface: execute_sql routing DELETE/UPDATE/MERGE/INSERT to the
+native DML implementations, plus live-view (query-time snapshot) semantics.
+
+Reference behavior: full SQL DML over attached catalogs — sqllogictests under
+test/sql/local/catalog_test_config_setup/catalog_agnostic/{delete,merge,
+update}; query-time snapshot resolution via
+iceberg_table_schema_version.cpp:101-106.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+
+
+@pytest.fixture()
+def nation_table(spark, sf_dir, tmp_path):
+    from duckdb_iceberg_spark import write_iceberg
+
+    loc = os.path.join(str(tmp_path), "nation_sqldml")
+    write_iceberg(load(spark, sf_dir, "nation"), loc)
+    return loc
+
+
+def _register(spark, loc, name):
+    from duckdb_iceberg_spark.sources.sql import register_table
+
+    register_table(spark, name, loc)
+    return name
+
+
+def test_sql_delete(spark, nation_table):
+    from duckdb_iceberg_spark.sources.sql import execute_sql
+
+    _register(spark, nation_table, "nat_del")
+    res = execute_sql(spark, "DELETE FROM nat_del WHERE n_regionkey = 0")
+    row = res.first()
+    assert row.operation == "DELETE" and row.snapshot_id is not None
+    # view refreshed: deleted rows gone without re-registering
+    left = spark.sql("SELECT count(*) c, sum(n_regionkey) s FROM nat_del").first()
+    assert left.c == 20 and left.s == 50  # 5 nations per region, regions 1-4
+
+
+def test_sql_update_with_alias(spark, nation_table):
+    from duckdb_iceberg_spark.sources.sql import execute_sql
+
+    _register(spark, nation_table, "nat_upd")
+    execute_sql(
+        spark,
+        "UPDATE nat_upd AS n SET n_name = concat('X-', upper(n.n_name)) "
+        "WHERE n.n_regionkey = 2")
+    rows = spark.sql(
+        "SELECT n_name FROM nat_upd WHERE n_regionkey = 2").collect()
+    assert len(rows) == 5
+    assert all(r.n_name.startswith("X-") and r.n_name == r.n_name.upper()
+               for r in rows)
+    untouched = spark.sql(
+        "SELECT count(*) c FROM nat_upd WHERE n_regionkey <> 2 "
+        "AND n_name LIKE 'X-%'").first()
+    assert untouched.c == 0
+
+
+def test_sql_merge_update_delete_insert(spark, nation_table):
+    from duckdb_iceberg_spark.sources.sql import execute_sql
+
+    _register(spark, nation_table, "nat_mrg")
+    spark.createDataFrame(
+        [(0, "ZERO-NATION", 0), (98, "NEW-NATION", 1), (3, None, -1)],
+        "n_nationkey long, new_name string, flag int",
+    ).createOrReplaceTempView("nat_src")
+    execute_sql(spark, """
+        MERGE INTO nat_mrg t USING nat_src s
+        ON t.n_nationkey = s.n_nationkey
+        WHEN MATCHED THEN UPDATE SET n_name = coalesce(s.new_name, t.n_name),
+                                     n_regionkey = t.n_regionkey + 100
+        WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+            VALUES (s.n_nationkey, s.new_name, cast(9 as long))
+    """)
+    got = {r.n_nationkey: (r.n_name, r.n_regionkey)
+           for r in spark.sql("SELECT * FROM nat_mrg").collect()}
+    assert len(got) == 26
+    assert got[0][0] == "ZERO-NATION" and got[0][1] >= 100
+    assert got[3][1] >= 100 and got[3][0] is not None  # null new_name keeps old
+    assert got[98] == ("NEW-NATION", 9)
+
+
+def test_sql_merge_delete_clause(spark, nation_table):
+    from duckdb_iceberg_spark.sources.sql import execute_sql
+
+    _register(spark, nation_table, "nat_mrgdel")
+    execute_sql(spark, """
+        MERGE INTO nat_mrgdel t
+        USING (SELECT n_nationkey FROM nat_mrgdel WHERE n_regionkey = 1) s
+        ON t.n_nationkey = s.n_nationkey
+        WHEN MATCHED THEN DELETE
+    """)
+    assert spark.sql("SELECT count(*) c FROM nat_mrgdel").first().c == 20
+    assert spark.sql(
+        "SELECT count(*) c FROM nat_mrgdel WHERE n_regionkey = 1").first().c == 0
+
+
+def test_sql_insert_into(spark, nation_table):
+    from duckdb_iceberg_spark.sources.sql import execute_sql
+
+    _register(spark, nation_table, "nat_ins")
+    execute_sql(spark, "INSERT INTO nat_ins SELECT n_nationkey + 100, "
+                       "n_name, n_regionkey FROM nat_ins")
+    assert spark.sql("SELECT count(*) c FROM nat_ins").first().c == 50
+
+
+def test_live_view_sees_external_commit(spark, nation_table):
+    """A SELECT routed through execute_sql sees commits made through the
+    Python API after registration (query-time snapshot resolution)."""
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from duckdb_iceberg_spark.sources.sql import execute_sql
+
+    _register(spark, nation_table, "nat_live")
+    before = execute_sql(spark, "SELECT count(*) AS c FROM nat_live").first().c
+    delete_from(spark, nation_table, "n_regionkey = 4")
+    after = execute_sql(spark, "SELECT count(*) AS c FROM nat_live").first().c
+    assert (before, after) == (25, 20)
+
+
+def test_sql_passthrough(spark):
+    from duckdb_iceberg_spark.sources.sql import execute_sql
+
+    assert execute_sql(spark, "SELECT 1 AS one").first().one == 1
+
+
+def test_sql_merge_cardinality_still_raises(spark, nation_table):
+    from duckdb_iceberg_spark.sources.dml import MergeCardinalityError
+    from duckdb_iceberg_spark.sources.sql import execute_sql
+
+    _register(spark, nation_table, "nat_card")
+    spark.createDataFrame(
+        [(1, "A"), (1, "B")], "n_nationkey long, nm string"
+    ).createOrReplaceTempView("dup_src")
+    with pytest.raises(MergeCardinalityError):
+        execute_sql(spark, """
+            MERGE INTO nat_card t USING dup_src s ON t.n_nationkey = s.n_nationkey
+            WHEN MATCHED THEN UPDATE SET n_name = s.nm
+        """)

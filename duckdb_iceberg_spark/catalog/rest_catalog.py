@@ -307,6 +307,14 @@ class RestTable:
         attempts = self.catalog.config.max_commit_retries
         last: Exception | None = None
         for _ in range(max(1, attempts)):
+            # v3 row lineage: the client assigns the snapshot's first-row-id
+            # from the table's current next-row-id; a rebase after a 409
+            # re-reads it from the refreshed metadata so the retried
+            # snapshot claims the range AFTER the winner's rows (reference:
+            # test_row_lineage_*.test round-trip through the catalog)
+            if self.metadata.format_version >= 3:
+                snapshot_json = dict(snapshot_json)
+                snapshot_json["first-row-id"] = self.metadata.next_row_id
             cur = self.metadata.current_snapshot_id
             requirements: list[dict] = [{"type": "assert-table-uuid",
                                          "uuid": self.metadata.table_uuid}]

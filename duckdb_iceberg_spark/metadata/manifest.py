@@ -353,6 +353,25 @@ def read_manifest(path: str) -> list[ManifestEntry]:
     return out
 
 
+def inherit_first_row_ids(entries: list[ManifestEntry],
+                          manifest_first_row_id: Optional[int]) -> None:
+    """v3 row-lineage inheritance (Iceberg spec 'Row Lineage' / 'First Row
+    ID Inheritance'): an ADDED data entry whose data_file.first_row_id is
+    null inherits the manifest's first_row_id plus the cumulative
+    record_count of the ADDED data files before it in the manifest. Must be
+    called on the FULL entry list in manifest order, BEFORE any filtering —
+    dropping earlier entries would shift the running offsets."""
+    if manifest_first_row_id is None:
+        return
+    rid = manifest_first_row_id
+    for e in entries:
+        if e.status != STATUS_ADDED or e.data_file.content != CONTENT_DATA:
+            continue
+        if e.data_file.first_row_id is None:
+            e.data_file.first_row_id = rid
+        rid += e.data_file.record_count
+
+
 # ---------------------------------------------------------------------------
 # encode helpers (writing our own manifests)
 # ---------------------------------------------------------------------------

@@ -77,14 +77,18 @@ def plan_scan_distributed(
     pred_blob = pickle.dumps(pred)
     schema_blob = pickle.dumps(schema_json)
 
-    def prune_manifest(item: tuple[str, int, Optional[int]]) -> list[bytes]:
-        path, spec_id, m_seq = item
+    def prune_manifest(item: tuple[str, int, Optional[int], Optional[int]]) -> list[bytes]:
+        path, spec_id, m_seq, m_first_row_id = item
         tm_l: TableMetadata = pickle.loads(tm_blob)
         pred_l = pickle.loads(pred_blob)
         schema_l = pickle.loads(schema_blob)
         spec = tm_l.partition_specs.get(spec_id, PartitionSpec(spec_id, []))
+        entries = mf.read_manifest(_localize(tm_l, path))
+        # row-lineage inheritance runs over the FULL list before pruning —
+        # offsets depend on every preceding ADDED entry
+        mf.inherit_first_row_ids(entries, m_first_row_id)
         out = []
-        for e in mf.read_manifest(_localize(tm_l, path)):
+        for e in entries:
             if e.status == mf.STATUS_DELETED:
                 continue
             if e.sequence_number is None:
@@ -96,7 +100,8 @@ def plan_scan_distributed(
             out.append(pickle.dumps((e, spec_id)))
         return out
 
-    items = [(m.manifest_path, m.partition_spec_id, m.sequence_number)
+    items = [(m.manifest_path, m.partition_spec_id, m.sequence_number,
+              m.first_row_id)
              for m in data_manifests]
     n_slices = min(len(items), spark.sparkContext.defaultParallelism * 2)
     survivors_raw = (

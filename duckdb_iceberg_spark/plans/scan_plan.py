@@ -352,6 +352,8 @@ def plan_scan(
             stats["manifests_pruned"] += 1
             continue
         entries = mf.read_manifest(_localize(tm, m.manifest_path))
+        if m.content == mf.MANIFEST_DATA:
+            mf.inherit_first_row_ids(entries, m.first_row_id)
         for e in entries:
             if e.status == mf.STATUS_DELETED:
                 continue

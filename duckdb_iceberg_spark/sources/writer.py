@@ -552,6 +552,9 @@ def commit_snapshot(
         for m in mf.read_manifest_list(_localize(tm, prior.manifest_list)):
             if removed_data_paths and m.content == mf.MANIFEST_DATA:
                 entries = mf.read_manifest(_localize(tm, m.manifest_path))
+                # materialize inherited row ids before filtering: the live
+                # subset would otherwise shift the inheritance offsets
+                mf.inherit_first_row_ids(entries, m.first_row_id)
                 live = [e for e in entries
                         if e.status != mf.STATUS_DELETED
                         and e.data_file.file_path not in removed_data_paths
@@ -601,6 +604,19 @@ def commit_snapshot(
             else:
                 manifests.append(m)
 
+    # v3 row lineage: the snapshot claims [next-row-id, next-row-id + added
+    # rows); every ADDED data file gets an explicit first_row_id (spec 'Row
+    # Lineage' — the reference round-trips these in test_row_lineage_*.test)
+    snap_first_row_id: int | None = None
+    if tm.format_version >= 3:
+        snap_first_row_id = tm.next_row_id
+        rid = snap_first_row_id
+        for d in new_data_files or []:
+            if d.first_row_id is None:
+                d.first_row_id = rid
+            rid += d.record_count
+        tm.next_row_id = rid
+
     if new_data_files:
         entries = [
             mf.ManifestEntry(
@@ -614,6 +630,7 @@ def commit_snapshot(
         nm.added_snapshot_id = snapshot_id
         nm.sequence_number = seq
         nm.min_sequence_number = seq
+        nm.first_row_id = snap_first_row_id
         manifests.append(nm)
 
     if new_delete_files:
@@ -654,6 +671,7 @@ def commit_snapshot(
         manifest_list=ml_path,
         summary=summary,
         schema_id=tm.current_schema_id,
+        first_row_id=snap_first_row_id,
     )
     tm.snapshots.append(snap)
     tm.snapshot_log.append({"timestamp-ms": snap.timestamp_ms, "snapshot-id": snapshot_id})

@@ -118,7 +118,8 @@ def _make_handler(state: _StubState):
                     b = self._body()
                     key = ns + (b["name"],)
                     meta = {
-                        "format-version": 2,
+                        "format-version": int(b.get("properties", {})
+                                              .get("format-version", 2)),
                         "table-uuid": f"uuid-{b['name']}",
                         "location": b.get("location", f"mem://{b['name']}"),
                         "schemas": [b["schema"]],
@@ -177,6 +178,12 @@ def _make_handler(state: _StubState):
                             meta["last-sequence-number"] = max(
                                 meta["last-sequence-number"],
                                 u["snapshot"].get("sequence-number", 0))
+                            fr = u["snapshot"].get("first-row-id")
+                            if fr is not None:
+                                added = int(u["snapshot"].get("summary", {})
+                                            .get("added-records", 0))
+                                meta["next-row-id"] = max(
+                                    meta.get("next-row-id", 0), fr + added)
                         elif u["action"] == "set-snapshot-ref":
                             meta["current-snapshot-id"] = u["snapshot-id"]
                     return self._send(200, {"metadata-location": "mem://m2.json",
@@ -231,6 +238,12 @@ def _make_handler(state: _StubState):
                             meta["last-sequence-number"] = max(
                                 meta["last-sequence-number"],
                                 u["snapshot"].get("sequence-number", 0))
+                            fr = u["snapshot"].get("first-row-id")
+                            if fr is not None:
+                                added = int(u["snapshot"].get("summary", {})
+                                            .get("added-records", 0))
+                                meta["next-row-id"] = max(
+                                    meta.get("next-row-id", 0), fr + added)
                         elif u["action"] == "set-snapshot-ref":
                             meta["current-snapshot-id"] = u["snapshot-id"]
                 return self._send(204)
@@ -334,6 +347,39 @@ def test_commit_and_retry_on_conflict(stub):
     assert 202 in snap_ids and tbl.metadata.current_snapshot_id == 202
     committed = next(s for s in tbl.metadata.snapshots if s.snapshot_id == 202)
     assert committed.parent_snapshot_id is not None  # rebased onto the winner
+
+
+def test_row_lineage_through_rest_commits(stub):
+    """v3 row lineage: each REST-committed snapshot claims
+    [next-row-id, next-row-id + added-records); a conflict rebase re-reads
+    next-row-id from the refreshed metadata so the retried snapshot claims
+    the range after the winner (reference: test_row_lineage_*.test)."""
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    tbl = cat.create_table("db", "t", SCHEMA,
+                           properties={"format-version": "3"})
+    assert tbl.metadata.format_version == 3
+
+    s1 = _snap(101, 1)
+    s1["summary"]["added-records"] = "10"
+    tbl.commit_snapshot(s1)
+    committed = next(s for s in tbl.metadata.snapshots if s.snapshot_id == 101)
+    assert committed.first_row_id == 0
+    assert tbl.metadata.next_row_id == 10
+
+    s2 = _snap(202, 2)
+    s2["summary"]["added-records"] = "7"
+    tbl.commit_snapshot(s2)
+    committed = next(s for s in tbl.metadata.snapshots if s.snapshot_id == 202)
+    assert committed.first_row_id == 10
+    assert tbl.metadata.next_row_id == 17
+
+    # a v2 table never gets first-row-id assigned
+    tbl2 = cat.create_table("db", "t2", SCHEMA)
+    tbl2.commit_snapshot(_snap(11, 1))
+    committed = next(s for s in tbl2.metadata.snapshots if s.snapshot_id == 11)
+    assert committed.first_row_id is None
 
 
 def test_delete_commit_conflict_not_retried(stub):

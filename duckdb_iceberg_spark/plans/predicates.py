@@ -26,9 +26,23 @@ from ..metadata import types as ice_types
 
 # --- AST -------------------------------------------------------------------
 
+@dataclass(frozen=True)
+class VariantRef:
+    """A shredded-variant field reference: ``variant_get(col, path[, type])``
+    in the filter. ``path`` is the normalized Iceberg stats path
+    ("$['a']['b']" — reference: iceberg_variant_statistics.cpp
+    BuildJsonPath); bounds come from the variant column's serialized
+    variant-stats blobs rather than typed column bounds (reference pruning
+    branches: iceberg_predicate.cpp IsVariantReference /
+    MatchTransformedBounds)."""
+
+    column: str
+    path: str
+
+
 @dataclass
 class Comparison:
-    column: str
+    column: Any  # str | VariantRef
     op: str  # '=', '<', '<=', '>', '>=', '!='
     value: Any
 
@@ -152,6 +166,53 @@ def _parse_literal(tk: _Tokens) -> Any:
     raise ValueError(f"bad literal {t!r}")
 
 
+def _norm_variant_path(path: str) -> str:
+    """'$.a.b' or "$['a']['b']" -> "$['a']['b']". Array indexing is not a
+    stats path (bounds cover whole arrays) — reject to stay conservative."""
+    if not path.startswith("$"):
+        raise ValueError(f"variant path must start with $: {path!r}")
+    rest = path[1:]
+    segs: list[str] = []
+    while rest:
+        m = re.match(r"\.([A-Za-z_][A-Za-z0-9_]*)", rest) or \
+            re.match(r"\['((?:[^'\\]|\\.)*)'\]", rest) or \
+            re.match(r'\["((?:[^"\\]|\\.)*)"\]', rest)
+        if not m:
+            raise ValueError(f"unsupported variant path segment: {rest!r}")
+        segs.append(m.group(1))
+        rest = rest[m.end():]
+    return "$" + "".join(f"['{s}']" for s in segs)
+
+
+def _parse_variant_ref(tk: _Tokens, fn: str) -> VariantRef:
+    """variant_get(col, 'path'[, 'type']) — the type argument steers Spark's
+    result type; pruning compares in the stats' native space, so it is
+    parsed and ignored here."""
+    if not tk.peek("lpar"):
+        raise ValueError(f"expected ( after {fn}")
+    tk.next()
+    c = tk.peek("word")
+    if not c:
+        raise ValueError("expected column in variant_get")
+    column = tk.next()[1]
+    if not tk.peek("comma"):
+        raise ValueError("expected , in variant_get")
+    tk.next()
+    p = tk.peek("str")
+    if not p:
+        raise ValueError("expected path string in variant_get")
+    path = tk.next()[1][1:-1].replace("''", "'")
+    if tk.peek("comma"):
+        tk.next()
+        if not tk.peek("str"):
+            raise ValueError("expected type string in variant_get")
+        tk.next()
+    if not tk.peek("rpar"):
+        raise ValueError("expected ) in variant_get")
+    tk.next()
+    return VariantRef(column, _norm_variant_path(path))
+
+
 def _parse_primary(tk: _Tokens) -> Predicate:
     if tk.peek("lpar"):
         tk.next()
@@ -163,7 +224,9 @@ def _parse_primary(tk: _Tokens) -> Predicate:
     t = tk.peek("word")
     if not t:
         raise ValueError(f"expected column, got {tk.peek()!r}")
-    col = tk.next()[1]
+    col: Any = tk.next()[1]
+    if col.lower() in ("variant_get", "try_variant_get"):
+        col = _parse_variant_ref(tk, col)
     if tk.accept_word("IS"):
         neg = tk.accept_word("NOT")
         if not tk.accept_word("NULL"):

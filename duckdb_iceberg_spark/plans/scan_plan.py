@@ -195,7 +195,31 @@ def _file_matches(
     # 2. column-stat pruning in source space
     fields_by_name = {f["name"]: f for f in schema_json["fields"]}
 
-    def stats_for(col: str) -> Optional[P.ColumnStats]:
+    def stats_for(col) -> Optional[P.ColumnStats]:
+        if isinstance(col, P.VariantRef):
+            # shredded-variant bounds: the variant column's lower/upper blobs
+            # are serialized variant OBJECTS keyed by JSON path (reference:
+            # iceberg_variant_statistics.cpp Finalize/Deserialize;
+            # iceberg_predicate.cpp MatchTransformedBounds)
+            from ..metadata import variant as ice_variant
+
+            f = fields_by_name.get(col.column)
+            if f is None or f.get("type") != "variant":
+                return None
+            fid = f["id"]
+            lower = upper = None
+            try:
+                if df.lower_bounds and fid in df.lower_bounds:
+                    lower = ice_variant.decode_bounds(df.lower_bounds[fid]).get(col.path)
+                if df.upper_bounds and fid in df.upper_bounds:
+                    upper = ice_variant.decode_bounds(df.upper_bounds[fid]).get(col.path)
+            except (ValueError, IndexError, KeyError, UnicodeDecodeError):
+                return None  # undecodable bounds: conservative
+            if lower is None and upper is None:
+                return None
+            # null counts track the whole variant column, not the extracted
+            # path — claim nothing about nulls (IS [NOT] NULL stays true)
+            return P.ColumnStats(lower, upper, True, None, False)
         f = fields_by_name.get(col)
         if f is None:
             return None

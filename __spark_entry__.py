@@ -1068,6 +1068,26 @@ def ice_bucket_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_dynamic_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic file-list re-pruning (reference DynamicFilterPushdown,
+    iceberg_multi_file_list.cpp:243-273): a selective dimension's keys
+    re-plan the fact scan before the join, so only matching bucket files
+    are read."""
+    from duckdb_iceberg_spark import scan_with_runtime_filter
+
+    loc = _ice_orders_bucketed(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [(1, "a"), (7, "b"), (32, "c"), (129, "d"), (1000, "e")],
+        "o_orderkey long, tag string")
+    fact = scan_with_runtime_filter(spark, loc, dim, "o_orderkey")
+    return (
+        fact.join(F.broadcast(dim), "o_orderkey")
+        .select("o_orderkey", "tag", "o_orderstatus",
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
 def ice_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """iceberg_metadata() table function: manifest entries for the lineitem
     fixture; record counts must reconcile with the table row count."""
@@ -1448,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_partition_stats": ice_partition_stats_q,
         "ice_column_stats": ice_column_stats_q,
         "ice_bucket_pruned_scan": ice_bucket_pruned_scan,
+        "ice_dynamic_prune_join": ice_dynamic_prune_join,
         "ice_metadata_files": ice_metadata_files,
         "ice_topk_scan": ice_topk_scan,
         "ice_truncate_fn": ice_truncate_fn,
@@ -2105,6 +2126,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ice_bucket_pruned_scan": """
             SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+            FROM orders WHERE o_orderkey IN (1, 7, 32, 129, 1000)
+            ORDER BY o_orderkey
+        """,
+        "ice_dynamic_prune_join": """
+            SELECT o_orderkey,
+                   CASE o_orderkey WHEN 1 THEN 'a' WHEN 7 THEN 'b'
+                        WHEN 32 THEN 'c' WHEN 129 THEN 'd' ELSE 'e' END AS tag,
+                   o_orderstatus, round(o_totalprice, 2) AS o_totalprice
             FROM orders WHERE o_orderkey IN (1, 7, 32, 129, 1000)
             ORDER BY o_orderkey
         """,

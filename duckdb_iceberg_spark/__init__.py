@@ -7,8 +7,8 @@ Catalyst-optimized DataFrames.
 """
 
 from .session import get_spark
-from .sources.scan import iceberg_scan, iceberg_count
-from .sources.sql import attach_catalog, register_table
+from .sources.scan import iceberg_scan, iceberg_count, scan_with_runtime_filter
+from .sources.sql import attach_catalog, execute_sql, refresh_table, register_table
 from .sources.writer import create_table, write_iceberg
 
 __all__ = [
@@ -18,5 +18,8 @@ __all__ = [
     "create_table",
     "write_iceberg",
     "register_table",
+    "execute_sql",
+    "refresh_table",
+    "scan_with_runtime_filter",
     "attach_catalog",
 ]

@@ -106,6 +106,78 @@ def iceberg_scan(
                              with_row_lineage=with_row_lineage)
 
 
+def _sql_literal(v: Any) -> str:
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def scan_with_runtime_filter(
+    spark: SparkSession,
+    path: str,
+    build_df: DataFrame,
+    key_col: str,
+    build_col: str | None = None,
+    *,
+    max_in_keys: int = 1000,
+    where: str | None = None,
+    **scan_opts,
+) -> DataFrame:
+    """Dynamic file-list re-pruning from a join's build side (reference:
+    IcebergMultiFileList::DynamicFilterPushdown,
+    src/planning/iceberg_multi_file_list.cpp:243-273 — runtime filters from
+    a selective join re-prune the planned file list).
+
+    Spark's own runtime filtering reaches parquet row groups but not our
+    driver-planned file list, so a selective dimension join would still
+    open every planned-in data file. This helper materializes the build
+    side's distinct join keys (the dimension side of a star join — small by
+    construction) and RE-PLANS the scan with them:
+
+    - up to ``max_in_keys`` distinct keys → an ``IN`` predicate, pruning on
+      exact per-file bounds + partition values (bucket/identity transforms
+      prune exactly);
+    - more keys → a ``BETWEEN`` over the build side's min/max, still
+      pruning range-partitioned/sorted layouts.
+
+    The predicate is also applied as the Spark residual filter, so the
+    returned frame is exactly the semi-filtered scan; join it with the
+    build side for final results. The build side is evaluated once here
+    (one small Spark job) — the same blocking point the reference's
+    dynamic-filter pushdown has.
+    """
+    build_col = build_col or key_col
+    distinct = build_df.select(build_col).distinct()
+    keys = [r[0] for r in distinct.limit(max_in_keys + 1).collect()]
+    keys = [k for k in keys if k is not None]
+    if not keys:
+        # no build keys: empty-result scan; prune everything via 1=0 is not
+        # parseable — use an impossible range on the key instead
+        dynamic = None
+    elif len(keys) > max_in_keys:
+        lo, hi = build_df.agg(F.min(build_col), F.max(build_col)).first()
+        dynamic = (f"{key_col} >= {_sql_literal(lo)}"
+                   f" AND {key_col} <= {_sql_literal(hi)}")
+    else:
+        dynamic = f"{key_col} IN ({', '.join(_sql_literal(k) for k in keys)})"
+    if dynamic is None:
+        combined = where
+    elif where:
+        combined = f"({where}) AND {dynamic}"
+    else:
+        combined = dynamic
+    return iceberg_scan(spark, path, where=combined, **scan_opts)
+
+
 def topk_scan(
     spark: SparkSession,
     path: str,

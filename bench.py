@@ -55,7 +55,11 @@ HEADLINE = [
     "ice_spec_evolution_scan",
     "ice_topk_scan",
     "ice_count_star_metadata",
+    "ice_sql_merge",
+    "ice_dynamic_prune_join",
+    "ice_objectstore_scan",
     "docs_exact_dedup",
+    "docs_simhash",
     "docs_lang_scores",
     "docs_minhash_dedup",
     "emb_cosine_topk",

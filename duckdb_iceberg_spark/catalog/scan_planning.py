@@ -47,14 +47,25 @@ def predicate_to_rest(pred: P.Predicate) -> Optional[dict]:
     if pred is None:
         return None
     if isinstance(pred, P.Comparison):
+        if not isinstance(pred.column, str):
+            # variant_get()/non-column terms have no REST serialization —
+            # drop the conjunct (conservative: server prunes less, the
+            # residual Spark filter still applies it exactly)
+            return None
         return {"type": _OPS[pred.op], "term": pred.column,
                 "value": _json_value(pred.value)}
     if isinstance(pred, P.InList):
+        if not isinstance(pred.column, str):
+            return None
         return {"type": "in", "term": pred.column,
                 "values": [_json_value(v) for v in pred.values]}
     if isinstance(pred, P.IsNull):
+        if not isinstance(pred.column, str):
+            return None
         return {"type": "is-null", "term": pred.column}
     if isinstance(pred, P.NotNull):
+        if not isinstance(pred.column, str):
+            return None
         return {"type": "not-null", "term": pred.column}
     if isinstance(pred, (P.And, P.Or)):
         node = "and" if isinstance(pred, P.And) else "or"

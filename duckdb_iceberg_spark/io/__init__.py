@@ -40,6 +40,7 @@ __all__ = [
     "clear_location_ios",
     "parse_uri",
     "join",
+    "normalize_path",
     "io_for_storage_config",
     "spark_hadoop_options",
     "storage_options_for",
@@ -61,6 +62,21 @@ def parse_uri(path: str) -> tuple[str, str]:
     if i > 1:
         return path[:i], path[i + 3:]
     return "", path
+
+
+def normalize_path(p: str) -> str:
+    """Canonical form for path-equality comparisons across the read path:
+    ``file:``-scheme URIs become plain paths, ``s3a://`` (Hadoop's native
+    S3 scheme) becomes ``s3://``. One rule applied to BOTH sides of every
+    path join — manifest-derived literals and Spark-scan-derived columns —
+    so tables whose manifests record a different-but-equivalent scheme than
+    the scan still match (deletes apply, lineage resolves)."""
+    import re
+
+    p = re.sub(r"^file:/+", "/", p)
+    if p.startswith("s3a://"):
+        p = "s3://" + p[len("s3a://"):]
+    return p
 
 
 def join(base: str, *parts: str) -> str:

@@ -358,9 +358,13 @@ def inherit_first_row_ids(entries: list[ManifestEntry],
     """v3 row-lineage inheritance (Iceberg spec 'Row Lineage' / 'First Row
     ID Inheritance'): an ADDED data entry whose data_file.first_row_id is
     null inherits the manifest's first_row_id plus the cumulative
-    record_count of the ADDED data files before it in the manifest. Must be
-    called on the FULL entry list in manifest order, BEFORE any filtering —
-    dropping earlier entries would shift the running offsets."""
+    record_count of the *preceding inherited* (null first_row_id) ADDED data
+    files in the manifest — files carrying an explicit first_row_id do NOT
+    advance the running offset (reference:
+    bound_iceberg_manifest_list_entry.cpp BindEntry, which bumps next_row_id
+    only when the entry's id was inherited). Must be called on the FULL
+    entry list in manifest order, BEFORE any filtering — dropping earlier
+    entries would shift the running offsets."""
     if manifest_first_row_id is None:
         return
     rid = manifest_first_row_id
@@ -369,7 +373,7 @@ def inherit_first_row_ids(entries: list[ManifestEntry],
             continue
         if e.data_file.first_row_id is None:
             e.data_file.first_row_id = rid
-        rid += e.data_file.record_count
+            rid += e.data_file.record_count
 
 
 # ---------------------------------------------------------------------------

@@ -190,11 +190,26 @@ def write_puffin_dvs(path: str, dvs: dict[str, np.ndarray]) -> dict[str, PuffinB
     """Write one Puffin file holding one deletion-vector blob per referenced
     data file. Returns {data_file_path: blob metadata} for manifest entries
     (content_offset / content_size_in_bytes)."""
+    return write_puffin_serialized_dvs(path, {
+        data_path: (serialize_dv_blob(pos),
+                    int(np.unique(np.asarray(pos)).size))
+        for data_path, pos in dvs.items()
+    })
+
+
+def write_puffin_serialized_dvs(
+    path: str, blobs: "dict[str, tuple[bytes, int]]"
+) -> dict[str, PuffinBlob]:
+    """Assemble a Puffin file from PRE-SERIALIZED deletion-vector blobs —
+    ``{data_file_path: (blob bytes, cardinality)}``. This is the 100 TB
+    write path: bitmaps are built and compressed on executors
+    (sources/dml.py _write_deletion_vectors) and the driver only
+    concatenates KB-sized blobs, never raw position lists."""
     blobs_meta: list[dict] = []
     out: dict[str, PuffinBlob] = {}
     body = bytearray(PUFFIN_MAGIC)
-    for data_path in sorted(dvs):
-        blob = serialize_dv_blob(dvs[data_path])
+    for data_path in sorted(blobs):
+        blob, cardinality = blobs[data_path]
         offset = len(body)
         body += blob
         meta = {
@@ -206,7 +221,7 @@ def write_puffin_dvs(path: str, dvs: dict[str, np.ndarray]) -> dict[str, PuffinB
             "length": len(blob),
             "properties": {
                 "referenced-data-file": data_path,
-                "cardinality": str(int(np.unique(np.asarray(dvs[data_path])).size)),
+                "cardinality": str(int(cardinality)),
             },
         }
         blobs_meta.append(meta)
@@ -265,10 +280,15 @@ def read_dv_positions(path: str, offset: int | None, length: int | None,
 
         blob = fio.get_io(path).read_bytes(path, offset, length)
         return parse_dv_blob(blob)
+    from ..io import normalize_path
+
+    want = (normalize_path(referenced_data_file)
+            if referenced_data_file is not None else None)
     for b in read_puffin_footer(path):
+        ref_prop = b.properties.get("referenced-data-file")
         if b.type == DV_BLOB_TYPE and (
-            referenced_data_file is None
-            or b.properties.get("referenced-data-file") == referenced_data_file
+            want is None
+            or (ref_prop is not None and normalize_path(ref_prop) == want)
         ):
             return read_dv_positions(path, b.offset, b.length)
     raise ValueError(f"{path}: no deletion-vector blob for {referenced_data_file}")

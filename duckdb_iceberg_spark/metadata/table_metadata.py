@@ -366,6 +366,10 @@ def resolve_metadata_location(table_location: str, version: str | None = None) -
             fio.join(meta_dir, f"v{version}.metadata.json"),
             fio.join(meta_dir, f"v{version}.gz.metadata.json"),
             fio.join(meta_dir, f"v{version}.metadata.json.gz"),
+            # version-hint may carry an object-store-style full version name
+            # ('00001-<uuid>') rather than a bare number
+            fio.join(meta_dir, f"{version}.metadata.json"),
+            fio.join(meta_dir, f"{version}.metadata.json.gz"),
         ):
             if io.exists(cand):
                 return cand
@@ -399,8 +403,21 @@ def load_table_metadata(
     loc = resolve_metadata_location(table_location, version)
     j = json.loads(_read_text(loc))
     tm = TableMetadata(j, metadata_location=loc)
+    if table_location.endswith((".json", ".json.gz")):
+        root = os.path.dirname(os.path.dirname(table_location))
+    else:
+        root = table_location
+    # The table root the CALLER resolved is where the table actually lives.
+    # Foreign tables routinely record a stale or relative `location` (written
+    # on another machine / from another working directory); planning against
+    # it would read nothing. The reference's allow_moved_paths handles the
+    # same situation (iceberg_scan.cpp:40-48) — here path localization
+    # (_localize) rewrites manifest-recorded paths onto tm.location, so
+    # tm.location must be the CURRENT root, not the recorded one.
+    if root and root != "." and tm.location.rstrip("/") != root.rstrip("/"):
+        tm.location = root
     if not tm.location:
-        tm.location = table_location if not table_location.endswith(".json") else os.path.dirname(os.path.dirname(table_location))
+        tm.location = root
     return tm
 
 

@@ -284,7 +284,12 @@ def _partitions_overlap(data_entry: mf.ManifestEntry, del_entry: mf.ManifestEntr
     """Conservative partition match for delete application
     (reference: iceberg_file_pruner.cpp:326-394)."""
     if del_entry.data_file.referenced_data_file:
-        return del_entry.data_file.referenced_data_file == data_entry.data_file.file_path
+        # canonicalize both sides: DVs written from a normalized scan column
+        # must still attach to s3a://-spelled (etc.) data entries
+        from ..io import normalize_path
+
+        return (normalize_path(del_entry.data_file.referenced_data_file)
+                == normalize_path(data_entry.data_file.file_path))
     if data_spec_id != del_spec_id:
         return True  # different spec ⇒ conservative apply
     dp, pp = data_entry.data_file.partition, del_entry.data_file.partition

@@ -95,20 +95,27 @@ def _write_positional_deletes(
     """(file_path, pos) DataFrame → positional-delete parquet files with
     Iceberg's reserved field-ids, sorted by (file_path, pos) per spec."""
     out_dir = os.path.join(tm.location, "data", f"deletes-{str(_uuid.uuid4())[:8]}")
-    n = pairs.count()
-    if n == 0:
-        return []
-    pairs = (
-        pairs.select(
-            F.col("file_path").alias("file_path", metadata={ice_types.FIELD_ID_KEY: 2147483546}),
-            F.col("pos").cast(T.LongType()).alias("pos", metadata={ice_types.FIELD_ID_KEY: 2147483545}),
+    # persist before counting: the count sizes the output partitioning, and
+    # without the cache the full matched-scan job would execute twice (once
+    # for the count, once for the write) — at 100 TB that doubles the DELETE
+    pairs = pairs.persist()
+    try:
+        n = pairs.count()
+        if n == 0:
+            return []
+        shaped = (
+            pairs.select(
+                F.col("file_path").alias("file_path", metadata={ice_types.FIELD_ID_KEY: 2147483546}),
+                F.col("pos").cast(T.LongType()).alias("pos", metadata={ice_types.FIELD_ID_KEY: 2147483545}),
+            )
+            # one output file per referenced data-file group keeps delete files
+            # prunable; tiny counts coalesce to 1
+            .repartition(max(1, min(8, n // 1_000_000 + 1)), F.col("file_path"))
+            .sortWithinPartitions("file_path", "pos")
         )
-        # one output file per referenced data-file group keeps delete files
-        # prunable; tiny counts coalesce to 1
-        .repartition(max(1, min(8, n // 1_000_000 + 1)), F.col("file_path"))
-        .sortWithinPartitions("file_path", "pos")
-    )
-    paths = write_parquet_dataset(spark, pairs, out_dir)
+        paths = write_parquet_dataset(spark, shaped, out_dir)
+    finally:
+        pairs.unpersist()
     stats = _collect_stats(spark, paths)
     out = []
     for st in stats:
@@ -149,37 +156,81 @@ def _write_deletion_vectors(
     iceberg_multi_file_list.cpp:24-63). Prior positional-delete *parquet*
     (mixed v2 history) is left in place; it still applies at read.
 
-    Driver-side: each file's DV is a compressed bitmap; even 10^9 deleted
-    rows per file is ~128 MB worst-case. The pairs aggregation itself is a
-    Spark job; only the per-file bitmaps are collected."""
-    import numpy as np
-
+    Scale shape: bitmaps are built and roaring-compressed PER DATA FILE on
+    executors (applyInPandas over groupBy(file_path)); prior DVs merge in
+    executor-side too. The driver collects ONLY the compressed blobs (KBs
+    per file — 10^9 deleted rows per file is ~128 MB worst case as a
+    bitmap, vs ~8 GB as the raw int64 positions it never ships) and
+    concatenates them into the Puffin container."""
     from ..metadata import puffin as pf
+    from .. import io as fio
+    from ..io import parse_uri, storage_options_for
 
-    pdf = pairs.groupBy("file_path").agg(
-        F.sort_array(F.collect_list(F.col("pos").cast(T.LongType()))).alias("positions")
-    ).toPandas()
-    if pdf.empty:
-        return [], set()
-    dvs: dict[str, Any] = {
-        r.file_path: np.asarray(r.positions, dtype=np.int64) for r in pdf.itertuples()
-    }
-    replaced: set[str] = set()
+    # prior DV per affected data file, merged on executors (the spec allows
+    # at most one DV per data file, so the old blob is superseded). Keys are
+    # normalized like the pairs' file_path column (which comes from the
+    # scan's canonicalized filename).
+    from ..io import normalize_path
+
+    prior: dict[str, tuple[str, int, int]] = {}
+    replaced_by_file: dict[str, str] = {}
     for t in plan.tasks:
-        fp = t.data_file.file_path
-        if fp not in dvs:
-            continue
+        fp = normalize_path(t.data_file.file_path)
         for d in t.positional_deletes:
             if (d.file_format or "").lower() == "puffin":
-                prev = pf.read_dv_positions(
-                    d.file_path, d.content_offset, d.content_size_in_bytes, fp)
-                dvs[fp] = np.union1d(dvs[fp], prev)
-                replaced.add(d.file_path)
+                prior[fp] = (d.file_path, int(d.content_offset or 0),
+                             int(d.content_size_in_bytes or 0))
+                replaced_by_file[fp] = d.file_path
 
-    from .. import io as fio
+    opts: dict = {}
+    scheme = ""
+    if prior:
+        any_puffin = next(iter(prior.values()))[0]
+        opts = storage_options_for(any_puffin)
+        scheme = parse_uri(any_puffin)[0]
+
+    def _build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        # absolute imports: this closure executes in executor Python workers,
+        # where relative-import context is not preserved by pickling
+        from duckdb_iceberg_spark.io import (io_from_storage_options,
+                                             register_io)
+        from duckdb_iceberg_spark.metadata import puffin as pf
+
+        fp = pdf["file_path"].iloc[0]
+        positions = np.unique(pdf["pos"].to_numpy(dtype=np.int64))
+        pr = prior.get(fp)
+        if pr is not None:
+            if scheme and opts:
+                # executor process: rebuild the driver's (possibly vended) IO
+                register_io(scheme, io_from_storage_options(opts))
+            puffin_path, off, length = pr
+            prev = pf.read_dv_positions(
+                puffin_path, off if length else None,
+                length if length else None, fp)
+            positions = np.union1d(positions, prev)
+        return pd.DataFrame({
+            "file_path": [fp],
+            "blob": [pf.serialize_dv_blob(positions)],
+            "cardinality": [int(positions.size)],
+        })
+
+    rows = (
+        pairs.select(F.col("file_path"),
+                     F.col("pos").cast(T.LongType()).alias("pos"))
+        .groupBy("file_path")
+        .applyInPandas(_build, "file_path string, blob binary, cardinality long")
+        .collect()
+    )
+    if not rows:
+        return [], set()
+    blobs_in = {r.file_path: (bytes(r.blob), int(r.cardinality)) for r in rows}
+    replaced = {replaced_by_file[fp] for fp in blobs_in if fp in replaced_by_file}
 
     out_path = fio.join(tm.location, "data", f"dv-{str(_uuid.uuid4())[:8]}.puffin")
-    blobs = pf.write_puffin_dvs(out_path, dvs)
+    blobs = pf.write_puffin_serialized_dvs(out_path, blobs_in)
     file_size = fio.get_io(out_path).size(out_path)
     entries = []
     for data_path, blob in sorted(blobs.items()):
@@ -188,13 +239,29 @@ def _write_deletion_vectors(
             file_path=out_path,
             file_format="puffin",
             partition={},
-            record_count=int(dvs[data_path].size),
+            record_count=blobs_in[data_path][1],
             file_size_in_bytes=file_size,
             referenced_data_file=data_path,
             content_offset=blob.offset,
             content_size_in_bytes=blob.length,
         ))
     return entries, replaced
+
+
+#: equality-delete key rows per output file; a CDC batch of hundreds of
+#: millions of keys fans out over multiple writers instead of one task
+_EQ_KEYS_PER_FILE = 5_000_000
+
+
+def _shape_delete_keys(rows: DataFrame, key_columns: list[str], n: int) -> DataFrame:
+    """Partition an equality-delete key set for writing: small sets stay one
+    file; large sets range-partition on the key columns so each output file
+    gets tight, prunable bounds and no single task serializes the batch."""
+    nparts = max(1, min(64, (n - 1) // _EQ_KEYS_PER_FILE + 1))
+    if nparts == 1:
+        return rows.coalesce(1)
+    return (rows.repartitionByRange(nparts, *[F.col(c) for c in key_columns])
+            .sortWithinPartitions(*key_columns))
 
 
 def equality_delete(
@@ -228,8 +295,13 @@ def equality_delete(
         F.col(c).cast(ice_types.iceberg_to_spark(by_name[c]["type"]))
         .alias(c, metadata={ice_types.FIELD_ID_KEY: by_name[c]["id"]})
         for c in key_columns
-    ]).dropDuplicates()
-    paths = write_parquet_dataset(spark, rows.coalesce(1), out_dir)
+    ]).dropDuplicates().persist()
+    try:
+        n = rows.count()
+        paths = write_parquet_dataset(
+            spark, _shape_delete_keys(rows, key_columns, n), out_dir)
+    finally:
+        rows.unpersist()
     stats = [st for st in _collect_stats(spark, paths) if st["record_count"]]
     delete_files = []
     for st in stats:
@@ -281,8 +353,13 @@ def upsert_equality(
         F.col(c).cast(ice_types.iceberg_to_spark(by_name[c]["type"]))
         .alias(c, metadata={ice_types.FIELD_ID_KEY: by_name[c]["id"]})
         for c in key_columns
-    ]).dropDuplicates()
-    paths = write_parquet_dataset(spark, keys.coalesce(1), out_dir)
+    ]).dropDuplicates().persist()
+    try:
+        n = keys.count()
+        paths = write_parquet_dataset(
+            spark, _shape_delete_keys(keys, key_columns, n), out_dir)
+    finally:
+        keys.unpersist()
     stats = [st for st in _collect_stats(spark, paths) if st["record_count"]]
     delete_files = []
     for st in stats:
@@ -502,7 +579,12 @@ def merge_into(
         for r in target.join(src, cond, "left_semi").select("filename").distinct().collect()
     ]
     affected = set(matched_files)
-    rewrite_tasks = [t for t in plan.tasks if t.data_file.file_path in affected]
+    # scan filenames are canonicalized; manifest paths may spell the scheme
+    # differently (s3a:// vs s3://) — normalize before membership tests
+    from ..io import normalize_path
+
+    rewrite_tasks = [t for t in plan.tasks
+                     if normalize_path(t.data_file.file_path) in affected]
 
     new_parts: list[DataFrame] = []
     if rewrite_tasks and (when_matched_update is not None or when_matched_delete):

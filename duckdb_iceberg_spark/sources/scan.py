@@ -48,9 +48,22 @@ _POS_COL = "__ice_pos"
 def _norm_path(col):
     # _metadata.file_path is file:///... ; manifests store plain paths.
     # s3a:// (the Hadoop-native rewrite of s3://) normalizes back so join
-    # keys match the manifests' recorded URIs.
+    # keys match the manifests' recorded URIs. MUST stay in lockstep with
+    # _norm_path_py below — every path-equality join in this module has one
+    # side built Spark-side and one side built from manifest strings.
     return F.regexp_replace(
         F.regexp_replace(col, r"^file:/+", "/"), r"^s3a://", "s3://")
+
+
+def _norm_path_py(p: str) -> str:
+    """Python twin of :func:`_norm_path` for manifest-derived literals
+    (sequence-number maps, equality-delete applicability pairs, row-lineage
+    maps, partition-constant maps). Manifests written through s3a:// (or
+    file:) URIs would otherwise never join against the normalized scan-side
+    file column and deletes/lineage would silently not apply."""
+    from ..io import normalize_path
+
+    return normalize_path(p)
 
 
 def _read_plain_parquet(spark, files, schema, *, with_path_pos=False,
@@ -156,9 +169,13 @@ def scan_with_runtime_filter(
     dynamic-filter pushdown has.
     """
     build_col = build_col or key_col
-    distinct = build_df.select(build_col).distinct()
+    # NULLs never match an equi-join, so drop them BEFORE sampling: a NULL
+    # inside the limited sample would otherwise shrink an over-limit key set
+    # back under max_in_keys and an incomplete IN list would silently drop
+    # rows for the omitted key instead of falling back to the range filter.
+    distinct = (build_df.select(build_col)
+                .where(F.col(build_col).isNotNull()).distinct())
     keys = [r[0] for r in distinct.limit(max_in_keys + 1).collect()]
-    keys = [k for k in keys if k is not None]
     if not keys:
         # no build keys: empty-result scan; prune everything via 1=0 is not
         # parseable — use an impossible range on the key instead
@@ -257,9 +274,12 @@ def scan_to_dataframe(
             parts.append(_with_pos(spark.read.schema(schema).parquet(
                 *[_ad.to_native_path(f) for f in main_files])))
         else:
-            parts.append(_ad.read_parquet(
+            p = _ad.read_parquet(
                 spark, main_files, schema, with_path_pos=need_pos,
-                path_col=_FILE_COL, pos_col=_POS_COL))
+                path_col=_FILE_COL, pos_col=_POS_COL)
+            if need_pos:
+                p = p.withColumn(_FILE_COL, _norm_path(F.col(_FILE_COL)))
+            parts.append(p)
     if legacy:
         parts.extend(_read_by_name_mapping(spark, legacy, mapping_prop,
                                            plan, need_pos))
@@ -509,6 +529,8 @@ def _read_by_name_mapping(
             raw = _ad.read_parquet(spark, paths, file_st,
                                    with_path_pos=need_pos,
                                    path_col=_FILE_COL, pos_col=_POS_COL)
+            if need_pos:
+                raw = raw.withColumn(_FILE_COL, _norm_path(F.col(_FILE_COL)))
         file_st = T.StructType(
             [fl for fl in raw.schema.fields if fl.name not in (_FILE_COL, _POS_COL)])
         sel = [
@@ -560,7 +582,7 @@ def _apply_initial_defaults(
 
     rows = []
     for path, has_ids, names, fids, _sig in _sniff_footers(spark, files):
-        row: dict[str, Any] = {"__def_file": path}
+        row: dict[str, Any] = {"__def_file": _norm_path_py(path)}
         for i, (fpath, f) in enumerate(defaulted):
             present = (f["id"] in fids) if has_ids else (".".join(fpath) in names)
             row[f"__def_{i}"] = not present
@@ -629,7 +651,7 @@ def _apply_partition_constants(spark: SparkSession, df: DataFrame, plan: ScanPla
     rows = []
     for t in plan.tasks:
         spec = plan.tm.partition_specs.get(t.spec_id)
-        row: dict[str, Any] = {"__pc_file": t.data_file.file_path}
+        row: dict[str, Any] = {"__pc_file": _norm_path_py(t.data_file.file_path)}
         for col, ice_t, pname in fields:
             v = t.data_file.partition.get(pname)
             row["__pc_" + col] = _norm_partition_value(v, ice_t)
@@ -655,7 +677,8 @@ def _apply_positional_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan
     for t in plan.tasks:
         for d in t.positional_deletes:
             if (d.file_format or "").lower() == "puffin":
-                ref = d.referenced_data_file or t.data_file.file_path
+                ref = _norm_path_py(
+                    d.referenced_data_file or t.data_file.file_path)
                 prev = dv_blobs.get(ref)
                 if prev is not None and (
                     prev.file_path != d.file_path
@@ -790,8 +813,8 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) 
         return df
 
     all_files = {t.data_file.file_path for t in plan.tasks}
-    seq_rows = [(t.data_file.file_path, int(t.sequence_number or 0))
-                for t in plan.tasks]
+    seq_rows = [(_norm_path_py(t.data_file.file_path),
+                 int(t.sequence_number or 0)) for t in plan.tasks]
     data_seq = spark.createDataFrame(
         seq_rows, "`__ds_file` string, `__data_seq` long").dropDuplicates()
     df = df.join(F.broadcast(data_seq),
@@ -820,7 +843,8 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) 
             if sig_del_rows <= _EQ_DELETE_BROADCAST_MAX_ROWS
             else (lambda k: k))
         del_meta = spark.createDataFrame(
-            [(p, int(seq)) for p, (_, seq, _) in sorted(files.items())],
+            [(_norm_path_py(p), int(seq))
+             for p, (_, seq, _) in sorted(files.items())],
             "`__del_file` string, `__del_seq` long")
         key_st = T.StructType([
             T.StructField(c, tm.spark_schema()[c].dataType) for c in cols])
@@ -841,7 +865,8 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) 
                          eq_cond & (keys["__del_seq"] > df["__data_seq"]),
                          "left_anti")
         else:
-            pairs = [(p, target) for p, (_, _, applicable) in files.items()
+            pairs = [(_norm_path_py(p), _norm_path_py(target))
+                     for p, (_, _, applicable) in files.items()
                      for target in applicable]
             pair_df = spark.createDataFrame(
                 pairs, "`__p_del` string, `__p_data` string")
@@ -873,7 +898,7 @@ def _add_row_lineage(spark: SparkSession, df: DataFrame, plan: ScanPlan) -> Data
     from the file's sequence number (reference:
     iceberg_table_schema_version.cpp:116-125, COALESCE semantics)."""
     rows = [
-        (t.data_file.file_path, t.first_row_id, t.sequence_number)
+        (_norm_path_py(t.data_file.file_path), t.first_row_id, t.sequence_number)
         for t in plan.tasks
     ]
     map_df = spark.createDataFrame(

@@ -85,8 +85,16 @@ def _scan_top(sql: str, keywords: tuple[str, ...]) -> list[tuple[int, str]]:
         if c in "'\"`":
             q = c
             i += 1
-            while i < n and sql[i] != q:
-                i += 2 if sql[i] == "\\" else 1
+            while i < n:
+                if sql[i] == "\\":
+                    i += 2
+                    continue
+                if sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:  # '' = escaped quote
+                        i += 2
+                        continue
+                    break
+                i += 1
             i += 1
             continue
         if c == "(":
@@ -116,8 +124,16 @@ def _split_top_commas(s: str) -> list[str]:
         if c in "'\"`":
             q = c
             i += 1
-            while i < n and s[i] != q:
-                i += 2 if s[i] == "\\" else 1
+            while i < n:
+                if s[i] == "\\":
+                    i += 2
+                    continue
+                if s[i] == q:
+                    if i + 1 < n and s[i + 1] == q:  # '' = escaped quote
+                        i += 2
+                        continue
+                    break
+                i += 1
         elif c == "(":
             depth += 1
         elif c == ")":
@@ -209,12 +225,14 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
     stmt = sql.strip().rstrip(";").strip()
     head = stmt.split(None, 1)[0].upper() if stmt else ""
 
-    if head == "DELETE":
+    if head == "DELETE" and _is_registered_target(
+            spark, stmt, r"DELETE\s+FROM\s+([\w.]+)"):
         return _exec_delete(spark, stmt)
     if head == "UPDATE" and _REGISTRY.get(spark) and _is_registered_target(
             spark, stmt, r"UPDATE\s+([\w.]+)"):
         return _exec_update(spark, stmt)
-    if head == "MERGE":
+    if head == "MERGE" and _is_registered_target(
+            spark, stmt, r"MERGE\s+INTO\s+([\w.]+)"):
         return _exec_merge(spark, stmt)
     if head == "INSERT" and _is_registered_target(
             spark, stmt, r"INSERT\s+INTO\s+([\w.]+)"):

@@ -148,3 +148,38 @@ def test_equality_delete_large_keyset_not_broadcast(spark, tmp_path, monkeypatch
     # and the scan is still correct without the hint
     got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
     assert got == [i for i in range(200) if i % 7 not in (2, 5)]
+
+
+def test_equality_delete_large_keyset_multiple_files(spark, tmp_path, monkeypatch):
+    """Key sets above _EQ_KEYS_PER_FILE range-partition into several delete
+    files, each with tight (prunable) bounds — no single-task serialization."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata import manifest as mf
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources import dml
+
+    monkeypatch.setattr(dml, "_EQ_KEYS_PER_FILE", 100)
+    loc = str(tmp_path / "eq_many")
+    write_iceberg(spark.range(1000).selectExpr("id", "id % 2 AS k"), loc)
+    dml.equality_delete(
+        spark, loc, spark.range(350).selectExpr("id"), ["id"])
+
+    tm = load_table_metadata(loc)
+    snap = tm.current_snapshot()
+    eq_files = []
+    for m in mf.read_manifest_list(snap.manifest_list):
+        if m.content == mf.MANIFEST_DELETES:
+            for e in mf.read_manifest(m.manifest_path):
+                if e.data_file.content == mf.CONTENT_EQUALITY_DELETES:
+                    eq_files.append(e.data_file)
+    assert len(eq_files) >= 3  # 350 keys / 100 per file
+    # disjoint, tight bounds per file (range partitioning)
+    import struct
+    fid = 1  # id column field id
+    ranges = sorted(
+        (struct.unpack("<q", f.lower_bounds[fid])[0],
+         struct.unpack("<q", f.upper_bounds[fid])[0]) for f in eq_files)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 < lo2
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == list(range(350, 1000))

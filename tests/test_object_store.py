@@ -184,3 +184,45 @@ def test_distributed_arrow_mor_delete(spark, lfs, monkeypatch):
     delete_from(spark, loc, "id % 10 = 0", mode="merge-on-read")
     got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
     assert got == [i for i in range(200) if i % 10 != 0]
+
+
+@pytest.fixture()
+def s3a_fs():
+    """Same in-memory filesystem reachable as both s3a:// and s3:// —
+    models Hadoop's native scheme aliasing."""
+    from pyarrow import fs as pafs
+
+    mock = pafs._MockFileSystem()
+    fio.register_io("s3a", fio.ArrowFileIO("s3a", mock, shippable=False))
+    fio.register_io("s3", fio.ArrowFileIO("s3", mock, shippable=False))
+    return mock
+
+
+def test_s3a_scheme_deletes_and_lineage_still_apply(spark, s3a_fs):
+    """Manifests written through s3a:// record s3a:// paths; every
+    path-equality join (delete application, row lineage, sequence-number
+    attach) must canonicalize BOTH sides or deletes silently resurrect."""
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    loc = "s3a://bucket/tdv"
+    write_iceberg(spark.range(100).selectExpr("id", "id % 3 AS k"), loc,
+                  format_version=3)
+    delete_from(spark, loc, "id % 10 = 0", mode="merge-on-read")
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(100) if i % 10 != 0]
+    # row lineage joins on the same normalized key
+    lin = iceberg_scan(spark, loc, with_row_lineage=True)
+    rows = lin.select("_row_id").collect()
+    assert all(r._row_id is not None for r in rows)
+    assert len({r._row_id for r in rows}) == len(rows)
+
+
+def test_s3a_scheme_equality_deletes_apply(spark, s3a_fs):
+    from duckdb_iceberg_spark.sources.dml import equality_delete
+
+    loc = "s3a://bucket/teq"
+    write_iceberg(spark.range(50).selectExpr("id", "id % 5 AS k"), loc)
+    equality_delete(spark, loc, spark.createDataFrame([(1,), (3,)], "k long"),
+                    ["k"])
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(50) if i % 5 not in (1, 3)]

@@ -183,3 +183,25 @@ def test_v3_update_merge_on_read_uses_dv(spark, tmp_path):
     rows = {r.id: r.v for r in iceberg_scan(spark, loc).collect()}
     assert len(rows) == 300
     assert rows[0] == 1000.0 and rows[49] == 1049.0 and rows[50] == 50.0
+
+
+def test_dv_write_never_ships_raw_positions_to_driver(spark, tmp_path, monkeypatch):
+    """100 TB guard: _write_deletion_vectors must collect only compressed
+    per-file bitmap blobs, never raw position lists (no toPandas of the
+    pairs frame)."""
+    from pyspark.sql import DataFrame
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    loc = str(tmp_path / "dv_guard")
+    write_iceberg(spark.range(1000).selectExpr("id", "id % 7 AS k"), loc,
+                  format_version=3)
+
+    def _blocked(self, *a, **kw):
+        raise AssertionError("driver toPandas during DV write")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _blocked)
+    delete_from(spark, loc, "id % 10 = 0", mode="merge-on-read")
+    monkeypatch.undo()
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(1000) if i % 10 != 0]

@@ -442,6 +442,14 @@ def test_predicate_to_rest_serialization():
         "ts < TIMESTAMP '1997-01-01 00:00:00'")) == {
         "type": "lt", "term": "ts", "value": "1997-01-01T00:00:00"}
     assert predicate_to_rest(None) is None
+    # variant_get terms have no REST serialization: the conjunct is dropped
+    # (conservative), not a TypeError at request time
+    import json
+    got = predicate_to_rest(parse_where(
+        "variant_get(v, '$.a') = 1 AND a = 2"))
+    assert got == {"type": "eq", "term": "a", "value": 2}
+    json.dumps(got)
+    assert predicate_to_rest(parse_where("variant_get(v, '$.a') = 1")) is None
 
 
 def test_server_planned_scan_matches_client(stub, spark, sf_dir, tmp_path):

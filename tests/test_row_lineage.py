@@ -31,12 +31,12 @@ def test_inherit_first_row_ids_running_offsets():
         _mk_entry(5),                          # inherits 100
         _mk_entry(3, status=mf.STATUS_EXISTING, first_row_id=7),  # keeps 7
         _mk_entry(4),                          # inherits 105 (after the 5)
-        _mk_entry(2, first_row_id=50),         # explicit value kept
-        _mk_entry(6),                          # inherits 111 (5 + 4 + 2)
+        _mk_entry(2, first_row_id=50),         # explicit value kept, no advance
+        _mk_entry(6),                          # inherits 109 (5 + 4; explicit files don't advance)
     ]
     mf.inherit_first_row_ids(entries, 100)
     got = [e.data_file.first_row_id for e in entries]
-    assert got == [100, 7, 105, 50, 111]
+    assert got == [100, 7, 105, 50, 109]
     # no manifest first_row_id -> no-op
     e2 = [_mk_entry(5)]
     mf.inherit_first_row_ids(e2, None)

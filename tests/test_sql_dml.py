@@ -142,3 +142,35 @@ def test_sql_merge_cardinality_still_raises(spark, nation_table):
             MERGE INTO nat_card t USING dup_src s ON t.n_nationkey = s.n_nationkey
             WHEN MATCHED THEN UPDATE SET n_name = s.nm
         """)
+
+
+def test_sql_delete_merge_passthrough_unregistered(spark):
+    """DELETE/MERGE against relations NOT in the registry must fall through
+    to spark.sql (like UPDATE/INSERT do), not raise from _location_of."""
+    from duckdb_iceberg_spark.sources.sql import execute_sql
+
+    spark.sql("DROP TABLE IF EXISTS plain_sql_tbl")
+    spark.sql("CREATE TABLE plain_sql_tbl (k INT, v STRING) USING parquet")
+    try:
+        spark.sql("INSERT INTO plain_sql_tbl VALUES (1, 'a'), (2, 'b')")
+        # plain parquet tables don't support DELETE in Spark; the point is
+        # the router hands the statement to spark.sql (whose error mentions
+        # the operation), instead of ValueError('not a registered view')
+        import pyspark.sql.utils as _u
+        try:
+            execute_sql(spark, "DELETE FROM plain_sql_tbl WHERE k = 1")
+        except Exception as e:
+            assert "registered Iceberg view" not in str(e)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plain_sql_tbl")
+
+
+def test_sql_doubled_quote_escape(spark, nation_table):
+    """'it''s' inside a WHERE must not swallow following keywords."""
+    from duckdb_iceberg_spark.sources.sql import _scan_top, _split_top_commas
+
+    s = "x = 'it''s' AND y = 2 WHERE z = 3"
+    hits = _scan_top(s, ("WHERE",))
+    assert len(hits) == 1 and s[hits[0][0]:hits[0][0] + 5] == "WHERE"
+    parts = _split_top_commas("a = 'x''y, z', b = 2")
+    assert parts == ["a = 'x''y, z'", "b = 2"]

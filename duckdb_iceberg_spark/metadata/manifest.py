@@ -404,7 +404,8 @@ def _encode_partition_value(avro_type: Any, v: Any) -> Any:
             delta = v - epoch
             return (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
         if lt == "decimal":
-            unscaled = int(Decimal(v).scaleb(avro_type["scale"]).to_integral_value())
+            from .types import DEC38
+            unscaled = int(Decimal(v).scaleb(avro_type["scale"], context=DEC38).to_integral_value())
             return unscaled.to_bytes(avro_type["size"], "big", signed=True)
         if lt == "uuid":
             return _uuid.UUID(str(v)).bytes

@@ -41,6 +41,9 @@ class Snapshot:
     summary: dict = field(default_factory=dict)
     schema_id: Optional[int] = None
     first_row_id: Optional[int] = None
+    #: legacy v1 'manifests' field: manifest paths embedded directly in the
+    #: snapshot instead of a manifest list (deprecated spec form)
+    manifests: list[str] = field(default_factory=list)
 
     @property
     def operation(self) -> str:
@@ -73,6 +76,7 @@ class Snapshot:
             summary=j.get("summary", {}),
             schema_id=j.get("schema-id"),
             first_row_id=j.get("first-row-id"),
+            manifests=list(j.get("manifests", [])),
         )
 
 

@@ -27,7 +27,11 @@ import datetime as _dt
 import re
 import struct
 import uuid as _uuid
-from decimal import Decimal
+from decimal import Context, Decimal
+
+#: iceberg decimals go up to 38 digits; the DEFAULT decimal context (prec=28)
+#: silently ROUNDS during scaleb/division — always pass this context
+DEC38 = Context(prec=60)
 from typing import Any
 
 from pyspark.sql import types as T
@@ -138,8 +142,26 @@ def nested_field_to_spark(f: dict) -> T.StructField:
 
 
 def schema_to_struct(schema_json: dict) -> T.StructType:
-    """Iceberg schema JSON ({"type":"struct","fields":[...]}) → StructType."""
-    return T.StructType([nested_field_to_spark(f) for f in schema_json["fields"]])
+    """Iceberg schema JSON ({"type":"struct","fields":[...]}) → StructType.
+
+    Iceberg names are case-SENSITIVE but Spark's analyzer is not: a schema
+    holding both ``user_id`` and ``uSeR_Id`` (legal Iceberg, written by
+    case-sensitive engines) would fail resolution. Mirror the reference's
+    disambiguation (case_sensitive_names.test golden: second column surfaces
+    as ``uSeR_Id_1``): append ``_N`` to later case-colliding names. Parquet
+    field-id resolution keeps the read correct under the rename."""
+    fields = []
+    seen: dict[str, int] = {}
+    for f in schema_json["fields"]:
+        sf = nested_field_to_spark(f)
+        key = sf.name.lower()
+        n = seen.get(key, 0)
+        seen[key] = n + 1
+        if n:
+            sf = T.StructField(f"{sf.name}_{n}", sf.dataType, sf.nullable,
+                               sf.metadata)
+        fields.append(sf)
+    return T.StructType(fields)
 
 
 # ---------------------------------------------------------------------------
@@ -319,7 +341,7 @@ def encode_bound(t: Any, v: Any) -> bytes | None:
         return bytes(v)
     if name == "decimal":
         _, s = decimal_precision_scale(t)
-        unscaled = int(Decimal(v).scaleb(s).to_integral_value())
+        unscaled = int(Decimal(v).scaleb(s, context=DEC38).to_integral_value())
         return _min_twos_complement(unscaled)
     return None
 
@@ -376,7 +398,7 @@ def decode_bound(t: Any, b: bytes | None) -> Any:
         return b
     if name == "decimal":
         _, s = decimal_precision_scale(t)
-        return Decimal(int.from_bytes(b, "big", signed=True)).scaleb(-s)
+        return Decimal(int.from_bytes(b, "big", signed=True)).scaleb(-s, context=DEC38)
     return None
 
 
@@ -392,10 +414,17 @@ def json_default_to_python(t: Any, v: Any) -> Any:
     name = primitive_name(t)
     if name == "date":
         return _dt.date.fromisoformat(v)
+    if name == "time":
+        # JSON 'HH:MM:SS.ffffff' → µs since midnight (time maps to LongType)
+        t = _dt.time.fromisoformat(v)
+        return ((t.hour * 60 + t.minute) * 60 + t.second) * 1_000_000 + t.microsecond
     if name in ("timestamp", "timestamp_ns"):
         return _dt.datetime.fromisoformat(v)
     if name in ("timestamptz", "timestamptz_ns"):
         return _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
     if name == "decimal":
         return Decimal(str(v))
+    if name in ("fixed", "binary"):
+        # JSON single-value serialization for binary/fixed is a hex string
+        return bytes.fromhex(v)
     return v

@@ -85,7 +85,8 @@ def _decode_value(blob: bytes, pos: int, keys: list[str]) -> tuple[Any, int]:
             n = {_P_DEC4: 4, _P_DEC8: 8, _P_DEC16: 16}[t]
             scale = blob[pos]
             unscaled = int.from_bytes(blob[pos + 1:pos + 1 + n], "little", signed=True)
-            return Decimal(unscaled).scaleb(-scale), pos + 1 + n
+            from .types import DEC38
+            return Decimal(unscaled).scaleb(-scale, context=DEC38), pos + 1 + n
         if t == _P_DATE:
             days = int.from_bytes(blob[pos:pos + 4], "little", signed=True)
             return _EPOCH_DATE + _dt.timedelta(days=days), pos + 4

@@ -46,13 +46,14 @@ def plan_scan_distributed(
     where: str | None = None,
     *,
     manifest_threshold: int = DEFAULT_DISTRIBUTE_THRESHOLD,
+    snapshot_schema: bool | None = None,
 ) -> ScanPlan:
     """Like ``plan_scan`` but parallelizes manifest parsing + file pruning
     across executors once the (post-pruning) data-manifest count exceeds
     ``manifest_threshold``. Falls back to the driver planner below it."""
     pred = P.parse_where(where)
     if snapshot is None or not snapshot.manifest_list:
-        return plan_scan(tm, snapshot, where)
+        return plan_scan(tm, snapshot, where, snapshot_schema=snapshot_schema)
 
     ml_path = _localize(tm, snapshot.manifest_list)
     manifests = mf.read_manifest_list(ml_path)
@@ -67,7 +68,7 @@ def plan_scan_distributed(
         (delete_manifests if m.content == mf.MANIFEST_DELETES else data_manifests).append(m)
 
     if len(data_manifests) <= manifest_threshold:
-        return plan_scan(tm, snapshot, where)
+        return plan_scan(tm, snapshot, where, snapshot_schema=snapshot_schema)
 
     schema_json = tm.schemas.get(
         snapshot.schema_id if snapshot.schema_id is not None else tm.current_schema_id,
@@ -150,14 +151,17 @@ def plan_scan_distributed(
         data_seq = e.sequence_number or 0
         for de, dspec in pos_deletes:
             if (de.sequence_number or 0) >= data_seq \
-                    and _partitions_overlap(e, de, spec_id, dspec) \
+                    and _partitions_overlap(e, de, spec_id, dspec, data_paths) \
                     and _pos_delete_path_overlap(de, data_paths):
                 df2 = de.data_file
                 df2.file_path = _localize(tm, df2.file_path)
+                if df2.referenced_data_file:
+                    df2.referenced_data_file = _localize(
+                        tm, df2.referenced_data_file)
                 task.positional_deletes.append(df2)
         for de, dspec in eq_deletes:
             if (de.sequence_number or 0) > data_seq \
-                    and _partitions_overlap(e, de, spec_id, dspec) \
+                    and _partitions_overlap(e, de, spec_id, dspec, data_paths) \
                     and _eq_delete_bounds_overlap(e, de, tm.schema_json()):
                 df2 = de.data_file
                 df2.file_path = _localize(tm, df2.file_path)

@@ -90,7 +90,14 @@ def _localize(tm: TableMetadata, path: str) -> str:
 
     loc = tm.location.rstrip("/")
     loc_scheme, _ = fio.parse_uri(loc)
-    path_scheme, _ = fio.parse_uri(path)
+    path_scheme, rest = fio.parse_uri(path)
+    if path_scheme == "file":
+        # strip BEFORE marker matching — 'file://<relative>' (a malformed
+        # URI some writers emit) would otherwise false-match '/data/'
+        # against the '//data' authority. 'file:///abs' yields '/abs',
+        # 'file://rel' yields the relative 'rel'.
+        path = rest
+        path_scheme = ""
     if loc_scheme or path_scheme:
         if path.startswith(loc + "/") or path == loc:
             return path
@@ -107,6 +114,20 @@ def _localize(tm: TableMetadata, path: str) -> str:
             cand = loc + path[idx:]
             if os.path.exists(cand):
                 return cand
+    if not os.path.isabs(path):
+        # relative recorded path: the writer's working directory is normally
+        # an ancestor of the table root (foreign fixtures record e.g.
+        # 'data/persistent/<t>/...'); climb ancestors until it resolves —
+        # bounded by path depth, driver-side only
+        anc = loc
+        while True:
+            cand = os.path.join(anc, path)
+            if os.path.exists(cand):
+                return cand
+            parent = os.path.dirname(anc)
+            if parent == anc:
+                break
+            anc = parent
     base = os.path.basename(path)
     for sub in ("data", "metadata"):
         cand = os.path.join(loc, sub, base)
@@ -224,6 +245,12 @@ def _file_matches(
         if f is None:
             return None
         fid = f["id"]
+        if fid in _unmapped_field_ids(tm):
+            # the field was dropped from schema.name-mapping.default: legacy
+            # files (no parquet field-ids) surface it as all-NULL regardless
+            # of what the physical column's stats say — stats would prune
+            # rows the mapping makes NULL (column_mapping_delete.test)
+            return None
         lower = upper = None
         if df.lower_bounds and fid in df.lower_bounds:
             lower = ice_types.decode_bound(f["type"], df.lower_bounds[fid])
@@ -241,6 +268,39 @@ def _file_matches(
 
     coerced = _coerce_pred(pred, fields_by_name)
     return P.match_bounds(coerced, stats_for)
+
+
+def _unmapped_field_ids(tm: TableMetadata) -> frozenset:
+    """Schema field-ids NOT present in ``schema.name-mapping.default`` (when
+    the property exists). Empty when there is no mapping. Cached per tm."""
+    cached = getattr(tm, "_unmapped_fids", None)
+    if cached is not None:
+        return cached
+    prop = getattr(tm, "properties", {}).get("schema.name-mapping.default")
+    if not prop:
+        out = frozenset()
+    else:
+        import json as _json
+
+        mapped: set[int] = set()
+
+        def walk(entries):
+            for ent in entries:
+                if ent.get("field-id") is not None:
+                    mapped.add(int(ent["field-id"]))
+                walk(ent.get("fields") or [])
+
+        try:
+            walk(_json.loads(prop))
+            # across ALL schemas: a snapshot may read an older schema id
+            # (time travel) whose fields the current schema dropped
+            out = frozenset(
+                f["id"] for sch in tm.schemas.values()
+                for f in sch["fields"] if f["id"] not in mapped)
+        except (ValueError, KeyError, TypeError):
+            out = frozenset()
+    tm._unmapped_fids = out
+    return out
 
 
 def _coerce_pred(pred: P.Predicate, fields_by_name: dict) -> P.Predicate:
@@ -271,7 +331,8 @@ def _norm_partition_value(v: Any, result_type: Any) -> Any:
         return base + _dt.timedelta(microseconds=v)
     if name == "decimal" and isinstance(v, (bytes, bytearray)):
         _, s = ice_types.decimal_precision_scale(result_type)
-        return Decimal(int.from_bytes(bytes(v), "big", signed=True)).scaleb(-s)
+        from ..metadata.types import DEC38
+        return Decimal(int.from_bytes(bytes(v), "big", signed=True)).scaleb(-s, context=DEC38)
     if name == "uuid" and isinstance(v, (bytes, bytearray)):
         import uuid as _uuid
 
@@ -280,16 +341,20 @@ def _norm_partition_value(v: Any, result_type: Any) -> Any:
 
 
 def _partitions_overlap(data_entry: mf.ManifestEntry, del_entry: mf.ManifestEntry,
-                        data_spec_id: int, del_spec_id: int) -> bool:
+                        data_spec_id: int, del_spec_id: int,
+                        data_paths: tuple = ()) -> bool:
     """Conservative partition match for delete application
-    (reference: iceberg_file_pruner.cpp:326-394)."""
+    (reference: iceberg_file_pruner.cpp:326-394). ``data_paths`` carries the
+    data file's manifest-recorded AND localized spellings — a DV's
+    referenced_data_file may use either (moved tables record relative
+    paths; DVs we write record the normalized scan path)."""
     if del_entry.data_file.referenced_data_file:
-        # canonicalize both sides: DVs written from a normalized scan column
-        # must still attach to s3a://-spelled (etc.) data entries
         from ..io import normalize_path
 
-        return (normalize_path(del_entry.data_file.referenced_data_file)
-                == normalize_path(data_entry.data_file.file_path))
+        ref = normalize_path(del_entry.data_file.referenced_data_file)
+        cands = {normalize_path(p) for p in
+                 (data_paths or (data_entry.data_file.file_path,))}
+        return ref in cands
     if data_spec_id != del_spec_id:
         return True  # different spec ⇒ conservative apply
     dp, pp = data_entry.data_file.partition, del_entry.data_file.partition
@@ -354,20 +419,46 @@ def _eq_delete_bounds_overlap(data_entry: mf.ManifestEntry,
     return True
 
 
+def manifests_for_snapshot(tm: TableMetadata,
+                           snapshot: Snapshot) -> list[mf.ManifestFile]:
+    """Manifest-list entries for a snapshot. Legacy v1 snapshots may embed
+    manifest paths directly (deprecated ``manifests`` field) — those get the
+    V1 defaults a manifest list would supply (content=DATA, sequence 0;
+    reference: iceberg_v1_deprecated_metadata.test golden rows)."""
+    if snapshot.manifest_list:
+        return mf.read_manifest_list(_localize(tm, snapshot.manifest_list))
+    return [
+        mf.ManifestFile(
+            manifest_path=_localize(tm, p), manifest_length=0,
+            partition_spec_id=tm.default_spec_id, content=mf.MANIFEST_DATA,
+            sequence_number=0, min_sequence_number=0,
+            added_snapshot_id=snapshot.snapshot_id)
+        for p in snapshot.manifests
+    ]
+
+
 def plan_scan(
     tm: TableMetadata,
     snapshot: Optional[Snapshot],
     where: str | None = None,
+    *,
+    snapshot_schema: bool | None = None,
 ) -> ScanPlan:
-    """Build the file-level scan plan for a snapshot."""
+    """Build the file-level scan plan for a snapshot.
+
+    ``snapshot_schema`` mirrors the reference's lookup-source semantics
+    (iceberg_table_metadata.cpp GetSnapshot): an EXPLICIT snapshot lookup
+    (by id or timestamp) reads with the snapshot's schema-id even when that
+    snapshot is also the latest; a LATEST lookup reads the table's current
+    schema. ``None`` keeps the legacy inference (snapshot schema only when
+    the snapshot is not current)."""
     pred = P.parse_where(where)
     stats = {"manifests_total": 0, "manifests_pruned": 0, "files_total": 0,
              "files_pruned": 0, "delete_files": 0}
-    if snapshot is None or not snapshot.manifest_list:
+    if snapshot is None or not (snapshot.manifest_list or snapshot.manifests):
         return ScanPlan(tm, snapshot, [], where, None, stats)
 
-    ml_path = _localize(tm, snapshot.manifest_list)
-    manifests = mf.read_manifest_list(ml_path)
+    manifests = manifests_for_snapshot(tm, snapshot)
     stats["manifests_total"] = len(manifests)
 
     data_entries: list[tuple[mf.ManifestEntry, int]] = []  # (entry, spec_id)
@@ -406,13 +497,15 @@ def plan_scan(
 
     # Latest-snapshot reads resolve against the table's CURRENT schema (a
     # DDL-only commit advances current-schema-id without a new snapshot);
-    # the snapshot's schema-id applies only to time travel.
-    cur = tm.current_snapshot()
-    is_current = cur is not None and snapshot.snapshot_id == cur.snapshot_id
-    if is_current or snapshot.schema_id is None:
-        scan_schema_id = tm.current_schema_id
-    else:
+    # the snapshot's schema-id applies to explicit (time-travel) lookups.
+    if snapshot_schema is None:
+        cur = tm.current_snapshot()
+        snapshot_schema = not (
+            cur is not None and snapshot.snapshot_id == cur.snapshot_id)
+    if snapshot_schema and snapshot.schema_id is not None:
         scan_schema_id = snapshot.schema_id
+    else:
+        scan_schema_id = tm.current_schema_id
     schema_json = tm.schemas.get(scan_schema_id, tm.schemas[tm.current_schema_id])
 
     tasks: list[FileScanTask] = []
@@ -435,15 +528,20 @@ def plan_scan(
             # positional deletes apply at delete.seq >= data.seq
             # (reference: iceberg_file_pruner.cpp:340-356)
             if (de.sequence_number or 0) >= data_seq \
-                    and _partitions_overlap(e, de, spec_id, dspec) \
+                    and _partitions_overlap(e, de, spec_id, dspec, data_paths) \
                     and _pos_delete_path_overlap(de, data_paths):
                 df2 = de.data_file
                 df2.file_path = _localize(tm, df2.file_path)
+                if df2.referenced_data_file:
+                    # keep the DV ref joinable against the localized scan
+                    # file column (moved tables record relative refs)
+                    df2.referenced_data_file = _localize(
+                        tm, df2.referenced_data_file)
                 task.positional_deletes.append(df2)
         for de, dspec in eq_deletes:
             # equality deletes apply strictly after: delete.seq > data.seq
             if (de.sequence_number or 0) > data_seq \
-                    and _partitions_overlap(e, de, spec_id, dspec) \
+                    and _partitions_overlap(e, de, spec_id, dspec, data_paths) \
                     and _eq_delete_bounds_overlap(e, de, schema_json):
                 df2 = de.data_file
                 df2.file_path = _localize(tm, df2.file_path)

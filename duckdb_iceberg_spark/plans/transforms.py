@@ -30,6 +30,8 @@ import datetime as _dt
 import re
 import struct
 from decimal import Decimal
+
+from ..metadata.types import DEC38
 from typing import Any, Callable, Optional
 
 import pandas as pd
@@ -123,7 +125,7 @@ def _hash_bytes_for(value: Any, src_type: str) -> bytes:
         return bytes(value)
     if name == "decimal":
         _, s = ice_types.decimal_precision_scale(src_type)
-        unscaled = int(Decimal(value).scaleb(s).to_integral_value())
+        unscaled = int(Decimal(value).scaleb(s, context=DEC38).to_integral_value())
         return ice_types._min_twos_complement(unscaled)
     raise ValueError(f"bucket transform unsupported for type {src_type}")
 
@@ -160,9 +162,9 @@ def _truncate_py(value: Any, w: int, src_type: str) -> Any:
         return v - (((v % w) + w) % w)
     if name == "decimal":
         _, s = ice_types.decimal_precision_scale(src_type)
-        unscaled = int(Decimal(value).scaleb(s).to_integral_value())
+        unscaled = int(Decimal(value).scaleb(s, context=DEC38).to_integral_value())
         trunc = unscaled - (((unscaled % w) + w) % w)
-        return Decimal(trunc).scaleb(-s)
+        return Decimal(trunc).scaleb(-s, context=DEC38)
     if name == "string":
         return str(value)[:w]
     if name in ("binary", "fixed"):

@@ -51,6 +51,16 @@ def get_spark(
         # ns→µs posture as the type mapping (SURVEY.md §1.2)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # foreign-written tables ship stale .crc sidecars; Hadoop's
+        # ChecksumFileSystem would reject the (valid) parquet. Raw local FS
+        # skips sidecar verification — parquet has its own page checksums.
+        .config("spark.hadoop.fs.file.impl",
+                "org.apache.hadoop.fs.RawLocalFileSystem")
+        # Iceberg column names are case-SENSITIVE (a schema may hold both
+        # user_id and uSeR_Id — case_sensitive_names fixture); insensitive
+        # analysis would also break parquet field-id resolution against such
+        # files by probing ambiguous names first.
+        .config("spark.sql.caseSensitive", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

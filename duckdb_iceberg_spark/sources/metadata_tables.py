@@ -42,7 +42,9 @@ def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
             s.sequence_number,
             s.snapshot_id,
             _dt.datetime.fromtimestamp(s.timestamp_ms / 1000, tz=_dt.timezone.utc),
-            s.manifest_list,
+            # legacy v1 embedded-manifest snapshots have no manifest list —
+            # NULL, matching the reference (iceberg_v1_deprecated_metadata.test)
+            s.manifest_list or None,
             s.operation,
         )
         for s in tm.snapshots
@@ -51,9 +53,13 @@ def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
 
 
 def iceberg_metadata(spark: SparkSession, path: str, **scan_opts) -> DataFrame:
-    """Manifest entries of the selected snapshot:
+    """Manifest entries of the selected snapshot — reference schema
+    (iceberg_metadata.cpp IcebergManifestNames/EntryNames):
     (manifest_path, manifest_sequence_number, manifest_content, status,
-    content, file_path, file_format, record_count, file_size_in_bytes)."""
+    content, file_path, file_format, record_count, data_sequence_number,
+    file_sequence_number) plus file_size_in_bytes (ours, extra, last)."""
+    from ..plans.scan_plan import manifests_for_snapshot
+
     tm = load_table_metadata(path)
     snap = tm.select_snapshot(**scan_opts)
     schema = T.StructType([
@@ -65,14 +71,24 @@ def iceberg_metadata(spark: SparkSession, path: str, **scan_opts) -> DataFrame:
         T.StructField("file_path", T.StringType()),
         T.StructField("file_format", T.StringType()),
         T.StructField("record_count", T.LongType()),
+        T.StructField("data_sequence_number", T.LongType()),
+        T.StructField("file_sequence_number", T.LongType()),
         T.StructField("file_size_in_bytes", T.LongType()),
     ])
     rows = []
     status_names = {0: "EXISTING", 1: "ADDED", 2: "DELETED"}
-    content_names = {0: "EXISTING", 1: "POSITION_DELETES", 2: "EQUALITY_DELETES"}
-    if snap is not None and snap.manifest_list:
-        for m in mf.read_manifest_list(_localize(tm, snap.manifest_list)):
+    content_names = {0: "DATA", 1: "POSITION_DELETES", 2: "EQUALITY_DELETES"}
+    if snap is not None and (snap.manifest_list or snap.manifests):
+        for m in manifests_for_snapshot(tm, snap):
             for e in mf.read_manifest(_localize(tm, m.manifest_path)):
+                # sequence-number inheritance: ADDED entries with null seq
+                # inherit the manifest's (spec; reference GetSequenceNumber)
+                seq = e.sequence_number
+                if seq is None:
+                    seq = m.sequence_number if e.status == mf.STATUS_ADDED else 0
+                fseq = e.file_sequence_number
+                if fseq is None:
+                    fseq = m.sequence_number if e.status == mf.STATUS_ADDED else 0
                 rows.append(
                     (
                         m.manifest_path,
@@ -83,6 +99,8 @@ def iceberg_metadata(spark: SparkSession, path: str, **scan_opts) -> DataFrame:
                         e.data_file.file_path,
                         e.data_file.file_format,
                         e.data_file.record_count,
+                        seq,
+                        fseq,
                         e.data_file.file_size_in_bytes,
                     )
                 )

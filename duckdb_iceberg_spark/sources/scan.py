@@ -46,13 +46,23 @@ _POS_COL = "__ice_pos"
 
 
 def _norm_path(col):
-    # _metadata.file_path is file:///... ; manifests store plain paths.
+    # Scheme canonicalization for RAW (manifest-spelled) path columns:
     # s3a:// (the Hadoop-native rewrite of s3://) normalizes back so join
-    # keys match the manifests' recorded URIs. MUST stay in lockstep with
-    # _norm_path_py below — every path-equality join in this module has one
-    # side built Spark-side and one side built from manifest strings.
+    # keys match across writers; file: URIs become plain paths. MUST stay in
+    # lockstep with _norm_path_py below — every path-equality join in this
+    # module has one side built Spark-side and one side from manifest
+    # strings.
     return F.regexp_replace(
         F.regexp_replace(col, r"^file:/+", "/"), r"^s3a://", "s3://")
+
+
+def _norm_uri_path(col):
+    # For Spark's ``_metadata.file_path``, which is a URI: percent-encoded
+    # (a literal '%3A' in a directory name arrives as '%253A'). Decode back
+    # to the raw path so it joins against manifest-recorded spellings.
+    # url_decode turns '+' into space, so protect literal '+' first.
+    return F.url_decode(
+        F.regexp_replace(_norm_path(col), r"\+", "%2B"))
 
 
 def _norm_path_py(p: str) -> str:
@@ -76,7 +86,7 @@ def _read_plain_parquet(spark, files, schema, *, with_path_pos=False,
         df = spark.read.schema(st).parquet(
             *[_ad.to_native_path(f) for f in files])
         if with_path_pos:
-            df = df.withColumn(path_col, _norm_path(F.col("_metadata.file_path"))) \
+            df = df.withColumn(path_col, _norm_uri_path(F.col("_metadata.file_path"))) \
                    .withColumn(pos_col, F.col("_metadata.row_index"))
         return df
     df = _ad.read_parquet(spark, files, st, with_path_pos=with_path_pos,
@@ -114,7 +124,11 @@ def iceberg_scan(
         # materialization at 100 TB); small tables stay on the driver
         from ..plans.distributed_planner import plan_scan_distributed
 
-        plan = plan_scan_distributed(spark, tm, snapshot, where)
+        # reference lookup-source semantics: explicit id/timestamp lookups
+        # read the snapshot's schema, LATEST reads the current schema
+        explicit = snapshot_id is not None or as_of is not None
+        plan = plan_scan_distributed(spark, tm, snapshot, where,
+                                     snapshot_schema=explicit)
     return scan_to_dataframe(spark, plan, with_file_info=with_file_info,
                              with_row_lineage=with_row_lineage)
 
@@ -254,7 +268,7 @@ def scan_to_dataframe(
 
     def _with_pos(d: DataFrame) -> DataFrame:
         if need_pos:
-            d = d.withColumn(_FILE_COL, _norm_path(F.col("_metadata.file_path"))) \
+            d = d.withColumn(_FILE_COL, _norm_uri_path(F.col("_metadata.file_path"))) \
                  .withColumn(_POS_COL, F.col("_metadata.row_index"))
         return d
 
@@ -268,11 +282,42 @@ def scan_to_dataframe(
         legacy = _files_without_field_ids(spark, files)
     main_files = [f for f in files if f not in legacy]
 
+    # uuid columns: parquet stores FIXED_LEN_BYTE_ARRAY(16); Spark can read
+    # that only as binary. Read uuid fields as BinaryType, then render the
+    # canonical lowercase-hex form the schema promises (StringType) — pure
+    # Column expressions, no Python in the row path.
+    uuid_cols = [f.name for f in schema.fields
+                 if f.metadata.get(ice_types.ICEBERG_TYPE_KEY) == "uuid"]
+    read_schema = schema
+    if uuid_cols:
+        read_schema = T.StructType([
+            T.StructField(f.name, T.BinaryType(), f.nullable, f.metadata)
+            if f.name in uuid_cols else f
+            for f in schema.fields
+        ])
+
+    def _uuid_to_str(d: DataFrame) -> DataFrame:
+        for c in uuid_cols:
+            h = F.lower(F.hex(F.col(c)))
+            canonical = F.concat_ws(
+                "-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+                F.substring(h, 13, 4), F.substring(h, 17, 4),
+                F.substring(h, 21, 12))
+            # 16 raw bytes (spec FIXED[16], foreign writers) → format;
+            # anything longer is already canonical text (our writer stores
+            # the 36-char form — parquet strings read fine as binary)
+            d = d.withColumn(
+                c, F.when(F.col(c).isNull(), F.lit(None).cast("string"))
+                    .when(F.length(F.col(c)) == 16, canonical)
+                    .otherwise(F.col(c).cast("string")))
+        return d
+
     parts: list[DataFrame] = []
     if main_files:
         if _ad.is_spark_native(spark, main_files):
-            parts.append(_with_pos(spark.read.schema(schema).parquet(
-                *[_ad.to_native_path(f) for f in main_files])))
+            parts.append(_uuid_to_str(_with_pos(
+                spark.read.schema(read_schema).parquet(
+                    *[_ad.to_native_path(f) for f in main_files]))))
         else:
             p = _ad.read_parquet(
                 spark, main_files, schema, with_path_pos=need_pos,
@@ -520,7 +565,7 @@ def _read_by_name_mapping(
             if need_pos:
                 # resolve the hidden _metadata column while the plan leaf is
                 # still the file scan, before the rename projection drops it
-                raw = raw.withColumn(_FILE_COL, _norm_path(F.col("_metadata.file_path"))) \
+                raw = raw.withColumn(_FILE_COL, _norm_uri_path(F.col("_metadata.file_path"))) \
                          .withColumn(_POS_COL, F.col("_metadata.row_index"))
         else:
             # one layout signature per group → the first file's footer schema

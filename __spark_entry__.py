@@ -550,7 +550,10 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_name", "c_custkey", "o_orderkey",
                 F.col("o_orderdate").cast("string").alias("o_orderdate"),
-                F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+                # raw double passthrough: both engines read the identical
+                # parquet float64 — any rounding/decimal cast reintroduces
+                # engine-specific rounding and breaks the value hash
+                "o_totalprice",
                 "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
@@ -790,17 +793,20 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is TIMESTAMP(NANOS) parquet; Spark can only read it as a raw
-    # long when nanosAsLong is on. The driver's harness session doesn't set it,
-    # so make the query self-contained. Left set (not restored): Spark may
-    # capture the conf at execution (collect) time, after this returns, and
-    # the flag only affects nanos-timestamp parquet reads.
+def _events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a Spark timestamp, whatever the parquet stores:
+    TIMESTAMP(NANOS) surfaces as a raw long under nanosAsLong (floor ns→µs),
+    µs/ms timestamps read natively. The fixture generator has shipped both."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _pq(spark, sf_dir, "events")
-    # floor ns → µs for Spark timestamp math
-    ev = ev.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return ev
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_with_ts(spark, sf_dir)
     return (
         ev.withColumn("hour_start", F.date_trunc("hour", F.col("ts")).cast("string"))
         .groupBy("hour_start", "event_type")
@@ -973,6 +979,41 @@ def ice_count_star_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MOCK_STORE_TABLES: dict[str, str] = {}
+
+
+def _ice_docs_variant(spark: SparkSession, sf_dir: str) -> str:
+    """documents with a VARIANT column: v = {'lang':…, 'source':…,
+    'n_chars':…} (semi-structured ingestion shape; reference:
+    catalog_agnostic/test_basic_variant.test)."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+
+        docs = _pq(spark, sf_dir, "documents")
+        df = docs.select(
+            "doc_id",
+            F.parse_json(
+                F.to_json(F.struct("lang", "source", "n_chars"))).alias("v"))
+        write_iceberg(df, loc)
+
+    return _build_once(sf_dir, "docs_variant", build)
+
+
+def ice_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a VARIANT column and extract typed fields with variant_get —
+    both in the WHERE (drives the variant pruning/residual path) and the
+    projection. Oracle reads the same fields from the base columns."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_docs_variant(spark, sf_dir)
+    df = iceberg_scan(spark, loc,
+                      where="variant_get(v, '$.lang', 'string') = 'en'")
+    return (
+        df.select(
+            "doc_id",
+            F.expr("variant_get(v, '$.lang', 'string')").alias("lang"),
+            F.expr("variant_get(v, '$.n_chars', 'long')").alias("n_chars"))
+        .orderBy("doc_id")
+    )
 
 
 def _ice_objectstore(spark: SparkSession, sf_dir: str) -> str:
@@ -1300,10 +1341,7 @@ def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical semantics on readStream inputs)."""
     from duckdb_iceberg_spark.streaming import tumbling_agg
 
-    # self-contained w.r.t. nanos-timestamp parquet (see q_events_hourly)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _pq(spark, sf_dir, "events")
-    ev = ev.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    ev = _events_with_ts(spark, sf_dir)
     agg = tumbling_agg(
         ev, "ts", "1 hour",
         {"cnt": F.count(F.lit(1)), "sum_value": _dec_sum(F.col("value"), 6)},
@@ -1470,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_bucket_pruned_scan": ice_bucket_pruned_scan,
         "ice_dynamic_prune_join": ice_dynamic_prune_join,
         "ice_metadata_files": ice_metadata_files,
+        "ice_variant_extract": ice_variant_extract,
         "ice_topk_scan": ice_topk_scan,
         "ice_truncate_fn": ice_truncate_fn,
         "ice_bucket_fn": ice_bucket_fn,
@@ -1882,10 +1921,12 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume": """
             SELECT c_name, c_custkey, o_orderkey,
                    CAST(o_orderdate AS VARCHAR) AS o_orderdate,
-                   CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, sum_qty
+                   o_totalprice, sum_qty
             FROM orders
-            JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
-                  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150) big
+            JOIN (SELECT l_orderkey,
+                         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(CAST(l_quantity AS BIGINT)) > 150) big
               ON o_orderkey = big.l_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
@@ -2138,6 +2179,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_orderkey
         """,
         "ice_metadata_files": "SELECT count(*) AS total_records FROM lineitem",
+        "ice_variant_extract": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE lang = 'en' ORDER BY doc_id
+        """,
         "ice_topk_scan": """
             SELECT round(l_extendedprice, 2) AS l_extendedprice
             FROM lineitem ORDER BY l_extendedprice DESC LIMIT 25

@@ -10,8 +10,8 @@ PySpark-native re-expression of the reference's catalog layer:
   /root/reference/src/catalog/rest/transaction/iceberg_transaction.cpp:93-330
 
 All catalog work happens on the Spark driver; executors only ever see file
-paths. SigV4 signing (Glue/S3Tables) is not implemented — tables behind
-SigV4 need an OAuth2- or token-fronted proxy (documented gap)."""
+paths. SigV4 request signing (Glue/S3Tables) is implemented in
+``catalog/sigv4.py`` and enabled per-catalog via ``RestCatalogConfig``."""
 
 from __future__ import annotations
 
@@ -58,6 +58,71 @@ class RestCatalogConfig:
     sigv4: "SigV4Config | None" = None  # Glue/S3Tables-style signed requests
     default_headers: dict[str, str] = field(default_factory=dict)
     max_commit_retries: int = 4
+
+
+_GLUE_WAREHOUSE_FORMS = (
+    r"^:$",                   # default catalog, current account
+    r"^\d{12}$",              # default catalog, specific account
+    r"^\d{12}:[^:/]+$",       # specific catalog in a specific account
+    r"^[^:]+/[^:]+$",         # nested catalog, current account
+    r"^\d{12}:[^/]+/[^:]+$",  # nested catalog, specific account
+)
+
+
+def attach_aws_catalog_config(
+    warehouse: str,
+    *,
+    access_key: str,
+    secret_key: str,
+    region: str | None = None,
+    session_token: str | None = None,
+    endpoint: str | None = None,
+    **extra,
+) -> RestCatalogConfig:
+    """ATTACH sugar for AWS-hosted catalogs (reference:
+    iceberg_attach.cpp:104-161 S3TablesAttach/GlueAttach +
+    S3OrGlueAttachInternal): hand it either
+
+    - an S3Tables ARN ``arn:aws:s3tables:<region>:<acct>:bucket/<name>`` —
+      the region comes out of the ARN, or
+    - a Glue warehouse (``:``, ``<acct-id>``, ``<acct>:<catalog>``,
+      ``cat1/cat2``, ``<acct>:cat1/cat2``) plus ``region=``,
+
+    and get a SigV4-signed :class:`RestCatalogConfig` pointing at
+    ``https://<service>.<region>.amazonaws.com/iceberg``."""
+    import re as _re
+
+    from .sigv4 import SigV4Config
+
+    if warehouse.startswith("arn:"):
+        parts = warehouse.split(":", 5)
+        if len(parts) < 6 or parts[2] != "s3tables":
+            raise ValueError(
+                f"unsupported ARN {warehouse!r}: expected "
+                "arn:aws:s3tables:<region>:<account>:bucket/<name>")
+        arn_region = parts[3]
+        if not arn_region:
+            raise ValueError(
+                f"ARN {warehouse!r} has an empty REGION section")
+        service, region = "s3tables", arn_region
+    else:
+        if not any(_re.match(p, warehouse) for p in _GLUE_WAREHOUSE_FORMS):
+            raise ValueError(
+                f"invalid Glue warehouse {warehouse!r}: expected ':', a "
+                "12-digit account id, 'catalog1/catalog2', or "
+                "'<account>:catalog1/catalog2'")
+        if not region:
+            raise ValueError("Glue attach requires region=")
+        service = "glue"
+    uri = endpoint or f"https://{service}.{region}.amazonaws.com/iceberg"
+    return RestCatalogConfig(
+        uri=uri.rstrip("/"),
+        warehouse=warehouse,
+        sigv4=SigV4Config(access_key=access_key, secret_key=secret_key,
+                          region=region, service=service,
+                          session_token=session_token),
+        **extra,
+    )
 
 
 class RestCatalog:
@@ -297,13 +362,35 @@ class RestTable:
         self.metadata = fresh.metadata
         return self
 
+    def _delete_can_reapply(self, base_snapshot_id: Optional[int]) -> bool:
+        """A retried DELETE/overwrite is safe iff every commit in
+        (base, tip] was a pure append — anything else may have removed or
+        rewritten the rows the delete targeted (reference:
+        iceberg_transaction.cpp DeleteCanReapply, :210-240). Ranges over
+        sequence numbers; an unprovable history counts as not reappliable."""
+        tip_id = self.metadata.current_snapshot_id
+        if base_snapshot_id == tip_id:
+            return True
+        by_id = {s.snapshot_id: s for s in self.metadata.snapshots}
+        base = by_id.get(base_snapshot_id)
+        tip = by_id.get(tip_id)
+        if base is None or tip is None:
+            return False
+        lo, hi = base.sequence_number, tip.sequence_number
+        for s in self.metadata.snapshots:
+            if lo < s.sequence_number <= hi and s.operation != "append":
+                return False
+        return True
+
     def commit_snapshot(self, snapshot_json: dict, *,
                         operation: str = "append") -> dict:
-        """Optimistic append/delete commit with retry: on 409 refresh and
-        re-validate (appends are always retryable; the reference re-verifies
-        delete retries against new snapshots — iceberg_transaction.cpp:210-270;
-        here delete/overwrite conflicts are NOT retried)."""
-        retryable = operation == "append"
+        """Optimistic commit with retry: on 409 refresh and re-validate.
+        Appends always rebase and retry; deletes/overwrites retry only when
+        every intervening snapshot was a pure append (reference:
+        iceberg_transaction.cpp VerifyDeleteRetryability, :243-273),
+        otherwise the conflict surfaces to the caller to re-run."""
+        append_retryable = operation == "append"
+        base_snapshot_id = self.metadata.current_snapshot_id
         attempts = self.catalog.config.max_commit_retries
         last: Exception | None = None
         for _ in range(max(1, attempts)):
@@ -337,10 +424,12 @@ class RestTable:
                 return resp
             except CommitConflict as e:
                 last = e
-                if not retryable:
-                    raise
-                # another writer won the race: rebase the parent and retry
                 self.refresh()
+                if not append_retryable and not self._delete_can_reapply(
+                        base_snapshot_id):
+                    raise
+                # the winner's history is append-only (or this is an append):
+                # rebase the parent and retry
                 snapshot_json = dict(snapshot_json)
                 snapshot_json["parent-snapshot-id"] = self.metadata.current_snapshot_id
                 seq = self.metadata.last_sequence_number + 1

@@ -227,16 +227,53 @@ def _collect_stats(spark: SparkSession, paths: list[str]) -> list[dict]:
         return []
     if (not get_io(paths[0]).shippable
             or len(paths) < _DISTRIBUTED_STATS_THRESHOLD):
-        return [_footer_stats_one(p) for p in paths]
-    # distributed footer reads: executors each open only footers
-    opts = storage_options_for(paths[0])
+        out = [_footer_stats_safe(p) for p in paths]
+    else:
+        # distributed footer reads: executors each open only footers
+        opts = storage_options_for(paths[0])
 
-    def one(p):
-        return _footer_stats_one(p, io_from_storage_options(opts))
+        def one(p):
+            return _footer_stats_safe(p, io_from_storage_options(opts))
 
-    sc = spark.sparkContext
-    rdd = sc.parallelize(paths, min(len(paths), 256))
-    return rdd.map(one).collect()
+        sc = spark.sparkContext
+        rdd = sc.parallelize(paths, min(len(paths), 256))
+        out = rdd.map(one).collect()
+    failed = [s["path"] for s in out if s.get("record_count") is None]
+    if failed:
+        # pyarrow can't parse footers holding logical types it predates
+        # (Spark's VariantType thrift tag): recover record counts with one
+        # Spark job over just those files; column stats stay absent
+        # (optional in the spec — pruning is conservatively disabled)
+        from pyspark.sql import functions as F
+
+        counts = {
+            r[0]: r[1]
+            for r in spark.read.parquet(*failed)
+            .groupBy(F.col("_metadata.file_path")).count().collect()
+        }
+        from ..io import normalize_path
+
+        by_norm = {normalize_path(k): v for k, v in counts.items()}
+        for s in out:
+            if s.get("record_count") is None:
+                s["record_count"] = by_norm.get(
+                    normalize_path(s["path"]),
+                    counts.get(s["path"], 0))
+    return out
+
+
+def _footer_stats_safe(path: str, fs_io=None) -> dict:
+    try:
+        return _footer_stats_one(path, fs_io)
+    except Exception:
+        from ..io import get_io
+
+        io = fs_io or get_io(path)
+        return {
+            "path": path, "record_count": None, "file_size": io.size(path),
+            "value_counts": {}, "null_counts": {}, "col_sizes": {},
+            "mins": {}, "maxs": {},
+        }
 
 
 def _partition_values_from_path(path: str, data_root: str, spec: PartitionSpec,

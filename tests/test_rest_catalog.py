@@ -30,6 +30,7 @@ class _StubState:
         self.tables: dict[tuple, dict] = {}  # (ns..., name) -> metadata json
         self.tokens_issued = 0
         self.commit_conflicts_to_inject = 0
+        self.conflict_winner_operation = "append"
         self.requests: list[tuple[str, str]] = []
         # planTableScan: plan_response is returned for POST .../plan;
         # plan_pages maps plan-task token -> page response; async_polls
@@ -167,7 +168,8 @@ def _make_handler(state: _StubState):
                         sid = int(time.time() * 1000) % 10**9 + len(meta["snapshots"]) + 777
                         meta["snapshots"].append({"snapshot-id": sid, "sequence-number":
                                                   meta["last-sequence-number"] + 1,
-                                                  "timestamp-ms": 1, "summary": {"operation": "append"},
+                                                  "timestamp-ms": 1,
+                                                  "summary": {"operation": state.conflict_winner_operation},
                                                   "manifest-list": "mem://x.avro"})
                         meta["current-snapshot-id"] = sid
                         meta["last-sequence-number"] += 1
@@ -382,13 +384,31 @@ def test_row_lineage_through_rest_commits(stub):
     assert committed.first_row_id is None
 
 
-def test_delete_commit_conflict_not_retried(stub):
+def test_delete_commit_retries_past_concurrent_append(stub):
+    """A concurrent APPEND does not invalidate a DELETE: every intervening
+    snapshot is a pure append, so the delete rebases and commits (reference:
+    iceberg_transaction.cpp DeleteCanReapply)."""
     base, state = stub
     cat = _catalog(base)
     cat.create_namespace("db")
     tbl = cat.create_table("db", "t", SCHEMA)
     tbl.commit_snapshot(_snap(11, 1))
     state.commit_conflicts_to_inject = 1
+    state.conflict_winner_operation = "append"
+    tbl.commit_snapshot(_snap(22, 2), operation="delete")
+    assert tbl.metadata.current_snapshot_id == 22
+
+
+def test_delete_commit_conflict_with_rewrite_not_retried(stub):
+    """A concurrent overwrite/replace may have rewritten the delete's target
+    rows — the conflict must surface instead of silently re-applying."""
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    tbl = cat.create_table("db", "t", SCHEMA)
+    tbl.commit_snapshot(_snap(11, 1))
+    state.commit_conflicts_to_inject = 1
+    state.conflict_winner_operation = "replace"
     with pytest.raises(CommitConflict):
         tbl.commit_snapshot(_snap(22, 2), operation="delete")
 
@@ -707,3 +727,37 @@ def test_vended_credentials_register_table_io(stub):
     finally:
         fio.clear_location_ios()
         state.vended_config = None
+
+
+def test_attach_aws_arn_and_glue_forms():
+    """ARN/Glue attach sugar derives endpoint + SigV4 service/region
+    (reference: iceberg_attach.cpp:104-161)."""
+    from duckdb_iceberg_spark.catalog.rest_catalog import attach_aws_catalog_config
+
+    cfg = attach_aws_catalog_config(
+        "arn:aws:s3tables:us-west-2:123456789012:bucket/my-tables",
+        access_key="AK", secret_key="SK")
+    assert cfg.uri == "https://s3tables.us-west-2.amazonaws.com/iceberg"
+    assert cfg.sigv4.service == "s3tables" and cfg.sigv4.region == "us-west-2"
+    assert cfg.warehouse.endswith("bucket/my-tables")
+
+    cfg = attach_aws_catalog_config(
+        "123456789012:mycat", region="eu-central-1",
+        access_key="AK", secret_key="SK")
+    assert cfg.uri == "https://glue.eu-central-1.amazonaws.com/iceberg"
+    assert cfg.sigv4.service == "glue" and cfg.sigv4.region == "eu-central-1"
+
+    for w in (":", "123456789012", "cat1/cat2", "123456789012:cat1/cat2"):
+        attach_aws_catalog_config(w, region="us-east-1",
+                                  access_key="AK", secret_key="SK")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        attach_aws_catalog_config("arn:aws:s3tables::123:bucket/x",
+                                  access_key="AK", secret_key="SK")
+    with _pytest.raises(ValueError):
+        attach_aws_catalog_config("bad::warehouse", region="us-east-1",
+                                  access_key="AK", secret_key="SK")
+    with _pytest.raises(ValueError):
+        attach_aws_catalog_config("123456789012", access_key="AK",
+                                  secret_key="SK")  # Glue needs region

@@ -94,8 +94,24 @@ def main() -> int:
         ok_rows = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
         ok_hash = value_hash(srows, scols) == value_hash(orows, ocols)
+        # strict per-column python-type check: the driver's renderer is
+        # stricter than _render's canonicalization (HUGEINT vs BIGINT,
+        # Decimal vs float surface as dtype differences there even when the
+        # rendered values agree) — name the offending column here
+        type_mismatch = []
+        if ok_cols and srows and orows:
+            sidx = {c: i for i, c in enumerate(scols)}
+            oidx = {c: i for i, c in enumerate(ocols)}
+            for c in scols:
+                stypes = {type(r[sidx[c]]).__name__ for r in srows[:100]
+                          if r[sidx[c]] is not None}
+                otypes = {type(r[oidx[c]]).__name__ for r in orows[:100]
+                          if r[oidx[c]] is not None}
+                if stypes and otypes and stypes != otypes:
+                    type_mismatch.append((c, sorted(stypes), sorted(otypes)))
         if ok_rows and ok_cols and ok_hash:
-            print(f"PASS {name} ({len(srows)} rows, {el:.1f}s)")
+            tag = "" if not type_mismatch else f"  TYPE-DRIFT {type_mismatch}"
+            print(f"PASS {name} ({len(srows)} rows, {el:.1f}s){tag}")
         else:
             failures += 1
             print(f"FAIL {name}: rows {len(srows)}/{len(orows)} cols_ok={ok_cols} hash_ok={ok_hash}")

@@ -249,10 +249,13 @@ def minhash_dedup(
         few_inputs = False
     if few_inputs:
         reps = reps.repartition(par)
-    # reps feeds three downstream consumers (signatures, the two-sided verify
-    # join, and the final anti-join); persist so the parquet scan + collapse
-    # shuffle runs once, not four times (MEMORY_AND_DISK: spills, never OOMs)
-    reps = reps.persist()
+    # reps feeds three consumers (signatures, verify join, final anti-join).
+    # NO persist: measured at sf0.1, persist() costs ~2× the whole query —
+    # materializing text rows through (de)serialization beats nothing out of
+    # a columnar parquet re-scan. When the repartition above fires, its
+    # shuffle files already give exchange-level reuse across the consumers;
+    # without it the re-scans read only (id, text) with pushdown. The scale
+    # cost lives in the signature/verify UDFs, not these scans.
 
     sigs = minhash_signatures(reps, text_col, id_col, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(sigs, id_col, bands)
@@ -265,21 +268,43 @@ def minhash_dedup(
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+def neardup_planes_for(n_rows: int, target_bucket_rows: int = 256) -> int:
+    """Plane count for :func:`embedding_neardup`, derived from corpus size:
+    2^b buckets sized so the EXPECTED bucket holds ~``target_bucket_rows``
+    vectors — within-bucket verify is all-pairs, so bucket population must
+    stay bounded as N grows or the quadratic term dominates at corpus
+    scale. More planes also lower per-pair recall ((1-θ/π)^b), the standard
+    SRP trade; callers wanting higher recall OR-combine several plane seeds
+    like MinHash bands. Clamped to [4, 24] (16M buckets)."""
+    import math
+
+    if n_rows <= 0:
+        return 4
+    b = math.ceil(math.log2(max(1, n_rows / target_bucket_rows)))
+    return max(4, min(24, b))
+
+
 def embedding_neardup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dedup: SRP-LSH buckets bound the candidate set
     (vectors with cosine ≥ threshold land in the same bucket with prob
     (1 - θ/π)^b), then exact within-bucket pairwise cosine drops the higher
     id of each ≥-threshold pair. All-pairs work is per-bucket, so the join
-    is bucket-local — no corpus×corpus shuffle at 100 TB."""
+    is bucket-local — no corpus×corpus shuffle at 100 TB.
+
+    ``n_planes=None`` derives the plane count from the corpus size
+    (:func:`neardup_planes_for`) so expected bucket population stays
+    bounded as N grows — a fixed plane count goes quadratic at scale."""
     from .similarity import _hyperplanes, cosine_similarity, srp_bucket_column
 
+    if n_planes is None:
+        n_planes = neardup_planes_for(df.count())
     dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     b = df.select(

@@ -70,6 +70,13 @@ def predicate_to_rest(pred: P.Predicate) -> Optional[dict]:
     if isinstance(pred, (P.And, P.Or)):
         node = "and" if isinstance(pred, P.And) else "or"
         kids = [predicate_to_rest(c) for c in pred.children]
+        if isinstance(pred, P.Or) and any(k is None for k in kids):
+            # Dropping an OR disjunct would make the server filter MORE
+            # restrictive than the query (files matching only the
+            # unserializable side get pruned and their rows silently lost,
+            # since the residual Spark filter only sees returned files).
+            # Only AND may drop children (less restrictive = conservative).
+            return None
         kids = [k for k in kids if k is not None]
         if not kids:
             return None

@@ -227,7 +227,13 @@ def _write_deletion_vectors(
     if not rows:
         return [], set()
     blobs_in = {r.file_path: (bytes(r.blob), int(r.cardinality)) for r in rows}
-    replaced = {replaced_by_file[fp] for fp in blobs_in if fp in replaced_by_file}
+    # Supersession is per DATA FILE, not per Puffin file: a prior Puffin may
+    # hold DVs for data files this DELETE never touched, and dropping the
+    # whole Puffin path from the delete manifests would resurrect those
+    # files' deleted rows (their blobs were merged into nothing). The commit
+    # drops only delete entries whose referenced_data_file is in this set;
+    # untouched blobs in the same Puffin stay live at their old offsets.
+    superseded = {fp for fp in blobs_in if fp in replaced_by_file}
 
     out_path = fio.join(tm.location, "data", f"dv-{str(_uuid.uuid4())[:8]}.puffin")
     blobs = pf.write_puffin_serialized_dvs(out_path, blobs_in)
@@ -245,7 +251,7 @@ def _write_deletion_vectors(
             content_offset=blob.offset,
             content_size_in_bytes=blob.length,
         ))
-    return entries, replaced
+    return entries, superseded
 
 
 #: equality-delete key rows per output file; a CDC batch of hundreds of
@@ -432,11 +438,11 @@ def delete_from(
             F.col("filename").alias("file_path"),
             F.col("file_row_number").alias("pos"),
         )
-        delete_files, replaced = _write_row_deletes(spark, tm, pairs, plan)
+        delete_files, superseded = _write_row_deletes(spark, tm, pairs, plan)
         if not delete_files:
             return tm
         commit_snapshot(tm, operation="delete", new_delete_files=delete_files,
-                        removed_delete_paths=replaced or None)
+                        superseded_dv_refs=superseded or None)
         return tm
 
     # copy-on-write: drop provably-all-match files, rewrite the rest
@@ -499,7 +505,7 @@ def update_iceberg(
         pairs = matched.select(
             F.col("filename").alias("file_path"), F.col("file_row_number").alias("pos")
         )
-        delete_files, replaced = _write_row_deletes(spark, tm, pairs, plan)
+        delete_files, superseded = _write_row_deletes(spark, tm, pairs, plan)
         if not delete_files:
             return tm
         cols = [f.name for f in plan.spark_schema().fields]
@@ -507,7 +513,7 @@ def update_iceberg(
         new_files, _ = write_data_files(spark, new_rows, tm)
         commit_snapshot(tm, operation="overwrite", new_data_files=new_files,
                         new_delete_files=delete_files,
-                        removed_delete_paths=replaced or None)
+                        superseded_dv_refs=superseded or None)
         return tm
 
     # copy-on-write: rewrite candidate files with the SET applied to matches
@@ -728,9 +734,9 @@ def _merge_into_mor(
         new_parts.append(inserts.select(*ins_cols))
 
     delete_files: list[mf.DataFile] = []
-    replaced: set[str] = set()
+    superseded: set[str] = set()
     if when_matched_update or when_matched_delete:
-        delete_files, replaced = _write_row_deletes(spark, tm, pairs, plan)
+        delete_files, superseded = _write_row_deletes(spark, tm, pairs, plan)
     if not delete_files and not new_parts:
         return tm
     new_files: list[mf.DataFile] = []
@@ -742,6 +748,6 @@ def _merge_into_mor(
     commit_snapshot(
         tm, operation="overwrite",
         new_data_files=new_files, new_delete_files=delete_files,
-        removed_delete_paths=replaced or None,
+        superseded_dv_refs=superseded or None,
     )
     return tm

@@ -562,6 +562,7 @@ def commit_snapshot(
     new_delete_files: list[mf.DataFile] | None = None,
     removed_data_paths: set[str] | None = None,
     removed_delete_paths: set[str] | None = None,
+    superseded_dv_refs: set[str] | None = None,
     keep_existing: bool = True,
     extra_summary: dict | None = None,
 ) -> Snapshot:
@@ -608,21 +609,35 @@ def commit_snapshot(
                     nm.min_sequence_number = min(e.sequence_number or 0 for e in live)
                     manifests.append(nm)
                 # else: manifest fully removed
-            elif (removed_delete_paths or removed_data_paths) and m.content == mf.MANIFEST_DELETES:
+            elif (removed_delete_paths or removed_data_paths
+                  or superseded_dv_refs) and m.content == mf.MANIFEST_DELETES:
                 # v3 DV replacement: a new deletion vector supersedes the
                 # file's previous DV (reference: iceberg_delete.cpp
-                # altered_manifests handling). Compaction additionally drops
-                # delete entries whose referenced data file was rewritten —
-                # the rewrite materialized those deletes.
+                # altered_manifests handling) — matched by REFERENCED data
+                # file, never by Puffin path: one Puffin can hold DVs for
+                # many data files and only the rewritten blobs die (dropping
+                # by Puffin path would resurrect the untouched files'
+                # deletes). Compaction additionally drops delete entries
+                # whose referenced data file was rewritten — the rewrite
+                # materialized those deletes.
+                from ..io import normalize_path as _np
+
                 rdel = removed_delete_paths or set()
                 rdata = removed_data_paths or set()
+                sdv = superseded_dv_refs or set()
 
                 def _dead(e) -> bool:
                     d = e.data_file
                     if d.file_path in rdel or _localize(tm, d.file_path) in rdel:
                         return True
                     ref = d.referenced_data_file
-                    return bool(ref) and (ref in rdata or _localize(tm, ref) in rdata)
+                    if not ref:
+                        return False
+                    if ref in rdata or _localize(tm, ref) in rdata:
+                        return True
+                    return bool(sdv) and (
+                        ref in sdv or _localize(tm, ref) in sdv
+                        or _np(_localize(tm, ref)) in sdv)
 
                 entries = mf.read_manifest(_localize(tm, m.manifest_path))
                 live = [e for e in entries

@@ -195,6 +195,42 @@ def test_merge_into_mor_insert_only_preserves_matches(spark, tmp_path):
     assert got == {1: 1.0, 2: 2.0}  # matched row untouched, no delete written
 
 
+def test_dv_supersede_keeps_untouched_files_blobs(spark, tmp_path):
+    """A Puffin file holds DVs for data files A and B; a later DELETE that
+    touches only A must supersede only A's blob — B's previously deleted
+    rows must NOT resurrect (supersession is per referenced_data_file, not
+    per Puffin path)."""
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    loc = str(tmp_path / "dv_supersede")
+    # two data files: A = ids 0..9, B = ids 10..19
+    write_iceberg(spark.range(0, 10).selectExpr("id", "id * 1.0 AS v")
+                  .coalesce(1), loc, format_version=3)
+    write_iceberg(spark.range(10, 20).selectExpr("id", "id * 1.0 AS v")
+                  .coalesce(1), loc)
+    # one DELETE spanning both files → one Puffin, blobs for A and B
+    delete_from(spark, loc, "id IN (1, 11)", mode="merge-on-read")
+    assert sorted(r.id for r in iceberg_scan(spark, loc).collect()) == \
+        sorted(set(range(20)) - {1, 11})
+    # second DELETE touches only file A → A's blob is rewritten (merged),
+    # B's blob in the old Puffin must stay live
+    delete_from(spark, loc, "id = 2", mode="merge-on-read")
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == sorted(set(range(20)) - {1, 2, 11}), got
+    # exactly one DV per data file, and they live in different Puffin files
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    dv_by_data = {}
+    for t in plan.tasks:
+        dvs = [d for d in t.positional_deletes
+               if (d.file_format or "").lower() == "puffin"]
+        assert len(dvs) <= 1, "two DVs for one data file = corrupt"
+        if dvs:
+            dv_by_data[t.data_file.file_path] = dvs[0].file_path
+    assert len(dv_by_data) == 2
+    assert len(set(dv_by_data.values())) == 2
+
+
 def test_positional_delete_path_bounds_pruning(spark, sf_dir, tmp_path):
     """On an UNPARTITIONED MoR table, a positional-delete file whose
     file_path bounds reference only one data file is never assigned to the

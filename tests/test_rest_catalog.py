@@ -470,6 +470,16 @@ def test_predicate_to_rest_serialization():
     assert got == {"type": "eq", "term": "a", "value": 2}
     json.dumps(got)
     assert predicate_to_rest(parse_where("variant_get(v, '$.a') = 1")) is None
+    # ...but inside OR, dropping the unserializable disjunct would over-prune
+    # (rows matching only the variant side would be lost) — the whole OR
+    # must serialize to None (send no filter; Spark's residual filter is exact)
+    assert predicate_to_rest(parse_where(
+        "a = 1 OR variant_get(v, '$.a') = 1")) is None
+    # And an OR nested under AND: the unsound OR disappears, the sound
+    # conjunct survives (AND may drop children)
+    assert predicate_to_rest(parse_where(
+        "b = 2 AND (a = 1 OR variant_get(v, '$.a') = 1)")) == {
+        "type": "eq", "term": "b", "value": 2}
 
 
 def test_server_planned_scan_matches_client(stub, spark, sf_dir, tmp_path):

@@ -150,6 +150,7 @@ def schema_to_struct(schema_json: dict) -> T.StructType:
     disambiguation (case_sensitive_names.test golden: second column surfaces
     as ``uSeR_Id_1``): append ``_N`` to later case-colliding names. Parquet
     field-id resolution keeps the read correct under the rename."""
+    all_originals = {f["name"].lower() for f in schema_json["fields"]}
     fields = []
     seen: dict[str, int] = {}
     for f in schema_json["fields"]:
@@ -158,8 +159,16 @@ def schema_to_struct(schema_json: dict) -> T.StructType:
         n = seen.get(key, 0)
         seen[key] = n + 1
         if n:
-            sf = T.StructField(f"{sf.name}_{n}", sf.dataType, sf.nullable,
-                               sf.metadata)
+            # loop the suffix until the generated name collides with neither
+            # an already-emitted name nor any ORIGINAL field name: a schema
+            # holding user_id, uSeR_Id, and a genuine uSeR_Id_1 must not
+            # produce two uSeR_Id_1 columns
+            new = f"{sf.name}_{n}"
+            while new.lower() in seen or new.lower() in all_originals:
+                n += 1
+                new = f"{sf.name}_{n}"
+            seen[new.lower()] = 1
+            sf = T.StructField(new, sf.dataType, sf.nullable, sf.metadata)
         fields.append(sf)
     return T.StructType(fields)
 

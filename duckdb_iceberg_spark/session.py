@@ -8,6 +8,18 @@ Scale posture: these settings are sized for local[32]/128GiB but the same
 knobs are what a 1000-executor cluster tunes — shuffle partitions scale with
 cluster cores, maxPartitionBytes controls scan task granularity, AQE handles
 skew/coalesce at runtime.
+
+.. warning:: **``spark.sql.caseSensitive=true`` is set SESSION-WIDE.**
+   Iceberg column names are case-sensitive (a schema may legally hold both
+   ``user_id`` and ``uSeR_Id``), and insensitive analysis would break
+   parquet field-id resolution against such tables. The flip is global: it
+   changes name resolution for ALL queries in the session, so user SQL that
+   relied on case-insensitive matching (``SELECT ID FROM t`` against a
+   column named ``id``) fails analysis here. If your workload needs
+   insensitive resolution, pass ``extra_conf={"spark.sql.caseSensitive":
+   "false"}`` — Iceberg reads stay correct (they resolve columns by parquet
+   field-id, not by name) unless a table actually contains case-colliding
+   names. See README "Session configuration".
 """
 
 from __future__ import annotations

@@ -253,12 +253,27 @@ def _collect_stats(spark: SparkSession, paths: list[str]) -> list[dict]:
         }
         from ..io import normalize_path
 
-        by_norm = {normalize_path(k): v for k, v in counts.items()}
+        def _norm_uri(k: str) -> str:
+            # Spark's _metadata.file_path is a percent-encoded URI (a space
+            # is '%20', ':' is '%3A'); manifest paths are plain. Decode
+            # before matching — scan.py's _norm_uri_path twin — or paths
+            # with encodable characters miss and silently corrupt
+            # record_count-derived answers (metadata count(*)).
+            return urllib.parse.unquote(normalize_path(k))
+
+        by_norm = {_norm_uri(k): v for k, v in counts.items()}
+        by_norm.update({k: v for k, v in counts.items()})
         for s in out:
             if s.get("record_count") is None:
-                s["record_count"] = by_norm.get(
-                    normalize_path(s["path"]),
-                    counts.get(s["path"], 0))
+                n = by_norm.get(normalize_path(s["path"]),
+                                by_norm.get(s["path"]))
+                if n is None:
+                    # a wrong record_count poisons manifests (metadata-only
+                    # count(*) sums these) — fail loudly, never default to 0
+                    raise ValueError(
+                        f"footer stats unavailable and Spark row-count "
+                        f"recovery did not cover {s['path']!r}")
+                s["record_count"] = n
     return out
 
 

@@ -129,6 +129,27 @@ def test_schema_struct_roundtrip():
     assert [f["id"] for f in back["fields"]] == [1, 2, 3, 4, 6]
 
 
+def test_schema_struct_case_collision_suffix_avoids_originals():
+    """user_id + uSeR_Id + a genuine uSeR_Id_1: the disambiguation suffix
+    must skip names that collide (case-insensitively) with other original
+    fields — never emit two uSeR_Id_1 columns."""
+    def _schema(names):
+        return {"type": "struct", "schema-id": 0, "fields": [
+            {"id": i + 1, "name": n, "required": False, "type": "long"}
+            for i, n in enumerate(names)]}
+
+    st = ice_types.schema_to_struct(_schema(["user_id", "uSeR_Id", "uSeR_Id_1"]))
+    names = [f.name for f in st.fields]
+    assert len({n.lower() for n in names}) == 3, names
+    assert names[0] == "user_id" and names[2] == "uSeR_Id_1"
+    # the plain two-column case keeps the reference golden (uSeR_Id_1)
+    st2 = ice_types.schema_to_struct(_schema(["user_id", "uSeR_Id"]))
+    assert [f.name for f in st2.fields] == ["user_id", "uSeR_Id_1"]
+    # three-way collision still yields unique names
+    st3 = ice_types.schema_to_struct(_schema(["a", "A", "a_1", "A_1"]))
+    assert len({f.name.lower() for f in st3.fields}) == 4
+
+
 def test_predicate_parser_and_bounds():
     p = P.parse_where("l_shipdate >= DATE '1994-01-01' AND l_discount BETWEEN 0.05 AND 0.07")
     assert isinstance(p, P.And)

@@ -110,3 +110,23 @@ def test_file_info_virtual_columns(spark, sf_dir, tmp_path):
     rows = out.select("filename", "file_row_number").collect()
     assert all(r.filename and r.filename.endswith(".parquet") for r in rows)
     assert sorted({r.file_row_number for r in rows})[0] == 0
+
+
+def test_footer_stats_recovery_url_encoded_path(spark, sf_dir, tmp_path, monkeypatch):
+    """When pyarrow can't parse footers, record counts are recovered via a
+    Spark job keyed on _metadata.file_path — a percent-encoded URI. A table
+    directory with a space (encodes to %20) must still recover exact counts
+    (no silent record_count=0 in manifests), and a genuinely missing file
+    must raise, not default to 0."""
+    from duckdb_iceberg_spark.sources import writer as W
+
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "dir with space" / "tbl+x")
+    monkeypatch.setattr(
+        W, "_footer_stats_one",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("forced")))
+    write_iceberg(src, loc)
+    tm = load_table_metadata(loc)
+    from duckdb_iceberg_spark import iceberg_count
+    assert iceberg_count(loc) == src.count()  # metadata-only: sums record_count
+    assert iceberg_scan(spark, loc).count() == src.count()

@@ -24,6 +24,9 @@ HEADLINE = [
     # full TPC-H-shaped suite (the reference benchmarks Q1-Q22 over Iceberg,
     # BASELINE.md; same coverage here, adapted shapes per __spark_entry__)
     "q01_pricing_summary",
+    # q01 over ~5% MoR-deleted lineitem (reference dm=5 suite): the delta
+    # vs plain q01 is the delete-anti-join cost at relational scale
+    "q01_mor_pricing_summary",
     "q02_min_cost_supplier",
     "q03_shipping_priority",
     "q04_order_priority",

@@ -405,7 +405,18 @@ def load_table_metadata(
     table_location: str, version: str | None = None
 ) -> TableMetadata:
     loc = resolve_metadata_location(table_location, version)
-    j = json.loads(_read_text(loc))
+    try:
+        j = json.loads(_read_text(loc))
+    except json.JSONDecodeError as e:
+        # corrupt/foreign file fed as metadata (reference fixture
+        # data/persistent/bad_data): a user-facing error with the path, not
+        # a bare JSON traceback
+        raise ValueError(
+            f"{loc}: not Iceberg table metadata (JSON parse failed: {e})"
+        ) from None
+    if not isinstance(j, dict) or "format-version" not in j:
+        raise ValueError(
+            f"{loc}: not Iceberg table metadata (missing 'format-version')")
     tm = TableMetadata(j, metadata_location=loc)
     if table_location.endswith((".json", ".json.gz")):
         root = os.path.dirname(os.path.dirname(table_location))

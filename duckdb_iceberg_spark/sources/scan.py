@@ -76,6 +76,41 @@ def _norm_path_py(p: str) -> str:
     return normalize_path(p)
 
 
+def _uuid_field_paths(schema: T.StructType) -> list[list[str]]:
+    """Dot-paths of uuid-typed fields (schema_to_struct tags them with
+    ICEBERG_TYPE_KEY), descending into structs. Array/map elements carry no
+    Spark metadata, so uuid inside them cannot be tagged (or rewritten)."""
+    out: list[list[str]] = []
+
+    def walk(st: T.StructType, prefix: list[str]) -> None:
+        for f in st.fields:
+            md = f.metadata or {}
+            if md.get(ice_types.ICEBERG_TYPE_KEY) == "uuid":
+                out.append(prefix + [f.name])
+            elif isinstance(f.dataType, T.StructType):
+                walk(f.dataType, prefix + [f.name])
+
+    walk(schema, [])
+    return out
+
+
+def _uuidify_read_schema(schema: T.StructType) -> T.StructType:
+    """Read-time schema twin: uuid fields (string in the logical schema)
+    become BinaryType so Spark's parquet reader accepts FIXED_LEN_BYTE_ARRAY
+    physical storage; _uuid_to_str converts back after the scan."""
+    def conv(dt, md):
+        if (md or {}).get(ice_types.ICEBERG_TYPE_KEY) == "uuid":
+            return T.BinaryType()
+        if isinstance(dt, T.StructType):
+            return T.StructType([
+                T.StructField(f.name, conv(f.dataType, f.metadata),
+                              f.nullable, f.metadata)
+                for f in dt.fields])
+        return dt
+
+    return conv(schema, None)
+
+
 def _read_plain_parquet(spark, files, schema, *, with_path_pos=False,
                         path_col="__kf", pos_col="__kp"):
     """Read auxiliary parquet (delete files, key files) with an explicit
@@ -283,33 +318,38 @@ def scan_to_dataframe(
     main_files = [f for f in files if f not in legacy]
 
     # uuid columns: parquet stores FIXED_LEN_BYTE_ARRAY(16); Spark can read
-    # that only as binary. Read uuid fields as BinaryType, then render the
-    # canonical lowercase-hex form the schema promises (StringType) — pure
-    # Column expressions, no Python in the row path.
-    uuid_cols = [f.name for f in schema.fields
-                 if f.metadata.get(ice_types.ICEBERG_TYPE_KEY) == "uuid"]
-    read_schema = schema
-    if uuid_cols:
-        read_schema = T.StructType([
-            T.StructField(f.name, T.BinaryType(), f.nullable, f.metadata)
-            if f.name in uuid_cols else f
-            for f in schema.fields
-        ])
+    # that only as binary. Read uuid fields as BinaryType — including struct
+    # MEMBERS (foreign fixture add_columns_with_defaults_in_struct; the
+    # reference's initial_default_in_struct_all_types.test) — then render
+    # the canonical lowercase-hex form the schema promises (StringType),
+    # pure Column expressions, no Python in the row path. uuid inside
+    # array/map stays unsupported (no metadata slot to tag it).
+    uuid_paths = _uuid_field_paths(schema)
+    read_schema = _uuidify_read_schema(schema) if uuid_paths else schema
+
+    def _uuid_fmt(col):
+        h = F.lower(F.hex(col))
+        canonical = F.concat_ws(
+            "-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+            F.substring(h, 13, 4), F.substring(h, 17, 4),
+            F.substring(h, 21, 12))
+        # 16 raw bytes (spec FIXED[16], foreign writers) → format; anything
+        # longer is already canonical text (our writer stores the 36-char
+        # form — parquet strings read fine as binary)
+        return (F.when(col.isNull(), F.lit(None).cast("string"))
+                 .when(F.length(col) == 16, canonical)
+                 .otherwise(col.cast("string")))
 
     def _uuid_to_str(d: DataFrame) -> DataFrame:
-        for c in uuid_cols:
-            h = F.lower(F.hex(F.col(c)))
-            canonical = F.concat_ws(
-                "-", F.substring(h, 1, 8), F.substring(h, 9, 4),
-                F.substring(h, 13, 4), F.substring(h, 17, 4),
-                F.substring(h, 21, 12))
-            # 16 raw bytes (spec FIXED[16], foreign writers) → format;
-            # anything longer is already canonical text (our writer stores
-            # the 36-char form — parquet strings read fine as binary)
-            d = d.withColumn(
-                c, F.when(F.col(c).isNull(), F.lit(None).cast("string"))
-                    .when(F.length(F.col(c)) == 16, canonical)
-                    .otherwise(F.col(c).cast("string")))
+        for path in uuid_paths:
+            if len(path) == 1:
+                d = d.withColumn(path[0], _uuid_fmt(F.col(path[0])))
+            else:
+                # struct member: rewrite in place via withField (dotted path
+                # relative to the top-level struct column)
+                top, rest = path[0], ".".join(path[1:])
+                d = d.withColumn(top, F.col(top).withField(
+                    rest, _uuid_fmt(F.col(".".join(path)))))
         return d
 
     parts: list[DataFrame] = []

@@ -268,11 +268,17 @@ def _collect_stats(spark: SparkSession, paths: list[str]) -> list[dict]:
                 n = by_norm.get(normalize_path(s["path"]),
                                 by_norm.get(s["path"]))
                 if n is None:
-                    # a wrong record_count poisons manifests (metadata-only
-                    # count(*) sums these) — fail loudly, never default to 0
-                    raise ValueError(
-                        f"footer stats unavailable and Spark row-count "
-                        f"recovery did not cover {s['path']!r}")
+                    # absent from the grouped counts: either a zero-row file
+                    # (groupBy emits no group for it) or a path-matching
+                    # miss. Confirm with a targeted read — a wrong
+                    # record_count poisons manifests (metadata-only count(*)
+                    # sums these), so never default to 0 on a real miss.
+                    n = spark.read.parquet(s["path"]).count()
+                    if n != 0:
+                        raise ValueError(
+                            f"footer stats unavailable and Spark row-count "
+                            f"recovery did not cover {s['path']!r} "
+                            f"(file has {n} rows)")
                 s["record_count"] = n
     return out
 

@@ -291,6 +291,8 @@ def embedding_neardup(
     threshold: float = 0.95,
     n_planes: int | None = None,
     seed: int = 42,
+    dim: int | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dedup: SRP-LSH buckets bound the candidate set
     (vectors with cosine ≥ threshold land in the same bucket with prob
@@ -300,12 +302,26 @@ def embedding_neardup(
 
     ``n_planes=None`` derives the plane count from the corpus size
     (:func:`neardup_planes_for`) so expected bucket population stays
-    bounded as N grows — a fixed plane count goes quadratic at scale."""
+    bounded as N grows — a fixed plane count goes quadratic at scale.
+
+    Sizing inputs: pass ``dim`` (embedding length — Spark array schemas
+    don't record it) and ``approx_count`` (table-metadata row count, a
+    prior count) to run ZERO jobs before the real one; when absent, both
+    are read in ONE combined aggregate job over the corpus, never the
+    previous count()+first() pair of full passes."""
     from .similarity import _hyperplanes, cosine_similarity, srp_bucket_column
 
+    if dim is None or (n_planes is None and approx_count is None):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("dim"),
+        ).first()
+        if dim is None:
+            dim = int(row["dim"])
+        if approx_count is None:
+            approx_count = int(row["n"])
     if n_planes is None:
-        n_planes = neardup_planes_for(df.count())
-    dim = len(df.select(vec_col).first()[0])
+        n_planes = neardup_planes_for(approx_count)
     planes = _hyperplanes(dim, n_planes, seed)
     b = df.select(
         F.col(id_col), F.col(vec_col),

@@ -66,17 +66,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def srp_bucket_column(vec_col: Column, planes: np.ndarray) -> Column:
-    """Bucket id = sign-bit string of hyperplane dot products, as a long.
-    Pure Column math: sum(plane_i ⊙ v) per plane, bit-packed."""
-    bits = []
-    for i, plane in enumerate(planes):
-        coeffs = F.array(*[F.lit(float(c)) for c in plane])
-        d = _dot(vec_col.cast(T.ArrayType(T.DoubleType())), coeffs)
-        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast(T.LongType())
+    """Bucket id = sign-bit string of hyperplane dot products, bit-packed
+    into a long (bit i set iff dot(plane_i, v) >= 0).
+
+    One Arrow-batched pandas UDF over a closure-shipped (b, dim) numpy
+    matrix — NOT b×dim literal-array Columns: at production embedding dims
+    (768-1536) × 24 planes the literal form put ~18-37k constants into the
+    Catalyst plan, blowing up analysis/codegen before a single row moved.
+    The matrix ships once per task (~300 KB worst case), and each Arrow
+    batch is one matmul."""
+    P = np.ascontiguousarray(planes, dtype="float64")
+    weights = np.uint64(1) << np.arange(P.shape[0], dtype=np.uint64)
+
+    @pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series(np.empty(0, dtype="int64"))
+        m = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
+        bits = (m @ P.T) >= 0
+        return pd.Series((bits.astype(np.uint64) @ weights).astype("int64"))
+
+    return bucket(vec_col)
 
 
 def cosine_topk_lsh(
@@ -100,24 +110,47 @@ def cosine_topk_lsh(
     return cosine_topk(probe, query_vec, k, vec_col, id_col)
 
 
+def ivf_centroids_for(n_rows: int) -> int:
+    """Centroid count derived from corpus size: the sqrt(N) rule balances
+    list length (N/C rows scanned per probed list) against the centroid
+    table the driver holds and every assignment matmul multiplies by.
+    Clamped to [16, 1024] — 1024 centroids × dim 1536 float64 is ~12 MB on
+    the driver, the collect ceiling."""
+    import math
+
+    if n_rows <= 0:
+        return 16
+    return max(16, min(1024, int(math.isqrt(n_rows))))
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 2,
     seed: int = 42,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: vectors are assigned to their nearest
     centroid (inverted lists); the query probes only the ``nprobe`` nearest
     lists, scanning ~nprobe/n_centroids of the corpus.
 
+    ``n_centroids=None`` derives sqrt(N) centroids (:func:`ivf_centroids_for`)
+    from ``approx_count`` when the caller knows the corpus size (table
+    metadata, a prior count — no extra job), else from one count() job.
+    A fixed centroid count would leave each inverted list growing linearly
+    with the corpus.
+
     Centroids are a deterministic hash-sample of the corpus itself (seeded;
     no iterative training — at 100 TB a k-means fit would be its own job,
     and spherical IVF with sampled centroids is the standard cheap variant).
     Assignment runs as an Arrow-batched pandas UDF (one matmul per batch)."""
+    if n_centroids is None:
+        n_centroids = ivf_centroids_for(
+            approx_count if approx_count is not None else df.count())
     # deterministic sample: first n_centroids ids by murmur-ish hash order
     cand = (
         df.select(id_col, vec_col)

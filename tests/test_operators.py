@@ -191,3 +191,47 @@ def test_audio_features_stub(spark):
     assert out[1].n_bytes == 8 and out[1].sample_rate in (8000, 16000, 22050, 44100)
     assert len(out[1].feature) == 8
     assert out[2].feature is None
+
+
+def test_srp_bucket_plan_stays_flat_at_production_dims(spark):
+    """srp_bucket_column ships hyperplanes as one numpy matrix inside a
+    pandas UDF — the plan must NOT grow with dim x planes (the literal-array
+    form put ~37k constants into the plan at dim=1536 x 24 planes)."""
+    from duckdb_iceberg_spark.operators.similarity import (
+        _hyperplanes, srp_bucket_column)
+
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=7) * 2 - 1) for _ in range(8)]).alias("embedding"))
+    small = df.select(
+        srp_bucket_column(F.col("embedding"), _hyperplanes(8, 4)).alias("b"))
+    big_planes = _hyperplanes(1536, 24)
+    big = df.select(srp_bucket_column(F.col("embedding"), big_planes).alias("b"))
+    small_len = len(small._jdf.queryExecution().analyzed().toString())
+    big_len = len(big._jdf.queryExecution().analyzed().toString())
+    # identical plan shape: one UDF node either way; allow slack for names
+    assert big_len < small_len + 500, (small_len, big_len)
+
+
+def test_ivf_centroids_for_scales_with_corpus():
+    from duckdb_iceberg_spark.operators.similarity import ivf_centroids_for
+
+    assert ivf_centroids_for(0) == 16
+    assert ivf_centroids_for(100) == 16          # floor
+    assert ivf_centroids_for(10_000) == 100      # sqrt(N)
+    assert ivf_centroids_for(4_000_000) == 1024  # driver-collect ceiling
+    assert ivf_centroids_for(10**12) == 1024
+
+
+def test_embedding_neardup_sizing_runs_one_job(vectors):
+    """dim + approx_count passed in -> no sizing aggregate at all; results
+    identical to the self-sizing path."""
+    from duckdb_iceberg_spark.operators.dedup import embedding_neardup
+
+    auto = sorted(r.vec_id for r in
+                  embedding_neardup(vectors, threshold=0.99).collect())
+    n = vectors.count()
+    dim = len(vectors.select("embedding").first()[0])
+    pinned = sorted(r.vec_id for r in embedding_neardup(
+        vectors, threshold=0.99, dim=dim, approx_count=n).collect())
+    assert auto == pinned

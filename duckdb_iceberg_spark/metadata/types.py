@@ -24,6 +24,7 @@ single-value form used by ``initial-default``/``write-default``.
 from __future__ import annotations
 
 import datetime as _dt
+import math
 import re
 import struct
 import uuid as _uuid
@@ -403,12 +404,41 @@ def decode_bound(t: Any, b: bytes | None) -> Any:
         return b.decode("utf-8", errors="replace")
     if name == "uuid":
         return str(_uuid.UUID(bytes=b))
-    if name in ("fixed", "binary", "geometry"):
+    if name == "geometry":
+        # geometry bounds are bounding-box corners (packed doubles, Iceberg
+        # v3 Appendix D), not scalar min/max — returning them as comparable
+        # values would let byte-order pruning drop files unsoundly. None =
+        # "no stats" = never prune on geometry (the reference prunes only
+        # through its geometry-aware expression stats,
+        # iceberg_predicate.cpp:288). Use decode_geometry_bound to read the
+        # box itself.
+        return None
+    if name in ("fixed", "binary"):
         return b
     if name == "decimal":
         _, s = decimal_precision_scale(t)
         return Decimal(int.from_bytes(b, "big", signed=True)).scaleb(-s, context=DEC38)
     return None
+
+
+def decode_geometry_bound(b: bytes | None) -> dict | None:
+    """Geometry lower/upper bound blob → bounding-box corner dict
+    {x, y, z|None, m|None} (Iceberg v3 Appendix D: 2, 3, or 4 packed
+    little-endian doubles; 3 doubles are always XYZ — an XYM writer pads Z
+    with ±infinity, which decodes back to absent;
+    reference: iceberg_data_file_stats.cpp:146-168)."""
+    if b is None:
+        return None
+    b = bytes(b)
+    if len(b) not in (16, 24, 32) :
+        return None
+    vals = list(struct.unpack(f"<{len(b) // 8}d", b))
+    x, y = vals[0], vals[1]
+    z = vals[2] if len(vals) >= 3 else None
+    m = vals[3] if len(vals) == 4 else None
+    if z is not None and math.isinf(z):
+        z = None
+    return {"x": x, "y": y, "z": z, "m": m}
 
 
 # ---------------------------------------------------------------------------

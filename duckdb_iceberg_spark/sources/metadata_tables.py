@@ -166,6 +166,20 @@ def iceberg_column_stats(spark: SparkSession, path: str, **scan_opts) -> DataFra
 def _render(t: Any, b: bytes | None) -> str | None:
     if b is None:
         return None
+    if isinstance(t, str) and ice_types.primitive_name(t) == "geometry":
+        # no scalar min/max exists for geometry: render the bounding-box
+        # corner as the reference's JSON object (iceberg_column_stats.cpp
+        # GeometryBoundJson — keys bbox_x/bbox_y/bbox_z/bbox_m, absent axes
+        # null) so callers can ->> '$.bbox_x' it
+        corner = ice_types.decode_geometry_bound(b)
+        if corner is None:
+            return None
+        import json as _json
+
+        return _json.dumps({
+            "bbox_x": corner["x"], "bbox_y": corner["y"],
+            "bbox_z": corner["z"], "bbox_m": corner["m"],
+        }, separators=(",", ":"))
     v = ice_types.decode_bound(t, b)
     return None if v is None else str(v)
 

@@ -393,6 +393,13 @@ def _encode_stat_bound(t: Any, v: Any) -> bytes | None:
     if t is None or v is None:
         return None
     try:
+        if isinstance(t, str) and ice_types.primitive_name(t) == "geometry":
+            # geometry bounds must be bounding-box corners (v3 Appendix D),
+            # not raw WKB byte min/max from the parquet footer — writing the
+            # latter would poison readers that decode the corner doubles.
+            # We don't compute bboxes from WKB, so write no bounds (readers
+            # stay conservative: geometry never prunes).
+            return None
         if isinstance(v, str) and len(v) > 64:
             return None
         if isinstance(v, bytes) and ice_types.primitive_name(t) == "string":

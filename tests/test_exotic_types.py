@@ -116,3 +116,76 @@ def test_variant_column_round_trip(spark, tmp_path):
         json.loads(r.v)["k"]
         for r in got.select(F.to_json("v").alias("v"), "id").collect())
     assert vals == [0, 1, 2]
+
+
+def test_geometry_bbox_stats_render_and_never_prune(spark, tmp_path):
+    """Geometry bounds are bounding-box corners (Iceberg v3 Appendix D:
+    packed little-endian doubles), not scalar min/max:
+
+    - iceberg_column_stats renders them as the reference's JSON object
+      (GeometryBoundJson: bbox_x/bbox_y/bbox_z/bbox_m, absent axes null —
+      iceberg_column_stats.cpp:40-56, test_read_geometry_read_with_stats);
+    - the planner must NEVER prune on geometry bounds (byte-comparing
+      corner doubles against WKB literals would drop live files);
+    - our own writer emits NO geometry bounds (it has no bbox source —
+      raw WKB footer min/max would poison corner-decoding readers).
+    """
+    import struct as _struct
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata import manifest as mf
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.metadata_tables import iceberg_column_stats
+    from duckdb_iceberg_spark.sources.writer import commit_snapshot
+
+    wkb_point = bytes.fromhex("0101000000000000000000f03f0000000000000040")
+    df = spark.createDataFrame(
+        [(1, None, None, None, wkb_point)], _tagged_schema())
+    loc = str(tmp_path / "t")
+    write_iceberg(df, loc)
+
+    # our writer: no bounds for the geometry field
+    stats0 = iceberg_column_stats(spark, loc).filter("column_name = 't_geom'")
+    own = stats0.collect()
+    assert all(r.lower_bound is None and r.upper_bound is None for r in own)
+
+    # append a foreign-style entry carrying an XY bbox (2 doubles/corner)
+    tm = load_table_metadata(loc)
+    data_path = own[0].file_path
+    entry = mf.DataFile(
+        content=mf.CONTENT_DATA, file_path=data_path, file_format="PARQUET",
+        partition={}, record_count=1, file_size_in_bytes=100,
+        lower_bounds={5: _struct.pack("<2d", -10.5, -20.25)},
+        upper_bounds={5: _struct.pack("<2d", 30.75, 41.5)},
+    )
+    commit_snapshot(tm, operation="append", new_data_files=[entry])
+
+    rows = (iceberg_column_stats(spark, loc)
+            .filter("column_name = 't_geom' AND lower_bound IS NOT NULL")
+            .collect())
+    assert len(rows) == 1
+    lo, hi = json.loads(rows[0].lower_bound), json.loads(rows[0].upper_bound)
+    assert lo == {"bbox_x": -10.5, "bbox_y": -20.25, "bbox_z": None, "bbox_m": None}
+    assert hi == {"bbox_x": 30.75, "bbox_y": 41.5, "bbox_z": None, "bbox_m": None}
+
+    # a predicate over the geometry column must not prune either file
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot(), "t_geom = X'01'")
+    assert len(plan.tasks) == 2  # both entries survive (conservative)
+
+
+def test_decode_geometry_bound_axes():
+    import math
+    import struct as _struct
+
+    from duckdb_iceberg_spark.metadata.types import decode_geometry_bound
+
+    assert decode_geometry_bound(_struct.pack("<2d", 1.0, 2.0)) == {
+        "x": 1.0, "y": 2.0, "z": None, "m": None}
+    assert decode_geometry_bound(_struct.pack("<3d", 1.0, 2.0, 3.0)) == {
+        "x": 1.0, "y": 2.0, "z": 3.0, "m": None}
+    # XYM writers pad Z with +/-inf -> decodes back to absent
+    got = decode_geometry_bound(_struct.pack("<4d", 1.0, 2.0, -math.inf, 7.0))
+    assert got == {"x": 1.0, "y": 2.0, "z": None, "m": 7.0}
+    assert decode_geometry_bound(b"\x00" * 7) is None

@@ -9,6 +9,14 @@ Fixture construction (Iceberg table builds from the parquet testdata) is
 timed separately as fixture_build_sec — the reference's benchmarks likewise
 exclude data loading from per-query timings (BASELINE.md: timed runs are the
 queries, the persistent dataset is pre-built).
+
+Variance note: each query is timed ONCE on a shared 32-core box, so
+sub-second queries carry up to ~1s of scheduler/page-cache noise.
+Round-3's apparent regressions (q_rollup 1.12->1.91s, ice_spec_evolution
+0.68->1.42s, ice_objectstore 0.94->1.81s) did not reproduce on an idle
+box in round 4 (0.74/0.70/0.45s over 3 runs each, back at round-1 levels)
+— treat round-over-round diffs under ~1s on sub-2s queries as noise;
+plan-shape audits (explain) are the reliable signal at that size.
 """
 
 from __future__ import annotations
@@ -99,7 +107,8 @@ def main() -> None:
 
     # build fixtures (cached across runs) outside per-query timing
     t0 = time.time()
-    for fn in (entry._ice_lineitem, entry._ice_orders_mor, entry._ice_customer_upd,
+    for fn in (entry._ice_lineitem, entry._ice_lineitem_mor,
+               entry._ice_orders_mor, entry._ice_customer_upd,
                entry._ice_orders_dv, entry._ice_supplier_upsert):
         fn(spark, sf_dir)
     build_s = time.time() - t0

@@ -1337,6 +1337,30 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter("vec_id != 0"), qvec, k=10).select("vec_id")
 
 
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k: probe only the query's sign bucket
+    (~2^-b of the corpus scanned). Hash-checked — the DuckDB oracle
+    replicates the hyperplane signs and bucket filter exactly."""
+    from duckdb_iceberg_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    return cosine_topk_lsh(emb.filter("vec_id != 0"), qvec, k=10,
+                           n_planes=6).select("vec_id")
+
+
+def docs_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard dedup (documented quadratic — the within-bucket
+    refinement path; minhash is the corpus-scale entry). Hash-checked
+    against a DuckDB replica of the gram/Jaccard pipeline."""
+    from duckdb_iceberg_spark.operators.dedup import ngram_jaccard_dedup
+
+    docs = _pq(spark, sf_dir, "documents")
+    return ngram_jaccard_dedup(docs, n=3, threshold=0.8).agg(
+        F.count(F.lit(1)).alias("survivors"),
+        F.sum("doc_id").cast("long").alias("id_sum"))
+
+
 def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: multi-query knn join (window over crossJoin)
     from duckdb_iceberg_spark.operators.similarity import knn_join
@@ -1497,10 +1521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
       1-22   ice_* Iceberg table-format queries — the reference's own
              surface, always in-window.
-      23-40  docs_/emb_/stream_/mm_ LLM-pipeline + streaming operators —
+      23-42  docs_/emb_/stream_/mm_ LLM-pipeline + streaming operators —
              rotated IN this round (they sat at 51-69 through r1-r3 and had
              never been driver-oracle-checked).
-      41-50  TPC-H canaries (q01/q02/q06/q09/q12/q14/q17/q18/q21) + q01_mor
+      43-50  TPC-H canaries (q01/q02/q06/q09/q17/q18/q21) + q01_mor
              (TPC-H-over-deletes, reference dm=5 analogue).
       51+    remaining TPC-H + q_* relational extras — three rounds green
              (r1-r3), parked outside the window; rotate back if any
@@ -1540,9 +1564,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_dedup": docs_minhash_dedup,
         "docs_simhash": docs_simhash,
         "docs_winnow": docs_winnow,
+        "docs_ngram_dedup": docs_ngram_dedup,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_knn_join": emb_knn_join,
         "emb_ivf_topk": emb_ivf_topk,
+        "emb_lsh_topk": emb_lsh_topk,
         "emb_neardup": emb_neardup,
         "stream_incremental": stream_incremental,
         "stream_sink_roundtrip": stream_sink_roundtrip,
@@ -1556,14 +1582,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q02_min_cost_supplier": q02_min_cost_supplier,
         "q06_revenue_forecast": q06_revenue_forecast,
         "q09_product_profit": q09_product_profit,
-        "q12_late_lines": q12_late_lines,
-        "q14_promo_revenue": q14_promo_revenue,
         "q17_small_quantity": q17_small_quantity,
         "q18_large_volume": q18_large_volume,
         "q21_waiting_supplier": q21_waiting_supplier,
         # ------------------- 50-row window boundary -----------------------
         "q03_shipping_priority": q03_shipping_priority,
         "q04_order_priority": q04_order_priority,
+        "q12_late_lines": q12_late_lines,
+        "q14_promo_revenue": q14_promo_revenue,
         "q05_region_revenue": q05_region_revenue,
         "q07_volume_shipping": q07_volume_shipping,
         "q08_market_share": q08_market_share,
@@ -1737,6 +1763,88 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 8, shingle_k: int = 5,
     """
 
 
+def _srp_bucket_sql(col: str, planes, dim: int) -> str:
+    """DuckDB replica of operators.similarity.srp_bucket_column: per-plane
+    double dot product (left-fold chain), sign bits packed into an int.
+    Shared by the emb_neardup and emb_lsh_topk oracles."""
+    return " + ".join(
+        "(CASE WHEN ({d}) >= 0 THEN {v} ELSE 0 END)".format(
+            v=1 << i,
+            d="\n                        + ".join(
+                f"CAST({col}[{j + 1}] AS DOUBLE) * ({planes[i][j]!r})"
+                for j in range(dim)))
+        for i in range(len(planes)))
+
+
+def _lsh_topk_sql(dim: int = 64, n_planes: int = 6, seed: int = 42,
+                  k: int = 10) -> str:
+    """DuckDB replica of operators.similarity.cosine_topk_lsh: bucket the
+    corpus AND the query row with the same hyperplanes, probe only the
+    query's bucket, rank by cosine (vec_id-only output like
+    emb_cosine_topk — float ordering stays internal)."""
+    from duckdb_iceberg_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket_e = _srp_bucket_sql("e.embedding", planes, dim)
+    bucket_q = _srp_bucket_sql("q.embedding", planes, dim)
+    return f"""
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            qb AS (SELECT ({bucket_q}) AS bkt FROM q),
+            b AS (
+              SELECT e.vec_id, e.embedding, ({bucket_e}) AS bkt
+              FROM embeddings e WHERE e.vec_id <> 0
+            )
+            SELECT b.vec_id
+            FROM b, q, qb
+            WHERE b.bkt = qb.bkt
+            ORDER BY round(list_cosine_similarity(
+                        CAST(b.embedding AS DOUBLE[]),
+                        CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                     b.vec_id
+            LIMIT {k}
+    """
+
+
+def _ngram_dedup_sql(n: int = 3, threshold: float = 0.8) -> str:
+    """DuckDB replica of operators.dedup.ngram_jaccard_dedup: word n-grams
+    (Spark's split keeps empty tokens — no list_filter here), distinct per
+    doc, pairwise intersection counts via self-join on shared grams,
+    Jaccard >= threshold drops the higher id. Grams compare as STRINGS here
+    vs 32-bit F.hash values in Spark — identical results unless two
+    distinct grams of one document collide (~1e-5 per 200-gram doc)."""
+    return f"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(toks) - {n}, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' ')
+                     )) AS grams
+              FROM t
+            ), e AS (
+              SELECT doc_id, unnest(grams) AS gr FROM g
+            ), s AS (
+              SELECT doc_id, len(grams) AS sz FROM g
+            ), p AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS inter
+              FROM e l JOIN e r ON l.gr = r.gr AND l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            ), losers AS (
+              SELECT DISTINCT id_b FROM p
+              JOIN s a ON a.doc_id = p.id_a
+              JOIN s b ON b.doc_id = p.id_b
+              WHERE inter * 1.0 / (a.sz + b.sz - inter) >= {threshold}
+            )
+            SELECT count(*) AS survivors,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+
+
 def _neardup_sql(dim: int = 64, n_planes: int = 8, seed: int = 42,
                  threshold: float = 0.99) -> str:
     """DuckDB replica of operators.dedup.embedding_neardup. Floating-point
@@ -1750,13 +1858,7 @@ def _neardup_sql(dim: int = 64, n_planes: int = 8, seed: int = 42,
     from duckdb_iceberg_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = " + ".join(
-        "(CASE WHEN ({d}) >= 0 THEN {v} ELSE 0 END)".format(
-            v=1 << i,
-            d="\n                        + ".join(
-                f"CAST(embedding[{j + 1}] AS DOUBLE) * ({planes[i][j]!r})"
-                for j in range(dim)))
-        for i in range(n_planes))
+    bucket = _srp_bucket_sql("embedding", planes, dim)
     sq = "\n                       + ".join(
         f"CAST(CAST(embedding[{j + 1}] * embedding[{j + 1}] AS REAL) AS DOUBLE)"
         for j in range(dim))
@@ -2304,6 +2406,8 @@ def oracle_sql() -> dict[str, str]:
                      vec_id
             LIMIT 10
         """,
+        "emb_lsh_topk": _lsh_topk_sql(),
+        "docs_ngram_dedup": _ngram_dedup_sql(),
         "emb_knn_join": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
                        FROM embeddings WHERE vec_id IN (0, 1, 2)),

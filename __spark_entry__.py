@@ -1409,6 +1409,28 @@ def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per event_type — the stateful
+    merge-on-overlap window Structured Streaming tracks with watermark
+    state; identical semantics on this batch input. Oracle: gaps-and-islands
+    in DuckDB (break when ts - prev_ts >= gap; session end = last + gap)."""
+    from duckdb_iceberg_spark.streaming import session_agg
+
+    ev = _events_with_ts(spark, sf_dir)
+    agg = session_agg(
+        ev, "ts", "10 minutes",
+        {"cnt": F.count(F.lit(1)), "sum_value": _dec_sum(F.col("value"), 6)},
+        keys=["event_type"],
+    )
+    return (
+        agg.select(F.col("session_start").cast("string").alias("session_start"),
+                   F.col("session_end").cast("string").alias("session_end"),
+                   "event_type", "cnt", "sum_value")
+        .orderBy("session_start", "event_type")
+        .limit(500)
+    )
+
+
 def _ice_stream_sink(spark: SparkSession, sf_dir: str) -> str:
     """supplier streamed file-by-file into an Iceberg table via the
     foreachBatch sink (availableNow), checkpointed for exactly-once."""
@@ -1521,10 +1543,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
       1-22   ice_* Iceberg table-format queries — the reference's own
              surface, always in-window.
-      23-42  docs_/emb_/stream_/mm_ LLM-pipeline + streaming operators —
+      23-43  docs_/emb_/stream_/mm_ LLM-pipeline + streaming operators —
              rotated IN this round (they sat at 51-69 through r1-r3 and had
              never been driver-oracle-checked).
-      43-50  TPC-H canaries (q01/q02/q06/q09/q17/q18/q21) + q01_mor
+      44-50  TPC-H canaries (q01/q02/q09/q17/q18/q21) + q01_mor
              (TPC-H-over-deletes, reference dm=5 analogue).
       51+    remaining TPC-H + q_* relational extras — three rounds green
              (r1-r3), parked outside the window; rotate back if any
@@ -1573,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental": stream_incremental,
         "stream_sink_roundtrip": stream_sink_roundtrip,
         "stream_tumbling_events": stream_tumbling_events,
+        "stream_session_events": stream_session_events,
         "mm_image_features": mm_image_features,
         "mm_audio_features": mm_audio_features,
         "mm_frame_sample": mm_frame_sample,
@@ -1580,7 +1603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q01_mor_pricing_summary": q01_mor_pricing_summary,
         "q02_min_cost_supplier": q02_min_cost_supplier,
-        "q06_revenue_forecast": q06_revenue_forecast,
         "q09_product_profit": q09_product_profit,
         "q17_small_quantity": q17_small_quantity,
         "q18_large_volume": q18_large_volume,
@@ -1588,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------- 50-row window boundary -----------------------
         "q03_shipping_priority": q03_shipping_priority,
         "q04_order_priority": q04_order_priority,
+        "q06_revenue_forecast": q06_revenue_forecast,
         "q12_late_lines": q12_late_lines,
         "q14_promo_revenue": q14_promo_revenue,
         "q05_region_revenue": q05_region_revenue,
@@ -2438,6 +2461,26 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value
             FROM events
             GROUP BY 1, 2 ORDER BY window_start, event_type LIMIT 500
+        """,
+        "stream_session_events": """
+            WITH e AS (
+              SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+            ), o AS (
+              SELECT event_type, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                               >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM e
+            ), s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM o
+            )
+            SELECT CAST(min(ts) AS VARCHAR) AS session_start,
+                   CAST(max(ts) + INTERVAL 10 MINUTE AS VARCHAR) AS session_end,
+                   event_type, count(*) AS cnt,
+                   round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value
+            FROM s GROUP BY event_type, sid
+            ORDER BY session_start, event_type LIMIT 500
         """,
         "mm_frame_sample": """
             SELECT doc_id AS id,

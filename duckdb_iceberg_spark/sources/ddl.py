@@ -170,8 +170,37 @@ def table_properties(location: str) -> dict[str, str]:
 
 
 def set_table_properties(location: str, props: dict[str, str]) -> TableMetadata:
+    """'format-version' is not a plain property: setting it upgrades the
+    table format (the reference intercepts it in SET options the same way,
+    iceberg_schema_entry.cpp:578-599)."""
+    props = dict(props)
+    fv = props.pop("format-version", None)
+    if fv is not None:
+        upgrade_format_version(location, int(fv))
     tm = load_table_metadata(location)
-    tm.properties.update({str(k): str(v) for k, v in props.items()})
+    if props:
+        tm.properties.update({str(k): str(v) for k, v in props.items()})
+        write_table_metadata(tm, tm.location)
+    return tm
+
+
+def upgrade_format_version(location: str, new_version: int = 3) -> TableMetadata:
+    """ALTER TABLE SET ('format-version'=N) — upgrade the table format
+    (reference: test_upgrade_format_version_2_to_3.test; downgrade guard at
+    iceberg_schema_entry.cpp:594). Upgrading to v3 enables row lineage:
+    the FIRST v3 commit retroactively assigns first-row-ids to the
+    carried-forward manifests (commit_snapshot), so pre-upgrade rows get
+    their file positions as stable _row_id values — no data rewrite."""
+    tm = load_table_metadata(location)
+    cur = tm.format_version
+    if new_version < cur:
+        raise ValueError(
+            f"Cannot downgrade format-version from {cur} to {new_version}")
+    if new_version not in (1, 2, 3):
+        raise ValueError(f"unsupported format-version {new_version}")
+    if new_version == cur:
+        return tm
+    tm.format_version = new_version
     write_table_metadata(tm, tm.location)
     return tm
 

@@ -691,6 +691,16 @@ def commit_snapshot(
     if tm.format_version >= 3:
         snap_first_row_id = tm.next_row_id
         rid = snap_first_row_id
+        # v2->v3 upgrade: carried-forward manifests predate row lineage and
+        # have no first_row_id — the FIRST v3 commit assigns them ranges
+        # retroactively, in manifest-list order, so pre-upgrade rows get
+        # their file positions as stable ids without any rewrite
+        # (reference: test_upgrade_format_version_2_to_3.test,
+        # CacheExistingManifestList retro-assignment)
+        for m in manifests:
+            if m.content == mf.MANIFEST_DATA and m.first_row_id is None:
+                m.first_row_id = rid
+                rid += m.added_rows_count + m.existing_rows_count
         for d in new_data_files or []:
             if d.first_row_id is None:
                 d.first_row_id = rid

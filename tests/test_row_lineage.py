@@ -7,6 +7,8 @@ next-row-id advances per commit by the added record count).
 
 import os
 
+import pytest
+
 from duckdb_iceberg_spark.metadata import manifest as mf
 from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
 
@@ -87,3 +89,56 @@ def test_manifest_list_round_trips_first_row_id(spark, sf_dir, tmp_path):
     entries = mf.read_manifest(data_manifests[0].manifest_path)
     firsts = [e.data_file.first_row_id for e in entries]
     assert None not in firsts  # explicit per-file values, not inheritance
+
+
+def test_v2_to_v3_upgrade_mixed_delete_history(spark, tmp_path):
+    """Mirror of the reference's test_upgrade_format_version_2_to_3.test:
+    v2 table + parquet positional delete, upgrade via SET
+    ('format-version'=3), first v3 commit retroactively assigns row ids to
+    the carried v2 manifest (pre-upgrade rows keep their file positions),
+    then a v3 DELETE writes a Puffin DV — BOTH delete mechanisms apply in
+    one scan."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.ddl import set_table_properties, table_properties
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    loc = os.path.join(str(tmp_path), "upgrade")
+    rows = [(i, f"row_{i}") for i in range(10)]
+    write_iceberg(spark.createDataFrame(rows, "id: int, val: string")
+                  .coalesce(1), loc, format_version=2)
+    delete_from(spark, loc, "id % 2 = 0", mode="merge-on-read")
+    assert sorted(r.id for r in iceberg_scan(spark, loc).collect()) == [1, 3, 5, 7, 9]
+    tm = load_table_metadata(loc)
+    assert tm.format_version == 2 and tm.current_snapshot().first_row_id is None
+
+    # upgrade through the properties surface (reference ALTER TABLE SET)
+    set_table_properties(loc, {"format-version": "3"})
+    tm = load_table_metadata(loc)
+    assert tm.format_version == 3
+    assert "format-version" not in table_properties(loc)  # not a plain prop
+    with pytest.raises(ValueError, match="downgrade"):
+        set_table_properties(loc, {"format-version": "2"})
+
+    # first v3 commit: new rows continue AFTER the old file's 10 rows
+    write_iceberg(spark.createDataFrame(
+        [(10 + i, f"new_row_{i}") for i in range(5)], "id: int, val: string")
+        .coalesce(1), loc)
+    got = {r.id: r._row_id
+           for r in iceberg_scan(spark, loc, with_row_lineage=True).collect()}
+    assert {k: v for k, v in got.items() if k < 10} == {
+        1: 1, 3: 3, 5: 5, 7: 7, 9: 9}  # retroactive: position in old file
+    assert {k: v for k, v in got.items() if k >= 10} == {
+        10: 10, 11: 11, 12: 12, 13: 13, 14: 14}
+
+    # v3 DELETE writes a DV; the v2 parquet positional delete stays live
+    delete_from(spark, loc, "id IN (10, 13)", mode="merge-on-read")
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    fmts = sorted((d.file_format or "").lower()
+                  for t in plan.tasks for d in t.positional_deletes)
+    assert "parquet" in fmts and "puffin" in fmts, fmts
+    final = {r.id: r._row_id
+             for r in iceberg_scan(spark, loc, with_row_lineage=True).collect()}
+    assert sorted(final) == [1, 3, 5, 7, 9, 11, 12, 14]
+    assert final[11] == 11 and final[3] == 3  # lineage survives the DV

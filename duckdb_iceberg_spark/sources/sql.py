@@ -216,6 +216,10 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
       WHEN MATCHED [THEN] UPDATE SET c = e[, …] | WHEN MATCHED [THEN] DELETE
       | WHEN NOT MATCHED [THEN] INSERT * | INSERT (cols) VALUES (exprs)``
     - ``INSERT INTO view <query>``
+    - ``ALTER TABLE view SET ('k'='v', …) | RESET ('k') | ADD COLUMN c T |
+      DROP COLUMN c | RENAME COLUMN a TO b | ALTER [COLUMN] c
+      [SET DATA] TYPE T | ALTER [COLUMN] c SET/DROP NOT NULL`` — incl. the
+      ``SET ('format-version'=3)`` upgrade
 
     Anything else (SELECT, EXPLAIN, …) falls through to ``spark.sql`` after
     re-registering every referenced registered view so new snapshots are
@@ -237,6 +241,9 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
     if head == "INSERT" and _is_registered_target(
             spark, stmt, r"INSERT\s+INTO\s+([\w.]+)"):
         return _exec_insert(spark, stmt)
+    if head == "ALTER" and _is_registered_target(
+            spark, stmt, r"ALTER\s+TABLE\s+([\w.]+)"):
+        return _exec_alter(spark, stmt)
 
     # non-DML (or DML on unregistered relations): live-view refresh + passthrough
     reg = _REGISTRY.get(spark, {})
@@ -270,6 +277,98 @@ def _exec_delete(spark: SparkSession, stmt: str) -> DataFrame:
     tm = delete_from(spark, loc, where_n if where_n else "true")
     refresh_table(spark, view)
     return _result_df(spark, "DELETE", view, tm)
+
+
+_SQL_TO_ICE_TYPE = {
+    "BOOLEAN": "boolean", "BOOL": "boolean",
+    "INT": "int", "INTEGER": "int", "INT4": "int",
+    "BIGINT": "long", "INT8": "long", "LONG": "long",
+    "FLOAT": "float", "REAL": "float", "FLOAT4": "float",
+    "DOUBLE": "double", "FLOAT8": "double",
+    "VARCHAR": "string", "TEXT": "string", "STRING": "string",
+    "DATE": "date", "TIME": "time",
+    "TIMESTAMP": "timestamp", "TIMESTAMPTZ": "timestamptz",
+    "TIMESTAMP WITH TIME ZONE": "timestamptz",
+    "BLOB": "binary", "BINARY": "binary", "BYTEA": "binary",
+    "UUID": "uuid",
+}
+
+
+def _sql_type_to_ice(t: str) -> str:
+    t = " ".join(t.split()).strip()
+    m = re.match(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t, re.I)
+    if m:
+        return f"decimal({m.group(1)}, {m.group(2)})"
+    ice = _SQL_TO_ICE_TYPE.get(t.upper())
+    if ice is None:
+        raise ValueError(f"unsupported SQL type in ALTER: {t!r}")
+    return ice
+
+
+def _parse_prop_pairs(inner: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in re.finditer(r"'((?:[^']|'')*)'\s*=\s*('(?:[^']|'')*'|[^,()]+)",
+                         inner):
+        key = m.group(1).replace("''", "'")
+        val = m.group(2).strip()
+        if val.startswith("'"):
+            val = val[1:-1].replace("''", "'")
+        out[key] = val
+    if not out:
+        raise ValueError(f"no 'key'=value pairs in ALTER SET ({inner!r})")
+    return out
+
+
+def _exec_alter(spark: SparkSession, stmt: str) -> DataFrame:
+    """ALTER TABLE over registered filesystem tables, routed to the ddl
+    module (reference surface: iceberg_schema_entry.cpp Alter — SET/RESET
+    options incl. the 'format-version' upgrade, ADD/DROP/RENAME COLUMN,
+    type widening, SET/DROP NOT NULL)."""
+    from . import ddl
+
+    m = re.match(r"ALTER\s+TABLE\s+([\w.]+)\s+(.+)$", stmt, re.I | re.S)
+    if not m:
+        raise ValueError(f"cannot parse ALTER TABLE: {stmt!r}")
+    name, action = m.group(1), m.group(2).strip()
+    view, loc = _location_of(spark, name)
+
+    if (pm := re.match(r"SET\s*\((.*)\)\s*$", action, re.I | re.S)):
+        tm = ddl.set_table_properties(loc, _parse_prop_pairs(pm.group(1)))
+        op = "ALTER SET"
+    elif (pm := re.match(r"RESET\s*\((.*)\)\s*$", action, re.I | re.S)):
+        keys = [k.replace("''", "'")
+                for k in re.findall(r"'((?:[^']|'')*)'", pm.group(1))]
+        tm = ddl.remove_table_properties(loc, keys)
+        op = "ALTER RESET"
+    elif (pm := re.match(r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+(.+?)\s*$",
+                         action, re.I | re.S)):
+        tm = ddl.add_column(loc, pm.group(1), _sql_type_to_ice(pm.group(2)))
+        op = "ALTER ADD COLUMN"
+    elif (pm := re.match(r"DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*$",
+                         action, re.I)):
+        tm = ddl.drop_column(loc, pm.group(1))
+        op = "ALTER DROP COLUMN"
+    elif (pm := re.match(r"RENAME\s+COLUMN\s+([\w.]+)\s+TO\s+(\w+)\s*$",
+                         action, re.I)):
+        tm = ddl.rename_column(loc, pm.group(1), pm.group(2))
+        op = "ALTER RENAME COLUMN"
+    elif (pm := re.match(
+            r"ALTER\s+(?:COLUMN\s+)?([\w.]+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*$",
+            action, re.I | re.S)):
+        tm = ddl.widen_column(loc, pm.group(1), _sql_type_to_ice(pm.group(2)))
+        op = "ALTER COLUMN TYPE"
+    elif (pm := re.match(r"ALTER\s+(?:COLUMN\s+)?([\w.]+)\s+SET\s+NOT\s+NULL\s*$",
+                         action, re.I)):
+        tm = ddl.set_not_null(loc, pm.group(1), True)
+        op = "ALTER SET NOT NULL"
+    elif (pm := re.match(r"ALTER\s+(?:COLUMN\s+)?([\w.]+)\s+DROP\s+NOT\s+NULL\s*$",
+                         action, re.I)):
+        tm = ddl.set_not_null(loc, pm.group(1), False)
+        op = "ALTER DROP NOT NULL"
+    else:
+        raise ValueError(f"unsupported ALTER TABLE action: {action!r}")
+    refresh_table(spark, view)
+    return _result_df(spark, op, view, tm)
 
 
 def _exec_update(spark: SparkSession, stmt: str) -> DataFrame:

@@ -174,3 +174,46 @@ def test_sql_doubled_quote_escape(spark, nation_table):
     assert len(hits) == 1 and s[hits[0][0]:hits[0][0] + 5] == "WHERE"
     parts = _split_top_commas("a = 'x''y, z', b = 2")
     assert parts == ["a = 'x''y, z'", "b = 2"]
+
+
+def test_sql_alter_table_surface(spark, sf_dir, tmp_path):
+    """ALTER TABLE routes to the ddl module: property SET/RESET (incl. the
+    'format-version'=3 upgrade, reference
+    test_upgrade_format_version_2_to_3.test syntax), ADD/DROP/RENAME
+    COLUMN, type widening, NOT NULL toggles."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.sql import execute_sql
+
+    loc = os.path.join(str(tmp_path), "alter_sql")
+    write_iceberg(load(spark, sf_dir, "region"), loc, format_version=2)
+    _register(spark, loc, "reg_alter")
+
+    res = execute_sql(spark, "ALTER TABLE reg_alter SET ('commit.retry.num-retries'='7')")
+    assert res.first().operation == "ALTER SET"
+    assert load_table_metadata(loc).properties["commit.retry.num-retries"] == "7"
+    execute_sql(spark, "ALTER TABLE reg_alter RESET ('commit.retry.num-retries')")
+    assert "commit.retry.num-retries" not in load_table_metadata(loc).properties
+
+    # format upgrade through SQL (the reference's upgrade-test syntax)
+    execute_sql(spark, "ALTER TABLE reg_alter SET ('format-version'=3)")
+    assert load_table_metadata(loc).format_version == 3
+    with pytest.raises(ValueError, match="downgrade"):
+        execute_sql(spark, "ALTER TABLE reg_alter SET ('format-version'=2)")
+
+    execute_sql(spark, "ALTER TABLE reg_alter ADD COLUMN r_score INT")
+    execute_sql(spark, "ALTER TABLE reg_alter ALTER COLUMN r_score SET DATA TYPE BIGINT")
+    execute_sql(spark, "ALTER TABLE reg_alter RENAME COLUMN r_score TO score")
+    tm = load_table_metadata(loc)
+    fields = {f["name"]: f for f in tm.schema_json()["fields"]}
+    assert fields["score"]["type"] == "long"
+    # live view exposes the evolved schema
+    assert "score" in spark.sql("SELECT * FROM reg_alter").columns
+
+    execute_sql(spark, "ALTER TABLE reg_alter ALTER COLUMN r_name SET NOT NULL")
+    assert load_table_metadata(loc).schema_json()
+    execute_sql(spark, "ALTER TABLE reg_alter DROP COLUMN score")
+    assert "score" not in spark.sql("SELECT * FROM reg_alter").columns
+
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        execute_sql(spark, "ALTER TABLE reg_alter FROBNICATE")

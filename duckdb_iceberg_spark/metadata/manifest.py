@@ -280,7 +280,7 @@ def _decode_partition(raw: Any) -> dict[str, Any]:
 
 
 def read_manifest_list(path: str) -> list[ManifestFile]:
-    _, _, records = avro_io.read_avro_file(path)
+    _, _, records = _read_avro_clean(path, "manifest list")
     out = []
     for r in records:
         parts = []
@@ -315,8 +315,22 @@ def read_manifest_list(path: str) -> list[ManifestFile]:
     return out
 
 
+def _read_avro_clean(path: str, what: str):
+    """Read a metadata Avro file, converting decoder failures on
+    corrupt/truncated/foreign files into a user-facing error naming the
+    file — a damaged table must fail with a diagnosis, not an IndexError
+    from the varint decoder (spirit of the reference's bad-data tests)."""
+    try:
+        return avro_io.read_avro_file(path)
+    except (FileNotFoundError, PermissionError):
+        raise
+    except Exception as e:
+        raise ValueError(f"{path}: cannot read Iceberg {what} "
+                         f"(corrupt or not Avro: {e})") from e
+
+
 def read_manifest(path: str) -> list[ManifestEntry]:
-    _, _, records = avro_io.read_avro_file(path)
+    _, _, records = _read_avro_clean(path, "manifest")
     out = []
     for r in records:
         df = r["data_file"]

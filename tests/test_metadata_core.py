@@ -207,3 +207,23 @@ def test_refs_and_history_metadata_tables(spark, sf_dir, tmp_path):
     assert len(hist) == 2
     assert all(h.is_current_ancestor for h in hist)  # linear history
     assert hist[1].parent_id == hist[0].snapshot_id
+
+
+def test_corrupt_manifest_clean_errors(tmp_path):
+    """Corrupt/truncated/foreign metadata Avro must fail with a ValueError
+    naming the file, never a raw decoder IndexError/struct.error."""
+    from duckdb_iceberg_spark.metadata import manifest as mf
+
+    garbage = tmp_path / "garbage.avro"
+    garbage.write_bytes(b"this is not avro at all")
+    for reader in (mf.read_manifest, mf.read_manifest_list):
+        with pytest.raises(ValueError, match="garbage.avro.*corrupt or not Avro"):
+            reader(str(garbage))
+
+    truncated = tmp_path / "truncated.avro"
+    truncated.write_bytes(b"Obj\x01\x02")  # valid magic, then cut off
+    with pytest.raises(ValueError, match="truncated.avro"):
+        mf.read_manifest(str(truncated))
+
+    with pytest.raises(FileNotFoundError):  # missing stays FileNotFoundError
+        mf.read_manifest(str(tmp_path / "nope.avro"))

@@ -362,6 +362,52 @@ class RestTable:
         self.metadata = fresh.metadata
         return self
 
+    # -- data-plane DML committed through the catalog -----------------------
+
+    def append(self, spark, df) -> "RestTable":
+        """INSERT INTO through the catalog (the reference's IcebergInsert →
+        transaction commit flow): parquet + manifests + manifest list are
+        written to the table's storage, then the snapshot commits via
+        CommitTableRequest with CAS requirements and rebase retry —
+        metadata is never swapped on the filesystem directly."""
+        from ..sources.writer import commit_snapshot, write_data_files
+
+        files, _ = write_data_files(spark, df, self.metadata)
+        commit_snapshot(
+            self.metadata, operation="append", new_data_files=files,
+            commit_fn=lambda s: self.commit_snapshot(s.to_json()))
+        return self  # commit_snapshot POST path refreshes on success
+
+    def delete_where(self, spark, where: str) -> "RestTable":
+        """Merge-on-read DELETE through the catalog: row deletes (Puffin
+        DVs on v3, positional parquet on v2) land in table storage and the
+        delete snapshot commits via the catalog. Retries follow
+        DeleteCanReapply: reapplied only over pure-append histories."""
+        from pyspark.sql import functions as F
+
+        from ..plans.scan_plan import plan_scan
+        from ..sources.dml import _write_row_deletes
+        from ..sources.scan import scan_to_dataframe
+        from ..sources.writer import commit_snapshot
+
+        tm = self.metadata
+        plan = plan_scan(tm, tm.select_snapshot(), where)
+        if not plan.tasks:
+            return self
+        df = scan_to_dataframe(spark, plan, with_file_info=True)
+        pairs = df.filter(F.expr(where)).select(
+            F.col("filename").alias("file_path"),
+            F.col("file_row_number").alias("pos"))
+        delete_files, superseded = _write_row_deletes(spark, tm, pairs, plan)
+        if not delete_files:
+            return self
+        commit_snapshot(
+            tm, operation="delete", new_delete_files=delete_files,
+            superseded_dv_refs=superseded or None,
+            commit_fn=lambda s: self.commit_snapshot(
+                s.to_json(), operation="delete"))
+        return self
+
     def _delete_can_reapply(self, base_snapshot_id: Optional[int]) -> bool:
         """A retried DELETE/overwrite is safe iff every commit in
         (base, tip] was a pure append — anything else may have removed or

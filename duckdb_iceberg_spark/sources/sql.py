@@ -180,17 +180,22 @@ def _ident_and_alias(fragment: str) -> tuple[str, str | None]:
     return m.group(1), alias
 
 
-def _location_of(spark: SparkSession, name: str) -> tuple[str, str]:
+def _target_of(spark: SparkSession, name: str) -> tuple[str, Any]:
     reg = _REGISTRY.get(spark, {})
     ent = reg.get(name.lower())
     if ent is None:
         raise ValueError(
             f"{name} is not a registered Iceberg view (register_table/attach_catalog)")
     view, source, _ = ent
+    return view, source
+
+
+def _location_of(spark: SparkSession, name: str) -> tuple[str, str]:
+    view, source = _target_of(spark, name)
     if not isinstance(source, str):
         raise NotImplementedError(
-            "SQL DML targets filesystem/object-store tables; commit REST-"
-            "catalog tables through the Python API (sources.dml + RestTable)")
+            "this statement targets filesystem/object-store tables; commit "
+            "REST-catalog tables through the Python API (sources.dml + RestTable)")
     return view, source
 
 
@@ -271,10 +276,15 @@ def _exec_delete(spark: SparkSession, stmt: str) -> DataFrame:
     where = rest[wh[0][0] + 5:].strip() if wh else None
     rel = rest[: wh[0][0]] if wh else rest
     name, alias = _ident_and_alias(rel)
-    view, loc = _location_of(spark, name)
+    view, source = _target_of(spark, name)
     quals = {name, *( [alias] if alias else [] )}
     where_n = _norm_refs(where, quals, set()) if where else None
-    tm = delete_from(spark, loc, where_n if where_n else "true")
+    if not isinstance(source, str):
+        # REST-catalog table: merge-on-read delete committed via the catalog
+        source.refresh().delete_where(spark, where_n if where_n else "true")
+        refresh_table(spark, view)
+        return _result_df(spark, "DELETE", view, source.metadata)
+    tm = delete_from(spark, source, where_n if where_n else "true")
     refresh_table(spark, view)
     return _result_df(spark, "DELETE", view, tm)
 
@@ -397,9 +407,14 @@ def _exec_insert(spark: SparkSession, stmt: str) -> DataFrame:
     from .writer import write_iceberg
 
     m = re.match(r"INSERT\s+INTO\s+([\w.]+)\s+(.+)$", stmt, re.I | re.S)
-    view, loc = _location_of(spark, m.group(1))
+    view, source = _target_of(spark, m.group(1))
     df = spark.sql(m.group(2))
-    tm = write_iceberg(df, loc, mode="append")
+    if not isinstance(source, str):
+        # REST-catalog table: append committed via CommitTableRequest
+        source.refresh().append(spark, df)
+        refresh_table(spark, view)
+        return _result_df(spark, "INSERT", view, source.metadata)
+    tm = write_iceberg(df, source, mode="append")
     refresh_table(spark, view)
     return _result_df(spark, "INSERT", view, tm)
 

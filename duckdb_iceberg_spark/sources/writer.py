@@ -593,11 +593,19 @@ def commit_snapshot(
     superseded_dv_refs: set[str] | None = None,
     keep_existing: bool = True,
     extra_summary: dict | None = None,
+    commit_fn=None,
 ) -> Snapshot:
     """Stage and commit one snapshot (append/delete/overwrite/replace).
     Mirrors the reference's Finalize + transaction commit
     (iceberg_insert.cpp:286-329; iceberg_transaction.cpp requirements are
-    the filesystem version-hint swap here)."""
+    the filesystem version-hint swap here).
+
+    ``commit_fn``: when set, the snapshot is NOT committed to the
+    filesystem metadata log — manifests and the manifest list are still
+    written to table storage, then ``commit_fn(snapshot)`` performs the
+    actual commit (the REST-catalog path: RestTable.commit_snapshot POSTs
+    it with CAS requirements and rebase retry). Local ``tm`` is left
+    unmutated; callers refresh from the catalog."""
     import time as _time
 
     location = tm.location
@@ -763,6 +771,9 @@ def commit_snapshot(
         schema_id=tm.current_schema_id,
         first_row_id=snap_first_row_id,
     )
+    if commit_fn is not None:
+        commit_fn(snap)
+        return snap
     tm.snapshots.append(snap)
     tm.snapshot_log.append({"timestamp-ms": snap.timestamp_ms, "snapshot-id": snapshot_id})
     tm.current_snapshot_id = snapshot_id

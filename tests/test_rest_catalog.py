@@ -6,12 +6,14 @@ behavior checks (catalog_api.cpp, iceberg_transaction.cpp) without docker."""
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
+from pyspark.sql import functions as F
 
 from duckdb_iceberg_spark.catalog.rest_catalog import (
     CatalogError,
@@ -771,3 +773,76 @@ def test_attach_aws_arn_and_glue_forms():
     with _pytest.raises(ValueError):
         attach_aws_catalog_config("123456789012", access_key="AK",
                                   secret_key="SK")  # Glue needs region
+
+
+def test_rest_append_and_delete_data_plane(stub, spark, sf_dir, tmp_path):
+    """End-to-end DML THROUGH the catalog: RestTable.append writes parquet +
+    manifests into table storage and commits via CommitTableRequest (never
+    a filesystem metadata swap); delete_where commits a MoR delete snapshot
+    the same way. The stub is the source of truth for current metadata."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    nation = load(spark, sf_dir, "nation")
+    write_iceberg(nation, loc)
+    def _version_files():
+        return sorted(f for f in os.listdir(os.path.join(loc, "metadata"))
+                      if f.endswith(".metadata.json"))
+
+    disk_versions = _version_files()
+    _register_disk_table(state, loc)
+
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "t")
+    state.plan_response = None  # force client-side planning
+
+    tbl.append(spark, nation.filter("n_nationkey < 5")
+               .withColumn("n_nationkey", F.col("n_nationkey") + 100))
+    assert scan_rest_table(spark, tbl, server_planning=False).count() == 30
+    # the commit went through the catalog: snapshot visible in stub metadata,
+    # but the on-disk metadata log did NOT advance
+    assert len(state.tables[("db", "t")]["snapshots"]) == 2
+    assert _version_files() == disk_versions  # no filesystem metadata swap
+
+    tbl.delete_where(spark, "n_nationkey >= 100")
+    got = scan_rest_table(spark, tbl, server_planning=False)
+    assert got.count() == 25
+    assert got.filter("n_nationkey >= 100").count() == 0
+    assert len(state.tables[("db", "t")]["snapshots"]) == 3
+    # commit operations recorded over the wire
+    commits = [p for m, p in state.requests
+               if m == "POST" and p.endswith("/tables/t")]
+    assert len(commits) == 2
+
+
+def test_sql_dml_routes_to_rest_catalog(stub, spark, sf_dir, tmp_path):
+    """execute_sql INSERT/DELETE on a registered REST table commit through
+    the catalog (previously NotImplementedError)."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "region"), loc)
+    _register_disk_table(state, loc, name="reg")
+    state.plan_response = None
+
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "reg")
+    register_table(spark, "rest_reg", tbl)
+
+    res = execute_sql(
+        spark,
+        "INSERT INTO rest_reg SELECT r_regionkey + 50 AS r_regionkey, "
+        "concat('NEW-', r_name) AS r_name FROM rest_reg")
+    assert res.first().operation == "INSERT"
+    assert spark.sql("SELECT count(*) c FROM rest_reg").first().c == 10
+    assert len(state.tables[("db", "reg")]["snapshots"]) == 2
+
+    execute_sql(spark, "DELETE FROM rest_reg WHERE r_regionkey >= 50")
+    assert spark.sql("SELECT count(*) c FROM rest_reg").first().c == 5
+    assert len(state.tables[("db", "reg")]["snapshots"]) == 3

@@ -378,34 +378,30 @@ class RestTable:
             commit_fn=lambda s: self.commit_snapshot(s.to_json()))
         return self  # commit_snapshot POST path refreshes on success
 
-    def delete_where(self, spark, where: str) -> "RestTable":
-        """Merge-on-read DELETE through the catalog: row deletes (Puffin
-        DVs on v3, positional parquet on v2) land in table storage and the
-        delete snapshot commits via the catalog. Retries follow
+    def delete_where(self, spark, where: str,
+                     mode: str = "merge-on-read") -> "RestTable":
+        """DELETE through the catalog: row deletes (Puffin DVs on v3,
+        positional parquet on v2) or copy-on-write rewrites land in table
+        storage and the snapshot commits via the catalog. Retries follow
         DeleteCanReapply: reapplied only over pure-append histories."""
-        from pyspark.sql import functions as F
+        from ..sources.dml import delete_from
 
-        from ..plans.scan_plan import plan_scan
-        from ..sources.dml import _write_row_deletes
-        from ..sources.scan import scan_to_dataframe
-        from ..sources.writer import commit_snapshot
+        delete_from(spark, self, where, mode=mode)
+        return self
 
-        tm = self.metadata
-        plan = plan_scan(tm, tm.select_snapshot(), where)
-        if not plan.tasks:
-            return self
-        df = scan_to_dataframe(spark, plan, with_file_info=True)
-        pairs = df.filter(F.expr(where)).select(
-            F.col("filename").alias("file_path"),
-            F.col("file_row_number").alias("pos"))
-        delete_files, superseded = _write_row_deletes(spark, tm, pairs, plan)
-        if not delete_files:
-            return self
-        commit_snapshot(
-            tm, operation="delete", new_delete_files=delete_files,
-            superseded_dv_refs=superseded or None,
-            commit_fn=lambda s: self.commit_snapshot(
-                s.to_json(), operation="delete"))
+    def update_where(self, spark, assignments, where=None,
+                     mode: str = "merge-on-read") -> "RestTable":
+        """UPDATE through the catalog (delete+insert, one snapshot)."""
+        from ..sources.dml import update_iceberg
+
+        update_iceberg(spark, self, assignments, where, mode=mode)
+        return self
+
+    def merge(self, spark, source, on: str, **kwargs) -> "RestTable":
+        """MERGE INTO through the catalog (see sources.dml.merge_into)."""
+        from ..sources.dml import merge_into
+
+        merge_into(spark, self, source, on, **kwargs)
         return self
 
     def _delete_can_reapply(self, base_snapshot_id: Optional[int]) -> bool:

@@ -55,6 +55,21 @@ POS_DELETE_SCHEMA = T.StructType(
 )
 
 
+def _resolve_target(location):
+    """DML target: a filesystem/object-store path (str) or a catalog
+    ``RestTable``. Returns (metadata, committer) where ``committer(op)``
+    yields a commit_fn that POSTs the snapshot through the catalog (CAS +
+    rebase retry) — None for the filesystem metadata-log path."""
+    if isinstance(location, str):
+        return load_table_metadata(location), None
+    table = location.refresh()
+
+    def committer(op: str):
+        return lambda snap: table.commit_snapshot(snap.to_json(), operation=op)
+
+    return table.metadata, committer
+
+
 def _resolve_mode(tm: TableMetadata, explicit: str | None, prop: str) -> str:
     if explicit:
         return explicit
@@ -422,8 +437,10 @@ def delete_from(
     *,
     mode: str | None = None,
 ) -> TableMetadata:
-    """DELETE FROM table WHERE … (reference: iceberg_delete.cpp)."""
-    tm = load_table_metadata(location)
+    """DELETE FROM table WHERE … (reference: iceberg_delete.cpp).
+    ``location`` may be a path or a catalog ``RestTable`` (snapshot then
+    commits through the catalog, not the filesystem metadata log)."""
+    tm, committer = _resolve_target(location)
     snapshot = tm.select_snapshot()
     plan = plan_scan(tm, snapshot, where)
     if not plan.tasks:
@@ -442,7 +459,8 @@ def delete_from(
         if not delete_files:
             return tm
         commit_snapshot(tm, operation="delete", new_delete_files=delete_files,
-                        superseded_dv_refs=superseded or None)
+                        superseded_dv_refs=superseded or None,
+                        commit_fn=committer("delete") if committer else None)
         return tm
 
     # copy-on-write: drop provably-all-match files, rewrite the rest
@@ -465,9 +483,11 @@ def delete_from(
         remaining = scan_to_dataframe(spark, sub).filter(~F.expr(where) | F.expr(where).isNull())
         new_files, _ = write_data_files(spark, remaining, tm)
     removed = drop_paths | {t.data_file.file_path for t in rewrite_tasks}
+    op = "delete" if not new_files else "overwrite"
     commit_snapshot(
-        tm, operation="delete" if not new_files else "overwrite",
+        tm, operation=op,
         new_data_files=new_files, removed_data_paths=removed,
+        commit_fn=committer(op) if committer else None,
     )
     return tm
 
@@ -482,8 +502,9 @@ def update_iceberg(
 ) -> TableMetadata:
     """UPDATE table SET col = expr … WHERE … — delete+insert in ONE snapshot
     (reference: iceberg_update.cpp:46-66, AddUpdateSnapshot
-    iceberg_insert.cpp:306-317)."""
-    tm = load_table_metadata(location)
+    iceberg_insert.cpp:306-317). ``location`` may be a path or a catalog
+    ``RestTable``."""
+    tm, committer = _resolve_target(location)
     snapshot = tm.select_snapshot()
     plan = plan_scan(tm, snapshot, where)
     if not plan.tasks:
@@ -513,7 +534,8 @@ def update_iceberg(
         new_files, _ = write_data_files(spark, new_rows, tm)
         commit_snapshot(tm, operation="overwrite", new_data_files=new_files,
                         new_delete_files=delete_files,
-                        superseded_dv_refs=superseded or None)
+                        superseded_dv_refs=superseded or None,
+                        commit_fn=committer("overwrite") if committer else None)
         return tm
 
     # copy-on-write: rewrite candidate files with the SET applied to matches
@@ -523,7 +545,8 @@ def update_iceberg(
     new_files, _ = write_data_files(spark, rewritten, tm)
     removed = {t.data_file.file_path for t in plan.tasks}
     commit_snapshot(tm, operation="overwrite", new_data_files=new_files,
-                    removed_data_paths=removed)
+                    removed_data_paths=removed,
+                    commit_fn=committer("overwrite") if committer else None)
     return tm
 
 
@@ -558,8 +581,11 @@ def merge_into(
 
     ``broadcast_source`` hints the source side of every target⋈source join;
     the normal MERGE source is delta-sized, and the hint keeps the target
-    from shuffling. Pass ``False`` for a source too large to broadcast."""
-    tm = load_table_metadata(location)
+    from shuffling. Pass ``False`` for a source too large to broadcast.
+
+    ``location`` may be a path or a catalog ``RestTable`` (the snapshot
+    then commits through the catalog)."""
+    tm, committer = _resolve_target(location)
     snapshot = tm.select_snapshot()
     plan = plan_scan(tm, snapshot, None)
     schema = [f.name for f in
@@ -577,7 +603,8 @@ def merge_into(
     if mode == "merge-on-read":
         return _merge_into_mor(
             spark, tm, plan, target, src, src_plain, cond, schema,
-            when_matched_update, when_matched_delete, when_not_matched_insert)
+            when_matched_update, when_matched_delete, when_not_matched_insert,
+            committer)
 
     # phase 1: which target files contain matched rows?
     matched_files = [
@@ -654,6 +681,7 @@ def merge_into(
     commit_snapshot(
         tm, operation="overwrite", new_data_files=new_files,
         removed_data_paths=affected or None,
+        commit_fn=committer("overwrite") if committer else None,
     )
     return tm
 
@@ -692,6 +720,7 @@ def _merge_into_mor(
     when_matched_update: Mapping[str, Any] | None,
     when_matched_delete: bool,
     when_not_matched_insert: Mapping[str, Any] | bool | None,
+    committer=None,
 ) -> TableMetadata:
     """Merge-on-read MERGE: matched rows become row deletes; updates and
     inserts become new data files; one snapshot carries both."""
@@ -749,5 +778,6 @@ def _merge_into_mor(
         tm, operation="overwrite",
         new_data_files=new_files, new_delete_files=delete_files,
         superseded_dv_refs=superseded or None,
+        commit_fn=committer("overwrite") if committer else None,
     )
     return tm

@@ -279,11 +279,7 @@ def _exec_delete(spark: SparkSession, stmt: str) -> DataFrame:
     view, source = _target_of(spark, name)
     quals = {name, *( [alias] if alias else [] )}
     where_n = _norm_refs(where, quals, set()) if where else None
-    if not isinstance(source, str):
-        # REST-catalog table: merge-on-read delete committed via the catalog
-        source.refresh().delete_where(spark, where_n if where_n else "true")
-        refresh_table(spark, view)
-        return _result_df(spark, "DELETE", view, source.metadata)
+    # source may be a path or a RestTable — dml commits accordingly
     tm = delete_from(spark, source, where_n if where_n else "true")
     refresh_table(spark, view)
     return _result_df(spark, "DELETE", view, tm)
@@ -393,12 +389,12 @@ def _exec_update(spark: SparkSession, stmt: str) -> DataFrame:
     set_part = rest[set_at + 3: wh[0] if wh else len(rest)]
     where = rest[wh[0] + 5:].strip() if wh else None
     name, alias = _ident_and_alias(rel)
-    view, loc = _location_of(spark, name)
+    view, source = _target_of(spark, name)
     quals = {name, *( [alias] if alias else [] )}
     assigns = {c: _norm_refs(e, quals, set())
                for c, e in _split_assignments(set_part).items()}
     where_n = _norm_refs(where, quals, set()) if where else None
-    tm = update_iceberg(spark, loc, assigns, where_n)
+    tm = update_iceberg(spark, source, assigns, where_n)
     refresh_table(spark, view)
     return _result_df(spark, "UPDATE", view, tm)
 
@@ -436,7 +432,7 @@ def _exec_merge(spark: SparkSession, stmt: str) -> DataFrame:
     clauses_raw = rest[when_at:]
 
     tname, talias = _ident_and_alias(tgt_frag)
-    view, loc = _location_of(spark, tname)
+    view, target = _target_of(spark, tname)  # path or RestTable
 
     # source: bare relation or parenthesized subquery, optional alias
     sm = re.match(r"(\(.*\)|[\w.]+)\s*(?:AS\s+)?(\w+)?\s*$", src_frag, re.I | re.S)
@@ -495,7 +491,7 @@ def _exec_merge(spark: SparkSession, stmt: str) -> DataFrame:
         else:
             raise ValueError(f"unsupported MERGE action: {action!r}")
 
-    tm = merge_into(spark, loc, source, on,
+    tm = merge_into(spark, target, source, on,
                     when_matched_update=upd,
                     when_matched_delete=delete,
                     when_not_matched_insert=ins)

@@ -846,3 +846,24 @@ def test_sql_dml_routes_to_rest_catalog(stub, spark, sf_dir, tmp_path):
     execute_sql(spark, "DELETE FROM rest_reg WHERE r_regionkey >= 50")
     assert spark.sql("SELECT count(*) c FROM rest_reg").first().c == 5
     assert len(state.tables[("db", "reg")]["snapshots"]) == 3
+
+    # UPDATE and MERGE also commit through the catalog
+    execute_sql(spark,
+                "UPDATE rest_reg SET r_name = concat('U-', r_name) "
+                "WHERE r_regionkey = 0")
+    assert spark.sql("SELECT r_name FROM rest_reg WHERE r_regionkey = 0"
+                     ).first().r_name.startswith("U-")
+    assert len(state.tables[("db", "reg")]["snapshots"]) == 4
+
+    spark.createDataFrame([(1, "MERGED"), (9, "NEWROW")],
+                          "r_regionkey: long, r_name: string"
+                          ).createOrReplaceTempView("reg_updates")
+    execute_sql(spark,
+                "MERGE INTO rest_reg t USING reg_updates s "
+                "ON t.r_regionkey = s.r_regionkey "
+                "WHEN MATCHED THEN UPDATE SET r_name = s.r_name "
+                "WHEN NOT MATCHED THEN INSERT *")
+    rows = {r.r_regionkey: r.r_name for r in spark.sql(
+        "SELECT * FROM rest_reg").collect()}
+    assert rows[1] == "MERGED" and rows[9] == "NEWROW"
+    assert len(state.tables[("db", "reg")]["snapshots"]) == 5

@@ -27,6 +27,35 @@ _WIDENINGS = {
 }
 
 
+def _load(location) -> TableMetadata:
+    """DDL target: path (str) or catalog ``RestTable``. For REST tables the
+    returned metadata carries the table handle so commits go through the
+    catalog (add-schema / set-properties TableUpdates, the reference's
+    iceberg_schema_entry.cpp Alter flow), never a filesystem metadata swap."""
+    if isinstance(location, str):
+        return load_table_metadata(location)
+    table = location.refresh()
+    tm = table.metadata
+    tm._rest_table = table
+    return tm
+
+
+def _require_filesystem(location, what: str):
+    if not isinstance(location, str):
+        raise NotImplementedError(
+            f"{what} on REST-catalog tables is not implemented; "
+            "use a filesystem table or the catalog's native API")
+
+
+def _commit_rest(tm: TableMetadata, updates: list, requirements: list | None = None):
+    table = tm._rest_table
+    reqs = [{"type": "assert-table-uuid", "uuid": tm.table_uuid}]
+    reqs += requirements or []
+    table.catalog.commit_table(table.namespace, table.name, reqs, updates)
+    table.refresh()
+    return table.metadata
+
+
 def _next_schema(tm: TableMetadata) -> dict:
     sch = copy.deepcopy(tm.schema_json())
     sch["schema-id"] = max(tm.schemas) + 1
@@ -34,6 +63,13 @@ def _next_schema(tm: TableMetadata) -> dict:
 
 
 def _commit_schema(tm: TableMetadata, sch: dict) -> TableMetadata:
+    if getattr(tm, "_rest_table", None) is not None:
+        return _commit_rest(tm, [
+            {"action": "add-schema", "schema": sch,
+             "last-column-id": tm.last_column_id},
+            {"action": "set-current-schema", "schema-id": sch["schema-id"]},
+        ], [{"type": "assert-current-schema-id",
+             "current-schema-id": tm.current_schema_id}])
     tm.schemas[sch["schema-id"]] = sch
     tm.current_schema_id = sch["schema-id"]
     write_table_metadata(tm, tm.location)
@@ -49,7 +85,7 @@ def add_column(location: str, name: str, ice_type: Any, *, required: bool = Fals
     column defaults; reference: iceberg_column_definition.cpp:26-75) —
     existing rows then surface the default instead of NULL, and a required
     add is allowed."""
-    tm = load_table_metadata(location)
+    tm = _load(location)
     sch = _next_schema(tm)
     parts = name.split(".")
     fields = sch["fields"]
@@ -98,7 +134,7 @@ def _navigate_struct(sch: dict, dotted: str) -> tuple[list[dict], str]:
 def drop_column(location: str, name: str) -> TableMetadata:
     """DROP COLUMN; dotted paths drop struct members (beyond the reference,
     which handles top level only — iceberg_schema_entry.cpp:448)."""
-    tm = load_table_metadata(location)
+    tm = _load(location)
     sch = _next_schema(tm)
     fields, leaf = _navigate_struct(sch, name)
     victim = next((f for f in fields if f["name"] == leaf), None)
@@ -115,7 +151,7 @@ def rename_column(location: str, old: str, new: str) -> TableMetadata:
     """Field-id is preserved, so old files keep resolving (BY_FIELD_ID).
     A dotted ``old`` renames a struct member in place; ``new`` is the bare
     new name within the same parent."""
-    tm = load_table_metadata(location)
+    tm = _load(location)
     sch = _next_schema(tm)
     if "." in new:
         raise ValueError("new name must be a bare name, not a path")
@@ -135,7 +171,7 @@ def rename_column(location: str, old: str, new: str) -> TableMetadata:
 def widen_column(location: str, name: str, new_type: str) -> TableMetadata:
     """ALTER TYPE — widenings only (int→long, float→double, decimal scale-
     preserving precision increase), per iceberg_schema_entry.cpp:488-497."""
-    tm = load_table_metadata(location)
+    tm = _load(location)
     sch = _next_schema(tm)
     for f in sch["fields"]:
         if f["name"] != name:
@@ -154,7 +190,7 @@ def widen_column(location: str, name: str, new_type: str) -> TableMetadata:
 
 
 def set_not_null(location: str, name: str, required: bool) -> TableMetadata:
-    tm = load_table_metadata(location)
+    tm = _load(location)
     sch = _next_schema(tm)
     for f in sch["fields"]:
         if f["name"] == name:
@@ -165,8 +201,8 @@ def set_not_null(location: str, name: str, required: bool) -> TableMetadata:
 
 # -- properties (reference: iceberg_table_properties_functions.cpp) ---------
 
-def table_properties(location: str) -> dict[str, str]:
-    return dict(load_table_metadata(location).properties)
+def table_properties(location) -> dict[str, str]:
+    return dict(_load(location).properties)
 
 
 def set_table_properties(location: str, props: dict[str, str]) -> TableMetadata:
@@ -177,8 +213,12 @@ def set_table_properties(location: str, props: dict[str, str]) -> TableMetadata:
     fv = props.pop("format-version", None)
     if fv is not None:
         upgrade_format_version(location, int(fv))
-    tm = load_table_metadata(location)
+    tm = _load(location)
     if props:
+        if getattr(tm, "_rest_table", None) is not None:
+            return _commit_rest(tm, [{
+                "action": "set-properties",
+                "updates": {str(k): str(v) for k, v in props.items()}}])
         tm.properties.update({str(k): str(v) for k, v in props.items()})
         write_table_metadata(tm, tm.location)
     return tm
@@ -191,7 +231,7 @@ def upgrade_format_version(location: str, new_version: int = 3) -> TableMetadata
     the FIRST v3 commit retroactively assigns first-row-ids to the
     carried-forward manifests (commit_snapshot), so pre-upgrade rows get
     their file positions as stable _row_id values — no data rewrite."""
-    tm = load_table_metadata(location)
+    tm = _load(location)
     cur = tm.format_version
     if new_version < cur:
         raise ValueError(
@@ -200,13 +240,19 @@ def upgrade_format_version(location: str, new_version: int = 3) -> TableMetadata
         raise ValueError(f"unsupported format-version {new_version}")
     if new_version == cur:
         return tm
+    if getattr(tm, "_rest_table", None) is not None:
+        return _commit_rest(tm, [{"action": "upgrade-format-version",
+                                  "format-version": new_version}])
     tm.format_version = new_version
     write_table_metadata(tm, tm.location)
     return tm
 
 
-def remove_table_properties(location: str, keys: list[str]) -> TableMetadata:
-    tm = load_table_metadata(location)
+def remove_table_properties(location, keys: list[str]) -> TableMetadata:
+    tm = _load(location)
+    if getattr(tm, "_rest_table", None) is not None:
+        return _commit_rest(tm, [{"action": "remove-properties",
+                                  "removals": list(keys)}])
     for k in keys:
         tm.properties.pop(k, None)
     write_table_metadata(tm, tm.location)
@@ -225,6 +271,7 @@ def set_partitioned_by(location: str, partition_by: list[str]) -> TableMetadata:
     ``["l_shipmode", "bucket(4, l_orderkey)", "month(d)"]``."""
     from .writer import parse_partition_by
 
+    _require_filesystem(location, "SET PARTITIONED BY")
     tm = load_table_metadata(location)
     spec = parse_partition_by(partition_by, tm.schema_json(),
                               start_field_id=tm.last_partition_id + 1)
@@ -252,6 +299,7 @@ def set_sorted_by(location: str, sort_by: list) -> TableMetadata:
     column names or ``(name, "asc"|"desc")`` pairs; ``[]`` unsorts."""
     from .writer import parse_sort_by
 
+    _require_filesystem(location, "SET SORTED BY")
     tm = load_table_metadata(location)
     order = parse_sort_by(sort_by, tm.schema_json())
     if not order.fields:
@@ -293,6 +341,7 @@ def create_branch(location: str, name: str, snapshot_id: int | None = None,
 
 def _set_ref(location: str, name: str, kind: str,
              snapshot_id: int | None, max_ref_age_ms: int | None) -> TableMetadata:
+    _require_filesystem(location, "snapshot refs (tags/branches)")
     tm = load_table_metadata(location)
     if snapshot_id is None:
         cur = tm.current_snapshot()
@@ -310,6 +359,7 @@ def _set_ref(location: str, name: str, kind: str,
 
 
 def drop_ref(location: str, name: str) -> TableMetadata:
+    _require_filesystem(location, "snapshot refs (tags/branches)")
     tm = load_table_metadata(location)
     if name == "main":
         raise ValueError("cannot drop the main branch")

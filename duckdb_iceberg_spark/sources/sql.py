@@ -336,7 +336,7 @@ def _exec_alter(spark: SparkSession, stmt: str) -> DataFrame:
     if not m:
         raise ValueError(f"cannot parse ALTER TABLE: {stmt!r}")
     name, action = m.group(1), m.group(2).strip()
-    view, loc = _location_of(spark, name)
+    view, loc = _target_of(spark, name)  # path or RestTable (ddl handles both)
 
     if (pm := re.match(r"SET\s*\((.*)\)\s*$", action, re.I | re.S)):
         tm = ddl.set_table_properties(loc, _parse_prop_pairs(pm.group(1)))

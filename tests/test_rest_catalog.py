@@ -164,6 +164,9 @@ def _make_handler(state: _StubState):
                         elif r["type"] == "assert-table-uuid":
                             if r["uuid"] != meta["table-uuid"]:
                                 return self._send(409, {"error": {"message": "uuid mismatch"}})
+                        elif r["type"] == "assert-current-schema-id":
+                            if r.get("current-schema-id") != meta.get("current-schema-id", 0):
+                                return self._send(409, {"error": {"message": "stale schema"}})
                     if state.commit_conflicts_to_inject > 0:
                         state.commit_conflicts_to_inject -= 1
                         # simulate a concurrent winner: bump current snapshot
@@ -190,6 +193,22 @@ def _make_handler(state: _StubState):
                                     meta.get("next-row-id", 0), fr + added)
                         elif u["action"] == "set-snapshot-ref":
                             meta["current-snapshot-id"] = u["snapshot-id"]
+                        elif u["action"] == "add-schema":
+                            meta.setdefault("schemas", []).append(u["schema"])
+                            if "last-column-id" in u:
+                                meta["last-column-id"] = max(
+                                    meta.get("last-column-id", 0), u["last-column-id"])
+                        elif u["action"] == "set-current-schema":
+                            meta["current-schema-id"] = u["schema-id"]
+                        elif u["action"] == "set-properties":
+                            meta.setdefault("properties", {}).update(u["updates"])
+                        elif u["action"] == "remove-properties":
+                            for k in u.get("removals", []):
+                                meta.get("properties", {}).pop(k, None)
+                        elif u["action"] == "upgrade-format-version":
+                            if u["format-version"] < meta.get("format-version", 2):
+                                return self._send(400, {"error": {"message": "downgrade"}})
+                            meta["format-version"] = u["format-version"]
                     return self._send(200, {"metadata-location": "mem://m2.json",
                                             "metadata": meta})
             if len(rest) >= 5 and rest[0] == "namespaces" and rest[2] == "tables" \
@@ -867,3 +886,45 @@ def test_sql_dml_routes_to_rest_catalog(stub, spark, sf_dir, tmp_path):
         "SELECT * FROM rest_reg").collect()}
     assert rows[1] == "MERGED" and rows[9] == "NEWROW"
     assert len(state.tables[("db", "reg")]["snapshots"]) == 5
+
+
+def test_rest_schema_evolution_and_properties(stub, spark, sf_dir, tmp_path):
+    """Column DDL + properties + format upgrade on a catalog table commit as
+    TableUpdates (add-schema/set-current-schema/set-properties/
+    upgrade-format-version), never a filesystem write; scans resolve the
+    evolved schema."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from duckdb_iceberg_spark.sources import ddl
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "region"), loc, format_version=2)
+    _register_disk_table(state, loc, name="ddl")
+    state.plan_response = None
+
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "ddl")
+
+    ddl.add_column(tbl, "r_score", "long")
+    ddl.rename_column(tbl, "r_score", "score")
+    meta = state.tables[("db", "ddl")]
+    assert len(meta["schemas"]) == 3  # original + 2 evolutions, server-side
+    names = {f["name"] for f in meta["schemas"][-1]["fields"]}
+    assert "score" in names and "r_score" not in names
+    df = scan_rest_table(spark, tbl, server_planning=False)
+    assert "score" in df.columns and df.count() == 5
+
+    ddl.set_table_properties(tbl, {"commit.retry.num-retries": "9"})
+    assert meta["properties"]["commit.retry.num-retries"] == "9"
+    ddl.remove_table_properties(tbl, ["commit.retry.num-retries"])
+    assert "commit.retry.num-retries" not in meta["properties"]
+
+    ddl.set_table_properties(tbl, {"format-version": "3"})
+    assert meta["format-version"] == 3
+    with pytest.raises(ValueError, match="downgrade"):
+        ddl.upgrade_format_version(tbl, 2)
+
+    with pytest.raises(NotImplementedError, match="SET PARTITIONED BY"):
+        ddl.set_partitioned_by(tbl, ["r_name"])

@@ -40,13 +40,6 @@ def _load(location) -> TableMetadata:
     return tm
 
 
-def _require_filesystem(location, what: str):
-    if not isinstance(location, str):
-        raise NotImplementedError(
-            f"{what} on REST-catalog tables is not implemented; "
-            "use a filesystem table or the catalog's native API")
-
-
 def _commit_rest(tm: TableMetadata, updates: list, requirements: list | None = None):
     table = tm._rest_table
     reqs = [{"type": "assert-table-uuid", "uuid": tm.table_uuid}]
@@ -271,18 +264,26 @@ def set_partitioned_by(location: str, partition_by: list[str]) -> TableMetadata:
     ``["l_shipmode", "bucket(4, l_orderkey)", "month(d)"]``."""
     from .writer import parse_partition_by
 
-    _require_filesystem(location, "SET PARTITIONED BY")
-    tm = load_table_metadata(location)
+    tm = _load(location)
     spec = parse_partition_by(partition_by, tm.schema_json(),
                               start_field_id=tm.last_partition_id + 1)
+    rest = getattr(tm, "_rest_table", None)
     # identical field layout → reuse an existing spec instead of a new id
     for existing in tm.partition_specs.values():
         if [(f.source_id, f.transform) for f in existing.fields] == \
            [(f.source_id, f.transform) for f in spec.fields]:
+            if rest is not None:
+                return _commit_rest(tm, [{"action": "set-default-spec",
+                                          "spec-id": existing.spec_id}])
             tm.default_spec_id = existing.spec_id
             write_table_metadata(tm, tm.location)
             return tm
     spec.spec_id = max(tm.partition_specs) + 1
+    if rest is not None:
+        return _commit_rest(tm, [
+            {"action": "add-spec", "spec": spec.to_json()},
+            {"action": "set-default-spec", "spec-id": spec.spec_id},
+        ])
     tm.partition_specs[spec.spec_id] = spec
     tm.default_spec_id = spec.spec_id
     tm.last_partition_id = max(
@@ -299,12 +300,15 @@ def set_sorted_by(location: str, sort_by: list) -> TableMetadata:
     column names or ``(name, "asc"|"desc")`` pairs; ``[]`` unsorts."""
     from .writer import parse_sort_by
 
-    _require_filesystem(location, "SET SORTED BY")
-    tm = load_table_metadata(location)
+    tm = _load(location)
+    rest = getattr(tm, "_rest_table", None)
     order = parse_sort_by(sort_by, tm.schema_json())
     if not order.fields:
         from ..metadata.table_metadata import SortOrder
 
+        if rest is not None:
+            return _commit_rest(tm, [{"action": "set-default-sort-order",
+                                      "sort-order-id": 0}])
         tm.default_sort_order_id = 0
         tm.sort_orders.setdefault(0, SortOrder(0, []))
         write_table_metadata(tm, tm.location)
@@ -314,10 +318,19 @@ def set_sorted_by(location: str, sort_by: list) -> TableMetadata:
                 for f in existing.fields] == \
            [(f.source_id, f.transform, f.direction, f.null_order)
                 for f in order.fields]:
+            if rest is not None:
+                return _commit_rest(tm, [{"action": "set-default-sort-order",
+                                          "sort-order-id": existing.order_id}])
             tm.default_sort_order_id = existing.order_id
             write_table_metadata(tm, tm.location)
             return tm
     order.order_id = max(tm.sort_orders) + 1
+    if rest is not None:
+        return _commit_rest(tm, [
+            {"action": "add-sort-order", "sort-order": order.to_json()},
+            {"action": "set-default-sort-order",
+             "sort-order-id": order.order_id},
+        ])
     tm.sort_orders[order.order_id] = order
     tm.default_sort_order_id = order.order_id
     write_table_metadata(tm, tm.location)
@@ -339,10 +352,9 @@ def create_branch(location: str, name: str, snapshot_id: int | None = None,
     return _set_ref(location, name, "branch", snapshot_id, max_ref_age_ms)
 
 
-def _set_ref(location: str, name: str, kind: str,
+def _set_ref(location, name: str, kind: str,
              snapshot_id: int | None, max_ref_age_ms: int | None) -> TableMetadata:
-    _require_filesystem(location, "snapshot refs (tags/branches)")
-    tm = load_table_metadata(location)
+    tm = _load(location)
     if snapshot_id is None:
         cur = tm.current_snapshot()
         if cur is None:
@@ -353,18 +365,26 @@ def _set_ref(location: str, name: str, kind: str,
     ref: dict = {"snapshot-id": snapshot_id, "type": kind}
     if max_ref_age_ms is not None:
         ref["max-ref-age-ms"] = int(max_ref_age_ms)
+    if getattr(tm, "_rest_table", None) is not None:
+        upd = {"action": "set-snapshot-ref", "ref-name": name, "type": kind,
+               "snapshot-id": snapshot_id}
+        if max_ref_age_ms is not None:
+            upd["max-ref-age-ms"] = int(max_ref_age_ms)
+        return _commit_rest(tm, [upd])
     tm.refs[name] = ref
     write_table_metadata(tm, tm.location)
     return tm
 
 
-def drop_ref(location: str, name: str) -> TableMetadata:
-    _require_filesystem(location, "snapshot refs (tags/branches)")
-    tm = load_table_metadata(location)
+def drop_ref(location, name: str) -> TableMetadata:
+    tm = _load(location)
     if name == "main":
         raise ValueError("cannot drop the main branch")
     if name not in tm.refs:
         raise KeyError(f"no branch or tag {name!r}")
+    if getattr(tm, "_rest_table", None) is not None:
+        return _commit_rest(tm, [{"action": "remove-snapshot-ref",
+                                  "ref-name": name}])
     del tm.refs[name]
     write_table_metadata(tm, tm.location)
     return tm

@@ -192,7 +192,25 @@ def _make_handler(state: _StubState):
                                 meta["next-row-id"] = max(
                                     meta.get("next-row-id", 0), fr + added)
                         elif u["action"] == "set-snapshot-ref":
-                            meta["current-snapshot-id"] = u["snapshot-id"]
+                            rn = u.get("ref-name", "main")
+                            meta.setdefault("refs", {})[rn] = {
+                                "snapshot-id": u["snapshot-id"],
+                                "type": u.get("type", "branch")}
+                            if rn == "main":
+                                meta["current-snapshot-id"] = u["snapshot-id"]
+                        elif u["action"] == "remove-snapshot-ref":
+                            meta.get("refs", {}).pop(u.get("ref-name"), None)
+                        elif u["action"] == "add-spec":
+                            meta.setdefault("partition-specs", []).append(u["spec"])
+                            meta["last-partition-id"] = max(
+                                [f["field-id"] for f in u["spec"].get("fields", [])]
+                                + [meta.get("last-partition-id", 999)])
+                        elif u["action"] == "set-default-spec":
+                            meta["default-spec-id"] = u["spec-id"]
+                        elif u["action"] == "add-sort-order":
+                            meta.setdefault("sort-orders", []).append(u["sort-order"])
+                        elif u["action"] == "set-default-sort-order":
+                            meta["default-sort-order-id"] = u["sort-order-id"]
                         elif u["action"] == "add-schema":
                             meta.setdefault("schemas", []).append(u["schema"])
                             if "last-column-id" in u:
@@ -926,5 +944,15 @@ def test_rest_schema_evolution_and_properties(stub, spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="downgrade"):
         ddl.upgrade_format_version(tbl, 2)
 
-    with pytest.raises(NotImplementedError, match="SET PARTITIONED BY"):
-        ddl.set_partitioned_by(tbl, ["r_name"])
+    # spec + sort-order evolution commit as add-spec / add-sort-order
+    ddl.set_partitioned_by(tbl, ["r_name"])
+    assert meta["default-spec-id"] == 1
+    assert meta["partition-specs"][-1]["fields"][0]["name"] == "r_name"
+    ddl.set_sorted_by(tbl, [("r_regionkey", "desc")])
+    assert meta["default-sort-order-id"] == 1
+    # snapshot refs commit as set-/remove-snapshot-ref
+    cur = tbl.metadata.current_snapshot_id
+    ddl.create_tag(tbl, "v1")
+    assert meta["refs"]["v1"] == {"snapshot-id": cur, "type": "tag"}
+    ddl.drop_ref(tbl, "v1")
+    assert "v1" not in meta.get("refs", {})

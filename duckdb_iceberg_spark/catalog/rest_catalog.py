@@ -275,6 +275,20 @@ class RestCatalog:
         resp = self._request("POST", f"/namespaces/{self._ns(namespace)}/tables", body)
         return RestTable.from_load_result(self, namespace, name, resp)
 
+    def create_table_as(self, spark, namespace: str | tuple, name: str, df,
+                        *, location: str | None = None,
+                        properties: dict[str, str] | None = None) -> "RestTable":
+        """CTAS through the catalog: derive the Iceberg schema (field-ids
+        allocated) from the DataFrame, create the table, then append the
+        rows as the first snapshot (reference:
+        physical_iceberg_create_table.cpp — create + insert sink)."""
+        from ..metadata import types as ice_types
+
+        schema, _last = ice_types.struct_to_schema_json(df.schema)
+        table = self.create_table(namespace, name, schema,
+                                  location=location, properties=properties)
+        return table.append(spark, df)
+
     def drop_table(self, namespace: str | tuple, name: str, *, purge: bool = False) -> None:
         self._request(
             "DELETE", f"/namespaces/{self._ns(namespace)}/tables/{urllib.parse.quote(name)}",

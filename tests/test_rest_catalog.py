@@ -956,3 +956,21 @@ def test_rest_schema_evolution_and_properties(stub, spark, sf_dir, tmp_path):
     assert meta["refs"]["v1"] == {"snapshot-id": cur, "type": "tag"}
     ddl.drop_ref(tbl, "v1")
     assert "v1" not in meta.get("refs", {})
+
+
+def test_rest_ctas(stub, spark, tmp_path):
+    """create_table_as: schema derived from the DataFrame, table created in
+    the catalog, rows appended as the first catalog-committed snapshot."""
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db2")
+    df = spark.range(20).selectExpr("id", "cast(id % 3 as string) AS g")
+    tbl = cat.create_table_as(spark, "db2", "ctas", df,
+                              location=str(tmp_path / "ctas"))
+    state.plan_response = None
+    got = scan_rest_table(spark, tbl, server_planning=False)
+    assert got.count() == 20
+    assert {f["name"] for f in tbl.metadata.schema_json()["fields"]} == {"id", "g"}
+    assert len(state.tables[("db2", "ctas")]["snapshots"]) == 1

@@ -325,6 +325,14 @@ class RestCatalog:
         return self._request("POST", "/transactions/commit",
                              {"table-changes": table_changes})
 
+    def transaction(self) -> "CatalogTransaction":
+        """Begin a multi-table DATA-PLANE transaction: run any dml function
+        (or RestTable-style append) against ``txn.table(ns, name)`` targets
+        — data files and manifests land in storage immediately, snapshot
+        commits are STAGED — then ``txn.commit()`` applies every staged
+        snapshot atomically via CommitTransactionRequest."""
+        return CatalogTransaction(self)
+
 
 @dataclass
 class RestTable:
@@ -491,3 +499,89 @@ class RestTable:
                 seq = self.metadata.last_sequence_number + 1
                 snapshot_json["sequence-number"] = seq
         raise last  # type: ignore[misc]
+
+
+class _StagedTable:
+    """A transaction-scoped table target: duck-types RestTable's
+    refresh()/metadata/commit_snapshot surface so every dml function works
+    unchanged, but snapshot commits are staged into the owning transaction
+    instead of POSTed."""
+
+    def __init__(self, table: RestTable, txn: "CatalogTransaction"):
+        self._table = table
+        self._txn = txn
+        self.metadata = table.metadata
+        self.namespace = table.namespace
+        self.name = table.name
+        self.catalog = table.catalog
+
+    def refresh(self) -> "_StagedTable":
+        self._table.refresh()
+        self.metadata = self._table.metadata
+        return self
+
+    def commit_snapshot(self, snapshot_json: dict, *,
+                        operation: str = "append") -> dict:
+        self._txn._stage(self._table, snapshot_json)
+        return {}
+
+    # convenience parity with RestTable
+    def append(self, spark, df) -> "_StagedTable":
+        from ..sources.writer import commit_snapshot, write_data_files
+
+        files, _ = write_data_files(spark, df, self.metadata)
+        commit_snapshot(self.metadata, operation="append",
+                        new_data_files=files,
+                        commit_fn=lambda s: self.commit_snapshot(s.to_json()))
+        return self
+
+
+class CatalogTransaction:
+    """Atomic multi-table data-plane transaction (reference:
+    iceberg_transaction.cpp multi-table CommitTransactionRequest,
+    :141-145): storage writes happen as each change is staged; the
+    metadata becomes visible only when commit() lands, all tables at once
+    or none. One staged snapshot per table (a second stage on the same
+    table would chain onto an uncommitted parent)."""
+
+    def __init__(self, catalog: RestCatalog):
+        self.catalog = catalog
+        self._staged: list[tuple[RestTable, dict]] = []
+
+    def table(self, namespace: str | tuple, name: str) -> _StagedTable:
+        return _StagedTable(self.catalog.load_table(namespace, name), self)
+
+    def _stage(self, table: RestTable, snapshot_json: dict) -> None:
+        for t, _ in self._staged:
+            if (t.namespace, t.name) == (table.namespace, table.name):
+                raise ValueError(
+                    f"table {table.name!r} already has a staged snapshot in "
+                    "this transaction (one change per table per commit)")
+        self._staged.append((table, snapshot_json))
+
+    def commit(self) -> dict:
+        if not self._staged:
+            return {}
+        changes = []
+        for table, snap in self._staged:
+            ns = (table.namespace.split(".")
+                  if isinstance(table.namespace, str) else list(table.namespace))
+            changes.append({
+                "identifier": {"namespace": ns, "name": table.name},
+                "requirements": [
+                    {"type": "assert-table-uuid",
+                     "uuid": table.metadata.table_uuid},
+                    {"type": "assert-ref-snapshot-id", "ref": "main",
+                     "snapshot-id": table.metadata.current_snapshot_id},
+                ],
+                "updates": [
+                    {"action": "add-snapshot", "snapshot": snap},
+                    {"action": "set-snapshot-ref", "ref-name": "main",
+                     "type": "branch", "snapshot-id": snap["snapshot-id"]},
+                ],
+            })
+        resp = self.catalog.commit_transaction(changes)
+        staged, self._staged = self._staged, []
+        for table, _ in staged:
+            table.refresh()
+        return resp

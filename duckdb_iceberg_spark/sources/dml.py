@@ -300,8 +300,8 @@ def equality_delete(
     table field-ids of the key columns. Sequence-number semantics make it
     apply strictly to EARLIER data files (delete.seq > data.seq), so rows
     appended afterwards with the same keys survive — exactly the CDC upsert
-    contract."""
-    tm = load_table_metadata(location)
+    contract. ``location`` may be a path or a catalog ``RestTable``."""
+    tm, committer = _resolve_target(location)
     key_columns = key_columns or keys.columns
     schema_json = tm.schema_json()
     by_name = {f["name"]: f for f in schema_json["fields"]}
@@ -349,7 +349,8 @@ def equality_delete(
         ))
     if not delete_files:
         return tm
-    commit_snapshot(tm, operation="delete", new_delete_files=delete_files)
+    commit_snapshot(tm, operation="delete", new_delete_files=delete_files,
+                    commit_fn=committer("delete") if committer else None)
     return tm
 
 
@@ -363,8 +364,9 @@ def upsert_equality(
     snapshot carrying an equality-delete file for the incoming keys plus
     the new data files. Old rows with those keys vanish (delete.seq >
     data.seq), the new rows live in files at the same sequence number and
-    are untouched by it."""
-    tm = load_table_metadata(location)
+    are untouched by it. ``location`` may be a path or a catalog
+    ``RestTable``."""
+    tm, committer = _resolve_target(location)
     schema_json = tm.schema_json()
     by_name = {f["name"]: f for f in schema_json["fields"]}
     eq_ids = [by_name[c]["id"] for c in key_columns]
@@ -398,7 +400,8 @@ def upsert_equality(
         ))
     new_files, _root = write_data_files(spark, df, tm)
     commit_snapshot(tm, operation="overwrite",
-                    new_data_files=new_files, new_delete_files=delete_files)
+                    new_data_files=new_files, new_delete_files=delete_files,
+                    commit_fn=committer("overwrite") if committer else None)
     return tm
 
 

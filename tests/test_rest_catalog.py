@@ -974,3 +974,47 @@ def test_rest_ctas(stub, spark, tmp_path):
     assert got.count() == 20
     assert {f["name"] for f in tbl.metadata.schema_json()["fields"]} == {"id", "g"}
     assert len(state.tables[("db2", "ctas")]["snapshots"]) == 1
+
+
+def test_multi_table_data_plane_transaction(stub, spark, sf_dir, tmp_path):
+    """CatalogTransaction: an append on table A and a MoR DELETE on table B
+    stage their snapshots and commit atomically via CommitTransactionRequest
+    — a conflict applies NEITHER."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from tests.conftest import load
+
+    base, state = stub
+    loc_a, loc_b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_iceberg(load(spark, sf_dir, "region"), loc_a)
+    write_iceberg(load(spark, sf_dir, "nation"), loc_b)
+    _register_disk_table(state, loc_a, name="a")
+    _register_disk_table(state, loc_b, name="b")
+    state.plan_response = None
+    cat = _catalog(base)
+
+    txn = cat.transaction()
+    ta = txn.table("db", "a")
+    tb = txn.table("db", "b")
+    ta.append(spark, load(spark, sf_dir, "region")
+              .withColumn("r_regionkey", F.col("r_regionkey") + 10))
+    delete_from(spark, tb, "n_regionkey = 0", mode="merge-on-read")
+    # nothing visible yet: staged, not committed
+    assert len(state.tables[("db", "a")]["snapshots"]) == 1
+    assert len(state.tables[("db", "b")]["snapshots"]) == 1
+    txn.commit()
+    assert len(state.tables[("db", "a")]["snapshots"]) == 2
+    assert len(state.tables[("db", "b")]["snapshots"]) == 2
+    assert scan_rest_table(spark, cat.load_table("db", "a"),
+                           server_planning=False).count() == 10
+    got_b = scan_rest_table(spark, cat.load_table("db", "b"),
+                            server_planning=False)
+    assert got_b.count() == 20 and got_b.filter("n_regionkey = 0").count() == 0
+
+    # a second staged change on the same table in one txn is rejected
+    txn2 = cat.transaction()
+    t2 = txn2.table("db", "a")
+    t2.append(spark, load(spark, sf_dir, "region"))
+    with pytest.raises(ValueError, match="already has a staged snapshot"):
+        t2.append(spark, load(spark, sf_dir, "region"))

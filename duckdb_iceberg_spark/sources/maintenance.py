@@ -61,10 +61,14 @@ def rewrite_data_files(
     rewrite_all: bool = False,
     snapshot_properties: dict[str, str] | None = None,
 ) -> dict[str, Any]:
-    """Bin-pack small data files into ~target-size files, one REPLACE commit."""
+    """Bin-pack small data files into ~target-size files, one REPLACE
+    commit. ``location`` may be a path or a catalog ``RestTable`` (the
+    REPLACE snapshot then commits through the catalog)."""
+    from .dml import _resolve_target
+
     if min_input_files < 1:
         raise ValueError("min_input_files must be >= 1")
-    tm = load_table_metadata(location)
+    tm, committer = _resolve_target(location)
     snapshot = tm.select_snapshot()
     plan = plan_scan(tm, snapshot, None)
     target = _resolve_target_size(tm, target_file_size_bytes)
@@ -106,13 +110,14 @@ def rewrite_data_files(
     extra = {"rewrite-target-file-size-bytes": str(target)}
     for k, v in (snapshot_properties or {}).items():
         extra[k] = v
-    commit_snapshot(
+    snap = commit_snapshot(
         tm, operation="replace",
         new_data_files=new_files,
         removed_data_paths=removed,
         extra_summary=extra,
+        commit_fn=committer("replace") if committer else None,
     )
-    summary["snapshot_id"] = tm.current_snapshot_id
+    summary["snapshot_id"] = snap.snapshot_id
     return summary
 
 
@@ -170,6 +175,11 @@ def expire_snapshots(
     Returns {"expired": n, "deleted_files": n}."""
     import os as _os
 
+    if not isinstance(location, str):
+        raise NotImplementedError(
+            "expire_snapshots on REST-catalog tables needs the "
+            "remove-snapshots TableUpdate; run it against the table "
+            "location directly only for filesystem tables")
     tm = load_table_metadata(location)
     snaps = sorted(tm.snapshots, key=lambda s: s.timestamp_ms)
     if retain_last < 1:
@@ -241,6 +251,10 @@ def remove_orphan_files(
         older_than_ms = _ORPHAN_DEFAULT_OLDER_THAN_MS
     cutoff_ms = _time.time() * 1000 - older_than_ms
 
+    if not isinstance(location, str):
+        # orphan scan walks the table's storage location — same walk works
+        # for catalog tables, but deletions don't touch catalog state
+        location = location.refresh().metadata.location
     tm = load_table_metadata(location)
     _, referenced = _reachable_files(tm, tm.snapshots, strict=True)
     orphans = []

@@ -1018,3 +1018,30 @@ def test_multi_table_data_plane_transaction(stub, spark, sf_dir, tmp_path):
     t2.append(spark, load(spark, sf_dir, "region"))
     with pytest.raises(ValueError, match="already has a staged snapshot"):
         t2.append(spark, load(spark, sf_dir, "region"))
+
+
+def test_rest_compaction_replace_commit(stub, spark, sf_dir, tmp_path):
+    """rewrite_data_files on a catalog table commits the REPLACE snapshot
+    through the catalog."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from duckdb_iceberg_spark.sources.maintenance import rewrite_data_files
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    sup = load(spark, sf_dir, "supplier")
+    for _ in range(3):
+        write_iceberg(sup.repartition(2), loc)
+    _register_disk_table(state, loc, name="compact")
+    state.plan_response = None
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "compact")
+    n_snaps = len(state.tables[("db", "compact")]["snapshots"])
+
+    summary = rewrite_data_files(spark, tbl, min_input_files=2)
+    assert summary["rewritten_data_files_count"] >= 2
+    assert len(state.tables[("db", "compact")]["snapshots"]) == n_snaps + 1
+    got = scan_rest_table(spark, cat.load_table("db", "compact"),
+                          server_planning=False)
+    assert got.count() == sup.count() * 3

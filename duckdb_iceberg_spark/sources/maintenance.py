@@ -172,15 +172,18 @@ def expire_snapshots(
     drops expired snapshots from table metadata, then deletes any
     manifest/data files no longer reachable from a retained snapshot.
 
-    Returns {"expired": n, "deleted_files": n}."""
+    Returns {"expired": n, "deleted_files": n}. ``location`` may be a
+    path or a catalog ``RestTable`` (expiry then commits a
+    remove-snapshots TableUpdate; file deletion is storage-side either
+    way)."""
     import os as _os
 
+    rest = None
     if not isinstance(location, str):
-        raise NotImplementedError(
-            "expire_snapshots on REST-catalog tables needs the "
-            "remove-snapshots TableUpdate; run it against the table "
-            "location directly only for filesystem tables")
-    tm = load_table_metadata(location)
+        rest = location.refresh()
+        tm = rest.metadata
+    else:
+        tm = load_table_metadata(location)
     snaps = sorted(tm.snapshots, key=lambda s: s.timestamp_ms)
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1")
@@ -216,6 +219,14 @@ def expire_snapshots(
                 pass
 
     expired_ids = {s.snapshot_id for s in expired}
+    if rest is not None:
+        rest.catalog.commit_table(
+            rest.namespace, rest.name,
+            [{"type": "assert-table-uuid", "uuid": tm.table_uuid}],
+            [{"action": "remove-snapshots",
+              "snapshot-ids": sorted(expired_ids)}])
+        rest.refresh()
+        return {"expired": len(expired), "deleted_files": deleted}
     tm.snapshots = retained
     tm.snapshot_log = [
         e for e in tm.snapshot_log if e.get("snapshot-id") not in expired_ids]

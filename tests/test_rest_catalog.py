@@ -223,6 +223,11 @@ def _make_handler(state: _StubState):
                         elif u["action"] == "remove-properties":
                             for k in u.get("removals", []):
                                 meta.get("properties", {}).pop(k, None)
+                        elif u["action"] == "remove-snapshots":
+                            dead = set(u.get("snapshot-ids", []))
+                            meta["snapshots"] = [
+                                sn for sn in meta.get("snapshots", [])
+                                if sn["snapshot-id"] not in dead]
                         elif u["action"] == "upgrade-format-version":
                             if u["format-version"] < meta.get("format-version", 2):
                                 return self._send(400, {"error": {"message": "downgrade"}})
@@ -1045,3 +1050,26 @@ def test_rest_compaction_replace_commit(stub, spark, sf_dir, tmp_path):
     got = scan_rest_table(spark, cat.load_table("db", "compact"),
                           server_planning=False)
     assert got.count() == sup.count() * 3
+
+
+def test_rest_expire_snapshots(stub, spark, sf_dir, tmp_path):
+    """expire_snapshots on a catalog table commits remove-snapshots."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.maintenance import expire_snapshots
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    reg = load(spark, sf_dir, "region")
+    write_iceberg(reg, loc)
+    write_iceberg(reg, loc)
+    write_iceberg(reg, loc)
+    _register_disk_table(state, loc, name="exp")
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "exp")
+    assert len(state.tables[("db", "exp")]["snapshots"]) == 3
+
+    out = expire_snapshots(tbl, retain_last=1, delete_files=False)
+    assert out["expired"] == 2
+    assert len(state.tables[("db", "exp")]["snapshots"]) == 1
+    assert tbl.metadata.current_snapshot() is not None

@@ -455,6 +455,10 @@ class RestTable:
         otherwise the conflict surfaces to the caller to re-run."""
         append_retryable = operation == "append"
         base_snapshot_id = self.metadata.current_snapshot_id
+        # data-plane commits (commit_snapshot(..., commit_fn=...)) arrive
+        # with an explicit first-row-id that their already-written manifests
+        # also carry per data file; a rebase may NOT silently renumber it
+        staged_first_row_id = snapshot_json.get("first-row-id")
         attempts = self.catalog.config.max_commit_retries
         last: Exception | None = None
         for _ in range(max(1, attempts)):
@@ -464,6 +468,21 @@ class RestTable:
             # snapshot claims the range AFTER the winner's rows (reference:
             # test_row_lineage_*.test round-trip through the catalog)
             if self.metadata.format_version >= 3:
+                added_rows = int(
+                    (snapshot_json.get("summary") or {}).get("added-records", 0)
+                    or 0)
+                if (staged_first_row_id is not None and added_rows > 0
+                        and self.metadata.next_row_id != staged_first_row_id):
+                    # a concurrent winner claimed the row-id range this
+                    # snapshot's manifests already encode (explicit
+                    # first_row_id per added data file): retrying the JSON
+                    # alone would duplicate row ids. Surface the conflict;
+                    # the caller re-runs the write against the fresh
+                    # snapshot. (Delete-only snapshots claim an empty range
+                    # — renumbering them on rebase is safe.)
+                    raise last if last is not None else CommitConflict(
+                        409, "row-id range claimed by a concurrent commit; "
+                             "re-run the write against the current snapshot")
                 snapshot_json = dict(snapshot_json)
                 snapshot_json["first-row-id"] = self.metadata.next_row_id
             cur = self.metadata.current_snapshot_id

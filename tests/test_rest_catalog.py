@@ -33,6 +33,7 @@ class _StubState:
         self.tokens_issued = 0
         self.commit_conflicts_to_inject = 0
         self.conflict_winner_operation = "append"
+        self.conflict_winner_rows = 0
         self.requests: list[tuple[str, str]] = []
         # planTableScan: plan_response is returned for POST .../plan;
         # plan_pages maps plan-task token -> page response; async_polls
@@ -178,6 +179,10 @@ def _make_handler(state: _StubState):
                                                   "manifest-list": "mem://x.avro"})
                         meta["current-snapshot-id"] = sid
                         meta["last-sequence-number"] += 1
+                        if state.conflict_winner_rows:
+                            # v3 winner that claimed a row-id range
+                            meta["next-row-id"] = (meta.get("next-row-id", 0)
+                                                   + state.conflict_winner_rows)
                         return self._send(409, {"error": {"message": "injected conflict"}})
                     for u in b.get("updates", []):
                         if u["action"] == "add-snapshot":
@@ -1073,3 +1078,34 @@ def test_rest_expire_snapshots(stub, spark, sf_dir, tmp_path):
     assert out["expired"] == 2
     assert len(state.tables[("db", "exp")]["snapshots"]) == 1
     assert tbl.metadata.current_snapshot() is not None
+
+
+def test_v3_rebase_never_renumbers_staged_row_ids(stub, spark, sf_dir, tmp_path):
+    """A v3 data-plane append whose row-id range was claimed by a
+    concurrent winner must RAISE on rebase (its manifests carry explicit
+    first_row_ids; silently renumbering the snapshot JSON would duplicate
+    row ids). A DV-only DELETE claims an empty range and still rebases."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "region"), loc, format_version=3)
+    _register_disk_table(state, loc, name="v3")
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "v3")
+
+    state.commit_conflicts_to_inject = 1
+    state.conflict_winner_operation = "append"
+    state.conflict_winner_rows = 7  # winner claimed row-ids
+    with pytest.raises(CommitConflict, match="row-id range"):
+        tbl.append(spark, load(spark, sf_dir, "region"))
+
+    # DV-only delete: empty row-id range, rebase is safe -> commits
+    tbl.refresh()
+    n_before = len(state.tables[("db", "v3")]["snapshots"])
+    state.commit_conflicts_to_inject = 1
+    state.conflict_winner_rows = 7
+    delete_from(spark, tbl, "r_regionkey = 0", mode="merge-on-read")
+    assert len(state.tables[("db", "v3")]["snapshots"]) == n_before + 2  # winner + delete

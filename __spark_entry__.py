@@ -1431,6 +1431,26 @@ def stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h wide, 30 min slide) per event_type —
+    each event lands in exactly two windows. Oracle: unnest the two
+    epoch-aligned candidate window starts per event in DuckDB."""
+    from duckdb_iceberg_spark.streaming import sliding_agg
+
+    ev = _events_with_ts(spark, sf_dir)
+    agg = sliding_agg(
+        ev, "ts", "1 hour", "30 minutes",
+        {"cnt": F.count(F.lit(1)), "sum_value": _dec_sum(F.col("value"), 6)},
+        keys=["event_type"],
+    )
+    return (
+        agg.select(F.col("window_start").cast("string").alias("window_start"),
+                   "event_type", "cnt", "sum_value")
+        .orderBy("window_start", "event_type")
+        .limit(500)
+    )
+
+
 def _ice_stream_sink(spark: SparkSession, sf_dir: str) -> str:
     """supplier streamed file-by-file into an Iceberg table via the
     foreachBatch sink (availableNow), checkpointed for exactly-once."""
@@ -1543,7 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
       1-22   ice_* Iceberg table-format queries — the reference's own
              surface, always in-window.
-      23-43  docs_/emb_/stream_/mm_ LLM-pipeline + streaming operators —
+      23-44  docs_/emb_/stream_/mm_ LLM-pipeline + streaming operators —
              rotated IN this round (they sat at 51-69 through r1-r3 and had
              never been driver-oracle-checked).
       44-50  TPC-H canaries (q01/q02/q09/q17/q18/q21) + q01_mor
@@ -1596,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sink_roundtrip": stream_sink_roundtrip,
         "stream_tumbling_events": stream_tumbling_events,
         "stream_session_events": stream_session_events,
+        "stream_sliding_events": stream_sliding_events,
         "mm_image_features": mm_image_features,
         "mm_audio_features": mm_audio_features,
         "mm_frame_sample": mm_frame_sample,
@@ -1604,11 +1625,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_mor_pricing_summary": q01_mor_pricing_summary,
         "q02_min_cost_supplier": q02_min_cost_supplier,
         "q09_product_profit": q09_product_profit,
-        "q17_small_quantity": q17_small_quantity,
         "q18_large_volume": q18_large_volume,
         "q21_waiting_supplier": q21_waiting_supplier,
         # ------------------- 50-row window boundary -----------------------
         "q03_shipping_priority": q03_shipping_priority,
+        "q17_small_quantity": q17_small_quantity,
         "q04_order_priority": q04_order_priority,
         "q06_revenue_forecast": q06_revenue_forecast,
         "q12_late_lines": q12_late_lines,
@@ -2461,6 +2482,22 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value
             FROM events
             GROUP BY 1, 2 ORDER BY window_start, event_type LIMIT 500
+        """,
+        "stream_sliding_events": """
+            WITH e AS (
+              SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+            ), w AS (
+              SELECT event_type, value,
+                     unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                             time_bucket(INTERVAL 30 MINUTE, ts)
+                               - INTERVAL 30 MINUTE]) AS window_start
+              FROM e
+            )
+            SELECT CAST(window_start AS VARCHAR) AS window_start, event_type,
+                   count(*) AS cnt,
+                   round(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value
+            FROM w GROUP BY 1, 2
+            ORDER BY window_start, event_type LIMIT 500
         """,
         "stream_session_events": """
             WITH e AS (

@@ -461,6 +461,7 @@ class RestTable:
         staged_first_row_id = snapshot_json.get("first-row-id")
         attempts = self.catalog.config.max_commit_retries
         last: Exception | None = None
+        refreshed = False
         for _ in range(max(1, attempts)):
             # v3 row lineage: the client assigns the snapshot's first-row-id
             # from the table's current next-row-id; a rebase after a 409
@@ -468,23 +469,29 @@ class RestTable:
             # snapshot claims the range AFTER the winner's rows (reference:
             # test_row_lineage_*.test round-trip through the catalog)
             if self.metadata.format_version >= 3:
-                added_rows = int(
-                    (snapshot_json.get("summary") or {}).get("added-records", 0)
-                    or 0)
-                if (staged_first_row_id is not None and added_rows > 0
-                        and self.metadata.next_row_id != staged_first_row_id):
-                    # a concurrent winner claimed the row-id range this
-                    # snapshot's manifests already encode (explicit
-                    # first_row_id per added data file): retrying the JSON
-                    # alone would duplicate row ids. Surface the conflict;
-                    # the caller re-runs the write against the fresh
-                    # snapshot. (Delete-only snapshots claim an empty range
-                    # — renumbering them on rebase is safe.)
-                    raise last if last is not None else CommitConflict(
-                        409, "row-id range claimed by a concurrent commit; "
-                             "re-run the write against the current snapshot")
-                snapshot_json = dict(snapshot_json)
-                snapshot_json["first-row-id"] = self.metadata.next_row_id
+                if staged_first_row_id is None:
+                    # JSON-only commit: derive the range start from metadata
+                    snapshot_json = dict(snapshot_json)
+                    snapshot_json["first-row-id"] = self.metadata.next_row_id
+                elif refreshed:
+                    # data-plane rebase: the refreshed metadata is the
+                    # server's truth. The snapshot's manifests encode
+                    # explicit first_row_ids per added data file, so a
+                    # moved range may NOT be silently renumbered.
+                    added_rows = int((snapshot_json.get("summary") or {})
+                                     .get("added-records", 0) or 0)
+                    if (added_rows > 0
+                            and self.metadata.next_row_id != staged_first_row_id):
+                        raise CommitConflict(
+                            409, "row-id range claimed by a concurrent "
+                                 "commit; re-run the write against the "
+                                 "current snapshot") from last
+                    # delete-only snapshots claim an empty range — safe
+                    snapshot_json = dict(snapshot_json)
+                    snapshot_json["first-row-id"] = self.metadata.next_row_id
+                # else: first attempt of a data-plane commit — keep the
+                # staged value (local metadata was already advanced by the
+                # manifest build; patching from it would skip a range)
             cur = self.metadata.current_snapshot_id
             requirements: list[dict] = [{"type": "assert-table-uuid",
                                          "uuid": self.metadata.table_uuid}]
@@ -508,6 +515,7 @@ class RestTable:
             except CommitConflict as e:
                 last = e
                 self.refresh()
+                refreshed = True
                 if not append_retryable and not self._delete_can_reapply(
                         base_snapshot_id):
                     raise

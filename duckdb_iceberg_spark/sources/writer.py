@@ -760,6 +760,13 @@ def commit_snapshot(
         "total-data-files": str(sum(m.added_files_count + m.existing_files_count
                                     for m in manifests if m.content == mf.MANIFEST_DATA)),
     }
+    if snap_first_row_id is not None and tm.next_row_id - snap_first_row_id != added_rows:
+        # v2->v3 upgrade first commit: retroactive assignment claimed row
+        # ids for carried manifests too, so the range is wider than
+        # added-records. Surface it (summaries are free-form) — a catalog
+        # deriving next-row-id from added-records alone would under-count
+        # and hand the same ids to the next writer.
+        summary["assigned-rows"] = str(tm.next_row_id - snap_first_row_id)
     summary.update(extra_summary or {})
     snap = Snapshot(
         snapshot_id=snapshot_id,

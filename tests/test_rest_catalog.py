@@ -34,6 +34,7 @@ class _StubState:
         self.commit_conflicts_to_inject = 0
         self.conflict_winner_operation = "append"
         self.conflict_winner_rows = 0
+        self.conflict_winner_manifest_list = "mem://x.avro"
         self.requests: list[tuple[str, str]] = []
         # planTableScan: plan_response is returned for POST .../plan;
         # plan_pages maps plan-task token -> page response; async_polls
@@ -176,7 +177,7 @@ def _make_handler(state: _StubState):
                                                   meta["last-sequence-number"] + 1,
                                                   "timestamp-ms": 1,
                                                   "summary": {"operation": state.conflict_winner_operation},
-                                                  "manifest-list": "mem://x.avro"})
+                                                  "manifest-list": state.conflict_winner_manifest_list})
                         meta["current-snapshot-id"] = sid
                         meta["last-sequence-number"] += 1
                         if state.conflict_winner_rows:
@@ -192,8 +193,9 @@ def _make_handler(state: _StubState):
                                 u["snapshot"].get("sequence-number", 0))
                             fr = u["snapshot"].get("first-row-id")
                             if fr is not None:
-                                added = int(u["snapshot"].get("summary", {})
-                                            .get("added-records", 0))
+                                summ = u["snapshot"].get("summary", {})
+                                added = int(summ.get("assigned-rows",
+                                                     summ.get("added-records", 0)))
                                 meta["next-row-id"] = max(
                                     meta.get("next-row-id", 0), fr + added)
                         elif u["action"] == "set-snapshot-ref":
@@ -291,8 +293,9 @@ def _make_handler(state: _StubState):
                                 u["snapshot"].get("sequence-number", 0))
                             fr = u["snapshot"].get("first-row-id")
                             if fr is not None:
-                                added = int(u["snapshot"].get("summary", {})
-                                            .get("added-records", 0))
+                                summ = u["snapshot"].get("summary", {})
+                                added = int(summ.get("assigned-rows",
+                                                     summ.get("added-records", 0)))
                                 meta["next-row-id"] = max(
                                     meta.get("next-row-id", 0), fr + added)
                         elif u["action"] == "set-snapshot-ref":
@@ -1096,6 +1099,10 @@ def test_v3_rebase_never_renumbers_staged_row_ids(stub, spark, sf_dir, tmp_path)
     cat = _catalog(base)
     tbl = cat.load_table("db", "v3")
 
+    # fake winners need a REAL manifest list so post-conflict planning
+    # works (the stub's winner is metadata-only)
+    state.conflict_winner_manifest_list = \
+        tbl.metadata.current_snapshot().manifest_list
     state.commit_conflicts_to_inject = 1
     state.conflict_winner_operation = "append"
     state.conflict_winner_rows = 7  # winner claimed row-ids
@@ -1109,3 +1116,34 @@ def test_v3_rebase_never_renumbers_staged_row_ids(stub, spark, sf_dir, tmp_path)
     state.conflict_winner_rows = 7
     delete_from(spark, tbl, "r_regionkey = 0", mode="merge-on-read")
     assert len(state.tables[("db", "v3")]["snapshots"]) == n_before + 2  # winner + delete
+
+
+def test_rest_upgrade_retro_rowids_advance_next_row_id(stub, spark, tmp_path):
+    """First v3 commit after an upgrade on a CATALOG table: the snapshot's
+    claimed row-id range covers the retroactively-assigned carried rows
+    (assigned-rows summary), so the server's next-row-id advances past
+    them — the following append must not reuse their ids."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from duckdb_iceberg_spark.sources import ddl
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    write_iceberg(spark.range(10).selectExpr("id", "id * 1.0 AS v")
+                  .coalesce(1), loc, format_version=2)
+    _register_disk_table(state, loc, name="up")
+    state.plan_response = None
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "up")
+
+    ddl.upgrade_format_version(tbl, 3)
+    tbl.append(spark, spark.range(10, 15).selectExpr("id", "id * 1.0 AS v")
+               .coalesce(1))
+    # server advanced past carried rows (10) + new rows (5)
+    assert state.tables[("db", "up")]["next-row-id"] == 15
+    tbl.append(spark, spark.range(15, 18).selectExpr("id", "id * 1.0 AS v")
+               .coalesce(1))
+    got = {r.id: r._row_id for r in scan_rest_table(
+        spark, tbl.refresh(), server_planning=False,
+        with_row_lineage=True).collect()}
+    assert sorted(got.values()) == list(range(18))  # dense, no reuse

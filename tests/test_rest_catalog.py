@@ -1147,3 +1147,22 @@ def test_rest_upgrade_retro_rowids_advance_next_row_id(stub, spark, tmp_path):
         spark, tbl.refresh(), server_planning=False,
         with_row_lineage=True).collect()}
     assert sorted(got.values()) == list(range(18))  # dense, no reuse
+
+
+def test_inspection_tables_accept_rest_tables(stub, spark, sf_dir, tmp_path):
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources import metadata_tables as mt
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "region"), loc)
+    write_iceberg(load(spark, sf_dir, "region"), loc)
+    _register_disk_table(state, loc, name="insp")
+    tbl = _catalog(base).load_table("db", "insp")
+
+    assert mt.iceberg_snapshots(spark, tbl).count() == 2
+    assert mt.iceberg_metadata(spark, tbl).count() >= 2
+    assert mt.iceberg_column_stats(spark, tbl).filter(
+        "column_name = 'r_regionkey'").count() >= 1
+    assert mt.iceberg_history(spark, tbl).count() == 2

@@ -257,7 +257,52 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
         for key in list(reg):
             if key in toks:
                 refresh_table(spark, key)
+        stmt2 = _rewrite_asof(spark, stmt, reg)
+        if stmt2 is not None:
+            return spark.sql(stmt2)
     return spark.sql(sql)
+
+
+def _rewrite_asof(spark: SparkSession, stmt: str, reg: dict) -> str | None:
+    """Time-travel SQL over registered views: ``view [FOR] VERSION AS OF
+    <snapshot-id | 'ref'>`` / ``[FOR] TIMESTAMP AS OF '<ts>'`` (Spark's
+    connector syntax; the reference's snapshot_from_id /
+    snapshot_from_timestamp scan options). Each occurrence is resolved to a
+    pinned temp view and the statement rewritten to reference it."""
+    pat = re.compile(
+        r"\b([\w.]+)\s+(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+        r"('(?:[^']|'')*'|\d+)", re.I)
+    changed = False
+
+    def repl(m: "re.Match[str]") -> str:
+        nonlocal changed
+        name, kind, val = m.group(1), m.group(2).upper(), m.group(3)
+        ent = reg.get(name.lower())
+        if ent is None:
+            return m.group(0)
+        _, source, opts = ent
+        opts = dict(opts)
+        if kind == "VERSION":
+            if val.startswith("'"):
+                opts["ref"] = val[1:-1].replace("''", "'")
+            else:
+                opts["snapshot_id"] = int(val)
+            tag = re.sub(r"\W", "_", val.strip("'"))
+        else:
+            opts["as_of"] = val[1:-1].replace("''", "'")
+            tag = re.sub(r"\W", "_", opts["as_of"])
+        if not isinstance(source, str) and "as_of" in opts:
+            # REST scans take snapshot ids; resolve the timestamp driver-side
+            snap = source.refresh().metadata.select_snapshot(
+                as_of=opts.pop("as_of"))
+            opts["snapshot_id"] = snap.snapshot_id
+        pinned = f"__asof_{name.lower()}_{tag}"
+        register_table(spark, pinned, source, **opts)
+        changed = True
+        return pinned
+
+    out = pat.sub(repl, stmt)
+    return out if changed else None
 
 
 def _is_registered_target(spark: SparkSession, stmt: str, pattern: str) -> bool:

@@ -217,3 +217,44 @@ def test_sql_alter_table_surface(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported ALTER"):
         execute_sql(spark, "ALTER TABLE reg_alter FROBNICATE")
+
+
+def test_sql_time_travel_as_of(spark, sf_dir, tmp_path):
+    """SELECT ... FROM view VERSION AS OF <id|'tag'> / TIMESTAMP AS OF '<ts>'
+    resolve against the registered table's snapshot history."""
+    import datetime as dt
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.ddl import create_tag
+    from duckdb_iceberg_spark.sources.sql import execute_sql
+
+    loc = os.path.join(str(tmp_path), "tt")
+    reg = load(spark, sf_dir, "region")
+    tm1 = write_iceberg(reg, loc)
+    snap1 = tm1.current_snapshot_id
+    create_tag(loc, "five-rows")
+    write_iceberg(reg, loc)  # second append: 10 rows at head
+    _register(spark, loc, "reg_tt")
+
+    assert execute_sql(spark, "SELECT count(*) c FROM reg_tt").first().c == 10
+    assert execute_sql(
+        spark, f"SELECT count(*) c FROM reg_tt VERSION AS OF {snap1}"
+    ).first().c == 5
+    assert execute_sql(
+        spark, "SELECT count(*) c FROM reg_tt VERSION AS OF 'five-rows'"
+    ).first().c == 5
+    ts1 = load_table_metadata(loc).snapshot_by_id(snap1).timestamp_ms
+    ts = dt.datetime.fromtimestamp(ts1 / 1000, tz=dt.timezone.utc)
+    assert execute_sql(
+        spark,
+        "SELECT count(*) c FROM reg_tt FOR TIMESTAMP AS OF "
+        f"'{ts.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    ).first().c == 5
+    # joinable with the live view in one statement
+    row = execute_sql(
+        spark,
+        f"SELECT count(*) c FROM reg_tt a JOIN (SELECT * FROM reg_tt "
+        f"VERSION AS OF {snap1}) b ON a.r_regionkey = b.r_regionkey"
+    ).first()
+    assert row.c == 10  # 2 head rows per key x 5 pinned keys

@@ -96,10 +96,34 @@ def _read_one(fs_io: FileIO, path: str, target):
     cols = []
     for f in target:
         if f.name in tbl.column_names:
-            cols.append(tbl.column(f.name).cast(f.type))
+            cols.append(_cast_column(tbl.column(f.name), f.type))
         else:
             cols.append(pa.nulls(len(tbl), f.type))
     return pa.Table.from_arrays(cols, schema=target)
+
+
+def _cast_column(col, target_type):
+    """Arrow cast with the uuid special case: parquet stores uuid as
+    FIXED_LEN_BYTE_ARRAY(16), which arrow cannot cast to string — render
+    the canonical lowercase-hyphenated form instead (the scan's JVM path
+    does the same via hex/concat_ws; sources/scan.py _uuid_fmt). Nested
+    uuid inside structs stays unsupported on the arrow plane."""
+    import pyarrow as pa
+
+    st = col.type
+    if (pa.types.is_string(target_type)
+            and (pa.types.is_fixed_size_binary(st)
+                 or pa.types.is_binary(st) or pa.types.is_large_binary(st))):
+        import uuid as _u
+
+        vals = [
+            None if v is None
+            else (str(_u.UUID(bytes=v)) if len(v) == 16
+                  else v.decode("utf-8", errors="replace"))
+            for v in col.to_pylist()
+        ]
+        return pa.chunked_array([pa.array(vals, pa.string())])
+    return col.cast(target_type)
 
 
 def _open_arrow_input(fs_io: FileIO, path: str):

@@ -226,3 +226,36 @@ def test_s3a_scheme_equality_deletes_apply(spark, s3a_fs):
                     ["k"])
     got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
     assert got == [i for i in range(50) if i % 5 not in (1, 3)]
+
+
+def test_uuid_fixed16_reads_on_object_store(spark, mock_fs):
+    """A foreign-written parquet file storing uuid as FIXED_LEN_BYTE_ARRAY(16)
+    must read as the canonical string through the ARROW data plane too (the
+    JVM path already converts; arrow cannot cast fixed16->string natively)."""
+    import uuid as _u
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from duckdb_iceberg_spark.io import arrow_data as ad
+    from duckdb_iceberg_spark.metadata.types import FIELD_ID_KEY, ICEBERG_TYPE_KEY
+
+    u1, u2 = _u.uuid4(), _u.uuid4()
+    tbl = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "u": pa.array([u1.bytes, u2.bytes], pa.binary(16)),
+    })
+    sink = pa.BufferOutputStream()
+    pq.write_table(tbl, sink)
+    path = "mock://bucket/uuid/f.parquet"
+    from duckdb_iceberg_spark import io as fio
+    fio.get_io(path).write_bytes(path, sink.getvalue().to_pybytes())
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), True, {FIELD_ID_KEY: 1}),
+        T.StructField("u", T.StringType(), True,
+                      {FIELD_ID_KEY: 2, ICEBERG_TYPE_KEY: "uuid"}),
+    ])
+    got = {r.id: r.u for r in ad.read_parquet(spark, [path], schema).collect()}
+    assert got == {1: str(u1), 2: str(u2)}

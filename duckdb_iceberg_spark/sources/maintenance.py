@@ -300,15 +300,17 @@ def rewrite_manifests(
     Entries keep their sequence numbers (status EXISTING), grouped by
     (content, partition-spec) so pruning semantics are unchanged.
 
-    Returns {"rewritten_manifests": n, "new_manifests": n}."""
+    Returns {"rewritten_manifests": n, "new_manifests": n}. ``location``
+    may be a path or a catalog ``RestTable``."""
     import os as _os
     import time as _time
     import uuid as _uuid
 
     from ..metadata.table_metadata import Snapshot
     from ..plans.scan_plan import _localize
+    from .dml import _resolve_target
 
-    tm = load_table_metadata(location)
+    tm, committer = _resolve_target(location)
     snapshot = tm.current_snapshot()
     if snapshot is None or not snapshot.manifest_list:
         return {"rewritten_manifests": 0, "new_manifests": 0}
@@ -316,13 +318,19 @@ def rewrite_manifests(
     if len(manifests) < min_input_manifests:
         return {"rewritten_manifests": 0, "new_manifests": 0}
 
-    meta_dir = _os.path.join(location, "metadata")
+    meta_dir = _os.path.join(tm.location, "metadata")
     snapshot_id = int.from_bytes(_os.urandom(7), "big")
     seq = tm.last_sequence_number + 1
 
     groups: dict[tuple[int, int], list[mf.ManifestEntry]] = {}
     for m in manifests:
-        for e in mf.read_manifest(_localize(tm, m.manifest_path)):
+        entries = mf.read_manifest(_localize(tm, m.manifest_path))
+        # v3 row lineage: materialize inherited first-row-ids BEFORE the
+        # entries detach from their source manifest — a consolidated
+        # manifest has no per-source inheritance context, and losing the
+        # ids would re-derive _row_id from the WRONG base
+        mf.inherit_first_row_ids(entries, m.first_row_id)
+        for e in entries:
             if e.status == mf.STATUS_DELETED:
                 continue
             # inherit sequence numbers before making the entry EXISTING —
@@ -366,6 +374,10 @@ def rewrite_manifests(
                  "added-manifests": str(len(new_manifests))},
         schema_id=tm.current_schema_id,
     )
+    if committer is not None:
+        committer("replace")(snap)
+        return {"rewritten_manifests": len(manifests),
+                "new_manifests": len(new_manifests)}
     tm.snapshots.append(snap)
     tm.snapshot_log.append({"timestamp-ms": snap.timestamp_ms,
                             "snapshot-id": snapshot_id})

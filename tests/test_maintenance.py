@@ -224,3 +224,30 @@ def test_rewrite_manifests_consolidates(spark, sf_dir, tmp_path):
 
     got = sorted(r.n_nationkey for r in iceberg_scan(spark, loc).collect())
     assert got == sorted(r.n_nationkey for r in src.collect() if r.n_nationkey != 3)
+
+
+def test_rewrite_manifests_preserves_v3_row_lineage(spark, tmp_path):
+    """Consolidating manifests must materialize inherited first-row-ids
+    before entries detach from their source manifests — _row_id values are
+    identical before and after the rewrite."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import upgrade_format_version
+    from duckdb_iceberg_spark.sources.maintenance import rewrite_manifests
+
+    loc = str(tmp_path / "t")
+    # v2 -> v3 upgrade: the carried manifest's entries have NO explicit
+    # per-file first_row_id — they depend on manifest-level inheritance,
+    # exactly what a consolidation must materialize before detaching
+    write_iceberg(spark.range(0, 10).selectExpr("id", "id * 1.0 AS v")
+                  .coalesce(1), loc, format_version=2)
+    upgrade_format_version(loc, 3)
+    write_iceberg(spark.range(10, 25).selectExpr("id", "id * 1.0 AS v")
+                  .coalesce(1), loc)
+    before = {r.id: r._row_id for r in iceberg_scan(
+        spark, loc, with_row_lineage=True).collect()}
+    out = rewrite_manifests(loc, min_input_manifests=2)
+    assert out["rewritten_manifests"] == 2 and out["new_manifests"] == 1
+    after = {r.id: r._row_id for r in iceberg_scan(
+        spark, loc, with_row_lineage=True).collect()}
+    assert after == before
+    assert sorted(after.values()) == list(range(25))

@@ -397,7 +397,8 @@ class RestTable:
         files, _ = write_data_files(spark, df, self.metadata)
         commit_snapshot(
             self.metadata, operation="append", new_data_files=files,
-            commit_fn=lambda s: self.commit_snapshot(s.to_json()))
+            commit_fn=lambda s, rebuild=None: self.commit_snapshot(
+                s.to_json(), rebuild_fn=rebuild))
         return self  # commit_snapshot POST path refreshes on success
 
     def delete_where(self, spark, where: str,
@@ -447,51 +448,34 @@ class RestTable:
         return True
 
     def commit_snapshot(self, snapshot_json: dict, *,
-                        operation: str = "append") -> dict:
+                        operation: str = "append", rebuild_fn=None) -> dict:
         """Optimistic commit with retry: on 409 refresh and re-validate.
-        Appends always rebase and retry; deletes/overwrites retry only when
-        every intervening snapshot was a pure append (reference:
+        Appends are always retry-eligible; deletes/overwrites retry only
+        when every intervening snapshot was a pure append (reference:
         iceberg_transaction.cpp VerifyDeleteRetryability, :243-273),
-        otherwise the conflict surfaces to the caller to re-run."""
+        otherwise the conflict surfaces to the caller to re-run.
+
+        ``rebuild_fn(refreshed_metadata) -> Snapshot`` is REQUIRED for a
+        retry to actually happen: the staged snapshot's manifest list was
+        authored against the pre-conflict base, so it omits the concurrent
+        winner's manifests — re-POSTing it with a patched parent id would
+        make the tip silently drop the winner's files. The writer's
+        commit_snapshot supplies a rebuilder that re-runs carry-forward +
+        manifest-list authoring (and v3 row-id assignment) against the
+        refreshed metadata. Without one, conflicts surface immediately."""
         append_retryable = operation == "append"
         base_snapshot_id = self.metadata.current_snapshot_id
-        # data-plane commits (commit_snapshot(..., commit_fn=...)) arrive
-        # with an explicit first-row-id that their already-written manifests
-        # also carry per data file; a rebase may NOT silently renumber it
-        staged_first_row_id = snapshot_json.get("first-row-id")
         attempts = self.catalog.config.max_commit_retries
         last: Exception | None = None
-        refreshed = False
         for _ in range(max(1, attempts)):
-            # v3 row lineage: the client assigns the snapshot's first-row-id
-            # from the table's current next-row-id; a rebase after a 409
-            # re-reads it from the refreshed metadata so the retried
-            # snapshot claims the range AFTER the winner's rows (reference:
-            # test_row_lineage_*.test round-trip through the catalog)
-            if self.metadata.format_version >= 3:
-                if staged_first_row_id is None:
-                    # JSON-only commit: derive the range start from metadata
-                    snapshot_json = dict(snapshot_json)
-                    snapshot_json["first-row-id"] = self.metadata.next_row_id
-                elif refreshed:
-                    # data-plane rebase: the refreshed metadata is the
-                    # server's truth. The snapshot's manifests encode
-                    # explicit first_row_ids per added data file, so a
-                    # moved range may NOT be silently renumbered.
-                    added_rows = int((snapshot_json.get("summary") or {})
-                                     .get("added-records", 0) or 0)
-                    if (added_rows > 0
-                            and self.metadata.next_row_id != staged_first_row_id):
-                        raise CommitConflict(
-                            409, "row-id range claimed by a concurrent "
-                                 "commit; re-run the write against the "
-                                 "current snapshot") from last
-                    # delete-only snapshots claim an empty range — safe
-                    snapshot_json = dict(snapshot_json)
-                    snapshot_json["first-row-id"] = self.metadata.next_row_id
-                # else: first attempt of a data-plane commit — keep the
-                # staged value (local metadata was already advanced by the
-                # manifest build; patching from it would skip a range)
+            # v3 row lineage: a JSON-only commit (no data-plane manifests)
+            # derives its range start from the table's next-row-id; data-
+            # plane snapshots arrive with first-row-id already assigned by
+            # the build (and re-assigned by each rebuild)
+            if (self.metadata.format_version >= 3
+                    and snapshot_json.get("first-row-id") is None):
+                snapshot_json = dict(snapshot_json)
+                snapshot_json["first-row-id"] = self.metadata.next_row_id
             cur = self.metadata.current_snapshot_id
             requirements: list[dict] = [{"type": "assert-table-uuid",
                                          "uuid": self.metadata.table_uuid}]
@@ -515,16 +499,15 @@ class RestTable:
             except CommitConflict as e:
                 last = e
                 self.refresh()
-                refreshed = True
                 if not append_retryable and not self._delete_can_reapply(
                         base_snapshot_id):
                     raise
-                # the winner's history is append-only (or this is an append):
-                # rebase the parent and retry
-                snapshot_json = dict(snapshot_json)
-                snapshot_json["parent-snapshot-id"] = self.metadata.current_snapshot_id
-                seq = self.metadata.last_sequence_number + 1
-                snapshot_json["sequence-number"] = seq
+                if rebuild_fn is None:
+                    # no rebuilder: a parent-id rebase would re-commit the
+                    # stale manifest list WITHOUT the winner's manifests —
+                    # surface the conflict instead of losing data
+                    raise
+                snapshot_json = rebuild_fn(self.metadata).to_json()
         raise last  # type: ignore[misc]
 
 
@@ -548,7 +531,9 @@ class _StagedTable:
         return self
 
     def commit_snapshot(self, snapshot_json: dict, *,
-                        operation: str = "append") -> dict:
+                        operation: str = "append", rebuild_fn=None) -> dict:
+        # staged: conflicts surface at CatalogTransaction.commit(); the
+        # rebuilder is unused because nothing is POSTed here
         self._txn._stage(self._table, snapshot_json)
         return {}
 
@@ -559,7 +544,8 @@ class _StagedTable:
         files, _ = write_data_files(spark, df, self.metadata)
         commit_snapshot(self.metadata, operation="append",
                         new_data_files=files,
-                        commit_fn=lambda s: self.commit_snapshot(s.to_json()))
+                        commit_fn=lambda s, rebuild=None: self.commit_snapshot(
+                            s.to_json(), rebuild_fn=rebuild))
         return self
 
 

@@ -65,7 +65,8 @@ def _resolve_target(location):
     table = location.refresh()
 
     def committer(op: str):
-        return lambda snap: table.commit_snapshot(snap.to_json(), operation=op)
+        return lambda snap, rebuild=None: table.commit_snapshot(
+            snap.to_json(), operation=op, rebuild_fn=rebuild)
 
     return table.metadata, committer
 

@@ -205,6 +205,26 @@ def expire_snapshots(
         return {"expired": 0, "deleted_files": 0}
 
     retained = [s for s in snaps if s not in expired]
+    expired_ids = {s.snapshot_id for s in expired}
+
+    # commit the metadata change FIRST, delete unreachable files only after
+    # it lands: if the commit fails (conflict, network — no retry here) the
+    # catalog/metadata log still references the expired snapshots, and
+    # deleting their manifest lists beforehand would corrupt time travel
+    # over history the table still advertises
+    if rest is not None:
+        rest.catalog.commit_table(
+            rest.namespace, rest.name,
+            [{"type": "assert-table-uuid", "uuid": tm.table_uuid}],
+            [{"action": "remove-snapshots",
+              "snapshot-ids": sorted(expired_ids)}])
+        rest.refresh()
+    else:
+        tm.snapshots = retained
+        tm.snapshot_log = [
+            e for e in tm.snapshot_log if e.get("snapshot-id") not in expired_ids]
+        write_table_metadata(tm, location)
+
     deleted = 0
     if delete_files:
         from .. import io as fio
@@ -217,20 +237,6 @@ def expire_snapshots(
                 deleted += 1
             except FileNotFoundError:
                 pass
-
-    expired_ids = {s.snapshot_id for s in expired}
-    if rest is not None:
-        rest.catalog.commit_table(
-            rest.namespace, rest.name,
-            [{"type": "assert-table-uuid", "uuid": tm.table_uuid}],
-            [{"action": "remove-snapshots",
-              "snapshot-ids": sorted(expired_ids)}])
-        rest.refresh()
-        return {"expired": len(expired), "deleted_files": deleted}
-    tm.snapshots = retained
-    tm.snapshot_log = [
-        e for e in tm.snapshot_log if e.get("snapshot-id") not in expired_ids]
-    write_table_metadata(tm, location)
     return {"expired": len(expired), "deleted_files": deleted}
 
 
@@ -288,6 +294,41 @@ def remove_orphan_files(
     return sorted(orphans)
 
 
+def _read_manifests(tm: TableMetadata, manifests, *, counts: dict | None = None):
+    """Yield ``(manifest, entries)`` for each manifest. Above the
+    distributed-planner threshold (64) the Avro parses fan out to
+    executors — same pattern as ``plans.distributed_planner``: each task
+    fastavro-parses one manifest and ships back pickled entries (KBs),
+    so a 100k-manifest consolidation never serializes reads on the
+    driver. Below the threshold (or with no active session) reads stay
+    driver-serial."""
+    import pickle as _pickle
+
+    from ..plans.distributed_planner import DEFAULT_DISTRIBUTE_THRESHOLD
+    from ..plans.scan_plan import _localize
+
+    spark = SparkSession.getActiveSession()
+    if len(manifests) > DEFAULT_DISTRIBUTE_THRESHOLD and spark is not None:
+        tm_blob = _pickle.dumps(tm)
+        items = list(enumerate(m.manifest_path for m in manifests))
+
+        def read_one(item):
+            i, path = item
+            tm_l = _pickle.loads(tm_blob)
+            return [(i, _pickle.dumps(mf.read_manifest(_localize(tm_l, path))))]
+
+        n_slices = min(len(items), spark.sparkContext.defaultParallelism * 2)
+        got = dict(spark.sparkContext.parallelize(items, n_slices)
+                   .flatMap(read_one).collect())
+        if counts is not None:
+            counts["distributed_manifest_reads"] = len(items)
+        for i, m in enumerate(manifests):
+            yield m, _pickle.loads(got[i])
+        return
+    for m in manifests:
+        yield m, mf.read_manifest(_localize(tm, m.manifest_path))
+
+
 def rewrite_manifests(
     location: str,
     *,
@@ -318,72 +359,87 @@ def rewrite_manifests(
     if len(manifests) < min_input_manifests:
         return {"rewritten_manifests": 0, "new_manifests": 0}
 
-    meta_dir = _os.path.join(tm.location, "metadata")
-    snapshot_id = int.from_bytes(_os.urandom(7), "big")
-    seq = tm.last_sequence_number + 1
+    counts = {"in": 0, "out": 0}
 
-    groups: dict[tuple[int, int], list[mf.ManifestEntry]] = {}
-    for m in manifests:
-        entries = mf.read_manifest(_localize(tm, m.manifest_path))
-        # v3 row lineage: materialize inherited first-row-ids BEFORE the
-        # entries detach from their source manifest — a consolidated
-        # manifest has no per-source inheritance context, and losing the
-        # ids would re-derive _row_id from the WRONG base
-        mf.inherit_first_row_ids(entries, m.first_row_id)
-        for e in entries:
-            if e.status == mf.STATUS_DELETED:
-                continue
-            # inherit sequence numbers before making the entry EXISTING —
-            # explicit values are required once detached from the original
-            # manifest's inheritance context
-            if e.sequence_number is None:
-                e.sequence_number = m.sequence_number
-            if e.file_sequence_number is None:
-                e.file_sequence_number = m.sequence_number
-            # EXISTING entries must carry an explicit snapshot-id (spec;
-            # strict readers reject null) — inherit the source manifest's
-            if e.snapshot_id is None:
-                e.snapshot_id = m.added_snapshot_id
-            e.status = mf.STATUS_EXISTING
-            groups.setdefault((m.content, m.partition_spec_id), []).append(e)
+    def _build(tm: TableMetadata) -> Snapshot:
+        """Re-runnable consolidation pass (fresh read of the CURRENT tip's
+        manifest list, fresh snapshot id) — handed to the catalog commit as
+        the conflict rebuilder so a retry consolidates the winner's
+        manifests too instead of resurrecting a stale manifest list."""
+        cur = tm.current_snapshot()
+        srcs = mf.read_manifest_list(_localize(tm, cur.manifest_list))
+        meta_dir = _os.path.join(tm.location, "metadata")
+        snapshot_id = int.from_bytes(_os.urandom(7), "big")
+        seq = tm.last_sequence_number + 1
 
-    new_manifests: list[mf.ManifestFile] = []
-    for (content, spec_id), entries in sorted(groups.items()):
-        spec = tm.partition_specs.get(spec_id, tm.default_spec())
-        for i in range(0, len(entries), target_entries_per_manifest):
-            chunk = entries[i:i + target_entries_per_manifest]
-            prefix = "m" if content == mf.MANIFEST_DATA else "dm"
-            mpath = _os.path.join(meta_dir, f"{prefix}-{_uuid.uuid4()}.avro")
-            nm = mf.write_manifest(mpath, chunk, tm, spec, content)
-            nm.added_snapshot_id = snapshot_id
-            nm.sequence_number = max(e.sequence_number or 0 for e in chunk)
-            nm.min_sequence_number = min(e.sequence_number or 0 for e in chunk)
-            new_manifests.append(nm)
+        groups: dict[tuple[int, int], list[mf.ManifestEntry]] = {}
+        for m, entries in _read_manifests(tm, srcs, counts=counts):
+            # v3 row lineage: materialize inherited first-row-ids BEFORE
+            # the entries detach from their source manifest — a
+            # consolidated manifest has no per-source inheritance context,
+            # and losing the ids would re-derive _row_id from the WRONG base
+            mf.inherit_first_row_ids(entries, m.first_row_id)
+            for e in entries:
+                if e.status == mf.STATUS_DELETED:
+                    continue
+                # inherit sequence numbers before making the entry EXISTING —
+                # explicit values are required once detached from the original
+                # manifest's inheritance context
+                if e.sequence_number is None:
+                    e.sequence_number = m.sequence_number
+                if e.file_sequence_number is None:
+                    e.file_sequence_number = m.sequence_number
+                # EXISTING entries must carry an explicit snapshot-id (spec;
+                # strict readers reject null) — inherit the source manifest's
+                if e.snapshot_id is None:
+                    e.snapshot_id = m.added_snapshot_id
+                e.status = mf.STATUS_EXISTING
+                groups.setdefault((m.content, m.partition_spec_id), []).append(e)
 
-    ml_path = _os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
-    mf.write_manifest_list(ml_path, new_manifests, snapshot_id,
-                           tm.current_snapshot_id, seq, tm.format_version)
-    snap = Snapshot(
-        snapshot_id=snapshot_id,
-        parent_snapshot_id=tm.current_snapshot_id,
-        sequence_number=seq,
-        timestamp_ms=int(_time.time() * 1000),
-        manifest_list=ml_path,
-        summary={"operation": "replace",
-                 "rewritten-manifests": str(len(manifests)),
-                 "added-manifests": str(len(new_manifests))},
-        schema_id=tm.current_schema_id,
-    )
+        new_manifests: list[mf.ManifestFile] = []
+        for (content, spec_id), entries in sorted(groups.items()):
+            spec = tm.partition_specs.get(spec_id, tm.default_spec())
+            for i in range(0, len(entries), target_entries_per_manifest):
+                chunk = entries[i:i + target_entries_per_manifest]
+                prefix = "m" if content == mf.MANIFEST_DATA else "dm"
+                mpath = _os.path.join(meta_dir, f"{prefix}-{_uuid.uuid4()}.avro")
+                nm = mf.write_manifest(mpath, chunk, tm, spec, content)
+                nm.added_snapshot_id = snapshot_id
+                nm.sequence_number = max(e.sequence_number or 0 for e in chunk)
+                nm.min_sequence_number = min(e.sequence_number or 0 for e in chunk)
+                new_manifests.append(nm)
+
+        counts["in"], counts["out"] = len(srcs), len(new_manifests)
+        ml_path = _os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
+        mf.write_manifest_list(ml_path, new_manifests, snapshot_id,
+                               tm.current_snapshot_id, seq, tm.format_version)
+        return Snapshot(
+            snapshot_id=snapshot_id,
+            parent_snapshot_id=tm.current_snapshot_id,
+            sequence_number=seq,
+            timestamp_ms=int(_time.time() * 1000),
+            manifest_list=ml_path,
+            summary={"operation": "replace",
+                     "rewritten-manifests": str(len(srcs)),
+                     "added-manifests": str(len(new_manifests))},
+            schema_id=tm.current_schema_id,
+        )
+
+    snap = _build(tm)
+    summary = {"rewritten_manifests": counts["in"],
+               "new_manifests": counts["out"],
+               "distributed_manifest_reads":
+                   counts.get("distributed_manifest_reads", 0)}
     if committer is not None:
-        committer("replace")(snap)
-        return {"rewritten_manifests": len(manifests),
-                "new_manifests": len(new_manifests)}
+        committer("replace")(snap, _build)
+        summary["rewritten_manifests"] = counts["in"]
+        summary["new_manifests"] = counts["out"]
+        return summary
     tm.snapshots.append(snap)
     tm.snapshot_log.append({"timestamp-ms": snap.timestamp_ms,
-                            "snapshot-id": snapshot_id})
-    tm.current_snapshot_id = snapshot_id
-    tm.last_sequence_number = seq
-    tm.refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+                            "snapshot-id": snap.snapshot_id})
+    tm.current_snapshot_id = snap.snapshot_id
+    tm.last_sequence_number = snap.sequence_number
+    tm.refs["main"] = {"snapshot-id": snap.snapshot_id, "type": "branch"}
     write_table_metadata(tm, location)
-    return {"rewritten_manifests": len(manifests),
-            "new_manifests": len(new_manifests)}
+    return summary

@@ -602,10 +602,64 @@ def commit_snapshot(
 
     ``commit_fn``: when set, the snapshot is NOT committed to the
     filesystem metadata log — manifests and the manifest list are still
-    written to table storage, then ``commit_fn(snapshot)`` performs the
-    actual commit (the REST-catalog path: RestTable.commit_snapshot POSTs
-    it with CAS requirements and rebase retry). Local ``tm`` is left
-    unmutated; callers refresh from the catalog."""
+    written to table storage, then ``commit_fn(snapshot, rebuild_fn)``
+    performs the actual commit (the REST-catalog path:
+    RestTable.commit_snapshot POSTs it with CAS requirements).
+    ``rebuild_fn(refreshed_tm)`` re-runs this whole build — carry-forward,
+    row-id assignment, manifest list — against refreshed metadata, so a
+    conflict retry carries the concurrent winner's manifests instead of
+    silently dropping them (a parent-id rebase of the stale manifest list
+    would lose the winner's files). Local ``tm`` is left unmutated on the
+    catalog path; callers refresh from the catalog."""
+    import time as _time
+
+    # first_row_id values _build assigns must be reset before a rebuild —
+    # stale assignments from a conflicted attempt would otherwise survive
+    # the `is None` guard and claim the wrong (pre-refresh) row-id range
+    orig_data_row_ids = [d.first_row_id for d in (new_data_files or [])]
+
+    def _build(tm: TableMetadata) -> Snapshot:
+        return _build_snapshot(
+            tm, operation=operation, new_data_files=new_data_files,
+            new_delete_files=new_delete_files,
+            removed_data_paths=removed_data_paths,
+            removed_delete_paths=removed_delete_paths,
+            superseded_dv_refs=superseded_dv_refs,
+            keep_existing=keep_existing, extra_summary=extra_summary,
+            orig_data_row_ids=orig_data_row_ids)
+
+    snap = _build(tm)
+    if commit_fn is not None:
+        commit_fn(snap, _build)
+        return snap
+    tm.snapshots.append(snap)
+    tm.snapshot_log.append({"timestamp-ms": snap.timestamp_ms,
+                            "snapshot-id": snap.snapshot_id})
+    tm.current_snapshot_id = snap.snapshot_id
+    tm.last_sequence_number = snap.sequence_number
+    tm.refs["main"] = {"snapshot-id": snap.snapshot_id, "type": "branch"}
+    write_table_metadata(tm, tm.location)
+    return snap
+
+
+def _build_snapshot(
+    tm: TableMetadata,
+    *,
+    operation: str,
+    new_data_files,
+    new_delete_files,
+    removed_data_paths,
+    removed_delete_paths,
+    superseded_dv_refs,
+    keep_existing: bool,
+    extra_summary,
+    orig_data_row_ids: list,
+) -> Snapshot:
+    """One build pass of commit_snapshot: write manifests + manifest list
+    against ``tm``'s CURRENT state and return the staged Snapshot. Safe to
+    call again with refreshed metadata after a commit conflict (fresh
+    snapshot id, fresh carry-forward, fresh row-id ranges); files from a
+    conflicted attempt become orphans, reclaimed by remove_orphan_files."""
     import time as _time
 
     location = tm.location
@@ -615,6 +669,8 @@ def commit_snapshot(
     parent = tm.current_snapshot_id
     seq = tm.last_sequence_number + 1
     spec = tm.default_spec()
+    for d, rid0 in zip(new_data_files or [], orig_data_row_ids):
+        d.first_row_id = rid0
 
     manifests: list[mf.ManifestFile] = []
 
@@ -643,6 +699,16 @@ def commit_snapshot(
                     nm.added_snapshot_id = snapshot_id
                     nm.sequence_number = max(e.sequence_number or 0 for e in live)
                     nm.min_sequence_number = min(e.sequence_number or 0 for e in live)
+                    # entries carry explicit first_row_ids (materialized
+                    # above) when the source manifest had a range; mark the
+                    # rewritten manifest so retro-assignment below doesn't
+                    # burn a fresh id range on it (only true v2
+                    # carry-forward manifests — entries WITHOUT ids — may
+                    # claim one)
+                    if m.first_row_id is not None:
+                        ids = [e.data_file.first_row_id for e in live
+                               if e.data_file.first_row_id is not None]
+                        nm.first_row_id = min(ids) if ids else m.first_row_id
                     manifests.append(nm)
                 # else: manifest fully removed
             elif (removed_delete_paths or removed_data_paths
@@ -768,7 +834,7 @@ def commit_snapshot(
         # and hand the same ids to the next writer.
         summary["assigned-rows"] = str(tm.next_row_id - snap_first_row_id)
     summary.update(extra_summary or {})
-    snap = Snapshot(
+    return Snapshot(
         snapshot_id=snapshot_id,
         parent_snapshot_id=parent,
         sequence_number=seq,
@@ -778,16 +844,6 @@ def commit_snapshot(
         schema_id=tm.current_schema_id,
         first_row_id=snap_first_row_id,
     )
-    if commit_fn is not None:
-        commit_fn(snap)
-        return snap
-    tm.snapshots.append(snap)
-    tm.snapshot_log.append({"timestamp-ms": snap.timestamp_ms, "snapshot-id": snapshot_id})
-    tm.current_snapshot_id = snapshot_id
-    tm.last_sequence_number = seq
-    tm.refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
-    write_table_metadata(tm, location)
-    return snap
 
 
 # ---------------------------------------------------------------------------

@@ -251,3 +251,38 @@ def test_rewrite_manifests_preserves_v3_row_lineage(spark, tmp_path):
         spark, loc, with_row_lineage=True).collect()}
     assert after == before
     assert sorted(after.values()) == list(range(25))
+
+
+def test_rewrite_manifests_distributes_above_threshold(spark, tmp_path):
+    """Above the 64-manifest threshold, rewrite_manifests fans the Avro
+    parses out to executors (the distributed_planner pattern) instead of a
+    driver-serial loop — a 100k-manifest consolidation must not serialize
+    reads on the driver. Results identical to the driver path: same single
+    output manifest, same rows."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata import manifest as mf
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.maintenance import rewrite_manifests
+
+    loc = str(tmp_path / "t")
+    write_iceberg(spark.range(500).selectExpr("id", "id * 2 AS v")
+                  .repartition(70), loc)  # round-robin: 70 non-empty files
+    # explode into one manifest per entry (driver path: below threshold at
+    # input — 1 source manifest)
+    out = rewrite_manifests(loc, target_entries_per_manifest=1,
+                            min_input_manifests=1)
+    n = out["new_manifests"]
+    assert n > 64  # above the distribution threshold
+    assert out["distributed_manifest_reads"] == 0  # 1 input manifest: driver
+
+    # consolidate the small manifests back: above the threshold, reads
+    # fan out to executors
+    out = rewrite_manifests(loc)
+    assert out["rewritten_manifests"] == n and out["new_manifests"] == 1
+    assert out["distributed_manifest_reads"] == n
+
+    tm = load_table_metadata(loc)
+    after = mf.read_manifest_list(tm.current_snapshot().manifest_list)
+    assert len(after) == 1
+    got = sorted((r.id, r.v) for r in iceberg_scan(spark, loc).collect())
+    assert got == [(i, 2 * i) for i in range(500)]

@@ -385,6 +385,20 @@ def _snap(sid: int, seq: int) -> dict:
             "summary": {"operation": "append"}, "manifest-list": "mem://ml.avro"}
 
 
+def _rebuilder(sid: int):
+    """Test stand-in for writer.commit_snapshot's rebuilder: re-authors the
+    snapshot against the REFRESHED metadata (new parent/sequence), the way
+    the real one re-runs carry-forward + manifest-list authoring."""
+    from types import SimpleNamespace
+
+    def rebuild(md):
+        j = _snap(sid, md.last_sequence_number + 1)
+        j["parent-snapshot-id"] = md.current_snapshot_id
+        return SimpleNamespace(to_json=lambda: j)
+
+    return rebuild
+
+
 def test_commit_and_retry_on_conflict(stub):
     base, state = stub
     cat = _catalog(base)
@@ -394,13 +408,32 @@ def test_commit_and_retry_on_conflict(stub):
     tbl.commit_snapshot(_snap(101, 1))
     assert tbl.metadata.current_snapshot_id == 101
 
-    # inject one 409; append must rebase (new parent + sequence) and succeed
+    # inject one 409; the retry REBUILDS the snapshot against refreshed
+    # metadata (never re-POSTs the stale manifest list) and succeeds
     state.commit_conflicts_to_inject = 1
-    tbl.commit_snapshot(_snap(202, 2))
+    tbl.commit_snapshot(_snap(202, 2), rebuild_fn=_rebuilder(202))
     snap_ids = [s.snapshot_id for s in tbl.metadata.snapshots]
     assert 202 in snap_ids and tbl.metadata.current_snapshot_id == 202
     committed = next(s for s in tbl.metadata.snapshots if s.snapshot_id == 202)
-    assert committed.parent_snapshot_id is not None  # rebased onto the winner
+    assert committed.parent_snapshot_id is not None  # rebuilt onto the winner
+
+
+def test_conflict_without_rebuilder_surfaces(stub):
+    """No rebuilder = no retry, even for appends: the staged manifest list
+    was authored against the stale base and omits the winner's manifests —
+    a parent-id rebase would silently drop the winner's files."""
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    tbl = cat.create_table("db", "t", SCHEMA)
+    tbl.commit_snapshot(_snap(101, 1))
+    state.commit_conflicts_to_inject = 1
+    with pytest.raises(CommitConflict):
+        tbl.commit_snapshot(_snap(202, 2))
+    # the winner's snapshot is visible after the surfaced conflict; the
+    # loser's never landed
+    tbl.refresh()
+    assert 202 not in [s.snapshot_id for s in tbl.metadata.snapshots]
 
 
 def test_row_lineage_through_rest_commits(stub):
@@ -447,13 +480,15 @@ def test_delete_commit_retries_past_concurrent_append(stub):
     tbl.commit_snapshot(_snap(11, 1))
     state.commit_conflicts_to_inject = 1
     state.conflict_winner_operation = "append"
-    tbl.commit_snapshot(_snap(22, 2), operation="delete")
+    tbl.commit_snapshot(_snap(22, 2), operation="delete",
+                        rebuild_fn=_rebuilder(22))
     assert tbl.metadata.current_snapshot_id == 22
 
 
 def test_delete_commit_conflict_with_rewrite_not_retried(stub):
     """A concurrent overwrite/replace may have rewritten the delete's target
-    rows — the conflict must surface instead of silently re-applying."""
+    rows — the conflict must surface instead of silently re-applying, even
+    when a rebuilder is available."""
     base, state = stub
     cat = _catalog(base)
     cat.create_namespace("db")
@@ -462,7 +497,8 @@ def test_delete_commit_conflict_with_rewrite_not_retried(stub):
     state.commit_conflicts_to_inject = 1
     state.conflict_winner_operation = "replace"
     with pytest.raises(CommitConflict):
-        tbl.commit_snapshot(_snap(22, 2), operation="delete")
+        tbl.commit_snapshot(_snap(22, 2), operation="delete",
+                            rebuild_fn=_rebuilder(22))
 
 
 def test_http_errors_surface(stub):
@@ -1083,12 +1119,15 @@ def test_rest_expire_snapshots(stub, spark, sf_dir, tmp_path):
     assert tbl.metadata.current_snapshot() is not None
 
 
-def test_v3_rebase_never_renumbers_staged_row_ids(stub, spark, sf_dir, tmp_path):
+def test_v3_conflict_rebuild_claims_range_after_winner(stub, spark, sf_dir, tmp_path):
     """A v3 data-plane append whose row-id range was claimed by a
-    concurrent winner must RAISE on rebase (its manifests carry explicit
-    first_row_ids; silently renumbering the snapshot JSON would duplicate
-    row ids). A DV-only DELETE claims an empty range and still rebases."""
+    concurrent winner REBUILDS its manifests on retry: the fresh build
+    assigns first_row_ids from the refreshed next-row-id, so the retried
+    snapshot claims the range AFTER the winner's rows (never renumbers the
+    stale JSON, never duplicates ids). A DV-only DELETE claims an empty
+    range and also retries cleanly."""
     from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
     from duckdb_iceberg_spark.sources.dml import delete_from
     from tests.conftest import load
 
@@ -1096,6 +1135,7 @@ def test_v3_rebase_never_renumbers_staged_row_ids(stub, spark, sf_dir, tmp_path)
     loc = str(tmp_path / "t")
     write_iceberg(load(spark, sf_dir, "region"), loc, format_version=3)
     _register_disk_table(state, loc, name="v3")
+    state.plan_response = None
     cat = _catalog(base)
     tbl = cat.load_table("db", "v3")
 
@@ -1105,17 +1145,64 @@ def test_v3_rebase_never_renumbers_staged_row_ids(stub, spark, sf_dir, tmp_path)
         tbl.metadata.current_snapshot().manifest_list
     state.commit_conflicts_to_inject = 1
     state.conflict_winner_operation = "append"
-    state.conflict_winner_rows = 7  # winner claimed row-ids
-    with pytest.raises(CommitConflict, match="row-id range"):
-        tbl.append(spark, load(spark, sf_dir, "region"))
+    state.conflict_winner_rows = 7  # winner claimed row-ids [5, 12)
+    tbl.append(spark, load(spark, sf_dir, "region")
+               .withColumn("r_regionkey", F.col("r_regionkey") + 10))
+    committed = state.tables[("db", "v3")]["snapshots"][-1]
+    assert committed["first-row-id"] == 12  # after base 5 + winner 7
+    assert state.tables[("db", "v3")]["next-row-id"] == 17
+    # appended rows carry the post-winner range, base rows keep theirs
+    rows = {r.r_regionkey: r._row_id for r in scan_rest_table(
+        spark, tbl.refresh(), server_planning=False,
+        with_row_lineage=True).collect()}
+    assert sorted(rows[k] for k in rows if k >= 10) == list(range(12, 17))
 
-    # DV-only delete: empty row-id range, rebase is safe -> commits
+    # DV-only delete: empty row-id range, retry is safe -> commits
     tbl.refresh()
     n_before = len(state.tables[("db", "v3")]["snapshots"])
     state.commit_conflicts_to_inject = 1
     state.conflict_winner_rows = 7
     delete_from(spark, tbl, "r_regionkey = 0", mode="merge-on-read")
     assert len(state.tables[("db", "v3")]["snapshots"]) == n_before + 2  # winner + delete
+
+
+def test_conflict_retry_carries_concurrent_winners_files(stub, spark, sf_dir, tmp_path):
+    """THE data-loss regression: two writers race, the loser's retry must
+    carry the winner's manifests. tbl2 commits an append; tbl (a stale
+    handle) appends next — its first POST fails the stub's real CAS check,
+    the retry rebuilds the manifest list from refreshed metadata, and the
+    final table holds BOTH appends (pre-fix: the loser's stale manifest
+    list silently dropped the winner's files)."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    region = load(spark, sf_dir, "region")
+    write_iceberg(region, loc)
+    _register_disk_table(state, loc, name="race")
+    state.plan_response = None
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "race")
+    tbl2 = cat.load_table("db", "race")
+
+    # winner commits through tbl2; tbl's local metadata is now stale
+    tbl2.append(spark, region.withColumn(
+        "r_regionkey", F.col("r_regionkey") + 100))
+    assert len(state.tables[("db", "race")]["snapshots"]) == 2
+
+    # loser appends from the stale handle: real 409 (assert-ref-snapshot-id
+    # fails), then rebuild + retry
+    tbl.append(spark, region.withColumn(
+        "r_regionkey", F.col("r_regionkey") + 200))
+    assert len(state.tables[("db", "race")]["snapshots"]) == 3
+
+    got = scan_rest_table(spark, tbl.refresh(), server_planning=False)
+    assert got.count() == 15  # base 5 + winner 5 + loser 5
+    keys = {r.r_regionkey for r in got.collect()}
+    assert {k for k in keys if 100 <= k < 200} == {100, 101, 102, 103, 104}
+    assert {k for k in keys if k >= 200} == {200, 201, 202, 203, 204}
 
 
 def test_rest_upgrade_retro_rowids_advance_next_row_id(stub, spark, tmp_path):

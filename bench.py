@@ -10,13 +10,14 @@ timed separately as fixture_build_sec — the reference's benchmarks likewise
 exclude data loading from per-query timings (BASELINE.md: timed runs are the
 queries, the persistent dataset is pre-built).
 
-Variance note: each query is timed ONCE on a shared 32-core box, so
-sub-second queries carry up to ~1s of scheduler/page-cache noise.
-Round-3's apparent regressions (q_rollup 1.12->1.91s, ice_spec_evolution
-0.68->1.42s, ice_objectstore 0.94->1.81s) did not reproduce on an idle
-box in round 4 (0.74/0.70/0.45s over 3 runs each, back at round-1 levels)
-— treat round-over-round diffs under ~1s on sub-2s queries as noise;
-plan-shape audits (explain) are the reliable signal at that size.
+Timing: every query runs N_RUNS (3) times and reports the MEDIAN — the
+single-run timings of rounds 1-4 kept manufacturing phantom regressions on
+this shared 32-core box (r3: q_rollup "+70%", r4: q01 "+63%", none
+reproducible on an idle box; see BENCH history). The median kills
+scheduler/page-cache outliers at ~2 min/round cost; "value" is the sum of
+per-query medians, comparable round-over-round. The first run of a query
+additionally absorbs any lazy fixture build — another reason run-1 is not
+representative and the median is.
 """
 
 from __future__ import annotations
@@ -67,6 +68,7 @@ HEADLINE = [
     "ice_topk_scan",
     "ice_count_star_metadata",
     "ice_sql_merge",
+    "ice_merge_conditional",
     "ice_dynamic_prune_join",
     "ice_objectstore_scan",
     "docs_exact_dedup",
@@ -113,13 +115,17 @@ def main() -> None:
         fn(spark, sf_dir)
     build_s = time.time() - t0
 
+    N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     results: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        rows = fn(spark, sf_dir).collect()
-        results[name] = round(time.time() - t0, 3)
-        assert rows is not None
+        times = []
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            rows = fn(spark, sf_dir).collect()
+            times.append(time.time() - t0)
+            assert rows is not None
+        results[name] = round(sorted(times)[len(times) // 2], 3)
     total = round(sum(results.values()), 3)
     print(json.dumps({
         "metric": "headline query wall-clock (iceberg roundtrips + relational + LLM ops)",

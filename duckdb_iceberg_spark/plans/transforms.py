@@ -261,10 +261,40 @@ def preserves_order(transform: str) -> bool:
 # Spark Column transforms (write side)
 # ---------------------------------------------------------------------------
 
+def murmur3_32_fixed8_np(arr):
+    """Vectorized murmur3_32 over int64 keys serialized little-endian —
+    8 bytes is exactly two 4-byte blocks with zero tail, so the whole hash
+    is expressible as numpy uint32 vector ops (wrapping mod 2^32 matches
+    the scalar loop bit-for-bit: spec vectors in tests/test_metadata_core
+    pin it). This is the write-path hot loop for bucket-partitioned
+    INSERTs over int/long/date/time/timestamp keys — per-row Python here
+    is the classic 100 TB scale-killer the round-4 review flagged."""
+    import numpy as np
+
+    u = np.ascontiguousarray(arr, dtype="<i8").view("<u4").reshape(-1, 2)
+    h = np.zeros(len(u), dtype=np.uint32)
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    for col in (0, 1):
+        k = u[:, col] * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h ^= k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h ^= np.uint32(8)  # total byte length
+    h ^= h >> np.uint32(16)
+    h *= np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h *= np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
 def _bucket_udf(n: int, src_type: str):
     """Vectorized spec-exact bucket UDF. Fixed-width types hash via numpy
-    batch ops; variable-width fall back to per-row murmur inside the Arrow
-    batch (still far faster than row-at-a-time Python UDFs)."""
+    batch ops (murmur3_32_fixed8_np — no per-row Python anywhere);
+    variable-width fall back to per-row murmur inside the Arrow batch
+    (still far faster than row-at-a-time Python UDFs)."""
     import numpy as np
 
     name = ice_types.primitive_name(src_type)
@@ -282,12 +312,10 @@ def _bucket_udf(n: int, src_type: str):
                 vals = s
             mask = vals.notna()
             arr = vals[mask].astype("int64").to_numpy()
-            data = arr.astype("<i8").tobytes()
-            out = np.empty(len(arr), dtype="int64")
-            for i in range(len(arr)):
-                out[i] = (murmur3_32(data[i * 8 : i * 8 + 8]) & 0x7FFFFFFF) % n
+            out = (murmur3_32_fixed8_np(arr) & np.uint32(0x7FFFFFFF)) \
+                % np.uint32(n)
             res = pd.Series([None] * len(s), dtype="object")
-            res[mask] = out
+            res[mask] = out.astype("int64")
             return res.astype("Int32")
 
         return bucket_fixed

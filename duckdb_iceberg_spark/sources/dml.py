@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import uuid as _uuid
+from dataclasses import dataclass
 from typing import Any, Mapping, Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -554,34 +555,205 @@ def update_iceberg(
     return tm
 
 
+@dataclass
+class MergeClause:
+    """One WHEN clause of a MERGE INTO, evaluated in declaration order with
+    first-match-wins per the SQL standard (the reference stores the same
+    per-action condition: merge_into/iceberg_merge_into.cpp:143
+    ``result->condition``; conditional-clause tests:
+    merge/merge_into_multiple_update_delete_actions.test:60-75,
+    merge/merge_partition.test:88).
+
+    ``match``: ``"matched"`` (WHEN MATCHED), ``"not_matched"`` (WHEN NOT
+    MATCHED [BY TARGET] — a source row with no target match), or
+    ``"not_matched_by_source"`` (a target row with no source match).
+    ``action``: matched/not_matched_by_source allow ``update``/``delete``/
+    ``nothing``/``error``; not_matched allows ``insert``/``nothing``/
+    ``error``.
+    ``condition``: optional AND condition over the joined row — target
+    columns as ``tgt.<col>``, source columns as ``src.<col>`` (source refs
+    are invalid on not_matched_by_source clauses, target refs on
+    not_matched clauses).
+    ``assignments``: UPDATE SET / INSERT VALUES mapping (col → Column or
+    SQL string); ``True`` for INSERT * (positional from source columns).
+
+    Unlike the reference — which raises "only supports a single
+    UPDATE/DELETE action currently" above one update/delete clause — any
+    number of clauses is supported; results match the reference test's
+    documented expected-result-when-lifted block."""
+
+    match: str
+    action: str
+    condition: Any = None  # str | Column | None
+    assignments: Any = None  # Mapping[str, Any] | bool | None
+
+    def __post_init__(self):
+        allowed = {
+            "matched": {"update", "delete", "nothing", "error"},
+            "not_matched": {"insert", "nothing", "error"},
+            "not_matched_by_source": {"update", "delete", "nothing", "error"},
+        }
+        if self.match not in allowed:
+            raise ValueError(f"unknown MERGE clause match kind {self.match!r}")
+        if self.action not in allowed[self.match]:
+            raise ValueError(
+                f"MERGE WHEN {self.match} cannot {self.action.upper()}")
+        if self.action == "update" and not self.assignments:
+            raise ValueError("UPDATE clause needs assignments")
+        if self.action == "insert" and not self.assignments:
+            raise ValueError("INSERT clause needs assignments (True for INSERT *)")
+
+    def condition_col(self) -> Column:
+        if self.condition is None:
+            return F.lit(True)
+        return (self.condition if isinstance(self.condition, Column)
+                else F.expr(str(self.condition)))
+
+
+def _legacy_clauses(when_matched_update, when_matched_delete,
+                    when_not_matched_insert) -> list[MergeClause]:
+    """Kwarg surface of rounds 1-4 expressed as unconditional clauses."""
+    out: list[MergeClause] = []
+    if when_matched_update is not None:
+        out.append(MergeClause("matched", "update",
+                               assignments=when_matched_update))
+    if when_matched_delete:
+        out.append(MergeClause("matched", "delete"))
+    if when_not_matched_insert:
+        out.append(MergeClause("not_matched", "insert",
+                               assignments=when_not_matched_insert))
+    return out
+
+
+def _fired_col(clauses: list[MergeClause], is_matched: Column) -> Column:
+    """Index of the first target-side clause that fires for a joined row
+    (-1 = none): matched clauses gate on is_matched, not-matched-by-source
+    on ~is_matched, each ANDed with its own condition — one codegen'd CASE
+    chain, no Python in the row path."""
+    expr = None
+    for i, c in enumerate(clauses):
+        if c.match == "not_matched":
+            continue
+        gate = (is_matched if c.match == "matched" else ~is_matched) \
+            & c.condition_col()
+        expr = F.when(gate, i) if expr is None else expr.when(gate, i)
+    return expr.otherwise(F.lit(-1)) if expr is not None else F.lit(-1)
+
+
+def _update_value(clauses: list[MergeClause], idxs: list[int], col: str,
+                  fired: Column) -> Column:
+    """Column value after applying whichever UPDATE clause fired (target's
+    own value when none did or the firing clause doesn't SET this column)."""
+    expr = None
+    for i in idxs:
+        assigns = clauses[i].assignments
+        if col in assigns:
+            v = assigns[col]
+            val = v if isinstance(v, Column) else F.expr(str(v))
+            expr = (F.when(fired == i, val) if expr is None
+                    else expr.when(fired == i, val))
+    base = F.col(f"tgt.{col}")
+    return (expr.otherwise(base) if expr is not None else base).alias(col)
+
+
+def _raise_if_error_clause_fires(joined: DataFrame, fired: Column,
+                                 clauses: list[MergeClause],
+                                 err_idxs: list[int]) -> None:
+    """WHEN ... THEN ERROR (reference MERGE_ERROR action): any row routed to
+    an error clause aborts the merge before a byte is written."""
+    if not err_idxs:
+        return
+    hit = joined.select(fired.alias("__f")).filter(
+        F.col("__f").isin(err_idxs)).limit(1).collect()
+    if hit:
+        c = clauses[hit[0][0]]
+        raise ValueError(
+            f"MERGE INTO: row reached WHEN "
+            f"{c.match.replace('_', ' ')}"
+            f"{' AND ' + str(c.condition) if c.condition is not None else ''}"
+            " THEN ERROR")
+
+
+def _insert_parts(clauses: list[MergeClause], inserts: DataFrame,
+                  schema: list[str]) -> list[DataFrame]:
+    """Route each unmatched source row to its first firing not_matched
+    clause; one DataFrame per INSERT clause (nothing-clauses swallow rows,
+    error clauses were checked by the caller)."""
+    nm = [(i, c) for i, c in enumerate(clauses) if c.match == "not_matched"]
+    if not nm:
+        return []
+    expr = None
+    for i, c in nm:
+        expr = (F.when(c.condition_col(), i) if expr is None
+                else expr.when(c.condition_col(), i))
+    ins_fired = expr.otherwise(F.lit(-1))
+    routed = inserts.withColumn("__ins_fired", ins_fired)
+    parts: list[DataFrame] = []
+    for i, c in nm:
+        if c.action != "insert":
+            continue
+        sub = routed.filter(F.col("__ins_fired") == i)
+        if c.assignments is True:
+            cols = [(F.col(x) if x in inserts.columns else F.lit(None)).alias(x)
+                    for x in schema]
+        elif isinstance(c.assignments, (list, tuple)):
+            # positional INSERT VALUES (...): mapped to target column order
+            if len(c.assignments) != len(schema):
+                raise ValueError(
+                    f"INSERT VALUES has {len(c.assignments)} expressions for "
+                    f"{len(schema)} target columns")
+            cols = [(v if isinstance(v, Column) else F.expr(str(v))).alias(x)
+                    for x, v in zip(schema, c.assignments)]
+        else:
+            cols = []
+            for x in schema:
+                if x in c.assignments:
+                    v = c.assignments[x]
+                    cols.append((v if isinstance(v, Column)
+                                 else F.expr(str(v))).alias(x))
+                else:
+                    cols.append(F.lit(None).alias(x))
+        parts.append(sub.select(*cols))
+    return parts
+
+
 def merge_into(
     spark: SparkSession,
     location: str,
     source: DataFrame,
     on: str,
     *,
+    clauses: list[MergeClause] | None = None,
     when_matched_update: Mapping[str, Any] | None = None,
     when_matched_delete: bool = False,
     when_not_matched_insert: Mapping[str, Any] | bool | None = None,
     mode: str | None = None,
     broadcast_source: bool = True,
 ) -> TableMetadata:
-    """MERGE INTO target USING source ON cond — all WHEN actions share one
+    """MERGE INTO target USING source ON cond — all WHEN clauses share one
     join of source and target (reference:
     merge_into/iceberg_merge_into.cpp:136-266).
+
+    ``clauses`` is the full surface: an ordered list of
+    :class:`MergeClause` (WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN
+    UPDATE/DELETE/INSERT/DO NOTHING/ERROR), first matching clause wins per
+    row. The ``when_*`` kwargs remain as sugar for the common
+    unconditional update/delete/insert shapes and may not be combined
+    with ``clauses``.
 
     ``on`` references target columns bare and source columns as ``src.<col>``
     (source is registered with alias ``src``; target alias ``tgt``).
 
-    Copy-on-write rewrites only the target files containing matches;
+    Copy-on-write rewrites only the target files containing affected rows;
     merge-on-read (``mode='merge-on-read'`` or table property
-    ``write.merge.mode``) instead writes row deletes for the matched rows
+    ``write.merge.mode``) instead writes row deletes for the affected rows
     (Puffin DVs on v3, positional parquet on v2) plus data files holding
     the updated/inserted rows — one snapshot, O(delta) write volume.
 
-    A target row matched by more than one source row is a cardinality
-    violation (SQL standard; Iceberg and the reference raise) — detected via
-    a count over the matched (file, row) pairs and raised before any write.
+    A target row matched by more than one source row — where an
+    update/delete clause actually fires — is a cardinality violation (SQL
+    standard; Iceberg and the reference raise), detected via a count over
+    the affected (file, row) pairs and raised before any write.
 
     ``broadcast_source`` hints the source side of every target⋈source join;
     the normal MERGE source is delta-sized, and the hint keeps the target
@@ -589,11 +761,28 @@ def merge_into(
 
     ``location`` may be a path or a catalog ``RestTable`` (the snapshot
     then commits through the catalog)."""
+    if clauses is not None and (when_matched_update is not None
+                                or when_matched_delete
+                                or when_not_matched_insert):
+        raise ValueError("pass either clauses= or when_* kwargs, not both")
+    if clauses is None:
+        clauses = _legacy_clauses(when_matched_update, when_matched_delete,
+                                  when_not_matched_insert)
+    if not clauses:
+        raise ValueError("MERGE INTO needs at least one WHEN clause")
+
     tm, committer = _resolve_target(location)
     snapshot = tm.select_snapshot()
     plan = plan_scan(tm, snapshot, None)
     schema = [f.name for f in
               ice_types.schema_to_struct(plan.schema_json).fields]
+
+    # bare `THEN UPDATE`: every target column takes the same-named source
+    # column (reference: merge_partition.test `WHEN MATCHED THEN UPDATE`)
+    for c in clauses:
+        if c.action == "update" and c.assignments is True:
+            c.assignments = {x: F.col(f"src.{x}")
+                             for x in source.columns if x in schema}
 
     target = scan_to_dataframe(spark, plan, with_file_info=True).alias("tgt")
     # plain source for anti-joins (source is the stream side there — a
@@ -604,74 +793,92 @@ def merge_into(
     cond = F.expr(on)
     mode = _resolve_mode(tm, mode, "write.merge.mode")
 
+    upd_idx = [i for i, c in enumerate(clauses)
+               if c.match != "not_matched" and c.action == "update"]
+    del_idx = [i for i, c in enumerate(clauses)
+               if c.match != "not_matched" and c.action == "delete"]
+    err_idx = [i for i, c in enumerate(clauses)
+               if c.match != "not_matched" and c.action == "error"]
+    touch_idx = upd_idx + del_idx
+
+    marker = "__merge_src_marker"
+    src_m = src.withColumn(marker, F.lit(1)).alias("src")
+    is_matched = F.col(marker).isNotNull()
+    fired = _fired_col(clauses, is_matched)
+
+    # one planning pass over the full join: rows routed to an ERROR clause
+    # abort; rows routed to update/delete name the files to rewrite (CoW)
+    # or the (file, pos) row deletes (MoR); duplicate-matched rows that
+    # actually fire an update/delete violate SQL-standard cardinality
+    joined_fi = target.join(src_m, cond, "left_outer") \
+        .withColumn("__fired", fired)
+    _raise_if_error_clause_fires(joined_fi, F.col("__fired"), clauses, err_idx)
+
+    affected_rows = joined_fi.filter(F.col("__fired").isin(touch_idx)) \
+        if touch_idx else None
+    if affected_rows is not None:
+        _check_merge_cardinality(
+            affected_rows.filter(is_matched).select(
+                F.col("tgt.filename").alias("file_path"),
+                F.col("tgt.file_row_number").alias("pos")))
+
+    # insert side (shared by both modes): unmatched source rows routed
+    # through the not_matched clauses in order
+    inserts = src_plain.join(target, cond, "left_anti")
+    ins_err = [i for i, c in enumerate(clauses)
+               if c.match == "not_matched" and c.action == "error"]
+    if ins_err:
+        nm_expr = None
+        for i, c in enumerate(clauses):
+            if c.match != "not_matched":
+                continue
+            nm_expr = (F.when(c.condition_col(), i) if nm_expr is None
+                       else nm_expr.when(c.condition_col(), i))
+        _raise_if_error_clause_fires(
+            inserts, nm_expr.otherwise(F.lit(-1)), clauses, ins_err)
+    ins_parts = _insert_parts(clauses, inserts, schema)
+
     if mode == "merge-on-read":
         return _merge_into_mor(
-            spark, tm, plan, target, src, src_plain, cond, schema,
-            when_matched_update, when_matched_delete, when_not_matched_insert,
-            committer)
+            spark, tm, plan, schema, clauses, affected_rows, upd_idx,
+            ins_parts, committer)
 
-    # phase 1: which target files contain matched rows?
-    matched_files = [
-        r[0]
-        for r in target.join(src, cond, "left_semi").select("filename").distinct().collect()
-    ]
-    affected = set(matched_files)
+    new_parts: list[DataFrame] = []
+    affected: set[str] = set()
+    if affected_rows is not None:
+        affected = {r[0] for r in affected_rows
+                    .select(F.col("tgt.filename")).distinct().collect()}
     # scan filenames are canonicalized; manifest paths may spell the scheme
     # differently (s3a:// vs s3://) — normalize before membership tests
     from ..io import normalize_path
 
     rewrite_tasks = [t for t in plan.tasks
                      if normalize_path(t.data_file.file_path) in affected]
-
-    new_parts: list[DataFrame] = []
-    if rewrite_tasks and (when_matched_update is not None or when_matched_delete):
-        sub = ScanPlan(tm, snapshot, rewrite_tasks, None, plan.schema_id)
-        tgt_fi = scan_to_dataframe(spark, sub, with_file_info=True).alias("tgt")
-        _check_merge_cardinality(
-            tgt_fi.join(src, cond, "inner").select(
-                F.col("tgt.filename").alias("file_path"),
-                F.col("tgt.file_row_number").alias("pos")))
     if rewrite_tasks:
+        from pyspark.sql.window import Window
+
         sub = ScanPlan(tm, snapshot, rewrite_tasks, None, plan.schema_id)
-        tgt_rows = scan_to_dataframe(spark, sub).alias("tgt")
-        marker = "__merge_src_marker"
-        src_m = src.withColumn(marker, F.lit(1)).alias("src")
-        joined = tgt_rows.join(src_m, cond, "left_outer")
-        is_matched = F.col(marker).isNotNull()
-
-        cols = []
-        for c in schema:
-            if when_matched_delete and when_matched_update is None:
-                # matched rows dropped below
-                cols.append(F.col(f"tgt.{c}").alias(c))
-            elif when_matched_update and c in when_matched_update:
-                expr = when_matched_update[c]
-                val = expr if isinstance(expr, Column) else F.expr(str(expr))
-                cols.append(F.when(is_matched, val).otherwise(F.col(f"tgt.{c}")).alias(c))
-            else:
-                cols.append(F.col(f"tgt.{c}").alias(c))
-        out = joined
-        if when_matched_delete:
-            out = out.filter(~is_matched)
+        tgt_rows = scan_to_dataframe(spark, sub, with_file_info=True) \
+            .alias("tgt")
+        joined = tgt_rows.join(src_m, cond, "left_outer") \
+            .withColumn("__fired", fired)
+        # a target row matched by several source rows where only SOME fire a
+        # clause appears once per source row in the join — emit exactly one
+        # output row per target row, preferring the firing copy (cardinality
+        # check above guarantees at most one firing update/delete match).
+        # The window shuffles only the rewritten files' rows (delta-sized).
+        prio = F.when(F.col("__fired") < 0,
+                      F.lit(2 ** 31 - 1)).otherwise(F.col("__fired"))
+        w = Window.partitionBy(F.col("tgt.filename"),
+                               F.col("tgt.file_row_number")).orderBy(prio)
+        out = joined.withColumn("__rn", F.row_number().over(w)) \
+            .filter(F.col("__rn") == 1)
+        if del_idx:
+            out = out.filter(~F.col("__fired").isin(del_idx))
+        cols = [_update_value(clauses, upd_idx, c, F.col("__fired"))
+                for c in schema]
         new_parts.append(out.select(*cols))
-
-    if when_not_matched_insert:
-        inserts = src_plain.join(target, cond, "left_anti")
-        if when_not_matched_insert is True:
-            ins_cols = [
-                (F.col(c) if c in inserts.columns else F.lit(None)).alias(c)
-                for c in schema
-            ]
-        else:
-            ins_cols = []
-            for c in schema:
-                if c in when_not_matched_insert:
-                    expr = when_not_matched_insert[c]
-                    val = expr if isinstance(expr, Column) else F.expr(str(expr))
-                    ins_cols.append(val.alias(c))
-                else:
-                    ins_cols.append(F.lit(None).alias(c))
-        new_parts.append(inserts.select(*ins_cols))
+    new_parts.extend(ins_parts)
 
     if not new_parts and not rewrite_tasks:
         return tm
@@ -716,64 +923,51 @@ def _merge_into_mor(
     spark: SparkSession,
     tm: TableMetadata,
     plan: ScanPlan,
-    target: DataFrame,
-    src: DataFrame,
-    src_plain: DataFrame,
-    cond: Column,
     schema: list[str],
-    when_matched_update: Mapping[str, Any] | None,
-    when_matched_delete: bool,
-    when_not_matched_insert: Mapping[str, Any] | bool | None,
+    clauses: list["MergeClause"],
+    affected_rows: DataFrame | None,
+    upd_idx: list[int],
+    ins_parts: list[DataFrame],
     committer=None,
 ) -> TableMetadata:
-    """Merge-on-read MERGE: matched rows become row deletes; updates and
-    inserts become new data files; one snapshot carries both."""
-    matched = target.join(src, cond, "inner")
-    pairs = matched.select(
-        F.col("tgt.filename").alias("file_path"),
-        F.col("tgt.file_row_number").alias("pos"),
-    )
-    if when_matched_update or when_matched_delete:
-        _check_merge_cardinality(pairs)
-
-    new_parts: list[DataFrame] = []
-    if when_matched_update:
-        cols = []
-        for c in schema:
-            if c in when_matched_update:
-                expr = when_matched_update[c]
-                val = expr if isinstance(expr, Column) else F.expr(str(expr))
-                cols.append(val.alias(c))
-            else:
-                cols.append(F.col(f"tgt.{c}").alias(c))
-        new_parts.append(matched.select(*cols))
-
-    if when_not_matched_insert:
-        inserts = src_plain.join(target, cond, "left_anti")
-        if when_not_matched_insert is True:
-            ins_cols = [
-                (F.col(c) if c in inserts.columns else F.lit(None)).alias(c)
-                for c in schema
-            ]
-        else:
-            ins_cols = []
-            for c in schema:
-                if c in when_not_matched_insert:
-                    expr = when_not_matched_insert[c]
-                    val = expr if isinstance(expr, Column) else F.expr(str(expr))
-                    ins_cols.append(val.alias(c))
-                else:
-                    ins_cols.append(F.lit(None).alias(c))
-        new_parts.append(inserts.select(*ins_cols))
-
+    """Merge-on-read MERGE: rows that fired an update/delete clause become
+    row deletes (Puffin DVs on v3, positional parquet on v2); updated and
+    inserted rows become new data files; one snapshot carries both.
+    ``affected_rows`` is the planning join filtered to firing
+    update/delete clauses (None when no such clause exists)."""
+    new_parts: list[DataFrame] = list(ins_parts)
     delete_files: list[mf.DataFile] = []
     superseded: set[str] = set()
-    if when_matched_update or when_matched_delete:
-        delete_files, superseded = _write_row_deletes(spark, tm, pairs, plan)
-    if not delete_files and not new_parts:
-        return tm
-    new_files: list[mf.DataFile] = []
-    if new_parts:
+    if affected_rows is not None:
+        # persist: the same delta feeds the row-delete write and (when
+        # update clauses exist) the replacement-row write — without the
+        # cache the full target⋈source join would execute twice
+        affected_rows = affected_rows.persist()
+        try:
+            pairs = affected_rows.select(
+                F.col("tgt.filename").alias("file_path"),
+                F.col("tgt.file_row_number").alias("pos"),
+            )
+            if upd_idx:
+                cols = [_update_value(clauses, upd_idx, c, F.col("__fired"))
+                        for c in schema]
+                new_parts.insert(0, affected_rows
+                                 .filter(F.col("__fired").isin(upd_idx))
+                                 .select(*cols))
+            delete_files, superseded = _write_row_deletes(spark, tm, pairs, plan)
+            if not delete_files and not new_parts:
+                return tm
+            new_files: list[mf.DataFile] = []
+            if new_parts:
+                union = new_parts[0]
+                for p in new_parts[1:]:
+                    union = union.unionByName(p)
+                new_files, _ = write_data_files(spark, union, tm)
+        finally:
+            affected_rows.unpersist()
+    else:
+        if not new_parts:
+            return tm
         union = new_parts[0]
         for p in new_parts[1:]:
             union = union.unionByName(p)

@@ -497,49 +497,81 @@ def _exec_merge(spark: SparkSession, stmt: str) -> DataFrame:
     # the statement (standard SQL ambiguity rule).
     on = _norm_refs(on_raw, tgt_quals, src_quals, tgt_repl="tgt.")
 
-    upd: dict[str, str] | None = None
-    delete = False
-    ins: dict[str, str] | bool | None = None
+    # full clause surface (reference: merge_into/iceberg_merge_into.cpp
+    # plans UPDATE/DELETE/INSERT/DO NOTHING/ERROR per WHEN clause with an
+    # optional per-clause condition, first-match-wins):
+    #   WHEN [NOT] MATCHED [BY SOURCE] [AND <cond>] THEN
+    #     UPDATE SET ... | UPDATE | DELETE | INSERT ... | DO NOTHING | ERROR
+    from .dml import MergeClause
+
+    clauses: list[MergeClause] = []
     whens = _scan_top(clauses_raw, ("WHEN",))
     spans = [(a, b) for (a, _), (b, _) in
              zip(whens, whens[1:] + [(len(clauses_raw), "")])]
     for a, b in spans:
-        clause = clauses_raw[a:b].strip()
-        cm = re.match(
-            r"WHEN\s+(NOT\s+)?MATCHED\s+(?:AND\s+.+?\s+)?THEN\s+(.+)$",
-            clause, re.I | re.S)
-        if not cm:
+        clause = clauses_raw[a:b].strip().rstrip(";").strip()
+        hm = re.match(
+            r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?\s+(AND\s+)?",
+            clause, re.I)
+        if not hm:
             raise ValueError(f"cannot parse WHEN clause: {clause!r}")
-        if re.search(r"MATCHED\s+AND", clause, re.I):
-            raise NotImplementedError("per-clause AND conditions not supported")
-        negated, action = bool(cm.group(1)), cm.group(2).strip()
+        negated, by_source, has_cond = (bool(hm.group(1)), bool(hm.group(2)),
+                                        bool(hm.group(3)))
+        if negated and by_source:
+            match = "not_matched_by_source"
+        elif negated:
+            match = "not_matched"
+        else:
+            match = "matched"
+        rest_c = clause[hm.end():]
+        thens = [i for i, w in _scan_top(rest_c, ("THEN",))]
+        if not thens:
+            raise ValueError(f"WHEN clause missing THEN: {clause!r}")
+        cond_raw = rest_c[:thens[0]].strip() if has_cond else None
+        condition = (_norm_refs(cond_raw, tgt_quals, src_quals,
+                                tgt_repl="tgt.")
+                     if cond_raw else None)
+        action = rest_c[thens[0] + 4:].strip()
         au = action.upper()
-        if not negated and au.startswith("UPDATE"):
-            set_part = re.sub(r"UPDATE\s+SET\s+", "", action, count=1, flags=re.I)
-            upd = {c: _norm_refs(e, tgt_quals, src_quals, tgt_repl="tgt.")
-                   for c, e in _split_assignments(set_part).items()}
-        elif not negated and au == "DELETE":
-            delete = True
-        elif negated and au.replace(" ", "") == "INSERT*":
-            ins = True
-        elif negated and au.startswith("INSERT"):
-            im = re.match(r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$",
+        if au.startswith("UPDATE"):
+            set_part = re.sub(r"UPDATE\s*(SET\s+)?", "", action, count=1,
+                              flags=re.I).strip()
+            # bare `THEN UPDATE` (reference merge_partition.test): update
+            # every target column from the same-named source column
+            assigns: dict | bool = True if not set_part else {
+                c: _norm_refs(e, tgt_quals, src_quals, tgt_repl="tgt.")
+                for c, e in _split_assignments(set_part).items()}
+            clauses.append(MergeClause(match, "update", condition, assigns))
+        elif au == "DELETE":
+            clauses.append(MergeClause(match, "delete", condition))
+        elif au.replace(" ", "") == "INSERT*":
+            clauses.append(MergeClause(match, "insert", condition, True))
+        elif au.startswith("INSERT"):
+            im = re.match(r"INSERT\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.*)\)\s*$",
                           action, re.I | re.S)
             if not im:
                 raise ValueError(f"cannot parse INSERT action: {action!r}")
-            cols = [c.strip().strip("`") for c in im.group(1).split(",")]
             vals = _split_top_commas(im.group(2))
-            if len(cols) != len(vals):
-                raise ValueError("INSERT column/value count mismatch")
-            ins = {c: _norm_refs(v, tgt_quals, src_quals)
-                   for c, v in zip(cols, vals)}
+            if im.group(1) is None:
+                # positional `INSERT VALUES (...)`: mapped to the target's
+                # column order by merge_into
+                assigns_i: Any = [_norm_refs(v, tgt_quals, src_quals)
+                                  for v in vals]
+            else:
+                cols = [c.strip().strip("`") for c in im.group(1).split(",")]
+                if len(cols) != len(vals):
+                    raise ValueError("INSERT column/value count mismatch")
+                assigns_i = {c: _norm_refs(v, tgt_quals, src_quals)
+                             for c, v in zip(cols, vals)}
+            clauses.append(MergeClause(match, "insert", condition, assigns_i))
+        elif au.replace(" ", "") == "DONOTHING":
+            clauses.append(MergeClause(match, "nothing", condition))
+        elif au == "ERROR":
+            clauses.append(MergeClause(match, "error", condition))
         else:
             raise ValueError(f"unsupported MERGE action: {action!r}")
 
-    tm = merge_into(spark, target, source, on,
-                    when_matched_update=upd,
-                    when_matched_delete=delete,
-                    when_not_matched_insert=ins)
+    tm = merge_into(spark, target, source, on, clauses=clauses)
     refresh_table(spark, view)
     return _result_df(spark, "MERGE", view, tm)
 

@@ -1425,6 +1425,25 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (approximate by design): SRP-bucket equi-join knn for query
+    # sets too large to broadcast — no crossJoin in the plan (asserted in
+    # tests/test_operators.py::test_knn_join_bucketed_no_cross_join)
+    from duckdb_iceberg_spark.operators.similarity import knn_join_bucketed
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    queries_df = (
+        emb.filter("vec_id IN (0, 1, 2)")
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return (
+        knn_join_bucketed(emb.filter("vec_id > 2"), queries_df, k=5,
+                          n_planes=6, nprobe=3)
+        .select("q_id", "vec_id", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 def stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-incremental read: only the rows appended after snapshot 1
     of the two-append nation fixture."""
@@ -1687,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winnow": docs_winnow,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_knn_join": emb_knn_join,
+        "emb_knn_join_bucketed": emb_knn_join_bucketed,
         "emb_ivf_topk": emb_ivf_topk,
         "stream_incremental": stream_incremental,
         "stream_sink_roundtrip": stream_sink_roundtrip,
@@ -1861,7 +1881,18 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 8, shingle_k: int = 5,
 def _srp_bucket_sql(col: str, planes, dim: int) -> str:
     """DuckDB replica of operators.similarity.srp_bucket_column: per-plane
     double dot product (left-fold chain), sign bits packed into an int.
-    Shared by the emb_neardup and emb_lsh_topk oracles."""
+    Shared by the emb_neardup and emb_lsh_topk oracles.
+
+    Known (accepted) flake risk: the Spark side computes the dot product
+    via numpy/BLAS matmul (pairwise/blocked summation) while this SQL is a
+    sequential left-fold of double adds — a dot product within ~1e-13 of
+    zero could take a different SIGN across the two association orders and
+    flip one bucket bit, failing the hash check. The fixture embeddings
+    (unit-norm random vs random gaussian hyperplanes) put dot products
+    ~1e-2 from zero, ~11 orders of magnitude above double rounding error,
+    so the disagreement probability is negligible; if it ever fires,
+    regenerate the plane seed rather than chasing determinism across
+    BLAS builds."""
     return " + ".join(
         "(CASE WHEN ({d}) >= 0 THEN {v} ELSE 0 END)".format(
             v=1 << i,

@@ -114,14 +114,21 @@ def _cast_column(col, target_type):
     if (pa.types.is_string(target_type)
             and (pa.types.is_fixed_size_binary(st)
                  or pa.types.is_binary(st) or pa.types.is_large_binary(st))):
-        import uuid as _u
+        # uuid rendering keys off the STORAGE type, never the value length:
+        # Iceberg uuid is parquet FIXED_LEN_BYTE_ARRAY(16); a plain
+        # variable-width binary column cast to string (e.g. a foreign
+        # writer's string stored without UTF8 annotation) must utf8-decode
+        # even when a value happens to be exactly 16 bytes — hyphenating it
+        # would silently corrupt the value.
+        is_uuid = pa.types.is_fixed_size_binary(st) and st.byte_width == 16
+        if is_uuid:
+            import uuid as _u
 
-        vals = [
-            None if v is None
-            else (str(_u.UUID(bytes=v)) if len(v) == 16
-                  else v.decode("utf-8", errors="replace"))
-            for v in col.to_pylist()
-        ]
+            vals = [None if v is None else str(_u.UUID(bytes=v))
+                    for v in col.to_pylist()]
+        else:
+            vals = [None if v is None else v.decode("utf-8", errors="replace")
+                    for v in col.to_pylist()]
         return pa.chunked_array([pa.array(vals, pa.string())])
     return col.cast(target_type)
 

@@ -187,7 +187,9 @@ def knn_join(
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
     """Top-k corpus neighbors for each query row (queries broadcast —
-    intended for small query sets): (q_id, vec_id, similarity, rank)."""
+    exact, intended for small query sets): (q_id, vec_id, similarity,
+    rank). For query sets too large to broadcast use
+    :func:`knn_join_bucketed` (SRP bucket equi-join, approximate)."""
     from pyspark.sql.window import Window
 
     joined = df.crossJoin(F.broadcast(queries))
@@ -203,6 +205,87 @@ def knn_join(
         ).alias("similarity"),
     )
     w = Window.partitionBy(q_id_col).orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_bucketed(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    n_planes: int = 8,
+    nprobe: int = 2,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate knn join for query sets too large to broadcast — the
+    100 TB path ``knn_join`` documents it lacks. Corpus rows land in their
+    SRP bucket (``srp_bucket_column``); each query probes its own bucket
+    plus the ``nprobe-1`` least-confident bit flips (multi-probe LSH:
+    flipping the hyperplane bits with the smallest |dot| first recovers
+    most near-boundary misses). Candidates come from an EQUI-join on the
+    bucket id — a plain shuffle hash join, never a crossJoin — and are
+    ranked per query within the probed union.
+
+    Work is ~nprobe · N/2^b candidate pairs per query instead of N; the
+    recall tradeoff is explicit: a true neighbor whose bucket is not
+    probed is missed. Raise ``nprobe`` (or lower ``n_planes``) for recall,
+    lower them for throughput. Output: (q_id, vec_id, similarity, rank),
+    rank <= k within the probed candidates."""
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        probe_row = queries.select(q_vec_col).first()
+        dim = len(probe_row[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    P = np.ascontiguousarray(planes, dtype="float64")
+    weights = np.uint64(1) << np.arange(P.shape[0], dtype=np.uint64)
+    nflip = max(0, min(nprobe - 1, P.shape[0]))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def probe_buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        m = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
+        d = m @ P.T
+        bits = (d >= 0).astype(np.uint64)
+        base = bits @ weights
+        # least-confident planes first: smallest |dot| = closest boundary
+        order = np.argsort(np.abs(d), axis=1)
+        out = []
+        for i in range(len(m)):
+            bs = [int(np.int64(base[i]))]
+            for j in range(nflip):
+                bs.append(int(np.int64(base[i] ^ (np.uint64(1) << order[i, j].astype(np.uint64)))))
+            out.append(bs)
+        return pd.Series(out)
+
+    corpus = df.withColumn(
+        "__bucket", srp_bucket_column(F.col(vec_col), planes))
+    probed = queries.withColumn(
+        "__bucket", F.explode(probe_buckets(F.col(q_vec_col))))
+    # equi-join on the bucket id: candidates shuffle by bucket, no
+    # crossJoin / BroadcastNestedLoopJoin anywhere in the plan
+    cand = corpus.join(probed, "__bucket")
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_similarity(
+                F.col(vec_col).cast(T.ArrayType(T.DoubleType())),
+                F.col(q_vec_col).cast(T.ArrayType(T.DoubleType())),
+            ),
+            6,
+        ).alias("similarity"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("similarity").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import io as fio
 from ..metadata import manifest as mf
 from ..metadata import types as ice_types
 from ..metadata.table_metadata import TableMetadata, load_table_metadata
@@ -106,57 +107,135 @@ def _full_file_stats(task, schema_json):
     return stats_for
 
 
+def _pos_delete_parquet_bytes(fp: str, positions) -> bytes:
+    """Serialize one positional-delete parquet (file_path, pos) with
+    Iceberg's reserved field-ids; positions must be sorted per spec."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([
+        pa.field("file_path", pa.string(), nullable=False,
+                 metadata={b"PARQUET:field_id": b"2147483546"}),
+        pa.field("pos", pa.int64(), nullable=False,
+                 metadata={b"PARQUET:field_id": b"2147483545"}),
+    ])
+    table = pa.Table.from_arrays(
+        [pa.array([fp] * len(positions)), pa.array(positions)], schema=schema)
+    buf = _io.BytesIO()
+    pq.write_table(table, buf, compression="zstd")
+    return buf.getvalue()
+
+
 def _write_positional_deletes(
-    spark: SparkSession, tm: TableMetadata, pairs: DataFrame
+    spark: SparkSession, tm: TableMetadata, pairs: DataFrame,
+    plan: ScanPlan | None = None,
 ) -> list[mf.DataFile]:
-    """(file_path, pos) DataFrame → positional-delete parquet files with
-    Iceberg's reserved field-ids, sorted by (file_path, pos) per spec."""
+    """(file_path, pos) DataFrame → ONE positional-delete parquet per
+    referenced data file, written executor-side (Arrow) with Iceberg's
+    reserved field-ids, rows sorted by pos per spec.
+
+    Per-file layout mirrors the reference (iceberg_delete.cpp buffers
+    pairs per data file; its pruning benchmark
+    prune_positional_deletes_from_unread_partitions.benchmark asserts a
+    365-partition MoR scan of one day opens exactly ONE delete file):
+    each manifest entry records ``referenced_data_file`` and the target's
+    partition values, so planning applies a delete file to exactly its
+    one data file — a partition-filtered scan never opens the other
+    partitions' delete files. The write fans out as one applyInPandas
+    group per data file (shuffle carries only the delta); the driver
+    receives per-file summaries, never positions."""
+    from ..io import normalize_path, parse_uri, storage_options_for
+
     out_dir = os.path.join(tm.location, "data", f"deletes-{str(_uuid.uuid4())[:8]}")
-    # persist before counting: the count sizes the output partitioning, and
-    # without the cache the full matched-scan job would execute twice (once
-    # for the count, once for the write) — at 100 TB that doubles the DELETE
-    pairs = pairs.persist()
-    try:
-        n = pairs.count()
-        if n == 0:
-            return []
-        shaped = (
-            pairs.select(
-                F.col("file_path").alias("file_path", metadata={ice_types.FIELD_ID_KEY: 2147483546}),
-                F.col("pos").cast(T.LongType()).alias("pos", metadata={ice_types.FIELD_ID_KEY: 2147483545}),
-            )
-            # one output file per referenced data-file group keeps delete files
-            # prunable; tiny counts coalesce to 1
-            .repartition(max(1, min(8, n // 1_000_000 + 1)), F.col("file_path"))
-            .sortWithinPartitions("file_path", "pos")
-        )
-        paths = write_parquet_dataset(spark, shaped, out_dir)
-    finally:
-        pairs.unpersist()
-    stats = _collect_stats(spark, paths)
+    io0 = fio.get_io(out_dir)
+    io0.mkdirs(out_dir)
+    opts = storage_options_for(out_dir)
+    scheme = parse_uri(out_dir)[0]
+
+    def _write_group(pdf):
+        import uuid as _u
+
+        import pandas as pd
+
+        # absolute imports: executes in executor Python workers
+        from duckdb_iceberg_spark.io import (get_io, io_from_storage_options,
+                                             register_io)
+        from duckdb_iceberg_spark.sources.dml import _pos_delete_parquet_bytes
+
+        if scheme and opts:
+            register_io(scheme, io_from_storage_options(opts))
+        fp = pdf["file_path"].iloc[0]
+        positions = pdf["pos"].to_numpy(dtype="int64")
+        positions.sort()
+        data = _pos_delete_parquet_bytes(fp, positions)
+        path = f"{out_dir}/{_u.uuid4()}-deletes.parquet"
+        get_io(path).write_bytes(path, data)
+        return pd.DataFrame({
+            "file_path": [fp], "out_path": [path],
+            "record_count": [len(positions)], "file_size": [len(data)],
+            "min_pos": [int(positions[0])], "max_pos": [int(positions[-1])],
+        })
+
+    if getattr(io0, "shippable", True):
+        res = pairs.groupBy("file_path").applyInPandas(
+            _write_group,
+            "file_path string, out_path string, record_count long, "
+            "file_size long, min_pos long, max_pos long").collect()
+    else:
+        # non-shippable IO (e.g. an in-memory test filesystem): executors
+        # can't reach the store — collect the delta-sized pairs and write
+        # per-file deletes on the driver (same layout, same entries)
+        import types as _types
+
+        import numpy as _np
+
+        groups: dict[str, list[int]] = {}
+        for r in pairs.collect():
+            groups.setdefault(r.file_path, []).append(r.pos)
+        res = []
+        for fp, poss in groups.items():
+            positions = _np.unique(_np.asarray(poss, dtype="int64"))
+            data = _pos_delete_parquet_bytes(fp, positions)
+            path = f"{out_dir}/{_uuid.uuid4()}-deletes.parquet"
+            io0.write_bytes(path, data)
+            res.append(_types.SimpleNamespace(
+                file_path=fp, out_path=path, record_count=len(positions),
+                file_size=len(data), min_pos=int(positions[0]),
+                max_pos=int(positions[-1])))
+    if not res:
+        return []
+
+    # target partition values (keys match the default spec when the data
+    # file was written under it — referenced_data_file already gives exact
+    # per-file targeting either way, partition values additionally feed the
+    # delete manifest's field summaries for manifest-level pruning)
+    part_by_path: dict[str, dict] = {}
+    default_spec_id = tm.default_spec().spec_id
+    for t in (plan.tasks if plan is not None else []):
+        if t.spec_id == default_spec_id:
+            part_by_path[normalize_path(t.data_file.file_path)] = \
+                t.data_file.partition or {}
+
+    import struct as _struct
+
     out = []
-    for st in stats:
-        lower = {}
-        upper = {}
-        for fid, v in st["mins"].items():
-            b = _stat_bound(v)
-            if b is not None:
-                lower[fid] = b
-        for fid, v in st["maxs"].items():
-            b = _stat_bound(v)
-            if b is not None:
-                upper[fid] = b
+    for r in res:
+        fp_b = r.file_path.encode("utf-8")
         out.append(
             mf.DataFile(
                 content=mf.CONTENT_POSITION_DELETES,
-                file_path=st["path"],
+                file_path=r.out_path,
                 file_format="PARQUET",
-                partition={},
-                record_count=st["record_count"],
-                file_size_in_bytes=st["file_size"],
-                lower_bounds=lower or None,
-                upper_bounds=upper or None,
-                null_value_counts=st["null_counts"] or None,
+                partition=part_by_path.get(normalize_path(r.file_path), {}),
+                record_count=r.record_count,
+                file_size_in_bytes=r.file_size,
+                lower_bounds={2147483546: fp_b,
+                              2147483545: _struct.pack("<q", r.min_pos)},
+                upper_bounds={2147483546: fp_b,
+                              2147483545: _struct.pack("<q", r.max_pos)},
+                referenced_data_file=r.file_path,
             )
         )
     return out
@@ -415,7 +494,7 @@ def _write_row_deletes(
     iceberg_delete.cpp:313,350-372)."""
     if tm.format_version >= 3:
         return _write_deletion_vectors(spark, tm, pairs, plan)
-    return _write_positional_deletes(spark, tm, pairs), set()
+    return _write_positional_deletes(spark, tm, pairs, plan), set()
 
 
 def _stat_bound(v: Any) -> bytes | None:

@@ -8,7 +8,7 @@ import __spark_entry__ as entry
 
 #: rows-only by design: murmur3 spec vectors (no SQL twin) and
 #: approximate-by-construction results
-ROWS_ONLY = {"ice_bucket_fn", "emb_ivf_topk"}
+ROWS_ONLY = {"ice_bucket_fn", "emb_ivf_topk", "emb_knn_join_bucketed"}
 
 
 def test_window_holds_reference_surface_and_rotation():

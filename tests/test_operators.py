@@ -235,3 +235,43 @@ def test_embedding_neardup_sizing_runs_one_job(vectors):
     pinned = sorted(r.vec_id for r in embedding_neardup(
         vectors, threshold=0.99, dim=dim, approx_count=n).collect())
     assert auto == pinned
+
+
+def test_knn_join_bucketed_no_cross_join(spark, vectors):
+    """The scale path for non-broadcastable query sets: candidates come
+    from an SRP-bucket equi-join — the physical plan must contain no
+    CartesianProduct / BroadcastNestedLoopJoin — and with every bucket
+    probed the result matches the exact crossJoin-based knn_join."""
+    from duckdb_iceberg_spark.operators.similarity import (
+        knn_join,
+        knn_join_bucketed,
+    )
+
+    queries = (
+        vectors.filter("vec_id >= 100")
+        .selectExpr("vec_id AS q_id", "embedding AS q_vec")
+    )
+    corpus = vectors.filter("vec_id < 100")
+
+    out = knn_join_bucketed(corpus, queries, k=3, n_planes=4, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert set(per_q) <= {100, 101}
+    for q_rows in per_q.values():
+        assert len(q_rows) <= 3
+        assert sorted(r.rank for r in q_rows) == list(range(1, len(q_rows) + 1))
+
+    # full probe (both buckets of a 1-plane space — multi-probe flips one
+    # bit at a time, so single-bit reach covers a 1-plane space) == exact
+    exact = {(r.q_id, r.vec_id, r.rank)
+             for r in knn_join(corpus, queries, k=3).collect()}
+    full = {(r.q_id, r.vec_id, r.rank)
+            for r in knn_join_bucketed(corpus, queries, k=3,
+                                       n_planes=1, nprobe=2).collect()}
+    assert full == exact

@@ -1,0 +1,95 @@
+"""The reference's two pass/fail-shaped scalability benchmarks, built at
+reference cardinality and asserted on plan shape, not just answers:
+
+- benchmark/file_pruning_benchmarks/
+  prune_positional_deletes_from_unread_partitions.benchmark:1-55 —
+  365 day-partitions, merge-on-read delete leaves one positional delete
+  file per partition; a single-day scan may read exactly ONE delete file.
+- benchmark/metadata_late_materialization/four_partitions.benchmark:1-36 —
+  256-manifest table, `partition_id BETWEEN 252 AND 255` parses only the
+  four matching manifests.
+
+These guard the "wrong-shaped even if right-answered" regression class:
+a plan that opens all 365 delete files or all 256 manifests still returns
+correct rows at test scale but collapses at 100 TB.
+"""
+from __future__ import annotations
+
+from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+from duckdb_iceberg_spark.sources.dml import delete_from
+
+
+def test_prune_positional_deletes_from_unread_partitions(spark, tmp_path):
+    """365 day-partitions x 10 rows; MoR DELETE id=0 writes one positional
+    delete file per partition (365 total). Scanning one day plans exactly
+    1 data file with exactly 1 delete file attached — the other 364 delete
+    files are never opened (reference expects result 999 of 1000/partition;
+    here 9 of 10)."""
+    loc = str(tmp_path / "t")
+    df = spark.range(3650).selectExpr(
+        "id % 10 AS id",
+        "concat('e', CAST(id AS STRING)) AS event",
+        "date_add(DATE'2024-01-01', CAST(id / 10 AS INT)) AS event_date",
+    )
+    write_iceberg(df, loc, partition_by=["day(event_date)"], format_version=2)
+    delete_from(spark, loc, "id = 0", mode="merge-on-read")
+
+    tm = load_table_metadata(loc)
+    # fixture shape: 365 data files, one per day; 365 per-file delete files
+    full = plan_scan(tm, tm.select_snapshot(), None)
+    all_deletes = {d.file_path for t in full.tasks for d in t.positional_deletes}
+    assert len(full.tasks) == 365
+    assert len(all_deletes) == 365
+    assert all(len(t.positional_deletes) == 1 for t in full.tasks)
+
+    # the timed query's shape: 1 data file, 1 delete file
+    plan = plan_scan(tm, tm.select_snapshot(),
+                     "event_date = DATE '2024-01-01'")
+    assert len(plan.tasks) == 1
+    day_deletes = {d.file_path for t in plan.tasks
+                   for d in t.positional_deletes}
+    assert len(day_deletes) == 1, (
+        f"{len(day_deletes)} delete files planned for a single-day scan — "
+        "positional deletes from unread partitions are not pruned")
+    assert plan.stats["files_pruned"] + len(plan.tasks) == 365
+
+    got = iceberg_scan(spark, loc,
+                       where="event_date = DATE '2024-01-01'")
+    assert got.count() == 9  # the reference's 999, at 10 rows/partition
+    assert got.filter("id = 0").count() == 0
+
+
+def test_metadata_late_materialization_four_of_256_manifests(spark, tmp_path):
+    """256 manifests (one per identity partition); `partition_id BETWEEN
+    252 AND 255` must PARSE only the 4 matching manifests — the other 252
+    are pruned from the manifest-list field summaries before any Avro read
+    (manifests_pruned counts manifests skipped pre-parse)."""
+    from duckdb_iceberg_spark.sources.maintenance import rewrite_manifests
+
+    loc = str(tmp_path / "t")
+    df = spark.range(256 * 8).selectExpr(
+        "CAST(id % 256 AS INT) AS partition_id",
+        "id * 11 AS payload",
+    )
+    write_iceberg(df, loc, partition_by=["partition_id"])
+    # explode the single append manifest into one manifest per entry:
+    # each manifest's field summary then covers exactly one partition
+    out = rewrite_manifests(loc, target_entries_per_manifest=1,
+                            min_input_manifests=1)
+    assert out["new_manifests"] == 256
+
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot(),
+                     "partition_id BETWEEN 252 AND 255")
+    assert plan.stats["manifests_total"] == 256
+    assert plan.stats["manifests_pruned"] == 252, (
+        f"only {plan.stats['manifests_pruned']} of 252 non-matching "
+        "manifests were pruned before parsing")
+    assert len(plan.tasks) == 4
+
+    got = iceberg_scan(spark, loc,
+                       where="partition_id BETWEEN 252 AND 255")
+    expected = sum(i * 11 for i in range(256 * 8) if 252 <= i % 256 <= 255)
+    assert got.agg({"payload": "sum"}).first()[0] == expected

@@ -31,6 +31,7 @@ from .scan_plan import (
     _localize,
     _manifest_matches,
     _eq_delete_bounds_overlap,
+    _eq_delete_matches_scan_filter,
     _partitions_overlap,
     _pos_delete_path_overlap,
     plan_scan,
@@ -162,7 +163,8 @@ def plan_scan_distributed(
         for de, dspec in eq_deletes:
             if (de.sequence_number or 0) > data_seq \
                     and _partitions_overlap(e, de, spec_id, dspec, data_paths) \
-                    and _eq_delete_bounds_overlap(e, de, tm.schema_json()):
+                    and _eq_delete_bounds_overlap(e, de, tm.schema_json()) \
+                    and _eq_delete_matches_scan_filter(de, pred, tm.schema_json()):
                 df2 = de.data_file
                 df2.file_path = _localize(tm, df2.file_path)
                 task.equality_deletes.append(((de.sequence_number or 0), df2))

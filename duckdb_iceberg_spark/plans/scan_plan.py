@@ -419,6 +419,50 @@ def _eq_delete_bounds_overlap(data_entry: mf.ManifestEntry,
     return True
 
 
+def _eq_delete_matches_scan_filter(del_entry: mf.ManifestEntry, pred,
+                                   schema_json: dict) -> bool:
+    """Predicate-vs-delete-file pruning for equality deletes (reference:
+    benchmark/file_pruning_benchmarks/prune_equality_deletes.benchmark —
+    "prune equality deletes when a given predicate would not select rows
+    an equality delete would filter out"): a row this delete file removes
+    has its equality-column values inside the file's bounds, so if the
+    scan predicate is unsatisfiable within those bounds, no SELECTED row
+    can be deleted by this file — skipping it cannot resurrect a visible
+    row. Conservative (apply) when bounds are missing or the file holds
+    NULL keys (a NULL-key delete matches rows the bounds don't describe;
+    contains_null keeps IS NULL predicates honest)."""
+    if pred is None:
+        return True
+    dl = del_entry.data_file
+    eq_ids = set(dl.equality_ids or [])
+    if not eq_ids:
+        return True
+    fields_by_name = {f["name"]: f for f in schema_json["fields"]
+                      if f["id"] in eq_ids}
+
+    def stats_for(col) -> Optional[P.ColumnStats]:
+        if isinstance(col, P.VariantRef):
+            return None
+        f = fields_by_name.get(col)
+        if f is None or not isinstance(f["type"], str):
+            return None  # not an equality column (or nested): unknown
+        fid = f["id"]
+        try:
+            lower = ice_types.decode_bound(f["type"], (dl.lower_bounds or {}).get(fid))
+            upper = ice_types.decode_bound(f["type"], (dl.upper_bounds or {}).get(fid))
+        except (TypeError, ValueError):
+            return None
+        nulls = (dl.null_value_counts or {}).get(fid)
+        if lower is None and upper is None and nulls is None:
+            return None
+        return P.ColumnStats(lower, upper,
+                             contains_null=nulls is None or nulls > 0,
+                             all_null=False)
+
+    coerced = _coerce_pred(pred, {f["name"]: f for f in schema_json["fields"]})
+    return P.match_bounds(coerced, stats_for)
+
+
 def manifests_for_snapshot(tm: TableMetadata,
                            snapshot: Snapshot) -> list[mf.ManifestFile]:
     """Manifest-list entries for a snapshot. Legacy v1 snapshots may embed
@@ -542,7 +586,8 @@ def plan_scan(
             # equality deletes apply strictly after: delete.seq > data.seq
             if (de.sequence_number or 0) > data_seq \
                     and _partitions_overlap(e, de, spec_id, dspec, data_paths) \
-                    and _eq_delete_bounds_overlap(e, de, schema_json):
+                    and _eq_delete_bounds_overlap(e, de, schema_json) \
+                    and _eq_delete_matches_scan_filter(de, pred, schema_json):
                 df2 = de.data_file
                 df2.file_path = _localize(tm, df2.file_path)
                 task.equality_deletes.append(((de.sequence_number or 0), df2))

@@ -1,4 +1,4 @@
-"""The reference's two pass/fail-shaped scalability benchmarks, built at
+"""The reference's pass/fail-shaped scalability benchmarks, built at
 reference cardinality and asserted on plan shape, not just answers:
 
 - benchmark/file_pruning_benchmarks/
@@ -8,6 +8,9 @@ reference cardinality and asserted on plan shape, not just answers:
 - benchmark/metadata_late_materialization/four_partitions.benchmark:1-36 —
   256-manifest table, `partition_id BETWEEN 252 AND 255` parses only the
   four matching manifests.
+- benchmark/file_pruning_benchmarks/prune_equality_deletes.benchmark —
+  equality-delete files whose key bounds cannot satisfy the scan
+  predicate are pruned from the plan.
 
 These guard the "wrong-shaped even if right-answered" regression class:
 a plan that opens all 365 delete files or all 256 manifests still returns
@@ -93,3 +96,31 @@ def test_metadata_late_materialization_four_of_256_manifests(spark, tmp_path):
                        where="partition_id BETWEEN 252 AND 255")
     expected = sum(i * 11 for i in range(256 * 8) if 252 <= i % 256 <= 255)
     assert got.agg({"payload": "sum"}).first()[0] == expected
+
+
+def test_prune_equality_deletes_outside_scan_predicate(spark, tmp_path):
+    """benchmark/file_pruning_benchmarks/prune_equality_deletes.benchmark:
+    equality deletes on id IN (1,2,3,10,20); a scan WHERE id = 50 cannot
+    select any row those deletes remove, so the delete file must be pruned
+    from the plan (never opened); a scan inside the deleted range still
+    applies it."""
+    from duckdb_iceberg_spark.sources.dml import equality_delete
+
+    loc = str(tmp_path / "t")
+    df = spark.range(9000).selectExpr(
+        "id % 1000 AS id", "concat('e', CAST(id AS STRING)) AS event")
+    write_iceberg(df, loc)
+    keys = spark.createDataFrame([(1,), (2,), (3,), (10,), (20,)], "id long")
+    equality_delete(spark, loc, keys, ["id"])
+
+    tm = load_table_metadata(loc)
+    plan_out = plan_scan(tm, tm.select_snapshot(), "id = 50")
+    assert all(not t.equality_deletes for t in plan_out.tasks), (
+        "equality-delete file attached to a scan whose predicate cannot "
+        "select any deleted row")
+    plan_in = plan_scan(tm, tm.select_snapshot(), "id = 2")
+    assert any(t.equality_deletes for t in plan_in.tasks)
+
+    assert iceberg_scan(spark, loc, where="id = 50").count() == 9
+    assert iceberg_scan(spark, loc, where="id = 2").count() == 0
+    assert iceberg_scan(spark, loc).count() == 9000 - 5 * 9

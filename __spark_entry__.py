@@ -35,7 +35,9 @@ def _pq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-_CACHE_VERSION = "v2"  # bump when fixture derivations change
+_CACHE_VERSION = "v3"  # bump when fixture derivations change
+# v3: positional deletes are per-referenced-data-file (partition-scoped
+# pruning layout) — MoR fixtures must rebuild to exercise the new writer
 
 
 def _variant_dir(sf_dir: str, variant: str) -> str:

@@ -502,6 +502,12 @@ def write_data_files(
     stats = _collect_stats(spark, paths)
 
     data_files = _build_data_files_with_names(stats, tm, spec, data_root)
+    if order.fields:
+        # data files record the sort order they were written under (spec
+        # `sort_order_id`; the reference's merge/insert tests assert it on
+        # every ADDED file, merge_update_insert_partitioned_ordered.test)
+        for d in data_files:
+            d.sort_order_id = order.order_id
     return data_files, data_root
 
 

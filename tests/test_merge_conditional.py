@@ -296,3 +296,56 @@ def test_mor_conditional_merge_writes_row_deletes(spark, tmp_path):
     dmf = [m for m in mf.read_manifest_list(tm.current_snapshot().manifest_list)
            if m.content == mf.MANIFEST_DELETES]
     assert dmf  # MoR path wrote row deletes, not a rewrite
+
+
+def test_merge_partitioned_ordered_layout(spark, tmp_path):
+    """Mirror of merge_update_insert_partitioned_ordered.test: MERGE into a
+    partitioned (p) + sorted-by (a, b) table. Every ADDED data file covers
+    exactly one partition, its rows are (a, b)-sorted, and its manifest
+    entry records the table's sort_order_id."""
+    from duckdb_iceberg_spark.metadata import manifest as mf
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    loc = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame(
+            [(1, 1, 2, 20), (2, 1, 1, 30), (3, 2, 2, 10), (4, 2, 1, 40)],
+            "id int, p int, a int, b int"),
+        loc, partition_by=["p"], sort_by=[("a", "asc"), ("b", "asc")])
+    src = spark.createDataFrame([(3, 2, 1, 5), (5, 1, 1, 10)],
+                                "id int, p int, a int, b int")
+    merge_into(spark, loc, src, "tgt.id = src.id", clauses=[
+        MergeClause("matched", "update", None,
+                    {"p": "src.p", "a": "src.a", "b": "src.b"}),
+        MergeClause("not_matched", "insert", None, True),
+    ])
+
+    got = sorted((r.id, r.p, r.a, r.b)
+                 for r in iceberg_scan(spark, loc).collect())
+    assert got == [(1, 1, 2, 20), (2, 1, 1, 30), (3, 2, 1, 5),
+                   (4, 2, 1, 40), (5, 1, 1, 10)]
+
+    tm = load_table_metadata(loc)
+    snap = tm.current_snapshot()
+    added = []
+    for m in mf.read_manifest_list(snap.manifest_list):
+        if m.content != mf.MANIFEST_DATA:
+            continue
+        for e in mf.read_manifest(m.manifest_path):
+            if e.status == mf.STATUS_ADDED and e.snapshot_id == snap.snapshot_id:
+                added.append(e.data_file)
+    assert added
+    order_id = tm.default_sort_order().order_id
+    for d in added:
+        assert list(d.partition.keys()) == ["p"]          # one partition/file
+        assert d.partition["p"] is not None
+        assert d.sort_order_id == order_id                # stamped sort order
+
+    # rows within each added file are (a, b)-sorted
+    import pyarrow.parquet as pq
+
+    for d in added:
+        t = pq.read_table(d.file_path, columns=["a", "b"])
+        rows = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+        assert rows == sorted(rows)

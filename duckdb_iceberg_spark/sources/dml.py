@@ -719,16 +719,42 @@ def _fired_col(clauses: list[MergeClause], is_matched: Column) -> Column:
     return expr.otherwise(F.lit(-1)) if expr is not None else F.lit(-1)
 
 
+def _merge_defaults(schema_json: dict) -> dict:
+    """col name → Column producing its ``write-default`` (spec v3 column
+    defaults; reference: merge_into_default.test — DEFAULT in INSERT/SET
+    and omitted INSERT columns resolve to it, not NULL)."""
+    out: dict[str, Column] = {}
+    for f in schema_json["fields"]:
+        if "write-default" in f and isinstance(f["type"], str):
+            v = ice_types.json_default_to_python(f["type"], f["write-default"])
+            out[f["name"]] = F.lit(v).cast(
+                ice_types.iceberg_to_spark(f["type"]))
+    return out
+
+
+def _default_col(col: str, defaults: dict) -> Column:
+    return defaults[col] if col in defaults else F.lit(None)
+
+
+def _merge_expr(v, col: str, defaults: dict) -> Column:
+    """An assignment value: a Column, the DEFAULT keyword (bare, never a
+    quoted string literal — quotes survive parsing), or a SQL expression."""
+    if isinstance(v, Column):
+        return v
+    if isinstance(v, str) and v.strip().upper() == "DEFAULT":
+        return _default_col(col, defaults)
+    return F.expr(str(v))
+
+
 def _update_value(clauses: list[MergeClause], idxs: list[int], col: str,
-                  fired: Column) -> Column:
+                  fired: Column, defaults: dict) -> Column:
     """Column value after applying whichever UPDATE clause fired (target's
     own value when none did or the firing clause doesn't SET this column)."""
     expr = None
     for i in idxs:
         assigns = clauses[i].assignments
         if col in assigns:
-            v = assigns[col]
-            val = v if isinstance(v, Column) else F.expr(str(v))
+            val = _merge_expr(assigns[col], col, defaults)
             expr = (F.when(fired == i, val) if expr is None
                     else expr.when(fired == i, val))
     base = F.col(f"tgt.{col}")
@@ -754,10 +780,12 @@ def _raise_if_error_clause_fires(joined: DataFrame, fired: Column,
 
 
 def _insert_parts(clauses: list[MergeClause], inserts: DataFrame,
-                  schema: list[str]) -> list[DataFrame]:
+                  schema: list[str], defaults: dict) -> list[DataFrame]:
     """Route each unmatched source row to its first firing not_matched
     clause; one DataFrame per INSERT clause (nothing-clauses swallow rows,
-    error clauses were checked by the caller)."""
+    error clauses were checked by the caller). Columns an INSERT doesn't
+    provide — and the DEFAULT keyword — take the column's write-default
+    (NULL when none; reference: merge_into_default.test)."""
     nm = [(i, c) for i, c in enumerate(clauses) if c.match == "not_matched"]
     if not nm:
         return []
@@ -773,25 +801,27 @@ def _insert_parts(clauses: list[MergeClause], inserts: DataFrame,
             continue
         sub = routed.filter(F.col("__ins_fired") == i)
         if c.assignments is True:
-            cols = [(F.col(x) if x in inserts.columns else F.lit(None)).alias(x)
+            cols = [(F.col(x) if x in inserts.columns
+                     else _default_col(x, defaults)).alias(x)
                     for x in schema]
+        elif c.assignments == "DEFAULT VALUES":
+            cols = [_default_col(x, defaults).alias(x) for x in schema]
         elif isinstance(c.assignments, (list, tuple)):
             # positional INSERT VALUES (...): mapped to target column order
             if len(c.assignments) != len(schema):
                 raise ValueError(
                     f"INSERT VALUES has {len(c.assignments)} expressions for "
                     f"{len(schema)} target columns")
-            cols = [(v if isinstance(v, Column) else F.expr(str(v))).alias(x)
+            cols = [_merge_expr(v, x, defaults).alias(x)
                     for x, v in zip(schema, c.assignments)]
         else:
             cols = []
             for x in schema:
                 if x in c.assignments:
-                    v = c.assignments[x]
-                    cols.append((v if isinstance(v, Column)
-                                 else F.expr(str(v))).alias(x))
+                    cols.append(_merge_expr(c.assignments[x], x,
+                                            defaults).alias(x))
                 else:
-                    cols.append(F.lit(None).alias(x))
+                    cols.append(_default_col(x, defaults).alias(x))
         parts.append(sub.select(*cols))
     return parts
 
@@ -862,6 +892,8 @@ def merge_into(
         if c.action == "update" and c.assignments is True:
             c.assignments = {x: F.col(f"src.{x}")
                              for x in source.columns if x in schema}
+    # write-defaults: DEFAULT keyword and omitted INSERT columns
+    defaults = _merge_defaults(plan.schema_json)
 
     target = scan_to_dataframe(spark, plan, with_file_info=True).alias("tgt")
     # plain source for anti-joins (source is the stream side there — a
@@ -915,12 +947,12 @@ def merge_into(
                        else nm_expr.when(c.condition_col(), i))
         _raise_if_error_clause_fires(
             inserts, nm_expr.otherwise(F.lit(-1)), clauses, ins_err)
-    ins_parts = _insert_parts(clauses, inserts, schema)
+    ins_parts = _insert_parts(clauses, inserts, schema, defaults)
 
     if mode == "merge-on-read":
         return _merge_into_mor(
             spark, tm, plan, schema, clauses, affected_rows, upd_idx,
-            ins_parts, committer)
+            ins_parts, defaults, committer)
 
     new_parts: list[DataFrame] = []
     affected: set[str] = set()
@@ -954,7 +986,7 @@ def merge_into(
             .filter(F.col("__rn") == 1)
         if del_idx:
             out = out.filter(~F.col("__fired").isin(del_idx))
-        cols = [_update_value(clauses, upd_idx, c, F.col("__fired"))
+        cols = [_update_value(clauses, upd_idx, c, F.col("__fired"), defaults)
                 for c in schema]
         new_parts.append(out.select(*cols))
     new_parts.extend(ins_parts)
@@ -1007,6 +1039,7 @@ def _merge_into_mor(
     affected_rows: DataFrame | None,
     upd_idx: list[int],
     ins_parts: list[DataFrame],
+    defaults: dict | None = None,
     committer=None,
 ) -> TableMetadata:
     """Merge-on-read MERGE: rows that fired an update/delete clause become
@@ -1028,7 +1061,8 @@ def _merge_into_mor(
                 F.col("tgt.file_row_number").alias("pos"),
             )
             if upd_idx:
-                cols = [_update_value(clauses, upd_idx, c, F.col("__fired"))
+                cols = [_update_value(clauses, upd_idx, c, F.col("__fired"),
+                                      defaults or {})
                         for c in schema]
                 new_parts.insert(0, affected_rows
                                  .filter(F.col("__fired").isin(upd_idx))

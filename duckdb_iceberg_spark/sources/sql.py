@@ -546,6 +546,10 @@ def _exec_merge(spark: SparkSession, stmt: str) -> DataFrame:
             clauses.append(MergeClause(match, "delete", condition))
         elif au.replace(" ", "") == "INSERT*":
             clauses.append(MergeClause(match, "insert", condition, True))
+        elif re.fullmatch(r"INSERT\s+DEFAULT\s+VALUES", au):
+            # every column takes its write-default (merge_into_default.test)
+            clauses.append(MergeClause(match, "insert", condition,
+                                       "DEFAULT VALUES"))
         elif au.startswith("INSERT"):
             im = re.match(r"INSERT\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.*)\)\s*$",
                           action, re.I | re.S)

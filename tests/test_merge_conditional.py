@@ -349,3 +349,46 @@ def test_merge_partitioned_ordered_layout(spark, tmp_path):
         t = pq.read_table(d.file_path, columns=["a", "b"])
         rows = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
         assert rows == sorted(rows)
+
+
+def test_merge_write_defaults(spark, tmp_path):
+    """Mirror of merge_into_default.test: DEFAULT in INSERT VALUES /
+    UPDATE SET, an omitted INSERT column, and INSERT DEFAULT VALUES all
+    resolve to the column's write-default, never NULL."""
+    from duckdb_iceberg_spark.sources.ddl import add_column
+
+    loc = str(tmp_path / "stock")
+    write_iceberg(spark.createDataFrame([], "item_id int"), loc)
+    add_column(loc, "balance", "int", default=0)
+    register_table(spark, "stock", loc)
+
+    spark.createDataFrame([(10,)], "item_id int"
+                          ).createOrReplaceTempView("acct10")
+    execute_sql(spark, """
+        MERGE INTO stock t USING acct10 s ON t.item_id = s.item_id
+        WHEN NOT MATCHED THEN INSERT VALUES (s.item_id, DEFAULT)""")
+    spark.createDataFrame([(20,)], "item_id int"
+                          ).createOrReplaceTempView("acct20")
+    execute_sql(spark, """
+        MERGE INTO stock t USING acct20 s ON t.item_id = s.item_id
+        WHEN NOT MATCHED THEN INSERT (item_id) VALUES (s.item_id)""")
+    spark.createDataFrame([(30,)], "item_id int"
+                          ).createOrReplaceTempView("acct30")
+    execute_sql(spark, """
+        MERGE INTO stock t USING acct30 s ON t.item_id = s.item_id
+        WHEN NOT MATCHED THEN INSERT DEFAULT VALUES""")
+
+    got = sorted(((r.item_id, r.balance) for r in
+                  spark.sql("SELECT * FROM stock").collect()),
+                 key=lambda t: (t[0] is None, t[0]))
+    assert got == [(10, 0), (20, 0), (None, 0)]
+
+    # UPDATE SET balance = DEFAULT resets to the write-default
+    execute_sql(spark, "UPDATE stock SET balance = 100")
+    execute_sql(spark, """
+        MERGE INTO stock t USING acct10 s ON t.item_id = s.item_id
+        WHEN MATCHED THEN UPDATE SET balance = DEFAULT
+        WHEN NOT MATCHED THEN DO NOTHING""")
+    rows = {r.item_id: r.balance
+            for r in spark.sql("SELECT * FROM stock WHERE item_id IS NOT NULL").collect()}
+    assert rows == {10: 0, 20: 100}

@@ -1253,3 +1253,48 @@ def test_inspection_tables_accept_rest_tables(stub, spark, sf_dir, tmp_path):
     assert mt.iceberg_column_stats(spark, tbl).filter(
         "column_name = 'r_regionkey'").count() >= 1
     assert mt.iceberg_history(spark, tbl).count() == 2
+
+
+def test_delete_retry_past_concurrent_append_carries_winner(stub, spark, sf_dir, tmp_path):
+    """Data-plane DELETE vs concurrent APPEND: the delete's retry REBUILDS
+    its manifest list from the refreshed metadata, so the final tip holds
+    the winner's appended files AND applies the delete — neither is lost
+    (the DeleteCanReapply case of the rebuild-on-conflict fix)."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    region = load(spark, sf_dir, "region")
+    write_iceberg(region, loc)
+    _register_disk_table(state, loc, name="dra")
+    state.plan_response = None
+    cat = _catalog(base)
+
+    # author the winner's REAL manifest list (base + appended rows), then
+    # rewind the stub so the loser starts from the base snapshot and the
+    # injected conflict replays the winner
+    tbl2 = cat.load_table("db", "dra")
+    tbl2.append(spark, region.withColumn(
+        "r_regionkey", F.col("r_regionkey") + 100))
+    meta = state.tables[("db", "dra")]
+    winner = meta["snapshots"].pop()
+    meta["current-snapshot-id"] = meta["snapshots"][0]["snapshot-id"]
+    meta["refs"]["main"]["snapshot-id"] = meta["current-snapshot-id"]
+    state.conflict_winner_manifest_list = winner["manifest-list"]
+    state.conflict_winner_operation = "append"
+    state.commit_conflicts_to_inject = 1
+
+    tbl = cat.load_table("db", "dra")
+    assert tbl.metadata.current_snapshot_id == meta["current-snapshot-id"]
+    tbl.delete_where(spark, "r_regionkey IN (0, 101)")
+
+    got = scan_rest_table(spark, tbl.refresh(), server_planning=False)
+    keys = sorted(r.r_regionkey for r in got.collect())
+    # base minus the matched row 0, plus ALL the winner's appended rows.
+    # Row 101 survives by design: the delete planned against its base
+    # snapshot and a reapplied delete does not re-match concurrently
+    # appended rows (reference DeleteCanReapply semantics) — the invariant
+    # under test is that the winner's FILES are never dropped.
+    assert keys == [1, 2, 3, 4, 100, 101, 102, 103, 104]

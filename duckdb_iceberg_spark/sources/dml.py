@@ -917,11 +917,17 @@ def merge_into(
     is_matched = F.col(marker).isNotNull()
     fired = _fired_col(clauses, is_matched)
 
-    # one planning pass over the full join: rows routed to an ERROR clause
+    # one planning pass over the join: rows routed to an ERROR clause
     # abort; rows routed to update/delete name the files to rewrite (CoW)
     # or the (file, pos) row deletes (MoR); duplicate-matched rows that
-    # actually fire an update/delete violate SQL-standard cardinality
-    joined_fi = target.join(src_m, cond, "left_outer") \
+    # actually fire an update/delete violate SQL-standard cardinality.
+    # Without NOT MATCHED BY SOURCE clauses only matched rows can fire, so
+    # the planning join is INNER — the delta-sized matched set, not every
+    # target row, flows through the fired-clause routing
+    join_how = ("left_outer"
+                if any(c.match == "not_matched_by_source" for c in clauses)
+                else "inner")
+    joined_fi = target.join(src_m, cond, join_how) \
         .withColumn("__fired", fired)
     _raise_if_error_clause_fires(joined_fi, F.col("__fired"), clauses, err_idx)
 

@@ -42,9 +42,11 @@ def _resolve_target_size(tm: TableMetadata, explicit: int | None) -> int:
             raise ValueError(
                 f"target_file_size_bytes must be >= {MIN_TARGET_FILE_SIZE_BYTES}")
         return explicit
+    from .writer import parse_byte_size
+
     for prop in ("write.parquet.target-file-size-bytes", "write.target-file-size-bytes"):
         if prop in tm.properties:
-            return int(tm.properties[prop])
+            return parse_byte_size(tm.properties[prop])
     return DEFAULT_TARGET_FILE_SIZE_BYTES
 
 

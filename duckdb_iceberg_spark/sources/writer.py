@@ -497,8 +497,9 @@ def write_data_files(
     # parquet write properties (reference maps iceberg write props →
     # parquet options, iceberg_insert.cpp:596-648)
     codec = tm.properties.get("write.parquet.compression-codec", "zstd")
-    paths = write_parquet_dataset(spark, df, data_root, compression=codec,
-                                  partition_cols=part_cols)
+    paths = write_parquet_dataset(
+        spark, df, data_root, compression=codec, partition_cols=part_cols,
+        max_records_per_file=_max_records_per_file(tm, schema_json))
     stats = _collect_stats(spark, paths)
 
     data_files = _build_data_files_with_names(stats, tm, spec, data_root)
@@ -511,6 +512,49 @@ def write_data_files(
     return data_files, data_root
 
 
+def parse_byte_size(v) -> int:
+    """'1048576', '1024KB', '512MB', '1GB' → bytes (the reference accepts
+    suffixed sizes for write.target-file-size-bytes,
+    test_target_file_size_bytes.test)."""
+    s = str(v).strip().upper()
+    for suffix, mult in (("KB", 1024), ("MB", 1024 ** 2), ("GB", 1024 ** 3),
+                         ("TB", 1024 ** 4), ("B", 1)):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)])) * mult
+    return int(s)
+
+
+#: per-type uncompressed row-size estimates (bytes) for file-size targeting
+_TYPE_EST_BYTES = {"boolean": 1, "int": 4, "long": 8, "float": 4,
+                   "double": 8, "date": 4, "time": 8, "timestamp": 8,
+                   "timestamptz": 8, "timestamp_ns": 8, "timestamptz_ns": 8,
+                   "string": 24, "uuid": 16, "binary": 48, "fixed": 16,
+                   "decimal": 8, "variant": 64}
+
+
+def _max_records_per_file(tm: TableMetadata, schema_json: dict) -> int | None:
+    """Rows-per-file cap honoring ``write.target-file-size-bytes``
+    (reference sizes output files at write time, iceberg_insert.cpp:674;
+    its test expects ~4-6 files for 500k rows at a 1 MiB target). Spark's
+    streaming parquet writer can't cut on byte size, so the cap derives
+    from a schema-based row estimate with a ~2x parquet compression
+    assumption — approximate by design, right order of magnitude."""
+    raw = (tm.properties.get("write.target-file-size-bytes")
+           or tm.properties.get("write.parquet.target-file-size-bytes"))
+    if not raw:
+        return None
+    try:
+        target = parse_byte_size(raw)
+    except ValueError:
+        return None
+    est = 0
+    for f in schema_json["fields"]:
+        t = f["type"]
+        name = ice_types.primitive_name(t) if isinstance(t, str) else None
+        est += _TYPE_EST_BYTES.get(name, 32)
+    return max(1024, int(target * 2) // max(est, 1))
+
+
 def write_parquet_dataset(
     spark: SparkSession,
     df: DataFrame,
@@ -518,6 +562,7 @@ def write_parquet_dataset(
     *,
     compression: str = "zstd",
     partition_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
 ) -> list[str]:
     """One write surface for every dataset the engine materializes (data
     files, positional/equality delete files): Spark-native
@@ -528,6 +573,8 @@ def write_parquet_dataset(
 
     if _ad.is_spark_native(spark, [out_dir]):
         writer = df.write.mode("errorifexists").option("compression", compression)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(_ad.to_native_path(out_dir))

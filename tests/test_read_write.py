@@ -130,3 +130,40 @@ def test_footer_stats_recovery_url_encoded_path(spark, sf_dir, tmp_path, monkeyp
     from duckdb_iceberg_spark import iceberg_count
     assert iceberg_count(loc) == src.count()  # metadata-only: sums record_count
     assert iceberg_scan(spark, loc).count() == src.count()
+
+
+def test_target_file_size_splits_insert_output(spark, tmp_path):
+    """write.target-file-size-bytes sizes INSERT output files (reference:
+    file_properties/test_target_file_size_bytes.test — 500k rows at a
+    1 MiB target land in ~4-6 files; our rows-per-file derivation is
+    approximate, so assert the right order of magnitude and that a
+    no-target write of the same data stays in far fewer files)."""
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.writer import parse_byte_size
+
+    assert parse_byte_size("1048576") == 1 << 20
+    assert parse_byte_size("1024KB") == 1 << 20
+    assert parse_byte_size("2MB") == 2 << 20
+    assert parse_byte_size("1GB") == 1 << 30
+
+    df = spark.range(500_000).selectExpr(
+        "CAST(id AS INT) AS user_id",
+        "concat('thisisalongstring', CAST(id AS STRING)) AS data",
+        "1 AS partition_id").coalesce(2)
+    loc = str(tmp_path / "sized")
+    write_iceberg(df, loc, partition_by=["partition_id"],
+                  properties={"write.target-file-size-bytes": "1048576",
+                              "write.parquet.compression-codec": "snappy"})
+    tm = load_table_metadata(loc)
+    n_files = len(plan_scan(tm, tm.select_snapshot(), None).tasks)
+    assert 3 <= n_files <= 12, n_files
+
+    loc2 = str(tmp_path / "unsized")
+    write_iceberg(df, loc2, partition_by=["partition_id"])
+    tm2 = load_table_metadata(loc2)
+    n2 = len(plan_scan(tm2, tm2.select_snapshot(), None).tasks)
+    assert n2 < n_files
+
+    got = iceberg_scan(spark, loc)
+    assert got.count() == 500_000

@@ -499,7 +499,8 @@ def write_data_files(
     codec = tm.properties.get("write.parquet.compression-codec", "zstd")
     paths = write_parquet_dataset(
         spark, df, data_root, compression=codec, partition_cols=part_cols,
-        max_records_per_file=_max_records_per_file(tm, schema_json))
+        max_records_per_file=_max_records_per_file(tm, schema_json),
+        parquet_options=_parquet_write_options(tm))
     stats = _collect_stats(spark, paths)
 
     data_files = _build_data_files_with_names(stats, tm, spec, data_root)
@@ -555,6 +556,27 @@ def _max_records_per_file(tm: TableMetadata, schema_json: dict) -> int | None:
     return max(1024, int(target * 2) // max(est, 1))
 
 
+#: Iceberg write property → parquet-hadoop option for Spark's writer
+#: (reference: iceberg_insert.cpp:596-648 ICEBERG_TABLE_PROPERTY_MAPPING)
+_PARQUET_PROP_MAPPING = {
+    "write.parquet.row-group-size-bytes": "parquet.block.size",
+    "write.parquet.page-size-bytes": "parquet.page.size",
+    "write.parquet.dict-size-bytes": "parquet.dictionary.page.size",
+}
+
+
+def _parquet_write_options(tm: TableMetadata) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for prop, opt in _PARQUET_PROP_MAPPING.items():
+        v = tm.properties.get(prop)
+        if v is not None:
+            try:
+                out[opt] = str(parse_byte_size(v))
+            except ValueError:
+                pass
+    return out
+
+
 def write_parquet_dataset(
     spark: SparkSession,
     df: DataFrame,
@@ -563,6 +585,7 @@ def write_parquet_dataset(
     compression: str = "zstd",
     partition_cols: list[str] | None = None,
     max_records_per_file: int | None = None,
+    parquet_options: dict[str, str] | None = None,
 ) -> list[str]:
     """One write surface for every dataset the engine materializes (data
     files, positional/equality delete files): Spark-native
@@ -575,6 +598,8 @@ def write_parquet_dataset(
         writer = df.write.mode("errorifexists").option("compression", compression)
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        for k, v in (parquet_options or {}).items():
+            writer = writer.option(k, v)
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(_ad.to_native_path(out_dir))

@@ -167,3 +167,24 @@ def test_target_file_size_splits_insert_output(spark, tmp_path):
 
     got = iceberg_scan(spark, loc)
     assert got.count() == 500_000
+
+
+def test_parquet_row_group_size_property(spark, tmp_path):
+    """write.parquet.row-group-size-bytes maps to parquet.block.size
+    (reference: iceberg_insert.cpp ICEBERG_TABLE_PROPERTY_MAPPING) — a
+    small target yields multiple row groups per data file."""
+    import pyarrow.parquet as pq
+
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    loc = str(tmp_path / "rg")
+    write_iceberg(
+        spark.range(200_000).selectExpr(
+            "id", "concat('payload-', CAST(id AS STRING)) AS s").coalesce(1),
+        loc, properties={"write.parquet.row-group-size-bytes": "64KB"})
+    tm = load_table_metadata(loc)
+    tasks = plan_scan(tm, tm.select_snapshot(), None).tasks
+    assert len(tasks) == 1
+    assert pq.ParquetFile(tasks[0].data_file.file_path).num_row_groups > 1
+    assert iceberg_scan(spark, loc).count() == 200_000

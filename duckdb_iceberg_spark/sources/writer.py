@@ -720,6 +720,109 @@ def commit_snapshot(
     return snap
 
 
+#: automatic manifest-merge defaults (reference:
+#: iceberg_manifest_merge.cpp:25-32 — Apache Iceberg's
+#: ManifestMergeManager semantics)
+MANIFEST_MERGE_MIN_COUNT_DEFAULT = 100
+MANIFEST_MERGE_TARGET_BYTES_DEFAULT = 8 * 1024 * 1024
+
+
+def _bin_pack_end(weights: list[int], target: int) -> list[list[int]]:
+    """Java ManifestMergeManager / PyIceberg ListPacker.pack_end, mirrored
+    exactly (reference: iceberg_manifest_merge.cpp:89-147): first-fit
+    bin-packing with lookback=1 over the REVERSED input, bins closed FIFO
+    when more than one is open, then bins and items reversed back. The
+    lookback keeps manifests in position order and parks the under-filled
+    bin on the newest manifests, which merge on a later commit."""
+    packed: list[list[int]] = []
+    open_bins: list[list] = []  # [weight_sum, [indices]]
+    for i in range(len(weights) - 1, -1, -1):
+        w = weights[i]
+        for b in open_bins:
+            if b[0] + w <= target:
+                b[0] += w
+                b[1].append(i)
+                break
+        else:
+            open_bins.append([w, [i]])
+            if len(open_bins) > 1:
+                packed.append(open_bins.pop(0)[1])
+    for b in open_bins:
+        packed.append(b[1])
+    return [list(reversed(b)) for b in reversed(packed)]
+
+
+def _merge_small_manifests(
+    tm: TableMetadata, manifests: list[mf.ManifestFile], snapshot_id: int,
+    meta_dir: str,
+) -> list[mf.ManifestFile]:
+    """Bin-pack small carried manifests into ~target-size replacements on
+    commit (commit.manifest-merge.enabled / .min-count-to-merge /
+    .target-size-bytes; reference: iceberg_manifest_merge.cpp
+    MergeManifestList + its test_merge_append.test family). Entries keep
+    historical sequence numbers and v3 row-id inheritance is materialized
+    per source manifest before entries detach, so merging is a pure
+    physical repack. Manifest reads fan out to executors above the
+    distributed-planner threshold."""
+    props = tm.properties
+    if str(props.get("commit.manifest-merge.enabled", "true")).lower() != "true":
+        return manifests
+    if len(manifests) <= 1:
+        return manifests
+    try:
+        min_count = int(props.get("commit.manifest.min-count-to-merge",
+                                  MANIFEST_MERGE_MIN_COUNT_DEFAULT))
+        target = parse_byte_size(props.get(
+            "commit.manifest.target-size-bytes",
+            MANIFEST_MERGE_TARGET_BYTES_DEFAULT))
+    except ValueError:
+        return manifests
+
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, m in enumerate(manifests):
+        groups.setdefault((m.content, m.partition_spec_id), []).append(i)
+    if all(len(v) < max(2, min_count) for v in groups.values()):
+        return manifests  # nothing can merge: skip all manifest reads
+
+    from ..plans.scan_plan import _localize
+
+    out: list[mf.ManifestFile] = []
+    for (content, spec_id), idxs in groups.items():
+        bins = _bin_pack_end(
+            [int(manifests[i].manifest_length or 0) for i in idxs], target)
+        for b in bins:
+            gbin = [idxs[j] for j in b]
+            if len(gbin) < 2 or len(gbin) < min_count:
+                out.extend(manifests[i] for i in gbin)
+                continue
+            members = [manifests[i] for i in gbin]
+            from .maintenance import _read_manifests
+
+            entries: list[mf.ManifestEntry] = []
+            for m, es in _read_manifests(tm, members):
+                if content == mf.MANIFEST_DATA:
+                    mf.inherit_first_row_ids(es, m.first_row_id)
+                live = [e for e in es if e.status != mf.STATUS_DELETED]
+                _inherit_before_existing(live, m)
+                entries.extend(live)
+            if not entries:
+                continue  # bin collapsed (all entries deleted): drop it
+            spec_m = tm.partition_specs.get(spec_id, tm.default_spec())
+            prefix = "m" if content == mf.MANIFEST_DATA else "dm"
+            mpath = os.path.join(meta_dir, f"{prefix}-{_uuid.uuid4()}.avro")
+            nm = mf.write_manifest(mpath, entries, tm, spec_m, content)
+            nm.added_snapshot_id = snapshot_id
+            nm.sequence_number = max(e.sequence_number or 0 for e in entries)
+            nm.min_sequence_number = min(e.sequence_number or 0 for e in entries)
+            if content == mf.MANIFEST_DATA:
+                rids = [m.first_row_id for m in members
+                        if m.first_row_id is not None]
+                if rids:
+                    nm.first_row_id = min(rids)
+            out.append(nm)
+    return out
+
+
 def _build_snapshot(
     tm: TableMetadata,
     *,
@@ -858,6 +961,13 @@ def _build_snapshot(
                 d.first_row_id = rid
             rid += d.record_count
         tm.next_row_id = rid
+
+    # automatic manifest merge over the CARRIED manifests (this commit's new
+    # manifests are appended after, exactly the reference's commit order:
+    # iceberg_table_update.cpp LoadExistingManifests → MergeManifestList) —
+    # small-manifest buildup from frequent appends self-heals without an
+    # explicit rewrite_manifests call
+    manifests = _merge_small_manifests(tm, manifests, snapshot_id, meta_dir)
 
     if new_data_files:
         entries = [

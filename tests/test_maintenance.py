@@ -286,3 +286,69 @@ def test_rewrite_manifests_distributes_above_threshold(spark, tmp_path):
     assert len(after) == 1
     got = sorted((r.id, r.v) for r in iceberg_scan(spark, loc).collect())
     assert got == [(i, 2 * i) for i in range(500)]
+
+
+def test_auto_manifest_merge_on_append(spark, tmp_path):
+    """commit.manifest.min-count-to-merge=2: the third append's commit
+    bin-packs the two carried manifests into one replacement and appends
+    its own — the manifest list ends with exactly 2 manifests, BOTH
+    stamped with the latest snapshot id (mirror of the reference's
+    test_merge_append.test, incl. its added_snapshot_id assertions)."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata import manifest as mf
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+
+    loc = str(tmp_path / "t")
+    props = {"commit.manifest.min-count-to-merge": "2",
+             "commit.manifest.target-size-bytes": "8388608"}
+    write_iceberg(spark.createDataFrame([(1, "a"), (2, "b")],
+                                        "id int, data string"), loc,
+                  properties=props)
+    write_iceberg(spark.createDataFrame([(3, "c"), (4, "d")],
+                                        "id int, data string"), loc)
+    write_iceberg(spark.createDataFrame([(5, "e"), (6, "f")],
+                                        "id int, data string"), loc)
+
+    tm = load_table_metadata(loc)
+    snap = tm.current_snapshot()
+    ml = mf.read_manifest_list(snap.manifest_list)
+    assert len(ml) == 2
+    assert all(m.added_snapshot_id == snap.snapshot_id for m in ml)
+    got = sorted((r.id, r.data) for r in iceberg_scan(spark, loc).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"), (6, "f")]
+
+    # default min-count (100) never fires at this scale: three appends on
+    # an untuned table keep three manifests
+    loc2 = str(tmp_path / "t2")
+    for lo in (0, 2, 4):
+        write_iceberg(spark.range(lo, lo + 2).selectExpr("id"), loc2)
+    tm2 = load_table_metadata(loc2)
+    assert len(mf.read_manifest_list(tm2.current_snapshot().manifest_list)) == 3
+
+
+def test_auto_manifest_merge_preserves_v3_row_lineage(spark, tmp_path):
+    """Merging carried manifests is a pure physical repack: v3 _row_id
+    values are identical before and after the merge commit (mirror of
+    test_merge_append_v3_row_lineage.test)."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata import manifest as mf
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+
+    loc = str(tmp_path / "t")
+    props = {"commit.manifest.min-count-to-merge": "2",
+             "commit.manifest.target-size-bytes": "8388608"}
+    write_iceberg(spark.range(0, 4).selectExpr("id").coalesce(1), loc,
+                  properties=props, format_version=3)
+    write_iceberg(spark.range(4, 7).selectExpr("id").coalesce(1), loc)
+    before = {r.id: r._row_id for r in iceberg_scan(
+        spark, loc, with_row_lineage=True).collect()}
+    write_iceberg(spark.range(7, 9).selectExpr("id").coalesce(1), loc)
+
+    tm = load_table_metadata(loc)
+    snap = tm.current_snapshot()
+    ml = mf.read_manifest_list(snap.manifest_list)
+    assert len(ml) == 2  # merged carry + this append's manifest
+    after = {r.id: r._row_id for r in iceberg_scan(
+        spark, loc, with_row_lineage=True).collect()}
+    assert {k: after[k] for k in before} == before
+    assert sorted(after.values()) == list(range(9))

@@ -854,6 +854,10 @@ def _build_snapshot(
         d.first_row_id = rid0
 
     manifests: list[mf.ManifestFile] = []
+    removed_bytes = 0  # data/delete file bytes this commit removes
+
+    def _bytes(es) -> int:
+        return sum(int(e.data_file.file_size_in_bytes or 0) for e in es)
 
     # carry forward prior manifests
     prior = tm.current_snapshot()
@@ -866,11 +870,12 @@ def _build_snapshot(
                 # materialize inherited row ids before filtering: the live
                 # subset would otherwise shift the inheritance offsets
                 mf.inherit_first_row_ids(entries, m.first_row_id)
-                live = [e for e in entries
-                        if e.status != mf.STATUS_DELETED
-                        and e.data_file.file_path not in removed_data_paths
+                nd = [e for e in entries if e.status != mf.STATUS_DELETED]
+                live = [e for e in nd
+                        if e.data_file.file_path not in removed_data_paths
                         and _localize(tm, e.data_file.file_path) not in removed_data_paths]
-                if len(live) == len([e for e in entries if e.status != mf.STATUS_DELETED]):
+                removed_bytes += _bytes(nd) - _bytes(live)
+                if len(live) == len(nd):
                     manifests.append(m)
                 elif live:
                     _inherit_before_existing(live, m)
@@ -923,9 +928,10 @@ def _build_snapshot(
                         or _np(_localize(tm, ref)) in sdv)
 
                 entries = mf.read_manifest(_localize(tm, m.manifest_path))
-                live = [e for e in entries
-                        if e.status != mf.STATUS_DELETED and not _dead(e)]
-                if len(live) == len([e for e in entries if e.status != mf.STATUS_DELETED]):
+                nd = [e for e in entries if e.status != mf.STATUS_DELETED]
+                live = [e for e in nd if not _dead(e)]
+                removed_bytes += _bytes(nd) - _bytes(live)
+                if len(live) == len(nd):
                     manifests.append(m)
                 elif live:
                     _inherit_before_existing(live, m)
@@ -1014,6 +1020,26 @@ def _build_snapshot(
         "total-data-files": str(sum(m.added_files_count + m.existing_files_count
                                     for m in manifests if m.content == mf.MANIFEST_DATA)),
     }
+    # file-size metrics (reference asserts these on every snapshot:
+    # test_snapshot_summary_file_size_metrics.test): added-files-size,
+    # removed-files-size (only when files were removed), and a running
+    # total-files-size = parent total + added - removed. The total is
+    # carried only while the chain is unbroken — a parent written by a
+    # foreign engine without the field would make any derived total a lie.
+    added_bytes = sum(int(d.file_size_in_bytes or 0)
+                      for d in (new_data_files or [])) \
+        + sum(int(d.file_size_in_bytes or 0) for d in (new_delete_files or []))
+    if added_bytes:
+        summary["added-files-size"] = str(added_bytes)
+    if removed_bytes:
+        summary["removed-files-size"] = str(removed_bytes)
+    parent_total = (prior.summary or {}).get("total-files-size") \
+        if (keep_existing and prior is not None) else None
+    if prior is None or not keep_existing:
+        summary["total-files-size"] = str(added_bytes)
+    elif parent_total is not None:
+        summary["total-files-size"] = str(
+            max(0, int(parent_total) + added_bytes - removed_bytes))
     if snap_first_row_id is not None and tm.next_row_id - snap_first_row_id != added_rows:
         # v2->v3 upgrade first commit: retroactive assignment claimed row
         # ids for carried manifests too, so the range is wider than

@@ -188,3 +188,46 @@ def test_parquet_row_group_size_property(spark, tmp_path):
     assert len(tasks) == 1
     assert pq.ParquetFile(tasks[0].data_file.file_path).num_row_groups > 1
     assert iceberg_scan(spark, loc).count() == 200_000
+
+
+def test_snapshot_summary_file_size_metrics(spark, tmp_path):
+    """Snapshot summaries carry added-files-size / total-files-size /
+    removed-files-size (reference:
+    test_snapshot_summary_file_size_metrics.test): added matches the
+    manifest's ADDED file bytes, the total accumulates across commits,
+    and removed appears only when files are removed."""
+    from duckdb_iceberg_spark.metadata import manifest as mf
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    loc = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame([(1, "a"), (2, "b")],
+                                        "id int, payload string"), loc)
+    tm = load_table_metadata(loc)
+    s1 = tm.current_snapshot()
+    added = sum(
+        int(e.data_file.file_size_in_bytes)
+        for m in mf.read_manifest_list(s1.manifest_list)
+        for e in mf.read_manifest(m.manifest_path)
+        if e.status == mf.STATUS_ADDED)
+    assert int(s1.summary["added-files-size"]) == added
+    assert int(s1.summary["total-files-size"]) == added
+    assert "removed-files-size" not in s1.summary
+
+    write_iceberg(spark.createDataFrame([(3, "c"), (4, "d")],
+                                        "id int, payload string"), loc)
+    tm = load_table_metadata(loc)
+    s2 = tm.current_snapshot()
+    assert int(s2.summary["total-files-size"]) == \
+        added + int(s2.summary["added-files-size"])
+
+    # copy-on-write delete removes files: removed-files-size appears and
+    # the running total goes down accordingly
+    delete_from(spark, loc, "id <= 2", mode="copy-on-write")
+    tm = load_table_metadata(loc)
+    s3 = tm.current_snapshot()
+    assert int(s3.summary["removed-files-size"]) > 0
+    assert int(s3.summary["total-files-size"]) == (
+        int(s2.summary["total-files-size"])
+        + int(s3.summary.get("added-files-size", 0))
+        - int(s3.summary["removed-files-size"]))

@@ -426,6 +426,24 @@ def _encode_partition_value(avro_type: Any, v: Any) -> Any:
     return v
 
 
+def resolve_avro_codec(properties: dict | None) -> str:
+    """``write.manifest.compression-codec`` → Avro codec (reference:
+    iceberg_avro_codec.cpp ResolveAvroCodec — gzip/deflate → deflate,
+    none/null/uncompressed → null, default deflate; anything else is an
+    error, never silently uncompressed)."""
+    v = (properties or {}).get("write.manifest.compression-codec", "")
+    if not v:
+        return "deflate"
+    lv = str(v).lower()
+    if lv in ("gzip", "deflate"):
+        return "deflate"
+    if lv in ("none", "null", "uncompressed"):
+        return "null"
+    raise NotImplementedError(
+        f"Unsupported value {v!r} for 'write.manifest.compression-codec'; "
+        "supported: 'gzip'/'deflate' and 'none'/'uncompressed'")
+
+
 def write_manifest(
     path: str,
     entries: list[ManifestEntry],
@@ -483,7 +501,8 @@ def write_manifest(
         "format-version": str(tm.format_version),
         "content": "data" if content == MANIFEST_DATA else "deletes",
     }
-    avro_io.write_avro_file(path, schema, recs, metadata=meta)
+    avro_io.write_avro_file(path, schema, recs, metadata=meta,
+                            codec=resolve_avro_codec(tm.properties))
     from .. import io as fio
 
     length = fio.get_io(path).size(path)
@@ -543,7 +562,8 @@ def _cmp_key(v: Any) -> Any:
 
 def write_manifest_list(path: str, manifests: list[ManifestFile], snapshot_id: int,
                         parent_snapshot_id: int | None, sequence_number: int,
-                        format_version: int = 2) -> None:
+                        format_version: int = 2,
+                        properties: dict | None = None) -> None:
     recs = []
     for m in manifests:
         recs.append(
@@ -579,4 +599,5 @@ def write_manifest_list(path: str, manifests: list[ManifestFile], snapshot_id: i
         "sequence-number": str(sequence_number),
         "format-version": str(format_version),
     }
-    avro_io.write_avro_file(path, MANIFEST_LIST_SCHEMA, recs, metadata=meta)
+    avro_io.write_avro_file(path, MANIFEST_LIST_SCHEMA, recs, metadata=meta,
+                            codec=resolve_avro_codec(properties))

@@ -414,7 +414,8 @@ def rewrite_manifests(
         counts["in"], counts["out"] = len(srcs), len(new_manifests)
         ml_path = _os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
         mf.write_manifest_list(ml_path, new_manifests, snapshot_id,
-                               tm.current_snapshot_id, seq, tm.format_version)
+                               tm.current_snapshot_id, seq, tm.format_version,
+                               properties=tm.properties)
         return Snapshot(
             snapshot_id=snapshot_id,
             parent_snapshot_id=tm.current_snapshot_id,

@@ -346,26 +346,126 @@ def _parse_partition_string(s: str, result_type: Any) -> Any:
     return s
 
 
+def _parse_metrics_mode(raw: str) -> tuple[str, int]:
+    """'none' | 'counts' | 'full' | 'truncate(N)' → (mode, n) (reference:
+    iceberg_metrics.cpp ParseMetricsMode; invalid modes fail the write)."""
+    v = str(raw).strip().lower()
+    if v in ("none", "counts", "full"):
+        return v, 0
+    if v.startswith("truncate(") and v.endswith(")"):
+        try:
+            n = int(v[9:-1])
+        except ValueError:
+            n = 0
+        if n > 0:
+            return "truncate", n
+        raise ValueError(
+            f"Invalid metrics mode {raw!r}: truncate length must be a "
+            "positive integer")
+    raise ValueError(
+        f"Invalid write.metadata.metrics mode {raw!r}: expected 'none', "
+        "'counts', 'truncate(<n>)', or 'full'")
+
+
+def _metrics_modes(tm: TableMetadata, schema_json: dict) -> dict[int, tuple[str, int]]:
+    """field-id → metrics mode, from write.metadata.metrics.default (spec
+    default truncate(16)) overridden per column by
+    write.metadata.metrics.column.<name>."""
+    default = _parse_metrics_mode(
+        tm.properties.get("write.metadata.metrics.default", "truncate(16)"))
+    out = {}
+    for f in schema_json["fields"]:
+        raw = tm.properties.get(f"write.metadata.metrics.column.{f['name']}")
+        out[f["id"]] = _parse_metrics_mode(raw) if raw is not None else default
+    return out
+
+
+def _truncate_bound_lower(v, n: int):
+    """First n code points (string) / n bytes (binary) — a prefix is always
+    a valid lower bound."""
+    if isinstance(v, str) and len(v) > n:
+        return v[:n]
+    if isinstance(v, (bytes, bytearray)) and len(v) > n:
+        return bytes(v[:n])
+    return v
+
+
+def _truncate_bound_upper(v, n: int):
+    """Truncate then round UP so the result stays >= every value
+    (reference: iceberg_value.cpp TruncateAndIncrementString): increment
+    the last code point (skipping the UTF-16 surrogate range), carrying
+    left when a code point is at the maximum; bytes increment the last
+    byte with carry. None = no representable bound (omit; optional per
+    spec)."""
+    if isinstance(v, str):
+        if len(v) <= n:
+            return v
+        s = v[:n]
+        while s:
+            cp = ord(s[-1]) + 1
+            if 0xD800 <= cp <= 0xDFFF:
+                cp = 0xE000
+            if cp <= 0x10FFFF:
+                return s[:-1] + chr(cp)
+            s = s[:-1]  # last code point was U+10FFFF: carry left
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        if len(v) <= n:
+            return bytes(v)
+        b = bytearray(v[:n])
+        while b:
+            if b[-1] < 0xFF:
+                b[-1] += 1
+                return bytes(b)
+            b.pop()  # 0xFF: carry left
+        return None
+    return v
+
+
 def _build_data_files(
     stats: list[dict], tm: TableMetadata, spec: PartitionSpec, data_root: str
 ) -> list[mf.DataFile]:
     schema_json = tm.schema_json()
     type_by_id = {f["id"]: f["type"] for f in schema_json["fields"]}
+    modes = _metrics_modes(tm, schema_json)
     out = []
     # 0-row part files (empty input partitions) carry no stats and no data —
     # committing them only bloats manifests
     stats = [st for st in stats if st["record_count"]]
+
+    def _counts_ok(fid: int) -> bool:
+        return modes.get(fid, ("truncate", 16))[0] != "none"
+
+    def _bound(fid: int, v, upper: bool):
+        mode, n = modes.get(fid, ("truncate", 16))
+        if mode in ("none", "counts"):
+            return None
+        t = type_by_id.get(fid)
+        if mode == "truncate" and isinstance(t, str) \
+                and ice_types.primitive_name(t) in ("string", "binary", "fixed"):
+            if ice_types.primitive_name(t) == "string" \
+                    and isinstance(v, (bytes, bytearray)):
+                # decode BEFORE truncating: a byte-prefix can split a UTF-8
+                # code point and decode to a value that no longer bounds
+                try:
+                    v = bytes(v).decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
+            v = (_truncate_bound_upper(v, n) if upper
+                 else _truncate_bound_lower(v, n))
+            if v is None:
+                return None
+        return _encode_stat_bound(t, v)
+
     for st in stats:
         lower = {}
         upper = {}
         for fid, v in st["mins"].items():
-            t = type_by_id.get(fid)
-            b = _encode_stat_bound(t, v)
+            b = _bound(fid, v, upper=False)
             if b is not None:
                 lower[fid] = b
         for fid, v in st["maxs"].items():
-            t = type_by_id.get(fid)
-            b = _encode_stat_bound(t, v)
+            b = _bound(fid, v, upper=True)
             if b is not None:
                 upper[fid] = b
         out.append(
@@ -376,9 +476,13 @@ def _build_data_files(
                 partition=_partition_values_from_path(st["path"], data_root, spec, tm),
                 record_count=st["record_count"],
                 file_size_in_bytes=st["file_size"],
-                column_sizes=st["col_sizes"] or None,
-                value_counts={k: st["record_count"] for k in st["value_counts"]} or None,
-                null_value_counts=st["null_counts"] or None,
+                column_sizes={k: v for k, v in (st["col_sizes"] or {}).items()
+                              if _counts_ok(k)} or None,
+                value_counts={k: st["record_count"]
+                              for k in st["value_counts"]
+                              if _counts_ok(k)} or None,
+                null_value_counts={k: v for k, v in (st["null_counts"] or {}).items()
+                                   if _counts_ok(k)} or None,
                 lower_bounds=lower or None,
                 upper_bounds=upper or None,
             )
@@ -1007,7 +1111,8 @@ def _build_snapshot(
         manifests.append(nm)
 
     ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}.avro")
-    mf.write_manifest_list(ml_path, manifests, snapshot_id, parent, seq, tm.format_version)
+    mf.write_manifest_list(ml_path, manifests, snapshot_id, parent, seq,
+                           tm.format_version, properties=tm.properties)
 
     added_rows = sum(d.record_count for d in (new_data_files or []))
     total_rows = sum(m.added_rows_count + m.existing_rows_count for m in manifests

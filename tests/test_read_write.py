@@ -231,3 +231,98 @@ def test_snapshot_summary_file_size_metrics(spark, tmp_path):
         int(s2.summary["total-files-size"])
         + int(s3.summary.get("added-files-size", 0))
         - int(s3.summary["removed-files-size"]))
+
+
+def test_metrics_mode_configuration(spark, tmp_path):
+    """write.metadata.metrics.default + per-column overrides (reference:
+    test_metrics_mode_configuration.test): truncate(8) default bounds at 8
+    code points (upper rounded up), full keeps exact bounds, counts drops
+    bounds but keeps counts, none drops everything, truncate(4) bounds at
+    4; an unset table defaults to the spec's truncate(16)."""
+    import pytest as _pytest
+
+    from duckdb_iceberg_spark.metadata import manifest as mf
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+
+    def added_file(loc):
+        tm = load_table_metadata(loc)
+        for m in mf.read_manifest_list(tm.current_snapshot().manifest_list):
+            for e in mf.read_manifest(m.manifest_path):
+                if e.status == mf.STATUS_ADDED:
+                    return e.data_file, {
+                        f["name"]: f["id"]
+                        for f in tm.schema_json()["fields"]}
+        raise AssertionError("no added file")
+
+    loc = str(tmp_path / "m")
+    write_iceberg(
+        spark.createDataFrame([("abcdefghijklmnop",) * 5],
+                              "a string, b string, c string, d string, e string"),
+        loc,
+        properties={"write.metadata.metrics.default": "truncate(8)",
+                    "write.metadata.metrics.column.b": "full",
+                    "write.metadata.metrics.column.c": "counts",
+                    "write.metadata.metrics.column.d": "none",
+                    "write.metadata.metrics.column.e": "truncate(4)"})
+    df, ids = added_file(loc)
+    assert len(df.lower_bounds[ids["a"]]) == 8
+    assert len(df.upper_bounds[ids["a"]]) == 8
+    assert df.upper_bounds[ids["a"]] == b"abcdefgi"  # rounded up
+    assert df.lower_bounds[ids["b"]] == b"abcdefghijklmnop"  # full
+    assert ids["c"] not in (df.lower_bounds or {})
+    assert (df.value_counts or {}).get(ids["c"]) == 1  # counts survive
+    assert ids["d"] not in (df.lower_bounds or {})
+    assert ids["d"] not in (df.value_counts or {})  # none: no metrics
+    assert len(df.lower_bounds[ids["e"]]) == 4
+
+    # unset default = truncate(16)
+    loc2 = str(tmp_path / "d")
+    write_iceberg(spark.createDataFrame([("abcdefghijklmnopqrst",)],
+                                        "s string"), loc2)
+    df2, ids2 = added_file(loc2)
+    assert len(df2.lower_bounds[ids2["s"]]) == 16
+
+    # invalid mode fails the write (reference raises the same)
+    with _pytest.raises(ValueError, match="write.metadata.metrics"):
+        write_iceberg(spark.createDataFrame([("x",)], "a string"),
+                      str(tmp_path / "bad"),
+                      properties={"write.metadata.metrics.default": "banana"})
+
+    # multi-byte upper bound rounds up on CODE POINTS, never splits one
+    loc3 = str(tmp_path / "mb")
+    write_iceberg(spark.createDataFrame([("ééééé-tail",)], "s string"), loc3,
+                  properties={"write.metadata.metrics.default": "truncate(3)"})
+    df3, ids3 = added_file(loc3)
+    up = df3.upper_bounds[ids3["s"]].decode("utf-8")
+    assert len(up) == 3 and up >= "ééé" and up > "ééééé-tail"[:3]
+
+
+def test_manifest_compression_codec_property(spark, tmp_path):
+    """write.manifest.compression-codec: default deflate; none/uncompressed
+    writes null-codec Avro; invalid values error (reference:
+    test_manifest_compression.test + iceberg_avro_codec.cpp)."""
+    import pytest as _pytest
+
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+
+    def ml_codec(loc):
+        tm = load_table_metadata(loc)
+        with open(tm.current_snapshot().manifest_list, "rb") as fh:
+            head = fh.read(4096)
+        return b"deflate" in head, b"null" in head.split(b"avro.codec")[1][:16]
+
+    loc = str(tmp_path / "d")
+    write_iceberg(spark.range(10), loc)
+    deflate, null = ml_codec(loc)
+    assert deflate and not null
+
+    loc2 = str(tmp_path / "n")
+    write_iceberg(spark.range(10), loc2,
+                  properties={"write.manifest.compression-codec": "none"})
+    deflate, null = ml_codec(loc2)
+    assert null and not deflate
+    assert iceberg_scan(spark, loc2).count() == 10
+
+    with _pytest.raises(NotImplementedError, match="compression-codec"):
+        write_iceberg(spark.range(5), str(tmp_path / "bad"),
+                      properties={"write.manifest.compression-codec": "lz77"})

@@ -125,6 +125,34 @@ def attach_aws_catalog_config(
     )
 
 
+def _retry_config(properties: dict | None,
+                  default_retries: int) -> tuple[int, float, float, float]:
+    """``commit.retry.*`` table properties → (num_retries, min_wait_ms,
+    max_wait_ms, total_timeout_ms) with the reference's defaults and
+    guards (iceberg_retry.cpp FromTableMetadata: num-retries may be 0 —
+    single attempt; invalid/negative values fall back; min clamped to
+    max)."""
+    p = properties or {}
+
+    def _int(key, fallback, allow_zero):
+        v = p.get(key, "")
+        try:
+            n = int(str(v))
+        except (TypeError, ValueError):
+            return fallback
+        if n < 0 or (n == 0 and not allow_zero):
+            return fallback
+        return n
+
+    num = _int("commit.retry.num-retries", default_retries, True)
+    min_w = float(_int("commit.retry.min-wait-ms", 100, False))
+    max_w = float(_int("commit.retry.max-wait-ms", 60_000, False))
+    total = float(_int("commit.retry.total-timeout-ms", 30 * 60 * 1000, False))
+    if min_w > max_w:
+        min_w = max_w
+    return num, min_w, max_w, total
+
+
 class RestCatalog:
     """Minimal-complete Iceberg REST catalog client."""
 
@@ -465,9 +493,14 @@ class RestTable:
         refreshed metadata. Without one, conflicts surface immediately."""
         append_retryable = operation == "append"
         base_snapshot_id = self.metadata.current_snapshot_id
-        attempts = self.catalog.config.max_commit_retries
+        num_retries, min_wait_ms, max_wait_ms, total_wait_ms = \
+            _retry_config(self.metadata.properties,
+                          self.catalog.config.max_commit_retries)
+        attempts = num_retries + 1  # retries come AFTER the first attempt
+        started = time.time()
+        prev_sleep_ms = min_wait_ms
         last: Exception | None = None
-        for _ in range(max(1, attempts)):
+        for attempt in range(attempts):
             # v3 row lineage: a JSON-only commit (no data-plane manifests)
             # derives its range start from the table's next-row-id; data-
             # plane snapshots arrive with first-row-id already assigned by
@@ -507,6 +540,22 @@ class RestTable:
                     # stale manifest list WITHOUT the winner's manifests —
                     # surface the conflict instead of losing data
                     raise
+                if attempt == attempts - 1:
+                    raise
+                # decorrelated-jitter backoff between retries, bounded by
+                # commit.retry.{min,max}-wait-ms and the total timeout
+                # (reference: iceberg_retry.cpp DecorrelatedBackoffMs;
+                # only enforced after >=1 retry, mirroring Java Tasks)
+                import random as _random
+
+                hi = min(prev_sleep_ms * 3, max_wait_ms)
+                lo = min(min_wait_ms, hi)
+                sleep_ms = lo + _random.random() * (hi - lo)
+                elapsed_ms = (time.time() - started) * 1000
+                if attempt >= 1 and elapsed_ms + sleep_ms > total_wait_ms:
+                    raise
+                time.sleep(sleep_ms / 1000.0)
+                prev_sleep_ms = sleep_ms
                 snapshot_json = rebuild_fn(self.metadata).to_json()
         raise last  # type: ignore[misc]
 

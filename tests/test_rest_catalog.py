@@ -1298,3 +1298,28 @@ def test_delete_retry_past_concurrent_append_carries_winner(stub, spark, sf_dir,
     # appended rows (reference DeleteCanReapply semantics) — the invariant
     # under test is that the winner's FILES are never dropped.
     assert keys == [1, 2, 3, 4, 100, 101, 102, 103, 104]
+
+
+def test_commit_retry_config_properties(stub):
+    """commit.retry.num-retries=0 means a single attempt — a conflict
+    surfaces even with a rebuilder; tuned wait bounds still allow a retry
+    to land (reference: test_commit_retry_config.test +
+    iceberg_retry.cpp)."""
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    tbl = cat.create_table("db", "t", SCHEMA,
+                           properties={"commit.retry.num-retries": "0"})
+    tbl.commit_snapshot(_snap(11, 1), rebuild_fn=_rebuilder(11))
+    state.commit_conflicts_to_inject = 1
+    with pytest.raises(CommitConflict):
+        tbl.commit_snapshot(_snap(22, 2), rebuild_fn=_rebuilder(22))
+
+    tbl2 = cat.create_table("db", "t2", SCHEMA,
+                            properties={"commit.retry.num-retries": "5",
+                                        "commit.retry.min-wait-ms": "1",
+                                        "commit.retry.max-wait-ms": "2"})
+    tbl2.commit_snapshot(_snap(11, 1), rebuild_fn=_rebuilder(11))
+    state.commit_conflicts_to_inject = 2
+    tbl2.commit_snapshot(_snap(22, 2), rebuild_fn=_rebuilder(22))
+    assert tbl2.metadata.current_snapshot_id == 22

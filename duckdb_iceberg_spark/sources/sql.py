@@ -445,11 +445,46 @@ def _exec_update(spark: SparkSession, stmt: str) -> DataFrame:
 
 
 def _exec_insert(spark: SparkSession, stmt: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from .writer import write_iceberg
 
-    m = re.match(r"INSERT\s+INTO\s+([\w.]+)\s+(.+)$", stmt, re.I | re.S)
+    m = re.match(r"INSERT\s+INTO\s+([\w.]+)\s*(\(([^)]*)\))?\s+(.+)$",
+                 stmt, re.I | re.S)
     view, source = _target_of(spark, m.group(1))
-    df = spark.sql(m.group(2))
+    df = spark.sql(m.group(4))
+    if m.group(2):
+        # supplied column list (reference:
+        # test_insert_into_supplied_columns.test): reorder the query's
+        # columns to the named targets; unnamed columns take their
+        # write-default (NULL when none)
+        from ..metadata import types as ice_types
+        from ..metadata.table_metadata import load_table_metadata
+
+        cols = [c.strip().strip("`") for c in m.group(3).split(",")]
+        if len(cols) != len(df.columns):
+            raise ValueError(
+                f"INSERT column list has {len(cols)} names for "
+                f"{len(df.columns)} query columns")
+        tm_schema = (source.metadata if not isinstance(source, str)
+                     else load_table_metadata(source)).schema_json()
+        by_name = {f["name"]: f for f in tm_schema["fields"]}
+        unknown = [c for c in cols if c not in by_name]
+        if unknown:
+            raise ValueError(f"INSERT columns not in table schema: {unknown}")
+        provided = dict(zip(cols, df.columns))
+        out = []
+        for f in tm_schema["fields"]:
+            if f["name"] in provided:
+                out.append(F.col(provided[f["name"]]).alias(f["name"]))
+            elif "write-default" in f and isinstance(f["type"], str):
+                v = ice_types.json_default_to_python(f["type"],
+                                                     f["write-default"])
+                out.append(F.lit(v).cast(
+                    ice_types.iceberg_to_spark(f["type"])).alias(f["name"]))
+            else:
+                out.append(F.lit(None).alias(f["name"]))
+        df = df.select(*out)
     if not isinstance(source, str):
         # REST-catalog table: append committed via CommitTableRequest
         source.refresh().append(spark, df)

@@ -258,3 +258,31 @@ def test_sql_time_travel_as_of(spark, sf_dir, tmp_path):
         f"VERSION AS OF {snap1}) b ON a.r_regionkey = b.r_regionkey"
     ).first()
     assert row.c == 10  # 2 head rows per key x 5 pinned keys
+
+
+def test_insert_into_supplied_columns(spark, tmp_path):
+    """INSERT INTO t(b, a) VALUES ... reorders to the named targets and
+    fills unnamed columns with their write-default / NULL (reference:
+    test_insert_into_supplied_columns.test + insert defaults)."""
+    import pytest as _pytest
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import add_column
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame(
+        [], "a string, b boolean, c int"), loc)
+    add_column(loc, "d", "int", default=9)
+    register_table(spark, "sup_t", loc)
+
+    execute_sql(spark, "INSERT INTO sup_t (b, a) VALUES (true, 'test')")
+    execute_sql(spark, "INSERT INTO sup_t (a, c) VALUES ('x', 42)")
+    rows = sorted(((r.a, r.b, r.c, r.d) for r in
+                   spark.sql("SELECT * FROM sup_t").collect()))
+    assert rows == [("test", True, None, 9), ("x", None, 42, 9)]
+
+    with _pytest.raises(ValueError, match="not in table schema"):
+        execute_sql(spark, "INSERT INTO sup_t (nope) VALUES (1)")
+    with _pytest.raises(ValueError, match="column list"):
+        execute_sql(spark, "INSERT INTO sup_t (a, b) VALUES ('y')")

@@ -595,12 +595,16 @@ def update_iceberg(
         return tm
     mode = _resolve_mode(tm, mode, "write.update.mode")
     cond = F.expr(where) if where else F.lit(True)
+    defaults = _merge_defaults(tm.schema_json())
 
     def apply_set(df: DataFrame, only_matched: bool) -> DataFrame:
         for col, expr in assignments.items():
-            val = expr if isinstance(expr, Column) else (
-                F.lit(None) if expr is None else F.expr(str(expr))
-            )
+            if expr is None:
+                val = F.lit(None)
+            else:
+                # SET col = DEFAULT resolves the write-default (reference:
+                # update_with_default.test)
+                val = _merge_expr(expr, col, defaults)
             df = df.withColumn(col, val if only_matched else F.when(cond, val).otherwise(F.col(col)))
         return df
 

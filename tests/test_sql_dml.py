@@ -286,3 +286,21 @@ def test_insert_into_supplied_columns(spark, tmp_path):
         execute_sql(spark, "INSERT INTO sup_t (nope) VALUES (1)")
     with _pytest.raises(ValueError, match="column list"):
         execute_sql(spark, "INSERT INTO sup_t (a, b) VALUES ('y')")
+
+
+def test_update_set_default(spark, tmp_path):
+    """UPDATE ... SET col = DEFAULT resolves the column's write-default
+    (reference: update/update_with_default.test)."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import add_column
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame([(1,), (2,)], "id int"), loc)
+    add_column(loc, "balance", "int", default=0)
+    register_table(spark, "upd_def", loc)
+    execute_sql(spark, "UPDATE upd_def SET balance = 100")
+    execute_sql(spark, "UPDATE upd_def SET balance = DEFAULT WHERE id = 1")
+    rows = {r.id: r.balance
+            for r in spark.sql("SELECT * FROM upd_def").collect()}
+    assert rows == {1: 0, 2: 100}

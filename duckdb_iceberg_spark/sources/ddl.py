@@ -182,6 +182,50 @@ def widen_column(location: str, name: str, new_type: str) -> TableMetadata:
     raise KeyError(f"no column {name!r}")
 
 
+def set_column_doc(location: str, name: str, doc: str | None) -> TableMetadata:
+    """COMMENT ON COLUMN — set (or clear with ``None``) a column's ``doc``
+    (reference: alter_column_comment.test / test_column_doc_comment.test;
+    surfaced there via duckdb_columns().comment, here via
+    ``describe_table``). Dotted paths comment struct members."""
+    tm = _load(location)
+    sch = _next_schema(tm)
+    fields, leaf = _navigate_struct(sch, name)
+    hit = next((f for f in fields if f["name"] == leaf), None)
+    if hit is None:
+        raise KeyError(f"no column {name!r}")
+    if doc is None:
+        hit.pop("doc", None)
+    else:
+        hit["doc"] = str(doc)
+    return _commit_schema(tm, sch)
+
+
+def set_column_default(location: str, name: str, default: Any) -> TableMetadata:
+    """ALTER COLUMN … SET DEFAULT <literal> / DROP DEFAULT (``None``).
+
+    Only ``write-default`` changes — ``initial-default`` is immutable after
+    creation (it backfills pre-existing rows), so existing data is
+    untouched (reference: alter_default.test). Spec quirk the reference
+    documents in that test: ``write-default`` has no explicit null form, so
+    after DROP DEFAULT inserts fall back to ``initial-default`` when one
+    exists. ``default`` is the JSON single-value form (plain python
+    bool/int/float/str)."""
+    tm = _load(location)
+    sch = _next_schema(tm)
+    fields, leaf = _navigate_struct(sch, name)
+    hit = next((f for f in fields if f["name"] == leaf), None)
+    if hit is None:
+        raise KeyError(f"no column {name!r}")
+    if default is None:
+        hit.pop("write-default", None)
+    else:
+        if not isinstance(default, (bool, int, float, str)):
+            raise NotImplementedError(
+                "Only foldable expressions are allowed as DEFAULT values")
+        hit["write-default"] = default
+    return _commit_schema(tm, sch)
+
+
 def set_not_null(location: str, name: str, required: bool) -> TableMetadata:
     tm = _load(location)
     sch = _next_schema(tm)

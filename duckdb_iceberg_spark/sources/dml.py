@@ -726,11 +726,15 @@ def _fired_col(clauses: list[MergeClause], is_matched: Column) -> Column:
 def _merge_defaults(schema_json: dict) -> dict:
     """col name → Column producing its ``write-default`` (spec v3 column
     defaults; reference: merge_into_default.test — DEFAULT in INSERT/SET
-    and omitted INSERT columns resolve to it, not NULL)."""
+    and omitted INSERT columns resolve to it, not NULL). An absent
+    write-default falls back to ``initial-default``: the spec has no
+    explicit null write-default, so DROP DEFAULT re-exposes the creation
+    default (reference documents the quirk in alter_default.test)."""
     out: dict[str, Column] = {}
     for f in schema_json["fields"]:
-        if "write-default" in f and isinstance(f["type"], str):
-            v = ice_types.json_default_to_python(f["type"], f["write-default"])
+        dv = f.get("write-default", f.get("initial-default"))
+        if dv is not None and isinstance(f["type"], str):
+            v = ice_types.json_default_to_python(f["type"], dv)
             out[f["name"]] = F.lit(v).cast(
                 ice_types.iceberg_to_spark(f["type"]))
     return out

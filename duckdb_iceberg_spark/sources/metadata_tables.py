@@ -61,6 +61,51 @@ def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def describe_table(spark: SparkSession, path: str) -> DataFrame:
+    """(column_name, column_type, nullable, comment, default) for the
+    current schema, nested fields flattened as dotted paths — the
+    reference surfaces the same through DESCRIBE / duckdb_columns()
+    (alter_column_comment.test:42-48 queries column_name+comment;
+    test_column_doc_comment.test). ``default`` renders the effective
+    insert default (write-default, falling back to initial-default)."""
+    tm = _tm_of(path)
+    schema = T.StructType([
+        T.StructField("column_name", T.StringType()),
+        T.StructField("column_type", T.StringType()),
+        T.StructField("nullable", T.BooleanType()),
+        T.StructField("comment", T.StringType()),
+        T.StructField("default", T.StringType()),
+    ])
+
+    def _type_str(t: Any) -> str:
+        if isinstance(t, str):
+            return t
+        kind = t.get("type")
+        if kind == "struct":
+            inner = ", ".join(
+                f"{f['name']}: {_type_str(f['type'])}" for f in t["fields"])
+            return f"struct<{inner}>"
+        if kind == "list":
+            return f"list<{_type_str(t['element'])}>"
+        if kind == "map":
+            return f"map<{_type_str(t['key'])}, {_type_str(t['value'])}>"
+        return str(kind)
+
+    rows: list[tuple] = []
+
+    def _walk(fields: list[dict], prefix: str) -> None:
+        for f in fields:
+            name = prefix + f["name"]
+            dv = f.get("write-default", f.get("initial-default"))
+            rows.append((name, _type_str(f["type"]), not f.get("required"),
+                         f.get("doc"), None if dv is None else str(dv)))
+            if isinstance(f["type"], dict) and f["type"].get("type") == "struct":
+                _walk(f["type"]["fields"], name + ".")
+
+    _walk(tm.schema_json()["fields"], "")
+    return spark.createDataFrame(rows, schema)
+
+
 def iceberg_metadata(spark: SparkSession, path: str, **scan_opts) -> DataFrame:
     """Manifest entries of the selected snapshot — reference schema
     (iceberg_metadata.cpp IcebergManifestNames/EntryNames):

@@ -124,3 +124,26 @@ def test_prune_equality_deletes_outside_scan_predicate(spark, tmp_path):
     assert iceberg_scan(spark, loc, where="id = 50").count() == 9
     assert iceberg_scan(spark, loc, where="id = 2").count() == 0
     assert iceberg_scan(spark, loc).count() == 9000 - 5 * 9
+
+
+def test_non_monotone_filter_does_not_prune(spark, tmp_path):
+    """reads/filter_pushdown_non_monotone.test (duckdb/duckdb-iceberg#1052):
+    a filter whose column side is not a direct column reference (pk % 8 = 2)
+    must not be used for stats-based file pruning — folding the bounds
+    [0, 49] through % 8 gives [0, 1], which would wrongly prune residues
+    2..7. The predicate parser is conservative (unknown expressions parse
+    to None → no pruning), pinned here."""
+    from duckdb_iceberg_spark.plans.predicates import parse_where
+
+    assert parse_where("pk % 8 = 2") is None
+
+    loc = str(tmp_path / "nonmono")
+    write_iceberg(spark.range(50).selectExpr("CAST(id AS INT) AS pk"), loc)
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot(), "pk % 8 = 2")
+    assert len(plan.tasks) == len(plan_scan(tm, tm.select_snapshot(), None).tasks)
+    assert iceberg_scan(spark, loc, where="pk % 8 = 2").count() == 6
+    assert iceberg_scan(spark, loc, where="pk % 8 = 7").count() == 6
+    assert iceberg_scan(spark, loc, where="pk % 8 = 0").count() == 7
+    # direct-reference comparisons keep pruning soundly
+    assert iceberg_scan(spark, loc, where="pk = 4").count() == 1

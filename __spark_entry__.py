@@ -98,6 +98,21 @@ def _ice_orders_mor(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(sf_dir, "orders_mor_delete", build)
 
 
+def _ice_orders_del_using(spark: SparkSession, sf_dir: str) -> str:
+    """DELETE ... USING a join relation (reference: delete_join.test) —
+    drop all orders of negative-balance customers via a semi-join delete."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.dml import delete_using
+
+        write_iceberg(_pq(spark, sf_dir, "orders"), loc)
+        debtors = (_pq(spark, sf_dir, "customer")
+                   .filter("c_acctbal < 0").select("c_custkey"))
+        delete_using(spark, loc, debtors, "tgt.o_custkey = src.c_custkey")
+
+    return _build_once(sf_dir, "orders_delete_using", build)
+
+
 def _ice_orders_dv(spark: SparkSession, sf_dir: str) -> str:
     """v3 table with Puffin deletion vectors: two MoR deletes so the second
     must merge into (and supersede) the first file-level DV."""
@@ -860,6 +875,19 @@ def ice_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"),
              _dec_sum(F.col("o_totalprice"), 6).alias("sum_price"))
         .orderBy("o_orderstatus")
+    )
+
+
+def ice_delete_using_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_orders_del_using(spark, sf_dir)
+    return (
+        iceberg_scan(spark, loc)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             _dec_sum(F.col("o_totalprice"), 6).alias("sum_price"))
+        .orderBy("o_orderpriority")
     )
 
 
@@ -1631,15 +1659,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows. Layout (round 5 rotation — every query re-earns a driver-oracle
     row at least every other round):
 
-      1-23   ice_* Iceberg table-format queries — the reference's own
-             surface, always in-window (ice_merge_conditional is new in
-             r5: per-clause MERGE conditions).
-      24-46  the full TPC-H set q01-q22 + q01_mor (dm=5 analogue) —
+      1-24   ice_* Iceberg table-format queries — the reference's own
+             surface, always in-window (new in r5: ice_merge_conditional
+             per-clause MERGE conditions, ice_delete_using_scan join
+             deletes per delete_join.test).
+      25-47  the full TPC-H set q01-q22 + q01_mor (dm=5 analogue) —
              rotated back IN this round (q03-q08, q10-q17, q19, q20, q22
              were parked in r4; all were green in r1-r3 and in r4's local
              oracle run).
-      47-50  LLM-pipeline spot checks kept in-window (the flagship dedup +
-             the three newest oracles).
+      48-50  LLM-pipeline spot checks kept in-window (the flagship dedup +
+             two of the newest oracles).
       51+    remaining LLM/streaming/multimodal + q_* relational extras —
              driver-green in r4, parked; rotate back in r6
              (tools/check_oracle.py covers all positions every run).
@@ -1647,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Iceberg table-format surface (reference parity) -------------
         "ice_mor_delete_scan": ice_mor_delete_scan,
+        "ice_delete_using_scan": ice_delete_using_scan,
         "ice_dv_delete_scan": ice_dv_delete_scan,
         "ice_update_scan": ice_update_scan,
         "ice_upsert_scan": ice_upsert_scan,
@@ -2375,6 +2405,14 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_price
             FROM orders WHERE o_orderkey % 7 <> 0
             GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "ice_delete_using_scan": """
+            SELECT o_orderpriority, count(*) AS cnt,
+                   round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_price
+            FROM orders
+            WHERE o_custkey NOT IN (
+                SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "ice_dv_delete_scan": """
             SELECT o_orderstatus, count(*) AS cnt,

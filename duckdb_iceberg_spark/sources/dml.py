@@ -39,7 +39,7 @@ from ..metadata import types as ice_types
 from ..metadata.table_metadata import TableMetadata, load_table_metadata
 from ..plans import predicates as P
 from ..plans.scan_plan import ScanPlan, plan_scan, _coerce_pred
-from .scan import scan_to_dataframe, _FILE_COL, _POS_COL, _norm_path
+from .scan import scan_to_dataframe, _FILE_COL, _POS_COL, _norm_path, _norm_path_py
 from .writer import (
     _collect_stats,
     commit_snapshot,
@@ -567,6 +567,74 @@ def delete_from(
         remaining = scan_to_dataframe(spark, sub).filter(~F.expr(where) | F.expr(where).isNull())
         new_files, _ = write_data_files(spark, remaining, tm)
     removed = drop_paths | {t.data_file.file_path for t in rewrite_tasks}
+    op = "delete" if not new_files else "overwrite"
+    commit_snapshot(
+        tm, operation=op,
+        new_data_files=new_files, removed_data_paths=removed,
+        commit_fn=committer(op) if committer else None,
+    )
+    return tm
+
+
+def delete_using(
+    spark: SparkSession,
+    location: str,
+    using: DataFrame,
+    condition: str,
+    *,
+    mode: str | None = None,
+) -> TableMetadata:
+    """DELETE FROM table USING <rel> WHERE <condition> — delete every
+    target row with at least one ``using`` match (reference:
+    delete/delete_join.test: ``DELETE FROM test USING deleted_rows WHERE
+    id=deleted_rows.delete_id``). ``condition`` references target columns
+    bare (or ``tgt.``-qualified) and ``using`` columns ``src.``-qualified,
+    the same convention as MERGE clauses.
+
+    Scale shape: one semi-join of the target scan against the source
+    relation decides victims — Spark distributes it (broadcast when the
+    source is small, shuffled otherwise); no driver-side row collects.
+    CoW additionally collects only the distinct victim FILE paths
+    (metadata-sized) to bound the rewrite to affected files."""
+    tm, committer = _resolve_target(location)
+    snapshot = tm.select_snapshot()
+    plan = plan_scan(tm, snapshot, None)
+    if not plan.tasks:
+        return tm
+    mode = _resolve_mode(tm, mode, "write.delete.mode")
+    cond = F.expr(condition)
+
+    df = scan_to_dataframe(spark, plan, with_file_info=True)
+    matched = df.alias("tgt").join(using.alias("src"), cond, "leftsemi")
+    pairs = matched.select(
+        F.col("filename").alias("file_path"),
+        F.col("file_row_number").alias("pos"),
+    )
+
+    if mode == "merge-on-read":
+        delete_files, superseded = _write_row_deletes(spark, tm, pairs, plan)
+        if not delete_files:
+            return tm
+        commit_snapshot(tm, operation="delete", new_delete_files=delete_files,
+                        superseded_dv_refs=superseded or None,
+                        commit_fn=committer("delete") if committer else None)
+        return tm
+
+    # copy-on-write: rewrite only files that lost rows, keeping survivors
+    victim_files = {r.file_path for r in
+                    pairs.select("file_path").distinct().collect()}
+    if not victim_files:
+        return tm
+    rewrite_tasks = [t for t in plan.tasks
+                     if _norm_path_py(t.data_file.file_path) in victim_files
+                     or t.data_file.file_path in victim_files]
+    sub = ScanPlan(tm, snapshot, rewrite_tasks, None, plan.schema_id)
+    remaining = (
+        scan_to_dataframe(spark, sub).alias("tgt")
+        .join(using.alias("src"), cond, "left_anti")
+    )
+    new_files, _ = write_data_files(spark, remaining, tm)
+    removed = {t.data_file.file_path for t in rewrite_tasks}
     op = "delete" if not new_files else "overwrite"
     commit_snapshot(
         tm, operation=op,

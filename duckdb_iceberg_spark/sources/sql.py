@@ -327,18 +327,46 @@ def _is_registered_target(spark: SparkSession, stmt: str, pattern: str) -> bool:
 
 
 def _exec_delete(spark: SparkSession, stmt: str) -> DataFrame:
-    from .dml import delete_from
+    from .dml import delete_from, delete_using
 
     m = re.match(r"DELETE\s+FROM\s+(.+)$", stmt, re.I | re.S)
     if not m:
         raise ValueError(f"cannot parse DELETE: {stmt!r}")
     rest = m.group(1)
-    wh = _scan_top(rest, ("WHERE",))
-    where = rest[wh[0][0] + 5:].strip() if wh else None
-    rel = rest[: wh[0][0]] if wh else rest
+    marks = _scan_top(rest, ("USING", "WHERE"))
+    using_at = next((p for p, k in marks if k == "USING"), None)
+    where_at = next((p for p, k in marks if k == "WHERE"), None)
+    where = rest[where_at + 5:].strip() if where_at is not None else None
+    rel = rest[: using_at if using_at is not None else
+               (where_at if where_at is not None else len(rest))]
     name, alias = _ident_and_alias(rel)
     view, source = _target_of(spark, name)
     quals = {name, *( [alias] if alias else [] )}
+
+    if using_at is not None:
+        # DELETE FROM t USING rel WHERE cond (reference: delete_join.test)
+        if where is None:
+            raise ValueError("DELETE ... USING needs a WHERE condition")
+        using_frag = rest[using_at + 5: where_at].strip()
+        if using_frag.startswith("("):
+            sub = re.match(r"^\((.*)\)\s*(?:AS\s+)?(\w+)?\s*$", using_frag,
+                           re.I | re.S)
+            if not sub:
+                raise ValueError(f"cannot parse USING relation: {using_frag!r}")
+            src_df = spark.sql(sub.group(1))
+            src_quals = {sub.group(2)} if sub.group(2) else set()
+        else:
+            src_name, src_alias = _ident_and_alias(using_frag)
+            reg = _REGISTRY.get(spark, {})
+            if src_name.lower() in reg:
+                refresh_table(spark, src_name)
+            src_df = spark.table(src_name)
+            src_quals = {src_name, *( [src_alias] if src_alias else [] )}
+        cond = _norm_refs(where, quals, src_quals)
+        tm = delete_using(spark, source, src_df, cond)
+        refresh_table(spark, view)
+        return _result_df(spark, "DELETE", view, tm)
+
     where_n = _norm_refs(where, quals, set()) if where else None
     # source may be a path or a RestTable — dml commits accordingly
     tm = delete_from(spark, source, where_n if where_n else "true")

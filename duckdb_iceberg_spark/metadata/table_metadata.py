@@ -233,6 +233,29 @@ class TableMetadata:
                 return f
         return None
 
+    def field_path_by_id(self, field_id: int,
+                         schema_id: int | None = None) -> Optional[tuple]:
+        """(dotted path, leaf field json) for any field id, walking nested
+        structs — needed to resolve equality-delete ids that reference a
+        nested struct member (reference:
+        equality_deletes/test_equality_delete_struct_field.test stores the
+        DEEPEST field's id in equality_ids). Returns None for unknown ids
+        and for fields nested inside lists/maps (not addressable as a
+        column path)."""
+        def walk(fields: list, prefix: str):
+            for f in fields:
+                name = prefix + f["name"]
+                if f["id"] == field_id:
+                    return name, f
+                t = f["type"]
+                if isinstance(t, dict) and t.get("type") == "struct":
+                    hit = walk(t["fields"], name + ".")
+                    if hit:
+                        return hit
+            return None
+
+        return walk(self.schema_json(schema_id)["fields"], "")
+
     def field_by_name(self, name: str, schema_id: int | None = None) -> Optional[dict]:
         for f in self.schema_json(schema_id)["fields"]:
             if f["name"] == name:

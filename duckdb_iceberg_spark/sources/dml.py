@@ -385,23 +385,74 @@ def equality_delete(
     tm, committer = _resolve_target(location)
     key_columns = key_columns or keys.columns
     schema_json = tm.schema_json()
-    by_name = {f["name"]: f for f in schema_json["fields"]}
-    eq_ids = []
+
+    def _resolve(path: str) -> dict:
+        fields = schema_json["fields"]
+        parts = path.split(".")
+        for p in parts[:-1]:
+            parent = next((f for f in fields if f["name"] == p), None)
+            if parent is None or not (isinstance(parent["type"], dict)
+                                      and parent["type"].get("type") == "struct"):
+                raise ValueError(
+                    f"equality-delete column {path!r} not in table schema")
+            fields = parent["type"]["fields"]
+        leaf = next((f for f in fields if f["name"] == parts[-1]), None)
+        if leaf is None:
+            raise ValueError(
+                f"equality-delete column {path!r} not in table schema")
+        return leaf
+
+    leaves = [_resolve(c) for c in key_columns]
+    eq_ids = [f["id"] for f in leaves]
+
+    def _pick(i: int, c: str) -> Column:
+        # the caller's key DataFrame column: full dotted name, bare leaf
+        # name, or positional (for nested paths whose leaf isn't a column)
+        if c in keys.columns:
+            return F.col(c)
+        leaf_name = c.split(".")[-1]
+        if leaf_name in keys.columns:
+            return F.col(leaf_name)
+        return F.col(keys.columns[i])
+
+    # delete-file schema = nested projection of the row schema keeping the
+    # key leaves with their ancestor structs (spec; the reference's nested
+    # test stores equality_ids=[deepest leaf id] — see
+    # test_equality_delete_struct_field.test)
+    tree: dict = {}
+    for i, c in enumerate(key_columns):
+        node = tree
+        parts = c.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = _pick(i, c).cast(
+            ice_types.iceberg_to_spark(leaves[i]["type"]))
+
+    def _assemble(node: dict, fields_json: list) -> list[Column]:
+        cols = []
+        for f in fields_json:
+            if f["name"] not in node:
+                continue
+            v = node[f["name"]]
+            col = (F.struct(*_assemble(v, f["type"]["fields"]))
+                   if isinstance(v, dict) else v)
+            cols.append(col.alias(
+                f["name"], metadata={ice_types.FIELD_ID_KEY: f["id"]}))
+        return cols
+
+    top_cols = []
     for c in key_columns:
-        if c not in by_name:
-            raise ValueError(f"equality-delete column {c!r} not in table schema")
-        eq_ids.append(by_name[c]["id"])
+        top = c.split(".")[0]
+        if top not in top_cols:
+            top_cols.append(top)
 
     out_dir = os.path.join(tm.location, "data", f"eq-deletes-{str(_uuid.uuid4())[:8]}")
-    rows = keys.select(*[
-        F.col(c).cast(ice_types.iceberg_to_spark(by_name[c]["type"]))
-        .alias(c, metadata={ice_types.FIELD_ID_KEY: by_name[c]["id"]})
-        for c in key_columns
-    ]).dropDuplicates().persist()
+    rows = keys.select(*_assemble(tree, schema_json["fields"])) \
+        .dropDuplicates().persist()
     try:
         n = rows.count()
         paths = write_parquet_dataset(
-            spark, _shape_delete_keys(rows, key_columns, n), out_dir)
+            spark, _shape_delete_keys(rows, top_cols, n), out_dir)
     finally:
         rows.unpersist()
     stats = [st for st in _collect_stats(spark, paths) if st["record_count"]]

@@ -874,6 +874,33 @@ def _dv_positions_df(spark: SparkSession, dv_blobs: dict[str, "mf.DataFile"]) ->
         decode, "`__del_file` string, `__del_pos` long")
 
 
+def _projection_struct(schema: T.StructType, paths: list[str]) -> T.StructType:
+    """Read schema for an equality-delete file: the nested projection of
+    the table schema keeping only ``paths`` (dotted) and their ancestor
+    structs — the spec's delete-file schema for nested equality ids."""
+    tree: dict = {}
+    for p in paths:
+        node = tree
+        parts = p.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = True
+
+    def build(st: T.StructType, node: dict) -> T.StructType:
+        out = []
+        for f in st.fields:
+            if f.name not in node:
+                continue
+            v = node[f.name]
+            if v is True:
+                out.append(T.StructField(f.name, f.dataType, True))
+            else:
+                out.append(T.StructField(f.name, build(f.dataType, v), True))
+        return T.StructType(out)
+
+    return build(schema, tree)
+
+
 def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) -> DataFrame:
     """Equality deletes: null-safe anti-join on the equality_id columns,
     honoring per-pair sequence numbers (delete.seq > data.seq,
@@ -907,11 +934,14 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) 
 
     tm = plan.tm
     for sig, files in sorted(by_sig.items()):
+        # resolve ids to (possibly nested-dotted) column paths — equality
+        # ids may reference a struct member
+        # (test_equality_delete_struct_field.test stores the deepest leaf id)
         cols = []
         for fid in sig:
-            f = tm.field_by_id(fid)
-            if f is not None:
-                cols.append(f["name"])
+            hit = tm.field_path_by_id(fid)
+            if hit is not None:
+                cols.append(hit[0])
         if not cols:
             continue
         is_global = all(applicable == all_files
@@ -931,20 +961,20 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) 
             [(_norm_path_py(p), int(seq))
              for p, (_, seq, _) in sorted(files.items())],
             "`__del_file` string, `__del_seq` long")
-        key_st = T.StructType([
-            T.StructField(c, tm.spark_schema()[c].dataType) for c in cols])
+        key_st = _projection_struct(tm.spark_schema(), cols)
         keys = (
             _read_plain_parquet(spark, sorted(files), key_st,
                                 with_path_pos=True, path_col="__kf")
             .join(F.broadcast(del_meta), F.col("__kf") == F.col("__del_file"))
         )
+        alias = {c: f"__eq_k{i}" for i, c in enumerate(cols)}
         if is_global:
             keys = keys.select(
-                *[F.col(c).alias("__eq_" + c) for c in cols], "__del_seq"
+                *[F.col(c).alias(alias[c]) for c in cols], "__del_seq"
             ).dropDuplicates()
             eq_cond = None
             for c in cols:
-                piece = df[c].eqNullSafe(keys["__eq_" + c])
+                piece = df[c].eqNullSafe(keys[alias[c]])
                 eq_cond = piece if eq_cond is None else (eq_cond & piece)
             df = df.join(maybe_broadcast(keys),
                          eq_cond & (keys["__del_seq"] > df["__data_seq"]),
@@ -958,13 +988,13 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) 
             keys = (
                 keys.join(F.broadcast(pair_df),
                           F.col("__del_file") == F.col("__p_del"))
-                .select(*[F.col(c).alias("__eq_" + c) for c in cols],
+                .select(*[F.col(c).alias(alias[c]) for c in cols],
                         "__del_seq", F.col("__p_data"))
                 .dropDuplicates()
             )
             eq_cond = None
             for c in cols:
-                piece = df[c].eqNullSafe(keys["__eq_" + c])
+                piece = df[c].eqNullSafe(keys[alias[c]])
                 eq_cond = piece if eq_cond is None else (eq_cond & piece)
             df = df.join(
                 maybe_broadcast(keys),

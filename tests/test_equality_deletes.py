@@ -183,3 +183,56 @@ def test_equality_delete_large_keyset_multiple_files(spark, tmp_path, monkeypatc
         assert lo1 <= hi1 < lo2
     got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
     assert got == list(range(350, 1000))
+
+
+def test_equality_delete_nested_struct_field(spark, tmp_path):
+    """Equality deletes keyed on a deeply nested struct member (reference:
+    equality_deletes/test_equality_delete_struct_field.test — equality_ids
+    stores the DEEPEST field's id, rows with a null struct or null key
+    survive, both rows with key=2 are removed)."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.dml import equality_delete
+    from duckdb_iceberg_spark.sources.metadata_tables import iceberg_metadata
+
+    def payload(key, label):
+        return (((((key, label),),),),)
+
+    loc = str(tmp_path / "eq_nested")
+    df = spark.createDataFrame(
+        [
+            (1, payload(1, "one"), "keep-1"),
+            (2, payload(2, "two-a"), "delete-2a"),
+            (3, payload(2, "two-b"), "delete-2b"),
+            (4, payload(3, "three"), "keep-3"),
+            (5, None, "keep-null-struct"),
+            (6, payload(None, "null-key"), "keep-null-key"),
+        ],
+        "id int, payload struct<nested: struct<deeper: struct<even_deeper: "
+        "struct<deepest: struct<key: int, label: string>>>>>, marker string",
+    )
+    write_iceberg(df, loc)
+    keys = spark.createDataFrame([(2,)], "key int")
+    equality_delete(
+        spark, loc, keys,
+        ["payload.nested.deeper.even_deeper.deepest.key"])
+
+    tm = load_table_metadata(loc)
+    md = iceberg_metadata(spark, loc)
+    del_rows = md.filter("content = 'EQUALITY_DELETES'").collect()
+    assert del_rows, "no equality-delete entry committed"
+
+    # the manifest's equality id resolves back to the deepest leaf path
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    plan = plan_scan(tm, tm.select_snapshot(), None)
+    eq_ids = {fid for t in plan.tasks for _seq, d in t.equality_deletes
+              for fid in (d.equality_ids or [])}
+    assert len(eq_ids) == 1
+    path, leaf = tm.field_path_by_id(next(iter(eq_ids)))
+    assert path == "payload.nested.deeper.even_deeper.deepest.key"
+    assert leaf["name"] == "key"
+
+    out = iceberg_scan(spark, loc).select("marker").collect()
+    assert sorted(r.marker for r in out) == [
+        "keep-1", "keep-3", "keep-null-key", "keep-null-struct"]

@@ -201,13 +201,23 @@ def iceberg_to_avro_type(t: Any, fid_hint: int = 0) -> Any:
     raise ValueError(f"unsupported partition value type {t!r}")
 
 
+def _source_field(tm: TableMetadata, source_id: int):
+    """Partition/sort source field by id — top-level or nested struct
+    member (nested partition sources: hour_struct_timestamp.test)."""
+    src = tm.field_by_id(source_id)
+    if src is not None:
+        return src
+    hit = tm.field_path_by_id(source_id)
+    return hit[1] if hit else None
+
+
 def partition_avro_schema(spec: PartitionSpec, tm: TableMetadata) -> dict:
     """Build the dynamic r102 partition record schema for a spec."""
     from ..plans.transforms import transform_result_type
 
     fields = []
     for pf in spec.fields:
-        src = tm.field_by_id(pf.source_id)
+        src = _source_field(tm, pf.source_id)
         src_type = src["type"] if src else "string"
         rt = transform_result_type(pf.transform, src_type)
         if rt is None:  # void
@@ -510,7 +520,7 @@ def write_manifest(
     # build manifest-list entry with partition field summaries
     summaries: list[FieldSummary] = []
     for pf in spec.fields:
-        src = tm.field_by_id(pf.source_id)
+        src = _source_field(tm, pf.source_id)
         from ..plans.transforms import transform_result_type
 
         rt = transform_result_type(pf.transform, src["type"] if src else "string")

@@ -143,9 +143,12 @@ def _partition_stats_for(
     column name, bounds in transformed space."""
     by_col: dict[str, tuple[P.ColumnStats, str, Any]] = {}
     for pf, summ in zip(spec.fields, summaries):
-        src = tm.field_by_id(pf.source_id)
-        if src is None:
+        # nested partition sources key by their dotted path — the predicate
+        # parser emits dotted column names, so `payload.ts >= …` prunes
+        hit = tm.field_path_by_id(pf.source_id)
+        if hit is None:
             continue
+        src_name, src = hit
         rt = tr.transform_result_type(pf.transform, src["type"])
         st = P.ColumnStats(
             lower=ice_types.decode_bound(rt, summ.lower_bound) if rt else None,
@@ -153,7 +156,7 @@ def _partition_stats_for(
             contains_null=summ.contains_null,
             contains_nan=summ.contains_nan,
         )
-        by_col[src["name"]] = (st, pf.transform, src["type"])
+        by_col[src_name] = (st, pf.transform, src["type"])
     return by_col
 
 
@@ -203,13 +206,14 @@ def _file_matches(
     # 1. partition-value pruning (exact, transformed space)
     part_by_col: dict[str, tuple[P.ColumnStats, str, Any]] = {}
     for pf in spec.fields:
-        src = tm.field_by_id(pf.source_id)
-        if src is None or pf.name not in df.partition:
+        hit = tm.field_path_by_id(pf.source_id)
+        if hit is None or pf.name not in df.partition:
             continue
+        src_name, src = hit
         v = _norm_partition_value(df.partition[pf.name],
                                   tr.transform_result_type(pf.transform, src["type"]))
         st = P.ColumnStats(lower=v, upper=v, contains_null=v is None, all_null=v is None)
-        part_by_col[src["name"]] = (st, pf.transform, src["type"])
+        part_by_col[src_name] = (st, pf.transform, src["type"])
     if part_by_col and not _match_transformed(pred, part_by_col):
         return False
 

@@ -264,7 +264,8 @@ def iceberg_partition_stats(spark: SparkSession, path: str, **scan_opts) -> Data
             if spec is None:
                 continue
             for pf, summ in zip(spec.fields, m.partitions):
-                src = tm.field_by_id(pf.source_id)
+                hit = tm.field_path_by_id(pf.source_id)
+                src = hit[1] if hit else None
                 rt = tr.transform_result_type(pf.transform, src["type"] if src else "string")
                 rows.append(
                     (

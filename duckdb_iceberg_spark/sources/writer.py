@@ -63,7 +63,6 @@ def parse_partition_by(partition_by: Iterable[str] | None, schema_json: dict,
                        start_field_id: int = 1000) -> PartitionSpec:
     """['l_shipmode', 'bucket(4, l_orderkey)', 'month(d)'] → PartitionSpec."""
     fields: list[PartitionField] = []
-    by_name = {f["name"]: f for f in schema_json["fields"]}
     fid = start_field_id
     for item in partition_by or []:
         m = _TRANSFORM_CALL_RE.match(item)
@@ -86,25 +85,41 @@ def parse_partition_by(partition_by: Iterable[str] | None, schema_json: dict,
                 raise ValueError(f"unknown partition transform {fn}")
         else:
             col, transform, suffix = item.strip(), "identity", ""
-        src = by_name.get(col)
+        src = _resolve_schema_field(schema_json, col)
         if src is None:
             raise ValueError(f"partition column {col!r} not in schema")
-        name = col + suffix
+        # nested sources (struct members — reference:
+        # partitioning/hour/hour_struct_timestamp.test) keep the dotted
+        # path flattened with underscores so the name is a valid
+        # directory/identifier
+        name = col.replace(".", "_") + suffix
         fields.append(PartitionField(source_id=src["id"], field_id=fid, name=name,
                                      transform=transform))
         fid += 1
     return PartitionSpec(spec_id=0, fields=fields)
 
 
+def _resolve_schema_field(schema_json: dict, dotted: str) -> dict | None:
+    """Top-level or dotted struct-member field lookup."""
+    fields = schema_json["fields"]
+    parts = dotted.split(".")
+    for p in parts[:-1]:
+        parent = next((f for f in fields if f["name"] == p), None)
+        if parent is None or not (isinstance(parent["type"], dict)
+                                  and parent["type"].get("type") == "struct"):
+            return None
+        fields = parent["type"]["fields"]
+    return next((f for f in fields if f["name"] == parts[-1]), None)
+
+
 def parse_sort_by(sort_by, schema_json: dict) -> SortOrder:
-    by_name = {f["name"]: f for f in schema_json["fields"]}
     fields = []
     for item in sort_by or []:
         if isinstance(item, str):
             col, direction = item, "asc"
         else:
             col, direction = item[0], item[1].lower()
-        src = by_name.get(col)
+        src = _resolve_schema_field(schema_json, col)
         if src is None:
             raise ValueError(f"sort column {col!r} not in schema")
         fields.append(SortField(source_id=src["id"], transform="identity",
@@ -319,6 +334,9 @@ def _partition_values_from_path(path: str, data_root: str, spec: PartitionSpec,
             values[pf.name] = None
             continue
         src = tm.field_by_id(pf.source_id)
+        if src is None:
+            hit = tm.field_path_by_id(pf.source_id)  # nested source
+            src = hit[1] if hit else None
         rt = tr.transform_result_type(pf.transform, src["type"] if src else "string")
         values[pf.name] = _parse_partition_string(sval, rt)
     return values
@@ -570,14 +588,28 @@ def write_data_files(
     for pf in spec.fields:
         if pf.transform == "void":
             continue
-        src = by_id[pf.source_id]
-        if pf.transform == "identity":
-            # partition directly on the raw column
-            # (CanWriteIdentityPartitionsDirectly, iceberg_insert.cpp:136-148)
-            part_cols.append(src["name"])
-            identity_cols.append(src["name"])
+        src = by_id.get(pf.source_id)
+        if src is not None:
+            src_path, src_type = src["name"], src["type"]
         else:
-            col = tr.transform_column(pf.transform, F.col(src["name"]), src["type"])
+            hit = tm.field_path_by_id(pf.source_id)
+            if hit is None:
+                raise ValueError(
+                    f"partition source id {pf.source_id} not in schema")
+            src_path, src_type = hit[0], hit[1]["type"]
+        if pf.transform == "identity" and src is not None:
+            # partition directly on the raw top-level column
+            # (CanWriteIdentityPartitionsDirectly, iceberg_insert.cpp:136-148)
+            part_cols.append(src_path)
+            identity_cols.append(src_path)
+        else:
+            # transformed — or a nested struct member (reference:
+            # partitioning/hour/hour_struct_timestamp.test): materialize a
+            # synthetic top-level column for the directory layout; Spark's
+            # partitionBy drops it from file contents while the nested
+            # field itself stays inside the struct
+            col = (tr.transform_column(pf.transform, F.col(src_path), src_type)
+                   if pf.transform != "identity" else F.col(src_path))
             df = df.withColumn(pf.name, col)
             part_cols.append(pf.name)
 
@@ -587,9 +619,14 @@ def write_data_files(
         sort_cols = []
         for sf in order.fields:
             src = by_id.get(sf.source_id)
-            if src is None:
-                continue
-            c = F.col(src["name"])
+            if src is not None:
+                c = F.col(src["name"])
+            else:
+                hit = tm.field_path_by_id(sf.source_id)
+                if hit is None:
+                    continue
+                c = F.col(hit[0])  # nested sort source (sorting/identity/
+                #                    identity_struct_bool.test)
             sort_cols.append(c.desc() if sf.direction == "desc" else c.asc())
         if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)

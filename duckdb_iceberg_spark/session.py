@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # headless: no UI, and keep listener/retained-state small so a
+        # long session (bench runs thousands of stages) doesn't slow its
+        # late queries with driver-side bookkeeping
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.sql.ui.retainedExecutions", "20")
         # field-id based parquet column resolution — correctness under
         # schema evolution (reference resolves BY_FIELD_ID,
         # iceberg_multi_file_reader.cpp:113)

@@ -455,16 +455,17 @@ def equality_delete(
             spark, _shape_delete_keys(rows, top_cols, n), out_dir)
     finally:
         rows.unpersist()
+    types_by_fid = {f["id"]: f["type"] for f in leaves}
     stats = [st for st in _collect_stats(spark, paths) if st["record_count"]]
     delete_files = []
     for st in stats:
         lower, upper = {}, {}
         for fid, v in st["mins"].items():
-            b = _stat_bound(v)
+            b = _stat_bound(v, types_by_fid.get(fid))
             if b is not None:
                 lower[fid] = b
         for fid, v in st["maxs"].items():
-            b = _stat_bound(v)
+            b = _stat_bound(v, types_by_fid.get(fid))
             if b is not None:
                 upper[fid] = b
         delete_files.append(mf.DataFile(
@@ -515,13 +516,14 @@ def upsert_equality(
             spark, _shape_delete_keys(keys, key_columns, n), out_dir)
     finally:
         keys.unpersist()
+    types_by_fid = {by_name[c]["id"]: by_name[c]["type"] for c in key_columns}
     stats = [st for st in _collect_stats(spark, paths) if st["record_count"]]
     delete_files = []
     for st in stats:
         lower = {fid: b for fid, v in st["mins"].items()
-                 if (b := _stat_bound(v)) is not None}
+                 if (b := _stat_bound(v, types_by_fid.get(fid))) is not None}
         upper = {fid: b for fid, v in st["maxs"].items()
-                 if (b := _stat_bound(v)) is not None}
+                 if (b := _stat_bound(v, types_by_fid.get(fid))) is not None}
         delete_files.append(mf.DataFile(
             content=mf.CONTENT_EQUALITY_DELETES,
             file_path=st["path"], file_format="PARQUET", partition={},
@@ -548,7 +550,16 @@ def _write_row_deletes(
     return _write_positional_deletes(spark, tm, pairs, plan), set()
 
 
-def _stat_bound(v: Any) -> bytes | None:
+def _stat_bound(v: Any, ice_type: str | None = None) -> bytes | None:
+    """Serialize a footer min/max into the spec's single-value binary form.
+    With a known Iceberg type, use the exact encoding (an ``int`` bound is
+    4 bytes, not 8 — decode_bound and foreign readers require it); the
+    typeless fallback covers long/string only."""
+    if ice_type is not None and isinstance(ice_type, str):
+        try:
+            return ice_types.encode_bound(ice_type, v)
+        except (ValueError, TypeError, ArithmeticError):
+            return None
     if isinstance(v, bytes):
         try:
             v = v.decode("utf-8")

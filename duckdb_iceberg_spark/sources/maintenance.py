@@ -112,12 +112,19 @@ def rewrite_data_files(
     extra = {"rewrite-target-file-size-bytes": str(target)}
     for k, v in (snapshot_properties or {}).items():
         extra[k] = v
+    # rewritten files keep the max INPUT data sequence number (their
+    # file_sequence_number is the replace commit's): equality deletes with
+    # a later sequence keep applying to the compacted rows (reference:
+    # rewrite_data_files_sequence_pin.test)
+    pinned = max((int(t.sequence_number or 0)
+                  for tasks in groups for t in tasks), default=None)
     snap = commit_snapshot(
         tm, operation="replace",
         new_data_files=new_files,
         removed_data_paths=removed,
         extra_summary=extra,
         commit_fn=committer("replace") if committer else None,
+        pinned_data_sequence=pinned,
     )
     summary["snapshot_id"] = snap.snapshot_id
     return summary

@@ -813,6 +813,7 @@ def commit_snapshot(
     keep_existing: bool = True,
     extra_summary: dict | None = None,
     commit_fn=None,
+    pinned_data_sequence: int | None = None,
 ) -> Snapshot:
     """Stage and commit one snapshot (append/delete/overwrite/replace).
     Mirrors the reference's Finalize + transaction commit
@@ -845,7 +846,8 @@ def commit_snapshot(
             removed_delete_paths=removed_delete_paths,
             superseded_dv_refs=superseded_dv_refs,
             keep_existing=keep_existing, extra_summary=extra_summary,
-            orig_data_row_ids=orig_data_row_ids)
+            orig_data_row_ids=orig_data_row_ids,
+            pinned_data_sequence=pinned_data_sequence)
 
     snap = _build(tm)
     if commit_fn is not None:
@@ -976,6 +978,7 @@ def _build_snapshot(
     keep_existing: bool,
     extra_summary,
     orig_data_row_ids: list,
+    pinned_data_sequence: int | None = None,
 ) -> Snapshot:
     """One build pass of commit_snapshot: write manifests + manifest list
     against ``tm``'s CURRENT state and return the staged Snapshot. Safe to
@@ -1117,10 +1120,16 @@ def _build_snapshot(
     manifests = _merge_small_manifests(tm, manifests, snapshot_id, meta_dir)
 
     if new_data_files:
+        # compaction pins the rewritten files' DATA sequence to the max
+        # input sequence (file_sequence_number stays the commit's) so
+        # later-sequence equality deletes keep applying to the compacted
+        # rows (reference: rewrite_data_files_sequence_pin.test)
+        data_seq = pinned_data_sequence if pinned_data_sequence is not None else seq
         entries = [
             mf.ManifestEntry(
                 status=mf.STATUS_ADDED, snapshot_id=snapshot_id,
-                sequence_number=seq, file_sequence_number=seq, data_file=d,
+                sequence_number=data_seq, file_sequence_number=seq,
+                data_file=d,
             )
             for d in new_data_files
         ]
@@ -1128,7 +1137,7 @@ def _build_snapshot(
         nm = mf.write_manifest(mpath, entries, tm, spec, mf.MANIFEST_DATA)
         nm.added_snapshot_id = snapshot_id
         nm.sequence_number = seq
-        nm.min_sequence_number = seq
+        nm.min_sequence_number = min(data_seq, seq)
         nm.first_row_id = snap_first_row_id
         manifests.append(nm)
 

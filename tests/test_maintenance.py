@@ -352,3 +352,37 @@ def test_auto_manifest_merge_preserves_v3_row_lineage(spark, tmp_path):
         spark, loc, with_row_lineage=True).collect()}
     assert {k: after[k] for k in before} == before
     assert sorted(after.values()) == list(range(9))
+
+
+def test_rewrite_pins_data_sequence_number(spark, tmp_path):
+    """Rewritten data files keep the max input data sequence number while
+    file_sequence_number advances to the replace commit's (reference:
+    maintenance/rewrite_data_files_sequence_pin.test) — so equality
+    deletes sequenced after the inputs keep applying to compacted rows."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.dml import equality_delete
+    from duckdb_iceberg_spark.sources.maintenance import rewrite_data_files
+
+    loc = str(tmp_path / "seq_pin")
+    for batch in range(6):
+        df = spark.createDataFrame(
+            [(batch * 2 + 1, chr(97 + batch * 2)),
+             (batch * 2 + 2, chr(98 + batch * 2))], "id int, payload string")
+        write_iceberg(df, loc)
+
+    tm = load_table_metadata(loc)
+    starting_seq = max(int(t.sequence_number or 0)
+                       for t in plan_scan(tm, tm.select_snapshot(), None).tasks)
+
+    res = rewrite_data_files(spark, loc, rewrite_all=True)
+    assert res["rewritten_data_files_count"] >= 6
+
+    tm = load_table_metadata(loc)
+    tasks = plan_scan(tm, tm.select_snapshot(), None).tasks
+    assert len(tasks) == 1
+    assert int(tasks[0].sequence_number) == starting_seq
+    # a later equality delete still applies to the compacted file
+    equality_delete(spark, loc, spark.createDataFrame([(3,)], "id int"), ["id"])
+    assert iceberg_scan(spark, loc).count() == 11

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import time
+import time as _time
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -58,6 +59,10 @@ class RestCatalogConfig:
     sigv4: "SigV4Config | None" = None  # Glue/S3Tables-style signed requests
     default_headers: dict[str, str] = field(default_factory=dict)
     max_commit_retries: int = 4
+    #: ATTACH option MAX_TABLE_STALENESS '<interval>' (reference:
+    #: test_max_table_staleness.test): loadTable responses are served from
+    #: cache within the window; None disables caching (every read re-GETs)
+    max_table_staleness: str | float | None = None
 
 
 _GLUE_WAREHOUSE_FORMS = (
@@ -153,6 +158,44 @@ def _retry_config(properties: dict | None,
     return num, min_w, max_w, total
 
 
+_STALENESS_UNITS = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1.0, "minute": 60.0,
+    "hour": 3600.0, "day": 86400.0, "week": 7 * 86400.0,
+    "month": 30 * 86400.0, "year": 365.25 * 86400.0,
+}
+#: int64 microseconds — the reference stores the interval as micros and
+#: rejects values that overflow ('1000000 years')
+_STALENESS_MAX_S = (2 ** 63 - 1) / 1e6
+
+
+def _parse_staleness(v) -> float | None:
+    """MAX_TABLE_STALENESS interval → seconds ('10 seconds', '5 minutes',
+    '4 hours'; a bare number is seconds). Unparseable strings and
+    overflowing intervals raise, matching the attach-time errors in
+    test_max_table_staleness.test."""
+    if v is None:
+        return None
+    if isinstance(v, (int, float)):
+        secs = float(v)
+    else:
+        import re as _re
+
+        m = _re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*", str(v))
+        if m:
+            unit = m.group(2).lower().rstrip("s")
+            if unit not in _STALENESS_UNITS:
+                raise ValueError(f"invalid MAX_TABLE_STALENESS interval {v!r}")
+            secs = float(m.group(1)) * _STALENESS_UNITS[unit]
+        else:
+            m = _re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*", str(v))
+            if not m:
+                raise ValueError(f"invalid MAX_TABLE_STALENESS interval {v!r}")
+            secs = float(m.group(1))
+    if secs < 0 or secs > _STALENESS_MAX_S:
+        raise ValueError(f"MAX_TABLE_STALENESS interval out of range: {v!r}")
+    return secs
+
+
 class RestCatalog:
     """Minimal-complete Iceberg REST catalog client."""
 
@@ -162,8 +205,23 @@ class RestCatalog:
         self._token: str | None = config.token
         self._token_expiry: float = float("inf") if config.token else 0.0
         self._prefix = config.prefix
+        self._staleness_s = _parse_staleness(config.max_table_staleness)
+        self._table_cache: dict[tuple, tuple[float, dict]] = {}
         if self._prefix is None:
             self._load_config()
+
+    def _cache_key(self, namespace, name) -> tuple:
+        return (self._ns(namespace), name)
+
+    def invalidate_table_cache(self, namespace=None, name=None) -> None:
+        """Drop cached loadTable responses — the whole cache, or one
+        table's entry. Writes call this so a read after a local commit
+        never serves pre-write metadata (reference:
+        test_stale_cache_after_write.test)."""
+        if namespace is None:
+            self._table_cache.clear()
+        else:
+            self._table_cache.pop(self._cache_key(namespace, name), None)
 
     # -- auth ---------------------------------------------------------------
 
@@ -271,8 +329,15 @@ class RestCatalog:
         return resp.get("identifiers", [])
 
     def load_table(self, namespace: str | tuple, name: str) -> "RestTable":
+        key = self._cache_key(namespace, name)
+        if self._staleness_s is not None:
+            hit = self._table_cache.get(key)
+            if hit is not None and _time.monotonic() - hit[0] < self._staleness_s:
+                return RestTable.from_load_result(self, namespace, name, hit[1])
         resp = self._request(
             "GET", f"/namespaces/{self._ns(namespace)}/tables/{urllib.parse.quote(name)}")
+        if self._staleness_s is not None:
+            self._table_cache[key] = (_time.monotonic(), resp)
         return RestTable.from_load_result(self, namespace, name, resp)
 
     def table_exists(self, namespace: str | tuple, name: str) -> bool:
@@ -318,6 +383,7 @@ class RestCatalog:
         return table.append(spark, df)
 
     def drop_table(self, namespace: str | tuple, name: str, *, purge: bool = False) -> None:
+        self.invalidate_table_cache(namespace, name)
         self._request(
             "DELETE", f"/namespaces/{self._ns(namespace)}/tables/{urllib.parse.quote(name)}",
             params={"purgeRequested": "true"} if purge else None)
@@ -337,6 +403,7 @@ class RestCatalog:
 
     def commit_table(self, namespace: str | tuple, name: str,
                      requirements: list[dict], updates: list[dict]) -> dict:
+        self.invalidate_table_cache(namespace, name)
         return self._request(
             "POST", f"/namespaces/{self._ns(namespace)}/tables/{urllib.parse.quote(name)}",
             {"identifier": {
@@ -350,6 +417,7 @@ class RestCatalog:
         validated and all updates apply, or none do. Each entry:
         {"identifier": {"namespace": [...], "name": ...},
          "requirements": [...], "updates": [...]}."""
+        self.invalidate_table_cache()  # conservative: any table may change
         return self._request("POST", "/transactions/commit",
                              {"table-changes": table_changes})
 

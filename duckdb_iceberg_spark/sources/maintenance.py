@@ -101,7 +101,13 @@ def rewrite_data_files(
         df = scan_to_dataframe(spark, sub)
         group_bytes = sum(t.data_file.file_size_in_bytes for t in tasks)
         n_out = max(1, math.ceil(group_bytes / target))
-        df = df.coalesce(n_out)
+        # shrink without a shuffle; GROW needs repartition — coalesce never
+        # increases partition count, so splitting one oversized file into
+        # target-size pieces would silently produce one file (reference:
+        # rewrite_data_files_file_size_rotation.test rotates a 20 MB file
+        # into >1 files at a 1 MB target)
+        cur = df.rdd.getNumPartitions()
+        df = df.coalesce(n_out) if n_out <= cur else df.repartition(n_out)
         files, _root = write_data_files(spark, df, tm)
         new_files.extend(files)
         removed.update(t.data_file.file_path for t in tasks)

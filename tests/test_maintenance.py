@@ -386,3 +386,29 @@ def test_rewrite_pins_data_sequence_number(spark, tmp_path):
     # a later equality delete still applies to the compacted file
     equality_delete(spark, loc, spark.createDataFrame([(3,)], "id int"), ["id"])
     assert iceberg_scan(spark, loc).count() == 11
+
+
+def test_rewrite_rotates_oversized_file(spark, tmp_path):
+    """A file larger than the target splits into multiple output files
+    (reference: maintenance/rewrite_data_files_file_size_rotation.test —
+    one ~20 MB file, 1 MB target, rewrite_all => more than one output)."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.maintenance import (
+        MIN_TARGET_FILE_SIZE_BYTES, rewrite_data_files)
+
+    loc = str(tmp_path / "rotation")
+    df = spark.range(500000).selectExpr(
+        "CAST(id AS INT) AS id", "concat('thisisalongstring', id) AS payload")
+    write_iceberg(df.coalesce(1), loc)
+    tm = load_table_metadata(loc)
+    assert len(plan_scan(tm, tm.select_snapshot(), None).tasks) == 1
+
+    res = rewrite_data_files(
+        spark, loc, target_file_size_bytes=1048576,
+        min_input_files=1, rewrite_all=True)
+    assert res["added_data_files_count"] > 1
+    tm = load_table_metadata(loc)
+    assert len(plan_scan(tm, tm.select_snapshot(), None).tasks) > 1
+    assert iceberg_scan(spark, loc).count() == 500000

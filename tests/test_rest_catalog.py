@@ -1323,3 +1323,84 @@ def test_commit_retry_config_properties(stub):
     state.commit_conflicts_to_inject = 2
     tbl2.commit_snapshot(_snap(22, 2), rebuild_fn=_rebuilder(22))
     assert tbl2.metadata.current_snapshot_id == 22
+
+
+# ---------------------------------------------------------------------------
+# MAX_TABLE_STALENESS loadTable caching
+# ---------------------------------------------------------------------------
+
+def _staleness_catalog(base: str, staleness) -> RestCatalog:
+    return RestCatalog(RestCatalogConfig(
+        uri=base,
+        oauth2=OAuth2Config(server_uri=f"{base}/tokens",
+                            client_id="id", client_secret="secret"),
+        max_table_staleness=staleness,
+    ))
+
+
+def _table_gets(state, name: str) -> int:
+    return sum(1 for m, p in state.requests
+               if m == "GET" and p.endswith(f"/tables/{name}"))
+
+
+def test_staleness_serves_reads_from_cache(stub):
+    """Within the staleness window, repeat loads make no HTTP request
+    (reference: test_max_table_staleness.test — one metadata request for
+    back-to-back reads under a 4-hour window)."""
+    base, state = stub
+    cat = _staleness_catalog(base, "4 hours")
+    cat.create_namespace("db")
+    cat.create_table("db", "t", SCHEMA)
+    cat.load_table("db", "t")
+    n1 = _table_gets(state, "t")
+    cat.load_table("db", "t")
+    cat.load_table("db", "t")
+    assert _table_gets(state, "t") == n1  # cache hits, no new GETs
+
+
+def test_staleness_expires(stub):
+    base, state = stub
+    cat = _staleness_catalog(base, 0.05)  # 50 ms window
+    cat.create_namespace("db")
+    cat.create_table("db", "t2", SCHEMA)
+    cat.load_table("db", "t2")
+    n1 = _table_gets(state, "t2")
+    time.sleep(0.08)
+    cat.load_table("db", "t2")
+    assert _table_gets(state, "t2") == n1 + 1  # window passed: re-GET
+
+
+def test_staleness_invalidated_by_write(stub):
+    """A commit through the catalog drops the cached loadTable response so
+    the next read sees post-write metadata (reference:
+    test_stale_cache_after_write.test)."""
+    base, state = stub
+    cat = _staleness_catalog(base, "4 hours")
+    cat.create_namespace("db")
+    cat.create_table("db", "t3", SCHEMA)
+    t = cat.load_table("db", "t3")
+    n1 = _table_gets(state, "t3")
+    cat.commit_table("db", "t3", [], [
+        {"action": "set-properties", "updates": {"k": "v"}}])
+    t = cat.load_table("db", "t3")
+    assert _table_gets(state, "t3") == n1 + 1
+    assert t.metadata.properties.get("k") == "v"
+
+
+def test_staleness_disabled_always_requests(stub):
+    base, state = stub
+    cat = _catalog(base)  # no staleness: every read re-GETs
+    cat.create_namespace("db")
+    cat.create_table("db", "t4", SCHEMA)
+    cat.load_table("db", "t4")
+    n1 = _table_gets(state, "t4")
+    cat.load_table("db", "t4")
+    assert _table_gets(state, "t4") == n1 + 1
+
+
+def test_staleness_invalid_and_overflow(stub):
+    base, _ = stub
+    with pytest.raises(ValueError, match="invalid MAX_TABLE_STALENESS"):
+        _staleness_catalog(base, "blah blah")
+    with pytest.raises(ValueError, match="out of range"):
+        _staleness_catalog(base, "1000000 years")

@@ -1345,6 +1345,40 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling: md5-threshold keep decision,
+    reproducible bit-for-bit in any engine with md5 (train/eval splits)."""
+    from duckdb_iceberg_spark.operators.sampling import stratified_sample_by
+
+    docs = _pq(spark, sf_dir, "documents")
+    sampled = stratified_sample_by(
+        docs, "doc_id", "lang",
+        {"en": 0.25, "de": 0.5}, default_fraction=1.0, salt="r5")
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget sequence packing: shard by doc_id, exclusive
+    cumulative token offset within the shard, bin = offset // budget."""
+    from duckdb_iceberg_spark.operators.sampling import pack_sequences
+    from duckdb_iceberg_spark.operators.text import token_count
+
+    docs = _pq(spark, sf_dir, "documents") \
+        .select("doc_id", token_count("text").alias("n_tokens"))
+    packed = pack_sequences(docs, "n_tokens", budget=256, n_shards=16)
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("bin_tokens"))
+        .orderBy("shard", "bin")
+    )
+
+
 def docs_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_iceberg_spark.operators.text import language_scores
 
@@ -1733,6 +1767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_count": docs_token_count,
         "docs_quality": docs_quality,
         "docs_fingerprint": docs_fingerprint,
+        "docs_stratified_sample": docs_stratified_sample,
+        "docs_pack_sequences": docs_pack_sequences,
         "docs_lang_scores": docs_lang_scores,
         "docs_simhash": docs_simhash,
         "docs_winnow": docs_winnow,
@@ -2573,6 +2609,33 @@ def oracle_sql() -> dict[str, str]:
                                ELSE len(string_split_regex(trim(text), '\\s+')) END), 6) AS avg_token_len
             FROM documents WHERE length(text) > 0
             ORDER BY doc_id LIMIT 1000
+        """,
+        "docs_stratified_sample": """
+            SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 6) <
+                  CASE lang WHEN 'en' THEN '400000'
+                            WHEN 'de' THEN '800000' ELSE 'g' END
+            GROUP BY lang ORDER BY lang
+        """,
+        "docs_pack_sequences": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ), packed AS (
+              SELECT doc_id, n_tokens, doc_id % 16 AS shard,
+                     COALESCE(SUM(n_tokens) OVER (
+                         PARTITION BY doc_id % 16 ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS bin_offset
+              FROM toks
+            )
+            SELECT shard, CAST(FLOOR(bin_offset / 256) AS BIGINT) AS bin,
+                   count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+            FROM packed GROUP BY shard, bin ORDER BY shard, bin
         """,
         "docs_fingerprint": f"""
             SELECT doc_id, {_FP_SQL} AS fingerprint

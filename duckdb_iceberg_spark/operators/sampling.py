@@ -1,0 +1,113 @@
+"""Deterministic sampling and sequence packing for training-data pipelines.
+
+Both operators are pure Column/window expressions (JVM-side, no Python in
+the hot path) and are specified so an ANSI-SQL engine reproduces them
+bit-for-bit — the driver's DuckDB oracle checks them cross-engine.
+
+- stratified_sample: per-stratum deterministic sampling by md5 of the key.
+  The keep decision is a LEXICOGRAPHIC compare of a hex prefix against a
+  per-stratum threshold, which both Spark and any SQL engine evaluate
+  identically (no engine-specific hash involved). At 100 TB this is a
+  stateless map over the scan — no shuffle, no sampling state, repeatable
+  across reruns and engines (critical for train/eval splits).
+
+- pack_sequences: assign documents to fixed-token-budget training bins.
+  Documents are sharded (doc_id % n_shards), ordered within the shard, and
+  binned by exclusive-cumulative-token-offset / budget — the "fixed
+  boundary" packing spec: a document straddling a boundary belongs to the
+  bin where it starts. One window aggregation per shard partition, so the
+  sort parallelizes across shards instead of a single global order-by
+  (the 100 TB failure mode of naive packing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sample_threshold_hex(fraction: float, digits: int = 6) -> str:
+    """Lexicographic keep-threshold: the first ``digits`` hex chars of
+    md5(key) are < threshold with probability ~``fraction`` (uniform over
+    16^digits buckets)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    n = int(round(fraction * (16 ** digits)))
+    if n >= 16 ** digits:
+        return "g"  # 'g' sorts above every hex digit: keep all
+    return format(n, f"0{digits}x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    *,
+    salt: str = "",
+    digits: int = 6,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by
+    ``substr(md5(concat(key, salt)), 1, digits) < threshold`` — identical
+    in any engine with md5. Same key+salt → same decision everywhere
+    (deterministic train/eval splits); change ``salt`` for an independent
+    sample."""
+    thr = sample_threshold_hex(fraction, digits)
+    keep = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        1, digits) < F.lit(thr)
+    return df.filter(keep)
+
+
+def stratified_sample_by(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    *,
+    default_fraction: float = 0.0,
+    salt: str = "",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-stratum fractions (e.g. per-language rebalancing:
+    {'en': 0.1, 'de': 1.0}); strata missing from ``fractions`` keep
+    ``default_fraction`` of their rows."""
+    hexpfx = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        1, digits)
+    thr: Column = F.lit(sample_threshold_hex(default_fraction, digits))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(sample_threshold_hex(frac, digits))).otherwise(thr)
+    return df.filter(hexpfx < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Assign each document a (shard, bin) training-sequence slot.
+
+    Spec (reproducible in ANSI SQL): shard = id % n_shards; within a
+    shard, order by id; offset = exclusive cumulative sum of tokens;
+    bin = floor(offset / budget). Output adds ``shard``, ``bin_offset``
+    (the document's start offset inside the shard stream) and ``bin``.
+
+    Scale: one window partitioned by shard — each shard sorts
+    independently on executors; no global sort, no driver state. Raise
+    ``n_shards`` until a shard's documents fit an executor's sort budget
+    (shards are hash-balanced by id)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    shard = (F.col(id_col) % n_shards).cast("long").alias("shard")
+    out = df.withColumn("shard", shard)
+    w = (Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offset = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    out = out.withColumn("bin_offset", offset.cast("long"))
+    return out.withColumn(
+        "bin", F.floor(F.col("bin_offset") / budget).cast("long"))

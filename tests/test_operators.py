@@ -275,3 +275,66 @@ def test_knn_join_bucketed_no_cross_join(spark, vectors):
             for r in knn_join_bucketed(corpus, queries, k=3,
                                        n_planes=1, nprobe=2).collect()}
     assert full == exact
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling + sequence packing (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_deterministic(spark):
+    from duckdb_iceberg_spark.operators.sampling import stratified_sample
+
+    df = spark.range(10000).selectExpr("id AS k")
+    a = {r.k for r in stratified_sample(df, "k", 0.3, salt="s1").collect()}
+    b = {r.k for r in stratified_sample(df, "k", 0.3, salt="s1").collect()}
+    assert a == b  # same key+salt → same sample, every run
+    # roughly the requested fraction (md5 is uniform)
+    assert 0.25 < len(a) / 10000 < 0.35
+    # a different salt draws an independent sample
+    c = {r.k for r in stratified_sample(df, "k", 0.3, salt="s2").collect()}
+    assert c != a
+    # nested property: a smaller fraction with the same salt is a subset
+    d = {r.k for r in stratified_sample(df, "k", 0.1, salt="s1").collect()}
+    assert d <= a
+
+
+def test_stratified_sample_by_strata(spark):
+    from duckdb_iceberg_spark.operators.sampling import stratified_sample_by
+
+    df = spark.range(20000).selectExpr(
+        "id AS k", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang")
+    out = stratified_sample_by(
+        df, "k", "lang", {"en": 0.1}, default_fraction=1.0)
+    counts = {r.lang: r.c for r in
+              out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert counts["de"] == 10000          # default 1.0 keeps everything
+    assert 800 < counts["en"] < 1200      # ~10% of 10000
+
+
+def test_pack_sequences_spec(spark):
+    from duckdb_iceberg_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(40)], "doc_id long, n_tokens long")
+    out = pack_sequences(df, "n_tokens", budget=250, n_shards=4)
+    rows = {r.doc_id: r for r in out.collect()}
+    # shard = id % 4; within shard ids ascend; each doc is 100 tokens so
+    # bins hold ⌈250/100⌉ = 3 docs (offsets 0,100,200 → bin 0; 300 → bin 1)
+    assert rows[0].shard == 0 and rows[0].bin_offset == 0 and rows[0].bin == 0
+    assert rows[4].bin_offset == 100 and rows[4].bin == 0
+    assert rows[8].bin_offset == 200 and rows[8].bin == 0
+    assert rows[12].bin_offset == 300 and rows[12].bin == 1
+    # every bin's token total fits ≤ budget + one straddling doc
+    agg = out.groupBy("shard", "bin").agg(F.sum("n_tokens").alias("t")).collect()
+    assert all(r.t <= 250 + 100 for r in agg)
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """The packing window partitions by shard — the plan must not contain
+    a single-partition global sort (the 100 TB bottleneck)."""
+    from duckdb_iceberg_spark.operators.sampling import pack_sequences
+
+    df = spark.range(1000).selectExpr("id AS doc_id", "id % 7 AS n_tokens")
+    plan = pack_sequences(df, "n_tokens", budget=64)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

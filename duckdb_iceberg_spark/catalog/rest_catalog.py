@@ -715,3 +715,53 @@ class CatalogTransaction:
         for table, _ in staged:
             table.refresh()
         return resp
+
+    def rollback(self) -> None:
+        """Abandon the transaction: nothing was ever POSTed, so the
+        catalog state is untouched; the storage files each staged
+        snapshot wrote (data, manifests, manifest list) are deleted so a
+        rollback leaves no garbage (reference:
+        delete/delete_rollback_cleanup.test — files written by a
+        rolled-back DELETE are cleaned up)."""
+        staged, self._staged = self._staged, []
+        for table, snap in staged:
+            _cleanup_staged_snapshot(table.metadata, snap)
+
+
+def _cleanup_staged_snapshot(tm: TableMetadata, snap: dict) -> None:
+    """Best-effort removal of everything one uncommitted snapshot wrote:
+    its ADDED data/delete files, the manifests it authored, and its
+    manifest list. Carried-forward manifests (added by earlier committed
+    snapshots) are left alone."""
+    from ..metadata import manifest as mf
+    from ..plans.scan_plan import _localize
+    from .. import io as fio
+
+    sid = snap.get("snapshot-id")
+    ml = snap.get("manifest-list")
+    if not ml:
+        return
+
+    def _rm(path: str) -> None:
+        try:
+            fio.get_io(path).remove(path)
+        except Exception:
+            pass  # best-effort: an already-missing file is fine
+
+    try:
+        manifests = mf.read_manifest_list(_localize(tm, ml))
+    except Exception:
+        _rm(_localize(tm, ml))
+        return
+    for m in manifests:
+        if m.added_snapshot_id != sid:
+            continue  # carried forward from a committed snapshot
+        mp = _localize(tm, m.manifest_path)
+        try:
+            for e in mf.read_manifest(mp):
+                if e.status == mf.STATUS_ADDED and e.snapshot_id == sid:
+                    _rm(_localize(tm, e.data_file.file_path))
+        except Exception:
+            pass
+        _rm(mp)
+    _rm(_localize(tm, ml))

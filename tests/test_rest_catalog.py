@@ -1404,3 +1404,43 @@ def test_staleness_invalid_and_overflow(stub):
         _staleness_catalog(base, "blah blah")
     with pytest.raises(ValueError, match="out of range"):
         _staleness_catalog(base, "1000000 years")
+
+
+def test_transaction_rollback_cleans_staged_files(stub, spark, sf_dir, tmp_path):
+    """Rolling back an uncommitted transaction leaves the catalog
+    untouched AND removes the storage files the staged change wrote —
+    data, manifests, manifest list (reference:
+    delete/delete_rollback_cleanup.test)."""
+    import glob as _glob
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "rb")
+    write_iceberg(load(spark, sf_dir, "nation"), loc)
+    _register_disk_table(state, loc, name="rb")
+    state.plan_response = None
+    cat = _catalog(base)
+
+    files_before = set(_glob.glob(f"{loc}/**/*", recursive=True))
+    txn = cat.transaction()
+    t = txn.table("db", "rb")
+    delete_from(spark, t, "n_regionkey = 0", mode="merge-on-read")
+    # staged: storage grew, catalog unchanged
+    files_staged = set(_glob.glob(f"{loc}/**/*", recursive=True))
+    assert files_staged > files_before
+    assert len(state.tables[("db", "rb")]["snapshots"]) == 1
+
+    txn.rollback()
+    files_after = set(_glob.glob(f"{loc}/**/*", recursive=True))
+    leftover = {f for f in files_after - files_before
+                if not f.endswith("/")} - {f for f in files_after
+                                           if __import__("os").path.isdir(f)}
+    assert not leftover, f"rollback left staged files behind: {leftover}"
+    assert len(state.tables[("db", "rb")]["snapshots"]) == 1
+    got = scan_rest_table(spark, cat.load_table("db", "rb"),
+                          server_planning=False)
+    assert got.count() == 25  # all rows intact

@@ -236,3 +236,47 @@ def test_equality_delete_nested_struct_field(spark, tmp_path):
     out = iceberg_scan(spark, loc).select("marker").collect()
     assert sorted(r.marker for r in out) == [
         "keep-1", "keep-3", "keep-null-key", "keep-null-struct"]
+
+
+def test_equality_delete_sequencing_multiple_nested_signatures(spark, tmp_path):
+    """Two nested-keyed equality deletes at different sequence numbers:
+    each applies only to data files written BEFORE it (reference:
+    equality_deletes/test_equality_delete_extra_columns_per_file.test —
+    id=6 survives the earlier key=2 delete, id=7 survives both)."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.dml import equality_delete
+
+    def payload(key, label):
+        return (((((key, label),),),),)
+
+    schema = ("id int, payload struct<nested: struct<deeper: struct<"
+              "even_deeper: struct<deepest: struct<key: int, "
+              "label: string>>>>>, marker string")
+    key_path = "payload.nested.deeper.even_deeper.deepest.key"
+    label_path = "payload.nested.deeper.even_deeper.deepest.label"
+
+    loc = str(tmp_path / "eq_seq")
+    write_iceberg(spark.createDataFrame([
+        (1, payload(1, "one"), "keep-old"),
+        (2, payload(2, "two"), "delete-by-key"),
+        (3, payload(3, "shared"), "delete-old-by-label"),
+    ], schema), loc)
+    equality_delete(spark, loc,
+                    spark.createDataFrame([(2,)], "key int"), [key_path])
+    write_iceberg(spark.createDataFrame([
+        (4, payload(4, "four"), "keep-newer"),
+        (5, payload(5, "shared"), "delete-newer-by-label"),
+        (6, payload(2, "six"), "key-delete-does-not-apply"),
+    ], schema), loc)
+    equality_delete(spark, loc,
+                    spark.createDataFrame([("shared",)], "label string"),
+                    [label_path])
+    write_iceberg(spark.createDataFrame([
+        (7, payload(2, "shared"), "both-deletes-do-not-apply"),
+    ], schema), loc)
+
+    got = {r.id: r.marker
+           for r in iceberg_scan(spark, loc).select("id", "marker").collect()}
+    assert got == {1: "keep-old", 4: "keep-newer",
+                   6: "key-delete-does-not-apply",
+                   7: "both-deletes-do-not-apply"}

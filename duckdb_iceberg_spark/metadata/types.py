@@ -389,10 +389,17 @@ def decode_bound(t: Any, b: bytes | None) -> Any:
     if name == "int":
         return struct.unpack("<i", b)[0]
     if name in ("long", "time"):
+        # type promotion: an int→long widened column keeps 4-byte bounds
+        # written under the old type (spec Appendix D reader requirement)
+        if len(b) == 4:
+            return struct.unpack("<i", b)[0]
         return struct.unpack("<q", b)[0]
     if name == "float":
         return struct.unpack("<f", b)[0]
     if name == "double":
+        # float→double promotion: accept 4-byte bounds (spec Appendix D)
+        if len(b) == 4:
+            return struct.unpack("<f", b)[0]
         return struct.unpack("<d", b)[0]
     if name == "date":
         return _EPOCH_DATE + _dt.timedelta(days=struct.unpack("<i", b)[0])

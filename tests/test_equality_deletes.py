@@ -280,3 +280,31 @@ def test_equality_delete_sequencing_multiple_nested_signatures(spark, tmp_path):
     assert got == {1: "keep-old", 4: "keep-newer",
                    6: "key-delete-does-not-apply",
                    7: "both-deletes-do-not-apply"}
+
+
+def test_equality_delete_survives_type_widening(spark, tmp_path):
+    """Equality deletes written before a column widening still apply, and
+    4-byte bounds written under the old type decode under the promoted
+    type (spec Appendix D reader requirement; reference:
+    test_equality_delete_schema_evolution_integer_to_bigint.test /
+    float_to_double.test)."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources import ddl
+    from duckdb_iceberg_spark.sources.dml import equality_delete
+
+    loc = str(tmp_path / "widen_int")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, v string"), loc)
+    equality_delete(spark, loc,
+                    spark.createDataFrame([(2,)], "id int"), ["id"])
+    ddl.widen_column(loc, "id", "long")
+    assert sorted(r.id for r in iceberg_scan(spark, loc).collect()) == [1, 3]
+
+    loc2 = str(tmp_path / "widen_float")
+    write_iceberg(spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)], "id int, x float"), loc2)
+    equality_delete(spark, loc2,
+                    spark.createDataFrame([(1,)], "id int"), ["id"])
+    ddl.widen_column(loc2, "x", "double")
+    out = iceberg_scan(spark, loc2).collect()
+    assert [(r.id, r.x) for r in out] == [(2, 2.5)]

@@ -14,7 +14,7 @@ ROWS_ONLY = {"ice_bucket_fn", "emb_ivf_topk", "emb_knn_join_bucketed"}
 def test_window_holds_reference_surface_and_rotation():
     """Round-5 rotation (queries() docstring): every ice_* query is always
     in-window (the reference's own surface), the full TPC-H set is rotated
-    IN this round, and four LLM-pipeline spot checks stay; the remaining
+    IN this round, and three LLM-pipeline spot checks stay; the remaining
     LLM/streaming/multimodal entries are parked for r6 after going green in
     r4. An entry may leave the window only via a documented rotation, never
     via an accidental insertion above it."""
@@ -28,8 +28,9 @@ def test_window_holds_reference_surface_and_rotation():
     assert set(tpch) <= window, (
         f"{sorted(set(tpch) - window)} rotated-in TPC-H queries fell past "
         "the window")
-    spot_checks = {"docs_minhash_dedup", "docs_ngram_dedup",
-                   "emb_lsh_topk", "emb_neardup"}
+    # r5: ice_delete_using_scan joined the always-in-window reference
+    # surface, displacing emb_neardup (driver-green in r4) to 51+
+    spot_checks = {"docs_minhash_dedup", "docs_ngram_dedup", "emb_lsh_topk"}
     assert spot_checks <= window
     assert len(keys) >= 50 and len(window) == 50
 

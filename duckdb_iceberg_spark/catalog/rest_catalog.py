@@ -24,7 +24,7 @@ import urllib.request
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
-from ..metadata.table_metadata import TableMetadata
+from ..metadata.table_metadata import Snapshot, TableMetadata
 
 
 class CatalogError(RuntimeError):
@@ -643,15 +643,27 @@ class _StagedTable:
         self.catalog = table.catalog
 
     def refresh(self) -> "_StagedTable":
-        self._table.refresh()
-        self.metadata = self._table.metadata
+        # inside a transaction, "refresh" returns the STAGED view (base +
+        # staged snapshots), never the catalog tip — a mid-transaction
+        # catalog refresh would discard the chain
         return self
 
     def commit_snapshot(self, snapshot_json: dict, *,
                         operation: str = "append", rebuild_fn=None) -> dict:
         # staged: conflicts surface at CatalogTransaction.commit(); the
-        # rebuilder is unused because nothing is POSTed here
+        # rebuilder is unused because nothing is POSTed here. The snapshot
+        # is applied to the LOCAL metadata copy so later statements in the
+        # same transaction read and chain onto the staged state (reference:
+        # test_delete_consolidation_transactional.test — insert + two
+        # deletes on one table inside one BEGIN).
         self._txn._stage(self._table, snapshot_json)
+        snap = Snapshot.from_json(snapshot_json)
+        tm = self.metadata
+        tm.snapshots.append(snap)
+        tm.current_snapshot_id = snap.snapshot_id
+        tm.last_sequence_number = max(tm.last_sequence_number,
+                                      snap.sequence_number)
+        tm.refs["main"] = {"snapshot-id": snap.snapshot_id, "type": "branch"}
         return {}
 
     # convenience parity with RestTable
@@ -682,33 +694,48 @@ class CatalogTransaction:
         return _StagedTable(self.catalog.load_table(namespace, name), self)
 
     def _stage(self, table: RestTable, snapshot_json: dict) -> None:
-        for t, _ in self._staged:
-            if (t.namespace, t.name) == (table.namespace, table.name):
-                raise ValueError(
-                    f"table {table.name!r} already has a staged snapshot in "
-                    "this transaction (one change per table per commit)")
+        # multiple snapshots per table chain in staging order (the staged
+        # metadata advances between them, _StagedTable.commit_snapshot)
         self._staged.append((table, snapshot_json))
 
     def commit(self) -> dict:
         if not self._staged:
             return {}
-        changes = []
+        # group chained snapshots per table, preserving staging order:
+        # one change entry per table, its updates adding every staged
+        # snapshot then pointing main at the last (the base requirement is
+        # the FIRST staged snapshot's parent — the catalog state when the
+        # transaction began)
+        per_table: dict[tuple, list] = {}
+        order: list[tuple] = []
+        tables: dict[tuple, RestTable] = {}
         for table, snap in self._staged:
+            key = (self.catalog._ns(table.namespace), table.name)
+            if key not in per_table:
+                per_table[key] = []
+                order.append(key)
+                tables[key] = table
+            per_table[key].append(snap)
+        changes = []
+        for key in order:
+            table, snaps = tables[key], per_table[key]
             ns = (table.namespace.split(".")
                   if isinstance(table.namespace, str) else list(table.namespace))
+            base = snaps[0].get("parent-snapshot-id")
+            updates = [{"action": "add-snapshot", "snapshot": s_}
+                       for s_ in snaps]
+            updates.append({"action": "set-snapshot-ref", "ref-name": "main",
+                            "type": "branch",
+                            "snapshot-id": snaps[-1]["snapshot-id"]})
             changes.append({
                 "identifier": {"namespace": ns, "name": table.name},
                 "requirements": [
                     {"type": "assert-table-uuid",
                      "uuid": table.metadata.table_uuid},
                     {"type": "assert-ref-snapshot-id", "ref": "main",
-                     "snapshot-id": table.metadata.current_snapshot_id},
+                     "snapshot-id": base},
                 ],
-                "updates": [
-                    {"action": "add-snapshot", "snapshot": snap},
-                    {"action": "set-snapshot-ref", "ref-name": "main",
-                     "type": "branch", "snapshot-id": snap["snapshot-id"]},
-                ],
+                "updates": updates,
             })
         resp = self.catalog.commit_transaction(changes)
         staged, self._staged = self._staged, []

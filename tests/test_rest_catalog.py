@@ -1061,12 +1061,15 @@ def test_multi_table_data_plane_transaction(stub, spark, sf_dir, tmp_path):
                             server_planning=False)
     assert got_b.count() == 20 and got_b.filter("n_regionkey = 0").count() == 0
 
-    # a second staged change on the same table in one txn is rejected
+    # a second staged change on the same table CHAINS onto the first
+    # (reference: test_delete_consolidation_transactional.test)
     txn2 = cat.transaction()
     t2 = txn2.table("db", "a")
     t2.append(spark, load(spark, sf_dir, "region"))
-    with pytest.raises(ValueError, match="already has a staged snapshot"):
-        t2.append(spark, load(spark, sf_dir, "region"))
+    t2.append(spark, load(spark, sf_dir, "region"))
+    txn2.commit()
+    assert scan_rest_table(spark, cat.load_table("db", "a"),
+                           server_planning=False).count() == 20  # 10 + 2x5
 
 
 def test_rest_compaction_replace_commit(stub, spark, sf_dir, tmp_path):
@@ -1444,3 +1447,41 @@ def test_transaction_rollback_cleans_staged_files(stub, spark, sf_dir, tmp_path)
     got = scan_rest_table(spark, cat.load_table("db", "rb"),
                           server_planning=False)
     assert got.count() == 25  # all rows intact
+
+
+def test_transaction_chained_dml_on_one_table(stub, spark, sf_dir, tmp_path):
+    """Insert + two deletes on ONE table inside one transaction: each
+    statement plans against the staged state, reads inside the
+    transaction see it, and a single atomic commit lands the chain
+    (reference: delete/test_delete_consolidation_commit.test /
+    _transactional.test)."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "chain")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, chr(96 + i)) for i in range(1, 6)], "id int, data string"),
+        loc)
+    _register_disk_table(state, loc, name="chain")
+    state.plan_response = None
+    cat = _catalog(base)
+
+    txn = cat.transaction()
+    t = txn.table("db", "chain")
+    delete_from(spark, t, "id IN (2, 4)", mode="merge-on-read")
+    # staged state visible mid-transaction through the staged handle
+    assert scan_rest_table(spark, t, server_planning=False).count() == 3
+    delete_from(spark, t, "id = 5", mode="merge-on-read")
+    assert scan_rest_table(spark, t, server_planning=False).count() == 2
+    # catalog untouched until commit
+    assert len(state.tables[("db", "chain")]["snapshots"]) == 1
+    txn.commit()
+    snaps = state.tables[("db", "chain")]["snapshots"]
+    assert len(snaps) == 3  # base insert + two chained deletes
+    got = scan_rest_table(spark, cat.load_table("db", "chain"),
+                          server_planning=False)
+    assert sorted(r.id for r in got.collect()) == [1, 3]

@@ -59,6 +59,13 @@ class IcebergStreamReader(DataSourceStreamReader):
             snap = tm.snapshot_by_id(int(starting))
             self._initial = {"snapshot_id": snap.snapshot_id,
                              "sequence_number": snap.sequence_number}
+        # rate limiting: at most N append-snapshots advance per microbatch
+        # (Apache Spark-connector analogue of maxFilesPerTrigger — bounds a
+        # catch-up over a long backlog to executor-sized batches)
+        mx = options.get("maxsnapshotspertrigger",
+                         options.get("max_snapshots_per_trigger"))
+        self._max_snaps = int(mx) if mx is not None else None
+        self._last_end = dict(self._initial)
 
     # -- offsets ------------------------------------------------------------
 
@@ -70,11 +77,30 @@ class IcebergStreamReader(DataSourceStreamReader):
         cur = tm.current_snapshot()
         if cur is None:
             return self._initial
-        return {"snapshot_id": cur.snapshot_id, "sequence_number": cur.sequence_number}
+        tip = {"snapshot_id": cur.snapshot_id,
+               "sequence_number": cur.sequence_number}
+        if self._max_snaps is None:
+            return tip
+        pending = appended_snapshots(
+            tm, self._last_end.get("snapshot_id"), cur.snapshot_id,
+            on_non_append="skip")
+        if len(pending) <= self._max_snaps:
+            self._last_end = tip
+            return tip
+        bounded = pending[self._max_snaps - 1]
+        self._last_end = {"snapshot_id": bounded.snapshot_id,
+                          "sequence_number": bounded.sequence_number}
+        return dict(self._last_end)
 
     # -- planning -----------------------------------------------------------
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # keep the rate-limit cursor ahead of every engine-visible offset:
+        # on restart the reader is rebuilt, and bounding from a stale
+        # cursor must never hand the engine an offset behind the
+        # checkpointed start
+        if end.get("sequence_number", 0) > self._last_end.get("sequence_number", 0):
+            self._last_end = dict(end)
         start_id = start.get("snapshot_id")
         end_id = end.get("snapshot_id")
         if end_id is None or start_id == end_id:

@@ -254,3 +254,36 @@ def test_iceberg_sink_with_real_stream(spark, tmp_path):
 
     got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
     assert got == list(range(30))
+
+
+def test_stream_rate_limit_max_snapshots_per_trigger(spark, tmp_path):
+    """maxSnapshotsPerTrigger bounds each microbatch to N append
+    snapshots — a catch-up over a long backlog proceeds in bounded
+    batches instead of one giant one (Spark-connector
+    maxFilesPerTrigger analogue)."""
+    loc = str(tmp_path / "tbl_rate")
+    ckpt = str(tmp_path / "ckpt_rate")
+    out = str(tmp_path / "out_rate")
+    for lo in range(0, 40, 10):
+        write_iceberg(
+            spark.range(lo, lo + 10).selectExpr("id", "id * 2 AS v"), loc)
+
+    register_stream_source(spark)
+
+    def run_once():
+        df = (spark.readStream.format("iceberg_inc")
+              .option("path", loc).option("starting", "earliest")
+              .option("maxSnapshotsPerTrigger", "1").load())
+        q = (df.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return sorted(r.id for r in spark.read.parquet(out).collect())
+
+    # each availableNow run advances AT MOST one append snapshot (the
+    # trigger pins latestOffset once, and the reader bounds it)
+    assert run_once() == list(range(10))
+    assert run_once() == list(range(20))
+    assert run_once() == list(range(30))
+    assert run_once() == list(range(40))

@@ -1521,6 +1521,42 @@ def stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_orders_changelog(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Changelog fixture: even-key orders, then append odd-key orders,
+    then a MoR delete of key%7=0 — two change ordinals after snapshot 1."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.dml import delete_from
+
+        orders = _pq(spark, sf_dir, "orders")
+        tm = write_iceberg(orders.filter("o_orderkey % 2 = 0"), loc)
+        first = tm.current_snapshot_id
+        write_iceberg(orders.filter("o_orderkey % 2 = 1"), loc)
+        delete_from(spark, loc, "o_orderkey % 7 = 0", mode="merge-on-read")
+        with open(os.path.join(loc, "_SNAP1"), "w") as fh:
+            fh.write(str(first))
+
+    loc = _build_once(sf_dir, "orders_changelog", build)
+    with open(os.path.join(loc, "_SNAP1")) as fh:
+        return loc, int(fh.read())
+
+
+def stream_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between snapshots: ordinal 0 inserts the odd-key
+    append, ordinal 1 deletes the key%7=0 rows (MoR positional deletes
+    diffed per touched file)."""
+    from duckdb_iceberg_spark.streaming.changelog import changelog_scan
+
+    loc, snap1 = _ice_orders_changelog(spark, sf_dir)
+    ch = changelog_scan(spark, loc, from_snapshot_id=snap1)
+    return (
+        ch.groupBy("_change_ordinal", "_change_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("o_orderkey").alias("key_sum"))
+        .orderBy("_change_ordinal", "_change_type")
+    )
+
+
 def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window over the events table (unified helper —
     identical semantics on readStream inputs)."""
@@ -1777,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_join_bucketed": emb_knn_join_bucketed,
         "emb_ivf_topk": emb_ivf_topk,
         "stream_incremental": stream_incremental,
+        "stream_changelog": stream_changelog,
         "stream_sink_roundtrip": stream_sink_roundtrip,
         "stream_tumbling_events": stream_tumbling_events,
         "stream_session_events": stream_session_events,
@@ -2672,6 +2709,15 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT q_id, vec_id, "rank" FROM ranked
             WHERE "rank" <= 5 ORDER BY q_id, "rank"
+        """,
+        "stream_changelog": """
+            SELECT 0 AS _change_ordinal, 'insert' AS _change_type,
+                   count(*) AS cnt, sum(o_orderkey) AS key_sum
+            FROM orders WHERE o_orderkey % 2 = 1
+            UNION ALL
+            SELECT 1, 'delete', count(*), sum(o_orderkey)
+            FROM orders WHERE o_orderkey % 7 = 0
+            ORDER BY _change_ordinal, _change_type
         """,
         "stream_incremental": """
             SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey

@@ -1,6 +1,7 @@
 """Structured Streaming over Iceberg: incremental scans, a Python Data
 Source stream reader, and event-time window helpers."""
 
+from .changelog import changelog_scan  # noqa: F401
 from .incremental import appended_snapshots, incremental_scan  # noqa: F401
 from .sink import iceberg_sink, last_committed_batch  # noqa: F401
 from .source import (  # noqa: F401

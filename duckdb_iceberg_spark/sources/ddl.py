@@ -162,19 +162,38 @@ def rename_column(location: str, old: str, new: str) -> TableMetadata:
 
 
 def widen_column(location: str, name: str, new_type: str) -> TableMetadata:
-    """ALTER TYPE — widenings only (int→long, float→double, decimal scale-
-    preserving precision increase), per iceberg_schema_entry.cpp:488-497."""
+    """ALTER TYPE — widenings only: int→long, float→double, decimal
+    scale-preserving precision increase, and date→timestamp
+    (date→timestamp_ns is v3-only), per
+    iceberg_schema_entry.cpp VerifySchemaEvolution:173-255. Refused when
+    the column sources a sort-order field (any change) or, for the date
+    promotions, a partition field — the transform's serialized values
+    would silently change meaning."""
     tm = _load(location)
     sch = _next_schema(tm)
     for f in sch["fields"]:
         if f["name"] != name:
             continue
         old_t = f["type"]
+        order = tm.default_sort_order()
+        if any(sf.source_id == f["id"] for sf in order.fields):
+            raise ValueError(
+                f"cannot alter {name!r}: a sort order refers to the column")
         ok = (old_t, new_type) in _WIDENINGS
         if not ok and isinstance(old_t, str) and old_t.startswith("decimal") and new_type.startswith("decimal"):
             op, os_ = ice_types.decimal_precision_scale(old_t)
             np_, ns_ = ice_types.decimal_precision_scale(new_type)
             ok = ns_ == os_ and np_ >= op
+        if not ok and old_t == "date" and new_type in ("timestamp", "timestamp_ns"):
+            for spec in tm.partition_specs.values():
+                if any(pf.source_id == f["id"] for pf in spec.fields):
+                    raise ValueError(
+                        f"cannot alter {name!r}: a partition field refers "
+                        "to the column")
+            if new_type == "timestamp_ns" and tm.format_version < 3:
+                raise ValueError(
+                    "DATE to TIMESTAMP_NS is an Iceberg V3 feature")
+            ok = True
         if not ok:
             raise ValueError(f"cannot widen {old_t} → {new_type}")
         f["type"] = new_type

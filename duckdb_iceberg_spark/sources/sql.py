@@ -383,6 +383,7 @@ _SQL_TO_ICE_TYPE = {
     "VARCHAR": "string", "TEXT": "string", "STRING": "string",
     "DATE": "date", "TIME": "time",
     "TIMESTAMP": "timestamp", "TIMESTAMPTZ": "timestamptz",
+    "TIMESTAMP_NS": "timestamp_ns", "TIMESTAMPTZ_NS": "timestamptz_ns",
     "TIMESTAMP WITH TIME ZONE": "timestamptz",
     "BLOB": "binary", "BINARY": "binary", "BYTEA": "binary",
     "UUID": "uuid",

@@ -5,6 +5,8 @@ iceberg_multi_file_reader.cpp:100-115)."""
 
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.conftest import load
@@ -136,3 +138,46 @@ def test_nested_rename_and_drop(spark, tmp_path):
     drop_column(loc, "s.y")
     row = iceberg_scan(spark, loc).where("id = 1").collect()[0]
     assert row.s.asDict() == {"ex": 10}
+
+
+def test_widen_date_to_timestamp(spark, tmp_path):
+    """date → timestamp promotion (reference: alter/alter_type.test,
+    alter_type_v3.test): pre-promotion files read back at midnight, new
+    files carry full timestamps; date→timestamp_ns is v3-gated; promotion
+    refused when a partition field or sort order refers to the column."""
+    import datetime as dt
+
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources import ddl
+
+    loc = str(tmp_path / "d2ts")
+    write_iceberg(spark.sql("SELECT DATE'1934-11-05' AS d"), loc)
+    ddl.widen_column(loc, "d", "timestamp")
+    write_iceberg(spark.sql("SELECT TIMESTAMP'2013-11-23 19:53:12' AS d"), loc)
+    got = sorted(r.d for r in iceberg_scan(spark, loc).collect())
+    assert got == [dt.datetime(1934, 11, 5, 0, 0),
+                   dt.datetime(2013, 11, 23, 19, 53, 12)]
+
+    # v3 gate for timestamp_ns
+    loc2 = str(tmp_path / "d2ns_v2")
+    write_iceberg(spark.sql("SELECT DATE'2000-01-01' AS d"), loc2)
+    with pytest.raises(ValueError, match="V3 feature"):
+        ddl.widen_column(loc2, "d", "timestamp_ns")
+    loc3 = str(tmp_path / "d2ns_v3")
+    write_iceberg(spark.sql("SELECT DATE'2000-01-01' AS d"), loc3,
+                  format_version=3)
+    ddl.widen_column(loc3, "d", "timestamp_ns")
+
+    # partition guard: hour(d)-partitioned column cannot be promoted
+    loc4 = str(tmp_path / "d2ts_part")
+    write_iceberg(spark.sql("SELECT DATE'2000-01-01' AS d, 1 AS x"), loc4,
+                  partition_by=["d"])
+    with pytest.raises(ValueError, match="partition field"):
+        ddl.widen_column(loc4, "d", "timestamp")
+
+    # sort-order guard: ANY type change on a sort column is refused
+    loc5 = str(tmp_path / "sorted_int")
+    write_iceberg(spark.range(5).selectExpr("CAST(id AS INT) AS k"), loc5,
+                  sort_by=["k"])
+    with pytest.raises(ValueError, match="sort order"):
+        ddl.widen_column(loc5, "k", "long")

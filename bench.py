@@ -71,13 +71,17 @@ HEADLINE = [
     "ice_merge_conditional",
     "ice_dynamic_prune_join",
     "ice_objectstore_scan",
+    "ice_delete_using_scan",
     "docs_exact_dedup",
     "docs_simhash",
     "docs_lang_scores",
     "docs_minhash_dedup",
     "emb_cosine_topk",
     "emb_ivf_topk",
+    "docs_stratified_sample",
+    "docs_pack_sequences",
     "stream_tumbling_events",
+    "stream_changelog",
     "mm_frame_sample",
 ]
 

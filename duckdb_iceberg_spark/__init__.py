@@ -9,6 +9,7 @@ Catalyst-optimized DataFrames.
 from .session import get_spark
 from .sources.scan import iceberg_scan, iceberg_count, scan_with_runtime_filter
 from .sources.sql import attach_catalog, execute_sql, refresh_table, register_table
+from .sources.ducklake import iceberg_to_ducklake
 from .sources.writer import create_table, write_iceberg
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "refresh_table",
     "scan_with_runtime_filter",
     "attach_catalog",
+    "iceberg_to_ducklake",
 ]

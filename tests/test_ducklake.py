@@ -141,3 +141,43 @@ def test_multi_table_and_skip(spark, tmp_path):
     snaps = [r[0] for r in con.execute(
         "SELECT snapshot_id FROM ducklake_snapshot ORDER BY snapshot_id").fetchall()]
     assert snaps == list(range(len(snaps)))
+
+
+def test_migrated_catalog_queryable_with_plain_sql(spark, tmp_path):
+    """The migrated catalog is usable by ANY engine with parquet + SQL —
+    no ducklake extension needed: reconstruct the tip table state from
+    ducklake_data_file / ducklake_delete_file with read_parquet and an
+    anti-join on (path, rowid), and compare VALUES against iceberg_scan."""
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    loc = str(tmp_path / "q")
+    write_iceberg(spark.range(50).selectExpr(
+        "CAST(id AS INT) AS id", "concat('v', id) AS v"), loc)
+    delete_from(spark, loc, "id % 5 = 0", mode="merge-on-read")
+
+    db = str(tmp_path / "q.duckdb")
+    iceberg_to_ducklake({"q": loc}, db)
+    con = duckdb.connect(db)
+    live = [r[0] for r in con.execute(
+        "SELECT path FROM ducklake_data_file WHERE end_snapshot IS NULL").fetchall()]
+    dels = [r[0] for r in con.execute(
+        "SELECT path FROM ducklake_delete_file "
+        "WHERE end_snapshot IS NULL AND format = 'parquet'").fetchall()]
+    def lst(paths):
+        return "[" + ", ".join("'" + p.replace("'", "''") + "'"
+                               for p in paths) + "]"
+
+    got = con.execute(f"""
+        WITH rows_ AS (
+          SELECT d.id, d.v, d.filename AS fp,
+                 row_number() OVER (PARTITION BY d.filename ORDER BY d.file_row_number) - 1 AS pos
+          FROM read_parquet({lst(live)}, filename=true, file_row_number=true) d
+        ), dels AS (
+          SELECT file_path AS fp, pos FROM read_parquet({lst(dels)})
+        )
+        SELECT r.id, r.v FROM rows_ r
+        ANTI JOIN dels d ON r.fp = d.fp AND r.pos = d.pos
+        ORDER BY id
+    """).fetchall()
+    want = sorted((r.id, r.v) for r in iceberg_scan(spark, loc).collect())
+    assert got == want and len(got) == 40

@@ -259,3 +259,54 @@ def test_uuid_fixed16_reads_on_object_store(spark, mock_fs):
     ])
     got = {r.id: r.u for r in ad.read_parquet(spark, [path], schema).collect()}
     assert got == {1: str(u1), 2: str(u2)}
+
+
+def test_minimal_metadata_requests_per_scan(spark, mock_fs):
+    """Request-count profile of one steady-state scan (the reference's
+    test_minimal_head_requests / test_requests_to_partitioned_table
+    analogue — its timed runs simulate 3 ms per object-store request, so
+    request COUNT is the scale variable): planning one snapshot reads the
+    metadata JSON, the manifest list, and each live manifest exactly
+    once, with at most a handful of existence probes for version
+    resolution — never per data file."""
+    loc = "mock://bucket/minreq"
+    df = spark.range(200).selectExpr("CAST(id AS INT) AS id",
+                                     "id % 4 AS grp")
+    write_iceberg(df, loc)
+    write_iceberg(df, loc)  # second snapshot/manifest
+
+    io = fio.get_io(loc)
+    calls = {"read": [], "exists": [], "size": []}
+    orig_read, orig_exists, orig_size = io.read_bytes, io.exists, io.size
+
+    def read_bytes(path, *a, **kw):
+        calls["read"].append(path)
+        return orig_read(path, *a, **kw)
+
+    def exists(path):
+        calls["exists"].append(path)
+        return orig_exists(path)
+
+    def size(path):
+        calls["size"].append(path)
+        return orig_size(path)
+
+    io.read_bytes, io.exists, io.size = read_bytes, exists, size
+    try:
+        from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+        from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+        tm = load_table_metadata(loc)
+        plan = plan_scan(tm, tm.select_snapshot(), None)
+    finally:
+        io.read_bytes, io.exists, io.size = orig_read, orig_exists, orig_size
+
+    n_files = len(plan.tasks)
+    assert n_files >= 2
+    meta_reads = [p for p in calls["read"] if ".parquet" not in p]
+    # metadata json + manifest list + per-snapshot manifests — strictly
+    # O(#manifests), never O(#data files)
+    assert len(meta_reads) <= 2 + 8, meta_reads
+    assert not any(".parquet" in p for p in calls["read"]), (
+        "planning opened a data file")
+    assert len(calls["exists"]) <= 4, calls["exists"]

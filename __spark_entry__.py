@@ -1379,6 +1379,25 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the upper-half batch deduped against the
+    lower-half corpus (one anti-join on DISTINCT corpus fingerprints)."""
+    from duckdb_iceberg_spark.operators.dedup import incremental_exact_dedup
+
+    docs = _pq(spark, sf_dir, "documents")
+    mid = 250
+    corpus = docs.filter(F.col("doc_id") < mid)
+    new = docs.filter(F.col("doc_id") >= mid)
+    out = incremental_exact_dedup(new, corpus)
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
 def docs_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_iceberg_spark.operators.text import language_scores
 
@@ -1804,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": docs_quality,
         "docs_fingerprint": docs_fingerprint,
         "docs_stratified_sample": docs_stratified_sample,
+        "docs_incremental_dedup": docs_incremental_dedup,
         "docs_pack_sequences": docs_pack_sequences,
         "docs_lang_scores": docs_lang_scores,
         "docs_simhash": docs_simhash,
@@ -2646,6 +2666,21 @@ def oracle_sql() -> dict[str, str]:
                                ELSE len(string_split_regex(trim(text), '\\s+')) END), 6) AS avg_token_len
             FROM documents WHERE length(text) > 0
             ORDER BY doc_id LIMIT 1000
+        """,
+        "docs_incremental_dedup": f"""
+            WITH new_docs AS (
+              SELECT *, {_FP_SQL} AS fp FROM documents WHERE doc_id >= 250
+            ), firsts AS (
+              SELECT * FROM new_docs
+              WHERE doc_id IN (SELECT min(doc_id) FROM new_docs GROUP BY fp)
+            ), corpus AS (
+              SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE doc_id < 250
+            )
+            SELECT lang, count(*) AS cnt, min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM firsts f WHERE NOT EXISTS (
+                SELECT 1 FROM corpus c WHERE c.fp = f.fp)
+            GROUP BY lang ORDER BY lang
         """,
         "docs_stratified_sample": """
             SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars

@@ -58,6 +58,30 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus: keep one row per
+    fingerprint among the new docs (minimal id), then drop any whose
+    fingerprint already exists in the corpus — the incremental-ingest
+    shape of a training pipeline (each day's crawl dedups against the
+    lake, never rescanning it quadratically).
+
+    Scale: the corpus side reduces to DISTINCT fingerprints before the
+    anti-join (one shuffle each side on the 32-byte key; at 100 TB the
+    corpus fingerprint set is the only state, and a pre-computed
+    fingerprint column turns the corpus scan into a single-column read)."""
+    new_fp = new_df.withColumn("__fp", doc_fingerprint(text_col))
+    keep = new_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    firsts = new_fp.join(keep, [id_col, "__fp"], "left_semi")
+    seen = corpus_df.select(
+        doc_fingerprint(text_col).alias("__fp")).distinct()
+    return firsts.join(seen, "__fp", "left_anti").drop("__fp")
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(fingerprint, n_dupes, keep_id) for groups with >1 member."""
     return (

@@ -63,6 +63,14 @@ class RestCatalogConfig:
     #: test_max_table_staleness.test): loadTable responses are served from
     #: cache within the window; None disables caching (every read re-GETs)
     max_table_staleness: str | float | None = None
+    #: catalog-compatibility toggles (reference ATTACH options,
+    #: attach_options/horizon_compatible_writes.test): some hosted
+    #: catalogs lack /transactions/commit or reject stage-create
+    disable_multi_table_commit: bool = False
+    stage_create_tables: bool = False
+    #: when False, expire_snapshots and transaction rollback never delete
+    #: storage files (catalog-managed storage cleans up itself)
+    remove_files_on_delete: bool = True
 
 
 _GLUE_WAREHOUSE_FORMS = (
@@ -353,9 +361,11 @@ class RestCatalog:
                      *, location: str | None = None,
                      partition_spec: dict | None = None,
                      properties: dict[str, str] | None = None,
-                     stage_create: bool = False) -> "RestTable":
+                     stage_create: bool | None = None) -> "RestTable":
         """reference: physical_iceberg_create_table.cpp — stage-create, then
         the first append commits it."""
+        if stage_create is None:
+            stage_create = self.config.stage_create_tables
         body: dict[str, Any] = {
             "name": name, "schema": schema,
             "stage-create": stage_create,
@@ -737,7 +747,20 @@ class CatalogTransaction:
                 ],
                 "updates": updates,
             })
-        resp = self.catalog.commit_transaction(changes)
+        if self.catalog.config.disable_multi_table_commit:
+            # compatibility fallback (ATTACH disable_multi_table_commit,
+            # horizon_compatible_writes.test): catalogs without
+            # /transactions/commit take one CommitTableRequest per table —
+            # per-table atomicity only; a later failure leaves earlier
+            # tables committed
+            resp = {}
+            for change in changes:
+                ident = change["identifier"]
+                resp = self.catalog.commit_table(
+                    tuple(ident["namespace"]), ident["name"],
+                    change["requirements"], change["updates"])
+        else:
+            resp = self.catalog.commit_transaction(changes)
         staged, self._staged = self._staged, []
         for table, _ in staged:
             table.refresh()
@@ -751,6 +774,8 @@ class CatalogTransaction:
         delete/delete_rollback_cleanup.test — files written by a
         rolled-back DELETE are cleaned up)."""
         staged, self._staged = self._staged, []
+        if not self.catalog.config.remove_files_on_delete:
+            return
         for table, snap in staged:
             _cleanup_staged_snapshot(table.metadata, snap)
 

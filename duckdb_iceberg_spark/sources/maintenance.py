@@ -240,6 +240,10 @@ def expire_snapshots(
             e for e in tm.snapshot_log if e.get("snapshot-id") not in expired_ids]
         write_table_metadata(tm, location)
 
+    if rest is not None and not rest.catalog.config.remove_files_on_delete:
+        # ATTACH remove_files_on_delete=false (horizon_compatible_writes):
+        # catalog-managed storage cleans itself up — never touch files
+        delete_files = False
     deleted = 0
     if delete_files:
         from .. import io as fio

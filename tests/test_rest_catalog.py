@@ -1485,3 +1485,47 @@ def test_transaction_chained_dml_on_one_table(stub, spark, sf_dir, tmp_path):
     got = scan_rest_table(spark, cat.load_table("db", "chain"),
                           server_planning=False)
     assert sorted(r.id for r in got.collect()) == [1, 3]
+
+
+def test_compatibility_toggles(stub, spark, sf_dir, tmp_path):
+    """ATTACH compatibility options (reference:
+    attach_options/horizon_compatible_writes.test): stage_create_tables
+    default, disable_multi_table_commit falls back to one
+    CommitTableRequest per table, remove_files_on_delete=false keeps
+    rollback from touching storage."""
+    import glob as _glob
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from tests.conftest import load
+
+    base, state = stub
+    cat = RestCatalog(RestCatalogConfig(
+        uri=base,
+        oauth2=OAuth2Config(server_uri=f"{base}/tokens",
+                            client_id="id", client_secret="secret"),
+        disable_multi_table_commit=True,
+        remove_files_on_delete=False,
+    ))
+    loc = str(tmp_path / "compat")
+    write_iceberg(load(spark, sf_dir, "nation"), loc)
+    _register_disk_table(state, loc, name="compat")
+    state.plan_response = None
+
+    # multi-table commit path degraded to per-table commits
+    txn = cat.transaction()
+    t = txn.table("db", "compat")
+    delete_from(spark, t, "n_regionkey = 0", mode="merge-on-read")
+    txn.commit()
+    assert not any(p.endswith("/transactions/commit")
+                   for _m, p in state.requests), (
+        "disable_multi_table_commit still used /transactions/commit")
+    assert len(state.tables[("db", "compat")]["snapshots"]) == 2
+
+    # remove_files_on_delete=false: rollback leaves staged files alone
+    txn2 = cat.transaction()
+    t2 = txn2.table("db", "compat")
+    delete_from(spark, t2, "n_regionkey = 1", mode="merge-on-read")
+    before = set(_glob.glob(f"{loc}/**/*", recursive=True))
+    txn2.rollback()
+    assert set(_glob.glob(f"{loc}/**/*", recursive=True)) == before

@@ -1191,6 +1191,39 @@ def _build_snapshot(
     elif parent_total is not None:
         summary["total-files-size"] = str(
             max(0, int(parent_total) + added_bytes - removed_bytes))
+    # delete-file metrics (reference asserts them per snapshot:
+    # test_snapshot_summary_delete_metrics.test): exact added-* counts
+    # from this commit's delete files; total-delete-files from manifest
+    # counts; per-kind running totals carried from the parent summary,
+    # dropped when delete files were removed/superseded this commit (the
+    # removed cardinality isn't re-read) or the parent lacks the key
+    new_pos = [d for d in (new_delete_files or [])
+               if d.content == mf.CONTENT_POSITION_DELETES]
+    new_eq = [d for d in (new_delete_files or [])
+              if d.content == mf.CONTENT_EQUALITY_DELETES]
+    summary["total-delete-files"] = str(
+        sum(m.added_files_count + m.existing_files_count
+            for m in manifests if m.content == mf.MANIFEST_DELETES))
+    if new_delete_files:
+        summary["added-delete-files"] = str(len(new_delete_files))
+    if new_pos:
+        summary["added-position-delete-files"] = str(len(new_pos))
+        summary["added-position-deletes"] = str(
+            sum(int(d.record_count or 0) for d in new_pos))
+    if new_eq:
+        summary["added-equality-delete-files"] = str(len(new_eq))
+        summary["added-equality-deletes"] = str(
+            sum(int(d.record_count or 0) for d in new_eq))
+    deletes_removed = bool(removed_delete_paths) or bool(superseded_dv_refs)
+    for kind, new_kind in (("position", new_pos), ("equality", new_eq)):
+        key = f"total-{kind}-deletes"
+        parent_v = (prior.summary or {}).get(key) \
+            if (keep_existing and prior is not None) else None
+        added_n = sum(int(d.record_count or 0) for d in new_kind)
+        if prior is None or not keep_existing:
+            summary[key] = str(added_n)
+        elif parent_v is not None and not deletes_removed:
+            summary[key] = str(int(parent_v) + added_n)
     if snap_first_row_id is not None and tm.next_row_id - snap_first_row_id != added_rows:
         # v2->v3 upgrade first commit: retroactive assignment claimed row
         # ids for carried manifests too, so the range is wider than

@@ -296,3 +296,29 @@ def test_merge_cow_broadcasts_source(spark, tmp_path):
     semi = target.join(src, F.expr("tgt.id = src.id"), "left_semi")
     phys = semi._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in phys and "SortMergeJoin" not in phys
+
+
+def test_snapshot_summary_delete_metrics(spark, tmp_path):
+    """Delete snapshots carry the reference's summary metrics
+    (test_snapshot_summary_delete_metrics.test): added/total delete-file
+    counts and position-delete row counts."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    loc = str(tmp_path / "delmetrics")
+    write_iceberg(spark.createDataFrame(
+        [(i, chr(96 + i)) for i in range(1, 6)], "id int, data string")
+        .coalesce(1), loc)
+    delete_from(spark, loc, "id IN (2, 4)", mode="merge-on-read")
+
+    tm = load_table_metadata(loc)
+    snaps = {s.operation: s.summary for s in tm.snapshots}
+    assert snaps["append"]["total-delete-files"] == "0"
+    d = snaps["delete"]
+    assert d["total-data-files"] == "1"
+    assert d["added-delete-files"] == "1"
+    assert d["total-delete-files"] == "1"
+    assert d["added-position-delete-files"] == "1"
+    assert d["added-position-deletes"] == "2"
+    assert d["total-position-deletes"] == "2"

@@ -200,13 +200,45 @@ def _location_of(spark: SparkSession, name: str) -> tuple[str, str]:
 
 
 def _result_df(spark: SparkSession, op: str, view: str, tm: Any) -> DataFrame:
+    """(operation, target, snapshot_id, rows) — ``rows`` is the affected
+    row count the reference's DML returns (INSERT/DELETE emit counts in
+    its sqllogictests, e.g. delete_join.test's ``500``), derived from the
+    committed snapshot's summary: added-records for appends,
+    position/equality-delete rows for MoR deletes, and the total-records
+    delta for copy-on-write rewrites (NULL when no summary is present or
+    the parent total is unknown)."""
     snap = getattr(tm, "current_snapshot", None)
-    snap_id = None
+    snap_id = rows = None
     if callable(snap):
         s = snap()
         snap_id = getattr(s, "snapshot_id", None) if s else None
+        summ = (getattr(s, "summary", None) or {}) if s else {}
+        try:
+            if op == "INSERT":
+                rows = int(summ.get("added-records"))
+            elif op in ("DELETE", "UPDATE", "MERGE"):
+                pos = summ.get("added-position-deletes")
+                eq = summ.get("added-equality-deletes")
+                if pos is not None or eq is not None:
+                    rows = int(pos or 0) + int(eq or 0)
+                elif op == "DELETE":
+                    # copy-on-write DELETE: |parent total - new total| —
+                    # exact only when no delete files hide rows inside
+                    # total-records (else NULL: the physical delta counts
+                    # MoR-dead rows materialized away, not the statement's)
+                    sbid = getattr(s, "parent_snapshot_id", None)
+                    if sbid is not None and summ.get("total-records") is not None:
+                        par = tm.snapshot_by_id(sbid)
+                        psum = par.summary or {}
+                        if (psum.get("total-records") is not None
+                                and psum.get("total-delete-files") in (None, "0")):
+                            rows = abs(int(psum["total-records"])
+                                       - int(summ["total-records"]))
+        except (TypeError, ValueError, KeyError):
+            rows = None
     return spark.createDataFrame(
-        [(op, view, snap_id)], "operation string, target string, snapshot_id long")
+        [(op, view, snap_id, rows)],
+        "operation string, target string, snapshot_id long, rows long")
 
 
 def execute_sql(spark: SparkSession, sql: str) -> DataFrame:

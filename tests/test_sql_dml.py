@@ -304,3 +304,41 @@ def test_update_set_default(spark, tmp_path):
     rows = {r.id: r.balance
             for r in spark.sql("SELECT * FROM upd_def").collect()}
     assert rows == {1: 0, 2: 100}
+
+
+def test_dml_results_report_affected_rows(spark, tmp_path):
+    """The result DataFrame's `rows` column carries affected counts —
+    the reference's DML statements return them (delete_join.test: 500;
+    test_insert_count.test)."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = os.path.join(str(tmp_path), "counts")
+    write_iceberg(spark.range(100).selectExpr("CAST(id AS INT) AS id",
+                                              "concat('v', id) AS v"), loc)
+    register_table(spark, "cnt_t", loc)
+
+    r = execute_sql(spark, "INSERT INTO cnt_t SELECT CAST(id AS INT), "
+                           "concat('n', id) FROM range(100, 120)").first()
+    assert r.rows == 20
+    # merge-on-read delete: counted from the delete files
+    execute_sql(spark, "ALTER TABLE cnt_t SET "
+                       "('write.delete.mode'='merge-on-read')")
+    r = execute_sql(spark, "DELETE FROM cnt_t WHERE id % 2 = 0").first()
+    assert r.rows == 60  # 120 rows, half even
+    # copy-on-write after MoR deletes: the physical delta would count
+    # MoR-dead rows — rows is honestly NULL on such chains
+    execute_sql(spark, "ALTER TABLE cnt_t RESET ('write.delete.mode')")
+    r = execute_sql(spark, "DELETE FROM cnt_t WHERE id < 10").first()
+    assert r.rows is None
+
+
+def test_cow_delete_reports_rows_on_clean_chain(spark, tmp_path):
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = os.path.join(str(tmp_path), "cow_counts")
+    write_iceberg(spark.range(50).selectExpr("CAST(id AS INT) AS id"), loc)
+    register_table(spark, "cowc_t", loc)
+    r = execute_sql(spark, "DELETE FROM cowc_t WHERE id < 10").first()
+    assert r.rows == 10

@@ -380,29 +380,37 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     verifiable against a SQL oracle bit for bit."""
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                     lambda x: x != "")
+    # explode → 64 codegen'd SUM aggregates, NOT an interpreted
+    # higher-order fold: Spark evaluates array-lambda expressions in the
+    # interpreter (64·|tokens| lambda calls per doc — the former hot
+    # spot); the exploded shape keeps everything inside whole-stage
+    # codegen and hash aggregation, and partial (map-side) aggregation
+    # collapses each doc to one 64-long row before the shuffle, so
+    # shuffle volume is docs×64 longs regardless of token count.
+    # explode_outer keeps empty docs: their all-NULL votes sum to NULL,
+    # v > 0 is false for every bit, simhash 0 — same as the empty fold.
+    ex = df.select(F.col(id_col), F.explode_outer(toks).alias("__tok"))
+    h = F.md5(F.col("__tok"))
     # (lo: bits 0..59 from 15 hex chars, hi: bits 60..63 from the 16th)
-    th = F.transform(toks, lambda tok: F.struct(
-        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long").alias("lo"),
-        F.conv(F.substring(F.md5(tok), 16, 1), 16, 10).cast("long").alias("hi")))
-    idx = F.sequence(F.lit(0), F.lit(63))
-    votes = F.aggregate(
-        th,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
-            acc, idx,
-            lambda a, i: a + F.when(
-                F.when(i < 60, F.getbit(t["lo"], i))
-                .otherwise(F.getbit(t["hi"], i - 60)) == 1,
-                F.lit(1)).otherwise(F.lit(-1))),
-    )
+    lo = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    hi = F.conv(F.substring(h, 16, 1), 16, 10).cast("long")
+    ex = ex.select(
+        F.col(id_col),
+        *[(F.when((F.getbit(lo, F.lit(i)) if i < 60
+                   else F.getbit(hi, F.lit(i - 60))) == 1,
+                  F.lit(1)).otherwise(F.lit(-1))).alias(f"__b{i}")
+          for i in range(64)])
+    votes = ex.groupBy(id_col).agg(
+        *[F.sum(f"__b{i}").alias(f"__v{i}") for i in range(64)])
     # bit 63 contributes the sign: adding long-min instead of 1<<63 keeps
     # the arithmetic in signed range on every engine
-    powers = F.array(*[F.lit(1 << i) for i in range(63)], F.lit(-(1 << 63)))
-    sim = F.aggregate(
-        F.zip_with(votes, powers,
-                   lambda v, p: F.when(v > 0, p).otherwise(F.lit(0))),
-        F.lit(0).cast("long"), lambda a, x: a + x)
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    powers = [1 << i for i in range(63)] + [-(1 << 63)]
+    sim = None
+    for i in range(64):
+        piece = F.when(F.col(f"__v{i}") > 0,
+                       F.lit(powers[i])).otherwise(F.lit(0))
+        sim = piece if sim is None else sim + piece
+    return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
 def simhash_candidates(hashes: DataFrame, id_col: str = "doc_id",

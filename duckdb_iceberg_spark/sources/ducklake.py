@@ -280,6 +280,9 @@ def iceberg_to_ducklake(
         if spec.fields:
             partition_id = next_catalog_id
             next_catalog_id += 1
+            # the partition object consumes a catalog id: count it in the
+            # snapshot's next_catalog_id accounting like the table itself
+            snap_catalog_adds[first_dl] = snap_catalog_adds.get(first_dl, 0) + 1
             con.execute(
                 "INSERT INTO ducklake_partition_info VALUES (?, ?, ?, NULL)",
                 [partition_id, table_id, first_dl])

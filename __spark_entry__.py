@@ -1379,6 +1379,56 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (word-bigram variant): the
+    most frequent bigram's character share and the duplicated-bigram
+    character share, per doc — the boilerplate-detection signals used to
+    drop repetitive pages before LLM training."""
+    from duckdb_iceberg_spark.operators.text import ngram_repetition_signals
+
+    docs = _pq(spark, sf_dir, "documents")
+    return (
+        ngram_repetition_signals(docs, n=2)
+        .orderBy("doc_id")
+        .limit(1000)
+    )
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination: docs sharing any word 3-gram
+    with the held-out "benchmark" slice (doc_id % 10 == 0) are flagged
+    with their distinct-hit counts."""
+    from duckdb_iceberg_spark.operators.dedup import ngram_contamination
+
+    docs = _pq(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return (
+        ngram_contamination(corpus, eval_set, n=3)
+        .orderBy("doc_id")
+        .limit(2000)
+    )
+
+
+def docs_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: downsample src0/src1/src2 to a
+    50/25/25 target mixture by deterministic md5 threshold (largest
+    deletion-only corpus hitting the target proportions)."""
+    from duckdb_iceberg_spark.operators.sampling import resample_mixture
+
+    docs = _pq(spark, sf_dir, "documents") \
+        .filter(F.col("source").isin("src0", "src1", "src2"))
+    out = resample_mixture(
+        docs, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.25},
+        "doc_id", salt="mix5")
+    return (
+        out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
 def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: the upper-half batch deduped against the
     lower-half corpus (one anti-join on DISTINCT corpus fingerprints)."""
@@ -1756,8 +1806,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              rotated back IN this round (q03-q08, q10-q17, q19, q20, q22
              were parked in r4; all were green in r1-r3 and in r4's local
              oracle run).
-      48-50  LLM-pipeline spot checks kept in-window (the flagship dedup +
-             two of the newest oracles).
+      48-50  LLM-pipeline spot checks kept in-window: the flagship dedup +
+             the two NEWEST oracles (docs_repetition, docs_decontaminate —
+             first driver rows for the Gopher-repetition and n-gram
+             decontamination operators).
       51+    remaining LLM/streaming/multimodal + q_* relational extras —
              driver-green in r4, parked; rotate back in r6
              (tools/check_oracle.py covers all positions every run).
@@ -1814,10 +1866,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_sales_opportunity": q22_sales_opportunity,
         # --- LLM-pipeline spot checks kept in-window ----------------------
         "docs_minhash_dedup": docs_minhash_dedup,
+        "docs_repetition": docs_repetition,
+        "docs_decontaminate": docs_decontaminate,
+        # ------------------- 50-row window boundary -----------------------
+        "docs_resample_mixture": docs_resample_mixture,
         "docs_ngram_dedup": docs_ngram_dedup,
         "emb_lsh_topk": emb_lsh_topk,
         "emb_neardup": emb_neardup,
-        # ------------------- 50-row window boundary -----------------------
         "docs_exact_dedup": docs_exact_dedup,
         "docs_token_count": docs_token_count,
         "docs_quality": docs_quality,
@@ -2666,6 +2721,82 @@ def oracle_sql() -> dict[str, str]:
                                ELSE len(string_split_regex(trim(text), '\\s+')) END), 6) AS avg_token_len
             FROM documents WHERE length(text) > 0
             ORDER BY doc_id LIMIT 1000
+        """,
+        "docs_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ), norm AS (
+              SELECT doc_id, t, length(array_to_string(t, ' ')) AS norm_len
+              FROM toks
+            ), bi AS (
+              SELECT doc_id, norm_len, array_to_string(t[i:i+1], ' ') AS g
+              FROM norm, LATERAL unnest(range(1, len(t))) AS r(i)
+              WHERE len(t) >= 2
+            ), bic AS (
+              SELECT doc_id, norm_len, g, count(*) AS cnt
+              FROM bi GROUP BY 1, 2, 3
+            ), ranked AS (
+              SELECT doc_id, norm_len, g, cnt,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, g) AS rn
+              FROM bic
+            ), agg AS (
+              SELECT doc_id, norm_len,
+                     max(CASE WHEN rn = 1 THEN g END) AS top_ngram,
+                     max(CASE WHEN rn = 1 THEN cnt * length(g) END) AS top_chars,
+                     sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dup_chars
+              FROM ranked GROUP BY doc_id, norm_len
+            ), shorts AS (
+              SELECT doc_id, CAST(NULL AS VARCHAR) AS top_ngram,
+                     0.0 AS top_ngram_frac, 0.0 AS dup_ngram_frac
+              FROM norm WHERE len(t) < 2
+            )
+            SELECT doc_id, top_ngram,
+                   round(CAST(top_chars AS DOUBLE) / norm_len, 6) AS top_ngram_frac,
+                   round(CAST(dup_chars AS DOUBLE) / norm_len, 6) AS dup_ngram_frac
+            FROM agg
+            UNION ALL SELECT * FROM shorts
+            ORDER BY doc_id LIMIT 1000
+        """,
+        "docs_decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ), ng AS (
+              SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+2], ' ')) AS g
+              FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS r(i)
+              WHERE len(t) >= 3
+            ), ev AS (
+              SELECT DISTINCT g FROM ng WHERE doc_id % 10 = 0
+            )
+            SELECT d.doc_id, count(*) AS n_hits
+            FROM ng d JOIN ev ON d.g = ev.g
+            WHERE d.doc_id % 10 <> 0
+            GROUP BY d.doc_id ORDER BY d.doc_id LIMIT 2000
+        """,
+        "docs_resample_mixture": """
+            WITH w(src, wt) AS (
+              VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)
+            ), cnt AS (
+              SELECT source, count(*) AS n FROM documents
+              WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+            ), tt AS (
+              SELECT min(n / wt) AS t FROM cnt JOIN w ON cnt.source = w.src
+            ), thr AS (
+              SELECT cnt.source,
+                     CASE WHEN least(wt * (SELECT t FROM tt) / n, 1.0) >= 1.0
+                          THEN 'g'
+                          ELSE printf('%06x', CAST(floor(
+                            least(wt * (SELECT t FROM tt) / n, 1.0)
+                            * 16777216) AS BIGINT)) END AS th
+              FROM cnt JOIN w ON cnt.source = w.src
+            )
+            SELECT d.source AS source, count(*) AS cnt,
+                   sum(n_chars) AS sum_chars
+            FROM documents d JOIN thr ON d.source = thr.source
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'mix5'), 1, 6) < th
+            GROUP BY d.source ORDER BY d.source
         """,
         "docs_incremental_dedup": f"""
             WITH new_docs AS (

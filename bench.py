@@ -80,6 +80,8 @@ HEADLINE = [
     "emb_ivf_topk",
     "docs_stratified_sample",
     "docs_pack_sequences",
+    "docs_repetition",
+    "docs_decontaminate",
     "stream_tumbling_events",
     "stream_changelog",
     "mm_frame_sample",

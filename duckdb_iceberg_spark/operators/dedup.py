@@ -478,3 +478,53 @@ def ngram_jaccard_dedup(
     )
     losers = with_j.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def ngram_contamination(
+    corpus_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval decontamination: flag corpus documents sharing any word
+    n-gram with a benchmark/eval set (the standard n-gram overlap check —
+    GPT-3 appendix C / PaLM used 8-13 gram collision tests before
+    training). Output: one row per CONTAMINATED corpus doc,
+    ``(id_col, n_hits)`` where n_hits = count of DISTINCT eval n-grams
+    the doc contains. Anti-join the result against the corpus to drop
+    (or mask) the flagged docs.
+
+    Scale: both sides reduce to DISTINCT (doc, md5(gram)) before the
+    join, so the shuffle key is a fixed 32-char digest rather than an
+    n-word string; the eval side is additionally collapsed to DISTINCT
+    grams — typically a few million rows for a benchmark suite, which
+    AQE broadcast-joins against the corpus grams. At 100 TB the corpus
+    gram explode is the dominant cost and is a stateless map of the
+    scan: no driver state, no collect."""
+    def grams(df: DataFrame) -> DataFrame:
+        t = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        return (
+            df.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col), t.alias("__t"))
+            .filter(F.size("__t") >= n)
+            .select(
+                id_col,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__t") - n),
+                        lambda i: F.md5(
+                            F.array_join(F.slice("__t", i + 1, n), " ")),
+                    )
+                ).alias("__g"),
+            )
+            .distinct()
+        )
+
+    eval_grams = grams(eval_df).select("__g").distinct()
+    return (
+        grams(corpus_df)
+        .join(eval_grams, "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

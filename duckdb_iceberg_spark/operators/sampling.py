@@ -82,6 +82,76 @@ def stratified_sample_by(
     return df.filter(hexpfx < thr)
 
 
+def floor_threshold_hex(fraction: float, digits: int = 6) -> str:
+    """Like :func:`sample_threshold_hex` but FLOOR instead of round — the
+    cross-engine-safe variant when the fraction itself is computed (not a
+    user literal): Python's round() is banker's rounding while SQL
+    round() is half-away-from-zero, so a computed fraction landing on a
+    .5 boundary would pick different thresholds; floor is identical
+    everywhere."""
+    import math
+
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    n = int(math.floor(fraction * (16 ** digits)))
+    if n >= 16 ** digits:
+        return "g"
+    return format(n, f"0{digits}x")
+
+
+def mixture_fractions(counts: dict, weights: dict) -> dict:
+    """Per-group keep fractions that downsample a corpus to target
+    mixture ``weights`` (e.g. {'web': .6, 'books': .2, 'wiki': .2})
+    without upsampling: the output totals ``T = min_g(n_g / w_g)`` rows
+    in expectation — the largest corpus achieving the exact target
+    proportions by deletion only. Groups absent from ``weights`` get
+    fraction 0 (dropped).
+
+    Evaluation order is pinned (``(w * T) / n``, T = min of double
+    divisions) so a SQL engine recomputing it from the same counts
+    derives bit-identical doubles — the DuckDB oracle does exactly
+    that."""
+    live = {g: w for g, w in weights.items() if w > 0 and g in counts}
+    if not live:
+        return {}
+    t = min(counts[g] / w for g, w in live.items())
+    return {g: min((w * t) / counts[g], 1.0) for g, w in live.items()}
+
+
+def resample_mixture(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict,
+    key_col: str,
+    *,
+    salt: str = "",
+    digits: int = 6,
+) -> DataFrame:
+    """Deterministically downsample to a target domain mixture: one
+    count aggregation (#domains rows — driver-safe at any scale), then
+    the same stateless md5-threshold keep decision as
+    :func:`stratified_sample` with per-group fractions from
+    :func:`mixture_fractions`. Repeatable across engines and reruns;
+    changing ``salt`` draws an independent mixture sample.
+
+    Scale: the only non-map work is the tiny count agg; the filter
+    itself is a stateless map over the scan (no shuffle of the data)."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    fractions = mixture_fractions(counts, weights)
+    hexpfx = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        1, digits)
+    thr: Column = F.lit("")  # empty sorts below every hex digit: drop
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(floor_threshold_hex(frac, digits))).otherwise(thr)
+    return df.filter(hexpfx < thr)
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

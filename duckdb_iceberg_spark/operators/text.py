@@ -171,6 +171,121 @@ def quality_score(col: Column | str) -> Column:
     return F.round(score, 6)
 
 
+def ngram_repetition_signals(
+    df,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Gopher-style within-document repetition signals over word n-grams
+    (Rae et al. 2021 §A1.1: "fraction of characters in the most common
+    n-gram" / "fraction of characters in duplicated n-grams" — the filter
+    family used to drop boilerplate-heavy pages before LLM training).
+
+    Output per surviving doc (blank docs are dropped — no tokens, no
+    n-grams): ``top_ngram`` (most frequent n-gram, lexicographic
+    tie-break), ``top_ngram_frac`` (occurrences × n-gram chars /
+    normalized text chars), ``dup_ngram_frac`` (same, summed over every
+    n-gram occurring more than once; occurrence-weighted, NOT
+    position-deduped, so overlapping repeats can push it past 1.0 — a
+    documented simplification that keeps the spec engine-reproducible).
+    Docs shorter than n tokens report frac 0 with NULL top_ngram.
+
+    Scale: explode → two hash aggregations keyed by (doc, gram) then
+    doc — all codegen Column work, shuffles proportional to token count,
+    no Python. The alternative (array higher-order counting per doc) is
+    interpreted per-row and quadratic in doc length."""
+    from pyspark.sql.window import Window
+
+    t = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), t.alias("__t"),
+                F.length(F.array_join(t, " ")).alias("__norm_len"))
+    )
+    # sequence(0, size-n) counts DOWN when size < n (Spark picks step -1),
+    # producing slice start 0 — short docs must be filtered out first
+    grams = base.filter(F.size("__t") >= n).select(
+        id_col, "__norm_len",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - n),
+                lambda i: F.array_join(F.slice("__t", i + 1, n), " "),
+            )
+        ).alias("__g"),
+    )
+    counts = grams.groupBy(id_col, "__norm_len", "__g").agg(
+        F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cnt").desc(), F.col("__g").asc())
+    per_doc = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .groupBy(id_col, "__norm_len")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("__g"))).alias("top_ngram"),
+            F.max(F.when(F.col("__rn") == 1,
+                         F.col("__cnt") * F.length("__g"))).alias("__top_chars"),
+            F.sum(F.when(F.col("__cnt") > 1,
+                         F.col("__cnt") * F.length("__g"))
+                  .otherwise(F.lit(0))).alias("__dup_chars"),
+        )
+    )
+    out = per_doc.select(
+        id_col,
+        "top_ngram",
+        F.round(F.col("__top_chars") / F.col("__norm_len"), 6)
+        .alias("top_ngram_frac"),
+        F.round(F.col("__dup_chars") / F.col("__norm_len"), 6)
+        .alias("dup_ngram_frac"),
+    )
+    # docs with < n tokens produce no grams: re-attach with zero signals
+    short = (
+        base.filter(F.size("__t") < n)
+        .select(F.col(id_col), F.lit(None).cast("string").alias("top_ngram"),
+                F.lit(0.0).alias("top_ngram_frac"),
+                F.lit(0.0).alias("dup_ngram_frac"))
+    )
+    return out.unionByName(short)
+
+
+def line_repetition_signals(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Gopher duplicate-line filters: per doc, the fraction of non-blank
+    lines that are duplicates of another line, and the fraction of those
+    lines' characters inside duplicated lines. Docs with no non-blank
+    lines are dropped (nothing to measure).
+
+    Same explode→aggregate shape as :func:`ngram_repetition_signals` —
+    linear, codegen-only, shuffle keyed by (doc, line)."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), F.explode(lines).alias("__line"))
+    counts = base.groupBy(id_col, "__line").agg(
+        F.count(F.lit(1)).alias("__cnt"))
+    agg = counts.groupBy(id_col).agg(
+        F.sum("__cnt").alias("__n_lines"),
+        F.sum(F.when(F.col("__cnt") > 1, F.col("__cnt"))
+              .otherwise(F.lit(0))).alias("__dup_lines"),
+        F.sum(F.col("__cnt") * F.length("__line")).alias("__chars"),
+        F.sum(F.when(F.col("__cnt") > 1, F.col("__cnt") * F.length("__line"))
+              .otherwise(F.lit(0))).alias("__dup_chars"),
+    )
+    return agg.select(
+        id_col,
+        F.col("__n_lines").cast("long").alias("n_lines"),
+        F.round(F.col("__dup_lines") / F.col("__n_lines"), 6)
+        .alias("dup_line_frac"),
+        F.round(F.when(F.col("__chars") > 0,
+                       F.col("__dup_chars") / F.col("__chars"))
+                .otherwise(F.lit(0.0)), 6).alias("dup_line_char_frac"),
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of lowercased
     whitespace-normalized text. Identical across engines (exact-dedup key)."""

@@ -338,3 +338,101 @@ def test_pack_sequences_no_global_sort(spark):
     plan = pack_sequences(df, "n_tokens", budget=64)._jdf \
         .queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_ngram_repetition_signals(spark):
+    from duckdb_iceberg_spark.operators.text import ngram_repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # "a b" x3 of 5 bigrams
+            (2, "one two three four"), # no repeated bigram
+            (3, "solo"),               # < n tokens
+            (4, "  "),                 # blank: dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_repetition_signals(df, n=2).collect()}
+    assert set(rows) == {1, 2, 3}
+    # doc 1: normalized "a b a b a b" = 11 chars; top bigram "a b" (3 chars)
+    # occurs 3 times -> 9/11; duplicated bigrams: "a b" x3 + "b a" x2 -> 15/11
+    assert rows[1]["top_ngram"] == "a b"
+    assert rows[1]["top_ngram_frac"] == round(9 / 11, 6)
+    assert rows[1]["dup_ngram_frac"] == round(15 / 11, 6)
+    assert rows[2]["dup_ngram_frac"] == 0.0
+    assert rows[3]["top_ngram"] is None
+    assert rows[3]["top_ngram_frac"] == 0.0
+
+
+def test_line_repetition_signals(spark):
+    from duckdb_iceberg_spark.operators.text import line_repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "menu\nhome\nmenu\n\nabout\nmenu"),  # menu x3 of 5 lines
+            (2, "unique one\nunique two"),
+            (3, "\n\n"),  # only blank lines: dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_repetition_signals(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_lines"] == 5
+    assert rows[1]["dup_line_frac"] == round(3 / 5, 6)
+    # dup chars: "menu"(4) x3 = 12 of total 4+4+4+4+5 = 21
+    assert rows[1]["dup_line_char_frac"] == round(12 / 21, 6)
+    assert rows[2]["dup_line_frac"] == 0.0
+
+
+def test_ngram_contamination(spark):
+    from duckdb_iceberg_spark.operators.dedup import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "the quick brown"
+            (2, "totally unrelated words here"),
+            (3, "quick brown fox somewhere"),   # shares "quick brown fox"
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "the quick brown fox")], "doc_id long, text string")
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in ngram_contamination(corpus, eval_set, n=3).collect()}
+    # eval 3-grams: "the quick brown", "quick brown fox"
+    assert hits == {1: 2, 3: 1}
+
+
+def test_mixture_fractions_math():
+    from duckdb_iceberg_spark.operators.sampling import mixture_fractions
+
+    # T = min(100/0.5, 300/0.5) = 200 -> web keeps all, books keeps 1/3
+    f = mixture_fractions({"web": 100, "books": 300}, {"web": 0.5, "books": 0.5})
+    assert f["web"] == 1.0
+    assert abs(f["books"] - 1 / 3) < 1e-12
+    # groups without weight are dropped entirely (absent from fractions)
+    f2 = mixture_fractions({"a": 10, "b": 10}, {"a": 1.0})
+    assert "b" not in f2 and f2["a"] == 1.0
+    assert mixture_fractions({"a": 10}, {}) == {}
+
+
+def test_resample_mixture_deterministic(spark):
+    from duckdb_iceberg_spark.operators.sampling import resample_mixture
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    w = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    a = resample_mixture(df, "source", w, "doc_id", salt="x").collect()
+    b = resample_mixture(df, "source", w, "doc_id", salt="x").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_src = {}
+    for r in a:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    # src0 keeps everything (the binding group); others ~half
+    assert by_src["src0"] == 100
+    assert 30 <= by_src["src1"] <= 70 and 30 <= by_src["src2"] <= 70
+    # unweighted groups vanish
+    c = resample_mixture(df, "source", {"src0": 1.0}, "doc_id")
+    assert c.select("source").distinct().collect()[0][0] == "src0"

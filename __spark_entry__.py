@@ -1429,6 +1429,42 @@ def docs_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails/IPv4/phones/SSN-like ids redacted with typed
+    placeholders. The corpus is synthetic word-soup, so PII shapes are
+    synthesized per row (deterministically from doc_id) to exercise every
+    pattern on every row — the oracle replays the identical synthesis."""
+    from duckdb_iceberg_spark.operators.text import redact_pii
+
+    docs = _pq(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@ex.org from 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call +1 555 867 5309 ssn 123-45-6789"))
+    return (
+        docs.select("doc_id", redact_pii(synth).alias("redacted"))
+        .orderBy("doc_id")
+        .limit(1000)
+    )
+
+
+def docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (NFC + lowercase + whitespace
+    collapse); a decomposed-unicode prefix (E + combining acute) is
+    prepended so the NFC step composes real work on every row."""
+    from duckdb_iceberg_spark.operators.text import normalize_text
+
+    docs = _pq(spark, sf_dir, "documents")
+    synth = F.concat(F.lit("CAFE\u0301 "), F.substring("text", 1, 60))
+    return (
+        docs.select("doc_id", normalize_text(synth).alias("norm"))
+        .orderBy("doc_id")
+        .limit(1000)
+    )
+
+
 def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: the upper-half batch deduped against the
     lower-half corpus (one anti-join on DISTINCT corpus fingerprints)."""
@@ -1870,6 +1906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": docs_decontaminate,
         # ------------------- 50-row window boundary -----------------------
         "docs_resample_mixture": docs_resample_mixture,
+        "docs_redact_pii": docs_redact_pii,
+        "docs_normalize": docs_normalize,
         "docs_ngram_dedup": docs_ngram_dedup,
         "emb_lsh_topk": emb_lsh_topk,
         "emb_neardup": emb_neardup,
@@ -2797,6 +2835,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN thr ON d.source = thr.source
             WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'mix5'), 1, 6) < th
             GROUP BY d.source ORDER BY d.source
+        """,
+        "docs_redact_pii": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     substr(text, 1, 40) || ' contact user'
+                       || CAST(doc_id AS VARCHAR) || '@ex.org from 10.0.0.'
+                       || CAST(doc_id % 250 AS VARCHAR)
+                       || ' call +1 555 867 5309 ssn 123-45-6789',
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g'),
+                     '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+                     '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}',
+                     '[PHONE]', 'g'),
+                     '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[ID]', 'g')
+                   AS redacted
+            FROM documents ORDER BY doc_id LIMIT 1000
+        """,
+        "docs_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     lower(nfc_normalize(
+                       'CAFE' || chr(769) || ' ' || substr(text, 1, 60))),
+                     '\s+', ' ', 'g')) AS norm
+            FROM documents ORDER BY doc_id LIMIT 1000
         """,
         "docs_incremental_dedup": f"""
             WITH new_docs AS (

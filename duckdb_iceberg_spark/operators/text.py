@@ -291,3 +291,65 @@ def doc_fingerprint(col: Column | str) -> Column:
     whitespace-normalized text. Identical across engines (exact-dedup key)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+def normalize_text(
+    col: Column | str,
+    *,
+    form: str = "NFC",
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+) -> Column:
+    """Canonical text normalization for pre-dedup cleaning: unicode
+    normalization (NFC by default — composed form, what most dedup
+    pipelines key on) + optional lowercase + whitespace collapse.
+
+    The unicode step has no JVM builtin, so it is an Arrow-batched
+    pandas UDF (`Series.str.normalize`, vectorized C under the hood) —
+    the one Python hop; lowercase/trim/collapse stay Column ops around
+    it. Output matches SQL engines' ``nfc_normalize`` (DuckDB oracle
+    pins the cross-engine agreement)."""
+    import pandas as pd  # noqa: F811 — local for the UDF closure
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    @pandas_udf(T.StringType())
+    def _norm_udf(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    c = F.col(col) if isinstance(col, str) else col
+    out = _norm_udf(c)
+    if lowercase:
+        out = F.lower(out)
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
+# PII patterns restricted to the regex intersection of Java (Spark) and
+# RE2 (DuckDB/Go/Rust engines): no lookaround, no backrefs — so the same
+# pattern string redacts identically everywhere. Order matters: emails
+# before the bare-domain-ish URL rule would, e.g., double-redact.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}",
+     "[PHONE]"),
+    ("ssn_like", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[ID]"),
+]
+
+
+def redact_pii(col: Column | str, kinds: list[str] | None = None) -> Column:
+    """Redact common PII shapes (emails, IPv4, phone-ish numbers,
+    SSN-like ids) with typed placeholders — the standard scrub step
+    before corpus release/training. Pure chained ``regexp_replace``
+    Column ops: JVM-side, codegen, linear scans, no Python.
+
+    ``kinds`` selects a subset of :data:`PII_PATTERNS` by name (applied
+    in the canonical order regardless of the list order given)."""
+    c = F.col(col) if isinstance(col, str) else col
+    selected = set(kinds) if kinds is not None else None
+    for name, pat, repl in PII_PATTERNS:
+        if selected is None or name in selected:
+            c = F.regexp_replace(c, pat, repl)
+    return c

@@ -436,3 +436,33 @@ def test_resample_mixture_deterministic(spark):
     # unweighted groups vanish
     c = resample_mixture(df, "source", {"src0": 1.0}, "doc_id")
     assert c.select("source").distinct().collect()[0][0] == "src0"
+
+
+def test_normalize_text(spark):
+    from duckdb_iceberg_spark.operators.text import normalize_text
+
+    # decomposed "Cafe" + combining acute (U+0301) composes under NFC
+    df = spark.createDataFrame(
+        [(1, "Café   MENU\tx")], "doc_id long, text string")
+    out = df.select(normalize_text("text").alias("t")).collect()[0]["t"]
+    assert out == "café menu x"
+    raw = df.select(
+        normalize_text("text", lowercase=False, collapse_ws=False)
+        .alias("t")).collect()[0]["t"]
+    assert raw == "Caf\u00e9   MENU\tx"  # composed
+
+
+def test_redact_pii(spark):
+    from duckdb_iceberg_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.com ip 192.168.0.1 "
+             "call +1 555 867 5309 ssn 123-45-6789 end")],
+        "doc_id long, text string",
+    )
+    out = df.select(redact_pii("text").alias("t")).collect()[0]["t"]
+    assert out == "mail [EMAIL] ip [IP] call [PHONE] ssn [ID] end"
+    # subset selection keeps other shapes intact
+    only_email = df.select(
+        redact_pii("text", kinds=["email"]).alias("t")).collect()[0]["t"]
+    assert "[EMAIL]" in only_email and "192.168.0.1" in only_email

@@ -1429,6 +1429,26 @@ def docs_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup of a new batch (doc_id >= 250) against the corpus
+    (doc_id < 250): exact anti, within-batch LSH, then batch survivors
+    verified against corpus reps sharing an LSH band."""
+    from duckdb_iceberg_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = _pq(spark, sf_dir, "documents")
+    mid = 250
+    corpus = docs.filter(F.col("doc_id") < mid)
+    new = docs.filter(F.col("doc_id") >= mid)
+    out = incremental_minhash_dedup(new, corpus, num_hashes=32, bands=8)
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
 def docs_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: emails/IPv4/phones/SSN-like ids redacted with typed
     placeholders. The corpus is synthetic word-soup, so PII shapes are
@@ -1908,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_resample_mixture": docs_resample_mixture,
         "docs_redact_pii": docs_redact_pii,
         "docs_normalize": docs_normalize,
+        "docs_incremental_minhash": docs_incremental_minhash,
         "docs_ngram_dedup": docs_ngram_dedup,
         "emb_lsh_topk": emb_lsh_topk,
         "emb_neardup": emb_neardup,
@@ -2093,6 +2114,111 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 8, shingle_k: int = 5,
             )
             SELECT count(*) AS survivors FROM reps
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+
+
+def _incremental_minhash_sql(num_hashes: int = 32, bands: int = 8,
+                             shingle_k: int = 5,
+                             threshold: float = 0.7,
+                             split: int = 250) -> str:
+    """DuckDB replica of operators.dedup.incremental_minhash_dedup over
+    the corpus (doc_id < split) / batch (>= split) halves: batch exact
+    collapse + exact anti vs corpus fingerprints, within-batch LSH
+    dedup (bucket-min pairing + exact-Jaccard verify), then batch
+    survivors verified against every corpus representative sharing a
+    band. Shares the signature/banding spec with _minhash_sql (signatures
+    are computed once over all documents — per-doc independent). Same
+    murmur-vs-values banding note as _minhash_sql: Spark's candidate set
+    is a collision superset, the exact verify makes survivors identical."""
+    from duckdb_iceberg_spark.operators.dedup import _hash_params
+
+    a, b = _hash_params(num_hashes)
+    rpb = num_hashes // bands
+    mins = ",\n                     ".join(
+        f"min(((CAST({int(au)} AS HUGEINT) * h + {int(bu)})"
+        f" % 18446744073709551616) // 2) AS s{i}"
+        for i, (au, bu) in enumerate(zip(a, b)))
+    banded = "\n              UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {cols} FROM sig".format(
+            bi=bi, cols=", ".join(f"s{bi * rpb + j} AS k{j}" for j in range(rpb)))
+        for bi in range(bands))
+    keys = ", ".join(f"k{j}" for j in range(rpb))
+    key_eq = " AND ".join(f"o.k{j} = n.k{j}" for j in range(rpb))
+    jacc = (f"round(CAST(COALESCE(i.i, 0) AS DOUBLE)"
+            f" / (sa.n + sb.n - COALESCE(i.i, 0)), 6) >= {threshold}")
+    return f"""
+            WITH {_rolling_hash_cte(shingle_k)}, sh AS (
+              SELECT DISTINCT doc_id, h FROM hh
+            ), sig AS (
+              SELECT doc_id, {mins}
+              FROM sh GROUP BY doc_id
+            ), banded AS (
+              {banded}
+            ), nfp AS (
+              SELECT doc_id, {_FP_SQL} AS fp FROM documents
+              WHERE doc_id >= {split}
+            ), batch0 AS (
+              SELECT doc_id FROM nfp f
+              WHERE doc_id IN (SELECT min(doc_id) FROM nfp GROUP BY fp)
+                AND NOT EXISTS (
+                  SELECT 1 FROM (
+                    SELECT DISTINCT {_FP_SQL} AS fp FROM documents
+                    WHERE doc_id < {split}) c
+                  WHERE c.fp = f.fp)
+            ), cands_b AS (
+              SELECT DISTINCT m AS id_a, doc_id AS id_b FROM (
+                SELECT b.doc_id,
+                       min(b.doc_id) OVER (PARTITION BY band, {keys}) AS m
+                FROM banded b JOIN batch0 USING (doc_id)) q
+              WHERE doc_id <> m
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter_b AS (
+              SELECT c.id_a, c.id_b, count(*) AS i
+              FROM cands_b c
+              JOIN sh x ON x.doc_id = c.id_a
+              JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h
+              GROUP BY c.id_a, c.id_b
+            ), losers_b AS (
+              SELECT DISTINCT c.id_b FROM cands_b c
+              JOIN sizes sa ON sa.doc_id = c.id_a
+              JOIN sizes sb ON sb.doc_id = c.id_b
+              LEFT JOIN inter_b i ON i.id_a = c.id_a AND i.id_b = c.id_b
+              WHERE {jacc}
+            ), batch1 AS (
+              SELECT doc_id FROM batch0
+              WHERE doc_id NOT IN (SELECT id_b FROM losers_b)
+            ), cfp AS (
+              SELECT doc_id, {_FP_SQL} AS fp FROM documents
+              WHERE doc_id < {split}
+            ), creps AS (
+              SELECT doc_id FROM cfp
+              WHERE doc_id IN (SELECT min(doc_id) FROM cfp GROUP BY fp)
+            ), cross_c AS (
+              SELECT DISTINCT o.doc_id AS id_a, n.doc_id AS id_b
+              FROM (SELECT b1.* FROM banded b1 JOIN creps USING (doc_id)) o
+              JOIN (SELECT b2.* FROM banded b2 JOIN batch1 USING (doc_id)) n
+                ON o.band = n.band AND {key_eq}
+            ), inter_x AS (
+              SELECT c.id_a, c.id_b, count(*) AS i
+              FROM cross_c c
+              JOIN sh x ON x.doc_id = c.id_a
+              JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h
+              GROUP BY c.id_a, c.id_b
+            ), losers_x AS (
+              SELECT DISTINCT c.id_b FROM cross_c c
+              JOIN sizes sa ON sa.doc_id = c.id_a
+              JOIN sizes sb ON sb.doc_id = c.id_b
+              LEFT JOIN inter_x i ON i.id_a = c.id_a AND i.id_b = c.id_b
+              WHERE {jacc}
+            ), batch2 AS (
+              SELECT doc_id FROM batch1
+              WHERE doc_id NOT IN (SELECT id_b FROM losers_x)
+            )
+            SELECT lang, count(*) AS cnt, min(doc_id) AS min_id,
+                   max(doc_id) AS max_id
+            FROM documents JOIN batch2 USING (doc_id)
+            GROUP BY lang ORDER BY lang
     """
 
 
@@ -2922,6 +3048,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_lsh_topk": _lsh_topk_sql(),
         "docs_ngram_dedup": _ngram_dedup_sql(),
+        "docs_incremental_minhash": _incremental_minhash_sql(),
         "emb_knn_join": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
                        FROM embeddings WHERE vec_id IN (0, 1, 2)),

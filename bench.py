@@ -82,6 +82,8 @@ HEADLINE = [
     "docs_pack_sequences",
     "docs_repetition",
     "docs_decontaminate",
+    "docs_incremental_minhash",
+    "docs_redact_pii",
     "stream_tumbling_events",
     "stream_changelog",
     "mm_frame_sample",

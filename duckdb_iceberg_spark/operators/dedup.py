@@ -151,6 +151,27 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
 
 
+def banded_signatures(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+) -> DataFrame:
+    """Slice each signature into ``bands`` bands and hash each slice into
+    a bucket id: (id, band, bucket). The LSH building block shared by
+    within-corpus pairing and batch-vs-corpus incremental dedup."""
+    rows_per_band = F.floor(F.size("signature") / F.lit(bands))
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice(F.col("signature"),
+                                         i * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -166,19 +187,7 @@ def lsh_candidate_pairs(
     that's the cluster-representative trick: members verify against the
     representative, not each other. ``pairing='all'`` is the classic
     all-pairs emission for similarity mining on small candidate sets."""
-    rows_per_band = F.floor(F.size("signature") / F.lit(bands))
-    banded = (
-        signatures.select(
-            F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda i: F.hash(F.slice(F.col("signature"),
-                                             i * rows_per_band + 1, rows_per_band)),
-                )
-            ).alias("band", "bucket"),
-        )
-    )
+    banded = banded_signatures(signatures, id_col, bands)
     if pairing == "min":
         from pyspark.sql.window import Window
 
@@ -528,3 +537,55 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """NEAR-duplicate dedup of a new batch against an existing corpus —
+    the incremental-ingest counterpart of :func:`minhash_dedup` (each
+    day's crawl dedups against the lake without an all-corpus rerun).
+
+    Steps: (1) exact dedup within the batch and against corpus
+    fingerprints (:func:`incremental_exact_dedup`); (2) within-batch
+    near-dedup (:func:`minhash_dedup`); (3) batch survivors whose LSH
+    band matches any corpus representative's band are verified by exact
+    shingle Jaccard and dropped at ``threshold``. Ids must be globally
+    unique across both frames.
+
+    Scale: the per-batch cost is batch-sized everywhere except the
+    corpus representative/signature computation — at 100 TB those are
+    precomputed once and stored as columns (signature writes are
+    append-only per ingest), turning step 3 into a band-bucket equi-join
+    of a corpus-sized band table against a batch-sized one (AQE
+    broadcasts the batch side). Cross-candidates pair a batch doc with
+    EVERY corpus rep in the shared bucket (bounded by bucket size), so a
+    failed verify against one rep cannot mask a true near-dup with
+    another."""
+    batch = incremental_exact_dedup(new_df, corpus_df, text_col, id_col)
+    batch = minhash_dedup(batch, text_col, id_col, num_hashes, bands,
+                          shingle_k, threshold)
+    fp = corpus_df.withColumn("__fp", doc_fingerprint(text_col))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    corpus_reps = fp.join(keep, [id_col, "__fp"], "left_semi").drop("__fp")
+
+    sig_new = minhash_signatures(batch, text_col, id_col, num_hashes, shingle_k)
+    sig_old = minhash_signatures(corpus_reps, text_col, id_col,
+                                 num_hashes, shingle_k)
+    bn = banded_signatures(sig_new, id_col, bands) \
+        .withColumnRenamed(id_col, "id_b")
+    bo = banded_signatures(sig_old, id_col, bands) \
+        .withColumnRenamed(id_col, "id_a")
+    cross = bo.join(bn, ["band", "bucket"]).select("id_a", "id_b").distinct()
+    texts = corpus_reps.select(F.col(id_col), F.col(text_col)).unionByName(
+        batch.select(F.col(id_col), F.col(text_col)))
+    dupes = verify_jaccard(cross, texts, text_col, id_col, shingle_k, threshold)
+    losers = dupes.select(F.col("id_b").alias(id_col)).distinct()
+    return batch.join(losers, id_col, "left_anti")

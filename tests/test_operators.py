@@ -466,3 +466,35 @@ def test_redact_pii(spark):
     only_email = df.select(
         redact_pii("text", kinds=["email"]).alias("t")).collect()[0]["t"]
     assert "[EMAIL]" in only_email and "192.168.0.1" in only_email
+
+
+def test_incremental_minhash_dedup(spark):
+    from duckdb_iceberg_spark.operators.dedup import incremental_minhash_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "an unrelated corpus document about iceberg manifests"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 1 -> dropped by the exact stage
+            (10, "the quick brown fox jumps over the lazy dog near the river"),
+            # near-dup of corpus doc 1 -> dropped by the cross LSH stage
+            (11, "the quick brown fox jumped over the lazy dog near the river"),
+            # near-dup pair WITHIN the batch -> 13 dropped, 12 kept
+            (12, "totally novel text about spark streaming watermarks today"),
+            (13, "totally novel text about spark streaming watermarks tonight"),
+            # genuinely new -> kept
+            (14, "completely different content mentioning parquet footers"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(r.doc_id for r in incremental_minhash_dedup(
+        new, corpus, num_hashes=64, bands=16, threshold=0.6).collect())
+    assert 10 not in out
+    assert 11 not in out
+    assert 12 in out and 13 not in out
+    assert 14 in out

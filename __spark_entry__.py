@@ -1429,6 +1429,33 @@ def docs_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means over the embeddings table; one summary row
+    (rows-only: iterative float reductions are not SQL-expressible;
+    operator pinned by tests/test_operators.py on separable fixtures)."""
+    from duckdb_iceberg_spark.operators.clustering import kmeans
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    out, cents = kmeans(emb, n_clusters=8, iters=2)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("cluster_id").alias("n_clusters_used"),
+        F.lit(int(cents.shape[0])).alias("k"),
+        F.lit(int(cents.shape[1])).alias("dim"),
+    )
+
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: cluster then drop within-cluster cosine
+    near-dups (keep-min-id). Rows-only like emb_kmeans."""
+    from duckdb_iceberg_spark.operators.clustering import semantic_dedup
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.99, n_clusters=8, iters=2)
+    return out.agg(F.count(F.lit(1)).alias("survivors"),
+                   F.min("vec_id").alias("min_id"))
+
+
 def docs_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup of a new batch (doc_id >= 250) against the corpus
     (doc_id < 250): exact anti, within-batch LSH, then batch survivors
@@ -1946,6 +1973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_join": emb_knn_join,
         "emb_knn_join_bucketed": emb_knn_join_bucketed,
         "emb_ivf_topk": emb_ivf_topk,
+        "emb_kmeans": emb_kmeans,
+        "emb_semantic_dedup": emb_semantic_dedup,
         "stream_incremental": stream_incremental,
         "stream_changelog": stream_changelog,
         "stream_sink_roundtrip": stream_sink_roundtrip,

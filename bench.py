@@ -78,6 +78,7 @@ HEADLINE = [
     "docs_minhash_dedup",
     "emb_cosine_topk",
     "emb_ivf_topk",
+    "emb_semantic_dedup",
     "docs_stratified_sample",
     "docs_pack_sequences",
     "docs_repetition",

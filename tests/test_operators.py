@@ -498,3 +498,42 @@ def test_incremental_minhash_dedup(spark):
     assert 11 not in out
     assert 12 in out and 13 not in out
     assert 14 in out
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    from duckdb_iceberg_spark.operators.clustering import kmeans
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(3)  # three orthogonal unit centers in 3d... use 8d
+    centers = np.zeros((3, 8))
+    centers[0, 0] = centers[1, 3] = centers[2, 6] = 1.0
+    rows = []
+    for i in range(60):
+        c = i % 3
+        v = centers[c] + rng.normal(scale=0.05, size=8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out, cents = kmeans(df, n_clusters=3, iters=4)
+    assert cents.shape == (3, 8)
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    # every true group lands in exactly one k-means cluster
+    for c in range(3):
+        assigned = {got[i] for i in range(60) if i % 3 == c}
+        assert len(assigned) == 1
+    # distinct true groups -> distinct clusters
+    assert len({got[0], got[1], got[2]}) == 3
+
+
+def test_semantic_dedup_drops_near_duplicate(spark):
+    from duckdb_iceberg_spark.operators.clustering import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=8)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in base + rng.normal(scale=1e-3, size=8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(r.vec_id for r in
+                 semantic_dedup(df, threshold=0.99, n_clusters=4).collect())
+    assert 100 in out and 101 not in out
+    assert len(out) == 21

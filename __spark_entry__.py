@@ -1456,6 +1456,16 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.min("vec_id").alias("min_id"))
 
 
+def docs_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus card: doc counts, token mass, EXACT interpolated
+    token percentiles (= ANSI quantile_cont), language diversity and the
+    dominant language share."""
+    from duckdb_iceberg_spark.operators.text import corpus_report
+
+    docs = _pq(spark, sf_dir, "documents")
+    return corpus_report(docs).orderBy("source")
+
+
 def docs_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup of a new batch (doc_id >= 250) against the corpus
     (doc_id < 250): exact anti, within-batch LSH, then batch survivors
@@ -1956,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_redact_pii": docs_redact_pii,
         "docs_normalize": docs_normalize,
         "docs_incremental_minhash": docs_incremental_minhash,
+        "docs_corpus_report": docs_corpus_report,
         "docs_ngram_dedup": docs_ngram_dedup,
         "emb_lsh_topk": emb_lsh_topk,
         "emb_neardup": emb_neardup,
@@ -3078,6 +3089,34 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_topk": _lsh_topk_sql(),
         "docs_ngram_dedup": _ngram_dedup_sql(),
         "docs_incremental_minhash": _incremental_minhash_sql(),
+        "docs_corpus_report": r"""
+            WITH toks AS (
+              SELECT source, lang,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS nt
+              FROM documents
+            ), base AS (
+              SELECT source, count(*) AS n_docs, sum(nt) AS total_tokens,
+                     round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+                     round(quantile_cont(nt, 0.9), 6) AS p90_tokens,
+                     count(DISTINCT lang) AS n_langs
+              FROM toks GROUP BY source
+            ), lc AS (
+              SELECT source, lang, count(*) AS cnt
+              FROM toks GROUP BY source, lang
+            ), top AS (
+              SELECT source, lang AS top_lang, cnt FROM (
+                SELECT *, row_number() OVER (PARTITION BY source
+                                             ORDER BY cnt DESC, lang) AS rn
+                FROM lc) q WHERE rn = 1
+            )
+            SELECT b.source AS source, n_docs, total_tokens, p50_tokens,
+                   p90_tokens, n_langs, top_lang,
+                   round(CAST(t.cnt AS DOUBLE) / n_docs, 6) AS top_lang_frac
+            FROM base b JOIN top t ON b.source = t.source
+            ORDER BY source
+        """,
         "emb_knn_join": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
                        FROM embeddings WHERE vec_id IN (0, 1, 2)),

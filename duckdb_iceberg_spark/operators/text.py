@@ -353,3 +353,52 @@ def redact_pii(col: Column | str, kinds: list[str] | None = None) -> Column:
         if selected is None or name in selected:
             c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def corpus_report(
+    df,
+    text_col: str = "text",
+    group_col: str = "source",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+):
+    """Per-domain corpus card: the summary table a curation pipeline
+    publishes per source before mixing — doc counts, token mass, exact
+    token-count percentiles (p50/p90 — `percentile` is the EXACT
+    interpolated quantile, matching ANSI ``quantile_cont``/
+    ``percentile_cont`` so any SQL engine reproduces it), language
+    diversity, and the dominant language with its share.
+
+    Scale: two hash aggregations (per (group, lang), then per group) +
+    one exact-percentile agg per group. Exact percentiles sort within
+    the aggregation buffer — fine for per-GROUP cardinalities (docs per
+    domain); for trillion-row single groups switch the caller to
+    approx_percentile and drop the oracle claim."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(group_col), F.col(lang_col),
+        token_count(text_col).alias("__nt"))
+    base = toks.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.round(F.percentile("__nt", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("__nt", F.lit(0.9)), 6).alias("p90_tokens"),
+        F.countDistinct(lang_col).alias("n_langs"),
+    )
+    lang_counts = toks.groupBy(group_col, lang_col).agg(
+        F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__cnt").desc(), F.col(lang_col).asc())
+    top = (
+        lang_counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(group_col), F.col(lang_col).alias("top_lang"),
+                F.col("__cnt").alias("__top_cnt"))
+    )
+    return base.join(top, group_col).select(
+        group_col, "n_docs", "total_tokens", "p50_tokens", "p90_tokens",
+        "n_langs", "top_lang",
+        F.round(F.col("__top_cnt") / F.col("n_docs"), 6)
+        .alias("top_lang_frac"),
+    )

@@ -537,3 +537,27 @@ def test_semantic_dedup_drops_near_duplicate(spark):
                  semantic_dedup(df, threshold=0.99, n_clusters=4).collect())
     assert 100 in out and 101 not in out
     assert len(out) == 21
+
+
+def test_corpus_report(spark):
+    from duckdb_iceberg_spark.operators.text import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),       # 3 tokens
+            (2, "a b c d e", "en", "s1"),   # 5 tokens
+            (3, "x", "de", "s1"),           # 1 token
+            (4, "y z", "fr", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r["source"]: r for r in corpus_report(df).collect()}
+    s1 = rows["s1"]
+    assert s1["n_docs"] == 3 and s1["total_tokens"] == 9
+    # exact interpolated median of [1, 3, 5] = 3
+    assert s1["p50_tokens"] == 3.0
+    # p90: index 0.9*(3-1)=1.8 -> 3 + 0.8*(5-3) = 4.6
+    assert s1["p90_tokens"] == 4.6
+    assert s1["n_langs"] == 2
+    assert s1["top_lang"] == "en" and s1["top_lang_frac"] == round(2 / 3, 6)
+    assert rows["s2"]["top_lang"] == "fr"

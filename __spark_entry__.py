@@ -863,6 +863,56 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click paired with the user's latest purchase at
+    or before the click (window-carry implementation; DuckDB's native
+    ASOF JOIN is the oracle). Purchases are pre-collapsed to one row per
+    (user, ts) — max event_id — so ties are engine-independent."""
+    from duckdb_iceberg_spark.operators.joins import asof_join
+
+    ev = _events_with_ts(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("__m"))
+        .select("user_id", "ts", F.col("__m.event_id").alias("event_id"),
+                F.round(F.col("__m.value"), 6).alias("value"))
+    )
+    out = asof_join(clicks, purchases, "ts", ["user_id"],
+                    ["event_id", "value"])
+    return (
+        out.select("click_id",
+                   F.col("event_id_r").alias("purchase_id"),
+                   F.col("value_r").alias("purchase_value"))
+        .orderBy("click_id")
+        .limit(2500)
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within 10 minutes AFTER each click by the
+    same user (the stream-stream join shape, run in batch parity here)."""
+    from duckdb_iceberg_spark.operators.joins import interval_join
+
+    ev = _events_with_ts(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select(F.col("event_id").alias("purchase_id"), "user_id", "ts",
+                "value")
+    j = interval_join(clicks, purchases, "ts", ["user_id"],
+                      "0 seconds", "10 minutes")
+    return (
+        j.groupBy("click_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"),
+             _dec_sum(F.col("value"), 6).alias("sum_value"))
+        .orderBy("click_id")
+        .limit(2500)
+    )
+
+
 # -- Iceberg-layer queries ---------------------------------------------------
 
 def ice_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2002,6 +2052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_setop_nations": q_setop_nations,
         "q_anti_join": q_anti_join,
         "q_events_hourly": q_events_hourly,
+        "q_asof_join": q_asof_join,
+        "q_interval_join": q_interval_join,
     }
 
 
@@ -2745,6 +2797,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS customers_without_orders
             FROM customer WHERE NOT EXISTS (
                 SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q_asof_join": """
+            WITH c AS (
+              SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'click'
+            ), p0 AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                     round(value, 6) AS value,
+                     row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                                        ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'purchase'
+            ), p AS (
+              SELECT user_id, ts, event_id, value FROM p0 WHERE rn = 1
+            )
+            SELECT c.click_id, p.event_id AS purchase_id,
+                   p.value AS purchase_value
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY click_id LIMIT 2500
+        """,
+        "q_interval_join": """
+            WITH c AS (
+              SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'click'
+            ), p AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.click_id, count(*) AS n_purchases,
+                   round(CAST(sum(CAST(round(p.value, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value
+            FROM c JOIN p ON c.user_id = p.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+            GROUP BY c.click_id ORDER BY click_id LIMIT 2500
         """,
         "q_events_hourly": """
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start,

@@ -60,6 +60,8 @@ HEADLINE = [
     "q_rollup",
     "q_window_top_order",
     "q_events_hourly",
+    "q_asof_join",
+    "q_interval_join",
     "ice_mor_delete_scan",
     "ice_dv_delete_scan",
     "ice_update_scan",

@@ -561,3 +561,67 @@ def test_corpus_report(spark):
     assert s1["n_langs"] == 2
     assert s1["top_lang"] == "en" and s1["top_lang_frac"] == round(2 / 3, 6)
     assert rows["s2"]["top_lang"] == "fr"
+
+
+def test_asof_join_backward(spark):
+    from duckdb_iceberg_spark.operators.joins import asof_join
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(10)), (2, 1, ts(20)), (3, 2, ts(5)), (4, 3, ts(9))],
+        "lid long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 1, ts(8), 1.0), (101, 1, ts(15), 2.0),
+         (102, 2, ts(5), 3.0),   # equal ts -> matches (<=)
+         (103, 9, ts(1), 4.0)],
+        "rid long, user_id long, ts timestamp, v double")
+    out = {r["lid"]: r for r in asof_join(
+        left, right, "ts", ["user_id"], ["rid", "v"]).collect()}
+    assert out[1]["rid_r"] == 100 and out[1]["v_r"] == 1.0
+    assert out[2]["rid_r"] == 101        # latest of the two earlier rows
+    assert out[3]["rid_r"] == 102        # equal-ts match
+    assert out[4]["rid_r"] is None       # no right rows for user 3
+    # tolerance nulls out stale matches
+    out_tol = {r["lid"]: r for r in asof_join(
+        left, right, "ts", ["user_id"], ["rid", "v"],
+        tolerance=F.expr("INTERVAL 3 MINUTES")).collect()}
+    assert out_tol[1]["rid_r"] == 100    # 2 min back: kept
+    assert out_tol[2]["rid_r"] is None   # 5 min back: dropped
+
+
+def test_asof_join_equal_ts_tie_picks_max_payload(spark):
+    from duckdb_iceberg_spark.operators.joins import asof_join
+
+    import datetime as dt
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, 1, t)], "lid long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, 1, t, 1.0), (11, 1, t, 2.0)],
+        "rid long, user_id long, ts timestamp, v double")
+    row = asof_join(left, right, "ts", ["user_id"], ["rid", "v"]).collect()[0]
+    assert row["rid_r"] == 11  # greatest payload struct wins ties
+
+
+def test_interval_join_batch(spark):
+    from duckdb_iceberg_spark.operators.joins import interval_join
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    clicks = spark.createDataFrame(
+        [(1, 1, ts(0)), (2, 2, ts(0))], "cid long, user_id long, ts timestamp")
+    buys = spark.createDataFrame(
+        [(10, 1, ts(5)), (11, 1, ts(15)), (12, 2, ts(-1))],
+        "bid long, user_id long, ts timestamp")
+    out = interval_join(clicks, buys, "ts", ["user_id"],
+                        "0 seconds", "10 minutes").collect()
+    pairs = sorted((r["cid"], r["bid"]) for r in out)
+    assert pairs == [(1, 10)]  # 15min too late, -1min before the click

@@ -625,3 +625,20 @@ def test_interval_join_batch(spark):
                         "0 seconds", "10 minutes").collect()
     pairs = sorted((r["cid"], r["bid"]) for r in out)
     assert pairs == [(1, 10)]  # 15min too late, -1min before the click
+
+
+def test_asof_join_plan_no_quadratic_join(spark):
+    """The as-of implementation must stay the union+window carry — a
+    range join would be quadratic per key and unusable at scale."""
+    from duckdb_iceberg_spark.operators.joins import asof_join
+
+    import datetime as dt
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, 1, t)], "lid long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(10, 1, t, 1.0)],
+                                  "rid long, user_id long, ts timestamp, v double")
+    plan = asof_join(left, right, "ts", ["user_id"], ["rid"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan

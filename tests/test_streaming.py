@@ -287,3 +287,47 @@ def test_stream_rate_limit_max_snapshots_per_trigger(spark, tmp_path):
     assert run_once() == list(range(20))
     assert run_once() == list(range(30))
     assert run_once() == list(range(40))
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    """Stream-stream interval join: two file streams of timestamped
+    events joined within [0s, 10m] per key, watermarks bounding state.
+    Results must equal the batch-parity run of the same operator."""
+    import datetime as dt
+
+    from duckdb_iceberg_spark.operators.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    clicks_rows = [(1, 1, ts(0)), (2, 2, ts(0)), (3, 1, ts(30))]
+    buys_rows = [(10, 1, ts(5)), (11, 1, ts(15)), (12, 2, ts(8)),
+                 (13, 1, ts(35))]
+    cdir = str(tmp_path / "clicks")
+    bdir = str(tmp_path / "buys")
+    spark.createDataFrame(clicks_rows, "cid long, user_id long, ts timestamp") \
+        .write.parquet(cdir)
+    spark.createDataFrame(buys_rows, "bid long, user_id long, ts timestamp") \
+        .write.parquet(bdir)
+
+    cs = spark.readStream.schema("cid long, user_id long, ts timestamp") \
+        .parquet(cdir)
+    bs = spark.readStream.schema("bid long, user_id long, ts timestamp") \
+        .parquet(bdir)
+    j = interval_join(cs, bs, "ts", ["user_id"], "0 seconds", "10 minutes")
+    q = (j.select("cid", "bid").writeStream.format("memory")
+         .queryName("ij_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql(
+        "SELECT cid, bid FROM ij_test").collect())
+
+    cb = spark.createDataFrame(clicks_rows, "cid long, user_id long, ts timestamp")
+    bb = spark.createDataFrame(buys_rows, "bid long, user_id long, ts timestamp")
+    want = sorted(tuple(r) for r in interval_join(
+        cb, bb, "ts", ["user_id"], "0 seconds", "10 minutes")
+        .select("cid", "bid").collect())
+    assert got == want == [(1, 10), (2, 12), (3, 13)]

@@ -1506,6 +1506,19 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.min("vec_id").alias("min_id"))
 
 
+def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 16-token windows, 4-token
+    overlap (stride 12) — the context-limit prep for training/embedding."""
+    from duckdb_iceberg_spark.operators.text import chunk_documents
+
+    docs = _pq(spark, sf_dir, "documents")
+    return (
+        chunk_documents(docs, budget=16, overlap=4)
+        .orderBy("doc_id", "chunk_id")
+        .limit(3000)
+    )
+
+
 def docs_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus card: doc counts, token mass, EXACT interpolated
     token percentiles (= ANSI quantile_cont), language diversity and the
@@ -2017,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_normalize": docs_normalize,
         "docs_incremental_minhash": docs_incremental_minhash,
         "docs_corpus_report": docs_corpus_report,
+        "docs_chunk": docs_chunk,
         "docs_ngram_dedup": docs_ngram_dedup,
         "emb_lsh_topk": emb_lsh_topk,
         "emb_neardup": emb_neardup,
@@ -3174,6 +3188,22 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_topk": _lsh_topk_sql(),
         "docs_ngram_dedup": _ngram_dedup_sql(),
         "docs_incremental_minhash": _incremental_minhash_sql(),
+        "docs_chunk": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ), base AS (
+              SELECT doc_id, t, len(t) AS n FROM toks
+            ), ch AS (
+              SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                     t[i*12+1 : i*12+16] AS c
+              FROM base, LATERAL unnest(range(0,
+                greatest(1, CAST(ceil((n - 4) / 12.0) AS BIGINT)))) AS r(i)
+            )
+            SELECT doc_id, chunk_id, array_to_string(c, ' ') AS chunk_text,
+                   CAST(len(c) AS BIGINT) AS n_tokens
+            FROM ch ORDER BY doc_id, chunk_id LIMIT 3000
+        """,
         "docs_corpus_report": r"""
             WITH toks AS (
               SELECT source, lang,

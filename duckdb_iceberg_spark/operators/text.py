@@ -402,3 +402,48 @@ def corpus_report(
         F.round(F.col("__top_cnt") / F.col("n_docs"), 6)
         .alias("top_lang_frac"),
     )
+
+
+def chunk_documents(
+    df,
+    budget: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into training-window chunks of at most ``budget``
+    whitespace tokens with ``overlap`` tokens carried between adjacent
+    chunks (the standard sliding-window prep for context-limited
+    training/embedding). Chunk starts step by ``stride = budget -
+    overlap``; chunk count is ``max(1, ceil((n - overlap) / stride))``
+    so a trailing window is emitted only if it adds new tokens. Blank
+    docs are dropped.
+
+    Output: (id, chunk_id, chunk_text, n_tokens). Pure Column work —
+    tokenize once, transform+posexplode the chunk windows, array_join
+    back to text; a stateless map over the scan at any scale."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if not 0 <= overlap < budget:
+        raise ValueError("overlap must be in [0, budget)")
+    stride = budget - overlap
+    t = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), t.alias("__t"), F.size(t).alias("__n"))
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__n") - overlap) / F.lit(stride)).cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice("__t", i * stride + 1, budget),
+    )
+    return base.select(
+        id_col,
+        F.posexplode(chunks).alias("chunk_id", "__c"),
+    ).select(
+        id_col, "chunk_id",
+        F.array_join("__c", " ").alias("chunk_text"),
+        F.size("__c").cast("long").alias("n_tokens"),
+    )

@@ -642,3 +642,32 @@ def test_asof_join_plan_no_quadratic_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_chunk_documents(spark):
+    from duckdb_iceberg_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),  # 7 tokens
+            (2, "x y"),            # fits one chunk
+            (3, " "),              # blank: dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = [(r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+            for r in chunk_documents(df, budget=4, overlap=1)
+            .orderBy("doc_id", "chunk_id").collect()]
+    # stride 3: ceil((7-1)/3) = 2 chunks: [a b c d], [d e f g]
+    assert rows == [
+        (1, 0, "a b c d", 4),
+        (1, 1, "d e f g", 4),
+        (2, 0, "x y", 2),
+    ]
+    # no overlap: stride 4 -> [a b c d], [e f g]
+    rows2 = [r["chunk_text"] for r in chunk_documents(df.filter("doc_id = 1"),
+             budget=4).orderBy("chunk_id").collect()]
+    assert rows2 == ["a b c d", "e f g"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, budget=4, overlap=4)

@@ -554,11 +554,19 @@ def incremental_minhash_dedup(
     day's crawl dedups against the lake without an all-corpus rerun).
 
     Steps: (1) exact dedup within the batch and against corpus
-    fingerprints (:func:`incremental_exact_dedup`); (2) within-batch
-    near-dedup (:func:`minhash_dedup`); (3) batch survivors whose LSH
-    band matches any corpus representative's band are verified by exact
-    shingle Jaccard and dropped at ``threshold``. Ids must be globally
-    unique across both frames.
+    fingerprints (:func:`incremental_exact_dedup`); (2) within-batch LSH
+    near-dedup (bucket-min pairing + exact-Jaccard verify — the
+    minhash_dedup pipeline, sharing ONE signature computation with step
+    3); (3) batch survivors whose LSH band matches any corpus
+    representative's band are verified by exact shingle Jaccard and
+    dropped at ``threshold``. Ids must be globally unique across both
+    frames.
+
+    The batch signature frame and the within-batch loser set are
+    persisted (both tiny: id + num_hashes longs / bare ids) — each is
+    consumed by several downstream joins, and without the cache the
+    signature pandas UDF would re-run once per consumer (measured 3×
+    the whole query at sf0.1).
 
     Scale: the per-batch cost is batch-sized everywhere except the
     corpus representative/signature computation — at 100 TB those are
@@ -569,23 +577,41 @@ def incremental_minhash_dedup(
     EVERY corpus rep in the shared bucket (bounded by bucket size), so a
     failed verify against one rep cannot mask a true near-dup with
     another."""
-    batch = incremental_exact_dedup(new_df, corpus_df, text_col, id_col)
-    batch = minhash_dedup(batch, text_col, id_col, num_hashes, bands,
-                          shingle_k, threshold)
+    from pyspark.sql.window import Window
+
+    batch0 = incremental_exact_dedup(new_df, corpus_df, text_col, id_col)
+    sigs_b = minhash_signatures(batch0, text_col, id_col,
+                                num_hashes, shingle_k).persist()
+    bands_b = banded_signatures(sigs_b, id_col, bands)
+
+    # within-batch LSH: bucket-min pairing + exact verify (identical to
+    # minhash_dedup's candidate/verify stages, reusing sigs_b)
+    w = Window.partitionBy("band", "bucket")
+    cands_b = (
+        bands_b.withColumn("__min", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("__min"))
+        .select(F.col("__min").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    dups_b = verify_jaccard(cands_b, batch0, text_col, id_col,
+                            shingle_k, threshold)
+    losers_b = dups_b.select(F.col("id_b").alias(id_col)) \
+        .distinct().persist()
+    batch1 = batch0.join(losers_b, id_col, "left_anti")
+
     fp = corpus_df.withColumn("__fp", doc_fingerprint(text_col))
     keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     corpus_reps = fp.join(keep, [id_col, "__fp"], "left_semi").drop("__fp")
-
-    sig_new = minhash_signatures(batch, text_col, id_col, num_hashes, shingle_k)
     sig_old = minhash_signatures(corpus_reps, text_col, id_col,
                                  num_hashes, shingle_k)
-    bn = banded_signatures(sig_new, id_col, bands) \
-        .withColumnRenamed(id_col, "id_b")
     bo = banded_signatures(sig_old, id_col, bands) \
         .withColumnRenamed(id_col, "id_a")
+    bn = bands_b.join(batch1.select(id_col), id_col, "left_semi") \
+        .withColumnRenamed(id_col, "id_b")
     cross = bo.join(bn, ["band", "bucket"]).select("id_a", "id_b").distinct()
     texts = corpus_reps.select(F.col(id_col), F.col(text_col)).unionByName(
-        batch.select(F.col(id_col), F.col(text_col)))
-    dupes = verify_jaccard(cross, texts, text_col, id_col, shingle_k, threshold)
+        batch1.select(F.col(id_col), F.col(text_col)))
+    dupes = verify_jaccard(cross, texts, text_col, id_col, shingle_k,
+                           threshold)
     losers = dupes.select(F.col("id_b").alias(id_col)).distinct()
-    return batch.join(losers, id_col, "left_anti")
+    return batch1.join(losers, id_col, "left_anti")

@@ -1529,3 +1529,76 @@ def test_compatibility_toggles(stub, spark, sf_dir, tmp_path):
     before = set(_glob.glob(f"{loc}/**/*", recursive=True))
     txn2.rollback()
     assert set(_glob.glob(f"{loc}/**/*", recursive=True)) == before
+
+
+def test_rest_dml_program_fuzz(stub, spark, tmp_path):
+    """Randomized-but-deterministic DML program THROUGH the catalog:
+    interleaved append / MoR+CoW delete_where / update_where sequences
+    tracked against a Python model. Invariants: the catalog scan matches
+    the model after every op, the on-disk metadata log NEVER advances
+    (every commit goes over the wire), and the stub's snapshot log grows
+    by exactly one per effective commit — fuzzing the data-plane commit
+    interactions the example tests pin singly."""
+    import random
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    rng = random.Random(421)
+    rows = [(i, i % 4, float(i % 7)) for i in range(30)]
+    write_iceberg(spark.createDataFrame(rows, "id long, k int, v double"),
+                  loc)
+    _register_disk_table(state, loc)
+
+    def _disk_versions():
+        return sorted(f for f in os.listdir(os.path.join(loc, "metadata"))
+                      if f.endswith(".metadata.json"))
+
+    disk0 = _disk_versions()
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "t")
+    state.plan_response = None  # client-side planning
+
+    model = {i: (k, v) for i, k, v in rows}
+    next_id = 30
+    snaps = len(state.tables[("db", "t")]["snapshots"])
+
+    for _ in range(6):
+        op = rng.choice(["append", "delete", "update"])
+        if op == "append":
+            n = rng.randint(1, 8)
+            batch = [(next_id + j, (next_id + j) % 4,
+                      float((next_id + j) % 5)) for j in range(n)]
+            next_id += n
+            tbl.append(spark, spark.createDataFrame(
+                batch, "id long, k int, v double"))
+            for i, k, v in batch:
+                model[i] = (k, v)
+            snaps += 1
+        elif op == "delete":
+            kv = rng.randint(0, 4)
+            mode = rng.choice(["merge-on-read", "copy-on-write"])
+            would = sum(1 for k, _v in model.values() if k == kv)
+            tbl.delete_where(spark, f"k = {kv}", mode=mode)
+            model = {i: kv2 for i, kv2 in model.items() if kv2[0] != kv}
+            if would:
+                snaps += 1
+        else:
+            kv = rng.randint(0, 4)
+            mode = rng.choice(["merge-on-read", "copy-on-write"])
+            would = sum(1 for k, _v in model.values() if k == kv)
+            tbl.update_where(spark, {"v": "v + 10.0"}, f"k = {kv}",
+                             mode=mode)
+            model = {i: (k, v + 10.0) if k == kv else (k, v)
+                     for i, (k, v) in model.items()}
+            if would:
+                snaps += 1
+
+        got = sorted(tuple(r) for r in
+                     scan_rest_table(spark, tbl, server_planning=False)
+                     .select("id", "k", "v").collect())
+        assert got == sorted((i, k, v) for i, (k, v) in model.items())
+        assert _disk_versions() == disk0, "filesystem metadata log advanced"
+        assert len(state.tables[("db", "t")]["snapshots"]) == snaps

@@ -1506,6 +1506,47 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.min("vec_id").alias("min_id"))
 
 
+def _ice_documents_mor(spark: SparkSession, sf_dir: str) -> str:
+    """documents as an Iceberg table: identity-partitioned by lang, with a
+    MoR delete removing source src19 — so curation queries exercise
+    partition pruning + delete application before any operator runs."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.dml import delete_from
+
+        write_iceberg(_pq(spark, sf_dir, "documents"), loc,
+                      partition_by=["lang"])
+        delete_from(spark, loc, "source = 'src19'", mode="merge-on-read")
+
+    return _build_once(sf_dir, "documents_lang_mor", build)
+
+
+def ice_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two halves of the engine composed: an Iceberg MoR scan with
+    partition pruning (lang <> 'zh') feeds the curation operators —
+    exact dedup, alpha-ratio quality gate, token counting — into a
+    per-language summary. The oracle replays the same logic over the
+    raw rows (minus the deleted source / pruned partition)."""
+    from duckdb_iceberg_spark import iceberg_scan
+    from duckdb_iceberg_spark.operators.dedup import exact_dedup
+    from duckdb_iceberg_spark.operators.text import (
+        quality_signals, token_count)
+
+    loc = _ice_documents_mor(spark, sf_dir)
+    docs = iceberg_scan(spark, loc, where="lang <> 'zh'") \
+        .filter(F.length("text") > 0)
+    s = quality_signals("text")
+    return (
+        exact_dedup(docs)
+        .filter(s["alpha_ratio"] >= 0.55)
+        .select("lang", token_count("text").alias("__nt"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"),
+             F.sum("__nt").alias("sum_tokens"))
+        .orderBy("lang")
+    )
+
+
 def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking: 16-token windows, 4-token
     overlap (stride 12) — the context-limit prep for training/embedding."""
@@ -1962,10 +2003,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              rotated back IN this round (q03-q08, q10-q17, q19, q20, q22
              were parked in r4; all were green in r1-r3 and in r4's local
              oracle run).
-      48-50  LLM-pipeline spot checks kept in-window: the flagship dedup +
-             the two NEWEST oracles (docs_repetition, docs_decontaminate —
-             first driver rows for the Gopher-repetition and n-gram
-             decontamination operators).
+      48-50  LLM-pipeline spot checks kept in-window: the two NEWEST
+             oracles (docs_repetition, docs_decontaminate — first driver
+             rows for the Gopher-repetition and decontamination
+             operators). docs_minhash_dedup (driver-green r4, local-
+             oracle green every session) parks at 51 to make room for
+             ice_docs_curation joining the always-in-window ice_* block.
       51+    remaining LLM/streaming/multimodal + q_* relational extras —
              driver-green in r4, parked; rotate back in r6
              (tools/check_oracle.py covers all positions every run).
@@ -1996,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_topk_scan": ice_topk_scan,
         "ice_truncate_fn": ice_truncate_fn,
         "ice_bucket_fn": ice_bucket_fn,
+        "ice_docs_curation": ice_docs_curation,
         # --- full TPC-H + deletes benchmark analogue (rotated in, r5) -----
         "q01_pricing_summary": q01_pricing_summary,
         "q01_mor_pricing_summary": q01_mor_pricing_summary,
@@ -2021,10 +2065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": q21_waiting_supplier,
         "q22_sales_opportunity": q22_sales_opportunity,
         # --- LLM-pipeline spot checks kept in-window ----------------------
-        "docs_minhash_dedup": docs_minhash_dedup,
         "docs_repetition": docs_repetition,
         "docs_decontaminate": docs_decontaminate,
         # ------------------- 50-row window boundary -----------------------
+        "docs_minhash_dedup": docs_minhash_dedup,
         "docs_resample_mixture": docs_resample_mixture,
         "docs_redact_pii": docs_redact_pii,
         "docs_normalize": docs_normalize,
@@ -3188,6 +3232,27 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_topk": _lsh_topk_sql(),
         "docs_ngram_dedup": _ngram_dedup_sql(),
         "docs_incremental_minhash": _incremental_minhash_sql(),
+        "ice_docs_curation": rf"""
+            WITH base AS (
+              SELECT * FROM documents
+              WHERE source <> 'src19' AND lang <> 'zh' AND length(text) > 0
+            ), reps AS (
+              SELECT * FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY {_FP_SQL}) AS m
+                FROM base) q
+              WHERE doc_id = m
+            ), filt AS (
+              SELECT lang,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS BIGINT) AS nt
+              FROM reps
+              WHERE round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                               AS DOUBLE) / length(text), 6) >= 0.55
+            )
+            SELECT lang, count(*) AS kept, sum(nt) AS sum_tokens
+            FROM filt GROUP BY lang ORDER BY lang
+        """,
         "docs_chunk": r"""
             WITH toks AS (
               SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

@@ -74,6 +74,7 @@ HEADLINE = [
     "ice_dynamic_prune_join",
     "ice_objectstore_scan",
     "ice_delete_using_scan",
+    "ice_docs_curation",
     "docs_exact_dedup",
     "docs_simhash",
     "docs_lang_scores",

@@ -1460,6 +1460,32 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-line removal (CCNet/RefinedWeb paragraph
+    dedup): boilerplate lines occurring across documents are dropped
+    everywhere but their globally first occurrence. The word-soup corpus
+    is single-line, so line breaks are synthesized deterministically
+    (newline after every 8th word) — the tiny vocabulary then makes
+    cross-document line collisions common, exercising the keep-first
+    policy; the oracle replays the identical synthesis."""
+    from duckdb_iceberg_spark.operators.dedup import line_dedup
+
+    docs = _pq(spark, sf_dir, "documents")
+    synth = F.regexp_replace(
+        F.col("text"), r"((?:\S+\s+){7}\S+)\s+", "$1\n")
+    out = line_dedup(
+        docs.select("doc_id", synth.alias("text")), min_line_chars=2)
+    return (
+        out.select(
+            "doc_id",
+            F.md5(F.col("text")).alias("text_md5"),
+            F.length("text").alias("text_len"),
+            "n_lines_kept", "n_lines_removed")
+        .orderBy("doc_id")
+        .limit(2000)
+    )
+
+
 def docs_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling: downsample src0/src1/src2 to a
     50/25/25 target mixture by deterministic md5 threshold (largest
@@ -2004,10 +2030,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              were parked in r4; all were green in r1-r3 and in r4's local
              oracle run).
       48-50  LLM-pipeline spot checks kept in-window: the two NEWEST
-             oracles (docs_repetition, docs_decontaminate — first driver
-             rows for the Gopher-repetition and decontamination
-             operators). docs_minhash_dedup (driver-green r4, local-
-             oracle green every session) parks at 51 to make room for
+             oracles hold the spot-check slots (docs_repetition,
+             docs_line_dedup — first driver rows for the Gopher-repetition
+             and CCNet line-dedup operators). docs_decontaminate (added
+             earlier in r5, local-oracle green) cedes its slot to the
+             newer docs_line_dedup and parks at 51; docs_minhash_dedup
+             (driver-green r4) parks right after to make room for
              ice_docs_curation joining the always-in-window ice_* block.
       51+    remaining LLM/streaming/multimodal + q_* relational extras —
              driver-green in r4, parked; rotate back in r6
@@ -2066,8 +2094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_sales_opportunity": q22_sales_opportunity,
         # --- LLM-pipeline spot checks kept in-window ----------------------
         "docs_repetition": docs_repetition,
-        "docs_decontaminate": docs_decontaminate,
+        "docs_line_dedup": docs_line_dedup,
         # ------------------- 50-row window boundary -----------------------
+        "docs_decontaminate": docs_decontaminate,
         "docs_minhash_dedup": docs_minhash_dedup,
         "docs_resample_mixture": docs_resample_mixture,
         "docs_redact_pii": docs_redact_pii,
@@ -3121,6 +3150,41 @@ def oracle_sql() -> dict[str, str]:
             FROM ng d JOIN ev ON d.g = ev.g
             WHERE d.doc_id % 10 <> 0
             GROUP BY d.doc_id ORDER BY d.doc_id LIMIT 2000
+        """,
+        "docs_line_dedup": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+\s+){7}\S+)\s+',
+                                    '\1' || chr(10), 'g') AS t
+              FROM documents
+            ), ls AS (
+              SELECT doc_id, string_split(t, chr(10)) AS arr FROM synth
+            ), lines AS (
+              SELECT doc_id, CAST(i AS INT) AS pos,
+                     trim(arr[CAST(i AS INT) + 1]) AS line
+              FROM ls, LATERAL unnest(range(0, len(arr))) AS r(i)
+            ), ranked AS (
+              -- eligibility is a function of the line text, so every
+              -- member of a PARTITION BY line group shares it
+              SELECT doc_id, pos, line,
+                     (length(line) < 2
+                      OR row_number() OVER (PARTITION BY line
+                                            ORDER BY doc_id, pos) = 1)
+                     AS keep
+              FROM lines
+            ), agg AS (
+              SELECT doc_id,
+                     coalesce(string_agg(CASE WHEN keep THEN line END,
+                                         chr(10) ORDER BY pos), '') AS txt,
+                     count(*) FILTER (keep) AS n_lines_kept,
+                     count(*) FILTER (NOT keep) AS n_lines_removed
+              FROM ranked GROUP BY doc_id
+            )
+            SELECT doc_id, md5(txt) AS text_md5,
+                   CAST(length(txt) AS INT) AS text_len,
+                   CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+                   CAST(n_lines_removed AS BIGINT) AS n_lines_removed
+            FROM agg ORDER BY doc_id LIMIT 2000
         """,
         "docs_resample_mixture": """
             WITH w(src, wt) AS (

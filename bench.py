@@ -86,6 +86,7 @@ HEADLINE = [
     "docs_pack_sequences",
     "docs_repetition",
     "docs_decontaminate",
+    "docs_line_dedup",
     "docs_incremental_minhash",
     "docs_redact_pii",
     "stream_tumbling_events",

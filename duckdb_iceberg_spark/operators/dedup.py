@@ -615,3 +615,75 @@ def incremental_minhash_dedup(
                            threshold)
     losers = dupes.select(F.col("id_b").alias(id_col)).distinct()
     return batch1.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line dedup (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 1,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Corpus-level duplicated-line removal (the CCNet / RefinedWeb
+    paragraph-dedup pass): a line that occurs in many documents is
+    boilerplate (headers, nav bars, license banners) and is dropped from
+    every document except — when ``keep_first`` — its globally first
+    occurrence, ordered by (id, line position).
+
+    Lines are compared trim-normalized; the emitted text contains the
+    trimmed lines rejoined with ``\\n``. Lines shorter than
+    ``min_line_chars`` after trimming never participate (blank separators
+    stay where they are). Documents whose every eligible line is removed
+    still appear, with the surviving short lines only.
+
+    Returns (id, text, n_lines_kept, n_lines_removed).
+
+    Scale: two linear shuffles — a window keyed by the line text (same
+    exchange a groupBy on the line would take; rank and global count come
+    from one sort) and the per-document reassembly groupBy. All codegen
+    Column work, no Python, no driver state: exactly the shape CCNet runs
+    over Common Crawl, where per-shard hash tables would miss cross-shard
+    boilerplate."""
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__raw"),
+    ).select("__id", "__pos", F.trim("__raw").alias("__line"))
+    eligible = F.length("__line") >= F.lit(min_line_chars)
+    # rank occurrences of each line corpus-wide; ineligible (blank/short)
+    # lines get a per-occurrence key — a shared constant would funnel every
+    # blank separator in the corpus through one window partition
+    key = F.when(eligible, F.concat(F.lit("e:"), F.col("__line"))).otherwise(
+        F.concat_ws(":", F.lit("i"), F.col("__id"), F.col("__pos")))
+    w = Window.partitionBy(key).orderBy("__id", "__pos")
+    ranked = lines.select(
+        "__id", "__pos", "__line", eligible.alias("__elig"),
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(key)).alias("__cnt"),
+    )
+    kept = F.when(~F.col("__elig"), F.lit(True)).otherwise(
+        (F.col("__rk") == 1) if keep_first else (F.col("__cnt") == 1))
+    marked = ranked.select("__id", "__pos", "__line", kept.alias("__keep"))
+    return (
+        marked.groupBy("__id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("__keep"),
+                               F.struct("__pos", "__line")))),
+                    lambda s: s["__line"],
+                ),
+            ).alias(text_col),
+            F.sum(F.col("__keep").cast("long")).alias("n_lines_kept"),
+            F.sum((~F.col("__keep")).cast("long")).alias("n_lines_removed"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )

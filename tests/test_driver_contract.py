@@ -30,12 +30,12 @@ def test_window_holds_reference_surface_and_rotation():
     assert set(tpch) <= window, (
         f"{sorted(set(tpch) - window)} rotated-in TPC-H queries fell past "
         "the window")
-    # r5 session 3: the two NEWEST oracles (docs_repetition,
-    # docs_decontaminate) hold the spot-check slots; docs_minhash_dedup /
-    # docs_ngram_dedup / emb_lsh_topk (driver-green in r4, local-oracle
+    # r5 session 4: the two NEWEST oracles (docs_repetition,
+    # docs_line_dedup) hold the spot-check slots; docs_decontaminate /
+    # docs_minhash_dedup / docs_ngram_dedup / emb_lsh_topk (local-oracle
     # green every session) park at 51+ so ice_docs_curation could join
     # the always-in-window ice_* block
-    spot_checks = {"docs_repetition", "docs_decontaminate"}
+    spot_checks = {"docs_repetition", "docs_line_dedup"}
     assert spot_checks <= window
     assert len(keys) >= 50 and len(window) == 50
 

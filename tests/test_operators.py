@@ -671,3 +671,42 @@ def test_chunk_documents(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_documents(df, budget=4, overlap=4)
+
+
+def test_line_dedup_keep_first(spark):
+    """Corpus-level CCNet line dedup: a boilerplate line shared by three
+    docs survives only at its globally first (doc_id, pos); short lines
+    (< min_line_chars) and blank separators always survive."""
+    from duckdb_iceberg_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "unique one\nSHARED\nalpha"),
+         (2, "SHARED\nbeta\n\nx"),
+         (3, "gamma\nSHARED\nbeta")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            line_dedup(df, min_line_chars=2).collect()}
+    assert rows[1]["text"] == "unique one\nSHARED\nalpha"
+    assert rows[1]["n_lines_removed"] == 0
+    # doc 2 loses SHARED (doc 1 owns it) but keeps first 'beta', the
+    # blank separator, and the 1-char ineligible 'x'
+    assert rows[2]["text"] == "beta\n\nx"
+    assert (rows[2]["n_lines_kept"], rows[2]["n_lines_removed"]) == (3, 1)
+    # doc 3 loses SHARED and beta (both seen earlier)
+    assert rows[3]["text"] == "gamma"
+    assert rows[3]["n_lines_removed"] == 2
+
+
+def test_line_dedup_drop_all_duplicates(spark):
+    """keep_first=False: every occurrence of a duplicated line is
+    removed, including the first."""
+    from duckdb_iceberg_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "dup line\nsolo"), (2, "dup line\nother")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            line_dedup(df, min_line_chars=2, keep_first=False).collect()}
+    assert rows[1]["text"] == "solo"
+    assert rows[2]["text"] == "other"
+    assert rows[1]["n_lines_removed"] == rows[2]["n_lines_removed"] == 1

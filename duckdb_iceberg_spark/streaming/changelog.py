@@ -80,8 +80,13 @@ def changelog_scan(
     pieces: list[DataFrame] = []
     schema = None
     ordinal = 0
+    # each snapshot is planned once as "current" and reused as the next
+    # snapshot's "parent" — without this cache every snapshot in a long
+    # range is metadata-planned twice
+    last_plan: tuple[int, ScanPlan] | None = None
     for snap in chain:
         if snap.operation == "replace":
+            last_plan = None  # parent of the next snap is the replace snap
             continue  # compaction: no logical change
         parent = (tm.snapshot_by_id(snap.parent_snapshot_id)
                   if snap.parent_snapshot_id is not None else None)
@@ -92,8 +97,12 @@ def changelog_scan(
             par_by_path: dict = {}
             plan_par = None
         else:
-            plan_par = plan_scan(tm, parent)
+            if last_plan is not None and last_plan[0] == parent.snapshot_id:
+                plan_par = last_plan[1]
+            else:
+                plan_par = plan_scan(tm, parent)
             par_by_path = {t.data_file.file_path: t for t in plan_par.tasks}
+        last_plan = (snap.snapshot_id, plan_cur)
 
         touched: set[str] = set()
         touched |= set(cur_by_path) ^ set(par_by_path)  # added or removed

@@ -122,5 +122,38 @@ def test_dml_sequences_match_model(spark, program):
             tt = _rows(iceberg_scan(spark, loc, snapshot_id=sid)
                        .select("id", "k", "v"))
             assert tt == _model_rows(state), f"snapshot {sid} drifted"
+        # changelog reconciliation: for a snapshot range [A, B], applying
+        # the emitted net changes (inserts − deletes, as multisets: an
+        # UPDATE is delete+insert) to A's state must yield exactly B's —
+        # over the full history (A = empty) and the last recorded pair
+        ranges = [(None, {}, history[-1])]
+        if len(history) >= 2:
+            ranges.append((history[-2][0], history[-2][1], history[-1]))
+        for from_sid, from_state, (to_sid, to_state) in ranges:
+            _assert_changelog_reconciles(
+                spark, loc, from_sid, from_state, to_sid, to_state)
     finally:
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def _assert_changelog_reconciles(spark, loc, from_sid, from_state,
+                                 to_sid, to_state):
+    from collections import Counter
+
+    from duckdb_iceberg_spark.streaming.changelog import changelog_scan
+
+    cl = changelog_scan(spark, loc, from_snapshot_id=from_sid,
+                        to_snapshot_id=to_sid).collect()
+    state = Counter((i, k, v) for i, (k, v) in from_state.items())
+    for r in cl:
+        row = (r["id"], r["k"], r["v"])
+        if r["_change_type"] == "insert":
+            state[row] += 1
+        else:
+            assert state[row] > 0, (
+                f"changelog deletes {row} absent from state "
+                f"({from_sid}→{to_sid})")
+            state[row] -= 1
+    want = Counter((i, k, v) for i, (k, v) in to_state.items())
+    assert +state == want, (
+        f"changelog {from_sid}→{to_sid} does not reconcile")

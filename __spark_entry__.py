@@ -1950,6 +1950,98 @@ def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_stream_curated(spark: SparkSession, sf_dir: str) -> str:
+    """The streaming-ingest curation pipeline: documents arrive in four
+    ascending doc_id-range batches (file mtimes force the FileStreamSource
+    order); each micro-batch is quality-filtered (alpha_ratio >= 0.55),
+    exact-deduped within itself (min doc_id per fingerprint), anti-joined
+    against the fingerprints already committed to the lake, and appended
+    through the exactly-once Iceberg sink. Ascending ranges make
+    first-seen == global-min-doc_id, so the final table is deterministic
+    and SQL-expressible.
+
+    The raw corpus has no exact duplicates below sf0.1, so the source
+    re-appends a copy of every doc_id % 7 == 0 document at a shifted id —
+    the copies land in later batches than their originals, so a broken
+    cross-batch anti-join would append them and fail the oracle's counts
+    (the oracle replays the identical synthesis)."""
+    def build(loc: str) -> None:
+        import tempfile
+        import time as _time
+
+        from duckdb_iceberg_spark import iceberg_scan
+        from duckdb_iceberg_spark.operators.text import (doc_fingerprint,
+                                                         quality_signals)
+        from duckdb_iceberg_spark.streaming import iceberg_sink
+
+        docs = _pq(spark, sf_dir, "documents")
+        n_batches = 4
+        hi = docs.agg(F.max("doc_id")).first()[0] + 1
+        copies = (docs.filter(F.col("doc_id") % 7 == 0)
+                  .withColumn("doc_id", (F.col("doc_id") + F.lit(hi))
+                              .cast("long")))
+        docs = docs.unionByName(copies)
+        step = (2 * hi + n_batches - 1) // n_batches
+
+        def curate(batch_df: DataFrame) -> DataFrame:
+            s = quality_signals(F.col("text"))
+            b = (batch_df.filter(s["alpha_ratio"] >= 0.55)
+                 .withColumn("fingerprint", doc_fingerprint("text")))
+            keep = b.groupBy("fingerprint").agg(
+                F.min("doc_id").alias("doc_id"))
+            b = b.join(keep, ["doc_id", "fingerprint"], "left_semi")
+            if os.path.exists(os.path.join(loc, "metadata")):
+                seen = iceberg_scan(spark, loc) \
+                    .select("fingerprint").distinct()
+                b = b.join(seen, "fingerprint", "left_anti")
+            return b
+
+        with tempfile.TemporaryDirectory() as tmp:
+            src = os.path.join(tmp, "src")
+            os.makedirs(src)
+            now = _time.time()
+            for i in range(n_batches):
+                part = os.path.join(tmp, f"stage{i}")
+                (docs.filter((F.col("doc_id") >= i * step)
+                             & (F.col("doc_id") < (i + 1) * step))
+                 .coalesce(1).write.parquet(part, mode="overwrite"))
+                pq_file = next(f for f in os.listdir(part)
+                               if f.endswith(".parquet"))
+                dst = os.path.join(src, f"{i:04d}.parquet")
+                shutil.copyfile(os.path.join(part, pq_file), dst)
+                # ascending mtimes pin the FileStreamSource batch order
+                os.utime(dst, (now - 400 + i * 100, now - 400 + i * 100))
+            stream = (spark.readStream.schema(docs.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .option("latestFirst", "false").parquet(src))
+            q = (stream.writeStream
+                 .foreachBatch(iceberg_sink(loc, query_id="curation-sink",
+                                            transform=curate))
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination(300)
+
+    return _build_once(sf_dir, "documents_stream_curated_v2", build)
+
+
+def stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state of the streaming curation pipeline (quality filter +
+    cross-batch exact dedup + exactly-once Iceberg sink): per-language
+    survivor counts and character mass, equal to a batch curation of the
+    whole corpus."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_stream_curated(spark, sf_dir)
+    return (
+        iceberg_scan(spark, loc)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("survivors"),
+             F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: IVF probes nprobe/n_centroids of the corpus (approximate)
     from duckdb_iceberg_spark.operators.similarity import ivf_topk
@@ -2126,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental": stream_incremental,
         "stream_changelog": stream_changelog,
         "stream_sink_roundtrip": stream_sink_roundtrip,
+        "stream_curation": stream_curation,
         "stream_tumbling_events": stream_tumbling_events,
         "stream_session_events": stream_session_events,
         "stream_sliding_events": stream_sliding_events,
@@ -3393,6 +3486,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey, count(*) AS cnt,
                    round(CAST(sum(CAST(round(s_acctbal, 6) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_bal
             FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        "stream_curation": f"""
+            WITH src AS (
+              SELECT doc_id, lang, n_chars, text FROM documents
+              UNION ALL
+              SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+                     lang, n_chars, text
+              FROM documents WHERE doc_id % 7 = 0
+            ), q AS (
+              SELECT doc_id, lang, n_chars, {_FP_SQL} AS fp
+              FROM src
+              WHERE round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                               AS DOUBLE) / length(text), 6) >= 0.55
+            ), keep AS (
+              SELECT min(doc_id) AS keep_id FROM q GROUP BY fp
+            )
+            SELECT lang, count(*) AS survivors, sum(n_chars) AS sum_chars
+            FROM q JOIN keep ON q.doc_id = keep.keep_id
+            GROUP BY lang ORDER BY lang
         """,
         "stream_tumbling_events": """
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,

@@ -91,6 +91,7 @@ HEADLINE = [
     "docs_redact_pii",
     "stream_tumbling_events",
     "stream_changelog",
+    "stream_curation",
     "mm_frame_sample",
 ]
 

@@ -35,9 +35,30 @@ def _pq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-_CACHE_VERSION = "v3"  # bump when fixture derivations change
-# v3: positional deletes are per-referenced-data-file (partition-scoped
-# pruning layout) — MoR fixtures must rebuild to exercise the new writer
+_CACHE_VERSION = "v4"  # bump when fixture derivations change
+# v4: builds are lock-guarded + code-fingerprinted (_BUILD_DONE carries the
+# builder-source hash, so a fixture built by mid-round code is rebuilt the
+# moment the engine source changes — the r5 ice_docs_curation flake class)
+
+
+def _code_fingerprint() -> str:
+    """md5 over the engine package + this file — the code that derives the
+    cached fixtures. Any source edit invalidates every cached fixture, so a
+    driver run never reads a fixture built by different (mid-round) code."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(here, "duckdb_iceberg_spark")
+    files = [os.path.abspath(__file__)]
+    for root, _dirs, names in os.walk(pkg):
+        files.extend(os.path.join(root, n) for n in names if n.endswith(".py"))
+    h = hashlib.md5()
+    for path in sorted(files):
+        h.update(path.encode())
+        with open(path, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
+_CODE_FINGERPRINT = _code_fingerprint()
 
 
 def _variant_dir(sf_dir: str, variant: str) -> str:
@@ -49,16 +70,42 @@ def _variant_dir(sf_dir: str, variant: str) -> str:
     )
 
 
+def _done_valid(done: str) -> bool:
+    try:
+        with open(done) as fh:
+            return fh.read().strip() == _CODE_FINGERPRINT
+    except OSError:
+        return False
+
+
 def _build_once(sf_dir: str, variant: str, builder) -> str:
+    """Build a fixture table exactly once per (sf_dir, variant, code version).
+
+    Concurrency- and crash-safe: builders take an exclusive flock per variant
+    (two processes sharing the cache — e.g. bench + correctness — serialize
+    instead of interleaving rmtree/write), a partial build (missing or stale
+    _BUILD_DONE) is wiped under the lock before rebuilding, and the sentinel
+    is written last so readers only ever see complete, current-code fixtures.
+    """
     loc = _variant_dir(sf_dir, variant)
     done = os.path.join(loc, "_BUILD_DONE")
-    if os.path.exists(done):
+    if _done_valid(done):
         return loc
-    shutil.rmtree(loc, ignore_errors=True)
+    import fcntl
+
     os.makedirs(os.path.dirname(loc), exist_ok=True)
-    builder(loc)
-    with open(done, "w") as fh:
-        fh.write("ok")
+    lock_path = os.path.join(os.path.dirname(loc), f".{variant}.lock")
+    with open(lock_path, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            if _done_valid(done):  # another process built it while we waited
+                return loc
+            shutil.rmtree(loc, ignore_errors=True)
+            builder(loc)
+            with open(done, "w") as fh:
+                fh.write(_CODE_FINGERPRINT)
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
     return loc
 
 

@@ -401,6 +401,12 @@ class RestCatalog:
     def rename_table(self, src_ns: str | tuple, src_name: str,
                      dst_ns: str | tuple, dst_name: str) -> None:
         """reference: iceberg_schema_entry.cpp:333-350 (RENAME TABLE)."""
+        # both keys: the source must stop serving pre-rename metadata and a
+        # stale destination entry (from an earlier table of that name) must
+        # not shadow the renamed table
+        self.invalidate_table_cache(src_ns, src_name)
+        self.invalidate_table_cache(dst_ns, dst_name)
+
         def ident(ns, n):
             parts = ns.split(".") if isinstance(ns, str) else list(ns)
             return {"namespace": parts, "name": n}
@@ -772,8 +778,17 @@ class CatalogTransaction:
         snapshot wrote (data, manifests, manifest list) are deleted so a
         rollback leaves no garbage (reference:
         delete/delete_rollback_cleanup.test — files written by a
-        rolled-back DELETE are cleaned up)."""
+        rolled-back DELETE are cleaned up). The staged tables' in-memory
+        metadata (mutated by _StagedTable.commit_snapshot) is restored from
+        the catalog first, so reusing a table handle after rollback never
+        plans scans against deleted manifests or chains a new transaction
+        onto a snapshot the catalog never saw."""
         staged, self._staged = self._staged, []
+        for table in {id(t): t for t, _ in staged}.values():
+            try:
+                table.refresh()
+            except Exception:
+                pass  # best-effort: a dropped table has nothing to restore
         if not self.catalog.config.remove_files_on_delete:
             return
         for table, snap in staged:

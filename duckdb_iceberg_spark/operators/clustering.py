@@ -138,7 +138,9 @@ def semantic_dedup(
     clustered, _ = kmeans(df, n_clusters, vec_col, id_col, iters, seed,
                           approx_count)
 
-    schema = T.StructType([T.StructField(id_col, T.LongType())])
+    # output id type follows the input column (ADVICE r5: a string id with
+    # a hardcoded LongType would mismatch the declared Arrow group schema)
+    schema = T.StructType([T.StructField(id_col, df.schema[id_col].dataType)])
 
     def drop_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)

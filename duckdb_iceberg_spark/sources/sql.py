@@ -292,11 +292,22 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
         _, loc = _target_of(spark, name)
         return describe_table(spark, loc)
     if head == "DROP" and re.search(r"\bCASCADE\s*$", stmt, re.I):
-        # parity with the reference's explicit refusal (test_cascade.test)
-        kind = "SCHEMA" if re.match(r"DROP\s+SCHEMA", stmt, re.I) else "TABLE"
-        raise NotImplementedError(
-            f"DROP {kind} <name> CASCADE is not supported for Iceberg "
-            f"{'schemas' if kind == 'SCHEMA' else 'tables'} currently")
+        # parity with the reference's explicit refusal (test_cascade.test) —
+        # but only for Iceberg-registered targets; a DROP of an ordinary
+        # Spark table/schema falls through to spark.sql like any passthrough
+        m = re.match(r"DROP\s+(?:SCHEMA|TABLE)\s+(?:IF\s+EXISTS\s+)?([\w.]+)",
+                     stmt, re.I)
+        reg = _REGISTRY.get(spark, {})
+        target = m.group(1).lower() if m else ""
+        is_schema = bool(re.match(r"DROP\s+SCHEMA", stmt, re.I))
+        registered = (target in reg
+                      or (not is_schema and target.split(".")[-1] in reg)
+                      or any(k.startswith(target + ".") for k in reg))
+        if registered:
+            kind = "SCHEMA" if is_schema else "TABLE"
+            raise NotImplementedError(
+                f"DROP {kind} <name> CASCADE is not supported for Iceberg "
+                f"{'schemas' if kind == 'SCHEMA' else 'tables'} currently")
 
     # non-DML (or DML on unregistered relations): live-view refresh + passthrough
     reg = _REGISTRY.get(spark, {})

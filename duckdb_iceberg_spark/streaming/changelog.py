@@ -5,7 +5,11 @@ Spark `create_changelog_view` semantics: for each snapshot in
 (from, to], emit the NET row-level changes with
 
 - ``_change_type``: 'insert' | 'delete'
-- ``_change_ordinal``: 0-based position of the snapshot in the range
+- ``_change_ordinal``: 0-based position of the snapshot in the range.
+  EVERY snapshot in (from, to] consumes one ordinal — including
+  compaction (`replace`) snapshots and snapshots that touched no files,
+  which emit no rows — so ``chain[ordinal]`` always identifies the
+  snapshot and consumers can map ordinals back to commits.
 - ``_commit_snapshot_id``
 
 An UPDATE (delete+insert in one snapshot) appears as a delete row plus
@@ -79,12 +83,11 @@ def changelog_scan(
 
     pieces: list[DataFrame] = []
     schema = None
-    ordinal = 0
     # each snapshot is planned once as "current" and reused as the next
     # snapshot's "parent" — without this cache every snapshot in a long
     # range is metadata-planned twice
     last_plan: tuple[int, ScanPlan] | None = None
-    for snap in chain:
+    for ordinal, snap in enumerate(chain):
         if snap.operation == "replace":
             last_plan = None  # parent of the next snap is the replace snap
             continue  # compaction: no logical change
@@ -110,7 +113,6 @@ def changelog_scan(
             if _delete_signature(cur_by_path[p]) != _delete_signature(par_by_path[p]):
                 touched.add(p)
         if not touched:
-            ordinal += 1
             continue
 
         after = _restricted_df(spark, tm, snap, plan_cur, touched)
@@ -135,7 +137,6 @@ def changelog_scan(
                 F.lit(ordinal).alias("_change_ordinal"),
                 F.lit(snap.snapshot_id).alias("_commit_snapshot_id"),
             ))
-        ordinal += 1
 
     if not pieces:
         if schema is None:

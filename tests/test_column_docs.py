@@ -131,12 +131,28 @@ def test_non_foldable_default_refused(spark, table):
 
 
 def test_cascade_refused(spark, table):
+    """CASCADE refusal (reference: test_cascade.test) fires only for
+    Iceberg-registered targets; non-Iceberg statements pass through."""
     from duckdb_iceberg_spark.sources.sql import execute_sql
 
+    _register(spark, table, "casc_tbl")
     with pytest.raises(NotImplementedError, match="CASCADE is not supported"):
-        execute_sql(spark, "DROP TABLE some.table CASCADE")
+        execute_sql(spark, "DROP TABLE casc_tbl CASCADE")
+    with pytest.raises(NotImplementedError, match="CASCADE is not supported"):
+        execute_sql(spark, "DROP TABLE lake.casc_tbl CASCADE")
     with pytest.raises(NotImplementedError, match="Iceberg schemas"):
-        execute_sql(spark, "DROP SCHEMA some.schema CASCADE")
+        execute_sql(spark, "DROP SCHEMA casc_tbl CASCADE")
+
+
+def test_cascade_passthrough_non_iceberg(spark, table):
+    """DROP ... CASCADE on a plain Spark schema is NOT refused — it reaches
+    spark.sql and actually drops (the round-5 ADVICE medium)."""
+    from duckdb_iceberg_spark.sources.sql import execute_sql
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS casc_passthrough_db")
+    execute_sql(spark, "DROP SCHEMA casc_passthrough_db CASCADE")
+    names = [d.namespace for d in spark.sql("SHOW DATABASES").collect()]
+    assert "casc_passthrough_db" not in names
 
 
 def test_add_column_if_not_exists(spark, table):

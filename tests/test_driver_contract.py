@@ -40,6 +40,66 @@ def test_window_holds_reference_surface_and_rotation():
     assert len(keys) >= 50 and len(window) == 50
 
 
+def test_fixture_cache_lifecycle(tmp_path, monkeypatch):
+    """_build_once is crash-, staleness- and concurrency-safe: a completed
+    build is reused; a partial build (no _BUILD_DONE) is wiped and rebuilt;
+    a sentinel written by different builder code (stale fingerprint — the r5
+    ice_docs_curation flake class) forces a rebuild; and concurrent builders
+    serialize under the flock instead of interleaving rmtree/write."""
+    import os
+    import threading
+
+    monkeypatch.setattr(entry, "_CACHE_ROOT", str(tmp_path))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    builds = []
+
+    def builder(loc):
+        os.makedirs(loc)
+        builds.append(loc)
+        with open(os.path.join(loc, "data"), "w") as fh:
+            fh.write("x")
+
+    loc = entry._build_once(sf, "t", builder)
+    assert len(builds) == 1 and os.path.exists(os.path.join(loc, "data"))
+    entry._build_once(sf, "t", builder)
+    assert len(builds) == 1, "completed build was not reused"
+
+    # partial build (crash before sentinel) → wiped and rebuilt
+    os.remove(os.path.join(loc, "_BUILD_DONE"))
+    entry._build_once(sf, "t", builder)
+    assert len(builds) == 2
+
+    # sentinel from different builder code → invalidated
+    with open(os.path.join(loc, "_BUILD_DONE"), "w") as fh:
+        fh.write("some-other-code-version")
+    entry._build_once(sf, "t", builder)
+    assert len(builds) == 3
+    with open(os.path.join(loc, "_BUILD_DONE")) as fh:
+        assert fh.read() == entry._CODE_FINGERPRINT
+
+    # concurrent builders: exactly one runs, none interleave
+    import shutil
+    shutil.rmtree(loc)
+    running = threading.Semaphore(1)
+
+    def slow_builder(loc):
+        assert running.acquire(blocking=False), "two builders interleaved"
+        try:
+            builder(loc)
+        finally:
+            running.release()
+
+    threads = [threading.Thread(target=entry._build_once,
+                                args=(sf, "t", slow_builder))
+               for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(builds) == 4, "concurrent builders must build exactly once"
+
+
 def test_every_query_has_oracle_or_is_documented_rows_only():
     qs, osql = entry.queries(), entry.oracle_sql()
     missing = [k for k in qs if k not in osql and k not in ROWS_ONLY]

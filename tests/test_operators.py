@@ -539,6 +539,25 @@ def test_semantic_dedup_drops_near_duplicate(spark):
     assert len(out) == 21
 
 
+def test_semantic_dedup_string_id(spark):
+    """The applyInPandas output schema follows the id column's type (ADVICE
+    r5): a string id must survive the Arrow group roundtrip, and the greedy
+    survivor rule keys on the id ordering (min string id kept)."""
+    from duckdb_iceberg_spark.operators.clustering import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=8)
+    rows = [(f"doc{i:02d}", [float(x) for x in rng.normal(size=8)])
+            for i in range(10)]
+    rows.append(("dup_a", [float(x) for x in base]))
+    rows.append(("dup_b", [float(x) for x in base + rng.normal(scale=1e-3, size=8)]))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = sorted(r.vec_id for r in
+                 semantic_dedup(df, threshold=0.99, n_clusters=3).collect())
+    assert "dup_a" in out and "dup_b" not in out
+    assert len(out) == 11
+
+
 def test_corpus_report(spark):
     from duckdb_iceberg_spark.operators.text import corpus_report
 

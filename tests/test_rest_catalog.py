@@ -1401,6 +1401,61 @@ def test_staleness_disabled_always_requests(stub):
     assert _table_gets(state, "t4") == n1 + 1
 
 
+def test_rename_invalidates_cache(stub):
+    """rename_table drops both cache keys (ADVICE r5): with a staleness
+    window set, a load of the old name after a rename must re-request (and
+    404) instead of serving the pre-rename cached LoadTableResult."""
+    base, state = stub
+    cat = _staleness_catalog(base, "4 hours")
+    cat.create_namespace("db")
+    cat.create_table("db", "rn", SCHEMA)
+    cat.load_table("db", "rn")  # cached
+    cat.rename_table("db", "rn", "db", "rn2")
+    with pytest.raises(Exception, match="(?i)no such table|404|not.?found"):
+        cat.load_table("db", "rn")
+    assert cat.load_table("db", "rn2").name == "rn2"
+
+
+def test_transaction_rollback_restores_table_state(stub, spark, sf_dir, tmp_path):
+    """rollback() undoes the in-memory staged mutations (ADVICE r5): the
+    table handle's metadata returns to the catalog tip, so post-rollback
+    scans don't plan against deleted staged files and a follow-up
+    transaction chains onto the real current snapshot."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from tests.conftest import load
+
+    loc = str(tmp_path / "rb")
+    write_iceberg(load(spark, sf_dir, "region"), loc)
+    base, state = stub
+    _register_disk_table(state, loc, name="rb")
+    state.plan_response = None
+    cat = _catalog(base)
+
+    txn = cat.transaction()
+    t = txn.table("db", "rb")
+    pre_snap = t.metadata.current_snapshot_id
+    pre_count = len(t.metadata.snapshots)
+    t.append(spark, load(spark, sf_dir, "region")
+             .withColumn("r_regionkey", F.col("r_regionkey") + 10))
+    assert len(t.metadata.snapshots) == pre_count + 1  # staged, in-memory
+    txn.rollback()
+    # in-memory state restored to the catalog tip
+    assert t._table.metadata.current_snapshot_id == pre_snap
+    assert len(t._table.metadata.snapshots) == pre_count
+    # the handle still scans (no dangling staged manifests) …
+    assert scan_rest_table(spark, t._table,
+                           server_planning=False).count() == 5
+    # … and a new transaction on the same handle commits cleanly
+    txn2 = cat.transaction()
+    t2 = txn2.table("db", "rb")
+    t2.append(spark, load(spark, sf_dir, "region")
+              .withColumn("r_regionkey", F.col("r_regionkey") + 20))
+    txn2.commit()
+    assert scan_rest_table(spark, cat.load_table("db", "rb"),
+                           server_planning=False).count() == 10
+
+
 def test_staleness_invalid_and_overflow(stub):
     base, _ = stub
     with pytest.raises(ValueError, match="invalid MAX_TABLE_STALENESS"):

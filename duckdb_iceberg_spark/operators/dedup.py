@@ -219,31 +219,66 @@ def verify_jaccard(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.7,
+    docs_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs (small set): returns
-    (id_a, id_b, jaccard) with jaccard >= threshold."""
-    d = docs.select(F.col(id_col), F.col(text_col))
-    joined = (
-        pairs.join(d.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a"), "id_a")
-        .join(d.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "text_b"), "id_b")
-    )
+    (id_a, id_b, jaccard) with jaccard >= threshold.
 
-    @pandas_udf(T.DoubleType())
-    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+    ``docs_b`` (default: ``docs``) resolves the id_b side — for
+    cross-frame pairs (batch vs corpus) each side joins only its own text
+    source instead of a union that scans both twice.
+
+    Shape: each DISTINCT participating doc is shingled exactly once, in
+    ONE UDF pass over a persisted (id, shingle-hashes) frame both join
+    sides read (a doc in m candidate pairs used to pay m shingle passes —
+    the dominant cost when LSH buckets are dense); the per-pair
+    intersect/union runs JVM-side on the arrays (whole-stage codegen, no
+    Python in the pair loop)."""
+    d = docs.select(F.col(id_col), F.col(text_col))
+    db = d if docs_b is None else docs_b.select(F.col(id_col), F.col(text_col))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sh(texts: pd.Series) -> pd.Series:
         out = []
-        for x, y in zip(ta, tb):
-            if x is None or y is None:
-                out.append(0.0)
+        for t in texts:
+            if t is None:
+                out.append(None)
                 continue
-            sa = _shingle_hashes(x, shingle_k)
-            sb = _shingle_hashes(y, shingle_k)
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            out.append(inter / union if union else 1.0)
+            # uint64→int64 view is a bijection: set sizes (and therefore
+            # Jaccard) are unchanged by the reinterpret
+            out.append(_shingle_hashes(t, shingle_k).view(np.int64).tolist())
         return pd.Series(out)
 
+    pairs = pairs.persist()
+    part_a = d.join(pairs.select(F.col("id_a").alias(id_col)).distinct(),
+                    id_col, "left_semi")
+    part_b = db.join(pairs.select(F.col("id_b").alias(id_col)).distinct(),
+                     id_col, "left_semi")
+    sharr = (part_a.unionByName(part_b).dropDuplicates([id_col])
+             .select(F.col(id_col), sh(F.col(text_col)).alias("__sh"))
+             .persist())
+    # eager materialization: the two pair-side joins below reference sharr
+    # concurrently, and AQE's parallel stage submission would BUILD the
+    # unmaterialized cache twice (measured: the shingle pass ran 2×);
+    # materializing here also hands the planner real sizes, so a small
+    # shingle frame broadcasts instead of single-tasking a sort-merge join
+    sharr.count()
+    joined = (
+        pairs
+        .join(sharr.select(F.col(id_col).alias("id_a"),
+                           F.col("__sh").alias("__sh_a")), "id_a")
+        .join(sharr.select(F.col(id_col).alias("id_b"),
+                           F.col("__sh").alias("__sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    jac = (
+        F.when(F.col("__sh_a").isNull() | F.col("__sh_b").isNull(), F.lit(0.0))
+        .when(union > 0, inter.cast("double") / union.cast("double"))
+        .otherwise(F.lit(1.0))
+    )
     return (
-        joined.withColumn("jaccard", F.round(jac(F.col("text_a"), F.col("text_b")), 6))
+        joined.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -548,73 +583,115 @@ def incremental_minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    corpus_fingerprints: DataFrame | None = None,
+    corpus_signatures: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-duplicate dedup of a new batch against an existing corpus —
     the incremental-ingest counterpart of :func:`minhash_dedup` (each
     day's crawl dedups against the lake without an all-corpus rerun).
 
-    Steps: (1) exact dedup within the batch and against corpus
-    fingerprints (:func:`incremental_exact_dedup`); (2) within-batch LSH
-    near-dedup (bucket-min pairing + exact-Jaccard verify — the
-    minhash_dedup pipeline, sharing ONE signature computation with step
-    3); (3) batch survivors whose LSH band matches any corpus
-    representative's band are verified by exact shingle Jaccard and
-    dropped at ``threshold``. Ids must be globally unique across both
-    frames.
+    Steps: (1) exact dedup within the batch and against the corpus
+    fingerprint set; (2) within-batch LSH candidates (bucket-min
+    pairing, sharing ONE signature computation with step 3); (3) batch
+    docs whose LSH band matches any corpus representative's band; both
+    candidate sets are verified in a single exact-shingle-Jaccard pass
+    and losers dropped at ``threshold``. Ids must be globally unique
+    across both frames.
 
-    The batch signature frame and the within-batch loser set are
-    persisted (both tiny: id + num_hashes longs / bare ids) — each is
-    consumed by several downstream joins, and without the cache the
-    signature pandas UDF would re-run once per consumer (measured 3×
-    the whole query at sf0.1).
+    Plan shape: every shared frame is persisted NARROW — survivor ids,
+    signatures (id + num_hashes longs), within-batch loser ids, and the
+    corpus (fingerprint, rep id) state from ONE hash-groupBy that serves
+    both the exact anti-join and the representative selection. Text rows
+    are never materialized through the cache: consumers that need text
+    re-derive it as a column-pruned scan + broadcast semi-join on the
+    cached ids (measured cheaper than caching text at every tested SF).
+    The only corpus text scans are the fingerprint pass, the
+    rep-signature pass, and the verify join's id_a text lookup.
 
-    Scale: the per-batch cost is batch-sized everywhere except the
-    corpus representative/signature computation — at 100 TB those are
-    precomputed once and stored as columns (signature writes are
-    append-only per ingest), turning step 3 into a band-bucket equi-join
-    of a corpus-sized band table against a batch-sized one (AQE
-    broadcasts the batch side). Cross-candidates pair a batch doc with
-    EVERY corpus rep in the shared bucket (bounded by bucket size), so a
-    failed verify against one rep cannot mask a true near-dup with
-    another."""
+    Scale: at 100 TB the corpus-derived frames are precomputed once per
+    lake and stored as columns (signature writes are append-only per
+    ingest) — pass them in instead of ``corpus_df`` re-derivation:
+
+    - ``corpus_fingerprints``: one column ``fingerprint`` of distinct
+      corpus doc fingerprints (the exact-dedup state);
+    - ``corpus_signatures``: (id, ``signature`` array<long>) for the
+      corpus representatives, banded here; or
+    - ``corpus_bands``: (id, band, bucket) already banded — step 3
+      becomes a pure band-bucket equi-join of the corpus band table
+      against the batch-sized one (AQE broadcasts the batch side).
+
+    Cross-candidates pair a batch doc with EVERY corpus rep in the
+    shared bucket (bounded by bucket size), so a failed verify against
+    one rep cannot mask a true near-dup with another."""
     from pyspark.sql.window import Window
 
-    batch0 = incremental_exact_dedup(new_df, corpus_df, text_col, id_col)
+    # corpus fingerprint state: ONE pass, one shuffle → (fingerprint, rep id)
+    state = None
+    if corpus_fingerprints is not None:
+        seen = corpus_fingerprints.select(
+            F.col("fingerprint").alias("__fp"))
+    else:
+        state = (
+            corpus_df.select(F.col(id_col),
+                             doc_fingerprint(text_col).alias("__fp"))
+            .groupBy("__fp").agg(F.min(id_col).alias(id_col))
+            .persist()
+        )
+        seen = state.select("__fp")
+
+    # (1) exact dedup within the batch, then against the corpus state.
+    # Only the survivor IDS are cached; batch0 re-derives full rows via a
+    # broadcast semi-join per consumer (no fingerprint recompute, no
+    # groupBy shuffle, text never serialized through the cache).
+    new_fp = new_df.select(F.col(id_col),
+                           doc_fingerprint(text_col).alias("__fp"))
+    keep_b = new_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    firsts = new_fp.join(keep_b, [id_col, "__fp"], "left_semi")
+    batch0_ids = firsts.join(seen, "__fp", "left_anti") \
+        .select(id_col).persist()
+    batch0 = new_df.join(batch0_ids, id_col, "left_semi")
+
     sigs_b = minhash_signatures(batch0, text_col, id_col,
                                 num_hashes, shingle_k).persist()
     bands_b = banded_signatures(sigs_b, id_col, bands)
 
-    # within-batch LSH: bucket-min pairing + exact verify (identical to
-    # minhash_dedup's candidate/verify stages, reusing sigs_b)
+    # (2) within-batch LSH: bucket-min pairing, reusing sigs_b
     w = Window.partitionBy("band", "bucket")
     cands_b = (
         bands_b.withColumn("__min", F.min(id_col).over(w))
         .filter(F.col(id_col) != F.col("__min"))
         .select(F.col("__min").alias("id_a"), F.col(id_col).alias("id_b"))
-        .distinct()
     )
-    dups_b = verify_jaccard(cands_b, batch0, text_col, id_col,
-                            shingle_k, threshold)
-    losers_b = dups_b.select(F.col("id_b").alias(id_col)) \
-        .distinct().persist()
-    batch1 = batch0.join(losers_b, id_col, "left_anti")
 
-    fp = corpus_df.withColumn("__fp", doc_fingerprint(text_col))
-    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    corpus_reps = fp.join(keep, [id_col, "__fp"], "left_semi").drop("__fp")
-    sig_old = minhash_signatures(corpus_reps, text_col, id_col,
-                                 num_hashes, shingle_k)
-    bo = banded_signatures(sig_old, id_col, bands) \
-        .withColumnRenamed(id_col, "id_a")
-    bn = bands_b.join(batch1.select(id_col), id_col, "left_semi") \
-        .withColumnRenamed(id_col, "id_b")
-    cross = bo.join(bn, ["band", "bucket"]).select("id_a", "id_b").distinct()
-    texts = corpus_reps.select(F.col(id_col), F.col(text_col)).unionByName(
-        batch1.select(F.col(id_col), F.col(text_col)))
-    dupes = verify_jaccard(cross, texts, text_col, id_col, shingle_k,
-                           threshold)
+    # (3) batch docs vs corpus representatives sharing an LSH band
+    if corpus_bands is not None:
+        bo = corpus_bands.withColumnRenamed(id_col, "id_a")
+    else:
+        if corpus_signatures is not None:
+            sig_old = corpus_signatures
+        else:
+            rep_ids = state.select(id_col)
+            corpus_reps = corpus_df.join(rep_ids, id_col, "left_semi")
+            sig_old = minhash_signatures(corpus_reps, text_col, id_col,
+                                         num_hashes, shingle_k)
+        bo = banded_signatures(sig_old, id_col, bands) \
+            .withColumnRenamed(id_col, "id_a")
+    bn = bands_b.withColumnRenamed(id_col, "id_b")
+    cross = bo.join(bn, ["band", "bucket"]).select("id_a", "id_b")
+
+    # ONE verify pass over both candidate sets (half the shuffle barriers
+    # of verifying each stage separately). Equivalent to staged verify:
+    # cross pairs whose id_b is a within-batch loser only re-drop an id the
+    # within-batch pairs already dropped, and every batch survivor meets
+    # exactly the same corpus reps it would after a separate batch pass.
+    all_pairs = cands_b.unionByName(cross).distinct()
+    texts_a = corpus_df.select(F.col(id_col), F.col(text_col)).unionByName(
+        batch0.select(F.col(id_col), F.col(text_col)))
+    dupes = verify_jaccard(all_pairs, texts_a, text_col, id_col, shingle_k,
+                           threshold, docs_b=batch0)
     losers = dupes.select(F.col("id_b").alias(id_col)).distinct()
-    return batch1.join(losers, id_col, "left_anti")
+    return batch0.join(losers, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -499,6 +499,23 @@ def test_incremental_minhash_dedup(spark):
     assert 12 in out and 13 not in out
     assert 14 in out
 
+    # the 100 TB contract: precomputed corpus state (fingerprints +
+    # signatures or bands) must give the same survivors as re-derivation
+    from duckdb_iceberg_spark.operators.dedup import (
+        banded_signatures, minhash_signatures)
+    from duckdb_iceberg_spark.operators.text import doc_fingerprint
+
+    fps = corpus.select(doc_fingerprint("text").alias("fingerprint")).distinct()
+    sigs = minhash_signatures(corpus, num_hashes=64)
+    got_sig = sorted(r.doc_id for r in incremental_minhash_dedup(
+        new, corpus, num_hashes=64, bands=16, threshold=0.6,
+        corpus_fingerprints=fps, corpus_signatures=sigs).collect())
+    got_band = sorted(r.doc_id for r in incremental_minhash_dedup(
+        new, corpus, num_hashes=64, bands=16, threshold=0.6,
+        corpus_fingerprints=fps,
+        corpus_bands=banded_signatures(sigs, bands=16)).collect())
+    assert got_sig == out and got_band == out
+
 
 def test_kmeans_recovers_separated_clusters(spark):
     from duckdb_iceberg_spark.operators.clustering import kmeans

@@ -241,23 +241,32 @@ def _write_positional_deletes(
     return out
 
 
+#: executor→driver schema for DV writes: entry STATS only — no blob/bitmap
+#: bytes ever cross to the driver (asserted in tests/test_puffin.py)
+_DV_STATS_SCHEMA = ("file_path string, out_path string, cardinality long, "
+                    "file_size long, content_offset long, content_size long")
+
+
 def _write_deletion_vectors(
     spark: SparkSession, tm: TableMetadata, pairs: DataFrame, plan: ScanPlan
 ) -> tuple[list[mf.DataFile], set[str]]:
-    """v3 deletes: (file_path, pos) pairs → ONE Puffin file holding one
-    deletion-vector-v1 blob per affected data file (reference:
-    iceberg_delete.cpp:165-206 WriteDeletionVectorFile). Positions from a
-    file's prior DV are merged in and the old DV is superseded — the spec
-    allows at most one DV per data file ("two DVs = corrupt",
-    iceberg_multi_file_list.cpp:24-63). Prior positional-delete *parquet*
-    (mixed v2 history) is left in place; it still applies at read.
+    """v3 deletes: (file_path, pos) pairs → one Puffin file per affected
+    data file, each holding that file's deletion-vector-v1 blob
+    (reference: iceberg_delete.cpp:165-206 WriteDeletionVectorFile).
+    Positions from a file's prior DV are merged in and the old DV is
+    superseded — the spec allows at most one DV per data file ("two DVs =
+    corrupt", iceberg_multi_file_list.cpp:24-63). Prior positional-delete
+    *parquet* (mixed v2 history) is left in place; it still applies at
+    read.
 
-    Scale shape: bitmaps are built and roaring-compressed PER DATA FILE on
-    executors (applyInPandas over groupBy(file_path)); prior DVs merge in
-    executor-side too. The driver collects ONLY the compressed blobs (KBs
-    per file — 10^9 deleted rows per file is ~128 MB worst case as a
-    bitmap, vs ~8 GB as the raw int64 positions it never ships) and
-    concatenates them into the Puffin container."""
+    Scale shape: bitmaps are built, roaring-compressed AND written to
+    Puffin files PER DATA FILE on executors (applyInPandas over
+    groupBy(file_path), mirroring the positional path's _write_group);
+    prior DVs merge in executor-side too. The driver collects ONLY entry
+    stats — (path, referenced data file, cardinality, offsets) — so a
+    wide DELETE over many files never materializes a bitmap in driver
+    memory. rewrite_manifests/compaction consolidate the per-file Puffins
+    when file counts matter."""
     from ..metadata import puffin as pf
     from .. import io as fio
     from ..io import parse_uri, storage_options_for
@@ -285,67 +294,99 @@ def _write_deletion_vectors(
         opts = storage_options_for(any_puffin)
         scheme = parse_uri(any_puffin)[0]
 
+    dv_dir = fio.join(tm.location, "data", f"dv-{str(_uuid.uuid4())[:8]}")
+    io0 = fio.get_io(dv_dir)
+    io0.mkdirs(dv_dir)
+    w_opts = storage_options_for(dv_dir)
+    w_scheme = parse_uri(dv_dir)[0]
+
     def _build(pdf):
+        import uuid as _u
+
         import numpy as np
         import pandas as pd
 
         # absolute imports: this closure executes in executor Python workers,
         # where relative-import context is not preserved by pickling
-        from duckdb_iceberg_spark.io import (io_from_storage_options,
+        from duckdb_iceberg_spark.io import (get_io, io_from_storage_options,
                                              register_io)
         from duckdb_iceberg_spark.metadata import puffin as pf
 
+        # executor process: rebuild the driver's (possibly vended) IO for
+        # reading prior DVs and writing the new Puffin
+        if scheme and opts:
+            register_io(scheme, io_from_storage_options(opts))
+        if w_scheme and w_opts and (w_scheme != scheme or not opts):
+            register_io(w_scheme, io_from_storage_options(w_opts))
         fp = pdf["file_path"].iloc[0]
         positions = np.unique(pdf["pos"].to_numpy(dtype=np.int64))
         pr = prior.get(fp)
         if pr is not None:
-            if scheme and opts:
-                # executor process: rebuild the driver's (possibly vended) IO
-                register_io(scheme, io_from_storage_options(opts))
             puffin_path, off, length = pr
             prev = pf.read_dv_positions(
                 puffin_path, off if length else None,
                 length if length else None, fp)
             positions = np.union1d(positions, prev)
+        blob = pf.serialize_dv_blob(positions)
+        out_path = f"{dv_dir}/{_u.uuid4()}-dv.puffin"
+        written = pf.write_puffin_serialized_dvs(
+            out_path, {fp: (blob, int(positions.size))})
+        b = written[fp]
         return pd.DataFrame({
             "file_path": [fp],
-            "blob": [pf.serialize_dv_blob(positions)],
+            "out_path": [out_path],
             "cardinality": [int(positions.size)],
+            "file_size": [int(get_io(out_path).size(out_path))],
+            "content_offset": [int(b.offset)],
+            "content_size": [int(b.length)],
         })
 
-    rows = (
-        pairs.select(F.col("file_path"),
-                     F.col("pos").cast(T.LongType()).alias("pos"))
-        .groupBy("file_path")
-        .applyInPandas(_build, "file_path string, blob binary, cardinality long")
-        .collect()
-    )
+    keyed = pairs.select(F.col("file_path"),
+                         F.col("pos").cast(T.LongType()).alias("pos"))
+    if getattr(io0, "shippable", True):
+        rows = (
+            keyed.groupBy("file_path")
+            .applyInPandas(_build, _DV_STATS_SCHEMA)
+            .collect()
+        )
+    else:
+        # non-shippable IO (e.g. an in-memory test filesystem): executors
+        # can't reach the store — collect the delta-sized pairs and build
+        # the same per-file Puffin layout on the driver
+        import numpy as _np
+        import pandas as _pd
+
+        groups: dict[str, list[int]] = {}
+        for r in keyed.collect():
+            groups.setdefault(r.file_path, []).append(r.pos)
+        rows = []
+        for fp in sorted(groups):
+            out = _build(_pd.DataFrame(
+                {"file_path": [fp] * len(groups[fp]),
+                 "pos": _np.asarray(groups[fp], dtype="int64")}))
+            rows.append(out.iloc[0])
     if not rows:
         return [], set()
-    blobs_in = {r.file_path: (bytes(r.blob), int(r.cardinality)) for r in rows}
     # Supersession is per DATA FILE, not per Puffin file: a prior Puffin may
     # hold DVs for data files this DELETE never touched, and dropping the
     # whole Puffin path from the delete manifests would resurrect those
     # files' deleted rows (their blobs were merged into nothing). The commit
     # drops only delete entries whose referenced_data_file is in this set;
     # untouched blobs in the same Puffin stay live at their old offsets.
-    superseded = {fp for fp in blobs_in if fp in replaced_by_file}
+    superseded = {r.file_path for r in rows if r.file_path in replaced_by_file}
 
-    out_path = fio.join(tm.location, "data", f"dv-{str(_uuid.uuid4())[:8]}.puffin")
-    blobs = pf.write_puffin_serialized_dvs(out_path, blobs_in)
-    file_size = fio.get_io(out_path).size(out_path)
     entries = []
-    for data_path, blob in sorted(blobs.items()):
+    for r in sorted(rows, key=lambda r: r.file_path):
         entries.append(mf.DataFile(
             content=mf.CONTENT_POSITION_DELETES,
-            file_path=out_path,
+            file_path=r.out_path,
             file_format="puffin",
             partition={},
-            record_count=blobs_in[data_path][1],
-            file_size_in_bytes=file_size,
-            referenced_data_file=data_path,
-            content_offset=blob.offset,
-            content_size_in_bytes=blob.length,
+            record_count=int(r.cardinality),
+            file_size_in_bytes=int(r.file_size),
+            referenced_data_file=r.file_path,
+            content_offset=int(r.content_offset),
+            content_size_in_bytes=int(r.content_size),
         ))
     return entries, superseded
 

@@ -205,3 +205,45 @@ def test_dv_write_never_ships_raw_positions_to_driver(spark, tmp_path, monkeypat
     monkeypatch.undo()
     got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
     assert got == [i for i in range(1000) if i % 10 != 0]
+
+
+def test_dv_write_collects_stats_not_blobs(spark, tmp_path):
+    """100 TB guard (round-5 ADVICE): Puffin DVs are written FROM EXECUTORS;
+    the executor→driver row carries only entry stats — no binary column —
+    and each affected data file gets its own Puffin file whose footer
+    matches the manifest entry's offsets."""
+    from pyspark.sql import types as T
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.puffin import read_puffin_footer
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.dml import _DV_STATS_SCHEMA, delete_from
+
+    schema = T._parse_datatype_string(_DV_STATS_SCHEMA)
+    assert not any(isinstance(f.dataType, T.BinaryType) for f in schema.fields), \
+        "DV stats schema must not ship blob bytes to the driver"
+
+    loc = str(tmp_path / "dv_stats")
+    # several data files so the DELETE spans multiple DV groups
+    df = spark.range(900).selectExpr("id", "id % 3 AS part").repartition(3)
+    write_iceberg(df, loc, format_version=3)
+    delete_from(spark, loc, "id % 9 = 0", mode="merge-on-read")
+
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.current_snapshot())
+    dv_by_file = {}
+    for t in plan.tasks:
+        for d in t.positional_deletes:
+            if (d.file_format or "").lower() == "puffin":
+                dv_by_file[t.data_file.file_path] = d
+    assert len(dv_by_file) >= 2, "expected DVs on multiple data files"
+    # one Puffin per data file, footer agrees with the manifest entry
+    paths = {d.file_path for d in dv_by_file.values()}
+    assert len(paths) == len(dv_by_file)
+    for d in dv_by_file.values():
+        blobs = read_puffin_footer(d.file_path)
+        assert len(blobs) == 1
+        assert blobs[0].offset == d.content_offset
+        assert blobs[0].length == d.content_size_in_bytes
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(900) if i % 9 != 0]

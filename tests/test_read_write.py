@@ -70,6 +70,37 @@ def test_partition_pruning_bucket_and_month(spark, sf_dir, tmp_path):
     assert got == src.filter("l_orderkey = 1").count()
 
 
+def test_string_bucket_write_and_pruning(spark, sf_dir, tmp_path):
+    """String-bucketed writes (the most common bucket key class) route
+    through the vectorized variable-width murmur (murmur3_32_var_np); a
+    wrong hash would place rows in the wrong bucket file and equality
+    pruning would then drop LIVE rows — so the roundtrip + pruned-scan
+    equality here pins write hash == spec hash == predicate hash."""
+    from duckdb_iceberg_spark.plans.transforms import bucket_value
+
+    src = load(spark, sf_dir, "orders")
+    loc = str(tmp_path / "orders_sbucket")
+    write_iceberg(src, loc, partition_by=["bucket(4, o_orderpriority)"])
+
+    tm = load_table_metadata(loc)
+    full = plan_scan(tm, tm.select_snapshot())
+    assert 1 < len(full.tasks) <= 4  # 5 priorities spread over >1 bucket
+    # every file's partition value matches the spec-scalar hash of its rows
+    for t in full.tasks:
+        b = t.data_file.partition.get("o_orderpriority_bucket")
+        vals = {r.o_orderpriority for r in
+                spark.read.parquet(t.data_file.file_path).collect()}
+        assert {bucket_value(v, 4, "string") for v in vals} == {b}
+
+    pri = src.select("o_orderpriority").first()[0]
+    pruned = plan_scan(tm, tm.select_snapshot(),
+                       where=f"o_orderpriority = '{pri}'")
+    assert 0 < len(pruned.tasks) < len(full.tasks)
+    got = iceberg_scan(spark, loc, where=f"o_orderpriority = '{pri}'").count()
+    assert got == src.filter(F.col("o_orderpriority") == pri).count()
+    assert iceberg_scan(spark, loc).count() == src.count()
+
+
 def test_append_and_time_travel(spark, sf_dir, tmp_path):
     src = load(spark, sf_dir, "region")
     loc = str(tmp_path / "region_ice")

@@ -1829,9 +1829,11 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only (approximate by design): SRP-bucket equi-join knn for query
-    # sets too large to broadcast — no crossJoin in the plan (asserted in
-    # tests/test_operators.py::test_knn_join_bucketed_no_cross_join)
+    # SRP-bucket equi-join knn for query sets too large to broadcast — no
+    # crossJoin in the plan (asserted in
+    # tests/test_operators.py::test_knn_join_bucketed_no_cross_join).
+    # Hash-checked since r6: the DuckDB oracle replays the deterministic
+    # probe math (base bucket + least-confident bit flips) exactly.
     from duckdb_iceberg_spark.operators.similarity import knn_join_bucketed
 
     emb = _pq(spark, sf_dir, "embeddings")
@@ -2157,28 +2159,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS LOAD-BEARING. The driver's correctness harness checks
     only the FIRST 50 entries per round (CORRECTNESS_r*.json has exactly 50
     rows), so ordering decides which queries get hard cross-engine oracle
-    rows. Layout (round 5 rotation — every query re-earns a driver-oracle
-    row at least every other round):
+    rows. With 96 queries, 25 always-in ice_* slots and 25 rotating
+    slots, a parked query re-earns a driver row at latest every third
+    round; tools/check_oracle.py still covers ALL positions every
+    session. Rotation priority: (a) operators whose code changed since
+    their last driver row, (b) entries that have never had a driver row,
+    (c) longest parked, (d) family coverage. Layout (round 6 rotation):
 
       1-24   ice_* Iceberg table-format queries — the reference's own
-             surface, always in-window (new in r5: ice_merge_conditional
-             per-clause MERGE conditions, ice_delete_using_scan join
-             deletes per delete_join.test).
-      25-47  the full TPC-H set q01-q22 + q01_mor (dm=5 analogue) —
-             rotated back IN this round (q03-q08, q10-q17, q19, q20, q22
-             were parked in r4; all were green in r1-r3 and in r4's local
-             oracle run).
-      48-50  LLM-pipeline spot checks kept in-window: the two NEWEST
-             oracles hold the spot-check slots (docs_repetition,
-             docs_line_dedup — first driver rows for the Gopher-repetition
-             and CCNet line-dedup operators). docs_decontaminate (added
-             earlier in r5, local-oracle green) cedes its slot to the
-             newer docs_line_dedup and parks at 51; docs_minhash_dedup
-             (driver-green r4) parks right after to make room for
-             ice_docs_curation joining the always-in-window ice_* block.
-      51+    remaining LLM/streaming/multimodal + q_* relational extras —
-             driver-green in r4, parked; rotate back in r6
-             (tools/check_oracle.py covers all positions every run).
+             surface, always in-window.
+      25-49  rotated IN for r6: the dedup family whose verify/plan was
+             rewritten this round (minhash, incremental-minhash,
+             decontaminate, ngram, simhash [r5 codegen rewrite, first
+             driver row], exact), the full stream_* family (changelog
+             ordinals changed r6; curation/sink never driver-checked),
+             mm_* multimodal, q_* relational extras including
+             q_asof_join / q_interval_join (new in r5, first driver
+             rows), and emb_lsh_topk as the embedding-family
+             representative with an integer-exact oracle.
+      51+    parked, all driver-green r5 (TPC-H, docs_repetition,
+             docs_line_dedup) or r4 (remaining docs_*/emb_*,
+             q_distinct_parts) — TPC-H and the r4 cohort rotate back
+             in r7.
     """
     return {
         # --- Iceberg table-format surface (reference parity) -------------
@@ -2207,7 +2209,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_truncate_fn": ice_truncate_fn,
         "ice_bucket_fn": ice_bucket_fn,
         "ice_docs_curation": ice_docs_curation,
-        # --- full TPC-H + deletes benchmark analogue (rotated in, r5) -----
+        # --- r6 rotation: changed dedup family + first-driver-row sets ----
+        "docs_minhash_dedup": docs_minhash_dedup,
+        "docs_incremental_minhash": docs_incremental_minhash,
+        "docs_decontaminate": docs_decontaminate,
+        "docs_ngram_dedup": docs_ngram_dedup,
+        "docs_simhash": docs_simhash,
+        "docs_exact_dedup": docs_exact_dedup,
+        "stream_incremental": stream_incremental,
+        "stream_changelog": stream_changelog,
+        "stream_sink_roundtrip": stream_sink_roundtrip,
+        "stream_curation": stream_curation,
+        "stream_tumbling_events": stream_tumbling_events,
+        "stream_session_events": stream_session_events,
+        "stream_sliding_events": stream_sliding_events,
+        "mm_image_features": mm_image_features,
+        "mm_audio_features": mm_audio_features,
+        "mm_frame_sample": mm_frame_sample,
+        "q_window_top_order": q_window_top_order,
+        "q_rollup": q_rollup,
+        "q_topk_orders": q_topk_orders,
+        "q_setop_nations": q_setop_nations,
+        "q_anti_join": q_anti_join,
+        "q_events_hourly": q_events_hourly,
+        "q_asof_join": q_asof_join,
+        "q_interval_join": q_interval_join,
+        "emb_lsh_topk": emb_lsh_topk,
+        # ------------------- 50-row window boundary -----------------------
+        # parked (driver-green r5): full TPC-H + the r5 spot checks
         "q01_pricing_summary": q01_pricing_summary,
         "q01_mor_pricing_summary": q01_mor_pricing_summary,
         "q02_min_cost_supplier": q02_min_cost_supplier,
@@ -2231,22 +2260,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_shippers": q20_excess_shippers,
         "q21_waiting_supplier": q21_waiting_supplier,
         "q22_sales_opportunity": q22_sales_opportunity,
-        # --- LLM-pipeline spot checks kept in-window ----------------------
         "docs_repetition": docs_repetition,
         "docs_line_dedup": docs_line_dedup,
-        # ------------------- 50-row window boundary -----------------------
-        "docs_decontaminate": docs_decontaminate,
-        "docs_minhash_dedup": docs_minhash_dedup,
+        # parked (driver-green r4, next up r7)
         "docs_resample_mixture": docs_resample_mixture,
         "docs_redact_pii": docs_redact_pii,
         "docs_normalize": docs_normalize,
-        "docs_incremental_minhash": docs_incremental_minhash,
         "docs_corpus_report": docs_corpus_report,
         "docs_chunk": docs_chunk,
-        "docs_ngram_dedup": docs_ngram_dedup,
-        "emb_lsh_topk": emb_lsh_topk,
-        "emb_neardup": emb_neardup,
-        "docs_exact_dedup": docs_exact_dedup,
         "docs_token_count": docs_token_count,
         "docs_quality": docs_quality,
         "docs_fingerprint": docs_fingerprint,
@@ -2254,33 +2275,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_incremental_dedup": docs_incremental_dedup,
         "docs_pack_sequences": docs_pack_sequences,
         "docs_lang_scores": docs_lang_scores,
-        "docs_simhash": docs_simhash,
         "docs_winnow": docs_winnow,
         "emb_cosine_topk": emb_cosine_topk,
+        "emb_neardup": emb_neardup,
         "emb_knn_join": emb_knn_join,
         "emb_knn_join_bucketed": emb_knn_join_bucketed,
         "emb_ivf_topk": emb_ivf_topk,
         "emb_kmeans": emb_kmeans,
         "emb_semantic_dedup": emb_semantic_dedup,
-        "stream_incremental": stream_incremental,
-        "stream_changelog": stream_changelog,
-        "stream_sink_roundtrip": stream_sink_roundtrip,
-        "stream_curation": stream_curation,
-        "stream_tumbling_events": stream_tumbling_events,
-        "stream_session_events": stream_session_events,
-        "stream_sliding_events": stream_sliding_events,
-        "mm_image_features": mm_image_features,
-        "mm_audio_features": mm_audio_features,
-        "mm_frame_sample": mm_frame_sample,
-        "q_window_top_order": q_window_top_order,
-        "q_rollup": q_rollup,
         "q_distinct_parts": q_distinct_parts,
-        "q_topk_orders": q_topk_orders,
-        "q_setop_nations": q_setop_nations,
-        "q_anti_join": q_anti_join,
-        "q_events_hourly": q_events_hourly,
-        "q_asof_join": q_asof_join,
-        "q_interval_join": q_interval_join,
     }
 
 
@@ -2591,6 +2594,64 @@ def _lsh_topk_sql(dim: int = 64, n_planes: int = 6, seed: int = 42,
                         CAST(q.embedding AS DOUBLE[])), 6) DESC,
                      b.vec_id
             LIMIT {k}
+    """
+
+
+def _knn_join_bucketed_sql(dim: int = 64, n_planes: int = 6, seed: int = 42,
+                           k: int = 5, nprobe: int = 3) -> str:
+    """DuckDB replica of operators.similarity.knn_join_bucketed: corpus
+    rows bucket by SRP sign bits; each query probes its own bucket plus
+    the nprobe-1 least-confident bit flips (planes ordered by |dot|
+    ascending, ties by plane index — matching numpy's stable argsort);
+    candidates come from the bucket equi-join and rank by rounded cosine.
+    Same accepted sign-flip risk as _srp_bucket_sql; the |dot| ORDERING
+    adds a tie risk of the same magnitude (two planes within double
+    rounding of each other), equally negligible on the fixture."""
+    from duckdb_iceberg_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket_e = _srp_bucket_sql("e.embedding", planes, dim)
+
+    def dot(i: int) -> str:
+        return "\n                        + ".join(
+            f"CAST(q.embedding[{j + 1}] AS DOUBLE) * ({planes[i][j]!r})"
+            for j in range(dim))
+
+    dots = ",\n                   ".join(
+        f"({dot(i)}) AS d{i}" for i in range(n_planes))
+    structs = ", ".join(
+        "{'a': abs(d%d), 'i': %d}" % (i, i) for i in range(n_planes))
+    base = " + ".join(
+        f"(CASE WHEN d{i} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes))
+    flips = ", ".join(
+        f"xor(base, (1 << pl[{j + 1}].i))" for j in range(nprobe - 1))
+    return f"""
+            WITH qd AS (
+              SELECT q.vec_id AS q_id, CAST(q.embedding AS DOUBLE[]) AS q_vec,
+                   {dots}
+              FROM embeddings q WHERE q.vec_id IN (0, 1, 2)),
+            qb AS (
+              SELECT q_id, q_vec, ({base}) AS base,
+                     list_sort([{structs}]) AS pl
+              FROM qd),
+            probes AS (
+              SELECT q_id, q_vec, unnest([base, {flips}]) AS bkt FROM qb),
+            corpus AS (
+              SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+                     ({bucket_e}) AS bkt
+              FROM embeddings e WHERE e.vec_id > 2),
+            scored AS (
+              SELECT p.q_id, c.vec_id,
+                     round(list_cosine_similarity(c.emb, p.q_vec), 6) AS sim
+              FROM corpus c JOIN probes p USING (bkt)),
+            ranked AS (
+              SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY sim DESC, vec_id) AS "rank"
+              FROM scored)
+            SELECT q_id, vec_id, "rank" FROM ranked
+            WHERE "rank" <= {k} ORDER BY q_id, "rank"
     """
 
 
@@ -3434,6 +3495,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "emb_lsh_topk": _lsh_topk_sql(),
+        "emb_knn_join_bucketed": _knn_join_bucketed_sql(),
         "docs_ngram_dedup": _ngram_dedup_sql(),
         "docs_incremental_minhash": _incremental_minhash_sql(),
         "ice_docs_curation": rf"""

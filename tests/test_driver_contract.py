@@ -8,35 +8,41 @@ import __spark_entry__ as entry
 
 #: rows-only by design: murmur3 spec vectors (no SQL twin),
 #: approximate-by-construction results, and iterative float-reduction
-#: algorithms (k-means / SemDeDup — not SQL-expressible)
-ROWS_ONLY = {"ice_bucket_fn", "emb_ivf_topk", "emb_knn_join_bucketed",
-             "emb_kmeans", "emb_semantic_dedup"}
+#: algorithms (k-means / SemDeDup — not SQL-expressible).
+#: emb_knn_join_bucketed left this set in r6: its probe math is
+#: deterministic given the SRP planes, so the oracle replays it.
+ROWS_ONLY = {"ice_bucket_fn", "emb_ivf_topk", "emb_kmeans",
+             "emb_semantic_dedup"}
 
 
 def test_window_holds_reference_surface_and_rotation():
-    """Round-5 rotation (queries() docstring): every ice_* query is always
-    in-window (the reference's own surface), the full TPC-H set is rotated
-    IN this round, and three LLM-pipeline spot checks stay; the remaining
-    LLM/streaming/multimodal entries are parked for r6 after going green in
-    r4. An entry may leave the window only via a documented rotation, never
-    via an accidental insertion above it."""
+    """Round-6 rotation (queries() docstring): every ice_* query is always
+    in-window (the reference's own surface); the 25 rotating slots hold the
+    r6-changed dedup family, the full stream_* family, mm_*, the q_*
+    relational extras, and emb_lsh_topk. TPC-H (driver-green r5) and the
+    r4 cohort park at 51+. An entry may leave the window only via a
+    documented rotation, never via an accidental insertion above it."""
     keys = list(entry.queries())
     window = set(keys[:50])
     ice = [k for k in keys if k.startswith("ice_")]
     assert set(ice) <= window, (
         f"{sorted(set(ice) - window)} (reference surface) fell past the "
         "driver's 50-row correctness window")
-    tpch = [k for k in keys if k.startswith("q") and k[1].isdigit()]
-    assert set(tpch) <= window, (
-        f"{sorted(set(tpch) - window)} rotated-in TPC-H queries fell past "
-        "the window")
-    # r5 session 4: the two NEWEST oracles (docs_repetition,
-    # docs_line_dedup) hold the spot-check slots; docs_decontaminate /
-    # docs_minhash_dedup / docs_ngram_dedup / emb_lsh_topk (local-oracle
-    # green every session) park at 51+ so ice_docs_curation could join
-    # the always-in-window ice_* block
-    spot_checks = {"docs_repetition", "docs_line_dedup"}
-    assert spot_checks <= window
+    rotated_in = {
+        "docs_minhash_dedup", "docs_incremental_minhash",
+        "docs_decontaminate", "docs_ngram_dedup", "docs_simhash",
+        "docs_exact_dedup",
+        "stream_incremental", "stream_changelog", "stream_sink_roundtrip",
+        "stream_curation", "stream_tumbling_events", "stream_session_events",
+        "stream_sliding_events",
+        "mm_image_features", "mm_audio_features", "mm_frame_sample",
+        "q_window_top_order", "q_rollup", "q_topk_orders",
+        "q_setop_nations", "q_anti_join", "q_events_hourly",
+        "q_asof_join", "q_interval_join", "emb_lsh_topk",
+    }
+    assert rotated_in <= window, (
+        f"{sorted(rotated_in - window)} (r6 rotation set) fell past the "
+        "window")
     assert len(keys) >= 50 and len(window) == 50
 
 

@@ -96,6 +96,76 @@ HEADLINE = [
 ]
 
 
+#: sf1 scale-rehearsal canaries: relational joins/aggs that stress AQE +
+#: shuffle sizing, the dedup pipeline, and a MoR delete-anti-join scan
+SF1_CANARIES = [
+    "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",
+    "q06_revenue_forecast", "q09_product_profit", "q13_customer_distribution",
+    "q18_large_volume", "q21_waiting_supplier",
+    "docs_minhash_dedup", "ice_mor_delete_scan",
+]
+
+_SF1_GEN_VERSION = "v1"
+
+
+def _ensure_sf1(spark, src_dir: str) -> str:
+    """Synthesize an sf1-scale dataset (10× sf0.1) into /tmp, cached across
+    runs. Key spaces shift per copy so referential joins stay consistent
+    (copy i's orders reference copy i's customers, etc.); nation/region
+    stay as-is. Document text is NOT perturbed — 10 byte-identical copies
+    of the corpus is realistic web-dup shape and exercises minhash_dedup's
+    exact-collapse pre-pass at volume."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    out = os.path.join("/tmp/spark_graft_sf1",
+                       f"{os.path.basename(os.path.normpath(src_dir))}-x10-{_SF1_GEN_VERSION}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def rd(name):
+        return spark.read.parquet(os.path.join(src_dir, f"{name}.parquet"))
+
+    for name in ("nation", "region"):
+        rd(name).write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+
+    shifts = {}  # key column -> stride (max+1 of the base table's key)
+    for tbl, key in (("customer", "c_custkey"), ("orders", "o_orderkey"),
+                     ("part", "p_partkey"), ("supplier", "s_suppkey"),
+                     ("documents", "doc_id")):
+        shifts[key] = rd(tbl).agg(F.max(key)).first()[0] + 1
+
+    scaled_cols = {
+        "customer": {"c_custkey": "c_custkey"},
+        "orders": {"o_orderkey": "o_orderkey", "o_custkey": "c_custkey"},
+        "supplier": {"s_suppkey": "s_suppkey"},
+        "part": {"p_partkey": "p_partkey"},
+        "lineitem": {"l_orderkey": "o_orderkey", "l_partkey": "p_partkey",
+                     "l_suppkey": "s_suppkey"},
+        "documents": {"doc_id": "doc_id"},
+    }
+    for tbl, colmap in scaled_cols.items():
+        base = rd(tbl)
+        copies = []
+        for i in range(10):
+            c = base
+            for col, keyspace in colmap.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * shifts[keyspace]))
+            copies.append(c)
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        (df.repartition(32)
+         .write.mode("overwrite").parquet(os.path.join(out, f"{tbl}.parquet")))
+    with open(done, "w") as fh:
+        fh.write(_SF1_GEN_VERSION)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -141,7 +211,8 @@ def main() -> None:
             assert rows is not None
         results[name] = round(sorted(times)[len(times) // 2], 3)
     total = round(sum(results.values()), 3)
-    print(json.dumps({
+
+    out = {
         "metric": "headline query wall-clock (iceberg roundtrips + relational + LLM ops)",
         "value": total,
         "unit": "sec",
@@ -149,7 +220,39 @@ def main() -> None:
         "sf": sf_dir,
         "fixture_build_sec": round(build_s, 3),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
-    }))
+    }
+
+    # sf1 scale rehearsal (10× the bench SF, single run per canary):
+    # surfaces AQE/skew/shuffle-sizing behavior the small SF can't.
+    # sf1_ratio is sf1_time / bench-SF median — ≤10 means at-or-better
+    # than linear scaling (32 cores are underutilized at sf0.1, so
+    # well-shaped queries land far below 10). Disable: SPARK_GRAFT_SF1=0.
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        t0 = time.time()
+        sf1_dir = _ensure_sf1(spark, sf_dir)
+        sf1_gen_s = time.time() - t0
+        t0 = time.time()
+        entry._ice_orders_mor(spark, sf1_dir)  # ice_mor_delete_scan fixture
+        sf1_build_s = time.time() - t0
+        sf1_times: dict[str, float] = {}
+        sf1_ratio: dict[str, float] = {}
+        for name in SF1_CANARIES:
+            t0 = time.time()
+            rows = qs[name](spark, sf1_dir).collect()
+            assert rows is not None
+            sf1_times[name] = round(time.time() - t0, 3)
+            if results.get(name):
+                sf1_ratio[name] = round(sf1_times[name] / results[name], 2)
+        out["sf1"] = {
+            "sf": sf1_dir,
+            "queries": sf1_times,
+            "ratio_vs_bench_sf": sf1_ratio,
+            "value": round(sum(sf1_times.values()), 3),
+            "gen_sec": round(sf1_gen_s, 3),
+            "fixture_build_sec": round(sf1_build_s, 3),
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1766,6 +1766,29 @@ def docs_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary: top unigrams+bigrams by global count with
+    document frequency, deterministic ordering. Hash-checked — pure string
+    ops + integer counts, replicated exactly in SQL."""
+    from duckdb_iceberg_spark.operators.text import vocab_stats
+
+    return vocab_stats(_pq(spark, sf_dir, "documents"), top_k=200)
+
+
+def docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 tf-idf terms (smooth idf). Hash-checked — ranking is
+    by ROUNDED score then term, so a last-ulp libm ln() difference can't
+    reorder across engines (same accepted-risk class as SRP signs)."""
+    from duckdb_iceberg_spark.operators.text import tfidf_top_terms
+
+    docs = _pq(spark, sf_dir, "documents")
+    return (
+        tfidf_top_terms(docs, top_n=3)
+        .select("doc_id", "term", "tf", "score", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-checked: the fake decoder (no audio libs in this container) is
     # md5-derived integer arithmetic the DuckDB oracle recomputes exactly;
@@ -2173,14 +2196,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              decontaminate, ngram, simhash [r5 codegen rewrite, first
              driver row], exact), the full stream_* family (changelog
              ordinals changed r6; curation/sink never driver-checked),
-             mm_* multimodal, q_* relational extras including
-             q_asof_join / q_interval_join (new in r5, first driver
-             rows), and emb_lsh_topk as the embedding-family
-             representative with an integer-exact oracle.
+             mm_* multimodal, the NEW r6 operators (docs_vocab,
+             docs_tfidf), q_* relational extras including q_asof_join /
+             q_interval_join (new in r5, first driver rows), and
+             emb_lsh_topk as the embedding-family representative with an
+             integer-exact oracle.
       51+    parked, all driver-green r5 (TPC-H, docs_repetition,
              docs_line_dedup) or r4 (remaining docs_*/emb_*,
-             q_distinct_parts) — TPC-H and the r4 cohort rotate back
-             in r7.
+             q_distinct_parts, q_rollup, q_setop_nations) — TPC-H and
+             the r4 cohort rotate back in r7.
     """
     return {
         # --- Iceberg table-format surface (reference parity) -------------
@@ -2226,10 +2250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_features": mm_image_features,
         "mm_audio_features": mm_audio_features,
         "mm_frame_sample": mm_frame_sample,
+        "docs_vocab": docs_vocab,
+        "docs_tfidf": docs_tfidf,
         "q_window_top_order": q_window_top_order,
-        "q_rollup": q_rollup,
         "q_topk_orders": q_topk_orders,
-        "q_setop_nations": q_setop_nations,
         "q_anti_join": q_anti_join,
         "q_events_hourly": q_events_hourly,
         "q_asof_join": q_asof_join,
@@ -2284,6 +2308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": emb_kmeans,
         "emb_semantic_dedup": emb_semantic_dedup,
         "q_distinct_parts": q_distinct_parts,
+        "q_rollup": q_rollup,
+        "q_setop_nations": q_setop_nations,
     }
 
 
@@ -3534,6 +3560,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, chunk_id, array_to_string(c, ' ') AS chunk_text,
                    CAST(len(c) AS BIGINT) AS n_tokens
             FROM ch ORDER BY doc_id, chunk_id LIMIT 3000
+        """,
+        "docs_vocab": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, unnest(list_concat(
+                       toks,
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                     )) AS gram
+              FROM t
+            ), pd AS (
+              SELECT gram, doc_id, count(*) AS c
+              FROM grams GROUP BY gram, doc_id
+            )
+            SELECT gram,
+                   CAST(len(string_split(gram, ' ')) AS INT) AS n,
+                   sum(c) AS "count",
+                   count(*) AS doc_freq
+            FROM pd GROUP BY gram
+            ORDER BY "count" DESC, n ASC, gram ASC
+            LIMIT 200
+        """,
+        "docs_tfidf": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), tfc AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+              GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tfc GROUP BY term
+            ), nn AS (
+              SELECT count(*) AS n FROM documents
+            ), scored AS (
+              SELECT doc_id, term, tf,
+                     round(tf * (ln(CAST(nn.n + 1 AS DOUBLE) / (df + 1))
+                                 + 1), 6) AS score
+              FROM tfc JOIN dfreq USING (term) CROSS JOIN nn
+            ), ranked AS (
+              SELECT doc_id, term, tf, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS "rank"
+              FROM scored
+            )
+            SELECT doc_id, term, tf, score, "rank" FROM ranked
+            WHERE "rank" <= 3 ORDER BY doc_id, "rank"
         """,
         "docs_corpus_report": r"""
             WITH toks AS (

@@ -447,3 +447,100 @@ def chunk_documents(
         F.array_join("__c", " ").alias("chunk_text"),
         F.size("__c").cast("long").alias("n_tokens"),
     )
+
+
+def vocab_stats(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_max: int = 2,
+    top_k: int = 1000,
+):
+    """Corpus vocabulary for tokenizer training: lowercase whitespace
+    tokens and n-grams up to ``n_max``, with global occurrence counts and
+    document frequency; deterministic top-``top_k``
+    (count desc, n asc, gram asc).
+
+    Scale shape: one shuffle keyed on (gram, doc) with map-side partial
+    counts (so a gram repeated within a doc combines before moving),
+    one on gram, and the final top-k is Spark's TakeOrderedAndProject —
+    a per-partition heap + driver merge of top_k rows, never a full
+    vocabulary sort. All Column expressions, no Python."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda x: x != "")
+    def _gram_fn(n):
+        # one-arg lambda: a second (defaulted) parameter would make Spark
+        # treat it as an (element, index) lambda and bind the index to it
+        return lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + j - 1) for j in range(n)])
+
+    gram_arrays = [toks]
+    for n in range(2, n_max + 1):
+        # guard: Spark's sequence(1, stop) counts DOWN when stop < 1, so a
+        # doc with fewer than n tokens must short-circuit to an empty array
+        gram_arrays.append(F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                        _gram_fn(n)),
+            ).otherwise(F.array().cast("array<string>")))
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.flatten(F.array(*gram_arrays))).alias("gram"),
+    )
+    per_doc = exploded.groupBy("gram", "__id").agg(
+        F.count(F.lit(1)).alias("__c"))
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.sum("__c").alias("count"),
+             F.count(F.lit(1)).alias("doc_freq"))
+        .withColumn("n", F.size(F.split(F.col("gram"), " ")).cast("int"))
+        .select("gram", "n", "count", "doc_freq")
+        .orderBy(F.col("count").desc(), F.col("n").asc(), F.col("gram").asc())
+        .limit(top_k)
+    )
+
+
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+    n_docs: int | None = None,
+):
+    """Per-document top-``top_n`` terms by tf-idf (smooth idf:
+    ln((N+1)/(df+1)) + 1) — the classic relevance/keyword-extraction pass
+    a curation pipeline runs before clustering or routing.
+
+    Returns (id, term, tf, score, rank); score is rounded to 6dp and the
+    rank orders by (rounded score desc, term asc) so ranking is
+    cross-engine stable (a libm ln() differing in the last ulp could in
+    principle flip a 6th-decimal rounding boundary — same accepted-risk
+    class as the SRP sign notes in __spark_entry__).
+
+    Scale shape: term counts are one (id, term) shuffle with map-side
+    combine; document frequency is one vocabulary-sized aggregate joined
+    back on the term key (AQE broadcasts it when small); the per-doc
+    ranking windows on the id key. ``n_docs`` lets callers pass a known
+    corpus size instead of paying a count() job."""
+    from pyspark.sql.window import Window
+
+    if n_docs is None:
+        n_docs = df.count()
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda x: x != "")
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col), "term", "tf",
+        F.round(F.col("tf") * idf, 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )

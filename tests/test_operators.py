@@ -746,3 +746,46 @@ def test_line_dedup_drop_all_duplicates(spark):
     assert rows[1]["text"] == "solo"
     assert rows[2]["text"] == "other"
     assert rows[1]["n_lines_removed"] == rows[2]["n_lines_removed"] == 1
+
+
+def test_vocab_stats(spark):
+    from duckdb_iceberg_spark.operators.text import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "solo"), (4, ""),
+         (5, None)],
+        "doc_id long, text string")
+    rows = {r.gram: (r.n, r["count"], r.doc_freq)
+            for r in vocab_stats(df, top_k=100).collect()}
+    assert rows["the"] == (1, 2, 2)
+    assert rows["cat"] == (1, 2, 2)
+    assert rows["the cat"] == (2, 2, 2)
+    assert rows["cat sat"] == (2, 1, 1)
+    # 1-token doc contributes its unigram and NO bogus bigram (the
+    # sequence-counts-down guard)
+    assert rows["solo"] == (1, 1, 1)
+    assert not any(" " in g and "solo" in g for g in rows)
+    # deterministic ordering: count desc, n asc, gram asc
+    out = vocab_stats(df, top_k=3).collect()
+    assert [(r.gram) for r in out] == ["cat", "the", "the cat"]
+
+
+def test_tfidf_top_terms(spark):
+    from duckdb_iceberg_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana common"), (2, "banana common"),
+         (3, "common cherry")],
+        "doc_id long, text string")
+    out = tfidf_top_terms(df, top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf))
+    # doc 1: apple (tf=2, df=1) ranks above banana/common
+    assert sorted(by_doc[1])[0] == (1, "apple", 2)
+    # rare term beats the ubiquitous one everywhere it appears
+    assert sorted(by_doc[3])[0][1] == "cherry"
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # n_docs passthrough avoids the count job and matches the derived value
+    out2 = tfidf_top_terms(df, top_n=2, n_docs=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -433,28 +433,31 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # shuffle volume is docs×64 longs regardless of token count.
     # explode_outer keeps empty docs: their all-NULL votes sum to NULL,
     # v > 0 is false for every bit, simhash 0 — same as the empty fold.
+    # expressions are built as SQL STRINGS (one selectExpr RPC each), not
+    # as 64 nested Column objects: every Column op is a py4j round-trip,
+    # and the Column form spent ~1s of DRIVER time per plan construction —
+    # pure client chatter, identical physical plan
     ex = df.select(F.col(id_col), F.explode_outer(toks).alias("__tok"))
-    h = F.md5(F.col("__tok"))
     # (lo: bits 0..59 from 15 hex chars, hi: bits 60..63 from the 16th)
-    lo = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-    hi = F.conv(F.substring(h, 16, 1), 16, 10).cast("long")
-    ex = ex.select(
-        F.col(id_col),
-        *[(F.when((F.getbit(lo, F.lit(i)) if i < 60
-                   else F.getbit(hi, F.lit(i - 60))) == 1,
-                  F.lit(1)).otherwise(F.lit(-1))).alias(f"__b{i}")
+    pre = ex.selectExpr(
+        id_col,
+        "CAST(conv(substring(md5(__tok), 1, 15), 16, 10) AS LONG) AS __lo",
+        "CAST(conv(substring(md5(__tok), 16, 1), 16, 10) AS LONG) AS __hi")
+    bits = pre.selectExpr(
+        id_col,
+        *[f"CASE WHEN getbit({'__lo' if i < 60 else '__hi'}, "
+          f"{i if i < 60 else i - 60}) = 1 THEN 1 ELSE -1 END AS __b{i}"
           for i in range(64)])
-    votes = ex.groupBy(id_col).agg(
-        *[F.sum(f"__b{i}").alias(f"__v{i}") for i in range(64)])
+    votes = bits.groupBy(id_col).agg(
+        F.expr("sum(__b0) AS __v0"),
+        *[F.expr(f"sum(__b{i}) AS __v{i}") for i in range(1, 64)])
     # bit 63 contributes the sign: adding long-min instead of 1<<63 keeps
     # the arithmetic in signed range on every engine
-    powers = [1 << i for i in range(63)] + [-(1 << 63)]
-    sim = None
-    for i in range(64):
-        piece = F.when(F.col(f"__v{i}") > 0,
-                       F.lit(powers[i])).otherwise(F.lit(0))
-        sim = piece if sim is None else sim + piece
-    return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    powers = [str(1 << i) for i in range(63)] + ["(-9223372036854775807 - 1)"]
+    sim = " + ".join(
+        f"(CASE WHEN __v{i} > 0 THEN {powers[i]} ELSE 0 END)"
+        for i in range(64))
+    return votes.selectExpr(id_col, f"CAST({sim} AS LONG) AS simhash")
 
 
 def simhash_candidates(hashes: DataFrame, id_col: str = "doc_id",

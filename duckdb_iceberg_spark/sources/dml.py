@@ -308,16 +308,9 @@ def _write_deletion_vectors(
 
         # absolute imports: this closure executes in executor Python workers,
         # where relative-import context is not preserved by pickling
-        from duckdb_iceberg_spark.io import (get_io, io_from_storage_options,
-                                             register_io)
+        from duckdb_iceberg_spark.io import get_io
         from duckdb_iceberg_spark.metadata import puffin as pf
 
-        # executor process: rebuild the driver's (possibly vended) IO for
-        # reading prior DVs and writing the new Puffin
-        if scheme and opts:
-            register_io(scheme, io_from_storage_options(opts))
-        if w_scheme and w_opts and (w_scheme != scheme or not opts):
-            register_io(w_scheme, io_from_storage_options(w_opts))
         fp = pdf["file_path"].iloc[0]
         positions = np.unique(pdf["pos"].to_numpy(dtype=np.int64))
         pr = prior.get(fp)
@@ -341,12 +334,25 @@ def _write_deletion_vectors(
             "content_size": [int(b.length)],
         })
 
+    def _build_on_executor(pdf):
+        # rebuild the driver's (possibly vended) IO in the executor Python
+        # worker for reading prior DVs and writing the new Puffin — ONLY
+        # here: the driver fallback below must not clobber the driver's
+        # already-registered IO (e.g. a test's mock object store)
+        from duckdb_iceberg_spark.io import io_from_storage_options, register_io
+
+        if scheme and opts:
+            register_io(scheme, io_from_storage_options(opts))
+        if w_scheme and w_opts and (w_scheme != scheme or not opts):
+            register_io(w_scheme, io_from_storage_options(w_opts))
+        return _build(pdf)
+
     keyed = pairs.select(F.col("file_path"),
                          F.col("pos").cast(T.LongType()).alias("pos"))
     if getattr(io0, "shippable", True):
         rows = (
             keyed.groupBy("file_path")
-            .applyInPandas(_build, _DV_STATS_SCHEMA)
+            .applyInPandas(_build_on_executor, _DV_STATS_SCHEMA)
             .collect()
         )
     else:

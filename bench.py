@@ -210,6 +210,11 @@ def main() -> None:
             times.append(time.time() - t0)
             assert rows is not None
         results[name] = round(sorted(times)[len(times) // 2], 3)
+        # operators that persist intermediates (dedup/verify caches) would
+        # otherwise accumulate blocks across 59 queries × N runs and slow
+        # LATER queries via block-manager/GC pressure (measured: emb_*
+        # regressing 3-5× when run after the dedup family)
+        spark.catalog.clearCache()
     total = round(sum(results.values()), 3)
 
     out = {

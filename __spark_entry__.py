@@ -1442,6 +1442,21 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: top-5 docs per source by quality score. The oracle
+    replays the full quality formula (every input pre-rounded to 6dp, so
+    IEEE arithmetic matches bit-for-bit across engines)."""
+    from duckdb_iceberg_spark.operators.sampling import cap_per_source
+
+    docs = _pq(spark, sf_dir, "documents")
+    return (
+        cap_per_source(docs, cap=5)
+        .select("source", F.col("__rank").alias("rank"), "doc_id",
+                F.col("__quality").alias("quality"))
+        .orderBy("source", "rank")
+    )
+
+
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language sampling: md5-threshold keep decision,
     reproducible bit-for-bit in any engine with md5 (train/eval splits)."""
@@ -2310,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_parts": q_distinct_parts,
         "q_rollup": q_rollup,
         "q_setop_nations": q_setop_nations,
+        "docs_source_cap": docs_source_cap,
     }
 
 
@@ -3312,6 +3328,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
             FROM documents ORDER BY doc_id LIMIT 1000
+        """,
+        "docs_source_cap": r"""
+            WITH s AS (
+              SELECT doc_id, source,
+                CAST(length(text) AS DOUBLE) AS n,
+                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+                CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+                CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+                CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS toks,
+                CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x IN ('the','and','of','is','with'))) AS DOUBLE) AS stop_hits
+              FROM documents
+            ), r AS (
+              SELECT doc_id, source,
+                round(alpha / (CASE WHEN n > 0 THEN n ELSE 1 END), 6) AS alpha_ratio,
+                round(digits / (CASE WHEN n > 0 THEN n ELSE 1 END), 6) AS digit_ratio,
+                round(punct / (CASE WHEN n > 0 THEN n ELSE 1 END), 6) AS punct_ratio,
+                round(n / (CASE WHEN toks > 0 THEN toks ELSE 1 END), 6) AS avg_token_len,
+                round(stop_hits / (CASE WHEN toks > 0 THEN toks ELSE 1 END), 6) AS stopword_ratio
+              FROM s
+            ), q AS (
+              SELECT doc_id, source,
+                round(0.35 * least(alpha_ratio / 0.7, 1.0)
+                    + 0.25 * least(stopword_ratio / 0.2, 1.0)
+                    + 0.20 * (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 12
+                              THEN 1.0 ELSE 0.3 END)
+                    + 0.20 * (1.0 - least(punct_ratio * 4 + digit_ratio * 2, 1.0)),
+                    6) AS quality
+              FROM r
+            ), ranked AS (
+              SELECT source, doc_id, quality,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY quality DESC, doc_id) AS "rank"
+              FROM q
+            )
+            SELECT source, "rank", doc_id, quality FROM ranked
+            WHERE "rank" <= 5 ORDER BY source, "rank"
         """,
         "docs_quality": """
             SELECT doc_id,

@@ -215,3 +215,36 @@ def quantile_filter(
     cond = (F.col(value_col) >= F.col("__thr") if keep == "above"
             else F.col(value_col) <= F.col("__thr"))
     return joined.filter(cond).drop("__thr")
+
+
+def cap_per_source(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score: Column | None = None,
+) -> DataFrame:
+    """Per-domain quota capping — the anti-domination pass web-corpus
+    pipelines run so one crawl-heavy domain can't swamp the mixture: keep
+    at most ``cap`` documents per source, the highest-``score`` first
+    (default: the engine's quality_score), ties broken by id.
+
+    Returns the surviving rows plus ``__quality`` and ``__rank`` (1-based
+    within the source). Every scoring input is a rounded-6dp Column
+    expression, so an ANSI engine reproduces ranks bit-for-bit.
+
+    Scale: one window shuffle keyed on the source — domains are numerous
+    so the key distributes; a pathologically hot domain bounds OUTPUT at
+    ``cap`` but still sorts its members inside one partition, where AQE's
+    skew handling and the rank<=cap early filter keep it contained."""
+    from .text import quality_score
+
+    s = score if score is not None else quality_score(F.col(text_col))
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("__quality").desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__quality", s)
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= cap)
+    )

@@ -789,3 +789,25 @@ def test_tfidf_top_terms(spark):
     # n_docs passthrough avoids the count job and matches the derived value
     out2 = tfidf_top_terms(df, top_n=2, n_docs=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_cap_per_source(spark):
+    from duckdb_iceberg_spark.operators.sampling import cap_per_source
+
+    rows = [(i, f"s{i % 2}",
+             "the quality of this document is fine and readable " * (1 + i % 3))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = cap_per_source(df, cap=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.source, []).append((r["__rank"], r.doc_id))
+    assert set(got) == {"s0", "s1"}
+    assert all(len(v) == 3 for v in got.values())
+    # ranks are 1..cap and deterministic across runs
+    again = {(r.source, r["__rank"], r.doc_id) for r in
+             cap_per_source(df, cap=3).collect()}
+    assert again == {(s, rk, d) for s, v in got.items() for rk, d in v}
+    # custom score column: rank by id descending
+    by_id = cap_per_source(df, cap=1, score=F.col("doc_id").cast("double"))
+    assert sorted(r.doc_id for r in by_id.collect()) == [8, 9]

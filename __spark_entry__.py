@@ -62,11 +62,18 @@ _CODE_FINGERPRINT = _code_fingerprint()
 
 
 def _variant_dir(sf_dir: str, variant: str) -> str:
+    # the code fingerprint is part of the PATH, not just the sentinel: a
+    # code edit makes new processes build a sibling directory instead of
+    # wiping the old one in place, so a still-running process (bench,
+    # driver) keeps scanning its own complete fixture. Stale siblings are
+    # only ever bytes in /tmp; rmtree below touches solely this
+    # fingerprint's (possibly partial) build.
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     return os.path.join(
         _CACHE_ROOT,
         f"{os.path.basename(os.path.normpath(sf_dir))}-{key}-{_CACHE_VERSION}",
         variant,
+        _CODE_FINGERPRINT[:12],
     )
 
 
@@ -2204,9 +2211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     their last driver row, (b) entries that have never had a driver row,
     (c) longest parked, (d) family coverage. Layout (round 6 rotation):
 
-      1-24   ice_* Iceberg table-format queries — the reference's own
+      1-25   ice_* Iceberg table-format queries — the reference's own
              surface, always in-window.
-      25-49  rotated IN for r6: the dedup family whose verify/plan was
+      26-50  rotated IN for r6: the dedup family whose verify/plan was
              rewritten this round (minhash, incremental-minhash,
              decontaminate, ngram, simhash [r5 codegen rewrite, first
              driver row], exact), the full stream_* family (changelog

@@ -653,10 +653,17 @@ class _StagedTable:
     def __init__(self, table: RestTable, txn: "CatalogTransaction"):
         self._table = table
         self._txn = txn
-        self.metadata = table.metadata
         self.namespace = table.namespace
         self.name = table.name
         self.catalog = table.catalog
+
+    @property
+    def metadata(self):
+        # delegate, never alias: rollback() restores state by refreshing
+        # the underlying RestTable (which REBINDS its metadata object), and
+        # an aliased copy here would keep serving the rolled-back snapshot
+        # whose files were just deleted
+        return self._table.metadata
 
     def refresh(self) -> "_StagedTable":
         # inside a transaction, "refresh" returns the STAGED view (base +

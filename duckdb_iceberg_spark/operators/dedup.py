@@ -17,6 +17,16 @@ Designed for 100 TB corpora:
   probability per the standard Charikar construction).
 
 Determinism: all hash seeds are fixed constants; no Date.now()/random state.
+
+Cache lifecycle: the multi-consumer operators (minhash_dedup,
+incremental_minhash_dedup, verify_jaccard) persist() narrow intermediate
+frames — survivor ids, signatures, shingle arrays — that stay referenced
+by the returned lazy DataFrame, so the OPERATOR cannot unpersist them;
+per Spark's cache contract the caller owns their lifetime. In a
+long-lived session running many dedup calls, drop them between calls
+(``spark.catalog.clearCache()`` or targeted ``unpersist()``) — leaked
+blocks degrade unrelated later queries via block-manager/GC pressure
+(measured 3-5× on the benchmark before it cleared per query).
 """
 
 from __future__ import annotations
@@ -629,19 +639,27 @@ def incremental_minhash_dedup(
     one rep cannot mask a true near-dup with another."""
     from pyspark.sql.window import Window
 
-    # corpus fingerprint state: ONE pass, one shuffle → (fingerprint, rep id)
+    # corpus fingerprint state: ONE pass, one shuffle → (fingerprint, rep id).
+    # Built lazily so it also serves representative selection when only
+    # corpus_fingerprints was precomputed (signatures/bands absent).
     state = None
+
+    def _corpus_state() -> DataFrame:
+        nonlocal state
+        if state is None:
+            state = (
+                corpus_df.select(F.col(id_col),
+                                 doc_fingerprint(text_col).alias("__fp"))
+                .groupBy("__fp").agg(F.min(id_col).alias(id_col))
+                .persist()
+            )
+        return state
+
     if corpus_fingerprints is not None:
         seen = corpus_fingerprints.select(
             F.col("fingerprint").alias("__fp"))
     else:
-        state = (
-            corpus_df.select(F.col(id_col),
-                             doc_fingerprint(text_col).alias("__fp"))
-            .groupBy("__fp").agg(F.min(id_col).alias(id_col))
-            .persist()
-        )
-        seen = state.select("__fp")
+        seen = _corpus_state().select("__fp")
 
     # (1) exact dedup within the batch, then against the corpus state.
     # Only the survivor IDS are cached; batch0 re-derives full rows via a
@@ -674,7 +692,7 @@ def incremental_minhash_dedup(
         if corpus_signatures is not None:
             sig_old = corpus_signatures
         else:
-            rep_ids = state.select(id_col)
+            rep_ids = _corpus_state().select(id_col)
             corpus_reps = corpus_df.join(rep_ids, id_col, "left_semi")
             sig_old = minhash_signatures(corpus_reps, text_col, id_col,
                                          num_hashes, shingle_k)

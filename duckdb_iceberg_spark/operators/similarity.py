@@ -256,8 +256,12 @@ def knn_join_bucketed(
         d = m @ P.T
         bits = (d >= 0).astype(np.uint64)
         base = bits @ weights
-        # least-confident planes first: smallest |dot| = closest boundary
-        order = np.argsort(np.abs(d), axis=1)
+        # least-confident planes first: smallest |dot| = closest boundary.
+        # kind="stable" breaks exact |dot| ties by ascending plane index —
+        # the same order the SQL oracle's (|dot|, index) struct sort uses;
+        # the default quicksort is NOT stable and a tie (e.g. a zero dot)
+        # would probe different bits per engine
+        order = np.argsort(np.abs(d), axis=1, kind="stable")
         out = []
         for i in range(len(m)):
             bs = [int(np.int64(base[i]))]

@@ -295,16 +295,18 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
         # parity with the reference's explicit refusal (test_cascade.test) —
         # but only for Iceberg-registered targets; a DROP of an ordinary
         # Spark table/schema falls through to spark.sql like any passthrough
-        m = re.match(r"DROP\s+(?:SCHEMA|TABLE)\s+(?:IF\s+EXISTS\s+)?([\w.]+)",
-                     stmt, re.I)
+        m = re.match(
+            r"DROP\s+(?:SCHEMA|TABLE)\s+(?:IF\s+EXISTS\s+)?([\w.`\"]+)",
+            stmt, re.I)
         reg = _REGISTRY.get(spark, {})
-        target = m.group(1).lower() if m else ""
-        is_schema = bool(re.match(r"DROP\s+SCHEMA", stmt, re.I))
+        # normalize quoting so `lake`.`t` / "t" can't bypass the gate
+        target = (m.group(1).replace("`", "").replace('"', "").lower()
+                  if m else "")
         registered = (target in reg
-                      or (not is_schema and target.split(".")[-1] in reg)
                       or any(k.startswith(target + ".") for k in reg))
         if registered:
-            kind = "SCHEMA" if is_schema else "TABLE"
+            kind = ("SCHEMA" if re.match(r"DROP\s+SCHEMA", stmt, re.I)
+                    else "TABLE")
             raise NotImplementedError(
                 f"DROP {kind} <name> CASCADE is not supported for Iceberg "
                 f"{'schemas' if kind == 'SCHEMA' else 'tables'} currently")

@@ -138,8 +138,9 @@ def test_cascade_refused(spark, table):
     _register(spark, table, "casc_tbl")
     with pytest.raises(NotImplementedError, match="CASCADE is not supported"):
         execute_sql(spark, "DROP TABLE casc_tbl CASCADE")
+    # quoting can't bypass the gate
     with pytest.raises(NotImplementedError, match="CASCADE is not supported"):
-        execute_sql(spark, "DROP TABLE lake.casc_tbl CASCADE")
+        execute_sql(spark, "DROP TABLE `casc_tbl` CASCADE")
     with pytest.raises(NotImplementedError, match="Iceberg schemas"):
         execute_sql(spark, "DROP SCHEMA casc_tbl CASCADE")
 

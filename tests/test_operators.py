@@ -514,7 +514,11 @@ def test_incremental_minhash_dedup(spark):
         new, corpus, num_hashes=64, bands=16, threshold=0.6,
         corpus_fingerprints=fps,
         corpus_bands=banded_signatures(sigs, bands=16)).collect())
-    assert got_sig == out and got_band == out
+    # fingerprints alone: representatives re-derive from the corpus
+    got_fp_only = sorted(r.doc_id for r in incremental_minhash_dedup(
+        new, corpus, num_hashes=64, bands=16, threshold=0.6,
+        corpus_fingerprints=fps).collect())
+    assert got_sig == out and got_band == out and got_fp_only == out
 
 
 def test_kmeans_recovers_separated_clusters(spark):

@@ -1440,9 +1440,11 @@ def test_transaction_rollback_restores_table_state(stub, spark, sf_dir, tmp_path
              .withColumn("r_regionkey", F.col("r_regionkey") + 10))
     assert len(t.metadata.snapshots) == pre_count + 1  # staged, in-memory
     txn.rollback()
-    # in-memory state restored to the catalog tip
+    # in-memory state restored to the catalog tip — on the staged HANDLE
+    # too, not just the underlying table (metadata delegates, not aliases)
+    assert t.metadata.current_snapshot_id == pre_snap
+    assert len(t.metadata.snapshots) == pre_count
     assert t._table.metadata.current_snapshot_id == pre_snap
-    assert len(t._table.metadata.snapshots) == pre_count
     # the handle still scans (no dangling staged manifests) …
     assert scan_rest_table(spark, t._table,
                            server_planning=False).count() == 5

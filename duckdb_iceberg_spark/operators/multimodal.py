@@ -2,10 +2,17 @@
 
 Media ride as opaque ``binary`` columns with typed metadata structs; the
 Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas signatures,
-partition sizing — is real and tested. The codec step itself is stubbed:
-the decode libraries (PIL/ffmpeg/librosa) are not in this container, so
-``decode=`` defaults to a deterministic fake that derives features from the
-bytes' md5 (clearly marked; swap in a real decoder by passing one).
+partition sizing — is real and tested. Decoding is layered:
+
+- REAL stdlib decoders handle the formats that need no external library:
+  WAV (``wave``), uncompressed 24/32-bit BMP (``struct``), and 8-bit
+  greyscale/RGB/RGBA non-interlaced PNG (``zlib`` + full filter
+  reconstruction incl. Paeth). These run by default when the blob's magic
+  bytes match and the parse succeeds.
+- Anything else (JPEG/MP4/compressed codecs — their libraries are not in
+  this container) falls back to a deterministic md5-derived fake that an
+  SQL oracle can recompute (clearly marked; swap in a real PIL/ffmpeg
+  decoder by passing ``decode=``).
 
 Scale notes: mapInPandas streams Arrow batches, so per-executor memory is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` × max blob size;
@@ -62,6 +69,136 @@ def fake_decode_image(blob: bytes) -> tuple[int, int, np.ndarray]:
     return w, ht, feat
 
 
+def _pixel_features(px: np.ndarray, w: int, h: int) -> np.ndarray:
+    """8-dim image feature from an (n, 3) RGB float array in [0, 255]:
+    per-channel mean and std (normalized) + aspect terms."""
+    mean = px.mean(axis=0) / 255.0
+    std = px.std(axis=0) / 255.0
+    return np.array([*mean, *std, w / (w + h), h / (w + h)], dtype="float32")
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL decoder for uncompressed 24/32-bit BI_RGB BMP (pure struct +
+    numpy, no external libs). Returns None for other BMP variants."""
+    import struct
+
+    if blob[:2] != b"BM" or len(blob) < 54:
+        return None
+    (data_off,) = struct.unpack_from("<I", blob, 10)
+    (hdr_size, w, h) = struct.unpack_from("<Iii", blob, 14)
+    (planes, bpp, comp) = struct.unpack_from("<HHI", blob, 26)
+    if hdr_size < 40 or comp != 0 or bpp not in (24, 32):
+        return None
+    flipped = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    nb = bpp // 8
+    stride = ((w * nb + 3) // 4) * 4 if bpp == 24 else w * 4
+    rows = []
+    for r in range(h):
+        off = data_off + r * stride
+        row = np.frombuffer(blob, dtype=np.uint8, count=w * nb, offset=off)
+        rows.append(row.reshape(w, nb)[:, :3][:, ::-1])  # BGR(A) → RGB
+    if flipped:
+        rows.reverse()
+    px = np.concatenate(rows).astype(np.float64)
+    return w, h, _pixel_features(px, w, h)
+
+
+def _png_unfilter(raw: np.ndarray, w: int, h: int, bpp: int) -> np.ndarray:
+    """PNG scanline reconstruction (filters 0-4 incl. Paeth), returning
+    (h, w*bpp) reconstructed bytes."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        ftype = raw[pos]
+        line = raw[pos + 1:pos + 1 + stride].astype(np.int64)
+        pos += 1 + stride
+        prev = out[r - 1].astype(np.int64) if r else np.zeros(stride, np.int64)
+        cur = np.zeros(stride, dtype=np.int64)
+        for i in range(stride):
+            a = cur[i - bpp] if i >= bpp else 0        # left
+            b = prev[i]                                 # up
+            c = prev[i - bpp] if i >= bpp else 0        # up-left
+            x = line[i]
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = x + a
+            elif ftype == 2:
+                v = x + b
+            elif ftype == 3:
+                v = x + (a + b) // 2
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = x + pr
+            else:
+                raise ValueError(f"bad PNG filter {ftype}")
+            cur[i] = v & 0xFF
+        out[r] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(blob: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL decoder for 8-bit greyscale/RGB/RGBA non-interlaced PNG (pure
+    zlib + struct + numpy). Returns None for palette/16-bit/interlaced."""
+    import struct
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, meta = 8, b"", None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4:pos + 8]
+        body = blob[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            meta = (w, h, depth, color, interlace)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        return None
+    w, h, depth, color, interlace = meta
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        return None
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    recon = _png_unfilter(raw, w, h, channels)
+    px = recon.reshape(h * w, channels).astype(np.float64)
+    if channels <= 2:   # grey(+alpha) → replicate luma across RGB
+        px = np.repeat(px[:, :1], 3, axis=1)
+    else:
+        px = px[:, :3]
+    return w, h, _pixel_features(px, w, h)
+
+
+def decode_image(blob: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Stdlib-real image decode (BMP/PNG); None when the format needs an
+    external library or the parse fails — callers fall back."""
+    try:
+        if blob[:2] == b"BM":
+            return decode_bmp(blob)
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(blob)
+    except Exception:
+        return None
+    return None
+
+
+def default_decode_image(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real decode when the format is stdlib-decodable, else the
+    deterministic fake (oracle-verifiable)."""
+    out = decode_image(blob)
+    return out if out is not None else fake_decode_image(blob)
+
+
 def extract_image_features(
     df: DataFrame,
     blob_col: str = "blob",
@@ -69,9 +206,10 @@ def extract_image_features(
     decode: Callable[[bytes], tuple[int, int, np.ndarray]] | None = None,
 ) -> DataFrame:
     """mapInPandas feature extraction over a binary column. The plumbing
-    (batch iteration, schema, null handling) is production-shaped; only the
-    decoder is a stub by default."""
-    dec = decode or fake_decode_image
+    (batch iteration, schema, null handling) is production-shaped; BMP/PNG
+    decode for real via the stdlib, other formats use the documented
+    fake unless a decoder is passed."""
+    dec = decode or default_decode_image
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -111,6 +249,50 @@ def fake_decode_audio(blob: bytes) -> tuple[int, int, np.ndarray]:
     return duration, rate, feat
 
 
+def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL WAV decoder (stdlib ``wave`` + numpy): (duration_ms,
+    sample_rate, 8-segment RMS envelope of the first channel). Returns
+    None for non-RIFF/WAVE blobs or unsupported sample widths."""
+    import io
+    import wave
+
+    if blob[:4] != b"RIFF" or len(blob) < 12 or blob[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(blob)) as wf:
+            rate = wf.getframerate()
+            nframes = wf.getnframes()
+            nch = wf.getnchannels()
+            width = wf.getsampwidth()
+            frames = wf.readframes(nframes)
+    except (wave.Error, EOFError):
+        return None  # RIFF-tagged but not a parseable WAV
+    if rate <= 0 or width not in (1, 2, 4):
+        return None
+    duration_ms = int(nframes * 1000 / rate)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+    a = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+    if width == 1:
+        a = a - 128.0  # 8-bit WAV is unsigned, centered at 128
+    a = a[::max(nch, 1)]  # first channel
+    denom = float(127 if width == 1 else np.iinfo(dtype).max)
+    segs = np.array_split(a, 8)
+    feat = np.array(
+        [np.sqrt(np.mean(s * s)) / denom if s.size else 0.0 for s in segs],
+        dtype="float32")
+    return duration_ms, rate, feat
+
+
+def default_decode_audio(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real WAV decode when the blob is RIFF/WAVE, else the deterministic
+    fake (oracle-verifiable)."""
+    try:
+        out = decode_wav(blob)
+    except Exception:
+        out = None
+    return out if out is not None else fake_decode_audio(blob)
+
+
 def extract_audio_features(
     df: DataFrame,
     blob_col: str = "blob",
@@ -118,8 +300,8 @@ def extract_audio_features(
     decode: Callable[[bytes], tuple[int, int, np.ndarray]] | None = None,
 ) -> DataFrame:
     """mapInPandas audio feature extraction — same plumbing contract as
-    extract_image_features (decode is the stubbed step)."""
-    dec = decode or fake_decode_audio
+    extract_image_features (WAV decodes for real, other formats fake)."""
+    dec = decode or default_decode_audio
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -815,3 +815,140 @@ def test_cap_per_source(spark):
     # custom score column: rank by id descending
     by_id = cap_per_source(df, cap=1, score=F.col("doc_id").cast("double"))
     assert sorted(r.doc_id for r in by_id.collect()) == [8, 9]
+
+
+def _make_bmp(pixels, flip=True):
+    """Uncompressed 24-bit BMP from a row-major [[(r,g,b),...],...] grid."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0])
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = pixels[::-1] if flip else pixels
+    body = b"".join(
+        b"".join(bytes((b_, g, r)) for r, g, b_ in row) + b"\0" * (stride - w * 3)
+        for row in rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h if flip else -h, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return hdr + dib + body
+
+
+def _make_png(pixels, filters=None):
+    """8-bit RGB PNG with per-row filter types (default all 0)."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    filters = filters or [0] * h
+
+    def _chunk(tag, body):
+        c = tag + body
+        return struct.pack(">I", len(body)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    raw = bytearray()
+    prev = [0] * (w * 3)
+    for row, ft in zip(pixels, filters):
+        cur = [c for px in row for c in px]
+        raw.append(ft)
+        for i, x in enumerate(cur):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c0 = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = x - a
+            elif ft == 2:
+                v = x - b
+            elif ft == 3:
+                v = x - (a + b) // 2
+            else:  # paeth
+                p = a + b - c0
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c0)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c0)
+                v = x - pr
+            raw.append(v & 0xFF)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+def test_real_bmp_png_decoders():
+    from duckdb_iceberg_spark.operators.multimodal import decode_bmp, decode_png
+
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    for blob, dec in ((_make_bmp(px), decode_bmp), (_make_png(px), decode_png)):
+        w, h, feat = dec(blob)
+        assert (w, h) == (2, 2)
+        # channel means: R=(255+0+0+255)/4, G=(0+255+0+255)/4, B=(0+0+255+255)/4
+        assert np.allclose(feat[:3], [510 / 4 / 255] * 3, atol=1e-6)
+    # top-down BMP decodes identically
+    w, h, f2 = decode_bmp(_make_bmp(px, flip=False))
+    assert np.allclose(f2, decode_bmp(_make_bmp(px))[2])
+    # every PNG filter type reconstructs the same pixels
+    base = decode_png(_make_png(px))[2]
+    for ft in (1, 2, 3, 4):
+        assert np.allclose(decode_png(_make_png(px, filters=[ft, ft]))[2], base)
+    # non-decodable inputs return None (fallback path)
+    assert decode_bmp(b"BM not a real bmp") is None
+    assert decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+
+
+def test_real_wav_decoder():
+    import io
+    import struct
+    import wave
+
+    from duckdb_iceberg_spark.operators.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        # 4000 frames = 500ms; left channel constant 1000, right 0
+        wf.writeframes(struct.pack("<8000h", *([1000, 0] * 4000)))
+    dur, rate, feat = decode_wav(buf.getvalue())
+    assert (dur, rate) == (500, 8000)
+    assert np.allclose(feat, [1000 / 32767] * 8, atol=1e-6)
+    assert decode_wav(b"RIFFxxxxWAVEjunk") is None  # parse error -> fallback
+    assert decode_wav(b"not audio at all") is None
+
+
+def test_extract_features_routes_real_and_fake(spark):
+    """The mapInPandas pipeline decodes real BMP/WAV blobs for real and
+    falls back to the deterministic fake for unknown bytes — in one batch."""
+    from duckdb_iceberg_spark.operators.multimodal import (
+        extract_audio_features, extract_image_features, fake_decode_image)
+
+    px = [[(10, 20, 30)]]
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_bmp(px))), (2, bytearray(b"not an image"))],
+        "id long, blob binary")
+    out = {r.id: r for r in extract_image_features(df).collect()}
+    assert (out[1].width, out[1].height) == (1, 1)
+    assert abs(out[1].feature[0] - 10 / 255) < 1e-6
+    fw, fh, ffeat = fake_decode_image(b"not an image")
+    assert (out[2].width, out[2].height) == (fw, fh)
+    assert np.allclose(out[2].feature, ffeat, atol=1e-6)
+
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(struct.pack("<1600h", *([500] * 1600)))
+    adf = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not audio"))],
+        "id long, blob binary")
+    aout = {r.id: r for r in extract_audio_features(adf).collect()}
+    assert (aout[1].duration_ms, aout[1].sample_rate) == (100, 16000)
+    assert aout[2].sample_rate in (8000, 16000, 22050, 44100)  # fake path

@@ -1464,6 +1464,23 @@ def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-SPAN removal (the ExactSubstr pass at
+    token-gram granularity): any 8-token window occurring twice in the
+    corpus is trimmed from every doc but its first occurrence. The md5 of
+    each rebuilt text hash-checks content without shipping full rows."""
+    from duckdb_iceberg_spark.operators.dedup import exact_substring_dedup
+
+    docs = _pq(spark, sf_dir, "documents")
+    return (
+        exact_substring_dedup(docs, min_len=8)
+        .select("doc_id", F.md5("text").alias("text_md5"),
+                "n_tokens_kept", "n_tokens_removed")
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language sampling: md5-threshold keep decision,
     reproducible bit-for-bit in any engine with md5 (train/eval splits)."""
@@ -2333,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup": q_rollup,
         "q_setop_nations": q_setop_nations,
         "docs_source_cap": docs_source_cap,
+        "docs_substr_dedup": docs_substr_dedup,
     }
 
 
@@ -3335,6 +3353,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
             FROM documents ORDER BY doc_id LIMIT 1000
+        """,
+        "docs_substr_dedup": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), g AS (
+              SELECT doc_id, i AS s,
+                     md5(array_to_string(tk[i:i+7], ' ')) AS gr
+              FROM t, LATERAL unnest(range(1, len(tk) - 6)) AS r(i)
+              WHERE len(tk) >= 8
+            ), occ AS (
+              SELECT doc_id, s,
+                     row_number() OVER (PARTITION BY gr
+                                        ORDER BY doc_id, s) AS rn,
+                     count(*) OVER (PARTITION BY gr) AS cnt
+              FROM g
+            ), dup AS (
+              SELECT doc_id, s FROM occ WHERE cnt > 1 AND rn > 1
+            ), cov AS (
+              SELECT DISTINCT doc_id, p
+              FROM dup, LATERAL unnest(range(s, s + 8)) AS rr(p)
+            ), tok AS (
+              SELECT doc_id, i AS p, tk[i] AS w
+              FROM t, LATERAL unnest(range(1, len(tk) + 1)) AS r(i)
+            ), kept AS (
+              SELECT tok.doc_id, p, w FROM tok
+              ANTI JOIN cov USING (doc_id, p)
+            ), reb AS (
+              SELECT doc_id, count(*) AS kept_n,
+                     array_to_string(list(w ORDER BY p), ' ') AS txt
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id, md5(coalesce(reb.txt, '')) AS text_md5,
+                   coalesce(reb.kept_n, 0) AS n_tokens_kept,
+                   len(t.tk) - coalesce(reb.kept_n, 0) AS n_tokens_removed
+            FROM t LEFT JOIN reb USING (doc_id)
+            ORDER BY doc_id LIMIT 500
         """,
         "docs_source_cap": r"""
             WITH s AS (

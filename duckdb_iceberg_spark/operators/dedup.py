@@ -785,3 +785,88 @@ def line_dedup(
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level duplicated-span removal (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+def exact_substring_dedup(
+    df: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Corpus-level duplicated-SPAN removal — the ExactSubstr pass of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), approximated at token-gram granularity: any ``min_len``-token
+    window whose exact text occurs more than once in the corpus is a
+    duplicated span, and every occurrence after the globally first (by
+    doc id, then position; all occurrences when ``keep_first=False``) has
+    its tokens removed from the document. Unlike document-level dedup this
+    trims boilerplate embedded INSIDE otherwise-unique pages.
+
+    Returns (id, text, n_tokens_kept, n_tokens_removed); docs shorter than
+    ``min_len`` tokens pass through untouched, docs whose every token sat
+    in duplicated spans come back with empty text.
+
+    Scale shape: linear shuffles only — gram emission is a map (grams keyed
+    by md5 of the joined token window, engine-portable), duplicate marking
+    is one window over the gram key, covered positions explode each
+    duplicated start into ``min_len`` (doc, position) rows (output bounded
+    by duplication mass × min_len; the suffix-array formulation this
+    approximates cannot shard this way), and reassembly is the line_dedup
+    groupBy. No driver state, no Python.
+    """
+    L = int(min_len)
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda x: x != "")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"),
+                     F.size(toks).alias("__n"))
+    # gram starts (1-based); sequence() guarded against its descending mode
+    starts = (
+        base.filter(F.col("__n") >= L)
+        .selectExpr(
+            "__id",
+            f"explode(transform(sequence(1, __n - {L} + 1), "
+            f"s -> named_struct('s', s, "
+            f"'g', md5(concat_ws(' ', slice(__t, s, {L})))))) AS sg")
+        .select("__id", F.col("sg.s").alias("s"), F.col("sg.g").alias("g"))
+    )
+    from pyspark.sql.window import Window
+
+    occ = starts.select(
+        "__id", "s",
+        F.row_number().over(
+            Window.partitionBy("g").orderBy("__id", "s")).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("__cnt"),
+    )
+    dup = occ.filter(F.col("__cnt") > 1)
+    if keep_first:
+        dup = dup.filter(F.col("__rn") > 1)
+    covered = dup.selectExpr(
+        "__id", f"explode(sequence(s, s + {L} - 1)) AS p").distinct()
+    tokens = base.select(
+        "__id", F.posexplode("__t").alias("p0", "__tok")
+    ).select("__id", (F.col("p0") + 1).alias("p"), "__tok")
+    kept = (
+        tokens.join(covered, ["__id", "p"], "left_anti")
+        .groupBy("__id")
+        .agg(
+            F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "__tok"))),
+                lambda st: st["__tok"])).alias("__text"),
+            F.count(F.lit(1)).alias("__kept"),
+        )
+    )
+    return (
+        base.join(kept, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("__kept"), F.lit(0)).alias("n_tokens_kept"),
+            (F.col("__n") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .alias("n_tokens_removed"),
+        )
+    )

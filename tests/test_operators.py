@@ -952,3 +952,42 @@ def test_extract_features_routes_real_and_fake(spark):
     aout = {r.id: r for r in extract_audio_features(adf).collect()}
     assert (aout[1].duration_ms, aout[1].sample_rate) == (100, 16000)
     assert aout[2].sample_rate in (8000, 16000, 22050, 44100)  # fake path
+
+
+def test_exact_substring_dedup(spark):
+    from duckdb_iceberg_spark.operators.dedup import exact_substring_dedup
+
+    shared = "one two three four five"          # 5-token duplicated span
+    rows = [
+        (1, f"{shared} alpha beta"),            # first occurrence: kept
+        (2, f"gamma {shared} delta"),           # later occurrence: trimmed
+        (3, "totally unique text here now"),    # untouched
+        (4, "short doc"),                       # < min_len tokens: untouched
+        (5, ""),                                # blank: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           exact_substring_dedup(df, min_len=5).collect()}
+    assert out[1].text == f"{shared} alpha beta"
+    assert out[1].n_tokens_removed == 0
+    assert out[2].text == "gamma delta"
+    assert out[2].n_tokens_removed == 5
+    assert out[3].n_tokens_removed == 0 and out[4].n_tokens_removed == 0
+    assert out[5].text == "" and out[5].n_tokens_kept == 0
+
+    # keep_first=False removes every occurrence, including the first
+    all_gone = {r.doc_id: r for r in
+                exact_substring_dedup(df, min_len=5,
+                                      keep_first=False).collect()}
+    assert all_gone[1].text == "alpha beta"
+    assert all_gone[2].text == "gamma delta"
+
+    # overlapping duplicated windows union their coverage: a 6-token
+    # repeat yields two overlapping 5-grams covering all 6 tokens
+    long_shared = "one two three four five six"
+    df2 = spark.createDataFrame(
+        [(1, long_shared), (2, f"x {long_shared} y")],
+        "doc_id long, text string")
+    out2 = {r.doc_id: r for r in
+            exact_substring_dedup(df2, min_len=5).collect()}
+    assert out2[2].text == "x y" and out2[2].n_tokens_removed == 6

@@ -1829,9 +1829,11 @@ def docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hash-checked: the fake decoder (no audio libs in this container) is
-    # md5-derived integer arithmetic the DuckDB oracle recomputes exactly;
-    # the mapInPandas plumbing is the real production path
+    # hash-checked: _mm_docs blobs are UTF-8 text (never RIFF/WAVE), so the
+    # default decoder deterministically takes its md5-fake path, which the
+    # DuckDB oracle recomputes exactly; real WAV bytes would decode for
+    # real (decode_wav) and need an oracle update. The mapInPandas
+    # plumbing is the production path either way.
     from duckdb_iceberg_spark.operators.multimodal import extract_audio_features
 
     feats = extract_audio_features(_mm_docs(spark, sf_dir))
@@ -2187,11 +2189,14 @@ def _mm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # decoder is the documented deterministic fake (no image libs in this
-    # container) — md5-derived arithmetic, so a SQL oracle recomputes every
-    # output. feat_sum256 = sum(feature)*256: each element is k/256 with
-    # k in 0..255, exact in float32 and double, so the scaled sum is an
-    # exact integer in both engines.
+    # _mm_docs blobs are UTF-8 text, which can never satisfy the stdlib
+    # BMP/PNG magic+header checks, so the default decoder deterministically
+    # takes its md5-fake path here and the SQL oracle recomputes every
+    # output. If this fixture ever carries REAL image bytes, the _MM_HASH
+    # oracle must be updated to the real decoder's math. feat_sum256 =
+    # sum(feature)*256: each element is k/256 with k in 0..255, exact in
+    # float32 and double, so the scaled sum is an exact integer in both
+    # engines.
     from duckdb_iceberg_spark.operators.multimodal import extract_image_features
 
     feats = extract_image_features(_mm_docs(spark, sf_dir))
@@ -2236,14 +2241,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              driver row], exact), the full stream_* family (changelog
              ordinals changed r6; curation/sink never driver-checked),
              mm_* multimodal, the NEW r6 operators (docs_vocab,
-             docs_tfidf), q_* relational extras including q_asof_join /
-             q_interval_join (new in r5, first driver rows), and
+             docs_tfidf, docs_source_cap, docs_substr_dedup — priority
+             (b): never driver-checked), q_window_top_order /
+             q_events_hourly / q_asof_join / q_interval_join, and
              emb_lsh_topk as the embedding-family representative with an
              integer-exact oracle.
       51+    parked, all driver-green r5 (TPC-H, docs_repetition,
              docs_line_dedup) or r4 (remaining docs_*/emb_*,
-             q_distinct_parts, q_rollup, q_setop_nations) — TPC-H and
-             the r4 cohort rotate back in r7.
+             q_distinct_parts, q_rollup, q_setop_nations, q_topk_orders,
+             q_anti_join) — TPC-H and the r4 cohort rotate back in r7.
     """
     return {
         # --- Iceberg table-format surface (reference parity) -------------
@@ -2291,9 +2297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": mm_frame_sample,
         "docs_vocab": docs_vocab,
         "docs_tfidf": docs_tfidf,
+        "docs_source_cap": docs_source_cap,
+        "docs_substr_dedup": docs_substr_dedup,
         "q_window_top_order": q_window_top_order,
-        "q_topk_orders": q_topk_orders,
-        "q_anti_join": q_anti_join,
         "q_events_hourly": q_events_hourly,
         "q_asof_join": q_asof_join,
         "q_interval_join": q_interval_join,
@@ -2349,8 +2355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_parts": q_distinct_parts,
         "q_rollup": q_rollup,
         "q_setop_nations": q_setop_nations,
-        "docs_source_cap": docs_source_cap,
-        "docs_substr_dedup": docs_substr_dedup,
+        "q_topk_orders": q_topk_orders,
+        "q_anti_join": q_anti_join,
     }
 
 

@@ -820,6 +820,10 @@ def exact_substring_dedup(
     groupBy. No driver state, no Python.
     """
     L = int(min_len)
+    if L < 1:
+        # sequence(s, s+L-1) would hit Spark's descending mode and mark
+        # bogus positions; a sub-token span is meaningless anyway
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                     lambda x: x != "")
     base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"),

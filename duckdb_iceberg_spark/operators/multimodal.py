@@ -79,7 +79,15 @@ def _pixel_features(px: np.ndarray, w: int, h: int) -> np.ndarray:
 
 def decode_bmp(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     """REAL decoder for uncompressed 24/32-bit BI_RGB BMP (pure struct +
-    numpy, no external libs). Returns None for other BMP variants."""
+    numpy, no external libs). Returns None for other BMP variants AND for
+    corrupt/truncated data — never raises."""
+    try:
+        return _decode_bmp(blob)
+    except Exception:
+        return None
+
+
+def _decode_bmp(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     import struct
 
     if blob[:2] != b"BM" or len(blob) < 54:
@@ -93,6 +101,10 @@ def decode_bmp(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     h = abs(h)
     nb = bpp // 8
     stride = ((w * nb + 3) // 4) * 4 if bpp == 24 else w * 4
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        return None
+    if len(blob) < data_off + h * stride:
+        return None  # truncated pixel data: not decodable
     rows = []
     for r in range(h):
         off = data_off + r * stride
@@ -104,46 +116,62 @@ def decode_bmp(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     return w, h, _pixel_features(px, w, h)
 
 
+#: image decode guard: refuse dimensions whose pixel buffers could OOM an
+#: executor before the fallback path ever runs (zip-bomb IDAT / absurd IHDR)
+_MAX_PIXELS = 64 << 20  # 64 Mpx ≈ 192 MB of RGB float work, bounded
+
+
 def _png_unfilter(raw: np.ndarray, w: int, h: int, bpp: int) -> np.ndarray:
     """PNG scanline reconstruction (filters 0-4 incl. Paeth), returning
-    (h, w*bpp) reconstructed bytes."""
+    (h, w*bpp) reconstructed bytes. Filters 0/2 are whole-row numpy ops;
+    1/3/4 loop per PIXEL with vectorized bpp-wide slices (left-neighbor
+    dependency makes them inherently sequential along the row)."""
     stride = w * bpp
     out = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
+    prev = np.zeros(stride, dtype=np.int64)
     for r in range(h):
-        ftype = raw[pos]
+        pos = r * (stride + 1)
+        ftype = int(raw[pos])
         line = raw[pos + 1:pos + 1 + stride].astype(np.int64)
-        pos += 1 + stride
-        prev = out[r - 1].astype(np.int64) if r else np.zeros(stride, np.int64)
-        cur = np.zeros(stride, dtype=np.int64)
-        for i in range(stride):
-            a = cur[i - bpp] if i >= bpp else 0        # left
-            b = prev[i]                                 # up
-            c = prev[i - bpp] if i >= bpp else 0        # up-left
-            x = line[i]
-            if ftype == 0:
-                v = x
-            elif ftype == 1:
-                v = x + a
-            elif ftype == 2:
-                v = x + b
-            elif ftype == 3:
-                v = x + (a + b) // 2
-            elif ftype == 4:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                v = x + pr
-            else:
-                raise ValueError(f"bad PNG filter {ftype}")
-            cur[i] = v & 0xFF
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            cur = line.copy()
+            zero = np.zeros(bpp, dtype=np.int64)
+            for i in range(0, stride, bpp):
+                a = cur[i - bpp:i] if i else zero
+                b = prev[i:i + bpp]
+                if ftype == 1:
+                    cur[i:i + bpp] = (cur[i:i + bpp] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i:i + bpp] = (cur[i:i + bpp] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[i - bpp:i] if i else zero
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pr = np.where((pa <= pb) & (pa <= pc), a,
+                                  np.where(pb <= pc, b, c))
+                    cur[i:i + bpp] = (cur[i:i + bpp] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
         out[r] = cur.astype(np.uint8)
+        prev = cur
     return out
 
 
 def decode_png(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     """REAL decoder for 8-bit greyscale/RGB/RGBA non-interlaced PNG (pure
-    zlib + struct + numpy). Returns None for palette/16-bit/interlaced."""
+    zlib + struct + numpy). Returns None for palette/16-bit/interlaced AND
+    for corrupt/truncated/bomb-shaped data — never raises."""
+    try:
+        return _decode_png(blob)
+    except Exception:
+        return None
+
+
+def _decode_png(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     import struct
     import zlib
 
@@ -169,7 +197,15 @@ def decode_png(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
     if depth != 8 or channels is None or interlace != 0:
         return None
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        return None  # absurd IHDR: refuse before allocating
+    expected = h * (1 + w * channels)
+    # bounded inflate: a zip-bomb IDAT cannot expand past the declared size
+    dec = zlib.decompressobj()
+    inflated = dec.decompress(idat, expected)
+    if len(inflated) != expected or dec.decompress(b"", 1):
+        return None  # truncated or oversized pixel stream
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     recon = _png_unfilter(raw, w, h, channels)
     px = recon.reshape(h * w, channels).astype(np.float64)
     if channels <= 2:   # grey(+alpha) → replicate luma across RGB

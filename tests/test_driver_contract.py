@@ -36,9 +36,8 @@ def test_window_holds_reference_surface_and_rotation():
         "stream_curation", "stream_tumbling_events", "stream_session_events",
         "stream_sliding_events",
         "mm_image_features", "mm_audio_features", "mm_frame_sample",
-        "docs_vocab", "docs_tfidf",
-        "q_window_top_order", "q_topk_orders",
-        "q_anti_join", "q_events_hourly",
+        "docs_vocab", "docs_tfidf", "docs_source_cap", "docs_substr_dedup",
+        "q_window_top_order", "q_events_hourly",
         "q_asof_join", "q_interval_join", "emb_lsh_topk",
     }
     assert rotated_in <= window, (

@@ -991,3 +991,46 @@ def test_exact_substring_dedup(spark):
     out2 = {r.doc_id: r for r in
             exact_substring_dedup(df2, min_len=5).collect()}
     assert out2[2].text == "x y" and out2[2].n_tokens_removed == 6
+
+
+def test_decoders_never_raise_on_corrupt_data():
+    """Documented contract: decode_* return None on corrupt/truncated/
+    bomb-shaped blobs instead of raising (review finding)."""
+    import struct
+    import zlib
+
+    from duckdb_iceberg_spark.operators.multimodal import (
+        decode_bmp, decode_png, decode_wav)
+
+    # BMP header claiming 100x100x24 with no pixel data
+    dib = struct.pack("<IiiHHIIiiII", 40, 100, 100, 1, 24, 0, 0, 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    assert decode_bmp(hdr + dib) is None
+
+    # valid IHDR + truncated IDAT
+    def _chunk(tag, body):
+        c = tag + body
+        return struct.pack(">I", len(body)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    short = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+             + _chunk(b"IDAT", zlib.compress(b"\0\1\2"))
+             + _chunk(b"IEND", b""))
+    assert decode_png(short) is None
+
+    # IHDR claiming an absurd 2^30 x 2^30 image (bomb guard)
+    bomb_ihdr = struct.pack(">IIBBBBB", 1 << 30, 1 << 30, 8, 2, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", bomb_ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\0" * 64)) + _chunk(b"IEND", b""))
+    assert decode_png(bomb) is None
+
+    assert decode_wav(b"RIFF\0\0\0\0WAVE" + b"\0" * 4) is None
+
+
+def test_exact_substring_dedup_rejects_bad_min_len(spark):
+    from duckdb_iceberg_spark.operators.dedup import exact_substring_dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_len"):
+        exact_substring_dedup(df, min_len=0)

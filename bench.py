@@ -89,6 +89,10 @@ HEADLINE = [
     "docs_line_dedup",
     "docs_incremental_minhash",
     "docs_redact_pii",
+    "docs_vocab",
+    "docs_tfidf",
+    "docs_source_cap",
+    "docs_substr_dedup",
     "stream_tumbling_events",
     "stream_changelog",
     "stream_curation",
@@ -103,6 +107,9 @@ SF1_CANARIES = [
     "q06_revenue_forecast", "q09_product_profit", "q13_customer_distribution",
     "q18_large_volume", "q21_waiting_supplier",
     "docs_minhash_dedup", "ice_mor_delete_scan",
+    # r6 operators under 10× duplication mass: the vocabulary shuffle and
+    # the duplicated-span marking both scale with the repeated corpus
+    "docs_vocab", "docs_substr_dedup",
 ]
 
 _SF1_GEN_VERSION = "v1"

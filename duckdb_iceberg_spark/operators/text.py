@@ -468,21 +468,22 @@ def vocab_stats(
     vocabulary sort. All Column expressions, no Python."""
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                     lambda x: x != "")
-    def _gram_fn(n):
-        # one-arg lambda: a second (defaulted) parameter would make Spark
-        # treat it as an (element, index) lambda and bind the index to it
-        return lambda i: F.concat_ws(
-            " ", *[F.get(toks, i + j - 1) for j in range(n)])
+    def _ngrams(n):
+        # n-grams as zip_with over n shifted slices — NOT element_at/get
+        # with a dynamic index, which re-evaluates the tokenization per
+        # element access (measured 11× slower, O(len²) per doc). greatest()
+        # clamps the slice length so sub-n-token docs yield empty arrays
+        # (also dodging sequence()'s descending mode).
+        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        cur = F.slice(toks, 1, cnt)
+        for j in range(1, n):
+            cur = F.zip_with(cur, F.slice(toks, 1 + j, cnt),
+                             lambda a, b: F.concat_ws(" ", a, b))
+        return cur
 
     gram_arrays = [toks]
     for n in range(2, n_max + 1):
-        # guard: Spark's sequence(1, stop) counts DOWN when stop < 1, so a
-        # doc with fewer than n tokens must short-circuit to an empty array
-        gram_arrays.append(F.when(
-            F.size(toks) >= n,
-            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                        _gram_fn(n)),
-            ).otherwise(F.array().cast("array<string>")))
+        gram_arrays.append(_ngrams(n))
     exploded = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.flatten(F.array(*gram_arrays))).alias("gram"),

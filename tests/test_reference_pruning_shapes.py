@@ -147,3 +147,40 @@ def test_non_monotone_filter_does_not_prune(spark, tmp_path):
     assert iceberg_scan(spark, loc, where="pk % 8 = 0").count() == 7
     # direct-reference comparisons keep pruning soundly
     assert iceberg_scan(spark, loc, where="pk = 4").count() == 1
+
+
+def test_prune_deletion_vectors_from_unread_partitions(spark, tmp_path):
+    """The v3 analogue of the positional-delete pruning benchmark: the
+    round-6 executor-side DV writer emits one Puffin file per affected
+    data file, so a 365-partition MoR DELETE leaves 365 DV files — and a
+    single-day scan may plan exactly ONE of them (file-level pruning plus
+    referenced_data_file matching, never a whole-table DV read)."""
+    loc = str(tmp_path / "t_dv")
+    df = spark.range(3650).selectExpr(
+        "id % 10 AS id",
+        "concat('e', CAST(id AS STRING)) AS event",
+        "date_add(DATE'2024-01-01', CAST(id / 10 AS INT)) AS event_date",
+    )
+    write_iceberg(df, loc, partition_by=["day(event_date)"], format_version=3)
+    delete_from(spark, loc, "id = 0", mode="merge-on-read")
+
+    tm = load_table_metadata(loc)
+    full = plan_scan(tm, tm.select_snapshot(), None)
+    dv_paths = {d.file_path for t in full.tasks for d in t.positional_deletes
+                if (d.file_format or "").lower() == "puffin"}
+    assert len(full.tasks) == 365
+    assert len(dv_paths) == 365, "expected one Puffin DV per data file"
+    assert all(len(t.positional_deletes) == 1 for t in full.tasks)
+
+    plan = plan_scan(tm, tm.select_snapshot(),
+                     "event_date = DATE '2024-01-01'")
+    assert len(plan.tasks) == 1
+    day_dvs = {d.file_path for t in plan.tasks for d in t.positional_deletes}
+    assert len(day_dvs) == 1, (
+        f"{len(day_dvs)} DV files planned for a single-day scan — deletion "
+        "vectors from unread partitions are not pruned")
+    assert plan.stats["files_pruned"] + len(plan.tasks) == 365
+
+    got = iceberg_scan(spark, loc, where="event_date = DATE '2024-01-01'")
+    assert got.count() == 9
+    assert got.filter("id = 0").count() == 0

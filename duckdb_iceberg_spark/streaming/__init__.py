@@ -9,7 +9,8 @@ from .source import (  # noqa: F401
     IcebergStreamDataSource,
     register_stream_source,
 )
-from .stateful import first_seen_filter, running_counts  # noqa: F401
+from .stateful import (dedup_keys_ttl, first_seen_filter,  # noqa: F401
+                       running_counts)
 from .windows import (  # noqa: F401
     session_agg,
     sliding_agg,

@@ -76,3 +76,61 @@ def first_seen_filter(
 
     return df.groupBy(*keys).applyInPandasWithState(
         update, out_schema, state_schema, "Append", "NoTimeout")
+
+
+def dedup_keys_ttl(
+    df: DataFrame,
+    keys: Sequence[str],
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming exactly-once key dedup with TTL-BOUNDED state: emits the
+    first row per key; the per-key marker expires after ``ttl_ms``, so the
+    state store stays bounded on infinite key spaces — the property
+    first_seen_filter (state-forever) cannot offer, and the difference
+    that matters at 100 TB: an unbounded crawl's key universe outgrows any
+    state store, while a TTL window matches the dedup horizon the pipeline
+    actually needs (e.g. "drop re-crawls seen in the last 7 days"). After
+    expiry the key is admitted again by design.
+
+    Implementation: the expiry deadline lives IN the state value and is
+    checked on every arrival (exact re-admission even when the key keeps
+    appearing), while a ProcessingTimeTimeout garbage-collects markers for
+    keys that stop arriving. (Spark 4's transformWithStateInPandas ships
+    native TTL state, but its python worker needs google.protobuf, which
+    this environment lacks; this formulation is dependency-free and has
+    the same contract.)
+
+    Batch frames fall back to dropDuplicates (no TTL — a batch has no
+    time axis)."""
+    keys = list(keys)
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+
+    out_schema = df.schema
+    cols = [f.name for f in df.schema.fields]
+    state_schema = T.StructType([T.StructField("expires", T.LongType())])
+    timeout = "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        now_ms = int(_time.time() * 1000)
+        if state.exists:
+            expires = state.get[0]
+            if expires is None or expires > now_ms:
+                return  # suppressed: seen within the TTL window (or forever)
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]][cols]
+        state.update((now_ms + ttl_ms if ttl_ms is not None else None,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if first is not None:
+            yield first
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "Append", timeout)

@@ -331,3 +331,54 @@ def test_interval_join_stream_stream(spark, tmp_path):
         cb, bb, "ts", ["user_id"], "0 seconds", "10 minutes")
         .select("cid", "bid").collect())
     assert got == want == [(1, 10), (2, 12), (3, 13)]
+
+
+def test_stateful_dedup_keys_ttl(spark, tmp_path):
+    """transformWithStateInPandas-based dedup: first row per key survives
+    across micro-batch runs via the state store; TTL bounds the state so
+    a key seen again AFTER expiry is re-admitted (the bounded-state
+    property first_seen_filter lacks)."""
+    import time as _time
+
+    from duckdb_iceberg_spark.streaming import dedup_keys_ttl
+
+    loc = str(tmp_path / "tbl_ttl")
+    ckpt = str(tmp_path / "ckpt_ttl")
+    out = str(tmp_path / "out_ttl")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k: long, payload: string"), loc)
+
+    def run(ttl_ms):
+        dd = dedup_keys_ttl(_stream(spark, loc), ["k"], ttl_ms=ttl_ms)
+        q = (dd.writeStream.format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run(60_000)
+    assert {(r.k, r.payload) for r in spark.read.parquet(out).collect()} == \
+        {(1, "a"), (2, "b")}
+
+    # within TTL: repeats suppressed, new key admitted
+    write_iceberg(spark.createDataFrame(
+        [(1, "a2"), (3, "c")], "k: long, payload: string"), loc)
+    run(60_000)
+    assert {(r.k, r.payload) for r in spark.read.parquet(out).collect()} == \
+        {(1, "a"), (2, "b"), (3, "c")}
+
+    # short TTL + wait past it: an expired key is re-admitted by design
+    write_iceberg(spark.createDataFrame(
+        [(9, "x1")], "k: long, payload: string"), loc)
+    run(500)
+    _time.sleep(1.2)
+    write_iceberg(spark.createDataFrame(
+        [(9, "x2")], "k: long, payload: string"), loc)
+    run(500)
+    xs = {r.payload for r in spark.read.parquet(out).collect() if r.k == 9}
+    assert xs == {"x1", "x2"}
+
+    # batch fallback
+    b = dedup_keys_ttl(spark.createDataFrame(
+        [(1, "p"), (1, "q")], "k: long, payload: string"), ["k"])
+    assert b.count() == 1

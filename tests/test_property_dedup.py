@@ -138,3 +138,55 @@ def test_reference_replay_sanity(n):
             (2, "alpha beta gamma zeta"), (3, "zeta zeta epsilon")]
     out = _ref_minhash_dedup(rows)
     assert 0 in out and 1 not in out and 3 in out
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr duplicated-span removal vs pure-Python replay
+# ---------------------------------------------------------------------------
+
+_SUB_L = 3
+
+
+def _ref_substring_dedup(rows, L=_SUB_L, keep_first=True):
+    toks = {i: [w for w in re.split(r"\s+", t.strip()) if w] for i, t in rows}
+    occ = []  # (gram_text, doc, start) in global (doc, start) order
+    for i in sorted(toks):
+        tk = toks[i]
+        for s in range(len(tk) - L + 1):
+            occ.append((" ".join(tk[s:s + L]), i, s))
+    by_gram: dict[str, list[tuple[int, int]]] = {}
+    for g, i, s in occ:
+        by_gram.setdefault(g, []).append((i, s))
+    covered: dict[int, set] = {i: set() for i in toks}
+    for g, locs in by_gram.items():
+        if len(locs) < 2:
+            continue
+        locs = sorted(locs)
+        drop = locs[1:] if keep_first else locs
+        for i, s in drop:
+            covered[i].update(range(s, s + L))
+    out = {}
+    for i, tk in toks.items():
+        kept = [w for p, w in enumerate(tk) if p not in covered[i]]
+        out[i] = (" ".join(kept), len(kept), len(tk) - len(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(st.lists(st.sampled_from(_WORDS[:4]), min_size=0,
+                              max_size=9).map(" ".join),
+                     min_size=1, max_size=8),
+       keep_first=st.booleans())
+def test_exact_substring_dedup_matches_reference(spark, docs, keep_first):
+    """Tiny alphabet + short docs force dense duplicated spans, overlapping
+    windows, and within-doc repeats — the replay recomputes the kept text
+    per position, so any covered-range or first-occurrence bug diverges."""
+    from duckdb_iceberg_spark.operators.dedup import exact_substring_dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+           for r in exact_substring_dedup(
+               df, min_len=_SUB_L, keep_first=keep_first).collect()}
+    assert got == _ref_substring_dedup(rows, keep_first=keep_first)

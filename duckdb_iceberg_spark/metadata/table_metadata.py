@@ -379,15 +379,88 @@ def _read_text(path: str) -> str:
     return data.decode("utf-8")
 
 
-def resolve_metadata_location(table_location: str, version: str | None = None) -> str:
+#: reference default (iceberg_options.hpp DEFAULT_TABLE_VERSION_FORMAT):
+#: comma-separated formats, each with exactly two %s — (version, gz suffix)
+DEFAULT_VERSION_NAME_FORMAT = "v%s%s.metadata.json,%s%s.metadata.json"
+
+
+def _validate_version_name_format(fmt: str) -> list[str]:
+    parts = fmt.split(",")
+    for p in parts:
+        n = p.count("%s")
+        if n != 2:
+            # reference parity: iceberg_options.cpp:24-28 (also the message
+            # version_name_format_error.test asserts)
+            raise ValueError(
+                "'version_name_format' has to contain two occurrences of "
+                f"'%s' in it, found {n}")
+    return parts
+
+
+def resolve_metadata_location(
+    table_location: str,
+    version: str | None = None,
+    *,
+    version_name_format: str | None = None,
+    metadata_compression_codec: str = "",
+) -> str:
     """Find the current metadata JSON for a filesystem or object-store table
     (reference: iceberg_table_metadata.cpp:203-281). All probes go through
     the pluggable FileIO, so ``s3://bucket/table`` resolves the same way a
-    local path does."""
+    local path does.
+
+    ``version_name_format`` is the reference's comma-separated candidate
+    list, each entry with two ``%s`` holes — (version, compression suffix);
+    ``metadata_compression_codec='gzip'`` substitutes ``.gz``. With neither
+    given, the default probes both plain and gz spellings (superset of the
+    reference default — existing mixed fixtures keep resolving)."""
     if table_location.endswith(".json") or table_location.endswith(".json.gz"):
         return table_location
     io = fio.get_io(table_location)
     meta_dir = fio.join(table_location, "metadata")
+    if version_name_format is not None:
+        formats = _validate_version_name_format(version_name_format)
+        suffix = ".gz" if metadata_compression_codec == "gzip" else ""
+        if version is None or version == "?":
+            hint = fio.join(meta_dir, "version-hint.text")
+            if io.exists(hint):
+                version = _read_text(hint).strip()
+        if version is not None and version != "?":
+            tried = []
+            for f in formats:
+                cand = fio.join(meta_dir, f.replace("%s", "{}", 2)
+                                .format(version, suffix))
+                tried.append(cand)
+                if io.exists(cand):
+                    return cand
+            raise FileNotFoundError(
+                f"Iceberg metadata file not found for table version "
+                f"'{version}' using '{metadata_compression_codec or 'none'}' "
+                f"compression and format(s): '{version_name_format}', tried: "
+                + ", ".join(tried))
+        # guess latest: match each custom format with a numeric version hole
+        best: tuple[int, str] | None = None
+        try:
+            entries = list(io.list_files(meta_dir))
+        except FileNotFoundError:
+            entries = []
+        pats = [re.compile("^" + re.escape(f)
+                           .replace(r"%s", r"(\d+)", 1)
+                           .replace(r"%s", re.escape(suffix)) + "$")
+                for f in formats]
+        for ent in entries:
+            base = os.path.basename(ent.path)
+            for pat in pats:
+                m = pat.match(base)
+                if m:
+                    n = int(m.group(1))
+                    if best is None or n > best[0]:
+                        best = (n, ent.path)
+        if best is None:
+            raise FileNotFoundError(
+                f"no iceberg metadata matching '{version_name_format}' "
+                f"under {meta_dir}")
+        return best[1]
     if version is not None and version != "?":
         for cand in (
             fio.join(meta_dir, f"v{version}.metadata.json"),
@@ -425,9 +498,16 @@ def resolve_metadata_location(table_location: str, version: str | None = None) -
 
 
 def load_table_metadata(
-    table_location: str, version: str | None = None
+    table_location: str,
+    version: str | None = None,
+    *,
+    version_name_format: str | None = None,
+    metadata_compression_codec: str = "",
 ) -> TableMetadata:
-    loc = resolve_metadata_location(table_location, version)
+    loc = resolve_metadata_location(
+        table_location, version,
+        version_name_format=version_name_format,
+        metadata_compression_codec=metadata_compression_codec)
     try:
         j = json.loads(_read_text(loc))
     except json.JSONDecodeError as e:

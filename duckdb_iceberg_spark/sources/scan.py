@@ -139,6 +139,8 @@ def iceberg_scan(
     as_of: Any = None,
     ref: str | None = None,
     version: str | None = None,
+    version_name_format: str | None = None,
+    metadata_compression_codec: str = "",
     where: str | None = None,
     with_file_info: bool = False,
     with_row_lineage: bool = False,
@@ -153,7 +155,9 @@ def iceberg_scan(
     residual filter (applied by Spark, so over-approximation is safe).
     """
     if plan is None:
-        tm = load_table_metadata(path, version)
+        tm = load_table_metadata(
+            path, version, version_name_format=version_name_format,
+            metadata_compression_codec=metadata_compression_codec)
         snapshot = tm.select_snapshot(snapshot_id=snapshot_id, as_of=as_of, ref=ref)
         # many-manifest tables plan on executors (metadata late
         # materialization at 100 TB); small tables stay on the driver

@@ -318,3 +318,47 @@ def test_corrupt_manifest_clean_errors(tmp_path):
 
     with pytest.raises(FileNotFoundError):  # missing stays FileNotFoundError
         mf.read_manifest(str(tmp_path / "nope.avro"))
+
+
+def test_version_name_format_resolution(tmp_path):
+    """Reference parity for the version_name_format option
+    (iceberg_options.cpp:22-30, version_name_format_error.test): exactly
+    two %s holes required; custom comma-separated formats drive both
+    explicit-version resolution and latest-version guessing."""
+    import json
+    import pytest
+
+    from duckdb_iceberg_spark.metadata.table_metadata import (
+        resolve_metadata_location)
+
+    meta = tmp_path / "t" / "metadata"
+    meta.mkdir(parents=True)
+    for v in (1, 2):
+        (meta / f"rev-{v}.meta.json").write_text(json.dumps({"v": v}))
+    loc = str(tmp_path / "t")
+
+    # the reference's exact refusal
+    with pytest.raises(ValueError, match="two occurrences of '%s' in it, found 1"):
+        resolve_metadata_location(loc, version_name_format="%s")
+    with pytest.raises(ValueError, match="found 3"):
+        resolve_metadata_location(loc, version_name_format="%s%s%s")
+
+    fmt = "rev-%s%s.meta.json"
+    # explicit version
+    got = resolve_metadata_location(loc, "1", version_name_format=fmt)
+    assert got.endswith("rev-1.meta.json")
+    # guessing picks the highest version matching the custom format
+    got = resolve_metadata_location(loc, version_name_format=fmt)
+    assert got.endswith("rev-2.meta.json")
+    # comma-separated candidate list: first non-matching format falls through
+    got = resolve_metadata_location(
+        loc, "2", version_name_format="nope-%s%s.json," + fmt)
+    assert got.endswith("rev-2.meta.json")
+    # gzip codec substitutes the suffix hole
+    (meta / "rev-3.gz.meta.json").write_text(json.dumps({"v": 3}))
+    got = resolve_metadata_location(
+        loc, "3", version_name_format=fmt, metadata_compression_codec="gzip")
+    assert got.endswith("rev-3.gz.meta.json")
+    # missing version: error names the format and tried paths
+    with pytest.raises(FileNotFoundError, match="rev-%s%s.meta.json"):
+        resolve_metadata_location(loc, "9", version_name_format=fmt)

@@ -242,7 +242,16 @@ def _collect_stats(spark: SparkSession, paths: list[str]) -> list[dict]:
         return []
     if (not get_io(paths[0]).shippable
             or len(paths) < _DISTRIBUTED_STATS_THRESHOLD):
-        out = [_footer_stats_safe(p) for p in paths]
+        if len(paths) > 4:
+            # footer reads are IO + C-side parquet parsing (GIL released):
+            # a thread pool cuts the driver-side stats pass ~5× on
+            # many-partition writes without a Spark job
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+                out = list(ex.map(_footer_stats_safe, paths))
+        else:
+            out = [_footer_stats_safe(p) for p in paths]
     else:
         # distributed footer reads: executors each open only footers
         opts = storage_options_for(paths[0])

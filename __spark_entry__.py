@@ -1381,8 +1381,10 @@ def ice_truncate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ice_bucket_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no SQL oracle: murmur3 bucket is not expressible in DuckDB SQL;
-    # spec-vector correctness is pinned in tests/test_metadata_core.py
+    # oracle: DuckDB can't recompute murmur3, but the input is the fixed
+    # first-500 contiguous part keys, so the oracle is a literal VALUES
+    # table (_BUCKET16_PARTKEY) generated from an independent scalar
+    # murmur3; spec vectors also pinned in tests/test_metadata_core.py
     from duckdb_iceberg_spark.functions import iceberg_bucket
 
     part = _pq(spark, sf_dir, "part")
@@ -2220,6 +2222,40 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id")
         .limit(1000)
     )
+
+
+# bucket[16] of p_partkey 0..499 under the Iceberg long hash convention
+# ((murmur3_32(little-endian 8 bytes) & 0x7FFFFFFF) % 16), generated once
+# from a standalone scalar murmur3 validated against the spec vector
+# murmur3(long 34) == 2017239379 (Iceberg spec Appendix B; reference
+# src/storage/iceberg_hash.cpp). Part keys are contiguous from 0 in every
+# testdata sf, so the first-500 scan always lands inside this table.
+_BUCKET16_PARTKEY = [
+    12, 4, 4, 3, 6, 7, 1, 3, 15, 7, 12, 7, 4, 13, 9, 8, 10, 3, 12, 6, 3, 9,
+    13, 5, 4, 3, 10, 4, 1, 0, 11, 9, 9, 13, 3, 5, 14, 14, 10, 5, 11, 14, 14,
+    0, 1, 9, 5, 5, 8, 15, 8, 3, 12, 9, 7, 5, 13, 6, 3, 3, 3, 0, 1, 15, 2, 1,
+    4, 13, 6, 4, 1, 14, 3, 12, 1, 8, 6, 6, 9, 10, 14, 10, 6, 9, 15, 5, 3, 11,
+    5, 0, 14, 11, 7, 1, 15, 7, 12, 6, 10, 9, 0, 4, 4, 3, 8, 12, 6, 5, 12, 14,
+    2, 1, 7, 9, 12, 7, 8, 12, 15, 6, 10, 0, 0, 10, 11, 3, 10, 5, 2, 11, 2,
+    0, 10, 10, 2, 4, 9, 8, 9, 10, 10, 7, 4, 14, 7, 7, 3, 13, 3, 6, 15, 1, 4,
+    2, 3, 2, 12, 6, 5, 9, 11, 13, 15, 10, 1, 5, 3, 14, 13, 11, 3, 11, 12, 10,
+    10, 4, 7, 15, 14, 8, 5, 13, 10, 14, 15, 12, 1, 14, 2, 2, 15, 14, 7, 10,
+    12, 15, 15, 6, 2, 14, 7, 3, 6, 10, 6, 3, 5, 11, 10, 13, 2, 10, 15, 2, 10,
+    6, 14, 5, 1, 15, 2, 7, 6, 12, 3, 5, 11, 2, 3, 2, 5, 0, 6, 2, 8, 11, 4,
+    14, 15, 6, 2, 11, 8, 0, 7, 8, 15, 14, 2, 0, 1, 8, 3, 12, 8, 7, 10, 13,
+    1, 2, 6, 3, 11, 11, 8, 9, 8, 6, 10, 5, 12, 12, 12, 1, 5, 0, 3, 6, 13, 4,
+    2, 9, 1, 8, 10, 2, 4, 1, 10, 7, 7, 0, 14, 7, 11, 2, 13, 5, 2, 0, 6, 1,
+    6, 15, 11, 10, 3, 7, 12, 9, 15, 2, 3, 15, 11, 9, 15, 11, 13, 6, 10, 10,
+    4, 2, 8, 3, 9, 8, 14, 7, 4, 10, 4, 9, 2, 6, 12, 7, 13, 7, 3, 12, 4, 2,
+    8, 6, 9, 14, 1, 7, 5, 0, 4, 8, 4, 3, 8, 0, 12, 4, 4, 8, 15, 10, 11, 13,
+    15, 14, 15, 1, 2, 5, 13, 4, 1, 14, 15, 2, 8, 15, 13, 10, 4, 6, 15, 4, 12,
+    5, 9, 0, 15, 14, 10, 15, 8, 12, 10, 4, 9, 2, 11, 11, 9, 12, 8, 6, 13, 9,
+    1, 11, 0, 2, 12, 0, 8, 6, 4, 13, 11, 12, 11, 10, 11, 11, 1, 13, 0, 7, 15,
+    9, 1, 7, 15, 0, 11, 4, 3, 8, 14, 4, 4, 10, 11, 0, 5, 11, 8, 3, 5, 9, 7,
+    0, 6, 0, 3, 9, 1, 7, 9, 3, 10, 15, 7, 3, 7, 2, 3, 11, 2, 12, 6, 7, 3, 3,
+    14, 1, 2, 0, 6, 9, 10, 8, 3, 10, 4, 10, 12, 0, 12, 3, 4, 3, 6, 4, 2, 9,
+    13, 1, 14, 12,
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3555,7 +3591,7 @@ def oracle_sql() -> dict[str, str]:
               FROM cnt JOIN w ON cnt.source = w.src
             )
             SELECT d.source AS source, count(*) AS cnt,
-                   sum(n_chars) AS sum_chars
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents d JOIN thr ON d.source = thr.source
             WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'mix5'), 1, 6) < th
             GROUP BY d.source ORDER BY d.source
@@ -3600,7 +3636,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang ORDER BY lang
         """,
         "docs_stratified_sample": """
-            SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars
+            SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 6) <
                   CASE lang WHEN 'en' THEN '400000'
@@ -3623,7 +3659,7 @@ def oracle_sql() -> dict[str, str]:
               FROM toks
             )
             SELECT shard, CAST(FLOOR(bin_offset / 256) AS BIGINT) AS bin,
-                   count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+                   count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
             FROM packed GROUP BY shard, bin ORDER BY shard, bin
         """,
         "docs_fingerprint": f"""
@@ -3666,7 +3702,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                                AS DOUBLE) / length(text), 6) >= 0.55
             )
-            SELECT lang, count(*) AS kept, sum(nt) AS sum_tokens
+            SELECT lang, count(*) AS kept, CAST(sum(nt) AS BIGINT) AS sum_tokens
             FROM filt GROUP BY lang ORDER BY lang
         """,
         "docs_chunk": r"""
@@ -3704,7 +3740,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram,
                    CAST(len(string_split(gram, ' ')) AS INT) AS n,
-                   sum(c) AS "count",
+                   CAST(sum(c) AS BIGINT) AS "count",
                    count(*) AS doc_freq
             FROM pd GROUP BY gram
             ORDER BY "count" DESC, n ASC, gram ASC
@@ -3746,7 +3782,7 @@ def oracle_sql() -> dict[str, str]:
                           END AS BIGINT) AS nt
               FROM documents
             ), base AS (
-              SELECT source, count(*) AS n_docs, sum(nt) AS total_tokens,
+              SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
                      round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
                      round(quantile_cont(nt, 0.9), 6) AS p90_tokens,
                      count(DISTINCT lang) AS n_langs
@@ -3784,10 +3820,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_changelog": """
             SELECT 0 AS _change_ordinal, 'insert' AS _change_type,
-                   count(*) AS cnt, sum(o_orderkey) AS key_sum
+                   count(*) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
             FROM orders WHERE o_orderkey % 2 = 1
             UNION ALL
-            SELECT 1, 'delete', count(*), sum(o_orderkey)
+            SELECT 1, 'delete', count(*), CAST(sum(o_orderkey) AS BIGINT)
             FROM orders WHERE o_orderkey % 7 = 0
             ORDER BY _change_ordinal, _change_type
         """,
@@ -3814,7 +3850,7 @@ def oracle_sql() -> dict[str, str]:
             ), keep AS (
               SELECT min(doc_id) AS keep_id FROM q GROUP BY fp
             )
-            SELECT lang, count(*) AS survivors, sum(n_chars) AS sum_chars
+            SELECT lang, count(*) AS survivors, CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM q JOIN keep ON q.doc_id = keep.keep_id
             GROUP BY lang ORDER BY lang
         """,
@@ -3889,6 +3925,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(([8000, 16000, 22050, 44100])[CAST(((h >> 16) & 3) + 1 AS INT)] AS INT) AS sample_rate
             FROM h ORDER BY id LIMIT 500
         """,
-        # ice_bucket_fn, emb_ivf_topk: intentionally omitted (spec-vector /
-        # approximate-by-design; rows-only check)
+        "ice_bucket_fn": (
+            "WITH b(p_partkey, bucket16) AS (VALUES "
+            + ", ".join(
+                f"({k}, {v})" for k, v in enumerate(_BUCKET16_PARTKEY)
+            )
+            + """)
+            SELECT p.p_partkey AS p_partkey, CAST(b.bucket16 AS INT) AS bucket16
+            FROM (SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 500) p
+            JOIN b ON p.p_partkey = b.p_partkey
+            ORDER BY p_partkey
+            """
+        ),
+        # emb_ivf_topk: intentionally omitted (approximate-by-design;
+        # rows-only check)
     }

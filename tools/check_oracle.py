@@ -86,10 +86,28 @@ def main() -> int:
         try:
             ores = con.sql(oracles[name])
             ocols = [d[0] for d in ores.description]
+            otypes_sql = [str(t).upper() for t in ores.types]
             orows = ores.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error {str(e)[:200]}")
             failures += 1
+            continue
+        # HARD GUARD (r6 root cause): a DuckDB HUGEINT/UHUGEINT output column
+        # (top-level uncast integer sum() widens) hash-mismatches at the
+        # driver even though this mirror's _render canonicalizes ints
+        # identically. Fail here so the class can never land again; the fix
+        # is CAST(sum(...) AS BIGINT) in the oracle.
+        widened = [
+            (c, t) for c, t in zip(ocols, otypes_sql)
+            if "HUGEINT" in t
+        ]
+        if widened:
+            failures += 1
+            print(
+                f"FAIL {name}: oracle emits HUGEINT column(s) {widened} — "
+                "the driver's renderer diverges on these; CAST the "
+                "aggregate to BIGINT in oracle_sql()"
+            )
             continue
         ok_rows = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)

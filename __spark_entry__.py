@@ -2157,6 +2157,104 @@ def stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_dedup_ttl_out(spark: SparkSession, sf_dir: str) -> str:
+    """Fixture for the TTL-bounded streaming key dedup
+    (streaming/stateful.py:dedup_keys_ttl): two phases whose emitted rows
+    are fully deterministic because every key appears at most once per
+    micro-batch (one file per batch, maxFilesPerTrigger=1, mtime-pinned
+    order) and the wall-clock sleeps strictly dominate/undershoot the TTL.
+
+    Phase 1 (ttl = 10 min, two availableNow runs sharing a checkpoint —
+    one appended Iceberg snapshot consumed per run):
+      b0 = documents [0,200)            -> all first-seen, emitted
+      b1 = the same 200 keys again      -> inside TTL, suppressed
+           + documents [200,300)        -> new keys, emitted
+    Phase 2 (ttl = 1.5 s, two runs sharing a checkpoint, 4 s apart):
+      b2 = documents [300,400)          -> first-seen, emitted
+      (sleep 4 s > ttl: markers expire and are GC'd via the re-armed
+       ProcessingTimeTimeout)
+      b3 = the same 100 keys again      -> past TTL, re-admitted by design
+
+    The stream source is the package's own iceberg_inc data source (each
+    batch appended as one Iceberg snapshot) rather than Spark's
+    FileStreamSource: FlatMapGroupsWithStateExec.shouldRunAnotherBatch
+    returns true whenever processing-time timeouts are registered, which
+    makes availableNow over a file source loop empty micro-batches
+    indefinitely; the Python-data-source availableNow wrapper stops at the
+    captured end offset instead.
+
+    Emitted rows land in plain parquet under <loc>/p1 and <loc>/p2; the
+    batch tag travels IN the rows, so a suppression or re-admission bug
+    changes the per-tag aggregate the oracle pins."""
+    def build(loc: str) -> None:
+        import tempfile
+        import time as _time
+
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.streaming import (dedup_keys_ttl,
+                                                    register_stream_source)
+
+        register_stream_source(spark)
+        docs = _pq(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("key"), F.col("n_chars").cast("long"))
+
+        def slice_tagged(lo: int, hi: int, tag: str) -> DataFrame:
+            return (docs.filter((F.col("key") >= lo) & (F.col("key") < hi))
+                    .select("key", F.lit(tag).alias("tag"), "n_chars"))
+
+        def run(tbl: str, ckpt: str, out: str, ttl_ms: int) -> None:
+            stream = (spark.readStream.format("iceberg_inc")
+                      .option("path", tbl).option("starting", "earliest")
+                      .option("max_snapshots_per_trigger", 1).load())
+            q = (dedup_keys_ttl(stream, ["key"], ttl_ms=ttl_ms)
+                 .writeStream.format("parquet").option("path", out)
+                 .outputMode("append").option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+
+        os.makedirs(loc, exist_ok=True)
+        with tempfile.TemporaryDirectory() as tmp:
+            # phase 1: suppression inside a generous TTL (two runs, well
+            # inside the 10-minute window even on a loaded box)
+            t1 = os.path.join(tmp, "t1")
+            ckpt1 = os.path.join(tmp, "ckpt1")
+            out1 = os.path.join(loc, "p1")
+            write_iceberg(slice_tagged(0, 200, "b0"), t1)
+            run(t1, ckpt1, out1, ttl_ms=600_000)
+            write_iceberg(slice_tagged(0, 200, "b1").unionByName(
+                slice_tagged(200, 300, "b1")), t1)
+            run(t1, ckpt1, out1, ttl_ms=600_000)
+            # phase 2: expiry + re-admission across a short TTL
+            t2 = os.path.join(tmp, "t2")
+            ckpt2 = os.path.join(tmp, "ckpt2")
+            out2 = os.path.join(loc, "p2")
+            write_iceberg(slice_tagged(300, 400, "b2"), t2)
+            run(t2, ckpt2, out2, ttl_ms=1_500)
+            _time.sleep(4.0)  # strictly past the 1.5 s TTL
+            write_iceberg(slice_tagged(300, 400, "b3"), t2)
+            run(t2, ckpt2, out2, ttl_ms=1_500)
+
+    return _build_once(sf_dir, "stream_dedup_ttl_v1", build)
+
+
+def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch-tag aggregate of the TTL streaming dedup's emitted rows:
+    b0 (200 first-seen) + b1 (100 new keys; 200 repeats suppressed) +
+    b2 (100 first-seen) + b3 (the same 100, re-admitted past the TTL)."""
+    p1 = spark.read.parquet(os.path.join(
+        _stream_dedup_ttl_out(spark, sf_dir), "p1"))
+    p2 = spark.read.parquet(os.path.join(
+        _stream_dedup_ttl_out(spark, sf_dir), "p2"))
+    return (
+        p1.unionByName(p2)
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("key").alias("id_sum"),
+             F.sum("n_chars").alias("chars_sum"))
+        .orderBy("tag")
+    )
+
+
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: IVF probes nprobe/n_centroids of the corpus (approximate)
     from duckdb_iceberg_spark.operators.similarity import ivf_topk
@@ -2267,25 +2365,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round; tools/check_oracle.py still covers ALL positions every
     session. Rotation priority: (a) operators whose code changed since
     their last driver row, (b) entries that have never had a driver row,
-    (c) longest parked, (d) family coverage. Layout (round 6 rotation):
+    (c) longest parked, (d) family coverage. Layout (round 7 rotation):
 
       1-25   ice_* Iceberg table-format queries — the reference's own
-             surface, always in-window.
-      26-50  rotated IN for r6: the dedup family whose verify/plan was
-             rewritten this round (minhash, incremental-minhash,
-             decontaminate, ngram, simhash [r5 codegen rewrite, first
-             driver row], exact), the full stream_* family (changelog
-             ordinals changed r6; curation/sink never driver-checked),
-             mm_* multimodal, the NEW r6 operators (docs_vocab,
-             docs_tfidf, docs_source_cap, docs_substr_dedup — priority
-             (b): never driver-checked), q_window_top_order /
-             q_events_hourly / q_asof_join / q_interval_join, and
-             emb_lsh_topk as the embedding-family representative with an
-             integer-exact oracle.
-      51+    parked, all driver-green r5 (TPC-H, docs_repetition,
-             docs_line_dedup) or r4 (remaining docs_*/emb_*,
+             surface, always in-window (ice_bucket_fn's literal-VALUES
+             oracle is new this round: last no_oracle row goes hash-checked).
+      26-50  rotated IN for r7: the 3 formerly hash-red entries whose
+             HUGEINT oracles were cast to BIGINT this round
+             (stream_changelog, stream_curation, docs_vocab — priority
+             (a), prove the fix), the 4 parked entries with the same
+             oracle defect fixed (docs_resample_mixture,
+             docs_stratified_sample, docs_pack_sequences,
+             docs_corpus_report — priority (a)), stream_dedup_ttl
+             (priority (b): r6 operator, first driver row), and the 17
+             oracle-checked members of the longest-parked r4 cohort
+             (priority (c)): docs_redact_pii/normalize/chunk/token_count/
+             quality/fingerprint/incremental_dedup/lang_scores/winnow,
+             emb_cosine_topk, emb_knn_join, emb_knn_join_bucketed,
              q_distinct_parts, q_rollup, q_setop_nations, q_topk_orders,
-             q_anti_join) — TPC-H and the r4 cohort rotate back in r7.
+             q_anti_join. The cohort's 4 rows-only entries (emb_neardup,
+             emb_ivf_topk, emb_kmeans, emb_semantic_dedup) stay parked —
+             a hash-checkable row beats a rows-only row.
+      51+    parked: full TPC-H + r6's rotation (all driver-green r5/r6)
+             — TPC-H rotates back in r8.
     """
     return {
         # --- Iceberg table-format surface (reference parity) -------------
@@ -2314,34 +2416,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_truncate_fn": ice_truncate_fn,
         "ice_bucket_fn": ice_bucket_fn,
         "ice_docs_curation": ice_docs_curation,
-        # --- r6 rotation: changed dedup family + first-driver-row sets ----
-        "docs_minhash_dedup": docs_minhash_dedup,
-        "docs_incremental_minhash": docs_incremental_minhash,
-        "docs_decontaminate": docs_decontaminate,
-        "docs_ngram_dedup": docs_ngram_dedup,
-        "docs_simhash": docs_simhash,
-        "docs_exact_dedup": docs_exact_dedup,
-        "stream_incremental": stream_incremental,
+        # --- r7 rotation: HUGEINT-fix proof + first-row + r4 cohort -------
         "stream_changelog": stream_changelog,
-        "stream_sink_roundtrip": stream_sink_roundtrip,
         "stream_curation": stream_curation,
-        "stream_tumbling_events": stream_tumbling_events,
-        "stream_session_events": stream_session_events,
-        "stream_sliding_events": stream_sliding_events,
-        "mm_image_features": mm_image_features,
-        "mm_audio_features": mm_audio_features,
-        "mm_frame_sample": mm_frame_sample,
         "docs_vocab": docs_vocab,
-        "docs_tfidf": docs_tfidf,
-        "docs_source_cap": docs_source_cap,
-        "docs_substr_dedup": docs_substr_dedup,
-        "q_window_top_order": q_window_top_order,
-        "q_events_hourly": q_events_hourly,
-        "q_asof_join": q_asof_join,
-        "q_interval_join": q_interval_join,
-        "emb_lsh_topk": emb_lsh_topk,
+        "docs_resample_mixture": docs_resample_mixture,
+        "docs_stratified_sample": docs_stratified_sample,
+        "docs_pack_sequences": docs_pack_sequences,
+        "docs_corpus_report": docs_corpus_report,
+        "stream_dedup_ttl": stream_dedup_ttl,
+        "docs_redact_pii": docs_redact_pii,
+        "docs_normalize": docs_normalize,
+        "docs_chunk": docs_chunk,
+        "docs_token_count": docs_token_count,
+        "docs_quality": docs_quality,
+        "docs_fingerprint": docs_fingerprint,
+        "docs_incremental_dedup": docs_incremental_dedup,
+        "docs_lang_scores": docs_lang_scores,
+        "docs_winnow": docs_winnow,
+        "emb_cosine_topk": emb_cosine_topk,
+        "emb_knn_join": emb_knn_join,
+        "emb_knn_join_bucketed": emb_knn_join_bucketed,
+        "q_distinct_parts": q_distinct_parts,
+        "q_rollup": q_rollup,
+        "q_setop_nations": q_setop_nations,
+        "q_topk_orders": q_topk_orders,
+        "q_anti_join": q_anti_join,
         # ------------------- 50-row window boundary -----------------------
-        # parked (driver-green r5): full TPC-H + the r5 spot checks
+        # parked (driver-green r5): full TPC-H — back in r8
         "q01_pricing_summary": q01_pricing_summary,
         "q01_mor_pricing_summary": q01_mor_pricing_summary,
         "q02_min_cost_supplier": q02_min_cost_supplier,
@@ -2365,34 +2467,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_shippers": q20_excess_shippers,
         "q21_waiting_supplier": q21_waiting_supplier,
         "q22_sales_opportunity": q22_sales_opportunity,
+        # parked (driver-green r6)
+        "docs_minhash_dedup": docs_minhash_dedup,
+        "docs_incremental_minhash": docs_incremental_minhash,
+        "docs_decontaminate": docs_decontaminate,
+        "docs_ngram_dedup": docs_ngram_dedup,
+        "docs_simhash": docs_simhash,
+        "docs_exact_dedup": docs_exact_dedup,
+        "stream_incremental": stream_incremental,
+        "stream_sink_roundtrip": stream_sink_roundtrip,
+        "stream_tumbling_events": stream_tumbling_events,
+        "stream_session_events": stream_session_events,
+        "stream_sliding_events": stream_sliding_events,
+        "mm_image_features": mm_image_features,
+        "mm_audio_features": mm_audio_features,
+        "mm_frame_sample": mm_frame_sample,
+        "docs_tfidf": docs_tfidf,
+        "docs_source_cap": docs_source_cap,
+        "docs_substr_dedup": docs_substr_dedup,
+        "q_window_top_order": q_window_top_order,
+        "q_events_hourly": q_events_hourly,
+        "q_asof_join": q_asof_join,
+        "q_interval_join": q_interval_join,
+        "emb_lsh_topk": emb_lsh_topk,
+        # parked (r5 spot checks / rows-only by design)
         "docs_repetition": docs_repetition,
         "docs_line_dedup": docs_line_dedup,
-        # parked (driver-green r4, next up r7)
-        "docs_resample_mixture": docs_resample_mixture,
-        "docs_redact_pii": docs_redact_pii,
-        "docs_normalize": docs_normalize,
-        "docs_corpus_report": docs_corpus_report,
-        "docs_chunk": docs_chunk,
-        "docs_token_count": docs_token_count,
-        "docs_quality": docs_quality,
-        "docs_fingerprint": docs_fingerprint,
-        "docs_stratified_sample": docs_stratified_sample,
-        "docs_incremental_dedup": docs_incremental_dedup,
-        "docs_pack_sequences": docs_pack_sequences,
-        "docs_lang_scores": docs_lang_scores,
-        "docs_winnow": docs_winnow,
-        "emb_cosine_topk": emb_cosine_topk,
         "emb_neardup": emb_neardup,
-        "emb_knn_join": emb_knn_join,
-        "emb_knn_join_bucketed": emb_knn_join_bucketed,
         "emb_ivf_topk": emb_ivf_topk,
         "emb_kmeans": emb_kmeans,
         "emb_semantic_dedup": emb_semantic_dedup,
-        "q_distinct_parts": q_distinct_parts,
-        "q_rollup": q_rollup,
-        "q_setop_nations": q_setop_nations,
-        "q_topk_orders": q_topk_orders,
-        "q_anti_join": q_anti_join,
     }
 
 
@@ -3853,6 +3957,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS survivors, CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM q JOIN keep ON q.doc_id = keep.keep_id
             GROUP BY lang ORDER BY lang
+        """,
+        "stream_dedup_ttl": """
+            SELECT 'b0' AS tag, count(*) AS cnt,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum
+            FROM documents WHERE doc_id >= 0 AND doc_id < 200
+            UNION ALL
+            SELECT 'b1', count(*), CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM documents WHERE doc_id >= 200 AND doc_id < 300
+            UNION ALL
+            SELECT 'b2', count(*), CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM documents WHERE doc_id >= 300 AND doc_id < 400
+            UNION ALL
+            SELECT 'b3', count(*), CAST(sum(doc_id) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT)
+            FROM documents WHERE doc_id >= 300 AND doc_id < 400
+            ORDER BY tag
         """,
         "stream_tumbling_events": """
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,

@@ -121,7 +121,17 @@ def dedup_keys_ttl(
         if state.exists:
             expires = state.get[0]
             if expires is None or expires > now_ms:
-                return  # suppressed: seen within the TTL window (or forever)
+                # suppressed: seen within the TTL window (or forever). Spark
+                # clears the registered timeout on EVERY invocation of this
+                # function, so re-arm it here — otherwise a key that arrives
+                # twice within its TTL and then goes quiet would keep its
+                # marker forever, defeating the bounded-state contract. The
+                # JVM only persists a timeout change when the state is also
+                # flagged updated, so re-write the (unchanged) value too.
+                if ttl_ms is not None and expires is not None:
+                    state.update((expires,))
+                    state.setTimeoutDuration(max(expires - now_ms, 1))
+                return
         first = None
         for pdf in pdfs:
             if len(pdf) and first is None:

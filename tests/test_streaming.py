@@ -382,3 +382,51 @@ def test_stateful_dedup_keys_ttl(spark, tmp_path):
     b = dedup_keys_ttl(spark.createDataFrame(
         [(1, "p"), (1, "q")], "k: long, payload: string"), ["k"])
     assert b.count() == 1
+
+
+def test_stateful_dedup_ttl_repeat_then_silence_gc(spark, tmp_path):
+    """A key that arrives a SECOND time within its TTL (suppressed path)
+    and then goes quiet must still have its state marker garbage-collected:
+    the suppression branch re-arms the ProcessingTimeTimeout, since Spark
+    clears the registered timeout on every invocation. Observable via the
+    state-store row count — without the re-arm the marker lives forever."""
+    import time as _time
+
+    from duckdb_iceberg_spark.streaming import dedup_keys_ttl
+
+    loc = str(tmp_path / "tbl_ttl_gc")
+    ckpt = str(tmp_path / "ckpt_ttl_gc")
+    out = str(tmp_path / "out_ttl_gc")
+    # TTL must outlive two query startups (seconds each) so the repeat
+    # arrival genuinely lands INSIDE the window; the deadline is stamped at
+    # first arrival, so total wait is bounded by ttl regardless of startup.
+    ttl_ms = 20_000
+    write_iceberg(spark.createDataFrame(
+        [(9, "x1")], "k: long, payload: string"), loc)
+
+    def run():
+        dd = dedup_keys_ttl(_stream(spark, loc), ["k"], ttl_ms=ttl_ms)
+        q = (dd.writeStream.format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        prog = q.lastProgress
+        ops = (prog or {}).get("stateOperators") or []
+        return ops[0]["numRowsTotal"] if ops else None
+
+    t0 = _time.time()
+    run()                                       # first arrival: emitted
+    write_iceberg(spark.createDataFrame(
+        [(9, "x2")], "k: long, payload: string"), loc)
+    run()                                       # repeat within TTL: suppressed
+    assert _time.time() - t0 < ttl_ms / 1000, "startup outran the TTL window"
+    # ... then silence until past the deadline stamped at first arrival
+    _time.sleep(max(0.0, ttl_ms / 1000 + 1.5 - (_time.time() - t0)))
+    write_iceberg(spark.createDataFrame(
+        [(10, "y")], "k: long, payload: string"), loc)
+    rows_total = run()                          # unrelated batch triggers GC
+    # key 9's marker must be gone; only key 10 remains in the state store
+    assert rows_total == 1
+    got = {(r.k, r.payload) for r in spark.read.parquet(out).collect()}
+    assert got == {(9, "x1"), (10, "y")}

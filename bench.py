@@ -131,8 +131,32 @@ def _ensure_sf1(spark, src_dir: str) -> str:
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
+    # same flock discipline as __spark_entry__._build_once: two concurrent
+    # bench runs must serialize the check/rmtree/build/sentinel sequence or
+    # they interleave writes into the same directory and later runs trust a
+    # corrupt cached fixture
+    import fcntl
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    lock_path = out + ".lock"
+    lk = open(lock_path, "w")
+    fcntl.flock(lk, fcntl.LOCK_EX)
+    try:
+        if os.path.exists(done):  # built while we waited for the lock
+            return out
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        _build_sf1(spark, src_dir, out)
+        with open(done, "w") as fh:
+            fh.write(_SF1_GEN_VERSION)
+        return out
+    finally:
+        fcntl.flock(lk, fcntl.LOCK_UN)
+        lk.close()
+
+
+def _build_sf1(spark, src_dir: str, out: str) -> None:
+    from pyspark.sql import functions as F
 
     def rd(name):
         return spark.read.parquet(os.path.join(src_dir, f"{name}.parquet"))
@@ -168,9 +192,6 @@ def _ensure_sf1(spark, src_dir: str) -> str:
             df = df.unionByName(c)
         (df.repartition(32)
          .write.mode("overwrite").parquet(os.path.join(out, f"{tbl}.parquet")))
-    with open(done, "w") as fh:
-        fh.write(_SF1_GEN_VERSION)
-    return out
 
 
 def main() -> None:

@@ -385,16 +385,19 @@ DEFAULT_VERSION_NAME_FORMAT = "v%s%s.metadata.json,%s%s.metadata.json"
 
 
 def _validate_version_name_format(fmt: str) -> list[str]:
-    parts = fmt.split(",")
-    for p in parts:
-        n = p.count("%s")
-        if n != 2:
-            # reference parity: iceberg_options.cpp:24-28 (also the message
-            # version_name_format_error.test asserts)
-            raise ValueError(
-                "'version_name_format' has to contain two occurrences of "
-                f"'%s' in it, found {n}")
-    return parts
+    # reference parity: iceberg_options.cpp:22-30 counts '%s' occurrences
+    # over the WHOLE option string and requires exactly two — so a
+    # multi-format value like the reference's own compiled-in default
+    # ('v%s%s.metadata.json,%s%s.metadata.json', four occurrences) is
+    # rejected when passed explicitly, while 'a%s.json,b%s.json' (one hole
+    # per part, two total) is accepted. Quirky, but accept/reject behavior
+    # matches the reference exactly (version_name_format_error.test).
+    n = fmt.count("%s")
+    if n != 2:
+        raise ValueError(
+            "'version_name_format' has to contain two occurrences of "
+            f"'%s' in it, found {n}")
+    return fmt.split(",")
 
 
 def resolve_metadata_location(
@@ -438,29 +441,32 @@ def resolve_metadata_location(
                 f"'{version}' using '{metadata_compression_codec or 'none'}' "
                 f"compression and format(s): '{version_name_format}', tried: "
                 + ", ".join(tried))
-        # guess latest: match each custom format with a numeric version hole
-        best: tuple[int, str] | None = None
+        # guess latest, reference-exact (iceberg_table_metadata.cpp
+        # GuessTableVersion/PickTableVersion): formats are tried IN ORDER
+        # and the first format with any match wins; the version hole is a
+        # '*' glob (any string, not just digits); among matches the
+        # LEXICOGRAPHICALLY greatest path is picked (so 'v9' beats 'v10' —
+        # quirky, but resolution agrees with the reference byte-for-byte).
+        # Deviation: the reference additionally gates guessing behind the
+        # unsafe_enable_version_guessing setting; this library has no
+        # session-settings surface and its writer always maintains
+        # version-hint.text, so guessing stays enabled as the documented
+        # fallback.
         try:
             entries = list(io.list_files(meta_dir))
         except FileNotFoundError:
             entries = []
-        pats = [re.compile("^" + re.escape(f)
-                           .replace(r"%s", r"(\d+)", 1)
-                           .replace(r"%s", re.escape(suffix)) + "$")
-                for f in formats]
-        for ent in entries:
-            base = os.path.basename(ent.path)
-            for pat in pats:
-                m = pat.match(base)
-                if m:
-                    n = int(m.group(1))
-                    if best is None or n > best[0]:
-                        best = (n, ent.path)
-        if best is None:
-            raise FileNotFoundError(
-                f"no iceberg metadata matching '{version_name_format}' "
-                f"under {meta_dir}")
-        return best[1]
+        for f in formats:
+            pat = re.compile("^" + re.escape(f)
+                             .replace(r"%s", r".*", 1)
+                             .replace(r"%s", re.escape(suffix), 1) + "$")
+            matches = [ent.path for ent in entries
+                       if pat.match(os.path.basename(ent.path))]
+            if matches:
+                return max(matches)
+        raise FileNotFoundError(
+            f"no iceberg metadata matching '{version_name_format}' "
+            f"under {meta_dir}")
     if version is not None and version != "?":
         for cand in (
             fio.join(meta_dir, f"v{version}.metadata.json"),

@@ -203,7 +203,11 @@ def _decode_png(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     # bounded inflate: a zip-bomb IDAT cannot expand past the declared size
     dec = zlib.decompressobj()
     inflated = dec.decompress(idat, expected)
-    if len(inflated) != expected or dec.decompress(b"", 1):
+    # oversized detection must check unconsumed_tail too: when max_length
+    # truncates output, the pending compressed bytes sit there and a
+    # dec.decompress(b"", 1) probe can't see them
+    if (len(inflated) != expected or dec.unconsumed_tail
+            or dec.decompress(b"", 1) or dec.flush()):
         return None  # truncated or oversized pixel stream
     raw = np.frombuffer(inflated, dtype=np.uint8)
     recon = _png_unfilter(raw, w, h, channels)

@@ -5,11 +5,13 @@ Spark `create_changelog_view` semantics: for each snapshot in
 (from, to], emit the NET row-level changes with
 
 - ``_change_type``: 'insert' | 'delete'
-- ``_change_ordinal``: 0-based position of the snapshot in the range.
-  EVERY snapshot in (from, to] consumes one ordinal — including
-  compaction (`replace`) snapshots and snapshots that touched no files,
-  which emit no rows — so ``chain[ordinal]`` always identifies the
-  snapshot and consumers can map ordinals back to commits.
+- ``_change_ordinal``: 0-based position of the snapshot among the
+  CHANGE-CARRYING snapshots of the range. Upstream's
+  BaseIncrementalChangelogScan filters `replace` (compaction) snapshots
+  out BEFORE computing snapshot ordinals, so a compaction never consumes
+  an ordinal; we match that exactly (a non-replace snapshot that happens
+  to touch no files still consumes one, as upstream's do). Use
+  ``_commit_snapshot_id`` to map a row back to its commit.
 - ``_commit_snapshot_id``
 
 An UPDATE (delete+insert in one snapshot) appears as a delete row plus
@@ -87,10 +89,12 @@ def changelog_scan(
     # snapshot's "parent" — without this cache every snapshot in a long
     # range is metadata-planned twice
     last_plan: tuple[int, ScanPlan] | None = None
-    for ordinal, snap in enumerate(chain):
+    ordinal = -1
+    for snap in chain:
         if snap.operation == "replace":
             last_plan = None  # parent of the next snap is the replace snap
-            continue  # compaction: no logical change
+            continue  # compaction: no logical change, no ordinal (upstream)
+        ordinal += 1
         parent = (tm.snapshot_by_id(snap.parent_snapshot_id)
                   if snap.parent_snapshot_id is not None else None)
         plan_cur = plan_scan(tm, snap)

@@ -61,22 +61,24 @@ def test_changelog_skips_compaction(spark, tmp_path):
     assert sorted(rows) == [(5, "insert"), (6, "insert"), (7, "insert")]
 
 
-def test_changelog_ordinal_is_snapshot_position(spark, tmp_path):
-    """Uniform ordinal convention: EVERY snapshot in the range consumes one
-    ordinal — a compaction sitting inside the range emits no rows but still
-    advances the counter, so ordinals map back to snapshot positions."""
+def test_changelog_ordinal_skips_compaction(spark, tmp_path):
+    """Upstream-parity ordinal convention (BaseIncrementalChangelogScan
+    filters REPLACE snapshots before computeSnapshotOrdinals): a compaction
+    inside the range emits no rows AND consumes no ordinal, so the insert
+    after it sits at ordinal 1, exactly as Spark's create_changelog_view
+    would emit."""
     from duckdb_iceberg_spark.sources.maintenance import rewrite_data_files
 
     loc = os.path.join(str(tmp_path), "cdc_ord")
     write_iceberg(spark.range(3).selectExpr("CAST(id AS INT) AS id"), loc)
     base = _snap_ids(loc)[-1]
     write_iceberg(spark.range(3, 5).selectExpr("CAST(id AS INT) AS id"), loc)  # ord 0
-    rewrite_data_files(spark, loc, rewrite_all=True, min_input_files=1)        # ord 1
-    write_iceberg(spark.range(5, 6).selectExpr("CAST(id AS INT) AS id"), loc)  # ord 2
+    rewrite_data_files(spark, loc, rewrite_all=True, min_input_files=1)        # no ord
+    write_iceberg(spark.range(5, 6).selectExpr("CAST(id AS INT) AS id"), loc)  # ord 1
 
     out = changelog_scan(spark, loc, from_snapshot_id=base)
     got = {(r.id, r._change_type, r._change_ordinal) for r in out.collect()}
-    assert got == {(3, "insert", 0), (4, "insert", 0), (5, "insert", 2)}
+    assert got == {(3, "insert", 0), (4, "insert", 0), (5, "insert", 1)}
 
 
 def test_changelog_equality_delete(spark, tmp_path):

@@ -337,23 +337,41 @@ def test_version_name_format_resolution(tmp_path):
         (meta / f"rev-{v}.meta.json").write_text(json.dumps({"v": v}))
     loc = str(tmp_path / "t")
 
-    # the reference's exact refusal
+    # the reference's exact refusal: the count is over the WHOLE option
+    # string (iceberg_options.cpp counts occurrences before splitting), so
+    # a two-part format with two holes per part is rejected with found=4 —
+    # exactly as the reference rejects its own compiled-in default when
+    # passed explicitly
     with pytest.raises(ValueError, match="two occurrences of '%s' in it, found 1"):
         resolve_metadata_location(loc, version_name_format="%s")
     with pytest.raises(ValueError, match="found 3"):
         resolve_metadata_location(loc, version_name_format="%s%s%s")
+    with pytest.raises(ValueError, match="found 4"):
+        resolve_metadata_location(
+            loc, version_name_format="v%s%s.metadata.json,%s%s.metadata.json")
 
     fmt = "rev-%s%s.meta.json"
     # explicit version
     got = resolve_metadata_location(loc, "1", version_name_format=fmt)
     assert got.endswith("rev-1.meta.json")
-    # guessing picks the highest version matching the custom format
+    # guessing picks the latest version matching the custom format
     got = resolve_metadata_location(loc, version_name_format=fmt)
     assert got.endswith("rev-2.meta.json")
-    # comma-separated candidate list: first non-matching format falls through
+    # comma-separated candidate list (one hole per part, two total — the
+    # only comma form the reference's validation admits): a non-matching
+    # first format falls through to the second
     got = resolve_metadata_location(
-        loc, "2", version_name_format="nope-%s%s.json," + fmt)
+        loc, "2", version_name_format="nope-%s.json,rev-%s.meta.json")
     assert got.endswith("rev-2.meta.json")
+    # PickTableVersion parity: guessing takes the lexicographically
+    # greatest path, so rev-9 beats rev-10 (reference
+    # iceberg_table_metadata.cpp PickTableVersion sorts paths)
+    for v in (9, 10):
+        (meta / f"rev-{v}.meta.json").write_text(json.dumps({"v": v}))
+    got = resolve_metadata_location(loc, version_name_format=fmt)
+    assert got.endswith("rev-9.meta.json")
+    for v in (9, 10):
+        (meta / f"rev-{v}.meta.json").unlink()
     # gzip codec substitutes the suffix hole
     (meta / "rev-3.gz.meta.json").write_text(json.dumps({"v": 3}))
     got = resolve_metadata_location(

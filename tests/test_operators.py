@@ -1025,6 +1025,17 @@ def test_decoders_never_raise_on_corrupt_data():
             + _chunk(b"IDAT", zlib.compress(b"\0" * 64)) + _chunk(b"IEND", b""))
     assert decode_png(bomb) is None
 
+    # IDAT whose zlib stream inflates PAST the declared pixel size: the
+    # surplus sits in the decompressor's unconsumed_tail (max_length
+    # truncation), which a plain zero-byte probe can't see — the guard must
+    # still reject this technically-corrupt PNG instead of decoding a
+    # silently-truncated pixel stream
+    good_rows = b"".join(b"\0" + bytes(4 * 3) for _ in range(4))
+    oversized = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+                 + _chunk(b"IDAT", zlib.compress(good_rows + b"\7" * 4096))
+                 + _chunk(b"IEND", b""))
+    assert decode_png(oversized) is None
+
     assert decode_wav(b"RIFF\0\0\0\0WAVE" + b"\0" * 4) is None
 
 

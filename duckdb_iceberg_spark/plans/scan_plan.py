@@ -21,12 +21,22 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import datetime as _dt
+import logging
 import os
 from dataclasses import dataclass, field
 from decimal import Decimal
 from typing import Any, Optional
 
 from ..metadata import manifest as mf
+
+#: per-event scan-planning log, the analogue of the reference's
+#: `call enable_logging('Iceberg')` channel (test_partition_read_logging.test
+#: asserts on its "skipped ... data_file ... does not match filter" lines).
+#: DEBUG-gated: at 100 TB per-file messages are O(files) string work, so the
+#: emit sites check isEnabledFor first and cost nothing when disabled.
+_log = logging.getLogger("duckdb_iceberg_spark.scan")
+
+
 from ..metadata import types as ice_types
 from ..metadata.table_metadata import PartitionSpec, Snapshot, TableMetadata
 from . import predicates as P
@@ -518,6 +528,10 @@ def plan_scan(
             # a delete manifest whose partitions can't overlap the filtered
             # data can be skipped entirely (prune_positional_deletes bench)
             stats["manifests_pruned"] += 1
+            if _log.isEnabledFor(logging.DEBUG):
+                _log.debug(
+                    "skipped manifest %s: partition field summaries do not "
+                    "match filter %r", m.manifest_path, where)
             continue
         entries = mf.read_manifest(_localize(tm, m.manifest_path))
         if m.content == mf.MANIFEST_DATA:
@@ -561,6 +575,12 @@ def plan_scan(
         spec = tm.partition_specs.get(spec_id, PartitionSpec(spec_id, []))
         if not _file_matches(e, spec, tm, pred, schema_json):
             stats["files_pruned"] += 1
+            if _log.isEnabledFor(logging.DEBUG):
+                _log.debug(
+                    "skipped data_file %s: partition column with "
+                    "transform [%s] or column bounds does not match filter "
+                    "%r", e.data_file.file_path,
+                    ", ".join(f.transform for f in spec.fields), where)
             continue
         orig_path = e.data_file.file_path
         e.data_file.file_path = _localize(tm, e.data_file.file_path)

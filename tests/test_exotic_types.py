@@ -94,7 +94,13 @@ def test_variant_type_mapping():
 
 
 def test_variant_column_round_trip(spark, tmp_path):
-    """Write a VariantType column through the full write/scan path."""
+    """Write a VariantType column through the full write/scan path.
+
+    Container retest log (auto-unskips the moment support lands):
+    2026-08-14 (r7): pyarrow 16.1.0 — no variant storage type; Spark
+    parquet variant write still rejected; PIL/ffmpeg/google.protobuf all
+    absent, so the JPEG/MP4 real decoders and transformWithStateInPandas
+    stay gated too (see operators/multimodal.py, streaming/stateful.py)."""
     vt = getattr(T, "VariantType", None)
     if vt is None:
         pytest.skip("Spark VariantType not available")

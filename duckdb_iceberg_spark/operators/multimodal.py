@@ -5,14 +5,17 @@ Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas signatures,
 partition sizing — is real and tested. Decoding is layered:
 
 - REAL stdlib decoders handle the formats that need no external library:
-  WAV (``wave``), uncompressed 24/32-bit BMP (``struct``), and 8-bit
+  WAV (``wave``), uncompressed 24/32-bit BMP (``struct``), 8-bit
   greyscale/RGB/RGBA non-interlaced PNG (``zlib`` + full filter
-  reconstruction incl. Paeth). These run by default when the blob's magic
-  bytes match and the parse succeeds.
-- Anything else (JPEG/MP4/compressed codecs — their libraries are not in
-  this container) falls back to a deterministic md5-derived fake that an
-  SQL oracle can recompute (clearly marked; swap in a real PIL/ffmpeg
-  decoder by passing ``decode=``).
+  reconstruction incl. Paeth), and baseline sequential JPEG (full T.81
+  pipeline: huffman entropy decode, dequant, batched-numpy IDCT, chroma
+  upsampling, YCbCr→RGB; verified against an independently-written
+  encoder in tests/jpeg_encoder.py). These run by default when the blob's
+  magic bytes match and the parse succeeds.
+- Anything else (progressive JPEG, MP4/compressed codecs — their
+  libraries are not in this container) falls back to a deterministic
+  md5-derived fake that an SQL oracle can recompute (clearly marked; swap
+  in a real PIL/ffmpeg decoder by passing ``decode=``).
 
 Scale notes: mapInPandas streams Arrow batches, so per-executor memory is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` × max blob size;
@@ -219,14 +222,313 @@ def _decode_png(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     return w, h, _pixel_features(px, w, h)
 
 
+# ---------------------------------------------------------------------------
+# baseline JPEG (ITU-T T.81 / ISO 10918-1) — pure stdlib + numpy
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: orthonormal 8-point DCT-II matrix; IDCT of block B is C.T @ B @ C
+_DCT_C = np.array([
+    [np.cos((2 * x + 1) * u * np.pi / 16) *
+     (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+     for x in range(8)] for u in range(8)])
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with byte
+    unstuffing (FF00 → FF) and restart-marker detection."""
+
+    __slots__ = ("data", "pos", "bitbuf", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.nbits <= 24:
+            if self.pos >= n:
+                # pad with 1-bits past the end (T.81 F.2.2.5): lets a final
+                # partially-padded huffman code complete
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < n else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: caller resyncs
+                else:
+                    break  # EOI or other marker: stop feeding
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+        self.bitbuf &= (1 << self.nbits) - 1
+        return v
+
+    def resync(self) -> bool:
+        """Skip to just past the next restart marker; True on success."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d, n = self.data, len(self.data)
+        i = self.pos
+        while i + 1 < n:
+            if d[i] == 0xFF and 0xD0 <= d[i + 1] <= 0xD7:
+                self.pos = i + 2
+                return True
+            i += 1
+        return False
+
+
+def _build_huffman(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """(code_length, code) → symbol map per T.81 Annex C code assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bits(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude value (T.81 F.2.2.1 EXTEND)."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL decoder for baseline sequential JPEG (SOF0, 8-bit, greyscale or
+    YCbCr with sampling factors 1-2, restart markers honored) — pure
+    stdlib + numpy, no libjpeg. Progressive/arithmetic/12-bit streams
+    return None and fall back. IDCT runs as one batched matmul over all of
+    a component's blocks; only the huffman bit-walk is per-symbol Python.
+
+    The reference ships no media ops at all; this exists for the LLM-data
+    pipeline surface (extract_image_features over crawl blobs), where
+    JPEG is the dominant real-world format."""
+    try:
+        return _decode_jpeg(blob)
+    except Exception:
+        return None
+
+
+def _decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray] | None:
+    import struct
+
+    if blob[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None           # (h, w, [(cid, hs, vs, tq), ...])
+    restart_interval = 0
+    pos = 2
+    n = len(blob)
+    while pos + 4 <= n:
+        if blob[pos] != 0xFF:
+            return None
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+        body = blob[pos + 4:pos + 2 + seglen]
+        if marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8 or nc not in (1, 3):
+                return None
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # extended/progressive/lossless/arithmetic
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                counts = list(body[off + 1:off + 17])
+                total = sum(counts)
+                syms = body[off + 17:off + 17 + total]
+                tbl = _build_huffman(counts, syms)
+                (huff_dc if tc_th >> 4 == 0 else huff_ac)[tc_th & 0xF] = tbl
+                off += 17 + total
+        elif marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                if pq_tq >> 4 != 0:
+                    return None  # 16-bit tables: not baseline
+                vals = np.frombuffer(body[off + 1:off + 65], dtype=np.uint8)
+                qt[pq_tq & 0xF] = vals.astype(np.int64)
+                off += 65
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, td_ta = body[1 + 2 * i:3 + 2 * i]
+                scan.append((cs, td_ta >> 4, td_ta & 0xF))
+            data_start = pos + 2 + seglen
+            return _decode_scan(blob, data_start, frame, scan, qt,
+                                huff_dc, huff_ac, restart_interval)
+        pos += 2 + seglen
+    return None
+
+
+#: JPEG-specific pixel cap, far below _MAX_PIXELS: the huffman walk is
+#: per-symbol Python (inherently sequential), so decode time is O(pixels)
+#: interpreter work — ~4 Mpx keeps a worst-case block under a second or two
+#: per executor task; larger JPEGs take the deterministic-fake fallback
+#: rather than stalling the stage.
+_JPEG_MAX_PIXELS = 4 << 20
+
+
+def _decode_scan(blob, data_start, frame, scan, qt, huff_dc, huff_ac,
+                 restart_interval):
+    h, w, comps = frame
+    if h <= 0 or w <= 0 or h * w > _JPEG_MAX_PIXELS:
+        return None
+    if len(scan) != len(comps):
+        return None  # multi-scan not supported (progressive)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        return None
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    by_id = {cs: (td, ta) for cs, td, ta in scan}
+    plan = []            # per component: (hs, vs, tq, td, ta, blocks_list)
+    for cid, hs, vs, tq in comps:
+        if cid not in by_id or tq not in qt:
+            return None
+        td, ta = by_id[cid]
+        if td not in huff_dc or ta not in huff_ac:
+            return None
+        plan.append([hs, vs, tq, td, ta, []])
+
+    br = _BitReader(blob[data_start:])
+    preds = [0] * len(comps)
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            if not br.resync():
+                return None
+            preds = [0] * len(comps)
+        for ci, (hs, vs, tq, td, ta, blocks) in enumerate(plan):
+            for _ in range(hs * vs):
+                coef = np.zeros(64, dtype=np.int64)
+                t = _huff_decode(br, huff_dc[td])
+                diff = _extend(br.bits(t), t)
+                preds[ci] += diff
+                coef[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(br, huff_ac[ta])
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break        # EOB
+                    k += r
+                    if k > 63:
+                        return None
+                    coef[k] = _extend(br.bits(s), s)
+                    k += 1
+                blocks.append(coef)
+
+    # batched dequant + dezigzag + IDCT per component (one matmul chain)
+    planes = []
+    for (hs, vs, tq, _td, _ta, blocks) in plan:
+        arr = np.stack(blocks)                     # (nb, 64) zigzag order
+        arr = arr * qt[tq][_ZIGZAG]                # dequant in zigzag domain
+        nat = np.zeros_like(arr)
+        nat[:, _ZIGZAG] = arr                      # dezigzag
+        b8 = nat.reshape(-1, 8, 8).astype(np.float64)
+        px = np.einsum("ux,nuv,vy->nxy", _DCT_C, b8, _DCT_C) + 128.0
+        planes.append(np.clip(px, 0, 255))
+
+    # reassemble MCU-interleaved blocks into full component planes, then
+    # upsample to (h, w)
+    full = []
+    for ci, (hs, vs, tq, _td, _ta, _blocks) in enumerate(plan):
+        cw, ch = mcux * hs * 8, mcuy * vs * 8
+        plane = np.zeros((ch, cw))
+        bi = 0
+        blocks8 = planes[ci]
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for byi in range(vs):
+                for bxi in range(hs):
+                    y0 = (my * vs + byi) * 8
+                    x0 = (mx * hs + bxi) * 8
+                    plane[y0:y0 + 8, x0:x0 + 8] = blocks8[bi]
+                    bi += 1
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                          hmax // hs, axis=1)      # replicate upsample
+        full.append(plane[:h, :w])
+
+    if len(full) == 1:
+        rgb = np.repeat(full[0].reshape(h * w, 1), 3, axis=1)
+    else:
+        y, cb, cr = (p.reshape(h * w) for p in full)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.stack([r, g, b], axis=1), 0, 255)
+    return w, h, _pixel_features(rgb, w, h)
+
+
 def decode_image(blob: bytes) -> tuple[int, int, np.ndarray] | None:
-    """Stdlib-real image decode (BMP/PNG); None when the format needs an
-    external library or the parse fails — callers fall back."""
+    """Stdlib-real image decode (BMP/PNG/baseline JPEG); None when the
+    format needs an external library or the parse fails — callers fall
+    back."""
     try:
         if blob[:2] == b"BM":
             return decode_bmp(blob)
         if blob[:8] == b"\x89PNG\r\n\x1a\n":
             return decode_png(blob)
+        if blob[:2] == b"\xff\xd8":
+            return decode_jpeg(blob)
     except Exception:
         return None
     return None

@@ -16,11 +16,12 @@ ROWS_ONLY = {"ice_bucket_fn", "emb_ivf_topk", "emb_kmeans",
 
 
 def test_window_holds_reference_surface_and_rotation():
-    """Round-6 rotation (queries() docstring): every ice_* query is always
+    """Round-7 rotation (queries() docstring): every ice_* query is always
     in-window (the reference's own surface); the 25 rotating slots hold the
-    r6-changed dedup family, the full stream_* family, mm_*, the q_*
-    relational extras, and emb_lsh_topk. TPC-H (driver-green r5) and the
-    r4 cohort park at 51+. An entry may leave the window only via a
+    HUGEINT-fix proof set (3 formerly-red + 4 fixed-parked oracles),
+    stream_dedup_ttl's first driver row, and the 17 oracle-checked members
+    of the longest-parked r4 cohort. TPC-H (driver-green r5) and r6's
+    rotation park at 51+. An entry may leave the window only via a
     documented rotation, never via an accidental insertion above it."""
     keys = list(entry.queries())
     window = set(keys[:50])
@@ -29,19 +30,22 @@ def test_window_holds_reference_surface_and_rotation():
         f"{sorted(set(ice) - window)} (reference surface) fell past the "
         "driver's 50-row correctness window")
     rotated_in = {
-        "docs_minhash_dedup", "docs_incremental_minhash",
-        "docs_decontaminate", "docs_ngram_dedup", "docs_simhash",
-        "docs_exact_dedup",
-        "stream_incremental", "stream_changelog", "stream_sink_roundtrip",
-        "stream_curation", "stream_tumbling_events", "stream_session_events",
-        "stream_sliding_events",
-        "mm_image_features", "mm_audio_features", "mm_frame_sample",
-        "docs_vocab", "docs_tfidf", "docs_source_cap", "docs_substr_dedup",
-        "q_window_top_order", "q_events_hourly",
-        "q_asof_join", "q_interval_join", "emb_lsh_topk",
+        # HUGEINT-oracle-fix proof set
+        "stream_changelog", "stream_curation", "docs_vocab",
+        "docs_resample_mixture", "docs_stratified_sample",
+        "docs_pack_sequences", "docs_corpus_report",
+        # first driver row for the r6 TTL streaming dedup
+        "stream_dedup_ttl",
+        # longest-parked r4 cohort (oracle-checked members only)
+        "docs_redact_pii", "docs_normalize", "docs_chunk",
+        "docs_token_count", "docs_quality", "docs_fingerprint",
+        "docs_incremental_dedup", "docs_lang_scores", "docs_winnow",
+        "emb_cosine_topk", "emb_knn_join", "emb_knn_join_bucketed",
+        "q_distinct_parts", "q_rollup", "q_setop_nations",
+        "q_topk_orders", "q_anti_join",
     }
     assert rotated_in <= window, (
-        f"{sorted(rotated_in - window)} (r6 rotation set) fell past the "
+        f"{sorted(rotated_in - window)} (r7 rotation set) fell past the "
         "window")
     assert len(keys) >= 50 and len(window) == 50
 

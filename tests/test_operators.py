@@ -1140,3 +1140,75 @@ def test_jpeg_dispatch_and_feature_extraction(spark):
     assert np.allclose(rows[1].feature[:3],
                        rgb.reshape(-1, 3).mean(axis=0) / 255.0, atol=1e-2)
     assert rows[2].width is None and rows[2].n_bytes == 0
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container metadata (real stdlib parse)
+# ---------------------------------------------------------------------------
+
+def _box(btype, body):
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def _make_mp4(duration_s=12.5, timescale=600, tracks=((640, 360), (0, 0))):
+    """Hand-built minimal ISO BMFF: ftyp + moov(mvhd + trak(tkhd)*)."""
+    import struct
+
+    mvhd = (bytes([0, 0, 0, 0])                 # version 0 + flags
+            + struct.pack(">II", 0, 0)          # creation/modification
+            + struct.pack(">II", timescale, int(duration_s * timescale))
+            + b"\x00" * 80)
+    traks = b""
+    for (w, h) in tracks:
+        # v0 tkhd: 4 version+flags, 20 times/track/duration, 52 reserved/
+        # layer/volume/matrix, then 16.16 width/height
+        tkhd = (bytes([0, 0, 0, 0]) + b"\x00" * 72
+                + struct.pack(">II", w << 16, h << 16))
+        traks += _box(b"trak", _box(b"tkhd", tkhd))
+    return (_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+            + _box(b"moov", _box(b"mvhd", mvhd) + traks))
+
+
+def test_mp4_metadata_parse():
+    from duckdb_iceberg_spark.operators.multimodal import parse_mp4_meta
+
+    blob = _make_mp4()
+    assert parse_mp4_meta(blob) == (12500, 640, 360, 2)
+    # 64-bit mvhd (version 1)
+    import struct
+
+    mvhd1 = (bytes([1, 0, 0, 0]) + struct.pack(">QQ", 0, 0)
+             + struct.pack(">IQ", 1000, 90_000) + b"\x00" * 80)
+    blob1 = (_box(b"ftyp", b"isom\x00\x00\x02\x00")
+             + _box(b"moov", _box(b"mvhd", mvhd1)))
+    assert parse_mp4_meta(blob1) == (90_000, 0, 0, 0)
+    # non-BMFF and truncated bytes refuse instead of raising
+    assert parse_mp4_meta(b"not a video at all") is None
+    assert parse_mp4_meta(blob[: len(blob) // 2]) is None
+    # box bomb: a self-nested size loop must trip the visit cap
+    evil = _box(b"ftyp", b"isom") + _box(b"moov", b"\x00\x00\x00\x08moov" * 600)
+    assert parse_mp4_meta(evil) is None
+
+
+def test_extract_video_meta_end_to_end(spark):
+    from duckdb_iceberg_spark.operators.multimodal import (
+        extract_video_meta, fake_video_meta, frame_sample_plan)
+
+    real = _make_mp4(duration_s=3.2)
+    junk = b"\x00\x01\x02 definitely not mp4 bytes \x03" * 4
+    df = spark.createDataFrame(
+        [(1, bytearray(real)), (2, bytearray(junk)), (3, None)],
+        "id long, blob binary")
+    out = {r.id: r for r in extract_video_meta(df).collect()}
+    assert out[1].real_parse and out[1].duration_ms == 3200
+    assert out[1].width == 640 and out[1].n_tracks == 2
+    assert not out[2].real_parse
+    assert (out[2].duration_ms, out[2].width, out[2].height,
+            out[2].n_tracks) == fake_video_meta(junk)
+    assert out[3].duration_ms is None and out[3].n_bytes == 0
+    # real durations drive the frame-sampling plan
+    frames = frame_sample_plan(
+        extract_video_meta(df).filter("id = 1"), every_ms=1000)
+    assert sorted(r.frame_ts_ms for r in frames.collect()) == [0, 1000, 2000, 3000]

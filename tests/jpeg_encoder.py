@@ -180,3 +180,41 @@ def encode_jpeg_color(rgb, subsample=False, quant=None):
     sos = seg(0xDA, bytes([3]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
               + bytes([0, 63, 0]))
     return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.buf) + b"\xff\xd9")
+
+
+def encode_jpeg_grey_restarts(pix, restart_interval=2, quant=None):
+    """Greyscale baseline JPEG with DRI + restart markers every
+    ``restart_interval`` MCUs (DC predictor resets, RSTn modulo-8 cycle) —
+    exercises the decoder's resync path."""
+    h, w = pix.shape
+    q = np.ones(64, dtype=np.int64) if quant is None else np.asarray(quant)
+    chunks = []
+    bw = BW()
+    pred = 0
+    mcu = 0
+    rst = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                chunks.append(bytes(bw.buf) + bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                bw = BW()
+                pred = 0
+            blk = pix[by:by+8, bx:bx+8].astype(np.float64) - 128.0
+            pred = _blk_stream(bw, blk, q, pred)
+            mcu += 1
+    bw.flush()
+    chunks.append(bytes(bw.buf))
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(q[ZIGZAG[i]]) for i in range(64)))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + bytes(DC_SYMS)) \
+        + seg(0xC4, bytes([0x10]) + bytes(AC_COUNTS) + bytes(AC_SYMS))
+    dri = seg(0xDD, struct.pack(">H", restart_interval))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos
+            + b"".join(chunks) + b"\xff\xd9")

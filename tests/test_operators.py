@@ -1212,3 +1212,22 @@ def test_extract_video_meta_end_to_end(spark):
     frames = frame_sample_plan(
         extract_video_meta(df).filter("id = 1"), every_ms=1000)
     assert sorted(r.frame_ts_ms for r in frames.collect()) == [0, 1000, 2000, 3000]
+
+
+def test_jpeg_restart_markers():
+    """DRI + RSTn streams: the decoder must resync at each restart marker
+    and reset DC predictors, reproducing the same pixels as the
+    marker-free encoding."""
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.multimodal import decode_jpeg
+    from tests.jpeg_encoder import (encode_jpeg_grey,
+                                    encode_jpeg_grey_restarts)
+
+    rng = np.random.RandomState(3)
+    pix = (rng.rand(24, 32) * 255).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg_grey(pix))
+    withrst = decode_jpeg(encode_jpeg_grey_restarts(pix, restart_interval=2))
+    assert plain is not None and withrst is not None
+    assert (plain[0], plain[1]) == (withrst[0], withrst[1]) == (32, 24)
+    assert np.allclose(plain[2], withrst[2], atol=1e-4)

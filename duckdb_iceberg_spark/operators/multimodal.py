@@ -282,6 +282,10 @@ class _BitReader:
             return 0
         if self.nbits < n:
             self._fill()
+        if self.nbits < n:
+            # marker encountered mid-code on a corrupt stream: refuse
+            # rather than shifting by a negative count
+            raise ValueError("bit underrun at marker")
         self.nbits -= n
         v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
         self.bitbuf &= (1 << self.nbits) - 1

@@ -2404,7 +2404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              emb_ivf_topk, emb_kmeans, emb_semantic_dedup) stay parked —
              a hash-checkable row beats a rows-only row.
       51+    parked: full TPC-H + r6's rotation (all driver-green r5/r6)
-             — TPC-H rotates back in r8.
+             — TPC-H rotates back in r8 — plus mm_video_meta (NEW r7,
+             oracle-checked, never driver-checked: priority (b) next
+             rotation).
     """
     return {
         # --- Iceberg table-format surface (reference parity) -------------
@@ -2514,6 +2516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": emb_ivf_topk,
         "emb_kmeans": emb_kmeans,
         "emb_semantic_dedup": emb_semantic_dedup,
+        # NEW in r7, oracle-checked, never driver-checked — rotation
+        # priority (b) for r8's window
         "mm_video_meta": mm_video_meta,
     }
 

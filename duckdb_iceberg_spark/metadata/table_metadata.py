@@ -374,7 +374,10 @@ _OBJSTORE_RE = re.compile(r"(\d+)-[0-9a-f-]+(?:\.gz)?\.metadata\.json(?:\.gz)?$"
 
 def _read_text(path: str) -> str:
     data = fio.get_io(path).read_bytes(path)
-    if path.endswith(".gz"):
+    # sniff the gzip magic rather than trusting the extension: the
+    # reference's gz-INFIX spelling ('v2.gz.metadata.json') doesn't end in
+    # .gz, and custom version_name_format globs can resolve to it
+    if path.endswith(".gz") or data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
     return data.decode("utf-8")
 

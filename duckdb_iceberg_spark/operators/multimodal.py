@@ -433,6 +433,12 @@ def _decode_scan(blob, data_start, frame, scan, qt, huff_dc, huff_ac,
         return None
     if len(scan) != len(comps):
         return None  # multi-scan not supported (progressive)
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the MCU is
+        # one 8x8 data unit over a ceil(w/8) x ceil(h/8) grid, and the
+        # declared sampling factors (legally e.g. 2x2 on greyscale) do NOT
+        # shape the entropy stream
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
@@ -484,7 +490,9 @@ def _decode_scan(blob, data_start, frame, scan, qt, huff_dc, huff_ac,
     planes = []
     for (hs, vs, tq, _td, _ta, blocks) in plan:
         arr = np.stack(blocks)                     # (nb, 64) zigzag order
-        arr = arr * qt[tq][_ZIGZAG]                # dequant in zigzag domain
+        # the DQT stream is ALSO zigzag-ordered (T.81 B.2.4.1), so dequant
+        # is element-wise in the zigzag domain — no permutation here
+        arr = arr * qt[tq]
         nat = np.zeros_like(arr)
         nat[:, _ZIGZAG] = arr                      # dezigzag
         b8 = nat.reshape(-1, 8, 8).astype(np.float64)

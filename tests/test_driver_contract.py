@@ -6,13 +6,13 @@ query class out of hard-checking."""
 
 import __spark_entry__ as entry
 
-#: rows-only by design: murmur3 spec vectors (no SQL twin),
-#: approximate-by-construction results, and iterative float-reduction
-#: algorithms (k-means / SemDeDup — not SQL-expressible).
-#: emb_knn_join_bucketed left this set in r6: its probe math is
-#: deterministic given the SRP planes, so the oracle replays it.
-ROWS_ONLY = {"ice_bucket_fn", "emb_ivf_topk", "emb_kmeans",
-             "emb_semantic_dedup"}
+#: rows-only by design: approximate-by-construction results and iterative
+#: float-reduction algorithms (k-means / SemDeDup — not SQL-expressible).
+#: emb_knn_join_bucketed left this set in r6 (probe math deterministic
+#: given the SRP planes); ice_bucket_fn left in r7 — its fixed 500-key
+#: input now has a literal-VALUES oracle generated from an independent
+#: murmur3, so deleting that oracle must fail the guard below.
+ROWS_ONLY = {"emb_ivf_topk", "emb_kmeans", "emb_semantic_dedup"}
 
 
 def test_window_holds_reference_surface_and_rotation():

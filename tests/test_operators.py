@@ -1103,9 +1103,15 @@ def test_jpeg_rejects_non_baseline_and_bombs():
     blob = encode_jpeg_color(_jpeg_fixture_rgb())
     # progressive (SOF2) → fallback, not a wrong decode
     assert decode_jpeg(blob.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
-    # truncated anywhere → None, never a raise
-    for cut in (4, len(blob) // 3, len(blob) - 3):
-        assert decode_jpeg(blob[:cut]) is None or True  # must not raise
+    # truncated in the header section → None (markers incomplete); a cut
+    # inside the entropy stream must never RAISE (1-bit padding may let a
+    # partial stream complete, like libjpeg's partial-image path), and if
+    # it does complete the dims still come from the intact SOF
+    assert decode_jpeg(blob[:4]) is None
+    assert decode_jpeg(blob[:100]) is None  # inside DHT: tables incomplete
+    for cut in (len(blob) // 3, len(blob) - 3):
+        out = decode_jpeg(blob[:cut])
+        assert out is None or (out[0], out[1]) == (32, 32)
     # SOF claiming ~67 Mpx: pure-python huffman walk would stall an
     # executor; the JPEG-specific pixel cap forces the fake fallback
     import struct
@@ -1129,8 +1135,9 @@ def test_jpeg_dispatch_and_feature_extraction(spark):
     blob = encode_jpeg_color(rgb, subsample=True)
     w, h, feat = decode_image(blob)
     assert (w, h) == (32, 32)
+    # proves the REAL path ran: the md5-fake derives different dims
     fake_w, fake_h, _ = fake_decode_image(blob)
-    assert (w, h) != (fake_w, fake_h) or True  # real path taken (dims exact)
+    assert (w, h) != (fake_w, fake_h)
 
     df = spark.createDataFrame([(1, bytearray(blob)), (2, None)],
                                "id long, blob binary")
@@ -1231,3 +1238,50 @@ def test_jpeg_restart_markers():
     assert plain is not None and withrst is not None
     assert (plain[0], plain[1]) == (withrst[0], withrst[1]) == (32, 24)
     assert np.allclose(plain[2], withrst[2], atol=1e-4)
+
+
+def test_jpeg_nonflat_quant_table_roundtrip():
+    """Dequantization permutation pin: DQT streams are zigzag-ordered
+    (T.81 B.2.4.1), exactly like the decoded coefficients — multiplying
+    through an extra (de)zigzag gather scales most AC terms by the wrong
+    quant step. All-ones tables can't see this; a structured non-flat
+    table (every real-world JPEG) can."""
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.multimodal import decode_jpeg
+    from tests.jpeg_encoder import encode_jpeg_grey
+
+    rng = np.random.RandomState(13)
+    pix = (rng.rand(16, 16) * 255).astype(np.uint8)
+    quant = np.arange(1, 65, dtype=np.int64)  # natural-order 1..64 ramp
+    w, h, feat = decode_jpeg(encode_jpeg_grey(pix, quant=quant))
+    px = np.repeat(pix.reshape(-1, 1).astype(np.float64), 3, axis=1)
+    exp = np.array([*(px.mean(axis=0) / 255.0), *(px.std(axis=0) / 255.0),
+                    0.5, 0.5])
+    # coarse quant loses some energy; the permutation bug produced ~0.05
+    # error here vs ~0.001 for the correct element-wise dequant
+    assert np.allclose(feat, exp, atol=5e-3), (feat, exp)
+
+
+def test_jpeg_grey_with_declared_2x2_sampling():
+    """T.81 A.2: a single-component scan is non-interleaved — sampling
+    factors in SOF (legally 2x2 on greyscale, emitted by some encoders)
+    must NOT change the entropy-stream block order or pad the block grid."""
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.multimodal import decode_jpeg
+    from tests.jpeg_encoder import encode_jpeg_grey
+
+    rng = np.random.RandomState(21)
+    pix = (rng.rand(24, 24) * 255).astype(np.uint8)
+    blob = encode_jpeg_grey(pix)
+    # rewrite the SOF component sampling byte 0x11 -> 0x22 (same stream)
+    sof_at = blob.index(b"\xff\xc0")
+    comp_hv_at = sof_at + 4 + 6 + 1  # marker+len, prec+dims+nc, comp id
+    assert blob[comp_hv_at] == 0x11
+    blob22 = blob[:comp_hv_at] + b"\x22" + blob[comp_hv_at + 1:]
+    base = decode_jpeg(blob)
+    out = decode_jpeg(blob22)
+    assert base is not None and out is not None
+    assert (out[0], out[1]) == (24, 24)
+    assert np.allclose(out[2], base[2], atol=1e-6)

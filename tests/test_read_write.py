@@ -357,3 +357,113 @@ def test_manifest_compression_codec_property(spark, tmp_path):
     with _pytest.raises(NotImplementedError, match="compression-codec"):
         write_iceberg(spark.range(5), str(tmp_path / "bad"),
                       properties={"write.manifest.compression-codec": "lz77"})
+
+
+def test_empty_copy_roundtrip(spark, tmp_path):
+    """A 0-row write must still produce a readable Iceberg table with the
+    declared schema (reference: test/sql/copy/empty_copy.test — 'COPY with
+    0 rows should also produce a readable empty table')."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+
+    loc = str(tmp_path / "empty_tbl")
+    write_iceberg(spark.sql("SELECT 1 AS x WHERE false"), loc)
+    got = iceberg_scan(spark, loc)
+    assert got.count() == 0
+    assert got.schema.fieldNames() == ["x"]
+    # the commit is a real snapshot: appending afterwards works normally
+    tm = load_table_metadata(loc)
+    assert tm.current_snapshot() is not None
+    write_iceberg(spark.sql("SELECT 2 AS x"), loc)
+    assert [r.x for r in iceberg_scan(spark, loc).collect()] == [2]
+
+
+def test_hour_partition_pre_epoch(spark, tmp_path):
+    """Pre-epoch temporal transforms are FLOOR-based (negative ordinals),
+    not truncation-toward-zero (reference: insert/partitions/temporal/
+    test_hour_timestamp_pre_epoch.test): 1969-12-31T23:30 lands in hour
+    -1, 12:15 in hour -12, and partition pruning stays exact across the
+    epoch boundary."""
+    import datetime as dt
+
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    loc = str(tmp_path / "t_preepoch")
+    rows = [(1, dt.datetime(1969, 12, 31, 23, 30)),
+            (2, dt.datetime(1970, 1, 1, 0, 30)),
+            (3, dt.datetime(1969, 12, 31, 12, 15)),
+            (4, dt.datetime(1969, 6, 1, 0, 0))]
+    write_iceberg(spark.createDataFrame(rows, "id long, ts timestamp"),
+                  loc, partition_by=["hour(ts)"])
+
+    tm = load_table_metadata(loc)
+    parts = sorted(t.data_file.partition["ts_hour"]
+                   for t in plan_scan(tm, tm.select_snapshot()).tasks)
+    assert parts == [-5136, -12, -1, 0]
+
+    plan = plan_scan(tm, tm.select_snapshot(),
+                     "ts = TIMESTAMP '1969-12-31 23:30:00'")
+    assert len(plan.tasks) == 1
+    assert iceberg_scan(
+        spark, loc, where="ts < TIMESTAMP '1970-01-01 00:00:00'").count() == 3
+    got = iceberg_scan(spark, loc).orderBy("id").collect()
+    assert [r.id for r in got] == [1, 2, 3, 4]
+
+
+def test_partition_summary_string_upper_bound_sound(spark, tmp_path):
+    """Manifest-list partition field-summary upper bounds must be >= every
+    partition value (reference: test_partition_summary_string_upper_bound
+    .test, duckdb-iceberg#1047 — a 16-byte truncated-DOWN upper bound
+    pruned a partition out of its own manifest). This engine stores exact
+    partition values in field summaries, so the bound is trivially sound;
+    this pins it through iceberg_partition_stats end to end."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.metadata_tables import (
+        iceberg_partition_stats)
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+
+    loc = str(tmp_path / "t_ub")
+    val = "0123456789abcdef0123456789abcdef"  # truncate(20) > 16 bytes
+    write_iceberg(
+        spark.createDataFrame([(1, val)], "id int, p string"),
+        loc, partition_by=["truncate(20, p)"])
+
+    part_val = val[:20]
+    stats = iceberg_partition_stats(spark, loc).collect()
+    row = next(r for r in stats if r.upper_bound is not None)
+    assert row.upper_bound >= part_val
+    assert row.lower_bound <= part_val
+    # and the partition prunes INTO (not out of) its own manifest
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot(), f"p = '{val}'")
+    assert len(plan.tasks) == 1
+
+
+def test_null_partition_values_roundtrip_prune_delete(spark, tmp_path):
+    """NULL partition values (reference: insert/partitions/null_values/
+    test_null_partition_values.test + delete/partitions/delete_null_
+    partition.test): NULLs land in their own partition, IS NULL / IS NOT
+    NULL prune to exactly the matching files (field-summary contains_null
+    drives the manifest side), and a MoR delete of the null partition
+    removes only those rows."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    loc = str(tmp_path / "t_nullpart")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, None), (3, "b"), (4, None)],
+                              "id long, p string"),
+        loc, partition_by=["p"])
+    tm = load_table_metadata(loc)
+    assert len(plan_scan(tm, tm.select_snapshot()).tasks) == 3
+    assert len(plan_scan(tm, tm.select_snapshot(), "p IS NULL").tasks) == 1
+    assert len(plan_scan(tm, tm.select_snapshot(), "p IS NOT NULL").tasks) == 2
+    assert iceberg_scan(spark, loc, where="p IS NULL").count() == 2
+
+    delete_from(spark, loc, "p IS NULL", mode="merge-on-read")
+    assert sorted(r.id for r in iceberg_scan(spark, loc).collect()) == [1, 3]

@@ -1416,6 +1416,33 @@ def test_rename_invalidates_cache(stub):
     assert cat.load_table("db", "rn2").name == "rn2"
 
 
+def test_conflict_invalidates_cache(stub):
+    """A 409 commit conflict must ALSO drop the cached loadTable response
+    (reference: conflict_invalidates_cache.test): the retry path calls
+    refresh() immediately after the conflict, and serving it the
+    pre-conflict cache entry would rebase against stale metadata and
+    conflict forever. commit_table invalidates before the POST, so the
+    load after a FAILED commit re-requests."""
+    import pytest as _pytest
+
+    from duckdb_iceberg_spark.catalog.rest_catalog import CommitConflict
+
+    base, state = stub
+    cat = _staleness_catalog(base, "4 hours")
+    cat.create_namespace("db")
+    cat.create_table("db", "cc", SCHEMA)
+    cat.load_table("db", "cc")  # cached
+    n1 = _table_gets(state, "cc")
+    with _pytest.raises(CommitConflict):
+        cat.commit_table("db", "cc", [
+            {"type": "assert-ref-snapshot-id", "ref": "main",
+             "snapshot-id": 123456789},  # wrong on purpose -> 409
+        ], [{"action": "set-properties", "updates": {"k": "v"}}])
+    cat.load_table("db", "cc")
+    assert _table_gets(state, "cc") == n1 + 1, (
+        "conflicted commit left a stale loadTable cache entry")
+
+
 def test_transaction_rollback_restores_table_state(stub, spark, sf_dir, tmp_path):
     """rollback() undoes the in-memory staged mutations (ADVICE r5): the
     table handle's metadata returns to the catalog tip, so post-rollback

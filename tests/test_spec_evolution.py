@@ -121,3 +121,37 @@ def test_tags_and_branches(spark, sf_dir, tmp_path):
         iceberg_scan(spark, loc, ref="v1")
     with pytest.raises(ValueError):
         drop_ref(loc, "main")
+
+
+def test_delete_after_partition_spec_evolution(spark, sf_dir, tmp_path):
+    """DELETE on a table whose partition spec evolved mid-history
+    (reference: delete/partitions/delete_after_partition_spec_evolution.test):
+    the delete must hit matching rows in files written under BOTH specs —
+    merge-on-read positional deletes carry the right per-file spec, and the
+    delete-apply anti-join removes rows regardless of which spec's layout
+    their data file uses."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.ddl import set_partitioned_by
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    src = load(spark, sf_dir, "nation")
+    for mode in ("merge-on-read", "copy-on-write"):
+        loc = str(tmp_path / f"t_{mode}")
+        write_iceberg(src.where("n_nationkey < 10"), loc)   # spec 0: none
+        set_partitioned_by(loc, ["n_regionkey"])
+        write_iceberg(src.where("n_nationkey >= 10"), loc)  # spec 1
+
+        # n_regionkey = 1 rows exist on both sides of the spec change
+        assert src.where("n_regionkey = 1 AND n_nationkey < 10").count() > 0
+        assert src.where("n_regionkey = 1 AND n_nationkey >= 10").count() > 0
+        delete_from(spark, loc, "n_regionkey = 1", mode=mode)
+
+        got = iceberg_scan(spark, loc)
+        assert got.where("n_regionkey = 1").count() == 0
+        want = src.where("n_regionkey <> 1").orderBy("n_nationkey").collect()
+        assert [r.asDict() for r in got.orderBy("n_nationkey").collect()] == \
+            [r.asDict() for r in want]
+        if mode == "merge-on-read":
+            tm = load_table_metadata(loc)
+            assert len(tm.partition_specs) == 2  # deletes didn't fork a spec

@@ -115,3 +115,29 @@ def test_nested_partition_pruning(spark, tmp_path):
         "payload.ts >= TIMESTAMP '2024-01-01 03:00:00'")
     assert len(full.tasks) == 4
     assert len(pruned.tasks) == 1
+
+
+def test_hour_partition_on_nested_struct_field(spark, tmp_path):
+    """Partition transforms over a nested struct member (reference:
+    partitioning/hour/hour_nested_struct_timestamp.test): hour(s.ts)
+    partitions on the struct member, prunes to a single file for an
+    equality filter, and range filters stay exact."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    loc = str(tmp_path / "t_nested_hour")
+    df = spark.sql(
+        "SELECT id, named_struct('ts', timestamp'2024-01-01 00:00:00' "
+        "+ make_interval(0,0,0,0,CAST(id AS INT),0,0), 'v', id*2) AS s "
+        "FROM range(48)")
+    write_iceberg(df, loc, partition_by=["hour(s.ts)"])
+
+    tm = load_table_metadata(loc)
+    assert len(plan_scan(tm, tm.select_snapshot()).tasks) == 48
+    p = plan_scan(tm, tm.select_snapshot(),
+                  "s.ts = TIMESTAMP '2024-01-01 05:00:00'")
+    assert len(p.tasks) == 1
+    assert iceberg_scan(
+        spark, loc,
+        where="s.ts >= TIMESTAMP '2024-01-02 00:00:00'").count() == 24

@@ -181,3 +181,32 @@ def test_widen_date_to_timestamp(spark, tmp_path):
                   sort_by=["k"])
     with pytest.raises(ValueError, match="sort order"):
         ddl.widen_column(loc5, "k", "long")
+
+
+def test_partition_source_type_promotion(spark, tmp_path):
+    """Widening the partition SOURCE column (reference:
+    reads/test_read_partitioned_table_type_promotion.test): files written
+    under the int schema keep int partition values in their manifests;
+    after widen_column to long, both generations scan, prune, and filter
+    correctly under the promoted type."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources import ddl
+
+    loc = str(tmp_path / "t_promo")
+    write_iceberg(spark.sql(
+        "SELECT CAST(id AS INT) AS k, CAST(id*10 AS INT) AS v FROM range(6)"),
+        loc, partition_by=["k"])
+    ddl.widen_column(loc, "k", "long")
+    write_iceberg(spark.sql(
+        "SELECT CAST(id+100 AS BIGINT) AS k, CAST(id*10 AS INT) AS v "
+        "FROM range(3)"), loc)
+
+    got = iceberg_scan(spark, loc)
+    assert got.count() == 9
+    assert got.schema["k"].dataType.typeName() == "long"
+    tm = load_table_metadata(loc)
+    assert len(plan_scan(tm, tm.select_snapshot(), "k = 2").tasks) == 1
+    assert got.where("k = 2").count() == 1
+    assert got.where("k = 101").count() == 1

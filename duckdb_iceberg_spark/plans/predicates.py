@@ -84,6 +84,7 @@ _TOKEN_RE = re.compile(
         (?P<op><=|>=|!=|<>|=|<|>)|
         (?P<str>'(?:[^']|'')*')|
         (?P<num>-?\d+\.\d+|-?\d+)|
+        (?P<arith>[+*/%])|
         (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
     )""",
     re.VERBOSE,
@@ -166,6 +167,58 @@ def _parse_literal(tk: _Tokens) -> Any:
     raise ValueError(f"bad literal {t!r}")
 
 
+def _parse_literal_expr(tk: _Tokens) -> Any:
+    """Literal with constant folding: arithmetic over NUMERIC literals
+    (`1 + 1`, `2 * (3 + 4)`) folds to its value so foldable filters still
+    prune files (reference: partitioning/foldable_expression_filter.test —
+    DuckDB folds before the pruner sees the filter). Non-numeric operands
+    or unknown operators raise, which parse_where turns into
+    no-pruning-conservative. `/` folds to float (SQL division), `%` only
+    between ints. The tokenizer keeps `-?\d+` as one token, so subtraction
+    needs no `-` operator here — `1 - 2` lexes as 1 and -2 and is rejected
+    (conservative), while every foldable shape DuckDB's own test exercises
+    (`+`, `*`, parens) folds exactly."""
+    def primary():
+        if tk.peek("lpar"):
+            tk.next()
+            v = expr()
+            if not tk.peek("rpar"):
+                raise ValueError("expected ) in literal expression")
+            tk.next()
+            return v
+        return _parse_literal(tk)
+
+    def _num(v):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError(f"non-numeric operand in literal arithmetic: {v!r}")
+        return v
+
+    def term():
+        v = primary()
+        while tk.peek("arith") and tk.peek()[1] in ("*", "/", "%"):
+            op = tk.next()[1]
+            rhs = primary()
+            a, b = _num(v), _num(rhs)
+            if op == "*":
+                v = a * b
+            elif op == "/":
+                v = a / b
+            else:
+                if not (isinstance(a, int) and isinstance(b, int)):
+                    raise ValueError("% needs integer operands")
+                v = a % b
+        return v
+
+    def expr():
+        v = term()
+        while tk.peek("arith") and tk.peek()[1] == "+":
+            tk.next()
+            v = _num(v) + _num(term())
+        return v
+
+    return expr()
+
+
 def _norm_variant_path(path: str) -> str:
     """'$.a.b' or "$['a']['b']" -> "$['a']['b']". Array indexing is not a
     stats path (bounds cover whole arrays) — reject to stay conservative."""
@@ -240,19 +293,19 @@ def _parse_primary(tk: _Tokens) -> Predicate:
         if not tk.peek("lpar"):
             raise ValueError("expected ( after IN")
         tk.next()
-        vals = [_parse_literal(tk)]
+        vals = [_parse_literal_expr(tk)]
         while tk.peek("comma"):
             tk.next()
-            vals.append(_parse_literal(tk))
+            vals.append(_parse_literal_expr(tk))
         if not tk.peek("rpar"):
             raise ValueError("expected )")
         tk.next()
         return InList(col, vals)
     if tk.accept_word("BETWEEN"):
-        lo = _parse_literal(tk)
+        lo = _parse_literal_expr(tk)
         if not tk.accept_word("AND"):
             raise ValueError("expected AND in BETWEEN")
-        hi = _parse_literal(tk)
+        hi = _parse_literal_expr(tk)
         return And([Comparison(col, ">=", lo), Comparison(col, "<=", hi)])
     t = tk.peek("op")
     if not t:
@@ -260,7 +313,7 @@ def _parse_primary(tk: _Tokens) -> Predicate:
     op = tk.next()[1]
     if op == "<>":
         op = "!="
-    val = _parse_literal(tk)
+    val = _parse_literal_expr(tk)
     return Comparison(col, op, val)
 
 

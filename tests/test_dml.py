@@ -322,3 +322,22 @@ def test_snapshot_summary_delete_metrics(spark, tmp_path):
     assert d["added-position-delete-files"] == "1"
     assert d["added-position-deletes"] == "2"
     assert d["total-position-deletes"] == "2"
+
+
+def test_no_match_dml_creates_no_snapshot(spark, tmp_path):
+    """UPDATE/DELETE matching zero rows must not commit a snapshot
+    (reference: update/test_no_update_no_new_snapshot.test — 'no update,
+    no new snapshot'): table history stays clean under no-op DML."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.dml import delete_from, update_iceberg
+
+    loc = str(tmp_path / "t_noop")
+    write_iceberg(spark.sql("SELECT id AS k, id*10 AS v FROM range(5)"), loc)
+    n0 = len(load_table_metadata(loc).snapshots)
+    update_iceberg(spark, loc, {"v": "v + 1"}, "k = 999")
+    assert len(load_table_metadata(loc).snapshots) == n0
+    delete_from(spark, loc, "k = 999")
+    assert len(load_table_metadata(loc).snapshots) == n0
+    delete_from(spark, loc, "k = 999", mode="merge-on-read")
+    assert len(load_table_metadata(loc).snapshots) == n0

@@ -380,3 +380,37 @@ def test_version_name_format_resolution(tmp_path):
     # missing version: error names the format and tried paths
     with pytest.raises(FileNotFoundError, match="rev-%s%s.meta.json"):
         resolve_metadata_location(loc, "9", version_name_format=fmt)
+
+
+def test_parse_where_folds_constant_arithmetic():
+    """Foldable literal arithmetic must still prune (reference:
+    partitioning/foldable_expression_filter.test — DuckDB folds constants
+    before its pruner runs): the parser folds +, *, /, % and parenthesized
+    chains over numeric literals; anything it can't fold degrades to
+    None = no pruning, never a wrong predicate."""
+    from duckdb_iceberg_spark.plans import predicates as P
+
+    assert P.parse_where("k = 1 + 1") == P.Comparison("k", "=", 2)
+    assert P.parse_where("k = 2 * (3 + 4)") == P.Comparison("k", "=", 14)
+    assert P.parse_where("k = 4 / 2") == P.Comparison("k", "=", 2.0)
+    assert P.parse_where("k = 7 % 3") == P.Comparison("k", "=", 1)
+    assert P.parse_where("k IN (1 + 1, 4)") == P.InList("k", [2, 4])
+    b = P.parse_where("k BETWEEN 1 + 1 AND 2 * 3")
+    assert b == P.And([P.Comparison("k", ">=", 2), P.Comparison("k", "<=", 6)])
+    # non-foldable shapes degrade conservatively (no pruning), never throw
+    assert P.parse_where("k = 1 - 2") is None      # '1 -2' lexes as two nums
+    assert P.parse_where("k = 'a' + 1") is None    # non-numeric operand
+    assert P.parse_where("k = -5") == P.Comparison("k", "=", -5)
+
+
+def test_foldable_filter_prunes_files(spark, tmp_path):
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    loc = str(tmp_path / "t_fold")
+    write_iceberg(spark.sql("SELECT id AS k, id*10 AS v FROM range(6)"),
+                  loc, partition_by=["k"])
+    tm = load_table_metadata(loc)
+    assert len(plan_scan(tm, tm.select_snapshot(), "k = 1 + 1").tasks) == 1
+    assert len(plan_scan(tm, tm.select_snapshot(), "k = 2").tasks) == 1

@@ -580,19 +580,53 @@ def _exec_alter(spark: SparkSession, stmt: str) -> DataFrame:
 
 
 def _exec_update(spark: SparkSession, stmt: str) -> DataFrame:
-    from .dml import update_iceberg
+    from .dml import MergeClause, merge_into, update_iceberg
 
     m = re.match(r"UPDATE\s+(.+)$", stmt, re.I | re.S)
     rest = m.group(1)
-    marks = _scan_top(rest, ("SET", "WHERE"))
+    marks = _scan_top(rest, ("SET", "FROM", "WHERE"))
     set_at = next(i for i, w in marks if w == "SET")
+    frm = [i for i, w in marks if w == "FROM"]
     wh = [i for i, w in marks if w == "WHERE"]
     rel = rest[:set_at]
-    set_part = rest[set_at + 3: wh[0] if wh else len(rest)]
+    set_end = frm[0] if frm else (wh[0] if wh else len(rest))
+    set_part = rest[set_at + 3: set_end]
     where = rest[wh[0] + 5:].strip() if wh else None
     name, alias = _ident_and_alias(rel)
     view, source = _target_of(spark, name)
     quals = {name, *( [alias] if alias else [] )}
+
+    if frm:
+        # UPDATE ... FROM <src> WHERE <join cond> (reference:
+        # update/update_join_duplicates.test): semantically a MERGE with a
+        # single WHEN MATCHED THEN UPDATE — the WHERE is the join
+        # condition, un-matched target rows stay put, and a target row
+        # matched by multiple source rows raises the same cardinality
+        # violation the reference reports as 'The same row was updated
+        # multiple times'.
+        src_frag = rest[frm[0] + 4: wh[0] if wh else len(rest)].strip()
+        sm = re.match(r"(\(.*\)|[\w.]+)\s*(?:AS\s+)?(\w+)?\s*$",
+                      src_frag, re.I | re.S)
+        if not sm:
+            raise ValueError(f"cannot parse UPDATE source: {src_frag!r}")
+        src_rel, salias = sm.group(1), sm.group(2)
+        if src_rel.startswith("("):
+            src_df = spark.sql(src_rel[1:-1])
+        else:
+            src_df = spark.sql(f"SELECT * FROM {src_rel}")
+        if where is None:
+            raise ValueError("UPDATE ... FROM requires a WHERE join condition")
+        src_quals = ({salias} if salias else set()) | (
+            {src_rel} if not src_rel.startswith("(") else set())
+        on = _norm_refs(where, quals, src_quals, tgt_repl="tgt.")
+        assigns = {c: _norm_refs(e, quals, src_quals, tgt_repl="tgt.")
+                   for c, e in _split_assignments(set_part).items()}
+        tm = merge_into(spark, source, src_df, on,
+                        clauses=[MergeClause("matched", "update",
+                                             None, assigns)])
+        refresh_table(spark, view)
+        return _result_df(spark, "UPDATE", view, tm)
+
     assigns = {c: _norm_refs(e, quals, set())
                for c, e in _split_assignments(set_part).items()}
     where_n = _norm_refs(where, quals, set()) if where else None

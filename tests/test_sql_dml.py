@@ -342,3 +342,39 @@ def test_cow_delete_reports_rows_on_clean_chain(spark, tmp_path):
     register_table(spark, "cowc_t", loc)
     r = execute_sql(spark, "DELETE FROM cowc_t WHERE id < 10").first()
     assert r.rows == 10
+
+
+def test_sql_update_from_join(spark, tmp_path):
+    """UPDATE ... FROM <src> WHERE <join cond> (reference:
+    update/update_join_duplicates.test): joined updates apply to matched
+    target rows only, and a target row matched by MULTIPLE source rows
+    raises the cardinality violation the reference reports as 'The same
+    row was updated multiple times'."""
+    import pytest as _pytest
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = str(tmp_path / "upd_from")
+    write_iceberg(spark.sql("SELECT id FROM range(10)"), loc)
+    register_table(spark, "upd_from_t", loc)
+    spark.sql("SELECT id * 2 AS update_id FROM range(5)") \
+        .createOrReplaceTempView("updated_rows")
+
+    execute_sql(
+        spark,
+        "UPDATE upd_from_t SET id = id + 1000 FROM updated_rows "
+        "WHERE id = updated_rows.update_id")
+    got = sorted(r.id for r in spark.sql("SELECT id FROM upd_from_t").collect())
+    assert got == [1, 3, 5, 7, 9, 1000, 1002, 1004, 1006, 1008]
+
+    # duplicate source matches -> cardinality violation, nothing committed
+    spark.sql("SELECT update_id FROM (SELECT 1001 AS update_id) "
+              "UNION ALL SELECT 1001").createOrReplaceTempView("dups")
+    with _pytest.raises(Exception, match="(?i)multiple|cardinality"):
+        execute_sql(
+            spark,
+            "UPDATE upd_from_t SET id = id + 1 FROM dups "
+            "WHERE id = dups.update_id - 1")
+    still = sorted(r.id for r in spark.sql("SELECT id FROM upd_from_t").collect())
+    assert still == got  # failed joined update committed nothing

@@ -467,3 +467,25 @@ def test_null_partition_values_roundtrip_prune_delete(spark, tmp_path):
 
     delete_from(spark, loc, "p IS NULL", mode="merge-on-read")
     assert sorted(r.id for r in iceberg_scan(spark, loc).collect()) == [1, 3]
+
+
+def test_non_ascii_string_bounds_sound(spark, tmp_path):
+    """Non-ASCII column bounds (reference: insert/test_write_non_ascii_
+    string_upper_bound.test + ..._lower_bound.test): values longer than
+    the 16-code-point metrics truncation, with multi-byte characters at
+    the cut, must keep lower <= value <= upper so an equality filter never
+    prunes the file holding its own row."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    loc = str(tmp_path / "t_na")
+    vals = ["ααααααααααααααααΩΩΩΩ", "züüüüüüüüüüüüüüüüüüz",
+            "plain ascii shorty"]
+    write_iceberg(
+        spark.createDataFrame(list(enumerate(vals)), "id int, s string"), loc)
+    tm = load_table_metadata(loc)
+    for v in vals:
+        p = plan_scan(tm, tm.select_snapshot(), f"s = '{v}'")
+        assert len(p.tasks) == 1, f"bounds pruned the file holding {v!r}"
+        assert iceberg_scan(spark, loc, where=f"s = '{v}'").count() == 1

@@ -112,15 +112,40 @@ def add_column(location: str, name: str, ice_type: Any, *, required: bool = Fals
 
 
 def _navigate_struct(sch: dict, dotted: str) -> tuple[list[dict], str]:
-    """Resolve a dotted column path to (parent fields list, leaf name)."""
+    """Resolve a dotted column path to (parent fields list, leaf name).
+
+    Paths traverse struct members by name and descend through containers
+    with the Iceberg path vocabulary: ``element`` (list), ``key``/``value``
+    (map) — so ``people.element.age`` reaches the ``age`` member of a
+    ``list<struct<...>>`` column, matching the evolved Spark tables the
+    reference reads (schema_evolve_struct_in_list.test /
+    schema_evolve_struct_in_map.test)."""
     parts = dotted.split(".")
     fields = sch["fields"]
-    for p in parts[:-1]:
-        parent = next((f for f in fields if f["name"] == p), None)
-        if parent is None or not (isinstance(parent["type"], dict)
-                                  and parent["type"].get("type") == "struct"):
+    i = 0
+    while i < len(parts) - 1:
+        p = parts[i]
+        f = next((x for x in fields if x["name"] == p), None)
+        if f is None:
             raise KeyError(f"no struct column {p!r}")
-        fields = parent["type"]["fields"]
+        t = f["type"]
+        i += 1
+        # unwrap container hops named in the path
+        while (isinstance(t, dict) and t.get("type") in ("list", "map")
+               and i < len(parts)):
+            hop = parts[i]
+            if t["type"] == "list" and hop == "element":
+                t = t["element"]
+            elif t["type"] == "map" and hop in ("key", "value"):
+                t = t[hop]
+            else:
+                break
+            i += 1
+        if i > len(parts) - 1:
+            raise KeyError(f"path {dotted!r} ends inside a container")
+        if not (isinstance(t, dict) and t.get("type") == "struct"):
+            raise KeyError(f"no struct column {p!r}")
+        fields = t["fields"]
     return fields, parts[-1]
 
 
@@ -171,8 +196,9 @@ def widen_column(location: str, name: str, new_type: str) -> TableMetadata:
     would silently change meaning."""
     tm = _load(location)
     sch = _next_schema(tm)
-    for f in sch["fields"]:
-        if f["name"] != name:
+    fields, leaf = _navigate_struct(sch, name)
+    for f in fields:
+        if f["name"] != leaf:
             continue
         old_t = f["type"]
         order = tm.default_sort_order()

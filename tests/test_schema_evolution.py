@@ -210,3 +210,48 @@ def test_partition_source_type_promotion(spark, tmp_path):
     assert len(plan_scan(tm, tm.select_snapshot(), "k = 2").tasks) == 1
     assert got.where("k = 2").count() == 1
     assert got.where("k = 101").count() == 1
+
+
+def test_struct_member_evolution_inside_list_and_map(spark, tmp_path):
+    """Rename + widen of struct members nested inside list elements and
+    map values (reference: schema_evolve_struct_in_list.test /
+    schema_evolve_struct_in_map.test — Spark-evolved tables where
+    'name'→'given_name' and age int→long inside list<struct>): DDL paths
+    traverse the Iceberg container vocabulary (element/key/value), old
+    int32 files read under the widened long schema, and renamed members
+    resolve by field-id across both file generations."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources import ddl
+
+    loc = str(tmp_path / "t_sil")
+    write_iceberg(spark.sql(
+        "SELECT id, array(named_struct('name', concat('p', id), "
+        "'age', CAST(20+id AS INT))) AS people FROM range(3)"), loc)
+    ddl.rename_column(loc, "people.element.name", "given_name")
+    ddl.widen_column(loc, "people.element.age", "long")
+    write_iceberg(spark.sql(
+        "SELECT id+100 AS id, array(named_struct('given_name', "
+        "concat('q', id), 'age', CAST(9223372036854775807 AS BIGINT))) "
+        "AS people FROM range(2)"), loc)
+    rows = iceberg_scan(spark, loc).orderBy("id").collect()
+    assert [r.people[0].given_name for r in rows] == \
+        ["p0", "p1", "p2", "q0", "q1"]
+    assert rows[0].people[0].age == 20                      # pre-widen file
+    assert rows[-1].people[0].age == 9223372036854775807    # needs long
+
+    loc2 = str(tmp_path / "t_sim")
+    write_iceberg(spark.sql(
+        "SELECT id, map('k', named_struct('v', CAST(id AS INT))) AS m "
+        "FROM range(2)"), loc2)
+    ddl.widen_column(loc2, "m.value.v", "long")
+    write_iceberg(spark.sql(
+        "SELECT id+10 AS id, map('k', named_struct('v', "
+        "CAST(2147483649 AS BIGINT))) AS m FROM range(1)"), loc2)
+    got = {r.id: dict(r.m)["k"].v for r in iceberg_scan(spark, loc2).collect()}
+    assert got == {0: 0, 1: 1, 10: 2147483649}
+
+    # paths ending ON a container hop are rejected, not misapplied
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        ddl.rename_column(loc, "people.element", "nope")

@@ -96,7 +96,9 @@ HEADLINE = [
     "stream_tumbling_events",
     "stream_changelog",
     "stream_curation",
+    "stream_dedup_ttl",
     "mm_frame_sample",
+    "mm_video_meta",
 ]
 
 
@@ -223,7 +225,11 @@ def main() -> None:
     t0 = time.time()
     for fn in (entry._ice_lineitem, entry._ice_lineitem_mor,
                entry._ice_orders_mor, entry._ice_customer_upd,
-               entry._ice_orders_dv, entry._ice_supplier_upsert):
+               entry._ice_orders_dv, entry._ice_supplier_upsert,
+               # streaming fixtures: their builds replay micro-batches
+               # (stream_dedup_ttl even sleeps past a TTL) — pay that once
+               # here, not inside the first timed run
+               entry._ice_stream_curated, entry._stream_dedup_ttl_out):
         fn(spark, sf_dir)
     build_s = time.time() - t0
 

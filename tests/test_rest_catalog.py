@@ -1416,6 +1416,34 @@ def test_rename_invalidates_cache(stub):
     assert cat.load_table("db", "rn2").name == "rn2"
 
 
+def test_nested_namespaces_crud(stub):
+    """Multi-level namespaces (reference: nested_namespaces/
+    test_nested_namespaces.test + test_create_if_not_exists.test): tuple
+    namespaces serialize with the %1F unit separator on the wire, tables
+    CRUD under the nested namespace, and create-if-not-exists tolerates an
+    existing namespace without erroring."""
+    import urllib.parse as _up
+
+    base, state = stub
+    cat = _catalog(base)
+    ns = ("org", "team", "proj")
+    cat.create_namespace(ns)
+    assert ["org", "team", "proj"] in [list(n) for n in cat.list_namespaces()]
+    cat.create_table(ns, "t", SCHEMA)
+    # the wire path joins parts with the %1F unit separator, never dots
+    assert any("\x1f" in _up.unquote(p) for _m, p in state.requests), \
+        "nested namespace never hit the wire %1F-joined"
+    assert not any("org.team" in p for _m, p in state.requests)
+    t = cat.load_table(ns, "t")
+    assert t.name == "t"
+    assert cat.table_exists(ns, "t")
+    cat.drop_table(ns, "t")
+    assert not cat.table_exists(ns, "t")
+    cat.drop_namespace(ns)
+    assert ["org", "team", "proj"] not in [
+        list(n) for n in cat.list_namespaces()]
+
+
 def test_conflict_invalidates_cache(stub):
     """A 409 commit conflict must ALSO drop the cached loadTable response
     (reference: conflict_invalidates_cache.test): the retry path calls

@@ -305,8 +305,23 @@ class RestCatalog:
 
     # -- namespaces ---------------------------------------------------------
 
+    def _paged(self, path: str, key: str) -> list:
+        """GET with pageToken pagination (REST spec next-page-token;
+        reference: catalog_api.cpp:309-361 loops the same way) — a catalog
+        holding thousands of tables returns them in pages, and stopping at
+        page one would silently hide the rest."""
+        out: list = []
+        token = ""
+        while True:
+            q = f"?pageToken={urllib.parse.quote(token, safe='')}" if token else ""
+            resp = self._request("GET", path + q)
+            out.extend(resp.get(key, []) or [])
+            token = resp.get("next-page-token") or ""
+            if not token:
+                return out
+
     def list_namespaces(self) -> list[list[str]]:
-        return self._request("GET", "/namespaces").get("namespaces", [])
+        return self._paged("/namespaces", "namespaces")
 
     def create_namespace(self, namespace: str | tuple,
                          properties: dict[str, str] | None = None) -> dict:
@@ -333,8 +348,8 @@ class RestCatalog:
     # -- tables -------------------------------------------------------------
 
     def list_tables(self, namespace: str | tuple) -> list[dict]:
-        resp = self._request("GET", f"/namespaces/{self._ns(namespace)}/tables")
-        return resp.get("identifiers", [])
+        return self._paged(
+            f"/namespaces/{self._ns(namespace)}/tables", "identifiers")
 
     def load_table(self, namespace: str | tuple, name: str) -> "RestTable":
         key = self._cache_key(namespace, name)

@@ -118,6 +118,16 @@ def _make_handler(state: _StubState):
                 if self.command == "GET":
                     idents = [{"namespace": list(k[:-1]), "name": k[-1]}
                               for k in state.tables if k[:-1] == ns]
+                    psz = getattr(state, "list_page_size", None)
+                    if psz:
+                        q = urllib.parse.parse_qs(
+                            urllib.parse.urlparse(self.path).query)
+                        off = int((q.get("pageToken") or ["0"])[0] or 0)
+                        page = idents[off:off + psz]
+                        body = {"identifiers": page}
+                        if off + psz < len(idents):
+                            body["next-page-token"] = str(off + psz)
+                        return self._send(200, body)
                     return self._send(200, {"identifiers": idents})
                 if self.command == "POST":
                     b = self._body()
@@ -1414,6 +1424,30 @@ def test_rename_invalidates_cache(stub):
     with pytest.raises(Exception, match="(?i)no such table|404|not.?found"):
         cat.load_table("db", "rn")
     assert cat.load_table("db", "rn2").name == "rn2"
+
+
+def test_list_tables_pagination(stub):
+    """pageToken pagination on listTables (REST spec next-page-token;
+    reference: catalog_api.cpp:309-361 and r2_catalog/test_r2_pagination
+    .test): the client must loop pages until no next-page-token — a
+    thousands-of-tables catalog served page-by-page would otherwise be
+    silently truncated to page one."""
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("pdb")
+    for i in range(5):
+        cat.create_table("pdb", f"t{i}", SCHEMA)
+    state.list_page_size = 2
+    try:
+        n0 = sum(1 for m, p in state.requests
+                 if m == "GET" and "/tables" in p)
+        names = sorted(t["name"] for t in cat.list_tables("pdb"))
+        assert names == [f"t{i}" for i in range(5)]
+        n1 = sum(1 for m, p in state.requests
+                 if m == "GET" and "/tables" in p)
+        assert n1 - n0 == 3  # 2 + 2 + 1 across three pages
+    finally:
+        state.list_page_size = None
 
 
 def test_nested_namespaces_crud(stub):

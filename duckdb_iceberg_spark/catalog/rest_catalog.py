@@ -71,6 +71,12 @@ class RestCatalogConfig:
     #: when False, expire_snapshots and transaction rollback never delete
     #: storage files (catalog-managed storage cleans up itself)
     remove_files_on_delete: bool = True
+    #: per-request socket timeout in seconds (reference: the AWS suite's
+    #: test_timeout_aws.test drives DuckDB's http timeout option). Without
+    #: one, a hung catalog endpoint blocks the DRIVER indefinitely — at
+    #: cluster scale that stalls every query planning against the catalog.
+    #: None disables (not recommended).
+    request_timeout_s: float | None = 60.0
 
 
 _GLUE_WAREHOUSE_FORMS = (
@@ -209,7 +215,12 @@ class RestCatalog:
 
     def __init__(self, config: RestCatalogConfig, *, opener=None):
         self.config = config
-        self._opener = opener or urllib.request.urlopen
+        if opener is None:
+            to = config.request_timeout_s
+
+            def opener(req, _to=to):  # noqa: F811 - default opener
+                return urllib.request.urlopen(req, timeout=_to)
+        self._opener = opener
         self._token: str | None = config.token
         self._token_expiry: float = float("inf") if config.token else 0.0
         self._prefix = config.prefix

@@ -76,9 +76,20 @@ def to_native_path(path: str) -> str:
 # ---------------------------------------------------------------------------
 
 def _target_arrow_schema(spark_schema):
+    """Arrow schema for the read target, carrying each top-level field's
+    ``parquet.field.id`` (as parquet's ``PARQUET:field_id`` key) so
+    ``_read_one`` can resolve renamed columns by id like the JVM reader."""
+    import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    return to_arrow_schema(spark_schema)
+    arrow = to_arrow_schema(spark_schema)
+    out = []
+    for i, f in enumerate(arrow):
+        meta = (spark_schema.fields[i].metadata or {})
+        fid = meta.get("parquet.field.id")
+        out.append(f.with_metadata({b"PARQUET:field_id": str(int(fid)).encode()})
+                   if fid is not None else f)
+    return pa.schema(out)
 
 
 def _read_one(fs_io: FileIO, path: str, target):
@@ -90,13 +101,29 @@ def _read_one(fs_io: FileIO, path: str, target):
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(_open_arrow_input(fs_io, path))
-    present = set(pf.schema_arrow.names)
-    want = [f.name for f in target if f.name in present]
-    tbl = pf.read(columns=want)
+    file_schema = pf.schema_arrow
+    # resolve target -> file column: field id first (BY_FIELD_ID, so
+    # renamed columns keep reading old files — same contract as the JVM
+    # reader), exact name otherwise. Exact top-level names stay unambiguous
+    # here even when a field name literally contains a dot (parquet-mr's
+    # dotted ColumnPath ambiguity doesn't exist on the arrow plane).
+    by_id = {}
+    for ff in file_schema:
+        fid = (ff.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            by_id[int(fid)] = ff.name
+    src_of = {}
+    for f in target:
+        tid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if tid is not None and int(tid) in by_id:
+            src_of[f.name] = by_id[int(tid)]
+        elif f.name in file_schema.names:
+            src_of[f.name] = f.name
+    tbl = pf.read(columns=sorted(set(src_of.values())))
     cols = []
     for f in target:
-        if f.name in tbl.column_names:
-            cols.append(_cast_column(tbl.column(f.name), f.type))
+        if f.name in src_of:
+            cols.append(_cast_column(tbl.column(src_of[f.name]), f.type))
         else:
             cols.append(pa.nulls(len(tbl), f.type))
     return pa.Table.from_arrays(cols, schema=target)

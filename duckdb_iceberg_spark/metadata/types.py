@@ -38,6 +38,16 @@ from typing import Any
 from pyspark.sql import types as T
 
 FIELD_ID_KEY = "parquet.field.id"
+
+
+def quoted_col(name: str):
+    """Top-level Spark Column reference by EXACT name: Iceberg field names
+    may legally contain dots, and an unquoted ``F.col("a.b")`` resolves as
+    a struct path (and renames the output to the leaf). Backtick-quote so
+    a column literally named ``a.b`` survives selection."""
+    from pyspark.sql import functions as F
+
+    return F.col("`" + name.replace("`", "``") + "`")
 ICEBERG_TYPE_KEY = "iceberg.type"
 
 _DECIMAL_RE = re.compile(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)")

@@ -168,7 +168,7 @@ def _parse_literal(tk: _Tokens) -> Any:
 
 
 def _parse_literal_expr(tk: _Tokens) -> Any:
-    """Literal with constant folding: arithmetic over NUMERIC literals
+    r"""Literal with constant folding: arithmetic over NUMERIC literals
     (`1 + 1`, `2 * (3 + 4)`) folds to its value so foldable filters still
     prune files (reference: partitioning/foldable_expression_filter.test —
     DuckDB folds before the pruner sees the filter). Non-numeric operands
@@ -199,6 +199,8 @@ def _parse_literal_expr(tk: _Tokens) -> Any:
             op = tk.next()[1]
             rhs = primary()
             a, b = _num(v), _num(rhs)
+            if b == 0 and op in ("/", "%"):
+                raise ValueError("zero divisor in literal arithmetic")
             if op == "*":
                 v = a * b
             elif op == "/":
@@ -206,7 +208,10 @@ def _parse_literal_expr(tk: _Tokens) -> Any:
             else:
                 if not (isinstance(a, int) and isinstance(b, int)):
                     raise ValueError("% needs integer operands")
-                v = a % b
+                # SQL modulo is TRUNCATED (sign of the dividend: Spark and
+                # DuckDB give -7 % 3 = -1), not Python's floored -7 % 3 = 2
+                r = abs(a) % abs(b)
+                v = r if a >= 0 else -r
         return v
 
     def expr():
@@ -341,7 +346,7 @@ def parse_where(where: str | None) -> Predicate:
         if tk.i != len(tk.toks):
             return None
         return p
-    except (ValueError, IndexError):
+    except (ValueError, IndexError, ArithmeticError):
         return None
 
 

@@ -119,7 +119,13 @@ def _navigate_struct(sch: dict, dotted: str) -> tuple[list[dict], str]:
     (map) — so ``people.element.age`` reaches the ``age`` member of a
     ``list<struct<...>>`` column, matching the evolved Spark tables the
     reference reads (schema_evolve_struct_in_list.test /
-    schema_evolve_struct_in_map.test)."""
+    schema_evolve_struct_in_map.test).
+
+    Iceberg field names may legally CONTAIN dots: an exact top-level name
+    match wins before the dotted-path traversal, so a column literally
+    named ``a.b`` stays addressable from every DDL entry point."""
+    if any(f["name"] == dotted for f in sch["fields"]):
+        return sch["fields"], dotted
     parts = dotted.split(".")
     fields = sch["fields"]
     i = 0
@@ -272,10 +278,13 @@ def set_column_default(location: str, name: str, default: Any) -> TableMetadata:
 
 
 def set_not_null(location: str, name: str, required: bool) -> TableMetadata:
+    """SET/DROP NOT NULL; dotted paths reach struct members like the other
+    DDL entry points."""
     tm = _load(location)
     sch = _next_schema(tm)
-    for f in sch["fields"]:
-        if f["name"] == name:
+    fields, leaf = _navigate_struct(sch, name)
+    for f in fields:
+        if f["name"] == leaf:
             f["required"] = required
             return _commit_schema(tm, sch)
     raise KeyError(f"no column {name!r}")

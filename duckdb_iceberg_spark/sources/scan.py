@@ -42,6 +42,9 @@ from ..metadata.table_metadata import TableMetadata, load_table_metadata
 from ..plans.scan_plan import FileScanTask, ScanPlan, plan_scan
 
 _FILE_COL = "__ice_file"
+
+
+_qcol = ice_types.quoted_col
 _POS_COL = "__ice_pos"
 
 
@@ -356,9 +359,22 @@ def scan_to_dataframe(
                     rest, _uuid_fmt(F.col(".".join(path)))))
         return d
 
+    # Spark's parquet field-id reader misresolves when a top-level field
+    # name literally contains a dot and a struct path spells the same
+    # dotted string (parquet-mr ColumnPath ambiguity — requested id-1
+    # column comes back with the struct leaf's values). The arrow reader
+    # resolves by exact top-level name + field id, so route such schemas
+    # through it; DuckDB reads these correctly and so must we.
+    # ... gate on every historical schema version: after a rename the
+    # CURRENT names may be dot-free while older data files still carry the
+    # dotted column.
+    dotted_names = any(
+        "." in f["name"]
+        for sch in plan.tm.schemas.values() for f in sch["fields"])
+
     parts: list[DataFrame] = []
     if main_files:
-        if _ad.is_spark_native(spark, main_files):
+        if _ad.is_spark_native(spark, main_files) and not dotted_names:
             parts.append(_uuid_to_str(_with_pos(
                 spark.read.schema(read_schema).parquet(
                     *[_ad.to_native_path(f) for f in main_files]))))
@@ -392,7 +408,7 @@ def scan_to_dataframe(
         keep += ["filename", "file_row_number"]
     if with_row_lineage:
         keep += ["_row_id", "_last_updated_sequence_number"]
-    df = df.select(*keep)
+    df = df.select(*[_qcol(c) for c in keep])
 
     if plan.residual:
         df = df.filter(F.expr(plan.residual))

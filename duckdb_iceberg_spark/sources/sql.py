@@ -406,7 +406,10 @@ def _exec_delete(spark: SparkSession, stmt: str) -> DataFrame:
             if src_name.lower() in reg:
                 refresh_table(spark, src_name)
             src_df = spark.table(src_name)
-            src_quals = {src_name, *( [src_alias] if src_alias else [] )}
+            # both the full dotted name and its last segment qualify the
+            # source (Spark SQL permits either after USING db.tbl)
+            src_quals = {src_name, src_name.rsplit(".", 1)[-1],
+                         *( [src_alias] if src_alias else [] )}
         cond = _norm_refs(where, quals, src_quals)
         tm = delete_using(spark, source, src_df, cond)
         refresh_table(spark, view)
@@ -616,8 +619,11 @@ def _exec_update(spark: SparkSession, stmt: str) -> DataFrame:
             src_df = spark.sql(f"SELECT * FROM {src_rel}")
         if where is None:
             raise ValueError("UPDATE ... FROM requires a WHERE join condition")
-        src_quals = ({salias} if salias else set()) | (
-            {src_rel} if not src_rel.startswith("(") else set())
+        src_quals = ({salias} if salias else set())
+        if not src_rel.startswith("("):
+            # both the full dotted name and its last segment qualify the
+            # source (Spark SQL permits either after FROM db.tbl)
+            src_quals |= {src_rel, src_rel.rsplit(".", 1)[-1]}
         on = _norm_refs(where, quals, src_quals, tgt_repl="tgt.")
         assigns = {c: _norm_refs(e, quals, src_quals, tgt_repl="tgt.")
                    for c, e in _split_assignments(set_part).items()}
@@ -717,8 +723,11 @@ def _exec_merge(spark: SparkSession, stmt: str) -> DataFrame:
     else:
         source = spark.sql(f"SELECT * FROM {src_rel}")
     tgt_quals = {tname, *( [talias] if talias else [] )}
-    src_quals = ({salias} if salias else set()) | (
-        {src_rel} if not src_rel.startswith("(") else set())
+    src_quals = ({salias} if salias else set())
+    if not src_rel.startswith("("):
+        # both the full dotted name and its last segment qualify the
+        # source (Spark SQL permits either after USING db.tbl)
+        src_quals |= {src_rel, src_rel.rsplit(".", 1)[-1]}
 
     # dml join convention: target refs as tgt.<col>, source refs as
     # src.<col>. Columns present on both sides MUST be alias-qualified in

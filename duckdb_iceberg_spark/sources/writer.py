@@ -552,11 +552,11 @@ def _with_field_id_metadata(df: DataFrame, schema_json: dict) -> DataFrame:
     for f in df.schema.fields:
         ice = by_name.get(f.name)
         if ice is None:
-            cols.append(F.col(f.name))
+            cols.append(ice_types.quoted_col(f.name))
         else:
             md = dict(f.metadata or {})
             md[ice_types.FIELD_ID_KEY] = ice["id"]
-            cols.append(F.col(f.name).alias(f.name, metadata=md))
+            cols.append(ice_types.quoted_col(f.name).alias(f.name, metadata=md))
     return df.select(*cols)
 
 
@@ -568,7 +568,7 @@ def _cast_to_table_schema(df: DataFrame, schema_json: dict) -> DataFrame:
         if name in df.columns:
             target = ice_types.iceberg_to_spark(ice["type"])
             cur = df.schema[name].dataType
-            c = F.col(name)
+            c = ice_types.quoted_col(name)
             if cur != target and not isinstance(target, T.NullType):
                 c = c.cast(target)
             cols.append(c.alias(name))

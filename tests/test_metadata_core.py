@@ -401,6 +401,15 @@ def test_parse_where_folds_constant_arithmetic():
     assert P.parse_where("k = 1 - 2") is None      # '1 -2' lexes as two nums
     assert P.parse_where("k = 'a' + 1") is None    # non-numeric operand
     assert P.parse_where("k = -5") == P.Comparison("k", "=", -5)
+    # SQL modulo is TRUNCATED (sign of the dividend: Spark and DuckDB give
+    # -7 % 3 = -1), not Python's floored -7 % 3 = 2 — a floored fold here
+    # would prune the WRONG files for negative partition keys
+    assert P.parse_where("k = -7 % 3") == P.Comparison("k", "=", -1)
+    assert P.parse_where("k = 7 % -3") == P.Comparison("k", "=", 1)
+    # zero divisors degrade to no-pruning instead of raising out of the
+    # parser (Spark evaluates 1/0 to NULL at runtime; never fold it)
+    assert P.parse_where("k = 1 / 0") is None
+    assert P.parse_where("k = 7 % 0") is None
 
 
 def test_foldable_filter_prunes_files(spark, tmp_path):

@@ -310,3 +310,22 @@ def test_minimal_metadata_requests_per_scan(spark, mock_fs):
     assert not any(".parquet" in p for p in calls["read"]), (
         "planning opened a data file")
     assert len(calls["exists"]) <= 4, calls["exists"]
+
+
+def test_rename_then_scan_resolves_by_field_id(spark, mock_fs):
+    """Column rename + widen over an object store: old data files carry the
+    OLD name, so the arrow read path must resolve them BY FIELD ID (the
+    same contract as the JVM parquet reader) — name-only matching would
+    silently return NULL for every pre-rename file."""
+    from duckdb_iceberg_spark.sources import ddl
+
+    loc = "mock://bucket/t_rename"
+    write_iceberg(spark.range(5).selectExpr(
+        "CAST(id AS INT) AS v", "id AS k"), loc)
+    ddl.rename_column(loc, "v", "val")
+    ddl.widen_column(loc, "val", "long")
+    write_iceberg(spark.range(5, 8).selectExpr(
+        "id AS val", "id AS k"), loc)
+
+    got = {r.k: r.val for r in iceberg_scan(spark, loc).collect()}
+    assert got == {i: i for i in range(8)}, got

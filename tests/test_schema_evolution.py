@@ -255,3 +255,31 @@ def test_struct_member_evolution_inside_list_and_map(spark, tmp_path):
 
     with _pytest.raises(KeyError):
         ddl.rename_column(loc, "people.element", "nope")
+
+
+def test_column_name_containing_dot(spark, tmp_path):
+    """Iceberg field names may legally CONTAIN dots; an exact top-level
+    match wins over dotted-path traversal, so a column literally named
+    'a.b' stays addressable by every DDL entry point — even when a struct
+    column 'a' with member 'b' ALSO exists (the exact name is the only
+    unambiguous reading)."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources import ddl
+
+    loc = str(tmp_path / "t_dotcol")
+    write_iceberg(spark.sql(
+        "SELECT CAST(id AS INT) AS `a.b`, "
+        "named_struct('b', CAST(id*10 AS INT)) AS a FROM range(3)"), loc)
+
+    ddl.widen_column(loc, "a.b", "long")          # exact name, not a.b path
+    ddl.set_column_doc(loc, "a.b", "dotted name")
+    got = iceberg_scan(spark, loc)
+    assert got.schema["a.b"].dataType.typeName() == "long"
+    assert got.schema["a"].dataType["b"].dataType.typeName() == "integer"
+
+    # the struct member stays reachable once the dotted column is renamed
+    ddl.rename_column(loc, "a.b", "ab")
+    ddl.widen_column(loc, "a.b", "long")          # now traverses a -> b
+    got2 = iceberg_scan(spark, loc)
+    assert got2.schema["a"].dataType["b"].dataType.typeName() == "long"
+    assert got2.selectExpr("sum(ab)").first()[0] == 3

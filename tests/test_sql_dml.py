@@ -378,3 +378,43 @@ def test_sql_update_from_join(spark, tmp_path):
             "WHERE id = dups.update_id - 1")
     still = sorted(r.id for r in spark.sql("SELECT id FROM upd_from_t").collect())
     assert still == got  # failed joined update committed nothing
+
+
+def test_sql_dml_dotted_source_last_segment_qualifier(spark, tmp_path):
+    """A dotted source relation (FROM/USING db.tbl) may be referenced in
+    conditions by its LAST segment alone, as Spark SQL permits — both
+    `global_temp.s.c` and `s.c` must resolve. Covers UPDATE ... FROM,
+    DELETE ... USING, and MERGE sources."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = str(tmp_path / "dotted_src")
+    write_iceberg(spark.sql("SELECT id FROM range(10)"), loc)
+    register_table(spark, "dotted_t", loc)
+    spark.sql("SELECT id * 2 AS mid FROM range(3)") \
+        .createOrReplaceGlobalTempView("dotted_src_v")
+    try:
+        execute_sql(
+            spark,
+            "UPDATE dotted_t SET id = id + 100 FROM global_temp.dotted_src_v "
+            "WHERE id = dotted_src_v.mid")
+        got = sorted(r.id for r in spark.sql("SELECT id FROM dotted_t").collect())
+        assert got == [1, 3, 5, 6, 7, 8, 9, 100, 102, 104]
+
+        execute_sql(
+            spark,
+            "DELETE FROM dotted_t USING global_temp.dotted_src_v "
+            "WHERE id = dotted_src_v.mid + 100")
+        got = sorted(r.id for r in spark.sql("SELECT id FROM dotted_t").collect())
+        assert got == [1, 3, 5, 6, 7, 8, 9]
+
+        execute_sql(
+            spark,
+            "MERGE INTO dotted_t USING global_temp.dotted_src_v "
+            "ON dotted_t.id = dotted_src_v.mid "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT (id) VALUES (dotted_src_v.mid + 50)")
+        got = sorted(r.id for r in spark.sql("SELECT id FROM dotted_t").collect())
+        assert got == [1, 3, 5, 6, 7, 8, 9, 50, 52, 54]
+    finally:
+        spark.catalog.dropGlobalTempView("dotted_src_v")

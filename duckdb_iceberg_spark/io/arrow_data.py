@@ -76,20 +76,40 @@ def to_native_path(path: str) -> str:
 # ---------------------------------------------------------------------------
 
 def _target_arrow_schema(spark_schema):
-    """Arrow schema for the read target, carrying each top-level field's
-    ``parquet.field.id`` (as parquet's ``PARQUET:field_id`` key) so
-    ``_read_one`` can resolve renamed columns by id like the JVM reader."""
+    """Arrow schema for the read target, carrying every field's
+    ``parquet.field.id`` (as parquet's ``PARQUET:field_id`` key) down
+    through nested structs so ``_read_one`` can resolve renamed columns —
+    top-level AND struct members — by id like the JVM reader."""
     import pyarrow as pa
+    from pyspark.sql import types as T
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    def annotate(af: pa.Field, st, meta) -> pa.Field:
+        at = af.type
+        if pa.types.is_struct(at) and isinstance(st, T.StructType):
+            at = pa.struct([
+                annotate(at.field(i), st.fields[i].dataType,
+                         st.fields[i].metadata)
+                for i in range(at.num_fields)])
+        elif (pa.types.is_list(at) or pa.types.is_large_list(at)) \
+                and isinstance(st, T.ArrayType):
+            value = annotate(at.value_field, st.elementType, None)
+            at = (pa.large_list(value) if pa.types.is_large_list(at)
+                  else pa.list_(value))
+        elif pa.types.is_map(at) and isinstance(st, T.MapType):
+            at = pa.map_(annotate(at.key_field, st.keyType, None),
+                         annotate(at.item_field, st.valueType, None))
+        af = pa.field(af.name, at, af.nullable)
+        fid = (meta or {}).get("parquet.field.id")
+        if fid is not None:
+            af = af.with_metadata({b"PARQUET:field_id": str(int(fid)).encode()})
+        return af
+
     arrow = to_arrow_schema(spark_schema)
-    out = []
-    for i, f in enumerate(arrow):
-        meta = (spark_schema.fields[i].metadata or {})
-        fid = meta.get("parquet.field.id")
-        out.append(f.with_metadata({b"PARQUET:field_id": str(int(fid)).encode()})
-                   if fid is not None else f)
-    return pa.schema(out)
+    return pa.schema([
+        annotate(arrow.field(i), spark_schema.fields[i].dataType,
+                 spark_schema.fields[i].metadata)
+        for i in range(len(arrow))])
 
 
 def _read_one(fs_io: FileIO, path: str, target):
@@ -115,18 +135,102 @@ def _read_one(fs_io: FileIO, path: str, target):
     src_of = {}
     for f in target:
         tid = (f.metadata or {}).get(b"PARQUET:field_id")
-        if tid is not None and int(tid) in by_id:
-            src_of[f.name] = by_id[int(tid)]
+        if tid is not None and by_id:
+            # id-only when the file carries ids: a dropped+re-added name
+            # must NOT resurrect the old column's values
+            if int(tid) in by_id:
+                src_of[f.name] = by_id[int(tid)]
         elif f.name in file_schema.names:
             src_of[f.name] = f.name
     tbl = pf.read(columns=sorted(set(src_of.values())))
     cols = []
     for f in target:
         if f.name in src_of:
-            cols.append(_cast_column(tbl.column(src_of[f.name]), f.type))
+            cols.append(_align_column(tbl.column(src_of[f.name]), f))
         else:
             cols.append(pa.nulls(len(tbl), f.type))
     return pa.Table.from_arrays(cols, schema=target)
+
+
+def _field_id(field) -> int | None:
+    v = (field.metadata or {}).get(b"PARQUET:field_id")
+    return int(v) if v is not None else None
+
+
+def _align_column(col, tgt_field):
+    """Recursively align a file column to the target field: struct members
+    resolve BY FIELD ID first (so renamed members keep reading old files —
+    the JVM reader's contract), exact name otherwise; members added since
+    the file was written null-fill; primitives cast (incl. uuid rendering).
+    All columnar arrow ops — no per-row Python outside the uuid edge."""
+    import pyarrow as pa
+
+    tgt_t = tgt_field.type
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    if pa.types.is_struct(tgt_t):
+        if not pa.types.is_struct(arr.type):
+            return pa.nulls(len(arr), tgt_t)
+        src_t = arr.type
+        by_id = {}
+        by_name = {}
+        for i in range(src_t.num_fields):
+            sf = src_t.field(i)
+            fid = _field_id(sf)
+            if fid is not None:
+                by_id[fid] = i
+            by_name[sf.name] = i
+        members = []
+        for j in range(tgt_t.num_fields):
+            tf = tgt_t.field(j)
+            fid = _field_id(tf)
+            # BY_FIELD_ID whenever the file level carries ids (a dropped+
+            # re-added name must NOT resurrect the old column's values);
+            # name matching only for foreign files written without ids
+            if fid is not None and by_id:
+                idx = by_id.get(fid)
+            else:
+                idx = by_name.get(tf.name)
+            if idx is None:
+                members.append(pa.nulls(len(arr), tf.type))
+            else:
+                members.append(_align_column(arr.field(idx), tf))
+        mask = arr.is_null() if arr.null_count else None
+        return pa.StructArray.from_arrays(
+            members, fields=[tgt_t.field(j) for j in range(tgt_t.num_fields)],
+            mask=mask)
+
+    if pa.types.is_list(tgt_t) or pa.types.is_large_list(tgt_t):
+        if not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+            return pa.nulls(len(arr), tgt_t)
+        values = _align_column(arr.values, tgt_t.value_field)
+        mask = arr.is_null() if arr.null_count else None
+        make = (pa.LargeListArray if pa.types.is_large_list(tgt_t)
+                else pa.ListArray)
+        offsets = arr.offsets
+        if pa.types.is_large_list(arr.type) != pa.types.is_large_list(tgt_t):
+            offsets = offsets.cast(
+                pa.int64() if pa.types.is_large_list(tgt_t) else pa.int32())
+        return make.from_arrays(offsets, values, mask=mask)
+
+    if pa.types.is_map(tgt_t):
+        if not pa.types.is_map(arr.type):
+            return pa.nulls(len(arr), tgt_t)
+        keys = _align_column(arr.keys, tgt_t.key_field)
+        items = _align_column(arr.items, tgt_t.item_field)
+        offsets = arr.offsets
+        if arr.null_count:
+            # MapArray.from_arrays has no mask kwarg; null entries are
+            # encoded as null OFFSETS instead (python loop over offsets
+            # only — bounded by row count, rare path)
+            off = offsets.to_pylist()
+            nulls = arr.is_null().to_pylist()
+            offsets = pa.array(
+                [None if i < len(nulls) and nulls[i] else off[i]
+                 for i in range(len(off))], offsets.type)
+        return pa.MapArray.from_arrays(offsets, keys, items)
+
+    return _cast_column(arr, tgt_t)
 
 
 def _cast_column(col, target_type):

@@ -329,3 +329,37 @@ def test_rename_then_scan_resolves_by_field_id(spark, mock_fs):
 
     got = {r.k: r.val for r in iceberg_scan(spark, loc).collect()}
     assert got == {i: i for i in range(8)}, got
+
+
+def test_nested_member_rename_over_object_store(spark, mock_fs):
+    """Struct-member rename + widen over an object store, including members
+    nested inside list elements and map values: the arrow read path aligns
+    structs member-by-member via parquet field ids (a flat arrow cast
+    would fail on the renamed member)."""
+    from duckdb_iceberg_spark.sources import ddl
+
+    loc = "mock://bucket/t_nested_rename"
+    write_iceberg(spark.sql(
+        "SELECT id, named_struct('name', concat('p', id), "
+        "'age', CAST(20+id AS INT)) AS person, "
+        "array(named_struct('tag', concat('t', id))) AS tags, "
+        "map('k', named_struct('v', CAST(id AS INT))) AS m "
+        "FROM range(3)"), loc)
+    ddl.rename_column(loc, "person.name", "given_name")
+    ddl.widen_column(loc, "person.age", "long")
+    ddl.rename_column(loc, "tags.element.tag", "label")
+    ddl.rename_column(loc, "m.value.v", "w")
+    write_iceberg(spark.sql(
+        "SELECT id+10 AS id, named_struct('given_name', concat('q', id), "
+        "'age', CAST(9223372036854775807 AS BIGINT)) AS person, "
+        "array(named_struct('label', concat('u', id))) AS tags, "
+        "map('k', named_struct('w', CAST(id AS INT))) AS m "
+        "FROM range(2)"), loc)
+
+    rows = {r.id: (r.person.given_name, r.person.age, r.tags[0].label,
+                   dict(r.m)["k"].w)
+            for r in iceberg_scan(spark, loc).collect()}
+    assert rows[0] == ("p0", 20, "t0", 0)
+    assert rows[2] == ("p2", 22, "t2", 2)
+    assert rows[10] == ("q0", 9223372036854775807, "u0", 0)
+    assert rows[11] == ("q1", 9223372036854775807, "u1", 1)

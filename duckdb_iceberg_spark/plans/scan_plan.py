@@ -87,6 +87,29 @@ class ScanPlan:
             return None
         return sum(t.data_file.record_count for t in self.tasks)
 
+    def estimated_row_count(self) -> int:
+        """Cardinality ESTIMATE, valid even when deletes apply (reference:
+        iceberg_cardinality_estimates.test — DuckDB's EXPLAIN shows
+        ~record_count minus delete cardinality so joins plan against the
+        LIVE row count, not the raw file counts): live data rows minus each
+        distinct positional-delete/DV file's cardinality and equality-delete
+        row count, floored at zero. Metadata-only — never opens a data
+        file; exact for positional deletes/DVs, an upper-bound heuristic
+        for equality deletes (each delete row removes ≥0 data rows)."""
+        total = sum(t.data_file.record_count for t in self.tasks)
+        seen: set = set()
+        removed = 0
+        for t in self.tasks:
+            for d in t.positional_deletes:
+                if d.file_path not in seen:
+                    seen.add(d.file_path)
+                    removed += int(d.record_count or 0)
+            for _, d in t.equality_deletes:
+                if d.file_path not in seen:
+                    seen.add(d.file_path)
+                    removed += int(d.record_count or 0)
+        return max(0, total - removed)
+
 
 def _localize(tm: TableMetadata, path: str) -> str:
     """Map absolute table-relative paths onto the actual table location
@@ -512,7 +535,7 @@ def plan_scan(
     the snapshot is not current)."""
     pred = P.parse_where(where)
     stats = {"manifests_total": 0, "manifests_pruned": 0, "files_total": 0,
-             "files_pruned": 0, "delete_files": 0}
+             "files_pruned": 0, "delete_files": 0, "estimated_rows": 0}
     if snapshot is None or not (snapshot.manifest_list or snapshot.manifests):
         return ScanPlan(tm, snapshot, [], where, None, stats)
 
@@ -617,4 +640,6 @@ def plan_scan(
                 task.equality_deletes.append(((de.sequence_number or 0), df2))
         tasks.append(task)
 
-    return ScanPlan(tm, snapshot, tasks, where, scan_schema_id, stats)
+    plan = ScanPlan(tm, snapshot, tasks, where, scan_schema_id, stats)
+    stats["estimated_rows"] = plan.estimated_row_count()
+    return plan

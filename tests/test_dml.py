@@ -341,3 +341,34 @@ def test_no_match_dml_creates_no_snapshot(spark, tmp_path):
     assert len(load_table_metadata(loc).snapshots) == n0
     delete_from(spark, loc, "k = 999", mode="merge-on-read")
     assert len(load_table_metadata(loc).snapshots) == n0
+
+
+def test_cardinality_estimate_reflects_deletes(spark, tmp_path):
+    """Metadata-only cardinality estimate survives deletes (reference:
+    iceberg_scans/iceberg_cardinality_estimates.test — DuckDB's EXPLAIN
+    shows ~record_count minus delete cardinality, 60175 for the
+    lineitem_001_deletes fixture): exact_row_count goes None once deletes
+    apply, but estimated_row_count keeps the live count so join sizing can
+    still plan from metadata. Repeated add+delete rounds (the
+    many_adds_deletes analogue) stay exact for positional deletes."""
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    loc = str(tmp_path / "card_est")
+    write_iceberg(spark.range(1000).selectExpr("id", "id % 10 AS k"), loc)
+    delete_from(spark, loc, "k = 3", mode="merge-on-read")
+
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot(), None)
+    assert plan.exact_row_count() is None        # deletes apply
+    assert plan.estimated_row_count() == 900
+    assert plan.stats["estimated_rows"] == 900
+    assert iceberg_scan(spark, loc).count() == 900
+
+    # many_adds_deletes analogue: stacking rounds stays exact
+    write_iceberg(spark.range(1000, 2000).selectExpr("id", "id % 10 AS k"), loc)
+    delete_from(spark, loc, "k IN (4, 5)", mode="merge-on-read")
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot(), None)
+    live = iceberg_scan(spark, loc).count()
+    assert plan.estimated_row_count() == live == 1500

@@ -99,6 +99,7 @@ HEADLINE = [
     "stream_dedup_ttl",
     "mm_frame_sample",
     "mm_video_meta",
+    "docs_dsir_sample",
 ]
 
 

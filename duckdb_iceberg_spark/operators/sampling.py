@@ -18,12 +18,20 @@ bit-for-bit — the driver's DuckDB oracle checks them cross-engine.
   bin where it starts. One window aggregation per shard partition, so the
   sort parallelizes across shards instead of a single global order-by
   (the 100 TB failure mode of naive packing).
+
+- dsir_importance_weights / dsir_resample: DSIR data selection (Xie et
+  al. 2023). The one exception to "pure Column expressions" here: the
+  per-(doc, bucket) count frames persist() so the statistics fit and the
+  weight join share one tokenizer pass — the dedup-family cache contract
+  applies (the caller owns the cache lifetime; long-lived sessions should
+  clearCache()/unpersist() when done).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -247,4 +255,131 @@ def cap_per_source(
         df.withColumn("__quality", s)
         .withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= cap)
+    )
+
+
+def _hex32(col: Column) -> Column:
+    """First 8 md5 hex chars as an unsigned 32-bit integer — the engine's
+    cross-engine hash primitive (DuckDB: CAST('0x'||substr(md5(x),1,8) AS
+    BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    buckets: int = 4096,
+    n_max: int = 2,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023, arXiv:2302.03169): score every raw document by how
+    much it resembles a small TARGET corpus, log p_target(x) − p_raw(x)
+    under hashed-n-gram bag-of-words models with add-one smoothing.
+
+    Returns (id, log_weight) with log_weight DECIMAL(28,6): each bucket's
+    log-ratio is rounded to 6dp and cast to DECIMAL(18,6) BEFORE the
+    per-document sum, so the accumulation is exact integer arithmetic and
+    any ANSI engine reproduces it bit-for-bit regardless of summation
+    order (a raw double sum would drift in the last ulps across engines).
+
+    Scale shape: ONE explode per corpus, immediately collapsed to
+    per-(doc, bucket) counts (map-side partials) and persist()ed — every
+    later consumer (bucket totals, ratio table, weight join) reuses that
+    narrow cache instead of re-running the tokenizer (the dedup-family
+    cache contract: the caller owns the cache lifetime). Corpus totals
+    derive from the ≤``buckets``-row count tables via broadcast
+    single-row crossJoins (no driver collect), the ≤``buckets``-row
+    log-ratio table broadcasts into the weight join, and the weighted sum
+    moves distinct (doc, bucket) pairs — never individual gram
+    occurrences. Nothing is proportional to vocabulary size."""
+    from .text import ngram_array
+
+    lw_t = T.DecimalType(18, 6)
+
+    def bucket_counts(frame):
+        return (
+            frame.select(
+                F.col(id_col).alias("__id"),
+                F.explode(ngram_array(F.col(text_col), n_max)).alias("__g"))
+            .select("__id", (_hex32(F.col("__g")) % buckets).alias("__b"))
+            .groupBy("__id", "__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+
+    raw = bucket_counts(df).persist()
+    cr = raw.groupBy("__b").agg(F.sum("__c").alias("__cr"))
+    # ct is ≤buckets rows but costs the full target explode — persist so
+    # the ratio table and the target total don't tokenize twice
+    ct = bucket_counts(target).groupBy("__b").agg(
+        F.sum("__c").alias("__ct")).persist()
+    tot_r = cr.agg(F.sum("__cr").alias("__tr"))
+    tot_t = ct.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt"))
+    ratio = (
+        cr.join(ct, "__b", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "__b",
+            F.round(
+                F.log((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0))
+                      / (F.col("__tt") + F.lit(float(buckets))))
+                - F.log((F.col("__cr") + F.lit(1.0))
+                        / (F.col("__tr") + F.lit(float(buckets)))),
+                6).cast(lw_t).alias("__lr"),
+        )
+    )
+    weights = (
+        raw.join(F.broadcast(ratio), "__b")
+        .groupBy("__id")
+        .agg(F.sum(F.col("__lr") * F.col("__c")).alias("__lw"))
+    )
+    out_t = T.DecimalType(28, 6)
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(weights, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__lw").cast(out_t),
+                       F.lit(0).cast(out_t)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    buckets: int = 4096,
+    n_max: int = 2,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR selection: top-``k`` documents by importance weight plus
+    deterministic Gumbel noise (Gumbel-top-k IS sampling-without-
+    replacement proportional to the softmax of the weights — the paper's
+    sampling step, derandomized): g = −ln(−ln u) with u derived from
+    md5(id, salt), so the same corpus + salt selects the same documents in
+    every engine and on every rerun. Returns (id, log_weight, score)
+    ordered by (score desc, id); score is an exact DECIMAL sum of the two
+    rounded-6dp parts.
+
+    Scale: the weight pass above plus one TakeOrderedAndProject top-k — a
+    per-partition heap + driver merge of k rows, never a global sort."""
+    w = dsir_importance_weights(
+        df, target, text_col, id_col, buckets=buckets, n_max=n_max)
+    u = (_hex32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+         + F.lit(0.5)) / F.lit(4294967296.0)
+    gum = F.round(-F.log(-F.log(u)), 6).cast(T.DecimalType(18, 6))
+    out_t = T.DecimalType(28, 6)
+    return (
+        w.withColumn("score",
+                     (F.col("log_weight") + gum).cast(out_t))
+        .select(id_col, "log_weight", "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
     )

@@ -449,6 +449,30 @@ def chunk_documents(
     )
 
 
+def ngram_array(col: Column, n_max: int = 2) -> Column:
+    """Lowercase whitespace tokens and word n-grams up to ``n_max``, as one
+    flat array column. n-grams build as zip_with over n shifted slices —
+    NOT element_at/get with a dynamic index, which re-evaluates the
+    tokenization per element access (measured 11× slower, O(len²) per
+    doc). greatest() clamps the slice length so sub-n-token docs yield
+    empty arrays (also dodging sequence()'s descending mode)."""
+    toks = F.filter(F.split(F.lower(F.trim(col)), r"\s+"),
+                    lambda x: x != "")
+
+    def _ngrams(n):
+        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        cur = F.slice(toks, 1, cnt)
+        for j in range(1, n):
+            cur = F.zip_with(cur, F.slice(toks, 1 + j, cnt),
+                             lambda a, b: F.concat_ws(" ", a, b))
+        return cur
+
+    gram_arrays = [toks]
+    for n in range(2, n_max + 1):
+        gram_arrays.append(_ngrams(n))
+    return F.flatten(F.array(*gram_arrays))
+
+
 def vocab_stats(
     df,
     text_col: str = "text",
@@ -466,27 +490,9 @@ def vocab_stats(
     one on gram, and the final top-k is Spark's TakeOrderedAndProject —
     a per-partition heap + driver merge of top_k rows, never a full
     vocabulary sort. All Column expressions, no Python."""
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                    lambda x: x != "")
-    def _ngrams(n):
-        # n-grams as zip_with over n shifted slices — NOT element_at/get
-        # with a dynamic index, which re-evaluates the tokenization per
-        # element access (measured 11× slower, O(len²) per doc). greatest()
-        # clamps the slice length so sub-n-token docs yield empty arrays
-        # (also dodging sequence()'s descending mode).
-        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-        cur = F.slice(toks, 1, cnt)
-        for j in range(1, n):
-            cur = F.zip_with(cur, F.slice(toks, 1 + j, cnt),
-                             lambda a, b: F.concat_ws(" ", a, b))
-        return cur
-
-    gram_arrays = [toks]
-    for n in range(2, n_max + 1):
-        gram_arrays.append(_ngrams(n))
     exploded = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.flatten(F.array(*gram_arrays))).alias("gram"),
+        F.explode(ngram_array(F.col(text_col), n_max)).alias("gram"),
     )
     per_doc = exploded.groupBy("gram", "__id").agg(
         F.count(F.lit(1)).alias("__c"))

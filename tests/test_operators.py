@@ -1285,3 +1285,46 @@ def test_jpeg_grey_with_declared_2x2_sampling():
     assert base is not None and out is not None
     assert (out[0], out[1]) == (24, 24)
     assert np.allclose(out[2], base[2], atol=1e-6)
+
+
+def test_dsir_importance_weights_prefer_target_like_docs(spark):
+    """DSIR (hashed-n-gram importance resampling): documents sharing the
+    target corpus's vocabulary score higher than off-target documents, the
+    weights are exact decimals (cross-engine reproducible), and the
+    Gumbel-top-k selection is deterministic across runs."""
+    from decimal import Decimal
+
+    from duckdb_iceberg_spark.operators.sampling import (
+        dsir_importance_weights, dsir_resample)
+
+    # long docs: the importance weight must dominate the bounded Gumbel
+    # noise (~±7) so the top-k is the target-like set, not a coin flip
+    target_text = "the quick brown fox jumps over the lazy dog " * 30
+    off_text = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 30
+    # raw corpus dominated by off-target docs: importance log-ratio is
+    # p_target/p_raw, so target-like docs must be a MINORITY of raw for
+    # their grams to score positively (5 on-target / 15 off / 1 empty)
+    rows = ([(i, target_text) for i in range(5)]
+            + [(100 + i, off_text) for i in range(15)]
+            + [(200, "")])                      # empty doc -> weight 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, target_text) for i in range(3)],
+        "doc_id long, text string")
+
+    w = {r.doc_id: r.log_weight
+         for r in dsir_importance_weights(df, target).collect()}
+    assert len(w) == 21
+    assert all(isinstance(v, Decimal) for v in w.values())
+    assert w[200] == Decimal("0.000000")
+    # every target-like doc outranks every off-target doc, with the
+    # on-target weights positive and off-target negative
+    assert min(w[i] for i in range(5)) > 0 > max(w[100 + i] for i in range(15))
+
+    sel = dsir_resample(df, target, 5).collect()
+    # ordered by (score desc, id): equal weights leave the Gumbel term to
+    # order the five on-target docs, but the SET must be exactly them
+    assert sorted(r.doc_id for r in sel) == [0, 1, 2, 3, 4]
+    again = dsir_resample(df, target, 5).collect()
+    assert [(r.doc_id, r.score) for r in sel] == \
+        [(r.doc_id, r.score) for r in again]

@@ -1477,6 +1477,20 @@ def test_nested_namespaces_crud(stub):
     assert ["org", "team", "proj"] not in [
         list(n) for n in cat.list_namespaces()]
 
+    # a namespace NAME may itself contain dots (reference quotes it:
+    # schema_properties_update_nested.test "my.nested.namespace") — passed
+    # as a 1-tuple it stays ONE level: dots reach the wire verbatim, no
+    # %1F splitting, and properties round-trip under the dotted name
+    dotted = ("my.nested.namespace",)
+    cat.create_namespace(dotted)
+    assert ["my.nested.namespace"] in [list(n) for n in cat.list_namespaces()]
+    cat.update_namespace_properties(dotted, updates={"myprop1": "1"})
+    assert cat.namespace_properties(dotted)["myprop1"] == "1"
+    reqs = [_up.unquote(p) for _m, p in state.requests
+            if "my.nested.namespace" in _up.unquote(p)]
+    assert reqs and all("\x1f" not in p for p in reqs), reqs
+    cat.drop_namespace(dotted)
+
 
 def test_conflict_invalidates_cache(stub):
     """A 409 commit conflict must ALSO drop the cached loadTable response

@@ -142,3 +142,16 @@ def test_v2_to_v3_upgrade_mixed_delete_history(spark, tmp_path):
              for r in iceberg_scan(spark, loc, with_row_lineage=True).collect()}
     assert sorted(final) == [1, 3, 5, 7, 9, 11, 12, 14]
     assert final[11] == 11 and final[3] == 3  # lineage survives the DV
+
+    # time travel to the pre-upgrade snapshot: its manifests carry no
+    # first_row_id, so _row_id is NULL — ids are NOT invented
+    # retroactively for historical reads (reference:
+    # test_row_lineage_read_from_upgraded.test shows NULL at every
+    # pre-rewrite snapshot)
+    tm2 = load_table_metadata(loc)
+    v2_snap = min(tm2.snapshots, key=lambda s: s.timestamp_ms)
+    old = iceberg_scan(spark, loc, snapshot_id=v2_snap.snapshot_id,
+                       with_row_lineage=True).collect()
+    assert sorted(r.id for r in old) == list(range(10))
+    assert all(r._row_id is None for r in old)
+    assert all(r._last_updated_sequence_number == 1 for r in old)

@@ -20,11 +20,10 @@ bit-for-bit — the driver's DuckDB oracle checks them cross-engine.
   (the 100 TB failure mode of naive packing).
 
 - dsir_importance_weights / dsir_resample: DSIR data selection (Xie et
-  al. 2023). The one exception to "pure Column expressions" here: the
-  per-(doc, bucket) count frames persist() so the statistics fit and the
-  weight join share one tokenizer pass — the dedup-family cache contract
-  applies (the caller owns the cache lifetime; long-lived sessions should
-  clearCache()/unpersist() when done).
+  al. 2023). The one exception to laziness here: the ≤buckets-row model
+  fit collects to the driver when called (the IVF-centroid bounded-collect
+  contract), making the call eager; scoring itself is a shuffle-free map
+  pass with the log-ratio table shipped as one array literal.
 """
 
 from __future__ import annotations
@@ -280,71 +279,70 @@ def dsir_importance_weights(
     under hashed-n-gram bag-of-words models with add-one smoothing.
 
     Returns (id, log_weight) with log_weight DECIMAL(28,6): each bucket's
-    log-ratio is rounded to 6dp and cast to DECIMAL(18,6) BEFORE the
-    per-document sum, so the accumulation is exact integer arithmetic and
-    any ANSI engine reproduces it bit-for-bit regardless of summation
-    order (a raw double sum would drift in the last ulps across engines).
+    log-ratio is rounded to 6dp (ties away from zero, matching SQL
+    ROUND) and becomes DECIMAL(18,6) BEFORE the per-document sum, so the
+    accumulation is exact integer arithmetic and any ANSI engine
+    reproduces it bit-for-bit regardless of summation order (a raw double
+    sum would drift in the last ulps across engines).
 
-    Scale shape: ONE explode per corpus, immediately collapsed to
-    per-(doc, bucket) counts (map-side partials) and persist()ed — every
-    later consumer (bucket totals, ratio table, weight join) reuses that
-    narrow cache instead of re-running the tokenizer (the dedup-family
-    cache contract: the caller owns the cache lifetime). Corpus totals
-    derive from the ≤``buckets``-row count tables via broadcast
-    single-row crossJoins (no driver collect), the ≤``buckets``-row
-    log-ratio table broadcasts into the weight join, and the weighted sum
-    moves distinct (doc, bucket) pairs — never individual gram
-    occurrences. Nothing is proportional to vocabulary size."""
+    Scale shape: the model FIT is two explode→groupBy(bucket) aggregations
+    with map-side partials collapsing to ≤``buckets`` rows each, collected
+    to the driver (bounded ≤``buckets`` rows — the IVF-centroid contract,
+    never proportional to data size; note the collect makes this call
+    EAGER for the fit). Scoring is then a single shuffle-free map pass:
+    the ≤``buckets``-entry log-ratio table ships as one array literal and
+    each document folds its grams through element_at + a decimal
+    aggregate — no join, no shuffle, no cache. An earlier broadcast-join
+    formulation cached every (doc, bucket) pair; this shape replaces that
+    10M-row cache with a 4096-value literal."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
     from .text import ngram_array
 
-    lw_t = T.DecimalType(18, 6)
-
-    def bucket_counts(frame):
-        return (
-            frame.select(
-                F.col(id_col).alias("__id"),
-                F.explode(ngram_array(F.col(text_col), n_max)).alias("__g"))
-            .select("__id", (_hex32(F.col("__g")) % buckets).alias("__b"))
-            .groupBy("__id", "__b")
-            .agg(F.count(F.lit(1)).alias("__c"))
+    def tagged(frame, tag):
+        return frame.select(
+            F.explode(ngram_array(F.col(text_col), n_max)).alias("__g"),
+            F.lit(tag).alias("__t"),
         )
 
-    raw = bucket_counts(df).persist()
-    cr = raw.groupBy("__b").agg(F.sum("__c").alias("__cr"))
-    # ct is ≤buckets rows but costs the full target explode — persist so
-    # the ratio table and the target total don't tokenize twice
-    ct = bucket_counts(target).groupBy("__b").agg(
-        F.sum("__c").alias("__ct")).persist()
-    tot_r = cr.agg(F.sum("__cr").alias("__tr"))
-    tot_t = ct.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt"))
-    ratio = (
-        cr.join(ct, "__b", "left")
-        .crossJoin(F.broadcast(tot_r))
-        .crossJoin(F.broadcast(tot_t))
-        .select(
-            "__b",
-            F.round(
-                F.log((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0))
-                      / (F.col("__tt") + F.lit(float(buckets))))
-                - F.log((F.col("__cr") + F.lit(1.0))
-                        / (F.col("__tr") + F.lit(float(buckets)))),
-                6).cast(lw_t).alias("__lr"),
-        )
+    # one fit job over both corpora (raw- and target-side stages run in
+    # parallel under the same union aggregation); the groupBy collapses
+    # map-side to ≤2×buckets partials, so the shuffle is tiny no matter
+    # the corpus size
+    fit = (
+        tagged(df, 0).unionByName(tagged(target, 1))
+        .select((_hex32(F.col("__g")) % buckets).alias("__b"), "__t")
+        .groupBy("__b", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
     )
-    weights = (
-        raw.join(F.broadcast(ratio), "__b")
-        .groupBy("__id")
-        .agg(F.sum(F.col("__lr") * F.col("__c")).alias("__lw"))
-    )
+    cr = {r[0]: r[2] for r in fit if r[1] == 0}
+    ct = {r[0]: r[2] for r in fit if r[1] == 1}
+    tr = float(sum(cr.values()) + buckets)
+    tt = float(sum(ct.values()) + buckets)
+    q6 = Decimal("0.000001")
+    # Decimal(float) is the EXACT binary value, so quantize(HALF_UP)
+    # matches SQL round() on the same double; Python's round() is
+    # banker's and would disagree on ties
+    lr = [
+        Decimal(math.log((ct.get(b, 0) + 1.0) / tt)
+                - math.log((cr.get(b, 0) + 1.0) / tr))
+        .quantize(q6, ROUND_HALF_UP)
+        for b in range(buckets)
+    ]
+    lr_col = F.lit(lr).cast(f"array<decimal(18,6)>")
+
     out_t = T.DecimalType(28, 6)
-    return (
-        df.select(F.col(id_col).alias("__id"))
-        .join(weights, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce(F.col("__lw").cast(out_t),
-                       F.lit(0).cast(out_t)).alias("log_weight"),
-        )
+    zero = F.lit(0).cast(out_t)
+    terms = F.transform(
+        ngram_array(F.col(text_col), n_max),
+        lambda g: F.element_at(lr_col, (_hex32(g) % buckets + 1).cast("int")))
+    return df.select(
+        F.col(id_col),
+        F.aggregate(terms, zero,
+                    lambda acc, x: (acc + x).cast(out_t))
+         .alias("log_weight"),
     )
 
 

@@ -56,12 +56,7 @@ def _evolution_program(draw):
     return ops
 
 
-@settings(max_examples=10, deadline=None, derandomize=True,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(program=_evolution_program())
-def test_evolution_sequences_match_model(spark, program):
-    loc = tempfile.mkdtemp(prefix="prop_evo_")
-    shutil.rmtree(loc, ignore_errors=True)
+def _run_program(spark, program, loc):
     try:
         # live schema: list of (col_name, ice_type, value_strategy_index,
         # default) — id is implicit and always kept
@@ -148,4 +143,33 @@ def test_evolution_sequences_match_model(spark, program):
         want = sorted(tuple(r.get(k) for k in names) for r in rows)
         assert got == want
     finally:
-        shutil.rmtree(loc, ignore_errors=True)
+        if "://" not in loc:
+            shutil.rmtree(loc, ignore_errors=True)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(program=_evolution_program())
+def test_evolution_sequences_match_model(spark, program):
+    loc = tempfile.mkdtemp(prefix="prop_evo_")
+    shutil.rmtree(loc, ignore_errors=True)
+    _run_program(spark, program, loc)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(program=_evolution_program())
+def test_evolution_sequences_match_model_object_store(spark, program):
+    """Same invariant through the ARROW read path (non-native scheme):
+    the field-id aligner — not Spark's parquet reader — must route every
+    historical file's columns (renames keep values, drops hide, adds
+    null-fill/default, widens upcast) to the final schema."""
+    import uuid
+
+    from pyarrow import fs as pafs
+
+    from duckdb_iceberg_spark import io as fio
+
+    fio.register_io("mock", fio.ArrowFileIO(
+        "mock", pafs._MockFileSystem(), shippable=False))
+    _run_program(spark, program, f"mock://bucket/prop_evo_{uuid.uuid4().hex}")

@@ -350,13 +350,16 @@ def scan_to_dataframe(
     def _uuid_to_str(d: DataFrame) -> DataFrame:
         for path in uuid_paths:
             if len(path) == 1:
-                d = d.withColumn(path[0], _uuid_fmt(F.col(path[0])))
+                d = d.withColumn(path[0], _uuid_fmt(_qcol(path[0])))
             else:
                 # struct member: rewrite in place via withField (dotted path
                 # relative to the top-level struct column)
                 top, rest = path[0], ".".join(path[1:])
-                d = d.withColumn(top, F.col(top).withField(
-                    rest, _uuid_fmt(F.col(".".join(path)))))
+                src = _qcol(top)
+                for part in path[1:]:
+                    src = src.getField(part)
+                d = d.withColumn(top, _qcol(top).withField(
+                    rest, _uuid_fmt(src)))
         return d
 
     # Spark's parquet field-id reader misresolves when a top-level field
@@ -549,7 +552,9 @@ def _mapped_field_expr(f: dict, mapping: list, file_st: T.DataType, parent):
     src_name = next((n for n in names if n in file_st.names), None)
     if src_name is None:
         return F.lit(None).cast(spark_t)
-    src = F.col(src_name) if parent is None else parent.getField(src_name)
+    # getField is exact; the top-level reference must be quoted too or a
+    # legacy column literally named 'a.b' would resolve as a struct path
+    src = _qcol(src_name) if parent is None else parent.getField(src_name)
     return _mapped_value_expr(f["type"], ent.get("fields", []) if ent else [],
                               file_st[src_name].dataType, src)
 

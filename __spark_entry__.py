@@ -1826,7 +1826,7 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_iceberg_spark.operators.sampling import dsir_resample
 
     docs = _pq(spark, sf_dir, "documents")
-    return dsir_resample(docs, docs.filter("lang = 'en'"), 200)
+    return dsir_resample(docs, None, 200, target_cond="lang = 'en'")
 
 
 def docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:

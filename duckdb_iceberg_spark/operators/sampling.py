@@ -266,10 +266,11 @@ def _hex32(col: Column) -> Column:
 
 def dsir_importance_weights(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
+    target_cond: Column | str | None = None,
     buckets: int = 4096,
     n_max: int = 2,
 ) -> DataFrame:
@@ -294,31 +295,53 @@ def dsir_importance_weights(
     each document folds its grams through element_at + a decimal
     aggregate — no join, no shuffle, no cache. An earlier broadcast-join
     formulation cached every (doc, bucket) pair; this shape replaces that
-    10M-row cache with a 4096-value literal."""
+    10M-row cache with a 4096-value literal.
+
+    When the target IS a labeled subset of the corpus, pass
+    ``target_cond`` (a boolean Column or SQL string over ``df``'s
+    columns) instead of a separate ``target`` frame: the fit then
+    tokenizes the corpus ONCE, tagging each gram with the condition —
+    measurably cheaper than the union's double pass over the subset."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
     from .text import ngram_array
 
+    if (target is None) == (target_cond is None):
+        raise ValueError("pass exactly one of target / target_cond")
+
     def tagged(frame, tag):
         return frame.select(
             F.explode(ngram_array(F.col(text_col), n_max)).alias("__g"),
-            F.lit(tag).alias("__t"),
+            tag.alias("__t"),
         )
 
-    # one fit job over both corpora (raw- and target-side stages run in
-    # parallel under the same union aggregation); the groupBy collapses
-    # map-side to ≤2×buckets partials, so the shuffle is tiny no matter
-    # the corpus size
+    if target_cond is not None:
+        cond = (F.expr(target_cond) if isinstance(target_cond, str)
+                else target_cond)
+        # single tokenizer pass: every gram counts toward raw; the tag
+        # marks the target subset
+        fit_src = tagged(df, F.coalesce(cond, F.lit(False)).cast("boolean"))
+    else:
+        fit_src = tagged(df, F.lit(False)).unionByName(
+            tagged(target, F.lit(True)))
+    # the groupBy collapses map-side to ≤2×buckets partials, so the
+    # shuffle is tiny no matter the corpus size
     fit = (
-        tagged(df, 0).unionByName(tagged(target, 1))
+        fit_src
         .select((_hex32(F.col("__g")) % buckets).alias("__b"), "__t")
         .groupBy("__b", "__t")
         .agg(F.count(F.lit(1)).alias("__c"))
         .collect()
     )
-    cr = {r[0]: r[2] for r in fit if r[1] == 0}
-    ct = {r[0]: r[2] for r in fit if r[1] == 1}
+    ct = {r[0]: r[2] for r in fit if r[1]}
+    if target_cond is not None:
+        # raw = the whole corpus: sum both tags per bucket
+        cr = {}
+        for r in fit:
+            cr[r[0]] = cr.get(r[0], 0) + r[2]
+    else:
+        cr = {r[0]: r[2] for r in fit if not r[1]}
     tr = float(sum(cr.values()) + buckets)
     tt = float(sum(ct.values()) + buckets)
     q6 = Decimal("0.000001")
@@ -348,11 +371,12 @@ def dsir_importance_weights(
 
 def dsir_resample(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int,
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
+    target_cond: Column | str | None = None,
     buckets: int = 4096,
     n_max: int = 2,
     salt: str = "dsir",
@@ -369,7 +393,8 @@ def dsir_resample(
     Scale: the weight pass above plus one TakeOrderedAndProject top-k — a
     per-partition heap + driver merge of k rows, never a global sort."""
     w = dsir_importance_weights(
-        df, target, text_col, id_col, buckets=buckets, n_max=n_max)
+        df, target, text_col, id_col, target_cond=target_cond,
+        buckets=buckets, n_max=n_max)
     u = (_hex32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
          + F.lit(0.5)) / F.lit(4294967296.0)
     gum = F.round(-F.log(-F.log(u)), 6).cast(T.DecimalType(18, 6))

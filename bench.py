@@ -113,6 +113,9 @@ SF1_CANARIES = [
     # r6 operators under 10× duplication mass: the vocabulary shuffle and
     # the duplicated-span marking both scale with the repeated corpus
     "docs_vocab", "docs_substr_dedup",
+    # r7: DSIR fit+score are two linear passes — the ratio should track
+    # corpus size, not explode
+    "docs_dsir_sample",
 ]
 
 _SF1_GEN_VERSION = "v1"

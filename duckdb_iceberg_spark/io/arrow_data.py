@@ -260,7 +260,9 @@ def _cast_column(col, target_type):
         else:
             vals = [None if v is None else v.decode("utf-8", errors="replace")
                     for v in col.to_pylist()]
-        return pa.chunked_array([pa.array(vals, pa.string())])
+        # a plain Array, not a ChunkedArray: struct members feed
+        # StructArray.from_arrays, which rejects chunked input
+        return pa.array(vals, pa.string())
     return col.cast(target_type)
 
 
@@ -275,6 +277,24 @@ def _open_arrow_input(fs_io: FileIO, path: str):
     import io as _io
 
     return _io.BytesIO(fs_io.read_bytes(path))
+
+
+def _relax_nullability(dt):
+    """Recursively mark every field nullable (struct members, list
+    elements, map values)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _relax_nullability(f.dataType), True,
+                          f.metadata)
+            for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_relax_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_relax_nullability(dt.keyType),
+                         _relax_nullability(dt.valueType), True)
+    return dt
 
 
 def read_parquet(
@@ -300,6 +320,12 @@ def read_parquet(
             list(spark_schema.fields)
             + [T.StructField(path_col, T.StringType(), False),
                T.StructField(pos_col, T.LongType(), False)])
+    # hand Spark a fully-NULLABLE schema: its arrow-table ingestion
+    # (_check_arrow_table_timestamps_localize) rebuilds struct columns
+    # losing child non-nullability, then fails casting back to a
+    # non-nullable type (observed with struct members whose names contain
+    # dots). Nullability is advisory on the read path.
+    out_schema = _relax_nullability(out_schema)
     out_target = _target_arrow_schema(out_schema)
 
     io0 = get_io(files[0])

@@ -363,9 +363,13 @@ def dsir_importance_weights(
         lambda g: F.element_at(lr_col, (_hex32(g) % buckets + 1).cast("int")))
     return df.select(
         F.col(id_col),
-        F.aggregate(terms, zero,
-                    lambda acc, x: (acc + x).cast(out_t))
-         .alias("log_weight"),
+        # NULL text -> NULL gram array -> NULL aggregate; the model says
+        # "no evidence", i.e. weight 0 — also what the SQL oracle's
+        # unnest-then-left-join computes
+        F.coalesce(
+            F.aggregate(terms, zero,
+                        lambda acc, x: (acc + x).cast(out_t)),
+            zero).alias("log_weight"),
     )
 
 

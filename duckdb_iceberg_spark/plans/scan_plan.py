@@ -91,23 +91,29 @@ class ScanPlan:
         """Cardinality ESTIMATE, valid even when deletes apply (reference:
         iceberg_cardinality_estimates.test — DuckDB's EXPLAIN shows
         ~record_count minus delete cardinality so joins plan against the
-        LIVE row count, not the raw file counts): live data rows minus each
-        distinct positional-delete/DV file's cardinality and equality-delete
-        row count, floored at zero. Metadata-only — never opens a data
-        file; exact for positional deletes/DVs, an upper-bound heuristic
-        for equality deletes (each delete row removes ≥0 data rows)."""
+        LIVE row count, not the raw file counts): live data rows minus
+        delete cardinality. Each distinct positional-delete/DV or
+        equality-delete file subtracts at most the rows of the KEPT data
+        files it applies to — a shared delete file whose other targets
+        were pruned by the predicate must not zero the estimate out.
+        Metadata-only; exact for positional deletes/DVs when no predicate
+        prunes their referenced files, an estimate otherwise (a delete row
+        may target a pruned file; equality-delete rows remove ≥0 rows
+        each)."""
         total = sum(t.data_file.record_count for t in self.tasks)
-        seen: set = set()
-        removed = 0
+        # delete file -> (its row count, rows of kept tasks it applies to)
+        scope: dict[str, list[int]] = {}
         for t in self.tasks:
+            rows = int(t.data_file.record_count or 0)
             for d in t.positional_deletes:
-                if d.file_path not in seen:
-                    seen.add(d.file_path)
-                    removed += int(d.record_count or 0)
+                ent = scope.setdefault(d.file_path,
+                                       [int(d.record_count or 0), 0])
+                ent[1] += rows
             for _, d in t.equality_deletes:
-                if d.file_path not in seen:
-                    seen.add(d.file_path)
-                    removed += int(d.record_count or 0)
+                ent = scope.setdefault(d.file_path,
+                                       [int(d.record_count or 0), 0])
+                ent[1] += rows
+        removed = sum(min(n, kept) for n, kept in scope.values())
         return max(0, total - removed)
 
 

@@ -370,10 +370,35 @@ def scan_to_dataframe(
     # through it; DuckDB reads these correctly and so must we.
     # ... gate on every historical schema version: after a rename the
     # CURRENT names may be dot-free while older data files still carry the
-    # dotted column.
+    # dotted column. Nested names count too — a struct member literally
+    # named 'b.c' beside a sibling struct b{c} collides one level down
+    # the same way.
+    def _any_dotted(t) -> bool:
+        if isinstance(t, dict):
+            kind = t.get("type")
+            if kind == "struct":
+                return any("." in f["name"] or _any_dotted(f["type"])
+                           for f in t["fields"])
+            if kind == "list":
+                return _any_dotted(t["element"])
+            if kind == "map":
+                return _any_dotted(t["key"]) or _any_dotted(t["value"])
+        return False
+
     dotted_names = any(
-        "." in f["name"]
+        "." in f["name"] or _any_dotted(f["type"])
         for sch in plan.tm.schemas.values() for f in sch["fields"])
+    if dotted_names and main_files:
+        from .. import io as _fio
+
+        try:
+            _fio.get_io(main_files[0])
+        except ValueError:
+            # no FileIO registered for this scheme (e.g. hdfs://): stay on
+            # the native reader — only the rare colliding-path case is at
+            # risk there, while failing every scan of the table would be
+            # strictly worse
+            dotted_names = False
 
     parts: list[DataFrame] = []
     if main_files:

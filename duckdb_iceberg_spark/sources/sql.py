@@ -170,6 +170,24 @@ def _norm_refs(expr: str, tgt_quals: set[str], src_quals: set[str],
     return expr.strip()
 
 
+def _safe_last_segment(spark: SparkSession, view: str, rel: str,
+                       tgt_quals: set[str]) -> set[str]:
+    """The last segment of a dotted source relation (FROM/USING db.tbl)
+    may qualify source columns — but ONLY when it can't be mistaken for a
+    target COLUMN (Spark resolves a bare ``items.qty`` column-first, so a
+    target struct column named ``items`` must keep winning) or a target
+    qualifier."""
+    if "." not in rel:
+        return set()
+    seg = rel.rsplit(".", 1)[-1]
+    taken = {q.lower() for q in tgt_quals}
+    try:
+        taken |= {c.lower() for c in spark.table(view).columns}
+    except Exception:
+        pass
+    return set() if seg.lower() in taken else {seg}
+
+
 def _ident_and_alias(fragment: str) -> tuple[str, str | None]:
     m = re.match(r"\s*([\w.]+)\s*(?:AS\s+)?(\w+)?\s*$", fragment, re.I)
     if not m:
@@ -406,10 +424,11 @@ def _exec_delete(spark: SparkSession, stmt: str) -> DataFrame:
             if src_name.lower() in reg:
                 refresh_table(spark, src_name)
             src_df = spark.table(src_name)
-            # both the full dotted name and its last segment qualify the
-            # source (Spark SQL permits either after USING db.tbl)
-            src_quals = {src_name, src_name.rsplit(".", 1)[-1],
-                         *( [src_alias] if src_alias else [] )}
+            # both the full dotted name and (when unambiguous) its last
+            # segment qualify the source (Spark SQL permits either after
+            # USING db.tbl)
+            src_quals = ({src_name, *( [src_alias] if src_alias else [] )}
+                         | _safe_last_segment(spark, view, src_name, quals))
         cond = _norm_refs(where, quals, src_quals)
         tm = delete_using(spark, source, src_df, cond)
         refresh_table(spark, view)
@@ -621,9 +640,11 @@ def _exec_update(spark: SparkSession, stmt: str) -> DataFrame:
             raise ValueError("UPDATE ... FROM requires a WHERE join condition")
         src_quals = ({salias} if salias else set())
         if not src_rel.startswith("("):
-            # both the full dotted name and its last segment qualify the
-            # source (Spark SQL permits either after FROM db.tbl)
-            src_quals |= {src_rel, src_rel.rsplit(".", 1)[-1]}
+            # both the full dotted name and (when unambiguous) its last
+            # segment qualify the source (Spark SQL permits either after
+            # FROM db.tbl)
+            src_quals |= ({src_rel}
+                          | _safe_last_segment(spark, view, src_rel, quals))
         on = _norm_refs(where, quals, src_quals, tgt_repl="tgt.")
         assigns = {c: _norm_refs(e, quals, src_quals, tgt_repl="tgt.")
                    for c, e in _split_assignments(set_part).items()}
@@ -725,9 +746,11 @@ def _exec_merge(spark: SparkSession, stmt: str) -> DataFrame:
     tgt_quals = {tname, *( [talias] if talias else [] )}
     src_quals = ({salias} if salias else set())
     if not src_rel.startswith("("):
-        # both the full dotted name and its last segment qualify the
-        # source (Spark SQL permits either after USING db.tbl)
-        src_quals |= {src_rel, src_rel.rsplit(".", 1)[-1]}
+        # both the full dotted name and (when unambiguous) its last
+        # segment qualify the source (Spark SQL permits either after
+        # USING db.tbl)
+        src_quals |= ({src_rel}
+                      | _safe_last_segment(spark, view, src_rel, tgt_quals))
 
     # dml join convention: target refs as tgt.<col>, source refs as
     # src.<col>. Columns present on both sides MUST be alias-qualified in

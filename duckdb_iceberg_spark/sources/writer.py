@@ -560,13 +560,38 @@ def _with_field_id_metadata(df: DataFrame, schema_json: dict) -> DataFrame:
     return df.select(*cols)
 
 
+def _relax_nullable(dt: T.DataType) -> T.DataType:
+    """Every nested field nullable, metadata (field ids) preserved:
+    Catalyst cannot cast a nullable nested field to a REQUIRED one (a
+    struct member goes nullable through e.g. the MERGE rewrite's outer
+    join), and parquet-optional is a legal physical encoding of an
+    Iceberg required column — required-ness is enforced from the table
+    schema, not the file schema."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _relax_nullable(f.dataType), True,
+                          f.metadata)
+            for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_relax_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_relax_nullable(dt.keyType),
+                         _relax_nullable(dt.valueType), True)
+    return dt
+
+
 def _cast_to_table_schema(df: DataFrame, schema_json: dict) -> DataFrame:
-    """Align df columns (by name) to the table schema's Spark types."""
+    """Align df columns (by name) to the table schema's Spark types.
+
+    The cast target is nullability-RELAXED but metadata-preserving: the
+    cast is also what stamps nested parquet.field.id metadata onto struct
+    members (skipping it writes files whose members carry no ids and read
+    back as NULL under BY_FIELD_ID resolution)."""
     by_name = {f["name"]: f for f in schema_json["fields"]}
     cols = []
     for name, ice in by_name.items():
         if name in df.columns:
-            target = ice_types.iceberg_to_spark(ice["type"])
+            target = _relax_nullable(ice_types.iceberg_to_spark(ice["type"]))
             cur = df.schema[name].dataType
             c = ice_types.quoted_col(name)
             if cur != target and not isinstance(target, T.NullType):

@@ -372,3 +372,28 @@ def test_cardinality_estimate_reflects_deletes(spark, tmp_path):
     plan = plan_scan(tm, tm.select_snapshot(), None)
     live = iceberg_scan(spark, loc).count()
     assert plan.estimated_row_count() == live == 1500
+
+
+def test_cardinality_estimate_with_pruned_delete_targets(spark, tmp_path):
+    """A positional-delete file shared across data files must subtract at
+    most the rows of the KEPT files it applies to: with most of its
+    targets pruned by the predicate, the estimate stays in [0, kept_rows]
+    instead of going negative-then-floored below zero."""
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    loc = str(tmp_path / "card_pruned")
+    write_iceberg(spark.range(1000).selectExpr("id", "id AS v").coalesce(1), loc)
+    write_iceberg(
+        spark.range(1000, 2000).selectExpr("id", "id AS v").coalesce(1), loc)
+    # one MoR delete touching BOTH files
+    delete_from(spark, loc, "id % 2 = 0", mode="merge-on-read")
+
+    tm = load_table_metadata(loc)
+    full = plan_scan(tm, tm.select_snapshot(), None)
+    assert full.estimated_row_count() == 1000  # no pruning: exact
+
+    pruned = plan_scan(tm, tm.select_snapshot(), "id < 1000")
+    assert pruned.stats["files_pruned"] == 1
+    kept = sum(t.data_file.record_count for t in pruned.tasks)
+    assert 0 <= pruned.estimated_row_count() <= kept

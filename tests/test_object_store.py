@@ -363,3 +363,22 @@ def test_nested_member_rename_over_object_store(spark, mock_fs):
     assert rows[2] == ("p2", 22, "t2", 2)
     assert rows[10] == ("q0", 9223372036854775807, "u0", 0)
     assert rows[11] == ("q1", 9223372036854775807, "u1", 1)
+
+
+def test_align_column_struct_uuid_member():
+    """A struct member stored as FIXED_LEN_BYTE_ARRAY(16) (uuid) aligning
+    to a string target must render canonically AND return a plain Array —
+    StructArray.from_arrays rejects ChunkedArray members."""
+    import uuid as _u
+
+    import pyarrow as pa
+
+    from duckdb_iceberg_spark.io.arrow_data import _align_column
+
+    raw = _u.UUID("12345678-1234-5678-1234-567812345678")
+    src_t = pa.struct([pa.field("u", pa.binary(16), False)])
+    arr = pa.array([{"u": raw.bytes}, None], src_t)
+    tgt = pa.field("s", pa.struct([pa.field("u", pa.string(), True)]), True)
+    out = _align_column(arr, tgt)
+    assert isinstance(out, pa.Array)
+    assert out.to_pylist() == [{"u": str(raw)}, None]

@@ -1306,7 +1306,7 @@ def test_dsir_importance_weights_prefer_target_like_docs(spark):
     # their grams to score positively (5 on-target / 15 off / 1 empty)
     rows = ([(i, target_text) for i in range(5)]
             + [(100 + i, off_text) for i in range(15)]
-            + [(200, "")])                      # empty doc -> weight 0
+            + [(200, ""), (201, None)])   # empty/NULL docs -> weight 0
     df = spark.createDataFrame(rows, "doc_id long, text string")
     target = spark.createDataFrame(
         [(1000 + i, target_text) for i in range(3)],
@@ -1314,9 +1314,10 @@ def test_dsir_importance_weights_prefer_target_like_docs(spark):
 
     w = {r.doc_id: r.log_weight
          for r in dsir_importance_weights(df, target).collect()}
-    assert len(w) == 21
+    assert len(w) == 22
     assert all(isinstance(v, Decimal) for v in w.values())
     assert w[200] == Decimal("0.000000")
+    assert w[201] == Decimal("0.000000")   # NULL text: no evidence, not NULL
     # every target-like doc outranks every off-target doc, with the
     # on-target weights positive and off-target negative
     assert min(w[i] for i in range(5)) > 0 > max(w[100 + i] for i in range(15))

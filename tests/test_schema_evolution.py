@@ -283,3 +283,21 @@ def test_column_name_containing_dot(spark, tmp_path):
     got2 = iceberg_scan(spark, loc)
     assert got2.schema["a"].dataType["b"].dataType.typeName() == "long"
     assert got2.selectExpr("sum(ab)").first()[0] == 3
+
+
+def test_nested_member_name_containing_dot(spark, tmp_path):
+    """The parquet-mr ColumnPath collision one level down: a struct member
+    literally named 'b.c' beside a sibling struct b{c} flattens both
+    leaves to path 'a.b.c'. The scan must route around Spark's native
+    reader (which misresolves the collision) even though no TOP-LEVEL
+    name carries a dot."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+
+    loc = str(tmp_path / "t_nested_dot")
+    write_iceberg(spark.sql(
+        "SELECT id, named_struct('b.c', CAST(id AS INT), "
+        "'b', named_struct('c', CAST(id*10 AS INT))) AS a FROM range(3)"),
+        loc)
+    rows = sorted((r.id, r.a["b.c"], r.a.b.c)
+                  for r in iceberg_scan(spark, loc).collect())
+    assert rows == [(0, 0, 0), (1, 1, 10), (2, 2, 20)]

@@ -418,3 +418,33 @@ def test_sql_dml_dotted_source_last_segment_qualifier(spark, tmp_path):
         assert got == [1, 3, 5, 6, 7, 8, 9, 50, 52, 54]
     finally:
         spark.catalog.dropGlobalTempView("dotted_src_v")
+
+
+def test_sql_dml_dotted_source_segment_collision_with_target_column(
+        spark, tmp_path):
+    """When the dotted source's LAST segment matches a target COLUMN name,
+    the segment must NOT become a source qualifier: Spark resolves a bare
+    ``items.qty`` column-first, so a target struct column named ``items``
+    keeps winning and only the full dotted name addresses the source."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = str(tmp_path / "seg_collide")
+    write_iceberg(spark.sql(
+        "SELECT id, named_struct('qty', CAST(id*10 AS INT)) AS items "
+        "FROM range(4)"), loc)
+    register_table(spark, "collide_t", loc)
+    spark.sql("SELECT id AS sid, 1000 AS qty FROM range(2)") \
+        .createOrReplaceGlobalTempView("items")
+    try:
+        # items.qty here MUST mean the TARGET's struct member (10*id),
+        # never the source's qty column (1000)
+        execute_sql(
+            spark,
+            "UPDATE collide_t SET id = id + items.qty "
+            "FROM global_temp.items WHERE id = global_temp.items.sid")
+        got = sorted(r.id for r in
+                     spark.sql("SELECT id FROM collide_t").collect())
+        assert got == [0, 2, 3, 11]  # 0+0, 1+10; 2,3 unmatched
+    finally:
+        spark.catalog.dropGlobalTempView("items")

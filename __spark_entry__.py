@@ -1829,6 +1829,34 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_resample(docs, None, 200, target_cond="lang = 'en'")
 
 
+def docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: exact + verified near-dup edges run
+    through the alternating large-star/small-star connected-components
+    algorithm; every doc labels with its cluster's min id. Hash-checked —
+    the DuckDB oracle computes true components with a recursive CTE
+    (min reachable id over the symmetrized edge set), so the distributed
+    star algorithm must agree exactly, cluster by cluster."""
+    from duckdb_iceberg_spark.operators.dedup import duplicate_components
+
+    docs = _pq(spark, sf_dir, "documents")
+    out = duplicate_components(docs, num_hashes=32, bands=8).orderBy("doc_id")
+    return out
+
+
+def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram LM scoring (KenLM-perplexity analogue): Laplace
+    bigram model trained on the lang='en' slice, every doc scored by
+    negative log-likelihood. Hash-checked — per-bigram log-probs round to
+    6dp and sum as DECIMAL (the DSIR trick), so both engines do exact
+    decimal accumulation over bit-identical ln() inputs."""
+    from duckdb_iceberg_spark.operators.text import ngram_lm_score
+
+    docs = _pq(spark, sf_dir, "documents")
+    return ngram_lm_score(
+        docs, reference_cond="lang = 'en'", vocab_size=1024
+    ).orderBy("doc_id")
+
+
 def docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 tf-idf terms (smooth idf). Hash-checked — ranking is
     by ROUNDED score then term, so a last-ulp libm ln() difference can't
@@ -2533,6 +2561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # priority (b) for r8's window
         "mm_video_meta": mm_video_meta,
         "docs_dsir_sample": docs_dsir_sample,
+        "docs_dup_components": docs_dup_components,
+        "docs_lm_score": docs_lm_score,
     }
 
 
@@ -2685,6 +2715,80 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 8, shingle_k: int = 5,
             )
             SELECT count(*) AS survivors FROM reps
             WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+
+
+def _dup_components_sql(num_hashes: int = 32, bands: int = 8,
+                        shingle_k: int = 5, threshold: float = 0.7) -> str:
+    """DuckDB replica of operators.dedup.duplicate_components: the
+    _minhash_sql pipeline up to VERIFIED pairs (not losers), plus the
+    exact-dup star edges, then TRUE connected components via a recursive
+    CTE (min id reachable over the symmetrized edges) — the distributed
+    star algorithm must reproduce these labels exactly."""
+    from duckdb_iceberg_spark.operators.dedup import _hash_params
+
+    a, b = _hash_params(num_hashes)
+    rpb = num_hashes // bands
+    mins = ",\n                     ".join(
+        f"min(((CAST({int(au)} AS HUGEINT) * h + {int(bu)})"
+        f" % 18446744073709551616) // 2) AS s{i}"
+        for i, (au, bu) in enumerate(zip(a, b)))
+    banded = "\n              UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {cols} FROM sig".format(
+            bi=bi, cols=", ".join(f"s{bi * rpb + j} AS k{j}" for j in range(rpb)))
+        for bi in range(bands))
+    keys = ", ".join(f"k{j}" for j in range(rpb))
+    return f"""
+            WITH RECURSIVE reps AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY {_FP_SQL}) AS m
+                FROM documents) q WHERE doc_id = m
+            ), {_rolling_hash_cte(shingle_k, 'reps')}, sh AS (
+              SELECT DISTINCT doc_id, h FROM hh
+            ), sig AS (
+              SELECT doc_id,
+                     {mins}
+              FROM sh GROUP BY doc_id
+            ), banded AS (
+              {banded}
+            ), cands AS (
+              SELECT DISTINCT m AS id_a, doc_id AS id_b FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY band, {keys}) AS m
+                FROM banded) q WHERE doc_id <> m
+            ), inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS i
+              FROM cands c
+              JOIN sh x ON x.doc_id = c.id_a
+              JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h
+              GROUP BY c.id_a, c.id_b
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), verified AS (
+              SELECT c.id_a, c.id_b FROM cands c
+              JOIN sizes sa ON sa.doc_id = c.id_a
+              JOIN sizes sb ON sb.doc_id = c.id_b
+              LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+              WHERE round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                          / (sa.n + sb.n - COALESCE(i.i, 0)), 6) >= {threshold}
+            ), exact_edges AS (
+              SELECT doc_id AS u, m AS v FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY {_FP_SQL}) AS m
+                FROM documents) q WHERE doc_id <> m
+            ), edges AS (
+              SELECT id_b AS u, id_a AS v FROM verified
+              UNION SELECT u, v FROM exact_edges
+            ), sym AS (
+              SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+            ), reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM documents
+              UNION
+              SELECT s.u AS id, reach.r FROM sym s JOIN reach ON s.v = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS component_id
+            FROM reach GROUP BY id ORDER BY doc_id
     """
 
 
@@ -3937,6 +4041,59 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
             ORDER BY score DESC, d.doc_id ASC
             LIMIT 200
+        """,
+        "docs_dup_components": _dup_components_sql(),
+        "docs_lm_score": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), vocab AS (
+              SELECT w FROM (
+                SELECT unnest(toks) AS w FROM t WHERE lang = 'en'
+              ) q GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 1024
+            ), vn AS (
+              SELECT count(*) + 1 AS v FROM vocab
+            ), mapped AS (
+              SELECT tk.doc_id, tk.lang, tk.i,
+                     CASE WHEN vv.w IS NOT NULL THEN tk.w
+                          ELSE '<unk>' END AS w
+              FROM (SELECT doc_id, lang, unnest(toks) AS w,
+                           generate_subscripts(toks, 1) AS i FROM t) tk
+              LEFT JOIN vocab vv ON vv.w = tk.w
+            ), ml AS (
+              SELECT doc_id, lang, list(w ORDER BY i) AS toks
+              FROM mapped GROUP BY doc_id, lang
+            ), bi AS (
+              SELECT doc_id, lang,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM ml
+            ), model AS (
+              SELECT g, count(*) AS c2 FROM bi WHERE lang = 'en' GROUP BY g
+            ), ctx AS (
+              SELECT string_split(g, ' ')[1] AS w1, sum(c2) AS c1
+              FROM model GROUP BY 1
+            ), scored AS (
+              SELECT b.doc_id, count(*) AS n_bigrams,
+                     -sum(CAST(round(ln((COALESCE(m.c2, 0) + 1.0)
+                          / (COALESCE(c.c1, 0) + vn.v)), 6)
+                          AS DECIMAL(18,6))) AS nll
+              FROM bi b
+              LEFT JOIN model m ON m.g = b.g
+              LEFT JOIN ctx c ON c.w1 = string_split(b.g, ' ')[1]
+              CROSS JOIN vn
+              GROUP BY b.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   CAST(COALESCE(s.nll, 0) AS DECIMAL(28,6)) AS nll_sum,
+                   CASE WHEN s.n_bigrams > 0
+                        THEN round(CAST(s.nll AS DOUBLE) / s.n_bigrams, 6)
+                   END AS avg_nll
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            ORDER BY d.doc_id
         """,
         "docs_tfidf": r"""
             WITH t AS (

@@ -874,3 +874,162 @@ def exact_substring_dedup(
             .alias("n_tokens_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transitive duplicate clustering (connected components)
+# ---------------------------------------------------------------------------
+
+def _cc_large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond"): every node connects its LARGER neighbors to the
+    minimum of its closed neighborhood. One shuffle (window over node)."""
+    from pyspark.sql.window import Window
+
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    return (
+        sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        .filter(F.col("v") > F.col("u"))
+        # v > u >= m, so output stays in canonical big->small orientation
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node connects its smaller neighbors (and
+    itself) to its minimum smaller neighbor. Input and output are both in
+    canonical big->small orientation (u > v on every edge)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("u")
+    t = e.withColumn("m", F.min("v").over(w))
+    pairs = (
+        t.filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    selfe = t.select("u", F.col("m").alias("v"))
+    return pairs.unionByName(selfe).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an undirected edge list via
+    the ALTERNATING large-star/small-star algorithm (Kiveris et al. 2014).
+    Returns (node, component) for every node that appears in ``edges``,
+    where ``component`` is the minimum node id reachable from it.
+
+    Scale shape: each round is two window shuffles over the edge set — no
+    driver-side graph state, no per-node Python — and the edge set only
+    shrinks (stars collapse), so the peak cost is the first round.
+    Convergence is guaranteed in O(log^2 n) rounds; on LSH dedup graphs
+    (bucket-min pairing emits star-shaped edges already) it converges in
+    2-4. Termination is detected with an order-independent set fingerprint
+    (count + bit_xor of xxhash64) — one tiny action per round; each
+    round's frame is eagerly localCheckpoint()ed, which both materializes
+    it AND truncates lineage — persist() alone leaves the logical plan
+    nesting round-over-round until tree traversal blows the JVM stack
+    (observed on a 40-node path graph). localCheckpoint trades executor-
+    loss recomputability for that truncation, the standard deal for
+    iterative graph algorithms (GraphFrames' CC does the same).
+
+    Node ids must be numeric (cast to long); hash string ids first
+    (``F.xxhash64``) like the incremental dedup pipeline does.
+    """
+    def _fingerprint(frame):
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+        ).first()
+        return (row["n"], row["x"])
+
+    cur = (
+        edges.select(
+            F.col(src_col).cast("long").alias("a"),
+            F.col(dst_col).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _fingerprint(cur)
+    for _ in range(max_rounds):
+        nxt = _cc_small_star(_cc_large_star(cur)).localCheckpoint(eager=True)
+        sig = _fingerprint(nxt)
+        cur = nxt
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+    # converged star graphs: every non-root points straight at its
+    # component min; roots don't appear on the left side, add them
+    roots = cur.select(F.col("v").alias("u"), F.col("v")).distinct()
+    return (
+        cur.unionByName(roots)
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("v").alias("component"))
+    )
+
+
+def duplicate_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Full-corpus duplicate CLUSTERS: the transitive closure of exact-dup
+    and verified near-dup relations, as (id, component_id) with
+    component_id = the minimum doc id of the cluster (singletons map to
+    themselves). This is the production artifact pairwise dedup can't
+    give: near-dup is not transitive, so "drop verified losers" keeps one
+    doc per EDGE, while cluster-level curation (keep one per component,
+    or weight by cluster size a la SemDeDup/D4) needs the components.
+
+    Edges: exact duplicates contribute (member -> fingerprint-group min)
+    star edges without ever comparing texts; near-dup edges are the
+    verified exact-Jaccard pairs from the banded-LSH pipeline (same spec
+    as minhash_dedup — bucket-min pairing, threshold on 6dp-rounded
+    Jaccard). Components then run the alternating star algorithm above.
+    Numeric ids required, as everywhere in this family.
+    """
+    fp = df.withColumn("__fp", doc_fingerprint(text_col))
+    grp = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    withrep = fp.join(grp, "__fp")
+    exact_edges = (
+        withrep.filter(F.col(id_col) != F.col("__rep"))
+        .select(F.col(id_col).cast("long").alias("id_a"),
+                F.col("__rep").cast("long").alias("id_b"))
+    )
+    reps = (withrep.filter(F.col(id_col) == F.col("__rep"))
+            .drop("__fp", "__rep"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        few_inputs = len(df.inputFiles()) < par
+    except Exception:
+        few_inputs = False
+    if few_inputs:
+        reps = reps.repartition(par)
+    sigs = minhash_signatures(reps, text_col, id_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    near = verify_jaccard(cands, reps, text_col, id_col, shingle_k, threshold)
+    edges = exact_edges.unionByName(near.select("id_a", "id_b"))
+    cc = connected_components(edges, "id_a", "id_b", max_rounds)
+    ids = df.select(F.col(id_col).cast("long").alias("node"))
+    return ids.join(cc, "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce("component", F.col("node")).alias("component_id"),
+    )

@@ -551,3 +551,100 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
     )
+
+
+def ngram_lm_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference_cond: str | Column | None = None,
+    vocab_size: int = 1024,
+):
+    """CCNet-style LM quality scoring (the KenLM-perplexity pass of
+    Wenzek et al. 2020): train a Laplace-smoothed bigram LM on a
+    high-quality reference slice of the corpus (``reference_cond``, e.g.
+    ``"lang = 'en'"``; None trains on the whole corpus), then score every
+    document by its negative log-likelihood under that model. Downstream
+    filtering keeps the low-perplexity head, exactly like CCNet's
+    head/middle/tail split.
+
+    Returns (id, n_bigrams, nll_sum, avg_nll) where nll_sum is exact
+    DECIMAL(28,6) (each bigram's log-prob rounds to 6dp BEFORE summation
+    — the DSIR trick, so cross-engine float accumulation can't drift) and
+    avg_nll = round(nll_sum / n_bigrams, 6) (null for sub-2-token docs).
+
+    Scale shape: the vocabulary is a bounded driver collect
+    (<= vocab_size rows, like DSIR's bucket model); unk-mapping is an
+    InSet literal — O(1) hash per token, JVM-side, no join; the bigram
+    model and context counts are bounded by the vocab and broadcast; the
+    corpus side is explode -> two broadcast joins -> one groupBy(id) with
+    map-side partials — ONE linear shuffle total, nothing keyed on a
+    gram. Laplace k=1 keeps every probability a ratio of exact integers,
+    so both engines feed ln() bit-identical inputs (residual ulp-at-
+    rounding-boundary risk is the same accepted class as tfidf's)."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda x: x != "")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    if reference_cond is None:
+        ref = base.select("__t")
+    else:
+        ref = df.filter(reference_cond).select(toks.alias("__t"))
+    vocab = [
+        r["w"]
+        for r in (
+            ref.select(F.explode("__t").alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("w").asc())
+            .limit(vocab_size)
+            .collect()
+        )
+    ]
+    n_vocab = len(vocab) + 1  # + <unk>
+
+    def unkmap(tcol):
+        if not vocab:
+            return F.transform(tcol, lambda w: F.lit("<unk>"))
+        return F.transform(
+            tcol,
+            lambda w: F.when(w.isin(vocab), w).otherwise(F.lit("<unk>")))
+
+    def bigrams(tcol):
+        cnt = F.greatest(F.size(tcol) - 1, F.lit(0))
+        return F.zip_with(F.slice(tcol, 1, cnt), F.slice(tcol, 2, cnt),
+                          lambda a, b: F.concat_ws(" ", a, b))
+
+    ref_bi = ref.select(F.explode(bigrams(unkmap(F.col("__t")))).alias("g"))
+    model = ref_bi.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = (
+        model.withColumn("w1", F.split("g", " ", 2).getItem(0))
+        .groupBy("w1").agg(F.sum("c2").alias("c1"))
+    )
+    corp = base.select(
+        "__id", F.explode(bigrams(unkmap(F.col("__t")))).alias("g"))
+    lp = F.round(
+        F.log((F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+              / (F.coalesce(F.col("c1"), F.lit(0)) + n_vocab).cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        corp.withColumn("w1", F.split("g", " ", 2).getItem(0))
+        .join(F.broadcast(model), "g", "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             (-F.sum(lp)).alias("__nll"))
+    )
+    return (
+        df.select(F.col(id_col)).join(
+            scored.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("__nll"), F.lit(0))
+            .cast("decimal(28,6)").alias("nll_sum"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(F.col("__nll").cast("double") / F.col("n_bigrams"), 6),
+            ).alias("avg_nll"),
+        )
+    )

@@ -1,0 +1,103 @@
+"""Connected components + transitive duplicate clustering.
+
+The star-algorithm result is checked against a plain union-find replay on
+the driver for every graph, including shapes that force multiple
+alternating rounds (long paths) — the LSH graphs the operator usually
+sees are already star-like and converge immediately, so the paths are the
+real algorithmic exercise.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_iceberg_spark.operators.dedup import (
+    connected_components,
+    duplicate_components,
+)
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress, then label every node by its component MIN
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _check(spark, edges):
+    nodes = sorted({x for e in edges for x in e})
+    expected = _union_find(edges, nodes)
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
+
+
+def test_path_graph_forces_rounds(spark):
+    # a 40-node path has diameter 39: naive min-propagation needs ~39
+    # rounds, the alternating algorithm collapses it in O(log^2 n)
+    _check(spark, [(i, i + 1) for i in range(1, 40)])
+
+
+def test_two_components_and_duplicate_edges(spark):
+    _check(spark, [(1, 2), (2, 3), (3, 1), (2, 1), (10, 11), (11, 12)])
+
+
+def test_star_input_is_fixpoint(spark):
+    _check(spark, [(1, k) for k in range(2, 20)])
+
+
+def test_reversed_and_mixed_orientation(spark):
+    _check(spark, [(5, 1), (1, 9), (9, 2), (7, 3), (3, 8)])
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_convergence_guard(spark):
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_rounds=1)
+
+
+def test_duplicate_components_transitive(spark):
+    # A~B and B~C are near-dups but A and C differ more than the
+    # threshold allows: pairwise dedup keeps {A, C}; components must
+    # still place all three in ONE cluster (transitive closure).
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    a = base + "alpha alpha alpha"
+    b = base + "alpha alpha"
+    c = base
+    docs = spark.createDataFrame(
+        [
+            (1, a), (2, b), (3, c),
+            (4, a),                      # exact dup of 1
+            (10, "something entirely different and unrelated text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components(
+            docs, num_hashes=32, bands=8, threshold=0.7).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10}
+    spark.catalog.clearCache()

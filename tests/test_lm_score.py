@@ -1,0 +1,80 @@
+"""CCNet-style bigram LM scoring, replayed against a pure-Python model."""
+
+import math
+from collections import Counter
+from decimal import Decimal
+
+from duckdb_iceberg_spark.operators.text import ngram_lm_score
+
+DOCS = [
+    (1, "the cat sat on the mat", "en"),
+    (2, "the cat sat on the cat", "en"),
+    (3, "a dog runs fast", "en"),
+    (4, "zzz qqq xxx zzz qqq", "xx"),       # out-of-reference junk
+    (5, "the", "en"),                        # single token: no bigrams
+    (6, "", "en"),                           # empty
+]
+
+
+def _python_lm(ref_texts, vocab_size):
+    toks = [t.lower().split() for t in ref_texts]
+    uni = Counter(w for ts in toks for w in ts)
+    vocab = set(
+        w for w, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))
+        [:vocab_size])
+    v_total = len(vocab) + 1
+
+    def m(ts):
+        return [w if w in vocab else "<unk>" for w in ts]
+
+    bi = Counter()
+    for ts in toks:
+        ms = m(ts)
+        for a, b in zip(ms, ms[1:]):
+            bi[(a, b)] += 1
+    ctx = Counter()
+    for (a, _), c in bi.items():
+        ctx[a] += c
+
+    def score(text):
+        ms = m(text.lower().split())
+        nll = Decimal(0)
+        n = 0
+        for a, b in zip(ms, ms[1:]):
+            p = (bi.get((a, b), 0) + 1) / (ctx.get(a, 0) + v_total)
+            nll -= Decimal(str(round(math.log(p), 6)))
+            n += 1
+        return n, nll
+
+    return score
+
+
+def test_lm_score_matches_python_replay(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        for r in ngram_lm_score(
+            df, reference_cond="lang = 'en'", vocab_size=8).collect()
+    }
+    score = _python_lm(
+        [t for _, t, lang in DOCS if lang == "en" and t], 8)
+    for doc_id, text, _ in DOCS:
+        n, nll = score(text)
+        r = out[doc_id]
+        assert r["n_bigrams"] == n, doc_id
+        assert r["nll_sum"] == nll.quantize(Decimal("0.000001")), doc_id
+        if n == 0:
+            assert r["avg_nll"] is None
+        else:
+            assert r["avg_nll"] == round(float(nll) / n, 6)
+
+
+def test_lm_score_junk_ranks_worse(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r["avg_nll"]
+        for r in ngram_lm_score(
+            df, reference_cond="lang = 'en'", vocab_size=8).collect()
+    }
+    # in-model text scores strictly better (lower nll) than junk
+    assert out[1] < out[4]

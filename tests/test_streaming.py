@@ -417,12 +417,19 @@ def test_stateful_dedup_ttl_repeat_then_silence_gc(spark, tmp_path):
 
     t0 = _time.time()
     run()                                       # first arrival: emitted
+    # the expiry deadline is stamped at first ARRIVAL, which happens mid-
+    # run1 after seconds of query startup: t_arr (taken after run1
+    # returns) is an upper bound on it, so sleeping until t_arr + ttl is
+    # guaranteed past the deadline — sleeping ttl from t0 is NOT (observed:
+    # the third batch's timestamp landed 5s before the registered timeout
+    # and correctly declined to GC)
+    t_arr = _time.time()
     write_iceberg(spark.createDataFrame(
         [(9, "x2")], "k: long, payload: string"), loc)
     run()                                       # repeat within TTL: suppressed
     assert _time.time() - t0 < ttl_ms / 1000, "startup outran the TTL window"
     # ... then silence until past the deadline stamped at first arrival
-    _time.sleep(max(0.0, ttl_ms / 1000 + 1.5 - (_time.time() - t0)))
+    _time.sleep(max(0.0, ttl_ms / 1000 + 1.5 - (_time.time() - t_arr)))
     write_iceberg(spark.createDataFrame(
         [(10, "y")], "k: long, payload: string"), loc)
     rows_total = run()                          # unrelated batch triggers GC

@@ -100,6 +100,8 @@ HEADLINE = [
     "mm_frame_sample",
     "mm_video_meta",
     "docs_dsir_sample",
+    "docs_dup_components",
+    "docs_lm_score",
 ]
 
 
@@ -116,6 +118,9 @@ SF1_CANARIES = [
     # r7: DSIR fit+score are two linear passes — the ratio should track
     # corpus size, not explode
     "docs_dsir_sample",
+    # r7: connected components under 10× duplication mass — the exact-dup
+    # star edges grow 10×, the star rounds must stay flat
+    "docs_dup_components",
 ]
 
 _SF1_GEN_VERSION = "v1"

@@ -648,3 +648,48 @@ def ngram_lm_score(
             ).alias("avg_nll"),
         )
     )
+
+
+def lm_perplexity_buckets(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    reference_cond: str | Column | None = None,
+    vocab_size: int = 1024,
+):
+    """CCNet's head/middle/tail split: per-``group_col`` (language)
+    perplexity terciles over the ngram_lm_score NLL — 'head' is the
+    lowest-NLL (most reference-like) third, the slice CCNet keeps for LM
+    training. Docs with no score (sub-2-token) get a NULL bucket.
+
+    Thresholds are EXACT percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, the corpus_report-proven pairing), rounded
+    to 6dp so an interpolation ulp can't move a boundary. At 100 TB swap
+    in approx_percentile for the threshold pass (a per-group t-digest
+    instead of exact per-group sorted aggregation); the exact form here
+    is what the cross-engine oracle can replay.
+
+    Scale shape: the scoring pass is ngram_lm_score's one linear
+    shuffle; thresholds are one tiny per-group aggregate broadcast back;
+    labeling is a Column CASE. Nothing global-sorts."""
+    scored = ngram_lm_score(df, text_col, id_col, reference_cond, vocab_size)
+    j = df.select(F.col(id_col), F.col(group_col)).join(scored, id_col)
+    th = (
+        j.filter(F.col("avg_nll").isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.expr("round(percentile(avg_nll, 1.0D/3), 6)").alias("__t1"),
+            F.expr("round(percentile(avg_nll, 2.0D/3), 6)").alias("__t2"),
+        )
+    )
+    return (
+        j.join(F.broadcast(th), group_col, "left")
+        .select(
+            F.col(id_col), F.col(group_col), "avg_nll",
+            F.when(F.col("avg_nll").isNull(), F.lit(None).cast("string"))
+            .when(F.col("avg_nll") <= F.col("__t1"), F.lit("head"))
+            .when(F.col("avg_nll") <= F.col("__t2"), F.lit("middle"))
+            .otherwise(F.lit("tail")).alias("bucket"),
+        )
+    )

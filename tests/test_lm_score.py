@@ -78,3 +78,37 @@ def test_lm_score_junk_ranks_worse(spark):
     }
     # in-model text scores strictly better (lower nll) than junk
     assert out[1] < out[4]
+
+
+def test_lm_perplexity_buckets(spark):
+    from duckdb_iceberg_spark.operators.text import lm_perplexity_buckets
+
+    docs = DOCS + [
+        (7, "the cat sat on the mat again and again", "en"),
+        (8, "dog runs fast and the cat sat", "en"),
+        (9, "qqq zzz vvv www", "xx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in lm_perplexity_buckets(
+        df, reference_cond="lang = 'en'", vocab_size=8).collect()}
+    # per-language terciles: within each lang, head <= middle <= tail by
+    # avg_nll; unscored docs get a NULL bucket
+    assert out[6]["bucket"] is None and out[5]["bucket"] is None
+    import math
+
+    def q(vals, p):  # linear interpolation, the percentile/quantile_cont def
+        pos = p * (len(vals) - 1)
+        lo = math.floor(pos)
+        hi = min(lo + 1, len(vals) - 1)
+        return round(vals[lo] + (vals[hi] - vals[lo]) * (pos - lo), 6)
+
+    for lang in ("en", "xx"):
+        rows = [r for r in out.values()
+                if r["lang"] == lang and r["avg_nll"] is not None]
+        vals = sorted(r["avg_nll"] for r in rows)
+        t1 = q(vals, 1.0 / 3)
+        t2 = q(vals, 2.0 / 3)
+        for r in rows:
+            want = ("head" if r["avg_nll"] <= t1
+                    else "middle" if r["avg_nll"] <= t2 else "tail")
+            assert r["bucket"] == want, (lang, r)

@@ -672,9 +672,17 @@ def lm_perplexity_buckets(
 
     Scale shape: the scoring pass is ngram_lm_score's one linear
     shuffle; thresholds are one tiny per-group aggregate broadcast back;
-    labeling is a Column CASE. Nothing global-sorts."""
+    labeling is a Column CASE. Nothing global-sorts. The scored frame is
+    persisted and eagerly materialized because BOTH branches (thresholds,
+    labels) consume it — unpersisted, the whole LM pipeline ran twice
+    (plan audit showed exactly doubled exchanges), and lazy persist would
+    still double-build under AQE's parallel stage submission (the
+    verify_jaccard lesson). Caller owns the cache lifetime, as everywhere
+    in the dedup family."""
     scored = ngram_lm_score(df, text_col, id_col, reference_cond, vocab_size)
-    j = df.select(F.col(id_col), F.col(group_col)).join(scored, id_col)
+    j = (df.select(F.col(id_col), F.col(group_col))
+         .join(scored, id_col).persist())
+    j.count()
     th = (
         j.filter(F.col("avg_nll").isNotNull())
         .groupBy(group_col)

@@ -2342,6 +2342,30 @@ def _mm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dedup: dHash -> 16-bit-band LSH -> exact
+    Hamming verify -> drop higher ids. The _mm_docs text blobs always take
+    the md5-grid fake pixel path, so the DuckDB oracle recomputes every
+    grid byte, every dHash bit, the band chunks, and bit_count(xor)
+    verification — hash-checked end to end. Real BMP/PNG/JPEG pixels
+    exercise the same operator in tests/test_operators.py."""
+    from duckdb_iceberg_spark.operators.multimodal import (
+        image_dhash,
+        image_neardup,
+    )
+
+    docs = _mm_docs(spark, sf_dir)
+    # testdata texts are all distinct, so synthesize byte-identical blob
+    # copies (hamming 0) — the drop path must actually fire for the row
+    # to mean anything; every +100000 copy must lose to its original
+    dups = docs.filter("id < 50").select(
+        (F.col("id") + 100000).alias("id"), "blob", "duration_ms")
+    allb = docs.unionByName(dups)
+    surv = image_neardup(allb, max_hamming=6)
+    h = image_dhash(allb)
+    return surv.select("id").join(h, "id").orderBy("id")
+
+
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _mm_docs blobs are UTF-8 text, which can never satisfy the stdlib
     # BMP/PNG magic+header checks, so the default decoder deterministically
@@ -2431,7 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS LOAD-BEARING. The driver's correctness harness checks
     only the FIRST 50 entries per round (CORRECTNESS_r*.json has exactly 50
     rows), so ordering decides which queries get hard cross-engine oracle
-    rows. With 106 queries, 25 always-in ice_* slots and 25 rotating
+    rows. With 107 queries, 25 always-in ice_* slots and 25 rotating
     slots, a parked query re-earns a driver row at latest every third
     round; tools/check_oracle.py still covers ALL positions every
     session. Rotation priority: (a) operators whose code changed since
@@ -2577,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_components": docs_dup_components,
         "docs_lm_score": docs_lm_score,
         "docs_lm_buckets": docs_lm_buckets,
+        "mm_image_dedup": mm_image_dedup,
     }
 
 
@@ -2803,6 +2828,75 @@ def _dup_components_sql(num_hashes: int = 32, bands: int = 8,
             )
             SELECT id AS doc_id, min(r) AS component_id
             FROM reach GROUP BY id ORDER BY doc_id
+    """
+
+
+def _image_dedup_sql(max_hamming: int = 6, bands: int = 4) -> str:
+    """DuckDB replica of operators.multimodal.image_neardup on the fake
+    pixel path: 9x8 md5-grid bytes, 64 dHash comparison bits packed with
+    bit 63 as the int64 sign, 16-bit band chunks over the unsigned view,
+    candidate pairs per (band, chunk), exact bit_count(xor) Hamming
+    verify, survivors with their hashes."""
+    def byte(k: int) -> str:
+        return (f"CAST('0x' || substr(md5(text || 'p{k // 16}'), "
+                f"{2 * (k % 16) + 1}, 2) AS BIGINT)")
+
+    gcols = ",\n                     ".join(
+        f"{byte(k)} AS g{k}" for k in range(72))
+    bit_terms = []
+    for i in range(64):
+        r, c = divmod(i, 8)
+        a, b = r * 9 + c, r * 9 + c + 1
+        if i == 63:
+            bit_terms.append(
+                f"(CASE WHEN g{a} > g{b} THEN -9223372036854775808 "
+                "ELSE 0 END)")
+        else:
+            bit_terms.append(
+                f"(CASE WHEN g{a} > g{b} THEN {1 << i} ELSE 0 END)")
+    pack = "\n                     + ".join(bit_terms)
+    banded = "\n              UNION ALL ".join(
+        f"SELECT id, {j} AS band, (ud // {1 << (16 * j)}) % 65536 AS chunk"
+        " FROM uh"
+        for j in range(bands))
+    return f"""
+            WITH src AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+            ), g AS (
+              SELECT doc_id AS id, text,
+                     {gcols}
+              FROM src
+            ), dh AS (
+              SELECT id,
+                     CASE WHEN text IS NULL THEN NULL ELSE
+                     {pack}
+                     END AS dhash
+              FROM g
+            ), uh AS (
+              SELECT id, CAST(dhash AS HUGEINT)
+                     + CASE WHEN dhash < 0
+                            THEN CAST('18446744073709551616' AS HUGEINT)
+                            ELSE CAST(0 AS HUGEINT) END AS ud
+              FROM dh WHERE dhash IS NOT NULL
+            ), banded AS (
+              {banded}
+            ), cands AS (
+              SELECT DISTINCT l.id AS id_a, r.id AS id_b
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.chunk = r.chunk AND l.id < r.id
+            ), losers AS (
+              SELECT DISTINCT c.id_b
+              FROM cands c
+              JOIN dh a ON a.id = c.id_a
+              JOIN dh b ON b.id = c.id_b
+              WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+            )
+            SELECT d.id, d.dhash
+            FROM dh d
+            WHERE d.id NOT IN (SELECT id_b FROM losers)
+            ORDER BY d.id
     """
 
 
@@ -4142,6 +4236,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_components": _dup_components_sql(),
         "docs_lm_score": _lm_sql(),
         "docs_lm_buckets": _lm_sql(buckets=True),
+        "mm_image_dedup": _image_dedup_sql(),
         "docs_tfidf": r"""
             WITH t AS (
               SELECT doc_id,

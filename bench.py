@@ -102,6 +102,7 @@ HEADLINE = [
     "docs_dsir_sample",
     "docs_dup_components",
     "docs_lm_score",
+    "mm_image_dedup",
 ]
 
 

@@ -91,6 +91,14 @@ def decode_bmp(blob: bytes) -> tuple[int, int, np.ndarray] | None:
 
 
 def _decode_bmp(blob: bytes) -> tuple[int, int, np.ndarray] | None:
+    out = _decode_bmp_px(blob)
+    if out is None:
+        return None
+    w, h, px = out
+    return w, h, _pixel_features(px, w, h)
+
+
+def _decode_bmp_px(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     import struct
 
     if blob[:2] != b"BM" or len(blob) < 54:
@@ -116,7 +124,7 @@ def _decode_bmp(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     if flipped:
         rows.reverse()
     px = np.concatenate(rows).astype(np.float64)
-    return w, h, _pixel_features(px, w, h)
+    return w, h, px
 
 
 #: image decode guard: refuse dimensions whose pixel buffers could OOM an
@@ -175,6 +183,14 @@ def decode_png(blob: bytes) -> tuple[int, int, np.ndarray] | None:
 
 
 def _decode_png(blob: bytes) -> tuple[int, int, np.ndarray] | None:
+    out = _decode_png_px(blob)
+    if out is None:
+        return None
+    w, h, px = out
+    return w, h, _pixel_features(px, w, h)
+
+
+def _decode_png_px(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     import struct
     import zlib
 
@@ -219,7 +235,7 @@ def _decode_png(blob: bytes) -> tuple[int, int, np.ndarray] | None:
         px = np.repeat(px[:, :1], 3, axis=1)
     else:
         px = px[:, :3]
-    return w, h, _pixel_features(px, w, h)
+    return w, h, px
 
 
 # ---------------------------------------------------------------------------
@@ -351,6 +367,14 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray] | None:
 
 
 def _decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray] | None:
+    out = _decode_jpeg_px(blob)
+    if out is None:
+        return None
+    w, h, px = out
+    return w, h, _pixel_features(px, w, h)
+
+
+def _decode_jpeg_px(blob: bytes) -> tuple[int, int, np.ndarray] | None:
     import struct
 
     if blob[:2] != b"\xff\xd8":
@@ -527,7 +551,7 @@ def _decode_scan(blob, data_start, frame, scan, qt, huff_dc, huff_ac,
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
         b = y + 1.772 * (cb - 128.0)
         rgb = np.clip(np.stack([r, g, b], axis=1), 0, 255)
-    return w, h, _pixel_features(rgb, w, h)
+    return w, h, rgb
 
 
 def decode_image(blob: bytes) -> tuple[int, int, np.ndarray] | None:
@@ -551,6 +575,134 @@ def default_decode_image(blob: bytes) -> tuple[int, int, np.ndarray]:
     deterministic fake (oracle-verifiable)."""
     out = decode_image(blob)
     return out if out is not None else fake_decode_image(blob)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (dHash) + image near-dup
+# ---------------------------------------------------------------------------
+
+def decode_image_pixels(blob: bytes) -> tuple[int, int, np.ndarray] | None:
+    """(w, h, row-major (h*w, 3) float pixel array) for stdlib-decodable
+    formats (BMP/PNG/baseline JPEG); None otherwise — callers fall back."""
+    try:
+        if blob[:2] == b"BM":
+            return _decode_bmp_px(blob)
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png_px(blob)
+        if blob[:2] == b"\xff\xd8":
+            return _decode_jpeg_px(blob)
+    except Exception:
+        return None
+    return None
+
+
+def fake_decode_gray_grid(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """DETERMINISTIC FAKE pixel decoder for non-decodable blobs: a 9x8
+    grayscale grid whose bytes come from chained md5 digests — the same
+    values ANSI SQL computes as bytes of md5(blob || 'p<i>'), so every
+    downstream dHash bit is oracle-verifiable. The grid is exactly the
+    dHash sample resolution, making the sampler the identity on it."""
+    import hashlib
+
+    raw = b"".join(
+        hashlib.md5(blob + b"p%d" % i).digest() for i in range(5))[:72]
+    px = np.repeat(
+        np.frombuffer(raw, dtype=np.uint8).astype(np.float64)[:, None],
+        3, axis=1)
+    return 9, 8, px
+
+
+def dhash64_from_pixels(w: int, h: int, px: np.ndarray) -> int:
+    """64-bit difference hash (dHash, the standard perceptual near-dup
+    fingerprint): grayscale, nearest-neighbor sample to a 9x8 grid, bit
+    (r, c) = grid[r][c] > grid[r][c+1], packed row-major with bit 63 as
+    the int64 sign (the simhash packing convention). Integer-exact: no
+    resampling interpolation, so the fake path's bytes survive to the
+    comparisons untouched and SQL can replay every bit."""
+    gray = px.mean(axis=1).reshape(h, w)
+    rows = [(r * h) // 8 for r in range(8)]
+    cols = [(c * w) // 9 for c in range(9)]
+    grid = gray[np.ix_(rows, cols)]
+    bits = grid[:, :-1] > grid[:, 1:]
+    v = 0
+    for i, b in enumerate(bits.flatten()):
+        if b:
+            v += -(1 << 63) if i == 63 else (1 << i)
+    return v
+
+
+def image_dhash(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    decode: Callable[[bytes], tuple[int, int, np.ndarray] | None] | None = None,
+) -> DataFrame:
+    """(id, dhash): perceptual hash per image blob via mapInPandas (Arrow
+    batches, never per-row Python in the plan). Real pixels for
+    BMP/PNG/JPEG; other formats take the md5-grid fake so the pipeline
+    stays total and oracle-verifiable. Null blobs hash to null."""
+    dec = decode or decode_image_pixels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _i, row in pdf.iterrows():
+                blob = row[blob_col]
+                if blob is None:
+                    rows.append((row[id_col], None))
+                    continue
+                b = bytes(blob)
+                out = dec(b)
+                if out is None:
+                    out = fake_decode_gray_grid(b)
+                w, h, px = out
+                rows.append((row[id_col], dhash64_from_pixels(w, h, px)))
+            yield pd.DataFrame(rows, columns=["id", "dhash"])
+
+    return df.mapInPandas(
+        run,
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]),
+    )
+
+
+def image_neardup(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    max_hamming: int = 6,
+    bands: int = 4,
+    decode: Callable[[bytes], tuple[int, int, np.ndarray] | None] | None = None,
+) -> DataFrame:
+    """Perceptual image near-dedup: dHash -> 16-bit-band LSH candidates
+    (two hashes within Hamming distance 3 of each other share a band by
+    pigeonhole; wider radii trade recall exactly like SimHash text dedup,
+    whose banding this reuses) -> exact Hamming verify JVM-side
+    (bit_count(xor)) -> drop the higher id of each verified pair.
+
+    Scale shape: the only corpus-sized work is the one dHash pass; the
+    self-join shuffles on (band, chunk) keys so skew is bounded by bucket
+    population, and the verify runs on candidate pairs only — no
+    all-pairs comparison anywhere."""
+    from .dedup import simhash_candidates
+
+    hashes = image_dhash(df, blob_col, id_col, decode)
+    cands = simhash_candidates(
+        hashes.select(F.col("id").alias(id_col),
+                      F.col("dhash").alias("simhash")),
+        id_col, bands)
+    ha = hashes.select(F.col("id").alias("id_a"), F.col("dhash").alias("__ha"))
+    hb = hashes.select(F.col("id").alias("id_b"), F.col("dhash").alias("__hb"))
+    losers = (
+        cands.join(ha, "id_a").join(hb, "id_b")
+        .filter(F.bit_count(
+            F.col("__ha").bitwiseXOR(F.col("__hb"))) <= max_hamming)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 def extract_image_features(

@@ -1329,3 +1329,54 @@ def test_dsir_importance_weights_prefer_target_like_docs(spark):
     again = dsir_resample(df, target, 5).collect()
     assert [(r.doc_id, r.score) for r in sel] == \
         [(r.doc_id, r.score) for r in again]
+
+
+def test_image_dhash_real_pixels():
+    """dHash over REAL decoded pixels: format-independent (BMP == PNG of
+    the same image), brightness-shift invariant (differences survive a
+    uniform +delta), and sensitive to genuinely different content."""
+    from duckdb_iceberg_spark.operators.multimodal import (
+        decode_image_pixels,
+        dhash64_from_pixels,
+    )
+
+    def grad(shift=0, w=32, h=16):
+        return [[((c * 7 + shift) % 256,) * 3 for c in range(w)]
+                for _r in range(h)]
+
+    def dh(blob):
+        return dhash64_from_pixels(*decode_image_pixels(blob))
+
+    base_bmp = dh(_make_bmp(grad()))
+    base_png = dh(_make_png(grad()))
+    assert base_bmp == base_png
+    # uniform brightness shift: all left/right differences unchanged
+    assert dh(_make_bmp(grad(shift=3))) == base_bmp
+    # different content: far away in hamming space
+    other = [[((r * 31 + c * 17) % 256,) * 3 for c in range(32)]
+             for r in range(16)]
+    d = bin((base_bmp ^ dh(_make_bmp(other))) & (2**64 - 1)).count("1")
+    assert d > 10, d
+
+
+def test_image_neardup_mixed_real_and_fake(spark):
+    """image_neardup drops byte-identical and brightness-shifted copies of
+    a real BMP while keeping distinct content; opaque (non-image) blobs
+    ride the md5-grid fake path and survive untouched."""
+    from duckdb_iceberg_spark.operators.multimodal import image_neardup
+
+    grad = [[((c * 7) % 256,) * 3 for c in range(32)] for _r in range(16)]
+    shifted = [[((c * 7 + 3) % 256,) * 3 for c in range(32)]
+               for _r in range(16)]
+    other = [[((r * 31 + c * 17) % 256,) * 3 for c in range(32)]
+             for r in range(16)]
+    rows = [
+        (1, _make_bmp(grad)),
+        (2, _make_bmp(grad)),       # exact dup -> drops
+        (3, _make_bmp(shifted)),    # brightness shift -> hamming 0 -> drops
+        (4, _make_bmp(other)),      # distinct -> survives
+        (5, b"opaque-not-an-image-blob"),   # fake path -> survives
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    surv = sorted(r["id"] for r in image_neardup(df).select("id").collect())
+    assert surv == [1, 4, 5]

@@ -2366,6 +2366,26 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.select("id").join(h, "id").orderBy("id")
 
 
+def mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-audio-hash near-dedup (Haitsma-Kalker double-difference
+    bits over a 9x9 spectral-energy grid): the text blobs take the
+    md5-grid fake path, so the oracle replays every grid byte and bit;
+    real WAV spectra exercise the same operator in tests. Synthesized
+    byte-identical copies make the drop path fire."""
+    from duckdb_iceberg_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_neardup,
+    )
+
+    docs = _mm_docs(spark, sf_dir)
+    dups = docs.filter("id < 50").select(
+        (F.col("id") + 100000).alias("id"), "blob", "duration_ms")
+    allb = docs.unionByName(dups)
+    surv = audio_neardup(allb, max_hamming=6)
+    h = audio_fingerprint(allb)
+    return surv.select("id").join(h, "id").orderBy("id")
+
+
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _mm_docs blobs are UTF-8 text, which can never satisfy the stdlib
     # BMP/PNG magic+header checks, so the default decoder deterministically
@@ -2455,7 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS LOAD-BEARING. The driver's correctness harness checks
     only the FIRST 50 entries per round (CORRECTNESS_r*.json has exactly 50
     rows), so ordering decides which queries get hard cross-engine oracle
-    rows. With 107 queries, 25 always-in ice_* slots and 25 rotating
+    rows. With 108 queries, 25 always-in ice_* slots and 25 rotating
     slots, a parked query re-earns a driver row at latest every third
     round; tools/check_oracle.py still covers ALL positions every
     session. Rotation priority: (a) operators whose code changed since
@@ -2602,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_score": docs_lm_score,
         "docs_lm_buckets": docs_lm_buckets,
         "mm_image_dedup": mm_image_dedup,
+        "mm_audio_dedup": mm_audio_dedup,
     }
 
 
@@ -2831,29 +2852,30 @@ def _dup_components_sql(num_hashes: int = 32, bands: int = 8,
     """
 
 
-def _image_dedup_sql(max_hamming: int = 6, bands: int = 4) -> str:
-    """DuckDB replica of operators.multimodal.image_neardup on the fake
-    pixel path: 9x8 md5-grid bytes, 64 dHash comparison bits packed with
-    bit 63 as the int64 sign, 16-bit band chunks over the unsigned view,
-    candidate pairs per (band, chunk), exact bit_count(xor) Hamming
-    verify, survivors with their hashes."""
+def _hamming_dedup_sql(n_bytes: int, md5_prefix: str,
+                       bit_exprs: list[str], out_col: str,
+                       max_hamming: int, bands: int) -> str:
+    """Shared DuckDB skeleton for the md5-grid fake-path Hamming dedups
+    (image dHash, audio fingerprint): grid bytes from chained
+    md5(text || '<prefix><i>') digests, 64 bits packed with bit 63 as the
+    int64 sign, 16-bit band chunks over the unsigned view, candidate
+    pairs per (band, chunk), exact bit_count(xor) verify, survivors with
+    their hashes. The synthesized +100000 copies make the drop path fire
+    (testdata texts are all distinct)."""
     def byte(k: int) -> str:
-        return (f"CAST('0x' || substr(md5(text || 'p{k // 16}'), "
+        return (f"CAST('0x' || substr(md5(text || '{md5_prefix}{k // 16}'), "
                 f"{2 * (k % 16) + 1}, 2) AS BIGINT)")
 
     gcols = ",\n                     ".join(
-        f"{byte(k)} AS g{k}" for k in range(72))
+        f"{byte(k)} AS g{k}" for k in range(n_bytes))
     bit_terms = []
-    for i in range(64):
-        r, c = divmod(i, 8)
-        a, b = r * 9 + c, r * 9 + c + 1
+    for i, cond in enumerate(bit_exprs):
         if i == 63:
             bit_terms.append(
-                f"(CASE WHEN g{a} > g{b} THEN -9223372036854775808 "
-                "ELSE 0 END)")
+                f"(CASE WHEN {cond} THEN -9223372036854775808 ELSE 0 END)")
         else:
             bit_terms.append(
-                f"(CASE WHEN g{a} > g{b} THEN {1 << i} ELSE 0 END)")
+                f"(CASE WHEN {cond} THEN {1 << i} ELSE 0 END)")
     pack = "\n                     + ".join(bit_terms)
     banded = "\n              UNION ALL ".join(
         f"SELECT id, {j} AS band, (ud // {1 << (16 * j)}) % 65536 AS chunk"
@@ -2872,14 +2894,14 @@ def _image_dedup_sql(max_hamming: int = 6, bands: int = 4) -> str:
               SELECT id,
                      CASE WHEN text IS NULL THEN NULL ELSE
                      {pack}
-                     END AS dhash
+                     END AS {out_col}
               FROM g
             ), uh AS (
-              SELECT id, CAST(dhash AS HUGEINT)
-                     + CASE WHEN dhash < 0
+              SELECT id, CAST({out_col} AS HUGEINT)
+                     + CASE WHEN {out_col} < 0
                             THEN CAST('18446744073709551616' AS HUGEINT)
                             ELSE CAST(0 AS HUGEINT) END AS ud
-              FROM dh WHERE dhash IS NOT NULL
+              FROM dh WHERE {out_col} IS NOT NULL
             ), banded AS (
               {banded}
             ), cands AS (
@@ -2891,13 +2913,40 @@ def _image_dedup_sql(max_hamming: int = 6, bands: int = 4) -> str:
               FROM cands c
               JOIN dh a ON a.id = c.id_a
               JOIN dh b ON b.id = c.id_b
-              WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+              WHERE bit_count(xor(a.{out_col}, b.{out_col})) <= {max_hamming}
             )
-            SELECT d.id, d.dhash
+            SELECT d.id, d.{out_col}
             FROM dh d
             WHERE d.id NOT IN (SELECT id_b FROM losers)
             ORDER BY d.id
     """
+
+
+def _image_dedup_sql(max_hamming: int = 6, bands: int = 4) -> str:
+    """operators.multimodal.image_neardup fake path: 9x8 md5 grid, dHash
+    bit (r, c) = g[r][c] > g[r][c+1]."""
+    bit_exprs = []
+    for i in range(64):
+        r, c = divmod(i, 8)
+        a, b = r * 9 + c, r * 9 + c + 1
+        bit_exprs.append(f"g{a} > g{b}")
+    return _hamming_dedup_sql(72, "p", bit_exprs, "dhash", max_hamming, bands)
+
+
+def _audio_dedup_sql(max_hamming: int = 6, bands: int = 4) -> str:
+    """operators.multimodal.audio_neardup fake path: 9x9 md5 energy grid,
+    Haitsma-Kalker double-difference bit (i, j) =
+    (G[i+1][j+1]-G[i+1][j]) - (G[i][j+1]-G[i][j]) > 0 — integer
+    arithmetic, exact in both engines."""
+    bit_exprs = []
+    for i in range(64):
+        r, c = divmod(i, 8)
+        a = (r + 1) * 9 + (c + 1)
+        b = (r + 1) * 9 + c
+        cc = r * 9 + (c + 1)
+        d = r * 9 + c
+        bit_exprs.append(f"(g{a} - g{b}) - (g{cc} - g{d}) > 0")
+    return _hamming_dedup_sql(81, "a", bit_exprs, "afp", max_hamming, bands)
 
 
 def _lm_sql(buckets: bool = False) -> str:
@@ -4237,6 +4286,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lm_score": _lm_sql(),
         "docs_lm_buckets": _lm_sql(buckets=True),
         "mm_image_dedup": _image_dedup_sql(),
+        "mm_audio_dedup": _audio_dedup_sql(),
         "docs_tfidf": r"""
             WITH t AS (
               SELECT doc_id,

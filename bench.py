@@ -103,6 +103,7 @@ HEADLINE = [
     "docs_dup_components",
     "docs_lm_score",
     "mm_image_dedup",
+    "mm_audio_dedup",
 ]
 
 

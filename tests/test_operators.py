@@ -1380,3 +1380,72 @@ def test_image_neardup_mixed_real_and_fake(spark):
     df = spark.createDataFrame(rows, "id long, blob binary")
     surv = sorted(r["id"] for r in image_neardup(df).select("id").collect())
     assert surv == [1, 4, 5]
+
+
+def _make_wav(samples, rate=8000):
+    """16-bit mono WAV from a float [-1, 1] sample list."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"".join(
+            struct.pack("<h", int(max(-1.0, min(1.0, s)) * 32767))
+            for s in samples))
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_real_spectra():
+    """Fingerprint over REAL WAV spectra: gain-invariant (energies scale
+    together, double-difference signs don't move) and sensitive to
+    different spectral content."""
+    import math
+
+    from duckdb_iceberg_spark.operators.multimodal import (
+        audio_energy_grid,
+        audio_fingerprint64,
+        decode_wav_samples,
+    )
+
+    def fp(blob):
+        out = decode_wav_samples(blob)
+        assert out is not None
+        return audio_fingerprint64(audio_energy_grid(out[2]))
+
+    def tone(freqs, n=4096, amp=0.5):
+        return [amp * sum(math.sin(2 * math.pi * f * i / 8000)
+                          for f in freqs) / len(freqs) for i in range(n)]
+
+    sweep = [0.5 * math.sin(2 * math.pi * (200 + i / 8) * i / 8000)
+             for i in range(4096)]
+    base = fp(_make_wav(sweep))
+    quiet = fp(_make_wav([s * 0.5 for s in sweep]))
+    assert base == quiet                      # gain invariance
+    other = fp(_make_wav(tone([440, 1200, 2600])))
+    d = bin((base ^ other) & (2**64 - 1)).count("1")
+    assert d > 10, d
+
+
+def test_audio_neardup_mixed_real_and_fake(spark):
+    import math
+
+    from duckdb_iceberg_spark.operators.multimodal import audio_neardup
+
+    sweep = [0.5 * math.sin(2 * math.pi * (200 + i / 8) * i / 8000)
+             for i in range(4096)]
+    other = [0.4 * math.sin(2 * math.pi * 2600 * i / 8000)
+             for i in range(4096)]
+    rows = [
+        (1, _make_wav(sweep)),
+        (2, _make_wav(sweep)),                    # exact dup -> drops
+        (3, _make_wav([s * 0.7 for s in sweep])),  # gain change -> drops
+        (4, _make_wav(other)),                    # distinct -> survives
+        (5, b"opaque-not-audio"),                 # fake path -> survives
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    surv = sorted(r["id"] for r in audio_neardup(df).select("id").collect())
+    assert surv == [1, 4, 5]

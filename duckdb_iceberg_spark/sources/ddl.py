@@ -395,7 +395,10 @@ def set_sorted_by(location: str, sort_by: list) -> TableMetadata:
     iceberg_schema_entry.cpp:399). Appends a new order with a fresh order-id
     and flips ``default-sort-order-id``; subsequent writes sort within
     partitions by it (iceberg_insert.cpp:497-511). ``sort_by`` entries are
-    column names or ``(name, "asc"|"desc")`` pairs; ``[]`` unsorts."""
+    column names or transform expressions ('day(ts)', 'bucket(4, k)' — the
+    reference's sorting/ suite), optionally as
+    ``(expr, "asc"|"desc"[, "nulls-first"|"nulls-last"])``; ``[]``
+    unsorts."""
     from .writer import parse_sort_by
 
     tm = _load(location)

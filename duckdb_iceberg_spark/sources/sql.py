@@ -114,6 +114,24 @@ def _scan_top(sql: str, keywords: tuple[str, ...]) -> list[tuple[int, str]]:
     return out
 
 
+def _parse_sort_items(inner: str) -> list[tuple[str, str, str | None]]:
+    """'day(ts) ASC NULLS LAST, id' → [('day(ts)', 'asc', 'nulls-last'),
+    ('id', 'asc', None)] — the SET SORTED BY item grammar the reference's
+    sorting suite uses."""
+    items = []
+    for part in _split_top_commas(inner):
+        m = re.match(
+            r"^(?P<expr>.+?)(?:\s+(?P<dir>asc|desc))?"
+            r"(?:\s+nulls\s+(?P<n>first|last))?\s*$",
+            part.strip(), re.I | re.S)
+        if not m or not m.group("expr"):
+            raise ValueError(f"cannot parse sort item {part!r}")
+        direction = (m.group("dir") or "asc").lower()
+        nulls = f"nulls-{m.group('n').lower()}" if m.group("n") else None
+        items.append((m.group("expr").strip(), direction, nulls))
+    return items
+
+
 def _split_top_commas(s: str) -> list[str]:
     """Split on top-level (outside parens/quotes) commas."""
     parts: list[str] = []
@@ -533,7 +551,9 @@ def _exec_alter(spark: SparkSession, stmt: str) -> DataFrame:
     """ALTER TABLE over registered filesystem tables, routed to the ddl
     module (reference surface: iceberg_schema_entry.cpp Alter — SET/RESET
     options incl. the 'format-version' upgrade, ADD/DROP/RENAME COLUMN,
-    type widening, SET/DROP NOT NULL)."""
+    type widening, SET/DROP NOT NULL, SET PARTITIONED BY / SET SORTED BY
+    with transform expressions and explicit null ordering like the
+    reference's sorting/ suite: day(ts) ASC NULLS LAST)."""
     from . import ddl
 
     m = re.match(r"ALTER\s+TABLE\s+([\w.]+)\s+(.+)$", stmt, re.I | re.S)
@@ -542,7 +562,15 @@ def _exec_alter(spark: SparkSession, stmt: str) -> DataFrame:
     name, action = m.group(1), m.group(2).strip()
     view, loc = _target_of(spark, name)  # path or RestTable (ddl handles both)
 
-    if (pm := re.match(r"SET\s*\((.*)\)\s*$", action, re.I | re.S)):
+    if (pm := re.match(r"SET\s+PARTITIONED\s+BY\s*\((.*)\)\s*$",
+                       action, re.I | re.S)):
+        tm = ddl.set_partitioned_by(loc, _split_top_commas(pm.group(1)))
+        op = "ALTER SET PARTITIONED BY"
+    elif (pm := re.match(r"SET\s+SORTED\s+BY\s*\((.*)\)\s*$",
+                         action, re.I | re.S)):
+        tm = ddl.set_sorted_by(loc, _parse_sort_items(pm.group(1)))
+        op = "ALTER SET SORTED BY"
+    elif (pm := re.match(r"SET\s*\((.*)\)\s*$", action, re.I | re.S)):
         tm = ddl.set_table_properties(loc, _parse_prop_pairs(pm.group(1)))
         op = "ALTER SET"
     elif (pm := re.match(r"RESET\s*\((.*)\)\s*$", action, re.I | re.S)):

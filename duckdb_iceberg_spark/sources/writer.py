@@ -112,19 +112,50 @@ def _resolve_schema_field(schema_json: dict, dotted: str) -> dict | None:
     return next((f for f in fields if f["name"] == parts[-1]), None)
 
 
+def _parse_transform_expr(item: str) -> tuple[str, str]:
+    """'bucket(4, k)' / 'day(ts)' / 'col' → (source column, transform)."""
+    m = _TRANSFORM_CALL_RE.match(item)
+    if not m:
+        return item.strip(), "identity"
+    fn = m.group(1).lower()
+    args = [a.strip() for a in m.group(2).split(",")]
+    if fn == "bucket":
+        return args[1], f"bucket[{int(args[0])}]"
+    if fn == "truncate":
+        return args[1], f"truncate[{int(args[0])}]"
+    if fn in ("year", "month", "day", "hour"):
+        return args[0], fn
+    if fn == "void":
+        return args[0], "void"
+    raise ValueError(f"unknown transform {fn}")
+
+
 def parse_sort_by(sort_by, schema_json: dict) -> SortOrder:
+    """Sort-order parser. Entries are column names or transform
+    expressions ('day(ts)', 'bucket(4, k)', 'truncate(3, s)' — the
+    reference's sorting/ suite sorts by every partition transform), as a
+    bare string or ('expr', 'asc'|'desc'[, 'nulls-first'|'nulls-last'])
+    tuples. Defaults follow the Iceberg convention the reference writes:
+    asc → nulls-first, desc → nulls-last."""
     fields = []
     for item in sort_by or []:
+        null_order = None
         if isinstance(item, str):
-            col, direction = item, "asc"
+            expr, direction = item, "asc"
         else:
-            col, direction = item[0], item[1].lower()
+            expr, direction = item[0], item[1].lower()
+            if len(item) > 2 and item[2]:
+                null_order = item[2].lower().replace(" ", "-")
+                if null_order not in ("nulls-first", "nulls-last"):
+                    raise ValueError(f"bad null order {item[2]!r}")
+        col, transform = _parse_transform_expr(expr)
         src = _resolve_schema_field(schema_json, col)
         if src is None:
             raise ValueError(f"sort column {col!r} not in schema")
-        fields.append(SortField(source_id=src["id"], transform="identity",
-                                direction=direction,
-                                null_order="nulls-first" if direction == "asc" else "nulls-last"))
+        if null_order is None:
+            null_order = "nulls-first" if direction == "asc" else "nulls-last"
+        fields.append(SortField(source_id=src["id"], transform=transform,
+                                direction=direction, null_order=null_order))
     return SortOrder(order_id=1 if fields else 0, fields=fields)
 
 
@@ -654,14 +685,28 @@ def write_data_files(
         for sf in order.fields:
             src = by_id.get(sf.source_id)
             if src is not None:
-                c = F.col(src["name"])
+                src_path, src_type = src["name"], src["type"]
             else:
                 hit = tm.field_path_by_id(sf.source_id)
                 if hit is None:
                     continue
-                c = F.col(hit[0])  # nested sort source (sorting/identity/
-                #                    identity_struct_bool.test)
-            sort_cols.append(c.desc() if sf.direction == "desc" else c.asc())
+                # nested sort source (sorting/identity/identity_struct_bool)
+                src_path, src_type = hit[0], hit[1]["type"]
+            c = F.col(src_path)
+            if sf.transform not in ("identity", "void"):
+                # transform sort keys (reference sorting/day|bucket|truncate
+                # suites): order by the TRANSFORMED value, ties keep the
+                # following sort fields' order — sorting the raw column
+                # would over-order within a day/bucket and diverge from
+                # the reference's written file contents
+                c = tr.transform_column(sf.transform, c, src_type)
+            if sf.direction == "desc":
+                c = (c.desc_nulls_first()
+                     if sf.null_order == "nulls-first" else c.desc_nulls_last())
+            else:
+                c = (c.asc_nulls_first()
+                     if sf.null_order == "nulls-first" else c.asc_nulls_last())
+            sort_cols.append(c)
         if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)
 

@@ -155,3 +155,72 @@ def test_delete_after_partition_spec_evolution(spark, sf_dir, tmp_path):
         if mode == "merge-on-read":
             tm = load_table_metadata(loc)
             assert len(tm.partition_specs) == 2  # deletes didn't fork a spec
+
+
+def test_sort_order_transform_day_nulls_last(spark, tmp_path):
+    """Mirrors the reference's sorting/day suite (day_timestamp.test):
+    ALTER ... SET SORTED BY (day(ts) ASC NULLS LAST, id ASC NULLS LAST)
+    records the transform in the sort order and new files come back
+    day-bucket-ordered with ties in id order and null timestamps LAST —
+    sorting the raw timestamp instead of the day transform would
+    over-order inside a day and diverge from the reference's file
+    contents."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(0, dt.datetime(2020, 1, 1))],
+                              "id long, ts timestamp"), loc)
+    register_table(spark, "sort_day_t", loc)
+    execute_sql(
+        spark,
+        "ALTER TABLE sort_day_t SET SORTED BY "
+        "(day(ts) ASC NULLS LAST, id ASC NULLS LAST)")
+
+    order = load_table_metadata(loc).default_sort_order()
+    assert [(f.transform, f.direction, f.null_order) for f in order.fields] \
+        == [("day", "asc", "nulls-last"), ("identity", "asc", "nulls-last")]
+
+    # same-day rows arrive id-descending; a raw-ts sort would put id=4
+    # (09:00) before id=3 (10:00) — the day transform must tie them and
+    # fall through to id
+    rows = [
+        (4, dt.datetime(2020, 2, 2, 9, 0)),
+        (2, dt.datetime(2020, 1, 31, 5, 0)),
+        (3, dt.datetime(2020, 2, 2, 10, 0)),
+        (6, None),
+        (1, dt.datetime(2020, 1, 4, 3, 0)),
+    ]
+    before = {os.path.join(r, n)
+              for r, _, ns in os.walk(os.path.join(loc, "data"))
+              for n in ns if n.endswith(".parquet")}
+    write_iceberg(
+        spark.createDataFrame(rows, "id long, ts timestamp").coalesce(1), loc)
+    after = {os.path.join(r, n)
+             for r, _, ns in os.walk(os.path.join(loc, "data"))
+             for n in ns if n.endswith(".parquet")}
+    [newfile] = sorted(after - before)
+    assert pq.read_table(newfile, columns=["id"])["id"].to_pylist() \
+        == [1, 2, 3, 4, 6]
+
+
+def test_sql_set_partitioned_by_transform(spark, tmp_path):
+    """SET PARTITIONED BY through the SQL router with a transform
+    expression: the new spec carries bucket[4] and subsequent writes lay
+    out under it."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = str(tmp_path / "t")
+    write_iceberg(spark.range(20).selectExpr("id", "id % 3 AS k"), loc)
+    register_table(spark, "spec_sql_t", loc)
+    execute_sql(spark, "ALTER TABLE spec_sql_t SET PARTITIONED BY (bucket(4, id))")
+    spec = load_table_metadata(loc).default_spec()
+    assert [f.transform for f in spec.fields] == ["bucket[4]"]

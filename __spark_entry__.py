@@ -2386,6 +2386,28 @@ def mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.select("id").join(h, "id").orderBy("id")
 
 
+def mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dedup by frame-hash temporal voting: per-frame dHashes
+    (md5-grid fake path — no codec in this container) joined on
+    (frame_ts, fhash), pairs dropping when >= 80% of the longer video's
+    frames match. Synthesized byte-identical copies fire the drop path;
+    the oracle replays frames via range(), every grid byte, and the
+    vote."""
+    from duckdb_iceberg_spark.operators.multimodal import (
+        video_frame_hashes,
+        video_neardup,
+    )
+
+    docs = _mm_docs(spark, sf_dir)
+    dups = docs.filter("id < 50").select(
+        (F.col("id") + 100000).alias("id"), "blob", "duration_ms")
+    allb = docs.unionByName(dups)
+    surv = video_neardup(allb, every_ms=1000)
+    counts = (video_frame_hashes(allb)
+              .groupBy("id").agg(F.count(F.lit(1)).alias("n_frames")))
+    return surv.select("id").join(counts, "id").orderBy("id")
+
+
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _mm_docs blobs are UTF-8 text, which can never satisfy the stdlib
     # BMP/PNG magic+header checks, so the default decoder deterministically
@@ -2475,7 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS LOAD-BEARING. The driver's correctness harness checks
     only the FIRST 50 entries per round (CORRECTNESS_r*.json has exactly 50
     rows), so ordering decides which queries get hard cross-engine oracle
-    rows. With 108 queries, 25 always-in ice_* slots and 25 rotating
+    rows. With 109 queries, 25 always-in ice_* slots and 25 rotating
     slots, a parked query re-earns a driver row at latest every third
     round; tools/check_oracle.py still covers ALL positions every
     session. Rotation priority: (a) operators whose code changed since
@@ -2623,6 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_buckets": docs_lm_buckets,
         "mm_image_dedup": mm_image_dedup,
         "mm_audio_dedup": mm_audio_dedup,
+        "mm_video_dedup": mm_video_dedup,
     }
 
 
@@ -2931,6 +2954,67 @@ def _image_dedup_sql(max_hamming: int = 6, bands: int = 4) -> str:
         a, b = r * 9 + c, r * 9 + c + 1
         bit_exprs.append(f"g{a} > g{b}")
     return _hamming_dedup_sql(72, "p", bit_exprs, "dhash", max_hamming, bands)
+
+
+def _video_dedup_sql(match_fraction: float = 0.8, every_ms: int = 1000) -> str:
+    """operators.multimodal.video_neardup fake path: frames at
+    range(0, duration, every_ms), per-frame 9x8 md5 grid keyed by
+    (blob, ts), dHash bits, (frame_ts, fhash)-joined pairs, temporal
+    vote >= match_fraction of the longer side's frame count."""
+    def byte(k: int) -> str:
+        return (f"CAST('0x' || substr(md5(text || 'f' || ts || 'p{k // 16}'),"
+                f" {2 * (k % 16) + 1}, 2) AS BIGINT)")
+
+    gcols = ",\n                     ".join(
+        f"{byte(k)} AS g{k}" for k in range(72))
+    bit_terms = []
+    for i in range(64):
+        r, c = divmod(i, 8)
+        a, b = r * 9 + c, r * 9 + c + 1
+        if i == 63:
+            bit_terms.append(
+                f"(CASE WHEN g{a} > g{b} THEN -9223372036854775808 "
+                "ELSE 0 END)")
+        else:
+            bit_terms.append(
+                f"(CASE WHEN g{a} > g{b} THEN {1 << i} ELSE 0 END)")
+    pack = "\n                     + ".join(bit_terms)
+    return f"""
+            WITH src AS (
+              SELECT doc_id, text, n_chars * 10 AS dur FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text, n_chars * 10 FROM documents
+              WHERE doc_id < 50
+            ), fr AS (
+              SELECT doc_id AS id, text,
+                     unnest(range(0, greatest(dur, 1), {every_ms})) AS ts
+              FROM src
+            ), g AS (
+              SELECT id, ts,
+                     {gcols}
+              FROM fr
+            ), fh AS (
+              SELECT id, ts,
+                     {pack}
+                     AS fhash
+              FROM g
+            ), cnt AS (
+              SELECT id, count(*) AS n FROM fh GROUP BY id
+            ), m AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS mm
+              FROM fh a JOIN fh b ON a.ts = b.ts AND a.fhash = b.fhash
+                                 AND a.id < b.id
+              GROUP BY 1, 2
+            ), losers AS (
+              SELECT DISTINCT m.id_b FROM m
+              JOIN cnt ca ON ca.id = m.id_a
+              JOIN cnt cb ON cb.id = m.id_b
+              WHERE m.mm >= {match_fraction} * greatest(ca.n, cb.n)
+            )
+            SELECT c.id, c.n AS n_frames FROM cnt c
+            WHERE c.id NOT IN (SELECT id_b FROM losers)
+            ORDER BY c.id
+    """
 
 
 def _audio_dedup_sql(max_hamming: int = 6, bands: int = 4) -> str:
@@ -4287,6 +4371,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lm_buckets": _lm_sql(buckets=True),
         "mm_image_dedup": _image_dedup_sql(),
         "mm_audio_dedup": _audio_dedup_sql(),
+        "mm_video_dedup": _video_dedup_sql(),
         "docs_tfidf": r"""
             WITH t AS (
               SELECT doc_id,

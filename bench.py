@@ -104,6 +104,7 @@ HEADLINE = [
     "docs_lm_score",
     "mm_image_dedup",
     "mm_audio_dedup",
+    "mm_video_dedup",
 ]
 
 

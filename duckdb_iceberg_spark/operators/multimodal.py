@@ -1095,3 +1095,118 @@ def audio_neardup(
         .distinct()
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# video near-dup: frame-sampled perceptual hashes + temporal voting
+# ---------------------------------------------------------------------------
+
+def fake_frame_grid(blob: bytes, ts_ms: int) -> tuple[int, int, np.ndarray]:
+    """DETERMINISTIC FAKE frame pixels at timestamp ``ts_ms``: the dHash
+    9x8 grid from chained md5(blob || 'f<ts>p<i>') digests — the frame
+    analogue of fake_decode_gray_grid, SQL-replayable byte for byte."""
+    import hashlib
+
+    raw = b"".join(
+        hashlib.md5(blob + b"f%dp%d" % (ts_ms, i)).digest()
+        for i in range(5))[:72]
+    px = np.repeat(
+        np.frombuffer(raw, dtype=np.uint8).astype(np.float64)[:, None],
+        3, axis=1)
+    return 9, 8, px
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    duration_col: str = "duration_ms",
+    every_ms: int = 1000,
+    decode_frame: Callable[[bytes, int],
+                           tuple[int, int, np.ndarray] | None] | None = None,
+) -> DataFrame:
+    """(id, frame_ts, fhash): one dHash per sampled frame. Each video is
+    read ONCE inside the UDF and emits its frame rows from there — the
+    blob never replicates across frame rows in a shuffle (exploding
+    first, as frame_sample_plan's planning shape does, would carry the
+    blob bytes once per frame). ``decode_frame(blob, ts_ms)`` plugs in a
+    real codec (not in this container); the default is the md5-grid
+    fake, clearly marked and oracle-verifiable."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _i, row in pdf.iterrows():
+                blob = row[blob_col]
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                dur = int(row[duration_col] or 0)
+                for ts in range(0, max(dur, 1), every_ms):
+                    out = decode_frame(b, ts) if decode_frame else None
+                    if out is None:
+                        out = fake_frame_grid(b, ts)
+                    w, h, px = out
+                    rows.append(
+                        (row[id_col], ts, dhash64_from_pixels(w, h, px)))
+            yield pd.DataFrame(rows, columns=["id", "frame_ts", "fhash"])
+
+    return df.mapInPandas(
+        run,
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_ts", T.LongType()),
+            T.StructField("fhash", T.LongType()),
+        ]),
+    )
+
+
+def video_neardup(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    duration_col: str = "duration_ms",
+    every_ms: int = 1000,
+    match_fraction: float = 0.8,
+    decode_frame: Callable[[bytes, int],
+                           tuple[int, int, np.ndarray] | None] | None = None,
+) -> DataFrame:
+    """Video near-dedup by temporal voting: two videos are duplicates
+    when >= ``match_fraction`` of the longer one's sampled frames hash
+    identically at the same timestamp — the standard frame-hash voting
+    shape for re-upload/re-container detection (byte-level hashing
+    misses re-muxed files; per-frame perceptual hashes don't).
+
+    Scale shape: one corpus pass computes frame hashes; candidates join
+    on the (frame_ts, fhash) key, so only videos sharing an identical
+    frame at the same offset ever pair; the vote is a groupBy on the
+    pair key. Caveat, documented: a frame hash common across many
+    videos (black frames, title cards) makes that bucket quadratic —
+    production sharding drops the top-k most frequent frame hashes
+    first (the 'stop-frame' analogue of stopwords), which only LOWERS
+    recall of all-boilerplate pairs."""
+    fh = video_frame_hashes(
+        df, blob_col, id_col, duration_col, every_ms, decode_frame).persist()
+    # eager materialization: counts and both join sides consume fh, and
+    # AQE's parallel stage submission double-builds a lazy cache (the
+    # verify_jaccard lesson; observed as BlockManager already-exists
+    # warnings here). Caller owns the cache lifetime, as everywhere.
+    fh.count()
+    counts = fh.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    a = fh.select(F.col("id").alias("id_a"), "frame_ts", "fhash")
+    b = fh.select(F.col("id").alias("id_b"), "frame_ts", "fhash")
+    matches = (
+        a.join(b, ["frame_ts", "fhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    na = counts.select(F.col("id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = counts.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb"))
+    losers = (
+        matches.join(na, "id_a").join(nb, "id_b")
+        .filter(F.col("__m") >= match_fraction
+                * F.greatest(F.col("__na"), F.col("__nb")))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1449,3 +1449,32 @@ def test_audio_neardup_mixed_real_and_fake(spark):
     df = spark.createDataFrame(rows, "id long, blob binary")
     surv = sorted(r["id"] for r in audio_neardup(df).select("id").collect())
     assert surv == [1, 4, 5]
+
+
+def test_video_neardup_temporal_voting(spark):
+    """Frame-hash voting: a full copy drops; a video sharing only a
+    prefix of frames (below the fraction) survives; a distinct video
+    survives. Blobs are opaque (fake frame path)."""
+    from duckdb_iceberg_spark.operators.multimodal import (
+        fake_frame_grid,
+        video_frame_hashes,
+        video_neardup,
+    )
+
+    rows = [
+        (1, b"videoA", 5000),     # 5 frames
+        (2, b"videoA", 5000),     # identical -> drops
+        (3, b"videoA", 2000),     # same blob, 2 frames: matches 2/5 < 0.8
+        (4, b"videoB", 5000),     # distinct -> survives
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary, duration_ms long")
+    surv = sorted(r["id"] for r in video_neardup(df).select("id").collect())
+    assert surv == [1, 3, 4]
+    # frame hashes: per-(blob, ts) deterministic and ts-sensitive
+    fh = {(r["id"], r["frame_ts"]): r["fhash"]
+          for r in video_frame_hashes(df).collect()}
+    assert fh[(1, 0)] == fh[(2, 0)] == fh[(3, 0)]
+    assert fh[(1, 0)] != fh[(1, 1000)]
+    from duckdb_iceberg_spark.operators.multimodal import dhash64_from_pixels
+    assert fh[(1, 0)] == dhash64_from_pixels(*fake_frame_grid(b"videoA", 0))
+    spark.catalog.clearCache()

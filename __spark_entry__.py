@@ -2194,6 +2194,92 @@ def _ice_stream_curated(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(sf_dir, "documents_stream_curated_v2", build)
 
 
+def _ice_stream_minhash(spark: SparkSession, sf_dir: str) -> str:
+    """Streaming NEAR-dup curation: batch 0 seeds the lake with the raw
+    doc_id < 250 half; batch 1 (the rest + synthesized near-copies:
+    every doc_id % 11 == 0 document re-appended at a shifted id with a
+    ' near dup tail' suffix) runs incremental_minhash_dedup against the
+    COMMITTED corpus re-read from the lake, then appends exactly-once.
+    Copies of corpus-half docs exercise the cross-corpus band verify;
+    copies of batch-half docs exercise the within-batch LSH path. At
+    100 TB the corpus signatures come from a precomputed side table
+    (incremental_minhash_dedup's corpus_signatures argument) instead of
+    the text re-scan this fixture-sized pipeline does."""
+    def build(loc: str) -> None:
+        import tempfile
+        import time as _time
+
+        from duckdb_iceberg_spark import iceberg_scan
+        from duckdb_iceberg_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+        from duckdb_iceberg_spark.streaming import iceberg_sink
+
+        docs = _pq(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+        hi = docs.agg(F.max("doc_id")).first()[0] + 1
+        near = (docs.filter(F.col("doc_id") % 11 == 0)
+                .select((F.col("doc_id") + F.lit(hi)).cast("long")
+                        .alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" near dup tail"))
+                        .alias("text"),
+                        "lang"))
+        alld = docs.unionByName(near)
+        split = 250
+
+        def curate(batch_df: DataFrame) -> DataFrame:
+            if not os.path.exists(os.path.join(loc, "metadata")):
+                return batch_df  # seed batch: raw corpus half
+            corpus = iceberg_scan(spark, loc).select("doc_id", "text")
+            return incremental_minhash_dedup(
+                batch_df, corpus, num_hashes=32, bands=8)
+
+        with tempfile.TemporaryDirectory() as tmp:
+            src = os.path.join(tmp, "src")
+            os.makedirs(src)
+            now = _time.time()
+            for i, part_df in enumerate(
+                    (alld.filter(F.col("doc_id") < split),
+                     alld.filter(F.col("doc_id") >= split))):
+                part = os.path.join(tmp, f"stage{i}")
+                part_df.coalesce(1).write.parquet(part, mode="overwrite")
+                pq_file = next(f for f in os.listdir(part)
+                               if f.endswith(".parquet"))
+                dst = os.path.join(src, f"{i:04d}.parquet")
+                shutil.copyfile(os.path.join(part, pq_file), dst)
+                os.utime(dst, (now - 400 + i * 100, now - 400 + i * 100))
+            stream = (spark.readStream.schema(alld.schema)
+                      .option("maxFilesPerTrigger", 1)
+                      .option("latestFirst", "false").parquet(src))
+            q = (stream.writeStream
+                 .foreachBatch(iceberg_sink(loc, query_id="minhash-sink",
+                                            transform=curate))
+                 .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination(300)
+            spark.catalog.clearCache()
+
+    return _build_once(sf_dir, "stream_minhash", build)
+
+
+def stream_minhash_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state of the streaming near-dup ingest (incremental MinHash
+    vs the committed lake + exactly-once sink): per-language survivor
+    counts. Hash-checked — the oracle replays the seed half, the
+    synthesized near-copies, and the full incremental LSH/verify chain."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_stream_minhash(spark, sf_dir)
+    return (
+        iceberg_scan(spark, loc)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("survivors"),
+             F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
 def stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final state of the streaming curation pipeline (quality filter +
     cross-batch exact dedup + exactly-once Iceberg sink): per-language
@@ -2497,7 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS LOAD-BEARING. The driver's correctness harness checks
     only the FIRST 50 entries per round (CORRECTNESS_r*.json has exactly 50
     rows), so ordering decides which queries get hard cross-engine oracle
-    rows. With 109 queries, 25 always-in ice_* slots and 25 rotating
+    rows. With 110 queries, 25 always-in ice_* slots and 25 rotating
     slots, a parked query re-earns a driver row at latest every third
     round; tools/check_oracle.py still covers ALL positions every
     session. Rotation priority: (a) operators whose code changed since
@@ -2646,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_dedup": mm_image_dedup,
         "mm_audio_dedup": mm_audio_dedup,
         "mm_video_dedup": mm_video_dedup,
+        "stream_minhash_curation": stream_minhash_curation,
     }
 
 
@@ -3119,7 +3206,10 @@ def _lm_sql(buckets: bool = False) -> str:
 def _incremental_minhash_sql(num_hashes: int = 32, bands: int = 8,
                              shingle_k: int = 5,
                              threshold: float = 0.7,
-                             split: int = 250) -> str:
+                             split: int = 250,
+                             pre_cte: str = "",
+                             src: str = "documents",
+                             final_sql: str | None = None) -> str:
     """DuckDB replica of operators.dedup.incremental_minhash_dedup over
     the corpus (doc_id < split) / batch (>= split) halves: batch exact
     collapse + exact anti vs corpus fingerprints, within-batch LSH
@@ -3146,7 +3236,7 @@ def _incremental_minhash_sql(num_hashes: int = 32, bands: int = 8,
     jacc = (f"round(CAST(COALESCE(i.i, 0) AS DOUBLE)"
             f" / (sa.n + sb.n - COALESCE(i.i, 0)), 6) >= {threshold}")
     return f"""
-            WITH {_rolling_hash_cte(shingle_k)}, sh AS (
+            WITH {pre_cte}{_rolling_hash_cte(shingle_k, src)}, sh AS (
               SELECT DISTINCT doc_id, h FROM hh
             ), sig AS (
               SELECT doc_id, {mins}
@@ -3154,14 +3244,14 @@ def _incremental_minhash_sql(num_hashes: int = 32, bands: int = 8,
             ), banded AS (
               {banded}
             ), nfp AS (
-              SELECT doc_id, {_FP_SQL} AS fp FROM documents
+              SELECT doc_id, {_FP_SQL} AS fp FROM {src}
               WHERE doc_id >= {split}
             ), batch0 AS (
               SELECT doc_id FROM nfp f
               WHERE doc_id IN (SELECT min(doc_id) FROM nfp GROUP BY fp)
                 AND NOT EXISTS (
                   SELECT 1 FROM (
-                    SELECT DISTINCT {_FP_SQL} AS fp FROM documents
+                    SELECT DISTINCT {_FP_SQL} AS fp FROM {src}
                     WHERE doc_id < {split}) c
                   WHERE c.fp = f.fp)
             ), cands_b AS (
@@ -3188,7 +3278,7 @@ def _incremental_minhash_sql(num_hashes: int = 32, bands: int = 8,
               SELECT doc_id FROM batch0
               WHERE doc_id NOT IN (SELECT id_b FROM losers_b)
             ), cfp AS (
-              SELECT doc_id, {_FP_SQL} AS fp FROM documents
+              SELECT doc_id, {_FP_SQL} AS fp FROM {src}
               WHERE doc_id < {split}
             ), creps AS (
               SELECT doc_id FROM cfp
@@ -3214,10 +3304,10 @@ def _incremental_minhash_sql(num_hashes: int = 32, bands: int = 8,
               SELECT doc_id FROM batch1
               WHERE doc_id NOT IN (SELECT id_b FROM losers_x)
             )
-            SELECT lang, count(*) AS cnt, min(doc_id) AS min_id,
+            {final_sql or f'''SELECT lang, count(*) AS cnt, min(doc_id) AS min_id,
                    max(doc_id) AS max_id
-            FROM documents JOIN batch2 USING (doc_id)
-            GROUP BY lang ORDER BY lang
+            FROM {src} JOIN batch2 USING (doc_id)
+            GROUP BY lang ORDER BY lang'''}
     """
 
 
@@ -4372,6 +4462,22 @@ def oracle_sql() -> dict[str, str]:
         "mm_image_dedup": _image_dedup_sql(),
         "mm_audio_dedup": _audio_dedup_sql(),
         "mm_video_dedup": _video_dedup_sql(),
+        "stream_minhash_curation": _incremental_minhash_sql(
+            pre_cte="""srcx AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+                     text || ' near dup tail', lang
+              FROM documents WHERE doc_id % 11 = 0
+            ), """,
+            src="srcx",
+            final_sql="""SELECT lang, count(*) AS survivors,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM srcx JOIN (
+              SELECT doc_id FROM srcx WHERE doc_id < 250
+              UNION ALL SELECT doc_id FROM batch2
+            ) USING (doc_id)
+            GROUP BY lang ORDER BY lang"""),
         "docs_tfidf": r"""
             WITH t AS (
               SELECT doc_id,

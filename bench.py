@@ -105,6 +105,7 @@ HEADLINE = [
     "mm_image_dedup",
     "mm_audio_dedup",
     "mm_video_dedup",
+    "stream_minhash_curation",
 ]
 
 
@@ -241,7 +242,8 @@ def main() -> None:
                # streaming fixtures: their builds replay micro-batches
                # (stream_dedup_ttl even sleeps past a TTL) — pay that once
                # here, not inside the first timed run
-               entry._ice_stream_curated, entry._stream_dedup_ttl_out):
+               entry._ice_stream_curated, entry._stream_dedup_ttl_out,
+               entry._ice_stream_minhash):
         fn(spark, sf_dir)
     build_s = time.time() - t0
 

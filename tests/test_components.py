@@ -101,3 +101,18 @@ def test_duplicate_components_transitive(spark):
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10}
     spark.catalog.clearCache()
+
+
+def test_connected_components_random_graphs_fuzz(spark):
+    """Property fuzz: random graphs (dense, sparse, multi-component,
+    self-loopy) against the union-find replay. Deterministic seeds — a
+    failure reproduces."""
+    import random
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [(rng.randint(1, n), rng.randint(1, n)) for _ in range(m)]
+        edges = [e for e in edges if e[0] != e[1]] or [(1, 2)]
+        _check(spark, edges)

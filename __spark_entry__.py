@@ -1920,6 +1920,26 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            n_planes=6).select("vec_id")
 
 
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (Jegou et al. 2011): bounded-sample
+    codebook fit, m-byte codes, ADC literal-table scoring (JVM-side
+    codegen, no Python in the scan), TakeOrdered top-k. Rows-only like
+    emb_ivf_topk — approximate by design (quantization error), floats
+    driver-trained."""
+    from duckdb_iceberg_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    corpus = emb.filter("vec_id != 0")
+    books = pq_train(corpus, m=4, k=16)
+    codes = pq_encode(corpus, books)
+    return pq_topk(codes, books, qvec, topk=10).select("vec_id")
+
+
 def docs_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard dedup (documented quadratic — the within-bucket
     refinement path; minhash is the corpus-scale entry). Hash-checked
@@ -2583,7 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS LOAD-BEARING. The driver's correctness harness checks
     only the FIRST 50 entries per round (CORRECTNESS_r*.json has exactly 50
     rows), so ordering decides which queries get hard cross-engine oracle
-    rows. With 110 queries, 25 always-in ice_* slots and 25 rotating
+    rows. With 111 queries, 25 always-in ice_* slots and 25 rotating
     slots, a parked query re-earns a driver row at latest every third
     round; tools/check_oracle.py still covers ALL positions every
     session. Rotation priority: (a) operators whose code changed since
@@ -2733,6 +2753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_dedup": mm_audio_dedup,
         "mm_video_dedup": mm_video_dedup,
         "stream_minhash_curation": stream_minhash_curation,
+        # rows-only by design (approximate, float, driver-trained books)
+        "emb_pq_topk": emb_pq_topk,
     }
 
 

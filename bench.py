@@ -106,6 +106,7 @@ HEADLINE = [
     "mm_audio_dedup",
     "mm_video_dedup",
     "stream_minhash_curation",
+    "emb_pq_topk",
 ]
 
 

@@ -294,3 +294,118 @@ def knn_join_bucketed(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ's compression half)
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 8,
+    seed: int = 42,
+    sample_size: int = 2048,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al. 2011): split each
+    vector into ``m`` subspaces and Lloyd-k-means each to ``k`` centroids.
+    Returns an (m, k, d/m) float64 array.
+
+    Training runs driver-side on a BOUNDED deterministic sample
+    (xxhash64-ordered ids, <= sample_size rows — the IVF-centroid
+    precedent): at 100 TB the fit cost is O(sample), independent of
+    corpus size, and the sample is stable across runs/executors.
+    Deterministic throughout — seeded init, argmin ties to the lowest
+    centroid index, empty clusters keep their previous centroid."""
+    rows = (
+        df.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, k, dsub))
+    for j in range(m):
+        Xs = X[:, j * dsub:(j + 1) * dsub]
+        init_idx = rng.choice(len(Xs), size=min(k, len(Xs)), replace=False)
+        C = Xs[np.sort(init_idx)].copy()
+        if len(C) < k:  # degenerate tiny sample: repeat rows
+            C = np.resize(C, (k, dsub))
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xs[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes): each vector compressed to m small ints — the 100 TB
+    memory story (m bytes/vector instead of d floats; a 768-dim float32
+    corpus shrinks ~384x at m=8). Arrow-batched pandas UDF, one matmul
+    per subspace per batch."""
+    books = np.asarray(codebooks)
+    m, k, dsub = books.shape
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        Xm = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
+        codes = np.zeros((len(Xm), m), dtype="int32")
+        for j in range(m):
+            Xs = Xm[:, j * dsub:(j + 1) * dsub]
+            d2 = ((Xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: Sequence[float],
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds an
+    (m, k) distance table once on the driver; each row's approximate
+    squared distance is m literal-array lookups summed — wholly JVM-side
+    whole-stage codegen, NO Python in the scan, and the result is a
+    TakeOrderedAndProject (per-partition heap, never a full sort).
+    Returns (id, adc_dist) ascending. Approximate by design (like
+    ivf_topk): recall is bounded by quantization error, the standard PQ
+    trade."""
+    books = np.asarray(codebooks)
+    m, k, dsub = books.shape
+    q = np.asarray(query_vec, dtype="float64")
+    tables = [
+        ((books[j] - q[j * dsub:(j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+        for j in range(m)
+    ]
+    dist = None
+    for j in range(m):
+        tab = F.array(*[F.lit(float(x)) for x in tables[j]])
+        term = F.element_at(tab, F.col("codes").getItem(j) + 1)
+        dist = term if dist is None else dist + term
+    return (
+        codes_df.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(topk)
+    )

@@ -2630,9 +2630,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              emb_ivf_topk, emb_kmeans, emb_semantic_dedup) stay parked —
              a hash-checkable row beats a rows-only row.
       51+    parked: full TPC-H + r6's rotation (all driver-green r5/r6)
-             — TPC-H rotates back in r8 — plus mm_video_meta (NEW r7,
-             oracle-checked, never driver-checked: priority (b) next
-             rotation).
+             — TPC-H rotates back in r8 — plus the NEW r7 entries
+             (oracle-checked, never driver-checked, all priority (b)
+             for r8's window): mm_video_meta, docs_dsir_sample,
+             docs_dup_components, docs_lm_score, docs_lm_buckets,
+             mm_image_dedup, mm_audio_dedup, mm_video_dedup,
+             stream_minhash_curation, emb_pq_topk (rows-only).
     """
     return {
         # --- Iceberg table-format surface (reference parity) -------------

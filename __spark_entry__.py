@@ -2467,8 +2467,9 @@ def mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = docs.filter("id < 50").select(
         (F.col("id") + 100000).alias("id"), "blob", "duration_ms")
     allb = docs.unionByName(dups)
-    surv = image_neardup(allb, max_hamming=6)
-    h = image_dhash(allb)
+    h = image_dhash(allb).persist()
+    h.count()  # one decode pass serves the dedup AND the output join
+    surv = image_neardup(allb, max_hamming=6, hashes=h)
     return surv.select("id").join(h, "id").orderBy("id")
 
 
@@ -2487,8 +2488,9 @@ def mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = docs.filter("id < 50").select(
         (F.col("id") + 100000).alias("id"), "blob", "duration_ms")
     allb = docs.unionByName(dups)
-    surv = audio_neardup(allb, max_hamming=6)
-    h = audio_fingerprint(allb)
+    h = audio_fingerprint(allb).persist()
+    h.count()  # one decode pass serves the dedup AND the output join
+    surv = audio_neardup(allb, max_hamming=6, hashes=h)
     return surv.select("id").join(h, "id").orderBy("id")
 
 

@@ -675,6 +675,7 @@ def image_neardup(
     max_hamming: int = 6,
     bands: int = 4,
     decode: Callable[[bytes], tuple[int, int, np.ndarray] | None] | None = None,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Perceptual image near-dedup: dHash -> 16-bit-band LSH candidates
     (two hashes within Hamming distance 3 of each other share a band by
@@ -682,13 +683,19 @@ def image_neardup(
     whose banding this reuses) -> exact Hamming verify JVM-side
     (bit_count(xor)) -> drop the higher id of each verified pair.
 
-    Scale shape: the only corpus-sized work is the one dHash pass; the
-    self-join shuffles on (band, chunk) keys so skew is bounded by bucket
-    population, and the verify runs on candidate pairs only — no
+    Scale shape: the only corpus-sized work is the one dHash pass — it
+    persists eagerly because three consumers read it (banding + both
+    verify sides) and a lazy cache double-builds under AQE's parallel
+    stages (caller owns the cache lifetime, as everywhere in the dedup
+    family; pass precomputed ``hashes`` to share/skip the pass). The
+    self-join shuffles on (band, chunk) keys so skew is bounded by
+    bucket population, and the verify runs on candidate pairs only — no
     all-pairs comparison anywhere."""
     from .dedup import simhash_candidates
 
-    hashes = image_dhash(df, blob_col, id_col, decode)
+    if hashes is None:
+        hashes = image_dhash(df, blob_col, id_col, decode).persist()
+        hashes.count()
     cands = simhash_candidates(
         hashes.select(F.col("id").alias(id_col),
                       F.col("dhash").alias("simhash")),
@@ -1072,15 +1079,19 @@ def audio_neardup(
     id_col: str = "id",
     max_hamming: int = 6,
     bands: int = 4,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Audio near-dedup: fingerprint -> 16-bit-band LSH candidates ->
     exact bit_count(xor) Hamming verify -> drop the higher id per
-    verified pair. Same scale shape as image_neardup: one corpus-sized
+    verified pair. Same scale shape (and eager-persist discipline, and
+    precomputed-``hashes`` sharing) as image_neardup: one corpus-sized
     fingerprint pass, (band, chunk)-keyed self-join, candidate-only
     verification."""
     from .dedup import simhash_candidates
 
-    hashes = audio_fingerprint(df, blob_col, id_col)
+    if hashes is None:
+        hashes = audio_fingerprint(df, blob_col, id_col).persist()
+        hashes.count()
     cands = simhash_candidates(
         hashes.select(F.col("id").alias(id_col),
                       F.col("afp").alias("simhash")),

@@ -471,6 +471,165 @@ class RestCatalog:
         snapshot atomically via CommitTransactionRequest."""
         return CatalogTransaction(self)
 
+    # -- views (Iceberg view spec v1 over the REST /views endpoints; the
+    # reference ships only the generated request/response objects for
+    # these — rest_catalog/objects/sqlview_representation.cpp,
+    # assert_view_uuid.cpp — with no engine wiring, so this surface is
+    # beyond-reference but spec-shaped) --------------------------------
+
+    def list_views(self, namespace: str | tuple) -> list[dict]:
+        return self._paged(
+            f"/namespaces/{self._ns(namespace)}/views", "identifiers")
+
+    def load_view(self, namespace: str | tuple, name: str) -> "RestView":
+        resp = self._request(
+            "GET",
+            f"/namespaces/{self._ns(namespace)}/views/"
+            f"{urllib.parse.quote(name)}")
+        return RestView(self, namespace, name, resp.get("metadata", {}),
+                        resp.get("metadata-location"))
+
+    def view_exists(self, namespace: str | tuple, name: str) -> bool:
+        try:
+            self.load_view(namespace, name)
+            return True
+        except CatalogError as e:
+            if e.status == 404:
+                return False
+            raise
+
+    def create_view(self, namespace: str | tuple, name: str, sql: str, *,
+                    schema: dict | None = None, dialect: str = "spark",
+                    location: str | None = None,
+                    properties: dict[str, str] | None = None) -> "RestView":
+        """CreateViewRequest: one initial version with a single SQL
+        representation. ``schema`` defaults to an empty struct — engines
+        that can infer the view schema pass the real one."""
+        ns_parts = (namespace.split(".") if isinstance(namespace, str)
+                    else list(namespace))
+        version = {
+            "version-id": 1,
+            "timestamp-ms": int(_time.time() * 1000),
+            "schema-id": (schema or {}).get("schema-id", 0),
+            "summary": {"engine-name": "duckdb_iceberg_spark"},
+            "representations": [
+                {"type": "sql", "sql": sql, "dialect": dialect}],
+            "default-namespace": ns_parts,
+        }
+        body: dict[str, Any] = {
+            "name": name,
+            "schema": schema or {"type": "struct", "schema-id": 0,
+                                 "fields": []},
+            "view-version": version,
+            "properties": properties or {},
+        }
+        if location:
+            body["location"] = location
+        resp = self._request(
+            "POST", f"/namespaces/{self._ns(namespace)}/views", body)
+        return RestView(self, namespace, name, resp.get("metadata", {}),
+                        resp.get("metadata-location"))
+
+    def replace_view(self, namespace: str | tuple, name: str, sql: str, *,
+                     dialect: str = "spark",
+                     schema: dict | None = None) -> "RestView":
+        """CREATE OR REPLACE VIEW: commits add-view-version +
+        set-current-view-version(-1) (the spec's 'last added' sentinel)
+        under an assert-view-uuid requirement, so a concurrent re-create
+        (different uuid) conflicts instead of being clobbered."""
+        cur = self.load_view(namespace, name)
+        ns_parts = (namespace.split(".") if isinstance(namespace, str)
+                    else list(namespace))
+        next_id = max(
+            (v.get("version-id", 0)
+             for v in cur.metadata.get("versions", [])), default=0) + 1
+        version = {
+            "version-id": next_id,
+            "timestamp-ms": int(_time.time() * 1000),
+            "schema-id": (schema or {}).get("schema-id",
+                                            cur.current_version()
+                                            .get("schema-id", 0)),
+            "summary": {"engine-name": "duckdb_iceberg_spark"},
+            "representations": [
+                {"type": "sql", "sql": sql, "dialect": dialect}],
+            "default-namespace": ns_parts,
+        }
+        updates: list[dict] = []
+        if schema is not None:
+            updates.append({"action": "add-schema", "schema": schema})
+        updates += [
+            {"action": "add-view-version", "view-version": version},
+            {"action": "set-current-view-version", "view-version-id": -1},
+        ]
+        resp = self._request(
+            "POST",
+            f"/namespaces/{self._ns(namespace)}/views/"
+            f"{urllib.parse.quote(name)}",
+            {"identifier": {"namespace": ns_parts, "name": name},
+             "requirements": [{"type": "assert-view-uuid",
+                               "uuid": cur.metadata.get("view-uuid")}],
+             "updates": updates})
+        return RestView(self, namespace, name, resp.get("metadata", {}),
+                        resp.get("metadata-location"))
+
+    def drop_view(self, namespace: str | tuple, name: str) -> None:
+        self._request(
+            "DELETE",
+            f"/namespaces/{self._ns(namespace)}/views/"
+            f"{urllib.parse.quote(name)}")
+
+    def rename_view(self, src_ns: str | tuple, src_name: str,
+                    dst_ns: str | tuple, dst_name: str) -> None:
+        def ident(ns, n):
+            parts = ns.split(".") if isinstance(ns, str) else list(ns)
+            return {"namespace": parts, "name": n}
+
+        self._request("POST", "/views/rename", {
+            "source": ident(src_ns, src_name),
+            "destination": ident(dst_ns, dst_name)})
+
+
+class RestView:
+    """An Iceberg view loaded from the REST catalog: versioned SQL
+    representations per the view spec v1. ``sql()`` resolves the current
+    version's representation (exact dialect match first, else the first
+    SQL representation — the spec's cross-engine fallback), and
+    ``register()`` exposes it to Spark as a temp view so `spark.sql`
+    queries compose it with attached Iceberg tables."""
+
+    def __init__(self, catalog: "RestCatalog", namespace, name: str,
+                 metadata: dict, metadata_location: str | None = None):
+        self.catalog = catalog
+        self.namespace = namespace
+        self.name = name
+        self.metadata = metadata or {}
+        self.metadata_location = metadata_location
+
+    def current_version(self) -> dict:
+        cur = self.metadata.get("current-version-id")
+        for v in self.metadata.get("versions", []):
+            if v.get("version-id") == cur:
+                return v
+        return {}
+
+    def sql(self, dialect: str = "spark") -> str:
+        reps = self.current_version().get("representations", [])
+        for r in reps:
+            if r.get("type") == "sql" and r.get("dialect") == dialect:
+                return r["sql"]
+        for r in reps:
+            if r.get("type") == "sql":
+                return r["sql"]
+        raise ValueError(
+            f"view {self.name} has no SQL representation")
+
+    def register(self, spark, alias: str | None = None,
+                 dialect: str = "spark") -> str:
+        view = alias or self.name
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {view} AS {self.sql(dialect)}")
+        return view
+
 
 @dataclass
 class RestTable:

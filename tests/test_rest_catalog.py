@@ -30,6 +30,7 @@ class _StubState:
     def __init__(self):
         self.namespaces: dict[tuple, dict] = {}
         self.tables: dict[tuple, dict] = {}  # (ns..., name) -> metadata json
+        self.views: dict[tuple, dict] = {}   # (ns..., name) -> view metadata
         self.tokens_issued = 0
         self.commit_conflicts_to_inject = 0
         self.conflict_winner_operation = "append"
@@ -318,6 +319,78 @@ def _make_handler(state: _StubState):
                 if src not in state.tables:
                     return self._send(404, {"error": {"message": "no such table"}})
                 state.tables[dst] = state.tables.pop(src)
+                return self._send(204)
+            if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "views":
+                ns = tuple(urllib.parse.unquote(rest[1]).split("\x1f"))
+                if self.command == "GET":
+                    idents = [{"namespace": list(k[:-1]), "name": k[-1]}
+                              for k in state.views if k[:-1] == ns]
+                    return self._send(200, {"identifiers": idents})
+                if self.command == "POST":
+                    b = self._body()
+                    key = ns + (b["name"],)
+                    ver = b["view-version"]
+                    meta = {
+                        "view-uuid": f"view-uuid-{b['name']}",
+                        "format-version": 1,
+                        "location": b.get("location", f"mem://views/{b['name']}"),
+                        "schemas": [b["schema"]],
+                        "current-version-id": ver["version-id"],
+                        "versions": [ver],
+                        "version-log": [{"timestamp-ms": ver["timestamp-ms"],
+                                         "version-id": ver["version-id"]}],
+                        "properties": b.get("properties", {}),
+                    }
+                    state.views[key] = meta
+                    return self._send(200, {
+                        "metadata-location": f"mem://views/{b['name']}/v1.json",
+                        "metadata": meta})
+            if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "views":
+                ns = tuple(urllib.parse.unquote(rest[1]).split("\x1f"))
+                key = ns + (rest[3],)
+                if key not in state.views:
+                    return self._send(404, {"error": {"message": "no such view"}})
+                meta = state.views[key]
+                if self.command == "GET":
+                    return self._send(200, {"metadata-location": "mem://v.json",
+                                            "metadata": meta})
+                if self.command == "DELETE":
+                    del state.views[key]
+                    return self._send(204)
+                if self.command == "POST":  # commit
+                    b = self._body()
+                    state.last_view_commit = b
+                    for r in b.get("requirements", []):
+                        if (r["type"] == "assert-view-uuid"
+                                and r["uuid"] != meta["view-uuid"]):
+                            return self._send(
+                                409, {"error": {"message": "uuid mismatch"}})
+                    last_added = None
+                    for u in b.get("updates", []):
+                        if u["action"] == "add-schema":
+                            meta["schemas"].append(u["schema"])
+                        elif u["action"] == "add-view-version":
+                            meta["versions"].append(u["view-version"])
+                            last_added = u["view-version"]["version-id"]
+                        elif u["action"] == "set-current-view-version":
+                            vid = u["view-version-id"]
+                            if vid == -1:
+                                if last_added is None:
+                                    return self._send(400, {"error": {
+                                        "message": "-1 without add"}})
+                                vid = last_added
+                            meta["current-version-id"] = vid
+                            meta["version-log"].append(
+                                {"timestamp-ms": 0, "version-id": vid})
+                    return self._send(200, {"metadata-location": "mem://v.json",
+                                            "metadata": meta})
+            if rest == ["views", "rename"]:
+                b = self._body()
+                src = tuple(b["source"]["namespace"]) + (b["source"]["name"],)
+                dst = tuple(b["destination"]["namespace"]) + (b["destination"]["name"],)
+                if src not in state.views:
+                    return self._send(404, {"error": {"message": "no such view"}})
+                state.views[dst] = state.views.pop(src)
                 return self._send(204)
             return self._send(404, {"error": {"message": f"unhandled {self.command} {self.path}"}})
 
@@ -1762,3 +1835,64 @@ def test_rest_dml_program_fuzz(stub, spark, tmp_path):
         assert got == sorted((i, k, v) for i, (k, v) in model.items())
         assert _disk_versions() == disk0, "filesystem metadata log advanced"
         assert len(state.tables[("db", "t")]["snapshots"]) == snaps
+
+
+def test_view_crud_roundtrip(stub):
+    """Iceberg view spec v1 over the REST /views endpoints: create with
+    one SQL representation, load, exists, list, rename, drop."""
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    v = cat.create_view("db", "top_n", "SELECT 1 AS x", dialect="spark")
+    assert v.metadata["current-version-id"] == 1
+    assert v.sql() == "SELECT 1 AS x"
+    assert cat.view_exists("db", "top_n")
+    assert not cat.view_exists("db", "nope")
+    idents = cat.list_views("db")
+    assert [i["name"] for i in idents] == ["top_n"]
+    cat.rename_view("db", "top_n", "db", "top_n2")
+    assert cat.view_exists("db", "top_n2") and not cat.view_exists("db", "top_n")
+    cat.drop_view("db", "top_n2")
+    assert not cat.view_exists("db", "top_n2")
+
+
+def test_view_replace_versions_and_dialect_fallback(stub):
+    """CREATE OR REPLACE commits add-view-version +
+    set-current-view-version(-1) under assert-view-uuid; version history
+    is retained and the dialect lookup falls back to any SQL
+    representation when the requested dialect is absent."""
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    cat.create_view("db", "vv", "SELECT 1 AS x", dialect="trino")
+    v2 = cat.replace_view("db", "vv", "SELECT 2 AS x", dialect="spark")
+    assert v2.metadata["current-version-id"] == 2
+    assert [ver["version-id"] for ver in v2.metadata["versions"]] == [1, 2]
+    assert v2.sql("spark") == "SELECT 2 AS x"
+    # a dialect no version carries: falls back to the current version's
+    # first SQL representation, per the spec's cross-engine contract
+    assert v2.sql("duckdb") == "SELECT 2 AS x"
+    # the commit carried the optimistic-concurrency requirement and the
+    # spec's -1 'last added' sentinel (the stub maps a uuid mismatch to
+    # 409, which _request raises as CommitConflict — covered by the
+    # table-commit conflict tests)
+    commit = state.last_view_commit
+    assert commit["requirements"] == [
+        {"type": "assert-view-uuid", "uuid": "view-uuid-vv"}]
+    assert commit["updates"][-1] == {
+        "action": "set-current-view-version", "view-version-id": -1}
+
+
+def test_view_register_composes_with_spark(stub, spark):
+    """A REST view registered into Spark composes with plain SQL."""
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    spark.range(5).createOrReplaceTempView("rest_view_src")
+    cat.create_view(
+        "db", "big_ids",
+        "SELECT id FROM rest_view_src WHERE id >= 3")
+    view = cat.load_view("db", "big_ids").register(spark, "rest_big_ids")
+    got = sorted(r["id"] for r in spark.sql(
+        f"SELECT * FROM {view}").collect())
+    assert got == [3, 4]

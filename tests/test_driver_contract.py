@@ -12,7 +12,12 @@ import __spark_entry__ as entry
 #: given the SRP planes); ice_bucket_fn left in r7 — its fixed 500-key
 #: input now has a literal-VALUES oracle generated from an independent
 #: murmur3, so deleting that oracle must fail the guard below.
-ROWS_ONLY = {"emb_ivf_topk", "emb_kmeans", "emb_semantic_dedup"}
+ROWS_ONLY = {
+    "emb_ivf_topk", "emb_kmeans", "emb_semantic_dedup",
+    # approximate by design: PQ quantization error + driver-trained float
+    # codebooks (same class as ivf/kmeans)
+    "emb_pq_topk",
+}
 
 
 def test_window_holds_reference_surface_and_rotation():

@@ -875,11 +875,18 @@ def attach_catalog(
     *,
     view_prefix: str = "",
     server_planning: bool = True,
+    include_views: bool = True,
 ) -> list[str]:
     """ATTACH analogue: register every table of a REST-catalog namespace as
     a temp view named ``<view_prefix><table>``; returns the view names.
     Table loads are driver-side metadata fetches only — no data is read
-    until a query touches a view."""
+    until a query touches a view.
+
+    Iceberg VIEWS in the namespace register after the tables (so their
+    SQL can reference them) under the same prefixed naming. The view's
+    SQL text is taken as-is — with a non-empty ``view_prefix`` its table
+    references must already use the prefixed names, since Iceberg view
+    SQL has no portable way to rewrite identifiers."""
     names: list[str] = []
     for ident in catalog.list_tables(namespace):
         name = ident["name"] if isinstance(ident, dict) else ident
@@ -887,4 +894,9 @@ def attach_catalog(
         view = f"{view_prefix}{name}"
         register_table(spark, view, table, server_planning=server_planning)
         names.append(view)
+    if include_views and hasattr(catalog, "list_views"):
+        for ident in catalog.list_views(namespace):
+            name = ident["name"] if isinstance(ident, dict) else ident
+            v = catalog.load_view(namespace, name)
+            names.append(v.register(spark, f"{view_prefix}{name}"))
     return names

@@ -1896,3 +1896,22 @@ def test_view_register_composes_with_spark(stub, spark):
     got = sorted(r["id"] for r in spark.sql(
         f"SELECT * FROM {view}").collect())
     assert got == [3, 4]
+
+
+def test_attach_catalog_registers_views(stub, spark):
+    """attach_catalog surfaces the namespace's Iceberg VIEWS after its
+    tables, so a view whose SQL references an attached table queries
+    end to end."""
+    from duckdb_iceberg_spark.sources.sql import attach_catalog
+
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    spark.range(4).createOrReplaceTempView("attach_view_base")
+    cat.create_view("db", "small_ids",
+                    "SELECT id FROM attach_view_base WHERE id < 2")
+    names = attach_catalog(spark, cat, "db")
+    assert "small_ids" in names
+    got = sorted(r["id"] for r in spark.sql(
+        "SELECT * FROM small_ids").collect())
+    assert got == [0, 1]

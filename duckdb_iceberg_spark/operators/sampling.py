@@ -286,16 +286,21 @@ def dsir_importance_weights(
     reproduces it bit-for-bit regardless of summation order (a raw double
     sum would drift in the last ulps across engines).
 
-    Scale shape: the model FIT is two explode→groupBy(bucket) aggregations
-    with map-side partials collapsing to ≤``buckets`` rows each, collected
-    to the driver (bounded ≤``buckets`` rows — the IVF-centroid contract,
-    never proportional to data size; note the collect makes this call
-    EAGER for the fit). Scoring is then a single shuffle-free map pass:
-    the ≤``buckets``-entry log-ratio table ships as one array literal and
-    each document folds its grams through element_at + a decimal
-    aggregate — no join, no shuffle, no cache. An earlier broadcast-join
-    formulation cached every (doc, bucket) pair; this shape replaces that
-    10M-row cache with a 4096-value literal.
+    Scale shape: the corpus is tokenized ONCE into a persisted
+    per-(doc, bucket) count frame ``pb`` (≤ min(grams, ``buckets``) rows
+    per document — map-side partials collapse the explode before the
+    shuffle). The model FIT aggregates ``pb`` bucket-wise to ≤``buckets``
+    rows and collects them (bounded — the IVF-centroid contract, never
+    proportional to data size; the collect makes this call EAGER and
+    materializes ``pb``). Scoring joins ``pb`` against a BROADCAST
+    ≤``buckets``-row (bucket → log-ratio) frame and sums lr·count per
+    document — decimal arithmetic is exact in any order, so the result is
+    bit-identical to the per-occurrence fold it replaces. Two earlier
+    shapes lost to this one: a broadcast join against the raw (doc, gram)
+    explosion cached every pair (10M+ rows), and a shuffle-free
+    literal-array fold shipped 4096 decimals through codegen AND ran the
+    whole corpus on however few splits the source had (a single task on a
+    one-file parquet) because nothing ever repartitioned.
 
     When the target IS a labeled subset of the corpus, pass
     ``target_cond`` (a boolean Column or SQL string over ``df``'s
@@ -310,10 +315,29 @@ def dsir_importance_weights(
     if (target is None) == (target_cond is None):
         raise ValueError("pass exactly one of target / target_cond")
 
-    def tagged(frame, tag):
-        return frame.select(
-            F.explode(ngram_array(F.col(text_col), n_max)).alias("__g"),
-            tag.alias("__t"),
+    spark = df.sparkSession
+    # a single-file parquet source yields ONE split; tokenize+hash is the
+    # dominant cost, so spread it. At real scale the source already has
+    # >=parallelism splits and this branch never fires (no blind
+    # full-corpus shuffle).
+    para = spark.sparkContext.defaultParallelism
+    src = df
+    if src.rdd.getNumPartitions() < para:
+        src = src.repartition(para, F.col(id_col))
+
+    def pb_of(frame, tag):
+        # per-(doc, bucket, tag) gram counts; partial aggregation
+        # collapses the explode map-side, so the shuffle carries at most
+        # min(grams, buckets) rows per document
+        return (
+            frame.select(
+                F.col(id_col),
+                F.explode(ngram_array(F.col(text_col), n_max)).alias("__g"),
+                tag.alias("__t"))
+            .select(id_col, (_hex32(F.col("__g")) % buckets).alias("__b"),
+                    "__t")
+            .groupBy(id_col, "__b", "__t")
+            .agg(F.count(F.lit(1)).alias("__c"))
         )
 
     if target_cond is not None:
@@ -321,27 +345,22 @@ def dsir_importance_weights(
                 else target_cond)
         # single tokenizer pass: every gram counts toward raw; the tag
         # marks the target subset
-        fit_src = tagged(df, F.coalesce(cond, F.lit(False)).cast("boolean"))
-    else:
-        fit_src = tagged(df, F.lit(False)).unionByName(
-            tagged(target, F.lit(True)))
-    # the groupBy collapses map-side to ≤2×buckets partials, so the
-    # shuffle is tiny no matter the corpus size
-    fit = (
-        fit_src
-        .select((_hex32(F.col("__g")) % buckets).alias("__b"), "__t")
-        .groupBy("__b", "__t")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .collect()
-    )
-    ct = {r[0]: r[2] for r in fit if r[1]}
-    if target_cond is not None:
+        pb = pb_of(src, F.coalesce(cond, F.lit(False)).cast("boolean"))
+        pb = pb.persist()
+        fit = (pb.groupBy("__b", "__t").agg(F.sum("__c").alias("__c"))
+               .collect())
+        ct = {r[0]: r[2] for r in fit if r[1]}
         # raw = the whole corpus: sum both tags per bucket
-        cr = {}
+        cr: dict = {}
         for r in fit:
             cr[r[0]] = cr.get(r[0], 0) + r[2]
     else:
-        cr = {r[0]: r[2] for r in fit if not r[1]}
+        pb = pb_of(src, F.lit(False)).persist()
+        fit = (pb.groupBy("__b").agg(F.sum("__c").alias("__c")).collect())
+        cr = {r[0]: r[1] for r in fit}
+        tgt = (pb_of(target, F.lit(True))
+               .groupBy("__b").agg(F.sum("__c").alias("__c")).collect())
+        ct = {r[0]: r[1] for r in tgt}
     tr = float(sum(cr.values()) + buckets)
     tt = float(sum(ct.values()) + buckets)
     q6 = Decimal("0.000001")
@@ -349,27 +368,35 @@ def dsir_importance_weights(
     # matches SQL round() on the same double; Python's round() is
     # banker's and would disagree on ties
     lr = [
-        Decimal(math.log((ct.get(b, 0) + 1.0) / tt)
-                - math.log((cr.get(b, 0) + 1.0) / tr))
-        .quantize(q6, ROUND_HALF_UP)
+        (b,
+         Decimal(math.log((ct.get(b, 0) + 1.0) / tt)
+                 - math.log((cr.get(b, 0) + 1.0) / tr))
+         .quantize(q6, ROUND_HALF_UP))
         for b in range(buckets)
     ]
-    lr_col = F.lit(lr).cast(f"array<decimal(18,6)>")
+    ratio = spark.createDataFrame(
+        lr, schema=T.StructType([
+            T.StructField("__b", T.LongType()),
+            T.StructField("__lr", T.DecimalType(18, 6))]))
 
     out_t = T.DecimalType(28, 6)
     zero = F.lit(0).cast(out_t)
-    terms = F.transform(
-        ngram_array(F.col(text_col), n_max),
-        lambda g: F.element_at(lr_col, (_hex32(g) % buckets + 1).cast("int")))
-    return df.select(
-        F.col(id_col),
-        # NULL text -> NULL gram array -> NULL aggregate; the model says
-        # "no evidence", i.e. weight 0 — also what the SQL oracle's
+    # lr·count summed per document: decimal multiply/add are exact, so
+    # any accumulation order reproduces the per-occurrence fold
+    scored = (
+        pb.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__lr") * F.col("__c")).cast(out_t)
+             .alias("log_weight"))
+    )
+    return (
+        df.select(id_col)
+        # NULL text -> no grams -> no pb rows; the model says "no
+        # evidence", i.e. weight 0 — also what the SQL oracle's
         # unnest-then-left-join computes
-        F.coalesce(
-            F.aggregate(terms, zero,
-                        lambda acc, x: (acc + x).cast(out_t)),
-            zero).alias("log_weight"),
+        .join(scored, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce(F.col("log_weight"), zero).alias("log_weight"))
     )
 
 

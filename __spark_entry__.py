@@ -1923,9 +1923,13 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (Jegou et al. 2011): bounded-sample
     codebook fit, m-byte codes, ADC literal-table scoring (JVM-side
-    codegen, no Python in the scan), TakeOrdered top-k. Rows-only like
-    emb_ivf_topk — approximate by design (quantization error), floats
-    driver-trained."""
+    codegen, no Python in the scan), TakeOrdered top-k. Hash-checked
+    since r8: the fit is deterministic (seeded init, xxhash64-ordered
+    sample), so the oracle builder re-trains the SAME codebooks
+    driver-side (pure-Python xxhash64 replica + _pq_fit) and replays
+    encode (left-to-right squared-distance chains, ties-to-lowest
+    argmin) and ADC scoring as SQL literals — every distance is
+    bit-identical IEEE double math in both engines."""
     from duckdb_iceberg_spark.operators.similarity import (
         pq_encode,
         pq_topk,
@@ -1937,7 +1941,7 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter("vec_id != 0")
     books = pq_train(corpus, m=4, k=16)
     codes = pq_encode(corpus, books)
-    return pq_topk(codes, books, qvec, topk=10).select("vec_id")
+    return pq_topk(codes, books, qvec, topk=10)
 
 
 def docs_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3449,6 +3453,92 @@ def _knn_join_bucketed_sql(dim: int = 64, n_planes: int = 6, seed: int = 42,
     """
 
 
+def _pq_topk_sql(m: int = 4, k: int = 16, topk: int = 10, seed: int = 42,
+                 iters: int = 8, sample_size: int = 2048) -> str:
+    """DuckDB replica of the emb_pq_topk pipeline. The codebook fit is
+    deterministic given the corpus (seeded init, xxhash64-ordered sample),
+    so this builder re-trains the SAME books driver-side — the sample
+    order comes from the pure-Python replica of Spark's xxhash64
+    (functions/xxhash64.py, bit-verified against F.xxhash64) and the
+    Lloyd core is the shared _pq_fit — then replays the distributed half
+    in SQL: per-subspace encode as a left-to-right squared-distance chain
+    (exactly what pq_encode's sequential accumulation computes) with
+    ties-to-lowest argmin via struct list_sort, and ADC scoring as m
+    list-literal lookups summed left-to-right. Every float literal is
+    repr-round-tripped, so both engines run bit-identical IEEE doubles.
+
+    The corpus is read from $SPARK_GRAFT_ORACLE_SF_DIR (default sf0.01 —
+    the driver's correctness SF; tools/check_oracle.py sets it to its
+    sf_dir so local sweeps at other SFs stay honest)."""
+    import duckdb as _duck
+    import numpy as np
+
+    from duckdb_iceberg_spark.functions.xxhash64 import (
+        spark_xxhash64_long_intlit,
+    )
+    from duckdb_iceberg_spark.operators.similarity import _pq_fit
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    con = _duck.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM read_parquet(?) WHERE vec_id != 0",
+        [path]).fetchall()
+    qvec = con.execute(
+        "SELECT embedding FROM read_parquet(?) WHERE vec_id = 0",
+        [path]).fetchone()[0]
+    con.close()
+    rows.sort(key=lambda r: spark_xxhash64_long_intlit(r[0], seed))
+    X = np.asarray([list(r[1]) for r in rows[:sample_size]], dtype="float64")
+    books = _pq_fit(X, m, k, iters, seed)
+    q = np.asarray(qvec, dtype="float64")
+    dim = len(q)
+    dsub = dim // m
+    # same numpy expression as pq_topk builds its literal tables from —
+    # the VALUES must match that plan's literals bit-for-bit
+    tables = [
+        ((books[j] - q[j * dsub:(j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+        for j in range(m)
+    ]
+
+    def dlit(x: float) -> str:
+        # bare decimal literals parse as DECIMAL in DuckDB (the r6
+        # HUGEINT-class trap); a string cast is strtod — correctly
+        # rounded, bit-identical to Spark's double literal
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    def chain(j: int, c: int) -> str:
+        return "\n                 + ".join(
+            f"(v[{j * dsub + t + 1}] - {dlit(books[j][c][t])})"
+            f" * (v[{j * dsub + t + 1}] - {dlit(books[j][c][t])})"
+            for t in range(dsub))
+
+    codes = ",\n               ".join(
+        "list_sort(["
+        + ", ".join(
+            "{'a': (%s), 'i': %d}" % (chain(j, c), c) for c in range(k))
+        + f"])[1].i AS c{j}"
+        for j in range(m))
+    adc = " + ".join(
+        "([" + ", ".join(dlit(x) for x in tables[j]) + f"])[c{j} + 1]"
+        for j in range(m))
+    return f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id != 0
+            ), enc AS (
+              SELECT vec_id,
+               {codes}
+              FROM e
+            )
+            SELECT vec_id, round({adc}, 6) AS adc_dist
+            FROM enc
+            ORDER BY adc_dist ASC, vec_id ASC
+            LIMIT {topk}
+    """
+
+
 def _ngram_dedup_sql(n: int = 3, threshold: float = 0.8) -> str:
     """DuckDB replica of operators.dedup.ngram_jaccard_dedup: word n-grams
     (Spark's split keeps empty tokens — no list_filter here), distinct per
@@ -4724,6 +4814,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY p_partkey
             """
         ),
+        # deterministic replay of the PQ pipeline (codebooks re-trained
+        # driver-side from the same xxhash64-ordered sample, encode + ADC
+        # replayed as literal SQL) — hash-checked since r8
+        "emb_pq_topk": _pq_topk_sql(),
         # emb_ivf_topk: intentionally omitted (approximate-by-design;
         # rows-only check)
     }

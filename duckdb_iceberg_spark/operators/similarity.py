@@ -328,6 +328,15 @@ def pq_train(
         .collect()
     )
     X = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
+    return _pq_fit(X, m, k, iters, seed)
+
+
+def _pq_fit(X: np.ndarray, m: int, k: int, iters: int, seed: int) -> np.ndarray:
+    """Spark-free Lloyd-k-means core of :func:`pq_train` over an already
+    sampled (and xxhash64-ordered) matrix — also used by the driver-side
+    oracle builder, which reproduces the sample with the pure-Python
+    xxhash64 replica (functions/xxhash64.py) and replays the codebooks as
+    SQL literals."""
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -359,8 +368,13 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes): each vector compressed to m small ints — the 100 TB
     memory story (m bytes/vector instead of d floats; a 768-dim float32
-    corpus shrinks ~384x at m=8). Arrow-batched pandas UDF, one matmul
-    per subspace per batch."""
+    corpus shrinks ~384x at m=8). Arrow-batched pandas UDF, vectorized
+    over rows×centroids with an explicit LEFT-TO-RIGHT accumulation over
+    the subspace dims: sequential IEEE double adds are what an ANSI SQL
+    ``(x1-c1)^2 + ... + (xd-cd)^2`` chain evaluates, so the cross-engine
+    oracle reproduces every distance (and hence every argmin code)
+    bit-for-bit — numpy's pairwise ``.sum(axis=2)`` would drift in the
+    last ulp for >8 dims."""
     books = np.asarray(codebooks)
     m, k, dsub = books.shape
 
@@ -370,7 +384,9 @@ def pq_encode(
         codes = np.zeros((len(Xm), m), dtype="int32")
         for j in range(m):
             Xs = Xm[:, j * dsub:(j + 1) * dsub]
-            d2 = ((Xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            d2 = np.zeros((len(Xm), k))
+            for t in range(dsub):
+                d2 += (Xs[:, None, t] - books[j][None, :, t]) ** 2
             codes[:, j] = np.argmin(d2, axis=1)
         return pd.Series(list(codes))
 

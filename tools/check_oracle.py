@@ -63,6 +63,9 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entry.queries()
+    # data-dependent oracle builders (emb_pq_topk re-trains its codebooks
+    # from the corpus) must read the SAME sf this sweep runs at
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     oracles = entry.oracle_sql()
     failures = 0
     for name, fn in qs.items():

@@ -1661,6 +1661,36 @@ def ice_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_dup_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level curation composed with the table-format layer: the
+    pruned Iceberg MoR scan (lang <> 'zh', src19 MoR-deleted) feeds
+    duplicate_components, and curation keeps exactly ONE document per
+    duplicate cluster (the component-min), reporting per-language
+    kept/dropped counts. ice_docs_curation proves the FILTER family
+    composes with Iceberg scans; this proves the cluster artifact does —
+    near-dup relations aren't transitive, so keep-one-per-component is
+    the decision pairwise dedup can't make. Hash-checked: the oracle
+    recomputes TRUE components (recursive CTE) over the same filtered
+    rows and replays the keep-one rule."""
+    from duckdb_iceberg_spark import iceberg_scan
+    from duckdb_iceberg_spark.operators.dedup import duplicate_components
+
+    loc = _ice_documents_mor(spark, sf_dir)
+    docs = iceberg_scan(spark, loc, where="lang <> 'zh'") \
+        .filter(F.length("text") > 0)
+    comp = duplicate_components(docs, num_hashes=32, bands=8)
+    return (
+        docs.select("doc_id", "lang")
+        .join(comp, "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.when(F.col("doc_id") == F.col("component_id"), 1))
+             .alias("kept"),
+             F.count(F.when(F.col("doc_id") != F.col("component_id"), 1))
+             .alias("dropped"))
+        .orderBy("lang")
+    )
+
+
 def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking: 16-token windows, 4-token
     overlap (stride 12) — the context-limit prep for training/embedding."""
@@ -2609,42 +2639,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS LOAD-BEARING. The driver's correctness harness checks
     only the FIRST 50 entries per round (CORRECTNESS_r*.json has exactly 50
     rows), so ordering decides which queries get hard cross-engine oracle
-    rows. With 111 queries, 25 always-in ice_* slots and 25 rotating
-    slots, a parked query re-earns a driver row at latest every third
-    round; tools/check_oracle.py still covers ALL positions every
-    session. Rotation priority: (a) operators whose code changed since
-    their last driver row, (b) entries that have never had a driver row,
-    (c) longest parked, (d) family coverage. Layout (round 7 rotation):
+    rows. With 112 queries, a parked query re-earns a driver row at
+    latest every third round; tools/check_oracle.py still covers ALL
+    positions every session. Rotation priority: (a) operators whose code
+    changed since their last driver row, (b) entries that have never had
+    a driver row, (c) longest parked, (d) family coverage. Layout
+    (round 8 rotation):
 
-      1-25   ice_* Iceberg table-format queries — the reference's own
-             surface, always in-window (ice_bucket_fn's literal-VALUES
-             oracle is new this round: last no_oracle row goes hash-checked).
-      26-50  rotated IN for r7: the 3 formerly hash-red entries whose
-             HUGEINT oracles were cast to BIGINT this round
-             (stream_changelog, stream_curation, docs_vocab — priority
-             (a), prove the fix), the 4 parked entries with the same
-             oracle defect fixed (docs_resample_mixture,
-             docs_stratified_sample, docs_pack_sequences,
-             docs_corpus_report — priority (a)), stream_dedup_ttl
-             (priority (b): r6 operator, first driver row), and the 17
-             oracle-checked members of the longest-parked r4 cohort
-             (priority (c)): docs_redact_pii/normalize/chunk/token_count/
-             quality/fingerprint/incremental_dedup/lang_scores/winnow,
-             emb_cosine_topk, emb_knn_join, emb_knn_join_bucketed,
-             q_distinct_parts, q_rollup, q_setop_nations, q_topk_orders,
-             q_anti_join. The cohort's 4 rows-only entries (emb_neardup,
-             emb_ivf_topk, emb_kmeans, emb_semantic_dedup) stay parked —
-             a hash-checkable row beats a rows-only row.
-      51+    parked: full TPC-H + r6's rotation (all driver-green r5/r6)
-             — TPC-H rotates back in r8 — plus the NEW r7 entries
-             (oracle-checked, never driver-checked, all priority (b)
-             for r8's window): mm_video_meta, docs_dsir_sample,
+      1-16   ice_* DML/scan core — the reference surface most prone to
+             regression (MoR/DV/equality deletes, UPDATE/MERGE/upsert,
+             time travel, schema/spec evolution, compaction, pruning,
+             variant, curation composition) — stays in-window.
+      17     ice_dup_cluster_curation — NEW r8 entry (priority (a)):
+             cluster-level keep-one-per-component curation composed with
+             the Iceberg MoR scan path.
+      18-40  full TPC-H (q01 + q01_mor + q02..q22) — rotated back per
+             VERDICT r7 task 1 (driver-green r5, longest-parked cohort).
+      41-50  the 10 r7 operators that have never had a driver row
+             (priority (b)): mm_video_meta, docs_dsir_sample,
              docs_dup_components, docs_lm_score, docs_lm_buckets,
              mm_image_dedup, mm_audio_dedup, mm_video_dedup,
-             stream_minhash_curation, emb_pq_topk (rows-only).
+             stream_minhash_curation, and emb_pq_topk (hash-checked
+             since r8 via the re-trained-codebook literal oracle).
+      51+    parked: 9 metadata/function ice_* entries (driver-green
+             r4-r7, code untouched since — count_star, objectstore,
+             snapshot_history, partition/column stats, metadata_files,
+             topk_scan, truncate_fn, bucket_fn; they could not fit
+             alongside TPC-H + the 10 never-checked r7 entries and are
+             the least-risk parkees), then r7's rotation (driver-green
+             r7), r6's rotation (driver-green r6), and the rows-only
+             iterative family. Everything parked stays oracle-checked in
+             every local sweep.
     """
     return {
-        # --- Iceberg table-format surface (reference parity) -------------
+        # --- Iceberg DML/scan core (reference parity, always in) ----------
         "ice_mor_delete_scan": ice_mor_delete_scan,
         "ice_delete_using_scan": ice_delete_using_scan,
         "ice_dv_delete_scan": ice_dv_delete_scan,
@@ -2657,20 +2685,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_schema_evolution": ice_schema_evolution,
         "ice_spec_evolution_scan": ice_spec_evolution_scan,
         "ice_compaction_scan": ice_compaction_scan,
+        "ice_bucket_pruned_scan": ice_bucket_pruned_scan,
+        "ice_dynamic_prune_join": ice_dynamic_prune_join,
+        "ice_variant_extract": ice_variant_extract,
+        "ice_docs_curation": ice_docs_curation,
+        # --- NEW r8: cluster curation over the Iceberg scan path ----------
+        "ice_dup_cluster_curation": ice_dup_cluster_curation,
+        # --- rotated IN for r8: full TPC-H (longest-parked, green r5) -----
+        "q01_pricing_summary": q01_pricing_summary,
+        "q01_mor_pricing_summary": q01_mor_pricing_summary,
+        "q02_min_cost_supplier": q02_min_cost_supplier,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q04_order_priority": q04_order_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q06_revenue_forecast": q06_revenue_forecast,
+        "q07_volume_shipping": q07_volume_shipping,
+        "q08_market_share": q08_market_share,
+        "q09_product_profit": q09_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_stock": q11_important_stock,
+        "q12_late_lines": q12_late_lines,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive": q19_disjunctive,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_sales_opportunity": q22_sales_opportunity,
+        # --- rotated IN for r8: r7 operators, first driver rows -----------
+        "mm_video_meta": mm_video_meta,
+        "docs_dsir_sample": docs_dsir_sample,
+        "docs_dup_components": docs_dup_components,
+        "docs_lm_score": docs_lm_score,
+        "docs_lm_buckets": docs_lm_buckets,
+        "mm_image_dedup": mm_image_dedup,
+        "mm_audio_dedup": mm_audio_dedup,
+        "mm_video_dedup": mm_video_dedup,
+        "stream_minhash_curation": stream_minhash_curation,
+        "emb_pq_topk": emb_pq_topk,
+        # ------------------- 50-row window boundary -----------------------
+        # parked (driver-green r4-r7, code untouched): metadata/function ice
         "ice_count_star_metadata": ice_count_star_metadata,
         "ice_objectstore_scan": ice_objectstore_scan,
         "ice_snapshot_history": ice_snapshot_history,
         "ice_partition_stats": ice_partition_stats_q,
         "ice_column_stats": ice_column_stats_q,
-        "ice_bucket_pruned_scan": ice_bucket_pruned_scan,
-        "ice_dynamic_prune_join": ice_dynamic_prune_join,
         "ice_metadata_files": ice_metadata_files,
-        "ice_variant_extract": ice_variant_extract,
         "ice_topk_scan": ice_topk_scan,
         "ice_truncate_fn": ice_truncate_fn,
         "ice_bucket_fn": ice_bucket_fn,
-        "ice_docs_curation": ice_docs_curation,
-        # --- r7 rotation: HUGEINT-fix proof + first-row + r4 cohort -------
+        # parked (driver-green r7)
         "stream_changelog": stream_changelog,
         "stream_curation": stream_curation,
         "docs_vocab": docs_vocab,
@@ -2696,31 +2763,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_setop_nations": q_setop_nations,
         "q_topk_orders": q_topk_orders,
         "q_anti_join": q_anti_join,
-        # ------------------- 50-row window boundary -----------------------
-        # parked (driver-green r5): full TPC-H — back in r8
-        "q01_pricing_summary": q01_pricing_summary,
-        "q01_mor_pricing_summary": q01_mor_pricing_summary,
-        "q02_min_cost_supplier": q02_min_cost_supplier,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q04_order_priority": q04_order_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q06_revenue_forecast": q06_revenue_forecast,
-        "q07_volume_shipping": q07_volume_shipping,
-        "q08_market_share": q08_market_share,
-        "q09_product_profit": q09_product_profit,
-        "q10_returned_items": q10_returned_items,
-        "q11_important_stock": q11_important_stock,
-        "q12_late_lines": q12_late_lines,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_cnt": q16_supplier_cnt,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_volume": q18_large_volume,
-        "q19_disjunctive": q19_disjunctive,
-        "q20_excess_shippers": q20_excess_shippers,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q22_sales_opportunity": q22_sales_opportunity,
         # parked (driver-green r6)
         "docs_minhash_dedup": docs_minhash_dedup,
         "docs_incremental_minhash": docs_incremental_minhash,
@@ -2751,19 +2793,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": emb_ivf_topk,
         "emb_kmeans": emb_kmeans,
         "emb_semantic_dedup": emb_semantic_dedup,
-        # NEW in r7, oracle-checked, never driver-checked — rotation
-        # priority (b) for r8's window
-        "mm_video_meta": mm_video_meta,
-        "docs_dsir_sample": docs_dsir_sample,
-        "docs_dup_components": docs_dup_components,
-        "docs_lm_score": docs_lm_score,
-        "docs_lm_buckets": docs_lm_buckets,
-        "mm_image_dedup": mm_image_dedup,
-        "mm_audio_dedup": mm_audio_dedup,
-        "mm_video_dedup": mm_video_dedup,
-        "stream_minhash_curation": stream_minhash_curation,
-        # rows-only by design (approximate, float, driver-trained books)
-        "emb_pq_topk": emb_pq_topk,
     }
 
 
@@ -2920,12 +2949,17 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 8, shingle_k: int = 5,
 
 
 def _dup_components_sql(num_hashes: int = 32, bands: int = 8,
-                        shingle_k: int = 5, threshold: float = 0.7) -> str:
+                        shingle_k: int = 5, threshold: float = 0.7,
+                        src: str = "documents",
+                        tail: str | None = None) -> str:
     """DuckDB replica of operators.dedup.duplicate_components: the
     _minhash_sql pipeline up to VERIFIED pairs (not losers), plus the
     exact-dup star edges, then TRUE connected components via a recursive
     CTE (min id reachable over the symmetrized edges) — the distributed
-    star algorithm must reproduce these labels exactly."""
+    star algorithm must reproduce these labels exactly. ``src`` swaps the
+    corpus (e.g. a filtered subquery mirroring an Iceberg scan); ``tail``
+    swaps the final SELECT (may open with further CTEs over ``reach``)
+    for consumers like cluster-level curation."""
     from duckdb_iceberg_spark.operators.dedup import _hash_params
 
     a, b = _hash_params(num_hashes)
@@ -2939,12 +2973,15 @@ def _dup_components_sql(num_hashes: int = 32, bands: int = 8,
             bi=bi, cols=", ".join(f"s{bi * rpb + j} AS k{j}" for j in range(rpb)))
         for bi in range(bands))
     keys = ", ".join(f"k{j}" for j in range(rpb))
+    tail = tail or """
+            SELECT id AS doc_id, min(r) AS component_id
+            FROM reach GROUP BY id ORDER BY doc_id"""
     return f"""
             WITH RECURSIVE reps AS (
               SELECT doc_id, text FROM (
                 SELECT doc_id, text,
                        min(doc_id) OVER (PARTITION BY {_FP_SQL}) AS m
-                FROM documents) q WHERE doc_id = m
+                FROM {src}) q WHERE doc_id = m
             ), {_rolling_hash_cte(shingle_k, 'reps')}, sh AS (
               SELECT DISTINCT doc_id, h FROM hh
             ), sig AS (
@@ -2977,19 +3014,18 @@ def _dup_components_sql(num_hashes: int = 32, bands: int = 8,
               SELECT doc_id AS u, m AS v FROM (
                 SELECT doc_id,
                        min(doc_id) OVER (PARTITION BY {_FP_SQL}) AS m
-                FROM documents) q WHERE doc_id <> m
+                FROM {src}) q WHERE doc_id <> m
             ), edges AS (
               SELECT id_b AS u, id_a AS v FROM verified
               UNION SELECT u, v FROM exact_edges
             ), sym AS (
               SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
             ), reach AS (
-              SELECT doc_id AS id, doc_id AS r FROM documents
+              SELECT doc_id AS id, doc_id AS r FROM {src}
               UNION
               SELECT s.u AS id, reach.r FROM sym s JOIN reach ON s.v = reach.id
             )
-            SELECT id AS doc_id, min(r) AS component_id
-            FROM reach GROUP BY id ORDER BY doc_id
+            {tail}
     """
 
 
@@ -4574,6 +4610,27 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 200
         """,
         "docs_dup_components": _dup_components_sql(),
+        # same component pipeline over the Iceberg-filtered corpus
+        # (MoR delete + partition prune + length gate), then the
+        # keep-one-per-cluster curation rule
+        "ice_dup_cluster_curation": _dup_components_sql(
+            src="(SELECT * FROM documents WHERE source <> 'src19' "
+                "AND lang <> 'zh' AND length(text) > 0)",
+            tail="""
+            , comp AS (
+              SELECT id AS doc_id, min(r) AS component_id
+              FROM reach GROUP BY id
+            )
+            SELECT d.lang,
+                   CAST(count(*) FILTER (WHERE c.component_id = d.doc_id)
+                        AS BIGINT) AS kept,
+                   CAST(count(*) FILTER (WHERE c.component_id <> d.doc_id)
+                        AS BIGINT) AS dropped
+            FROM (SELECT doc_id, lang FROM documents
+                  WHERE source <> 'src19' AND lang <> 'zh'
+                    AND length(text) > 0) d
+            JOIN comp c ON d.doc_id = c.doc_id
+            GROUP BY d.lang ORDER BY d.lang"""),
         "docs_lm_score": _lm_sql(),
         "docs_lm_buckets": _lm_sql(buckets=True),
         "mm_image_dedup": _image_dedup_sql(),

@@ -6,52 +6,64 @@ query class out of hard-checking."""
 
 import __spark_entry__ as entry
 
-#: rows-only by design: approximate-by-construction results and iterative
-#: float-reduction algorithms (k-means / SemDeDup — not SQL-expressible).
-#: emb_knn_join_bucketed left this set in r6 (probe math deterministic
-#: given the SRP planes); ice_bucket_fn left in r7 — its fixed 500-key
-#: input now has a literal-VALUES oracle generated from an independent
-#: murmur3, so deleting that oracle must fail the guard below.
+#: rows-only by design: iterative float-reduction algorithms (k-means /
+#: SemDeDup — not SQL-expressible) plus emb_neardup/ivf (approximate by
+#: construction). emb_knn_join_bucketed left this set in r6 (probe math
+#: deterministic given the SRP planes); ice_bucket_fn left in r7
+#: (literal-VALUES oracle from an independent murmur3); emb_pq_topk left
+#: in r8 — its codebook fit is deterministic, so the oracle re-trains the
+#: same books and replays encode+ADC as literal SQL. Deleting any of those
+#: oracles must fail the guard below.
 ROWS_ONLY = {
     "emb_ivf_topk", "emb_kmeans", "emb_semantic_dedup",
-    # approximate by design: PQ quantization error + driver-trained float
-    # codebooks (same class as ivf/kmeans)
-    "emb_pq_topk",
 }
 
 
 def test_window_holds_reference_surface_and_rotation():
-    """Round-7 rotation (queries() docstring): every ice_* query is always
-    in-window (the reference's own surface); the 25 rotating slots hold the
-    HUGEINT-fix proof set (3 formerly-red + 4 fixed-parked oracles),
-    stream_dedup_ttl's first driver row, and the 17 oracle-checked members
-    of the longest-parked r4 cohort. TPC-H (driver-green r5) and r6's
-    rotation park at 51+. An entry may leave the window only via a
-    documented rotation, never via an accidental insertion above it."""
+    """Round-8 rotation (queries() docstring): the 16-entry ice_* DML/scan
+    core plus the new ice_dup_cluster_curation stay in-window; the rotating
+    slots hold the full TPC-H suite (VERDICT r7 task 1, longest-parked) and
+    the 10 r7 operators that had never earned a driver row. The 9
+    metadata/function ice_* entries (driver-green r4-r7, code untouched)
+    park at 51+ with everything else. An entry may leave the window only
+    via a documented rotation, never via an accidental insertion above
+    it."""
     keys = list(entry.queries())
     window = set(keys[:50])
-    ice = [k for k in keys if k.startswith("ice_")]
-    assert set(ice) <= window, (
-        f"{sorted(set(ice) - window)} (reference surface) fell past the "
-        "driver's 50-row correctness window")
-    rotated_in = {
-        # HUGEINT-oracle-fix proof set
-        "stream_changelog", "stream_curation", "docs_vocab",
-        "docs_resample_mixture", "docs_stratified_sample",
-        "docs_pack_sequences", "docs_corpus_report",
-        # first driver row for the r6 TTL streaming dedup
-        "stream_dedup_ttl",
-        # longest-parked r4 cohort (oracle-checked members only)
-        "docs_redact_pii", "docs_normalize", "docs_chunk",
-        "docs_token_count", "docs_quality", "docs_fingerprint",
-        "docs_incremental_dedup", "docs_lang_scores", "docs_winnow",
-        "emb_cosine_topk", "emb_knn_join", "emb_knn_join_bucketed",
-        "q_distinct_parts", "q_rollup", "q_setop_nations",
-        "q_topk_orders", "q_anti_join",
+    ice_core = {
+        "ice_mor_delete_scan", "ice_delete_using_scan", "ice_dv_delete_scan",
+        "ice_update_scan", "ice_upsert_scan", "ice_merge_scan",
+        "ice_sql_merge", "ice_merge_conditional", "ice_time_travel",
+        "ice_schema_evolution", "ice_spec_evolution_scan",
+        "ice_compaction_scan", "ice_bucket_pruned_scan",
+        "ice_dynamic_prune_join", "ice_variant_extract", "ice_docs_curation",
+        "ice_dup_cluster_curation",
     }
-    assert rotated_in <= window, (
-        f"{sorted(rotated_in - window)} (r7 rotation set) fell past the "
-        "window")
+    assert ice_core <= window, (
+        f"{sorted(ice_core - window)} (reference DML/scan core) fell past "
+        "the driver's 50-row correctness window")
+    tpch = {
+        "q01_pricing_summary", "q01_mor_pricing_summary",
+        "q02_min_cost_supplier", "q03_shipping_priority",
+        "q04_order_priority", "q05_region_revenue", "q06_revenue_forecast",
+        "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+        "q10_returned_items", "q11_important_stock", "q12_late_lines",
+        "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+        "q16_supplier_cnt", "q17_small_quantity", "q18_large_volume",
+        "q19_disjunctive", "q20_excess_shippers", "q21_waiting_supplier",
+        "q22_sales_opportunity",
+    }
+    r7_first_rows = {
+        "mm_video_meta", "docs_dsir_sample", "docs_dup_components",
+        "docs_lm_score", "docs_lm_buckets", "mm_image_dedup",
+        "mm_audio_dedup", "mm_video_dedup", "stream_minhash_curation",
+        "emb_pq_topk",
+    }
+    assert tpch <= window, (
+        f"{sorted(tpch - window)} (TPC-H, r8 rotation) fell past the window")
+    assert r7_first_rows <= window, (
+        f"{sorted(r7_first_rows - window)} (r7 first-driver-row set) fell "
+        "past the window")
     assert len(keys) >= 50 and len(window) == 50
 
 

@@ -75,6 +75,7 @@ HEADLINE = [
     "ice_objectstore_scan",
     "ice_delete_using_scan",
     "ice_docs_curation",
+    "ice_dup_cluster_curation",
     "docs_exact_dedup",
     "docs_simhash",
     "docs_lang_scores",
@@ -291,17 +292,28 @@ def main() -> None:
         entry._ice_lineitem(spark, sf1_dir)
         entry._ice_orders_mor(spark, sf1_dir)
         sf1_build_s = time.time() - t0
+        # min over >=2 runs per canary: the single-run r7 record carried a
+        # phantom 5x q21 "regression" that was cold-cache + box load, not
+        # code (VERDICT r7) — the sf0.1 block learned the same lesson in
+        # r5. min (not median) because the question here is scaling shape,
+        # and the best observed time is the least-contaminated sample.
+        n_sf1 = max(2, int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "2")))
         sf1_times: dict[str, float] = {}
         sf1_ratio: dict[str, float] = {}
         for name in SF1_CANARIES:
-            t0 = time.time()
-            rows = qs[name](spark, sf1_dir).collect()
-            assert rows is not None
-            sf1_times[name] = round(time.time() - t0, 3)
+            times = []
+            for _ in range(n_sf1):
+                t0 = time.time()
+                rows = qs[name](spark, sf1_dir).collect()
+                assert rows is not None
+                times.append(time.time() - t0)
+            spark.catalog.clearCache()
+            sf1_times[name] = round(min(times), 3)
             if results.get(name):
                 sf1_ratio[name] = round(sf1_times[name] / results[name], 2)
         out["sf1"] = {
             "sf": sf1_dir,
+            "runs_per_query": n_sf1,
             "queries": sf1_times,
             "ratio_vs_bench_sf": sf1_ratio,
             "value": round(sum(sf1_times.values()), 3),
@@ -309,6 +321,16 @@ def main() -> None:
             "fixture_build_sec": round(sf1_build_s, 3),
         }
 
+    # file artifact alongside stdout: the driver's BENCH record keeps only
+    # a truncated tail of stdout ("parsed": null in r6/r7) — the JSON must
+    # survive somewhere parseable
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(out, fh)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the record
     print(json.dumps(out))
 
 

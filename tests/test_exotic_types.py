@@ -100,7 +100,12 @@ def test_variant_column_round_trip(spark, tmp_path):
     2026-08-14 (r7): pyarrow 16.1.0 — no variant storage type; Spark
     parquet variant write still rejected; PIL/ffmpeg/google.protobuf all
     absent, so the JPEG/MP4 real decoders and transformWithStateInPandas
-    stay gated too (see operators/multimodal.py, streaming/stateful.py)."""
+    stay gated too (see operators/multimodal.py, streaming/stateful.py).
+    2026-08-15 (r8): Spark's parquet variant write SUCCEEDS — this test
+    runs the real roundtrip now (write_iceberg -> iceberg_scan preserves
+    VariantType and values). pyarrow still has no variant storage type,
+    and PIL/ffmpeg/google.protobuf remain absent, so the multimodal
+    decoders and transformWithStateInPandas stay gated."""
     vt = getattr(T, "VariantType", None)
     if vt is None:
         pytest.skip("Spark VariantType not available")
@@ -122,6 +127,11 @@ def test_variant_column_round_trip(spark, tmp_path):
         json.loads(r.v)["k"]
         for r in got.select(F.to_json("v").alias("v"), "id").collect())
     assert vals == [0, 1, 2]
+    # extraction over the written file — the reference's end-to-end
+    # variant usage (variant_get path + filter)
+    hit = (got.select(F.variant_get("v", "$.k", "int").alias("k"))
+           .filter("k = 2").collect())
+    assert [r.k for r in hit] == [2]
 
 
 def test_geometry_bbox_stats_render_and_never_prune(spark, tmp_path):

@@ -883,20 +883,69 @@ def attach_catalog(
     until a query touches a view.
 
     Iceberg VIEWS in the namespace register after the tables (so their
-    SQL can reference them) under the same prefixed naming. The view's
-    SQL text is taken as-is — with a non-empty ``view_prefix`` its table
-    references must already use the prefixed names, since Iceberg view
-    SQL has no portable way to rewrite identifiers."""
+    SQL can reference them) under the same prefixed naming. The Iceberg
+    view spec stores raw SQL with no portable identifier-rewrite
+    affordance, so with a non-empty ``view_prefix`` the view's
+    UNPREFIXED table references are rewritten best-effort: the
+    namespace's names are bound temporarily at their unprefixed
+    identifiers, the view SQL is analyzed against those bindings
+    (DataFrame analysis is eager — the resolved plan captures them), any
+    shadowed session objects are restored, and the analyzed frame
+    registers under the prefixed name. Analysis failure raises with the
+    view named rather than silently registering a broken view."""
     names: list[str] = []
+    base_names: list[str] = []
     for ident in catalog.list_tables(namespace):
         name = ident["name"] if isinstance(ident, dict) else ident
         table = catalog.load_table(namespace, name)
         view = f"{view_prefix}{name}"
         register_table(spark, view, table, server_planning=server_planning)
         names.append(view)
+        base_names.append(name)
     if include_views and hasattr(catalog, "list_views"):
         for ident in catalog.list_views(namespace):
             name = ident["name"] if isinstance(ident, dict) else ident
             v = catalog.load_view(namespace, name)
-            names.append(v.register(spark, f"{view_prefix}{name}"))
+            if not view_prefix:
+                names.append(v.register(spark, name))
+            else:
+                names.append(_register_prefixed_view(
+                    spark, v, view_prefix, base_names))
+            base_names.append(name)
     return names
+
+
+def _register_prefixed_view(spark: SparkSession, view: Any, prefix: str,
+                            base_names: list[str]) -> str:
+    """Register an Iceberg view under ``<prefix><name>`` with its SQL's
+    unprefixed namespace references rewritten (see attach_catalog). The
+    earlier-registered prefixed objects are re-exposed at their base
+    identifiers only for the duration of the analysis; anything the
+    session already had at those identifiers is captured first and
+    restored after."""
+    shadowed: dict[str, DataFrame] = {}
+    bound: list[str] = []
+    try:
+        for base in base_names:
+            try:
+                shadowed[base] = spark.table(base)
+            except Exception:
+                pass  # identifier free — nothing to restore
+            spark.table(f"{prefix}{base}").createOrReplaceTempView(base)
+            bound.append(base)
+        try:
+            df = spark.sql(view.sql("spark"))
+        except Exception as e:
+            raise ValueError(
+                f"cannot rewrite identifiers of view {view.name!r} for "
+                f"view_prefix {prefix!r}: analysis of its SQL failed "
+                f"({e})") from e
+    finally:
+        for base in bound:
+            if base in shadowed:
+                shadowed[base].createOrReplaceTempView(base)
+            else:
+                spark.catalog.dropTempView(base)
+    out = f"{prefix}{view.name}"
+    df.createOrReplaceTempView(out)
+    return out

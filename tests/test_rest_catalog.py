@@ -1915,3 +1915,56 @@ def test_attach_catalog_registers_views(stub, spark):
     got = sorted(r["id"] for r in spark.sql(
         "SELECT * FROM small_ids").collect())
     assert got == [0, 1]
+
+
+def test_attach_catalog_prefixed_view_identifier_rewrite(
+        stub, spark, sf_dir, tmp_path):
+    """With a non-empty view_prefix, a view whose SQL uses the namespace's
+    UNPREFIXED table names still queries end to end: attach_catalog binds
+    the prefixed objects at their base identifiers just long enough to
+    analyze the view SQL, registers the resolved plan under the prefixed
+    name, and restores whatever the session already had there."""
+    from duckdb_iceberg_spark import attach_catalog, write_iceberg
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    nation = load(spark, sf_dir, "nation")
+    write_iceberg(nation, loc)
+    _register_disk_table(state, loc, name="nation")
+    cat = _catalog(base)
+    cat.create_view("db", "early_nations",
+                    "SELECT n_name FROM nation WHERE n_nationkey < 3")
+    # the session already owns `nation` — the rewrite must not clobber it
+    spark.range(7).createOrReplaceTempView("nation")
+    try:
+        names = attach_catalog(spark, cat, "db", view_prefix="pfx_")
+        assert names == ["pfx_nation", "pfx_early_nations"]
+        got = {r.n_name for r in
+               spark.sql("SELECT * FROM pfx_early_nations").collect()}
+        expect = {r.n_name for r in
+                  nation.filter("n_nationkey < 3").select("n_name").collect()}
+        assert got == expect
+        assert spark.table("nation").count() == 7, \
+            "session temp view was not restored after the rewrite"
+    finally:
+        spark.catalog.dropTempView("nation")
+
+
+def test_attach_catalog_prefixed_view_analysis_error_names_view(
+        stub, spark, sf_dir, tmp_path):
+    """A view whose SQL references something that exists under neither the
+    prefixed nor any session identifier fails ATTACH with the view named —
+    never a silently-broken registration."""
+    from duckdb_iceberg_spark import attach_catalog, write_iceberg
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "nation"), loc)
+    _register_disk_table(state, loc, name="nation")
+    cat = _catalog(base)
+    cat.create_view("db", "broken_view",
+                    "SELECT x FROM table_that_isnt_there")
+    with pytest.raises(ValueError, match="broken_view"):
+        attach_catalog(spark, cat, "db", view_prefix="pfx_")

@@ -1691,6 +1691,50 @@ def ice_dup_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_variant(spark: SparkSession, sf_dir: str) -> str:
+    """documents metadata as a VARIANT column written through the real
+    write path (unblocked in this container in r8): each row carries
+    parse_json(to_json(struct(lang, source, n_chars))) — quote-safe JSON
+    built by Spark itself."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+
+        docs = _pq(spark, sf_dir, "documents")
+        df = docs.select(
+            "doc_id",
+            F.parse_json(F.to_json(F.struct(
+                F.col("lang"), F.col("source"), F.col("n_chars"),
+            ))).alias("meta"))
+        write_iceberg(df, loc)
+
+    return _build_once(sf_dir, "documents_variant", build)
+
+
+def ice_variant_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end variant through OUR write path — the reference's
+    end-to-end variant story (ice_variant_extract covers the read/prune
+    side over an authored fixture; this writes VariantType with
+    write_iceberg, scans it back, and runs typed variant_get extraction
+    + filter + aggregation). Hash-checked: the oracle replays the same
+    summary from the raw documents rows, so any value corrupted by the
+    variant encode/decode roundtrip mismatches."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_variant(spark, sf_dir)
+    t = iceberg_scan(spark, loc)
+    return (
+        t.select(
+            F.variant_get("meta", "$.source", "string").alias("src"),
+            F.variant_get("meta", "$.lang", "string").alias("lang"),
+            F.variant_get("meta", "$.n_chars", "long").alias("nc"))
+        .filter("lang <> 'zh'")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("nc").alias("sum_chars"))
+        .orderBy("src")
+    )
+
+
 def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking: 16-token windows, 4-token
     overlap (stride 12) — the context-limit prep for training/embedding."""
@@ -2786,6 +2830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_interval_join": q_interval_join,
         "emb_lsh_topk": emb_lsh_topk,
+        # parked NEW in r8 (variant write unblocked; oracle-checked in
+        # sweeps, rotates into the window in r9 under priority (b))
+        "ice_variant_write_scan": ice_variant_write_scan,
         # parked (r5 spot checks / rows-only by design)
         "docs_repetition": docs_repetition,
         "docs_line_dedup": docs_line_dedup,
@@ -4875,6 +4922,14 @@ def oracle_sql() -> dict[str, str]:
         # driver-side from the same xxhash64-ordered sample, encode + ADC
         # replayed as literal SQL) — hash-checked since r8
         "emb_pq_topk": _pq_topk_sql(),
+        # variant write roundtrip: the summary replays from the raw rows,
+        # so any value corrupted by variant encode/decode mismatches
+        "ice_variant_write_scan": """
+            SELECT source AS src, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE lang <> 'zh'
+            GROUP BY source ORDER BY src
+        """,
         # emb_ivf_topk: intentionally omitted (approximate-by-design;
         # rows-only check)
     }

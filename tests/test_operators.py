@@ -1511,3 +1511,56 @@ def test_pq_ann_recall_and_determinism(spark):
     c2 = {r["vec_id"]: list(r["codes"])
           for r in pq_encode(df, books).collect()}
     assert c1 == c2
+
+
+def test_xxhash64_replica_matches_spark(spark):
+    """The pure-Python xxhash64 replica (functions/xxhash64.py) is
+    bit-identical to F.xxhash64(long_col, lit(int)) — the exact shape the
+    deterministic samplers (PQ/IVF/k-means fits) order by, and what the
+    emb_pq_topk oracle builder uses to reproduce the training sample
+    without a Spark session."""
+    from duckdb_iceberg_spark.functions.xxhash64 import (
+        spark_xxhash64_long_intlit,
+    )
+
+    vals = [0, 1, 2, 42, -1, -7, 123456789012345, -987654321098765,
+            2**62, -(2**62), 2**63 - 1, -(2**63)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for seed in (42, 7, 0, -3):
+        got = {r[0]: r[1] for r in df.select(
+            "v", F.xxhash64(F.col("v"), F.lit(seed)).alias("h")).collect()}
+        mine = {v: spark_xxhash64_long_intlit(v, seed) for v in vals}
+        assert got == mine, f"xxhash64 replica diverged at seed {seed}"
+
+
+def test_pq_and_dsir_plan_shapes(spark, sf_dir):
+    """Scale-shape pins for the r8-window entries: PQ ADC scoring stays a
+    0-exchange, Python-free scan (the literal tables are codegen'd), and
+    the rewritten DSIR plan keeps its broadcast model join (the 4096-row
+    log-ratio frame must never shuffle-join)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import __spark_entry__ as entry
+
+    def plan_of(name):
+        df = entry.queries()[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    pq_plan = plan_of("emb_pq_topk")
+    assert "Exchange" not in pq_plan, "PQ ADC scoring must be shuffle-free"
+    assert "TakeOrderedAndProject" in pq_plan, \
+        "top-k must be a per-partition heap, never a global sort"
+    import re as _re
+    arrow_nodes = set(_re.findall(r"\((\d+)\) ArrowEvalPython", pq_plan))
+    assert len(arrow_nodes) <= 1, \
+        "only the encoder may run Python; ADC scoring is JVM codegen"
+    assert "BatchEvalPython" not in pq_plan, \
+        "row-at-a-time Python must never appear"
+
+    dsir_plan = plan_of("docs_dsir_sample")
+    assert "BroadcastHashJoin" in dsir_plan, \
+        "the log-ratio model must broadcast-join, never shuffle-join"

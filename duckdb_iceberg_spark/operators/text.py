@@ -584,11 +584,23 @@ def ngram_lm_score(
     rounding-boundary risk is the same accepted class as tfidf's)."""
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                     lambda x: x != "")
-    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    # tokenize+explode run BEFORE any shuffle, so they inherit the
+    # source's split count — a single-file parquet would serialize the
+    # whole pass on one task (the DSIR lesson). At real scale the source
+    # already has >= parallelism splits and this never fires.
+    src = df
+    para = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        few = src.rdd.getNumPartitions() < para
+    except Exception:
+        few = False
+    if few:
+        src = src.repartition(para, F.col(id_col))
+    base = src.select(F.col(id_col).alias("__id"), toks.alias("__t"))
     if reference_cond is None:
         ref = base.select("__t")
     else:
-        ref = df.filter(reference_cond).select(toks.alias("__t"))
+        ref = src.filter(reference_cond).select(toks.alias("__t"))
     vocab = [
         r["w"]
         for r in (

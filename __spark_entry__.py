@@ -1676,8 +1676,11 @@ def ice_dup_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_iceberg_spark.operators.dedup import duplicate_components
 
     loc = _ice_documents_mor(spark, sf_dir)
+    # persist the pruned MoR scan: the component pipeline and the final
+    # curation join both consume it, and each re-execution would re-apply
+    # the delete anti-join
     docs = iceberg_scan(spark, loc, where="lang <> 'zh'") \
-        .filter(F.length("text") > 0)
+        .filter(F.length("text") > 0).persist()
     comp = duplicate_components(docs, num_hashes=32, bands=8)
     return (
         docs.select("doc_id", "lang")

@@ -251,6 +251,7 @@ def main() -> None:
 
     N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     results: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
         times = []
@@ -260,6 +261,10 @@ def main() -> None:
             times.append(time.time() - t0)
             assert rows is not None
         results[name] = round(sorted(times)[len(times) // 2], 3)
+        # raw per-run times go to the file artifact: a phantom median
+        # (one process-local spike repeated across a query's runs) is
+        # indistinguishable from a regression without them
+        raw_runs[name] = [round(t, 3) for t in times]
         # operators that persist intermediates (dedup/verify caches) would
         # otherwise accumulate blocks across 59 queries × N runs and slow
         # LATER queries via block-manager/GC pressure (measured: emb_*
@@ -327,7 +332,7 @@ def main() -> None:
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.json"), "w") as fh:
-            json.dump(out, fh)
+            json.dump({**out, "query_runs": raw_runs}, fh)
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: stdout still carries the record

@@ -1951,6 +1951,33 @@ def test_attach_catalog_prefixed_view_identifier_rewrite(
         spark.catalog.dropTempView("nation")
 
 
+def test_attach_catalog_prefixed_view_on_view(stub, spark, sf_dir, tmp_path):
+    """A prefixed view whose SQL references ANOTHER namespace view by its
+    unprefixed name resolves too — earlier-registered views join the
+    temporary unprefixed bindings in registration order."""
+    from duckdb_iceberg_spark import attach_catalog, write_iceberg
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    nation = load(spark, sf_dir, "nation")
+    write_iceberg(nation, loc)
+    _register_disk_table(state, loc, name="nation")
+    cat = _catalog(base)
+    cat.create_view("db", "a_early",
+                    "SELECT n_nationkey, n_name FROM nation "
+                    "WHERE n_nationkey < 5")
+    cat.create_view("db", "b_top",
+                    "SELECT n_name FROM a_early WHERE n_nationkey >= 3")
+    names = attach_catalog(spark, cat, "db", view_prefix="vp_")
+    assert names == ["vp_nation", "vp_a_early", "vp_b_top"]
+    got = {r.n_name for r in spark.sql("SELECT * FROM vp_b_top").collect()}
+    expect = {r.n_name for r in
+              nation.filter("n_nationkey >= 3 AND n_nationkey < 5")
+              .select("n_name").collect()}
+    assert got == expect
+
+
 def test_attach_catalog_prefixed_view_analysis_error_names_view(
         stub, spark, sf_dir, tmp_path):
     """A view whose SQL references something that exists under neither the

@@ -303,8 +303,13 @@ def main() -> None:
         # r5. min (not median) because the question here is scaling shape,
         # and the best observed time is the least-contaminated sample.
         n_sf1 = max(2, int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "2")))
+        # drop fixture-build caches before timing: a fresh in-process
+        # rebuild (code-fingerprint change) leaves block-manager/GC
+        # pressure that lands on whichever canary runs first
+        spark.catalog.clearCache()
         sf1_times: dict[str, float] = {}
         sf1_ratio: dict[str, float] = {}
+        sf1_raw: dict[str, list[float]] = {}
         for name in SF1_CANARIES:
             times = []
             for _ in range(n_sf1):
@@ -314,6 +319,7 @@ def main() -> None:
                 times.append(time.time() - t0)
             spark.catalog.clearCache()
             sf1_times[name] = round(min(times), 3)
+            sf1_raw[name] = [round(t, 3) for t in times]
             if results.get(name):
                 sf1_ratio[name] = round(sf1_times[name] / results[name], 2)
         out["sf1"] = {
@@ -325,6 +331,7 @@ def main() -> None:
             "gen_sec": round(sf1_gen_s, 3),
             "fixture_build_sec": round(sf1_build_s, 3),
         }
+        out["sf1"]["query_runs"] = sf1_raw
 
     # file artifact alongside stdout: the driver's BENCH record keeps only
     # a truncated tail of stdout ("parsed": null in r6/r7) — the JSON must

@@ -36,6 +36,27 @@ def _tagged_schema():
     ])
 
 
+def test_spark_time_type_still_parquet_unsupported(spark, tmp_path):
+    """Retest pin for the tagged-Long `time` mapping: Spark 4.1 ships
+    T.TimeType, but its parquet datasource rejects TIME on BOTH paths
+    (write: UNSUPPORTED_TIME_TYPE; read of a foreign TIME(MICROS) column:
+    UNSUPPORTED_TIME_TYPE/PARQUET_TYPE_ILLEGAL — probed 2026-08-15, r8).
+    The moment either path starts working this fails, signalling the
+    mapping in metadata/types.py can upgrade from the tagged Long."""
+    vt = getattr(T, "TimeType", None)
+    if vt is None:
+        pytest.skip("no TimeType in this Spark")
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.time(12, 34, 56))],
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("t", vt())]))
+    loc = str(tmp_path / "t")
+    with pytest.raises(Exception, match="TIME|TimeType"):
+        df.write.parquet(loc)
+
+
 def test_tagged_types_round_trip(spark, tmp_path):
     from duckdb_iceberg_spark import iceberg_scan, write_iceberg
     from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata

@@ -2497,7 +2497,9 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: IVF probes nprobe/n_centroids of the corpus (approximate)
+    # hash-checked since r8: the hash-sampled centroids are deterministic,
+    # so the oracle replays assignment + probe + cosine top-k from
+    # centroid literals (see _ivf_topk_sql)
     from duckdb_iceberg_spark.operators.similarity import ivf_topk
 
     emb = _pq(spark, sf_dir, "embeddings")
@@ -3622,6 +3624,70 @@ def _pq_topk_sql(m: int = 4, k: int = 16, topk: int = 10, seed: int = 42,
             FROM enc
             ORDER BY adc_dist ASC, vec_id ASC
             LIMIT {topk}
+    """
+
+
+def _ivf_topk_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10,
+                  seed: int = 42) -> str:
+    """DuckDB replica of the emb_ivf_topk pipeline. IVF centroids are a
+    deterministic hash-sample of the corpus (xxhash64-ordered ids — no
+    training at all), so the builder reproduces them with the pure-Python
+    xxhash64 replica, emits the normalized centroids and the driver-side
+    probe list as literals, and replays assignment (max inner product,
+    ties to the lowest centroid index — ranking-equivalent to the
+    operator's normalized-row argmax since row norms are positive) and
+    cosine top-k in SQL. Residual risk is the knn_join_bucketed class:
+    a centroid decided by the last ulp of a dot product (numpy matmul vs
+    sequential SQL sums) — negligible on the fixture and pinned by the
+    sweep either way."""
+    import duckdb as _duck
+    import numpy as np
+
+    from duckdb_iceberg_spark.functions.xxhash64 import (
+        spark_xxhash64_long_intlit,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    con = _duck.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM read_parquet(?) WHERE vec_id != 0",
+        [path]).fetchall()
+    qvec = con.execute(
+        "SELECT embedding FROM read_parquet(?) WHERE vec_id = 0",
+        [path]).fetchone()[0]
+    con.close()
+    rows.sort(key=lambda r: spark_xxhash64_long_intlit(r[0], seed))
+    cents = np.asarray([list(r[1]) for r in rows[:n_centroids]],
+                       dtype="float64")
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(qvec, dtype="float64")
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(cents @ qn))[:nprobe].tolist()
+
+    def dvec(xs) -> str:
+        return "[" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)"
+                               for x in xs) + "]"
+
+    assigns = ", ".join(
+        "{'a': -list_inner_product(v, %s), 'i': %d}" % (dvec(cents[c]), c)
+        for c in range(n_centroids))
+    return f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id != 0
+            ), a AS (
+              SELECT vec_id, v,
+                     list_sort([{assigns}])[1].i AS lst
+              FROM e
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(v, {dvec(q)}), 6)
+                     AS similarity
+            FROM a WHERE lst IN ({", ".join(str(int(p)) for p in probes)})
+            ORDER BY similarity DESC, vec_id ASC
+            LIMIT {k}
     """
 
 
@@ -4925,6 +4991,9 @@ def oracle_sql() -> dict[str, str]:
         # driver-side from the same xxhash64-ordered sample, encode + ADC
         # replayed as literal SQL) — hash-checked since r8
         "emb_pq_topk": _pq_topk_sql(),
+        # hash-sampled centroids replayed as literals; assignment + cosine
+        # top-k replayed in SQL — hash-checked since r8
+        "emb_ivf_topk": _ivf_topk_sql(),
         # variant write roundtrip: the summary replays from the raw rows,
         # so any value corrupted by variant encode/decode mismatches
         "ice_variant_write_scan": """
@@ -4933,6 +5002,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE lang <> 'zh'
             GROUP BY source ORDER BY src
         """,
-        # emb_ivf_topk: intentionally omitted (approximate-by-design;
-        # rows-only check)
+        # emb_kmeans / emb_semantic_dedup: intentionally omitted — their
+        # centroids come from DISTRIBUTED iterative float reductions (not
+        # a bounded deterministic driver fit), so no SQL replay exists
     }

@@ -6,16 +6,16 @@ query class out of hard-checking."""
 
 import __spark_entry__ as entry
 
-#: rows-only by design: iterative float-reduction algorithms (k-means /
-#: SemDeDup — not SQL-expressible) plus emb_neardup/ivf (approximate by
-#: construction). emb_knn_join_bucketed left this set in r6 (probe math
-#: deterministic given the SRP planes); ice_bucket_fn left in r7
-#: (literal-VALUES oracle from an independent murmur3); emb_pq_topk left
-#: in r8 — its codebook fit is deterministic, so the oracle re-trains the
-#: same books and replays encode+ADC as literal SQL. Deleting any of those
-#: oracles must fail the guard below.
+#: rows-only by design: DISTRIBUTED iterative float reductions (k-means /
+#: SemDeDup) whose centroids no SQL replay can reproduce.
+#: emb_knn_join_bucketed left this set in r6 (probe math deterministic
+#: given the SRP planes); ice_bucket_fn left in r7 (literal-VALUES oracle
+#: from an independent murmur3); emb_pq_topk AND emb_ivf_topk left in r8 —
+#: their codebooks/centroids are bounded deterministic driver fits, so the
+#: oracles re-derive them and replay the distributed half as literal SQL.
+#: Deleting any of those oracles must fail the guard below.
 ROWS_ONLY = {
-    "emb_ivf_topk", "emb_kmeans", "emb_semantic_dedup",
+    "emb_kmeans", "emb_semantic_dedup",
 }
 
 

@@ -2688,7 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS LOAD-BEARING. The driver's correctness harness checks
     only the FIRST 50 entries per round (CORRECTNESS_r*.json has exactly 50
     rows), so ordering decides which queries get hard cross-engine oracle
-    rows. With 112 queries, a parked query re-earns a driver row at
+    rows. With 113 queries, a parked query re-earns a driver row at
     latest every third round; tools/check_oracle.py still covers ALL
     positions every session. Rotation priority: (a) operators whose code
     changed since their last driver row, (b) entries that have never had
@@ -2838,7 +2838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parked NEW in r8 (variant write unblocked; oracle-checked in
         # sweeps, rotates into the window in r9 under priority (b))
         "ice_variant_write_scan": ice_variant_write_scan,
-        # parked (r5 spot checks / rows-only by design)
+        # parked (r5 spot checks; emb_ivf_topk hash-checked since r8 via
+        # the centroid-literal replay oracle; emb_kmeans/emb_semantic_dedup
+        # rows-only — distributed iterative float)
         "docs_repetition": docs_repetition,
         "docs_line_dedup": docs_line_dedup,
         "emb_neardup": emb_neardup,
@@ -3633,13 +3635,13 @@ def _ivf_topk_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10,
     deterministic hash-sample of the corpus (xxhash64-ordered ids — no
     training at all), so the builder reproduces them with the pure-Python
     xxhash64 replica, emits the normalized centroids and the driver-side
-    probe list as literals, and replays assignment (max inner product,
-    ties to the lowest centroid index — ranking-equivalent to the
-    operator's normalized-row argmax since row norms are positive) and
-    cosine top-k in SQL. Residual risk is the knn_join_bucketed class:
-    a centroid decided by the last ulp of a dot product (numpy matmul vs
-    sequential SQL sums) — negligible on the fixture and pinned by the
-    sweep either way."""
+    probe list as literals, and replays assignment + cosine top-k in SQL.
+    Assignment is BIT-EXACT, not merely ranking-equivalent: the operator
+    accumulates dot(raw row, unit centroid) left-to-right over dims
+    (see ivf_topk), which is exactly what the explicit ``+`` chains here
+    evaluate — the same trick that makes the PQ encode replay exact.
+    Only the final cosine column leans on round(.,6) (Spark fold vs
+    list_cosine_similarity, the emb_cosine_topk precedent)."""
     import duckdb as _duck
     import numpy as np
 
@@ -3670,8 +3672,16 @@ def _ivf_topk_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10,
         return "[" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)"
                                for x in xs) + "]"
 
+    def dot_chain(c: int) -> str:
+        # explicit left-to-right chain — matches the operator's
+        # sequential accumulation bit-for-bit (list_inner_product's
+        # internal summation order is not contractual)
+        return "\n                        + ".join(
+            f"v[{t + 1}] * CAST('{float(cents[c][t])!r}' AS DOUBLE)"
+            for t in range(cents.shape[1]))
+
     assigns = ", ".join(
-        "{'a': -list_inner_product(v, %s), 'i': %d}" % (dvec(cents[c]), c)
+        "{'a': -(%s), 'i': %d}" % (dot_chain(c), c)
         for c in range(n_centroids))
     return f"""
             WITH e AS (
@@ -3689,6 +3699,31 @@ def _ivf_topk_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10,
             ORDER BY similarity DESC, vec_id ASC
             LIMIT {k}
     """
+
+
+_ANN_ORACLE_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _ann_oracles() -> dict[str, str]:
+    """emb_pq_topk / emb_ivf_topk oracles are DATA-DEPENDENT string
+    builders: they read the corpus parquet and re-derive the
+    deterministic codebooks/centroids, which costs a small driver fit.
+    Build once per oracle sf_dir (oracle_sql() is called repeatedly by
+    the contract test and local sweeps), and OMIT the two entries —
+    degrading exactly those queries to rows-only — when the corpus isn't
+    readable, so a missing testdata mount can't take down the other
+    100+ static oracles with it."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    if sf_dir not in _ANN_ORACLE_CACHE:
+        try:
+            _ANN_ORACLE_CACHE[sf_dir] = {
+                "emb_pq_topk": _pq_topk_sql(),
+                "emb_ivf_topk": _ivf_topk_sql(),
+            }
+        except Exception:
+            _ANN_ORACLE_CACHE[sf_dir] = {}
+    return _ANN_ORACLE_CACHE[sf_dir]
 
 
 def _ngram_dedup_sql(n: int = 3, threshold: float = 0.8) -> str:
@@ -4987,13 +5022,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY p_partkey
             """
         ),
-        # deterministic replay of the PQ pipeline (codebooks re-trained
-        # driver-side from the same xxhash64-ordered sample, encode + ADC
-        # replayed as literal SQL) — hash-checked since r8
-        "emb_pq_topk": _pq_topk_sql(),
-        # hash-sampled centroids replayed as literals; assignment + cosine
-        # top-k replayed in SQL — hash-checked since r8
-        "emb_ivf_topk": _ivf_topk_sql(),
+        # deterministic replays of the PQ + IVF pipelines (codebooks /
+        # hash-sampled centroids re-derived driver-side from the corpus,
+        # encode/assignment + scoring replayed as literal SQL) —
+        # hash-checked since r8; omitted (rows-only) if the corpus
+        # parquet is unreadable
+        **_ann_oracles(),
         # variant write roundtrip: the summary replays from the raw rows,
         # so any value corrupted by variant encode/decode mismatches
         "ice_variant_write_scan": """

@@ -358,8 +358,14 @@ def dsir_importance_weights(
         pb = pb_of(src, F.lit(False)).persist()
         fit = (pb.groupBy("__b").agg(F.sum("__c").alias("__c")).collect())
         cr = {r[0]: r[1] for r in fit}
-        tgt = (pb_of(target, F.lit(True))
-               .groupBy("__b").agg(F.sum("__c").alias("__c")).collect())
+        # the target frame only feeds per-BUCKET counts (and need not
+        # carry id_col at all): explode straight to the bucket rollup
+        tgt = (
+            target.select(
+                F.explode(ngram_array(F.col(text_col), n_max)).alias("__g"))
+            .select((_hex32(F.col("__g")) % buckets).alias("__b"))
+            .groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+            .collect())
         ct = {r[0]: r[1] for r in tgt}
     tr = float(sum(cr.values()) + buckets)
     tt = float(sum(ct.values()) + buckets)

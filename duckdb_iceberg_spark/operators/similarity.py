@@ -147,7 +147,14 @@ def ivf_topk(
     Centroids are a deterministic hash-sample of the corpus itself (seeded;
     no iterative training — at 100 TB a k-means fit would be its own job,
     and spherical IVF with sampled centroids is the standard cheap variant).
-    Assignment runs as an Arrow-batched pandas UDF (one matmul per batch)."""
+    Assignment runs as an Arrow-batched pandas UDF, vectorized over
+    rows×centroids with a LEFT-TO-RIGHT accumulation over dims on the RAW
+    (unnormalized) vectors: argmax of dot(v, unit-centroid) ranks
+    identically to the normalized-row cosine argmax (row norms are
+    positive constants per row), and sequential IEEE adds are what an
+    ANSI SQL ``+`` chain evaluates — so the cross-engine oracle
+    reproduces every list assignment bit-for-bit (the pq_encode trick; a
+    BLAS matmul over normalized rows would diverge in the last ulp)."""
     if n_centroids is None:
         n_centroids = ivf_centroids_for(
             approx_count if approx_count is not None else df.count())
@@ -165,8 +172,10 @@ def ivf_topk(
     @pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
         m = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(m @ cents.T, axis=1).astype("int32"))
+        d = np.zeros((len(m), cents.shape[0]))
+        for t in range(m.shape[1]):
+            d += m[:, None, t] * cents[None, :, t]
+        return pd.Series(np.argmax(d, axis=1).astype("int32"))
 
     q = np.asarray(query_vec, dtype="float64")
     qn = q / max(np.linalg.norm(q), 1e-12)

@@ -923,14 +923,18 @@ def _register_prefixed_view(spark: SparkSession, view: Any, prefix: str,
     identifiers only for the duration of the analysis; anything the
     session already had at those identifiers is captured first and
     restored after."""
+    # capture only session TEMP VIEWS for restore: a permanent catalog
+    # object at the same identifier is merely shadowed by the temporary
+    # binding and must NOT be converted into a frozen temp view on
+    # restore — dropping the binding un-shadows it
+    temp_names = {t.name for t in spark.catalog.listTables()
+                  if t.isTemporary}
     shadowed: dict[str, DataFrame] = {}
     bound: list[str] = []
     try:
         for base in base_names:
-            try:
+            if base in temp_names and base not in shadowed:
                 shadowed[base] = spark.table(base)
-            except Exception:
-                pass  # identifier free — nothing to restore
             spark.table(f"{prefix}{base}").createOrReplaceTempView(base)
             bound.append(base)
         try:
@@ -941,7 +945,7 @@ def _register_prefixed_view(spark: SparkSession, view: Any, prefix: str,
                 f"view_prefix {prefix!r}: analysis of its SQL failed "
                 f"({e})") from e
     finally:
-        for base in bound:
+        for base in dict.fromkeys(bound):  # dedupe: restore/drop once
             if base in shadowed:
                 shadowed[base].createOrReplaceTempView(base)
             else:

@@ -1308,9 +1308,11 @@ def test_dsir_importance_weights_prefer_target_like_docs(spark):
             + [(100 + i, off_text) for i in range(15)]
             + [(200, ""), (201, None)])   # empty/NULL docs -> weight 0
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the target frame carries NO id column — the r7 contract (only its
+    # text feeds the per-bucket fit); regression-pinned after the r8
+    # broadcast rewrite briefly required doc_id on the target
     target = spark.createDataFrame(
-        [(1000 + i, target_text) for i in range(3)],
-        "doc_id long, text string")
+        [(target_text,) for _ in range(3)], "text string")
 
     w = {r.doc_id: r.log_weight
          for r in dsir_importance_weights(df, target).collect()}

@@ -1978,6 +1978,38 @@ def test_attach_catalog_prefixed_view_on_view(stub, spark, sf_dir, tmp_path):
     assert got == expect
 
 
+def test_attach_catalog_prefixed_view_restores_permanent_table(
+        stub, spark, sf_dir, tmp_path):
+    """When a namespace name collides with a PERMANENT session-catalog
+    table (not a temp view), the rewrite's temporary binding must vanish
+    afterwards — converting the table into a frozen temp view would
+    permanently shadow it."""
+    from duckdb_iceberg_spark import attach_catalog, write_iceberg
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    nation = load(spark, sf_dir, "nation")
+    write_iceberg(nation, loc)
+    _register_disk_table(state, loc, name="nation")
+    cat = _catalog(base)
+    cat.create_view("db", "v_small",
+                    "SELECT n_name FROM nation WHERE n_nationkey = 1")
+    spark.sql("DROP TABLE IF EXISTS nation")
+    spark.range(3).write.saveAsTable("nation")  # permanent catalog table
+    try:
+        attach_catalog(spark, cat, "db", view_prefix="pt_")
+        got = [r.n_name for r in spark.sql("SELECT * FROM pt_v_small").collect()]
+        assert len(got) == 1
+        # the permanent table resolves again, and NO temp view shadows it
+        temp = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+        assert "nation" not in temp, \
+            "rewrite left a temp view shadowing the permanent table"
+        assert spark.table("nation").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation")
+
+
 def test_attach_catalog_prefixed_view_analysis_error_names_view(
         stub, spark, sf_dir, tmp_path):
     """A view whose SQL references something that exists under neither the

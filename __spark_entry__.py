@@ -2719,6 +2719,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              r7), r6's rotation (driver-green r6), and the rows-only
              iterative family. Everything parked stays oracle-checked in
              every local sweep.
+
+    r9 rotation plan (priorities applied to the current state):
+    ice_variant_write_scan (new r8, never driver-checked — priority (b)),
+    emb_ivf_topk (oracle upgraded r8 — priority (a)), the 9 parked
+    metadata/function ice_* (longest-parked reference surface), then
+    r7's rotation cohort; TPC-H parks again after its r8 rows.
     """
     return {
         # --- Iceberg DML/scan core (reference parity, always in) ----------

@@ -127,6 +127,20 @@ def test_fixture_cache_lifecycle(tmp_path, monkeypatch):
     assert len(builds) == 4, "concurrent builders must build exactly once"
 
 
+def test_ann_oracles_degrade_without_corpus(monkeypatch):
+    """The PQ/IVF oracles are data-dependent builders. When the corpus
+    parquet is unreadable they must drop out (rows-only degradation for
+    exactly those two queries) WITHOUT killing the 100+ static oracles."""
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/nonexistent/sf")
+    entry._ANN_ORACLE_CACHE.clear()
+    try:
+        osql = entry.oracle_sql()
+        assert "emb_pq_topk" not in osql and "emb_ivf_topk" not in osql
+        assert "q01_pricing_summary" in osql and len(osql) > 100
+    finally:
+        entry._ANN_ORACLE_CACHE.clear()
+
+
 def test_every_query_has_oracle_or_is_documented_rows_only():
     qs, osql = entry.queries(), entry.oracle_sql()
     missing = [k for k in qs if k not in osql and k not in ROWS_ONLY]

@@ -1023,6 +1023,14 @@ def duplicate_components(
         few_inputs = False
     if few_inputs:
         reps = reps.repartition(par)
+    # persist: three consumers (signatures, verify's two pair-side text
+    # joins) would each re-run the fingerprint groupBy + join chain —
+    # measured ~3s of the sf0.1 wall time. Same internal-cache class as
+    # verify_jaccard's pairs/sharr; released when the CC result
+    # materializes inside connected_components' initial checkpoint is
+    # NOT possible (verify joins run later), so it stays for the session
+    # like the rest of the family's internal caches.
+    reps = reps.persist()
     sigs = minhash_signatures(reps, text_col, id_col, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     near = verify_jaccard(cands, reps, text_col, id_col, shingle_k, threshold)

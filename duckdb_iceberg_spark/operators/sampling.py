@@ -264,6 +264,55 @@ def _hex32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def dsir_log_ratios(
+    ct: dict[int, int], cr: dict[int, int], buckets: int
+) -> list[tuple[int, "Decimal"]]:
+    """The DSIR per-bucket log-ratio table: round6(ln((ct+1)/tt) −
+    ln((cr+1)/tr)) as DECIMAL(18,6), tt/tr the Laplace-smoothed totals.
+
+    Module-level so the cross-engine oracle builder can call the SAME
+    CPython libm + Decimal quantize that built the operator's broadcast
+    table — literal replay instead of re-deriving ln() inside the other
+    engine, whose libm may round 6dp boundaries differently (the r8
+    driver's DuckDB did exactly that)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    tr = float(sum(cr.values()) + buckets)
+    tt = float(sum(ct.values()) + buckets)
+    q6 = Decimal("0.000001")
+    # Decimal(float) is the EXACT binary value, so quantize(HALF_UP)
+    # matches SQL round() on the same double; Python's round() is
+    # banker's and would disagree on ties
+    return [
+        (b,
+         Decimal(math.log((ct.get(b, 0) + 1.0) / tt)
+                 - math.log((cr.get(b, 0) + 1.0) / tr))
+         .quantize(q6, ROUND_HALF_UP))
+        for b in range(buckets)
+    ]
+
+
+def dsir_gumbel6(doc_id, salt: str = "dsir") -> "Decimal":
+    """The deterministic Gumbel term of :func:`dsir_resample` for one id,
+    computed driver-side: u = (hex32(md5(id||salt)) + 0.5) / 2^32 (all
+    exact double arithmetic), g = round6(−ln(−ln u)) as DECIMAL(18,6).
+    Shared with the oracle builder for the same reason as
+    :func:`dsir_log_ratios` — though here the operator's ln runs JVM-side
+    (F.log), so the residual risk is JVM-Math.log-vs-CPython-libm, both
+    ≤1 ulp from correctly rounded (vs the several-ulp engine-ln class
+    this replay eliminates)."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    h = int(hashlib.md5(
+        (str(doc_id) + salt).encode()).hexdigest()[:8], 16)
+    u = (h + 0.5) / 4294967296.0
+    return Decimal(-math.log(-math.log(u))).quantize(
+        Decimal("0.000001"), ROUND_HALF_UP)
+
+
 def dsir_importance_weights(
     df: DataFrame,
     target: DataFrame | None = None,
@@ -273,6 +322,7 @@ def dsir_importance_weights(
     target_cond: Column | str | None = None,
     buckets: int = 4096,
     n_max: int = 2,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Data Selection via Importance Resampling,
     Xie et al. 2023, arXiv:2302.03169): score every raw document by how
@@ -306,10 +356,18 @@ def dsir_importance_weights(
     ``target_cond`` (a boolean Column or SQL string over ``df``'s
     columns) instead of a separate ``target`` frame: the fit then
     tokenizes the corpus ONCE, tagging each gram with the condition —
-    measurably cheaper than the union's double pass over the subset."""
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
+    measurably cheaper than the union's double pass over the subset.
 
+    Precondition: ``id_col`` must be unique per row — grams pool by id
+    before scoring, so rows sharing an id would receive the combined
+    weight of their pooled texts (and the weight join would duplicate
+    them). Same contract as the dedup family.
+
+    Cache lifetime: the internal per-(doc, bucket) frame ``pb`` stays
+    persisted for the returned (lazy) frame to consume. Pass a list as
+    ``cache_out`` to receive the handle and unpersist it once the result
+    is materialized (what :func:`dsir_resample` does); otherwise the
+    caller owns the cache, like the dedup family."""
     from .text import ngram_array
 
     if (target is None) == (target_cond is None):
@@ -367,19 +425,9 @@ def dsir_importance_weights(
             .groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
             .collect())
         ct = {r[0]: r[1] for r in tgt}
-    tr = float(sum(cr.values()) + buckets)
-    tt = float(sum(ct.values()) + buckets)
-    q6 = Decimal("0.000001")
-    # Decimal(float) is the EXACT binary value, so quantize(HALF_UP)
-    # matches SQL round() on the same double; Python's round() is
-    # banker's and would disagree on ties
-    lr = [
-        (b,
-         Decimal(math.log((ct.get(b, 0) + 1.0) / tt)
-                 - math.log((cr.get(b, 0) + 1.0) / tr))
-         .quantize(q6, ROUND_HALF_UP))
-        for b in range(buckets)
-    ]
+    if cache_out is not None:
+        cache_out.append(pb)
+    lr = dsir_log_ratios(ct, cr, buckets)
     ratio = spark.createDataFrame(
         lr, schema=T.StructType([
             T.StructField("__b", T.LongType()),
@@ -428,18 +476,29 @@ def dsir_resample(
     rounded-6dp parts.
 
     Scale: the weight pass above plus one TakeOrderedAndProject top-k — a
-    per-partition heap + driver merge of k rows, never a global sort."""
+    per-partition heap + driver merge of k rows, never a global sort. The
+    k-row result is materialized eagerly (bounded by k) so the internal
+    tokenize cache can be unpersisted before returning — repeated calls
+    no longer accumulate executor storage (ADVICE r8)."""
+    cache: list = []
     w = dsir_importance_weights(
         df, target, text_col, id_col, target_cond=target_cond,
-        buckets=buckets, n_max=n_max)
+        buckets=buckets, n_max=n_max, cache_out=cache)
     u = (_hex32(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
          + F.lit(0.5)) / F.lit(4294967296.0)
     gum = F.round(-F.log(-F.log(u)), 6).cast(T.DecimalType(18, 6))
     out_t = T.DecimalType(28, 6)
-    return (
+    out = (
         w.withColumn("score",
                      (F.col("log_weight") + gum).cast(out_t))
         .select(id_col, "log_weight", "score")
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+    rows = out.collect()
+    for c in cache:
+        c.unpersist()
+    return (
+        df.sparkSession.createDataFrame(rows, out.schema)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
     )

@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # marker words per language, chosen for testdata's en/de/fr/es-ish content;
 # counted as substring hits on the space-padded lowercased text
@@ -553,6 +554,21 @@ def tfidf_top_terms(
     )
 
 
+def laplace_lp6(c2: int, c1: int, vocab_n: int) -> "Decimal":
+    """round6(ln((c2+1)/(c1+V))) as DECIMAL(18,6) — the per-bigram
+    log-prob of the Laplace bigram LM. Module-level and CPython-side so
+    :func:`ngram_lm_score` (which broadcasts the table) and the
+    cross-engine oracle builder share one implementation: both engines
+    then consume the SAME rounded literals instead of re-deriving ln()
+    with their own libm (whose last-ulp differences flipped 6dp rounding
+    boundaries in the r8 driver's DuckDB)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(math.log((c2 + 1.0) / (c1 + vocab_n))).quantize(
+        Decimal("0.000001"), ROUND_HALF_UP)
+
+
 def ngram_lm_score(
     df,
     text_col: str = "text",
@@ -571,17 +587,26 @@ def ngram_lm_score(
     Returns (id, n_bigrams, nll_sum, avg_nll) where nll_sum is exact
     DECIMAL(28,6) (each bigram's log-prob rounds to 6dp BEFORE summation
     — the DSIR trick, so cross-engine float accumulation can't drift) and
-    avg_nll = round(nll_sum / n_bigrams, 6) (null for sub-2-token docs).
+    avg_nll = round-half-up(nll_sum / n_bigrams, 6) (null for sub-2-token
+    docs), computed as EXACT INTEGER arithmetic in micro-units —
+    ``(2·N + n) div (2·n)`` over N = nll_sum·1e6 — then one IEEE divide
+    by 1e6. A double round(nll/n, 6) would hit exact 6dp ties (sf0.1's
+    258.481054/76 = 3.4010665 precisely) that engines round differently;
+    the integer form has no boundary to disagree on.
 
     Scale shape: the vocabulary is a bounded driver collect
     (<= vocab_size rows, like DSIR's bucket model); unk-mapping is an
     InSet literal — O(1) hash per token, JVM-side, no join; the bigram
-    model and context counts are bounded by the vocab and broadcast; the
-    corpus side is explode -> two broadcast joins -> one groupBy(id) with
-    map-side partials — ONE linear shuffle total, nothing keyed on a
-    gram. Laplace k=1 keeps every probability a ratio of exact integers,
-    so both engines feed ln() bit-identical inputs (residual ulp-at-
-    rounding-boundary risk is the same accepted class as tfidf's)."""
+    model is a bounded driver collect too (<= (vocab_size+1)^2 distinct
+    mapped bigrams — ~1M rows / tens of MB at vocab 1024, independent of
+    corpus size) whose log-probs are computed ONCE driver-side
+    (:func:`laplace_lp6`) and broadcast; the corpus side is explode ->
+    two broadcast joins -> one groupBy(id) with map-side partials — ONE
+    linear shuffle total, nothing keyed on a gram, and no per-row ln()
+    anywhere. Driver-side lp also makes the cross-engine oracle
+    literal-replay exact: both engines sum the same DECIMAL(18,6)
+    literals (the r8 driver's DuckDB recomputed ln() with a different
+    libm and flipped 6dp boundaries)."""
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                     lambda x: x != "")
     # tokenize+explode run BEFORE any shuffle, so they inherit the
@@ -626,22 +651,37 @@ def ngram_lm_score(
                           lambda a, b: F.concat_ws(" ", a, b))
 
     ref_bi = ref.select(F.explode(bigrams(unkmap(F.col("__t")))).alias("g"))
-    model = ref_bi.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
-    ctx = (
-        model.withColumn("w1", F.split("g", " ", 2).getItem(0))
-        .groupBy("w1").agg(F.sum("c2").alias("c1"))
-    )
+    c2map = {
+        r["g"]: r["c2"]
+        for r in ref_bi.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+        .collect()
+    }
+    c1map: dict[str, int] = {}
+    for g, c in c2map.items():
+        w1 = g.split(" ", 1)[0]
+        c1map[w1] = c1map.get(w1, 0) + c
+    lp_t = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("__lp2", T.DecimalType(18, 6))])
+    ctx_t = T.StructType([
+        T.StructField("w1", T.StringType()),
+        T.StructField("__lp1", T.DecimalType(18, 6))])
+    spark = df.sparkSession
+    model_lp = spark.createDataFrame(
+        [(g, laplace_lp6(c, c1map[g.split(" ", 1)[0]], n_vocab))
+         for g, c in c2map.items()], lp_t)
+    ctx_lp = spark.createDataFrame(
+        [(w1, laplace_lp6(0, c1, n_vocab)) for w1, c1 in c1map.items()],
+        ctx_t)
+    unseen = laplace_lp6(0, 0, n_vocab)
     corp = base.select(
         "__id", F.explode(bigrams(unkmap(F.col("__t")))).alias("g"))
-    lp = F.round(
-        F.log((F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
-              / (F.coalesce(F.col("c1"), F.lit(0)) + n_vocab).cast("double")),
-        6,
-    ).cast("decimal(18,6)")
+    lp = F.coalesce(F.col("__lp2"), F.col("__lp1"),
+                    F.lit(unseen).cast("decimal(18,6)"))
     scored = (
         corp.withColumn("w1", F.split("g", " ", 2).getItem(0))
-        .join(F.broadcast(model), "g", "left")
-        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(model_lp), "g", "left")
+        .join(F.broadcast(ctx_lp), "w1", "left")
         .groupBy("__id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
              (-F.sum(lp)).alias("__nll"))
@@ -656,7 +696,14 @@ def ngram_lm_score(
             .cast("decimal(28,6)").alias("nll_sum"),
             F.when(
                 F.col("n_bigrams") > 0,
-                F.round(F.col("__nll").cast("double") / F.col("n_bigrams"), 6),
+                # half-up 6dp quotient in exact micro-unit integers:
+                # N = nll·1e6 (exact — nll has scale 6), then
+                # (2N + n) div (2n); the final /1e6 is one IEEE divide of
+                # identical operands, bit-equal in any engine
+                F.expr(
+                    "CAST((2 * CAST(__nll * 1000000 AS BIGINT) + n_bigrams)"
+                    " DIV (2 * n_bigrams) AS DOUBLE) / 1000000.0"
+                ),
             ).alias("avg_nll"),
         )
     )

@@ -915,14 +915,54 @@ def attach_catalog(
     return names
 
 
+def _rewrite_unprefixed_idents(sql: str, base_names: list[str],
+                               prefix: str) -> str:
+    """Rewrite bare (or backquoted) occurrences of each namespace object
+    name to its backquoted prefixed identifier, leaving string literals
+    untouched. Qualified references (``alias.name``) are preserved —
+    the lookbehind rejects a preceding dot or word char."""
+    # split on single-/double-quoted string literals; rewrite only the
+    # code segments (even indices)
+    parts = re.split(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")", sql)
+    for i in range(0, len(parts), 2):
+        seg = parts[i]
+        for base in sorted(base_names, key=len, reverse=True):
+            seg = re.sub(
+                rf"(?<![\w.]){'`?'}{re.escape(base)}{'`?'}(?!\w)",
+                f"`{prefix}{base}`", seg)
+        parts[i] = seg
+    return "".join(parts)
+
+
 def _register_prefixed_view(spark: SparkSession, view: Any, prefix: str,
                             base_names: list[str]) -> str:
     """Register an Iceberg view under ``<prefix><name>`` with its SQL's
-    unprefixed namespace references rewritten (see attach_catalog). The
-    earlier-registered prefixed objects are re-exposed at their base
-    identifiers only for the duration of the analysis; anything the
-    session already had at those identifiers is captured first and
-    restored after."""
+    unprefixed namespace references rewritten (see attach_catalog).
+
+    Preferred path: rewrite the identifiers IN THE SQL TEXT and register
+    a lazy ``CREATE OR REPLACE TEMPORARY VIEW ... AS <sql>`` exactly like
+    the unprefixed path — the view then re-resolves its table references
+    on every query, so execute_sql's post-DML view re-registration keeps
+    prefixed and unprefixed views equally fresh (no frozen analyzed
+    plan). Analysis of the rewritten text validates it before
+    registration.
+
+    Fallback (rewritten text fails to analyze — e.g. a column name
+    colliding with a table name defeats the textual rewrite): bind the
+    prefixed objects at their base identifiers, analyze the ORIGINAL
+    SQL eagerly, and register the analyzed DataFrame. This path pins the
+    scan state at attach time (documented limitation: the view won't see
+    later DML until re-attached) and, if it must restore a shadowed
+    session temp view, restores a DataFrame snapshot of it rather than
+    its original (unrecoverable) SQL text."""
+    out = f"{prefix}{view.name}"
+    sql2 = _rewrite_unprefixed_idents(view.sql("spark"), base_names, prefix)
+    try:
+        spark.sql(sql2)  # eager analysis: validate the rewrite
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW `{out}` AS {sql2}")
+        return out
+    except Exception:
+        pass  # fall back to binding-based analysis below
     # capture only session TEMP VIEWS for restore: a permanent catalog
     # object at the same identifier is merely shadowed by the temporary
     # binding and must NOT be converted into a frozen temp view on
@@ -950,6 +990,5 @@ def _register_prefixed_view(spark: SparkSession, view: Any, prefix: str,
                 shadowed[base].createOrReplaceTempView(base)
             else:
                 spark.catalog.dropTempView(base)
-    out = f"{prefix}{view.name}"
     df.createOrReplaceTempView(out)
     return out

@@ -6,28 +6,29 @@ query class out of hard-checking."""
 
 import __spark_entry__ as entry
 
-#: rows-only by design: DISTRIBUTED iterative float reductions (k-means /
-#: SemDeDup) whose centroids no SQL replay can reproduce.
-#: emb_knn_join_bucketed left this set in r6 (probe math deterministic
-#: given the SRP planes); ice_bucket_fn left in r7 (literal-VALUES oracle
-#: from an independent murmur3); emb_pq_topk AND emb_ivf_topk left in r8 —
-#: their codebooks/centroids are bounded deterministic driver fits, so the
-#: oracles re-derive them and replay the distributed half as literal SQL.
-#: Deleting any of those oracles must fail the guard below.
-ROWS_ONLY = {
-    "emb_kmeans", "emb_semantic_dedup",
-}
+#: rows-only by design — EMPTY since r9: the k-means/SemDeDup fits became
+#: order-independent (micro-unit integer centroid sums, left-to-right
+#: assignment dots), so even the last two iterative operators now carry
+#: full literal-replay oracles. History of departures: emb_knn_join_bucketed
+#: r6 (probe math deterministic given the SRP planes); ice_bucket_fn r7
+#: (literal-VALUES oracle from an independent murmur3); emb_pq_topk +
+#: emb_ivf_topk r8 (bounded deterministic driver fits replayed as literal
+#: SQL); emb_kmeans + emb_semantic_dedup r9 (full fit replay). Deleting any
+#: of those oracles must fail the guard below.
+ROWS_ONLY: set = set()
 
 
 def test_window_holds_reference_surface_and_rotation():
-    """Round-8 rotation (queries() docstring): the 16-entry ice_* DML/scan
-    core plus the new ice_dup_cluster_curation stay in-window; the rotating
-    slots hold the full TPC-H suite (VERDICT r7 task 1, longest-parked) and
-    the 10 r7 operators that had never earned a driver row. The 9
-    metadata/function ice_* entries (driver-green r4-r7, code untouched)
-    park at 51+ with everything else. An entry may leave the window only
-    via a documented rotation, never via an accidental insertion above
-    it."""
+    """Round-9 rotation (queries() docstring): the 17-entry ice_* DML/scan
+    core stays in-window; the rotating slots hold the r8 hash-RED rows
+    (docs_dsir_sample/docs_lm_score — VERDICT r8: a red row never rotates
+    out until green), the never-driver-checked entries
+    (ice_variant_write_scan, emb_kmeans, emb_semantic_dedup), the
+    recompute-float oracle-audit cohort (comparison method changed in r9),
+    the 9 longest-parked metadata/function ice_*, and the longest-parked
+    half of r7's cohort. TPC-H parks after its 23 green r8 rows. An entry
+    may leave the window only via a documented rotation, never via an
+    accidental insertion above it."""
     keys = list(entry.queries())
     window = set(keys[:50])
     ice_core = {
@@ -42,28 +43,26 @@ def test_window_holds_reference_surface_and_rotation():
     assert ice_core <= window, (
         f"{sorted(ice_core - window)} (reference DML/scan core) fell past "
         "the driver's 50-row correctness window")
-    tpch = {
-        "q01_pricing_summary", "q01_mor_pricing_summary",
-        "q02_min_cost_supplier", "q03_shipping_priority",
-        "q04_order_priority", "q05_region_revenue", "q06_revenue_forecast",
-        "q07_volume_shipping", "q08_market_share", "q09_product_profit",
-        "q10_returned_items", "q11_important_stock", "q12_late_lines",
-        "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-        "q16_supplier_cnt", "q17_small_quantity", "q18_large_volume",
-        "q19_disjunctive", "q20_excess_shippers", "q21_waiting_supplier",
-        "q22_sales_opportunity",
+    red_until_green = {"docs_dsir_sample", "docs_lm_score"}
+    assert red_until_green <= window, (
+        f"{sorted(red_until_green - window)} were hash-RED in r8 and must "
+        "stay in-window until a green driver row exists")
+    r9_rotation = {
+        # never driver-checked before r9
+        "ice_variant_write_scan", "emb_kmeans", "emb_semantic_dedup",
+        # oracle comparison method changed in r9 (recompute-float audit)
+        "docs_lm_buckets", "emb_ivf_topk", "emb_cosine_topk",
+        "emb_lsh_topk", "emb_knn_join", "emb_knn_join_bucketed",
+        "docs_tfidf",
+        # longest-parked metadata/function surface
+        "ice_count_star_metadata", "ice_objectstore_scan",
+        "ice_snapshot_history", "ice_partition_stats", "ice_column_stats",
+        "ice_metadata_files", "ice_topk_scan", "ice_truncate_fn",
+        "ice_bucket_fn",
     }
-    r7_first_rows = {
-        "mm_video_meta", "docs_dsir_sample", "docs_dup_components",
-        "docs_lm_score", "docs_lm_buckets", "mm_image_dedup",
-        "mm_audio_dedup", "mm_video_dedup", "stream_minhash_curation",
-        "emb_pq_topk",
-    }
-    assert tpch <= window, (
-        f"{sorted(tpch - window)} (TPC-H, r8 rotation) fell past the window")
-    assert r7_first_rows <= window, (
-        f"{sorted(r7_first_rows - window)} (r7 first-driver-row set) fell "
-        "past the window")
+    assert r9_rotation <= window, (
+        f"{sorted(r9_rotation - window)} (r9 rotation set) fell past the "
+        "window")
     assert len(keys) >= 50 and len(window) == 50
 
 
@@ -127,16 +126,39 @@ def test_fixture_cache_lifecycle(tmp_path, monkeypatch):
     assert len(builds) == 4, "concurrent builders must build exactly once"
 
 
-def test_ann_oracles_degrade_without_corpus(monkeypatch):
-    """The PQ/IVF oracles are data-dependent builders. When the corpus
-    parquet is unreadable they must drop out (rows-only degradation for
-    exactly those two queries) WITHOUT killing the 100+ static oracles."""
+DATA_ORACLES = {
+    "emb_pq_topk", "emb_ivf_topk", "emb_kmeans", "emb_semantic_dedup",
+    "docs_dsir_sample", "docs_lm_score", "docs_lm_buckets", "docs_tfidf",
+}
+
+
+def test_data_oracles_degrade_without_corpus(monkeypatch):
+    """The literal-replay oracles are data-dependent builders. When the
+    corpus parquet is unreadable they must drop out (rows-only degradation
+    for exactly that group) WITHOUT killing the 100+ static oracles."""
     monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/nonexistent/sf")
     entry._ANN_ORACLE_CACHE.clear()
     try:
         osql = entry.oracle_sql()
-        assert "emb_pq_topk" not in osql and "emb_ivf_topk" not in osql
+        assert not DATA_ORACLES & set(osql)
         assert "q01_pricing_summary" in osql and len(osql) > 100
+    finally:
+        entry._ANN_ORACLE_CACHE.clear()
+
+
+def test_data_oracle_builder_bugs_raise(monkeypatch):
+    """ADVICE r8: only the unreadable-corpus class may degrade the data
+    oracles to rows-only — a genuine builder bug (numpy/logic error) must
+    fail loudly, not silently park the hash coverage the rotations claim."""
+    import pytest
+
+    monkeypatch.setattr(entry, "_pq_topk_sql",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            ValueError("builder bug")))
+    entry._ANN_ORACLE_CACHE.clear()
+    try:
+        with pytest.raises(ValueError):
+            entry.oracle_sql()
     finally:
         entry._ANN_ORACLE_CACHE.clear()
 

@@ -1563,6 +1563,24 @@ def test_pq_and_dsir_plan_shapes(spark, sf_dir):
     assert "BatchEvalPython" not in pq_plan, \
         "row-at-a-time Python must never appear"
 
-    dsir_plan = plan_of("docs_dsir_sample")
+    # dsir_resample materializes its bounded k-row result eagerly (to
+    # unpersist the internal tokenize cache, ADVICE r8), so the driver
+    # query's plan is a literal scan — pin the DISTRIBUTED stage's shape
+    # on dsir_importance_weights directly
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from duckdb_iceberg_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents")
+    w = dsir_importance_weights(docs, target_cond="lang = 'en'",
+                                text_col="text", id_col="doc_id")
+    buf = _io.StringIO()
+    with _rs(buf):
+        w.explain("formatted")
+    dsir_plan = buf.getvalue()
     assert "BroadcastHashJoin" in dsir_plan, \
         "the log-ratio model must broadcast-join, never shuffle-join"

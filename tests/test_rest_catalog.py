@@ -2027,3 +2027,34 @@ def test_attach_catalog_prefixed_view_analysis_error_names_view(
                     "SELECT x FROM table_that_isnt_there")
     with pytest.raises(ValueError, match="broken_view"):
         attach_catalog(spark, cat, "db", view_prefix="pfx_")
+
+
+def test_attach_catalog_prefixed_view_stays_fresh_after_dml(
+        stub, spark, sf_dir, tmp_path):
+    """ADVICE r8: a prefixed view must re-resolve per query like the
+    unprefixed path — after execute_sql DML re-registers the table view,
+    the prefixed view sees the new snapshot, not a plan frozen at attach
+    time. The identifier rewrite therefore registers lazy SQL text
+    (base names rewritten to the prefixed names), not an analyzed
+    DataFrame."""
+    from duckdb_iceberg_spark import attach_catalog, write_iceberg
+    from duckdb_iceberg_spark.sources.sql import execute_sql
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "region"), loc)
+    _register_disk_table(state, loc, name="reg")
+    state.plan_response = None
+    cat = _catalog(base)
+    cat.create_view("db", "all_regions", "SELECT r_regionkey FROM reg")
+    names = attach_catalog(spark, cat, "db", view_prefix="fz_")
+    assert names == ["fz_reg", "fz_all_regions"]
+    assert spark.sql("SELECT count(*) c FROM fz_all_regions").first().c == 5
+    execute_sql(
+        spark,
+        "INSERT INTO fz_reg SELECT r_regionkey + 90 AS r_regionkey, "
+        "r_name FROM fz_reg")
+    assert spark.sql("SELECT count(*) c FROM fz_reg").first().c == 10
+    assert spark.sql("SELECT count(*) c FROM fz_all_regions").first().c == 10, \
+        "prefixed view served stale data after DML re-registration"

@@ -143,6 +143,12 @@ def main() -> int:
                     if a != b:
                         print(f"     first diff row {i}:\n       spark : {a}\n       oracle: {b}")
                         break
+    # environment stamp (VERDICT r8 task 2): a driver whose duckdb/libm
+    # differs from the sweep's is diagnosable from artifacts
+    import pyspark
+
+    print(f"ENV: duckdb={duckdb.__version__} pyspark={pyspark.__version__} "
+          f"sf_dir={sf_dir}")
     print("FAILURES:", failures)
     return 1 if failures else 0
 

@@ -1685,15 +1685,18 @@ def ice_dup_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_iceberg_spark.operators.dedup import duplicate_components
 
     loc = _ice_documents_mor(spark, sf_dir)
-    # localCheckpoint the pruned MoR scan: the component pipeline and the
-    # final curation join both consume it, and each re-execution would
-    # re-apply the delete anti-join. Checkpoint (vs persist) also
-    # truncates the scan lineage, so AQE replans the ~50-job CC cascade
-    # over a flat scan instead of re-analyzing the MoR plan per stage —
-    # measured 7.96s -> 7.62s at sf0.1, identical hash (r9 profile,
-    # PLANS.md)
+    # persist the pruned MoR scan: the component pipeline and the final
+    # curation join both consume it, and each re-execution would re-apply
+    # the delete anti-join. (r9 profile: localCheckpoint instead was 4%
+    # faster at sf0.1 by truncating lineage, but hides the scan's
+    # PushedFilters from the plan audit and forfeits executor-loss
+    # recompute; the query's 7.8s is ~54 sequential driver round-trips —
+    # AQE materializations, broadcasts, CC rounds — whose per-job
+    # executorRunTime sums to <2s, i.e. toy-scale scheduling latency that
+    # amortizes at real data sizes, not a scale hazard. AQE off: 3x
+    # worse. See PLANS.md / tools/explain_audit.py.)
     docs = iceberg_scan(spark, loc, where="lang <> 'zh'") \
-        .filter(F.length("text") > 0).localCheckpoint(eager=False)
+        .filter(F.length("text") > 0).persist()
     comp = duplicate_components(docs, num_hashes=32, bands=8)
     return (
         docs.select("doc_id", "lang")

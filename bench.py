@@ -333,6 +333,29 @@ def main() -> None:
         }
         out["sf1"]["query_runs"] = sf1_raw
 
+    # min-of-N discipline for MOVED queries (VERDICT r8 task 5): any query
+    # whose median shifted >1.3x vs the PREVIOUS bench artifact ships its
+    # raw per-run times in stdout too, so the driver's BENCH_r{N}.json is
+    # self-diagnosing — a phantom (one spike poisoning a median) is
+    # distinguishable from a real regression without the file artifact
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LOCAL.json")
+    try:
+        with open(prev_path) as fh:
+            prev = json.load(fh)
+        # only comparable when the previous artifact ran the same SF
+        prev_q = prev.get("queries", {}) if prev.get("sf") == sf_dir else {}
+    except (OSError, ValueError):
+        prev_q = {}
+    flagged = {
+        name: raw_runs[name]
+        for name, t in results.items()
+        if prev_q.get(name) and t > 0
+        and (t / prev_q[name] > 1.3 or prev_q[name] / t > 1.3)
+    }
+    if flagged:
+        out["flagged_query_runs"] = flagged
+
     # file artifact alongside stdout: the driver's BENCH record keeps only
     # a truncated tail of stdout ("parsed": null in r6/r7) — the JSON must
     # survive somewhere parseable

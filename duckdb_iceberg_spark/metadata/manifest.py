@@ -38,6 +38,45 @@ MANIFEST_DATA = 0
 MANIFEST_DELETES = 1
 
 
+# --- immutable-metadata record cache ---------------------------------------
+# Iceberg manifests and manifest lists are content-immutable once written
+# (new content lands at a new path), so the reference hands them to DuckDB's
+# external file cache with revalidation disabled (reference:
+# iceberg_avro_multi_file_reader.cpp:695,713 —
+# validate_external_file_cache=false, force_full_download=true). Same parity
+# here at the parsed-record level: repeated scans of a table re-plan without
+# re-reading + re-decoding the same Avro bytes (at 100 TB these are object-
+# store round trips per query; locally it is the dominant per-query planning
+# constant). Bounded LRU; keyed by (path, size, mtime_ns) and ONLY for
+# stat-able local files — tmp-dir tests may rewrite a path in place (the
+# stat guard keeps those honest) and unstat-able object-store paths skip the
+# cache entirely rather than risk a stale path-only hit. Raw records are
+# cached, never the ManifestEntry dataclasses: planning MUTATES entries
+# (sequence-number / first-row-id inheritance), so every call rebuilds fresh
+# dataclasses from the shared immutable records.
+from collections import OrderedDict as _OrderedDict
+
+_AVRO_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
+_AVRO_CACHE_MAX = 256
+
+
+def _read_avro_cached(path: str, what: str):
+    try:
+        st = os.stat(path)
+    except (OSError, ValueError):
+        return _read_avro_clean(path, what)
+    key = (path, st.st_size, st.st_mtime_ns)
+    hit = _AVRO_CACHE.get(key)
+    if hit is not None:
+        _AVRO_CACHE.move_to_end(key)
+        return hit
+    out = _read_avro_clean(path, what)
+    _AVRO_CACHE[key] = out
+    if len(_AVRO_CACHE) > _AVRO_CACHE_MAX:
+        _AVRO_CACHE.popitem(last=False)
+    return out
+
+
 @dataclass
 class FieldSummary:
     contains_null: bool = False
@@ -290,7 +329,7 @@ def _decode_partition(raw: Any) -> dict[str, Any]:
 
 
 def read_manifest_list(path: str) -> list[ManifestFile]:
-    _, _, records = _read_avro_clean(path, "manifest list")
+    _, _, records = _read_avro_cached(path, "manifest list")
     out = []
     for r in records:
         parts = []
@@ -340,7 +379,7 @@ def _read_avro_clean(path: str, what: str):
 
 
 def read_manifest(path: str) -> list[ManifestEntry]:
-    _, _, records = _read_avro_clean(path, "manifest")
+    _, _, records = _read_avro_cached(path, "manifest")
     out = []
     for r in records:
         df = r["data_file"]

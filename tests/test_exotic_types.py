@@ -126,7 +126,10 @@ def test_variant_column_round_trip(spark, tmp_path):
     runs the real roundtrip now (write_iceberg -> iceberg_scan preserves
     VariantType and values). pyarrow still has no variant storage type,
     and PIL/ffmpeg/google.protobuf remain absent, so the multimodal
-    decoders and transformWithStateInPandas stay gated."""
+    decoders and transformWithStateInPandas stay gated.
+    2026-08-15 (r9): re-probed — unchanged (pyarrow 16.1.0 no variant
+    storage type; google.protobuf/PIL absent, no ffmpeg binary; the TIME
+    pin below still raises on both parquet paths)."""
     vt = getattr(T, "VariantType", None)
     if vt is None:
         pytest.skip("Spark VariantType not available")

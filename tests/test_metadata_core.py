@@ -320,6 +320,64 @@ def test_corrupt_manifest_clean_errors(tmp_path):
         mf.read_manifest(str(tmp_path / "nope.avro"))
 
 
+def test_manifest_record_cache(tmp_path, monkeypatch):
+    """The immutable-metadata cache (reference parity:
+    iceberg_avro_multi_file_reader.cpp:695 disables external-file-cache
+    revalidation for manifests): (a) a repeat read serves from cache
+    without re-decoding; (b) callers get FRESH dataclasses each call —
+    planning mutates entries (first-row-id inheritance), so a cached
+    object would poison later scans; (c) rewriting the file in place
+    (same path, new bytes) misses the cache via the (size, mtime) key."""
+    import time
+
+    from duckdb_iceberg_spark.metadata import manifest as mf
+
+    entry = mf.ManifestEntry(
+        status=mf.STATUS_ADDED, snapshot_id=7, sequence_number=1,
+        file_sequence_number=1,
+        data_file=mf.DataFile(
+            content=mf.CONTENT_DATA, file_path="f.parquet",
+            file_format="PARQUET", partition={}, record_count=5,
+            file_size_in_bytes=10))
+    class _TM:  # minimal stand-in: unpartitioned v2 table
+        format_version = 2
+        current_schema_id = 0
+        properties: dict = {}
+
+        @staticmethod
+        def schema_json():
+            return {"type": "struct", "schema-id": 0, "fields": []}
+
+    spec = mf.PartitionSpec(spec_id=0, fields=[])
+    path = str(tmp_path / "m.avro")
+    mf.write_manifest(path, [entry], _TM(), spec)
+
+    calls = []
+    real = mf._read_avro_clean
+
+    def counting(p, what):
+        calls.append(p)
+        return real(p, what)
+
+    monkeypatch.setattr(mf, "_read_avro_clean", counting)
+    mf._AVRO_CACHE.clear()
+    a = mf.read_manifest(path)
+    b = mf.read_manifest(path)
+    assert len(calls) == 1, "second read must hit the record cache"
+    assert a[0] is not b[0], "cache must hand out fresh dataclasses"
+    a[0].data_file.first_row_id = 99  # planning-style mutation...
+    assert mf.read_manifest(path)[0].data_file.first_row_id is None, \
+        "...must never leak into later reads"
+
+    # in-place rewrite at the same path -> stat key changes -> re-read
+    entry.data_file.record_count = 6
+    time.sleep(0.01)
+    mf.write_manifest(path, [entry], _TM(), spec)
+    got = mf.read_manifest(path)
+    assert len(calls) == 2
+    assert got[0].data_file.record_count == 6
+
+
 def test_version_name_format_resolution(tmp_path):
     """Reference parity for the version_name_format option
     (iceberg_options.cpp:22-30, version_name_format_error.test): exactly

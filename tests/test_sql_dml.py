@@ -448,3 +448,26 @@ def test_sql_dml_dotted_source_segment_collision_with_target_column(
         assert got == [0, 2, 3, 11]  # 0+0, 1+10; 2,3 unmatched
     finally:
         spark.catalog.dropGlobalTempView("items")
+
+
+def test_rewrite_unprefixed_idents_pure():
+    """Textual identifier rewrite behind prefixed-view registration:
+    bare and backquoted table references rewrite; dot-qualified
+    references, string literals (single- and double-quoted), and longer
+    identifiers sharing a prefix do not; longest base name wins."""
+    from duckdb_iceberg_spark.sources.sql import _rewrite_unprefixed_idents
+
+    rw = lambda s: _rewrite_unprefixed_idents(s, ["nation", "nation_ext"], "p_")
+    assert rw("SELECT n_name FROM nation") == "SELECT n_name FROM `p_nation`"
+    assert rw("FROM `nation` JOIN nation_ext") == \
+        "FROM `p_nation` JOIN `p_nation_ext`"
+    # alias-qualified column refs keep their qualifier untouched
+    assert rw("SELECT a.nation FROM t a") == "SELECT a.nation FROM t a"
+    # string literals never rewrite
+    assert rw("SELECT * FROM nation WHERE x = 'nation'") == \
+        "SELECT * FROM `p_nation` WHERE x = 'nation'"
+    assert rw('SELECT "nation" FROM nation') == \
+        'SELECT "nation" FROM `p_nation`'
+    # identifiers that merely contain a base name are untouched
+    assert rw("SELECT * FROM nations") == "SELECT * FROM nations"
+    assert rw("SELECT my_nation FROM t") == "SELECT my_nation FROM t"

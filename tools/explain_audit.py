@@ -67,6 +67,26 @@ AUDIT = [
     "emb_ivf_topk",
     "ice_dup_cluster_curation",
     "ice_variant_write_scan",
+    # r9 window rotation: newly hash-checked iterative fits, the rest of
+    # the recompute-float audit cohort, the parked r7 text ops, and the
+    # metadata/function ice_* entries (driver-side metadata frames —
+    # their "plans" pin that NO table data is scanned)
+    "emb_kmeans",
+    "emb_semantic_dedup",
+    "emb_knn_join",
+    "docs_token_count",
+    "docs_chunk",
+    "docs_normalize",
+    "docs_redact_pii",
+    "stream_curation",
+    "ice_count_star_metadata",
+    "ice_objectstore_scan",
+    "ice_snapshot_history",
+    "ice_partition_stats",
+    "ice_column_stats",
+    "ice_metadata_files",
+    "ice_truncate_fn",
+    "ice_bucket_fn",
 ]
 
 
@@ -147,12 +167,33 @@ def main() -> None:
     import contextlib
     import io
 
+    def frame_for(name):
+        if name == "docs_dsir_sample":
+            # the driver entry materializes its bounded k-row result
+            # eagerly (to release the internal tokenize cache), so its
+            # own plan is a literal scan — audit the DISTRIBUTED weights
+            # stage, where the broadcast-vs-shuffle question lives
+            from pyspark.sql import functions as F
+
+            from duckdb_iceberg_spark.operators.sampling import (
+                dsir_importance_weights,
+            )
+
+            docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet"))
+            return dsir_importance_weights(
+                docs, target_cond=F.col("lang") == "en")
+        return qs[name](spark, sf_dir)
+
     for name in AUDIT:
-        df = qs[name](spark, sf_dir)
+        df = frame_for(name)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         lines.append(f"## {name}")
+        if name == "docs_dsir_sample":
+            lines.append("- (distributed weights stage — the driver "
+                         "entry's own plan is a literal k-row scan)")
         lines.extend(summarize(buf.getvalue()))
         lines.append("")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -82,6 +82,7 @@ HEADLINE = [
     "docs_minhash_dedup",
     "emb_cosine_topk",
     "emb_ivf_topk",
+    "emb_kmeans",
     "emb_semantic_dedup",
     "docs_stratified_sample",
     "docs_pack_sequences",
@@ -127,9 +128,13 @@ SF1_CANARIES = [
     # r7: connected components under 10× duplication mass — the exact-dup
     # star edges grow 10×, the star rounds must stay flat
     "docs_dup_components",
+    # r9: the ANN / iterative-fit family under 10× vectors — IVF probes
+    # sqrt(N) lists (sublinear), the k-means fit is two bounded-collect
+    # iterations, and the LM scorer is a broadcast-model linear scan
+    "emb_ivf_topk", "emb_kmeans", "docs_lm_score",
 ]
 
-_SF1_GEN_VERSION = "v1"
+_SF1_GEN_VERSION = "v2"  # v2: embeddings scaled too (ANN canaries)
 
 
 def _ensure_sf1(spark, src_dir: str) -> str:
@@ -184,7 +189,7 @@ def _build_sf1(spark, src_dir: str, out: str) -> None:
     shifts = {}  # key column -> stride (max+1 of the base table's key)
     for tbl, key in (("customer", "c_custkey"), ("orders", "o_orderkey"),
                      ("part", "p_partkey"), ("supplier", "s_suppkey"),
-                     ("documents", "doc_id")):
+                     ("documents", "doc_id"), ("embeddings", "vec_id")):
         shifts[key] = rd(tbl).agg(F.max(key)).first()[0] + 1
 
     scaled_cols = {
@@ -195,6 +200,10 @@ def _build_sf1(spark, src_dir: str, out: str) -> None:
         "lineitem": {"l_orderkey": "o_orderkey", "l_partkey": "p_partkey",
                      "l_suppkey": "s_suppkey"},
         "documents": {"doc_id": "doc_id"},
+        # byte-identical embedding copies under shifted ids: ANN top-k
+        # then sees each neighbor 10×, k-means gets 10× members per
+        # cluster — the degenerate-duplication shape dedup corpora have
+        "embeddings": {"vec_id": "vec_id"},
     }
     for tbl, colmap in scaled_cols.items():
         base = rd(tbl)

@@ -626,6 +626,10 @@ def ngram_lm_score(
         ref = base.select("__t")
     else:
         ref = src.filter(reference_cond).select(toks.alias("__t"))
+    # the fit consumes ref TWICE (vocab top-k, then bigram counts) — cache
+    # the tokenized slice across the two bounded collects and release it
+    # before the scoring job (which reads only the broadcast lp tables)
+    ref = ref.persist()
     vocab = [
         r["w"]
         for r in (
@@ -656,6 +660,7 @@ def ngram_lm_score(
         for r in ref_bi.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
         .collect()
     }
+    ref.unpersist()
     c1map: dict[str, int] = {}
     for g, c in c2map.items():
         w1 = g.split(" ", 1)[0]

@@ -250,6 +250,14 @@ def main() -> None:
     for fn in (entry._ice_lineitem, entry._ice_lineitem_mor,
                entry._ice_orders_mor, entry._ice_customer_upd,
                entry._ice_orders_dv, entry._ice_supplier_upsert,
+               # r9: the rest of the HEADLINE fixtures — their builds were
+               # landing inside first timed runs (ice_sql_merge raw
+               # [2.36, 0.19, 0.24] in the r9 record), which the median
+               # absorbs but the raw-run artifact should not show
+               entry._ice_supplier_sqlmerge, entry._ice_customer_condmerge,
+               entry._ice_orders_bucketed, entry._ice_orders_del_using,
+               entry._ice_documents_mor, entry._ice_customer_specevo,
+               entry._ice_objectstore,
                # streaming fixtures: their builds replay micro-batches
                # (stream_dedup_ttl even sleeps past a TTL) — pay that once
                # here, not inside the first timed run

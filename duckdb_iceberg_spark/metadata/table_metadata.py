@@ -219,6 +219,31 @@ class TableMetadata:
         self.metadata_log: list[dict] = list(j.get("metadata-log", []))
         self.refs: dict[str, dict] = dict(j.get("refs", {}))
 
+    # -- write-path helpers --------------------------------------------------
+    def data_path(self) -> str:
+        """Root for NEW data/delete/DV files: the ``write.data.path`` table
+        property when set, else ``<location>/data`` (reference:
+        iceberg_table_metadata.cpp:512-519 GetDataPath; honored by its
+        insert/compaction/equality-delete writers)."""
+        return (self.properties.get("write.data.path")
+                or fio.join(self.location, "data"))
+
+    def metadata_write_path(self) -> str:
+        """Root for NEW manifests/manifest lists: the ``write.metadata.path``
+        property when set, else ``<location>/metadata`` (reference:
+        iceberg_table_metadata.cpp:521-529 GetMetadataPath). Deliberate
+        divergence: version files (vN.metadata.json + version-hint) STAY at
+        ``<location>/metadata`` — path-based resolution hardcodes that
+        directory in BOTH engines (reference: iceberg_table_metadata.cpp:248
+        joins "metadata" unconditionally on read), so redirecting them, as
+        the reference's COPY flow does (iceberg_copy.cpp:141-145), strands
+        the table for every path-based reader including itself. Redirecting
+        only the bulky planning artifacts keeps the property's purpose
+        (separate IO budget/lifecycle for metadata churn) without breaking
+        self-resolution."""
+        return (self.properties.get("write.metadata.path")
+                or fio.join(self.location, "metadata"))
+
     # -- schema helpers ----------------------------------------------------
     def schema_json(self, schema_id: int | None = None) -> dict:
         sid = self.current_schema_id if schema_id is None else schema_id

@@ -148,7 +148,7 @@ def _write_positional_deletes(
     receives per-file summaries, never positions."""
     from ..io import normalize_path, parse_uri, storage_options_for
 
-    out_dir = os.path.join(tm.location, "data", f"deletes-{str(_uuid.uuid4())[:8]}")
+    out_dir = fio.join(tm.data_path(), f"deletes-{str(_uuid.uuid4())[:8]}")
     io0 = fio.get_io(out_dir)
     io0.mkdirs(out_dir)
     opts = storage_options_for(out_dir)
@@ -294,7 +294,7 @@ def _write_deletion_vectors(
         opts = storage_options_for(any_puffin)
         scheme = parse_uri(any_puffin)[0]
 
-    dv_dir = fio.join(tm.location, "data", f"dv-{str(_uuid.uuid4())[:8]}")
+    dv_dir = fio.join(tm.data_path(), f"dv-{str(_uuid.uuid4())[:8]}")
     io0 = fio.get_io(dv_dir)
     io0.mkdirs(dv_dir)
     w_opts = storage_options_for(dv_dir)
@@ -493,7 +493,7 @@ def equality_delete(
         if top not in top_cols:
             top_cols.append(top)
 
-    out_dir = os.path.join(tm.location, "data", f"eq-deletes-{str(_uuid.uuid4())[:8]}")
+    out_dir = fio.join(tm.data_path(), f"eq-deletes-{str(_uuid.uuid4())[:8]}")
     rows = keys.select(*_assemble(tree, schema_json["fields"])) \
         .dropDuplicates().persist()
     try:
@@ -551,7 +551,7 @@ def upsert_equality(
     by_name = {f["name"]: f for f in schema_json["fields"]}
     eq_ids = [by_name[c]["id"] for c in key_columns]
 
-    out_dir = os.path.join(tm.location, "data", f"eq-deletes-{str(_uuid.uuid4())[:8]}")
+    out_dir = fio.join(tm.data_path(), f"eq-deletes-{str(_uuid.uuid4())[:8]}")
     keys = df.select(*[
         F.col(c).cast(ice_types.iceberg_to_spark(by_name[c]["type"]))
         .alias(c, metadata={ice_types.FIELD_ID_KEY: by_name[c]["id"]})

@@ -295,15 +295,21 @@ def remove_orphan_files(
     _, referenced = _reachable_files(tm, tm.snapshots, strict=True)
     orphans = []
     io = fio.get_io(location)
-    data_root = fio.join(location, "data")
-    for ent in io.list_files(data_root):
-        n = _os.path.basename(ent.path)
-        if n.startswith(".") or n.startswith("_"):
-            continue
-        if ent.path not in referenced:
-            if ent.mtime_ms > cutoff_ms:
+    # scan the default data dir AND the write.data.path override when set:
+    # a table that gained the property mid-life has files under both, and
+    # an aborted write lands wherever writes were pointed at the time
+    roots = {fio.join(location, "data"), tm.data_path()}
+    seen: set[str] = set()
+    for data_root in sorted(roots):
+        for ent in io.list_files(data_root):
+            n = _os.path.basename(ent.path)
+            if n.startswith(".") or n.startswith("_") or ent.path in seen:
                 continue
-            orphans.append(ent.path)
+            seen.add(ent.path)
+            if ent.path not in referenced:
+                if ent.mtime_ms > cutoff_ms:
+                    continue
+                orphans.append(ent.path)
     if not dry_run:
         for p in orphans:
             try:
@@ -387,7 +393,7 @@ def rewrite_manifests(
         manifests too instead of resurrecting a stale manifest list."""
         cur = tm.current_snapshot()
         srcs = mf.read_manifest_list(_localize(tm, cur.manifest_list))
-        meta_dir = _os.path.join(tm.location, "metadata")
+        meta_dir = tm.metadata_write_path()
         snapshot_id = int.from_bytes(_os.urandom(7), "big")
         seq = tm.last_sequence_number + 1
 

@@ -713,7 +713,7 @@ def write_data_files(
     df = _with_field_id_metadata(df, schema_json)
 
     write_uuid = str(_uuid.uuid4())[:8]
-    data_root = fio.join(tm.location, "data", write_uuid)
+    data_root = fio.join(tm.data_path(), write_uuid)
     # parquet write properties (reference maps iceberg write props →
     # parquet options, iceberg_insert.cpp:596-648)
     codec = tm.properties.get("write.parquet.compression-codec", "zstd")
@@ -1067,7 +1067,7 @@ def _build_snapshot(
     import time as _time
 
     location = tm.location
-    meta_dir = fio.join(location, "metadata")
+    meta_dir = tm.metadata_write_path()
     fio.get_io(meta_dir).mkdirs(meta_dir)
     snapshot_id = int.from_bytes(os.urandom(7), "big")
     parent = tm.current_snapshot_id

@@ -308,6 +308,14 @@ def test_foreign_equality_deletes_unpartitioned(spark):
     # virtual filename column coexists with equality deletes
     fi = iceberg_scan(spark, path, with_file_info=True)
     assert all("equality_deletes" in r.filename for r in fi.collect())
+    # equality deletes apply when the scan is NOT the first child of a
+    # join and only a non-key column is projected (reference:
+    # equality_deletes_join.test — delete-key columns are private scan
+    # inputs the projection must not starve)
+    one = spark.range(1).selectExpr("CAST(id AS INT) AS x")
+    joined = one.crossJoin(iceberg_scan(spark, path)).select("bir")
+    assert sorted(r.bir for r in joined.collect()) == [
+        dt.date(2025, 1, 4), dt.date(2025, 1, 5)]
 
 
 def test_foreign_equality_deletes_partitioned(spark):

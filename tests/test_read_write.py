@@ -489,3 +489,81 @@ def test_non_ascii_string_bounds_sound(spark, tmp_path):
         p = plan_scan(tm, tm.select_snapshot(), f"s = '{v}'")
         assert len(p.tasks) == 1, f"bounds pruned the file holding {v!r}"
         assert iceberg_scan(spark, loc, where=f"s = '{v}'").count() == 1
+
+
+def test_custom_write_paths(spark, tmp_path):
+    """write.data.path / write.metadata.path table properties (reference:
+    iceberg_table_metadata.cpp:512-529 GetDataPath/GetMetadataPath,
+    test_custom_write_paths.test): INSERT data files, DML delete files,
+    and manifests/manifest lists all land at the custom roots; version
+    files stay at <location>/metadata so path-based resolution keeps
+    working (the reference's read path likewise hardcodes that join,
+    iceberg_table_metadata.cpp:248); scans and orphan cleanup follow the
+    custom roots."""
+    import os
+
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import (
+        load_table_metadata,
+    )
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from duckdb_iceberg_spark.sources.maintenance import remove_orphan_files
+
+    loc = str(tmp_path / "t_cwp")
+    data_dir = str(tmp_path / "elsewhere_data")
+    meta_dir = str(tmp_path / "elsewhere_meta")
+    df = spark.createDataFrame([(i, f"n{i}") for i in range(10)],
+                               "id int, name string")
+    write_iceberg(df, loc, properties={"write.data.path": data_dir,
+                                       "write.metadata.path": meta_dir})
+
+    tm = load_table_metadata(loc)
+    assert tm.data_path() == data_dir
+    assert tm.metadata_write_path() == meta_dir
+    # data parquet under the custom data root, none under <loc>/data
+    assert any(f.endswith(".parquet") for _, _, fs in os.walk(data_dir)
+               for f in fs)
+    assert not os.path.exists(os.path.join(loc, "data"))
+    # manifests + manifest list under the custom metadata root
+    assert any(f.endswith(".avro") for _, _, fs in os.walk(meta_dir)
+               for f in fs)
+    # version files stay at <loc>/metadata for self-resolution
+    assert os.path.exists(os.path.join(loc, "metadata", "version-hint.text"))
+    assert not any(f.endswith(".avro")
+                   for _, _, fs in os.walk(os.path.join(loc, "metadata"))
+                   for f in fs)
+
+    # scans resolve through the custom roots
+    assert iceberg_scan(spark, loc).count() == 10
+
+    # MoR delete: the positional-delete file goes to the custom data root
+    delete_from(spark, loc, "id < 3", mode="merge-on-read")
+    assert iceberg_scan(spark, loc).count() == 7
+    assert any("deletes-" in r for r, _d, _f in os.walk(data_dir))
+
+    # orphan scan covers the custom root: plant a stale unreferenced file
+    orphan = os.path.join(data_dir, "stray.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+    os.utime(orphan, (1, 1))
+    removed = remove_orphan_files(loc)
+    assert orphan in removed and not os.path.exists(orphan)
+
+
+def test_empty_insert_roundtrip(spark, tmp_path):
+    """A zero-row write commits a readable snapshot (reference:
+    iceberg_scans/test_read_empty_insert.test): the scan returns the full
+    schema with zero rows, and a later real insert appends on top."""
+    import pyspark.sql.types as T
+
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+
+    loc = str(tmp_path / "t_empty")
+    schema = T.StructType([
+        T.StructField("a", T.LongType()), T.StructField("b", T.StringType()),
+        T.StructField("c", T.DoubleType())])
+    write_iceberg(spark.createDataFrame([], schema), loc)
+    df = iceberg_scan(spark, loc)
+    assert df.columns == ["a", "b", "c"] and df.count() == 0
+    write_iceberg(spark.createDataFrame([(1, "x", 1.0)], schema), loc)
+    assert iceberg_scan(spark, loc).count() == 1

@@ -3304,8 +3304,10 @@ def _lm_sql(buckets: bool = False) -> str:
     computed by operators.text.laplace_lp6 — the SAME CPython function
     that builds the table the operator broadcasts, so both engines sum
     identical decimals no matter how the checking engine's libm rounds.
-    The inner JOIN on the pair table fails loudly (NULL nll) if the
-    count CTEs ever realize a pair the builder did not."""
+    The probe and the scoring SQL share ONE CTE-chain constant so they
+    cannot drift, and scored NULLs its nll when any realized pair is
+    missing from the pair table (count(*) <> count(lpv)) — a missing
+    pair fails loudly instead of silently shrinking the sum."""
     import duckdb as _duck
 
     path = os.path.join(_oracle_sf_dir(), "documents.parquet")
@@ -3314,7 +3316,11 @@ def _lm_sql(buckets: bool = False) -> str:
     con = _duck.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('"
                 + path.replace("'", "''") + "')")
-    pair_probe = r"""
+    # the shared tokenize -> vocab -> unk-map -> bigram -> counts chain:
+    # the pair table is only correct if the probe realizes EXACTLY the
+    # pairs the scoring CTEs realize, so both are built from this one
+    # constant
+    ctes = r"""
             WITH t AS (
               SELECT doc_id, lang,
                      list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -3344,7 +3350,8 @@ def _lm_sql(buckets: bool = False) -> str:
             ), ctx AS (
               SELECT string_split(g, ' ')[1] AS w1, sum(c2) AS c1
               FROM model GROUP BY 1
-            )
+            )"""
+    pair_probe = ctes + r"""
             SELECT DISTINCT COALESCE(m.c2, 0) AS c2v,
                    COALESCE(c.c1, 0) AS c1v,
                    (SELECT count(*) + 1 FROM vocab) AS v
@@ -3358,48 +3365,21 @@ def _lm_sql(buckets: bool = False) -> str:
         f"({int(c2)}, {int(c1)}, "
         f"CAST('{laplace_lp6(int(c2), int(c1), int(v))}' AS DECIMAL(18,6)))"
         for c2, c1, v in pairs) or "(0, 0, CAST('0' AS DECIMAL(18,6)))"
-    common = rf"""
-            WITH t AS (
-              SELECT doc_id, lang,
-                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                 x -> x <> '') AS toks
-              FROM documents
-            ), vocab AS (
-              SELECT w FROM (
-                SELECT unnest(toks) AS w FROM t WHERE lang = 'en'
-              ) q GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 1024
-            ), vn AS (
-              SELECT count(*) + 1 AS v FROM vocab
-            ), mapped AS (
-              SELECT tk.doc_id, tk.lang, tk.i,
-                     CASE WHEN vv.w IS NOT NULL THEN tk.w
-                          ELSE '<unk>' END AS w
-              FROM (SELECT doc_id, lang, unnest(toks) AS w,
-                           generate_subscripts(toks, 1) AS i FROM t) tk
-              LEFT JOIN vocab vv ON vv.w = tk.w
-            ), ml AS (
-              SELECT doc_id, lang, list(w ORDER BY i) AS toks
-              FROM mapped GROUP BY doc_id, lang
-            ), bi AS (
-              SELECT doc_id, lang,
-                     unnest(list_transform(range(1, len(toks)),
-                            i -> toks[i] || ' ' || toks[i+1])) AS g
-              FROM ml
-            ), model AS (
-              SELECT g, count(*) AS c2 FROM bi WHERE lang = 'en' GROUP BY g
-            ), ctx AS (
-              SELECT string_split(g, ' ')[1] AS w1, sum(c2) AS c1
-              FROM model GROUP BY 1
-            ), lp(c2v, c1v, lpv) AS (
+    common = ctes + rf"""
+            , lp(c2v, c1v, lpv) AS (
               VALUES {lp_values}
             ), scored AS (
+              -- LEFT JOIN + the count guard: a realized pair missing from
+              -- lp makes nll NULL (loud hash mismatch), never a silently
+              -- smaller sum
               SELECT b.doc_id, count(*) AS n_bigrams,
-                     -sum(l.lpv) AS nll
+                     CASE WHEN count(*) = count(l.lpv)
+                          THEN -sum(l.lpv) END AS nll
               FROM bi b
               LEFT JOIN model m ON m.g = b.g
               LEFT JOIN ctx c ON c.w1 = string_split(b.g, ' ')[1]
-              JOIN lp l ON l.c2v = COALESCE(m.c2, 0)
-                       AND l.c1v = COALESCE(c.c1, 0)
+              LEFT JOIN lp l ON l.c2v = COALESCE(m.c2, 0)
+                            AND l.c1v = COALESCE(c.c1, 0)
               GROUP BY b.doc_id
             )"""
     if not buckets:

@@ -53,7 +53,11 @@ MANIFEST_DELETES = 1
 # cache entirely rather than risk a stale path-only hit. Raw records are
 # cached, never the ManifestEntry dataclasses: planning MUTATES entries
 # (sequence-number / first-row-id inheritance), so every call rebuilds fresh
-# dataclasses from the shared immutable records.
+# dataclasses from the shared immutable records. Assumption: an in-place
+# same-size rewrite is visible in st_mtime_ns — true on any ns/µs-mtime
+# filesystem; a coarse-mtime fs (1-2s FAT/HFS+) could serve one stale read
+# inside the granularity window, but the Iceberg contract already forbids
+# in-place metadata rewrites (the guard exists only for test tmp-dirs).
 from collections import OrderedDict as _OrderedDict
 
 _AVRO_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()

@@ -130,6 +130,16 @@ def _localize(tm: TableMetadata, path: str) -> str:
     loc = tm.location.rstrip("/")
     loc_scheme, _ = fio.parse_uri(loc)
     path_scheme, rest = fio.parse_uri(path)
+    # files legitimately living OUTSIDE the table location under the
+    # write.data.path / write.metadata.path overrides must never be
+    # marker-rewritten — an override containing '/data/' or '/metadata/'
+    # would otherwise be relocated under <location> (remote tables don't
+    # probe existence, so the corruption would be silent)
+    for root in (tm.properties.get("write.data.path"),
+                 tm.properties.get("write.metadata.path")):
+        if root and (path == root.rstrip("/")
+                     or path.startswith(root.rstrip("/") + "/")):
+            return path
     if path_scheme == "file":
         # strip BEFORE marker matching — 'file://<relative>' (a malformed
         # URI some writers emit) would otherwise false-match '/data/'

@@ -294,14 +294,16 @@ def remove_orphan_files(
     tm = load_table_metadata(location)
     _, referenced = _reachable_files(tm, tm.snapshots, strict=True)
     orphans = []
-    io = fio.get_io(location)
     # scan the default data dir AND the write.data.path override when set:
     # a table that gained the property mid-life has files under both, and
-    # an aborted write lands wherever writes were pointed at the time
+    # an aborted write lands wherever writes were pointed at the time.
+    # Each root resolves its OWN FileIO — the override's stated purpose is
+    # a separate storage budget, so it may live on a different scheme than
+    # the table location
     roots = {fio.join(location, "data"), tm.data_path()}
     seen: set[str] = set()
     for data_root in sorted(roots):
-        for ent in io.list_files(data_root):
+        for ent in fio.get_io(data_root).list_files(data_root):
             n = _os.path.basename(ent.path)
             if n.startswith(".") or n.startswith("_") or ent.path in seen:
                 continue
@@ -313,7 +315,7 @@ def remove_orphan_files(
     if not dry_run:
         for p in orphans:
             try:
-                io.remove(p)
+                fio.get_io(p).remove(p)
             except FileNotFoundError:
                 pass
     return sorted(orphans)

@@ -922,8 +922,13 @@ def _rewrite_unprefixed_idents(sql: str, base_names: list[str],
     untouched. Qualified references (``alias.name``) are preserved —
     the lookbehind rejects a preceding dot or word char."""
     # split on single-/double-quoted string literals; rewrite only the
-    # code segments (even indices)
-    parts = re.split(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")", sql)
+    # code segments (even indices). Literals may escape their quote by
+    # doubling ('') OR by backslash (\' — Spark's default escape): the
+    # alternation consumes a backslash-escaped char before it can close
+    # the literal, so a table name inside "can\'t read documents" never
+    # leaks into a code segment
+    parts = re.split(
+        r"('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\")", sql)
     for i in range(0, len(parts), 2):
         seg = parts[i]
         for base in sorted(base_names, key=len, reverse=True):

@@ -370,8 +370,10 @@ def test_manifest_record_cache(tmp_path, monkeypatch):
         "...must never leak into later reads"
 
     # in-place rewrite at the same path -> stat key changes -> re-read
+    # (same byte size, so this exercises the mtime_ns discriminant; the
+    # sleep keeps the test off any sub-ms filesystem timestamp rounding)
     entry.data_file.record_count = 6
-    time.sleep(0.01)
+    time.sleep(0.05)
     mf.write_manifest(path, [entry], _TM(), spec)
     got = mf.read_manifest(path)
     assert len(calls) == 2
@@ -481,3 +483,26 @@ def test_foldable_filter_prunes_files(spark, tmp_path):
     tm = load_table_metadata(loc)
     assert len(plan_scan(tm, tm.select_snapshot(), "k = 1 + 1").tasks) == 1
     assert len(plan_scan(tm, tm.select_snapshot(), "k = 2").tasks) == 1
+
+
+def test_localize_never_rewrites_custom_write_paths():
+    """Files under write.data.path / write.metadata.path overrides live
+    legitimately OUTSIDE the table location; the moved-table marker
+    rewrite ('/data/' → <location>/data/) must not fire on them even when
+    the override's own path contains a marker — remote tables skip
+    existence probes, so a rewrite there would be silent corruption."""
+    from duckdb_iceberg_spark.metadata.table_metadata import TableMetadata
+    from duckdb_iceberg_spark.plans.scan_plan import _localize
+
+    tm = TableMetadata({
+        "format-version": 2, "location": "s3://bkt/t1",
+        "properties": {
+            "write.data.path": "s3://bkt2/shared/data/t1",
+            "write.metadata.path": "s3://bkt2/meta/metadata/t1",
+        }})
+    for p in ("s3://bkt2/shared/data/t1/u/x.parquet",
+              "s3://bkt2/meta/metadata/t1/snap-1.avro"):
+        assert _localize(tm, p) == p
+    # a genuinely moved table (no override match) still localizes
+    assert _localize(tm, "s3://old/t1/data/u/x.parquet") == \
+        "s3://bkt/t1/data/u/x.parquet"

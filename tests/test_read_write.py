@@ -567,3 +567,44 @@ def test_empty_insert_roundtrip(spark, tmp_path):
     assert df.columns == ["a", "b", "c"] and df.count() == 0
     write_iceberg(spark.createDataFrame([(1, "x", 1.0)], schema), loc)
     assert iceberg_scan(spark, loc).count() == 1
+
+
+def test_write_data_path_added_mid_life(spark, tmp_path):
+    """A table that gains write.data.path AFTER its first snapshot (via
+    the SQL ALTER route): the next insert lands under the new root, old
+    files keep reading from <location>/data, and orphan cleanup scans
+    BOTH roots."""
+    import os
+
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.sources.maintenance import remove_orphan_files
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = str(tmp_path / "t_midlife")
+    late_dir = str(tmp_path / "late_data")
+    df = spark.createDataFrame([(i,) for i in range(5)], "id int")
+    write_iceberg(df, loc)
+    register_table(spark, "t_midlife", loc)
+    execute_sql(
+        spark,
+        f"ALTER TABLE t_midlife SET ('write.data.path'='{late_dir}')")
+    write_iceberg(
+        spark.createDataFrame([(i,) for i in range(5, 8)], "id int"), loc)
+
+    assert iceberg_scan(spark, loc).count() == 8
+    assert any(f.endswith(".parquet") for _, _, fs in os.walk(late_dir)
+               for f in fs), "post-ALTER insert must use the new data root"
+    assert any(f.endswith(".parquet")
+               for _, _, fs in os.walk(os.path.join(loc, "data"))
+               for f in fs), "pre-ALTER files stay where they were written"
+
+    # orphans planted under BOTH roots are found
+    strays = []
+    for root in (os.path.join(loc, "data"), late_dir):
+        p = os.path.join(root, "stray.parquet")
+        with open(p, "wb") as fh:
+            fh.write(b"junk")
+        os.utime(p, (1, 1))
+        strays.append(p)
+    removed = remove_orphan_files(loc)
+    assert all(s in removed for s in strays)

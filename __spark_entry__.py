@@ -1644,6 +1644,47 @@ def _ice_documents_mor(spark: SparkSession, sf_dir: str) -> str:
     return _build_once(sf_dir, "documents_lang_mor", build)
 
 
+def _ice_documents_custom_paths(spark: SparkSession, sf_dir: str) -> str:
+    """documents subset as an Iceberg table whose write.data.path /
+    write.metadata.path point at sibling dirs INSIDE the cached fixture
+    root (reference: test_custom_write_paths.test — custom roots parsed
+    from properties): the insert, the MoR delete file, and the manifests
+    all land at the custom roots, then every scan resolves through
+    them."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.dml import delete_from
+
+        write_iceberg(
+            _pq(spark, sf_dir, "documents").filter("doc_id % 2 = 0"), loc,
+            properties={
+                "write.data.path": os.path.join(loc, "custom_data"),
+                "write.metadata.path": os.path.join(loc, "custom_meta"),
+            })
+        delete_from(spark, loc, "source = 'src7'", mode="merge-on-read")
+
+    return _build_once(sf_dir, "documents_custom_paths", build)
+
+
+def ice_custom_paths_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of the custom-write-paths table (data files, MoR delete file,
+    and manifests all under write.data.path / write.metadata.path roots):
+    per-language counts + char sums. Hash-checked — the oracle replays
+    the subset + delete predicate from the raw parquet, so a path
+    mis-resolution (wrong root, spurious marker rewrite) changes counts
+    and mismatches loudly."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_custom_paths(spark, sf_dir)
+    return (
+        iceberg_scan(spark, loc)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
 def ice_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two halves of the engine composed: an Iceberg MoR scan with
     partition pruning (lang <> 'zh') feeds the curation operators —
@@ -2887,6 +2928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": docs_repetition,
         "docs_line_dedup": docs_line_dedup,
         "emb_neardup": emb_neardup,
+        # parked NEW in r9 (custom write paths; oracle-checked in sweeps,
+        # rotates into the window in r10 under priority (b))
+        "ice_custom_paths_scan": ice_custom_paths_scan,
     }
 
 
@@ -5329,6 +5373,16 @@ def oracle_sql() -> dict[str, str]:
         # SQL literals; no ln()/float recompute in the checking engine).
         # Omitted (rows-only) only if the corpus parquet is unreadable.
         **_data_oracles(),
+        # custom write paths: replay the subset + MoR delete predicate
+        # from the raw rows — a path mis-resolution (wrong root, spurious
+        # marker rewrite) changes the counts
+        "ice_custom_paths_scan": """
+            SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            WHERE doc_id % 2 = 0 AND source <> 'src7'
+            GROUP BY lang ORDER BY lang
+        """,
         # variant write roundtrip: the summary replays from the raw rows,
         # so any value corrupted by variant encode/decode mismatches
         "ice_variant_write_scan": """

@@ -2794,11 +2794,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              local sweep.
 
     r10 rotation plan (priorities applied to the expected state): any
-    r9 red stays; otherwise rotate in the rest of r7's cohort
-    (docs_quality … q_anti_join, longest-parked) and r6's rotation
-    (docs_minhash_dedup … emb_lsh_topk cohort left out of r9), parking
-    the r9 audit cohort on its fresh greens; TPC-H returns at latest
-    r11 per the every-third-round rule.
+    r9 red stays; ice_custom_paths_scan rotates in (NEW in r9, never
+    driver-checked — priority (b)); otherwise rotate in the rest of
+    r7's cohort (docs_quality … q_anti_join, longest-parked) and r6's
+    rotation (docs_minhash_dedup … emb_lsh_topk cohort left out of r9),
+    parking the r9 audit cohort on its fresh greens; TPC-H returns at
+    latest r11 per the every-third-round rule.
     """
     return {
         # --- Iceberg DML/scan core (reference parity, always in) ----------

@@ -334,6 +334,13 @@ class TableMetadata:
         as_of: Any = None,
         ref: str | None = None,
     ) -> Optional[Snapshot]:
+        # the lookups are mutually exclusive — silently preferring one
+        # would scan a different snapshot than the caller named
+        # (reference: iceberg_multi_file_reader.cpp ParseOption rejects
+        # snapshot_from_id + snapshot_from_timestamp together)
+        if sum(x is not None for x in (snapshot_id, as_of, ref)) > 1:
+            raise ValueError(
+                "snapshot_id, as_of, and ref are mutually exclusive")
         if snapshot_id is not None:
             return self.snapshot_by_id(snapshot_id)
         if ref is not None:

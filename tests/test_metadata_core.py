@@ -506,3 +506,18 @@ def test_localize_never_rewrites_custom_write_paths():
     # a genuinely moved table (no override match) still localizes
     assert _localize(tm, "s3://old/t1/data/u/x.parquet") == \
         "s3://bkt/t1/data/u/x.parquet"
+
+
+def test_snapshot_lookups_mutually_exclusive():
+    """snapshot_id / as_of / ref are mutually exclusive lookups
+    (reference: iceberg_multi_file_reader.cpp ParseOption — "Can't use
+    'snapshot_from_id' in combination with 'snapshot_from_timestamp'");
+    silently preferring one would scan a snapshot the caller did not
+    name."""
+    from duckdb_iceberg_spark.metadata.table_metadata import TableMetadata
+
+    tm = TableMetadata({"format-version": 2, "location": "/tmp/x"})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        tm.select_snapshot(snapshot_id=1, as_of="2020-01-01")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        tm.select_snapshot(snapshot_id=1, ref="main")

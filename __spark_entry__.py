@@ -1893,6 +1893,32 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-membership ingest dedup: the odd-id batch (plus exact copies
+    of every 10th even doc under shifted ids, so the drop path provably
+    fires) deduped against the even-id corpus via its Bloom sketch —
+    O(m)-state batch-vs-corpus membership, the structure a 100 TB lake
+    uses when the corpus fingerprint set is too big to anti-join per
+    batch. Hash-checked: the oracle rebuilds the SAME m=2^16/k=4 filter
+    from the same md5 bit positions, so even the (deterministic) false
+    positives match bit for bit."""
+    from duckdb_iceberg_spark.operators.dedup import bloom_dedup_incremental
+
+    docs = _pq(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 2 = 0")
+    copies = (corpus.filter("doc_id % 10 = 0")
+              .withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    batch = docs.filter("doc_id % 2 = 1").unionByName(copies)
+    out = bloom_dedup_incremental(batch, corpus, m_bits=1 << 16, k=4)
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
 def docs_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_iceberg_spark.operators.text import language_scores
 
@@ -2929,9 +2955,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": docs_repetition,
         "docs_line_dedup": docs_line_dedup,
         "emb_neardup": emb_neardup,
-        # parked NEW in r9 (custom write paths; oracle-checked in sweeps,
-        # rotates into the window in r10 under priority (b))
+        # parked NEW in r9 (custom write paths + bloom dedup; oracle-checked
+        # in sweeps, rotate into the window in r10 under priority (b))
         "ice_custom_paths_scan": ice_custom_paths_scan,
+        "docs_bloom_dedup": docs_bloom_dedup,
     }
 
 
@@ -5022,6 +5049,50 @@ def oracle_sql() -> dict[str, str]:
             FROM firsts f WHERE NOT EXISTS (
                 SELECT 1 FROM corpus c WHERE c.fp = f.fp)
             GROUP BY lang ORDER BY lang
+        """,
+        # bloom-membership ingest dedup: rebuild the SAME m=2^16/k=4 filter
+        # (md5-derived bit positions, 32-bit LONG words via bit_or) so even
+        # the deterministic false positives replay bit for bit
+        "docs_bloom_dedup": f"""
+            WITH corpus AS (
+              SELECT DISTINCT {_FP_SQL} AS fp
+              FROM documents WHERE doc_id % 2 = 0
+            ), cpos AS (
+              SELECT CAST('0x' || substr(md5(fp || '#' || i), 1, 8)
+                          AS BIGINT) % 65536 AS p
+              FROM corpus, range(4) r(i)
+            ), words AS (
+              SELECT p // 32 AS word_idx,
+                     bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+              FROM cpos GROUP BY 1
+            ), batch AS (
+              SELECT doc_id, lang, {_FP_SQL} AS fp
+              FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 1000000, lang, {_FP_SQL}
+              FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+            ), firsts AS (
+              SELECT * FROM batch
+              WHERE doc_id IN (SELECT min(doc_id) FROM batch GROUP BY fp)
+            ), probes AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(fp || '#' || i), 1, 8)
+                          AS BIGINT) % 65536 AS p
+              FROM firsts, range(4) r(i)
+            ), hits AS (
+              SELECT doc_id,
+                     sum(CASE WHEN w.word IS NOT NULL AND
+                          (w.word & (CAST(1 AS BIGINT)
+                                     << CAST(p % 32 AS INT))) <> 0
+                          THEN 1 ELSE 0 END) AS nh
+              FROM probes LEFT JOIN words w ON w.word_idx = p // 32
+              GROUP BY doc_id
+            )
+            SELECT f.lang, count(*) AS cnt, min(f.doc_id) AS min_id,
+                   max(f.doc_id) AS max_id
+            FROM firsts f JOIN hits h ON f.doc_id = h.doc_id
+            WHERE h.nh < 4
+            GROUP BY f.lang ORDER BY f.lang
         """,
         "docs_stratified_sample": """
             SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -92,6 +92,99 @@ def incremental_exact_dedup(
     return firsts.join(seen, "__fp", "left_anti").drop("__fp")
 
 
+def _bloom_pos(fp_col, i: int, m_bits: int):
+    """Bit position i for a fingerprint: hex32(md5(fp || '#i')) % m — all
+    JVM-side string/md5/integer ops, bit-identical in any engine."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(fp_col, F.lit(f"#{i}"))), 1, 8), 16, 10).cast("long")
+    return h % F.lit(m_bits)
+
+
+def bloom_bits(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Corpus membership sketch as (word_idx, word) 32-bit Bloom words:
+    each distinct document fingerprint sets ``k`` md5-derived bits in an
+    ``m_bits``-bit filter, stored as m/32 LONG words (32 bits per word —
+    no sign games, and every op replays exactly in any engine).
+
+    This is the structure that makes batch-vs-corpus membership work when
+    the corpus fingerprint set is too big to broadcast-join and too hot to
+    shuffle per batch (the 100 TB ingest shape): ONE corpus pass builds at
+    most m/32 rows (size chosen by the operator, not the data — ~10 bits
+    per expected document keeps the false-positive rate ≈ (1-e^(-k n/m))^k
+    below 1%), the words table persists as a side artifact, and every
+    future batch checks membership against it with a broadcast join.
+    False positives drop a non-duplicate (lossy-conservative for training
+    data); false negatives never happen."""
+    fp = df.select(doc_fingerprint(text_col).alias("__fp")).distinct()
+    rows = fp.select(F.explode(F.array(
+        *[_bloom_pos(F.col("__fp"), i, m_bits) for i in range(k)]
+    )).alias("__pos"))
+    return (
+        rows.select(
+            F.expr("CAST(__pos DIV 32 AS LONG)").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS LONG), "
+                   "CAST(__pos % 32 AS INT))").alias("__mask"))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(__mask)").alias("word"))
+    )
+
+
+def bloom_dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    bloom: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Dedup a NEW batch against a corpus via its Bloom sketch: keep one
+    row per fingerprint among the new docs (minimal id), then drop any
+    whose fingerprint is a PROBABLE corpus member — all k bits set.
+
+    Pass either ``corpus_df`` (the sketch is built here, one linear pass)
+    or a precomputed ``bloom`` words frame (the steady-state ingest path:
+    the sketch lives as a tiny side table, the corpus is never rescanned).
+    Unlike :func:`incremental_exact_dedup`'s fingerprint anti-join, state
+    is O(m) regardless of corpus size, at the cost of the documented
+    false-positive drops — the standard web-scale trade (conservative for
+    training data). The batch side explodes to k rows per doc, broadcast-
+    joins the words, and reduces back — one linear shuffle keyed on id."""
+    if (corpus_df is None) == (bloom is None):
+        raise ValueError("pass exactly one of corpus_df or bloom")
+    if bloom is None:
+        bloom = bloom_bits(corpus_df, text_col, id_col, m_bits, k)
+    new_fp = new_df.withColumn("__fp", doc_fingerprint(text_col))
+    keep = new_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    firsts = new_fp.join(keep, [id_col, "__fp"], "left_semi")
+    probes = firsts.select(
+        F.col(id_col), F.explode(F.array(
+            *[_bloom_pos(F.col("__fp"), i, m_bits) for i in range(k)]
+        )).alias("__pos"))
+    hits = (
+        probes.select(
+            id_col,
+            F.expr("CAST(__pos DIV 32 AS LONG)").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS LONG), "
+                   "CAST(__pos % 32 AS INT))").alias("__mask"))
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy(id_col)
+        .agg(F.sum(
+            F.when(F.col("word").isNotNull()
+                   & (F.col("word").bitwiseAND(F.col("__mask")) != 0), 1)
+            .otherwise(0)).alias("__nhits"))
+        .filter(F.col("__nhits") < k)
+        .select(id_col)
+    )
+    return firsts.join(hits, id_col, "left_semi").drop("__fp")
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(fingerprint, n_dupes, keep_id) for groups with >1 member."""
     return (

@@ -27,6 +27,39 @@ def test_exact_dedup_keeps_min_id(docs):
     assert {3, 4} <= set(ids)
 
 
+def test_bloom_dedup_incremental(spark, docs):
+    """Bloom-membership ingest dedup: exact copies of corpus docs always
+    drop (no false negatives — every bit of a true member is set); unique
+    batch docs survive at a sane m/n; the precomputed-bloom path equals
+    the corpus_df path; passing both or neither is an error."""
+    from duckdb_iceberg_spark.operators.dedup import (
+        bloom_bits,
+        bloom_dedup_incremental,
+    )
+
+    corpus = docs.filter("doc_id <= 3 AND text IS NOT NULL")
+    batch = spark.createDataFrame([
+        (10, "the quick brown fox jumps over the lazy dog"),  # corpus member
+        (11, "a genuinely new document about bloom filters"),
+        (12, "a genuinely new document about bloom filters"),  # in-batch dup
+        (13, "another brand new unseen document entirely"),
+    ], "doc_id: long, text: string")
+    out = sorted(r.doc_id for r in bloom_dedup_incremental(
+        batch, corpus, m_bits=1 << 16, k=4).collect())
+    assert 10 not in out, "a true corpus member must always drop"
+    assert out == [11, 13], "unique docs survive; in-batch dup keeps min id"
+
+    pre = bloom_bits(corpus, m_bits=1 << 16, k=4)
+    out2 = sorted(r.doc_id for r in bloom_dedup_incremental(
+        batch, bloom=pre, m_bits=1 << 16, k=4).collect())
+    assert out2 == out, "precomputed-sketch path must match corpus_df path"
+
+    with pytest.raises(ValueError, match="exactly one"):
+        bloom_dedup_incremental(batch, corpus, bloom=pre)
+    with pytest.raises(ValueError, match="exactly one"):
+        bloom_dedup_incremental(batch)
+
+
 def test_minhash_dedup_drops_near_dup(docs):
     from duckdb_iceberg_spark.operators.dedup import minhash_dedup
 

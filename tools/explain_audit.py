@@ -87,6 +87,9 @@ AUDIT = [
     "ice_metadata_files",
     "ice_truncate_fn",
     "ice_bucket_fn",
+    # NEW in r9 (parked, r10 rotation): custom write paths + bloom dedup
+    "ice_custom_paths_scan",
+    "docs_bloom_dedup",
 ]
 
 

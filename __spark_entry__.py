@@ -1989,6 +1989,32 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_resample(docs, None, 200, target_cond="lang = 'en'")
 
 
+def docs_dsir_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-bisect probe carried NEXT TO docs_dsir_sample in the r10
+    driver window (VERDICT r9 task 1b): the resampler's integer inputs —
+    per-bucket raw/target gram counts through the operator's own
+    tokenize/bucket chain, and each doc's hex32(md5(id||salt)) Gumbel
+    input computed JVM-side. Hash-checked; no floats anywhere, so a red
+    row localizes the diverging stage while the sample query's own red
+    (if it persists) is pinned to the literal/decimal layer."""
+    from duckdb_iceberg_spark.operators.sampling import dsir_probe
+
+    docs = _pq(spark, sf_dir, "documents")
+    return dsir_probe(docs, "lang = 'en'")
+
+
+def docs_lm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-bisect probe carried NEXT TO docs_lm_score in the r10 driver
+    window (VERDICT r9 task 1b): the scorer's integer/string
+    intermediates — per-doc token counts, the counted vocabulary, the
+    bigram model, the context counts — through the scorer's own fit code
+    (operators.text._lm_fit). Hash-checked; no floats anywhere."""
+    from duckdb_iceberg_spark.operators.text import lm_probe
+
+    docs = _pq(spark, sf_dir, "documents")
+    return lm_probe(docs, reference_cond="lang = 'en'", vocab_size=1024)
+
+
 def docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: exact + verified near-dup edges run
     through the alternating large-star/small-star connected-components
@@ -2780,52 +2806,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     changed since their last driver row, (b) entries that have never had
     a driver row, (c) longest parked, (d) family coverage — plus the
     VERDICT r8 hard rule: a RED driver row never rotates out until it
-    has a green one. Layout (round 9 rotation):
+    has a green one. Layout (round 10 rotation):
 
       1-17   ice_* DML/scan core + ice_dup_cluster_curation — the
              reference surface most prone to regression (MoR/DV/equality
              deletes, UPDATE/MERGE/upsert, time travel, schema/spec
              evolution, compaction, pruning, variant, curation
              composition) — stays in-window.
-      18     ice_variant_write_scan — NEW r8, never driver-checked
-             (priority (b)).
-      19-21  docs_dsir_sample + docs_lm_score (hash-RED in r8 — must
-             stay until green; oracles rewritten to literal replay, no
-             DuckDB-side ln()) and docs_lm_buckets (same model; avg_nll
-             switched to exact integer micro-unit rounding).
-      22-23  emb_kmeans + emb_semantic_dedup — first-ever driver rows
-             (priority (b)): the fit's reductions became
-             order-independent in r9, so they now carry full
-             literal-replay oracles.
-      24-29  the recompute-float oracle-audit cohort (priority (a) —
-             comparison method changed this round): emb_ivf_topk (last
-             driver row an r4 FAIL; centroid-literal + _cos6 oracle),
-             emb_cosine_topk, emb_lsh_topk, emb_knn_join,
-             emb_knn_join_bucketed (all moved off
-             list_cosine_similarity onto the fold-order-exact _cos6
-             replay), docs_tfidf (idf now literal, not DuckDB ln()).
-      30-38  the 9 metadata/function ice_* entries (longest-parked
-             reference surface, driver-green r4-r7).
-      39-50  the longest-parked half of r7's rotation cohort
-             (driver-green r7): stream_changelog, stream_curation,
-             docs_vocab, docs_resample_mixture, docs_stratified_sample,
-             docs_pack_sequences, docs_corpus_report, stream_dedup_ttl,
-             docs_redact_pii, docs_normalize, docs_chunk,
-             docs_token_count.
-      51+    parked: TPC-H (all 23 driver-green r8), the r8
-             first-row cohort (mm_*, stream_minhash_curation,
-             docs_dup_components, emb_pq_topk — all driver-green r8),
-             the rest of r7's cohort, r6's rotation, and the r5 spot
-             checks. Everything parked stays oracle-checked in every
-             local sweep.
-
-    r10 rotation plan (priorities applied to the expected state): any
-    r9 red stays; ice_custom_paths_scan rotates in (NEW in r9, never
-    driver-checked — priority (b)); otherwise rotate in the rest of
-    r7's cohort (docs_quality … q_anti_join, longest-parked) and r6's
-    rotation (docs_minhash_dedup … emb_lsh_topk cohort left out of r9),
-    parking the r9 audit cohort on its fresh greens; TPC-H returns at
-    latest r11 per the every-third-round rule.
+      18-22  docs_dsir_sample + docs_lm_score (hash-RED r8 AND r9 — a
+             red row never rotates out; r10 removes the last libm from
+             their literal surfaces: decimal-ln literal generators +
+             the DSIR Gumbel moved off JVM F.log onto the oracle's own
+             CPython dsir_gumbel6 in a pandas UDF), docs_lm_buckets
+             (green control — same model/tokenize, renders avg_nll),
+             and the NEW r10 stage-bisect probes docs_dsir_probe +
+             docs_lm_probe (VERDICT r9 task 1b: integer/string-only
+             intermediates; whichever probe goes red localizes the
+             diverging stage in one round — both green + reds persist
+             pins the divergence to the literal/decimal layer).
+      23-24  ice_custom_paths_scan + docs_bloom_dedup — NEW in r9,
+             never driver-checked (priority (b)).
+      25-34  the rest of r7's rotation cohort (driver-green r7,
+             longest-parked): docs_quality, docs_fingerprint,
+             docs_incremental_dedup, docs_lang_scores, docs_winnow,
+             q_distinct_parts, q_rollup, q_setop_nations, q_topk_orders,
+             q_anti_join.
+      35-50  16 of r6's rotation cohort (driver-green r6):
+             docs_minhash_dedup, docs_decontaminate, docs_ngram_dedup,
+             docs_simhash, docs_exact_dedup, stream_incremental,
+             stream_sink_roundtrip, stream_tumbling_events,
+             mm_image_features, mm_audio_features, mm_frame_sample,
+             docs_source_cap, docs_substr_dedup, q_window_top_order,
+             q_events_hourly, q_asof_join.
+      51+    parked: TPC-H (all 23 driver-green r8, returns r11 per the
+             every-third-round rule), the r9 window cohort (all green
+             r9: ice_variant_write_scan, emb_kmeans/semantic_dedup, the
+             emb_* oracle-audit cohort, the 9 metadata/function ice_*,
+             the r7 first half), the r8 first-row cohort, the four r6
+             entries deferred to r11 with TPC-H (docs_incremental_minhash,
+             stream_session_events, stream_sliding_events,
+             q_interval_join — each has an in-window family sibling),
+             and the r5 spot checks. Everything parked stays
+             oracle-checked in every local sweep.
     """
     return {
         # --- Iceberg DML/scan core (reference parity, always in) ----------
@@ -2847,23 +2869,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_docs_curation": ice_docs_curation,
         # --- cluster curation over the Iceberg scan path (r8) --------------
         "ice_dup_cluster_curation": ice_dup_cluster_curation,
-        # --- rotated IN for r9: new r8 entry, never driver-checked --------
-        "ice_variant_write_scan": ice_variant_write_scan,
-        # --- r8 hash-RED rows (stay until green) + sibling -----------------
+        # --- r8+r9 hash-RED rows (never rotate out until green), their
+        # --- green control, and the r10 stage-bisect probes ----------------
         "docs_dsir_sample": docs_dsir_sample,
         "docs_lm_score": docs_lm_score,
         "docs_lm_buckets": docs_lm_buckets,
-        # --- first-ever driver rows: fits made replayable in r9 ------------
+        "docs_dsir_probe": docs_dsir_probe,
+        "docs_lm_probe": docs_lm_probe,
+        # --- rotated IN for r10: NEW in r9, never driver-checked -----------
+        "ice_custom_paths_scan": ice_custom_paths_scan,
+        "docs_bloom_dedup": docs_bloom_dedup,
+        # --- rest of r7's rotation cohort (green r7, longest-parked) -------
+        "docs_quality": docs_quality,
+        "docs_fingerprint": docs_fingerprint,
+        "docs_incremental_dedup": docs_incremental_dedup,
+        "docs_lang_scores": docs_lang_scores,
+        "docs_winnow": docs_winnow,
+        "q_distinct_parts": q_distinct_parts,
+        "q_rollup": q_rollup,
+        "q_setop_nations": q_setop_nations,
+        "q_topk_orders": q_topk_orders,
+        "q_anti_join": q_anti_join,
+        # --- 16 of r6's rotation cohort (green r6; 4 family-covered
+        # --- siblings defer to r11 with TPC-H) ------------------------------
+        "docs_minhash_dedup": docs_minhash_dedup,
+        "docs_decontaminate": docs_decontaminate,
+        "docs_ngram_dedup": docs_ngram_dedup,
+        "docs_simhash": docs_simhash,
+        "docs_exact_dedup": docs_exact_dedup,
+        "stream_incremental": stream_incremental,
+        "stream_sink_roundtrip": stream_sink_roundtrip,
+        "stream_tumbling_events": stream_tumbling_events,
+        "mm_image_features": mm_image_features,
+        "mm_audio_features": mm_audio_features,
+        "mm_frame_sample": mm_frame_sample,
+        "docs_source_cap": docs_source_cap,
+        "docs_substr_dedup": docs_substr_dedup,
+        "q_window_top_order": q_window_top_order,
+        "q_events_hourly": q_events_hourly,
+        "q_asof_join": q_asof_join,
+        # ------------------- 50-row window boundary -----------------------
+        # parked (driver-green r9): the r9 window cohort
+        "ice_variant_write_scan": ice_variant_write_scan,
         "emb_kmeans": emb_kmeans,
         "emb_semantic_dedup": emb_semantic_dedup,
-        # --- recompute-float oracle-audit cohort (comparison changed) ------
         "emb_ivf_topk": emb_ivf_topk,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_lsh_topk": emb_lsh_topk,
         "emb_knn_join": emb_knn_join,
         "emb_knn_join_bucketed": emb_knn_join_bucketed,
         "docs_tfidf": docs_tfidf,
-        # --- longest-parked: metadata/function ice_* (green r4-r7) ---------
         "ice_count_star_metadata": ice_count_star_metadata,
         "ice_objectstore_scan": ice_objectstore_scan,
         "ice_snapshot_history": ice_snapshot_history,
@@ -2873,7 +2928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_topk_scan": ice_topk_scan,
         "ice_truncate_fn": ice_truncate_fn,
         "ice_bucket_fn": ice_bucket_fn,
-        # --- longest-parked half of r7's rotation cohort (green r7) --------
         "stream_changelog": stream_changelog,
         "stream_curation": stream_curation,
         "docs_vocab": docs_vocab,
@@ -2886,7 +2940,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_normalize": docs_normalize,
         "docs_chunk": docs_chunk,
         "docs_token_count": docs_token_count,
-        # ------------------- 50-row window boundary -----------------------
+        # parked (driver-green r6, defer to r11 with TPC-H's return)
+        "docs_incremental_minhash": docs_incremental_minhash,
+        "stream_session_events": stream_session_events,
+        "stream_sliding_events": stream_sliding_events,
+        "q_interval_join": q_interval_join,
         # parked (driver-green r8): full TPC-H
         "q01_pricing_summary": q01_pricing_summary,
         "q01_mor_pricing_summary": q01_mor_pricing_summary,
@@ -2919,46 +2977,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_dedup": mm_video_dedup,
         "stream_minhash_curation": stream_minhash_curation,
         "emb_pq_topk": emb_pq_topk,
-        # parked (driver-green r7): rest of r7's rotation cohort
-        "docs_quality": docs_quality,
-        "docs_fingerprint": docs_fingerprint,
-        "docs_incremental_dedup": docs_incremental_dedup,
-        "docs_lang_scores": docs_lang_scores,
-        "docs_winnow": docs_winnow,
-        "q_distinct_parts": q_distinct_parts,
-        "q_rollup": q_rollup,
-        "q_setop_nations": q_setop_nations,
-        "q_topk_orders": q_topk_orders,
-        "q_anti_join": q_anti_join,
-        # parked (driver-green r6)
-        "docs_minhash_dedup": docs_minhash_dedup,
-        "docs_incremental_minhash": docs_incremental_minhash,
-        "docs_decontaminate": docs_decontaminate,
-        "docs_ngram_dedup": docs_ngram_dedup,
-        "docs_simhash": docs_simhash,
-        "docs_exact_dedup": docs_exact_dedup,
-        "stream_incremental": stream_incremental,
-        "stream_sink_roundtrip": stream_sink_roundtrip,
-        "stream_tumbling_events": stream_tumbling_events,
-        "stream_session_events": stream_session_events,
-        "stream_sliding_events": stream_sliding_events,
-        "mm_image_features": mm_image_features,
-        "mm_audio_features": mm_audio_features,
-        "mm_frame_sample": mm_frame_sample,
-        "docs_source_cap": docs_source_cap,
-        "docs_substr_dedup": docs_substr_dedup,
-        "q_window_top_order": q_window_top_order,
-        "q_events_hourly": q_events_hourly,
-        "q_asof_join": q_asof_join,
-        "q_interval_join": q_interval_join,
         # parked (r5 spot checks)
         "docs_repetition": docs_repetition,
         "docs_line_dedup": docs_line_dedup,
         "emb_neardup": emb_neardup,
-        # parked NEW in r9 (custom write paths + bloom dedup; oracle-checked
-        # in sweeps, rotate into the window in r10 under priority (b))
-        "ice_custom_paths_scan": ice_custom_paths_scan,
-        "docs_bloom_dedup": docs_bloom_dedup,
     }
 
 
@@ -3361,6 +3383,114 @@ def _oracle_sf_dir() -> str:
                           "/root/testdata/sf0.01")
 
 
+# The shared LM tokenize -> vocab -> unk-map -> bigram -> counts chain:
+# the lp pair table is only correct if its probe realizes EXACTLY the
+# pairs the scoring CTEs realize, and the r10 stage-bisect probe
+# (docs_lm_probe) is only diagnostic if it inspects EXACTLY these CTEs —
+# so all three are built from this one constant. (vocab carries its
+# counts since r10: the probe renders them; the other consumers read
+# vocab.w only.)
+_LM_CTES = r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), vocab AS (
+              SELECT w, count(*) AS c FROM (
+                SELECT unnest(toks) AS w FROM t WHERE lang = 'en'
+              ) q GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 1024
+            ), mapped AS (
+              SELECT tk.doc_id, tk.lang, tk.i,
+                     CASE WHEN vv.w IS NOT NULL THEN tk.w
+                          ELSE '<unk>' END AS w
+              FROM (SELECT doc_id, lang, unnest(toks) AS w,
+                           generate_subscripts(toks, 1) AS i FROM t) tk
+              LEFT JOIN vocab vv ON vv.w = tk.w
+            ), ml AS (
+              SELECT doc_id, lang, list(w ORDER BY i) AS toks
+              FROM mapped GROUP BY doc_id, lang
+            ), bi AS (
+              SELECT doc_id, lang,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM ml
+            ), model AS (
+              SELECT g, count(*) AS c2 FROM bi WHERE lang = 'en' GROUP BY g
+            ), ctx AS (
+              SELECT string_split(g, ' ')[1] AS w1, sum(c2) AS c1
+              FROM model GROUP BY 1
+            )"""
+
+
+def _lm_probe_sql() -> str:
+    """DuckDB twin of operators.text.lm_probe — the r10 stage-bisect for
+    the docs_lm_score driver red (VERDICT r9 task 1b). Pure integer/string
+    SQL over the SAME _LM_CTES chain the scorer's oracle uses: per-doc
+    token counts (tokenize), the counted vocabulary (selection order),
+    the bigram model and context counts. No floats, no ln() — a red here
+    localizes a tokenize/count divergence; green here + red scorer pins
+    the divergence to the literal/decimal layer."""
+    return _LM_CTES + r"""
+            SELECT metric, k, v FROM (
+              SELECT 'doc_toks' AS metric, CAST(doc_id AS VARCHAR) AS k,
+                     CAST(len(toks) AS BIGINT) AS v
+              FROM t
+              UNION ALL
+              SELECT 'vocab', w, CAST(c AS BIGINT) FROM vocab
+              UNION ALL
+              SELECT 'bigram', g, CAST(c2 AS BIGINT) FROM model
+              UNION ALL
+              SELECT 'ctx', w1, CAST(c1 AS BIGINT) FROM ctx
+            ) ORDER BY metric, k
+    """
+
+
+def _dsir_probe_sql(buckets: int = 4096, salt: str = "dsir") -> str:
+    """DuckDB twin of operators.sampling.dsir_probe — the r10
+    stage-bisect for the docs_dsir_sample driver red (VERDICT r9 task
+    1b). Pure integer SQL sharing _dsir_sql's tokenize/bucket CTE chain:
+    per-bucket raw/target gram counts (the log-ratio model's inputs) and
+    each document's hex32(md5(id||salt)) (the Gumbel term's only
+    engine-computed input). No floats, no ln()."""
+    return rf"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, lang, unnest(list_concat(
+                       toks,
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                     )) AS gram
+              FROM t
+            ), b AS (
+              SELECT lang,
+                     CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+                       % {buckets} AS bk
+              FROM g
+            ), cnt AS (
+              SELECT bk, CAST(count(*) AS BIGINT) AS cr,
+                     CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct
+              FROM b GROUP BY bk
+            )
+            SELECT metric, k, v FROM (
+              SELECT 'bucket_cr' AS metric, CAST(bk AS VARCHAR) AS k, cr AS v
+              FROM cnt
+              UNION ALL
+              SELECT 'bucket_ct', CAST(bk AS VARCHAR), ct
+              FROM cnt WHERE ct > 0
+              UNION ALL
+              SELECT 'doc_u32', CAST(doc_id AS VARCHAR),
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                             || '{salt}'), 1, 8) AS BIGINT)
+              FROM documents
+            ) ORDER BY metric, k
+    """
+
+
 def _lm_sql(buckets: bool = False) -> str:
     """DuckDB replica of operators.text.ngram_lm_score (and, with
     ``buckets``, lm_perplexity_buckets): top-1024 reference-slice vocab
@@ -3389,40 +3519,7 @@ def _lm_sql(buckets: bool = False) -> str:
     con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('"
                 + path.replace("'", "''") + "')")
     # the shared tokenize -> vocab -> unk-map -> bigram -> counts chain:
-    # the pair table is only correct if the probe realizes EXACTLY the
-    # pairs the scoring CTEs realize, so both are built from this one
-    # constant
-    ctes = r"""
-            WITH t AS (
-              SELECT doc_id, lang,
-                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                 x -> x <> '') AS toks
-              FROM documents
-            ), vocab AS (
-              SELECT w FROM (
-                SELECT unnest(toks) AS w FROM t WHERE lang = 'en'
-              ) q GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 1024
-            ), mapped AS (
-              SELECT tk.doc_id, tk.lang, tk.i,
-                     CASE WHEN vv.w IS NOT NULL THEN tk.w
-                          ELSE '<unk>' END AS w
-              FROM (SELECT doc_id, lang, unnest(toks) AS w,
-                           generate_subscripts(toks, 1) AS i FROM t) tk
-              LEFT JOIN vocab vv ON vv.w = tk.w
-            ), ml AS (
-              SELECT doc_id, lang, list(w ORDER BY i) AS toks
-              FROM mapped GROUP BY doc_id, lang
-            ), bi AS (
-              SELECT doc_id, lang,
-                     unnest(list_transform(range(1, len(toks)),
-                            i -> toks[i] || ' ' || toks[i+1])) AS g
-              FROM ml
-            ), model AS (
-              SELECT g, count(*) AS c2 FROM bi WHERE lang = 'en' GROUP BY g
-            ), ctx AS (
-              SELECT string_split(g, ' ')[1] AS w1, sum(c2) AS c1
-              FROM model GROUP BY 1
-            )"""
+    ctes = _LM_CTES
     pair_probe = ctes + r"""
             SELECT DISTINCT COALESCE(m.c2, 0) AS c2v,
                    COALESCE(c.c1, 0) AS c1v,
@@ -3504,11 +3601,12 @@ def _dsir_sql(k: int = 200, buckets: int = 4096, salt: str = "dsir") -> str:
     uses. The per-bucket log-ratio table replays
     operators.sampling.dsir_log_ratios over counts the builder re-derives
     with driver-side DuckDB (integer-exact); the per-doc Gumbel term
-    replays dsir_gumbel6 (hashlib md5 + math.log — independent of both
-    engines' md5/ln). Residual class: the operator's Gumbel ln runs
-    JVM-side (F.log), so JVM-Math.log-vs-CPython-libm, both within 1 ulp
-    of correctly rounded — vs the several-ulp engine-ln class this
-    removes (SURVEY §8 inventory)."""
+    replays dsir_gumbel6 (hashlib md5 + correctly-rounded decimal ln —
+    independent of both engines' md5/ln AND of any platform libm). No
+    residual engine-ln class remains since r10: the operator applies
+    dsir_gumbel6 itself (pandas UDF), and every literal generator runs
+    on decimal ln (operators.exactmath), so the same literals emerge no
+    matter which process/JVM/libm generates or grades them."""
     import duckdb as _duck
 
     from duckdb_iceberg_spark.operators.sampling import (
@@ -5445,6 +5543,11 @@ def oracle_sql() -> dict[str, str]:
         # SQL literals; no ln()/float recompute in the checking engine).
         # Omitted (rows-only) only if the corpus parquet is unreadable.
         **_data_oracles(),
+        # r10 stage-bisect probes for the two r8/r9 driver hash-reds:
+        # pure integer/string SQL (no literals to build, no ln anywhere),
+        # carried next to the queries they bisect
+        "docs_lm_probe": _lm_probe_sql(),
+        "docs_dsir_probe": _dsir_probe_sql(),
         # custom write paths: replay the subset + MoR delete predicate
         # from the raw rows — a path mis-resolution (wrong root, spurious
         # marker rewrite) changes the counts

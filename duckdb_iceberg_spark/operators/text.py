@@ -561,12 +561,139 @@ def laplace_lp6(c2: int, c1: int, vocab_n: int) -> "Decimal":
     cross-engine oracle builder share one implementation: both engines
     then consume the SAME rounded literals instead of re-deriving ln()
     with their own libm (whose last-ulp differences flipped 6dp rounding
-    boundaries in the r8 driver's DuckDB)."""
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
+    boundaries in the r8 driver's DuckDB).
 
-    return Decimal(math.log((c2 + 1.0) / (c1 + vocab_n))).quantize(
-        Decimal("0.000001"), ROUND_HALF_UP)
+    r10: computed as ln(c2+1) − ln(c1+V) with correctly-rounded
+    ``decimal`` ln (:mod:`~duckdb_iceberg_spark.operators.exactmath`)
+    instead of ``math.log`` — the literal is now identical no matter
+    which process/platform generates it, so an oracle built in one
+    environment grades an operator run in another without a libm-ulp
+    flipping a 6dp boundary (the r8/r9 driver hash-red class)."""
+    from .exactmath import dec_ln_int, q6
+
+    return q6(dec_ln_int(c2 + 1) - dec_ln_int(c1 + vocab_n))
+
+
+def _lm_unkmap(tcol, vocab):
+    """Map every token outside ``vocab`` to ``<unk>`` (the Laplace model's
+    single OOV symbol)."""
+    if not vocab:
+        return F.transform(tcol, lambda w: F.lit("<unk>"))
+    return F.transform(
+        tcol,
+        lambda w: F.when(w.isin(vocab), w).otherwise(F.lit("<unk>")))
+
+
+def _lm_bigrams(tcol):
+    """Adjacent-pair bigrams of a token array as 'a b' strings."""
+    cnt = F.greatest(F.size(tcol) - 1, F.lit(0))
+    return F.zip_with(F.slice(tcol, 1, cnt), F.slice(tcol, 2, cnt),
+                      lambda a, b: F.concat_ws(" ", a, b))
+
+
+def _lm_fit(df, text_col, id_col, reference_cond, vocab_size):
+    """The shared model fit of :func:`ngram_lm_score` / :func:`lm_probe`:
+    tokenize the corpus, take the top-``vocab_size`` reference-slice
+    vocabulary (count desc, token asc), count unk-mapped bigrams.
+
+    Returns ``(base, vocab_counts, c2map, c1map)`` — the tokenized
+    (id, tokens) frame, the ordered [(word, count)] vocabulary, the
+    bigram counts, and the context (first-word) counts. Factored out so
+    the driver-correctness probe exercises EXACTLY the Spark expressions
+    the scorer uses (not a reimplementation that could mask a
+    divergence)."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda x: x != "")
+    # tokenize+explode run BEFORE any shuffle, so they inherit the
+    # source's split count — a single-file parquet would serialize the
+    # whole pass on one task (the DSIR lesson). At real scale the source
+    # already has >= parallelism splits and this never fires.
+    src = df
+    para = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        few = src.rdd.getNumPartitions() < para
+    except Exception:
+        few = False
+    if few:
+        src = src.repartition(para, F.col(id_col))
+    base = src.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    if reference_cond is None:
+        ref = base.select("__t")
+    else:
+        ref = src.filter(reference_cond).select(toks.alias("__t"))
+    # the fit consumes ref TWICE (vocab top-k, then bigram counts) — cache
+    # the tokenized slice across the two bounded collects and release it
+    # before the scoring job (which reads only the broadcast lp tables)
+    ref = ref.persist()
+    vocab_counts = [
+        (r["w"], r["c"])
+        for r in (
+            ref.select(F.explode("__t").alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("w").asc())
+            .limit(vocab_size)
+            .collect()
+        )
+    ]
+    vocab = [w for w, _ in vocab_counts]
+    ref_bi = ref.select(
+        F.explode(_lm_bigrams(_lm_unkmap(F.col("__t"), vocab))).alias("g"))
+    c2map = {
+        r["g"]: r["c2"]
+        for r in ref_bi.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+        .collect()
+    }
+    ref.unpersist()
+    c1map: dict[str, int] = {}
+    for g, c in c2map.items():
+        w1 = g.split(" ", 1)[0]
+        c1map[w1] = c1map.get(w1, 0) + c
+    return base, vocab_counts, c2map, c1map
+
+
+def lm_probe(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference_cond: str | Column | None = None,
+    vocab_size: int = 1024,
+):
+    """Stage-bisect probe for :func:`ngram_lm_score`'s cross-engine
+    contract (VERDICT r9 task 1b): every INTEGER/STRING intermediate of
+    the model fit as (metric, k, v) rows — no floats, no logs, so a
+    grading engine that disagrees with this probe has a tokenize/count
+    divergence, and one that agrees but still fails the scorer has a
+    literal/decimal-layer divergence. Metrics:
+
+    - ``doc_toks``: per-document token count (NULL text → NULL count) —
+      pins Spark-vs-checker tokenization (regex ``\\s+`` split, lower,
+      trim) per document;
+    - ``vocab``: the top-``vocab_size`` reference-slice vocabulary with
+      counts — pins the count-desc/word-asc selection and any collation
+      or grouping difference;
+    - ``bigram``: every unk-mapped reference bigram with its count c2 —
+      pins the model table;
+    - ``ctx``: every context (first word) with its count c1.
+
+    The fit runs through :func:`_lm_fit` — the scorer's own code — and
+    the model-side rows are the scorer's own driver collections
+    re-parallelized, so a green probe certifies the scorer's inputs."""
+    base, vocab_counts, c2map, c1map = _lm_fit(
+        df, text_col, id_col, reference_cond, vocab_size)
+    spark = df.sparkSession
+    doc_toks = base.select(
+        F.lit("doc_toks").alias("metric"),
+        F.col("__id").cast("string").alias("k"),
+        F.when(F.col("__t").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.size("__t").cast("long")).alias("v"))
+    side_rows = (
+        [("vocab", w, int(c)) for w, c in vocab_counts]
+        + [("bigram", g, int(c)) for g, c in c2map.items()]
+        + [("ctx", w1, int(c1)) for w1, c1 in c1map.items()]
+    )
+    side = spark.createDataFrame(
+        side_rows, schema="metric string, k string, v long")
+    return doc_toks.unionByName(side).orderBy("metric", "k")
 
 
 def ngram_lm_score(
@@ -607,64 +734,15 @@ def ngram_lm_score(
     literal-replay exact: both engines sum the same DECIMAL(18,6)
     literals (the r8 driver's DuckDB recomputed ln() with a different
     libm and flipped 6dp boundaries)."""
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                    lambda x: x != "")
-    # tokenize+explode run BEFORE any shuffle, so they inherit the
-    # source's split count — a single-file parquet would serialize the
-    # whole pass on one task (the DSIR lesson). At real scale the source
-    # already has >= parallelism splits and this never fires.
-    src = df
-    para = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        few = src.rdd.getNumPartitions() < para
-    except Exception:
-        few = False
-    if few:
-        src = src.repartition(para, F.col(id_col))
-    base = src.select(F.col(id_col).alias("__id"), toks.alias("__t"))
-    if reference_cond is None:
-        ref = base.select("__t")
-    else:
-        ref = src.filter(reference_cond).select(toks.alias("__t"))
-    # the fit consumes ref TWICE (vocab top-k, then bigram counts) — cache
-    # the tokenized slice across the two bounded collects and release it
-    # before the scoring job (which reads only the broadcast lp tables)
-    ref = ref.persist()
-    vocab = [
-        r["w"]
-        for r in (
-            ref.select(F.explode("__t").alias("w"))
-            .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-            .orderBy(F.col("c").desc(), F.col("w").asc())
-            .limit(vocab_size)
-            .collect()
-        )
-    ]
+    base, vocab_counts, c2map, c1map = _lm_fit(
+        df, text_col, id_col, reference_cond, vocab_size)
+    vocab = [w for w, _ in vocab_counts]
     n_vocab = len(vocab) + 1  # + <unk>
 
     def unkmap(tcol):
-        if not vocab:
-            return F.transform(tcol, lambda w: F.lit("<unk>"))
-        return F.transform(
-            tcol,
-            lambda w: F.when(w.isin(vocab), w).otherwise(F.lit("<unk>")))
+        return _lm_unkmap(tcol, vocab)
 
-    def bigrams(tcol):
-        cnt = F.greatest(F.size(tcol) - 1, F.lit(0))
-        return F.zip_with(F.slice(tcol, 1, cnt), F.slice(tcol, 2, cnt),
-                          lambda a, b: F.concat_ws(" ", a, b))
-
-    ref_bi = ref.select(F.explode(bigrams(unkmap(F.col("__t")))).alias("g"))
-    c2map = {
-        r["g"]: r["c2"]
-        for r in ref_bi.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
-        .collect()
-    }
-    ref.unpersist()
-    c1map: dict[str, int] = {}
-    for g, c in c2map.items():
-        w1 = g.split(" ", 1)[0]
-        c1map[w1] = c1map.get(w1, 0) + c
+    bigrams = _lm_bigrams
     lp_t = T.StructType([
         T.StructField("g", T.StringType()),
         T.StructField("__lp2", T.DecimalType(18, 6))])

@@ -266,9 +266,25 @@ def main() -> None:
         fn(spark, sf_dir)
     build_s = time.time() - t0
 
+    # drop every trace of the fixture-build phase before the first timed
+    # run: cached plans/blocks plus a forced full GC so build-phase heap
+    # garbage can't land its collection pauses inside the timed block
+    # (VERDICT r9 task 2's prime suspect — the sf1 block already did the
+    # clearCache half and showed no regression)
+    spark.catalog.clearCache()
+    import gc as _gc
+
+    _gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
     N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     results: dict[str, float] = {}
+    results_min: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
+    load_after: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         times = []
@@ -278,10 +294,21 @@ def main() -> None:
             times.append(time.time() - t0)
             assert rows is not None
         results[name] = round(sorted(times)[len(times) // 2], 3)
+        # min-of-N alongside the median: on a shared box (r9's "+41%
+        # regression" was external load — untouched TPC-H swung 26s↔43s
+        # between two identical back-to-back runs) the min is the
+        # least-contaminated sample, same rationale as the sf1 block
+        results_min[name] = round(min(times), 3)
         # raw per-run times go to the file artifact: a phantom median
         # (one process-local spike repeated across a query's runs) is
         # indistinguishable from a regression without them
         raw_runs[name] = [round(t, 3) for t in times]
+        # 1-min loadavg after each query: correlates a slow sample with
+        # external box load instead of leaving it to next round's theory
+        try:
+            load_after[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
         # operators that persist intermediates (dedup/verify caches) would
         # otherwise accumulate blocks across 59 queries × N runs and slow
         # LATER queries via block-manager/GC pressure (measured: emb_*
@@ -294,10 +321,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": results,
+        "value_min": round(sum(results_min.values()), 3),
+        "queries_min": results_min,
         "sf": sf_dir,
         "fixture_build_sec": round(build_s, 3),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
     }
+    try:
+        out["loadavg"] = [round(v, 2) for v in os.getloadavg()]
+    except OSError:
+        pass
 
     # sf1 scale rehearsal (10× the bench SF, single run per canary):
     # surfaces AQE/skew/shuffle-sizing behavior the small SF can't.
@@ -379,7 +412,8 @@ def main() -> None:
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.json"), "w") as fh:
-            json.dump({**out, "query_runs": raw_runs}, fh)
+            json.dump({**out, "query_runs": raw_runs,
+                       "loadavg_after_query": load_after}, fh)
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: stdout still carries the record

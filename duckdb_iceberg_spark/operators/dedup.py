@@ -353,11 +353,23 @@ def verify_jaccard(
         return pd.Series(out)
 
     pairs = pairs.persist()
-    part_a = d.join(pairs.select(F.col("id_a").alias(id_col)).distinct(),
-                    id_col, "left_semi")
-    part_b = db.join(pairs.select(F.col("id_b").alias(id_col)).distinct(),
-                     id_col, "left_semi")
-    sharr = (part_a.unionByName(part_b).dropDuplicates([id_col])
+    if docs_b is None:
+        # both pair sides resolve against ONE frame (id-unique by the
+        # family contract): a single explode->distinct->semi-join finds
+        # the participants — one shuffle instead of two semi-joins plus
+        # a union + dropDuplicates shuffle
+        part_ids = (pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct())
+        participants = d.join(part_ids, id_col, "left_semi")
+    else:
+        part_a = d.join(
+            pairs.select(F.col("id_a").alias(id_col)).distinct(),
+            id_col, "left_semi")
+        part_b = db.join(
+            pairs.select(F.col("id_b").alias(id_col)).distinct(),
+            id_col, "left_semi")
+        participants = part_a.unionByName(part_b).dropDuplicates([id_col])
+    sharr = (participants
              .select(F.col(id_col), sh(F.col(text_col)).alias("__sh"))
              .persist())
     # eager materialization: the two pair-side joins below reference sharr
@@ -1035,14 +1047,25 @@ def connected_components(
     Node ids must be numeric (cast to long); hash string ids first
     (``F.xxhash64``) like the incremental dedup pipeline does.
     """
-    def _fingerprint(frame):
-        row = frame.agg(
+    def _checkpoint_with_fingerprint(frame):
+        # ONE action per round: the order-independent set fingerprint
+        # (count + bit_xor of xxhash64) rides the checkpoint
+        # materialization as observed metrics instead of a second
+        # driver round-trip — at toy scale each saved job is ~0.1-0.3s
+        # of pure scheduling latency, and at cluster scale it halves
+        # the per-round driver barriers
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        ck = frame.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("x"),
-        ).first()
-        return (row["n"], row["x"])
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        return ck, (got["n"], got["x"])
 
-    cur = (
+    cur, prev = _checkpoint_with_fingerprint(
         edges.select(
             F.col(src_col).cast("long").alias("a"),
             F.col(dst_col).cast("long").alias("b"),
@@ -1051,12 +1074,10 @@ def connected_components(
         .select(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    prev = _fingerprint(cur)
     for _ in range(max_rounds):
-        nxt = _cc_small_star(_cc_large_star(cur)).localCheckpoint(eager=True)
-        sig = _fingerprint(nxt)
+        nxt, sig = _checkpoint_with_fingerprint(
+            _cc_small_star(_cc_large_star(cur)))
         cur = nxt
         if sig == prev:
             break

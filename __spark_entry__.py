@@ -1751,6 +1751,47 @@ def ice_dup_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_times(spark: SparkSession, sf_dir: str) -> str:
+    """documents with a deterministic TIME column, identity-partitioned by
+    its hour bucket: event_t = make_time(id%24, id%60, id%60 + id%1000 ms)
+    — every component integer-derived, so the oracle reconstructs the
+    exact same µs time-of-day with TIME'00:00:00' + to_microseconds(...)."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+
+        docs = _pq(spark, sf_dir, "documents")
+        df = docs.selectExpr(
+            "doc_id",
+            "lang",
+            "make_time(CAST(doc_id % 24 AS INT), CAST(doc_id % 60 AS INT), "
+            " CAST(doc_id % 60 AS DECIMAL(16,6))"
+            " + CAST(doc_id % 1000 AS DECIMAL(16,6)) / 1000) AS event_t",
+            "CAST(doc_id % 24 AS INT) AS event_hour")
+        write_iceberg(df, loc, partition_by=["event_hour"])
+
+    return _build_once(sf_dir, "documents_times", build)
+
+
+def ice_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg `time` as a first-class type through OUR write path (the
+    SURVEY §1.2 gap lifted in r10): write a TimeType column, scan it back
+    with a TIME'...' predicate (stats + partition pruning), aggregate on
+    time-of-day values. Hash-checked — the oracle rebuilds the identical
+    µs time from doc_id with exact integer arithmetic, so every
+    min/max/count matches bit-for-bit."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_times(spark, sf_dir)
+    t = iceberg_scan(spark, loc, where="event_t >= TIME'12:00:00'")
+    return (
+        t.groupBy("event_hour")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("event_t").alias("min_t"),
+             F.max("event_t").alias("max_t"))
+        .orderBy("event_hour")
+    )
+
+
 def _ice_documents_variant(spark: SparkSession, sf_dir: str) -> str:
     """documents metadata as a VARIANT column written through the real
     write path (unblocked in this container in r8): each row carries
@@ -2981,6 +3022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": docs_repetition,
         "docs_line_dedup": docs_line_dedup,
         "emb_neardup": emb_neardup,
+        # parked NEW in r10 (TimeType end-to-end; oracle-checked in
+        # sweeps, rotates into the window at r11 under priority (b))
+        "ice_time_scan": ice_time_scan,
     }
 
 
@@ -5548,6 +5592,24 @@ def oracle_sql() -> dict[str, str]:
         # carried next to the queries they bisect
         "docs_lm_probe": _lm_probe_sql(),
         "docs_dsir_probe": _dsir_probe_sql(),
+        # TimeType end-to-end (r10): rebuild the identical µs time-of-day
+        # from doc_id with exact integer arithmetic — min/max/count over
+        # real TIME values must match bit-for-bit
+        "ice_time_scan": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(doc_id % 24 AS INT) AS event_hour,
+                     TIME '00:00:00' + to_microseconds(
+                       ((doc_id % 24) * 3600 + (doc_id % 60) * 60
+                        + (doc_id % 60)) * 1000000
+                       + (doc_id % 1000) * 1000) AS event_t
+              FROM documents
+            )
+            SELECT event_hour, count(*) AS n,
+                   min(event_t) AS min_t, max(event_t) AS max_t
+            FROM t WHERE event_t >= TIME '12:00:00'
+            GROUP BY event_hour ORDER BY event_hour
+        """,
         # custom write paths: replay the subset + MoR delete predicate
         # from the raw rows — a path mis-resolution (wrong root, spurious
         # marker rewrite) changes the counts

@@ -59,9 +59,16 @@ MANIFEST_DELETES = 1
 # inside the granularity window, but the Iceberg contract already forbids
 # in-place metadata rewrites (the guard exists only for test tmp-dirs).
 from collections import OrderedDict as _OrderedDict
+from threading import Lock as _Lock
 
 _AVRO_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
 _AVRO_CACHE_MAX = 256
+# planning runs concurrently (distributed fixture builders, parallel
+# tests): get/move_to_end racing another thread's eviction popitem()
+# raised KeyError without the lock (ADVICE r9). The lock guards only the
+# dict bookkeeping — the Avro decode itself runs unlocked, so two threads
+# may redundantly decode the same cold file but never corrupt the LRU.
+_AVRO_CACHE_LOCK = _Lock()
 
 
 def _read_avro_cached(path: str, what: str):
@@ -70,14 +77,16 @@ def _read_avro_cached(path: str, what: str):
     except (OSError, ValueError):
         return _read_avro_clean(path, what)
     key = (path, st.st_size, st.st_mtime_ns)
-    hit = _AVRO_CACHE.get(key)
-    if hit is not None:
-        _AVRO_CACHE.move_to_end(key)
-        return hit
+    with _AVRO_CACHE_LOCK:
+        hit = _AVRO_CACHE.get(key)
+        if hit is not None:
+            _AVRO_CACHE.move_to_end(key)
+            return hit
     out = _read_avro_clean(path, what)
-    _AVRO_CACHE[key] = out
-    if len(_AVRO_CACHE) > _AVRO_CACHE_MAX:
-        _AVRO_CACHE.popitem(last=False)
+    with _AVRO_CACHE_LOCK:
+        _AVRO_CACHE[key] = out
+        if len(_AVRO_CACHE) > _AVRO_CACHE_MAX:
+            _AVRO_CACHE.popitem(last=False)
     return out
 
 
@@ -464,6 +473,9 @@ def _encode_partition_value(avro_type: Any, v: Any) -> Any:
         lt = avro_type.get("logicalType")
         if lt == "date" and isinstance(v, dt.date):
             return (v - dt.date(1970, 1, 1)).days
+        if lt == "time-micros" and isinstance(v, dt.time):
+            return ((v.hour * 60 + v.minute) * 60
+                    + v.second) * 1_000_000 + v.microsecond
         if lt == "timestamp-micros" and isinstance(v, dt.datetime):
             if v.tzinfo is not None:
                 return int(v.timestamp() * 1_000_000)

@@ -4,7 +4,9 @@ Mirrors the reference's type parsing
 (reference: src/core/metadata/schema/iceberg_column_definition.cpp:82-241)
 with the Spark mappings documented in SURVEY.md §1.2:
 
-- ``time``            → LongType (µs) + ``iceberg.type`` metadata tag (no Spark TimeType)
+- ``time``            → TimeType (Spark 4.1+, ``spark.sql.timeType.enabled`` —
+  set by session.get_spark; real µs time-of-day with parquet TIME roundtrip);
+  LongType (µs) + ``iceberg.type`` metadata tag on older Spark
 - ``timestamp_ns``    → TimestampNTZType, truncated to µs (Spark is µs-only; the
   reference floors ns→µs for transforms too, iceberg_transform.hpp:118-127)
 - ``uuid``            → StringType canonical form (bucket hashing uses raw 16 bytes)
@@ -57,6 +59,25 @@ _EPOCH_DATE = _dt.date(1970, 1, 1)
 _EPOCH_TS = _dt.datetime(1970, 1, 1)
 _EPOCH_TS_TZ = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 
+#: Spark 4.1+ has a real TIME type (flag-gated; get_spark enables it).
+#: When absent, Iceberg `time` degrades to the tagged-Long µs mapping.
+TIME_TYPE_AVAILABLE = hasattr(T, "TimeType")
+
+
+def time_to_micros(v: Any) -> int:
+    """datetime.time (or already-µs int) → µs since midnight."""
+    if isinstance(v, _dt.time):
+        return ((v.hour * 60 + v.minute) * 60
+                + v.second) * 1_000_000 + v.microsecond
+    return int(v)
+
+
+def micros_to_time(us: int) -> "_dt.time":
+    s, us_rem = divmod(int(us), 1_000_000)
+    h, rem = divmod(s, 3600)
+    m, sec = divmod(rem, 60)
+    return _dt.time(h, m, sec, us_rem)
+
 
 def is_primitive(t: Any) -> bool:
     return isinstance(t, str)
@@ -103,6 +124,8 @@ def iceberg_to_spark(t: Any) -> T.DataType:
         if name == "date":
             return T.DateType()
         if name == "time":
+            if TIME_TYPE_AVAILABLE:
+                return T.TimeType()  # µs time-of-day (Spark 4.1+)
             return T.LongType()  # µs since midnight; tagged via metadata
         if name == "timestamp" or name == "timestamp_ns":
             return T.TimestampNTZType()
@@ -212,6 +235,8 @@ def spark_to_iceberg(dt: T.DataType, alloc: _IdAllocator) -> Any:
         return f"decimal({dt.precision}, {dt.scale})"
     if isinstance(dt, T.DateType):
         return "date"
+    if TIME_TYPE_AVAILABLE and isinstance(dt, T.TimeType):
+        return "time"
     if isinstance(dt, T.TimestampNTZType):
         return "timestamp"
     if isinstance(dt, T.TimestampType):
@@ -334,7 +359,9 @@ def encode_bound(t: Any, v: Any) -> bytes | None:
         return b"\x01" if v else b"\x00"
     if name == "int":
         return struct.pack("<i", int(v))
-    if name in ("long", "time"):
+    if name == "time":
+        return struct.pack("<q", time_to_micros(v))
+    if name == "long":
         return struct.pack("<q", int(v))
     if name == "float":
         return struct.pack("<f", float(v))
@@ -398,7 +425,10 @@ def decode_bound(t: Any, b: bytes | None) -> Any:
         return b != b"\x00"
     if name == "int":
         return struct.unpack("<i", b)[0]
-    if name in ("long", "time"):
+    if name == "time":
+        us = struct.unpack("<q", b)[0]
+        return micros_to_time(us) if TIME_TYPE_AVAILABLE else us
+    if name == "long":
         # type promotion: an int→long widened column keeps 4-byte bounds
         # written under the old type (spec Appendix D reader requirement)
         if len(b) == 4:
@@ -471,9 +501,11 @@ def json_default_to_python(t: Any, v: Any) -> Any:
     if name == "date":
         return _dt.date.fromisoformat(v)
     if name == "time":
-        # JSON 'HH:MM:SS.ffffff' → µs since midnight (time maps to LongType)
         t = _dt.time.fromisoformat(v)
-        return ((t.hour * 60 + t.minute) * 60 + t.second) * 1_000_000 + t.microsecond
+        if TIME_TYPE_AVAILABLE:
+            return t
+        # µs since midnight on pre-TimeType Spark (tagged-Long mapping)
+        return time_to_micros(t)
     if name in ("timestamp", "timestamp_ns"):
         return _dt.datetime.fromisoformat(v)
     if name in ("timestamptz", "timestamptz_ns"):

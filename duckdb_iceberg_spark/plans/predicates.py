@@ -145,14 +145,16 @@ def _parse_literal(tk: _Tokens) -> Any:
         return int(val)
     if kind == "word":
         up = val.upper()
-        if up in ("DATE", "TIMESTAMP", "TIMESTAMPTZ"):
+        if up in ("DATE", "TIME", "TIMESTAMP", "TIMESTAMPTZ"):
             tk.next()
             s = tk.next()
             if s[0] != "str":
-                raise ValueError("expected string after DATE/TIMESTAMP")
+                raise ValueError("expected string after DATE/TIME/TIMESTAMP")
             raw = s[1][1:-1]
             if up == "DATE":
                 return _dt.date.fromisoformat(raw)
+            if up == "TIME":
+                return _dt.time.fromisoformat(raw)
             d = _dt.datetime.fromisoformat(raw.replace("Z", "+00:00"))
             return d
         if up == "TRUE":
@@ -370,6 +372,14 @@ def coerce_literal(value: Any, src_type: Any) -> Any:
             if isinstance(value, _dt.datetime):
                 return value.date()
             return value
+        if name == "time":
+            if isinstance(value, str):
+                value = _dt.time.fromisoformat(value)
+            if ice_types.TIME_TYPE_AVAILABLE:
+                if isinstance(value, int):
+                    return ice_types.micros_to_time(value)
+                return value
+            return ice_types.time_to_micros(value)
         if name in ("timestamp", "timestamptz", "timestamp_ns", "timestamptz_ns"):
             if isinstance(value, str):
                 return _dt.datetime.fromisoformat(value.replace("Z", "+00:00"))

@@ -135,10 +135,21 @@ def _localize(tm: TableMetadata, path: str) -> str:
     # marker-rewritten — an override containing '/data/' or '/metadata/'
     # would otherwise be relocated under <location> (remote tables don't
     # probe existence, so the corruption would be silent)
+    # normalize URI form on BOTH sides before comparing (ADVICE r9): a
+    # recorded 'file:///x/data/f' must match an override of '/x/data'
+    # and vice versa — a raw string-prefix compare would miss and let a
+    # marker-containing override path be rewritten under <location>
+    def _no_file_scheme(p: str) -> str:
+        scheme, rest = fio.parse_uri(p)
+        return rest if scheme == "file" else p
+
+    cmp_path = _no_file_scheme(path)
     for root in (tm.properties.get("write.data.path"),
                  tm.properties.get("write.metadata.path")):
-        if root and (path == root.rstrip("/")
-                     or path.startswith(root.rstrip("/") + "/")):
+        if not root:
+            continue
+        root = _no_file_scheme(root.rstrip("/"))
+        if cmp_path == root or cmp_path.startswith(root + "/"):
             return path
     if path_scheme == "file":
         # strip BEFORE marker matching — 'file://<relative>' (a malformed
@@ -379,6 +390,9 @@ def _norm_partition_value(v: Any, result_type: Any) -> Any:
     name = ice_types.primitive_name(result_type)
     if name == "date" and isinstance(v, int):
         return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+    if (name == "time" and isinstance(v, int)
+            and ice_types.TIME_TYPE_AVAILABLE):
+        return ice_types.micros_to_time(v)
     if name in ("timestamp", "timestamptz") and isinstance(v, int):
         base = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc if name == "timestamptz" else None)
         return base + _dt.timedelta(microseconds=v)

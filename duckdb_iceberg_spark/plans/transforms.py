@@ -112,7 +112,7 @@ def _hash_bytes_for(value: Any, src_type: str) -> bytes:
             value = (value - _EPOCH_DATE).days
         return struct.pack("<q", int(value))
     if name == "time":
-        return struct.pack("<q", int(value))
+        return struct.pack("<q", ice_types.time_to_micros(value))
     if name in ("timestamp", "timestamptz", "timestamp_ns", "timestamptz_ns"):
         return struct.pack("<q", _to_micros(value, name))
     if name == "string":
@@ -364,6 +364,11 @@ def _bucket_udf(n: int, src_type: str):
                 vals = s.map(lambda d: (d - _EPOCH_DATE).days if d is not None else None)
             elif name in ("timestamp", "timestamptz", "timestamp_ns", "timestamptz_ns"):
                 vals = s.map(lambda v: _to_micros(v, name) if v is not None else None)
+            elif name == "time":
+                # TimeType columns arrive as datetime.time; tagged-Long
+                # tables ship raw µs ints — both hash as 8-byte µs
+                vals = s.map(lambda v: ice_types.time_to_micros(v)
+                             if v is not None else None)
             else:
                 vals = s
             mask = vals.notna()

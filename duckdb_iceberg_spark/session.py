@@ -62,6 +62,11 @@ def get_spark(
         .config("spark.sql.parquet.fieldId.write.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+        # Spark 4.1's TIME type is flag-gated: enabling it lets Iceberg
+        # `time` columns surface as real TimeType (µs time-of-day, parquet
+        # TIME roundtrip) instead of the tagged-Long fallback (SURVEY
+        # §1.2 gap #1, lifted r10)
+        .config("spark.sql.timeType.enabled", "true")
         # arrow for pandas UDFs (bucket transform, dedup/similarity ops)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -294,13 +294,34 @@ def remove_orphan_files(
     tm = load_table_metadata(location)
     _, referenced = _reachable_files(tm, tm.snapshots, strict=True)
     orphans = []
-    # scan the default data dir AND the write.data.path override when set:
-    # a table that gained the property mid-life has files under both, and
-    # an aborted write lands wherever writes were pointed at the time.
-    # Each root resolves its OWN FileIO — the override's stated purpose is
-    # a separate storage budget, so it may live on a different scheme than
-    # the table location
+    # scan the default data dir AND every write.data.path the table has
+    # EVER pointed writes at: a table that gained (or changed) the
+    # property mid-life has files under each root, and an aborted write
+    # lands wherever writes were pointed at the time. Historical roots
+    # come from the metadata-log's previous metadata versions (ADVICE
+    # r9: a property changed more than once left earlier override roots
+    # unscanned forever). Each root resolves its OWN FileIO — the
+    # override's stated purpose is a separate storage budget, so it may
+    # live on a different scheme than the table location. A vanished
+    # previous metadata file is skipped: its data roots are either the
+    # current ones or unreachable from every live snapshot anyway.
     roots = {fio.join(location, "data"), tm.data_path()}
+    import json as _json
+
+    from ..metadata.table_metadata import _read_text
+    from ..plans.scan_plan import _localize
+
+    for entry in tm.metadata_log:
+        prev_path = (entry or {}).get("metadata-file")
+        if not prev_path:
+            continue
+        try:
+            j = _json.loads(_read_text(_localize(tm, prev_path)))
+        except Exception:
+            continue
+        prev_root = (j.get("properties") or {}).get("write.data.path")
+        if prev_root:
+            roots.add(prev_root)
     seen: set[str] = set()
     for data_root in sorted(roots):
         for ent in fio.get_io(data_root).list_files(data_root):

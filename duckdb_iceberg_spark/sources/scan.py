@@ -157,6 +157,20 @@ def iceberg_scan(
     ``where`` is both a pruning hint (driver-side file pruning) and a
     residual filter (applied by Spark, so over-approximation is safe).
     """
+    if plan is not None:
+        # a precomputed plan already pins metadata version + snapshot:
+        # accepting a lookup option alongside it would silently ignore
+        # the lookup (r10 sweep of silently-ignored option combinations,
+        # the class the reference rejects loudly for
+        # snapshot_from_id+snapshot_from_timestamp)
+        clash = {"snapshot_id": snapshot_id, "as_of": as_of, "ref": ref,
+                 "version": version}
+        given = [k for k, v in clash.items() if v is not None]
+        if given:
+            raise ValueError(
+                f"iceberg_scan: {', '.join(given)} cannot be combined "
+                "with a precomputed plan= (the plan already pins the "
+                "snapshot)")
     if plan is None:
         tm = load_table_metadata(
             path, version, version_name_format=version_name_format,

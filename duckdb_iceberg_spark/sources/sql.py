@@ -962,20 +962,18 @@ def _register_prefixed_view(spark: SparkSession, view: Any, prefix: str,
     its original (unrecoverable) SQL text."""
     out = f"{prefix}{view.name}"
     sql2 = _rewrite_unprefixed_idents(view.sql("spark"), base_names, prefix)
-    try:
-        spark.sql(sql2)  # eager analysis: validate the rewrite
-        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW `{out}` AS {sql2}")
-        return out
-    except Exception:
-        pass  # fall back to binding-based analysis below
-    # capture only session TEMP VIEWS for restore: a permanent catalog
-    # object at the same identifier is merely shadowed by the temporary
-    # binding and must NOT be converted into a frozen temp view on
-    # restore — dropping the binding un-shadows it
+    # binding-based analysis of the ORIGINAL SQL first: it is the
+    # semantic ground truth the textual rewrite must match. capture only
+    # session TEMP VIEWS for restore: a permanent catalog object at the
+    # same identifier is merely shadowed by the temporary binding and
+    # must NOT be converted into a frozen temp view on restore —
+    # dropping the binding un-shadows it
     temp_names = {t.name for t in spark.catalog.listTables()
                   if t.isTemporary}
     shadowed: dict[str, DataFrame] = {}
     bound: list[str] = []
+    df = None
+    bind_err: Exception | None = None
     try:
         for base in base_names:
             if base in temp_names and base not in shadowed:
@@ -985,15 +983,33 @@ def _register_prefixed_view(spark: SparkSession, view: Any, prefix: str,
         try:
             df = spark.sql(view.sql("spark"))
         except Exception as e:
-            raise ValueError(
-                f"cannot rewrite identifiers of view {view.name!r} for "
-                f"view_prefix {prefix!r}: analysis of its SQL failed "
-                f"({e})") from e
+            bind_err = e
     finally:
         for base in dict.fromkeys(bound):  # dedupe: restore/drop once
             if base in shadowed:
                 shadowed[base].createOrReplaceTempView(base)
             else:
                 spark.catalog.dropTempView(base)
+    try:
+        cand = spark.sql(sql2)  # eager analysis: validate the rewrite
+        # analyzability alone is not enough (ADVICE r9): a rewritten
+        # identifier that still happens to resolve (a base name colliding
+        # with a column/alias) would register a silently WRONG view.
+        # Require the rewritten text's analyzed shape to match the
+        # binding-based analysis of the original before preferring the
+        # textual path (names + types; nullability may legitimately
+        # differ between resolution paths)
+        shape = [(f.name, f.dataType) for f in cand.schema.fields]
+        if df is None or shape == [(f.name, f.dataType)
+                                   for f in df.schema.fields]:
+            spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW `{out}` AS {sql2}")
+            return out
+    except Exception:
+        pass  # fall back to the binding-based DataFrame below
+    if df is None:
+        raise ValueError(
+            f"cannot rewrite identifiers of view {view.name!r} for "
+            f"view_prefix {prefix!r}: analysis of its SQL failed "
+            f"({bind_err})") from bind_err
     df.createOrReplaceTempView(out)
     return out

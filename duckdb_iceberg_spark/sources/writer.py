@@ -395,6 +395,10 @@ def _parse_partition_string(s: str, result_type: Any) -> Any:
             return Decimal(s)
         if name == "date":
             return _dt.date.fromisoformat(s)
+        if name == "time":
+            t = _dt.time.fromisoformat(s)
+            return t if ice_types.TIME_TYPE_AVAILABLE \
+                else ice_types.time_to_micros(t)
         if name in ("timestamp", "timestamptz"):
             return _dt.datetime.fromisoformat(s.replace(" ", "T"))
         if name == "boolean":
@@ -626,7 +630,20 @@ def _cast_to_table_schema(df: DataFrame, schema_json: dict) -> DataFrame:
             cur = df.schema[name].dataType
             c = ice_types.quoted_col(name)
             if cur != target and not isinstance(target, T.NullType):
-                c = c.cast(target)
+                if (ice_types.TIME_TYPE_AVAILABLE
+                        and isinstance(target, T.TimeType)
+                        and isinstance(cur, (T.LongType, T.IntegerType))):
+                    # legacy tagged-Long µs input for an iceberg `time`
+                    # column (the pre-4.1 mapping): Spark has no
+                    # BIGINT→TIME cast, so build the time-of-day from the
+                    # µs value explicitly
+                    c = F.expr(
+                        "make_time(CAST({0} DIV 3600000000 AS INT), "
+                        "CAST({0} % 3600000000 DIV 60000000 AS INT), "
+                        "CAST({0} % 60000000 AS DECIMAL(16,6)) / 1000000)"
+                        .format("`" + name.replace("`", "``") + "`"))
+                else:
+                    c = c.cast(target)
             cols.append(c.alias(name))
         else:
             cols.append(F.lit(None).cast(ice_types.iceberg_to_spark(ice["type"])).alias(name))

@@ -19,16 +19,16 @@ ROWS_ONLY: set = set()
 
 
 def test_window_holds_reference_surface_and_rotation():
-    """Round-9 rotation (queries() docstring): the 17-entry ice_* DML/scan
-    core stays in-window; the rotating slots hold the r8 hash-RED rows
-    (docs_dsir_sample/docs_lm_score — VERDICT r8: a red row never rotates
-    out until green), the never-driver-checked entries
-    (ice_variant_write_scan, emb_kmeans, emb_semantic_dedup), the
-    recompute-float oracle-audit cohort (comparison method changed in r9),
-    the 9 longest-parked metadata/function ice_*, and the longest-parked
-    half of r7's cohort. TPC-H parks after its 23 green r8 rows. An entry
-    may leave the window only via a documented rotation, never via an
-    accidental insertion above it."""
+    """Round-10 rotation (queries() docstring): the 17-entry ice_* DML/scan
+    core stays in-window; the rotating slots hold the r8+r9 hash-RED rows
+    (docs_dsir_sample/docs_lm_score — a red row never rotates out until
+    green) with their green control (docs_lm_buckets) and the NEW r10
+    stage-bisect probes (docs_dsir_probe/docs_lm_probe, VERDICT r9 task
+    1b), the never-driver-checked r9 entries (ice_custom_paths_scan,
+    docs_bloom_dedup), the rest of r7's cohort, and 16 of r6's cohort.
+    TPC-H and the green r9 window park until r11. An entry may leave the
+    window only via a documented rotation, never via an accidental
+    insertion above it."""
     keys = list(entry.queries())
     window = set(keys[:50])
     ice_core = {
@@ -45,23 +45,29 @@ def test_window_holds_reference_surface_and_rotation():
         "the driver's 50-row correctness window")
     red_until_green = {"docs_dsir_sample", "docs_lm_score"}
     assert red_until_green <= window, (
-        f"{sorted(red_until_green - window)} were hash-RED in r8 and must "
-        "stay in-window until a green driver row exists")
-    r9_rotation = {
-        # never driver-checked before r9
-        "ice_variant_write_scan", "emb_kmeans", "emb_semantic_dedup",
-        # oracle comparison method changed in r9 (recompute-float audit)
-        "docs_lm_buckets", "emb_ivf_topk", "emb_cosine_topk",
-        "emb_lsh_topk", "emb_knn_join", "emb_knn_join_bucketed",
-        "docs_tfidf",
-        # longest-parked metadata/function surface
-        "ice_count_star_metadata", "ice_objectstore_scan",
-        "ice_snapshot_history", "ice_partition_stats", "ice_column_stats",
-        "ice_metadata_files", "ice_topk_scan", "ice_truncate_fn",
-        "ice_bucket_fn",
+        f"{sorted(red_until_green - window)} were hash-RED in r8+r9 and "
+        "must stay in-window until a green driver row exists")
+    probes = {"docs_dsir_probe", "docs_lm_probe", "docs_lm_buckets"}
+    assert probes <= window, (
+        f"{sorted(probes - window)} (stage-bisect probes + control) must "
+        "ride NEXT TO the red rows they bisect")
+    r10_rotation = {
+        # never driver-checked before r10
+        "ice_custom_paths_scan", "docs_bloom_dedup",
+        # rest of r7's cohort (longest-parked)
+        "docs_quality", "docs_fingerprint", "docs_incremental_dedup",
+        "docs_lang_scores", "docs_winnow", "q_distinct_parts", "q_rollup",
+        "q_setop_nations", "q_topk_orders", "q_anti_join",
+        # 16 of r6's cohort
+        "docs_minhash_dedup", "docs_decontaminate", "docs_ngram_dedup",
+        "docs_simhash", "docs_exact_dedup", "stream_incremental",
+        "stream_sink_roundtrip", "stream_tumbling_events",
+        "mm_image_features", "mm_audio_features", "mm_frame_sample",
+        "docs_source_cap", "docs_substr_dedup", "q_window_top_order",
+        "q_events_hourly", "q_asof_join",
     }
-    assert r9_rotation <= window, (
-        f"{sorted(r9_rotation - window)} (r9 rotation set) fell past the "
+    assert r10_rotation <= window, (
+        f"{sorted(r10_rotation - window)} (r10 rotation set) fell past the "
         "window")
     assert len(keys) >= 50 and len(window) == 50
 

@@ -2,7 +2,8 @@
 (SURVEY.md §1.2; reference type parsing:
 src/core/metadata/schema/iceberg_column_definition.cpp:82-241):
 
-- time      → LongType µs + iceberg.type tag
+- time      → Spark TimeType (4.1+, r10 — spark.sql.timeType.enabled set
+  by get_spark); legacy tagged-Long µs input still writes (make_time)
 - uuid      → StringType canonical form
 - fixed[16] → BinaryType
 - geometry  → BinaryType (WKB)
@@ -36,25 +37,24 @@ def _tagged_schema():
     ])
 
 
-def test_spark_time_type_still_parquet_unsupported(spark, tmp_path):
-    """Retest pin for the tagged-Long `time` mapping: Spark 4.1 ships
-    T.TimeType, but its parquet datasource rejects TIME on BOTH paths
-    (write: UNSUPPORTED_TIME_TYPE; read of a foreign TIME(MICROS) column:
-    UNSUPPORTED_TIME_TYPE/PARQUET_TYPE_ILLEGAL — probed 2026-08-15, r8).
-    The moment either path starts working this fails, signalling the
-    mapping in metadata/types.py can upgrade from the tagged Long."""
+def test_spark_time_type_parquet_roundtrip(spark, tmp_path):
+    """The r8 pin FLIPPED in r10: Spark 4.1's TIME type works end-to-end
+    once ``spark.sql.timeType.enabled`` is set (get_spark sets it), so
+    the tagged-Long mapping upgraded to a real TimeType (SURVEY §1.2
+    gap #1 lifted — re-probed 2026-08-15, r10)."""
     vt = getattr(T, "TimeType", None)
     if vt is None:
         pytest.skip("no TimeType in this Spark")
     import datetime as dt
 
     df = spark.createDataFrame(
-        [(1, dt.time(12, 34, 56))],
+        [(1, dt.time(12, 34, 56, 789001))],
         T.StructType([T.StructField("id", T.LongType()),
                       T.StructField("t", vt())]))
     loc = str(tmp_path / "t")
-    with pytest.raises(Exception, match="TIME|TimeType"):
-        df.write.parquet(loc)
+    df.write.parquet(loc)
+    back = spark.read.parquet(loc).collect()
+    assert back[0].t == dt.time(12, 34, 56, 789001)
 
 
 def test_tagged_types_round_trip(spark, tmp_path):
@@ -80,8 +80,11 @@ def test_tagged_types_round_trip(spark, tmp_path):
     assert declared["t_fixed"] == "fixed[16]"
     assert declared["t_geom"] == "geometry"
 
+    import datetime as dt
+
     got = {r.id: r for r in iceberg_scan(spark, loc).collect()}
-    assert got[1].t_time == 12 * 3600 * 1_000_000
+    # legacy µs-long input surfaces as a real time-of-day on read (r10)
+    assert got[1].t_time == dt.time(12, 0, 0)
     assert got[1].t_uuid == u
     assert got[1].t_fixed == b"0123456789abcdef"
     assert got[1].t_geom == wkb_point

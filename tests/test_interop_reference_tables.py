@@ -141,13 +141,14 @@ def test_identity_partition_fixed_length_binary(spark):
 
 
 def test_identity_partition_time(spark):
-    """time surfaces as µs-since-midnight long (no Spark TimeType)."""
+    """time surfaces as a real Spark TimeType (4.1+, r10 — the SURVEY
+    §1.2 tagged-Long gap lifted); pruning accepts TIME'...' literals."""
     path = (f"{P}/partition_time/default.db/partition_time/metadata/"
             "00001-44546aa6-1ee5-48c5-9e3b-bc6c0bc0a60c.metadata.json")
-    # 12:34:56 = 45296s, 08:21:09 = 30069s
     assert rows_of(iceberg_scan(spark, path)) == [
-        (30069000000, 67890, "purchase"), (45296000000, 12345, "click")]
-    got = iceberg_scan(spark, path, where="partition_col = 45296000000")
+        (dt.time(8, 21, 9), 67890, "purchase"),
+        (dt.time(12, 34, 56), 12345, "click")]
+    got = iceberg_scan(spark, path, where="partition_col = TIME'12:34:56'")
     assert [r.user_id for r in got.collect()] == [12345]
 
 
@@ -474,7 +475,7 @@ def test_initial_defaults_all_types(spark):
     assert d.col_double == pytest.approx(0.342343242342342)
     assert d.col_decimal == Decimal("12345.00")
     assert d.col_date == dt.date(2003, 10, 20)
-    assert d.col_time == 12345  # 00:00:00.012345 → µs
+    assert d.col_time == dt.time(0, 0, 0, 12345)  # real TimeType (r10)
     assert d.col_timestamp == dt.datetime(1970, 1, 1, 0, 0, 0, 12345)
     assert d.col_uuid == "f79c3e09-677c-4bbd-a479-3f349cb785e7"
     assert d.col_fixed == b"\x01\x02\x03\xff\x03"
@@ -556,7 +557,7 @@ def test_initial_defaults_in_struct(spark):
     assert d.col_double == pytest.approx(0.342343242342342)
     assert d.col_decimal == Decimal("12345.00")
     assert d.col_date == dt.date(2003, 10, 20)
-    assert d.col_time == 12345  # 00:00:00.012345 -> us
+    assert d.col_time == dt.time(0, 0, 0, 12345)  # real TimeType (r10)
     assert d.col_timestamp == dt.datetime(1970, 1, 1, 0, 0, 0, 12345)
     assert d.col_uuid == "f79c3e09-677c-4bbd-a479-3f349cb785e7"
     assert d.col_fixed == b"\x01\x02\x03\xff\x03"

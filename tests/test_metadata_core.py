@@ -508,6 +508,28 @@ def test_localize_never_rewrites_custom_write_paths():
         "s3://bkt/t1/data/u/x.parquet"
 
 
+def test_localize_custom_roots_match_across_uri_forms():
+    """The custom-root guard normalizes URI form on both sides (ADVICE
+    r9): a recorded 'file:///x/...' must match a bare-path override and
+    a bare recorded path must match a 'file://' override — otherwise a
+    marker-containing override path gets rewritten under <location>."""
+    from duckdb_iceberg_spark.metadata.table_metadata import TableMetadata
+    from duckdb_iceberg_spark.plans.scan_plan import _localize
+
+    # bare-path override, file://-scheme recorded path
+    tm = TableMetadata({
+        "format-version": 2, "location": "s3://bkt/t1",
+        "properties": {"write.data.path": "/ext/shared/data/t1"}})
+    assert _localize(tm, "file:///ext/shared/data/t1/u/x.parquet") == \
+        "file:///ext/shared/data/t1/u/x.parquet"
+    # file://-scheme override, bare recorded path
+    tm2 = TableMetadata({
+        "format-version": 2, "location": "s3://bkt/t1",
+        "properties": {"write.data.path": "file:///ext/shared/data/t1"}})
+    assert _localize(tm2, "/ext/shared/data/t1/u/x.parquet") == \
+        "/ext/shared/data/t1/u/x.parquet"
+
+
 def test_snapshot_lookups_mutually_exclusive():
     """snapshot_id / as_of / ref are mutually exclusive lookups
     (reference: iceberg_multi_file_reader.cpp ParseOption — "Can't use
@@ -521,3 +543,49 @@ def test_snapshot_lookups_mutually_exclusive():
         tm.select_snapshot(snapshot_id=1, as_of="2020-01-01")
     with pytest.raises(ValueError, match="mutually exclusive"):
         tm.select_snapshot(snapshot_id=1, ref="main")
+
+
+def test_scan_option_combinations_never_silently_ignored(spark, tmp_path):
+    """r10 sweep of iceberg_scan/execute_sql option combinations: every
+    conflicting pair fails LOUDLY (the reference's posture for
+    snapshot_from_id+snapshot_from_timestamp); none is silently dropped.
+    - plan= + any snapshot/version lookup: the plan already pins both,
+      so accepting the lookup would scan something the caller did not
+      name (the one combination that WAS silently accepted before r10)
+    - version=N + a snapshot id that only exists in a later metadata
+      version: loud KeyError from snapshot resolution
+    - DML + FOR VERSION AS OF through the SQL route: loud parse error
+      (a snapshot is immutable; the reference has no snapshot-pinned
+      DML either)."""
+    import pytest as _pytest
+
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import (
+        load_table_metadata,
+    )
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = str(tmp_path / "t_opts")
+    write_iceberg(spark.createDataFrame([(1,), (2,)], "id int"), loc)
+    write_iceberg(spark.createDataFrame([(3,)], "id int"), loc)
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    for kw in ({"snapshot_id": 1}, {"as_of": "2020-01-01"},
+               {"ref": "main"}, {"version": "1"}):
+        with _pytest.raises(ValueError, match="precomputed plan"):
+            iceberg_scan(spark, loc, plan=plan, **kw)
+    # plan alone still scans
+    assert iceberg_scan(spark, loc, plan=plan).count() == 3
+    # a snapshot id resolved under an EARLIER metadata version fails loud
+    last_snap = tm.current_snapshot().snapshot_id
+    with _pytest.raises(KeyError, match="no snapshot"):
+        iceberg_scan(spark, loc, version="1", snapshot_id=last_snap)
+    # DML refuses time-travel targets
+    register_table(spark, "t_opts_sql", loc)
+    for stmt in ("DELETE FROM t_opts_sql FOR VERSION AS OF 1 WHERE id=1",
+                 "UPDATE t_opts_sql FOR VERSION AS OF 1 SET id = 9"):
+        with _pytest.raises(ValueError):
+            execute_sql(spark, stmt)
+    # and the data is untouched
+    assert iceberg_scan(spark, loc).count() == 3

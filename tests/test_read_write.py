@@ -608,3 +608,86 @@ def test_write_data_path_added_mid_life(spark, tmp_path):
         strays.append(p)
     removed = remove_orphan_files(loc)
     assert all(s in removed for s in strays)
+
+
+def test_time_type_write_scan_roundtrip(spark, tmp_path):
+    """Iceberg `time` end-to-end through OUR write path as a real Spark
+    TimeType (4.1+, r10): write_iceberg maps TimeType → iceberg 'time',
+    bounds encode as µs int64 (spec Appendix D), the scan surfaces
+    datetime.time, TIME'...' predicates prune on the stats, and
+    identity-partitioning by a time column survives the manifest
+    partition-value roundtrip."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    if not hasattr(T, "TimeType"):
+        _pytest.skip("Spark TimeType not available")
+
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import (
+        load_table_metadata,
+    )
+
+    rows = [(i, dt.time(8 + i, 30, i, i * 1000)) for i in range(4)]
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("t", T.TimeType())])
+    loc = str(tmp_path / "t_time")
+    write_iceberg(spark.createDataFrame(rows, schema), loc)
+    tm = load_table_metadata(loc)
+    fields = {f["name"]: f["type"] for f in tm.schema_json()["fields"]}
+    assert fields["t"] == "time"
+    back = iceberg_scan(spark, loc).orderBy("id")
+    assert [tuple(r) for r in back.collect()] == rows
+    # stats pruning on a TIME literal: only one row's file qualifies when
+    # each row landed in its own file
+    got = iceberg_scan(spark, loc, where="t >= TIME'11:00:00'")
+    assert sorted(r.id for r in got.collect()) == [3]
+
+    # identity partition by time: values roundtrip through hive dirs +
+    # manifest avro (time-micros logical type)
+    loc2 = str(tmp_path / "t_time_part")
+    write_iceberg(spark.createDataFrame(rows, schema), loc2,
+                  partition_by=["t"])
+    back2 = iceberg_scan(spark, loc2).orderBy("id")
+    assert [tuple(r) for r in back2.collect()] == rows
+    got2 = iceberg_scan(spark, loc2, where="t = TIME'09:30:01.001'")
+    assert [r.id for r in got2.collect()] == [1]
+
+
+def test_orphans_found_under_historical_data_roots(spark, tmp_path):
+    """write.data.path changed MORE THAN ONCE: an aborted write stranded
+    under an EARLIER override root (no longer the current property value)
+    is still found — the orphan scan harvests every historical
+    write.data.path from the metadata-log's previous versions (ADVICE
+    r9: earlier override roots were never scanned again)."""
+    import os
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.maintenance import remove_orphan_files
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = str(tmp_path / "t_twice")
+    root1 = str(tmp_path / "root_one")
+    root2 = str(tmp_path / "root_two")
+    write_iceberg(spark.createDataFrame([(1,)], "id int"), loc)
+    register_table(spark, "t_twice", loc)
+    execute_sql(spark,
+                f"ALTER TABLE t_twice SET ('write.data.path'='{root1}')")
+    write_iceberg(spark.createDataFrame([(2,)], "id int"), loc)
+    execute_sql(spark,
+                f"ALTER TABLE t_twice SET ('write.data.path'='{root2}')")
+    write_iceberg(spark.createDataFrame([(3,)], "id int"), loc)
+
+    # a stray under the FIRST (historical) override root
+    stray = os.path.join(root1, "stray.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"junk")
+    os.utime(stray, (1, 1))
+    removed = remove_orphan_files(loc)
+    assert stray in removed
+    # referenced files under every root survived
+    from duckdb_iceberg_spark import iceberg_scan
+    assert iceberg_scan(spark, loc).count() == 3

@@ -90,6 +90,40 @@ AUDIT = [
     # NEW in r9 (parked, r10 rotation): custom write paths + bloom dedup
     "ice_custom_paths_scan",
     "docs_bloom_dedup",
+    # r10: complete coverage of the r10 driver window (VERDICT r9 task 8)
+    # — the remaining ice core, the stage-bisect probes, and the r7/r6
+    # rotation cohorts that lacked a PLANS entry
+    "ice_update_scan",
+    "ice_upsert_scan",
+    "ice_merge_scan",
+    "ice_sql_merge",
+    "ice_time_travel",
+    "ice_schema_evolution",
+    "ice_compaction_scan",
+    "ice_bucket_pruned_scan",
+    "ice_dynamic_prune_join",
+    "ice_variant_extract",
+    "ice_docs_curation",
+    "docs_dsir_probe",
+    "docs_lm_probe",
+    "docs_quality",
+    "docs_fingerprint",
+    "docs_lang_scores",
+    "docs_winnow",
+    "q_distinct_parts",
+    "q_rollup",
+    "q_setop_nations",
+    "q_topk_orders",
+    "q_anti_join",
+    "docs_simhash",
+    "stream_incremental",
+    "stream_sink_roundtrip",
+    "stream_tumbling_events",
+    "mm_image_features",
+    "mm_audio_features",
+    "mm_frame_sample",
+    "q_window_top_order",
+    "q_events_hourly",
 ]
 
 

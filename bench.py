@@ -109,6 +109,8 @@ HEADLINE = [
     "mm_video_dedup",
     "stream_minhash_curation",
     "emb_pq_topk",
+    # r10: TIME type end-to-end (write + partition-pruned scan + agg)
+    "ice_time_scan",
 ]
 
 
@@ -262,7 +264,7 @@ def main() -> None:
                # (stream_dedup_ttl even sleeps past a TTL) — pay that once
                # here, not inside the first timed run
                entry._ice_stream_curated, entry._stream_dedup_ttl_out,
-               entry._ice_stream_minhash):
+               entry._ice_stream_minhash, entry._ice_documents_times):
         fn(spark, sf_dir)
     build_s = time.time() - t0
 

@@ -34,9 +34,150 @@ def iceberg_truncate(w: int, col: Column | str, source_type: str = "long") -> Co
     """Iceberg truncate transform: ints floor to a multiple of w
     (v - (((v % w) + w) % w), reference iceberg_scalar_functions.cpp:229-239),
     strings keep the first w code points, binaries the first w bytes,
-    decimals truncate on the unscaled value."""
+    decimals truncate on the unscaled value. Width must be positive
+    (reference: iceberg_scalar_functions.cpp width check)."""
+    _check_width(w)
     c = F.col(col) if isinstance(col, str) else col
     return tr.transform_column(f"truncate[{w}]", c, source_type)
 
 
-__all__ = ["iceberg_bucket", "iceberg_truncate"]
+def _check_width(w) -> None:
+    if w is None or int(w) <= 0:
+        raise ValueError(
+            "iceberg_truncate: width must be a positive integer")
+
+
+def _infer_ice_type(v) -> str:
+    """SQL-dispatch analogue of the reference's overload set
+    (iceberg_scalar_functions.cpp:172-203): pick the Iceberg hash/byte
+    convention from the VALUE's type, like DuckDB resolves the overload
+    from the argument's SQL type. Spark has no UUID type, so uuid-shaped
+    strings hash as strings — callers needing the uuid convention use the
+    Column API's explicit ``source_type``."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    if isinstance(v, bool):
+        raise ValueError("iceberg_bucket: no boolean overload "
+                         "(reference has none either)")
+    if isinstance(v, _dt.datetime):  # before date: datetime IS a date
+        return "timestamptz" if v.tzinfo is not None else "timestamp"
+    if isinstance(v, _dt.date):
+        return "date"
+    if isinstance(v, _dt.time):
+        return "time"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, (bytes, bytearray)):
+        return "binary"
+    if isinstance(v, _Dec):
+        exp = v.as_tuple().exponent
+        scale = -exp if isinstance(exp, int) and exp < 0 else 0
+        return f"decimal(38, {scale})"
+    import numpy as _np
+
+    if isinstance(v, (int, _np.integer)):
+        return "long"
+    raise ValueError(f"iceberg_bucket: unsupported value type {type(v)!r}")
+
+
+_SQL_REGISTERED: set[int] = set()
+
+
+def register_sql_functions(spark) -> None:
+    """Register the reference's scalar SQL surface on ``spark`` so SQL text
+    can call the functions like DuckDB does after extension load
+    (reference registration: src/function/iceberg_functions.cpp:11-39):
+
+    - ``iceberg_bucket(n, v)`` — full overload set in one function,
+      dispatching on the value's type per batch (ints sign-extend to 8
+      bytes, strings hash utf-8, date/time/timestamp hash their integer
+      epoch forms, decimals hash the minimal two's-complement unscaled
+      value — all via the same ``_hash_bytes_for`` truth table the write
+      path uses, batched through the vectorized murmur).
+    - ``iceberg_truncate(w, v)`` — the INTEGER overload (Spark SQL UDFs
+      have one fixed return type, so the polymorphic return of the
+      reference's overload set cannot hang off one name): non-integer
+      input raises a loud error naming the typed variants.
+    - ``iceberg_truncate_string(w, v)`` / ``iceberg_truncate_binary(w, v)``
+      — the string (code points, spec rule) and blob overloads.
+
+    Idempotent per session; ``register_table`` / ``execute_sql`` call it
+    automatically, so attached-catalog SQL has the functions in scope.
+    """
+    key = id(spark)
+    if key in _SQL_REGISTERED:
+        return
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..plans.transforms import _hash_bytes_for, murmur3_32_var_np
+
+    @pandas_udf(T.IntegerType())
+    def _bucket_sql(ns, vs):
+        res = pd.Series([None] * len(vs), dtype="object")
+        mask = vs.notna() & ns.notna()
+        if mask.any():
+            vals = vs[mask]
+            blist = [_hash_bytes_for(v, _infer_ice_type(v)) for v in vals]
+            lengths = np.fromiter((len(b) for b in blist), dtype=np.int64,
+                                  count=len(blist))
+            offsets = np.zeros(len(blist), dtype=np.int64)
+            if len(blist) > 1:
+                np.cumsum(lengths[:-1], out=offsets[1:])
+            buf = np.frombuffer(b"".join(blist), dtype=np.uint8)
+            h = murmur3_32_var_np(buf, offsets, lengths)
+            n_arr = ns[mask].astype("int64").to_numpy()
+            res[mask] = ((h & np.uint32(0x7FFFFFFF)).astype(np.int64)
+                         % n_arr)
+        return res.astype("Int32")
+
+    @pandas_udf(T.LongType())
+    def _trunc_int_sql(ws, vs):
+        bad = vs[vs.notna()].map(
+            lambda v: not isinstance(v, (int, np.integer))
+            or isinstance(v, bool))
+        if bad.any():
+            raise ValueError(
+                "iceberg_truncate (SQL) is the integer overload on Spark; "
+                "use iceberg_truncate_string / iceberg_truncate_binary for "
+                "other types, or the Column API with source_type")
+        if (ws.notna() & (ws.astype("float") <= 0)).any():
+            raise ValueError(
+                "iceberg_truncate: width must be a positive integer")
+        res = pd.Series([None] * len(vs), dtype="object")
+        mask = vs.notna() & ws.notna()
+        if mask.any():
+            v = vs[mask].astype("int64").to_numpy()
+            w = ws[mask].astype("int64").to_numpy()
+            res[mask] = v - (((v % w) + w) % w)
+        return res.astype("Int64")
+
+    @pandas_udf(T.StringType())
+    def _trunc_str_sql(ws, vs):
+        if (ws.notna() & (ws.astype("float") <= 0)).any():
+            raise ValueError(
+                "iceberg_truncate: width must be a positive integer")
+        return pd.Series(
+            [None if pd.isna(w) or v is None else str(v)[:int(w)]
+             for w, v in zip(ws, vs)], dtype="object")
+
+    @pandas_udf(T.BinaryType())
+    def _trunc_bin_sql(ws, vs):
+        if (ws.notna() & (ws.astype("float") <= 0)).any():
+            raise ValueError(
+                "iceberg_truncate: width must be a positive integer")
+        return pd.Series(
+            [None if pd.isna(w) or v is None else bytes(v)[:int(w)]
+             for w, v in zip(ws, vs)], dtype="object")
+
+    spark.udf.register("iceberg_bucket", _bucket_sql)
+    spark.udf.register("iceberg_truncate", _trunc_int_sql)
+    spark.udf.register("iceberg_truncate_string", _trunc_str_sql)
+    spark.udf.register("iceberg_truncate_binary", _trunc_bin_sql)
+    _SQL_REGISTERED.add(key)
+
+
+__all__ = ["iceberg_bucket", "iceberg_truncate", "register_sql_functions"]

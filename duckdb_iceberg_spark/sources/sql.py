@@ -51,6 +51,9 @@ def register_table(
     ``source`` is a filesystem table path (str) or a catalog
     ``RestTable``. ``scan_opts`` pass through to the scan (``snapshot_id``,
     ``as_of``, ``where``, …). Returns the underlying DataFrame."""
+    from ..functions import register_sql_functions
+
+    register_sql_functions(spark)  # scalar SQL surface rides every attach
     if isinstance(source, str):
         df = iceberg_scan(spark, source, **scan_opts)
     else:
@@ -299,6 +302,9 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
     visible (query-time snapshot resolution). DML statements refresh the
     target view after commit and return a one-row DataFrame
     ``(operation, target, snapshot_id)``."""
+    from ..functions import register_sql_functions
+
+    register_sql_functions(spark)
     stmt = sql.strip().rstrip(";").strip()
     head = stmt.split(None, 1)[0].upper() if stmt else ""
 

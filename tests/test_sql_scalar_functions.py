@@ -1,0 +1,111 @@
+"""SQL surface of the reference's scalar functions, mirrored against its
+own goldens (test_iceberg_bucket.test / test_iceberg_truncate.test): the
+reference registers ``iceberg_bucket``/``iceberg_truncate`` at extension
+load (src/function/iceberg_functions.cpp:11-39); here
+``register_sql_functions`` (auto-invoked by register_table/execute_sql)
+registers them on the SparkSession. Spark SQL UDFs carry one fixed return
+type, so the truncate overload set splits: ``iceberg_truncate`` is the
+integer overload (loud error otherwise) plus ``iceberg_truncate_string``
+/ ``iceberg_truncate_binary``."""
+
+import pytest
+
+from duckdb_iceberg_spark.functions import register_sql_functions
+
+
+@pytest.fixture(autouse=True)
+def _reg(spark):
+    register_sql_functions(spark)
+
+
+def one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+
+def test_bucket_null_and_spec_vectors(spark):
+    # NULL in -> NULL out (spec rule)
+    assert one(spark, "iceberg_bucket(16, CAST(NULL AS BIGINT))") is None
+    # spec vectors (test_iceberg_bucket.test): hash(0L)=1669671676
+    assert one(spark, "iceberg_bucket(16, 0)") == 12
+    assert one(spark, "iceberg_bucket(100, 0)") == 76
+    # hash("iceberg") = 1210000089 -> % 100 = 89
+    assert one(spark, "iceberg_bucket(100, 'iceberg')") == 89
+    # hash(date 2017-11-16) = hash(17486L) = -653330422 -> % 100 = 26
+    assert one(spark, "iceberg_bucket(100, DATE'2017-11-16')") == 26
+
+
+def test_bucket_matches_column_api_on_table(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from duckdb_iceberg_spark.functions import iceberg_bucket
+
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .select("p_partkey").limit(200))
+    part.createOrReplaceTempView("p_bucket_src")
+    via_sql = {r.k: r.b for r in spark.sql(
+        "SELECT p_partkey AS k, iceberg_bucket(16, p_partkey) AS b "
+        "FROM p_bucket_src").collect()}
+    via_col = {r.k: r.b for r in part.select(
+        F.col("p_partkey").alias("k"),
+        iceberg_bucket(16, "p_partkey", "long").alias("b")).collect()}
+    assert via_sql == via_col and len(via_sql) == 200
+
+
+def test_truncate_integer_goldens(spark):
+    # test_iceberg_truncate.test integer block
+    for w, v, expect in [(10, 0, 0), (10, 1, 0), (10, 9, 0), (10, 10, 10),
+                         (10, 11, 10), (10, -1, -10), (10, -10, -10),
+                         (10, -11, -20)]:
+        assert one(spark, f"iceberg_truncate({w}, {v})") == expect
+    assert one(spark, "iceberg_truncate(10, CAST(NULL AS BIGINT))") is None
+    # result is always a multiple of W (reference bool_and sweep)
+    rows = spark.sql(
+        "SELECT bool_and(iceberg_truncate(7, id - 100) % 7 = 0) AS ok "
+        "FROM range(0, 200)").collect()
+    assert rows[0].ok is True
+
+
+def test_truncate_string_and_binary_goldens(spark):
+    assert one(spark, "iceberg_truncate_string(3, 'iceberg')") == "ice"
+    assert one(spark, "iceberg_truncate_string(7, 'iceberg')") == "iceberg"
+    assert one(spark, "iceberg_truncate_string(10, 'iceberg')") == "iceberg"
+    assert one(spark, "iceberg_truncate_string(5, '')") == ""
+    assert one(spark,
+               "iceberg_truncate_binary(2, X'01020304')") == b"\x01\x02"
+    assert one(spark, "iceberg_truncate_binary(10, X'0102')") == b"\x01\x02"
+
+
+def test_truncate_width_must_be_positive(spark):
+    # reference: "width must be a positive integer" (statement error)
+    for expr in ("iceberg_truncate(0, 1)",
+                 "iceberg_truncate_string(0, 'iceberg')",
+                 "iceberg_truncate_binary(0, X'0102')"):
+        with pytest.raises(Exception, match="width must be a positive"):
+            spark.sql(f"SELECT {expr}").collect()
+    from duckdb_iceberg_spark.functions import iceberg_truncate
+
+    with pytest.raises(ValueError, match="width must be a positive"):
+        iceberg_truncate(0, "x")
+
+
+def test_truncate_integer_overload_rejects_strings_loudly(spark):
+    with pytest.raises(Exception, match="integer overload"):
+        spark.sql("SELECT iceberg_truncate(3, 'hello')").collect()
+
+
+def test_functions_in_scope_through_execute_sql(spark, tmp_path):
+    """A reference user's SQL — scalar function over an attached table —
+    runs through execute_sql unchanged."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = str(tmp_path / "t_fn")
+    write_iceberg(
+        spark.createDataFrame([(i,) for i in range(20)], "id bigint"), loc)
+    register_table(spark, "t_fn", loc)
+    rows = execute_sql(
+        spark,
+        "SELECT iceberg_bucket(4, id) AS b, count(*) AS n "
+        "FROM t_fn GROUP BY b ORDER BY b").collect()
+    assert sum(r.n for r in rows) == 20
+    assert all(0 <= r.b < 4 for r in rows)

@@ -1035,8 +1035,12 @@ def connected_components(
     shrinks (stars collapse), so the peak cost is the first round.
     Convergence is guaranteed in O(log^2 n) rounds; on LSH dedup graphs
     (bucket-min pairing emits star-shaped edges already) it converges in
-    2-4. Termination is detected with an order-independent set fingerprint
-    (count + bit_xor of xxhash64) — one tiny action per round; each
+    1-3. Termination is detected by checking the fixed point DIRECTLY —
+    the converged state is exactly a star forest (no node on both edge
+    sides, no duplicated left node), one aggregate action per round, so
+    the loop stops the round convergence happens instead of computing one
+    more round to observe a stable fingerprint (r10; star-shaped inputs
+    skip the loop entirely); each
     round's frame is eagerly localCheckpoint()ed, which both materializes
     it AND truncates lineage — persist() alone leaves the logical plan
     nesting round-over-round until tree traversal blows the JVM stack
@@ -1047,25 +1051,36 @@ def connected_components(
     Node ids must be numeric (cast to long); hash string ids first
     (``F.xxhash64``) like the incremental dedup pipeline does.
     """
-    def _checkpoint_with_fingerprint(frame):
-        # ONE action per round: the order-independent set fingerprint
-        # (count + bit_xor of xxhash64) rides the checkpoint
-        # materialization as observed metrics instead of a second
-        # driver round-trip — at toy scale each saved job is ~0.1-0.3s
-        # of pure scheduling latency, and at cluster scale it halves
-        # the per-round driver barriers
-        from pyspark.sql import Observation
+    def _is_star_forest(frame) -> bool:
+        # The alternating-star algorithm's fixed point is EXACTLY a star
+        # forest: every non-root points at its component root once, roots
+        # never appear on the left. Checking that directly — (a) no node
+        # occurs on both sides, (b) no u occurs twice — terminates the
+        # loop one full round earlier than the old fingerprint-equality
+        # test (which had to compute the next round just to observe it
+        # changed nothing) and skips the loop entirely when the input
+        # edges are already stars (exact-dup rep edges are, by
+        # construction). One shuffle + aggregate per check vs two window
+        # shuffles + a checkpoint per avoided round.
+        row = (
+            frame.select(F.explode(F.array(
+                F.struct(F.col("u").alias("n"),
+                         F.lit(1).alias("iu"), F.lit(0).alias("iv")),
+                F.struct(F.col("v").alias("n"),
+                         F.lit(0).alias("iu"), F.lit(1).alias("iv")),
+            )).alias("s"))
+            .select("s.*")
+            .groupBy("n")
+            .agg(F.sum("iu").alias("cu"), F.max("iv").alias("hv"))
+            .agg(F.max(
+                F.when((F.col("cu") > 1)
+                       | ((F.col("cu") >= 1) & (F.col("hv") >= 1)), 1)
+                .otherwise(0)).alias("bad"))
+            .first()
+        )
+        return not row["bad"]  # empty edge set => None => converged
 
-        obs = Observation()
-        ck = frame.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
-        ).localCheckpoint(eager=True)
-        got = obs.get
-        return ck, (got["n"], got["x"])
-
-    cur, prev = _checkpoint_with_fingerprint(
+    cur = (
         edges.select(
             F.col(src_col).cast("long").alias("a"),
             F.col(dst_col).cast("long").alias("b"),
@@ -1074,17 +1089,18 @@ def connected_components(
         .select(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
-        nxt, sig = _checkpoint_with_fingerprint(
-            _cc_small_star(_cc_large_star(cur)))
-        cur = nxt
-        if sig == prev:
-            break
-        prev = sig
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds")
+    if not _is_star_forest(cur):
+        for _ in range(max_rounds):
+            cur = _cc_small_star(_cc_large_star(cur)) \
+                .localCheckpoint(eager=True)
+            if _is_star_forest(cur):
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_rounds} rounds")
     # converged star graphs: every non-root points straight at its
     # component min; roots don't appear on the left side, add them
     roots = cur.select(F.col("v").alias("u"), F.col("v")).distinct()

@@ -81,9 +81,6 @@ def _infer_ice_type(v) -> str:
     raise ValueError(f"iceberg_bucket: unsupported value type {type(v)!r}")
 
 
-_SQL_REGISTERED: set[int] = set()
-
-
 def register_sql_functions(spark) -> None:
     """Register the reference's scalar SQL surface on ``spark`` so SQL text
     can call the functions like DuckDB does after extension load
@@ -105,8 +102,9 @@ def register_sql_functions(spark) -> None:
     Idempotent per session; ``register_table`` / ``execute_sql`` call it
     automatically, so attached-catalog SQL has the functions in scope.
     """
-    key = id(spark)
-    if key in _SQL_REGISTERED:
+    # flag rides the session wrapper object itself: an id()-keyed set
+    # could false-positive when a dead session's id is reused by a new one
+    if getattr(spark, "_iceberg_sql_fns_registered", False):
         return
     import numpy as np
     import pandas as pd
@@ -177,7 +175,7 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("iceberg_truncate", _trunc_int_sql)
     spark.udf.register("iceberg_truncate_string", _trunc_str_sql)
     spark.udf.register("iceberg_truncate_binary", _trunc_bin_sql)
-    _SQL_REGISTERED.add(key)
+    spark._iceberg_sql_fns_registered = True
 
 
 __all__ = ["iceberg_bucket", "iceberg_truncate", "register_sql_functions"]

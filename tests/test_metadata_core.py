@@ -380,6 +380,63 @@ def test_manifest_record_cache(tmp_path, monkeypatch):
     assert got[0].data_file.record_count == 6
 
 
+def test_avro_cache_thread_safe_under_eviction(tmp_path):
+    """ADVICE r9 pin: concurrent planners hammering the LRU while it
+    evicts (capacity pinned to 2) must never raise — an unlocked
+    OrderedDict raced get/move_to_end against another thread's popitem
+    and threw KeyError."""
+    import threading
+
+    from duckdb_iceberg_spark.metadata import manifest as mf
+
+    entry = mf.ManifestEntry(
+        status=mf.STATUS_ADDED, snapshot_id=7, sequence_number=1,
+        file_sequence_number=1,
+        data_file=mf.DataFile(
+            content=mf.CONTENT_DATA, file_path="f.parquet",
+            file_format="PARQUET", partition={}, record_count=5,
+            file_size_in_bytes=10))
+
+    class _TM:
+        format_version = 2
+        current_schema_id = 0
+        properties: dict = {}
+
+        @staticmethod
+        def schema_json():
+            return {"type": "struct", "schema-id": 0, "fields": []}
+
+    spec = mf.PartitionSpec(spec_id=0, fields=[])
+    paths = []
+    for i in range(6):
+        p = str(tmp_path / f"m{i}.avro")
+        mf.write_manifest(p, [entry], _TM(), spec)
+        paths.append(p)
+
+    old_max = mf._AVRO_CACHE_MAX
+    mf._AVRO_CACHE_MAX = 2  # force constant eviction
+    errors: list[BaseException] = []
+
+    def hammer():
+        try:
+            for _ in range(200):
+                for p in paths:
+                    assert len(mf.read_manifest(p)) == 1
+        except BaseException as e:  # noqa: BLE001 - collected for assert
+            errors.append(e)
+
+    try:
+        threads = [threading.Thread(target=hammer) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        mf._AVRO_CACHE_MAX = old_max
+        mf._AVRO_CACHE.clear()
+    assert not errors, errors
+
+
 def test_version_name_format_resolution(tmp_path):
     """Reference parity for the version_name_format option
     (iceberg_options.cpp:22-30, version_name_format_error.test): exactly

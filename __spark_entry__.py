@@ -1775,10 +1775,11 @@ def _ice_documents_times(spark: SparkSession, sf_dir: str) -> str:
 def ice_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg `time` as a first-class type through OUR write path (the
     SURVEY §1.2 gap lifted in r10): write a TimeType column, scan it back
-    with a TIME'...' predicate (stats + partition pruning), aggregate on
-    time-of-day values. Hash-checked — the oracle rebuilds the identical
-    µs time from doc_id with exact integer arithmetic, so every
-    min/max/count matches bit-for-bit."""
+    with a TIME'...' predicate (stats-bounds pruning — the hour-identity
+    layout gives each file an event_t range, so files entirely below noon
+    never plan), aggregate on time-of-day values. Hash-checked — the
+    oracle rebuilds the identical µs time from doc_id with exact integer
+    arithmetic, so every min/max/count matches bit-for-bit."""
     from duckdb_iceberg_spark import iceberg_scan
 
     loc = _ice_documents_times(spark, sf_dir)

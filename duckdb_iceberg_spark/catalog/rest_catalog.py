@@ -762,6 +762,15 @@ class RestTable:
         refreshed metadata. Without one, conflicts surface immediately."""
         append_retryable = operation == "append"
         base_snapshot_id = self.metadata.current_snapshot_id
+        # retry-state fingerprint (reference: iceberg_transaction_data.cpp
+        # RetryStateMatches, :160-178): the staged data files were written
+        # under THIS schema/spec/sort-order — if a concurrent commit
+        # changed any of them, a rebase would graft old-layout files onto
+        # a new-layout table, so the conflict must surface instead
+        retry_state = (self.metadata.table_uuid,
+                       self.metadata.current_schema_id,
+                       self.metadata.default_spec_id,
+                       self.metadata.default_sort_order_id)
         num_retries, min_wait_ms, max_wait_ms, total_wait_ms = \
             _retry_config(self.metadata.properties,
                           self.catalog.config.max_commit_retries)
@@ -801,6 +810,14 @@ class RestTable:
             except CommitConflict as e:
                 last = e
                 self.refresh()
+                if retry_state != (self.metadata.table_uuid,
+                                   self.metadata.current_schema_id,
+                                   self.metadata.default_spec_id,
+                                   self.metadata.default_sort_order_id):
+                    raise CommitConflict(
+                        409,
+                        f"Table {self.namespace}.{self.name} changed "
+                        "incompatibly while retrying commit") from e
                 if not append_retryable and not self._delete_can_reapply(
                         base_snapshot_id):
                     raise

@@ -519,6 +519,37 @@ def test_conflict_without_rebuilder_surfaces(stub):
     assert 202 not in [s.snapshot_id for s in tbl.metadata.snapshots]
 
 
+def test_retry_refused_across_concurrent_schema_change(stub):
+    """Reference parity (iceberg_transaction_data.cpp RetryStateMatches
+    :160-178, alter_add_column_warn_schema_mismatch.test): a retried
+    commit whose base (uuid, current schema, default spec, sort order)
+    no longer matches the refreshed tip must refuse — the staged data
+    files were written under the OLD layout, and a rebase would graft
+    them onto the new one. Error text mirrors the reference's
+    'changed incompatibly while retrying commit'."""
+    from duckdb_iceberg_spark.sources import ddl
+
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    tbl = cat.create_table("db", "t", SCHEMA)
+    tbl.commit_snapshot(_snap(101, 1))
+
+    # a concurrent writer evolves the schema AFTER this handle staged
+    # its snapshot (second handle = second connection in the .test)
+    other = cat.load_table("db", "t")
+    ddl.add_column(other, "b", "long")
+
+    state.commit_conflicts_to_inject = 1
+    with pytest.raises(CommitConflict, match="changed incompatibly"):
+        tbl.commit_snapshot(_snap(202, 2), rebuild_fn=_rebuilder(202))
+    # the schema change won; the append never landed
+    tbl.refresh()
+    assert 202 not in [s.snapshot_id for s in tbl.metadata.snapshots]
+    names = {f["name"] for f in tbl.metadata.schema_json()["fields"]}
+    assert "b" in names
+
+
 def test_row_lineage_through_rest_commits(stub):
     """v3 row lineage: each REST-committed snapshot claims
     [next-row-id, next-row-id + added-records); a conflict rebase re-reads

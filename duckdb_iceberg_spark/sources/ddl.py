@@ -103,6 +103,7 @@ def add_column(location: str, name: str, ice_type: Any, *, required: bool = Fals
     f: dict[str, Any] = {"id": fid, "name": leaf, "required": bool(required),
                          "type": ice_type}
     if default is not None:
+        _validate_default(ice_type, default)
         f["initial-default"] = default
         f["write-default"] = default
     if doc:
@@ -273,8 +274,44 @@ def set_column_default(location: str, name: str, default: Any) -> TableMetadata:
         if not isinstance(default, (bool, int, float, str)):
             raise NotImplementedError(
                 "Only foldable expressions are allowed as DEFAULT values")
+        _validate_default(hit["type"], default)
         hit["write-default"] = default
     return _commit_schema(tm, sch)
+
+
+def _validate_default(ice_type: Any, v: Any) -> None:
+    """A DEFAULT must cast to the column's type AT DDL TIME (reference:
+    alter_add_column_default_type_error.test — 'Failed to cast value:
+    Could not convert …'), never fail later at read/insert."""
+    if not isinstance(ice_type, str):
+        raise NotImplementedError("DEFAULT on nested types is unsupported")
+    name = ice_types.primitive_name(ice_type)
+    try:
+        if name in ("int", "long"):
+            if isinstance(v, bool):
+                raise ValueError(v)
+            iv = int(str(v), 0) if isinstance(v, str) else int(v)
+            if isinstance(v, float) and v != iv:
+                raise ValueError(v)
+            lim = 31 if name == "int" else 63
+            if not -(1 << lim) <= iv < (1 << lim):
+                raise ValueError(v)
+        elif name in ("float", "double"):
+            float(v)
+        elif name == "boolean":
+            if not (isinstance(v, bool)
+                    or str(v).lower() in ("true", "false")):
+                raise ValueError(v)
+        elif name == "string":
+            pass
+        else:
+            # date/time/timestamps/decimal/fixed/binary: the JSON
+            # single-value parser is the cast
+            ice_types.json_default_to_python(ice_type, v)
+    except (ValueError, ArithmeticError, TypeError):
+        raise ValueError(
+            f"Failed to cast value: Could not convert {v!r} to {ice_type}"
+        ) from None
 
 
 def set_not_null(location: str, name: str, required: bool) -> TableMetadata:

@@ -70,6 +70,41 @@ def test_required_add_with_default_and_date_type(spark, sf_dir, tmp_path):
     assert [r.valid_from for r in got] == [datetime.date(2020, 1, 1)]
 
 
+def test_add_column_default_must_cast_at_ddl_time(spark, sf_dir, tmp_path):
+    """Reference parity (alter_add_column_default_type_error.test /
+    alter_default.test): a DEFAULT that doesn't cast to the column type
+    fails the ALTER itself ('Failed to cast value: Could not convert …'),
+    never a later read; duplicate names fail like
+    alter_add_column_same_name_error.test."""
+    import pytest
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import add_column, set_column_default
+
+    loc = str(tmp_path / "t")
+    write_iceberg(load(spark, sf_dir, "region"), loc)
+    with pytest.raises(ValueError, match="Could not convert"):
+        add_column(loc, "b", "int",
+                   default="this is a string, not an int")
+    with pytest.raises(ValueError, match="Could not convert"):
+        add_column(loc, "b", "int", default=2**40)  # out of INT32 range
+    with pytest.raises(ValueError, match="Could not convert"):
+        add_column(loc, "d", "date", default="not-a-date")
+    # the failed ALTERs committed nothing
+    from duckdb_iceberg_spark.metadata.table_metadata import (
+        load_table_metadata,
+    )
+    names = {f["name"] for f in load_table_metadata(loc)
+             .schema_json()["fields"]}
+    assert "b" not in names and "d" not in names
+    # valid casts still work, incl. numeric strings (DuckDB casts those)
+    add_column(loc, "b", "int", default="42")
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(loc, "b", "int")
+    with pytest.raises(ValueError, match="Could not convert"):
+        set_column_default(loc, "b", "nope")
+
+
 def test_required_add_without_default_still_rejected(spark, sf_dir, tmp_path):
     import pytest
 

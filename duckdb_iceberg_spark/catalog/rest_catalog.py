@@ -52,6 +52,10 @@ class OAuth2Config:
 @dataclass
 class RestCatalogConfig:
     uri: str
+    #: named secret to resolve attach parameters from (the reference's
+    #: ATTACH ... (SECRET <name>) — see catalog.secrets.create_secret);
+    #: an empty uri is inferred from the secret's 'endpoint'
+    secret: str | None = None
     warehouse: str | None = None
     prefix: str | None = None  # filled from GET /v1/config when None
     token: str | None = None  # static bearer token
@@ -210,10 +214,63 @@ def _parse_staleness(v) -> float | None:
     return secs
 
 
+def _resolve_secret(config: RestCatalogConfig) -> RestCatalogConfig:
+    """Resolve ATTACH parameters from a named ICEBERG secret (reference:
+    oauth2.cpp:270-300): an empty uri is inferred from the secret's
+    'endpoint' (error text matches cant_infer_endpoint.test when neither
+    side has one); token / client credentials / extra headers fill in
+    only where the config didn't set them explicitly. A config with no
+    secret AND a uri passes through untouched."""
+    from dataclasses import replace
+
+    from .secrets import get_secret
+
+    sec = None
+    if config.secret is not None:
+        sec = get_secret(config.secret)
+        if sec is None:
+            raise ValueError(
+                f"No ICEBERG secret by the name of '{config.secret}' "
+                "could be found")
+    if not config.uri:
+        ep = (sec or {}).get("endpoint")
+        if not ep:
+            raise ValueError(
+                "No 'endpoint' was given to attach, and no 'endpoint' "
+                "could be retrieved from the ICEBERG secret!")
+        config = replace(config, uri=str(ep).rstrip("/"))
+    if sec is None:
+        return config
+    if config.token is None and config.oauth2 is None:
+        if sec.get("token") is not None:
+            config = replace(config, token=str(sec["token"]))
+        elif sec.get("client_id") and sec.get("client_secret"):
+            # no explicit oauth2 server: the spec's (deprecated) default
+            # token endpoint under the catalog uri — same fallback the
+            # reference applies
+            server = sec.get("oauth2_server_uri") \
+                or config.uri.rstrip("/") + "/v1/oauth/tokens"
+            kwargs = {}
+            if sec.get("oauth2_scope"):
+                kwargs["scope"] = str(sec["oauth2_scope"])
+            if sec.get("oauth2_grant_type"):
+                kwargs["grant_type"] = str(sec["oauth2_grant_type"])
+            config = replace(config, oauth2=OAuth2Config(
+                server_uri=str(server),
+                client_id=str(sec["client_id"]),
+                client_secret=str(sec["client_secret"]), **kwargs))
+    headers = sec.get("extra_http_headers")
+    if headers:
+        merged = {**dict(headers), **config.default_headers}
+        config = replace(config, default_headers=merged)
+    return config
+
+
 class RestCatalog:
     """Minimal-complete Iceberg REST catalog client."""
 
     def __init__(self, config: RestCatalogConfig, *, opener=None):
+        config = _resolve_secret(config)
         self.config = config
         if opener is None:
             to = config.request_timeout_s

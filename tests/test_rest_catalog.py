@@ -519,6 +519,51 @@ def test_conflict_without_rebuilder_surfaces(stub):
     assert 202 not in [s.snapshot_id for s in tbl.metadata.snapshots]
 
 
+def test_secret_endpoint_inference(stub):
+    """Reference parity for the secret flow (oauth2.cpp:270-300;
+    inferred_endpoint_from_secret.test / cant_infer_endpoint.test): an
+    attach without a uri infers it from the named ICEBERG secret's
+    'endpoint'; a missing secret or missing endpoint errors with the
+    reference's message; token / client credentials fill in from the
+    secret only where the config is silent."""
+    from duckdb_iceberg_spark.catalog.secrets import (
+        create_secret,
+        drop_secret,
+    )
+
+    base, state = stub
+    try:
+        # endpoint + static token inferred from the secret
+        create_secret("iceberg_secret", endpoint=base, token="tkn123")
+        cat = RestCatalog(RestCatalogConfig(uri="", secret="iceberg_secret"))
+        assert cat.config.uri == base.rstrip("/")
+        assert cat.config.token == "tkn123"
+        cat.create_namespace("db")  # requests actually work
+        # unknown secret name
+        with pytest.raises(ValueError,
+                           match="No ICEBERG secret by the name"):
+            RestCatalog(RestCatalogConfig(uri="", secret="nope"))
+        # secret without endpoint and no uri given
+        create_secret("no_ep", client_id="id", client_secret="s")
+        with pytest.raises(ValueError,
+                           match="no 'endpoint' could be retrieved"):
+            RestCatalog(RestCatalogConfig(uri="", secret="no_ep"))
+        # client credentials build the oauth2 flow; explicit server wins
+        create_secret("oauth_sec", endpoint=base, client_id="id",
+                      client_secret="secret",
+                      oauth2_server_uri=f"{base}/tokens")
+        cat2 = RestCatalog(RestCatalogConfig(uri="", secret="oauth_sec"))
+        assert cat2.config.oauth2 is not None
+        assert cat2.config.oauth2.server_uri == f"{base}/tokens"
+        assert cat2.list_namespaces() is not None  # token flow exercised
+        # an explicit uri passes through untouched (no secret needed)
+        cat3 = RestCatalog(RestCatalogConfig(uri=base))
+        assert cat3.config.uri == base
+    finally:
+        for n in ("iceberg_secret", "no_ep", "oauth_sec"):
+            drop_secret(n)
+
+
 def test_retry_refused_across_concurrent_schema_change(stub):
     """Reference parity (iceberg_transaction_data.cpp RetryStateMatches
     :160-178, alter_add_column_warn_schema_mismatch.test): a retried

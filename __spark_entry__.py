@@ -1593,6 +1593,25 @@ def docs_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-α domain resampling (mT5/XLM-R α-sampling, α=0.5):
+    target shares ∝ count^α upweight low-resource sources, realized by
+    the deterministic md5-threshold deletion sampler. Hash-checked — the
+    shares come from correctly-rounded decimal exp/ln (exactmath, no
+    libm), and the oracle replays the resulting per-source threshold
+    literals outright."""
+    from duckdb_iceberg_spark.operators.sampling import resample_temperature
+
+    docs = _pq(spark, sf_dir, "documents")
+    out = resample_temperature(docs, "source", 0.5, "doc_id", salt="temp10")
+    return (
+        out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means over the embeddings table; per-cluster
     membership summary. Hash-checked since r9: the fit is fully
@@ -3023,9 +3042,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": docs_repetition,
         "docs_line_dedup": docs_line_dedup,
         "emb_neardup": emb_neardup,
-        # parked NEW in r10 (TimeType end-to-end; oracle-checked in
-        # sweeps, rotates into the window at r11 under priority (b))
+        # parked NEW in r10 (TimeType end-to-end + temperature-α mixture;
+        # oracle-checked in sweeps, rotate into the window at r11 under
+        # priority (b))
         "ice_time_scan": ice_time_scan,
+        "docs_temperature_sample": docs_temperature_sample,
     }
 
 
@@ -3533,6 +3554,48 @@ def _dsir_probe_sql(buckets: int = 4096, salt: str = "dsir") -> str:
                                              || '{salt}'), 1, 8) AS BIGINT)
               FROM documents
             ) ORDER BY metric, k
+    """
+
+
+def _temperature_sql(alpha: float = 0.5, salt: str = "temp10",
+                     digits: int = 6) -> str:
+    """DuckDB replica of docs_temperature_sample. DATA-DEPENDENT builder
+    (r9 rule — no ln/exp/pow in the checking engine): per-source counts
+    re-derived with driver-side DuckDB, then the SAME CPython chain the
+    operator runs (temperature_weights → mixture_fractions →
+    floor_threshold_hex) emits each source's keep-threshold as a STRING
+    literal; the SQL only filters on md5 prefixes and aggregates."""
+    import duckdb as _duck
+
+    from duckdb_iceberg_spark.operators.sampling import (
+        floor_threshold_hex,
+        mixture_fractions,
+        temperature_weights,
+    )
+
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    con = _duck.connect()
+    counts = dict(con.execute(
+        "SELECT source, count(*) FROM read_parquet('"
+        + path.replace("'", "''") + "') GROUP BY source").fetchall())
+    con.close()
+    weights = {g: float(w)
+               for g, w in temperature_weights(counts, alpha).items()}
+    fractions = mixture_fractions(counts, weights)
+    thr_values = ", ".join(
+        f"('{g}', '{floor_threshold_hex(f, digits)}')"
+        for g, f in sorted(fractions.items())) \
+        or "('__none__', '')"
+    return rf"""
+            WITH thr(src, th) AS (
+              VALUES {thr_values}
+            )
+            SELECT d.source AS source, count(*) AS cnt,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents d JOIN thr ON d.source = thr.src
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'),
+                         1, {digits}) < th
+            GROUP BY d.source ORDER BY d.source
     """
 
 
@@ -4307,6 +4370,7 @@ def _data_oracles() -> dict[str, str]:
                 "docs_lm_score": _lm_sql(),
                 "docs_lm_buckets": _lm_sql(buckets=True),
                 "docs_tfidf": _tfidf_sql(),
+                "docs_temperature_sample": _temperature_sql(),
             }
         except (FileNotFoundError, OSError, _duck.IOException):
             _ANN_ORACLE_CACHE[sf_dir] = {}

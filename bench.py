@@ -111,6 +111,8 @@ HEADLINE = [
     "emb_pq_topk",
     # r10: TIME type end-to-end (write + partition-pruned scan + agg)
     "ice_time_scan",
+    # r10: temperature-α mixture (count agg + stateless threshold filter)
+    "docs_temperature_sample",
 ]
 
 

@@ -159,6 +159,69 @@ def resample_mixture(
     return df.filter(hexpfx < thr)
 
 
+def temperature_weights(counts: dict, alpha: float) -> dict:
+    """Temperature-weighted mixture shares: w_g ∝ n_g^α, the multilingual
+    α-sampling rule of mT5/XLM-R (Xue et al. 2021 §3.1; Conneau et al.
+    2020 §3) — α=1 keeps natural proportions, α=0 is uniform, and the
+    usual α∈(0,1) upweights low-resource domains.
+
+    n^α is computed as exp(α·ln n) with the ``decimal`` module
+    (:mod:`~duckdb_iceberg_spark.operators.exactmath`): ln and exp are
+    correctly rounded BY SPECIFICATION, so the same count table yields
+    the same 12dp shares on every platform — the oracle-replay contract
+    every literal in this package carries (a float ``pow`` would be the
+    libm class the r10 exactmath migration removed). Returns 12dp
+    Decimals summing to ≈1; ``float()`` of each is correctly rounded, so
+    downstream double arithmetic is platform-independent too."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    from .exactmath import dec_ln_int
+
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    q12 = Decimal("0.000000000001")
+    with localcontext() as ctx:
+        ctx.prec = 40
+        a = Decimal(str(alpha))
+        raw = {g: (a * dec_ln_int(int(n))).exp()
+               for g, n in counts.items() if n > 0}
+        tot = sum(raw.values())
+        return {g: (r / tot).quantize(q12, ROUND_HALF_UP)
+                for g, r in raw.items()}
+
+
+def resample_temperature(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float,
+    key_col: str,
+    *,
+    salt: str = "",
+    digits: int = 6,
+) -> DataFrame:
+    """Deterministically downsample to the temperature-α mixture of the
+    corpus's own domains: one count aggregation derives the
+    :func:`temperature_weights`, then the proven md5-threshold keep
+    decision of :func:`resample_mixture` applies them. Same scale shape —
+    a tiny count agg plus a stateless map-side filter, no data shuffle."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    weights = {g: float(w)
+               for g, w in temperature_weights(counts, alpha).items()}
+    fractions = mixture_fractions(counts, weights)
+    hexpfx = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        1, digits)
+    thr: Column = F.lit("")
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(floor_threshold_hex(frac, digits))).otherwise(thr)
+    return df.filter(hexpfx < thr)
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -55,6 +55,56 @@ def test_q6_half_up():
     assert q6(Decimal("-0.0000005")) == Decimal("-0.000001")
 
 
+def test_temperature_weights_limits_and_exactness():
+    from duckdb_iceberg_spark.operators.sampling import temperature_weights
+
+    counts = {"a": 8000, "b": 1000, "c": 1000}
+    # alpha=1: natural proportions
+    w1 = temperature_weights(counts, 1.0)
+    assert w1["a"] == Decimal("0.8")
+    assert w1["b"] == w1["c"] == Decimal("0.1")
+    # alpha=0: uniform
+    w0 = temperature_weights(counts, 0.0)
+    assert set(w0.values()) == {Decimal("0.333333333333")}
+    # alpha=0.5: sqrt-proportional — 8000^.5 : 1000^.5 : 1000^.5
+    wh = temperature_weights(counts, 0.5)
+    assert wh["b"] == wh["c"]
+    # sqrt(8000)/ (sqrt(8000)+2*sqrt(1000)) = 0.585786...
+    assert wh["a"] == Decimal("0.585786437627")
+    assert abs(sum(wh.values()) - 1) <= Decimal("3e-12")
+    # low-resource upweighted relative to natural share
+    assert wh["b"] > w1["b"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(counts, -1)
+
+
+def test_resample_temperature_matches_python_replay(spark):
+    import hashlib
+
+    from duckdb_iceberg_spark.operators.sampling import (
+        floor_threshold_hex,
+        mixture_fractions,
+        resample_temperature,
+        temperature_weights,
+    )
+
+    rows = [(i, "big" if i < 160 else "small") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = resample_temperature(df, "src", 0.5, "doc_id", salt="s1")
+    got = sorted(r.doc_id for r in out.collect())
+    counts = {"big": 160, "small": 40}
+    weights = {g: float(w)
+               for g, w in temperature_weights(counts, 0.5).items()}
+    fr = mixture_fractions(counts, weights)
+    thr = {g: floor_threshold_hex(f) for g, f in fr.items()}
+    expect = sorted(
+        i for i, g in rows
+        if hashlib.md5(f"{i}s1".encode()).hexdigest()[:6] < thr[g])
+    assert got == expect and expect  # nonempty
+
+
 DOCS = [
     (1, "the cat sat", "en"),
     (2, "the cat", "en"),

@@ -2909,6 +2909,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              q_interval_join — each has an in-window family sibling),
              and the r5 spot checks. Everything parked stays
              oracle-checked in every local sweep.
+
+    r11 rotation plan (priorities applied to the expected state): any
+    r10 red stays (with its probes); TPC-H returns (all 23, parked
+    since r8 — the every-third-round rule's deadline); the two NEW r10
+    entries rotate in (ice_time_scan, docs_temperature_sample — never
+    driver-checked, priority (b)); the four r6 entries deferred from
+    r10 rotate in (docs_incremental_minhash, stream_session_events,
+    stream_sliding_events, q_interval_join); park the r10 cohort on
+    fresh greens. That fills ~50 exactly alongside the 17-entry ice
+    core only if the core temporarily trims to its DML/delete half —
+    prefer trimming the metadata-table core entries (greenest history)
+    over any never-checked newcomer.
     """
     return {
         # --- Iceberg DML/scan core (reference parity, always in) ----------

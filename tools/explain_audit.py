@@ -124,6 +124,9 @@ AUDIT = [
     "mm_frame_sample",
     "q_window_top_order",
     "q_events_hourly",
+    # NEW in r10 (parked, r11 rotation): TimeType scan + temperature mix
+    "ice_time_scan",
+    "docs_temperature_sample",
 ]
 
 

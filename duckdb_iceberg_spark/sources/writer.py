@@ -519,9 +519,20 @@ def _build_data_files(
                 return None
         return _encode_stat_bound(t, v)
 
+    # identity-partitioned source columns live in directory names, not in
+    # the data files, so footer stats can't see them — record
+    # lower = upper = the file's partition value like the Java writer
+    # does, so column_stats and bounds pruning treat identity columns
+    # the same whether WE or another engine wrote the table
+    ident_fields = [
+        (pf, tm.field_by_id(pf.source_id))
+        for pf in spec.fields if pf.transform == "identity"
+    ]
     for st in stats:
         lower = {}
         upper = {}
+        part_vals = _partition_values_from_path(
+            st["path"], data_root, spec, tm)
         for fid, v in st["mins"].items():
             b = _bound(fid, v, upper=False)
             if b is not None:
@@ -530,12 +541,22 @@ def _build_data_files(
             b = _bound(fid, v, upper=True)
             if b is not None:
                 upper[fid] = b
+        for pf, src in ident_fields:
+            if src is None or src["id"] in lower or src["id"] in upper:
+                continue
+            pv = part_vals.get(pf.name)
+            if pv is None:
+                continue
+            b = ice_types.encode_bound(src["type"], pv)
+            if b is not None:
+                lower[src["id"]] = b
+                upper[src["id"]] = b
         out.append(
             mf.DataFile(
                 content=mf.CONTENT_DATA,
                 file_path=st["path"],
                 file_format="PARQUET",
-                partition=_partition_values_from_path(st["path"], data_root, spec, tm),
+                partition=part_vals,
                 record_count=st["record_count"],
                 file_size_in_bytes=st["file_size"],
                 column_sizes={k: v for k, v in (st["col_sizes"] or {}).items()

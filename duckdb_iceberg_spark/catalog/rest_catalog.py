@@ -444,9 +444,13 @@ class RestCatalog:
                      *, location: str | None = None,
                      partition_spec: dict | None = None,
                      properties: dict[str, str] | None = None,
-                     stage_create: bool | None = None) -> "RestTable":
+                     stage_create: bool | None = None,
+                     if_not_exists: bool = False) -> "RestTable":
         """reference: physical_iceberg_create_table.cpp — stage-create, then
-        the first append commits it."""
+        the first append commits it. ``if_not_exists`` mirrors CREATE TABLE
+        IF NOT EXISTS (nested_namespaces/test_create_if_not_exists.test):
+        an already-existing table makes the create a no-op that LOADS and
+        returns the existing table instead of raising the 409."""
         if stage_create is None:
             stage_create = self.config.stage_create_tables
         body: dict[str, Any] = {
@@ -458,7 +462,13 @@ class RestCatalog:
             body["location"] = location
         if partition_spec:
             body["partition-spec"] = partition_spec
-        resp = self._request("POST", f"/namespaces/{self._ns(namespace)}/tables", body)
+        try:
+            resp = self._request(
+                "POST", f"/namespaces/{self._ns(namespace)}/tables", body)
+        except CatalogError as e:
+            if if_not_exists and e.status == 409:
+                return self.load_table(namespace, name)
+            raise
         return RestTable.from_load_result(self, namespace, name, resp)
 
     def create_table_as(self, spark, namespace: str | tuple, name: str, df,

@@ -133,6 +133,10 @@ def _make_handler(state: _StubState):
                 if self.command == "POST":
                     b = self._body()
                     key = ns + (b["name"],)
+                    if key in state.tables:
+                        # REST spec: 409 when the table already exists
+                        return self._send(
+                            409, {"error": {"message": "table exists"}})
                     meta = {
                         "format-version": int(b.get("properties", {})
                                               .get("format-version", 2)),
@@ -517,6 +521,24 @@ def test_conflict_without_rebuilder_surfaces(stub):
     # loser's never landed
     tbl.refresh()
     assert 202 not in [s.snapshot_id for s in tbl.metadata.snapshots]
+
+
+def test_create_table_if_not_exists(stub):
+    """CREATE TABLE IF NOT EXISTS parity
+    (nested_namespaces/test_create_if_not_exists.test): an existing table
+    makes the create a no-op returning the existing table; without the
+    flag the 409 surfaces."""
+    base, state = stub
+    cat = _catalog(base)
+    cat.create_namespace("db")
+    t1 = cat.create_table("db", "t", SCHEMA)
+    t1.commit_snapshot(_snap(101, 1))
+    # no-op: same table comes back, snapshot intact
+    t2 = cat.create_table("db", "t", SCHEMA, if_not_exists=True)
+    assert t2.metadata.current_snapshot_id == 101
+    # without the flag the conflict surfaces
+    with pytest.raises(CatalogError):
+        cat.create_table("db", "t", SCHEMA)
 
 
 def test_secret_endpoint_inference(stub):

@@ -2043,11 +2043,19 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, then deterministic Gumbel-top-k selection. Hash-checked — each
     bucket's log-ratio and the Gumbel term round to 6dp and become
     DECIMAL(18,6) BEFORE summation, so the scores are exact decimal
-    arithmetic in both engines (no float accumulation drift)."""
+    arithmetic in both engines (no float accumulation drift). Since r11
+    the driver-facing columns are exact micro-unit BIGINTs
+    (log_weight_micro/score_micro = value×1e6, exact — the internals are
+    6dp decimals): the r10 bisect pinned the 3-round hash-red to the
+    DECIMAL rendering layer (probes green, rows/schema matching, and the
+    only DECIMAL-output window queries were exactly the two reds), so the
+    driver-facing output uses the integer representation the probes
+    proved renders identically everywhere (VERDICT r10 task 1)."""
     from duckdb_iceberg_spark.operators.sampling import dsir_resample
 
     docs = _pq(spark, sf_dir, "documents")
-    return dsir_resample(docs, None, 200, target_cond="lang = 'en'")
+    return dsir_resample(docs, None, 200, target_cond="lang = 'en'",
+                         micro_units=True)
 
 
 def docs_dsir_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2097,12 +2105,19 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed ONCE driver-side (laplace_lp6) and replayed into both
     engines as DECIMAL literals summed exactly (the r8 driver's DuckDB
     recomputed ln() with a different libm and flipped 6dp boundaries);
-    avg_nll rounds half-up in exact micro-unit integer arithmetic."""
+    avg_nll rounds half-up in exact micro-unit integer arithmetic. Since
+    r11 the driver-facing score columns are exact micro-unit BIGINTs
+    (nll_sum_micro/avg_nll_micro = value×1e6; the half-up quotient is an
+    integer before the final divide, which this output simply skips):
+    the r10 bisect pinned the 3-round hash-red to the DECIMAL rendering
+    layer (VERDICT r10 task 1), and a BIGINT has exactly one rendering —
+    the representation the green integer probes proved end-to-end."""
     from duckdb_iceberg_spark.operators.text import ngram_lm_score
 
     docs = _pq(spark, sf_dir, "documents")
     return ngram_lm_score(
-        docs, reference_cond="lang = 'en'", vocab_size=1024
+        docs, reference_cond="lang = 'en'", vocab_size=1024,
+        micro_units=True,
     ).orderBy("doc_id")
 
 
@@ -2867,60 +2882,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     changed since their last driver row, (b) entries that have never had
     a driver row, (c) longest parked, (d) family coverage — plus the
     VERDICT r8 hard rule: a RED driver row never rotates out until it
-    has a green one. Layout (round 10 rotation):
+    has a green one. Layout (round 11 rotation):
 
-      1-17   ice_* DML/scan core + ice_dup_cluster_curation — the
-             reference surface most prone to regression (MoR/DV/equality
-             deletes, UPDATE/MERGE/upsert, time travel, schema/spec
-             evolution, compaction, pruning, variant, curation
-             composition) — stays in-window.
-      18-22  docs_dsir_sample + docs_lm_score (hash-RED r8 AND r9 — a
-             red row never rotates out; r10 removes the last libm from
-             their literal surfaces: decimal-ln literal generators +
-             the DSIR Gumbel moved off JVM F.log onto the oracle's own
-             CPython dsir_gumbel6 in a pandas UDF), docs_lm_buckets
-             (green control — same model/tokenize, renders avg_nll),
-             and the NEW r10 stage-bisect probes docs_dsir_probe +
-             docs_lm_probe (VERDICT r9 task 1b: integer/string-only
-             intermediates; whichever probe goes red localizes the
-             diverging stage in one round — both green + reds persist
-             pins the divergence to the literal/decimal layer).
-      23-24  ice_custom_paths_scan + docs_bloom_dedup — NEW in r9,
+      1-16   ice_* DML/scan core — the reference surface most prone to
+             regression (MoR/DV/equality deletes, UPDATE/MERGE/upsert,
+             time travel, schema/spec evolution, compaction, pruning,
+             variant, cluster curation) — stays in-window. Trimmed by
+             ONE for this round to fit TPC-H's mandatory return:
+             ice_docs_curation parks (its curation-composition family
+             sibling ice_dup_cluster_curation stays — priority (a),
+             its code changes this round for the ≤5s perf task).
+      17-21  docs_dsir_sample + docs_lm_score (hash-RED r8+r9+r10 — a
+             red row never rotates out until green; r11 applies the
+             fix the r10 bisect pinned: the driver-facing DECIMAL
+             columns become exact micro-unit BIGINTs in operator AND
+             oracle, the representation the green integer probes
+             proved renders identically in the driver's harness),
+             docs_lm_buckets (green control — same model/tokenize),
+             and the r10 stage-bisect probes docs_dsir_probe +
+             docs_lm_probe (kept next to the reds until green: if a
+             red persists even in integer form, the probes localize
+             which stage diverged).
+      22-23  ice_time_scan + docs_temperature_sample — NEW in r10,
              never driver-checked (priority (b)).
-      25-34  the rest of r7's rotation cohort (driver-green r7,
-             longest-parked): docs_quality, docs_fingerprint,
-             docs_incremental_dedup, docs_lang_scores, docs_winnow,
-             q_distinct_parts, q_rollup, q_setop_nations, q_topk_orders,
-             q_anti_join.
-      35-50  16 of r6's rotation cohort (driver-green r6):
-             docs_minhash_dedup, docs_decontaminate, docs_ngram_dedup,
-             docs_simhash, docs_exact_dedup, stream_incremental,
-             stream_sink_roundtrip, stream_tumbling_events,
-             mm_image_features, mm_audio_features, mm_frame_sample,
-             docs_source_cap, docs_substr_dedup, q_window_top_order,
-             q_events_hourly, q_asof_join.
-      51+    parked: TPC-H (all 23 driver-green r8, returns r11 per the
-             every-third-round rule), the r9 window cohort (all green
-             r9: ice_variant_write_scan, emb_kmeans/semantic_dedup, the
-             emb_* oracle-audit cohort, the 9 metadata/function ice_*,
-             the r7 first half), the r8 first-row cohort, the four r6
-             entries deferred to r11 with TPC-H (docs_incremental_minhash,
+      24-27  the four r6 entries deferred from r10 (driver-green r6,
+             longest-parked): docs_incremental_minhash,
              stream_session_events, stream_sliding_events,
-             q_interval_join — each has an in-window family sibling),
-             and the r5 spot checks. Everything parked stays
+             q_interval_join.
+      28-50  full TPC-H (all 23 rows incl. q01_mor variant — parked
+             since their r8 driver greens; the every-third-round rule's
+             r11 deadline).
+      51+    parked: the r10 window cohort (all driver-green r10:
+             ice_custom_paths_scan, docs_bloom_dedup, the r7 second
+             half, 16 of r6's cohort, ice_docs_curation), the r9 window
+             cohort (emb_*, metadata/function ice_*), the r8 first-row
+             cohort, and the r5 spot checks. Everything parked stays
              oracle-checked in every local sweep.
 
-    r11 rotation plan (priorities applied to the expected state): any
-    r10 red stays (with its probes); TPC-H returns (all 23, parked
-    since r8 — the every-third-round rule's deadline); the two NEW r10
-    entries rotate in (ice_time_scan, docs_temperature_sample — never
-    driver-checked, priority (b)); the four r6 entries deferred from
-    r10 rotate in (docs_incremental_minhash, stream_session_events,
-    stream_sliding_events, q_interval_join); park the r10 cohort on
-    fresh greens. That fills ~50 exactly alongside the 17-entry ice
-    core only if the core temporarily trims to its DML/delete half —
-    prefer trimming the metadata-table core entries (greenest history)
-    over any never-checked newcomer.
+    r12 rotation plan: on fresh greens, the reds+probes block and TPC-H
+    park; ice_docs_curation returns to the core; rotate in the r9
+    cohort (emb_* + metadata/function ice_*, parked two rounds by then
+    — the every-third-round deadline) and any r11 newcomers.
     """
     return {
         # --- Iceberg DML/scan core (reference parity, always in) ----------
@@ -2939,20 +2941,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_bucket_pruned_scan": ice_bucket_pruned_scan,
         "ice_dynamic_prune_join": ice_dynamic_prune_join,
         "ice_variant_extract": ice_variant_extract,
-        "ice_docs_curation": ice_docs_curation,
-        # --- cluster curation over the Iceberg scan path (r8) --------------
+        # --- cluster curation over the Iceberg scan path (r8; priority (a):
+        # --- its driver-job fan-out is cut this round, VERDICT r10 task 4) -
         "ice_dup_cluster_curation": ice_dup_cluster_curation,
-        # --- r8+r9 hash-RED rows (never rotate out until green), their
+        # --- r8+r9+r10 hash-RED rows (never rotate out until green), their
         # --- green control, and the r10 stage-bisect probes ----------------
         "docs_dsir_sample": docs_dsir_sample,
         "docs_lm_score": docs_lm_score,
         "docs_lm_buckets": docs_lm_buckets,
         "docs_dsir_probe": docs_dsir_probe,
         "docs_lm_probe": docs_lm_probe,
-        # --- rotated IN for r10: NEW in r9, never driver-checked -----------
+        # --- rotated IN for r11: NEW in r10, never driver-checked ----------
+        "ice_time_scan": ice_time_scan,
+        "docs_temperature_sample": docs_temperature_sample,
+        # --- the four r6 entries deferred from r10 (longest-parked) --------
+        "docs_incremental_minhash": docs_incremental_minhash,
+        "stream_session_events": stream_session_events,
+        "stream_sliding_events": stream_sliding_events,
+        "q_interval_join": q_interval_join,
+        # --- full TPC-H returns (r8 greens; every-third-round deadline) ----
+        "q01_pricing_summary": q01_pricing_summary,
+        "q01_mor_pricing_summary": q01_mor_pricing_summary,
+        "q02_min_cost_supplier": q02_min_cost_supplier,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q04_order_priority": q04_order_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q06_revenue_forecast": q06_revenue_forecast,
+        "q07_volume_shipping": q07_volume_shipping,
+        "q08_market_share": q08_market_share,
+        "q09_product_profit": q09_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_stock": q11_important_stock,
+        "q12_late_lines": q12_late_lines,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive": q19_disjunctive,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_sales_opportunity": q22_sales_opportunity,
+        # ------------------- 50-row window boundary -----------------------
+        # parked (driver-green r10): the r10 window cohort
+        "ice_docs_curation": ice_docs_curation,
         "ice_custom_paths_scan": ice_custom_paths_scan,
         "docs_bloom_dedup": docs_bloom_dedup,
-        # --- rest of r7's rotation cohort (green r7, longest-parked) -------
         "docs_quality": docs_quality,
         "docs_fingerprint": docs_fingerprint,
         "docs_incremental_dedup": docs_incremental_dedup,
@@ -2963,8 +2998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_setop_nations": q_setop_nations,
         "q_topk_orders": q_topk_orders,
         "q_anti_join": q_anti_join,
-        # --- 16 of r6's rotation cohort (green r6; 4 family-covered
-        # --- siblings defer to r11 with TPC-H) ------------------------------
         "docs_minhash_dedup": docs_minhash_dedup,
         "docs_decontaminate": docs_decontaminate,
         "docs_ngram_dedup": docs_ngram_dedup,
@@ -2981,7 +3014,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_top_order": q_window_top_order,
         "q_events_hourly": q_events_hourly,
         "q_asof_join": q_asof_join,
-        # ------------------- 50-row window boundary -----------------------
         # parked (driver-green r9): the r9 window cohort
         "ice_variant_write_scan": ice_variant_write_scan,
         "emb_kmeans": emb_kmeans,
@@ -3013,35 +3045,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_normalize": docs_normalize,
         "docs_chunk": docs_chunk,
         "docs_token_count": docs_token_count,
-        # parked (driver-green r6, defer to r11 with TPC-H's return)
-        "docs_incremental_minhash": docs_incremental_minhash,
-        "stream_session_events": stream_session_events,
-        "stream_sliding_events": stream_sliding_events,
-        "q_interval_join": q_interval_join,
-        # parked (driver-green r8): full TPC-H
-        "q01_pricing_summary": q01_pricing_summary,
-        "q01_mor_pricing_summary": q01_mor_pricing_summary,
-        "q02_min_cost_supplier": q02_min_cost_supplier,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q04_order_priority": q04_order_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q06_revenue_forecast": q06_revenue_forecast,
-        "q07_volume_shipping": q07_volume_shipping,
-        "q08_market_share": q08_market_share,
-        "q09_product_profit": q09_product_profit,
-        "q10_returned_items": q10_returned_items,
-        "q11_important_stock": q11_important_stock,
-        "q12_late_lines": q12_late_lines,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_cnt": q16_supplier_cnt,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_volume": q18_large_volume,
-        "q19_disjunctive": q19_disjunctive,
-        "q20_excess_shippers": q20_excess_shippers,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q22_sales_opportunity": q22_sales_opportunity,
         # parked (driver-green r8): the r8 first-driver-row cohort
         "mm_video_meta": mm_video_meta,
         "docs_dup_components": docs_dup_components,
@@ -3054,11 +3057,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": docs_repetition,
         "docs_line_dedup": docs_line_dedup,
         "emb_neardup": emb_neardup,
-        # parked NEW in r10 (TimeType end-to-end + temperature-α mixture;
-        # oracle-checked in sweeps, rotate into the window at r11 under
-        # priority (b))
-        "ice_time_scan": ice_time_scan,
-        "docs_temperature_sample": docs_temperature_sample,
     }
 
 
@@ -3672,18 +3670,26 @@ def _lm_sql(buckets: bool = False) -> str:
               GROUP BY b.doc_id
             )"""
     if not buckets:
+        # micro-unit BIGINT rendering since r11 (VERDICT r10 task 1): the
+        # values are identical to the old DECIMAL(28,6) nll_sum / DOUBLE
+        # avg_nll × 1e6 — the half-up quotient below is the same integer
+        # the operator's DIV computes, before any divide
         return common + r"""
             SELECT d.doc_id,
                    COALESCE(s.n_bigrams, 0) AS n_bigrams,
-                   CAST(COALESCE(s.nll, 0) AS DECIMAL(28,6)) AS nll_sum,
+                   -- DECIMAL(28,6) narrowing keeps ×1e6 inside decimal
+                   -- width 38 (exact), never the double path
+                   CAST(CAST(COALESCE(s.nll, 0) AS DECIMAL(28,6))
+                        * 1000000 AS BIGINT) AS nll_sum_micro,
                    -- half-up 6dp quotient in exact micro-unit integers
                    -- (mirrors the operator; a double round() hit an exact
                    -- tie at sf0.1: 258.481054/76 = 3.4010665 precisely)
                    CASE WHEN s.n_bigrams > 0
-                        THEN CAST((2 * CAST(s.nll * 1000000 AS BIGINT)
+                        THEN CAST((2 * CAST(CAST(s.nll AS DECIMAL(28,6))
+                                            * 1000000 AS BIGINT)
                                    + s.n_bigrams)
-                                  // (2 * s.n_bigrams) AS DOUBLE) / 1000000.0
-                   END AS avg_nll
+                                  // (2 * s.n_bigrams) AS BIGINT)
+                   END AS avg_nll_micro
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
             ORDER BY d.doc_id
         """
@@ -3802,12 +3808,18 @@ def _dsir_sql(k: int = 200, buckets: int = 4096, salt: str = "dsir") -> str:
               GROUP BY pb.doc_id
             )
             SELECT d.doc_id,
-                   CAST(coalesce(w.lw, 0) AS DECIMAL(28,6)) AS log_weight,
-                   CAST(coalesce(w.lw, 0) + gum.gv AS DECIMAL(28,6)) AS score
+                   -- micro-unit BIGINT rendering since r11 (VERDICT r10
+                   -- task 1): decimal(.,6) × 1e6 is exact, one rendering
+                   -- the DECIMAL(28,6) narrowing keeps the ×1e6 inside
+                   -- decimal width 38 (exact), never the double path
+                   CAST(CAST(coalesce(w.lw, 0) AS DECIMAL(28,6))
+                        * 1000000 AS BIGINT) AS log_weight_micro,
+                   CAST(CAST(coalesce(w.lw, 0) + gum.gv AS DECIMAL(28,6))
+                        * 1000000 AS BIGINT) AS score_micro
             FROM documents d
             JOIN gum ON gum.gid = d.doc_id
             LEFT JOIN w ON d.doc_id = w.doc_id
-            ORDER BY score DESC, d.doc_id ASC
+            ORDER BY score_micro DESC, d.doc_id ASC
             LIMIT {k}
     """
 

@@ -595,6 +595,7 @@ def dsir_resample(
     buckets: int = 4096,
     n_max: int = 2,
     salt: str = "dsir",
+    micro_units: bool = False,
 ) -> DataFrame:
     """DSIR selection: top-``k`` documents by importance weight plus
     deterministic Gumbel noise (Gumbel-top-k IS sampling-without-
@@ -604,6 +605,15 @@ def dsir_resample(
     every engine and on every rerun. Returns (id, log_weight, score)
     ordered by (score desc, id); score is an exact DECIMAL sum of the two
     rounded-6dp parts.
+
+    ``micro_units=True`` instead returns (id, log_weight_micro,
+    score_micro) as exact BIGINTs = value × 1e6 — the same numbers in the
+    integer representation the r10 stage-bisect probes proved renders
+    identically in every harness. The internals are 6dp decimals, so the
+    scaling is exact (no rounding happens here); this exists because a
+    DECIMAL(28,6) output column is rendered scale-sensitively by some
+    result harnesses (VERDICT r10 task 1) while a BIGINT has exactly one
+    rendering.
 
     Scale: the weight pass above plus one TakeOrderedAndProject top-k — a
     per-partition heap + driver merge of k rows, never a global sort. The
@@ -626,7 +636,11 @@ def dsir_resample(
     # the tokenize pass.
     @F.pandas_udf(T.DecimalType(18, 6))
     def _gum(ids):
-        return ids.map(lambda d: dsir_gumbel6(d, salt))
+        # na_action='ignore' preserves NULL-in/NULL-out: without it,
+        # Series.map feeds None/NaN ids through the hash and fabricates a
+        # Gumbel term for NULL documents, where the previous JVM F.log
+        # expression propagated NULL (ADVICE r10)
+        return ids.map(lambda d: dsir_gumbel6(d, salt), na_action="ignore")
 
     out_t = T.DecimalType(28, 6)
     out = (
@@ -644,7 +658,18 @@ def dsir_resample(
         # a failed run must not leak executor storage (ADVICE r9)
         for c in cache:
             c.unpersist()
-    return (
+    res = (
         df.sparkSession.createDataFrame(rows, out.schema)
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
     )
+    if micro_units:
+        # DECIMAL(28,6) × 1e6 is exact (scale is 6); cast to long drops a
+        # zero fraction. One rendering exists for a BIGINT.
+        res = res.select(
+            id_col,
+            (F.col("log_weight") * F.lit(1000000)).cast("long")
+            .alias("log_weight_micro"),
+            (F.col("score") * F.lit(1000000)).cast("long")
+            .alias("score_micro"),
+        )
+    return res

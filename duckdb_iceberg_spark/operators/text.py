@@ -702,6 +702,7 @@ def ngram_lm_score(
     id_col: str = "doc_id",
     reference_cond: str | Column | None = None,
     vocab_size: int = 1024,
+    micro_units: bool = False,
 ):
     """CCNet-style LM quality scoring (the KenLM-perplexity pass of
     Wenzek et al. 2020): train a Laplace-smoothed bigram LM on a
@@ -720,6 +721,14 @@ def ngram_lm_score(
     by 1e6. A double round(nll/n, 6) would hit exact 6dp ties (sf0.1's
     258.481054/76 = 3.4010665 precisely) that engines round differently;
     the integer form has no boundary to disagree on.
+
+    ``micro_units=True`` instead returns (id, n_bigrams, nll_sum_micro,
+    avg_nll_micro) as exact BIGINTs = value × 1e6 (the half-up quotient
+    is ALREADY an integer micro-unit value before the final divide; this
+    mode simply skips the divide). DECIMAL/DOUBLE output columns render
+    scale-sensitively in some result harnesses (VERDICT r10 task 1) while
+    a BIGINT has exactly one rendering — the representation the r10
+    integer probes proved safe end-to-end.
 
     Scale shape: the vocabulary is a bounded driver collect
     (<= vocab_size rows, like DSIR's bucket model); unk-mapping is an
@@ -769,9 +778,26 @@ def ngram_lm_score(
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
              (-F.sum(lp)).alias("__nll"))
     )
+    joined = df.select(F.col(id_col)).join(
+        scored.withColumnRenamed("__id", id_col), id_col, "left")
+    if micro_units:
+        return joined.select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            # DECIMAL(.,6) × 1e6 is exact; cast drops a zero fraction
+            (F.coalesce(F.col("__nll"), F.lit(0)) * F.lit(1000000))
+            .cast("long").alias("nll_sum_micro"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                # the half-up micro-unit quotient, WITHOUT the final /1e6
+                F.expr(
+                    "(2 * CAST(__nll * 1000000 AS BIGINT) + n_bigrams)"
+                    " DIV (2 * n_bigrams)"
+                ),
+            ).alias("avg_nll_micro"),
+        )
     return (
-        df.select(F.col(id_col)).join(
-            scored.withColumnRenamed("__id", id_col), id_col, "left")
+        joined
         .select(
             F.col(id_col),
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),

@@ -19,16 +19,15 @@ ROWS_ONLY: set = set()
 
 
 def test_window_holds_reference_surface_and_rotation():
-    """Round-10 rotation (queries() docstring): the 17-entry ice_* DML/scan
-    core stays in-window; the rotating slots hold the r8+r9 hash-RED rows
-    (docs_dsir_sample/docs_lm_score — a red row never rotates out until
-    green) with their green control (docs_lm_buckets) and the NEW r10
-    stage-bisect probes (docs_dsir_probe/docs_lm_probe, VERDICT r9 task
-    1b), the never-driver-checked r9 entries (ice_custom_paths_scan,
-    docs_bloom_dedup), the rest of r7's cohort, and 16 of r6's cohort.
-    TPC-H and the green r9 window park until r11. An entry may leave the
-    window only via a documented rotation, never via an accidental
-    insertion above it."""
+    """Round-11 rotation (queries() docstring): the ice_* DML/scan core
+    stays in-window (trimmed by exactly one — ice_docs_curation — to fit
+    TPC-H's mandatory return; its family sibling ice_dup_cluster_curation
+    stays); the r8-r10 hash-RED rows ride with their probes + green
+    control; the two never-driver-checked r10 newcomers rotate in; the
+    four r6 entries deferred from r10 rotate in; and all 23 TPC-H rows
+    return (every-third-round deadline, parked since r8). An entry may
+    leave the window only via a documented rotation, never via an
+    accidental insertion above it."""
     keys = list(entry.queries())
     window = set(keys[:50])
     ice_core = {
@@ -37,7 +36,7 @@ def test_window_holds_reference_surface_and_rotation():
         "ice_sql_merge", "ice_merge_conditional", "ice_time_travel",
         "ice_schema_evolution", "ice_spec_evolution_scan",
         "ice_compaction_scan", "ice_bucket_pruned_scan",
-        "ice_dynamic_prune_join", "ice_variant_extract", "ice_docs_curation",
+        "ice_dynamic_prune_join", "ice_variant_extract",
         "ice_dup_cluster_curation",
     }
     assert ice_core <= window, (
@@ -45,30 +44,37 @@ def test_window_holds_reference_surface_and_rotation():
         "the driver's 50-row correctness window")
     red_until_green = {"docs_dsir_sample", "docs_lm_score"}
     assert red_until_green <= window, (
-        f"{sorted(red_until_green - window)} were hash-RED in r8+r9 and "
+        f"{sorted(red_until_green - window)} were hash-RED in r8-r10 and "
         "must stay in-window until a green driver row exists")
     probes = {"docs_dsir_probe", "docs_lm_probe", "docs_lm_buckets"}
     assert probes <= window, (
         f"{sorted(probes - window)} (stage-bisect probes + control) must "
         "ride NEXT TO the red rows they bisect")
-    r10_rotation = {
-        # never driver-checked before r10
-        "ice_custom_paths_scan", "docs_bloom_dedup",
-        # rest of r7's cohort (longest-parked)
-        "docs_quality", "docs_fingerprint", "docs_incremental_dedup",
-        "docs_lang_scores", "docs_winnow", "q_distinct_parts", "q_rollup",
-        "q_setop_nations", "q_topk_orders", "q_anti_join",
-        # 16 of r6's cohort
-        "docs_minhash_dedup", "docs_decontaminate", "docs_ngram_dedup",
-        "docs_simhash", "docs_exact_dedup", "stream_incremental",
-        "stream_sink_roundtrip", "stream_tumbling_events",
-        "mm_image_features", "mm_audio_features", "mm_frame_sample",
-        "docs_source_cap", "docs_substr_dedup", "q_window_top_order",
-        "q_events_hourly", "q_asof_join",
+    r11_rotation = {
+        # never driver-checked before r11 (NEW in r10)
+        "ice_time_scan", "docs_temperature_sample",
+        # the four r6 entries deferred from r10 (longest-parked)
+        "docs_incremental_minhash", "stream_session_events",
+        "stream_sliding_events", "q_interval_join",
     }
-    assert r10_rotation <= window, (
-        f"{sorted(r10_rotation - window)} (r10 rotation set) fell past the "
+    tpch = {
+        "q01_pricing_summary", "q01_mor_pricing_summary",
+        "q02_min_cost_supplier", "q03_shipping_priority",
+        "q04_order_priority", "q05_region_revenue", "q06_revenue_forecast",
+        "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+        "q10_returned_items", "q11_important_stock", "q12_late_lines",
+        "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+        "q16_supplier_cnt", "q17_small_quantity", "q18_large_volume",
+        "q19_disjunctive", "q20_excess_shippers", "q21_waiting_supplier",
+        "q22_sales_opportunity",
+    }
+    assert len(tpch) == 23
+    assert r11_rotation <= window, (
+        f"{sorted(r11_rotation - window)} (r11 rotation set) fell past the "
         "window")
+    assert tpch <= window, (
+        f"{sorted(tpch - window)} (TPC-H, every-third-round deadline) fell "
+        "past the window")
     assert len(keys) >= 50 and len(window) == 50
 
 

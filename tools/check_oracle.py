@@ -1,6 +1,11 @@
 """Local mirror of the driver's t2 correctness check: run every
 queries() entry and its oracle_sql() twin, compare row-count + sorted-column
-value hash. Usage: python tools/check_oracle.py [sf_dir] [name_filter]"""
+value hash. Usage: python tools/check_oracle.py [sf_dir] [name_filter]
+
+Pass --raw-repr (or set SPARK_GRAFT_RAW_REPR=1) to hash each value's raw
+cursor ``repr`` instead of the canonicalized rendering — the strictest
+mode, reproducing any harness that hashes what the cursors literally
+return (Decimal scale, float repr, datetime micros all visible)."""
 
 from __future__ import annotations
 
@@ -14,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+RAW_REPR = False  # --raw-repr / SPARK_GRAFT_RAW_REPR=1: hash raw cursor reprs
 
 
 def value_hash(rows, cols) -> str:
@@ -33,12 +41,23 @@ def _render(v) -> str:
     import datetime as dt
     from decimal import Decimal
 
+    if RAW_REPR:
+        # strictest mode: whatever the cursor returned, verbatim — scale,
+        # float repr, datetime micros, type tag all visible
+        return repr(v)
     if v is None:
         return "NULL"
     if isinstance(v, float):
         return f"{v:.6f}".rstrip("0").rstrip(".")
     if isinstance(v, Decimal):
-        return _render(float(v))
+        # EXACT, scale-preserving rendering. The pre-r11 float() round-trip
+        # here erased scale / trailing-digit / repr differences, which is
+        # why three rounds of "bit-identical locally" coexisted with driver
+        # hash-reds on DECIMAL output columns (VERDICT r10 task 2): a
+        # harness that renders Decimal('1.50') differently from
+        # Decimal('1.5') or 1.5 was invisible to this mirror. str() keeps
+        # the scale, so that class now reproduces locally.
+        return str(v)
     if isinstance(v, dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, dt.date):
@@ -49,8 +68,12 @@ def _render(v) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    global RAW_REPR
+    argv = [a for a in sys.argv[1:] if a != "--raw-repr"]
+    RAW_REPR = (len(argv) != len(sys.argv) - 1
+                or os.environ.get("SPARK_GRAFT_RAW_REPR") == "1")
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
+    name_filter = argv[1] if len(argv) > 1 else ""
 
     import __spark_entry__ as entry
     from duckdb_iceberg_spark.session import get_spark
@@ -148,7 +171,7 @@ def main() -> int:
     import pyspark
 
     print(f"ENV: duckdb={duckdb.__version__} pyspark={pyspark.__version__} "
-          f"sf_dir={sf_dir}")
+          f"sf_dir={sf_dir} render={'raw-repr' if RAW_REPR else 'canonical'}")
     print("FAILURES:", failures)
     return 1 if failures else 0
 

@@ -227,7 +227,9 @@ def _resolve_secret(config: RestCatalogConfig) -> RestCatalogConfig:
 
     sec = None
     if config.secret is not None:
-        sec = get_secret(config.secret)
+        # scoped to TYPE ICEBERG like the reference: a same-named secret
+        # of another type resolves to None → the error below (ADVICE r10)
+        sec = get_secret(config.secret, type="iceberg")
         if sec is None:
             raise ValueError(
                 f"No ICEBERG secret by the name of '{config.secret}' "

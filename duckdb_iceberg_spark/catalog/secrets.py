@@ -35,5 +35,14 @@ def drop_secret(name: str) -> None:
     _SECRETS.pop(name.lower(), None)
 
 
-def get_secret(name: str) -> Optional[dict[str, Any]]:
-    return _SECRETS.get(name.lower())
+def get_secret(name: str, type: str | None = None) -> Optional[dict[str, Any]]:
+    """Look up a named secret, optionally scoped to a type. The catalog
+    attach path passes ``type='iceberg'`` (ADVICE r10): the reference
+    scopes its lookup to TYPE ICEBERG, so a same-named secret of another
+    type must NOT be silently consumed for endpoint/token inference —
+    scoped lookup returns None and the caller raises its usual
+    'no ICEBERG secret' error."""
+    sec = _SECRETS.get(name.lower())
+    if sec is not None and type is not None and sec.get("type") != type.lower():
+        return None
+    return sec

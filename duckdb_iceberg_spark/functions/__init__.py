@@ -113,12 +113,27 @@ def register_sql_functions(spark) -> None:
 
     from ..plans.transforms import _hash_bytes_for, murmur3_32_var_np
 
+    def _normalize_nullable_ints(vals):
+        """Arrow hands an integer batch containing any NULL to pandas as
+        float64 (ADVICE r10): the non-null values of such a series are
+        integral floats that must dispatch as longs, not doubles. A
+        genuinely fractional value means a real DOUBLE column, which has
+        no overload (the reference has none either)."""
+        if getattr(vals.dtype, "kind", "") != "f":
+            return vals
+        fv = vals.to_numpy(dtype="float64")
+        if not np.all(np.equal(np.mod(fv, 1), 0)):
+            raise ValueError(
+                "iceberg_bucket/iceberg_truncate: no double overload "
+                "(reference has none either)")
+        return vals.astype("int64")
+
     @pandas_udf(T.IntegerType())
     def _bucket_sql(ns, vs):
         res = pd.Series([None] * len(vs), dtype="object")
         mask = vs.notna() & ns.notna()
         if mask.any():
-            vals = vs[mask]
+            vals = _normalize_nullable_ints(vs[mask])
             blist = [_hash_bytes_for(v, _infer_ice_type(v)) for v in vals]
             lengths = np.fromiter((len(b) for b in blist), dtype=np.int64,
                                   count=len(blist))
@@ -134,14 +149,26 @@ def register_sql_functions(spark) -> None:
 
     @pandas_udf(T.LongType())
     def _trunc_int_sql(ws, vs):
-        bad = vs[vs.notna()].map(
-            lambda v: not isinstance(v, (int, np.integer))
-            or isinstance(v, bool))
-        if bad.any():
-            raise ValueError(
-                "iceberg_truncate (SQL) is the integer overload on Spark; "
-                "use iceberg_truncate_string / iceberg_truncate_binary for "
-                "other types, or the Column API with source_type")
+        if getattr(vs.dtype, "kind", "") == "f":
+            # nullable integer batch arriving as float64 (ADVICE r10) —
+            # integral values are valid longs; fractional means DOUBLE
+            nn = vs.dropna().to_numpy(dtype="float64")
+            if len(nn) and not np.all(np.equal(np.mod(nn, 1), 0)):
+                raise ValueError(
+                    "iceberg_truncate (SQL) is the integer overload on "
+                    "Spark; use iceberg_truncate_string / "
+                    "iceberg_truncate_binary for other types, or the "
+                    "Column API with source_type")
+        else:
+            bad = vs[vs.notna()].map(
+                lambda v: not isinstance(v, (int, np.integer))
+                or isinstance(v, bool))
+            if bad.any():
+                raise ValueError(
+                    "iceberg_truncate (SQL) is the integer overload on "
+                    "Spark; use iceberg_truncate_string / "
+                    "iceberg_truncate_binary for other types, or the "
+                    "Column API with source_type")
         if (ws.notna() & (ws.astype("float") <= 0)).any():
             raise ValueError(
                 "iceberg_truncate: width must be a positive integer")

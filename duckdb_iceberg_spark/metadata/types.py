@@ -59,9 +59,34 @@ _EPOCH_DATE = _dt.date(1970, 1, 1)
 _EPOCH_TS = _dt.datetime(1970, 1, 1)
 _EPOCH_TS_TZ = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 
-#: Spark 4.1+ has a real TIME type (flag-gated; get_spark enables it).
-#: When absent, Iceberg `time` degrades to the tagged-Long µs mapping.
-TIME_TYPE_AVAILABLE = hasattr(T, "TimeType")
+#: Spark 4.1+ ships a real TIME type in the library (flag-gated at runtime).
+_TIME_TYPE_IN_LIB = hasattr(T, "TimeType")
+
+
+def time_type_available() -> bool:
+    """Whether Iceberg ``time`` may map to Spark's real ``TimeType`` RIGHT
+    NOW. Two gates (ADVICE r10): the library must ship ``T.TimeType``
+    (Spark 4.1+), AND the ACTIVE session must have
+    ``spark.sql.timeType.enabled`` on — ``get_spark`` sets it, but a
+    user-supplied session without the flag would fail at analysis on a
+    TimeType schema, so such sessions degrade to the tagged-Long µs
+    mapping that worked pre-4.1. With no active session (metadata-only
+    paths), library capability decides, matching get_spark's default."""
+    if not _TIME_TYPE_IN_LIB:
+        return False
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+    except Exception:
+        s = None
+    if s is None:
+        return True
+    try:
+        return str(s.conf.get("spark.sql.timeType.enabled", "false")) \
+            .lower() == "true"
+    except Exception:
+        return True
 
 
 def time_to_micros(v: Any) -> int:
@@ -124,7 +149,7 @@ def iceberg_to_spark(t: Any) -> T.DataType:
         if name == "date":
             return T.DateType()
         if name == "time":
-            if TIME_TYPE_AVAILABLE:
+            if time_type_available():
                 return T.TimeType()  # µs time-of-day (Spark 4.1+)
             return T.LongType()  # µs since midnight; tagged via metadata
         if name == "timestamp" or name == "timestamp_ns":
@@ -235,7 +260,7 @@ def spark_to_iceberg(dt: T.DataType, alloc: _IdAllocator) -> Any:
         return f"decimal({dt.precision}, {dt.scale})"
     if isinstance(dt, T.DateType):
         return "date"
-    if TIME_TYPE_AVAILABLE and isinstance(dt, T.TimeType):
+    if _TIME_TYPE_IN_LIB and isinstance(dt, T.TimeType):
         return "time"
     if isinstance(dt, T.TimestampNTZType):
         return "timestamp"
@@ -427,7 +452,7 @@ def decode_bound(t: Any, b: bytes | None) -> Any:
         return struct.unpack("<i", b)[0]
     if name == "time":
         us = struct.unpack("<q", b)[0]
-        return micros_to_time(us) if TIME_TYPE_AVAILABLE else us
+        return micros_to_time(us) if time_type_available() else us
     if name == "long":
         # type promotion: an int→long widened column keeps 4-byte bounds
         # written under the old type (spec Appendix D reader requirement)
@@ -502,7 +527,7 @@ def json_default_to_python(t: Any, v: Any) -> Any:
         return _dt.date.fromisoformat(v)
     if name == "time":
         t = _dt.time.fromisoformat(v)
-        if TIME_TYPE_AVAILABLE:
+        if time_type_available():
             return t
         # µs since midnight on pre-TimeType Spark (tagged-Long mapping)
         return time_to_micros(t)

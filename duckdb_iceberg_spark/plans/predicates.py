@@ -375,7 +375,7 @@ def coerce_literal(value: Any, src_type: Any) -> Any:
         if name == "time":
             if isinstance(value, str):
                 value = _dt.time.fromisoformat(value)
-            if ice_types.TIME_TYPE_AVAILABLE:
+            if ice_types.time_type_available():
                 if isinstance(value, int):
                     return ice_types.micros_to_time(value)
                 return value

@@ -391,7 +391,7 @@ def _norm_partition_value(v: Any, result_type: Any) -> Any:
     if name == "date" and isinstance(v, int):
         return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
     if (name == "time" and isinstance(v, int)
-            and ice_types.TIME_TYPE_AVAILABLE):
+            and ice_types.time_type_available()):
         return ice_types.micros_to_time(v)
     if name in ("timestamp", "timestamptz") and isinstance(v, int):
         base = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc if name == "timestamptz" else None)

@@ -290,7 +290,10 @@ def _validate_default(ice_type: Any, v: Any) -> None:
         if name in ("int", "long"):
             if isinstance(v, bool):
                 raise ValueError(v)
-            iv = int(str(v), 0) if isinstance(v, str) else int(v)
+            # base 10, not 0: a plain decimal cast accepts '042' and
+            # rejects '0x2a', matching the reference's semantics
+            # (ADVICE r10)
+            iv = int(v, 10) if isinstance(v, str) else int(v)
             if isinstance(v, float) and v != iv:
                 raise ValueError(v)
             lim = 31 if name == "int" else 63

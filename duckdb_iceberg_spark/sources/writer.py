@@ -397,7 +397,7 @@ def _parse_partition_string(s: str, result_type: Any) -> Any:
             return _dt.date.fromisoformat(s)
         if name == "time":
             t = _dt.time.fromisoformat(s)
-            return t if ice_types.TIME_TYPE_AVAILABLE \
+            return t if ice_types.time_type_available() \
                 else ice_types.time_to_micros(t)
         if name in ("timestamp", "timestamptz"):
             return _dt.datetime.fromisoformat(s.replace(" ", "T"))
@@ -651,7 +651,7 @@ def _cast_to_table_schema(df: DataFrame, schema_json: dict) -> DataFrame:
             cur = df.schema[name].dataType
             c = ice_types.quoted_col(name)
             if cur != target and not isinstance(target, T.NullType):
-                if (ice_types.TIME_TYPE_AVAILABLE
+                if (ice_types.time_type_available()
                         and isinstance(target, T.TimeType)
                         and isinstance(cur, (T.LongType, T.IntegerType))):
                     # legacy tagged-Long µs input for an iceberg `time`

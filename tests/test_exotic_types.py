@@ -232,3 +232,26 @@ def test_decode_geometry_bound_axes():
     got = decode_geometry_bound(_struct.pack("<4d", 1.0, 2.0, -math.inf, 7.0))
     assert got == {"x": 1.0, "y": 2.0, "z": None, "m": 7.0}
     assert decode_geometry_bound(b"\x00" * 7) is None
+
+
+def test_time_mapping_degrades_when_session_flag_off(spark):
+    """ADVICE r10: time_type_available() consults the ACTIVE session's
+    spark.sql.timeType.enabled, not just the pyspark version — a
+    user-supplied 4.1 session without the flag must get the tagged-Long
+    µs mapping (which analyzes fine) instead of TimeType schemas that
+    fail at analysis."""
+    from pyspark.sql import types as T
+
+    from duckdb_iceberg_spark.metadata import types as ice_types
+
+    assert ice_types.time_type_available() is True  # get_spark set the flag
+    assert isinstance(ice_types.iceberg_to_spark("time"), T.TimeType)
+    old = spark.conf.get("spark.sql.timeType.enabled")
+    spark.conf.set("spark.sql.timeType.enabled", "false")
+    try:
+        assert ice_types.time_type_available() is False
+        assert isinstance(ice_types.iceberg_to_spark("time"), T.LongType)
+        assert ice_types.micros_to_time is not None  # helpers stay importable
+    finally:
+        spark.conf.set("spark.sql.timeType.enabled", old)
+    assert ice_types.time_type_available() is True

@@ -581,8 +581,14 @@ def test_secret_endpoint_inference(stub):
         # an explicit uri passes through untouched (no secret needed)
         cat3 = RestCatalog(RestCatalogConfig(uri=base))
         assert cat3.config.uri == base
+        # a same-named secret of a DIFFERENT type is NOT consumed
+        # (ADVICE r10): the reference scopes lookup to TYPE ICEBERG
+        create_secret("s3_alias", type="s3", endpoint=base, token="nope")
+        with pytest.raises(ValueError,
+                           match="No ICEBERG secret by the name"):
+            RestCatalog(RestCatalogConfig(uri="", secret="s3_alias"))
     finally:
-        for n in ("iceberg_secret", "no_ep", "oauth_sec"):
+        for n in ("iceberg_secret", "no_ep", "oauth_sec", "s3_alias"):
             drop_secret(n)
 
 

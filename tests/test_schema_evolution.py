@@ -99,6 +99,11 @@ def test_add_column_default_must_cast_at_ddl_time(spark, sf_dir, tmp_path):
     assert "b" not in names and "d" not in names
     # valid casts still work, incl. numeric strings (DuckDB casts those)
     add_column(loc, "b", "int", default="42")
+    # plain decimal cast semantics (ADVICE r10): leading zeros are a
+    # legitimate decimal string; hex/binary forms are NOT a decimal cast
+    add_column(loc, "lz", "int", default="042")
+    with pytest.raises(ValueError, match="Could not convert"):
+        add_column(loc, "hx", "int", default="0x2a")
     with pytest.raises(ValueError, match="already exists"):
         add_column(loc, "b", "int")
     with pytest.raises(ValueError, match="Could not convert"):

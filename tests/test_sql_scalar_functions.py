@@ -109,3 +109,34 @@ def test_functions_in_scope_through_execute_sql(spark, tmp_path):
         "FROM t_fn GROUP BY b ORDER BY b").collect()
     assert sum(r.n for r in rows) == 20
     assert all(0 <= r.b < 4 for r in rows)
+
+
+def test_bucket_and_truncate_on_nullable_integer_column(spark):
+    """ADVICE r10: an int64 batch containing ANY null reaches the pandas
+    UDF as float64 (Arrow's nullable-int rendering), which used to raise
+    'unsupported value type' / the misleading 'integer overload' error.
+    Mixed null/non-null integer batches must work and agree with the
+    all-non-null results."""
+    df = spark.createDataFrame(
+        [(0,), (None,), (34,), (None,), (1,)], "v bigint")
+    df.createOrReplaceTempView("nullable_ints")
+    rows = spark.sql(
+        "SELECT v, iceberg_bucket(16, v) AS b, iceberg_truncate(10, v) AS t "
+        "FROM nullable_ints ORDER BY v NULLS FIRST").collect()
+    got = {r.v: (r.b, r.t) for r in rows}
+    # spec vector: hash(0L)=1669671676 -> %16 = 12; hash(34L)=2017239379 -> %16 = 3
+    assert got[None] == (None, None)
+    assert got[0] == (one(spark, "iceberg_bucket(16, 0)"), 0)
+    assert got[34] == (one(spark, "iceberg_bucket(16, 34)"), 30)
+    assert got[1] == (one(spark, "iceberg_bucket(16, 1)"), 0)
+
+
+def test_bucket_rejects_fractional_doubles_loudly(spark):
+    """A genuinely fractional DOUBLE column is NOT a nullable-int artifact
+    and has no overload (the reference has none either)."""
+    spark.createDataFrame([(1.5,), (None,)], "v double") \
+        .createOrReplaceTempView("frac_doubles")
+    with pytest.raises(Exception, match="double overload"):
+        spark.sql("SELECT iceberg_bucket(16, v) FROM frac_doubles").collect()
+    with pytest.raises(Exception, match="integer overload|double overload"):
+        spark.sql("SELECT iceberg_truncate(10, v) FROM frac_doubles").collect()

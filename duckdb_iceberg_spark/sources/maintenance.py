@@ -186,6 +186,10 @@ def expire_snapshots(
     not in the reference, whose maintenance surface is compaction only):
     drops expired snapshots from table metadata, then deletes any
     manifest/data files no longer reachable from a retained snapshot.
+    Expiry commits NO snapshot (it is a remove-snapshots metadata
+    update), so there is no summary to carry custom properties — the
+    same surface as Iceberg's own procedure; retained snapshots keep
+    their summaries (incl. any custom snapshot_properties) verbatim.
 
     Returns {"expired": n, "deleted_files": n}. ``location`` may be a
     path or a catalog ``RestTable`` (expiry then commits a
@@ -382,6 +386,7 @@ def rewrite_manifests(
     *,
     target_entries_per_manifest: int = 100_000,
     min_input_manifests: int = 2,
+    snapshot_properties: dict[str, str] | None = None,
 ) -> dict:
     """Consolidate small manifests into fewer, larger ones without touching
     data files (cf. Iceberg's ``rewrite_manifests`` procedure — the
@@ -470,7 +475,11 @@ def rewrite_manifests(
             manifest_list=ml_path,
             summary={"operation": "replace",
                      "rewritten-manifests": str(len(srcs)),
-                     "added-manifests": str(len(new_manifests))},
+                     "added-manifests": str(len(new_manifests)),
+                     # user summary props ride the commit like the write
+                     # path's snapshot_properties (VERDICT r10 task 6)
+                     **{str(k): str(v)
+                        for k, v in (snapshot_properties or {}).items()}},
             schema_id=tm.current_schema_id,
         )
 

@@ -412,3 +412,54 @@ def test_rewrite_rotates_oversized_file(spark, tmp_path):
     tm = load_table_metadata(loc)
     assert len(plan_scan(tm, tm.select_snapshot(), None).tasks) > 1
     assert iceberg_scan(spark, loc).count() == 500000
+
+
+def test_snapshot_properties_land_in_maintenance_commit_summaries(
+        spark, tmp_path):
+    """VERDICT r10 task 6: custom snapshot summary properties flow through
+    both maintenance commits — the keys must land in the committed
+    snapshot's summary JSON on disk (not just the in-memory object), and
+    expire_snapshots must leave retained summaries verbatim (expiry
+    itself commits no snapshot, so it carries no properties — the same
+    surface as Iceberg's own procedure)."""
+    import json
+    import os
+
+    from duckdb_iceberg_spark.sources.maintenance import (
+        expire_snapshots,
+        rewrite_manifests,
+    )
+
+    loc = str(tmp_path / "t_props")
+    for i in range(3):
+        write_iceberg(spark.range(i * 10, (i + 1) * 10).coalesce(1), loc)
+
+    props = {"compaction-job-id": "job-42", "trigger": "scheduled"}
+    res = rewrite_data_files(spark, loc, min_input_files=2,
+                             snapshot_properties=props)
+    tm = load_table_metadata(loc)
+    snap = tm.current_snapshot()
+    assert snap.snapshot_id == res["snapshot_id"]
+    for k, v in props.items():
+        assert snap.summary.get(k) == v
+    # ... and in the serialized metadata JSON, not just the object
+    meta_dir = os.path.join(loc, "metadata")
+    latest = sorted(f for f in os.listdir(meta_dir)
+                    if f.endswith(".metadata.json"))[-1]
+    with open(os.path.join(meta_dir, latest)) as fh:
+        doc = json.load(fh)
+    on_disk = {s["snapshot-id"]: s.get("summary", {})
+               for s in doc["snapshots"]}
+    assert on_disk[snap.snapshot_id]["compaction-job-id"] == "job-42"
+
+    mprops = {"manifest-rewrite-job": "mjob-7"}
+    rewrite_manifests(loc, min_input_manifests=1, snapshot_properties=mprops)
+    tm = load_table_metadata(loc)
+    assert tm.current_snapshot().summary.get("manifest-rewrite-job") == "mjob-7"
+
+    # expiry retains the custom summaries of surviving snapshots verbatim
+    expire_snapshots(loc, retain_last=2)
+    tm = load_table_metadata(loc)
+    summaries = [s.summary for s in tm.snapshots]
+    assert any(s.get("compaction-job-id") == "job-42" for s in summaries)
+    assert any(s.get("manifest-rewrite-job") == "mjob-7" for s in summaries)

@@ -254,6 +254,50 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
 
 
+def _sig_shingle_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, signature, __sh): minhash signature AND the raw shingle-hash
+    set in ONE pandas pass — each text is normalized+shingled exactly once
+    for both the LSH banding (signature) and the exact-Jaccard verify
+    (__sh). duplicate_components previously paid two full shingle passes
+    (minhash_signatures, then verify_jaccard's own UDF over participants);
+    fusing them drops one text scan + one Arrow round-trip from the
+    pipeline's critical path (VERDICT r10 task 4). Values are identical
+    to the two separate UDFs by construction — same _shingle_hashes, same
+    multiply-shift family."""
+    a, b = _hash_params(num_hashes)
+    au = a.astype(np.uint64)
+    bu = b.astype(np.uint64)
+
+    @pandas_udf(T.StructType([
+        T.StructField("signature", T.ArrayType(T.LongType())),
+        T.StructField("__sh", T.ArrayType(T.LongType())),
+    ]))
+    def sig_sh(texts: pd.Series) -> pd.DataFrame:
+        sigs, shs = [], []
+        with np.errstate(over="ignore"):
+            for t in texts:
+                if t is None:
+                    sigs.append(None)
+                    shs.append(None)
+                    continue
+                sh = _shingle_hashes(t, shingle_k)
+                vals = au[None, :] * sh[:, None] + bu[None, :]
+                sigs.append((vals.min(axis=0) >> np.uint64(1))
+                            .astype(np.int64).tolist())
+                shs.append(sh.view(np.int64).tolist())
+        return pd.DataFrame({"signature": sigs, "__sh": shs})
+
+    return df.select(F.col(id_col), sig_sh(F.col(text_col)).alias("__ss")) \
+             .select(F.col(id_col), F.col("__ss.signature").alias("signature"),
+                     F.col("__ss.__sh").alias("__sh"))
+
+
 def banded_signatures(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -323,6 +367,7 @@ def verify_jaccard(
     shingle_k: int = 5,
     threshold: float = 0.7,
     docs_b: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs (small set): returns
     (id_a, id_b, jaccard) with jaccard >= threshold.
@@ -331,13 +376,19 @@ def verify_jaccard(
     cross-frame pairs (batch vs corpus) each side joins only its own text
     source instead of a union that scans both twice.
 
+    ``shingles`` (optional, single-frame mode only): a precomputed
+    (id, __sh array<long>) frame — e.g. _sig_shingle_frame's output, which
+    already shingled every doc for the signatures — skips this function's
+    own shingle UDF entirely (no second text pass).
+
     Shape: each DISTINCT participating doc is shingled exactly once, in
     ONE UDF pass over a persisted (id, shingle-hashes) frame both join
     sides read (a doc in m candidate pairs used to pay m shingle passes —
     the dominant cost when LSH buckets are dense); the per-pair
     intersect/union runs JVM-side on the arrays (whole-stage codegen, no
     Python in the pair loop)."""
-    d = docs.select(F.col(id_col), F.col(text_col))
+    d = docs.select(F.col(id_col), F.col(text_col)) if shingles is None \
+        else docs
     db = d if docs_b is None else docs_b.select(F.col(id_col), F.col(text_col))
 
     @pandas_udf(T.ArrayType(T.LongType()))
@@ -360,6 +411,19 @@ def verify_jaccard(
         # a union + dropDuplicates shuffle
         part_ids = (pairs.select(
             F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct())
+        if shingles is not None:
+            # no UDF in this branch (arrays precomputed), but the eager
+            # persist barrier stays: without it the two pair-side joins
+            # each rebuild the explode→distinct→semi-join subtree AND
+            # plan against unknown sizes (measured r11: the lazy variant
+            # was ~0.5s SLOWER at sf0.1 — extra exchanges cost more than
+            # the one barrier job saves). The semi-join keeps the verify
+            # side proportional to the candidates, not the corpus.
+            sharr = (shingles.select(F.col(id_col), F.col("__sh"))
+                     .join(part_ids, id_col, "left_semi")
+                     .persist())
+            sharr.count()
+            return _jaccard_join(pairs, sharr, id_col, threshold)
         participants = d.join(part_ids, id_col, "left_semi")
     else:
         part_a = d.join(
@@ -378,6 +442,12 @@ def verify_jaccard(
     # materializing here also hands the planner real sizes, so a small
     # shingle frame broadcasts instead of single-tasking a sort-merge join
     sharr.count()
+    return _jaccard_join(pairs, sharr, id_col, threshold)
+
+
+def _jaccard_join(pairs, sharr, id_col, threshold):
+    """Pair-side joins + exact Jaccard over precomputed shingle arrays —
+    JVM-side (whole-stage codegen), no Python in the pair loop."""
     joined = (
         pairs
         .join(sharr.select(F.col(id_col).alias("id_a"),
@@ -1041,8 +1111,11 @@ def connected_components(
     the loop stops the round convergence happens instead of computing one
     more round to observe a stable fingerprint (r10; star-shaped inputs
     skip the loop entirely); each
-    round's frame is eagerly localCheckpoint()ed, which both materializes
-    it AND truncates lineage — persist() alone leaves the logical plan
+    round's frame is localCheckpoint()ed LAZILY (eager=False, r11): the
+    star-forest check that immediately follows is the action that
+    materializes-and-stores it, fusing what used to be two sequential
+    driver jobs per round into one. The checkpoint still truncates
+    lineage once computed — persist() alone leaves the logical plan
     nesting round-over-round until tree traversal blows the JVM stack
     (observed on a 40-node path graph). localCheckpoint trades executor-
     loss recomputability for that truncation, the standard deal for
@@ -1089,12 +1162,19 @@ def connected_components(
         .select(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # eager=False fuses the checkpoint's materialization into the
+        # star-forest check that immediately follows: the check's action
+        # computes AND stores the frame in one job instead of two
+        # sequential driver round-trips per round (r11, VERDICT r10 task
+        # 4 — the query's cost at toy scale is job latency, not CPU).
+        # Lineage is still truncated once materialized, so deep loops
+        # can't blow the JVM stack (the reason checkpointing exists here).
+        .localCheckpoint(eager=False)
     )
     if not _is_star_forest(cur):
         for _ in range(max_rounds):
             cur = _cc_small_star(_cc_large_star(cur)) \
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             if _is_star_forest(cur):
                 break
         else:
@@ -1138,14 +1218,21 @@ def duplicate_components(
     """
     fp = df.withColumn("__fp", doc_fingerprint(text_col))
     grp = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
-    withrep = fp.join(grp, "__fp")
+    # persist the (id, text, __rep) assignment ONCE: both consumers below
+    # (exact-dup star edges and the rep slice the LSH pipeline shingles)
+    # used to re-run the fingerprint groupBy + join chain independently
+    # (r11, VERDICT r10 task 4). Memory is the same as the pre-r11
+    # reps.persist() it replaces (that cache held text too); the __fp
+    # column is projected away before caching.
+    withrep = fp.join(grp, "__fp").select(
+        F.col(id_col), F.col(text_col), F.col("__rep")).persist()
     exact_edges = (
         withrep.filter(F.col(id_col) != F.col("__rep"))
         .select(F.col(id_col).cast("long").alias("id_a"),
                 F.col("__rep").cast("long").alias("id_b"))
     )
     reps = (withrep.filter(F.col(id_col) == F.col("__rep"))
-            .drop("__fp", "__rep"))
+            .drop("__rep"))
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
         few_inputs = len(df.inputFiles()) < par
@@ -1153,17 +1240,19 @@ def duplicate_components(
         few_inputs = False
     if few_inputs:
         reps = reps.repartition(par)
-    # persist: three consumers (signatures, verify's two pair-side text
-    # joins) would each re-run the fingerprint groupBy + join chain —
-    # measured ~3s of the sf0.1 wall time. Same internal-cache class as
-    # verify_jaccard's pairs/sharr; released when the CC result
-    # materializes inside connected_components' initial checkpoint is
-    # NOT possible (verify joins run later), so it stays for the session
-    # like the rest of the family's internal caches.
-    reps = reps.persist()
-    sigs = minhash_signatures(reps, text_col, id_col, num_hashes, shingle_k)
+    # ONE pandas pass computes signature + shingle arrays for every rep
+    # (r11, VERDICT r10 task 4: the pipeline previously shingled each text
+    # twice — once for signatures, once inside verify). The fused frame is
+    # the single consumer of reps, so the old reps.persist() moves here:
+    # banding and verify both read the persisted arrays, and the
+    # fingerprint groupBy + join chain above runs exactly once. Stays
+    # cached for the session like the family's other internal caches.
+    comb = _sig_shingle_frame(reps, text_col, id_col, num_hashes,
+                              shingle_k).persist()
+    sigs = comb.select(id_col, "signature")
     cands = lsh_candidate_pairs(sigs, id_col, bands)
-    near = verify_jaccard(cands, reps, text_col, id_col, shingle_k, threshold)
+    near = verify_jaccard(cands, comb, text_col, id_col, shingle_k,
+                          threshold, shingles=comb)
     edges = exact_edges.unionByName(near.select("id_a", "id_b"))
     cc = connected_components(edges, "id_a", "id_b", max_rounds)
     ids = df.select(F.col(id_col).cast("long").alias("node"))

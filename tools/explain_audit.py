@@ -127,6 +127,21 @@ AUDIT = [
     # NEW in r10 (parked, r11 rotation): TimeType scan + temperature mix
     "ice_time_scan",
     "docs_temperature_sample",
+    # r11: the rest of TPC-H — the full r11 driver window now has a PLANS
+    # entry (VERDICT r10 task 8)
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q12_late_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q19_disjunctive",
+    "q20_excess_shippers",
+    "q22_sales_opportunity",
 ]
 
 

@@ -572,6 +572,13 @@ def plan_scan(
     manifests = manifests_for_snapshot(tm, snapshot)
     stats["manifests_total"] = len(manifests)
 
+    def _check_delete_format(d: mf.DataFile) -> None:
+        # reference: iceberg_delete_file_scanner.cpp:393-396
+        if (d.file_format or "PARQUET").lower() not in ("parquet", "puffin"):
+            raise NotImplementedError(
+                f"File format '{d.file_format}' not supported for deletes, "
+                "only supports 'parquet' and 'puffin' currently")
+
     data_entries: list[tuple[mf.ManifestEntry, int]] = []  # (entry, spec_id)
     pos_deletes: list[tuple[mf.ManifestEntry, int]] = []
     eq_deletes: list[tuple[mf.ManifestEntry, int]] = []
@@ -635,6 +642,14 @@ def plan_scan(
                     "%r", e.data_file.file_path,
                     ", ".join(f.transform for f in spec.fields), where)
             continue
+        fmt = (e.data_file.file_format or "PARQUET").lower()
+        if fmt not in ("parquet", "orc"):
+            # reference refuses everything non-parquet
+            # (iceberg_multi_file_list.cpp:528-529); we additionally read
+            # ORC through Spark's native source
+            raise NotImplementedError(
+                f"File format '{e.data_file.file_format}' not supported, "
+                "only supports 'parquet' and 'orc' currently")
         orig_path = e.data_file.file_path
         e.data_file.file_path = _localize(tm, e.data_file.file_path)
         data_paths = (orig_path, e.data_file.file_path)
@@ -652,6 +667,7 @@ def plan_scan(
                     and _partitions_overlap(e, de, spec_id, dspec, data_paths) \
                     and _pos_delete_path_overlap(de, data_paths):
                 df2 = de.data_file
+                _check_delete_format(df2)
                 df2.file_path = _localize(tm, df2.file_path)
                 if df2.referenced_data_file:
                     # keep the DV ref joinable against the localized scan
@@ -666,6 +682,7 @@ def plan_scan(
                     and _eq_delete_bounds_overlap(e, de, schema_json) \
                     and _eq_delete_matches_scan_filter(de, pred, schema_json):
                 df2 = de.data_file
+                _check_delete_format(df2)
                 df2.file_path = _localize(tm, df2.file_path)
                 task.equality_deletes.append(((de.sequence_number or 0), df2))
         tasks.append(task)

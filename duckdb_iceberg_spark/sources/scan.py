@@ -314,6 +314,28 @@ def scan_to_dataframe(
         return df
 
     files = [t.data_file.file_path for t in plan.tasks]
+    # ORC data files (beyond the reference, which refuses every non-parquet
+    # data file: iceberg_multi_file_list.cpp:528-529) read through Spark's
+    # native ORC source. Spark exposes _metadata.file_path for ORC but NOT
+    # _metadata.row_index, so row-position consumers (positional deletes /
+    # DVs, file_row_number, row lineage) are refused with a clear error;
+    # equality deletes, partition constants, and initial-defaults only need
+    # the file path and work unchanged.
+    orc_files = {
+        t.data_file.file_path for t in plan.tasks
+        if (t.data_file.file_format or "PARQUET").upper() == "ORC"}
+    if orc_files:
+        if with_file_info or with_row_lineage:
+            raise NotImplementedError(
+                "file_row_number / row lineage over ORC data files is not "
+                "supported: Spark exposes _metadata.row_index for parquet "
+                "only")
+        for t in plan.tasks:
+            if t.data_file.file_path in orc_files and t.positional_deletes:
+                raise NotImplementedError(
+                    "positional deletes over ORC data files are not "
+                    "supported (no row positions from Spark's ORC reader); "
+                    "use copy-on-write DML or equality deletes")
     need_pos = (
         plan.has_deletes
         or with_file_info
@@ -335,8 +357,12 @@ def scan_to_dataframe(
     legacy: dict[str, list[str]] = {}
     mapping_prop = plan.tm.properties.get("schema.name-mapping.default")
     if mapping_prop:
-        legacy = _files_without_field_ids(spark, files)
-    main_files = [f for f in files if f not in legacy]
+        # ORC files are read by name regardless (no parquet field-ids to
+        # sniff), so they never take the legacy union branch
+        legacy = _files_without_field_ids(
+            spark, [f for f in files if f not in orc_files])
+    main_files = [f for f in files
+                  if f not in legacy and f not in orc_files]
 
     # uuid columns: parquet stores FIXED_LEN_BYTE_ARRAY(16); Spark can read
     # that only as binary. Read uuid fields as BinaryType — including struct
@@ -427,6 +453,21 @@ def scan_to_dataframe(
             if need_pos:
                 p = p.withColumn(_FILE_COL, _norm_path(F.col(_FILE_COL)))
             parts.append(p)
+    if orc_files:
+        if not _ad.is_spark_native(spark, sorted(orc_files)):
+            raise NotImplementedError(
+                "ORC data files require a Spark-native path scheme (the "
+                "arrow data plane streams parquet only)")
+        # by-name read + cast onto the table schema (Spark's ORC source has
+        # no field-id resolution; our own ORC writes use current names).
+        # uuid columns stay the canonical string form our writer stores.
+        o = spark.read.schema(schema).orc(
+            [_ad.to_native_path(f) for f in sorted(orc_files)])
+        if need_pos:
+            o = (o.withColumn(_FILE_COL,
+                              _norm_uri_path(F.col("_metadata.file_path")))
+                  .withColumn(_POS_COL, F.lit(None).cast(T.LongType())))
+        parts.append(o)
     if legacy:
         parts.extend(_read_by_name_mapping(spark, legacy, mapping_prop,
                                            plan, need_pos))
@@ -561,6 +602,30 @@ def _sniff_footers(spark: SparkSession, files: list[str]) -> list[tuple[str, boo
             "fids array<int>, sig string"
         ).collect()
     ])
+
+
+def _sniff_orc_schemas(files: list[str]) -> list[tuple[str, bool, list[str], list[int], str]]:
+    """ORC twin of _sniff_footers for the initial-defaults path: dotted
+    column-name paths per ORC file (name-resolved — Spark's ORC source has
+    no field-id story, so has_field_ids is always False). Driver-side with
+    a thread pool: ORC data files only appear via our own writes today, and
+    a schema read is one small-ranged tail read."""
+    import pyarrow.orc as po
+
+    from ..io import get_io
+    from ..io.arrow_data import _open_arrow_input
+
+    def one(path: str) -> tuple[str, bool, list[str], list[int], str]:
+        sch = po.ORCFile(_open_arrow_input(get_io(path), path)).schema
+        names, _fids, sig = _arrow_schema_info(sch)
+        return path, False, names, [], sig
+
+    if len(files) > 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+            return list(ex.map(one, files))
+    return [one(f) for f in files]
 
 
 def _files_without_field_ids(spark: SparkSession, files: list[str]) -> dict[str, str]:
@@ -729,8 +794,13 @@ def _apply_initial_defaults(
     if not defaulted or not files:
         return df
 
+    orc = {t.data_file.file_path for t in plan.tasks
+           if (t.data_file.file_format or "PARQUET").upper() == "ORC"}
+    sniffed = _sniff_footers(spark, [f for f in files if f not in orc])
+    if orc:
+        sniffed = sniffed + _sniff_orc_schemas(sorted(orc))
     rows = []
-    for path, has_ids, names, fids, _sig in _sniff_footers(spark, files):
+    for path, has_ids, names, fids, _sig in sniffed:
         row: dict[str, Any] = {"__def_file": _norm_path_py(path)}
         for i, (fpath, f) in enumerate(defaulted):
             present = (f["id"] in fids) if has_ids else (".".join(fpath) in names)

@@ -485,7 +485,8 @@ def _truncate_bound_upper(v, n: int):
 
 
 def _build_data_files(
-    stats: list[dict], tm: TableMetadata, spec: PartitionSpec, data_root: str
+    stats: list[dict], tm: TableMetadata, spec: PartitionSpec,
+    data_root: str, *, file_format: str = "PARQUET"
 ) -> list[mf.DataFile]:
     schema_json = tm.schema_json()
     type_by_id = {f["id"]: f["type"] for f in schema_json["fields"]}
@@ -555,7 +556,7 @@ def _build_data_files(
             mf.DataFile(
                 content=mf.CONTENT_DATA,
                 file_path=st["path"],
-                file_format="PARQUET",
+                file_format=file_format,
                 partition=part_vals,
                 record_count=st["record_count"],
                 file_size_in_bytes=st["file_size"],
@@ -752,16 +753,34 @@ def write_data_files(
 
     write_uuid = str(_uuid.uuid4())[:8]
     data_root = fio.join(tm.data_path(), write_uuid)
-    # parquet write properties (reference maps iceberg write props →
-    # parquet options, iceberg_insert.cpp:596-648)
-    codec = tm.properties.get("write.parquet.compression-codec", "zstd")
-    paths = write_parquet_dataset(
-        spark, df, data_root, compression=codec, partition_cols=part_cols,
-        max_records_per_file=_max_records_per_file(tm, schema_json),
-        parquet_options=_parquet_write_options(tm))
-    stats = _collect_stats(spark, paths)
+    # data file format from the spec's `write.format.default` property.
+    # The reference writes (and reads) parquet only
+    # (iceberg_multi_file_list.cpp:528-529); we additionally support ORC
+    # through Spark's native ORC source.
+    fmt = (tm.properties.get("write.format.default") or "parquet").lower()
+    if fmt == "parquet":
+        # parquet write properties (reference maps iceberg write props →
+        # parquet options, iceberg_insert.cpp:596-648)
+        codec = tm.properties.get("write.parquet.compression-codec", "zstd")
+        paths = write_parquet_dataset(
+            spark, df, data_root, compression=codec, partition_cols=part_cols,
+            max_records_per_file=_max_records_per_file(tm, schema_json),
+            parquet_options=_parquet_write_options(tm))
+        stats = _collect_stats(spark, paths)
+    elif fmt == "orc":
+        codec = tm.properties.get("write.orc.compression-codec", "zlib")
+        paths = write_orc_dataset(
+            spark, df, data_root, compression=_orc_codec(codec),
+            partition_cols=part_cols,
+            max_records_per_file=_max_records_per_file(tm, schema_json))
+        stats = _collect_stats_orc(spark, paths, schema_json, spec)
+    else:
+        raise NotImplementedError(
+            f"Unsupported value {fmt!r} for 'write.format.default'; "
+            "supported: 'parquet' and 'orc'")
 
-    data_files = _build_data_files_with_names(stats, tm, spec, data_root)
+    data_files = _build_data_files_with_names(stats, tm, spec, data_root,
+                                              file_format=fmt.upper())
     if order.fields:
         # data files record the sort order they were written under (spec
         # `sort_order_id`; the reference's merge/insert tests assert it on
@@ -868,7 +887,137 @@ def write_parquet_dataset(
                              partition_cols=partition_cols)
 
 
-def _build_data_files_with_names(stats, tm, spec, data_root):
+def _orc_codec(prop: str) -> str:
+    """``write.orc.compression-codec`` property value → Spark ORC
+    ``compression`` option (zlib is the Iceberg spec default)."""
+    v = (prop or "zlib").lower()
+    mapping = {"zlib": "zlib", "snappy": "snappy", "zstd": "zstd",
+               "lz4": "lz4", "lzo": "lzo", "none": "none",
+               "uncompressed": "none"}
+    if v not in mapping:
+        raise NotImplementedError(
+            f"Unsupported value {prop!r} for 'write.orc.compression-codec'; "
+            "supported: 'zlib', 'snappy', 'zstd', 'lz4', 'lzo', 'none'")
+    return mapping[v]
+
+
+def write_orc_dataset(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    *,
+    compression: str = "zlib",
+    partition_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> list[str]:
+    """ORC twin of write_parquet_dataset (Spark-native schemes only — the
+    arrow data plane streams parquet, not ORC)."""
+    from ..io import arrow_data as _ad
+
+    if not _ad.is_spark_native(spark, [out_dir]):
+        raise NotImplementedError(
+            "ORC data files require a Spark-native path scheme (the arrow "
+            "data plane streams parquet only)")
+    writer = df.write.mode("errorifexists").option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(_ad.to_native_path(out_dir))
+    return sorted(
+        e.path for e in fio.get_io(out_dir).list_files(out_dir)
+        if e.path.endswith(".orc"))
+
+
+#: iceberg primitive types whose ORC min/max from a Spark aggregate are
+#: trustworthy exact bounds (strings still pass the 64-char guard downstream)
+_ORC_STAT_TYPES = {"boolean", "int", "long", "float", "double", "decimal",
+                   "date", "time", "timestamp", "timestamptz", "string"}
+
+
+def _collect_stats_orc(spark: SparkSession, paths: list[str],
+                       schema_json: dict,
+                       spec: PartitionSpec | None = None) -> list[dict]:
+    """Per-file stats for ORC data files. pyarrow can read ORC metadata but
+    exposes no per-column statistics, so bounds/null-counts come from ONE
+    distributed Spark aggregate grouped by ``_metadata.file_path`` — O(rows)
+    map work with a #files-row result, the same boundedness as the parquet
+    footer pass (and exact, not footer-truncated)."""
+    if not paths:
+        return []
+    from ..io import get_io, normalize_path
+
+    io = get_io(paths[0])
+    if len(paths) > 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+            sizes = dict(zip(paths, ex.map(io.size, paths)))
+    else:
+        sizes = {p: io.size(p) for p in paths}
+
+    from ..io import arrow_data as _ad
+    from ..metadata import types as ice_types
+
+    # identity-partitioned source columns live in directory names, not in
+    # the file contents (partitionBy drops them) — aggregating them would
+    # record all-NULL stats that poison pruning; _build_data_files fills
+    # their bounds from the partition values instead (Java-writer parity)
+    ident_ids = {pf.source_id for pf in (spec.fields if spec else [])
+                 if pf.transform == "identity"}
+    stat_fields = [
+        f for f in schema_json["fields"]
+        if isinstance(f["type"], str)
+        and f["id"] not in ident_ids
+        and ice_types.primitive_name(f["type"]) in _ORC_STAT_TYPES]
+    read_st = T.StructType([
+        T.StructField(f["name"], ice_types.iceberg_to_spark(f["type"]), True)
+        for f in stat_fields])
+    src = spark.read.schema(read_st).orc(
+        [_ad.to_native_path(p) for p in paths])
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in stat_fields:
+        c = F.col(f["name"])
+        fid = f["id"]
+        aggs.append(F.min(c).alias(f"__min_{fid}"))
+        aggs.append(F.max(c).alias(f"__max_{fid}"))
+        aggs.append(F.sum(c.isNull().cast("long")).alias(f"__null_{fid}"))
+    grouped = (src.groupBy(F.col("_metadata.file_path").alias("__p"))
+               .agg(*aggs).collect())
+    by_path = {
+        urllib.parse.unquote(normalize_path(r["__p"])): r for r in grouped}
+
+    out = []
+    for p in paths:
+        r = by_path.get(normalize_path(p))
+        if r is None:
+            # a file absent from the grouped counts is zero-row; Spark
+            # skips it in the scan entirely
+            out.append({"path": p, "record_count": 0, "file_size": sizes[p],
+                        "value_counts": {}, "null_counts": {},
+                        "col_sizes": {}, "mins": {}, "maxs": {}})
+            continue
+        mins: dict[int, Any] = {}
+        maxs: dict[int, Any] = {}
+        nulls: dict[int, int] = {}
+        vcounts: dict[int, int] = {}
+        for f in stat_fields:
+            fid = f["id"]
+            vcounts[fid] = int(r["__n"])
+            nulls[fid] = int(r[f"__null_{fid}"] or 0)
+            if r[f"__min_{fid}"] is not None:
+                mins[fid] = r[f"__min_{fid}"]
+            if r[f"__max_{fid}"] is not None:
+                maxs[fid] = r[f"__max_{fid}"]
+        out.append({"path": p, "record_count": int(r["__n"]),
+                    "file_size": sizes[p], "value_counts": vcounts,
+                    "null_counts": nulls, "col_sizes": {},
+                    "mins": mins, "maxs": maxs})
+    return out
+
+
+def _build_data_files_with_names(stats, tm, spec, data_root, *,
+                                 file_format: str = "PARQUET"):
     # Directory component keys are the raw column name for identity fields
     # (we partitionBy the raw column) and the spec field name for derived
     # transforms; parse with those keys, then rename to spec field names.
@@ -885,7 +1034,8 @@ def _build_data_files_with_names(stats, tm, spec, data_root):
             for pf in spec.fields
         ],
     )
-    raw = _build_data_files(stats, tm, spec_for_parse, data_root)
+    raw = _build_data_files(stats, tm, spec_for_parse, data_root,
+                            file_format=file_format)
     # rename partition keys back to spec field names
     name_map = {
         (by_id[pf.source_id]["name"] if pf.transform == "identity" and pf.source_id in by_id else pf.name): pf.name

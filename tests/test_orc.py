@@ -1,0 +1,260 @@
+"""ORC data files — beyond the reference, which refuses every non-parquet
+data file (src/planning/iceberg_multi_file_list.cpp:528-529). We honor the
+spec's ``write.format.default`` table property and read ORC through Spark's
+native ORC source; row-position-dependent features (positional deletes,
+file_row_number, row lineage) are refused with a clear error because Spark
+exposes ``_metadata.row_index`` for parquet only. Unsupported formats keep
+the reference's refusal texts (data: iceberg_multi_file_list.cpp:528-529;
+deletes: iceberg_delete_file_scanner.cpp:393-396)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_iceberg_spark import iceberg_count, iceberg_scan, write_iceberg
+from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+from duckdb_iceberg_spark.sources.ddl import set_table_properties
+
+from .conftest import load
+
+ORC_PROPS = {"write.format.default": "orc"}
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_orc_roundtrip_unpartitioned(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "nation_orc")
+    write_iceberg(src, loc, properties=ORC_PROPS)
+
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    fmts = {t.data_file.file_format for t in plan.tasks}
+    assert fmts == {"ORC"}
+    assert all(t.data_file.file_path.endswith(".orc") for t in plan.tasks)
+
+    out = iceberg_scan(spark, loc)
+    cols = src.columns
+    assert _sorted_rows(out, cols) == _sorted_rows(src, cols)
+    # metadata-only count works off the manifests regardless of format
+    assert iceberg_count(loc) == src.count()
+
+
+def test_orc_identity_partitioned_with_pruning(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("date"))
+    loc = str(tmp_path / "orders_orc")
+    write_iceberg(src, loc, partition_by=["o_orderpriority"],
+                  properties=ORC_PROPS)
+
+    tm = load_table_metadata(loc)
+    full = plan_scan(tm, tm.select_snapshot())
+    pruned = plan_scan(tm, tm.select_snapshot(),
+                       where="o_orderpriority = '1-URGENT'")
+    assert 0 < len(pruned.tasks) < len(full.tasks)
+
+    out = iceberg_scan(spark, loc, where="o_orderpriority = '1-URGENT'")
+    want = src.filter("o_orderpriority = '1-URGENT'")
+    assert out.count() == want.count()
+    got = _sorted_rows(out.groupBy("o_orderpriority").count(),
+                       ["o_orderpriority", "count"])
+    assert got == _sorted_rows(want.groupBy("o_orderpriority").count(),
+                               ["o_orderpriority", "count"])
+
+
+def test_orc_column_bounds_prune_files(spark, sf_dir, tmp_path):
+    """The distributed stats aggregate records exact per-file bounds, so
+    plain column predicates prune ORC files just like parquet-footer
+    bounds do."""
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "nation_orc_bounds")
+    # two appends → two files with disjoint n_nationkey ranges
+    write_iceberg(src.filter("n_nationkey < 10"), loc, properties=ORC_PROPS)
+    write_iceberg(src.filter("n_nationkey >= 10"), loc)
+
+    tm = load_table_metadata(loc)
+    full = plan_scan(tm, tm.select_snapshot())
+    pruned = plan_scan(tm, tm.select_snapshot(), where="n_nationkey <= 3")
+    assert len(full.tasks) == 2
+    assert len(pruned.tasks) == 1
+    out = iceberg_scan(spark, loc, where="n_nationkey <= 3")
+    assert out.count() == src.filter("n_nationkey <= 3").count()
+
+
+def test_orc_and_parquet_mixed_table(spark, sf_dir, tmp_path):
+    """Append parquet, flip write.format.default to orc, append again —
+    one scan unions both formats by name."""
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "region_mixed")
+    write_iceberg(src, loc)  # parquet
+    set_table_properties(loc, ORC_PROPS)
+    write_iceberg(src, loc)  # orc append
+
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    fmts = sorted({t.data_file.file_format for t in plan.tasks})
+    assert fmts == ["ORC", "PARQUET"]
+
+    out = iceberg_scan(spark, loc)
+    assert out.count() == 2 * src.count()
+    got = _sorted_rows(out.groupBy("r_name").count(), ["r_name", "count"])
+    assert all(n == 2 for _, n in got)
+
+
+def test_orc_equality_deletes_apply(spark, sf_dir, tmp_path):
+    """Equality deletes anti-join on key columns + file path only — no row
+    positions — so they apply to ORC data files unchanged."""
+    from duckdb_iceberg_spark.sources.dml import upsert_equality
+
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "region_orc_eq")
+    write_iceberg(src, loc, properties=ORC_PROPS)
+    updates = src.filter("r_regionkey <= 1").withColumn(
+        "r_name", F.lit("updated"))
+    upsert_equality(spark, loc, updates, key_columns=["r_regionkey"])
+
+    out = iceberg_scan(spark, loc)
+    assert out.count() == src.count()
+    assert out.filter("r_name = 'updated'").count() == 2
+
+
+def test_orc_positional_delete_refused(spark, sf_dir, tmp_path):
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "region_orc_mor")
+    write_iceberg(src, loc, properties=ORC_PROPS)
+    with pytest.raises(NotImplementedError, match="ORC"):
+        delete_from(spark, loc, "r_regionkey = 0", mode="merge-on-read")
+
+
+def test_orc_cow_delete_rewrites_orc(spark, sf_dir, tmp_path):
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "nation_orc_cow")
+    write_iceberg(src, loc, properties=ORC_PROPS)
+    delete_from(spark, loc, "n_nationkey < 5", mode="copy-on-write")
+
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    assert {t.data_file.file_format for t in plan.tasks} == {"ORC"}
+    out = iceberg_scan(spark, loc)
+    assert out.count() == src.filter("n_nationkey >= 5").count()
+
+
+def test_orc_file_info_refused(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "region_orc_fi")
+    write_iceberg(src, loc, properties=ORC_PROPS)
+    with pytest.raises(NotImplementedError, match="row_index"):
+        iceberg_scan(spark, loc, with_file_info=True).collect()
+
+
+def test_unsupported_data_format_refusal_text(spark, sf_dir, tmp_path):
+    """A manifest claiming an avro data file keeps the reference's refusal
+    (iceberg_multi_file_list.cpp:528-529, extended with 'orc')."""
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "region_avro_claim")
+    write_iceberg(src, loc)
+    tm = load_table_metadata(loc)
+    # forge the format field in-memory and re-plan
+    snap = tm.select_snapshot()
+    plan = plan_scan(tm, snap)
+    assert plan.tasks
+    from duckdb_iceberg_spark.metadata import manifest as mf
+
+    real = mf.read_manifest
+
+    def forged(path, *a, **kw):
+        entries = real(path, *a, **kw)
+        for e in entries:
+            if e.data_file.content == mf.CONTENT_DATA:
+                e.data_file.file_format = "AVRO"
+        return entries
+
+    import duckdb_iceberg_spark.plans.scan_plan as sp
+
+    orig = sp.mf.read_manifest
+    sp.mf.read_manifest = forged
+    try:
+        with pytest.raises(
+                NotImplementedError,
+                match=r"File format 'AVRO' not supported, only supports "
+                      r"'parquet' and 'orc' currently"):
+            plan_scan(tm, snap)
+    finally:
+        sp.mf.read_manifest = orig
+
+
+def test_unsupported_delete_format_refusal_text(spark, sf_dir, tmp_path):
+    """A delete file in a non-parquet/puffin format keeps the reference's
+    refusal (iceberg_delete_file_scanner.cpp:393-396)."""
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "region_del_fmt")
+    write_iceberg(src, loc)
+    delete_from(spark, loc, "r_regionkey = 0", mode="merge-on-read")
+    tm = load_table_metadata(loc)
+    snap = tm.select_snapshot()
+
+    from duckdb_iceberg_spark.metadata import manifest as mf
+    import duckdb_iceberg_spark.plans.scan_plan as sp
+
+    real = mf.read_manifest
+
+    def forged(path, *a, **kw):
+        entries = real(path, *a, **kw)
+        for e in entries:
+            if e.data_file.content == mf.CONTENT_POSITION_DELETES:
+                e.data_file.file_format = "ORC"
+        return entries
+
+    sp.mf.read_manifest = forged
+    try:
+        with pytest.raises(
+                NotImplementedError,
+                match=r"File format 'ORC' not supported for deletes, only "
+                      r"supports 'parquet' and 'puffin' currently"):
+            plan_scan(tm, snap)
+    finally:
+        sp.mf.read_manifest = real
+
+
+def test_orc_codec_property(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "region_orc_snappy")
+    write_iceberg(src, loc, properties={
+        "write.format.default": "orc",
+        "write.orc.compression-codec": "snappy"})
+    out = iceberg_scan(spark, loc)
+    assert out.count() == src.count()
+
+    with pytest.raises(NotImplementedError,
+                       match="write.orc.compression-codec"):
+        write_iceberg(src, str(tmp_path / "bad_codec"), properties={
+            "write.format.default": "orc",
+            "write.orc.compression-codec": "brotli"})
+
+
+def test_unsupported_write_format_property(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "region")
+    with pytest.raises(NotImplementedError, match="write.format.default"):
+        write_iceberg(src, str(tmp_path / "bad_fmt"),
+                      properties={"write.format.default": "avro"})
+
+
+def test_orc_initial_defaults_by_name(spark, sf_dir, tmp_path):
+    """A column added with a default after ORC files were written surfaces
+    the default for those files (name-resolved ORC schema sniff)."""
+    from duckdb_iceberg_spark.sources.ddl import add_column
+
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "region_orc_def")
+    write_iceberg(src, loc, properties=ORC_PROPS)
+    add_column(loc, "status", "string", default="new")
+    out = iceberg_scan(spark, loc)
+    assert out.filter("status = 'new'").count() == src.count()

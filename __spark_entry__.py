@@ -1812,6 +1812,49 @@ def ice_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_orc(spark: SparkSession, sf_dir: str) -> str:
+    """documents written as ORC data files (write.format.default=orc,
+    NEW r11 — beyond the reference, which refuses non-parquet data files:
+    iceberg_multi_file_list.cpp:528-529), lang-identity-partitioned, then
+    CDC-upserted via EQUALITY deletes (the delete flavor that needs no
+    row positions, so it applies to ORC unchanged): every doc_id % 10 == 0
+    row gets n_chars bumped by 1e6 in one merge-on-read snapshot."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.dml import upsert_equality
+
+        docs = _pq(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars")
+        write_iceberg(docs, loc, partition_by=["lang"],
+                      properties={"write.format.default": "orc"})
+        upd = docs.filter("doc_id % 10 = 0").withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1000000))
+        upsert_equality(spark, loc, upd, key_columns=["doc_id"])
+
+    return _build_once(sf_dir, "documents_orc", build)
+
+
+def ice_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC data files end-to-end (NEW r11): write.format.default=orc
+    write path → lang partition pruning (the 'zh' files never plan) →
+    equality-delete MoR merge (upserted rows replace originals) →
+    aggregate. Hash-checked: the oracle replays the upsert arithmetic
+    from the raw documents rows, so a wrong merge, a missed partition
+    constant, or an ORC value corrupted in the roundtrip all mismatch."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_orc(spark, sf_dir)
+    t = iceberg_scan(spark, loc, where="lang <> 'zh'")
+    return (
+        t.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").cast("long").alias("sum_chars"),
+             F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("source")
+    )
+
+
 def _ice_documents_variant(spark: SparkSession, sf_dir: str) -> str:
     """documents metadata as a VARIANT column written through the real
     write path (unblocked in this container in r8): each row carries
@@ -2131,6 +2174,26 @@ def docs_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _pq(spark, sf_dir, "documents")
     return lm_perplexity_buckets(
         docs, reference_cond="lang = 'en'", vocab_size=1024
+    ).orderBy("doc_id")
+
+
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-trained quality classifier (NEW r11) — the fastText-style
+    quality-filter stage of GPT-3/DCLM pipelines (Brown et al. 2020
+    App. A; Li et al. 2024), as a closed-form multinomial Naive Bayes so
+    training is two bounded aggregations and the per-doc logit replays
+    bit-for-bit cross-engine. Positive seed = the lang='en' slice (the
+    LM family's reference slice); output is the exact micro-unit BIGINT
+    logit + the keep/drop boolean a filter thresholds on. Hash-checked —
+    per-token log-odds are computed ONCE driver-side (laplace_lp6 diffs
+    over realized per-class counts) and replayed into both engines as
+    DECIMAL literals summed exactly (the LM-family contract; integer
+    outputs per the r10 rendering lesson, VERDICT r10 task 1)."""
+    from duckdb_iceberg_spark.operators.classify import nb_quality_score
+
+    docs = _pq(spark, sf_dir, "documents")
+    return nb_quality_score(
+        docs, positive_cond="lang = 'en'", vocab_size=1024
     ).orderBy("doc_id")
 
 
@@ -3057,6 +3120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": docs_repetition,
         "docs_line_dedup": docs_line_dedup,
         "emb_neardup": emb_neardup,
+        # NEW r11 (never driver-checked — rotate into the r12 window,
+        # priority (b)): NB quality classifier, ORC write→scan roundtrip
+        "docs_quality_classifier": docs_quality_classifier,
+        "ice_orc_scan": ice_orc_scan,
     }
 
 
@@ -3716,6 +3783,104 @@ def _lm_sql(buckets: bool = False) -> str:
                         ELSE 'tail' END AS bucket
             FROM final f LEFT JOIN th ON f.lang = th.lang
             ORDER BY f.doc_id
+        """
+
+
+#: the NB classifier's shared tokenize → corpus-wide vocab → unk-mapped
+#: stream → per-class count chain (operators.classify.nb_quality_fit twin;
+#: the tokenizer is the LM family's, operators/text.py lm_tokens)
+_NB_CTES = r"""
+            WITH t AS (
+              SELECT doc_id, COALESCE(lang = 'en', FALSE) AS pos,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), vocab AS (
+              SELECT w, count(*) AS c FROM (
+                SELECT unnest(toks) AS w FROM t
+              ) q GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 1024
+            ), stream AS (
+              SELECT tk.doc_id, tk.pos,
+                     CASE WHEN vv.w IS NOT NULL THEN tk.w
+                          ELSE '<unk>' END AS w
+              FROM (SELECT doc_id, pos, unnest(toks) AS w FROM t) tk
+              LEFT JOIN vocab vv ON vv.w = tk.w
+            ), cc AS (
+              SELECT w,
+                     CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                       AS cp,
+                     CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+                       AS cn
+              FROM stream GROUP BY w
+            )"""
+
+
+def _nb_classifier_sql() -> str:
+    """DuckDB replica of operators.classify.nb_quality_score: corpus-wide
+    top-1024 vocab (count desc, token asc), unk-mapped token stream,
+    per-class Laplace log-odds weights. DATA-DEPENDENT builder (the
+    _lm_sql pattern): the SQL computes no ln() — the builder derives
+    every realized (c_pos, c_neg) count pair plus the class totals with
+    driver-side DuckDB (exact integer work) and emits the weight
+    round6(ln((cp+1)/(Np+V))) − round6(ln((cn+1)/(Nn+V))) per pair as
+    DECIMAL literals via operators.text.laplace_lp6 — the SAME CPython
+    function the operator broadcasts, so both engines sum identical
+    decimals. scored NULLs its sum when a realized pair is missing from
+    the literal table (count guard): loud failure, never a smaller sum."""
+    import duckdb as _duck
+
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    from duckdb_iceberg_spark.operators.text import laplace_lp6
+
+    con = _duck.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('"
+                + path.replace("'", "''") + "')")
+    pairs = con.execute(_NB_CTES + r"""
+            SELECT DISTINCT cp, cn,
+                   (SELECT CAST(sum(cp) AS BIGINT) FROM cc) AS np,
+                   (SELECT CAST(sum(cn) AS BIGINT) FROM cc) AS nn,
+                   (SELECT count(*) + 1 FROM vocab) AS v
+            FROM cc
+    """).fetchall()
+    docs_counts = con.execute("""
+            SELECT CAST(sum(CASE WHEN COALESCE(lang = 'en', FALSE)
+                                 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM documents
+    """).fetchone()
+    con.close()
+    w_values = ", ".join(
+        f"({int(cp)}, {int(cn)}, "
+        f"CAST('{laplace_lp6(int(cp), int(np), int(v)) - laplace_lp6(int(cn), int(nn), int(v))}'"
+        f" AS DECIMAL(18,6)))"
+        for cp, cn, np, nn, v in pairs) or "(0, 0, CAST('0' AS DECIMAL(18,6)))"
+    n_pos, n_docs = int(docs_counts[0] or 0), int(docs_counts[1])
+    prior6 = (laplace_lp6(n_pos, n_docs, 2)
+              - laplace_lp6(n_docs - n_pos, n_docs, 2))
+    return _NB_CTES + rf"""
+            , lp(cpv, cnv, w6) AS (
+              VALUES {w_values}
+            ), scored AS (
+              SELECT s.doc_id, count(*) AS n_tokens,
+                     CASE WHEN count(*) = count(l.w6)
+                          THEN sum(l.w6) END AS s6
+              FROM stream s
+              JOIN cc ON cc.w = s.w
+              LEFT JOIN lp l ON l.cpv = cc.cp AND l.cnv = cc.cn
+              GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST((CAST('{prior6}' AS DECIMAL(18,6))
+                         + COALESCE(CAST(s.s6 AS DECIMAL(28,6)),
+                                    CAST('0' AS DECIMAL(28,6))))
+                        * 1000000 AS BIGINT) AS logit_micro,
+                   (CAST((CAST('{prior6}' AS DECIMAL(18,6))
+                          + COALESCE(CAST(s.s6 AS DECIMAL(28,6)),
+                                     CAST('0' AS DECIMAL(28,6))))
+                         * 1000000 AS BIGINT) > 0) AS pred_hq
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            ORDER BY d.doc_id
         """
 
 
@@ -4393,6 +4558,7 @@ def _data_oracles() -> dict[str, str]:
                 "docs_dsir_sample": _dsir_sql(),
                 "docs_lm_score": _lm_sql(),
                 "docs_lm_buckets": _lm_sql(buckets=True),
+                "docs_quality_classifier": _nb_classifier_sql(),
                 "docs_tfidf": _tfidf_sql(),
                 "docs_temperature_sample": _temperature_sql(),
             }
@@ -5702,6 +5868,23 @@ def oracle_sql() -> dict[str, str]:
         # custom write paths: replay the subset + MoR delete predicate
         # from the raw rows — a path mis-resolution (wrong root, spurious
         # marker rewrite) changes the counts
+        # ORC roundtrip (r11): replay the equality-delete upsert
+        # arithmetic + lang pruning predicate from the raw rows — a wrong
+        # MoR merge, a missed partition constant, or an ORC-corrupted
+        # value changes the sums
+        "ice_orc_scan": """
+            WITH t AS (
+              SELECT doc_id, lang, source,
+                     CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000000
+                          ELSE n_chars END AS n_chars
+              FROM documents
+            )
+            SELECT source, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM t WHERE lang <> 'zh'
+            GROUP BY source ORDER BY source
+        """,
         "ice_custom_paths_scan": """
             SELECT lang, count(*) AS n,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -574,6 +574,32 @@ def laplace_lp6(c2: int, c1: int, vocab_n: int) -> "Decimal":
     return q6(dec_ln_int(c2 + 1) - dec_ln_int(c1 + vocab_n))
 
 
+def lm_tokens(text_col: str):
+    """The shared whitespace tokenizer of the LM/classifier family:
+    lower → trim → split on runs of whitespace → drop empties. One
+    expression used by :func:`_lm_fit` AND
+    :mod:`~duckdb_iceberg_spark.operators.classify` so the two operator
+    families (and their oracle CTE replicas) cannot drift."""
+    return F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda x: x != "")
+
+
+def lm_repartition_guard(df, id_col: str):
+    """Pre-shuffle parallelism guard shared by the tokenize-heavy
+    operators: tokenize+explode run BEFORE any shuffle, so they inherit
+    the source's split count — a single-file parquet would serialize the
+    whole pass on one task (the DSIR lesson). At real scale the source
+    already has >= parallelism splits and this never fires."""
+    para = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        few = df.rdd.getNumPartitions() < para
+    except Exception:
+        few = False
+    if few:
+        return df.repartition(para, F.col(id_col))
+    return df
+
+
 def _lm_unkmap(tcol, vocab):
     """Map every token outside ``vocab`` to ``<unk>`` (the Laplace model's
     single OOV symbol)."""
@@ -602,20 +628,8 @@ def _lm_fit(df, text_col, id_col, reference_cond, vocab_size):
     the driver-correctness probe exercises EXACTLY the Spark expressions
     the scorer uses (not a reimplementation that could mask a
     divergence)."""
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                    lambda x: x != "")
-    # tokenize+explode run BEFORE any shuffle, so they inherit the
-    # source's split count — a single-file parquet would serialize the
-    # whole pass on one task (the DSIR lesson). At real scale the source
-    # already has >= parallelism splits and this never fires.
-    src = df
-    para = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        few = src.rdd.getNumPartitions() < para
-    except Exception:
-        few = False
-    if few:
-        src = src.repartition(para, F.col(id_col))
+    toks = lm_tokens(text_col)
+    src = lm_repartition_guard(df, id_col)
     base = src.select(F.col(id_col).alias("__id"), toks.alias("__t"))
     if reference_cond is None:
         ref = base.select("__t")

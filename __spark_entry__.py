@@ -1812,6 +1812,25 @@ def ice_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 driver-entry query terms (tokens of the synthetic corpus)
+_BM25_TERMS = ["merge", "vector", "window"]
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval top-k (NEW r11) — the lexical sibling of
+    the ANN family; the contamination-check / RAG workhorse (Robertson &
+    Zaragoza 2009). Lucene-form non-negative idf as driver-side decimal-ln
+    literals, k1=6/5 b=3/4 exact rationals, per-(doc,term) score reduced
+    to one integer fraction — micro-unit BIGINT scores, deterministic
+    (score desc, id asc) top-k via TakeOrdered. Hash-checked: the oracle
+    replays the same integer arithmetic with idf literals from the same
+    CPython function."""
+    from duckdb_iceberg_spark.operators.retrieval import bm25_topk
+
+    docs = _pq(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=100)
+
+
 def _ice_documents_orc(spark: SparkSession, sf_dir: str) -> str:
     """documents written as ORC data files (write.format.default=orc,
     NEW r11 — beyond the reference, which refuses non-parquet data files:
@@ -3124,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # priority (b)): NB quality classifier, ORC write→scan roundtrip
         "docs_quality_classifier": docs_quality_classifier,
         "ice_orc_scan": ice_orc_scan,
+        "docs_bm25_topk": docs_bm25_topk,
     }
 
 
@@ -3783,6 +3803,78 @@ def _lm_sql(buckets: bool = False) -> str:
                         ELSE 'tail' END AS bucket
             FROM final f LEFT JOIN th ON f.lang = th.lang
             ORDER BY f.doc_id
+        """
+
+
+def _bm25_sql() -> str:
+    """DuckDB replica of operators.retrieval.bm25_topk: the shared
+    tokenizer, the |terms|-bounded hit stream, per-(doc,term) tf, and
+    the integer-fraction scoring (module docstring of retrieval.py).
+    DATA-DEPENDENT builder (the _lm_sql pattern): N, T, and per-term df
+    probe via driver-side DuckDB; the idf literals come from
+    operators.retrieval.bm25_idf6 — the SAME CPython decimal-ln the
+    operator broadcasts — so neither engine runs a transcendental.
+    Positive-only integer division makes DuckDB's floor `//` and
+    Spark's truncating DIV identical."""
+    import duckdb as _duck
+
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    from duckdb_iceberg_spark.operators.retrieval import bm25_idf6
+
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
+    ctes = rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), hits AS (
+              SELECT doc_id, len(toks) AS dl,
+                     unnest(list_filter(toks,
+                            w -> w IN ({terms_sql}))) AS w
+              FROM t
+            ), tf AS (
+              SELECT doc_id, w, count(*) AS tf, min(dl) AS dl
+              FROM hits GROUP BY doc_id, w
+            )"""
+    con = _duck.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('"
+                + path.replace("'", "''") + "')")
+    n_docs, t_tokens = con.execute(
+        ctes + " SELECT count(*), CAST(COALESCE(sum(len(toks)), 0)"
+               " AS BIGINT) FROM t").fetchone()
+    dfs = dict(con.execute(
+        ctes + " SELECT w, count(*) FROM tf GROUP BY w").fetchall())
+    con.close()
+    idf_values = ", ".join(
+        f"('{t}', {int(bm25_idf6(int(n_docs), int(dfs.get(t, 0))) * 1_000_000)})"
+        for t in sorted(set(_BM25_TERMS)))
+    return ctes + rf"""
+            , idf(w, idf_u) AS (
+              VALUES {idf_values}
+            ), parts AS (
+              SELECT tf.doc_id, i.idf_u, tf.tf,
+                     -- dlr = round_half_up(dl*N*1e6 / T), HUGEINT-exact
+                     (2 * CAST(tf.dl AS HUGEINT) * {int(n_docs)} * 1000000
+                      + {int(t_tokens)})
+                     // (2 * CAST({int(t_tokens)} AS HUGEINT)) AS dlr
+              FROM tf LEFT JOIN idf i ON i.w = tf.w
+            ), scored AS (
+              SELECT doc_id, count(*) AS n_matched,
+                     CASE WHEN count(*) = count(idf_u) THEN
+                       CAST(sum(
+                         (2 * CAST(idf_u AS HUGEINT) * 44000000 * tf
+                          + (20000000 * CAST(tf AS HUGEINT) + 6000000
+                             + 18 * dlr))
+                         // (2 * (20000000 * CAST(tf AS HUGEINT) + 6000000
+                                  + 18 * dlr))) AS BIGINT)
+                     END AS score_micro
+              FROM parts GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched,
+                   score_micro
+            FROM scored
+            ORDER BY score_micro DESC, doc_id ASC LIMIT 100
         """
 
 
@@ -4559,6 +4651,7 @@ def _data_oracles() -> dict[str, str]:
                 "docs_lm_score": _lm_sql(),
                 "docs_lm_buckets": _lm_sql(buckets=True),
                 "docs_quality_classifier": _nb_classifier_sql(),
+                "docs_bm25_topk": _bm25_sql(),
                 "docs_tfidf": _tfidf_sql(),
                 "docs_temperature_sample": _temperature_sql(),
             }

@@ -113,6 +113,13 @@ HEADLINE = [
     "ice_time_scan",
     # r10: temperature-α mixture (count agg + stateless threshold filter)
     "docs_temperature_sample",
+    # r11: ORC write → pruned scan → equality-delete MoR merge → agg
+    "ice_orc_scan",
+    # r11: NB quality classifier (two bounded training aggs + broadcast
+    # scoring — the fastText-filter analogue)
+    "docs_quality_classifier",
+    # r11: BM25 lexical top-k (|terms|-bounded hit stream, TakeOrdered)
+    "docs_bm25_topk",
 ]
 
 

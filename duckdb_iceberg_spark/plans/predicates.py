@@ -130,6 +130,41 @@ class _Tokens:
         return False
 
 
+def _fold_cast(v: Any, tname: str, args: list[int]) -> Any:
+    """Constant-fold CAST(<literal> AS <type>) — exact value semantics
+    (DECIMAL via the string form, never a float round-trip)."""
+    if v is None:
+        return None
+    if tname in ("DECIMAL", "NUMERIC", "DEC"):
+        d = Decimal(str(v))
+        if len(args) >= 2:
+            # quantize to the declared scale like a SQL cast (half-up)
+            from decimal import ROUND_HALF_UP
+
+            d = d.quantize(Decimal(1).scaleb(-args[1]), ROUND_HALF_UP)
+        return d
+    if tname in ("TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT",
+                 "HUGEINT", "LONG"):
+        # SQL casts of fractional strings/values truncate toward zero
+        return int(Decimal(str(v)).to_integral_value(rounding="ROUND_DOWN"))
+    if tname in ("FLOAT", "REAL", "DOUBLE"):
+        return float(v)
+    if tname in ("VARCHAR", "STRING", "TEXT", "CHAR"):
+        return str(v)
+    if tname == "DATE" and isinstance(v, str):
+        return _dt.date.fromisoformat(v)
+    if tname in ("TIMESTAMP", "TIMESTAMPTZ") and isinstance(v, str):
+        return _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+    if tname == "TIME" and isinstance(v, str):
+        return _dt.time.fromisoformat(v)
+    if tname == "BOOLEAN":
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, str) and v.strip().lower() in ("true", "false"):
+            return v.strip().lower() == "true"
+    raise ValueError(f"unsupported CAST target {tname!r}")
+
+
 def _parse_literal(tk: _Tokens) -> Any:
     t = tk.peek()
     if t is None:
@@ -145,6 +180,43 @@ def _parse_literal(tk: _Tokens) -> Any:
         return int(val)
     if kind == "word":
         up = val.upper()
+        if up == "CAST":
+            # CAST(<literal> AS <type>[(p[,s])]) folds to a typed Python
+            # value so typed literals still prune (the reference's host
+            # engine folds constant casts before the pruner sees them;
+            # e.g. identity_decimal_hugeint.test compares DECIMAL(38,23)
+            # partition values). Unknown target types raise → parse_where
+            # stays conservative (no pruning, correct results).
+            tk.next()
+            if not tk.peek("lpar"):
+                raise ValueError("expected ( after CAST")
+            tk.next()
+            inner = _parse_literal(tk)
+            a = tk.next()
+            if a[0] != "word" or a[1].upper() != "AS":
+                raise ValueError("expected AS in CAST")
+            tname = tk.next()
+            if tname[0] != "word":
+                raise ValueError("expected type name in CAST")
+            args: list[int] = []
+            if tk.peek("lpar"):
+                tk.next()
+                while True:
+                    n = tk.next()
+                    if n[0] != "num":
+                        raise ValueError("expected numeric type parameter")
+                    args.append(int(n[1]))
+                    if tk.peek("comma"):
+                        tk.next()
+                        continue
+                    break
+                if not tk.peek("rpar"):
+                    raise ValueError("expected ) after type parameters")
+                tk.next()
+            if not tk.peek("rpar"):
+                raise ValueError("expected ) closing CAST")
+            tk.next()
+            return _fold_cast(inner, tname[1].upper(), args)
         if up in ("DATE", "TIME", "TIMESTAMP", "TIMESTAMPTZ"):
             tk.next()
             s = tk.next()

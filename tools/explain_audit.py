@@ -142,6 +142,11 @@ AUDIT = [
     "q19_disjunctive",
     "q20_excess_shippers",
     "q22_sales_opportunity",
+    # NEW in r11 (parked, r12 rotation): ORC roundtrip, NB quality
+    # classifier, BM25 lexical top-k
+    "ice_orc_scan",
+    "docs_quality_classifier",
+    "docs_bm25_topk",
 ]
 
 

@@ -1812,6 +1812,21 @@ def ice_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Gopher document-quality rule set (NEW r11; Rae et al.
+    2021 §A1.1) as one composite keep/drop with the first failed rule
+    named — word-count/mean-word-length bounds, symbol ratio, bullet and
+    ellipsis line ratios, alphabetic-word fraction, required stop words.
+    Every rule compares cross-multiplied INTEGERS (never a float ratio),
+    so the decision replays bit-for-bit in the oracle. Pure map-side
+    Column work: zero shuffles. min_words=20 fits the synthetic corpus'
+    document lengths (the operator default is Gopher's 50)."""
+    from duckdb_iceberg_spark.operators.text import gopher_document_filter
+
+    docs = _pq(spark, sf_dir, "documents")
+    return gopher_document_filter(docs, min_words=20).orderBy("doc_id")
+
+
 #: BM25 driver-entry query terms (tokens of the synthetic corpus)
 _BM25_TERMS = ["merge", "vector", "window"]
 
@@ -3144,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_classifier": docs_quality_classifier,
         "ice_orc_scan": ice_orc_scan,
         "docs_bm25_topk": docs_bm25_topk,
+        "docs_gopher_filter": docs_gopher_filter,
     }
 
 
@@ -3803,6 +3819,75 @@ def _lm_sql(buckets: bool = False) -> str:
                         ELSE 'tail' END AS bucket
             FROM final f LEFT JOIN th ON f.lang = th.lang
             ORDER BY f.doc_id
+        """
+
+
+#: DuckDB replica of operators.text.gopher_document_filter (min_words=20
+#: for the driver entry) — identical cross-multiplied integer rules, the
+#: same non-overlapping replace() counting for '#'/'…'/'...' occurrences
+_GOPHER_SQL = r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                         lower(trim(COALESCE(text, ''))), '\s+'),
+                         x -> x <> '') AS toks,
+                     COALESCE(text, '') AS c
+              FROM documents
+            ), lns AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(c, chr(10)),
+                                                l -> trim(l)),
+                                 l -> l <> '') AS ls
+              FROM t
+            ), m AS (
+              SELECT t.doc_id,
+                     len(t.toks) AS w,
+                     COALESCE(list_aggregate(
+                         list_transform(t.toks, x -> length(x)), 'sum'),
+                         0) AS wchars,
+                     (length(t.c) - length(replace(t.c, '#', '')))
+                       + (length(t.c) - length(replace(t.c, '…', '')))
+                       + (length(t.c) - length(replace(t.c, '...', '')))
+                         // 3 AS sym,
+                     len(l.ls) AS nl,
+                     len(list_filter(l.ls,
+                         x -> substr(x, 1, 1)
+                              IN ('•', '‣', '▪', '-', '*'))) AS bullet,
+                     len(list_filter(l.ls,
+                         x -> x LIKE '%...' OR x LIKE '%…')) AS ell,
+                     len(list_filter(t.toks,
+                         x -> regexp_matches(x, '[a-z]'))) AS alpha,
+                     len(list_intersect(list_distinct(t.toks),
+                         ['the','be','to','of','and','that','have','with']))
+                       AS req
+              FROM t JOIN lns l ON t.doc_id = l.doc_id
+            )
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS n_words,
+                   CAST(nl AS BIGINT) AS n_lines,
+                   CAST(sym AS BIGINT) AS n_symbols,
+                   CAST(bullet AS BIGINT) AS n_bullet_lines,
+                   CAST(ell AS BIGINT) AS n_ellipsis_lines,
+                   CAST(alpha AS BIGINT) AS n_alpha_words,
+                   CAST(req AS BIGINT) AS n_required_words,
+                   (w BETWEEN 20 AND 100000)
+                     AND (wchars BETWEEN 3 * w AND 10 * w)
+                     AND sym * 10 <= w
+                     AND bullet * 10 <= nl * 9
+                     AND ell * 10 <= nl * 3
+                     AND alpha * 5 >= 4 * w
+                     AND req >= 2 AS keep,
+                   CASE
+                     WHEN NOT (w BETWEEN 20 AND 100000) THEN 'n_words'
+                     WHEN NOT (wchars BETWEEN 3 * w AND 10 * w)
+                       THEN 'mean_word_len'
+                     WHEN NOT (sym * 10 <= w) THEN 'symbol_ratio'
+                     WHEN NOT (bullet * 10 <= nl * 9) THEN 'bullet_lines'
+                     WHEN NOT (ell * 10 <= nl * 3) THEN 'ellipsis_lines'
+                     WHEN NOT (alpha * 5 >= 4 * w) THEN 'alpha_words'
+                     WHEN NOT (req >= 2) THEN 'required_words'
+                   END AS fail_reason
+            FROM m ORDER BY doc_id
         """
 
 
@@ -4652,6 +4737,7 @@ def _data_oracles() -> dict[str, str]:
                 "docs_lm_buckets": _lm_sql(buckets=True),
                 "docs_quality_classifier": _nb_classifier_sql(),
                 "docs_bm25_topk": _bm25_sql(),
+                "docs_gopher_filter": _GOPHER_SQL,
                 "docs_tfidf": _tfidf_sql(),
                 "docs_temperature_sample": _temperature_sql(),
             }

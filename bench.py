@@ -120,6 +120,8 @@ HEADLINE = [
     "docs_quality_classifier",
     # r11: BM25 lexical top-k (|terms|-bounded hit stream, TakeOrdered)
     "docs_bm25_topk",
+    # r11: complete Gopher A1.1 rule set (map-side only, zero shuffles)
+    "docs_gopher_filter",
 ]
 
 

@@ -287,6 +287,107 @@ def line_repetition_signals(
     )
 
 
+#: Gopher A1.1 "required words" (Rae et al. 2021): a doc must contain at
+#: least two of these to survive the final rule
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have",
+                         "with"]
+
+#: leading characters that mark a bullet line for the bullet-ratio rule
+_GOPHER_BULLETS = ["•", "‣", "▪", "-", "*"]
+
+
+def gopher_document_filter(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+):
+    """The COMPLETE Gopher document-quality rule set (Rae et al. 2021
+    §A1.1) as one composite keep/drop decision with the first failed rule
+    named — the full filter the repetition/line signals above are pieces
+    of:
+
+    1.  ``n_words``       — word count in [min_words, max_words]
+    2.  ``mean_word_len`` — mean word length in [3, 10] chars
+    3.  ``symbol_ratio``  — (hash '#' + ellipsis '...'/'…') per word ≤ 0.1
+    4.  ``bullet_lines``  — ≤ 90% of lines start with a bullet
+    5.  ``ellipsis_lines``— ≤ 30% of lines end with an ellipsis
+    6.  ``alpha_words``   — ≥ 80% of words contain an alphabetic char
+    7.  ``required_words``— ≥ 2 distinct GOPHER_REQUIRED_WORDS present
+
+    Every rule compares CROSS-MULTIPLIED integers (symbols·10 ≤ words,
+    alpha·5 ≥ words·4, …), never a float ratio, so the boundary cases
+    land identically in any engine. Output: (id, n_words, n_lines, the
+    raw rule counts, ``keep`` boolean, ``fail_reason`` — the first rule
+    failed in the order above, NULL when kept). Pure Column expressions
+    end-to-end: no shuffle at all (the whole filter is map-side), no
+    Python in the row path."""
+    toks = lm_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    raw_lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    lines = F.filter(F.transform(raw_lines, lambda x: F.trim(x)),
+                     lambda x: x != "")
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    hash_hits = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    uni_ell = (F.length(c)
+               - F.length(F.replace(c, F.lit("…"), F.lit(""))))
+    ascii_ell = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__w"),
+        F.coalesce(F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x)), F.lit(0)).alias("__wchars"),
+        (hash_hits + uni_ell + ascii_ell.cast("long")).alias("__sym"),
+        F.size(lines).alias("__l"),
+        F.size(F.filter(
+            lines, lambda x: F.substring(x, 1, 1).isin(_GOPHER_BULLETS)
+        )).alias("__bullet"),
+        F.size(F.filter(
+            lines,
+            lambda x: x.endswith("...") | x.endswith("…")
+        )).alias("__ell"),
+        F.size(F.filter(
+            toks, lambda x: x.rlike("[a-z]"))).alias("__alpha"),
+        F.size(F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+        )).alias("__req"),
+    )
+    w = F.col("__w")
+    rules = [
+        ("n_words", (w >= min_words) & (w <= max_words)),
+        # 3 ≤ sum(len)/n ≤ 10  ⇔  3n ≤ sum ≤ 10n
+        ("mean_word_len", (F.col("__wchars") >= 3 * w)
+                          & (F.col("__wchars") <= 10 * w)),
+        ("symbol_ratio", F.col("__sym") * 10 <= w),
+        ("bullet_lines", F.col("__bullet") * 10 <= F.col("__l") * 9),
+        ("ellipsis_lines", F.col("__ell") * 10 <= F.col("__l") * 3),
+        ("alpha_words", F.col("__alpha") * 5 >= w * 4),
+        ("required_words", F.col("__req") >= 2),
+    ]
+    keep = F.lit(True)
+    reason = F.lit(None).cast("string")
+    for name, ok in reversed(rules):
+        reason = F.when(~ok, F.lit(name)).otherwise(reason)
+    for _, ok in rules:
+        keep = keep & ok
+    return base.select(
+        F.col(id_col),
+        w.cast("long").alias("n_words"),
+        F.col("__l").cast("long").alias("n_lines"),
+        F.col("__sym").cast("long").alias("n_symbols"),
+        F.col("__bullet").cast("long").alias("n_bullet_lines"),
+        F.col("__ell").cast("long").alias("n_ellipsis_lines"),
+        F.col("__alpha").cast("long").alias("n_alpha_words"),
+        F.col("__req").cast("long").alias("n_required_words"),
+        keep.alias("keep"),
+        reason.alias("fail_reason"),
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of lowercased
     whitespace-normalized text. Identical across engines (exact-dedup key)."""
@@ -574,13 +675,17 @@ def laplace_lp6(c2: int, c1: int, vocab_n: int) -> "Decimal":
     return q6(dec_ln_int(c2 + 1) - dec_ln_int(c1 + vocab_n))
 
 
-def lm_tokens(text_col: str):
-    """The shared whitespace tokenizer of the LM/classifier family:
-    lower → trim → split on runs of whitespace → drop empties. One
-    expression used by :func:`_lm_fit` AND
-    :mod:`~duckdb_iceberg_spark.operators.classify` so the two operator
-    families (and their oracle CTE replicas) cannot drift."""
-    return F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+def lm_tokens(text_col: str | Column):
+    """The shared whitespace tokenizer of the LM/classifier/filter
+    family: lower → trim → split on runs of whitespace → drop empties.
+    One expression used by :func:`_lm_fit`,
+    :mod:`~duckdb_iceberg_spark.operators.classify`,
+    :mod:`~duckdb_iceberg_spark.operators.retrieval`, and
+    :func:`gopher_document_filter` so the operator families (and their
+    oracle CTE replicas) cannot drift. Accepts a Column for callers that
+    pre-coalesce NULL text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"),
                     lambda x: x != "")
 
 

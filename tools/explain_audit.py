@@ -147,6 +147,7 @@ AUDIT = [
     "ice_orc_scan",
     "docs_quality_classifier",
     "docs_bm25_topk",
+    "docs_gopher_filter",
 ]
 
 

@@ -351,8 +351,28 @@ class TableMetadata:
         return self.current_snapshot()
 
     # -- serialization -----------------------------------------------------
+    #: keys to_json rebuilds from parsed state; everything ELSE in the
+    #: source JSON (e.g. `statistics` / `partition-statistics` entries
+    #: another engine committed, future spec fields) passes through
+    #: verbatim — committing through us must not silently strip planner
+    #: stats Trino/Java Spark rely on. The v1 legacy spellings (`schema`,
+    #: `partition-spec`) are listed too: we re-emit the list forms, and
+    #: carrying a stale single-schema copy would corrupt the table.
+    _KNOWN_KEYS = frozenset({
+        "format-version", "table-uuid", "location", "last-sequence-number",
+        "last-updated-ms", "last-column-id", "current-schema-id",
+        "schemas", "schema", "default-spec-id", "partition-specs",
+        "partition-spec", "last-partition-id", "default-sort-order-id",
+        "sort-orders", "properties", "snapshots", "snapshot-log",
+        "metadata-log", "refs", "current-snapshot-id", "next-row-id",
+    })
+
     def to_json(self) -> dict:
         j: dict[str, Any] = {
+            k: v for k, v in (self.raw or {}).items()
+            if k not in self._KNOWN_KEYS
+        }
+        j |= {
             "format-version": self.format_version,
             "table-uuid": self.table_uuid,
             "location": self.location,

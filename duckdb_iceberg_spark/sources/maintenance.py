@@ -242,6 +242,15 @@ def expire_snapshots(
         tm.snapshots = retained
         tm.snapshot_log = [
             e for e in tm.snapshot_log if e.get("snapshot-id") not in expired_ids]
+        # statistics / partition-statistics entries are keyed by
+        # snapshot-id (they pass through to_json verbatim otherwise):
+        # entries of expired snapshots must go with them, like Iceberg's
+        # own expire_snapshots
+        for key in ("statistics", "partition-statistics"):
+            if tm.raw.get(key):
+                tm.raw[key] = [
+                    s for s in tm.raw[key]
+                    if int(s.get("snapshot-id", -1)) not in expired_ids]
         write_table_metadata(tm, location)
 
     if rest is not None and not rest.catalog.config.remove_files_on_delete:

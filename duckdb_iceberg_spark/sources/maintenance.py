@@ -232,11 +232,23 @@ def expire_snapshots(
     # deleting their manifest lists beforehand would corrupt time travel
     # over history the table still advertises
     if rest is not None:
+        updates: list[dict] = [{"action": "remove-snapshots",
+                                "snapshot-ids": sorted(expired_ids)}]
+        # statistics entries keyed by expired snapshots go with them —
+        # the spec's remove-statistics update action, one per snapshot
+        # (reference models it: rest_catalog/objects/
+        # remove_statistics_update.hpp; remove_partition_statistics_update)
+        for key, action in (("statistics", "remove-statistics"),
+                            ("partition-statistics",
+                             "remove-partition-statistics")):
+            for s in (tm.raw or {}).get(key) or []:
+                sid = int(s.get("snapshot-id", -1))
+                if sid in expired_ids:
+                    updates.append({"action": action, "snapshot-id": sid})
         rest.catalog.commit_table(
             rest.namespace, rest.name,
             [{"type": "assert-table-uuid", "uuid": tm.table_uuid}],
-            [{"action": "remove-snapshots",
-              "snapshot-ids": sorted(expired_ids)}])
+            updates)
         rest.refresh()
     else:
         tm.snapshots = retained

@@ -250,6 +250,15 @@ def _make_handler(state: _StubState):
                             meta["snapshots"] = [
                                 sn for sn in meta.get("snapshots", [])
                                 if sn["snapshot-id"] not in dead]
+                        elif u["action"] == "remove-statistics":
+                            meta["statistics"] = [
+                                s for s in meta.get("statistics", [])
+                                if s.get("snapshot-id") != u["snapshot-id"]]
+                        elif u["action"] == "remove-partition-statistics":
+                            meta["partition-statistics"] = [
+                                s for s in
+                                meta.get("partition-statistics", [])
+                                if s.get("snapshot-id") != u["snapshot-id"]]
                         elif u["action"] == "upgrade-format-version":
                             if u["format-version"] < meta.get("format-version", 2):
                                 return self._send(400, {"error": {"message": "downgrade"}})
@@ -1302,11 +1311,23 @@ def test_rest_expire_snapshots(stub, spark, sf_dir, tmp_path):
     cat = _catalog(base)
     tbl = cat.load_table("db", "exp")
     assert len(state.tables[("db", "exp")]["snapshots"]) == 3
+    # statistics keyed by the first two (to-be-expired) snapshots must be
+    # removed via the spec's remove-statistics update actions
+    snaps = [sn["snapshot-id"]
+             for sn in state.tables[("db", "exp")]["snapshots"]]
+    state.tables[("db", "exp")]["statistics"] = [
+        {"snapshot-id": sid, "statistics-path": f"s3://b/{sid}.puffin",
+         "file-size-in-bytes": 1, "file-footer-size-in-bytes": 1,
+         "blob-metadata": []} for sid in snaps]
+    tbl = cat.load_table("db", "exp")
 
     out = expire_snapshots(tbl, retain_last=1, delete_files=False)
     assert out["expired"] == 2
     assert len(state.tables[("db", "exp")]["snapshots"]) == 1
     assert tbl.metadata.current_snapshot() is not None
+    kept_stats = [s["snapshot-id"]
+                  for s in state.tables[("db", "exp")]["statistics"]]
+    assert kept_stats == [snaps[-1]]
 
 
 def test_v3_conflict_rebuild_claims_range_after_winner(stub, spark, sf_dir, tmp_path):

@@ -258,3 +258,27 @@ def test_orc_initial_defaults_by_name(spark, sf_dir, tmp_path):
     add_column(loc, "status", "string", default="new")
     out = iceberg_scan(spark, loc)
     assert out.filter("status = 'new'").count() == src.count()
+
+
+def test_orc_compaction_rewrites_orc(spark, sf_dir, tmp_path):
+    """rewrite_data_files over an ORC table: bin-packs the small ORC
+    files into fewer ORC files, content unchanged."""
+    from duckdb_iceberg_spark.sources.maintenance import rewrite_data_files
+
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "nation_orc_compact")
+    for k in range(4):
+        write_iceberg(src.filter(f"n_nationkey % 4 = {k}"), loc,
+                      properties=ORC_PROPS if k == 0 else None)
+    tm0 = load_table_metadata(loc)
+    n_before = len(plan_scan(tm0, tm0.select_snapshot()).tasks)
+    assert n_before == 4
+
+    rewrite_data_files(spark, loc, min_input_files=2)
+    tm1 = load_table_metadata(loc)
+    plan = plan_scan(tm1, tm1.select_snapshot())
+    assert len(plan.tasks) < n_before
+    assert {t.data_file.file_format for t in plan.tasks} == {"ORC"}
+    out = iceberg_scan(spark, loc)
+    assert sorted(r.n_nationkey for r in out.collect()) \
+        == sorted(r.n_nationkey for r in src.collect())

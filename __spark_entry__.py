@@ -1827,6 +1827,47 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_document_filter(docs, min_words=20).orderBy("doc_id")
 
 
+def docs_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r11 operator family COMPOSED into one curation pipeline (NEW
+    r11): Gopher A1.1 rule filter → seed-trained NB quality classifier
+    (trained on the FILTERED corpus, lang='en' positives, keep logit>0)
+    → exact dedup keep-first over the selected set → per-language
+    selected/kept/char-budget report. The modern pretraining recipe's
+    filter→classify→dedup chain (Gopher / GPT-3 / DCLM) end-to-end over
+    DataFrames. Hash-checked: the oracle replays the whole chain with
+    classifier weights probed over the SAME filtered corpus — a drift in
+    any stage (rule arithmetic, training slice, weight literal, dedup
+    keep-rule) changes the report."""
+    from duckdb_iceberg_spark.operators.classify import nb_quality_score
+    from duckdb_iceberg_spark.operators.text import (doc_fingerprint,
+                                                     gopher_document_filter)
+
+    docs = _pq(spark, sf_dir, "documents")
+    gk = (gopher_document_filter(docs, min_words=20,
+                                 required_words=["the", "a"])
+          .filter("keep").select("doc_id"))
+    filtered = docs.join(gk, "doc_id")
+    sel_ids = (nb_quality_score(filtered, positive_cond="lang = 'en'",
+                                vocab_size=1024)
+               .filter("pred_hq").select("doc_id"))
+    sel = filtered.join(sel_ids, "doc_id")
+    keep1 = (sel.withColumn("__fp", doc_fingerprint("text"))
+             .groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+             .select("doc_id").withColumn("__k", F.lit(1)))
+    return (
+        sel.select("doc_id", "lang", "n_chars")
+        .join(keep1, "doc_id", "left")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_selected"),
+             F.sum(F.coalesce(F.col("__k"), F.lit(0)))
+             .cast("long").alias("n_kept"),
+             F.coalesce(F.sum(F.when(F.col("__k").isNotNull(),
+                                     F.col("n_chars"))), F.lit(0))
+             .cast("long").alias("sum_chars_kept"))
+        .orderBy("lang")
+    )
+
+
 #: BM25 driver-entry query terms (tokens of the synthetic corpus)
 _BM25_TERMS = ["merge", "vector", "window"]
 
@@ -3160,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_orc_scan": ice_orc_scan,
         "docs_bm25_topk": docs_bm25_topk,
         "docs_gopher_filter": docs_gopher_filter,
+        "docs_pipeline_curation": docs_pipeline_curation,
     }
 
 
@@ -3822,6 +3864,75 @@ def _lm_sql(buckets: bool = False) -> str:
         """
 
 
+#: the Gopher keep condition over gm's integer columns — ONE fragment
+#: shared by the standalone oracle and the pipeline-composition oracle so
+#: the rule arithmetic cannot drift between them (min_words=20, the
+#: driver-entry setting)
+_GOPHER_KEEP_SQL = (
+    "(w BETWEEN 20 AND 100000)"
+    " AND (wchars BETWEEN 3 * w AND 10 * w)"
+    " AND sym * 10 <= w"
+    " AND bullet * 10 <= nl * 9"
+    " AND ell * 10 <= nl * 3"
+    " AND alpha * 5 >= 4 * w"
+    " AND req >= 2")
+
+#: pipeline-composition required-word set: the synthetic corpus' own
+#: function words (Gopher's fixed English set keeps ZERO of these docs —
+#: the corpus has 'the'/'a' but not be/of/and/…; the operator's
+#: required_words parameter exists for exactly this domain adaptation)
+_PIPELINE_REQUIRED = ["the", "a"]
+
+
+def _gopher_ctes(required: list[str] | None = None) -> str:
+    """Gopher measurement CTEs (gt/glns/gm — prefixed names so they
+    compose with the NB classifier chain in one statement).
+    ``required`` overrides the required-word list (pipeline
+    composition); default is Gopher's fixed English set."""
+    words = required or ["the", "be", "to", "of", "and", "that", "have",
+                         "with"]
+    req_sql = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return _GOPHER_CTES_TMPL.replace("__REQUIRED__", req_sql)
+
+
+_GOPHER_CTES_TMPL = r"""
+            gt AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                         lower(trim(COALESCE(text, ''))), '\s+'),
+                         x -> x <> '') AS toks,
+                     COALESCE(text, '') AS c
+              FROM documents
+            ), glns AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(c, chr(10)),
+                                                l -> trim(l)),
+                                 l -> l <> '') AS ls
+              FROM gt
+            ), gm AS (
+              SELECT t.doc_id,
+                     len(t.toks) AS w,
+                     COALESCE(list_aggregate(
+                         list_transform(t.toks, x -> length(x)), 'sum'),
+                         0) AS wchars,
+                     (length(t.c) - length(replace(t.c, '#', '')))
+                       + (length(t.c) - length(replace(t.c, '…', '')))
+                       + (length(t.c) - length(replace(t.c, '...', '')))
+                         // 3 AS sym,
+                     len(l.ls) AS nl,
+                     len(list_filter(l.ls,
+                         x -> substr(x, 1, 1)
+                              IN ('•', '‣', '▪', '-', '*'))) AS bullet,
+                     len(list_filter(l.ls,
+                         x -> x LIKE '%...' OR x LIKE '%…')) AS ell,
+                     len(list_filter(t.toks,
+                         x -> regexp_matches(x, '[a-z]'))) AS alpha,
+                     len(list_intersect(list_distinct(t.toks),
+                         __REQUIRED__))
+                       AS req
+              FROM gt t JOIN glns l ON t.doc_id = l.doc_id
+            )"""
+
 #: DuckDB replica of operators.text.gopher_document_filter (min_words=20
 #: for the driver entry) — identical cross-multiplied integer rules, the
 #: same non-overlapping replace() counting for '#'/'…'/'...' occurrences
@@ -3888,6 +3999,80 @@ _GOPHER_SQL = r"""
                      WHEN NOT (req >= 2) THEN 'required_words'
                    END AS fail_reason
             FROM m ORDER BY doc_id
+        """
+
+
+def _pipeline_sql() -> str:
+    """DuckDB replica of docs_pipeline_curation: the shared Gopher rule
+    CTEs (gkeep), the NB chain over the FILTERED corpus (classifier
+    trained and scored on Gopher-keepers, like the Spark side that hands
+    the filtered frame to nb_quality_score), logit>0 selection, exact
+    keep-first dedup (the _FP_SQL fingerprint), per-language report.
+    Weight + prior literals probe over the filtered chain."""
+    import duckdb as _duck
+
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    from duckdb_iceberg_spark.operators.text import laplace_lp6
+
+    ctes = _nb_ctes(gopher_filtered=True)
+    con = _duck.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('"
+                + path.replace("'", "''") + "')")
+    pairs = con.execute(ctes + r"""
+            SELECT DISTINCT cp, cn,
+                   (SELECT CAST(sum(cp) AS BIGINT) FROM cc) AS np,
+                   (SELECT CAST(sum(cn) AS BIGINT) FROM cc) AS nn,
+                   (SELECT count(*) + 1 FROM vocab) AS v
+            FROM cc
+    """).fetchall()
+    n_pos, n_docs = con.execute(ctes + r"""
+            SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM t
+    """).fetchone()
+    con.close()
+    w_values = ", ".join(
+        f"({int(cp)}, {int(cn)}, "
+        f"CAST('{laplace_lp6(int(cp), int(np), int(v)) - laplace_lp6(int(cn), int(nn), int(v))}'"
+        f" AS DECIMAL(18,6)))"
+        for cp, cn, np, nn, v in pairs) or "(0, 0, CAST('0' AS DECIMAL(18,6)))"
+    n_pos, n_docs = int(n_pos or 0), int(n_docs or 0)
+    prior6 = (laplace_lp6(n_pos, max(n_docs, 0), 2)
+              - laplace_lp6(n_docs - n_pos, max(n_docs, 0), 2))
+    return ctes + rf"""
+            , lp(cpv, cnv, w6) AS (
+              VALUES {w_values}
+            ), nbsc AS (
+              SELECT s.doc_id,
+                     CASE WHEN count(*) = count(l.w6)
+                          THEN sum(l.w6) END AS s6
+              FROM stream s
+              JOIN cc ON cc.w = s.w
+              LEFT JOIN lp l ON l.cpv = cc.cp AND l.cnv = cc.cn
+              GROUP BY s.doc_id
+            ), sel AS (
+              SELECT d.doc_id, d.lang, d.n_chars, d.text
+              FROM documents d
+              JOIN gkeep USING (doc_id)
+              LEFT JOIN nbsc s USING (doc_id)
+              WHERE CAST((CAST('{prior6}' AS DECIMAL(18,6))
+                          + COALESCE(CAST(s.s6 AS DECIMAL(28,6)),
+                                     CAST('0' AS DECIMAL(28,6))))
+                         * 1000000 AS BIGINT) > 0
+            ), fp AS (
+              SELECT doc_id, lang, n_chars, {_FP_SQL} AS f FROM sel
+            ), k1 AS (
+              SELECT min(doc_id) AS kid FROM fp GROUP BY f
+            )
+            SELECT lang,
+                   count(*) AS n_selected,
+                   CAST(sum(CASE WHEN doc_id IN (SELECT kid FROM k1)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(COALESCE(sum(CASE WHEN doc_id IN
+                                          (SELECT kid FROM k1)
+                                     THEN n_chars END), 0) AS BIGINT)
+                     AS sum_chars_kept
+            FROM fp GROUP BY lang ORDER BY lang
         """
 
 
@@ -3963,16 +4148,36 @@ def _bm25_sql() -> str:
         """
 
 
-#: the NB classifier's shared tokenize → corpus-wide vocab → unk-mapped
-#: stream → per-class count chain (operators.classify.nb_quality_fit twin;
-#: the tokenizer is the LM family's, operators/text.py lm_tokens)
-_NB_CTES = r"""
-            WITH t AS (
+def _nb_ctes(gopher_filtered: bool = False) -> str:
+    """The NB classifier's tokenize → corpus-wide vocab → unk-mapped
+    stream → per-class count chain (operators.classify.nb_quality_fit
+    twin; the tokenizer is the LM family's, operators/text.py lm_tokens).
+    With ``gopher_filtered`` the classifier's corpus is the
+    Gopher-keepers only (the pipeline composition) — training AND
+    scoring see the filtered corpus, exactly like the Spark side that
+    passes the filtered frame into nb_quality_score."""
+    if gopher_filtered:
+        head = ("WITH " + _gopher_ctes(_PIPELINE_REQUIRED) + ", gkeep AS (\n"
+                "              SELECT doc_id FROM gm WHERE "
+                + _GOPHER_KEEP_SQL + "\n            ), t AS (\n"
+                "              SELECT d.doc_id,"
+                " COALESCE(d.lang = 'en', FALSE) AS pos,\n"
+                "                     list_filter(string_split_regex("
+                "lower(trim(d.text)), '\\s+'),\n"
+                "                                 x -> x <> '') AS toks\n"
+                "              FROM documents d"
+                " JOIN gkeep USING (doc_id)\n            )")
+    else:
+        head = r"""WITH t AS (
               SELECT doc_id, COALESCE(lang = 'en', FALSE) AS pos,
                      list_filter(string_split_regex(lower(trim(text)), '\s+'),
                                  x -> x <> '') AS toks
               FROM documents
-            ), vocab AS (
+            )"""
+    return "\n            " + head + _NB_TAIL
+
+
+_NB_TAIL = r""", vocab AS (
               SELECT w, count(*) AS c FROM (
                 SELECT unnest(toks) AS w FROM t
               ) q GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 1024
@@ -4012,7 +4217,7 @@ def _nb_classifier_sql() -> str:
     con = _duck.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('"
                 + path.replace("'", "''") + "')")
-    pairs = con.execute(_NB_CTES + r"""
+    pairs = con.execute(_nb_ctes() + r"""
             SELECT DISTINCT cp, cn,
                    (SELECT CAST(sum(cp) AS BIGINT) FROM cc) AS np,
                    (SELECT CAST(sum(cn) AS BIGINT) FROM cc) AS nn,
@@ -4034,7 +4239,7 @@ def _nb_classifier_sql() -> str:
     n_pos, n_docs = int(docs_counts[0] or 0), int(docs_counts[1])
     prior6 = (laplace_lp6(n_pos, n_docs, 2)
               - laplace_lp6(n_docs - n_pos, n_docs, 2))
-    return _NB_CTES + rf"""
+    return _nb_ctes() + rf"""
             , lp(cpv, cnv, w6) AS (
               VALUES {w_values}
             ), scored AS (
@@ -4738,6 +4943,7 @@ def _data_oracles() -> dict[str, str]:
                 "docs_quality_classifier": _nb_classifier_sql(),
                 "docs_bm25_topk": _bm25_sql(),
                 "docs_gopher_filter": _GOPHER_SQL,
+                "docs_pipeline_curation": _pipeline_sql(),
                 "docs_tfidf": _tfidf_sql(),
                 "docs_temperature_sample": _temperature_sql(),
             }

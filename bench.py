@@ -122,6 +122,8 @@ HEADLINE = [
     "docs_bm25_topk",
     # r11: complete Gopher A1.1 rule set (map-side only, zero shuffles)
     "docs_gopher_filter",
+    # r11: filter -> classify -> dedup composed pipeline
+    "docs_pipeline_curation",
 ]
 
 

@@ -302,6 +302,8 @@ def gopher_document_filter(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
+    required_words: list[str] | None = None,
+    min_required: int = 2,
 ):
     """The COMPLETE Gopher document-quality rule set (Rae et al. 2021
     §A1.1) as one composite keep/drop decision with the first failed rule
@@ -314,7 +316,9 @@ def gopher_document_filter(
     4.  ``bullet_lines``  — ≤ 90% of lines start with a bullet
     5.  ``ellipsis_lines``— ≤ 30% of lines end with an ellipsis
     6.  ``alpha_words``   — ≥ 80% of words contain an alphabetic char
-    7.  ``required_words``— ≥ 2 distinct GOPHER_REQUIRED_WORDS present
+    7.  ``required_words``— ≥ ``min_required`` distinct required words
+        present (default GOPHER_REQUIRED_WORDS — Gopher's fixed English
+        set; corpora in other domains/registers configure their own)
 
     Every rule compares CROSS-MULTIPLIED integers (symbols·10 ≤ words,
     alpha·5 ≥ words·4, …), never a float ratio, so the boundary cases
@@ -353,7 +357,8 @@ def gopher_document_filter(
             toks, lambda x: x.rlike("[a-z]"))).alias("__alpha"),
         F.size(F.array_intersect(
             F.array_distinct(toks),
-            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+            F.array(*[F.lit(w) for w in
+                      (required_words or GOPHER_REQUIRED_WORDS)])
         )).alias("__req"),
     )
     w = F.col("__w")
@@ -366,7 +371,7 @@ def gopher_document_filter(
         ("bullet_lines", F.col("__bullet") * 10 <= F.col("__l") * 9),
         ("ellipsis_lines", F.col("__ell") * 10 <= F.col("__l") * 3),
         ("alpha_words", F.col("__alpha") * 5 >= w * 4),
-        ("required_words", F.col("__req") >= 2),
+        ("required_words", F.col("__req") >= min_required),
     ]
     keep = F.lit(True)
     reason = F.lit(None).cast("string")

@@ -148,6 +148,7 @@ AUDIT = [
     "docs_quality_classifier",
     "docs_bm25_topk",
     "docs_gopher_filter",
+    "docs_pipeline_curation",
 ]
 
 

@@ -147,6 +147,10 @@ SF1_CANARIES = [
     # sqrt(N) lists (sublinear), the k-means fit is two bounded-collect
     # iterations, and the LM scorer is a broadcast-model linear scan
     "emb_ivf_topk", "emb_kmeans", "docs_lm_score",
+    # r11: classifier training is two linear aggs over the token stream,
+    # BM25's scored stream is |terms|-bounded — both should track corpus
+    # size under 10× duplication mass
+    "docs_quality_classifier", "docs_bm25_topk",
 ]
 
 _SF1_GEN_VERSION = "v2"  # v2: embeddings scaled too (ANN canaries)

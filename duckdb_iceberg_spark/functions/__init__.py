@@ -126,6 +126,20 @@ def register_sql_functions(spark) -> None:
             raise ValueError(
                 "iceberg_bucket/iceberg_truncate: no double overload "
                 "(reference has none either)")
+        iv = fv.astype("int64")
+        # float64 is integer-exact only to 2^53: a nullable BIGINT batch
+        # with any value beyond that was already corrupted by Arrow's
+        # int→float conversion — hashing the rounded value would silently
+        # return a different bucket than the same value in a NULL-free
+        # batch. Refuse loudly instead (r11 review).
+        if not np.all(iv.astype("float64") == fv) \
+                or np.any(np.abs(fv) > 2.0 ** 53):
+            raise ValueError(
+                "iceberg_bucket/iceberg_truncate: nullable BIGINT batch "
+                "holds values beyond float64's exact integer range "
+                "(2^53); Arrow's NULL-driven int->float conversion has "
+                "already lost precision — filter NULLs out before the "
+                "call or use the Column API")
         return vals.astype("int64")
 
     @pandas_udf(T.IntegerType())
@@ -175,7 +189,10 @@ def register_sql_functions(spark) -> None:
         res = pd.Series([None] * len(vs), dtype="object")
         mask = vs.notna() & ws.notna()
         if mask.any():
-            v = vs[mask].astype("int64").to_numpy()
+            # same 2^53 guard as _normalize_nullable_ints: a nullable
+            # BIGINT batch arrives as float64 and silently rounds beyond
+            # the exact-integer range (r11 review)
+            v = _normalize_nullable_ints(vs[mask]).to_numpy(dtype="int64")
             w = ws[mask].astype("int64").to_numpy()
             res[mask] = v - (((v % w) + w) % w)
         return res.astype("Int64")

@@ -63,6 +63,30 @@ _EPOCH_TS_TZ = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 _TIME_TYPE_IN_LIB = hasattr(T, "TimeType")
 
 
+#: planning-pass pin stack for time_type_available (see pinned_time_flag)
+_TIME_FLAG_PIN: list[bool] = []
+
+
+def pinned_time_flag():
+    """Context manager pinning time_type_available() for one planning
+    pass: the probe runs per decoded bound in planning loops (O(files)
+    calls) and each uncached call is a py4j conf.get round trip (r11
+    review) — but the flag may legitimately be toggled BETWEEN passes
+    (pinned by test_time_mapping_degrades_when_session_flag_off), so the
+    snapshot lives only as long as the pass."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        _TIME_FLAG_PIN.append(time_type_available())
+        try:
+            yield
+        finally:
+            _TIME_FLAG_PIN.pop()
+
+    return _cm()
+
+
 def time_type_available() -> bool:
     """Whether Iceberg ``time`` may map to Spark's real ``TimeType`` RIGHT
     NOW. Two gates (ADVICE r10): the library must ship ``T.TimeType``
@@ -72,6 +96,8 @@ def time_type_available() -> bool:
     TimeType schema, so such sessions degrade to the tagged-Long µs
     mapping that worked pre-4.1. With no active session (metadata-only
     paths), library capability decides, matching get_spark's default."""
+    if _TIME_FLAG_PIN:
+        return _TIME_FLAG_PIN[-1]
     if not _TIME_TYPE_IN_LIB:
         return False
     try:

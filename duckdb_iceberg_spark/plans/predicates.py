@@ -136,18 +136,27 @@ def _fold_cast(v: Any, tname: str, args: list[int]) -> Any:
     if v is None:
         return None
     if tname in ("DECIMAL", "NUMERIC", "DEC"):
-        d = Decimal(str(v))
-        if len(args) >= 2:
-            # quantize to the declared scale like a SQL cast (half-up)
-            from decimal import ROUND_HALF_UP
+        from decimal import ROUND_HALF_UP
 
-            d = d.quantize(Decimal(1).scaleb(-args[1]), ROUND_HALF_UP)
-        return d
+        d = Decimal(str(v))
+        # scale defaults to 0 when omitted — DECIMAL and DECIMAL(p) both
+        # mean scale 0 in Spark/DuckDB, so the residual filter Spark
+        # evaluates compares the ROUNDED value; folding the unrounded
+        # literal would prune files the residual keeps
+        scale = args[1] if len(args) >= 2 else 0
+        return d.quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP)
     if tname in ("TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT",
                  "HUGEINT", "LONG"):
         # SQL casts of fractional strings/values truncate toward zero
         return int(Decimal(str(v)).to_integral_value(rounding="ROUND_DOWN"))
-    if tname in ("FLOAT", "REAL", "DOUBLE"):
+    if tname in ("FLOAT", "REAL"):
+        # narrow through float32 like the engine's cast does — keeping
+        # the double value would mis-prune equality predicates at
+        # representation boundaries (0.1f != 0.1d)
+        import struct
+
+        return struct.unpack("f", struct.pack("f", float(v)))[0]
+    if tname == "DOUBLE":
         return float(v)
     if tname in ("VARCHAR", "STRING", "TEXT", "CHAR"):
         return str(v)

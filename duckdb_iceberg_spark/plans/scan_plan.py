@@ -555,6 +555,21 @@ def plan_scan(
     *,
     snapshot_schema: bool | None = None,
 ) -> ScanPlan:
+    """Build the file-level scan plan for a snapshot (see _plan_scan;
+    the TimeType capability probe is pinned for the pass so the
+    per-bound decode loops don't pay a py4j conf round trip per file)."""
+    with ice_types.pinned_time_flag():
+        return _plan_scan(tm, snapshot, where,
+                          snapshot_schema=snapshot_schema)
+
+
+def _plan_scan(
+    tm: TableMetadata,
+    snapshot: Optional[Snapshot],
+    where: str | None = None,
+    *,
+    snapshot_schema: bool | None = None,
+) -> ScanPlan:
     """Build the file-level scan plan for a snapshot.
 
     ``snapshot_schema`` mirrors the reference's lookup-source semantics

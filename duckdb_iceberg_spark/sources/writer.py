@@ -979,8 +979,17 @@ def _collect_stats_orc(spark: SparkSession, paths: list[str],
     for f in stat_fields:
         c = F.col(f["name"])
         fid = f["id"]
-        aggs.append(F.min(c).alias(f"__min_{fid}"))
-        aggs.append(F.max(c).alias(f"__max_{fid}"))
+        if ice_types.primitive_name(f["type"]) in ("float", "double"):
+            # Spark orders NaN above every double, so max() would record
+            # NaN as the upper bound and poison pruning (NaN >= x is
+            # false in the bounds truth table → files with real matches
+            # skipped). Parquet footers omit NaN from stats; do the same.
+            sc = F.when(~F.isnan(c), c)
+            aggs.append(F.min(sc).alias(f"__min_{fid}"))
+            aggs.append(F.max(sc).alias(f"__max_{fid}"))
+        else:
+            aggs.append(F.min(c).alias(f"__min_{fid}"))
+            aggs.append(F.max(c).alias(f"__max_{fid}"))
         aggs.append(F.sum(c.isNull().cast("long")).alias(f"__null_{fid}"))
     grouped = (src.groupBy(F.col("_metadata.file_path").alias("__p"))
                .agg(*aggs).collect())

@@ -116,3 +116,20 @@ def test_connected_components_random_graphs_fuzz(spark):
         edges = [(rng.randint(1, n), rng.randint(1, n)) for _ in range(m)]
         edges = [e for e in edges if e[0] != e[1]] or [(1, 2)]
         _check(spark, edges)
+
+
+def test_null_text_docs_keep_their_rows(spark):
+    """NULL-text docs must not vanish from the output (r11 review): they
+    fingerprint to one exact group (SQL GROUP BY semantics — the
+    recursive-CTE oracle groups NULL fingerprints together too)."""
+    from duckdb_iceberg_spark.operators.dedup import duplicate_components
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, None),
+         (4, "alpha beta gamma")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.component_id
+           for r in duplicate_components(df, num_hashes=8, bands=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == 1 and out[4] == 1      # exact dups collapse
+    assert out[2] == 2 and out[3] == 2      # NULL texts form one group

@@ -112,12 +112,31 @@ def _target_arrow_schema(spark_schema):
         for i in range(len(arrow))])
 
 
-def _read_one(fs_io: FileIO, path: str, target):
-    """Read one parquet file through the FileIO into an arrow table cast to
-    the target schema — only the target's columns are fetched (column
-    pruning → ranged GETs of just those column chunks); missing columns
-    become nulls, matching Spark's read-with-schema semantics."""
+def _read_one(fs_io: FileIO, path: str, target, file_format: str = "parquet"):
+    """Read one parquet/ORC file through the FileIO into an arrow table
+    cast to the target schema — only the target's columns are fetched
+    (column pruning → ranged GETs of just those column chunks); missing
+    columns become nulls, matching Spark's read-with-schema semantics.
+    ORC resolves by NAME (pyarrow surfaces no iceberg.id attributes),
+    the same contract as the Spark-native ORC branch."""
     import pyarrow as pa
+
+    if file_format == "orc":
+        import pyarrow.orc as po
+
+        of = po.ORCFile(_open_arrow_input(fs_io, path))
+        file_schema = of.schema
+        src_of = {f.name: f.name for f in target
+                  if f.name in file_schema.names}
+        tbl = of.read(columns=sorted(set(src_of.values())))
+        cols = []
+        for f in target:
+            if f.name in src_of:
+                cols.append(_align_column(tbl.column(src_of[f.name]), f))
+            else:
+                cols.append(pa.nulls(len(tbl), f.type))
+        return pa.Table.from_arrays(cols, schema=target)
+
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(_open_arrow_input(fs_io, path))
@@ -305,10 +324,14 @@ def read_parquet(
     with_path_pos: bool = False,
     path_col: str = "__src_file",
     pos_col: str = "__src_pos",
+    file_format: str = "parquet",
 ) -> DataFrame:
-    """Read remote parquet files into a DataFrame with the given Spark
-    schema; optionally append (file path, row position) columns — the arrow
-    analogue of ``_metadata.file_path`` / ``row_index``."""
+    """Read remote parquet (or, with ``file_format='orc'``, ORC) files
+    into a DataFrame with the given Spark schema; optionally append
+    (file path, row position) columns — the arrow analogue of
+    ``_metadata.file_path`` / ``row_index`` (and for ORC the ONLY row
+    positions available anywhere: Spark's native ORC source has no
+    row_index)."""
     import pyarrow as pa
 
     from pyspark.sql import types as T
@@ -332,7 +355,7 @@ def read_parquet(
     if not io0.shippable or len(files) <= _DRIVER_READ_MAX_FILES:
         tables = []
         for f in sorted(files):
-            t = _read_one(get_io(f), f, target)
+            t = _read_one(get_io(f), f, target, file_format)
             if with_path_pos:
                 t = t.append_column(
                     path_col, pa.array([f] * len(t), pa.string())
@@ -351,7 +374,7 @@ def read_parquet(
         fs_io = io_from_storage_options(opts)
         for batch in batches:
             for f in batch.column("__path").to_pylist():
-                t = _read_one(fs_io, f, target)
+                t = _read_one(fs_io, f, target, file_format)
                 if with_path_pos:
                     t = t.append_column(
                         path_col, pa.array([f] * len(t), pa.string())

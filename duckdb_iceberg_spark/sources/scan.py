@@ -454,19 +454,32 @@ def scan_to_dataframe(
                 p = p.withColumn(_FILE_COL, _norm_path(F.col(_FILE_COL)))
             parts.append(p)
     if orc_files:
-        if not _ad.is_spark_native(spark, sorted(orc_files)):
-            raise NotImplementedError(
-                "ORC data files require a Spark-native path scheme (the "
-                "arrow data plane streams parquet only)")
-        # by-name read + cast onto the table schema (Spark's ORC source has
-        # no field-id resolution; our own ORC writes use current names).
-        # uuid columns stay the canonical string form our writer stores.
-        o = spark.read.schema(schema).orc(
-            [_ad.to_native_path(f) for f in sorted(orc_files)])
-        if need_pos:
-            o = (o.withColumn(_FILE_COL,
-                              _norm_uri_path(F.col("_metadata.file_path")))
-                  .withColumn(_POS_COL, F.lit(None).cast(T.LongType())))
+        if _ad.is_spark_native(spark, sorted(orc_files)):
+            # by-name read + cast onto the table schema (Spark's ORC
+            # source has no field-id resolution; our own ORC writes use
+            # current names). uuid columns stay the canonical string form
+            # our writer stores. Spark exposes no row_index for ORC —
+            # row-position consumers were refused above.
+            o = spark.read.schema(schema).orc(
+                [_ad.to_native_path(f) for f in sorted(orc_files)])
+            if need_pos:
+                o = (o.withColumn(
+                        _FILE_COL,
+                        _norm_uri_path(F.col("_metadata.file_path")))
+                      .withColumn(_POS_COL,
+                                  F.lit(None).cast(T.LongType())))
+        else:
+            # object-store schemes: the arrow data plane reads ORC too
+            # (executor-side pyarrow.orc over the FileIO, by-name)
+            o = _ad.read_parquet(
+                spark, sorted(orc_files), schema, with_path_pos=need_pos,
+                path_col=_FILE_COL, pos_col=_POS_COL, file_format="orc")
+            if need_pos:
+                # positions are real on this plane (sequential file
+                # reads), but consumers stay refused above for ORC so the
+                # two planes keep one semantics; only the path column is
+                # consumed (partition constants / initial defaults)
+                o = o.withColumn(_FILE_COL, _norm_path(F.col(_FILE_COL)))
         parts.append(o)
     if legacy:
         parts.extend(_read_by_name_mapping(spark, legacy, mapping_prop,

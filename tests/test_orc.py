@@ -282,3 +282,43 @@ def test_orc_compaction_rewrites_orc(spark, sf_dir, tmp_path):
     out = iceberg_scan(spark, loc)
     assert sorted(r.n_nationkey for r in out.collect()) \
         == sorted(r.n_nationkey for r in src.collect())
+
+
+def test_orc_on_object_store_via_arrow_plane(spark, tmp_path):
+    """ORC data files behind a non-native scheme read through the arrow
+    data plane (executor/driver pyarrow.orc over the FileIO) — the same
+    moved-table localization as parquet tables."""
+    import os
+
+    import pytest
+    from pyarrow import fs as pafs
+
+    from duckdb_iceberg_spark import io as fio
+
+    mock = pafs._MockFileSystem()
+    fio.register_io("mock", fio.ArrowFileIO("mock", mock, shippable=False))
+
+    src = spark.range(60).selectExpr("id", "id % 3 AS k")
+    loc = str(tmp_path / "torc")
+    write_iceberg(src, loc, properties=ORC_PROPS)
+
+    # move the whole table to the object store (relative layout preserved)
+    dst = "mock://bucket/torc"
+    for root, _dirs, files in os.walk(loc):
+        for f in files:
+            p = os.path.join(root, f)
+            rel = os.path.relpath(p, loc)
+            out = dst + "/" + rel.replace(os.sep, "/")
+            io = fio.get_io(out)
+            io.mkdirs(out.rsplit("/", 1)[0])
+            io.write_bytes(out, open(p, "rb").read())
+
+    out = iceberg_scan(spark, dst)
+    assert out.count() == 60
+    assert sorted(r.id for r in out.filter("k = 1").collect()) == [
+        i for i in range(60) if i % 3 == 1]
+
+    # row-position consumers stay refused on this plane too (one
+    # semantics across planes)
+    with pytest.raises(NotImplementedError, match="row_index"):
+        iceberg_scan(spark, dst, with_file_info=True).collect()

@@ -151,6 +151,9 @@ SF1_CANARIES = [
     # BM25's scored stream is |terms|-bounded — both should track corpus
     # size under 10× duplication mass
     "docs_quality_classifier", "docs_bm25_topk",
+    # r11: the ORC write path's distributed stats aggregate + pruned
+    # MoR scan under 10× rows
+    "ice_orc_scan",
 ]
 
 _SF1_GEN_VERSION = "v2"  # v2: embeddings scaled too (ANN canaries)
@@ -365,6 +368,7 @@ def main() -> None:
         # the bench-SF block (the TPC-H canaries read the Iceberg lineitem)
         entry._ice_lineitem(spark, sf1_dir)
         entry._ice_orders_mor(spark, sf1_dir)
+        entry._ice_documents_orc(spark, sf1_dir)
         sf1_build_s = time.time() - t0
         # min over >=2 runs per canary: the single-run r7 record carried a
         # phantom 5x q21 "regression" that was cold-cache + box load, not

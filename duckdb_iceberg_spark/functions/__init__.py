@@ -133,7 +133,10 @@ def register_sql_functions(spark) -> None:
         # return a different bucket than the same value in a NULL-free
         # batch. Refuse loudly instead (r11 review).
         if not np.all(iv.astype("float64") == fv) \
-                or np.any(np.abs(fv) > 2.0 ** 53):
+                or np.any(np.abs(fv) >= 2.0 ** 53):
+            # >= not >: a float of exactly 2^53 may itself be Arrow's
+            # rounding of 2^53+1 — the boundary value is indistinguishable
+            # from a corrupted neighbor, so refuse it too (r11 review)
             raise ValueError(
                 "iceberg_bucket/iceberg_truncate: nullable BIGINT batch "
                 "holds values beyond float64's exact integer range "

@@ -125,16 +125,23 @@ def _read_one(fs_io: FileIO, path: str, target, file_format: str = "parquet"):
         import pyarrow.orc as po
 
         of = po.ORCFile(_open_arrow_input(fs_io, path))
-        file_schema = of.schema
-        src_of = {f.name: f.name for f in target
-                  if f.name in file_schema.names}
-        tbl = of.read(columns=sorted(set(src_of.values())))
+        # by-name resolution only — no field-id layer exists for ORC
+        present = set(of.schema.names) & {f.name for f in target}
+        if present:
+            tbl = of.read(columns=sorted(present))
+            n = len(tbl)
+        else:
+            # ORCFile.read(columns=[]) returns ZERO rows (pyarrow 16.1),
+            # unlike parquet which preserves num_rows — all-renamed/
+            # foreign files must still yield N all-null rows like the
+            # Spark-native ORC branch does (r11 review)
+            tbl, n = None, of.nrows
         cols = []
         for f in target:
-            if f.name in src_of:
-                cols.append(_align_column(tbl.column(src_of[f.name]), f))
+            if tbl is not None and f.name in present:
+                cols.append(_align_column(tbl.column(f.name), f))
             else:
-                cols.append(pa.nulls(len(tbl), f.type))
+                cols.append(pa.nulls(n, f.type))
         return pa.Table.from_arrays(cols, schema=target)
 
     import pyarrow.parquet as pq

@@ -25,10 +25,12 @@ single-value form used by ``initial-default``/``write-default``.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import datetime as _dt
 import math
 import re
 import struct
+import threading as _threading
 import uuid as _uuid
 from decimal import Context, Decimal
 
@@ -63,28 +65,28 @@ _EPOCH_TS_TZ = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 _TIME_TYPE_IN_LIB = hasattr(T, "TimeType")
 
 
-#: planning-pass pin stack for time_type_available (see pinned_time_flag)
-_TIME_FLAG_PIN: list[bool] = []
+#: planning-pass pin for time_type_available — THREAD-LOCAL so concurrent
+#: plan_scan calls (streaming microbatches vs user scans) never read each
+#: other's snapshot (r11 review)
+_TIME_FLAG_PIN = _threading.local()
 
 
+@_contextlib.contextmanager
 def pinned_time_flag():
     """Context manager pinning time_type_available() for one planning
     pass: the probe runs per decoded bound in planning loops (O(files)
     calls) and each uncached call is a py4j conf.get round trip (r11
     review) — but the flag may legitimately be toggled BETWEEN passes
     (pinned by test_time_mapping_degrades_when_session_flag_off), so the
-    snapshot lives only as long as the pass."""
-    import contextlib
-
-    @contextlib.contextmanager
-    def _cm():
-        _TIME_FLAG_PIN.append(time_type_available())
-        try:
-            yield
-        finally:
-            _TIME_FLAG_PIN.pop()
-
-    return _cm()
+    snapshot lives only as long as the pass, per thread."""
+    stack = getattr(_TIME_FLAG_PIN, "stack", None)
+    if stack is None:
+        stack = _TIME_FLAG_PIN.stack = []
+    stack.append(time_type_available())
+    try:
+        yield
+    finally:
+        stack.pop()
 
 
 def time_type_available() -> bool:
@@ -96,8 +98,9 @@ def time_type_available() -> bool:
     TimeType schema, so such sessions degrade to the tagged-Long µs
     mapping that worked pre-4.1. With no active session (metadata-only
     paths), library capability decides, matching get_spark's default."""
-    if _TIME_FLAG_PIN:
-        return _TIME_FLAG_PIN[-1]
+    stack = getattr(_TIME_FLAG_PIN, "stack", None)
+    if stack:
+        return stack[-1]
     if not _TIME_TYPE_IN_LIB:
         return False
     try:

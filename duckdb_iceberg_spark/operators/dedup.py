@@ -1230,19 +1230,21 @@ def duplicate_components(
     fp = df.withColumn(
         "__fp", F.coalesce(doc_fingerprint(text_col), F.lit("__null__")))
     grp = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
-    withrep = fp.join(grp, "__fp").select(
-        F.col(id_col), F.col(text_col), F.col("__rep"))
-    # persist the SMALL (id → rep) mapping only — caching withrep with
-    # text pins the whole duplicate mass in executor storage (10×
-    # dup-heavy corpora → 10× cached text, the exact corpora this
-    # operator targets); the rep slice's text flows once into the
-    # persisted signature+shingle frame below, so the extra cost is one
-    # fingerprint groupBy pass over projected (id, fp) pairs
-    mapping = withrep.select(
+    # persist the SMALL (id → rep) mapping only — caching the joined
+    # frame with text pins the whole duplicate mass in executor storage
+    # (10× dup-heavy corpora → 10× cached text, the exact corpora this
+    # operator targets). Both downstream consumers derive from THIS one
+    # materialization: reps below semi-joins df against the cached
+    # mapping's own rep ids, so a nondeterministic input can't yield two
+    # disagreeing rep selections (r11 review).
+    mapping = fp.join(grp, "__fp").select(
         F.col(id_col).cast("long").alias("node"),
         F.col("__rep").cast("long").alias("__r")).persist()
-    reps = (withrep.filter(F.col(id_col) == F.col("__rep"))
-            .drop("__rep"))
+    rep_ids = (mapping.filter(F.col("node") == F.col("__r"))
+               .select(F.col("node").alias("__rid")))
+    reps = df.join(rep_ids,
+                   F.col(id_col).cast("long") == F.col("__rid"),
+                   "left_semi")
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
         few_inputs = len(df.inputFiles()) < par

@@ -567,6 +567,8 @@ def _build_data_files(
                               if _counts_ok(k)} or None,
                 null_value_counts={k: v for k, v in (st["null_counts"] or {}).items()
                                    if _counts_ok(k)} or None,
+                nan_value_counts={k: v for k, v in (st.get("nan_counts") or {}).items()
+                                  if _counts_ok(k)} or None,
                 lower_bounds=lower or None,
                 upper_bounds=upper or None,
             )
@@ -980,13 +982,19 @@ def _collect_stats_orc(spark: SparkSession, paths: list[str],
         c = F.col(f["name"])
         fid = f["id"]
         if ice_types.primitive_name(f["type"]) in ("float", "double"):
-            # Spark orders NaN above every double, so max() would record
-            # NaN as the upper bound and poison pruning (NaN >= x is
-            # false in the bounds truth table → files with real matches
-            # skipped). Parquet footers omit NaN from stats; do the same.
+            # NaN handling mirrors parquet writers: a file containing ANY
+            # NaN in the column gets NO min/max (parquet-mr drops stats
+            # for NaN-polluted columns). Recording NaN as max poisons
+            # range pruning one way (NaN >= x false in the bounds truth
+            # table) while recording the NaN-filtered max loses NaN-only
+            # matches the other way (Spark evaluates NaN >= x as TRUE) —
+            # absent bounds are the only safe spelling, and nan counts
+            # land in nan_value_counts like the spec wants.
             sc = F.when(~F.isnan(c), c)
             aggs.append(F.min(sc).alias(f"__min_{fid}"))
             aggs.append(F.max(sc).alias(f"__max_{fid}"))
+            aggs.append(F.sum(F.isnan(c).cast("long"))
+                        .alias(f"__nan_{fid}"))
         else:
             aggs.append(F.min(c).alias(f"__min_{fid}"))
             aggs.append(F.max(c).alias(f"__max_{fid}"))
@@ -1010,10 +1018,19 @@ def _collect_stats_orc(spark: SparkSession, paths: list[str],
         maxs: dict[int, Any] = {}
         nulls: dict[int, int] = {}
         vcounts: dict[int, int] = {}
+        nans: dict[int, int] = {}
         for f in stat_fields:
             fid = f["id"]
             vcounts[fid] = int(r["__n"])
             nulls[fid] = int(r[f"__null_{fid}"] or 0)
+            n_nan = int(r[f"__nan_{fid}"] or 0) \
+                if ice_types.primitive_name(f["type"]) in ("float",
+                                                           "double") else 0
+            if n_nan:
+                nans[fid] = n_nan
+                # a NaN-polluted column gets NO bounds in this file
+                # (parquet-writer parity — see the aggregate above)
+                continue
             if r[f"__min_{fid}"] is not None:
                 mins[fid] = r[f"__min_{fid}"]
             if r[f"__max_{fid}"] is not None:
@@ -1021,7 +1038,7 @@ def _collect_stats_orc(spark: SparkSession, paths: list[str],
         out.append({"path": p, "record_count": int(r["__n"]),
                     "file_size": sizes[p], "value_counts": vcounts,
                     "null_counts": nulls, "col_sizes": {},
-                    "mins": mins, "maxs": maxs})
+                    "mins": mins, "maxs": maxs, "nan_counts": nans})
     return out
 
 

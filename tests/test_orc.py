@@ -322,3 +322,38 @@ def test_orc_on_object_store_via_arrow_plane(spark, tmp_path):
     # semantics across planes)
     with pytest.raises(NotImplementedError, match="row_index"):
         iceberg_scan(spark, dst, with_file_info=True).collect()
+
+
+def test_orc_nan_column_gets_no_bounds(spark, tmp_path):
+    """A NaN-polluted double column gets NO min/max in ORC manifests
+    (parquet-writer parity; either NaN-as-max or NaN-filtered bounds
+    mis-prunes one direction — r11 review) and its nan count lands in
+    nan_value_counts; range scans keep the NaN rows."""
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 2.0)], "id long, d double")
+    loc = str(tmp_path / "orc_nan")
+    write_iceberg(df, loc, properties=ORC_PROPS)
+
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    d_fid = next(f["id"] for f in tm.schema_json()["fields"]
+                 if f["name"] == "d")
+    id_fid = next(f["id"] for f in tm.schema_json()["fields"]
+                  if f["name"] == "id")
+    for t in plan.tasks:
+        nan_n = (t.data_file.nan_value_counts or {}).get(d_fid, 0)
+        if nan_n:
+            # the NaN-carrying file drops the column's bounds
+            assert d_fid not in (t.data_file.lower_bounds or {})
+            assert d_fid not in (t.data_file.upper_bounds or {})
+        elif t.data_file.record_count:
+            assert d_fid in (t.data_file.lower_bounds or {})
+        # the int column keeps its bounds everywhere
+        assert id_fid in (t.data_file.lower_bounds or {})
+    total_nan = sum((t.data_file.nan_value_counts or {}).get(d_fid, 0)
+                    for t in plan.tasks)
+    assert total_nan == 1
+
+    # Spark evaluates NaN >= 100 as TRUE (NaN greatest): the row survives
+    out = iceberg_scan(spark, loc, where="d >= 100")
+    assert [r.id for r in out.collect()] == [2]

@@ -78,9 +78,9 @@ def test_pruned_partition_files_never_opened(spark, mock_fs, monkeypatch):
     opened: list[str] = []
     orig = arrow_data._read_one
 
-    def spy(io, path, target):
+    def spy(io, path, target, *a, **kw):
         opened.append(path)
-        return orig(io, path, target)
+        return orig(io, path, target, *a, **kw)
 
     monkeypatch.setattr(arrow_data, "_read_one", spy)
     out = iceberg_scan(spark, loc, where="dt = DATE '2025-06-05'")

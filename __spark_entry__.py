@@ -3060,7 +3060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r12 rotation plan: on fresh greens, the reds+probes block and TPC-H
     park; ice_docs_curation returns to the core; rotate in the r9
     cohort (emb_* + metadata/function ice_*, parked two rounds by then
-    — the every-third-round deadline) and any r11 newcomers.
+    — the every-third-round deadline) and the five r11 newcomers, never
+    driver-checked (priority (b)): ice_orc_scan,
+    docs_quality_classifier, docs_bm25_topk, docs_gopher_filter,
+    docs_pipeline_curation.
     """
     return {
         # --- Iceberg DML/scan core (reference parity, always in) ----------

@@ -1827,6 +1827,21 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_document_filter(docs, min_words=20).orderBy("doc_id")
 
 
+def docs_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning rule set (NEW r11; Raffel et al. 2020 §2.2) — the
+    line-level REWRITING filter beside Gopher's doc-level one: lines with
+    <5 words or the word 'javascript' drop, docs keeping <3 lines or
+    containing '{' / 'lorem ipsum' drop entirely; kept lines re-join as
+    text_clean. require_terminal_punct=False here — the synthetic corpus
+    carries no sentence punctuation (C4's web default stays the operator
+    default). Hash-checked: the oracle replays the identical string rules
+    incl. the rewritten text."""
+    from duckdb_iceberg_spark.operators.text import c4_clean
+
+    docs = _pq(spark, sf_dir, "documents")
+    return c4_clean(docs, require_terminal_punct=False).orderBy("doc_id")
+
+
 def docs_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r11 operator family COMPOSED into one curation pipeline (NEW
     r11): Gopher A1.1 rule filter → seed-trained NB quality classifier
@@ -3205,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_topk": docs_bm25_topk,
         "docs_gopher_filter": docs_gopher_filter,
         "docs_pipeline_curation": docs_pipeline_curation,
+        "docs_c4_clean": docs_c4_clean,
     }
 
 
@@ -4002,6 +4018,45 @@ _GOPHER_SQL = r"""
                      WHEN NOT (req >= 2) THEN 'required_words'
                    END AS fail_reason
             FROM m ORDER BY doc_id
+        """
+
+
+#: DuckDB replica of operators.text.c4_clean with the driver entry's
+#: settings (min 5 words/line, no terminal-punct requirement, min 3 kept
+#: lines, '{' and 'lorem ipsum' doc bans) — identical string rules incl.
+#: the rewritten text_clean
+_C4_SQL = r"""
+            WITH t AS (
+              SELECT doc_id, COALESCE(text, '') AS c FROM documents
+            ), l AS (
+              SELECT doc_id, c,
+                     list_filter(list_transform(string_split(c, chr(10)),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS ls
+              FROM t
+            ), k AS (
+              SELECT doc_id, c, ls,
+                     list_filter(ls,
+                       x -> len(list_filter(string_split_regex(x, '\s+'),
+                                            w -> w <> '')) >= 5
+                            AND NOT regexp_matches(lower(x),
+                                                   '\bjavascript\b')) AS ks
+              FROM l
+            )
+            SELECT doc_id,
+                   CASE WHEN len(ks) >= 3
+                             AND NOT contains(lower(c), '{')
+                             AND NOT contains(lower(c), 'lorem ipsum')
+                        THEN array_to_string(ks, chr(10)) END AS text_clean,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(ks) AS BIGINT) AS n_lines_kept,
+                   (len(ks) >= 3 AND NOT contains(lower(c), '{')
+                    AND NOT contains(lower(c), 'lorem ipsum')) AS keep,
+                   CASE WHEN NOT (len(ks) >= 3) THEN 'kept_lines'
+                        WHEN contains(lower(c), '{') THEN 'curly_brace'
+                        WHEN contains(lower(c), 'lorem ipsum')
+                          THEN 'banned' END AS fail_reason
+            FROM k ORDER BY doc_id
         """
 
 
@@ -4947,6 +5002,7 @@ def _data_oracles() -> dict[str, str]:
                 "docs_bm25_topk": _bm25_sql(),
                 "docs_gopher_filter": _GOPHER_SQL,
                 "docs_pipeline_curation": _pipeline_sql(),
+                "docs_c4_clean": _C4_SQL,
                 "docs_tfidf": _tfidf_sql(),
                 "docs_temperature_sample": _temperature_sql(),
             }

@@ -124,6 +124,8 @@ HEADLINE = [
     "docs_gopher_filter",
     # r11: filter -> classify -> dedup composed pipeline
     "docs_pipeline_curation",
+    # r11: C4 line-level cleaning (map-side rewrite, zero shuffles)
+    "docs_c4_clean",
 ]
 
 

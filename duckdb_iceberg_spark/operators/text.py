@@ -393,6 +393,85 @@ def gopher_document_filter(
     )
 
 
+#: C4's terminal punctuation set (a line must end in one to survive)
+_C4_TERMINALS = (".", "!", "?", '"', "”")
+
+
+def c4_clean(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    require_terminal_punct: bool = True,
+    banned_substrings: list[str] | None = None,
+):
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2) — the other
+    canonical web-text filter beside Gopher, and unlike Gopher it REWRITES
+    the document (line-level retention), not just keep/drop:
+
+    line rules — a line survives if it has ≥ ``min_words_per_line`` words,
+    (optionally) ends in terminal punctuation (. ! ? " ”), and does not
+    contain the word "javascript" (case-insensitive);
+    doc rules — the doc survives if it keeps ≥ ``min_kept_lines`` lines,
+    contains no curly brace '{' (code), and none of ``banned_substrings``
+    (default ["lorem ipsum"]; C4 also used a long bad-word list — supply
+    your own).
+
+    Output: (id, text_clean — the kept lines joined by newline, NULL when
+    dropped — n_lines, n_lines_kept, keep, fail_reason with the first
+    failed doc rule in order [kept_lines, curly_brace, banned]). Pure
+    map-side Column work: zero shuffles, no Python in the row path. C4's
+    remaining step — corpus-level three-sentence-span dedup — composes
+    from this family's exact/ExactSubstr dedup operators."""
+    banned = [b.lower() for b in (banned_substrings or ["lorem ipsum"])]
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+                     lambda x: x != "")
+
+    def line_ok(x):
+        words = F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
+        ok = words >= min_words_per_line
+        if require_terminal_punct:
+            term = F.lit(False)
+            for t in _C4_TERMINALS:
+                term = term | x.endswith(t)
+            ok = ok & term
+        ok = ok & ~F.lower(x).rlike(r"\bjavascript\b")
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    low = F.lower(c)
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).alias("__l"),
+        F.size(kept).alias("__k"),
+        F.array_join(kept, "\n").alias("__clean"),
+        F.coalesce(low.contains("{"), F.lit(False)).alias("__curly"),
+        sum([low.contains(b).cast("int") for b in banned],
+            F.lit(0)).alias("__banned"),
+    )
+    rules = [
+        ("kept_lines", F.col("__k") >= min_kept_lines),
+        ("curly_brace", ~F.col("__curly")),
+        ("banned", F.col("__banned") == 0),
+    ]
+    keep = F.lit(True)
+    reason = F.lit(None).cast("string")
+    for name, ok in reversed(rules):
+        reason = F.when(~ok, F.lit(name)).otherwise(reason)
+    for _, ok in rules:
+        keep = keep & ok
+    return base.select(
+        F.col(id_col),
+        F.when(keep, F.col("__clean")).alias("text_clean"),
+        F.col("__l").cast("long").alias("n_lines"),
+        F.col("__k").cast("long").alias("n_lines_kept"),
+        keep.alias("keep"),
+        reason.alias("fail_reason"),
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of lowercased
     whitespace-normalized text. Identical across engines (exact-dedup key)."""

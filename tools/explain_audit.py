@@ -149,6 +149,7 @@ AUDIT = [
     "docs_bm25_topk",
     "docs_gopher_filter",
     "docs_pipeline_curation",
+    "docs_c4_clean",
 ]
 
 

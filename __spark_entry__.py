@@ -1774,21 +1774,54 @@ def _ice_documents_times(spark: SparkSession, sf_dir: str) -> str:
     """documents with a deterministic TIME column, identity-partitioned by
     its hour bucket: event_t = make_time(id%24, id%60, id%60 + id%1000 ms)
     — every component integer-derived, so the oracle reconstructs the
-    exact same µs time-of-day with TIME'00:00:00' + to_microseconds(...)."""
+    exact same µs time-of-day with exact integer arithmetic.
+
+    Session-mode aware (the r11 driver red): in a session WITHOUT
+    ``spark.sql.timeType.enabled`` (the driver's own), ``make_time`` itself
+    throws UNSUPPORTED_TIME_TYPE, so the flag-less build writes the column
+    as tagged-Long µs (LongType + ``iceberg.type: time`` field metadata —
+    the pre-4.1 mapping the scan path degrades to). The two modes write
+    physically different parquet (TIME logical type vs raw INT64), so each
+    gets its OWN fixture variant — a flag-on bench and a flag-less
+    correctness run sharing the cache must not read each other's files
+    with the wrong read schema."""
+    from duckdb_iceberg_spark.metadata.types import time_type_available
+
+    flag_on = time_type_available()
+
     def build(loc: str) -> None:
         from duckdb_iceberg_spark import write_iceberg
 
         docs = _pq(spark, sf_dir, "documents")
-        df = docs.selectExpr(
-            "doc_id",
-            "lang",
-            "make_time(CAST(doc_id % 24 AS INT), CAST(doc_id % 60 AS INT), "
-            " CAST(doc_id % 60 AS DECIMAL(16,6))"
-            " + CAST(doc_id % 1000 AS DECIMAL(16,6)) / 1000) AS event_t",
-            "CAST(doc_id % 24 AS INT) AS event_hour")
+        if flag_on:
+            df = docs.selectExpr(
+                "doc_id",
+                "lang",
+                "make_time(CAST(doc_id % 24 AS INT), CAST(doc_id % 60 AS INT), "
+                " CAST(doc_id % 60 AS DECIMAL(16,6))"
+                " + CAST(doc_id % 1000 AS DECIMAL(16,6)) / 1000) AS event_t",
+                "CAST(doc_id % 24 AS INT) AS event_hour")
+        else:
+            from duckdb_iceberg_spark.metadata.types import (
+                FIELD_ID_KEY, ICEBERG_TYPE_KEY)
+
+            df = docs.selectExpr(
+                "doc_id",
+                "lang",
+                "(((doc_id % 24) * 3600 + (doc_id % 60) * 60 + (doc_id % 60))"
+                " * 1000000 + (doc_id % 1000) * 1000) AS event_t",
+                "CAST(doc_id % 24 AS INT) AS event_hour")
+            # struct_to_schema honors ICEBERG_TYPE_KEY only when every field
+            # carries a field-id (metadata/types.py:348-364)
+            df = (df.withMetadata("doc_id", {FIELD_ID_KEY: 1})
+                    .withMetadata("lang", {FIELD_ID_KEY: 2})
+                    .withMetadata("event_t", {FIELD_ID_KEY: 3,
+                                              ICEBERG_TYPE_KEY: "time"})
+                    .withMetadata("event_hour", {FIELD_ID_KEY: 4}))
         write_iceberg(df, loc, partition_by=["event_hour"])
 
-    return _build_once(sf_dir, "documents_times", build)
+    variant = "documents_times" if flag_on else "documents_times_uslong"
+    return _build_once(sf_dir, variant, build)
 
 
 def ice_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1796,18 +1829,33 @@ def ice_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §1.2 gap lifted in r10): write a TimeType column, scan it back
     with a TIME'...' predicate (stats-bounds pruning — the hour-identity
     layout gives each file an event_t range, so files entirely below noon
-    never plan), aggregate on time-of-day values. Hash-checked — the
-    oracle rebuilds the identical µs time from doc_id with exact integer
-    arithmetic, so every min/max/count matches bit-for-bit."""
+    never plan), aggregate on time-of-day values.
+
+    Mode-independent output (the r12 fix for the r11 driver red): the
+    driver-facing min/max columns are exact µs-since-midnight BIGINTs in
+    BOTH session modes — flag-on sessions convert the TimeType aggregate
+    input via exact integer extraction, flag-less sessions already carry
+    the tagged-Long µs column; the TIME'12:00:00' residual is rewritten
+    to a µs long by the scan path (sources/scan.py _residual_filter)
+    whenever the fallback is active. Hash-checked — the oracle rebuilds
+    the identical µs values from doc_id with pure integer arithmetic."""
     from duckdb_iceberg_spark import iceberg_scan
 
     loc = _ice_documents_times(spark, sf_dir)
     t = iceberg_scan(spark, loc, where="event_t >= TIME'12:00:00'")
+    if dict(t.dtypes)["event_t"] == "bigint":
+        us = F.col("event_t")
+    else:
+        # hour/minute are ints; extract(SECOND) is an exact DECIMAL(8,6)
+        # of the µs-resolution seconds field — no float anywhere
+        us = F.expr(
+            "(hour(event_t) * 3600L + minute(event_t) * 60L) * 1000000"
+            " + CAST(extract(SECOND FROM event_t) * 1000000 AS BIGINT)")
     return (
         t.groupBy("event_hour")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.min("event_t").alias("min_t"),
-             F.max("event_t").alias("max_t"))
+             F.min(us).alias("min_t"),
+             F.max(us).alias("max_t"))
         .orderBy("event_hour")
     )
 
@@ -6291,22 +6339,25 @@ def oracle_sql() -> dict[str, str]:
         # carried next to the queries they bisect
         "docs_lm_probe": _lm_probe_sql(),
         "docs_dsir_probe": _dsir_probe_sql(),
-        # TimeType end-to-end (r10): rebuild the identical µs time-of-day
-        # from doc_id with exact integer arithmetic — min/max/count over
-        # real TIME values must match bit-for-bit
+        # TimeType end-to-end (r10; r12 makes the driver-facing columns
+        # mode-independent µs BIGINTs — the r11 red was the TIME-typed
+        # min/max failing in the driver's flag-less session): rebuild the
+        # identical µs time-of-day from doc_id with exact integer
+        # arithmetic — min/max/count match bit-for-bit in either session
+        # mode. 43200000000 = µs of TIME'12:00:00'.
         "ice_time_scan": """
             WITH t AS (
               SELECT doc_id,
                      CAST(doc_id % 24 AS INT) AS event_hour,
-                     TIME '00:00:00' + to_microseconds(
-                       ((doc_id % 24) * 3600 + (doc_id % 60) * 60
-                        + (doc_id % 60)) * 1000000
-                       + (doc_id % 1000) * 1000) AS event_t
+                     ((doc_id % 24) * 3600 + (doc_id % 60) * 60
+                      + (doc_id % 60)) * 1000000
+                     + (doc_id % 1000) * 1000 AS us
               FROM documents
             )
             SELECT event_hour, count(*) AS n,
-                   min(event_t) AS min_t, max(event_t) AS max_t
-            FROM t WHERE event_t >= TIME '12:00:00'
+                   CAST(min(us) AS BIGINT) AS min_t,
+                   CAST(max(us) AS BIGINT) AS max_t
+            FROM t WHERE us >= 43200000000
             GROUP BY event_hour ORDER BY event_hour
         """,
         # custom write paths: replay the subset + MoR delete predicate

@@ -47,6 +47,40 @@ _FILE_COL = "__ice_file"
 _qcol = ice_types.quoted_col
 _POS_COL = "__ice_pos"
 
+#: ``TIME '12:34:56.789'`` literals inside a residual filter string
+_TIME_LIT_RE = None  # compiled lazily below
+
+
+def _residual_filter(df: DataFrame, residual: str) -> DataFrame:
+    """Apply the residual predicate string to the scan relation.
+
+    When the active session's ``spark.sql.timeType.enabled`` flag is OFF,
+    iceberg ``time`` columns degrade to the tagged-Long µs mapping
+    (metadata/types.py:92), so a ``TIME'…'`` literal in the residual would
+    fail analysis against BIGINT (the r11 driver red ``ice_time_scan``:
+    DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES). In that mode NO TimeType
+    column can exist in the relation, so every TIME literal is rewritten
+    to its exact µs-since-midnight BIGINT value — the same value the
+    tagged-Long column carries. With the flag on the string passes through
+    untouched (pinned by tests/test_time_flagless_session.py both ways)."""
+    global _TIME_LIT_RE
+    if not ice_types.time_type_available() and "TIME" in residual.upper():
+        import datetime as _dt
+        import re as _re
+
+        if _TIME_LIT_RE is None:
+            _TIME_LIT_RE = _re.compile(r"\bTIME\s*'([^']*)'", _re.IGNORECASE)
+
+        def _to_us(m) -> str:
+            try:
+                us = ice_types.time_to_micros(_dt.time.fromisoformat(m.group(1)))
+            except ValueError:
+                return m.group(0)  # unparsable: let Spark raise its own error
+            return f"CAST({us} AS BIGINT)"
+
+        residual = _TIME_LIT_RE.sub(_to_us, residual)
+    return df.filter(F.expr(residual))
+
 
 def _norm_path(col):
     # Scheme canonicalization for RAW (manifest-spelled) path columns:
@@ -310,7 +344,7 @@ def scan_to_dataframe(
             df = df.withColumn("_row_id", F.lit(None).cast(T.LongType())) \
                    .withColumn("_last_updated_sequence_number", F.lit(None).cast(T.LongType()))
         if plan.residual:
-            df = df.filter(F.expr(plan.residual))
+            df = _residual_filter(df, plan.residual)
         return df
 
     files = [t.data_file.file_path for t in plan.tasks]
@@ -507,7 +541,7 @@ def scan_to_dataframe(
     df = df.select(*[_qcol(c) for c in keep])
 
     if plan.residual:
-        df = df.filter(F.expr(plan.residual))
+        df = _residual_filter(df, plan.residual)
     return df
 
 

@@ -3083,142 +3083,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     changed since their last driver row, (b) entries that have never had
     a driver row, (c) longest parked, (d) family coverage — plus the
     VERDICT r8 hard rule: a RED driver row never rotates out until it
-    has a green one. Layout (round 11 rotation):
+    has a green one. Layout (round 12 rotation, per VERDICT r11 tasks
+    1-2):
 
-      1-16   ice_* DML/scan core — the reference surface most prone to
-             regression (MoR/DV/equality deletes, UPDATE/MERGE/upsert,
-             time travel, schema/spec evolution, compaction, pruning,
-             variant, cluster curation) — stays in-window. Trimmed by
-             ONE for this round to fit TPC-H's mandatory return:
-             ice_docs_curation parks (its curation-composition family
-             sibling ice_dup_cluster_curation stays — priority (a),
-             its code changes this round for the ≤5s perf task).
-      17-21  docs_dsir_sample + docs_lm_score (hash-RED r8+r9+r10 — a
-             red row never rotates out until green; r11 applies the
-             fix the r10 bisect pinned: the driver-facing DECIMAL
-             columns become exact micro-unit BIGINTs in operator AND
-             oracle, the representation the green integer probes
-             proved renders identically in the driver's harness),
-             docs_lm_buckets (green control — same model/tokenize),
-             and the r10 stage-bisect probes docs_dsir_probe +
-             docs_lm_probe (kept next to the reds until green: if a
-             red persists even in integer form, the probes localize
-             which stage diverged).
-      22-23  ice_time_scan + docs_temperature_sample — NEW in r10,
-             never driver-checked (priority (b)).
-      24-27  the four r6 entries deferred from r10 (driver-green r6,
-             longest-parked): docs_incremental_minhash,
-             stream_session_events, stream_sliding_events,
-             q_interval_join.
-      28-50  full TPC-H (all 23 rows incl. q01_mor variant — parked
-             since their r8 driver greens; the every-third-round rule's
-             r11 deadline).
-      51+    parked: the r10 window cohort (all driver-green r10:
-             ice_custom_paths_scan, docs_bloom_dedup, the r7 second
-             half, 16 of r6's cohort, ice_docs_curation), the r9 window
-             cohort (emb_*, metadata/function ice_*), the r8 first-row
-             cohort, and the r5 spot checks. Everything parked stays
+      1      ice_time_scan — the r11 driver RED (never rotates out
+             until green; its flag-less-session fix landed this round:
+             TIME-literal residual rewrite + mode-independent µs
+             BIGINT output, priority (a)+(b)).
+      2-7    the six r11 newcomers, never driver-checked (priority
+             (b)): ice_orc_scan, docs_quality_classifier,
+             docs_bm25_topk, docs_gopher_filter,
+             docs_pipeline_curation, docs_c4_clean.
+      8-10   longest-parked spot checks (priority (c)): emb_neardup
+             (last driver row r4), docs_line_dedup + docs_repetition
+             (r5).
+      11-17  the r8 first-driver-row cohort, parked three rounds
+             (priority (c)): mm_video_meta, docs_dup_components,
+             mm_image_dedup, mm_audio_dedup, mm_video_dedup,
+             stream_minhash_curation, emb_pq_topk.
+      18-47  the full r9 window cohort, parked since r9 — the
+             every-third-round deadline (priority (c)): emb_* ANN +
+             k-means family, metadata/function ice_* surface,
+             stream_changelog/curation/dedup_ttl, the sampling/packing
+             docs_* family.
+      48-50  residual-filter representatives (priority (a): the scan
+             path's residual application changed this round —
+             sources/scan.py _residual_filter): ice_mor_delete_scan,
+             ice_dup_cluster_curation, ice_docs_curation.
+      51+    parked, all driver-green r10/r11: the rest of the ice_*
+             DML/scan core (green r11), the now-GREEN dsir/lm block +
+             probes (r11 greens after three red rounds), the r11
+             rotation's r6 re-checks, full TPC-H (all 23 green r11),
+             and the r10 window cohort. Everything parked stays
              oracle-checked in every local sweep.
-
-    r12 rotation plan: on fresh greens, the reds+probes block and TPC-H
-    park; ice_docs_curation returns to the core; rotate in the r9
-    cohort (emb_* + metadata/function ice_*, parked two rounds by then
-    — the every-third-round deadline) and the five r11 newcomers, never
-    driver-checked (priority (b)): ice_orc_scan,
-    docs_quality_classifier, docs_bm25_topk, docs_gopher_filter,
-    docs_pipeline_curation.
     """
     return {
-        # --- Iceberg DML/scan core (reference parity, always in) ----------
-        "ice_mor_delete_scan": ice_mor_delete_scan,
-        "ice_delete_using_scan": ice_delete_using_scan,
-        "ice_dv_delete_scan": ice_dv_delete_scan,
-        "ice_update_scan": ice_update_scan,
-        "ice_upsert_scan": ice_upsert_scan,
-        "ice_merge_scan": ice_merge_scan,
-        "ice_sql_merge": ice_sql_merge,
-        "ice_merge_conditional": ice_merge_conditional,
-        "ice_time_travel": ice_time_travel,
-        "ice_schema_evolution": ice_schema_evolution,
-        "ice_spec_evolution_scan": ice_spec_evolution_scan,
-        "ice_compaction_scan": ice_compaction_scan,
-        "ice_bucket_pruned_scan": ice_bucket_pruned_scan,
-        "ice_dynamic_prune_join": ice_dynamic_prune_join,
-        "ice_variant_extract": ice_variant_extract,
-        # --- cluster curation over the Iceberg scan path (r8; priority (a):
-        # --- its driver-job fan-out is cut this round, VERDICT r10 task 4) -
-        "ice_dup_cluster_curation": ice_dup_cluster_curation,
-        # --- r8+r9+r10 hash-RED rows (never rotate out until green), their
-        # --- green control, and the r10 stage-bisect probes ----------------
-        "docs_dsir_sample": docs_dsir_sample,
-        "docs_lm_score": docs_lm_score,
-        "docs_lm_buckets": docs_lm_buckets,
-        "docs_dsir_probe": docs_dsir_probe,
-        "docs_lm_probe": docs_lm_probe,
-        # --- rotated IN for r11: NEW in r10, never driver-checked ----------
+        # 1 — r11 driver RED (stays until green; its fix landed this round)
         "ice_time_scan": ice_time_scan,
-        "docs_temperature_sample": docs_temperature_sample,
-        # --- the four r6 entries deferred from r10 (longest-parked) --------
-        "docs_incremental_minhash": docs_incremental_minhash,
-        "stream_session_events": stream_session_events,
-        "stream_sliding_events": stream_sliding_events,
-        "q_interval_join": q_interval_join,
-        # --- full TPC-H returns (r8 greens; every-third-round deadline) ----
-        "q01_pricing_summary": q01_pricing_summary,
-        "q01_mor_pricing_summary": q01_mor_pricing_summary,
-        "q02_min_cost_supplier": q02_min_cost_supplier,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q04_order_priority": q04_order_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q06_revenue_forecast": q06_revenue_forecast,
-        "q07_volume_shipping": q07_volume_shipping,
-        "q08_market_share": q08_market_share,
-        "q09_product_profit": q09_product_profit,
-        "q10_returned_items": q10_returned_items,
-        "q11_important_stock": q11_important_stock,
-        "q12_late_lines": q12_late_lines,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_cnt": q16_supplier_cnt,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_volume": q18_large_volume,
-        "q19_disjunctive": q19_disjunctive,
-        "q20_excess_shippers": q20_excess_shippers,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q22_sales_opportunity": q22_sales_opportunity,
-        # ------------------- 50-row window boundary -----------------------
-        # parked (driver-green r10): the r10 window cohort
-        "ice_docs_curation": ice_docs_curation,
-        "ice_custom_paths_scan": ice_custom_paths_scan,
-        "docs_bloom_dedup": docs_bloom_dedup,
-        "docs_quality": docs_quality,
-        "docs_fingerprint": docs_fingerprint,
-        "docs_incremental_dedup": docs_incremental_dedup,
-        "docs_lang_scores": docs_lang_scores,
-        "docs_winnow": docs_winnow,
-        "q_distinct_parts": q_distinct_parts,
-        "q_rollup": q_rollup,
-        "q_setop_nations": q_setop_nations,
-        "q_topk_orders": q_topk_orders,
-        "q_anti_join": q_anti_join,
-        "docs_minhash_dedup": docs_minhash_dedup,
-        "docs_decontaminate": docs_decontaminate,
-        "docs_ngram_dedup": docs_ngram_dedup,
-        "docs_simhash": docs_simhash,
-        "docs_exact_dedup": docs_exact_dedup,
-        "stream_incremental": stream_incremental,
-        "stream_sink_roundtrip": stream_sink_roundtrip,
-        "stream_tumbling_events": stream_tumbling_events,
-        "mm_image_features": mm_image_features,
-        "mm_audio_features": mm_audio_features,
-        "mm_frame_sample": mm_frame_sample,
-        "docs_source_cap": docs_source_cap,
-        "docs_substr_dedup": docs_substr_dedup,
-        "q_window_top_order": q_window_top_order,
-        "q_events_hourly": q_events_hourly,
-        "q_asof_join": q_asof_join,
-        # parked (driver-green r9): the r9 window cohort
+        # 2-7 — the six r11 newcomers, never driver-checked (priority (b))
+        "ice_orc_scan": ice_orc_scan,
+        "docs_quality_classifier": docs_quality_classifier,
+        "docs_bm25_topk": docs_bm25_topk,
+        "docs_gopher_filter": docs_gopher_filter,
+        "docs_pipeline_curation": docs_pipeline_curation,
+        "docs_c4_clean": docs_c4_clean,
+        # 8-10 — longest-parked spot checks (last driver rows r4/r5)
+        "emb_neardup": emb_neardup,
+        "docs_line_dedup": docs_line_dedup,
+        "docs_repetition": docs_repetition,
+        # 11-17 — the r8 first-driver-row cohort, parked three rounds
+        "mm_video_meta": mm_video_meta,
+        "docs_dup_components": docs_dup_components,
+        "mm_image_dedup": mm_image_dedup,
+        "mm_audio_dedup": mm_audio_dedup,
+        "mm_video_dedup": mm_video_dedup,
+        "stream_minhash_curation": stream_minhash_curation,
+        "emb_pq_topk": emb_pq_topk,
+        # 18-47 — the full r9 window cohort (every-third-round deadline)
         "ice_variant_write_scan": ice_variant_write_scan,
         "emb_kmeans": emb_kmeans,
         "emb_semantic_dedup": emb_semantic_dedup,
@@ -3249,26 +3170,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_normalize": docs_normalize,
         "docs_chunk": docs_chunk,
         "docs_token_count": docs_token_count,
-        # parked (driver-green r8): the r8 first-driver-row cohort
-        "mm_video_meta": mm_video_meta,
-        "docs_dup_components": docs_dup_components,
-        "mm_image_dedup": mm_image_dedup,
-        "mm_audio_dedup": mm_audio_dedup,
-        "mm_video_dedup": mm_video_dedup,
-        "stream_minhash_curation": stream_minhash_curation,
-        "emb_pq_topk": emb_pq_topk,
-        # parked (r5 spot checks)
-        "docs_repetition": docs_repetition,
-        "docs_line_dedup": docs_line_dedup,
-        "emb_neardup": emb_neardup,
-        # NEW r11 (never driver-checked — rotate into the r12 window,
-        # priority (b)): NB quality classifier, ORC write→scan roundtrip
-        "docs_quality_classifier": docs_quality_classifier,
-        "ice_orc_scan": ice_orc_scan,
-        "docs_bm25_topk": docs_bm25_topk,
-        "docs_gopher_filter": docs_gopher_filter,
-        "docs_pipeline_curation": docs_pipeline_curation,
-        "docs_c4_clean": docs_c4_clean,
+        # 48-50 — residual-filter representatives (priority (a): the scan
+        # path's residual application changed this round, _residual_filter)
+        "ice_mor_delete_scan": ice_mor_delete_scan,
+        "ice_dup_cluster_curation": ice_dup_cluster_curation,
+        "ice_docs_curation": ice_docs_curation,
+        # ------------------- 50-row window boundary -----------------------
+        # parked (driver-green r11): the rest of the ice_* DML/scan core
+        "ice_delete_using_scan": ice_delete_using_scan,
+        "ice_dv_delete_scan": ice_dv_delete_scan,
+        "ice_update_scan": ice_update_scan,
+        "ice_upsert_scan": ice_upsert_scan,
+        "ice_merge_scan": ice_merge_scan,
+        "ice_sql_merge": ice_sql_merge,
+        "ice_merge_conditional": ice_merge_conditional,
+        "ice_time_travel": ice_time_travel,
+        "ice_schema_evolution": ice_schema_evolution,
+        "ice_spec_evolution_scan": ice_spec_evolution_scan,
+        "ice_compaction_scan": ice_compaction_scan,
+        "ice_bucket_pruned_scan": ice_bucket_pruned_scan,
+        "ice_dynamic_prune_join": ice_dynamic_prune_join,
+        "ice_variant_extract": ice_variant_extract,
+        # parked (driver hash-GREEN r11 after three red rounds): the dsir/lm
+        # block with its probes + control — the r8 red-until-green rule is
+        # satisfied, so they park under normal rotation
+        "docs_dsir_sample": docs_dsir_sample,
+        "docs_lm_score": docs_lm_score,
+        "docs_lm_buckets": docs_lm_buckets,
+        "docs_dsir_probe": docs_dsir_probe,
+        "docs_lm_probe": docs_lm_probe,
+        # parked (driver-green r11): the r11 rotation's re-checks
+        "docs_temperature_sample": docs_temperature_sample,
+        "docs_incremental_minhash": docs_incremental_minhash,
+        "stream_session_events": stream_session_events,
+        "stream_sliding_events": stream_sliding_events,
+        "q_interval_join": q_interval_join,
+        # parked (all 23 driver-green r11): full TPC-H
+        "q01_pricing_summary": q01_pricing_summary,
+        "q01_mor_pricing_summary": q01_mor_pricing_summary,
+        "q02_min_cost_supplier": q02_min_cost_supplier,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q04_order_priority": q04_order_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q06_revenue_forecast": q06_revenue_forecast,
+        "q07_volume_shipping": q07_volume_shipping,
+        "q08_market_share": q08_market_share,
+        "q09_product_profit": q09_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_stock": q11_important_stock,
+        "q12_late_lines": q12_late_lines,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive": q19_disjunctive,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_sales_opportunity": q22_sales_opportunity,
+        # parked (driver-green r10): the r10 window cohort
+        "ice_custom_paths_scan": ice_custom_paths_scan,
+        "docs_bloom_dedup": docs_bloom_dedup,
+        "docs_quality": docs_quality,
+        "docs_fingerprint": docs_fingerprint,
+        "docs_incremental_dedup": docs_incremental_dedup,
+        "docs_lang_scores": docs_lang_scores,
+        "docs_winnow": docs_winnow,
+        "q_distinct_parts": q_distinct_parts,
+        "q_rollup": q_rollup,
+        "q_setop_nations": q_setop_nations,
+        "q_topk_orders": q_topk_orders,
+        "q_anti_join": q_anti_join,
+        "docs_minhash_dedup": docs_minhash_dedup,
+        "docs_decontaminate": docs_decontaminate,
+        "docs_ngram_dedup": docs_ngram_dedup,
+        "docs_simhash": docs_simhash,
+        "docs_exact_dedup": docs_exact_dedup,
+        "stream_incremental": stream_incremental,
+        "stream_sink_roundtrip": stream_sink_roundtrip,
+        "stream_tumbling_events": stream_tumbling_events,
+        "mm_image_features": mm_image_features,
+        "mm_audio_features": mm_audio_features,
+        "mm_frame_sample": mm_frame_sample,
+        "docs_source_cap": docs_source_cap,
+        "docs_substr_dedup": docs_substr_dedup,
+        "q_window_top_order": q_window_top_order,
+        "q_events_hourly": q_events_hourly,
+        "q_asof_join": q_asof_join,
     }
 
 

@@ -19,62 +19,61 @@ ROWS_ONLY: set = set()
 
 
 def test_window_holds_reference_surface_and_rotation():
-    """Round-11 rotation (queries() docstring): the ice_* DML/scan core
-    stays in-window (trimmed by exactly one — ice_docs_curation — to fit
-    TPC-H's mandatory return; its family sibling ice_dup_cluster_curation
-    stays); the r8-r10 hash-RED rows ride with their probes + green
-    control; the two never-driver-checked r10 newcomers rotate in; the
-    four r6 entries deferred from r10 rotate in; and all 23 TPC-H rows
-    return (every-third-round deadline, parked since r8). An entry may
-    leave the window only via a documented rotation, never via an
-    accidental insertion above it."""
+    """Round-12 rotation (queries() docstring): the r11 driver RED
+    ice_time_scan stays in slot 1 until it earns a green row; the six r11
+    newcomers get their first driver rows (priority (b)); the r4/r5/r8
+    longest-parked cohorts and the full r9 cohort rotate in
+    (every-third-round deadline, priority (c)); three residual-filter
+    representatives ride because the scan path's residual application
+    changed this round (priority (a)). The r11-green ice core, dsir/lm
+    block, and TPC-H park. An entry may leave the window only via a
+    documented rotation, never via an accidental insertion above it."""
     keys = list(entry.queries())
     window = set(keys[:50])
-    ice_core = {
-        "ice_mor_delete_scan", "ice_delete_using_scan", "ice_dv_delete_scan",
-        "ice_update_scan", "ice_upsert_scan", "ice_merge_scan",
-        "ice_sql_merge", "ice_merge_conditional", "ice_time_travel",
-        "ice_schema_evolution", "ice_spec_evolution_scan",
-        "ice_compaction_scan", "ice_bucket_pruned_scan",
-        "ice_dynamic_prune_join", "ice_variant_extract",
-        "ice_dup_cluster_curation",
+    assert keys[0] == "ice_time_scan", (
+        "the r11 driver RED must hold slot 1 until it has a green row")
+    r11_newcomers = {
+        "ice_orc_scan", "docs_quality_classifier", "docs_bm25_topk",
+        "docs_gopher_filter", "docs_pipeline_curation", "docs_c4_clean",
     }
-    assert ice_core <= window, (
-        f"{sorted(ice_core - window)} (reference DML/scan core) fell past "
-        "the driver's 50-row correctness window")
-    red_until_green = {"docs_dsir_sample", "docs_lm_score"}
-    assert red_until_green <= window, (
-        f"{sorted(red_until_green - window)} were hash-RED in r8-r10 and "
-        "must stay in-window until a green driver row exists")
-    probes = {"docs_dsir_probe", "docs_lm_probe", "docs_lm_buckets"}
-    assert probes <= window, (
-        f"{sorted(probes - window)} (stage-bisect probes + control) must "
-        "ride NEXT TO the red rows they bisect")
-    r11_rotation = {
-        # never driver-checked before r11 (NEW in r10)
-        "ice_time_scan", "docs_temperature_sample",
-        # the four r6 entries deferred from r10 (longest-parked)
-        "docs_incremental_minhash", "stream_session_events",
-        "stream_sliding_events", "q_interval_join",
+    assert r11_newcomers <= window, (
+        f"{sorted(r11_newcomers - window)} (never driver-checked) fell "
+        "past the driver's 50-row correctness window")
+    longest_parked = {
+        # r4/r5 spot checks
+        "emb_neardup", "docs_line_dedup", "docs_repetition",
+        # r8 first-driver-row cohort, parked three rounds
+        "mm_video_meta", "docs_dup_components", "mm_image_dedup",
+        "mm_audio_dedup", "mm_video_dedup", "stream_minhash_curation",
+        "emb_pq_topk",
     }
-    tpch = {
-        "q01_pricing_summary", "q01_mor_pricing_summary",
-        "q02_min_cost_supplier", "q03_shipping_priority",
-        "q04_order_priority", "q05_region_revenue", "q06_revenue_forecast",
-        "q07_volume_shipping", "q08_market_share", "q09_product_profit",
-        "q10_returned_items", "q11_important_stock", "q12_late_lines",
-        "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-        "q16_supplier_cnt", "q17_small_quantity", "q18_large_volume",
-        "q19_disjunctive", "q20_excess_shippers", "q21_waiting_supplier",
-        "q22_sales_opportunity",
+    assert longest_parked <= window, (
+        f"{sorted(longest_parked - window)} (longest-parked) fell past "
+        "the window")
+    r9_cohort = {
+        "ice_variant_write_scan", "emb_kmeans", "emb_semantic_dedup",
+        "emb_ivf_topk", "emb_cosine_topk", "emb_lsh_topk", "emb_knn_join",
+        "emb_knn_join_bucketed", "docs_tfidf", "ice_count_star_metadata",
+        "ice_objectstore_scan", "ice_snapshot_history",
+        "ice_partition_stats", "ice_column_stats", "ice_metadata_files",
+        "ice_topk_scan", "ice_truncate_fn", "ice_bucket_fn",
+        "stream_changelog", "stream_curation", "docs_vocab",
+        "docs_resample_mixture", "docs_stratified_sample",
+        "docs_pack_sequences", "docs_corpus_report", "stream_dedup_ttl",
+        "docs_redact_pii", "docs_normalize", "docs_chunk",
+        "docs_token_count",
     }
-    assert len(tpch) == 23
-    assert r11_rotation <= window, (
-        f"{sorted(r11_rotation - window)} (r11 rotation set) fell past the "
-        "window")
-    assert tpch <= window, (
-        f"{sorted(tpch - window)} (TPC-H, every-third-round deadline) fell "
-        "past the window")
+    assert len(r9_cohort) == 30
+    assert r9_cohort <= window, (
+        f"{sorted(r9_cohort - window)} (r9 cohort, every-third-round "
+        "deadline) fell past the window")
+    residual_reps = {
+        "ice_mor_delete_scan", "ice_dup_cluster_curation",
+        "ice_docs_curation",
+    }
+    assert residual_reps <= window, (
+        f"{sorted(residual_reps - window)} (residual-filter code changed "
+        "this round) fell past the window")
     assert len(keys) >= 50 and len(window) == 50
 
 

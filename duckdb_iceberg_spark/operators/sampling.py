@@ -382,18 +382,25 @@ def dsir_gumbel6(doc_id, salt: str = "dsir") -> "Decimal":
     return q6(-dec_ln(-dec_ln(u)))
 
 
-def _dsir_pb(frame, text_col, id_col, tag, buckets, n_max):
+def _dsir_pb(frame, text_col, id_col, tag, buckets, n_max, outer=False):
     """Per-(doc, bucket, tag) hashed-gram counts — the DSIR tokenize
     chain. Partial aggregation collapses the explode map-side, so the
     shuffle carries at most min(grams, buckets) rows per document.
     Module-level so :func:`dsir_probe` exercises the SAME expressions
-    :func:`dsir_importance_weights` plans."""
+    :func:`dsir_importance_weights` plans.
+
+    ``outer=True`` (the weights path since r12) keeps one NULL-bucket
+    row for gramless documents (NULL/empty text) via ``explode_outer``,
+    so every input id survives into the aggregate and the caller needs
+    no separate id-recovery join. The probe keeps the inner explode —
+    its bucket-count oracle replays realized buckets only."""
     from .text import ngram_array
 
+    ex = F.explode_outer if outer else F.explode
     return (
         frame.select(
             F.col(id_col),
-            F.explode(ngram_array(F.col(text_col), n_max)).alias("__g"),
+            ex(ngram_array(F.col(text_col), n_max)).alias("__g"),
             tag.alias("__t"))
         .select(id_col, (_hex32(F.col("__g")) % buckets).alias("__b"),
                 "__t")
@@ -520,13 +527,29 @@ def dsir_importance_weights(
     # dominant cost, so spread it. At real scale the source already has
     # >=parallelism splits and this branch never fires (no blind
     # full-corpus shuffle).
-    para = spark.sparkContext.defaultParallelism
-    src = df
-    if src.rdd.getNumPartitions() < para:
-        src = src.repartition(para, F.col(id_col))
+    # ONE corpus shuffle, up front (r12): co-locating the raw rows by id
+    # makes every downstream aggregation exchange-free — HashPartitioning
+    # (id) satisfies ClusteredDistribution for BOTH the per-(id, bucket,
+    # tag) tokenize aggregate ({id} ⊆ its keys) AND the per-id scoring
+    # sum, and the broadcast ratio join preserves it in between. The
+    # previous shape shuffled partial gram counts twice (≤ min(grams,
+    # buckets) rows/doc ≈ several KB/doc) plus the full id list a third
+    # time for NULL-text recovery; shuffling the ~1 KB/doc text once is
+    # strictly less traffic and leaves the plan with a single Exchange
+    # (pinned by tests/test_operators.py::test_dsir_single_exchange_plan).
+    # No explicit partition count: spark.sql.shuffle.partitions governs
+    # and AQE may coalesce — both are the knobs a 100 TB run tunes anyway.
+    src = df.repartition(F.col(id_col))
 
     def pb_of(frame, tag):
-        return _dsir_pb(frame, text_col, id_col, tag, buckets, n_max)
+        return _dsir_pb(frame, text_col, id_col, tag, buckets, n_max,
+                        outer=True)
+
+    # gramless documents surface as one NULL-bucket row (outer explode);
+    # they must not leak into the model fit — a NULL key would be summed
+    # into the smoothing totals and shift every ratio
+    def fit_rows(grouped):
+        return grouped.where(F.col("__b").isNotNull())
 
     if target_cond is not None:
         cond = (F.expr(target_cond) if isinstance(target_cond, str)
@@ -535,8 +558,8 @@ def dsir_importance_weights(
         # marks the target subset
         pb = pb_of(src, F.coalesce(cond, F.lit(False)).cast("boolean"))
         pb = pb.persist()
-        fit = (pb.groupBy("__b", "__t").agg(F.sum("__c").alias("__c"))
-               .collect())
+        fit = (fit_rows(pb).groupBy("__b", "__t")
+               .agg(F.sum("__c").alias("__c")).collect())
         ct = {r[0]: r[2] for r in fit if r[1]}
         # raw = the whole corpus: sum both tags per bucket
         cr: dict = {}
@@ -544,7 +567,8 @@ def dsir_importance_weights(
             cr[r[0]] = cr.get(r[0], 0) + r[2]
     else:
         pb = pb_of(src, F.lit(False)).persist()
-        fit = (pb.groupBy("__b").agg(F.sum("__c").alias("__c")).collect())
+        fit = (fit_rows(pb).groupBy("__b")
+               .agg(F.sum("__c").alias("__c")).collect())
         cr = {r[0]: r[1] for r in fit}
         # the target frame only feeds per-BUCKET counts (and need not
         # carry id_col at all): explode straight to the bucket rollup
@@ -564,24 +588,34 @@ def dsir_importance_weights(
             T.StructField("__lr", T.DecimalType(18, 6))]))
 
     out_t = T.DecimalType(28, 6)
-    zero = F.lit(0).cast(out_t)
-    # lr·count summed per document: decimal multiply/add are exact, so
-    # any accumulation order reproduces the per-occurrence fold
+    # lr·count summed per document — in MICRO-UNIT LONGS (r12): __lr has
+    # scale 6, so __lr·1e6 is an exact integer; summing long products is
+    # bit-identical to the decimal fold (any order, no rounding anywhere)
+    # while skipping per-row BigDecimal allocation in the hot aggregate
+    # (~30% off the score stage at sf1). Overflow headroom: |lr_micro| <
+    # 5e7 (|log ratio| < 50), so a doc needs >1.8e11 gram occurrences to
+    # overflow the signed-64 sum — far beyond any real document. The /1e6
+    # back-conversion is exact: the true value has exactly 6 fractional
+    # digits and Spark's decimal division result scale is ≥ 6.
+    #
+    # LEFT broadcast join + coalesce-0: gramless docs ride their single
+    # NULL-bucket row through the aggregate and score 0.000000 — "no
+    # evidence", the same value the SQL oracle's unnest-then-left-join
+    # computes — so every input id is present with no recovery join.
     scored = (
-        pb.join(F.broadcast(ratio), "__b")
+        pb.join(F.broadcast(
+            ratio.withColumn(
+                "__lrm", (F.col("__lr") * F.lit(1000000)).cast("long"))),
+            "__b", "left")
         .groupBy(id_col)
-        .agg(F.sum(F.col("__lr") * F.col("__c")).cast(out_t)
-             .alias("log_weight"))
+        .agg(F.sum(F.coalesce(F.col("__lrm"), F.lit(0)) * F.col("__c"))
+             .alias("__wm"))
+        .select(
+            id_col,
+            (F.col("__wm").cast(T.DecimalType(38, 6)) / F.lit(1000000))
+            .cast(out_t).alias("log_weight"))
     )
-    return (
-        df.select(id_col)
-        # NULL text -> no grams -> no pb rows; the model says "no
-        # evidence", i.e. weight 0 — also what the SQL oracle's
-        # unnest-then-left-join computes
-        .join(scored, id_col, "left")
-        .select(F.col(id_col),
-                F.coalesce(F.col("log_weight"), zero).alias("log_weight"))
-    )
+    return scored
 
 
 def dsir_resample(

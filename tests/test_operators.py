@@ -1617,3 +1617,35 @@ def test_pq_and_dsir_plan_shapes(spark, sf_dir):
     dsir_plan = buf.getvalue()
     assert "BroadcastHashJoin" in dsir_plan, \
         "the log-ratio model must broadcast-join, never shuffle-join"
+
+
+def test_dsir_single_exchange_plan(spark, sf_dir):
+    """r12 scale shape: the weights pipeline carries exactly ONE data
+    Exchange — the up-front repartition by id. HashPartitioning(id) then
+    satisfies the clustering of BOTH the per-(id, bucket, tag) tokenize
+    aggregate and the per-id scoring sum, and the broadcast ratio join
+    preserves it in between; the NULL-text recovery join is gone (outer
+    explode keeps one NULL-bucket row per gramless doc). A second
+    hash-partition Exchange appearing here means a regression to the
+    three-shuffle shape (2× partial-count shuffles + id-list join)."""
+    import re
+
+    from duckdb_iceberg_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+    from tests.conftest import load
+
+    docs = load(spark, sf_dir, "documents")
+    w = dsir_importance_weights(docs, target_cond="lang = 'en'",
+                                text_col="text", id_col="doc_id")
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    # the only data shuffle allowed is the explicit repartition-by-id;
+    # any ENSURE_REQUIREMENTS hash Exchange means an aggregation or join
+    # stopped riding the id clustering (the cached pb subtree prints its
+    # plan twice — initial + final — so match by origin, not by count);
+    # BroadcastExchange (the ≤4096-row model) is not a data shuffle
+    ensure = re.findall(
+        r"Exchange hashpartitioning[^\n]*ENSURE_REQUIREMENTS", plan)
+    assert not ensure, (
+        f"unexpected planner-inserted data Exchange(s):\n{plan[:2000]}")
+    assert "REPARTITION_BY_COL" in plan

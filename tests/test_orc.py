@@ -357,3 +357,36 @@ def test_orc_nan_column_gets_no_bounds(spark, tmp_path):
     # Spark evaluates NaN >= 100 as TRUE (NaN greatest): the row survives
     out = iceberg_scan(spark, loc, where="d >= 100")
     assert [r.id for r in out.collect()] == [2]
+
+
+def test_orc_schema_sniff_shares_distributed_fanout(spark, tmp_path,
+                                                    monkeypatch):
+    """VERDICT r11 task 4: ORC schema sniffing goes through the SAME
+    fan-out path as the parquet footer sniff — driver thread pool below
+    the cutoff, mapInPandas executor fan-out above it — so a foreign ORC
+    table with thousands of files never serializes schema reads on the
+    driver. Forces the executor branch by dropping the cutoff to 2."""
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from duckdb_iceberg_spark.sources import scan as scan_mod
+
+    files = []
+    for i in range(6):
+        p = str(tmp_path / f"f{i}.orc")
+        po.write_table(pa.table({"a": [i], "b": [f"x{i}"]}), p)
+        files.append(p)
+
+    monkeypatch.setattr(scan_mod, "_FOOTER_SNIFF_DRIVER_MAX", 2)
+    # bypass the process-lifetime cache (immutable-path keyed)
+    monkeypatch.setattr(scan_mod, "_SNIFF_CACHE", {})
+    out = scan_mod._sniff_orc_schemas(spark, files)
+    assert sorted(r[0] for r in out) == sorted(files)
+    for path, has_ids, names, fids, sig in out:
+        assert has_ids is False and fids == []
+        assert names == ["a", "b"]
+        assert "a:int64" in sig
+    # cache: a second call must not re-read
+    monkeypatch.setattr(scan_mod, "_FOOTER_SNIFF_DRIVER_MAX", 64)
+    again = scan_mod._sniff_orc_schemas(spark, files)
+    assert sorted(r[0] for r in again) == sorted(files)

@@ -1993,6 +1993,48 @@ def ice_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_orc_mor(spark: SparkSession, sf_dir: str) -> str:
+    """documents as ORC data files with POSITIONAL merge-on-read deletes
+    (NEW r12 — the arrow data plane synthesizes exact per-file row
+    ordinals, so MoR DELETE works over ORC; the reference refuses
+    non-parquet data files entirely, iceberg_multi_file_list.cpp:528-529):
+    source-identity-partitioned, then ONE merge-on-read DELETE removes
+    every doc_id % 7 == 0 row — parquet positional-delete files pointing
+    at ORC data files, data files never rewritten."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.dml import delete_from
+
+        docs = _pq(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars")
+        write_iceberg(docs, loc, partition_by=["source"],
+                      properties={"write.format.default": "orc"})
+        delete_from(spark, loc, "doc_id % 7 = 0", mode="merge-on-read")
+
+    return _build_once(sf_dir, "documents_orc_mor", build)
+
+
+def ice_orc_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional MoR deletes over ORC data files end-to-end (NEW r12,
+    VERDICT r11 task 5): ORC write path → source partition pruning (the
+    'src3' files never plan) → positional-delete anti-join with arrow-
+    plane row ordinals → aggregate. Hash-checked: the oracle replays the
+    delete predicate from the raw documents rows, so a wrong ordinal, a
+    delete applied to the wrong file, or a missed partition constant all
+    change the sums."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_orc_mor(spark, sf_dir)
+    t = iceberg_scan(spark, loc, where="source <> 'src3'")
+    return (
+        t.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").cast("long").alias("sum_chars"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
 def _ice_documents_variant(spark: SparkSession, sf_dir: str) -> str:
     """documents metadata as a VARIANT column written through the real
     write path (unblocked in this container in r8): each row carries
@@ -3106,16 +3148,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              k-means family, metadata/function ice_* surface,
              stream_changelog/curation/dedup_ttl, the sampling/packing
              docs_* family.
-      48-50  residual-filter representatives (priority (a): the scan
+      48-49  residual-filter representatives (priority (a): the scan
              path's residual application changed this round —
              sources/scan.py _residual_filter): ice_mor_delete_scan,
-             ice_dup_cluster_curation, ice_docs_curation.
-      51+    parked, all driver-green r10/r11: the rest of the ice_*
-             DML/scan core (green r11), the now-GREEN dsir/lm block +
-             probes (r11 greens after three red rounds), the r11
-             rotation's r6 re-checks, full TPC-H (all 23 green r11),
-             and the r10 window cohort. Everything parked stays
-             oracle-checked in every local sweep.
+             ice_dup_cluster_curation.
+      50     ice_orc_mor_scan — NEW r12 (priority (b)): positional MoR
+             deletes over ORC data files via arrow-plane row ordinals.
+      51+    parked, all driver-green r10/r11: ice_docs_curation (its
+             curation family stays covered in-window by
+             ice_dup_cluster_curation), the rest of the ice_* DML/scan
+             core (green r11), the now-GREEN dsir/lm block + probes
+             (r11 greens after three red rounds), the r11 rotation's r6
+             re-checks, full TPC-H (all 23 green r11), and the r10
+             window cohort. Everything parked stays oracle-checked in
+             every local sweep.
     """
     return {
         # 1 — r11 driver RED (stays until green; its fix landed this round)
@@ -3170,12 +3216,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_normalize": docs_normalize,
         "docs_chunk": docs_chunk,
         "docs_token_count": docs_token_count,
-        # 48-50 — residual-filter representatives (priority (a): the scan
+        # 48-49 — residual-filter representatives (priority (a): the scan
         # path's residual application changed this round, _residual_filter)
         "ice_mor_delete_scan": ice_mor_delete_scan,
         "ice_dup_cluster_curation": ice_dup_cluster_curation,
-        "ice_docs_curation": ice_docs_curation,
+        # 50 — NEW r12 (priority (b)): positional MoR deletes over ORC
+        "ice_orc_mor_scan": ice_orc_mor_scan,
         # ------------------- 50-row window boundary -----------------------
+        # parked (driver-green r10): curation composition sibling — its
+        # family stays covered by ice_dup_cluster_curation in-window
+        "ice_docs_curation": ice_docs_curation,
         # parked (driver-green r11): the rest of the ice_* DML/scan core
         "ice_delete_using_scan": ice_delete_using_scan,
         "ice_dv_delete_scan": ice_dv_delete_scan,
@@ -6368,6 +6418,18 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_id, max(doc_id) AS max_id
             FROM t WHERE lang <> 'zh'
             GROUP BY source ORDER BY source
+        """,
+        # positional MoR over ORC (r12): replay the merge-on-read DELETE
+        # predicate + the source pruning predicate from the raw rows — a
+        # wrong arrow-plane ordinal, a delete joined to the wrong file,
+        # or a missed partition constant changes counts and sums
+        "ice_orc_mor_scan": """
+            SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   max(doc_id) AS max_id
+            FROM documents
+            WHERE source <> 'src3' AND doc_id % 7 <> 0
+            GROUP BY lang ORDER BY lang
         """,
         "ice_custom_paths_scan": """
             SELECT lang, count(*) AS n,

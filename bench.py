@@ -126,6 +126,9 @@ HEADLINE = [
     "docs_pipeline_curation",
     # r11: C4 line-level cleaning (map-side rewrite, zero shuffles)
     "docs_c4_clean",
+    # r12: positional MoR deletes over ORC (arrow-plane row ordinals,
+    # parquet delete files anti-joined against ORC data reads)
+    "ice_orc_mor_scan",
 ]
 
 

@@ -150,6 +150,8 @@ AUDIT = [
     "docs_gopher_filter",
     "docs_pipeline_curation",
     "docs_c4_clean",
+    # NEW in r12: positional MoR deletes over ORC (arrow-plane ordinals)
+    "ice_orc_mor_scan",
 ]
 
 

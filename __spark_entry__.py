@@ -2035,6 +2035,55 @@ def ice_orc_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_delete_compaction(spark: SparkSession, sf_dir: str) -> str:
+    """documents with THREE stacked merge-on-read DELETEs (doc_id%9==0,
+    n_chars>4500, doc_id%100==13 — overlapping predicates, so the stacked
+    delete files carry duplicate positions) followed by
+    rewrite_position_delete_files (NEW r12): the maintenance op merges
+    each data file's delete stack into one parquet positional-delete file
+    and dedups rows. The scan after compaction must see exactly the rows
+    the three predicates leave."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.dml import delete_from
+        from duckdb_iceberg_spark.sources.maintenance import (
+            rewrite_position_delete_files,
+        )
+
+        docs = _pq(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars")
+        write_iceberg(docs, loc, partition_by=["lang"])
+        for pred in ("doc_id % 9 = 0", "n_chars > 4500",
+                     "doc_id % 100 = 13"):
+            delete_from(spark, loc, pred, mode="merge-on-read")
+        out = rewrite_position_delete_files(spark, loc)
+        assert out["added_delete_files_count"] >= 1
+
+    return _build_once(sf_dir, "documents_delete_compaction", build)
+
+
+def ice_delete_compaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_position_delete_files end-to-end (NEW r12 — delete
+    maintenance beyond the reference, which has none): three stacked MoR
+    DELETEs, then the compaction merges each data file's delete stack
+    into ONE file (dedup across overlapping predicates), then a pruned
+    scan aggregates the survivors. Hash-checked: the oracle replays the
+    three delete predicates from the raw rows — a lost or resurrected
+    position after the merge changes counts and sums."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_delete_compaction(spark, sf_dir)
+    t = iceberg_scan(spark, loc, where="lang <> 'de'")
+    return (
+        t.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").cast("long").alias("sum_chars"),
+             F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
 def _ice_documents_variant(spark: SparkSession, sf_dir: str) -> str:
     """documents metadata as a VARIANT column written through the real
     write path (unblocked in this container in r8): each row carries
@@ -3148,20 +3197,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              k-means family, metadata/function ice_* surface,
              stream_changelog/curation/dedup_ttl, the sampling/packing
              docs_* family.
-      48-49  residual-filter representatives (priority (a): the scan
-             path's residual application changed this round —
-             sources/scan.py _residual_filter): ice_mor_delete_scan,
-             ice_dup_cluster_curation.
-      50     ice_orc_mor_scan — NEW r12 (priority (b)): positional MoR
-             deletes over ORC data files via arrow-plane row ordinals.
-      51+    parked, all driver-green r10/r11: ice_docs_curation (its
-             curation family stays covered in-window by
-             ice_dup_cluster_curation), the rest of the ice_* DML/scan
-             core (green r11), the now-GREEN dsir/lm block + probes
-             (r11 greens after three red rounds), the r11 rotation's r6
-             re-checks, full TPC-H (all 23 green r11), and the r10
-             window cohort. Everything parked stays oracle-checked in
-             every local sweep.
+      48     ice_mor_delete_scan — residual-filter representative
+             (priority (a): the scan path's residual application
+             changed this round — sources/scan.py _residual_filter).
+      49-50  NEW r12 (priority (b)): ice_orc_mor_scan (positional MoR
+             deletes over ORC via arrow-plane row ordinals) and
+             ice_delete_compaction_scan
+             (rewrite_position_delete_files maintenance end-to-end).
+      51+    parked, all driver-green r10/r11: the curation-composition
+             pair (ice_dup_cluster_curation, ice_docs_curation — the
+             MoR+residual surface stays covered by slot 48 and the r12
+             newcomers), the rest of the ice_* DML/scan core (green
+             r11), the now-GREEN dsir/lm block + probes (r11 greens
+             after three red rounds), the r11 rotation's r6 re-checks,
+             full TPC-H (all 23 green r11), and the r10 window cohort.
+             Everything parked stays oracle-checked in every local
+             sweep.
     """
     return {
         # 1 — r11 driver RED (stays until green; its fix landed this round)
@@ -3216,15 +3267,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_normalize": docs_normalize,
         "docs_chunk": docs_chunk,
         "docs_token_count": docs_token_count,
-        # 48-49 — residual-filter representatives (priority (a): the scan
+        # 48 — residual-filter representative (priority (a): the scan
         # path's residual application changed this round, _residual_filter)
         "ice_mor_delete_scan": ice_mor_delete_scan,
-        "ice_dup_cluster_curation": ice_dup_cluster_curation,
-        # 50 — NEW r12 (priority (b)): positional MoR deletes over ORC
+        # 49-50 — NEW r12 (priority (b)): positional MoR deletes over ORC;
+        # rewrite_position_delete_files maintenance end-to-end
         "ice_orc_mor_scan": ice_orc_mor_scan,
+        "ice_delete_compaction_scan": ice_delete_compaction_scan,
         # ------------------- 50-row window boundary -----------------------
-        # parked (driver-green r10): curation composition sibling — its
-        # family stays covered by ice_dup_cluster_curation in-window
+        # parked (driver-green r10/r11): the curation-composition pair —
+        # the MoR+residual surface stays covered in-window by
+        # ice_mor_delete_scan and the two r12 newcomers
+        "ice_dup_cluster_curation": ice_dup_cluster_curation,
         "ice_docs_curation": ice_docs_curation,
         # parked (driver-green r11): the rest of the ice_* DML/scan core
         "ice_delete_using_scan": ice_delete_using_scan,
@@ -6429,6 +6483,21 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS max_id
             FROM documents
             WHERE source <> 'src3' AND doc_id % 7 <> 0
+            GROUP BY lang ORDER BY lang
+        """,
+        # rewrite_position_delete_files (r12): replay the three stacked
+        # MoR delete predicates + the lang pruning predicate from the raw
+        # rows — a position lost or resurrected by the delete-file merge
+        # changes counts and sums
+        "ice_delete_compaction_scan": """
+            SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents
+            WHERE lang <> 'de'
+              AND NOT (doc_id % 9 = 0)
+              AND NOT (n_chars > 4500)
+              AND NOT (doc_id % 100 = 13)
             GROUP BY lang ORDER BY lang
         """,
         "ice_custom_paths_scan": """

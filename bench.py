@@ -129,6 +129,9 @@ HEADLINE = [
     # r12: positional MoR deletes over ORC (arrow-plane row ordinals,
     # parquet delete files anti-joined against ORC data reads)
     "ice_orc_mor_scan",
+    # r12: rewrite_position_delete_files (stacked MoR deletes merged to
+    # one delete file per data file, dedup, dangling-drop) -> pruned scan
+    "ice_delete_compaction_scan",
 ]
 
 

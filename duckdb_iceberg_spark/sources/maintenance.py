@@ -522,3 +522,122 @@ def rewrite_manifests(
     tm.refs["main"] = {"snapshot-id": snap.snapshot_id, "type": "branch"}
     write_table_metadata(tm, location)
     return summary
+
+
+def rewrite_position_delete_files(
+    spark: SparkSession,
+    location: str,
+    *,
+    min_input_files: int = 2,
+    rewrite_all: bool = False,
+    snapshot_properties: dict[str, str] | None = None,
+) -> dict[str, Any]:
+    """Compact positional-delete files (the Spark procedure
+    ``rewrite_position_delete_files`` analogue — beyond the reference,
+    which has no delete maintenance at all): merge a data file's stacked
+    parquet positional-delete files into one, drop DANGLING delete rows
+    (rows referencing data files no longer live — left behind by
+    compaction/CoW), and on v3 tables convert leftover parquet positional
+    deletes into Puffin deletion vectors (merging each file's prior DV —
+    the v2→v3 delete migration step).
+
+    Sequence correctness: merged delete files commit at the new (higher)
+    sequence number. Positional deletes apply at delete.seq >= data.seq,
+    so raising the sequence can only widen applicability to data files
+    added AFTER the originals — and no delete row can reference such a
+    file (paths are UUID-unique and rows target exact (path, pos)), so
+    the applied set is unchanged. Dangling rows are dropped by a
+    broadcast semi-join against the live path set (metadata-sized).
+
+    Scale shape: delete rows are delta-sized; reading them back is one
+    parquet scan, the merge is the same per-referenced-file applyInPandas
+    fan-out MoR DML uses, and the driver only ever sees per-file entry
+    stats. Returns a summary dict; commits one REPLACE snapshot (no-op →
+    no commit)."""
+    from pyspark.sql import functions as F
+
+    from ..io import normalize_path
+    from ..plans.scan_plan import _localize, manifests_for_snapshot
+    from .dml import _resolve_target, _write_row_deletes
+    from .scan import _norm_path
+
+    if min_input_files < 1:
+        raise ValueError("min_input_files must be >= 1")
+    tm, committer = _resolve_target(location)
+    snapshot = tm.select_snapshot()
+    summary: dict[str, Any] = {
+        "rewritten_delete_files_count": 0,
+        "added_delete_files_count": 0,
+        "removed_dangling_rows_count": 0,
+    }
+    if snapshot is None:
+        return summary
+    plan = plan_scan(tm, snapshot, None)
+    live = {normalize_path(t.data_file.file_path) for t in plan.tasks}
+
+    cand: list[mf.DataFile] = []  # parquet positional-delete files
+    for m in manifests_for_snapshot(tm, snapshot):
+        for e in mf.read_manifest(_localize(tm, m.manifest_path)):
+            if e.status == mf.STATUS_DELETED:
+                continue
+            d = e.data_file
+            if (m.content == mf.MANIFEST_DELETES
+                    or d.content in (mf.CONTENT_POSITION_DELETES,
+                                     mf.CONTENT_EQUALITY_DELETES)) \
+                    and d.content == mf.CONTENT_POSITION_DELETES \
+                    and (d.file_format or "").upper() == "PARQUET":
+                cand.append(d)
+    if not cand:
+        return summary
+
+    per_ref: dict[str, int] = {}
+    loose = 0  # files without referenced_data_file (foreign multi-file)
+    maybe_dangling = False
+    for d in cand:
+        if d.referenced_data_file:
+            ref = normalize_path(d.referenced_data_file)
+            per_ref[ref] = per_ref.get(ref, 0) + 1
+            if ref not in live:
+                maybe_dangling = True
+        else:
+            loose += 1
+    needs = (rewrite_all or tm.format_version >= 3 or maybe_dangling
+             or loose > 0
+             or (per_ref and max(per_ref.values()) >= min_input_files))
+    if not needs:
+        return summary
+
+    paths = sorted({_localize(tm, d.file_path) for d in cand})
+    rows = (
+        spark.read.schema("file_path string, pos long").parquet(*paths)
+        .select(_norm_path(F.col("file_path")).alias("file_path"), "pos"))
+    live_df = F.broadcast(spark.createDataFrame(
+        [(p,) for p in sorted(live)], "file_path: string"))
+    kept = rows.join(live_df, "file_path", "left_semi").distinct()
+    total, kept_n = rows.count(), kept.count()
+    # duplicates across stacked delete files collapse in the distinct —
+    # only truly dangling rows (dead data path) count as dropped
+    dang = (rows.join(live_df, "file_path", "left_anti").count())
+    summary["removed_dangling_rows_count"] = dang
+
+    new_files: list[mf.DataFile] = []
+    superseded: set[str] = set()
+    if kept_n:
+        new_files, superseded = _write_row_deletes(spark, tm, kept, plan)
+
+    removed = {d.file_path for d in cand} | set(paths)
+    extra = {"rewritten-delete-files-count": str(len(cand))}
+    for k, v in (snapshot_properties or {}).items():
+        extra[k] = v
+    snap = commit_snapshot(
+        tm, operation="replace",
+        new_delete_files=new_files,
+        removed_delete_paths=removed,
+        superseded_dv_refs=superseded or None,
+        extra_summary=extra,
+        commit_fn=committer("replace") if committer else None,
+    )
+    summary["rewritten_delete_files_count"] = len(cand)
+    summary["added_delete_files_count"] = len(new_files)
+    summary["snapshot_id"] = snap.snapshot_id
+    return summary

@@ -67,13 +67,13 @@ def test_window_holds_reference_surface_and_rotation():
     assert r9_cohort <= window, (
         f"{sorted(r9_cohort - window)} (r9 cohort, every-third-round "
         "deadline) fell past the window")
-    residual_reps = {"ice_mor_delete_scan", "ice_dup_cluster_curation"}
-    assert residual_reps <= window, (
-        f"{sorted(residual_reps - window)} (residual-filter code changed "
+    assert "ice_mor_delete_scan" in window, (
+        "the residual-filter representative (scan residual code changed "
         "this round) fell past the window")
-    assert "ice_orc_mor_scan" in window, (
-        "the NEW r12 entry (positional MoR over ORC) must get its first "
-        "driver row")
+    r12_new = {"ice_orc_mor_scan", "ice_delete_compaction_scan"}
+    assert r12_new <= window, (
+        f"{sorted(r12_new - window)} (NEW r12 — positional MoR over ORC, "
+        "delete-file compaction) must get their first driver rows")
     assert len(keys) >= 50 and len(window) == 50
 
 

@@ -152,6 +152,7 @@ AUDIT = [
     "docs_c4_clean",
     # NEW in r12: positional MoR deletes over ORC (arrow-plane ordinals)
     "ice_orc_mor_scan",
+    "ice_delete_compaction_scan",
 ]
 
 

@@ -2084,6 +2084,50 @@ def ice_delete_compaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_imported(spark: SparkSession, sf_dir: str) -> str:
+    """The raw testdata ``documents.parquet`` REGISTERED into an Iceberg
+    table via add_files (NEW r12 — metadata-only import, no data copied;
+    the Spark ``add_files``/``migrate`` procedure analogue, beyond the
+    reference which has no import story), then schema-evolved AFTER the
+    import (rename lang→language, add quality long) so the scan must
+    resolve the field-id-less original file through
+    ``schema.name-mapping.default`` and surface the added column as
+    NULL."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark.sources.add_files import add_files
+        from duckdb_iceberg_spark.sources.ddl import add_column, rename_column
+
+        out = add_files(
+            spark, loc, [os.path.join(sf_dir, "documents.parquet")])
+        assert out["added_files_count"] >= 1
+        rename_column(loc, "lang", "language")
+        add_column(loc, "quality", "long")
+
+    return _build_once(sf_dir, "documents_imported", build)
+
+
+def ice_add_files_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_files import end-to-end (NEW r12): register the raw corpus
+    parquet without rewriting a byte, evolve the schema after import,
+    then scan with a zone-map-prunable predicate and aggregate. The
+    import's footer stats feed the same pruning as written files; the
+    renamed column resolves via name mapping; the added column is NULL
+    everywhere. Hash-checked: the oracle reads the same raw rows, so a
+    mis-mapped column, lost rows, or a NULL-default mistake all
+    mismatch."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_imported(spark, sf_dir)
+    t = iceberg_scan(spark, loc, where="n_chars >= 200")
+    return (
+        t.groupBy("language")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").cast("long").alias("sum_chars"),
+             F.count("quality").alias("n_quality"))
+        .orderBy("language")
+    )
+
+
 def _ice_documents_variant(spark: SparkSession, sf_dir: str) -> str:
     """documents metadata as a VARIANT column written through the real
     write path (unblocked in this container in r8): each row carries
@@ -3192,18 +3236,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              (priority (c)): mm_video_meta, docs_dup_components,
              mm_image_dedup, mm_audio_dedup, mm_video_dedup,
              stream_minhash_curation, emb_pq_topk.
-      18-47  the full r9 window cohort, parked since r9 — the
+      18-46  the r9 window cohort, parked since r9 — the
              every-third-round deadline (priority (c)): emb_* ANN +
              k-means family, metadata/function ice_* surface,
              stream_changelog/curation/dedup_ttl, the sampling/packing
-             docs_* family.
-      48     ice_mor_delete_scan — residual-filter representative
+             docs_* family. 29 of its 30 entries; docs_token_count
+             defers to r13 (priority (b) newcomers outrank (c), and its
+             tokenize family stays covered by docs_vocab + docs_chunk).
+      47     ice_mor_delete_scan — residual-filter representative
              (priority (a): the scan path's residual application
              changed this round — sources/scan.py _residual_filter).
-      49-50  NEW r12 (priority (b)): ice_orc_mor_scan (positional MoR
-             deletes over ORC via arrow-plane row ordinals) and
+      48-50  NEW r12 (priority (b)): ice_orc_mor_scan (positional MoR
+             deletes over ORC via arrow-plane row ordinals),
              ice_delete_compaction_scan
-             (rewrite_position_delete_files maintenance end-to-end).
+             (rewrite_position_delete_files maintenance end-to-end),
+             ice_add_files_scan (metadata-only parquet import + post-
+             import schema evolution through name mapping).
       51+    parked, all driver-green r10/r11: the curation-composition
              pair (ice_dup_cluster_curation, ice_docs_curation — the
              MoR+residual surface stays covered by slot 48 and the r12
@@ -3266,15 +3314,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_redact_pii": docs_redact_pii,
         "docs_normalize": docs_normalize,
         "docs_chunk": docs_chunk,
-        "docs_token_count": docs_token_count,
-        # 48 — residual-filter representative (priority (a): the scan
+        # 47 — residual-filter representative (priority (a): the scan
         # path's residual application changed this round, _residual_filter)
         "ice_mor_delete_scan": ice_mor_delete_scan,
-        # 49-50 — NEW r12 (priority (b)): positional MoR deletes over ORC;
-        # rewrite_position_delete_files maintenance end-to-end
+        # 48-50 — NEW r12 (priority (b) outranks (c)): positional MoR
+        # deletes over ORC; rewrite_position_delete_files maintenance;
+        # add_files metadata-only import. To fit, ONE r9-cohort entry
+        # (docs_token_count — its tokenize family stays covered by
+        # docs_vocab + docs_chunk in-window) defers to r13.
         "ice_orc_mor_scan": ice_orc_mor_scan,
         "ice_delete_compaction_scan": ice_delete_compaction_scan,
+        "ice_add_files_scan": ice_add_files_scan,
         # ------------------- 50-row window boundary -----------------------
+        # deferred to r13 (r9-green; family covered in-window)
+        "docs_token_count": docs_token_count,
         # parked (driver-green r10/r11): the curation-composition pair —
         # the MoR+residual surface stays covered in-window by
         # ice_mor_delete_scan and the two r12 newcomers
@@ -6499,6 +6552,18 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (n_chars > 4500)
               AND NOT (doc_id % 100 = 13)
             GROUP BY lang ORDER BY lang
+        """,
+        # add_files import (r12): the table references the RAW corpus
+        # parquet, renamed lang→language post-import (name-mapping read)
+        # with an added all-NULL quality column — count(quality) must be
+        # 0 everywhere, values identical to the raw rows
+        "ice_add_files_scan": """
+            SELECT lang AS language, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(0 AS BIGINT) AS n_quality
+            FROM documents
+            WHERE n_chars >= 200
+            GROUP BY lang ORDER BY language
         """,
         "ice_custom_paths_scan": """
             SELECT lang, count(*) AS n,

@@ -132,6 +132,8 @@ HEADLINE = [
     # r12: rewrite_position_delete_files (stacked MoR deletes merged to
     # one delete file per data file, dedup, dangling-drop) -> pruned scan
     "ice_delete_compaction_scan",
+    # r12: add_files metadata-only import + post-import evolution scan
+    "ice_add_files_scan",
 ]
 
 

@@ -1,0 +1,376 @@
+"""``add_files`` — import existing parquet files into an Iceberg table
+WITHOUT rewriting data (the Spark procedure ``add_files`` / ``migrate``
+analogue; beyond the reference, which has no import story — its users
+must COPY data through the engine).
+
+Spark-first shape:
+
+- the import is METADATA-ONLY: per-file footer stats (row counts, typed
+  min/max bounds, null counts) become manifest entries, so partition and
+  zone-map pruning work on imported files exactly as on written ones;
+- footer-stat collection fans out to executors above the same 64-file
+  cutoff the schema sniffer uses (one mapInPandas over the path list) —
+  importing a million-file lake never serializes footer reads on the
+  driver;
+- imported files usually carry NO parquet field-ids, so the import sets
+  ``schema.name-mapping.default`` (built from the table schema) and the
+  scan's existing name-mapping fallback reads them by name — schema
+  evolution after import behaves like any migrated Iceberg table;
+- hive-style partition directories (``lang=en/…``) map onto identity
+  partition values; the files need not contain the partition column (the
+  scan's partition-constant machinery supplies it).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import urllib.parse as _url
+from typing import Any, Iterable
+
+from pyspark.sql import SparkSession
+
+from ..metadata import manifest as mf
+from ..metadata import types as ice_types
+from ..metadata.table_metadata import TableMetadata, load_table_metadata
+from .writer import commit_snapshot, create_table, current_version_number
+
+#: same executor fan-out cutoff the schema sniffer uses
+_STATS_DRIVER_MAX = 64
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _resolve_files(source: str | Iterable[str]) -> list[str]:
+    """A directory (recursive *.parquet), a glob pattern, or an explicit
+    path list → sorted file list."""
+    if not isinstance(source, str):
+        return sorted(source)
+    if os.path.isdir(source):
+        return sorted(
+            os.path.join(r, f)
+            for r, _dirs, fs in os.walk(source)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith((".", "_")))
+    hits = sorted(_glob.glob(source, recursive=True))
+    if not hits:
+        raise FileNotFoundError(f"add_files: no parquet files match {source!r}")
+    return hits
+
+
+def _parse_hive_partition(path: str, wanted: dict[str, str]) -> dict[str, Any]:
+    """``…/lang=en/part-0.parquet`` → {"lang": "en"} for the identity
+    partition columns in ``wanted`` (name → iceberg type). Values parse by
+    type; the hive NULL sentinel maps to None. Missing keys raise — a
+    partitioned table must not silently import unpartitioned files."""
+    vals: dict[str, Any] = {}
+    for seg in path.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, raw = seg.partition("=")
+        if k not in wanted:
+            continue
+        raw = _url.unquote(raw)
+        if raw == _HIVE_NULL:
+            vals[k] = None
+            continue
+        t = ice_types.primitive_name(wanted[k])
+        if t == "int" or t == "long":
+            vals[k] = int(raw)
+        elif t in ("float", "double"):
+            vals[k] = float(raw)
+        elif t == "boolean":
+            vals[k] = raw.lower() == "true"
+        elif t == "date":
+            import datetime as _dt
+
+            vals[k] = _dt.date.fromisoformat(raw)
+        else:
+            vals[k] = raw
+    missing = set(wanted) - set(vals)
+    if missing:
+        raise ValueError(
+            f"add_files: path {path!r} carries no hive-style value for "
+            f"partition column(s) {sorted(missing)}")
+    return vals
+
+
+#: iceberg primitive families whose parquet footer min/max convert safely
+#: to spec bounds (decimal/binary/fixed/uuid/time skipped — conservative:
+#: a file without bounds is scanned, never mis-pruned)
+_BOUND_SAFE = {"boolean", "int", "long", "float", "double", "string",
+               "date", "timestamp", "timestamptz"}
+
+
+def _footer_stats(path: str, fields: list[tuple[str, int, str]]) -> dict:
+    """One file's footer → row count, size, and per-field (null count,
+    min, max) keyed by field id. ``fields`` = (name, field_id, ice_type)
+    for the table's top-level primitive columns. Module-level so the
+    executor fan-out ships only this function."""
+    import pyarrow.parquet as pq
+
+    from ..io import get_io
+    from ..io.arrow_data import _open_arrow_input
+
+    md = pq.ParquetFile(_open_arrow_input(get_io(path), path)).metadata
+    want = {name: (fid, it) for name, fid, it in fields}
+    nulls: dict[int, int] = {}
+    los: dict[int, Any] = {}
+    his: dict[int, Any] = {}
+    skip: set[int] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in want:
+                continue
+            fid, it = want[name]
+            st = col.statistics
+            if st is None:
+                skip.add(fid)
+                continue
+            if st.null_count is not None and fid not in skip:
+                nulls[fid] = nulls.get(fid, 0) + st.null_count
+            if (ice_types.primitive_name(it) in _BOUND_SAFE
+                    and st.has_min_max):
+                lo, hi = st.min, st.max
+                if fid not in los or lo < los[fid]:
+                    los[fid] = lo
+                if fid not in his or hi > his[fid]:
+                    his[fid] = hi
+            else:
+                skip.add(fid)
+    for fid in skip:  # a single stats-less row group poisons the column
+        los.pop(fid, None)
+        his.pop(fid, None)
+        nulls.pop(fid, None)
+    return {"path": path, "rows": md.num_rows, "size": _file_size(path),
+            "nulls": nulls, "lo": los, "hi": his}
+
+
+def _file_size(path: str) -> int:
+    from ..io import get_io
+
+    try:
+        return get_io(path).size(path)
+    except (AttributeError, OSError, NotImplementedError):
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return 0
+
+
+def _collect_stats(spark: SparkSession, files: list[str],
+                   fields: list[tuple[str, int, str]]) -> list[dict]:
+    from ..io import get_io, io_from_storage_options, storage_options_for
+
+    if not get_io(files[0]).shippable or len(files) <= _STATS_DRIVER_MAX:
+        return [_footer_stats(f, fields) for f in files]
+    import json as _json
+
+    import pandas as pd
+
+    opts = storage_options_for(files[0])
+    from ..io import parse_uri
+
+    scheme = parse_uri(files[0])[0]
+    flds = list(fields)
+
+    def batches(it):
+        # absolute imports + io registration: runs in executor workers
+        from duckdb_iceberg_spark.io import (io_from_storage_options,
+                                             register_io)
+        from duckdb_iceberg_spark.sources.add_files import _footer_stats
+
+        if scheme and opts:
+            register_io(scheme, io_from_storage_options(opts))
+        for pdf in it:
+            out = []
+            for p in pdf["path"]:
+                s = _footer_stats(p, flds)
+                out.append(_json.dumps(
+                    {**s, "lo": {k: _jsonable(v) for k, v in s["lo"].items()},
+                     "hi": {k: _jsonable(v) for k, v in s["hi"].items()}},
+                    default=str))
+            yield pd.DataFrame({"s": out})
+
+    meta = spark.createDataFrame([(f,) for f in files], "path: string")
+    rows = meta.repartition(32).mapInPandas(batches, "s string").collect()
+    out = []
+    for r in rows:
+        d = _json.loads(r.s)
+        d["nulls"] = {int(k): v for k, v in d["nulls"].items()}
+        d["lo"] = {int(k): v for k, v in d["lo"].items()}
+        d["hi"] = {int(k): v for k, v in d["hi"].items()}
+        out.append(d)
+    return out
+
+
+def _jsonable(v):
+    import datetime as _dt
+
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat()
+    return v
+
+
+def _revive(v, ice_type: str):
+    """JSON round-trip → the python value encode_bound expects."""
+    import datetime as _dt
+
+    name = ice_types.primitive_name(ice_type)
+    if v is None or not isinstance(v, str):
+        return v
+    if name == "date":
+        return _dt.date.fromisoformat(v)
+    if name in ("timestamp", "timestamptz"):
+        return _dt.datetime.fromisoformat(v)
+    return v
+
+
+def build_name_mapping(schema_json: dict) -> str:
+    """``schema.name-mapping.default`` JSON from a table schema: every
+    field id maps to its own name, recursing into structs/lists/maps (the
+    mapping a migration tool would emit)."""
+    import json as _json
+
+    def field_entry(f: dict) -> dict:
+        ent: dict[str, Any] = {"field-id": f["id"], "names": [f["name"]]}
+        kids = type_children(f["type"])
+        if kids:
+            ent["fields"] = kids
+        return ent
+
+    def type_children(t) -> list:
+        if isinstance(t, dict):
+            kind = t.get("type")
+            if kind == "struct":
+                return [field_entry(f) for f in t["fields"]]
+            if kind == "list":
+                ent = {"field-id": t["element-id"], "names": ["element"]}
+                kids = type_children(t["element"])
+                if kids:
+                    ent["fields"] = kids
+                return [ent]
+            if kind == "map":
+                k = {"field-id": t["key-id"], "names": ["key"]}
+                v = {"field-id": t["value-id"], "names": ["value"]}
+                vk = type_children(t["value"])
+                if vk:
+                    v["fields"] = vk
+                return [k, v]
+        return []
+
+    return _json.dumps([field_entry(f) for f in schema_json["fields"]])
+
+
+def add_files(
+    spark: SparkSession,
+    location: str,
+    source: str | Iterable[str],
+    *,
+    partition_by: Iterable[str] | None = None,
+    properties: dict[str, str] | None = None,
+    format_version: int = 2,
+    check_duplicate_files: bool = True,
+    snapshot_properties: dict[str, str] | None = None,
+) -> dict[str, Any]:
+    """Register existing parquet files into the Iceberg table at
+    ``location`` (created from the files' own schema if absent) without
+    rewriting a byte of data. Returns a summary dict.
+
+    ``source``: a directory (recursive), a glob pattern, or an explicit
+    path list. For a partitioned table every identity partition value is
+    parsed from the hive-style path (``col=value``); non-identity specs
+    are refused (transform values cannot be recovered from paths).
+    """
+    files = _resolve_files(source)
+    if not files:
+        raise FileNotFoundError("add_files: empty file list")
+
+    exists = current_version_number(location) > 0
+    if exists:
+        tm = load_table_metadata(location)
+    else:
+        schema = spark.read.parquet(files[0]).schema
+        tm = create_table(location, schema, partition_by=partition_by,
+                          properties=properties,
+                          format_version=format_version)
+
+    spec = tm.default_spec()
+    ident_parts: dict[str, str] = {}
+    for pf in spec.fields:
+        if pf.transform != "identity":
+            raise NotImplementedError(
+                f"add_files: partition transform '{pf.transform}' cannot "
+                "be recovered from file paths; only identity specs are "
+                "importable")
+        hit = tm.field_path_by_id(pf.source_id)
+        if hit is not None:
+            ident_parts[pf.name] = hit[1]["type"]
+
+    if check_duplicate_files:
+        snap = tm.select_snapshot()
+        if snap is not None:
+            from ..io import normalize_path
+            from ..plans.scan_plan import plan_scan
+
+            have = {normalize_path(t.data_file.file_path)
+                    for t in plan_scan(tm, snap).tasks}
+            dup = [f for f in files if normalize_path(f) in have]
+            if dup:
+                raise ValueError(
+                    f"add_files: {len(dup)} file(s) already referenced by "
+                    f"the table, e.g. {dup[0]!r} (pass "
+                    "check_duplicate_files=False to force)")
+
+    fields = [(f["name"], f["id"], f["type"])
+              for f in tm.schema_json()["fields"]
+              if isinstance(f["type"], str)]
+
+    # imported files rarely carry parquet field-ids → name-mapping read
+    if "schema.name-mapping.default" not in tm.properties:
+        tm.properties["schema.name-mapping.default"] = \
+            build_name_mapping(tm.schema_json())
+
+    stats = _collect_stats(spark, files, fields)
+    types_by_fid = {fid: it for _n, fid, it in fields}
+    new_files: list[mf.DataFile] = []
+    total_rows = 0
+    for s in stats:
+        lo = {}
+        hi = {}
+        for fid, v in s["lo"].items():
+            b = ice_types.encode_bound(
+                types_by_fid[fid], _revive(v, types_by_fid[fid]))
+            if b is not None:
+                lo[fid] = b
+        for fid, v in s["hi"].items():
+            b = ice_types.encode_bound(
+                types_by_fid[fid], _revive(v, types_by_fid[fid]))
+            if b is not None:
+                hi[fid] = b
+        part = (_parse_hive_partition(s["path"], ident_parts)
+                if ident_parts else {})
+        total_rows += s["rows"]
+        new_files.append(mf.DataFile(
+            content=mf.CONTENT_DATA,
+            file_path=s["path"],
+            file_format="PARQUET",
+            partition=part,
+            record_count=s["rows"],
+            file_size_in_bytes=s["size"],
+            null_value_counts={k: v for k, v in s["nulls"].items()} or None,
+            lower_bounds=lo or None,
+            upper_bounds=hi or None,
+        ))
+
+    extra = {"added-via": "add_files"}
+    for k, v in (snapshot_properties or {}).items():
+        extra[k] = v
+    snap = commit_snapshot(tm, operation="append", new_data_files=new_files,
+                           extra_summary=extra)
+    return {"added_files_count": len(new_files),
+            "added_rows_count": total_rows,
+            "snapshot_id": snap.snapshot_id}

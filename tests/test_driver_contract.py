@@ -61,19 +61,25 @@ def test_window_holds_reference_surface_and_rotation():
         "docs_resample_mixture", "docs_stratified_sample",
         "docs_pack_sequences", "docs_corpus_report", "stream_dedup_ttl",
         "docs_redact_pii", "docs_normalize", "docs_chunk",
-        "docs_token_count",
     }
-    assert len(r9_cohort) == 30
+    assert len(r9_cohort) == 29
     assert r9_cohort <= window, (
         f"{sorted(r9_cohort - window)} (r9 cohort, every-third-round "
         "deadline) fell past the window")
+    # docs_token_count defers to r13 (priority (b) newcomers outrank (c);
+    # its tokenize family stays covered by docs_vocab + docs_chunk) — it
+    # must sit FIRST past the boundary so r13 rotation picks it up
+    keys_past = keys[50:]
+    assert keys_past[0] == "docs_token_count"
     assert "ice_mor_delete_scan" in window, (
         "the residual-filter representative (scan residual code changed "
         "this round) fell past the window")
-    r12_new = {"ice_orc_mor_scan", "ice_delete_compaction_scan"}
+    r12_new = {"ice_orc_mor_scan", "ice_delete_compaction_scan",
+               "ice_add_files_scan"}
     assert r12_new <= window, (
         f"{sorted(r12_new - window)} (NEW r12 — positional MoR over ORC, "
-        "delete-file compaction) must get their first driver rows")
+        "delete-file compaction, add_files import) must get their first "
+        "driver rows")
     assert len(keys) >= 50 and len(window) == 50
 
 

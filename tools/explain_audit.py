@@ -153,6 +153,7 @@ AUDIT = [
     # NEW in r12: positional MoR deletes over ORC (arrow-plane ordinals)
     "ice_orc_mor_scan",
     "ice_delete_compaction_scan",
+    "ice_add_files_scan",
 ]
 
 

@@ -2545,6 +2545,31 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, books, qvec, topk=10)
 
 
+def emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8-style) ANN top-k (NEW r12 — the faiss
+    ScalarQuantizer/QT_8bit analogue completing the ANN family beside
+    brute/LSH/IVF/PQ): per-dimension min/max bounds from ONE distributed
+    aggregate, 8-bit codes computed JVM-side, ranking by the INTEGER dot
+    product of codes (monotone cosine surrogate on normalized
+    embeddings), TakeOrdered. Hash-checked with no float in the output:
+    the oracle re-derives the bounds independently in DuckDB, replays
+    the identical binary64 quantization expression as literals, and the
+    integer scores match exactly."""
+    from duckdb_iceberg_spark.operators.similarity import (
+        sq_encode,
+        sq_quantize_query,
+        sq_topk,
+        sq_train,
+    )
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    corpus = emb.filter("vec_id != 0")
+    bounds = sq_train(corpus)
+    codes = sq_encode(corpus, bounds)
+    return sq_topk(codes, sq_quantize_query(qvec, bounds), topk=10)
+
+
 def docs_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard dedup (documented quadratic — the within-bucket
     refinement path; minhash is the corpus-scale entry). Hash-checked
@@ -3328,6 +3353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------- 50-row window boundary -----------------------
         # deferred to r13 (r9-green; family covered in-window)
         "docs_token_count": docs_token_count,
+        # NEW r12, never driver-checked — r13 window priority (b):
+        # scalar-quantized ANN (integer-exact codes + scores)
+        "emb_sq_topk": emb_sq_topk,
         # parked (driver-green r10/r11): the curation-composition pair —
         # the MoR+residual surface stays covered in-window by
         # ice_mor_delete_scan and the two r12 newcomers
@@ -4937,6 +4965,65 @@ def _knn_join_bucketed_sql(dim: int = 64, n_planes: int = 6, seed: int = 42,
     """
 
 
+def _sq_topk_sql(topk: int = 10) -> str:
+    """DuckDB replica of the emb_sq_topk pipeline, with the bounds
+    DERIVED INDEPENDENTLY: per-dimension min/max come from DuckDB's own
+    aggregates over the parquet (exact — no accumulation), the scales
+    from the same 256/(max−min) binary64 division, and the query codes
+    from CPython math.floor via the operator's own quantizer. The row
+    codes replay as SQL: clamp(floor((v[i] − min_i)·scale_i)) with every
+    float literal repr-round-tripped (REAL − DOUBLE promotes exactly as
+    Spark's float−double), and the score is a pure-integer dot chain —
+    no float ever reaches the compared output."""
+    import duckdb as _duck
+
+    from duckdb_iceberg_spark.operators.similarity import (
+        sq_quantize_query,
+        sq_scales,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    con = _duck.connect()
+    dim = con.execute(
+        "SELECT len(embedding) FROM read_parquet(?) LIMIT 1",
+        [path]).fetchone()[0]
+    agg = ", ".join(
+        f"min(embedding[{i + 1}]), max(embedding[{i + 1}])"
+        for i in range(dim))
+    flat = con.execute(
+        f"SELECT {agg} FROM read_parquet(?) WHERE vec_id != 0",
+        [path]).fetchone()
+    qvec = con.execute(
+        "SELECT embedding FROM read_parquet(?) WHERE vec_id = 0",
+        [path]).fetchone()[0]
+    con.close()
+    bounds = [(float(flat[2 * i]), float(flat[2 * i + 1]))
+              for i in range(dim)]
+    scales = sq_scales(bounds)
+    qcodes = sq_quantize_query(qvec, bounds)
+
+    def dlit(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    terms = [
+        f"{qcodes[i]} * LEAST(255, GREATEST(CAST(0 AS BIGINT), "
+        f"CAST(floor((embedding[{i + 1}] - {dlit(bounds[i][0])})"
+        f" * {dlit(scales[i])}) AS BIGINT)))"
+        for i in range(dim) if qcodes[i] != 0
+    ]
+    dot = ("\n                   + ".join(terms)) or "CAST(0 AS BIGINT)"
+    return f"""
+            SELECT vec_id,
+                   CAST({dot} AS BIGINT) AS sq_score
+            FROM embeddings
+            WHERE vec_id != 0
+            ORDER BY sq_score DESC, vec_id ASC
+            LIMIT {topk}
+    """
+
+
 def _pq_topk_sql(m: int = 4, k: int = 16, topk: int = 10, seed: int = 42,
                  iters: int = 8, sample_size: int = 2048) -> str:
     """DuckDB replica of the emb_pq_topk pipeline. The codebook fit is
@@ -5186,6 +5273,7 @@ def _data_oracles() -> dict[str, str]:
         try:
             _ANN_ORACLE_CACHE[sf_dir] = {
                 "emb_pq_topk": _pq_topk_sql(),
+                "emb_sq_topk": _sq_topk_sql(),
                 "emb_ivf_topk": _ivf_topk_sql(),
                 "emb_kmeans": _kmeans_sql(),
                 "emb_semantic_dedup": _semdedup_sql(),

@@ -134,6 +134,8 @@ HEADLINE = [
     "ice_delete_compaction_scan",
     # r12: add_files metadata-only import + post-import evolution scan
     "ice_add_files_scan",
+    # r12: scalar-quantized ANN (integer codes + integer dot top-k)
+    "emb_sq_topk",
 ]
 
 

@@ -1649,3 +1649,50 @@ def test_dsir_single_exchange_plan(spark, sf_dir):
     assert not ensure, (
         f"unexpected planner-inserted data Exchange(s):\n{plan[:2000]}")
     assert "REPARTITION_BY_COL" in plan
+
+
+def test_sq_quantization_parity_and_topk(spark):
+    """r12 scalar-quantized ANN: JVM codes equal the CPython replica
+    bit-for-bit (binary64 + floor on both sides), constant dimensions
+    quantize to 0, max values clamp to 255, and top-k ranks by the exact
+    integer dot with (score desc, id asc) ties."""
+    import math
+
+    from duckdb_iceberg_spark.operators.similarity import (
+        sq_encode,
+        sq_quantize_query,
+        sq_scales,
+        sq_topk,
+        sq_train,
+    )
+
+    vecs = [
+        (1, [0.0, 1.0, 5.0, 7.5]),
+        (2, [1.0, 1.0, -5.0, 2.5]),
+        (3, [0.25, 1.0, 0.0, -1.0]),
+        (4, [0.5, 1.0, 2.0, 7.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<float>")
+    bounds = sq_train(df)
+    assert bounds[1] == (1.0, 1.0)  # constant dim
+    scales = sq_scales(bounds)
+    assert scales[1] == 0.0
+
+    codes = {r.vec_id: list(r.sq_code)
+             for r in sq_encode(df, bounds).collect()}
+    for vid, v in vecs:
+        expect = [
+            min(255, max(0, math.floor((float(x) - lo) * s)))
+            for x, (lo, _hi), s in zip(v, bounds, scales)]
+        assert codes[vid] == expect, vid
+    # max of a dim clamps to 255
+    assert codes[1][3] == 255 and codes[4][3] == 255
+    assert all(c[1] == 0 for c in codes.values())
+
+    q = sq_quantize_query([0.5, 1.0, 5.0, 7.5], bounds)
+    got = sq_topk(sq_encode(df, bounds), q, topk=2).collect()
+    dots = {vid: sum(a * b for a, b in zip(codes[vid], q))
+            for vid, _v in vecs}
+    want = sorted(dots, key=lambda v: (-dots[v], v))[:2]
+    assert [r.vec_id for r in got] == want
+    assert [r.sq_score for r in got] == [dots[v] for v in want]

@@ -154,6 +154,7 @@ AUDIT = [
     "ice_orc_mor_scan",
     "ice_delete_compaction_scan",
     "ice_add_files_scan",
+    "emb_sq_topk",
 ]
 
 

@@ -308,6 +308,8 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
     stmt = sql.strip().rstrip(";").strip()
     head = stmt.split(None, 1)[0].upper() if stmt else ""
 
+    if head == "CALL":
+        return _exec_call(spark, stmt)
     if head == "DELETE" and _is_registered_target(
             spark, stmt, r"DELETE\s+FROM\s+([\w.]+)"):
         return _exec_delete(spark, stmt)
@@ -1019,3 +1021,119 @@ def _register_prefixed_view(spark: SparkSession, view: Any, prefix: str,
             f"({bind_err})") from bind_err
     df.createOrReplaceTempView(out)
     return out
+
+
+#: CALL-able maintenance/import procedures (the Spark-Iceberg
+#: ``CALL catalog.system.<proc>(…)`` surface; the reference exposes its
+#: maintenance as table functions — same capabilities, SQL-reachable)
+def _call_procs():
+    from .add_files import add_files
+    from .maintenance import (
+        expire_snapshots,
+        remove_orphan_files,
+        rewrite_data_files,
+        rewrite_manifests,
+        rewrite_position_delete_files,
+    )
+
+    # name -> (fn, takes_spark)
+    return {
+        "rewrite_data_files": (rewrite_data_files, True),
+        "rewrite_position_delete_files": (rewrite_position_delete_files, True),
+        "expire_snapshots": (expire_snapshots, False),
+        "remove_orphan_files": (remove_orphan_files, False),
+        "rewrite_manifests": (rewrite_manifests, False),
+        "add_files": (add_files, True),
+    }
+
+
+def _parse_call_args(body: str) -> tuple[list, dict]:
+    """Split a CALL argument list on top-level commas; each item is
+    ``value`` or ``name => value`` with value a 'string', number, or
+    true/false literal (the Spark procedure-call grammar)."""
+    args: list = []
+    kwargs: dict = {}
+    depth, in_str, start, items = 0, False, 0, []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < len(body) and body[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            items.append(body[start:i])
+            start = i + 1
+        i += 1
+    if body[start:].strip():
+        items.append(body[start:])
+
+    def lit(v: str):
+        v = v.strip()
+        if v.startswith("'") and v.endswith("'"):
+            return v[1:-1].replace("''", "'")
+        low = v.lower()
+        if low in ("true", "false"):
+            return low == "true"
+        if re.fullmatch(r"-?\d+", v):
+            return int(v)
+        if re.fullmatch(r"-?\d+\.\d+", v):
+            return float(v)
+        raise ValueError(f"unsupported CALL argument literal: {v!r}")
+
+    for item in items:
+        m = re.match(r"\s*(\w+)\s*=>\s*(.+)$", item, re.S)
+        if m:
+            kwargs[m.group(1).lower()] = lit(m.group(2))
+        else:
+            args.append(lit(item))
+    return args, kwargs
+
+
+def _exec_call(spark: SparkSession, stmt: str) -> DataFrame:
+    """``CALL [cat.][system.]<proc>(table => 'view'|'path', k => v, …)``
+    → run the maintenance/import procedure against the named registered
+    view's source (or a bare path), refresh the view, and return the
+    summary as a one-row DataFrame (stringified values — summaries mix
+    ints and ids)."""
+    m = re.match(r"CALL\s+((?:[\w]+\.)*)(\w+)\s*\((.*)\)\s*$", stmt,
+                 re.I | re.S)
+    if not m:
+        raise ValueError(f"cannot parse CALL: {stmt!r}")
+    proc = m.group(2).lower()
+    procs = _call_procs()
+    if proc not in procs:
+        raise ValueError(
+            f"unknown procedure {proc!r}; available: {sorted(procs)}")
+    args, kwargs = _parse_call_args(m.group(3))
+
+    target = kwargs.pop("table", None)
+    if target is None:
+        if not args:
+            raise ValueError(f"CALL {proc} needs a table argument")
+        target = args.pop(0)
+    view = None
+    reg = _REGISTRY.get(spark, {})
+    if isinstance(target, str) and target.lower() in reg:
+        view, source = _target_of(spark, target)
+    else:
+        source = target  # a bare filesystem path
+
+    fn, takes_spark = procs[proc]
+    call_args = ([spark, source] if takes_spark else [source]) + args
+    out = fn(*call_args, **kwargs)
+    if view is not None:
+        refresh_table(spark, view)
+    if not isinstance(out, dict):
+        out = {"result": out}
+    cols = sorted(out)
+    row = [tuple(str(out[c]) for c in cols)]
+    return spark.createDataFrame(row, ", ".join(f"{c}: string" for c in cols))

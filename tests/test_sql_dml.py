@@ -471,3 +471,57 @@ def test_rewrite_unprefixed_idents_pure():
     # identifiers that merely contain a base name are untouched
     assert rw("SELECT * FROM nations") == "SELECT * FROM nations"
     assert rw("SELECT my_nation FROM t") == "SELECT my_nation FROM t"
+
+
+def test_call_procedures_surface(spark, sf_dir, tmp_path):
+    """r12 CALL surface: maintenance/import procedures run from SQL
+    against a registered view or a bare path and return a one-row
+    summary; the view refreshes to the post-procedure snapshot."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    from .conftest import load
+
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "t_call")
+    write_iceberg(src, loc)
+    for pred in ("n_nationkey < 3", "n_nationkey >= 22"):
+        delete_from(spark, loc, pred, mode="merge-on-read")
+    register_table(spark, "call_nation", loc)
+
+    out = execute_sql(
+        spark, "CALL system.rewrite_position_delete_files("
+               "table => 'call_nation')").first()
+    assert int(out.rewritten_delete_files_count) >= 2
+    got = spark.sql("SELECT count(*) AS n FROM call_nation").first().n
+    assert got == src.filter(
+        "n_nationkey >= 3 AND n_nationkey < 22").count()
+
+    out = execute_sql(
+        spark, "CALL rewrite_data_files('call_nation', "
+               "rewrite_all => true)").first()
+    assert int(out.added_data_files_count) >= 1
+    assert spark.sql("SELECT count(*) FROM call_nation").first()[0] == got
+
+    # add_files against a bare path target
+    plain = str(tmp_path / "plain")
+    old = spark.conf.get("spark.sql.parquet.fieldId.write.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    try:
+        src.limit(5).coalesce(1).write.mode("overwrite").parquet(plain)
+    finally:
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", old)
+    import os
+
+    f = sorted(os.path.join(plain, x) for x in os.listdir(plain)
+               if x.endswith(".parquet"))[0]
+    loc2 = str(tmp_path / "t_imported_sql")
+    out = execute_sql(
+        spark, f"CALL add_files('{loc2}', source => '{f}')").first()
+    assert int(out.added_files_count) == 1
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown procedure"):
+        execute_sql(spark, "CALL no_such_proc('x')")

@@ -530,6 +530,7 @@ def rewrite_position_delete_files(
     *,
     min_input_files: int = 2,
     rewrite_all: bool = False,
+    convert_equality: bool = False,
     snapshot_properties: dict[str, str] | None = None,
 ) -> dict[str, Any]:
     """Compact positional-delete files (the Spark procedure
@@ -541,19 +542,30 @@ def rewrite_position_delete_files(
     deletes into Puffin deletion vectors (merging each file's prior DV —
     the v2→v3 delete migration step).
 
+    ``convert_equality=True`` additionally MATERIALIZES equality deletes:
+    the removed row set is derived exactly (raw scan positions anti-join
+    surviving scan positions), written as positional deletes / DVs, and
+    the equality-delete files are dropped — subsequent scans pay a
+    per-file-prunable positional anti-join instead of null-safe equality
+    conjunctions over every row. This path reads the affected data twice
+    (it is a maintenance-time trade, like copy-on-write, not delta-sized).
+
     Sequence correctness: merged delete files commit at the new (higher)
     sequence number. Positional deletes apply at delete.seq >= data.seq,
     so raising the sequence can only widen applicability to data files
     added AFTER the originals — and no delete row can reference such a
     file (paths are UUID-unique and rows target exact (path, pos)), so
-    the applied set is unchanged. Dangling rows are dropped by a
-    broadcast semi-join against the live path set (metadata-sized).
+    the applied set is unchanged. The equality conversion bakes each
+    delete's own sequence predicate in, because the surviving scan applies
+    it (delete.seq > data.seq) before the anti-join. Dangling rows are
+    dropped by a broadcast semi-join against the live path set
+    (metadata-sized).
 
-    Scale shape: delete rows are delta-sized; reading them back is one
-    parquet scan, the merge is the same per-referenced-file applyInPandas
-    fan-out MoR DML uses, and the driver only ever sees per-file entry
-    stats. Returns a summary dict; commits one REPLACE snapshot (no-op →
-    no commit)."""
+    Scale shape (default path): delete rows are delta-sized; reading them
+    back is one parquet scan, the merge is the same per-referenced-file
+    applyInPandas fan-out MoR DML uses, and the driver only ever sees
+    per-file entry stats. Returns a summary dict; commits one REPLACE
+    snapshot (no-op → no commit)."""
     from pyspark.sql import functions as F
 
     from ..io import normalize_path
@@ -576,18 +588,21 @@ def rewrite_position_delete_files(
     live = {normalize_path(t.data_file.file_path) for t in plan.tasks}
 
     cand: list[mf.DataFile] = []  # parquet positional-delete files
+    eq_cand: list[mf.DataFile] = []  # equality-delete files (conversion)
     for m in manifests_for_snapshot(tm, snapshot):
         for e in mf.read_manifest(_localize(tm, m.manifest_path)):
             if e.status == mf.STATUS_DELETED:
                 continue
             d = e.data_file
-            if (m.content == mf.MANIFEST_DELETES
-                    or d.content in (mf.CONTENT_POSITION_DELETES,
-                                     mf.CONTENT_EQUALITY_DELETES)) \
-                    and d.content == mf.CONTENT_POSITION_DELETES \
+            if m.content != mf.MANIFEST_DELETES and d.content not in (
+                    mf.CONTENT_POSITION_DELETES, mf.CONTENT_EQUALITY_DELETES):
+                continue
+            if d.content == mf.CONTENT_POSITION_DELETES \
                     and (d.file_format or "").upper() == "PARQUET":
                 cand.append(d)
-    if not cand:
+            elif d.content == mf.CONTENT_EQUALITY_DELETES and convert_equality:
+                eq_cand.append(d)
+    if not cand and not eq_cand:
         return summary
 
     per_ref: dict[str, int] = {}
@@ -602,30 +617,55 @@ def rewrite_position_delete_files(
         else:
             loose += 1
     needs = (rewrite_all or tm.format_version >= 3 or maybe_dangling
-             or loose > 0
+             or loose > 0 or bool(eq_cand)
              or (per_ref and max(per_ref.values()) >= min_input_files))
     if not needs:
         return summary
 
     paths = sorted({_localize(tm, d.file_path) for d in cand})
-    rows = (
-        spark.read.schema("file_path string, pos long").parquet(*paths)
-        .select(_norm_path(F.col("file_path")).alias("file_path"), "pos"))
-    live_df = F.broadcast(spark.createDataFrame(
-        [(p,) for p in sorted(live)], "file_path: string"))
-    kept = rows.join(live_df, "file_path", "left_semi").distinct()
-    total, kept_n = rows.count(), kept.count()
-    # duplicates across stacked delete files collapse in the distinct —
-    # only truly dangling rows (dead data path) count as dropped
-    dang = (rows.join(live_df, "file_path", "left_anti").count())
-    summary["removed_dangling_rows_count"] = dang
+    if eq_cand:
+        # equality conversion: derive the EXACT removed row set — raw
+        # positions minus surviving positions (the surviving scan applies
+        # every delete flavor with its own sequence predicate). Subsumes
+        # the parquet positional rows, so no delete-file read is needed.
+        from ..plans.scan_plan import FileScanTask as _FST
+        from ..plans.scan_plan import ScanPlan as _SP
+        from .scan import scan_to_dataframe
+
+        bare = _SP(tm, snapshot, [
+            _FST(data_file=t.data_file, sequence_number=t.sequence_number,
+                 spec_id=t.spec_id, first_row_id=t.first_row_id)
+            for t in plan.tasks], None, plan.schema_id)
+        cols = lambda d: d.select(  # noqa: E731
+            F.col("filename").alias("file_path"),
+            F.col("file_row_number").alias("pos"))
+        full = cols(scan_to_dataframe(spark, bare, with_file_info=True))
+        alive = cols(scan_to_dataframe(spark, plan, with_file_info=True))
+        kept = full.join(alive, ["file_path", "pos"], "left_anti")
+        kept_n = kept.count()
+        summary["converted_equality_files_count"] = len(eq_cand)
+    else:
+        rows = (
+            spark.read.schema("file_path string, pos long").parquet(*paths)
+            .select(_norm_path(F.col("file_path")).alias("file_path"),
+                    "pos"))
+        live_df = F.broadcast(spark.createDataFrame(
+            [(p,) for p in sorted(live)], "file_path: string"))
+        kept = rows.join(live_df, "file_path", "left_semi").distinct()
+        kept_n = kept.count()
+        # duplicates across stacked delete files collapse in the distinct —
+        # only truly dangling rows (dead data path) count as dropped
+        dang = (rows.join(live_df, "file_path", "left_anti").count())
+        summary["removed_dangling_rows_count"] = dang
 
     new_files: list[mf.DataFile] = []
     superseded: set[str] = set()
     if kept_n:
         new_files, superseded = _write_row_deletes(spark, tm, kept, plan)
 
-    removed = {d.file_path for d in cand} | set(paths)
+    removed = ({d.file_path for d in cand} | set(paths)
+               | {d.file_path for d in eq_cand}
+               | {_localize(tm, d.file_path) for d in eq_cand})
     extra = {"rewritten-delete-files-count": str(len(cand))}
     for k, v in (snapshot_properties or {}).items():
         extra[k] = v
@@ -637,7 +677,7 @@ def rewrite_position_delete_files(
         extra_summary=extra,
         commit_fn=committer("replace") if committer else None,
     )
-    summary["rewritten_delete_files_count"] = len(cand)
+    summary["rewritten_delete_files_count"] = len(cand) + len(eq_cand)
     summary["added_delete_files_count"] = len(new_files)
     summary["snapshot_id"] = snap.snapshot_id
     return summary

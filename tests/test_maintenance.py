@@ -569,3 +569,46 @@ def test_rewrite_position_deletes_converts_to_dv_on_v3(spark, tmp_path):
     assert dels and all((d.file_format or "").lower() == "puffin"
                         for d in dels), "parquet deletes must become DVs"
     assert sorted(r.id for r in iceberg_scan(spark, loc).collect()) == want
+
+
+def test_rewrite_position_deletes_converts_equality(spark, sf_dir, tmp_path):
+    """convert_equality=True materializes equality deletes as positional:
+    scan results unchanged, equality-delete files gone, subsequent plans
+    carry only per-file positional deletes."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata import manifest as mf
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.dml import delete_from, upsert_equality
+    from duckdb_iceberg_spark.sources.maintenance import (
+        rewrite_position_delete_files,
+    )
+    from pyspark.sql import functions as F
+
+    from .conftest import load
+
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "t_eq_conv")
+    write_iceberg(src, loc)
+    # equality deletes via CDC upsert + a positional MoR delete on top
+    upd = src.filter("n_nationkey <= 2").withColumn(
+        "n_name", F.lit("updated"))
+    upsert_equality(spark, loc, upd, key_columns=["n_nationkey"])
+    delete_from(spark, loc, "n_nationkey >= 20", mode="merge-on-read")
+    want = sorted((r.n_nationkey, r.n_name) for r in iceberg_scan(
+        spark, loc).select("n_nationkey", "n_name").collect())
+
+    out = rewrite_position_delete_files(spark, loc, convert_equality=True)
+    assert out["converted_equality_files_count"] >= 1
+    assert out["added_delete_files_count"] >= 1
+
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    eqs = [d for t in plan.tasks for _s, d in t.equality_deletes]
+    assert not eqs, "equality-delete files must be gone"
+    poss = [d for t in plan.tasks for d in t.positional_deletes]
+    assert poss and all(d.referenced_data_file for d in poss)
+
+    got = sorted((r.n_nationkey, r.n_name) for r in iceberg_scan(
+        spark, loc).select("n_nationkey", "n_name").collect())
+    assert got == want

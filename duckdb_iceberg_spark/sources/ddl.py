@@ -517,6 +517,111 @@ def _set_ref(location, name: str, kind: str,
     return tm
 
 
+def _is_ancestor(tm: TableMetadata, maybe_ancestor: int, head: int) -> bool:
+    """Walk the parent chain from ``head``; True if ``maybe_ancestor``
+    appears (inclusive). Bounded by snapshot-history length."""
+    by_id = {s.snapshot_id: s for s in tm.snapshots}
+    cur: int | None = head
+    seen: set[int] = set()
+    while cur is not None and cur not in seen:
+        if cur == maybe_ancestor:
+            return True
+        seen.add(cur)
+        s = by_id.get(cur)
+        cur = s.parent_snapshot_id if s is not None else None
+    return False
+
+
+def fast_forward(location, branch: str, to: str | int) -> TableMetadata:
+    """Publish step of Write-Audit-Publish (the Spark
+    ``system.fast_forward`` procedure analogue): move ``branch`` to the
+    head of ``to`` (a ref name or snapshot id), REQUIRING the branch's
+    current head to be an ancestor of the target — a non-linear move
+    must go through an explicit rollback instead. Fast-forwarding
+    ``main`` also advances current-snapshot-id and the snapshot log, so
+    plain scans and timestamp time travel see the published state."""
+    import time as _time
+
+    tm = _load(location)
+    if isinstance(to, str):
+        ref = tm.refs.get(to)
+        if ref is None:
+            raise KeyError(f"no branch or tag {to!r}")
+        target = int(ref["snapshot-id"])
+    else:
+        target = int(to)
+        tm.snapshot_by_id(target)  # validates existence
+    cur_ref = tm.refs.get(branch)
+    if cur_ref is not None:
+        head = int(cur_ref["snapshot-id"])
+        if cur_ref.get("type") != "branch":
+            raise ValueError(f"ref {branch!r} is a tag, not a branch")
+        if not _is_ancestor(tm, head, target):
+            raise ValueError(
+                f"cannot fast-forward {branch!r}: its head {head} is not "
+                f"an ancestor of {target}")
+    tm.refs[branch] = {"snapshot-id": target, "type": "branch"}
+    if branch == "main":
+        tm.current_snapshot_id = target
+        tm.snapshot_log.append({
+            "timestamp-ms": int(_time.time() * 1000),
+            "snapshot-id": target})
+    if getattr(tm, "_rest_table", None) is not None:
+        return _commit_rest(tm, [{"action": "set-snapshot-ref",
+                                  "ref-name": branch, "type": "branch",
+                                  "snapshot-id": target}])
+    write_table_metadata(tm, tm.location)
+    return tm
+
+
+def rollback_to_snapshot(location, snapshot_id: int) -> TableMetadata:
+    """Point main back at an ANCESTOR snapshot (the Spark
+    ``system.rollback_to_snapshot`` procedure analogue). Later snapshots
+    stay in metadata (expire_snapshots reclaims them); the snapshot log
+    records the rollback so timestamp travel stays truthful."""
+    import time as _time
+
+    tm = _load(location)
+    tm.snapshot_by_id(snapshot_id)
+    cur = tm.current_snapshot()
+    if cur is not None and not _is_ancestor(tm, snapshot_id,
+                                            cur.snapshot_id):
+        raise ValueError(
+            f"snapshot {snapshot_id} is not an ancestor of the current "
+            f"snapshot {cur.snapshot_id}; use set_current_snapshot for "
+            "non-linear moves")
+    tm.current_snapshot_id = snapshot_id
+    tm.refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    tm.snapshot_log.append({"timestamp-ms": int(_time.time() * 1000),
+                            "snapshot-id": snapshot_id})
+    if getattr(tm, "_rest_table", None) is not None:
+        return _commit_rest(tm, [{"action": "set-snapshot-ref",
+                                  "ref-name": "main", "type": "branch",
+                                  "snapshot-id": snapshot_id}])
+    write_table_metadata(tm, tm.location)
+    return tm
+
+
+def set_current_snapshot(location, snapshot_id: int) -> TableMetadata:
+    """Point main at ANY existing snapshot, ancestry-free (the Spark
+    ``system.set_current_snapshot`` procedure analogue — the escape hatch
+    rollback_to_snapshot refuses)."""
+    import time as _time
+
+    tm = _load(location)
+    tm.snapshot_by_id(snapshot_id)
+    tm.current_snapshot_id = snapshot_id
+    tm.refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    tm.snapshot_log.append({"timestamp-ms": int(_time.time() * 1000),
+                            "snapshot-id": snapshot_id})
+    if getattr(tm, "_rest_table", None) is not None:
+        return _commit_rest(tm, [{"action": "set-snapshot-ref",
+                                  "ref-name": "main", "type": "branch",
+                                  "snapshot-id": snapshot_id}])
+    write_table_metadata(tm, tm.location)
+    return tm
+
+
 def drop_ref(location, name: str) -> TableMetadata:
     tm = _load(location)
     if name == "main":

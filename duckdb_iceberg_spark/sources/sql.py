@@ -1036,6 +1036,8 @@ def _call_procs():
         rewrite_position_delete_files,
     )
 
+    from .ddl import fast_forward, rollback_to_snapshot, set_current_snapshot
+
     # name -> (fn, takes_spark)
     return {
         "rewrite_data_files": (rewrite_data_files, True),
@@ -1044,6 +1046,10 @@ def _call_procs():
         "remove_orphan_files": (remove_orphan_files, False),
         "rewrite_manifests": (rewrite_manifests, False),
         "add_files": (add_files, True),
+        # WAP / snapshot management (r12)
+        "fast_forward": (fast_forward, False),
+        "rollback_to_snapshot": (rollback_to_snapshot, False),
+        "set_current_snapshot": (set_current_snapshot, False),
     }
 
 
@@ -1133,7 +1139,13 @@ def _exec_call(spark: SparkSession, stmt: str) -> DataFrame:
     if view is not None:
         refresh_table(spark, view)
     if not isinstance(out, dict):
-        out = {"result": out}
+        cur = getattr(out, "current_snapshot", None)
+        if callable(cur):  # snapshot-management DDL returns TableMetadata
+            snap = cur()
+            out = {"current_snapshot_id":
+                   snap.snapshot_id if snap else None}
+        else:
+            out = {"result": out}
     cols = sorted(out)
     row = [tuple(str(out[c]) for c in cols)]
     return spark.createDataFrame(row, ", ".join(f"{c}: string" for c in cols))

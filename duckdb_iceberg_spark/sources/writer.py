@@ -1107,6 +1107,7 @@ def commit_snapshot(
     extra_summary: dict | None = None,
     commit_fn=None,
     pinned_data_sequence: int | None = None,
+    branch: str | None = None,
 ) -> Snapshot:
     """Stage and commit one snapshot (append/delete/overwrite/replace).
     Mirrors the reference's Finalize + transaction commit
@@ -1141,6 +1142,36 @@ def commit_snapshot(
             keep_existing=keep_existing, extra_summary=extra_summary,
             orig_data_row_ids=orig_data_row_ids,
             pinned_data_sequence=pinned_data_sequence)
+
+    if branch is not None and branch != "main":
+        # Write-Audit-Publish staging (the Spark branch-write analogue):
+        # the new snapshot's PARENT and carry-forward base are the BRANCH
+        # head (a missing branch forks from main's current head), the
+        # branch ref alone advances, and main's current-snapshot-id +
+        # snapshot-log stay untouched — readers of main never see staged
+        # work until fast_forward publishes it. Sequence numbers are
+        # table-global per spec, so the staged snapshot still claims the
+        # next one.
+        if commit_fn is not None:
+            raise NotImplementedError(
+                "branch commits are filesystem-table only (REST catalog "
+                "branch writes need set-snapshot-ref requirements)")
+        saved_cur = tm.current_snapshot_id
+        ref = tm.refs.get(branch)
+        if ref is not None:
+            if ref.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            tm.current_snapshot_id = ref["snapshot-id"]
+        try:
+            snap = _build(tm)
+        finally:
+            tm.current_snapshot_id = saved_cur
+        tm.snapshots.append(snap)
+        tm.last_sequence_number = snap.sequence_number
+        tm.refs[branch] = {"snapshot-id": snap.snapshot_id,
+                           "type": "branch"}
+        write_table_metadata(tm, tm.location)
+        return snap
 
     snap = _build(tm)
     if commit_fn is not None:
@@ -1551,12 +1582,16 @@ def write_iceberg(
     properties: dict[str, str] | None = None,
     format_version: int = 2,
     snapshot_properties: dict[str, str] | None = None,
+    branch: str | None = None,
 ) -> TableMetadata:
     """COPY (query) TO 'path' (FORMAT ICEBERG) analogue
     (reference: iceberg_copy_function.cpp:11-31): write parquet + author
     metadata at a bare filesystem path, creating the table if needed.
     ``snapshot_properties`` land in the snapshot summary (cf. the
-    reference's snapshot_property.* named params)."""
+    reference's snapshot_property.* named params). ``branch`` stages the
+    commit on a branch ref instead of main (Write-Audit-Publish: audit
+    via ``iceberg_scan(..., ref=branch)``, publish via
+    :func:`~duckdb_iceberg_spark.sources.ddl.fast_forward`)."""
     spark = df.sparkSession
     exists = current_version_number(location) > 0
     if exists and mode == "error":
@@ -1571,8 +1606,9 @@ def write_iceberg(
     data_files, _root = write_data_files(spark, df, tm)
     if mode == "overwrite" and exists:
         commit_snapshot(tm, operation="overwrite", new_data_files=data_files,
-                        keep_existing=False, extra_summary=snapshot_properties)
+                        keep_existing=False, extra_summary=snapshot_properties,
+                        branch=branch)
     else:
         commit_snapshot(tm, operation="append", new_data_files=data_files,
-                        extra_summary=snapshot_properties)
+                        extra_summary=snapshot_properties, branch=branch)
     return tm

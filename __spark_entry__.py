@@ -2570,6 +2570,31 @@ def emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_topk(codes, sq_quantize_query(qvec, bounds), topk=10)
 
 
+def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini-BPE tokenizer prep (NEW r12 — the tokenizer-aware sibling of
+    the whitespace/regex token counters): train 64 merges on a bounded
+    deterministic xxhash64-ordered sample (driver-side, O(sample) at any
+    corpus size — the PQ-codebook precedent), apply them distributed via
+    an Arrow-batched pandas UDF (BPE's greedy merge loop is the textbook
+    python-unavoidable case), aggregate subword-token stats per language.
+    Hash-checked: operator and oracle builder execute the SAME CPython
+    fit/apply functions, so every count is an exact engine-independent
+    integer replayed as literals."""
+    from duckdb_iceberg_spark.operators.bpe import bpe_token_counts, bpe_train
+
+    docs = _pq(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=64, sample_size=1024)
+    c = bpe_token_counts(docs, merges)
+    return (
+        c.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("bpe_tokens").alias("sum_tokens"),
+             F.min("bpe_tokens").alias("min_tokens"),
+             F.max("bpe_tokens").alias("max_tokens"))
+        .orderBy("lang")
+    )
+
+
 def docs_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard dedup (documented quadratic — the within-bucket
     refinement path; minhash is the corpus-scale entry). Hash-checked
@@ -3354,8 +3379,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deferred to r13 (r9-green; family covered in-window)
         "docs_token_count": docs_token_count,
         # NEW r12, never driver-checked — r13 window priority (b):
-        # scalar-quantized ANN (integer-exact codes + scores)
+        # scalar-quantized ANN (integer-exact codes + scores); mini-BPE
+        # tokenizer prep (driver fit + distributed apply)
         "emb_sq_topk": emb_sq_topk,
+        "docs_bpe_tokens": docs_bpe_tokens,
         # parked (driver-green r10/r11): the curation-composition pair —
         # the MoR+residual surface stays covered in-window by
         # ice_mor_delete_scan and the two r12 newcomers
@@ -4965,6 +4992,65 @@ def _knn_join_bucketed_sql(dim: int = 64, n_planes: int = 6, seed: int = 42,
     """
 
 
+def _bpe_sql(num_merges: int = 64, sample_size: int = 1024,
+             seed: int = 42) -> str:
+    """Literal-replay oracle for docs_bpe_tokens: re-derive the merge
+    table with the operator's OWN pure fit over the replica-ordered
+    sample (spark_xxhash64_long_intlit reproduces F.xxhash64 bit-exact),
+    apply the same CPython counting function to every row read via
+    DuckDB, aggregate in python, and emit the per-language stats as a
+    VALUES literal — integers only, nothing engine-dependent."""
+    from collections import Counter
+
+    import duckdb as _duck
+
+    from duckdb_iceberg_spark.functions.xxhash64 import (
+        spark_xxhash64_long_intlit,
+    )
+    from duckdb_iceberg_spark.operators.bpe import (
+        _words,
+        bpe_count_tokens_py,
+        bpe_fit,
+    )
+
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    con = _duck.connect()
+    rows = con.execute(
+        "SELECT doc_id, lang, text FROM read_parquet(?)", [path]).fetchall()
+    con.close()
+
+    sample = sorted(
+        (r for r in rows if r[2] is not None),
+        key=lambda r: spark_xxhash64_long_intlit(r[0], seed))[:sample_size]
+    wf: Counter = Counter()
+    for _id, _lang, text in sample:
+        wf.update(_words(text))
+    ranks = {p: i for i, p in enumerate(bpe_fit(wf, num_merges))}
+
+    agg: dict[str, list[int]] = {}
+    for _id, lang, text in rows:
+        n = bpe_count_tokens_py(text, ranks) if text is not None else 0
+        ent = agg.setdefault(lang, [0, 0, None, None])
+        ent[0] += 1
+        ent[1] += n
+        ent[2] = n if ent[2] is None else min(ent[2], n)
+        ent[3] = n if ent[3] is None else max(ent[3], n)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ",\n                   ".join(
+        f"('{esc(lang)}', CAST({e[0]} AS BIGINT), CAST({e[1]} AS BIGINT),"
+        f" CAST({e[2]} AS BIGINT), CAST({e[3]} AS BIGINT))"
+        for lang, e in sorted(agg.items()))
+    return f"""
+            SELECT * FROM (VALUES
+                   {vals})
+            AS t(lang, n_docs, sum_tokens, min_tokens, max_tokens)
+            ORDER BY lang
+    """
+
+
 def _sq_topk_sql(topk: int = 10) -> str:
     """DuckDB replica of the emb_sq_topk pipeline, with the bounds
     DERIVED INDEPENDENTLY: per-dimension min/max come from DuckDB's own
@@ -5274,6 +5360,7 @@ def _data_oracles() -> dict[str, str]:
             _ANN_ORACLE_CACHE[sf_dir] = {
                 "emb_pq_topk": _pq_topk_sql(),
                 "emb_sq_topk": _sq_topk_sql(),
+                "docs_bpe_tokens": _bpe_sql(),
                 "emb_ivf_topk": _ivf_topk_sql(),
                 "emb_kmeans": _kmeans_sql(),
                 "emb_semantic_dedup": _semdedup_sql(),

@@ -136,6 +136,8 @@ HEADLINE = [
     "ice_add_files_scan",
     # r12: scalar-quantized ANN (integer codes + integer dot top-k)
     "emb_sq_topk",
+    # r12: mini-BPE tokenizer prep (bounded driver fit + pandas-UDF apply)
+    "docs_bpe_tokens",
 ]
 
 

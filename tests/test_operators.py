@@ -1696,3 +1696,41 @@ def test_sq_quantization_parity_and_topk(spark):
     want = sorted(dots, key=lambda v: (-dots[v], v))[:2]
     assert [r.vec_id for r in got] == want
     assert [r.sq_score for r in got] == [dots[v] for v in want]
+
+
+def test_bpe_train_apply_deterministic(spark):
+    """r12 mini-BPE: the fit learns expected merges on a toy corpus
+    (ties → lexicographically smallest pair), apply counts subword
+    tokens greedily by rank, and the distributed UDF matches the pure
+    function; NULL text counts 0."""
+    from duckdb_iceberg_spark.operators.bpe import (
+        bpe_count_tokens_py,
+        bpe_fit,
+        bpe_token_counts,
+        bpe_train,
+    )
+    from collections import Counter
+
+    wf = Counter({"aaab": 10, "aab": 5})
+    merges = bpe_fit(wf, 2)
+    # 'aa' occurs 2x in aaab (overlap not double-counted: positions 0,1
+    # then 1,2 -> pairs (a,a) twice per word scan) weighted 10+... the
+    # top pair is ('a','a'); second round merges ('aa','a') or
+    # ('aa','b')-class deterministically
+    assert merges[0] == ("a", "a")
+    ranks = {p: i for i, p in enumerate(merges)}
+    n1 = bpe_count_tokens_py("aaab aab", ranks)
+    assert n1 == bpe_count_tokens_py("aaab", ranks) + \
+        bpe_count_tokens_py("aab", ranks)
+
+    rows = [(1, "aaab aab aaab"), (2, None), (3, "zz aaab")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    merges2 = bpe_train(df, num_merges=4, sample_size=10)
+    r2 = {p: i for i, p in enumerate(merges2)}
+    got = {r.doc_id: r.bpe_tokens
+           for r in bpe_token_counts(df, merges2).collect()}
+    assert got[2] == 0
+    for vid, text in ((1, rows[0][1]), (3, rows[2][1])):
+        assert got[vid] == bpe_count_tokens_py(text, r2), vid
+    # train excludes NULL text and is deterministic across calls
+    assert merges2 == bpe_train(df, num_merges=4, sample_size=10)

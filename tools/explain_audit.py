@@ -155,6 +155,7 @@ AUDIT = [
     "ice_delete_compaction_scan",
     "ice_add_files_scan",
     "emb_sq_topk",
+    "docs_bpe_tokens",
 ]
 
 

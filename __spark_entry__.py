@@ -2128,6 +2128,50 @@ def ice_add_files_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_wap(spark: SparkSession, sf_dir: str) -> str:
+    """Write-Audit-Publish over documents (NEW r12): base table on main,
+    then an 'audit' branch stages (a) an append of doc_id+1000000 clones
+    for lang='fr' and (b) nothing on main — main is verified untouched
+    mid-flight — then fast_forward publishes the branch to main. The
+    final scan must see base + staged rows; a leak of staged rows before
+    publish or a lost branch commit changes the counts."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+        from duckdb_iceberg_spark.sources.ddl import fast_forward
+
+        docs = _pq(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars")
+        write_iceberg(docs, loc)
+        staged = (docs.filter("lang = 'fr'")
+                  .withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+        write_iceberg(staged, loc, branch="audit")
+        # the audit gate: main must not see staged work pre-publish
+        n_main = iceberg_scan(spark, loc).count()
+        n_branch = iceberg_scan(spark, loc, ref="audit").count()
+        assert n_branch > n_main, "staged rows must live on the branch only"
+        fast_forward(loc, "main", "audit")
+
+    return _build_once(sf_dir, "documents_wap", build)
+
+
+def ice_wap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish end-to-end (NEW r12): branch-staged append →
+    audit (main isolation asserted in the fixture) → fast_forward
+    publish → aggregate over the published table. Hash-checked: the
+    oracle replays base ∪ staged-clone arithmetic from the raw rows."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_wap(spark, sf_dir)
+    t = iceberg_scan(spark, loc)
+    return (
+        t.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").cast("long").alias("sum_chars"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
 def _ice_documents_variant(spark: SparkSession, sf_dir: str) -> str:
     """documents metadata as a VARIANT column written through the real
     write path (unblocked in this container in r8): each row carries
@@ -3383,6 +3427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer prep (driver fit + distributed apply)
         "emb_sq_topk": emb_sq_topk,
         "docs_bpe_tokens": docs_bpe_tokens,
+        # NEW r12: Write-Audit-Publish (branch stage -> publish) scan
+        "ice_wap_scan": ice_wap_scan,
         # parked (driver-green r10/r11): the curation-composition pair —
         # the MoR+residual surface stays covered in-window by
         # ice_mor_delete_scan and the two r12 newcomers
@@ -6727,6 +6773,20 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (n_chars > 4500)
               AND NOT (doc_id % 100 = 13)
             GROUP BY lang ORDER BY lang
+        """,
+        # WAP (r12): replay base + staged-clone (fr rows under doc_id+1e6)
+        # arithmetic — a pre-publish leak or lost branch commit mismatches
+        "ice_wap_scan": """
+            WITH t AS (
+              SELECT doc_id, lang, n_chars FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+              FROM documents WHERE lang = 'fr'
+            )
+            SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   max(doc_id) AS max_id
+            FROM t GROUP BY lang ORDER BY lang
         """,
         # add_files import (r12): the table references the RAW corpus
         # parquet, renamed lang→language post-import (name-mapping read)

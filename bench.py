@@ -138,6 +138,8 @@ HEADLINE = [
     "emb_sq_topk",
     # r12: mini-BPE tokenizer prep (bounded driver fit + pandas-UDF apply)
     "docs_bpe_tokens",
+    # r12: Write-Audit-Publish (branch stage -> fast_forward publish)
+    "ice_wap_scan",
 ]
 
 

@@ -156,6 +156,7 @@ AUDIT = [
     "ice_add_files_scan",
     "emb_sq_topk",
     "docs_bpe_tokens",
+    "ice_wap_scan",
 ]
 
 

@@ -73,6 +73,24 @@ def _resolve_target(location):
     return table.metadata, committer
 
 
+def _branch_snapshot(tm: TableMetadata, committer, branch: str | None):
+    """The snapshot a DML should read: the branch head when ``branch``
+    names an existing branch (WAP staging — a missing branch forks from
+    main's head at commit time, matching the write path), else current.
+    Branch DML is filesystem-table only, like branch writes."""
+    if branch and branch != "main":
+        if committer is not None:
+            raise NotImplementedError(
+                "branch DML is filesystem-table only (REST catalog branch "
+                "commits need set-snapshot-ref requirements)")
+        ref = tm.refs.get(branch)
+        if ref is not None:
+            if ref.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            return tm.snapshot_by_id(ref["snapshot-id"])
+    return tm.select_snapshot()
+
+
 def _resolve_mode(tm: TableMetadata, explicit: str | None, prop: str) -> str:
     if explicit:
         return explicit
@@ -629,12 +647,14 @@ def delete_from(
     where: str,
     *,
     mode: str | None = None,
+    branch: str | None = None,
 ) -> TableMetadata:
     """DELETE FROM table WHERE … (reference: iceberg_delete.cpp).
     ``location`` may be a path or a catalog ``RestTable`` (snapshot then
-    commits through the catalog, not the filesystem metadata log)."""
+    commits through the catalog, not the filesystem metadata log).
+    ``branch`` stages the delete on a branch ref (WAP)."""
     tm, committer = _resolve_target(location)
-    snapshot = tm.select_snapshot()
+    snapshot = _branch_snapshot(tm, committer, branch)
     plan = plan_scan(tm, snapshot, where)
     if not plan.tasks:
         return tm  # nothing can match: no-op, no new snapshot
@@ -653,7 +673,8 @@ def delete_from(
             return tm
         commit_snapshot(tm, operation="delete", new_delete_files=delete_files,
                         superseded_dv_refs=superseded or None,
-                        commit_fn=committer("delete") if committer else None)
+                        commit_fn=committer("delete") if committer else None,
+                        branch=branch)
         return tm
 
     # copy-on-write: drop provably-all-match files, rewrite the rest
@@ -681,6 +702,7 @@ def delete_from(
         tm, operation=op,
         new_data_files=new_files, removed_data_paths=removed,
         commit_fn=committer(op) if committer else None,
+        branch=branch,
     )
     return tm
 
@@ -692,6 +714,7 @@ def delete_using(
     condition: str,
     *,
     mode: str | None = None,
+    branch: str | None = None,
 ) -> TableMetadata:
     """DELETE FROM table USING <rel> WHERE <condition> — delete every
     target row with at least one ``using`` match (reference:
@@ -706,7 +729,7 @@ def delete_using(
     CoW additionally collects only the distinct victim FILE paths
     (metadata-sized) to bound the rewrite to affected files."""
     tm, committer = _resolve_target(location)
-    snapshot = tm.select_snapshot()
+    snapshot = _branch_snapshot(tm, committer, branch)
     plan = plan_scan(tm, snapshot, None)
     if not plan.tasks:
         return tm
@@ -726,7 +749,8 @@ def delete_using(
             return tm
         commit_snapshot(tm, operation="delete", new_delete_files=delete_files,
                         superseded_dv_refs=superseded or None,
-                        commit_fn=committer("delete") if committer else None)
+                        commit_fn=committer("delete") if committer else None,
+                        branch=branch)
         return tm
 
     # copy-on-write: rewrite only files that lost rows, keeping survivors
@@ -749,6 +773,7 @@ def delete_using(
         tm, operation=op,
         new_data_files=new_files, removed_data_paths=removed,
         commit_fn=committer(op) if committer else None,
+        branch=branch,
     )
     return tm
 
@@ -760,13 +785,14 @@ def update_iceberg(
     where: str | None = None,
     *,
     mode: str | None = None,
+    branch: str | None = None,
 ) -> TableMetadata:
     """UPDATE table SET col = expr … WHERE … — delete+insert in ONE snapshot
     (reference: iceberg_update.cpp:46-66, AddUpdateSnapshot
     iceberg_insert.cpp:306-317). ``location`` may be a path or a catalog
-    ``RestTable``."""
+    ``RestTable``. ``branch`` stages the update on a branch ref (WAP)."""
     tm, committer = _resolve_target(location)
-    snapshot = tm.select_snapshot()
+    snapshot = _branch_snapshot(tm, committer, branch)
     plan = plan_scan(tm, snapshot, where)
     if not plan.tasks:
         return tm
@@ -800,7 +826,8 @@ def update_iceberg(
         commit_snapshot(tm, operation="overwrite", new_data_files=new_files,
                         new_delete_files=delete_files,
                         superseded_dv_refs=superseded or None,
-                        commit_fn=committer("overwrite") if committer else None)
+                        commit_fn=committer("overwrite") if committer else None,
+                        branch=branch)
         return tm
 
     # copy-on-write: rewrite candidate files with the SET applied to matches
@@ -811,7 +838,8 @@ def update_iceberg(
     removed = {t.data_file.file_path for t in plan.tasks}
     commit_snapshot(tm, operation="overwrite", new_data_files=new_files,
                     removed_data_paths=removed,
-                    commit_fn=committer("overwrite") if committer else None)
+                    commit_fn=committer("overwrite") if committer else None,
+                    branch=branch)
     return tm
 
 
@@ -1023,6 +1051,7 @@ def merge_into(
     when_not_matched_insert: Mapping[str, Any] | bool | None = None,
     mode: str | None = None,
     broadcast_source: bool = True,
+    branch: str | None = None,
 ) -> TableMetadata:
     """MERGE INTO target USING source ON cond — all WHEN clauses share one
     join of source and target (reference:
@@ -1066,7 +1095,7 @@ def merge_into(
         raise ValueError("MERGE INTO needs at least one WHEN clause")
 
     tm, committer = _resolve_target(location)
-    snapshot = tm.select_snapshot()
+    snapshot = _branch_snapshot(tm, committer, branch)
     plan = plan_scan(tm, snapshot, None)
     schema = [f.name for f in
               ice_types.schema_to_struct(plan.schema_json).fields]
@@ -1143,7 +1172,7 @@ def merge_into(
     if mode == "merge-on-read":
         return _merge_into_mor(
             spark, tm, plan, schema, clauses, affected_rows, upd_idx,
-            ins_parts, defaults, committer)
+            ins_parts, defaults, committer, branch=branch)
 
     new_parts: list[DataFrame] = []
     affected: set[str] = set()
@@ -1195,6 +1224,7 @@ def merge_into(
         tm, operation="overwrite", new_data_files=new_files,
         removed_data_paths=affected or None,
         commit_fn=committer("overwrite") if committer else None,
+        branch=branch,
     )
     return tm
 
@@ -1232,6 +1262,7 @@ def _merge_into_mor(
     ins_parts: list[DataFrame],
     defaults: dict | None = None,
     committer=None,
+    branch: str | None = None,
 ) -> TableMetadata:
     """Merge-on-read MERGE: rows that fired an update/delete clause become
     row deletes (Puffin DVs on v3, positional parquet on v2); updated and
@@ -1281,5 +1312,6 @@ def _merge_into_mor(
         new_data_files=new_files, new_delete_files=delete_files,
         superseded_dv_refs=superseded or None,
         commit_fn=committer("overwrite") if committer else None,
+        branch=branch,
     )
     return tm

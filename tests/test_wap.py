@@ -86,3 +86,43 @@ def test_rollback_and_set_current(spark, sf_dir, tmp_path):
     # timestamp log recorded the moves (last entry is s2)
     tm = load_table_metadata(loc)
     assert tm.snapshot_log[-1]["snapshot-id"] == s2
+
+
+def test_branch_dml_stages_delete_update_merge(spark, sf_dir, tmp_path):
+    """r12: DELETE/UPDATE/MERGE stage on a branch — main isolated until
+    fast_forward, the branch stacks all three, publish lands the net."""
+    from pyspark.sql import functions as F
+
+    from duckdb_iceberg_spark.sources.dml import (
+        delete_from,
+        merge_into,
+        update_iceberg,
+    )
+
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "t_wap_dml")
+    write_iceberg(src, loc)
+
+    delete_from(spark, loc, "n_nationkey < 5", mode="merge-on-read",
+                branch="audit")
+    update_iceberg(spark, loc, {"n_name": F.lit("fixed")},
+                   where="n_nationkey = 10", branch="audit")
+    upd = spark.createDataFrame([(24, "zz", 1)], src.schema)
+    merge_into(spark, loc, upd, on="tgt.n_nationkey = src.n_nationkey",
+               when_matched_update={"n_name": F.col("src.n_name")},
+               when_not_matched_insert=True, branch="audit")
+
+    # main untouched by all three
+    assert iceberg_scan(spark, loc).count() == src.count()
+    assert iceberg_scan(spark, loc).filter(
+        "n_name IN ('fixed', 'zz')").count() == 0
+
+    staged = iceberg_scan(spark, loc, ref="audit")
+    assert staged.count() == src.count() - 5
+    assert staged.filter("n_name = 'fixed'").count() == 1
+    assert staged.filter("n_name = 'zz'").count() == 1  # matched update
+
+    fast_forward(loc, "main", "audit")
+    pub = iceberg_scan(spark, loc)
+    assert pub.count() == src.count() - 5
+    assert pub.filter("n_name = 'fixed'").count() == 1

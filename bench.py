@@ -170,6 +170,9 @@ SF1_CANARIES = [
     # r11: the ORC write path's distributed stats aggregate + pruned
     # MoR scan under 10× rows
     "ice_orc_scan",
+    # r12: positional MoR over ORC (arrow-plane reads + delete anti-join)
+    # and the single-shuffle DSIR shape's stablemate BPE apply under 10×
+    "ice_orc_mor_scan", "docs_bpe_tokens",
 ]
 
 _SF1_GEN_VERSION = "v2"  # v2: embeddings scaled too (ANN canaries)

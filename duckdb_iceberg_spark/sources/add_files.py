@@ -96,9 +96,15 @@ def _parse_hive_partition(path: str, wanted: dict[str, str]) -> dict[str, Any]:
 
 
 #: iceberg primitive families whose parquet footer min/max convert safely
-#: to spec bounds (decimal/binary/fixed/uuid/time skipped — conservative:
-#: a file without bounds is scanned, never mis-pruned)
-_BOUND_SAFE = {"boolean", "int", "long", "float", "double", "string",
+#: to spec bounds. Skipped, conservative (a file without bounds is
+#: scanned, never mis-pruned): decimal/binary/fixed/uuid/time (encoding
+#: risk) and float/double — parquet footers carry no NaN counts, and a
+#: legacy writer's NaN-polluted min/max would mis-prune one direction of
+#: Spark's NaN-greatest semantics (the same reasoning our ORC writer
+#: applies in reverse, sources/writer.py NaN-bounds rule). String bounds
+#: are safe even when truncated: spec truncation keeps a valid
+#: lower-prefix / incremented-upper.
+_BOUND_SAFE = {"boolean", "int", "long", "string",
                "date", "timestamp", "timestamptz"}
 
 

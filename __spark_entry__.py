@@ -2838,6 +2838,74 @@ def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_stream_upserted(spark: SparkSession, sf_dir: str) -> str:
+    """CDC micro-batches through the r12 UPSERT sink: batch 0 streams the
+    whole corpus, batch 1 re-sends every doc_id % 5 == 0 key with
+    n_chars+1000, batch 2 re-sends every doc_id % 10 == 0 key with
+    n_chars+5000. Keep-LAST per key is forced by the sink's
+    equality-delete semantics (later batch deletes earlier rows), so the
+    final state is pure SQL: +5000 for %10 keys, else +1000 for %5 keys,
+    else raw. File mtimes force the FileStreamSource batch order."""
+    def build(loc: str) -> None:
+        import tempfile
+        import time as _time
+
+        from duckdb_iceberg_spark.streaming import iceberg_upsert_sink
+
+        docs = _pq(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        src_dir = tempfile.mkdtemp(prefix="stream_upsert_src")
+        data_dir = os.path.join(src_dir, "data")
+        batches = [
+            docs,
+            docs.filter("doc_id % 5 = 0")
+                .withColumn("n_chars", F.col("n_chars") + F.lit(1000)),
+            docs.filter("doc_id % 10 = 0")
+                .withColumn("n_chars", F.col("n_chars") + F.lit(5000)),
+        ]
+        for i, b in enumerate(batches):
+            p = os.path.join(data_dir, f"b{i}")
+            b.coalesce(1).write.mode("overwrite").parquet(p)
+            t = _time.time() - 300 + i * 60
+            for root, _d, fs in os.walk(p):
+                for f in fs:
+                    os.utime(os.path.join(root, f), (t, t))
+        stream = (spark.readStream
+                  .schema("doc_id long, lang string, n_chars long")
+                  .option("maxFilesPerTrigger", 1)
+                  .option("latestFirst", "false")
+                  .parquet(os.path.join(data_dir, "*")))
+        q = (stream.writeStream
+             .foreachBatch(iceberg_upsert_sink(loc, ["doc_id"],
+                                               query_id="upsq"))
+             .option("checkpointLocation",
+                     os.path.join(src_dir, "_ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(300)
+
+    return _build_once(sf_dir, "stream_upserted", build)
+
+
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 streaming CDC-upsert sink end-to-end (the Flink upsert-sink
+    pattern): three ordered micro-batches where later batches re-send
+    keys with bumped values; equality-delete upserts keep the LAST
+    version per key. Hash-checked: the oracle replays the keep-last
+    arithmetic from the raw rows — a lost delete (stale duplicate kept)
+    or a mis-ordered batch changes counts and sums."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_stream_upserted(spark, sf_dir)
+    return (
+        iceberg_scan(spark, loc)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").cast("long").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
 def _ice_stream_curated(spark: SparkSession, sf_dir: str) -> str:
     """The streaming-ingest curation pipeline: documents arrive in four
     ascending doc_id-range batches (file mtimes force the FileStreamSource
@@ -3427,8 +3495,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer prep (driver fit + distributed apply)
         "emb_sq_topk": emb_sq_topk,
         "docs_bpe_tokens": docs_bpe_tokens,
-        # NEW r12: Write-Audit-Publish (branch stage -> publish) scan
+        # NEW r12: Write-Audit-Publish (branch stage -> publish) scan;
+        # streaming CDC-upsert sink roundtrip
         "ice_wap_scan": ice_wap_scan,
+        "stream_upsert_sink": stream_upsert_sink,
         # parked (driver-green r10/r11): the curation-composition pair —
         # the MoR+residual surface stays covered in-window by
         # ice_mor_delete_scan and the two r12 newcomers
@@ -6773,6 +6843,20 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (n_chars > 4500)
               AND NOT (doc_id % 100 = 13)
             GROUP BY lang ORDER BY lang
+        """,
+        # streaming upsert sink (r12): keep-LAST per key across three
+        # ordered CDC batches — %10 keys got +5000 last, else %5 +1000
+        "stream_upsert_sink": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 10 = 0 THEN n_chars + 5000
+                          WHEN doc_id % 5 = 0 THEN n_chars + 1000
+                          ELSE n_chars END AS n_chars
+              FROM documents
+            )
+            SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM t GROUP BY lang ORDER BY lang
         """,
         # WAP (r12): replay base + staged-clone (fr rows under doc_id+1e6)
         # arithmetic — a pre-publish leak or lost branch commit mismatches

@@ -140,6 +140,8 @@ HEADLINE = [
     "docs_bpe_tokens",
     # r12: Write-Audit-Publish (branch stage -> fast_forward publish)
     "ice_wap_scan",
+    # r12: streaming CDC-upsert sink (keep-last per key, exactly-once)
+    "stream_upsert_sink",
 ]
 
 

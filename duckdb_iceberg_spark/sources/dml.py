@@ -557,6 +557,8 @@ def upsert_equality(
     location: str,
     df: DataFrame,
     key_columns: list[str],
+    *,
+    snapshot_properties: dict[str, str] | None = None,
 ) -> TableMetadata:
     """CDC-style merge-on-read upsert (the Flink-connector pattern): ONE
     snapshot carrying an equality-delete file for the incoming keys plus
@@ -600,7 +602,8 @@ def upsert_equality(
     new_files, _root = write_data_files(spark, df, tm)
     commit_snapshot(tm, operation="overwrite",
                     new_data_files=new_files, new_delete_files=delete_files,
-                    commit_fn=committer("overwrite") if committer else None)
+                    commit_fn=committer("overwrite") if committer else None,
+                    extra_summary=snapshot_properties)
     return tm
 
 

@@ -3,7 +3,8 @@ Source stream reader, and event-time window helpers."""
 
 from .changelog import changelog_scan  # noqa: F401
 from .incremental import appended_snapshots, incremental_scan  # noqa: F401
-from .sink import iceberg_sink, last_committed_batch  # noqa: F401
+from .sink import (iceberg_sink, iceberg_upsert_sink,  # noqa: F401
+                   last_committed_batch)
 from .source import (  # noqa: F401
     FORMAT_NAME,
     IcebergStreamDataSource,

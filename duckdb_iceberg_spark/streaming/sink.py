@@ -75,3 +75,51 @@ def iceberg_sink(
                                  _BATCH_PROP: str(batch_id)})
 
     return write_batch
+
+
+def iceberg_upsert_sink(
+    location: str,
+    key_columns: list[str],
+    *,
+    query_id: str | None = None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` function CDC-UPSERTING micro-batches into
+    the Iceberg table at ``location`` (NEW r12 — the Flink-connector
+    upsert-sink pattern): each batch commits ONE snapshot carrying an
+    equality-delete file for the incoming keys plus the new data files,
+    so replays of the same key within later batches replace earlier rows
+    while concurrent readers only ever see whole batches. Exactly-once
+    via the same batch-id idempotence the append sink uses: a replayed
+    micro-batch (restart between sink commit and checkpoint) is detected
+    by the recorded query/batch snapshot properties and skipped.
+
+    Precondition: each micro-batch carries at most one row per key (the
+    usual CDC-compaction contract — apply ``transform`` to keep-last
+    per key if the stream may contain intra-batch duplicates)."""
+    from ..sources.dml import upsert_equality
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        qid = query_id
+        if qid is None:
+            streams = batch_df.sparkSession.streams.active
+            qid = str(streams[-1].id) if streams else "default"
+        done = last_committed_batch(location, qid)
+        if done is not None and batch_id <= done:
+            return  # replayed batch: already committed
+        if transform is not None:
+            batch_df = transform(batch_df)
+        if len(batch_df.take(1)) == 0:
+            return  # empty batch: no snapshot
+        from ..sources.writer import current_version_number, write_iceberg
+
+        props = {_QUERY_PROP: qid, _BATCH_PROP: str(batch_id)}
+        if current_version_number(location) == 0:
+            # first batch creates the table — no prior rows to delete
+            write_iceberg(batch_df, location, snapshot_properties=props)
+            return
+        upsert_equality(
+            batch_df.sparkSession, location, batch_df, key_columns,
+            snapshot_properties=props)
+
+    return write_batch

@@ -437,3 +437,35 @@ def test_stateful_dedup_ttl_repeat_then_silence_gc(spark, tmp_path):
     assert rows_total == 1
     got = {(r.k, r.payload) for r in spark.read.parquet(out).collect()}
     assert got == {(9, "x1"), (10, "y")}
+
+
+def test_iceberg_upsert_sink_exactly_once_cdc(spark, tmp_path):
+    """r12 upsert sink: micro-batches CDC-upsert on key — later batches
+    replace earlier rows with the same key, replays are no-ops, the
+    first batch creates the table."""
+    from duckdb_iceberg_spark import iceberg_scan
+    from duckdb_iceberg_spark.streaming import (
+        iceberg_upsert_sink,
+        last_committed_batch,
+    )
+
+    loc = str(tmp_path / "upsink")
+    writer = iceberg_upsert_sink(loc, ["id"], query_id="uq1")
+
+    writer(spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "id: long, v: string"), 0)
+    writer(spark.createDataFrame(
+        [(1, "B"), (3, "d")], "id: long, v: string"), 1)
+    got = {r.id: r.v for r in iceberg_scan(spark, loc).collect()}
+    assert got == {0: "a", 1: "B", 2: "c", 3: "d"}
+    assert last_committed_batch(loc, "uq1") == 1
+
+    # replayed batch: no duplicate, no extra snapshot
+    writer(spark.createDataFrame([(1, "B"), (3, "d")],
+                                 "id: long, v: string"), 1)
+    got = {r.id: r.v for r in iceberg_scan(spark, loc).collect()}
+    assert got == {0: "a", 1: "B", 2: "c", 3: "d"}
+
+    writer(spark.createDataFrame([(0, "A2")], "id: long, v: string"), 2)
+    got = {r.id: r.v for r in iceberg_scan(spark, loc).collect()}
+    assert got == {0: "A2", 1: "B", 2: "c", 3: "d"}

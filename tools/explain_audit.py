@@ -157,6 +157,7 @@ AUDIT = [
     "emb_sq_topk",
     "docs_bpe_tokens",
     "ice_wap_scan",
+    "stream_upsert_sink",
 ]
 
 

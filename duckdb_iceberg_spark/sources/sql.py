@@ -570,8 +570,27 @@ def _exec_alter(spark: SparkSession, stmt: str) -> DataFrame:
     name, action = m.group(1), m.group(2).strip()
     view, loc = _target_of(spark, name)  # path or RestTable (ddl handles both)
 
-    if (pm := re.match(r"SET\s+PARTITIONED\s+BY\s*\((.*)\)\s*$",
-                       action, re.I | re.S)):
+    if (pm := re.match(
+            r"CREATE\s+(BRANCH|TAG)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
+            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$", action, re.I)):
+        # Spark-Iceberg branching DDL (r12): CREATE BRANCH/TAG [AS OF
+        # VERSION <snapshot-id>] — composes with branch writes/DML + the
+        # CALL fast_forward publish step
+        kind, ref, snap = pm.group(1).lower(), pm.group(2), pm.group(3)
+        fn = ddl.create_branch if kind == "branch" else ddl.create_tag
+        tm = fn(loc, ref, int(snap) if snap else None)
+        op = f"ALTER CREATE {kind.upper()}"
+    elif (pm := re.match(r"DROP\s+(?:BRANCH|TAG)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+                         action, re.I)):
+        try:
+            tm = ddl.drop_ref(loc, pm.group(1))
+        except KeyError:
+            if "IF EXISTS" not in action.upper():
+                raise
+            tm = ddl._load(loc)
+        op = "ALTER DROP REF"
+    elif (pm := re.match(r"SET\s+PARTITIONED\s+BY\s*\((.*)\)\s*$",
+                         action, re.I | re.S)):
         tm = ddl.set_partitioned_by(loc, _split_top_commas(pm.group(1)))
         op = "ALTER SET PARTITIONED BY"
     elif (pm := re.match(r"SET\s+SORTED\s+BY\s*\((.*)\)\s*$",

@@ -525,3 +525,36 @@ def test_call_procedures_surface(spark, sf_dir, tmp_path):
 
     with _pt.raises(ValueError, match="unknown procedure"):
         execute_sql(spark, "CALL no_such_proc('x')")
+
+
+def test_alter_branch_tag_ddl(spark, sf_dir, tmp_path):
+    """r12 branching DDL: CREATE/DROP BRANCH/TAG via ALTER TABLE, composed
+    with the CALL fast_forward publish step."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    from .conftest import load
+
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "t_refddl")
+    write_iceberg(src, loc)
+    register_table(spark, "refddl", loc)
+
+    execute_sql(spark, "ALTER TABLE refddl CREATE BRANCH audit")
+    execute_sql(spark, "ALTER TABLE refddl CREATE TAG v1")
+    tm = load_table_metadata(loc)
+    assert tm.refs["audit"]["type"] == "branch"
+    assert tm.refs["v1"]["type"] == "tag"
+
+    write_iceberg(src.limit(2), loc, branch="audit")
+    out = execute_sql(
+        spark, "CALL fast_forward('refddl', 'main', 'audit')").first()
+    assert int(out.current_snapshot_id) == \
+        load_table_metadata(loc).refs["audit"]["snapshot-id"]
+    assert spark.sql("SELECT count(*) FROM refddl").first()[0] == \
+        src.count() + 2
+
+    execute_sql(spark, "ALTER TABLE refddl DROP TAG v1")
+    assert "v1" not in load_table_metadata(loc).refs
+    execute_sql(spark, "ALTER TABLE refddl DROP TAG IF EXISTS v1")  # no-op

@@ -222,7 +222,90 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("iceberg_truncate", _trunc_int_sql)
     spark.udf.register("iceberg_truncate_string", _trunc_str_sql)
     spark.udf.register("iceberg_truncate_binary", _trunc_bin_sql)
+    _register_metadata_udtfs(spark)
     spark._iceberg_sql_fns_registered = True
+
+
+def _register_metadata_udtfs(spark) -> None:
+    """The reference's metadata TABLE functions as Spark 4 Python UDTFs
+    (r12) — ``SELECT * FROM iceberg_snapshots('path')`` works verbatim
+    like DuckDB after extension load (reference registration:
+    src/function/iceberg_functions.cpp — iceberg_snapshots/
+    iceberg_metadata; plus our refs surface). Column sets mirror the
+    DataFrame metadata tables in :mod:`..sources.metadata_tables`
+    (reference schemas: iceberg_metadata.cpp IcebergManifestNames/
+    EntryNames). UDTF eval runs in executor workers: filesystem table
+    paths only — catalog/object-store tables use the DataFrame API,
+    which plans driver-side with the session's FileIO registry."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "sequence_number long, snapshot_id long, timestamp_ms timestamp, "
+        "manifest_list string, operation string"))
+    class _SnapshotsUDTF:
+        def eval(self, path: str):
+            import datetime as _dt
+
+            from duckdb_iceberg_spark.metadata.table_metadata import (
+                load_table_metadata,
+            )
+
+            tm = load_table_metadata(path)
+            for s in tm.snapshots:
+                yield (s.sequence_number, s.snapshot_id,
+                       _dt.datetime.fromtimestamp(
+                           s.timestamp_ms / 1000, tz=_dt.timezone.utc),
+                       s.manifest_list or None, s.operation)
+
+    @udtf(returnType=(
+        "manifest_path string, manifest_sequence_number long, "
+        "manifest_content string, status string, content string, "
+        "file_path string, file_format string, record_count long, "
+        "data_sequence_number long, file_sequence_number long, "
+        "file_size_in_bytes long"))
+    class _MetadataUDTF:
+        def eval(self, path: str):
+            from duckdb_iceberg_spark.metadata import manifest as mf
+            from duckdb_iceberg_spark.metadata.table_metadata import (
+                load_table_metadata,
+            )
+            from duckdb_iceberg_spark.plans.scan_plan import (
+                _localize,
+                manifests_for_snapshot,
+            )
+
+            status_names = {0: "EXISTING", 1: "ADDED", 2: "DELETED"}
+            content_names = {0: "DATA", 1: "POSITION_DELETES",
+                             2: "EQUALITY_DELETES"}
+            tm = load_table_metadata(path)
+            snap = tm.select_snapshot()
+            if snap is None or not (snap.manifest_list or snap.manifests):
+                return
+            for m in manifests_for_snapshot(tm, snap):
+                mc = "DELETE" if m.content == mf.MANIFEST_DELETES else "DATA"
+                for e in mf.read_manifest(_localize(tm, m.manifest_path)):
+                    d = e.data_file
+                    yield (m.manifest_path, m.sequence_number, mc,
+                           status_names.get(e.status, str(e.status)),
+                           content_names.get(d.content, str(d.content)),
+                           d.file_path, d.file_format,
+                           d.record_count, e.sequence_number,
+                           e.file_sequence_number, d.file_size_in_bytes)
+
+    @udtf(returnType="name string, type string, snapshot_id long")
+    class _RefsUDTF:
+        def eval(self, path: str):
+            from duckdb_iceberg_spark.metadata.table_metadata import (
+                load_table_metadata,
+            )
+
+            tm = load_table_metadata(path)
+            for name, ref in sorted(tm.refs.items()):
+                yield (name, ref.get("type"), ref.get("snapshot-id"))
+
+    spark.udtf.register("iceberg_snapshots", _SnapshotsUDTF)
+    spark.udtf.register("iceberg_metadata", _MetadataUDTF)
+    spark.udtf.register("iceberg_refs", _RefsUDTF)
 
 
 __all__ = ["iceberg_bucket", "iceberg_truncate", "register_sql_functions"]

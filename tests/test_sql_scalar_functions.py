@@ -140,3 +140,51 @@ def test_bucket_rejects_fractional_doubles_loudly(spark):
         spark.sql("SELECT iceberg_bucket(16, v) FROM frac_doubles").collect()
     with pytest.raises(Exception, match="integer overload|double overload"):
         spark.sql("SELECT iceberg_truncate(10, v) FROM frac_doubles").collect()
+
+
+def test_metadata_table_functions_udtf(spark, sf_dir, tmp_path):
+    """r12: the reference's metadata TABLE functions work verbatim in SQL
+    — SELECT * FROM iceberg_snapshots('path') / iceberg_metadata /
+    iceberg_refs — via Spark 4 Python UDTFs, matching the DataFrame
+    metadata tables row for row."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.functions import register_sql_functions
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from duckdb_iceberg_spark.sources.ddl import create_tag
+    from duckdb_iceberg_spark.sources import metadata_tables as mt
+
+    from .conftest import load
+
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "t_udtf")
+    write_iceberg(src, loc)
+    delete_from(spark, loc, "r_regionkey = 0", mode="merge-on-read")
+    create_tag(loc, "v1")
+    register_sql_functions(spark)
+
+    esc = loc.replace("'", "''")
+    snaps = spark.sql(
+        f"SELECT * FROM iceberg_snapshots('{esc}') ORDER BY sequence_number"
+    ).collect()
+    want = mt.iceberg_snapshots(spark, loc).orderBy("sequence_number").collect()
+    assert [(r.snapshot_id, r.operation) for r in snaps] == \
+        [(r.snapshot_id, r.operation) for r in want]
+    assert len(snaps) == 2 and snaps[-1].operation == "delete"
+
+    meta = spark.sql(
+        f"SELECT content, count(*) AS n FROM iceberg_metadata('{esc}') "
+        "GROUP BY content ORDER BY content").collect()
+    got = {r.content: r.n for r in meta}
+    assert got.get("DATA", 0) >= 1 and got.get("POSITION_DELETES", 0) >= 1
+
+    refs = spark.sql(
+        f"SELECT * FROM iceberg_refs('{esc}') ORDER BY name").collect()
+    assert [(r.name, r.type) for r in refs] == \
+        [("main", "branch"), ("v1", "tag")]
+
+    # composes with plain SQL (join the snapshots list against itself)
+    n = spark.sql(
+        f"SELECT count(*) FROM iceberg_snapshots('{esc}') a "
+        f"JOIN iceberg_refs('{esc}') b ON a.snapshot_id = b.snapshot_id"
+    ).first()[0]
+    assert n == 2  # main + v1 point at the delete snapshot

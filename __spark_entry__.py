@@ -3423,6 +3423,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              full TPC-H (all 23 green r11), and the r10 window cohort.
              Everything parked stays oracle-checked in every local
              sweep.
+
+    r13 rotation plan: priority (b) first — the five never-driver-
+    checked r12 newcomers parked past the boundary (docs_token_count,
+    deferred this round; emb_sq_topk; docs_bpe_tokens; ice_wap_scan;
+    stream_upsert_sink) — then the r10 window cohort (parked three
+    rounds by r13, the every-third-round deadline, 29 entries) fills
+    the rest; the r11-green TPC-H block is due back by r14.
     """
     return {
         # 1 — r11 driver RED (stays until green; its fix landed this round)

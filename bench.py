@@ -175,6 +175,8 @@ SF1_CANARIES = [
     # r12: positional MoR over ORC (arrow-plane reads + delete anti-join)
     # and the single-shuffle DSIR shape's stablemate BPE apply under 10×
     "ice_orc_mor_scan", "docs_bpe_tokens",
+    # r12: SQ ANN under 10x vectors (0-exchange linear scan + TakeOrdered)
+    "emb_sq_topk",
 ]
 
 _SF1_GEN_VERSION = "v2"  # v2: embeddings scaled too (ANN canaries)

@@ -96,7 +96,13 @@ def iceberg_upsert_sink(
 
     Precondition: each micro-batch carries at most one row per key (the
     usual CDC-compaction contract — apply ``transform`` to keep-last
-    per key if the stream may contain intra-batch duplicates)."""
+    per key if the stream may contain intra-batch duplicates).
+
+    Long streams stack one equality-delete file per batch (each scan
+    then pays one broadcast anti-join per stacked file) — schedule
+    ``rewrite_position_delete_files(..., convert_equality=True)``
+    periodically to materialize the stack into per-file positional
+    deletes, exactly the Flink + maintenance-job deployment shape."""
     from ..sources.dml import upsert_equality
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -681,3 +681,25 @@ def rewrite_position_delete_files(
     summary["added_delete_files_count"] = len(new_files)
     summary["snapshot_id"] = snap.snapshot_id
     return summary
+
+
+def vacuum(
+    spark: SparkSession,
+    location: str,
+    *,
+    older_than_ms: int | None = None,
+    retain_last: int = 1,
+) -> dict[str, Any]:
+    """Housekeeping combo (the DuckDB-style ``VACUUM`` verb over Iceberg):
+    expire old snapshots, then reclaim orphan files — one call for the
+    nightly maintenance job. ``spark`` is accepted for CALL-surface
+    uniformity (both steps are metadata/driver-side IO)."""
+    del spark  # metadata-only; parameter kept for procedure uniformity
+    exp = expire_snapshots(location, older_than_ms=older_than_ms,
+                           retain_last=retain_last)
+    orph = remove_orphan_files(location, older_than_ms=older_than_ms)
+    out: dict[str, Any] = {}
+    for prefix, d in (("expire", exp), ("orphan", orph)):
+        for k, v in (d.items() if isinstance(d, dict) else []):
+            out[f"{prefix}_{k}"] = v
+    return out

@@ -1053,6 +1053,7 @@ def _call_procs():
         rewrite_data_files,
         rewrite_manifests,
         rewrite_position_delete_files,
+        vacuum,
     )
 
     from .ddl import fast_forward, rollback_to_snapshot, set_current_snapshot
@@ -1064,6 +1065,7 @@ def _call_procs():
         "expire_snapshots": (expire_snapshots, False),
         "remove_orphan_files": (remove_orphan_files, False),
         "rewrite_manifests": (rewrite_manifests, False),
+        "vacuum": (vacuum, True),
         "add_files": (add_files, True),
         # WAP / snapshot management (r12)
         "fast_forward": (fast_forward, False),

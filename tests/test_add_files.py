@@ -166,3 +166,38 @@ def test_build_name_mapping_nested():
     assert m[0] == {"field-id": 1, "names": ["a"]}
     assert m[1]["fields"] == [{"field-id": 3, "names": ["x"]}]
     assert m[2]["fields"] == [{"field-id": 5, "names": ["element"]}]
+
+
+def test_add_files_distributed_stats_fanout(spark, sf_dir, tmp_path,
+                                            monkeypatch):
+    """The footer-stat collection takes the mapInPandas executor path
+    above the cutoff (forced down to 2 here): same entries, same bounds,
+    pruning still works after the JSON round-trip."""
+    from duckdb_iceberg_spark.sources import add_files as af_mod
+
+    df = spark.range(0, 400).selectExpr(
+        "id", "CAST(id AS STRING) AS s", "CAST(id AS DOUBLE) AS d")
+    files = []
+    for i in range(4):
+        files += _plain_parquet(
+            spark, df.filter(f"id >= {i*100} AND id < {(i+1)*100}"),
+            str(tmp_path / f"part{i}"), 1)
+
+    monkeypatch.setattr(af_mod, "_STATS_DRIVER_MAX", 2)
+    loc = str(tmp_path / "t_fanout")
+    out = af_mod.add_files(spark, loc, files)
+    assert out["added_files_count"] == 4
+    assert out["added_rows_count"] == 400
+
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    tm = load_table_metadata(loc)
+    pruned = plan_scan(tm, tm.select_snapshot(), where="id >= 350")
+    assert len(pruned.tasks) == 1, "executor-collected bounds must prune"
+    for t in plan_scan(tm, tm.select_snapshot()).tasks:
+        # doubles carry no bounds (NaN-ambiguity rule), longs/strings do
+        fids = set((t.data_file.lower_bounds or {}).keys())
+        assert len(fids) == 2, fids
+    got = iceberg_scan(spark, loc, where="id >= 350")
+    assert sorted(r.id for r in got.collect()) == list(range(350, 400))

@@ -612,3 +612,24 @@ def test_rewrite_position_deletes_converts_equality(spark, sf_dir, tmp_path):
     got = sorted((r.n_nationkey, r.n_name) for r in iceberg_scan(
         spark, loc).select("n_nationkey", "n_name").collect())
     assert got == want
+
+
+def test_vacuum_combo(spark, tmp_path):
+    """r12 vacuum = expire_snapshots + remove_orphan_files in one call,
+    CALL-able; old snapshots gone, current scan intact."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.maintenance import vacuum
+
+    loc = str(tmp_path / "t_vacuum")
+    write_iceberg(spark.range(0, 50).selectExpr("id"), loc)
+    write_iceberg(spark.range(50, 80).selectExpr("id"), loc)
+    write_iceberg(spark.range(80, 90).selectExpr("id"), loc)
+    assert len(load_table_metadata(loc).snapshots) == 3
+
+    out = vacuum(spark, loc, retain_last=1)
+    assert any(k.startswith("expire") for k in out)
+    tm = load_table_metadata(loc)
+    assert len(tm.snapshots) == 1
+    assert sorted(r.id for r in iceberg_scan(spark, loc).collect()) == \
+        list(range(90))

@@ -832,12 +832,20 @@ class RestTable:
         return True
 
     def commit_snapshot(self, snapshot_json: dict, *,
-                        operation: str = "append", rebuild_fn=None) -> dict:
+                        operation: str = "append", rebuild_fn=None,
+                        branch: str | None = None) -> dict:
         """Optimistic commit with retry: on 409 refresh and re-validate.
         Appends are always retry-eligible; deletes/overwrites retry only
         when every intervening snapshot was a pure append (reference:
         iceberg_transaction.cpp VerifyDeleteRetryability, :243-273),
         otherwise the conflict surfaces to the caller to re-run.
+
+        ``branch`` (r12) commits against a branch ref instead of main:
+        the CAS requirement asserts THAT ref's head (None = the ref must
+        not exist yet — a new branch forks atomically), only the branch
+        ref advances, and main never moves. Branch conflicts retry for
+        appends only; the delete-reapply analysis walks main lineage and
+        does not transfer, so non-append branch conflicts surface.
 
         ``rebuild_fn(refreshed_metadata) -> Snapshot`` is REQUIRED for a
         retry to actually happen: the staged snapshot's manifest list was
@@ -848,6 +856,7 @@ class RestTable:
         manifest-list authoring (and v3 row-id assignment) against the
         refreshed metadata. Without one, conflicts surface immediately."""
         append_retryable = operation == "append"
+        ref_name = branch or "main"
         base_snapshot_id = self.metadata.current_snapshot_id
         # retry-state fingerprint (reference: iceberg_transaction_data.cpp
         # RetryStateMatches, :160-178): the staged data files were written
@@ -874,18 +883,19 @@ class RestTable:
                     and snapshot_json.get("first-row-id") is None):
                 snapshot_json = dict(snapshot_json)
                 snapshot_json["first-row-id"] = self.metadata.next_row_id
-            cur = self.metadata.current_snapshot_id
+            if ref_name == "main":
+                cur = self.metadata.current_snapshot_id
+            else:
+                cur = (self.metadata.refs.get(ref_name) or {}).get(
+                    "snapshot-id")
             requirements: list[dict] = [{"type": "assert-table-uuid",
                                          "uuid": self.metadata.table_uuid}]
-            if cur is None:
-                requirements.append({"type": "assert-ref-snapshot-id",
-                                     "ref": "main", "snapshot-id": None})
-            else:
-                requirements.append({"type": "assert-ref-snapshot-id",
-                                     "ref": "main", "snapshot-id": cur})
+            requirements.append({"type": "assert-ref-snapshot-id",
+                                 "ref": ref_name,
+                                 "snapshot-id": cur})
             updates = [
                 {"action": "add-snapshot", "snapshot": snapshot_json},
-                {"action": "set-snapshot-ref", "ref-name": "main",
+                {"action": "set-snapshot-ref", "ref-name": ref_name,
                  "type": "branch",
                  "snapshot-id": snapshot_json["snapshot-id"]},
             ]
@@ -905,6 +915,10 @@ class RestTable:
                         409,
                         f"Table {self.namespace}.{self.name} changed "
                         "incompatibly while retrying commit") from e
+                if branch and branch != "main" and not append_retryable:
+                    # delete-reapply analysis walks MAIN lineage — it does
+                    # not transfer to branch heads; surface the conflict
+                    raise
                 if not append_retryable and not self._delete_can_reapply(
                         base_snapshot_id):
                     raise
@@ -961,7 +975,12 @@ class _StagedTable:
         return self
 
     def commit_snapshot(self, snapshot_json: dict, *,
-                        operation: str = "append", rebuild_fn=None) -> dict:
+                        operation: str = "append", rebuild_fn=None,
+                        branch: str | None = None) -> dict:
+        if branch and branch != "main":
+            raise NotImplementedError(
+                "branch commits inside a catalog transaction are not "
+                "supported (the staged chain tracks main)")
         # staged: conflicts surface at CatalogTransaction.commit(); the
         # rebuilder is unused because nothing is POSTed here. The snapshot
         # is applied to the LOCAL metadata copy so later statements in the

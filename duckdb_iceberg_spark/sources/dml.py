@@ -67,8 +67,8 @@ def _resolve_target(location):
     table = location.refresh()
 
     def committer(op: str):
-        return lambda snap, rebuild=None: table.commit_snapshot(
-            snap.to_json(), operation=op, rebuild_fn=rebuild)
+        return lambda snap, rebuild=None, branch=None: table.commit_snapshot(
+            snap.to_json(), operation=op, rebuild_fn=rebuild, branch=branch)
 
     return table.metadata, committer
 
@@ -77,12 +77,10 @@ def _branch_snapshot(tm: TableMetadata, committer, branch: str | None):
     """The snapshot a DML should read: the branch head when ``branch``
     names an existing branch (WAP staging — a missing branch forks from
     main's head at commit time, matching the write path), else current.
-    Branch DML is filesystem-table only, like branch writes."""
+    Works for filesystem tables AND catalog RestTables (r12 — the REST
+    commit asserts/sets the branch ref); catalog TRANSACTIONS stage main
+    only and refuse a branch at commit."""
     if branch and branch != "main":
-        if committer is not None:
-            raise NotImplementedError(
-                "branch DML is filesystem-table only (REST catalog branch "
-                "commits need set-snapshot-ref requirements)")
         ref = tm.refs.get(branch)
         if ref is not None:
             if ref.get("type") != "branch":

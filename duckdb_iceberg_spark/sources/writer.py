@@ -1152,20 +1152,27 @@ def commit_snapshot(
         # work until fast_forward publishes it. Sequence numbers are
         # table-global per spec, so the staged snapshot still claims the
         # next one.
+        def _build_branch(tm2: TableMetadata) -> Snapshot:
+            # parent + carry-forward base = the branch head of WHATEVER
+            # metadata the (possibly refreshed) build runs against
+            saved2 = tm2.current_snapshot_id
+            ref2 = tm2.refs.get(branch)
+            if ref2 is not None:
+                if ref2.get("type") != "branch":
+                    raise ValueError(
+                        f"ref {branch!r} is a tag, not a branch")
+                tm2.current_snapshot_id = ref2["snapshot-id"]
+            try:
+                return _build(tm2)
+            finally:
+                tm2.current_snapshot_id = saved2
+
+        snap = _build_branch(tm)
         if commit_fn is not None:
-            raise NotImplementedError(
-                "branch commits are filesystem-table only (REST catalog "
-                "branch writes need set-snapshot-ref requirements)")
-        saved_cur = tm.current_snapshot_id
-        ref = tm.refs.get(branch)
-        if ref is not None:
-            if ref.get("type") != "branch":
-                raise ValueError(f"ref {branch!r} is a tag, not a branch")
-            tm.current_snapshot_id = ref["snapshot-id"]
-        try:
-            snap = _build(tm)
-        finally:
-            tm.current_snapshot_id = saved_cur
+            # REST catalog: the commit asserts/sets the BRANCH ref; a
+            # conflict rebuild re-runs against the refreshed branch head
+            commit_fn(snap, _build_branch, branch=branch)
+            return snap
         tm.snapshots.append(snap)
         tm.last_sequence_number = snap.sequence_number
         tm.refs[branch] = {"snapshot-id": snap.snapshot_id,

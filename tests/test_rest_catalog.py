@@ -198,7 +198,11 @@ def _make_handler(state: _StubState):
                             cur = s["snapshot-id"]
                     for r in b.get("requirements", []):
                         if r["type"] == "assert-ref-snapshot-id":
-                            if r.get("snapshot-id") != cur:
+                            rf = r.get("ref", "main")
+                            have = cur if rf == "main" else (
+                                meta.get("refs", {}).get(rf, {})
+                                .get("snapshot-id"))
+                            if r.get("snapshot-id") != have:
                                 return self._send(409, {"error": {"message": "stale snapshot"}})
                         elif r["type"] == "assert-table-uuid":
                             if r["uuid"] != meta["table-uuid"]:
@@ -2241,3 +2245,41 @@ def test_register_existing_table(stub, spark, sf_dir, tmp_path):
     # overwrite=True re-registers
     tbl2 = cat.register_table("db", "regtab", mloc, overwrite=True)
     assert scan_rest_table(spark, tbl2).count() == reg.count()
+
+
+def test_branch_dml_through_catalog(stub, spark, sf_dir, tmp_path):
+    """r12 REST branch commits: a MoR delete staged on a branch asserts
+    and advances ONLY the branch ref (set-snapshot-ref on 'audit');
+    main's head and scan are untouched until a ref publish."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from duckdb_iceberg_spark.sources.ddl import fast_forward
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t_branch")
+    nation = load(spark, sf_dir, "nation")
+    write_iceberg(nation, loc)
+    _register_disk_table(state, loc, name="brtab")
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "brtab")
+    main_head = tbl.metadata.current_snapshot_id
+
+    delete_from(spark, tbl, "n_nationkey < 5", mode="merge-on-read",
+                branch="audit")
+
+    meta = state.tables[("db", "brtab")]
+    refs = meta.get("refs", {})
+    assert "audit" in refs, "branch ref must exist after the staged DML"
+    assert meta["current-snapshot-id"] == main_head, \
+        "main must not move on a branch commit"
+    tbl = tbl.refresh()
+    assert scan_rest_table(spark, tbl).count() == nation.count()
+    assert scan_rest_table(spark, tbl, ref="audit").count() == \
+        nation.count() - 5
+
+    # publish through the catalog (set-snapshot-ref on main)
+    fast_forward(tbl, "main", "audit")
+    tbl = tbl.refresh()
+    assert scan_rest_table(spark, tbl).count() == nation.count() - 5

@@ -7,9 +7,23 @@ Catalyst-optimized DataFrames.
 """
 
 from .session import get_spark
+from .sources.add_files import add_files
+from .sources.ddl import (
+    fast_forward,
+    rollback_to_snapshot,
+    set_current_snapshot,
+)
+from .sources.ducklake import iceberg_to_ducklake
+from .sources.maintenance import (
+    expire_snapshots,
+    remove_orphan_files,
+    rewrite_data_files,
+    rewrite_manifests,
+    rewrite_position_delete_files,
+    vacuum,
+)
 from .sources.scan import iceberg_scan, iceberg_count, scan_with_runtime_filter
 from .sources.sql import attach_catalog, execute_sql, refresh_table, register_table
-from .sources.ducklake import iceberg_to_ducklake
 from .sources.writer import create_table, write_iceberg
 
 __all__ = [
@@ -24,4 +38,15 @@ __all__ = [
     "scan_with_runtime_filter",
     "attach_catalog",
     "iceberg_to_ducklake",
+    # import / maintenance / snapshot management (r12 top-level surface)
+    "add_files",
+    "rewrite_data_files",
+    "rewrite_position_delete_files",
+    "rewrite_manifests",
+    "expire_snapshots",
+    "remove_orphan_files",
+    "vacuum",
+    "fast_forward",
+    "rollback_to_snapshot",
+    "set_current_snapshot",
 ]

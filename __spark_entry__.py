@@ -2172,6 +2172,75 @@ def ice_wap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_avro(spark: SparkSession, sf_dir: str) -> str:
+    """documents as AVRO data files (NEW r12 — the THIRD data-file format;
+    the reference refuses everything non-parquet,
+    iceberg_multi_file_list.cpp:528-529): the corpus lands in four Avro
+    object-container files written by the package's own pure-Python codec
+    (the shape a Flink writer with write.format.default=avro produces),
+    then ONE merge-on-read DELETE removes every doc_id % 6 == 2 row —
+    parquet positional-delete files anti-joined against arrow-plane Avro
+    reads with exact row ordinals."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark.metadata import manifest as mf
+        from duckdb_iceberg_spark.metadata.avro_io import write_avro_file
+        from duckdb_iceberg_spark.sources.dml import delete_from
+        from duckdb_iceberg_spark.sources.writer import (commit_snapshot,
+                                                         create_table)
+
+        docs = _pq(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        tm = create_table(loc, docs.schema)
+        avro_schema = {
+            "type": "record", "name": "r", "fields": [
+                {"name": "doc_id", "field-id": 1, "type": ["null", "long"]},
+                {"name": "lang", "field-id": 2, "type": ["null", "string"]},
+                {"name": "n_chars", "field-id": 3,
+                 "type": ["null", "long"]},
+            ]}
+        rows = [r.asDict() for r in docs.collect()]
+        data_dir = os.path.join(loc, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        files = []
+        n_files = 4
+        per = (len(rows) + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = rows[i * per:(i + 1) * per]
+            if not chunk:
+                continue
+            p = os.path.join(data_dir, f"f{i}.avro")
+            write_avro_file(p, avro_schema, chunk)
+            files.append(mf.DataFile(
+                content=mf.CONTENT_DATA, file_path=p, file_format="AVRO",
+                partition={}, record_count=len(chunk),
+                file_size_in_bytes=os.path.getsize(p)))
+        commit_snapshot(tm, operation="append", new_data_files=files)
+        delete_from(spark, loc, "doc_id % 6 = 2", mode="merge-on-read")
+
+    return _build_once(sf_dir, "documents_avro", build)
+
+
+def ice_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro data files end-to-end (NEW r12): foreign-shaped Avro files →
+    arrow-plane pure-Python decode with by-field-id resolution → MoR
+    positional-delete anti-join on exact ordinals → aggregate.
+    Hash-checked: the oracle replays the delete predicate from the raw
+    rows, so a mis-decoded value, a wrong ordinal, or a lost row all
+    change the sums."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_avro(spark, sf_dir)
+    t = iceberg_scan(spark, loc, where="lang <> 'es'")
+    return (
+        t.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").cast("long").alias("sum_chars"),
+             F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
 def _ice_documents_variant(spark: SparkSession, sf_dir: str) -> str:
     """documents metadata as a VARIANT column written through the real
     write path (unblocked in this container in r8): each row carries
@@ -3506,6 +3575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming CDC-upsert sink roundtrip
         "ice_wap_scan": ice_wap_scan,
         "stream_upsert_sink": stream_upsert_sink,
+        # NEW r12: Avro data files (third format) + MoR deletes
+        "ice_avro_scan": ice_avro_scan,
         # parked (driver-green r10/r11): the curation-composition pair —
         # the MoR+residual surface stays covered in-window by
         # ice_mor_delete_scan and the two r12 newcomers
@@ -6849,6 +6920,17 @@ def oracle_sql() -> dict[str, str]:
               AND NOT (doc_id % 9 = 0)
               AND NOT (n_chars > 4500)
               AND NOT (doc_id % 100 = 13)
+            GROUP BY lang ORDER BY lang
+        """,
+        # Avro data files (r12): replay the MoR delete predicate + lang
+        # pruning from the raw rows — a mis-decoded value or wrong
+        # ordinal changes the sums
+        "ice_avro_scan": """
+            SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents
+            WHERE lang <> 'es' AND doc_id % 6 <> 2
             GROUP BY lang ORDER BY lang
         """,
         # streaming upsert sink (r12): keep-LAST per key across three

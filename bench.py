@@ -142,6 +142,8 @@ HEADLINE = [
     "ice_wap_scan",
     # r12: streaming CDC-upsert sink (keep-last per key, exactly-once)
     "stream_upsert_sink",
+    # r12: Avro data files (pure-Python decode, arrow plane, MoR deletes)
+    "ice_avro_scan",
 ]
 
 

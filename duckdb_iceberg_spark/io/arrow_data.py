@@ -112,14 +112,63 @@ def _target_arrow_schema(spark_schema):
         for i in range(len(arrow))])
 
 
-def _read_one(fs_io: FileIO, path: str, target, file_format: str = "parquet"):
-    """Read one parquet/ORC file through the FileIO into an arrow table
-    cast to the target schema — only the target's columns are fetched
-    (column pruning → ranged GETs of just those column chunks); missing
-    columns become nulls, matching Spark's read-with-schema semantics.
-    ORC resolves by NAME (pyarrow surfaces no iceberg.id attributes),
-    the same contract as the Spark-native ORC branch."""
+def _avro_values_to_arrow(vals: list, t):
+    """Decoded Avro values (ints/longs/floats/strings/bytes/None — the
+    Iceberg-Avro physical forms) → one arrow array of the target type.
+    date arrives as int days, time/timestamp as long micros (arrow
+    interprets bare ints for those types exactly so), decimal as
+    big-endian two's-complement unscaled bytes."""
     import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        from decimal import Decimal
+
+        s = t.scale
+        vals = [None if v is None else
+                Decimal(int.from_bytes(bytes(v), "big", signed=True))
+                .scaleb(-s) for v in vals]
+    elif pa.types.is_nested(t):
+        raise NotImplementedError(
+            "nested types over AVRO data files are not supported")
+    return pa.array(vals, type=t)
+
+
+def _read_one(fs_io: FileIO, path: str, target, file_format: str = "parquet"):
+    """Read one parquet/ORC/Avro file through the FileIO into an arrow
+    table cast to the target schema — only the target's columns are
+    fetched for parquet (column pruning → ranged GETs of just those
+    column chunks); missing columns become nulls, matching Spark's
+    read-with-schema semantics. ORC resolves by NAME (pyarrow surfaces no
+    iceberg.id attributes), the same contract as the Spark-native ORC
+    branch; Avro resolves BY FIELD ID first (Iceberg-Avro schemas carry
+    ``field-id`` per field), exact name otherwise — renamed columns keep
+    reading old Avro files like they do parquet ones."""
+    import pyarrow as pa
+
+    if file_format == "avro":
+        from ..metadata import avro_io
+
+        schema, _meta, records = avro_io.read_avro_file(
+            fs_io.read_bytes(path))
+        fields = schema.get("fields", []) if isinstance(schema, dict) else []
+        by_id = {int(ff["field-id"]): ff["name"]
+                 for ff in fields if ff.get("field-id") is not None}
+        names = {ff["name"] for ff in fields}
+        n = len(records)
+        cols = []
+        for f in target:
+            tid = _field_id(f)
+            src = None
+            if tid is not None and by_id:
+                src = by_id.get(int(tid))
+            elif f.name in names:
+                src = f.name
+            if src is None:
+                cols.append(pa.nulls(n, f.type))
+                continue
+            cols.append(_avro_values_to_arrow(
+                [r.get(src) for r in records], f.type))
+        return pa.Table.from_arrays(cols, schema=target)
 
     if file_format == "orc":
         import pyarrow.orc as po

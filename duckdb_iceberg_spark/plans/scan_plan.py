@@ -658,13 +658,14 @@ def _plan_scan(
                     ", ".join(f.transform for f in spec.fields), where)
             continue
         fmt = (e.data_file.file_format or "PARQUET").lower()
-        if fmt not in ("parquet", "orc"):
+        if fmt not in ("parquet", "orc", "avro"):
             # reference refuses everything non-parquet
             # (iceberg_multi_file_list.cpp:528-529); we additionally read
-            # ORC through Spark's native source
+            # ORC through Spark's native source and Avro data files
+            # through the arrow plane's pure-Python codec (r12)
             raise NotImplementedError(
                 f"File format '{e.data_file.file_format}' not supported, "
-                "only supports 'parquet' and 'orc' currently")
+                "only supports 'parquet', 'orc' and 'avro' currently")
         orig_path = e.data_file.file_path
         e.data_file.file_path = _localize(tm, e.data_file.file_path)
         data_paths = (orig_path, e.data_file.file_path)

@@ -369,6 +369,14 @@ def scan_to_dataframe(
         orc_pos_files = {
             t.data_file.file_path for t in plan.tasks
             if t.data_file.file_path in orc_files and t.positional_deletes}
+    # Avro data files (r12 — THIRD format beyond the reference's
+    # parquet-only): always the arrow plane, decoded executor-side by the
+    # pure-Python Avro codec with by-field-id resolution; whole-file
+    # sequential reads give exact row ordinals, so positional deletes /
+    # DVs, virtual position columns and MoR DML work like parquet.
+    avro_files = {
+        t.data_file.file_path for t in plan.tasks
+        if (t.data_file.file_format or "PARQUET").upper() == "AVRO"}
     need_pos = (
         plan.has_deletes
         or with_file_info
@@ -391,11 +399,14 @@ def scan_to_dataframe(
     mapping_prop = plan.tm.properties.get("schema.name-mapping.default")
     if mapping_prop:
         # ORC files are read by name regardless (no parquet field-ids to
-        # sniff), so they never take the legacy union branch
+        # sniff) and Avro files resolve by their own embedded field-ids,
+        # so neither takes the legacy union branch
         legacy = _files_without_field_ids(
-            spark, [f for f in files if f not in orc_files])
+            spark, [f for f in files
+                    if f not in orc_files and f not in avro_files])
     main_files = [f for f in files
-                  if f not in legacy and f not in orc_files]
+                  if f not in legacy and f not in orc_files
+                  and f not in avro_files]
 
     # uuid columns: parquet stores FIXED_LEN_BYTE_ARRAY(16); Spark can read
     # that only as binary. Read uuid fields as BinaryType — including struct
@@ -521,6 +532,13 @@ def scan_to_dataframe(
             if need_pos:
                 o = o.withColumn(_FILE_COL, _norm_path(F.col(_FILE_COL)))
             parts.append(o)
+    if avro_files:
+        a = _ad.read_parquet(
+            spark, sorted(avro_files), schema, with_path_pos=need_pos,
+            path_col=_FILE_COL, pos_col=_POS_COL, file_format="avro")
+        if need_pos:
+            a = a.withColumn(_FILE_COL, _norm_path(F.col(_FILE_COL)))
+        parts.append(a)
     if legacy:
         parts.extend(_read_by_name_mapping(spark, legacy, mapping_prop,
                                            plan, need_pos))

@@ -1,0 +1,144 @@
+"""Avro DATA files (r12 — the THIRD data-file format; the reference
+refuses everything non-parquet, iceberg_multi_file_list.cpp:528-529):
+read through the arrow plane's pure-Python Avro codec, by-field-id
+resolution (renames keep reading old files), real row ordinals (so
+positional deletes / MoR DML work), logical-type decode for
+date/timestamp/decimal."""
+
+import datetime as dt
+import os
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_iceberg_spark import iceberg_count, iceberg_scan
+from duckdb_iceberg_spark.metadata import manifest as mf
+from duckdb_iceberg_spark.metadata.avro_io import write_avro_file
+from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+from duckdb_iceberg_spark.sources.writer import commit_snapshot, create_table
+
+
+def _avro_table(tmp_path, spark, rows, avro_schema, spark_schema,
+                name="t_avro"):
+    """Author an Iceberg table whose single data file is Avro — the shape
+    a Flink/Java writer with write.format.default=avro produces."""
+    loc = str(tmp_path / name)
+    tm = create_table(loc, spark_schema)
+    data_dir = os.path.join(loc, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    p = os.path.join(data_dir, "f0.avro")
+    write_avro_file(p, avro_schema, rows)
+    df = mf.DataFile(
+        content=mf.CONTENT_DATA, file_path=p, file_format="AVRO",
+        partition={}, record_count=len(rows),
+        file_size_in_bytes=os.path.getsize(p))
+    commit_snapshot(tm, operation="append", new_data_files=[df])
+    return loc
+
+
+_SCHEMA = {
+    "type": "record", "name": "r", "fields": [
+        {"name": "id", "field-id": 1, "type": ["null", "long"]},
+        {"name": "name", "field-id": 2, "type": ["null", "string"]},
+        {"name": "d", "field-id": 3,
+         "type": ["null", {"type": "int", "logicalType": "date"}]},
+        {"name": "ts", "field-id": 4,
+         "type": ["null", {"type": "long",
+                           "logicalType": "timestamp-micros"}]},
+        {"name": "amount", "field-id": 5,
+         "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                           "precision": 10, "scale": 2}]},
+    ]}
+
+_SPARK_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("d", T.DateType()),
+    T.StructField("ts", T.TimestampNTZType()),
+    T.StructField("amount", T.DecimalType(10, 2)),
+])
+
+
+def _rows(n=20):
+    out = []
+    for i in range(n):
+        unscaled = (i * 125 + 1)  # amount = unscaled / 100
+        out.append({
+            "id": i,
+            "name": f"row{i}" if i % 7 else None,
+            "d": 19000 + i,            # days since epoch
+            "ts": 1_700_000_000_000_000 + i * 1_000_000,  # µs
+            "amount": int(unscaled).to_bytes(
+                (unscaled.bit_length() + 8) // 8, "big", signed=True),
+        })
+    return out
+
+
+def test_avro_scan_roundtrip_with_logical_types(spark, tmp_path):
+    rows = _rows()
+    loc = _avro_table(tmp_path, spark, rows, _SCHEMA, _SPARK_SCHEMA)
+    got = iceberg_scan(spark, loc).orderBy("id").collect()
+    assert len(got) == 20
+    assert got[3].id == 3 and got[3].name == "row3"
+    assert got[0].name is None  # i % 7 == 0 → NULL survives the union
+    assert got[5].d == dt.date(1970, 1, 1) + dt.timedelta(days=19005)
+    assert got[2].ts == dt.datetime(1970, 1, 1) + dt.timedelta(
+        microseconds=1_700_000_000_000_000 + 2_000_000)
+    assert got[4].amount == Decimal("5.01")
+    # metadata-only count works off the manifest regardless of format
+    assert iceberg_count(loc) == 20
+    # predicate + projection through the arrow plane
+    sel = iceberg_scan(spark, loc, where="id >= 15").select("id", "amount")
+    assert sorted(r.id for r in sel.collect()) == list(range(15, 20))
+
+
+def test_avro_rename_resolves_by_field_id(spark, tmp_path):
+    from duckdb_iceberg_spark.sources.ddl import add_column, rename_column
+
+    rows = _rows(10)
+    loc = _avro_table(tmp_path, spark, rows, _SCHEMA, _SPARK_SCHEMA,
+                      name="t_avro_ren")
+    rename_column(loc, "name", "title")
+    add_column(loc, "extra", "long")
+    got = iceberg_scan(spark, loc).orderBy("id").collect()
+    assert got[3].title == "row3", "field-id resolution must survive rename"
+    assert all(r.extra is None for r in got)
+
+
+def test_avro_mor_positional_delete_and_file_info(spark, tmp_path):
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    rows = _rows(30)
+    loc = _avro_table(tmp_path, spark, rows, _SCHEMA, _SPARK_SCHEMA,
+                      name="t_avro_mor")
+    fi = iceberg_scan(spark, loc, with_file_info=True).collect()
+    assert sorted(r.file_row_number for r in fi) == list(range(30))
+
+    delete_from(spark, loc, "id % 3 = 0", mode="merge-on-read")
+    tm = load_table_metadata(loc)
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    plan = plan_scan(tm, tm.select_snapshot())
+    assert {t.data_file.file_format for t in plan.tasks} == {"AVRO"}
+    assert any(t.positional_deletes for t in plan.tasks)
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(30) if i % 3]
+
+
+def test_avro_nested_refused_loudly(spark, tmp_path):
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "field-id": 1, "type": ["null", "long"]},
+        {"name": "s", "field-id": 2, "type": ["null", {
+            "type": "record", "name": "inner", "fields": [
+                {"name": "x", "field-id": 3, "type": ["null", "long"]}]}]},
+    ]}
+    sp = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StructType([T.StructField("x", T.LongType())])),
+    ])
+    loc = _avro_table(tmp_path, spark, [{"id": 1, "s": {"x": 2}}],
+                      schema, sp, name="t_avro_nested")
+    with pytest.raises(Exception, match="nested types over AVRO"):
+        iceberg_scan(spark, loc).collect()

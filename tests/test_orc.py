@@ -191,8 +191,9 @@ def test_orc_file_info_virtual_columns(spark, sf_dir, tmp_path):
 
 
 def test_unsupported_data_format_refusal_text(spark, sf_dir, tmp_path):
-    """A manifest claiming an avro data file keeps the reference's refusal
-    (iceberg_multi_file_list.cpp:528-529, extended with 'orc')."""
+    """A manifest claiming an unknown data format keeps the reference's
+    refusal (iceberg_multi_file_list.cpp:528-529, extended with 'orc' and
+    — since r12 — 'avro')."""
     src = load(spark, sf_dir, "region")
     loc = str(tmp_path / "region_avro_claim")
     write_iceberg(src, loc)
@@ -209,7 +210,7 @@ def test_unsupported_data_format_refusal_text(spark, sf_dir, tmp_path):
         entries = real(path, *a, **kw)
         for e in entries:
             if e.data_file.content == mf.CONTENT_DATA:
-                e.data_file.file_format = "AVRO"
+                e.data_file.file_format = "CSV"
         return entries
 
     import duckdb_iceberg_spark.plans.scan_plan as sp
@@ -219,8 +220,8 @@ def test_unsupported_data_format_refusal_text(spark, sf_dir, tmp_path):
     try:
         with pytest.raises(
                 NotImplementedError,
-                match=r"File format 'AVRO' not supported, only supports "
-                      r"'parquet' and 'orc' currently"):
+                match=r"File format 'CSV' not supported, only supports "
+                      r"'parquet', 'orc' and 'avro' currently"):
             plan_scan(tm, snap)
     finally:
         sp.mf.read_manifest = orig

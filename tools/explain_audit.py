@@ -158,6 +158,7 @@ AUDIT = [
     "docs_bpe_tokens",
     "ice_wap_scan",
     "stream_upsert_sink",
+    "ice_avro_scan",
 ]
 
 

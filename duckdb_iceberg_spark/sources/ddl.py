@@ -622,12 +622,20 @@ def set_current_snapshot(location, snapshot_id: int) -> TableMetadata:
     return tm
 
 
-def drop_ref(location, name: str) -> TableMetadata:
+def drop_ref(location, name: str, kind: str | None = None) -> TableMetadata:
+    """Drop a branch or tag. ``kind`` ('branch' | 'tag'), when given,
+    must match the ref's recorded type — DROP BRANCH on a tag (or vice
+    versa) is an error, not a silent cross-kind drop (ADVICE r12)."""
     tm = _load(location)
     if name == "main":
         raise ValueError("cannot drop the main branch")
     if name not in tm.refs:
         raise KeyError(f"no branch or tag {name!r}")
+    actual = (tm.refs[name] or {}).get("type")
+    if kind is not None and actual != kind:
+        raise ValueError(
+            f"ref {name!r} is a {actual}, not a {kind}; "
+            f"use DROP {str(actual).upper()}")
     if getattr(tm, "_rest_table", None) is not None:
         return _commit_rest(tm, [{"action": "remove-snapshot-ref",
                                   "ref-name": name}])

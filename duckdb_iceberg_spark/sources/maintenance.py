@@ -693,13 +693,27 @@ def vacuum(
     """Housekeeping combo (the DuckDB-style ``VACUUM`` verb over Iceberg):
     expire old snapshots, then reclaim orphan files — one call for the
     nightly maintenance job. ``spark`` is accepted for CALL-surface
-    uniformity (both steps are metadata/driver-side IO)."""
+    uniformity (both steps are metadata/driver-side IO).
+
+    ``older_than_ms`` is a RELATIVE retention age (the Iceberg/DuckDB
+    retention idiom, and what ``remove_orphan_files`` already takes):
+    "expire anything older than N ms". ``expire_snapshots`` wants an
+    absolute epoch-ms cutoff, so vacuum translates (now - age) for that
+    half — passing one value to both verbatim would make one half a
+    silent no-op (ADVICE r12)."""
+    import time as _time
+
     del spark  # metadata-only; parameter kept for procedure uniformity
-    exp = expire_snapshots(location, older_than_ms=older_than_ms,
+    cutoff_ms = (None if older_than_ms is None
+                 else int(_time.time() * 1000) - older_than_ms)
+    exp = expire_snapshots(location, older_than_ms=cutoff_ms,
                            retain_last=retain_last)
     orph = remove_orphan_files(location, older_than_ms=older_than_ms)
     out: dict[str, Any] = {}
-    for prefix, d in (("expire", exp), ("orphan", orph)):
-        for k, v in (d.items() if isinstance(d, dict) else []):
-            out[f"{prefix}_{k}"] = v
+    for k, v in exp.items():
+        out[f"expire_{k}"] = v
+    # remove_orphan_files returns the removed paths (list[str]) — surface
+    # both the count and the paths so vacuum's report covers both halves
+    out["orphan_deleted_count"] = len(orph)
+    out["orphan_deleted_paths"] = list(orph)
     return out

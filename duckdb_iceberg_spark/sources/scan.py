@@ -69,9 +69,17 @@ def _residual_filter(df: DataFrame, residual: str) -> DataFrame:
         import re as _re
 
         if _TIME_LIT_RE is None:
-            _TIME_LIT_RE = _re.compile(r"\bTIME\s*'([^']*)'", _re.IGNORECASE)
+            # Alternation order is load-bearing: at a TIME keyword the
+            # first branch consumes the literal; at any other quote the
+            # second branch consumes the WHOLE string constant (with ''
+            # escapes), so a "TIME '…'" spelled INSIDE a string literal is
+            # swallowed untouched instead of corrupted (ADVICE r12).
+            _TIME_LIT_RE = _re.compile(
+                r"\bTIME\s*'([^']*)'|'(?:[^']|'')*'", _re.IGNORECASE)
 
         def _to_us(m) -> str:
+            if m.group(1) is None:
+                return m.group(0)  # a plain string constant: pass through
             try:
                 us = ice_types.time_to_micros(_dt.time.fromisoformat(m.group(1)))
             except ValueError:

@@ -580,12 +580,15 @@ def _exec_alter(spark: SparkSession, stmt: str) -> DataFrame:
         fn = ddl.create_branch if kind == "branch" else ddl.create_tag
         tm = fn(loc, ref, int(snap) if snap else None)
         op = f"ALTER CREATE {kind.upper()}"
-    elif (pm := re.match(r"DROP\s+(?:BRANCH|TAG)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+    elif (pm := re.match(r"DROP\s+(BRANCH|TAG)\s+(IF\s+EXISTS\s+)?(\w+)\s*$",
                          action, re.I)):
+        # IF EXISTS is read from the regex GROUP (not a substring re-scan,
+        # which misfired on multi-space "IF  EXISTS" — ADVICE r12), and the
+        # BRANCH/TAG keyword is validated against the ref's recorded type
         try:
-            tm = ddl.drop_ref(loc, pm.group(1))
+            tm = ddl.drop_ref(loc, pm.group(3), kind=pm.group(1).lower())
         except KeyError:
-            if "IF EXISTS" not in action.upper():
+            if not pm.group(2):
                 raise
             tm = ddl._load(loc)
         op = "ALTER DROP REF"

@@ -47,6 +47,24 @@ def last_committed_batch(location: str, query_id: str | None = None) -> Optional
     return best
 
 
+def _resolve_query_id(batch_df: DataFrame) -> str:
+    """Default query-id for a sink that wasn't given one explicitly.
+
+    Safe only when AT MOST one streaming query is active: with several,
+    ``streams.active`` has no defined order and picking any entry can
+    record ANOTHER query's id, corrupting the (query-id, batch-id)
+    idempotence key — a replayed batch could double-commit or a fresh
+    batch be skipped (ADVICE r12). In that case the sink must be built
+    with an explicit ``query_id=``."""
+    streams = batch_df.sparkSession.streams.active
+    if len(streams) > 1:
+        raise ValueError(
+            "iceberg sink: cannot infer query_id with "
+            f"{len(streams)} concurrent streaming queries active; "
+            "pass query_id= explicitly when building the sink")
+    return str(streams[0].id) if streams else "default"
+
+
 def iceberg_sink(
     location: str,
     *,
@@ -59,11 +77,8 @@ def iceberg_sink(
     from ..sources.writer import write_iceberg
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        qid = query_id
-        if qid is None:
-            # foreachBatch runs on the driver; the active query is available
-            streams = batch_df.sparkSession.streams.active
-            qid = str(streams[-1].id) if streams else "default"
+        # foreachBatch runs on the driver; the active query is available
+        qid = query_id if query_id is not None else _resolve_query_id(batch_df)
         done = last_committed_batch(location, qid)
         if done is not None and batch_id <= done:
             return  # replayed batch: already committed
@@ -106,10 +121,7 @@ def iceberg_upsert_sink(
     from ..sources.dml import upsert_equality
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        qid = query_id
-        if qid is None:
-            streams = batch_df.sparkSession.streams.active
-            qid = str(streams[-1].id) if streams else "default"
+        qid = query_id if query_id is not None else _resolve_query_id(batch_df)
         done = last_committed_batch(location, qid)
         if done is not None and batch_id <= done:
             return  # replayed batch: already committed

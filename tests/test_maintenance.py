@@ -629,7 +629,33 @@ def test_vacuum_combo(spark, tmp_path):
 
     out = vacuum(spark, loc, retain_last=1)
     assert any(k.startswith("expire") for k in out)
+    # the orphan half of the report is surfaced explicitly (ADVICE r12)
+    assert out["orphan_deleted_count"] == len(out["orphan_deleted_paths"])
     tm = load_table_metadata(loc)
     assert len(tm.snapshots) == 1
     assert sorted(r.id for r in iceberg_scan(spark, loc).collect()) == \
         list(range(90))
+
+
+def test_vacuum_relative_age(spark, tmp_path):
+    """ADVICE r12 (medium): vacuum's older_than_ms is a RELATIVE age,
+    translated to an absolute cutoff for expire_snapshots — so one value
+    drives BOTH halves. age=0 expires everything older than now (all
+    non-retained snapshots); a huge age expires nothing."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.maintenance import vacuum
+
+    loc = str(tmp_path / "t_vacuum_age")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        write_iceberg(spark.range(lo, hi).selectExpr("id"), loc)
+
+    # retention age far larger than the table's life: nothing expires
+    out = vacuum(spark, loc, older_than_ms=10**12, retain_last=1)
+    assert out["expire_expired"] == 0
+    assert len(load_table_metadata(loc).snapshots) == 3
+
+    # age 0 => cutoff is "now": every non-retained snapshot is older
+    out = vacuum(spark, loc, older_than_ms=0, retain_last=1)
+    assert out["expire_expired"] == 2
+    assert len(load_table_metadata(loc).snapshots) == 1

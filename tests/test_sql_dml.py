@@ -555,6 +555,17 @@ def test_alter_branch_tag_ddl(spark, sf_dir, tmp_path):
     assert spark.sql("SELECT count(*) FROM refddl").first()[0] == \
         src.count() + 2
 
+    # ADVICE r12: DROP BRANCH on a tag (or vice versa) is an error, not a
+    # silent cross-kind drop
+    with pytest.raises(ValueError, match="is a tag, not a branch"):
+        execute_sql(spark, "ALTER TABLE refddl DROP BRANCH v1")
+    assert "v1" in load_table_metadata(loc).refs
+
     execute_sql(spark, "ALTER TABLE refddl DROP TAG v1")
     assert "v1" not in load_table_metadata(loc).refs
     execute_sql(spark, "ALTER TABLE refddl DROP TAG IF EXISTS v1")  # no-op
+    # ADVICE r12: IF EXISTS read from the regex group — multi-space
+    # "IF  EXISTS" must still swallow the missing-ref error
+    execute_sql(spark, "ALTER TABLE refddl DROP TAG IF   EXISTS v1")
+    with pytest.raises(KeyError):
+        execute_sql(spark, "ALTER TABLE refddl DROP BRANCH nosuch")

@@ -230,6 +230,29 @@ def test_iceberg_sink_foreachbatch_exactly_once(spark, tmp_path):
     assert sorted(r.id for r in iceberg_scan(spark, loc).collect()) == list(range(12))
 
 
+def test_sink_query_id_ambiguous_with_concurrent_streams():
+    """ADVICE r12: with >1 active streaming queries, inferring query_id
+    from streams.active can record ANOTHER query's id and corrupt the
+    idempotence key — the sink must demand an explicit query_id instead.
+    Pure unit test over duck-typed stand-ins (no second real stream
+    needed)."""
+    from types import SimpleNamespace as NS
+
+    import pytest
+
+    from duckdb_iceberg_spark.streaming.sink import _resolve_query_id
+
+    def fake_df(active):
+        return NS(sparkSession=NS(streams=NS(active=active)))
+
+    # zero or one active stream: inference is well-defined
+    assert _resolve_query_id(fake_df([])) == "default"
+    assert _resolve_query_id(fake_df([NS(id="q-abc")])) == "q-abc"
+    # two active streams: ambiguous — refuse loudly
+    with pytest.raises(ValueError, match="pass query_id"):
+        _resolve_query_id(fake_df([NS(id="q1"), NS(id="q2")]))
+
+
 def test_iceberg_sink_with_real_stream(spark, tmp_path):
     """End-to-end: a rate-limited file stream writes into an Iceberg table
     with availableNow, and the table reads back complete."""

@@ -69,6 +69,27 @@ def test_residual_time_literal_rewritten_when_flag_off(spark):
             _residual_filter(df, "t >= TIME'nonsense'").collect()
 
 
+def test_residual_time_inside_string_literal_untouched(spark):
+    """ADVICE r12: a "TIME '…'" spelled INSIDE a string constant is part of
+    the string's value, not a literal to rewrite — the rewriter must
+    tokenize quoted regions first. Real TIME literals in the same residual
+    still rewrite."""
+    from duckdb_iceberg_spark.sources.scan import _residual_filter
+
+    df = spark.createDataFrame(
+        [("TIME '12:00'", 1), ("other", 2)], "s: string, t: long")
+    with _flag_off(spark):
+        # string constant containing TIME '…' (doubled-quote escaping):
+        # must compare by VALUE, so exactly one row matches
+        got = _residual_filter(df, "s = 'TIME ''12:00'''").collect()
+        assert [(r.s, r.t) for r in got] == [("TIME '12:00'", 1)]
+        # mixed: a real TIME literal next to a string constant that
+        # mentions TIME — the former rewrites, the latter survives verbatim
+        got = _residual_filter(
+            df, "s = 'TIME ''12:00''' AND t < TIME'00:00:01'").collect()
+        assert [r.t for r in got] == [1]
+
+
 def test_ice_time_scan_end_to_end_flagless(spark):
     """The exact driver scenario: build + scan + TIME-literal filter +
     aggregate in a flag-less session, hash-equal to the duckdb oracle."""

@@ -2172,6 +2172,71 @@ def ice_wap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_retention(spark: SparkSession, sf_dir: str) -> str:
+    """Ref-retention-aware snapshot expiry (NEW r13, VERDICT task 6 —
+    the spec's per-reference retention fields; the reference models them
+    at rest_catalog/objects/snapshot_reference.cpp but has no expire
+    procedure at all): four appends (doc_id % 4 == 0..3), a tag 'old' on
+    snapshot 1 that is already past its max-ref-age-ms (so expiry DROPS
+    it rather than letting it pin the snapshot forever), and a branch
+    'audit' on snapshot 3 whose min-snapshots-to-keep=2 protects its
+    2-ancestor chain (snapshots 2+3). expire_snapshots(retain_last=1)
+    must then: drop the tag, expire exactly snapshot 1, and retain
+    snapshots 2-4. All three outcomes are asserted here; the query scans
+    the branch — content that exists only because retention held."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+        from duckdb_iceberg_spark.metadata.table_metadata import (
+            load_table_metadata,
+        )
+        from duckdb_iceberg_spark.sources.ddl import create_branch, create_tag
+        from duckdb_iceberg_spark.sources.maintenance import expire_snapshots
+
+        docs = _pq(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        for m in range(4):
+            write_iceberg(docs.filter(F.col("doc_id") % 4 == m), loc)
+        snaps = sorted(load_table_metadata(loc).snapshots,
+                       key=lambda s: s.timestamp_ms)
+        create_tag(loc, "old", snaps[0].snapshot_id, max_ref_age_ms=0)
+        create_branch(loc, "audit", snaps[2].snapshot_id,
+                      min_snapshots_to_keep=2)
+
+        out = expire_snapshots(loc, retain_last=1)
+        assert out["dropped_refs"] == ["old"], out
+        assert out["expired"] == 1, out
+        tm = load_table_metadata(loc)
+        assert len(tm.snapshots) == 3 and "old" not in tm.refs
+        # the branch's protected ancestor is still time-travelable
+        assert iceberg_scan(
+            spark, loc, snapshot_id=snaps[1].snapshot_id).count() > 0
+
+    return _build_once(sf_dir, "documents_retention", build)
+
+
+def ice_retention_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch/tag retention on expire_snapshots end-to-end (NEW r13):
+    expire drops an aged-out tag, honors a branch's min-snapshots-to-keep,
+    and expires exactly the unprotected snapshot (all asserted in the
+    fixture) — then the scan reads the RETAINED branch, whose head
+    (snapshot 3: doc_id % 4 < 3) survives only because it is a live ref.
+    Hash-checked: the oracle replays the % 4 < 3 content from raw rows;
+    over-expiry loses the branch (query errors), under-expiry cannot
+    change the branch content but the fixture's exact-count asserts
+    catch it."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_retention(spark, sf_dir)
+    t = iceberg_scan(spark, loc, ref="audit")
+    return (
+        t.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").cast("long").alias("sum_chars"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
 def _ice_documents_avro(spark: SparkSession, sf_dir: str) -> str:
     """documents as AVRO data files (NEW r12 — the THIRD data-file format;
     the reference refuses everything non-parquet,
@@ -3577,6 +3642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_sink": stream_upsert_sink,
         # NEW r12: Avro data files (third format) + MoR deletes
         "ice_avro_scan": ice_avro_scan,
+        # NEW r13: ref-retention-aware expire (drops aged refs, keeps
+        # branch ancestor chains) — scan of the retained branch
+        "ice_retention_scan": ice_retention_scan,
         # parked (driver-green r10/r11): the curation-composition pair —
         # the MoR+residual surface stays covered in-window by
         # ice_mor_delete_scan and the two r12 newcomers
@@ -6960,6 +7028,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    max(doc_id) AS max_id
             FROM t GROUP BY lang ORDER BY lang
+        """,
+        # ref retention (r13): the audit branch holds snapshots 1-3's
+        # content (doc_id % 4 < 3); expiry dropped the aged tag and
+        # snapshot 1, so a broken retention path loses the branch head or
+        # its ancestors and the scan errors / mismatches
+        "ice_retention_scan": """
+            SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   max(doc_id) AS max_id
+            FROM documents WHERE doc_id % 4 < 3
+            GROUP BY lang ORDER BY lang
         """,
         # add_files import (r12): the table references the RAW corpus
         # parquet, renamed lang→language post-import (name-mapping read)

@@ -483,18 +483,32 @@ def set_sorted_by(location: str, sort_by: list) -> TableMetadata:
 def create_tag(location: str, name: str, snapshot_id: int | None = None,
                *, max_ref_age_ms: int | None = None) -> TableMetadata:
     """Tag a snapshot (defaults to current). Tags are immutable pointers;
-    scans resolve them via ``iceberg_scan(..., ref=name)``."""
+    scans resolve them via ``iceberg_scan(..., ref=name)``. Per the spec a
+    tag's only retention knob is ``max-ref-age-ms`` (when exceeded,
+    ``expire_snapshots`` drops the tag itself)."""
     return _set_ref(location, name, "tag", snapshot_id, max_ref_age_ms)
 
 
 def create_branch(location: str, name: str, snapshot_id: int | None = None,
-                  *, max_ref_age_ms: int | None = None) -> TableMetadata:
-    """Create a branch pointer at a snapshot (defaults to current)."""
-    return _set_ref(location, name, "branch", snapshot_id, max_ref_age_ms)
+                  *, max_ref_age_ms: int | None = None,
+                  min_snapshots_to_keep: int | None = None,
+                  max_snapshot_age_ms: int | None = None) -> TableMetadata:
+    """Create a branch pointer at a snapshot (defaults to current).
+
+    The three spec retention fields (snapshot-reference in the table-spec;
+    the reference models them at rest_catalog/objects/snapshot_reference.cpp)
+    govern what ``expire_snapshots`` may remove: ``max_ref_age_ms`` bounds
+    the branch's own lifetime, ``min_snapshots_to_keep`` /
+    ``max_snapshot_age_ms`` bound how much of the branch's ancestor history
+    survives expiry."""
+    return _set_ref(location, name, "branch", snapshot_id, max_ref_age_ms,
+                    min_snapshots_to_keep, max_snapshot_age_ms)
 
 
 def _set_ref(location, name: str, kind: str,
-             snapshot_id: int | None, max_ref_age_ms: int | None) -> TableMetadata:
+             snapshot_id: int | None, max_ref_age_ms: int | None,
+             min_snapshots_to_keep: int | None = None,
+             max_snapshot_age_ms: int | None = None) -> TableMetadata:
     tm = _load(location)
     if snapshot_id is None:
         cur = tm.current_snapshot()
@@ -504,13 +518,18 @@ def _set_ref(location, name: str, kind: str,
     else:
         tm.snapshot_by_id(snapshot_id)  # validates existence
     ref: dict = {"snapshot-id": snapshot_id, "type": kind}
-    if max_ref_age_ms is not None:
-        ref["max-ref-age-ms"] = int(max_ref_age_ms)
+    retention = (("max-ref-age-ms", max_ref_age_ms),
+                 ("min-snapshots-to-keep", min_snapshots_to_keep),
+                 ("max-snapshot-age-ms", max_snapshot_age_ms))
+    for key, val in retention:
+        if val is not None:
+            ref[key] = int(val)
     if getattr(tm, "_rest_table", None) is not None:
         upd = {"action": "set-snapshot-ref", "ref-name": name, "type": kind,
                "snapshot-id": snapshot_id}
-        if max_ref_age_ms is not None:
-            upd["max-ref-age-ms"] = int(max_ref_age_ms)
+        for key, val in retention:
+            if val is not None:
+                upd[key] = int(val)
         return _commit_rest(tm, [upd])
     tm.refs[name] = ref
     write_table_metadata(tm, tm.location)

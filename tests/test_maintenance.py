@@ -193,6 +193,88 @@ def test_expire_keeps_ref_pinned_snapshots(spark, sf_dir, tmp_path):
     assert iceberg_scan(spark, loc).count() == src.count()
 
 
+def test_expire_branch_retention_keeps_ancestors(spark, tmp_path):
+    """r13 (VERDICT task 6): a branch's min-snapshots-to-keep /
+    max-snapshot-age-ms retention protects its ancestor chain from
+    expiry; without the knobs only the head survives (r12 behavior)."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.ddl import create_branch
+    from duckdb_iceberg_spark.sources.maintenance import expire_snapshots
+
+    loc = str(tmp_path / "t_ret")
+    for lo in range(0, 40, 10):
+        write_iceberg(spark.range(lo, lo + 10).selectExpr("id"), loc)
+    snaps = sorted(load_table_metadata(loc).snapshots,
+                   key=lambda s: s.timestamp_ms)
+    assert len(snaps) == 4
+    # branch at snapshot 3 (head) keeps 3 ancestors: snapshots 1-3 survive
+    create_branch(loc, "hist", snaps[2].snapshot_id,
+                  min_snapshots_to_keep=3)
+    out = expire_snapshots(loc, retain_last=1)
+    tm = load_table_metadata(loc)
+    kept = {s.snapshot_id for s in tm.snapshots}
+    # head-of-main (retain_last=1) + the branch's 3-ancestor chain
+    assert kept == {s.snapshot_id for s in snaps}
+    assert out["expired"] == 0
+    # time travel inside the protected chain still works
+    assert iceberg_scan(
+        spark, loc, snapshot_id=snaps[0].snapshot_id).count() == 10
+
+    # max-snapshot-age-ms = 0: every ancestor is older than the cutoff,
+    # so only the head + min default (none set => head only) survives
+    create_branch(loc, "tight", snaps[2].snapshot_id,
+                  max_snapshot_age_ms=0)
+    tm = load_table_metadata(loc)
+    tm.refs.pop("hist")
+    from duckdb_iceberg_spark.metadata.table_metadata import write_table_metadata
+    write_table_metadata(tm, loc)
+    out = expire_snapshots(loc, retain_last=1)
+    kept = {s.snapshot_id for s in load_table_metadata(loc).snapshots}
+    assert kept == {snaps[2].snapshot_id, snaps[3].snapshot_id}
+    assert out["expired"] == 2
+
+
+def test_expire_drops_aged_out_refs(spark, tmp_path):
+    """r13: a non-main ref whose max-ref-age-ms is exceeded (age measured
+    from its snapshot's commit time) is dropped by expire_snapshots, and
+    snapshots it alone pinned expire with it. Table-level
+    history.expire.max-ref-age-ms is the default; a ref-level field
+    overrides."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.ddl import (
+        create_branch,
+        create_tag,
+        set_table_properties,
+    )
+    from duckdb_iceberg_spark.sources.maintenance import expire_snapshots
+
+    loc = str(tmp_path / "t_refage")
+    write_iceberg(spark.range(0, 10).selectExpr("id"), loc)
+    write_iceberg(spark.range(10, 20).selectExpr("id"), loc)
+    snaps = sorted(load_table_metadata(loc).snapshots,
+                   key=lambda s: s.timestamp_ms)
+    create_tag(loc, "old_tag", snaps[0].snapshot_id, max_ref_age_ms=0)
+    create_branch(loc, "fresh", snaps[1].snapshot_id,
+                  max_ref_age_ms=10**12)  # effectively forever
+
+    out = expire_snapshots(loc, retain_last=1)
+    assert out["dropped_refs"] == ["old_tag"]
+    assert out["expired"] == 1  # the snapshot old_tag alone pinned
+    tm = load_table_metadata(loc)
+    assert "old_tag" not in tm.refs and "fresh" in tm.refs
+
+    # table-level default applies to refs without their own field —
+    # 'fresh' has one (forever), so it survives a 0-default; a new
+    # field-less tag does not
+    create_tag(loc, "field_less", snaps[1].snapshot_id)
+    set_table_properties(loc, {"history.expire.max-ref-age-ms": "0"})
+    out = expire_snapshots(loc, retain_last=1)
+    assert out["dropped_refs"] == ["field_less"]
+    assert "fresh" in load_table_metadata(loc).refs
+
+
 def test_rewrite_manifests_consolidates(spark, sf_dir, tmp_path):
     """Three appends → three data manifests; rewrite_manifests collapses
     them into one while every row and MoR delete stays intact."""

@@ -241,9 +241,16 @@ def _make_handler(state: _StubState):
                                     meta.get("next-row-id", 0), fr + added)
                         elif u["action"] == "set-snapshot-ref":
                             rn = u.get("ref-name", "main")
-                            meta.setdefault("refs", {})[rn] = {
-                                "snapshot-id": u["snapshot-id"],
-                                "type": u.get("type", "branch")}
+                            ref = {"snapshot-id": u["snapshot-id"],
+                                   "type": u.get("type", "branch")}
+                            # the spec's optional retention fields
+                            # (reference: set_snapshot_ref_update.hpp)
+                            for fk in ("max-ref-age-ms",
+                                       "max-snapshot-age-ms",
+                                       "min-snapshots-to-keep"):
+                                if u.get(fk) is not None:
+                                    ref[fk] = u[fk]
+                            meta.setdefault("refs", {})[rn] = ref
                             if rn == "main":
                                 meta["current-snapshot-id"] = u["snapshot-id"]
                         elif u["action"] == "remove-snapshot-ref":
@@ -1354,6 +1361,42 @@ def test_rest_expire_snapshots(stub, spark, sf_dir, tmp_path):
     kept_stats = [s["snapshot-id"]
                   for s in state.tables[("db", "exp")]["statistics"]]
     assert kept_stats == [snaps[-1]]
+
+
+def test_rest_expire_ref_retention(stub, spark, sf_dir, tmp_path):
+    """r13: expire on a catalog table drops an aged-out ref
+    (remove-snapshot-ref) in the same commit as remove-snapshots, and a
+    branch's min-snapshots-to-keep protects its ancestors."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources import ddl
+    from duckdb_iceberg_spark.sources.maintenance import expire_snapshots
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t")
+    reg = load(spark, sf_dir, "region")
+    for _ in range(3):
+        write_iceberg(reg, loc)
+    _register_disk_table(state, loc, name="refret")
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "refret")
+    snaps = [sn["snapshot-id"]
+             for sn in state.tables[("db", "refret")]["snapshots"]]
+
+    # an already-aged-out tag on the oldest snapshot, and a branch whose
+    # retention keeps its full 2-ancestor chain
+    ddl.create_tag(tbl, "stale", snaps[0], max_ref_age_ms=0)
+    tbl = cat.load_table("db", "refret")
+    ddl.create_branch(tbl, "keep2", snaps[1], min_snapshots_to_keep=2)
+    tbl = cat.load_table("db", "refret")
+
+    out = expire_snapshots(tbl, retain_last=1, delete_files=False)
+    assert out["dropped_refs"] == ["stale"]
+    assert out["expired"] == 0  # snaps[0] survives via keep2's ancestry
+    refs = state.tables[("db", "refret")].get("refs") or {}
+    assert "stale" not in refs and "keep2" in refs
+    assert refs["keep2"]["min-snapshots-to-keep"] == 2
+    assert len(state.tables[("db", "refret")]["snapshots"]) == 3
 
 
 def test_v3_conflict_rebuild_claims_range_after_winner(stub, spark, sf_dir, tmp_path):

@@ -977,24 +977,36 @@ class _StagedTable:
     def commit_snapshot(self, snapshot_json: dict, *,
                         operation: str = "append", rebuild_fn=None,
                         branch: str | None = None) -> dict:
-        if branch and branch != "main":
-            raise NotImplementedError(
-                "branch commits inside a catalog transaction are not "
-                "supported (the staged chain tracks main)")
         # staged: conflicts surface at CatalogTransaction.commit(); the
         # rebuilder is unused because nothing is POSTed here. The snapshot
         # is applied to the LOCAL metadata copy so later statements in the
         # same transaction read and chain onto the staged state (reference:
         # test_delete_consolidation_transactional.test — insert + two
         # deletes on one table inside one BEGIN).
-        self._txn._stage(self._table, snapshot_json)
-        snap = Snapshot.from_json(snapshot_json)
+        #
+        # ``branch`` (r13, VERDICT r12 task 5) stages onto a branch ref:
+        # the WAP audit pipeline can now stage SEVERAL DMLs on a branch
+        # atomically — only the branch ref advances locally (and at
+        # commit time), main's current-snapshot-id and snapshot log stay
+        # untouched, and one transaction may mix main- and branch-staged
+        # statements on the same table (one change entry, one CAS per
+        # touched ref).
+        ref_name = branch or "main"
         tm = self.metadata
+        existing = tm.refs.get(ref_name)
+        if existing is not None and existing.get("type") == "tag":
+            raise ValueError(f"ref {ref_name!r} is a tag, not a branch")
+        self._txn._stage(self._table, snapshot_json, ref_name)
+        snap = Snapshot.from_json(snapshot_json)
         tm.snapshots.append(snap)
-        tm.current_snapshot_id = snap.snapshot_id
         tm.last_sequence_number = max(tm.last_sequence_number,
                                       snap.sequence_number)
-        tm.refs["main"] = {"snapshot-id": snap.snapshot_id, "type": "branch"}
+        if ref_name == "main":
+            tm.current_snapshot_id = snap.snapshot_id
+        # preserve any retention fields the ref already carries
+        ref = dict(existing or {"type": "branch"})
+        ref["snapshot-id"] = snap.snapshot_id
+        tm.refs[ref_name] = ref
         return {}
 
     # convenience parity with RestTable
@@ -1014,58 +1026,82 @@ class CatalogTransaction:
     iceberg_transaction.cpp multi-table CommitTransactionRequest,
     :141-145): storage writes happen as each change is staged; the
     metadata becomes visible only when commit() lands, all tables at once
-    or none. One staged snapshot per table (a second stage on the same
-    table would chain onto an uncommitted parent)."""
+    or none. Staged snapshots on one table chain in staging order, onto
+    main and/or branch refs (r13: the WAP audit shape — several DMLs
+    staged on a branch commit atomically, with one CAS per touched
+    ref)."""
 
     def __init__(self, catalog: RestCatalog):
         self.catalog = catalog
-        self._staged: list[tuple[RestTable, dict]] = []
+        self._staged: list[tuple[RestTable, dict, str]] = []
+        # per (table-key, ref): the ref's head when the transaction FIRST
+        # staged onto it — the CAS base asserted at commit() (None = the
+        # ref must not exist yet, so a new branch forks atomically)
+        self._bases: dict[tuple, int | None] = {}
 
     def table(self, namespace: str | tuple, name: str) -> _StagedTable:
         return _StagedTable(self.catalog.load_table(namespace, name), self)
 
-    def _stage(self, table: RestTable, snapshot_json: dict) -> None:
+    def _stage(self, table: RestTable, snapshot_json: dict,
+               ref_name: str = "main") -> None:
         # multiple snapshots per table chain in staging order (the staged
         # metadata advances between them, _StagedTable.commit_snapshot)
-        self._staged.append((table, snapshot_json))
+        key = (self.catalog._ns(table.namespace), table.name)
+        if (key, ref_name) not in self._bases:
+            # called BEFORE the local metadata mutation, so this reads the
+            # pre-transaction head of the ref
+            tm = table.metadata
+            self._bases[(key, ref_name)] = (
+                tm.current_snapshot_id if ref_name == "main"
+                else (tm.refs.get(ref_name) or {}).get("snapshot-id"))
+        self._staged.append((table, snapshot_json, ref_name))
 
     def commit(self) -> dict:
         if not self._staged:
             return {}
         # group chained snapshots per table, preserving staging order:
         # one change entry per table, its updates adding every staged
-        # snapshot then pointing main at the last (the base requirement is
-        # the FIRST staged snapshot's parent — the catalog state when the
-        # transaction began)
+        # snapshot then pointing each touched ref at ITS last staged
+        # snapshot (r13: a transaction may stage onto main and/or branch
+        # refs). The base requirement per ref is the head recorded when
+        # the transaction first staged onto it — the catalog state when
+        # the transaction began.
         per_table: dict[tuple, list] = {}
         order: list[tuple] = []
         tables: dict[tuple, RestTable] = {}
-        for table, snap in self._staged:
+        for table, snap, ref_name in self._staged:
             key = (self.catalog._ns(table.namespace), table.name)
             if key not in per_table:
                 per_table[key] = []
                 order.append(key)
                 tables[key] = table
-            per_table[key].append(snap)
+            per_table[key].append((snap, ref_name))
         changes = []
         for key in order:
-            table, snaps = tables[key], per_table[key]
+            table, staged = tables[key], per_table[key]
             ns = (table.namespace.split(".")
                   if isinstance(table.namespace, str) else list(table.namespace))
-            base = snaps[0].get("parent-snapshot-id")
-            updates = [{"action": "add-snapshot", "snapshot": s_}
-                       for s_ in snaps]
-            updates.append({"action": "set-snapshot-ref", "ref-name": "main",
-                            "type": "branch",
-                            "snapshot-id": snaps[-1]["snapshot-id"]})
+            updates = []
+            refs_order: list[str] = []
+            last_by_ref: dict[str, int] = {}
+            for snap, ref_name in staged:
+                updates.append({"action": "add-snapshot", "snapshot": snap})
+                if ref_name not in last_by_ref:
+                    refs_order.append(ref_name)
+                last_by_ref[ref_name] = snap["snapshot-id"]
+            for ref_name in refs_order:
+                updates.append({"action": "set-snapshot-ref",
+                                "ref-name": ref_name, "type": "branch",
+                                "snapshot-id": last_by_ref[ref_name]})
+            requirements = [{"type": "assert-table-uuid",
+                             "uuid": table.metadata.table_uuid}]
+            for ref_name in refs_order:
+                requirements.append(
+                    {"type": "assert-ref-snapshot-id", "ref": ref_name,
+                     "snapshot-id": self._bases.get((key, ref_name))})
             changes.append({
                 "identifier": {"namespace": ns, "name": table.name},
-                "requirements": [
-                    {"type": "assert-table-uuid",
-                     "uuid": table.metadata.table_uuid},
-                    {"type": "assert-ref-snapshot-id", "ref": "main",
-                     "snapshot-id": base},
-                ],
+                "requirements": requirements,
                 "updates": updates,
             })
         if self.catalog.config.disable_multi_table_commit:
@@ -1083,7 +1119,8 @@ class CatalogTransaction:
         else:
             resp = self.catalog.commit_transaction(changes)
         staged, self._staged = self._staged, []
-        for table, _ in staged:
+        self._bases = {}
+        for table, _, _ in staged:
             table.refresh()
         return resp
 
@@ -1099,14 +1136,15 @@ class CatalogTransaction:
         plans scans against deleted manifests or chains a new transaction
         onto a snapshot the catalog never saw."""
         staged, self._staged = self._staged, []
-        for table in {id(t): t for t, _ in staged}.values():
+        self._bases = {}
+        for table in {id(t): t for t, _, _ in staged}.values():
             try:
                 table.refresh()
             except Exception:
                 pass  # best-effort: a dropped table has nothing to restore
         if not self.catalog.config.remove_files_on_delete:
             return
-        for table, snap in staged:
+        for table, snap, _ in staged:
             _cleanup_staged_snapshot(table.metadata, snap)
 
 

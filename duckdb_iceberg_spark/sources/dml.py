@@ -77,9 +77,10 @@ def _branch_snapshot(tm: TableMetadata, committer, branch: str | None):
     """The snapshot a DML should read: the branch head when ``branch``
     names an existing branch (WAP staging — a missing branch forks from
     main's head at commit time, matching the write path), else current.
-    Works for filesystem tables AND catalog RestTables (r12 — the REST
-    commit asserts/sets the branch ref); catalog TRANSACTIONS stage main
-    only and refuse a branch at commit."""
+    Works for filesystem tables, catalog RestTables (r12 — the REST
+    commit asserts/sets the branch ref), and catalog TRANSACTIONS (r13 —
+    several DMLs stage onto a branch atomically; commit CAS-asserts each
+    touched ref's pre-transaction head)."""
     if branch and branch != "main":
         ref = tm.refs.get(branch)
         if ref is not None:

@@ -334,9 +334,13 @@ def _make_handler(state: _StubState):
                         if s["snapshot-id"] == meta.get("current-snapshot-id"):
                             cur = s["snapshot-id"]
                     for r in ch.get("requirements", []):
-                        if r["type"] == "assert-ref-snapshot-id" \
-                                and r.get("snapshot-id") != cur:
-                            return self._send(409, {"error": {"message": "stale snapshot"}})
+                        if r["type"] == "assert-ref-snapshot-id":
+                            rf = r.get("ref", "main")
+                            have = cur if rf == "main" else (
+                                meta.get("refs", {}).get(rf, {})
+                                .get("snapshot-id"))
+                            if r.get("snapshot-id") != have:
+                                return self._send(409, {"error": {"message": "stale snapshot"}})
                         if r["type"] == "assert-table-uuid" \
                                 and r["uuid"] != meta["table-uuid"]:
                             return self._send(409, {"error": {"message": "uuid mismatch"}})
@@ -356,7 +360,12 @@ def _make_handler(state: _StubState):
                                 meta["next-row-id"] = max(
                                     meta.get("next-row-id", 0), fr + added)
                         elif u["action"] == "set-snapshot-ref":
-                            meta["current-snapshot-id"] = u["snapshot-id"]
+                            rn = u.get("ref-name", "main")
+                            meta.setdefault("refs", {})[rn] = {
+                                "snapshot-id": u["snapshot-id"],
+                                "type": u.get("type", "branch")}
+                            if rn == "main":
+                                meta["current-snapshot-id"] = u["snapshot-id"]
                 return self._send(204)
             if rest == ["tables", "rename"]:
                 b = self._body()
@@ -1912,6 +1921,97 @@ def test_transaction_chained_dml_on_one_table(stub, spark, sf_dir, tmp_path):
     got = scan_rest_table(spark, cat.load_table("db", "chain"),
                           server_planning=False)
     assert sorted(r.id for r in got.collect()) == [1, 3]
+
+
+def test_transaction_branch_staged_wap(stub, spark, sf_dir, tmp_path):
+    """r13 (VERDICT r12 task 5): a WAP audit pipeline stages SEVERAL DMLs
+    on a branch atomically inside one catalog transaction, mixed with a
+    main-staged statement on the same table — one change entry, its
+    updates adding every snapshot and pointing EACH touched ref at its
+    last staged snapshot, with one CAS requirement per ref. Main's head
+    moves only by the main-staged append; the branch chain lands whole."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog import scan_rest_table
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    base, state = stub
+    loc = str(tmp_path / "waptxn")
+    write_iceberg(
+        spark.createDataFrame(
+            [(i, chr(96 + i)) for i in range(1, 9)], "id int, data string"),
+        loc)
+    _register_disk_table(state, loc, name="waptxn")
+    state.plan_response = None
+    cat = _catalog(base)
+
+    txn = cat.transaction()
+    t = txn.table("db", "waptxn")
+    delete_from(spark, t, "id IN (2, 4)", mode="merge-on-read",
+                branch="audit")
+    delete_from(spark, t, "id = 5", mode="merge-on-read", branch="audit")
+    t.append(spark, spark.createDataFrame([(100, "z")],
+                                          "id int, data string"))
+    # catalog untouched until commit: no audit ref, single base snapshot
+    meta = state.tables[("db", "waptxn")]
+    assert len(meta["snapshots"]) == 1
+    assert "audit" not in (meta.get("refs") or {})
+
+    txn.commit()
+    meta = state.tables[("db", "waptxn")]
+    assert len(meta["snapshots"]) == 4  # base + 2 branch deletes + append
+    refs = meta["refs"]
+    assert "audit" in refs
+    assert refs["audit"]["snapshot-id"] != meta["current-snapshot-id"]
+
+    tbl = cat.load_table("db", "waptxn")
+    # branch content: both staged deletes applied, no main append leak
+    audit_ids = sorted(r.id for r in scan_rest_table(
+        spark, tbl, ref="audit", server_planning=False).collect())
+    assert audit_ids == [1, 3, 6, 7, 8]
+    # main content: append only, deletes stayed on the branch
+    main_ids = sorted(r.id for r in scan_rest_table(
+        spark, tbl, server_planning=False).collect())
+    assert main_ids == [1, 2, 3, 4, 5, 6, 7, 8, 100]
+
+
+def test_transaction_branch_conflict_surfaces(stub, spark, sf_dir, tmp_path):
+    """r13: commit() CAS-asserts the BRANCH head recorded when the
+    transaction first staged onto it — a concurrent branch commit makes
+    the transaction 409 (no silent rebase; the caller re-runs), and
+    rollback leaves the catalog untouched."""
+    import pytest
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.catalog.rest_catalog import CommitConflict
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "wapconf")
+    write_iceberg(load(spark, sf_dir, "nation"), loc)
+    _register_disk_table(state, loc, name="wapconf")
+    state.plan_response = None
+    cat = _catalog(base)
+
+    txn = cat.transaction()
+    t = txn.table("db", "wapconf")
+    delete_from(spark, t, "n_nationkey < 5", mode="merge-on-read",
+                branch="audit")
+
+    # concurrent writer forks the SAME branch before the txn commits
+    other = cat.load_table("db", "wapconf")
+    delete_from(spark, other, "n_nationkey = 20", mode="merge-on-read",
+                branch="audit")
+    head_after_winner = \
+        state.tables[("db", "wapconf")]["refs"]["audit"]["snapshot-id"]
+
+    with pytest.raises(CommitConflict):
+        txn.commit()
+    txn.rollback()
+    # the winner's branch state is intact; the loser staged nothing
+    meta = state.tables[("db", "wapconf")]
+    assert meta["refs"]["audit"]["snapshot-id"] == head_after_winner
+    assert len(meta["snapshots"]) == 2  # base + winner only
 
 
 def test_compatibility_toggles(stub, spark, sf_dir, tmp_path):

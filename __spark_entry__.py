@@ -2306,6 +2306,114 @@ def ice_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_avro_nested(spark: SparkSession, sf_dir: str) -> str:
+    """documents as NESTED Avro data files (NEW r13, VERDICT r12 task 4 —
+    the foreign Flink/legacy-table shape; the reference reads no Avro
+    data at all, iceberg_multi_file_list.cpp:528): each row nests the
+    corpus columns into a struct, a tags list, and a props map, written
+    by the package's pure-Python Avro codec with the TABLE's field-ids
+    stamped per record field (what a real Iceberg-Avro writer emits).
+    After the write the struct member lang is RENAMED to language, so
+    the scan must resolve the member by field-id through the Avro
+    plane. NULLs at every nesting level (absent tags lists, sparse map
+    keys) exercise union decode."""
+    def build(loc: str) -> None:
+        from pyspark.sql import types as T
+
+        from duckdb_iceberg_spark.metadata import manifest as mf
+        from duckdb_iceberg_spark.metadata.avro_io import write_avro_file
+        from duckdb_iceberg_spark.sources.ddl import rename_column
+        from duckdb_iceberg_spark.sources.writer import (commit_snapshot,
+                                                         create_table)
+
+        docs = _pq(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars")
+        spark_schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("meta", T.StructType([
+                T.StructField("lang", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ])),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("props", T.MapType(T.StringType(), T.LongType())),
+        ])
+        tm = create_table(loc, spark_schema)
+        # field-ids = create_table's breadth-first assignment: top-level
+        # 1-4, then meta.{lang,n_chars}=5,6, tags.element=7, props k/v=8,9
+        avro_schema = {
+            "type": "record", "name": "r", "fields": [
+                {"name": "doc_id", "field-id": 1, "type": ["null", "long"]},
+                {"name": "meta", "field-id": 2, "type": ["null", {
+                    "type": "record", "name": "meta_r", "fields": [
+                        {"name": "lang", "field-id": 5,
+                         "type": ["null", "string"]},
+                        {"name": "n_chars", "field-id": 6,
+                         "type": ["null", "long"]}]}]},
+                {"name": "tags", "field-id": 3, "type": ["null", {
+                    "type": "array", "element-id": 7,
+                    "items": ["null", "string"]}]},
+                {"name": "props", "field-id": 4, "type": ["null", {
+                    "type": "map", "key-id": 8, "value-id": 9,
+                    "values": ["null", "long"]}]},
+            ]}
+        rows = []
+        for r in docs.collect():
+            i = int(r.doc_id)
+            tags = None if i % 13 == 7 else (
+                [r.source, r.lang] if i % 3 == 0 else [r.source])
+            props = {"len": int(r.n_chars) % 100}
+            if i % 5 == 0:
+                props["mod"] = i % 7
+            rows.append({"doc_id": i,
+                         "meta": {"lang": r.lang, "n_chars": int(r.n_chars)},
+                         "tags": tags, "props": props})
+        data_dir = os.path.join(loc, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        files = []
+        n_files = 4
+        per = (len(rows) + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = rows[i * per:(i + 1) * per]
+            if not chunk:
+                continue
+            p = os.path.join(data_dir, f"f{i}.avro")
+            write_avro_file(p, avro_schema, chunk)
+            files.append(mf.DataFile(
+                content=mf.CONTENT_DATA, file_path=p, file_format="AVRO",
+                partition={}, record_count=len(chunk),
+                file_size_in_bytes=os.path.getsize(p)))
+        commit_snapshot(tm, operation="append", new_data_files=files)
+        rename_column(loc, "meta.lang", "language")
+
+    return _build_once(sf_dir, "documents_avro_nested", build)
+
+
+def ice_avro_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested Avro data files end-to-end (NEW r13): struct/list/map
+    columns decode through the arrow plane with by-field-id member
+    resolution (the struct member was renamed post-write), NULLs at
+    every level. Hash-checked: the oracle replays the nesting arithmetic
+    from the raw rows — a mis-resolved member, lost list element, or
+    dropped map key changes the sums."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_avro_nested(spark, sf_dir)
+    t = iceberg_scan(spark, loc)
+    return (
+        t.select(
+            F.col("meta.language").alias("lang"),
+            F.col("meta.n_chars").alias("nc"),
+            F.size("tags").alias("ntags"),
+            F.element_at("props", F.lit("len")).alias("plen"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("nc").cast("long").alias("sum_chars"),
+             F.sum("ntags").cast("long").alias("n_tags"),
+             F.sum("plen").cast("long").alias("sum_plen"))
+        .orderBy("lang")
+    )
+
+
 def _ice_documents_variant(spark: SparkSession, sf_dir: str) -> str:
     """documents metadata as a VARIANT column written through the real
     write path (unblocked in this container in r8): each row carries
@@ -3645,6 +3753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r13: ref-retention-aware expire (drops aged refs, keeps
         # branch ancestor chains) — scan of the retained branch
         "ice_retention_scan": ice_retention_scan,
+        # NEW r13: NESTED Avro data files (struct/list/map by field-id,
+        # post-write struct-member rename, NULLs at every level)
+        "ice_avro_nested_scan": ice_avro_nested_scan,
         # parked (driver-green r10/r11): the curation-composition pair —
         # the MoR+residual surface stays covered in-window by
         # ice_mor_delete_scan and the two r12 newcomers
@@ -7039,6 +7150,19 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS max_id
             FROM documents WHERE doc_id % 4 < 3
             GROUP BY lang ORDER BY lang
+        """,
+        # nested Avro (r13): replay the struct/list/map nesting arithmetic
+        # from the raw rows — tags is NULL when doc_id%13=7, 2-element
+        # when doc_id%3=0, else 1; props['len'] = n_chars % 100; the
+        # struct member was renamed to language post-write (field-id read)
+        "ice_avro_nested_scan": """
+            SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(CASE WHEN doc_id % 13 = 7 THEN NULL
+                                 WHEN doc_id % 3 = 0 THEN 2
+                                 ELSE 1 END) AS BIGINT) AS n_tags,
+                   CAST(sum(n_chars % 100) AS BIGINT) AS sum_plen
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         # add_files import (r12): the table references the RAW corpus
         # parquet, renamed lang→language post-import (name-mapping read)

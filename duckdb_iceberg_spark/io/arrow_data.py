@@ -112,13 +112,123 @@ def _target_arrow_schema(spark_schema):
         for i in range(len(arrow))])
 
 
-def _avro_values_to_arrow(vals: list, t):
+def _avro_branch(schema):
+    """Unwrap a union to its non-null branch (Iceberg-Avro unions are
+    ``["null", X]``) and ``{"type": {...}}`` wrappers."""
+    if isinstance(schema, list):
+        for b in schema:
+            if b != "null" and not (isinstance(b, dict)
+                                    and b.get("type") == "null"):
+                return _avro_branch(b)
+        return "null"
+    if isinstance(schema, dict) and isinstance(schema.get("type"),
+                                               (dict, list)):
+        return _avro_branch(schema["type"])
+    return schema
+
+
+def _avro_values_to_arrow(vals: list, t, src_schema=None):
     """Decoded Avro values (ints/longs/floats/strings/bytes/None — the
     Iceberg-Avro physical forms) → one arrow array of the target type.
     date arrives as int days, time/timestamp as long micros (arrow
     interprets bare ints for those types exactly so), decimal as
-    big-endian two's-complement unscaled bytes."""
+    big-endian two's-complement unscaled bytes.
+
+    Nested types (r13, VERDICT r12 task 4 — foreign Flink/legacy Avro
+    tables carry structs): records recurse with the same BY-FIELD-ID
+    member resolution as the parquet plane (Iceberg-Avro record fields
+    carry ``field-id``; a renamed member keeps reading old files, an
+    added member null-fills), arrays flatten to offsets + a recursively
+    converted child, and maps handle both Avro's string-keyed ``map``
+    and Iceberg's array-of-key/value-records encoding for non-string
+    keys (``logicalType: map``)."""
     import pyarrow as pa
+
+    src = _avro_branch(src_schema) if src_schema is not None else None
+
+    if pa.types.is_struct(t):
+        sfields = (src or {}).get("fields", []) if isinstance(src, dict) \
+            else []
+        by_id = {int(ff["field-id"]): ff for ff in sfields
+                 if ff.get("field-id") is not None}
+        by_name = {ff["name"]: ff for ff in sfields}
+        mask = pa.array([v is None for v in vals], type=pa.bool_())
+        arrays, fields = [], []
+        for i in range(t.num_fields):
+            tf = t.field(i)
+            fid = _field_id(tf)
+            sf = by_id.get(fid) if (fid is not None and by_id) \
+                else by_name.get(tf.name)
+            if sf is None:
+                arrays.append(pa.nulls(len(vals), tf.type))
+            else:
+                child = [None if v is None else v.get(sf["name"])
+                         for v in vals]
+                arrays.append(_avro_values_to_arrow(
+                    child, tf.type, sf["type"]))
+            fields.append(tf)
+        return pa.StructArray.from_arrays(arrays, fields=fields, mask=mask)
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        items = (src or {}).get("items") if isinstance(src, dict) else None
+        offsets: list = []
+        flat: list = []
+        cur = 0
+        for v in vals:
+            if v is None:
+                offsets.append(None)
+            else:
+                offsets.append(cur)
+                flat.extend(v)
+                cur += len(v)
+        offsets.append(cur)
+        child = _avro_values_to_arrow(flat, t.value_type, items)
+        off_t = pa.int64() if pa.types.is_large_list(t) else pa.int32()
+        cls = (pa.LargeListArray if pa.types.is_large_list(t)
+               else pa.ListArray)
+        return cls.from_arrays(pa.array(offsets, type=off_t), child).cast(t)
+
+    if pa.types.is_map(t):
+        keys: list = []
+        items: list = []
+        offsets = []
+        cur = 0
+        if isinstance(src, dict) and src.get("type") == "array":
+            # Iceberg's non-string-key map encoding: array of {key, value}
+            # records — decoded as lists of dicts
+            item_rec = _avro_branch(src.get("items"))
+            rec_fields = {ff["name"]: ff
+                          for ff in (item_rec or {}).get("fields", [])}
+            key_schema = (rec_fields.get("key") or {}).get("type")
+            val_schema = (rec_fields.get("value") or {}).get("type")
+            for v in vals:
+                if v is None:
+                    offsets.append(None)
+                else:
+                    offsets.append(cur)
+                    for e in v:
+                        keys.append(e.get("key"))
+                        items.append(e.get("value"))
+                    cur += len(v)
+        else:
+            # plain Avro map: string keys, decoded as dicts
+            key_schema = "string"
+            val_schema = (src or {}).get("values") \
+                if isinstance(src, dict) else None
+            for v in vals:
+                if v is None:
+                    offsets.append(None)
+                else:
+                    offsets.append(cur)
+                    for k, mv in v.items():
+                        keys.append(k)
+                        items.append(mv)
+                    cur += len(v)
+        offsets.append(cur)
+        key_arr = _avro_values_to_arrow(keys, t.key_type, key_schema)
+        item_arr = _avro_values_to_arrow(items, t.item_type, val_schema)
+        return pa.MapArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), key_arr, item_arr).cast(t)
 
     if pa.types.is_decimal(t):
         from decimal import Decimal
@@ -127,9 +237,6 @@ def _avro_values_to_arrow(vals: list, t):
         vals = [None if v is None else
                 Decimal(int.from_bytes(bytes(v), "big", signed=True))
                 .scaleb(-s) for v in vals]
-    elif pa.types.is_nested(t):
-        raise NotImplementedError(
-            "nested types over AVRO data files are not supported")
     return pa.array(vals, type=t)
 
 
@@ -151,9 +258,9 @@ def _read_one(fs_io: FileIO, path: str, target, file_format: str = "parquet"):
         schema, _meta, records = avro_io.read_avro_file(
             fs_io.read_bytes(path))
         fields = schema.get("fields", []) if isinstance(schema, dict) else []
-        by_id = {int(ff["field-id"]): ff["name"]
+        by_id = {int(ff["field-id"]): ff
                  for ff in fields if ff.get("field-id") is not None}
-        names = {ff["name"] for ff in fields}
+        by_name = {ff["name"]: ff for ff in fields}
         n = len(records)
         cols = []
         for f in target:
@@ -161,13 +268,13 @@ def _read_one(fs_io: FileIO, path: str, target, file_format: str = "parquet"):
             src = None
             if tid is not None and by_id:
                 src = by_id.get(int(tid))
-            elif f.name in names:
-                src = f.name
+            elif f.name in by_name:
+                src = by_name[f.name]
             if src is None:
                 cols.append(pa.nulls(n, f.type))
                 continue
             cols.append(_avro_values_to_arrow(
-                [r.get(src) for r in records], f.type))
+                [r.get(src["name"]) for r in records], f.type, src["type"]))
         return pa.Table.from_arrays(cols, schema=target)
 
     if file_format == "orc":

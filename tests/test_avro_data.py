@@ -127,18 +127,111 @@ def test_avro_mor_positional_delete_and_file_info(spark, tmp_path):
     assert got == [i for i in range(30) if i % 3]
 
 
-def test_avro_nested_refused_loudly(spark, tmp_path):
-    schema = {"type": "record", "name": "r", "fields": [
+# field-ids match what create_table assigns the spark schema below
+# (breadth-first: top-level 1-4, then s.x=5, s.label=6, xs.element=7,
+# attrs key/value=8/9) — an Iceberg-Avro writer stamps the TABLE's ids
+_NESTED_SCHEMA = {
+    "type": "record", "name": "r", "fields": [
         {"name": "id", "field-id": 1, "type": ["null", "long"]},
         {"name": "s", "field-id": 2, "type": ["null", {
             "type": "record", "name": "inner", "fields": [
-                {"name": "x", "field-id": 3, "type": ["null", "long"]}]}]},
+                {"name": "x", "field-id": 5, "type": ["null", "long"]},
+                {"name": "label", "field-id": 6,
+                 "type": ["null", "string"]}]}]},
+        {"name": "xs", "field-id": 3, "type": ["null", {
+            "type": "array", "element-id": 7, "items": ["null", "long"]}]},
+        {"name": "attrs", "field-id": 4, "type": ["null", {
+            "type": "map", "key-id": 8, "value-id": 9,
+            "values": ["null", "long"]}]},
+    ]}
+
+
+def _nested_spark_schema():
+    return T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StructType([
+            T.StructField("x", T.LongType()),
+            T.StructField("label", T.StringType()),
+        ])),
+        T.StructField("xs", T.ArrayType(T.LongType())),
+        T.StructField("attrs", T.MapType(T.StringType(), T.LongType())),
+    ])
+
+
+def _nested_rows(n=12):
+    out = []
+    for i in range(n):
+        out.append({
+            "id": i,
+            "s": None if i % 5 == 4 else {"x": i * 10, "label": f"L{i}"},
+            "xs": None if i % 4 == 3 else [i, i + 1, None][: (i % 3) + 1],
+            "attrs": None if i % 6 == 5 else {"a": i, "b": i * 2},
+        })
+    return out
+
+
+def test_avro_nested_struct_list_map(spark, tmp_path):
+    """r13 (VERDICT r12 task 4): nested types over Avro data files —
+    struct / list / string-keyed map roundtrip with NULLs at every
+    level (the foreign Flink/legacy-table shape; the reference reads no
+    Avro data at all)."""
+    rows = _nested_rows()
+    loc = _avro_table(tmp_path, spark, rows, _NESTED_SCHEMA,
+                      _nested_spark_schema(), name="t_avro_nested")
+    got = {r.id: r for r in iceberg_scan(spark, loc).collect()}
+    assert len(got) == 12
+    assert got[1].s.x == 10 and got[1].s.label == "L1"
+    assert got[4].s is None and got[9].s is None
+    assert got[3].xs is None and got[7].xs is None
+    assert got[1].xs == [1, 2] and got[2].xs == [2, 3, None]
+    assert got[0].xs == [0]
+    assert got[5].attrs is None and got[11].attrs is None
+    assert got[2].attrs == {"a": 2, "b": 4}
+
+
+def test_avro_nested_member_rename_resolves_by_field_id(spark, tmp_path):
+    """A renamed STRUCT MEMBER resolves by field-id against old Avro
+    files (same contract as the parquet plane); a member the file never
+    had null-fills."""
+    from duckdb_iceberg_spark.sources.ddl import rename_column
+
+    rows = _nested_rows(8)
+    loc = _avro_table(tmp_path, spark, rows, _NESTED_SCHEMA,
+                      _nested_spark_schema(), name="t_avro_nested_ren")
+    rename_column(loc, "s.x", "x_renamed")
+    got = {r.id: r for r in iceberg_scan(spark, loc).collect()}
+    assert got[2].s.x_renamed == 20, \
+        "struct-member field-id resolution must survive rename"
+    assert got[2].s.label == "L2"
+
+
+def test_avro_array_encoded_map_non_string_keys(spark, tmp_path):
+    """Iceberg's non-string-key map encoding over Avro: an array of
+    {key, value} records with logicalType map decodes to a real map
+    column."""
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "field-id": 1, "type": ["null", "long"]},
+        {"name": "m", "field-id": 2, "type": ["null", {
+            "type": "array", "logicalType": "map",
+            "items": {"type": "record", "name": "k_v", "fields": [
+                {"name": "key", "field-id": 3, "type": "long"},
+                {"name": "value", "field-id": 4,
+                 "type": ["null", "string"]}]}}]},
     ]}
     sp = T.StructType([
         T.StructField("id", T.LongType()),
-        T.StructField("s", T.StructType([T.StructField("x", T.LongType())])),
+        T.StructField("m", T.MapType(T.LongType(), T.StringType()),
+                      metadata={"parquet.field.id": 2}),
     ])
-    loc = _avro_table(tmp_path, spark, [{"id": 1, "s": {"x": 2}}],
-                      schema, sp, name="t_avro_nested")
-    with pytest.raises(Exception, match="nested types over AVRO"):
-        iceberg_scan(spark, loc).collect()
+    rows = [
+        {"id": 0, "m": [{"key": 7, "value": "seven"},
+                        {"key": 9, "value": None}]},
+        {"id": 1, "m": None},
+        {"id": 2, "m": []},
+    ]
+    loc = _avro_table(tmp_path, spark, rows, schema, sp,
+                      name="t_avro_kvmap")
+    got = {r.id: r for r in iceberg_scan(spark, loc).collect()}
+    assert got[0].m == {7: "seven", 9: None}
+    assert got[1].m is None
+    assert got[2].m == {}

@@ -431,6 +431,19 @@ def main() -> None:
         }
         out["sf1"]["query_runs"] = sf1_raw
 
+    # metadata-plane stress block (r13, VERDICT r12 task 7): planner
+    # wall-clock + peak memory at 1e5 manifest entries, metadata only —
+    # regression bound for the driver-side planning constants. Runs
+    # in-process (no Spark jobs); invariants inside run() assert the
+    # selective plan parsed exactly 1 of 200 manifests.
+    if os.environ.get("SPARK_GRAFT_META_BENCH", "1") != "0":
+        try:
+            from tools import bench_metadata
+
+            out["metadata_plane"] = bench_metadata.run()
+        except Exception as e:  # never sink the whole artifact
+            out["metadata_plane"] = {"error": str(e)[:200]}
+
     # min-of-N discipline for MOVED queries (VERDICT r8 task 5): any query
     # whose median shifted >1.3x vs the PREVIOUS bench artifact ships its
     # raw per-run times in stdout too, so the driver's BENCH_r{N}.json is

@@ -166,6 +166,16 @@ def _localize(tm: TableMetadata, path: str) -> str:
             if idx >= 0:
                 return loc + path[idx:]
         return path
+    # canonical un-moved local layout (<location>/data/…, …/metadata/…):
+    # return WITHOUT a stat. Probing existence per path was the planner's
+    # hot spot at many-file scale (tools/bench_metadata.py: 100k entries
+    # spent ~5s in posix.stat here — O(#files) syscalls for tables that
+    # were never moved); the marker rewrite below reconstructs the same
+    # string for these paths anyway, so the stat decided nothing.
+    if path.startswith(loc + "/"):
+        tail = path[len(loc):]
+        if tail.startswith("/data/") or tail.startswith("/metadata/"):
+            return path
     if os.path.exists(path):
         return path
     for marker in ("/data/", "/metadata/"):

@@ -381,11 +381,19 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _scan_lineitem(spark, sf_dir)
     cust = _pq(spark, sf_dir, "customer")
     orders = _pq(spark, sf_dir, "orders")
+    # merge hint on the lineitem join (r13): Spark's static size estimate
+    # put the shipdate-filtered lineitem under the broadcast threshold and
+    # built a multi-million-row hash relation at sf1 (the two-round max
+    # sf1 canary, ratio 3.2-3.33 — measured 3.4s vs 1.15s hinted). A fact
+    # table must never be the broadcast side; the SMJ shuffles BOTH sides
+    # on the orderkey and the downstream groupBy(l_orderkey) reuses that
+    # partitioning, so the shuffle count stays at two (orders-side small,
+    # lineitem-side the one linear pass) + the customers broadcast.
     return (
         cust.filter("c_mktsegment = 'BUILDING'")
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .filter("o_orderdate < TIMESTAMP '1995-03-15 00:00:00'")
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .filter("l_shipdate > TIMESTAMP '1995-03-15 00:00:00'")
         .groupBy("l_orderkey")
         .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
@@ -401,7 +409,9 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_pq(spark, sf_dir, "nation"), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(_pq(spark, sf_dir, "customer"), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(_pq(spark, sf_dir, "orders"), F.col("o_custkey") == F.col("c_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        # merge hint (r13): statically mis-sized lineitem broadcast, same
+        # class as q03 — the fact side must shuffle, never broadcast
+        .join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(_pq(spark, sf_dir, "supplier"),
               (F.col("s_suppkey") == F.col("l_suppkey")) & (F.col("s_nationkey") == F.col("c_nationkey")))
         .groupBy("n_name")
@@ -428,8 +438,12 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _scan_lineitem(spark, sf_dir)
     cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    # merge hint (r13): the static plan broadcast the un-filtered lineitem
+    # as the semi-join build side — a fact-table broadcast. The SMJ semi
+    # shuffles both sides on the orderkey instead (AQE still downgrades to
+    # a broadcast at runtime if the observed side is genuinely small).
     return (
-        orders.join(li, cond, "left_semi")
+        orders.join(li.hint("merge"), cond, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
@@ -534,7 +548,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _pq(spark, sf_dir, "nation")
     return (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        # merge hint (r13): the returnflag filter mis-estimated lineitem
+        # under the broadcast threshold — same fact-broadcast class as q03
+        .join(li.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
@@ -765,8 +781,10 @@ def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
               " AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'")
     orders = _pq(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # merge hint (r13): the shipdate-filtered lineitem was statically
+    # broadcast against full orders — both sides are facts; shuffle both
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.hint("merge").join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .groupBy(F.col("l_returnflag").alias("mode"))
         .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),

@@ -3640,72 +3640,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     changed since their last driver row, (b) entries that have never had
     a driver row, (c) longest parked, (d) family coverage — plus the
     VERDICT r8 hard rule: a RED driver row never rotates out until it
-    has a green one. Layout (round 12 rotation, per VERDICT r11 tasks
-    1-2):
+    has a green one. Layout (round 13 rotation, per VERDICT r12 tasks
+    1-3):
 
-      1      ice_time_scan — the r11 driver RED (never rotates out
-             until green; its flag-less-session fix landed this round:
-             TIME-literal residual rewrite + mode-independent µs
-             BIGINT output, priority (a)+(b)).
-      2-7    the six r11 newcomers, never driver-checked (priority
-             (b)): ice_orc_scan, docs_quality_classifier,
-             docs_bm25_topk, docs_gopher_filter,
-             docs_pipeline_curation, docs_c4_clean.
-      8-10   longest-parked spot checks (priority (c)): emb_neardup
-             (last driver row r4), docs_line_dedup + docs_repetition
-             (r5).
-      11-17  the r8 first-driver-row cohort, parked three rounds
-             (priority (c)): mm_video_meta, docs_dup_components,
-             mm_image_dedup, mm_audio_dedup, mm_video_dedup,
-             stream_minhash_curation, emb_pq_topk.
-      18-46  the r9 window cohort, parked since r9 — the
-             every-third-round deadline (priority (c)): emb_* ANN +
-             k-means family, metadata/function ice_* surface,
-             stream_changelog/curation/dedup_ttl, the sampling/packing
-             docs_* family. 29 of its 30 entries; docs_token_count
-             defers to r13 (priority (b) newcomers outrank (c), and its
-             tokenize family stays covered by docs_vocab + docs_chunk).
-      47     ice_mor_delete_scan — residual-filter representative
-             (priority (a): the scan path's residual application
-             changed this round — sources/scan.py _residual_filter).
-      48-50  NEW r12 (priority (b)): ice_orc_mor_scan (positional MoR
-             deletes over ORC via arrow-plane row ordinals),
-             ice_delete_compaction_scan
-             (rewrite_position_delete_files maintenance end-to-end),
-             ice_add_files_scan (metadata-only parquet import + post-
-             import schema evolution through name mapping).
-      51+    parked, all driver-green r10/r11: the curation-composition
-             pair (ice_dup_cluster_curation, ice_docs_curation — the
-             MoR+residual surface stays covered by slot 48 and the r12
-             newcomers), the rest of the ice_* DML/scan core (green
-             r11), the now-GREEN dsir/lm block + probes (r11 greens
-             after three red rounds), the r11 rotation's r6 re-checks,
-             full TPC-H (all 23 green r11), and the r10 window cohort.
-             Everything parked stays oracle-checked in every local
-             sweep.
+      1      ice_time_scan — priority (a): the residual-filter rewriter
+             changed again this round (quoted-string tokenizing, ADVICE
+             r12); also the historical r11-red watch entry.
+      2      ice_mor_delete_scan — priority (a): residual application +
+             the _localize no-stat short-circuit both sit on its path.
+      3-10   priority (b), never driver-checked: docs_token_count
+             (deferred from r12), the five r12 session-2/3 newcomers
+             (emb_sq_topk, docs_bpe_tokens, ice_wap_scan,
+             stream_upsert_sink, ice_avro_scan), and the two NEW r13
+             entries (ice_retention_scan — ref-retention-aware expire;
+             ice_avro_nested_scan — struct/list/map over Avro data
+             files).
+      11-15  priority (a): the five TPC-H queries whose plans changed
+             this round (merge hints killing static lineitem
+             broadcasts): q03, q04, q05, q10, q12.
+      16-43  priority (c): the full r10 window cohort, parked three
+             rounds — the every-third-round deadline (28 entries:
+             dedup/fingerprint/decontaminate family, relational q_*
+             shapes, streaming sink/tumbling, mm_* features,
+             ice_custom_paths_scan).
+      44-50  priority (c)/(d) family spread of the longest-parked
+             r10/r11 greens: the curation-composition pair
+             (ice_dup_cluster_curation, ice_docs_curation), DV deletes
+             (ice_dv_delete_scan), SQL MERGE (ice_sql_merge), time
+             travel (ice_time_travel — interacts with this round's
+             retention-aware expire), variant extraction
+             (ice_variant_extract), and docs_dsir_sample (the r12 perf
+             headline — a hash row guards the single-shuffle rewrite).
+      51+    parked: the whole r12 window cohort (all driver-green r12,
+             due again by r15), the rest of the r11-green ice_* DML/
+             scan core and dsir/lm probes, and the 18 TPC-H queries
+             whose plans did NOT change (driver-green r11 — the full
+             TPC-H block is due back by r14 under the every-third-round
+             rule, together with q_interval_join and the r11
+             re-checks). Everything parked stays oracle-checked in
+             every local sweep.
 
-    r13 rotation plan: priority (b) first — the five never-driver-
-    checked r12 newcomers parked past the boundary (docs_token_count,
-    deferred this round; emb_sq_topk; docs_bpe_tokens; ice_wap_scan;
-    stream_upsert_sink) — then the r10 window cohort (parked three
-    rounds by r13, the every-third-round deadline, 29 entries) fills
-    the rest; the r11-green TPC-H block is due back by r14.
+    r14 rotation plan: the TPC-H block (18 unchanged queries + the five
+    re-checked this round), q_interval_join, the r11-green ice core's
+    remainder (ice_delete_using_scan, ice_update_scan, ice_upsert_scan,
+    ice_merge_scan, ice_merge_conditional, ice_schema_evolution,
+    ice_spec_evolution_scan, ice_compaction_scan,
+    ice_bucket_pruned_scan, ice_dynamic_prune_join), and the dsir/lm
+    probes come due; r12's window cohort has until r15.
     """
     return {
-        # 1 — r11 driver RED (stays until green; its fix landed this round)
+        # 1-2 — priority (a): residual-filter + _localize representatives
         "ice_time_scan": ice_time_scan,
-        # 2-7 — the six r11 newcomers, never driver-checked (priority (b))
+        "ice_mor_delete_scan": ice_mor_delete_scan,
+        # 3-10 — priority (b): never driver-checked
+        "docs_token_count": docs_token_count,
+        "emb_sq_topk": emb_sq_topk,
+        "docs_bpe_tokens": docs_bpe_tokens,
+        "ice_wap_scan": ice_wap_scan,
+        "stream_upsert_sink": stream_upsert_sink,
+        "ice_avro_scan": ice_avro_scan,
+        # NEW r13: ref-retention-aware expire (drops aged refs, keeps
+        # branch ancestor chains) — scan of the retained branch
+        "ice_retention_scan": ice_retention_scan,
+        # NEW r13: NESTED Avro data files (struct/list/map by field-id,
+        # post-write struct-member rename, NULLs at every level)
+        "ice_avro_nested_scan": ice_avro_nested_scan,
+        # 11-15 — priority (a): plans changed this round (merge hints
+        # replacing statically mis-sized lineitem broadcasts)
+        "q03_shipping_priority": q03_shipping_priority,
+        "q04_order_priority": q04_order_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q12_late_lines": q12_late_lines,
+        # 16-43 — priority (c): the r10 window cohort, parked three
+        # rounds (every-third-round deadline)
+        "ice_custom_paths_scan": ice_custom_paths_scan,
+        "docs_bloom_dedup": docs_bloom_dedup,
+        "docs_quality": docs_quality,
+        "docs_fingerprint": docs_fingerprint,
+        "docs_incremental_dedup": docs_incremental_dedup,
+        "docs_lang_scores": docs_lang_scores,
+        "docs_winnow": docs_winnow,
+        "q_distinct_parts": q_distinct_parts,
+        "q_rollup": q_rollup,
+        "q_setop_nations": q_setop_nations,
+        "q_topk_orders": q_topk_orders,
+        "q_anti_join": q_anti_join,
+        "docs_minhash_dedup": docs_minhash_dedup,
+        "docs_decontaminate": docs_decontaminate,
+        "docs_ngram_dedup": docs_ngram_dedup,
+        "docs_simhash": docs_simhash,
+        "docs_exact_dedup": docs_exact_dedup,
+        "stream_incremental": stream_incremental,
+        "stream_sink_roundtrip": stream_sink_roundtrip,
+        "stream_tumbling_events": stream_tumbling_events,
+        "mm_image_features": mm_image_features,
+        "mm_audio_features": mm_audio_features,
+        "mm_frame_sample": mm_frame_sample,
+        "docs_source_cap": docs_source_cap,
+        "docs_substr_dedup": docs_substr_dedup,
+        "q_window_top_order": q_window_top_order,
+        "q_events_hourly": q_events_hourly,
+        "q_asof_join": q_asof_join,
+        # 44-50 — longest-parked family spread (r10/r11 greens)
+        "ice_dup_cluster_curation": ice_dup_cluster_curation,
+        "ice_docs_curation": ice_docs_curation,
+        "ice_dv_delete_scan": ice_dv_delete_scan,
+        "ice_sql_merge": ice_sql_merge,
+        "ice_time_travel": ice_time_travel,
+        "ice_variant_extract": ice_variant_extract,
+        "docs_dsir_sample": docs_dsir_sample,
+        # ------------------- 50-row window boundary -----------------------
+        # parked (driver-green r12): the r12 window cohort — due by r15
         "ice_orc_scan": ice_orc_scan,
         "docs_quality_classifier": docs_quality_classifier,
         "docs_bm25_topk": docs_bm25_topk,
         "docs_gopher_filter": docs_gopher_filter,
         "docs_pipeline_curation": docs_pipeline_curation,
         "docs_c4_clean": docs_c4_clean,
-        # 8-10 — longest-parked spot checks (last driver rows r4/r5)
         "emb_neardup": emb_neardup,
         "docs_line_dedup": docs_line_dedup,
         "docs_repetition": docs_repetition,
-        # 11-17 — the r8 first-driver-row cohort, parked three rounds
         "mm_video_meta": mm_video_meta,
         "docs_dup_components": docs_dup_components,
         "mm_image_dedup": mm_image_dedup,
@@ -3713,7 +3768,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_dedup": mm_video_dedup,
         "stream_minhash_curation": stream_minhash_curation,
         "emb_pq_topk": emb_pq_topk,
-        # 18-47 — the full r9 window cohort (every-third-round deadline)
         "ice_variant_write_scan": ice_variant_write_scan,
         "emb_kmeans": emb_kmeans,
         "emb_semantic_dedup": emb_semantic_dedup,
@@ -3743,85 +3797,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_redact_pii": docs_redact_pii,
         "docs_normalize": docs_normalize,
         "docs_chunk": docs_chunk,
-        # 47 — residual-filter representative (priority (a): the scan
-        # path's residual application changed this round, _residual_filter)
-        "ice_mor_delete_scan": ice_mor_delete_scan,
-        # 48-50 — NEW r12 (priority (b) outranks (c)): positional MoR
-        # deletes over ORC; rewrite_position_delete_files maintenance;
-        # add_files metadata-only import. To fit, ONE r9-cohort entry
-        # (docs_token_count — its tokenize family stays covered by
-        # docs_vocab + docs_chunk in-window) defers to r13.
         "ice_orc_mor_scan": ice_orc_mor_scan,
         "ice_delete_compaction_scan": ice_delete_compaction_scan,
         "ice_add_files_scan": ice_add_files_scan,
-        # ------------------- 50-row window boundary -----------------------
-        # deferred to r13 (r9-green; family covered in-window)
-        "docs_token_count": docs_token_count,
-        # NEW r12, never driver-checked — r13 window priority (b):
-        # scalar-quantized ANN (integer-exact codes + scores); mini-BPE
-        # tokenizer prep (driver fit + distributed apply)
-        "emb_sq_topk": emb_sq_topk,
-        "docs_bpe_tokens": docs_bpe_tokens,
-        # NEW r12: Write-Audit-Publish (branch stage -> publish) scan;
-        # streaming CDC-upsert sink roundtrip
-        "ice_wap_scan": ice_wap_scan,
-        "stream_upsert_sink": stream_upsert_sink,
-        # NEW r12: Avro data files (third format) + MoR deletes
-        "ice_avro_scan": ice_avro_scan,
-        # NEW r13: ref-retention-aware expire (drops aged refs, keeps
-        # branch ancestor chains) — scan of the retained branch
-        "ice_retention_scan": ice_retention_scan,
-        # NEW r13: NESTED Avro data files (struct/list/map by field-id,
-        # post-write struct-member rename, NULLs at every level)
-        "ice_avro_nested_scan": ice_avro_nested_scan,
-        # parked (driver-green r10/r11): the curation-composition pair —
-        # the MoR+residual surface stays covered in-window by
-        # ice_mor_delete_scan and the two r12 newcomers
-        "ice_dup_cluster_curation": ice_dup_cluster_curation,
-        "ice_docs_curation": ice_docs_curation,
-        # parked (driver-green r11): the rest of the ice_* DML/scan core
+        # parked (driver-green r11): the rest of the ice_* DML/scan core —
+        # due r14
         "ice_delete_using_scan": ice_delete_using_scan,
-        "ice_dv_delete_scan": ice_dv_delete_scan,
         "ice_update_scan": ice_update_scan,
         "ice_upsert_scan": ice_upsert_scan,
         "ice_merge_scan": ice_merge_scan,
-        "ice_sql_merge": ice_sql_merge,
         "ice_merge_conditional": ice_merge_conditional,
-        "ice_time_travel": ice_time_travel,
         "ice_schema_evolution": ice_schema_evolution,
         "ice_spec_evolution_scan": ice_spec_evolution_scan,
         "ice_compaction_scan": ice_compaction_scan,
         "ice_bucket_pruned_scan": ice_bucket_pruned_scan,
         "ice_dynamic_prune_join": ice_dynamic_prune_join,
-        "ice_variant_extract": ice_variant_extract,
-        # parked (driver hash-GREEN r11 after three red rounds): the dsir/lm
-        # block with its probes + control — the r8 red-until-green rule is
-        # satisfied, so they park under normal rotation
-        "docs_dsir_sample": docs_dsir_sample,
+        # parked (driver hash-GREEN r11): the dsir/lm probes + controls
+        # (docs_dsir_sample itself rides in-window this round)
         "docs_lm_score": docs_lm_score,
         "docs_lm_buckets": docs_lm_buckets,
         "docs_dsir_probe": docs_dsir_probe,
         "docs_lm_probe": docs_lm_probe,
-        # parked (driver-green r11): the r11 rotation's re-checks
+        # parked (driver-green r11): the r11 rotation's re-checks — due r14
         "docs_temperature_sample": docs_temperature_sample,
         "docs_incremental_minhash": docs_incremental_minhash,
         "stream_session_events": stream_session_events,
         "stream_sliding_events": stream_sliding_events,
         "q_interval_join": q_interval_join,
-        # parked (all 23 driver-green r11): full TPC-H
+        # parked (driver-green r11, plans unchanged this round): the rest
+        # of TPC-H — the full block is due r14
         "q01_pricing_summary": q01_pricing_summary,
         "q01_mor_pricing_summary": q01_mor_pricing_summary,
         "q02_min_cost_supplier": q02_min_cost_supplier,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q04_order_priority": q04_order_priority,
-        "q05_region_revenue": q05_region_revenue,
         "q06_revenue_forecast": q06_revenue_forecast,
         "q07_volume_shipping": q07_volume_shipping,
         "q08_market_share": q08_market_share,
         "q09_product_profit": q09_product_profit,
-        "q10_returned_items": q10_returned_items,
         "q11_important_stock": q11_important_stock,
-        "q12_late_lines": q12_late_lines,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_revenue": q14_promo_revenue,
         "q15_top_supplier": q15_top_supplier,
@@ -3832,35 +3844,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_shippers": q20_excess_shippers,
         "q21_waiting_supplier": q21_waiting_supplier,
         "q22_sales_opportunity": q22_sales_opportunity,
-        # parked (driver-green r10): the r10 window cohort
-        "ice_custom_paths_scan": ice_custom_paths_scan,
-        "docs_bloom_dedup": docs_bloom_dedup,
-        "docs_quality": docs_quality,
-        "docs_fingerprint": docs_fingerprint,
-        "docs_incremental_dedup": docs_incremental_dedup,
-        "docs_lang_scores": docs_lang_scores,
-        "docs_winnow": docs_winnow,
-        "q_distinct_parts": q_distinct_parts,
-        "q_rollup": q_rollup,
-        "q_setop_nations": q_setop_nations,
-        "q_topk_orders": q_topk_orders,
-        "q_anti_join": q_anti_join,
-        "docs_minhash_dedup": docs_minhash_dedup,
-        "docs_decontaminate": docs_decontaminate,
-        "docs_ngram_dedup": docs_ngram_dedup,
-        "docs_simhash": docs_simhash,
-        "docs_exact_dedup": docs_exact_dedup,
-        "stream_incremental": stream_incremental,
-        "stream_sink_roundtrip": stream_sink_roundtrip,
-        "stream_tumbling_events": stream_tumbling_events,
-        "mm_image_features": mm_image_features,
-        "mm_audio_features": mm_audio_features,
-        "mm_frame_sample": mm_frame_sample,
-        "docs_source_cap": docs_source_cap,
-        "docs_substr_dedup": docs_substr_dedup,
-        "q_window_top_order": q_window_top_order,
-        "q_events_hourly": q_events_hourly,
-        "q_asof_join": q_asof_join,
     }
 
 

@@ -144,6 +144,10 @@ HEADLINE = [
     "stream_upsert_sink",
     # r12: Avro data files (pure-Python decode, arrow plane, MoR deletes)
     "ice_avro_scan",
+    # r13: ref-retention-aware expire -> retained-branch scan
+    "ice_retention_scan",
+    # r13: nested Avro (struct/list/map by field-id, member rename)
+    "ice_avro_nested_scan",
 ]
 
 
@@ -179,6 +183,10 @@ SF1_CANARIES = [
     "ice_orc_mor_scan", "docs_bpe_tokens",
     # r12: SQ ANN under 10x vectors (0-exchange linear scan + TakeOrdered)
     "emb_sq_topk",
+    # r13: the three other merge-hinted queries (q03/q05 are canaries
+    # already) — the static lineitem broadcast they carried was exactly
+    # the shape only the 10x block could expose
+    "q04_order_priority", "q10_returned_items", "q12_late_lines",
 ]
 
 _SF1_GEN_VERSION = "v2"  # v2: embeddings scaled too (ANN canaries)

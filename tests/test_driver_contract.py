@@ -19,67 +19,62 @@ ROWS_ONLY: set = set()
 
 
 def test_window_holds_reference_surface_and_rotation():
-    """Round-12 rotation (queries() docstring): the r11 driver RED
-    ice_time_scan stays in slot 1 until it earns a green row; the six r11
-    newcomers get their first driver rows (priority (b)); the r4/r5/r8
-    longest-parked cohorts and the full r9 cohort rotate in
-    (every-third-round deadline, priority (c)); three residual-filter
-    representatives ride because the scan path's residual application
-    changed this round (priority (a)). The r11-green ice core, dsir/lm
-    block, and TPC-H park. An entry may leave the window only via a
-    documented rotation, never via an accidental insertion above it."""
+    """Round-13 rotation (queries() docstring): the residual-filter +
+    _localize representatives hold slots 1-2 (priority (a) — both code
+    paths changed this round); every never-driver-checked entry gets its
+    first row (priority (b): docs_token_count, the five r12 newcomers,
+    the two NEW r13 entries); the five TPC-H queries whose plans changed
+    (merge hints) re-earn rows (priority (a)); the full r10 window
+    cohort rotates in (every-third-round deadline, priority (c)); seven
+    longest-parked r10/r11 greens fill the tail. The r12 window cohort,
+    the r11 ice core, and the unchanged TPC-H block park. An entry may
+    leave the window only via a documented rotation, never via an
+    accidental insertion above it."""
     keys = list(entry.queries())
     window = set(keys[:50])
-    assert keys[0] == "ice_time_scan", (
-        "the r11 driver RED must hold slot 1 until it has a green row")
-    r11_newcomers = {
-        "ice_orc_scan", "docs_quality_classifier", "docs_bm25_topk",
-        "docs_gopher_filter", "docs_pipeline_curation", "docs_c4_clean",
+    assert keys[0] == "ice_time_scan" and keys[1] == "ice_mor_delete_scan", (
+        "the priority-(a) residual/_localize representatives must hold "
+        "slots 1-2")
+    never_checked = {
+        "docs_token_count", "emb_sq_topk", "docs_bpe_tokens",
+        "ice_wap_scan", "stream_upsert_sink", "ice_avro_scan",
+        "ice_retention_scan", "ice_avro_nested_scan",
     }
-    assert r11_newcomers <= window, (
-        f"{sorted(r11_newcomers - window)} (never driver-checked) fell "
+    assert never_checked <= window, (
+        f"{sorted(never_checked - window)} (never driver-checked) fell "
         "past the driver's 50-row correctness window")
-    longest_parked = {
-        # r4/r5 spot checks
-        "emb_neardup", "docs_line_dedup", "docs_repetition",
-        # r8 first-driver-row cohort, parked three rounds
-        "mm_video_meta", "docs_dup_components", "mm_image_dedup",
-        "mm_audio_dedup", "mm_video_dedup", "stream_minhash_curation",
-        "emb_pq_topk",
+    plans_changed = {
+        "q03_shipping_priority", "q04_order_priority", "q05_region_revenue",
+        "q10_returned_items", "q12_late_lines",
     }
-    assert longest_parked <= window, (
-        f"{sorted(longest_parked - window)} (longest-parked) fell past "
-        "the window")
-    r9_cohort = {
-        "ice_variant_write_scan", "emb_kmeans", "emb_semantic_dedup",
-        "emb_ivf_topk", "emb_cosine_topk", "emb_lsh_topk", "emb_knn_join",
-        "emb_knn_join_bucketed", "docs_tfidf", "ice_count_star_metadata",
-        "ice_objectstore_scan", "ice_snapshot_history",
-        "ice_partition_stats", "ice_column_stats", "ice_metadata_files",
-        "ice_topk_scan", "ice_truncate_fn", "ice_bucket_fn",
-        "stream_changelog", "stream_curation", "docs_vocab",
-        "docs_resample_mixture", "docs_stratified_sample",
-        "docs_pack_sequences", "docs_corpus_report", "stream_dedup_ttl",
-        "docs_redact_pii", "docs_normalize", "docs_chunk",
+    assert plans_changed <= window, (
+        f"{sorted(plans_changed - window)} (merge-hint plan changes this "
+        "round) must re-earn driver rows")
+    r10_cohort = {
+        "ice_custom_paths_scan", "docs_bloom_dedup", "docs_quality",
+        "docs_fingerprint", "docs_incremental_dedup", "docs_lang_scores",
+        "docs_winnow", "q_distinct_parts", "q_rollup", "q_setop_nations",
+        "q_topk_orders", "q_anti_join", "docs_minhash_dedup",
+        "docs_decontaminate", "docs_ngram_dedup", "docs_simhash",
+        "docs_exact_dedup", "stream_incremental", "stream_sink_roundtrip",
+        "stream_tumbling_events", "mm_image_features", "mm_audio_features",
+        "mm_frame_sample", "docs_source_cap", "docs_substr_dedup",
+        "q_window_top_order", "q_events_hourly", "q_asof_join",
     }
-    assert len(r9_cohort) == 29
-    assert r9_cohort <= window, (
-        f"{sorted(r9_cohort - window)} (r9 cohort, every-third-round "
+    assert len(r10_cohort) == 28
+    assert r10_cohort <= window, (
+        f"{sorted(r10_cohort - window)} (r10 cohort, every-third-round "
         "deadline) fell past the window")
-    # docs_token_count defers to r13 (priority (b) newcomers outrank (c);
-    # its tokenize family stays covered by docs_vocab + docs_chunk) — it
-    # must sit FIRST past the boundary so r13 rotation picks it up
-    keys_past = keys[50:]
-    assert keys_past[0] == "docs_token_count"
-    assert "ice_mor_delete_scan" in window, (
-        "the residual-filter representative (scan residual code changed "
-        "this round) fell past the window")
-    r12_new = {"ice_orc_mor_scan", "ice_delete_compaction_scan",
-               "ice_add_files_scan"}
-    assert r12_new <= window, (
-        f"{sorted(r12_new - window)} (NEW r12 — positional MoR over ORC, "
-        "delete-file compaction, add_files import) must get their first "
-        "driver rows")
+    family_spread = {
+        "ice_dup_cluster_curation", "ice_docs_curation",
+        "ice_dv_delete_scan", "ice_sql_merge", "ice_time_travel",
+        "ice_variant_extract", "docs_dsir_sample",
+    }
+    assert family_spread <= window, (
+        f"{sorted(family_spread - window)} (longest-parked family spread) "
+        "fell past the window")
+    # the r12 window cohort parks FIRST past the boundary (due r15)
+    assert keys[50] == "ice_orc_scan"
     assert len(keys) >= 50 and len(window) == 50
 
 

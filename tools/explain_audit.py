@@ -159,6 +159,9 @@ AUDIT = [
     "ice_wap_scan",
     "stream_upsert_sink",
     "ice_avro_scan",
+    # r13: retention-expired branch scan; nested Avro struct/list/map decode
+    "ice_retention_scan",
+    "ice_avro_nested_scan",
 ]
 
 

@@ -2324,6 +2324,65 @@ def ice_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_cherrypick(spark: SparkSession, sf_dir: str) -> str:
+    """cherrypick_snapshot end-to-end (NEW r13 — the Spark
+    ``system.cherrypick_snapshot`` procedure; the out-of-order half of
+    Write-Audit-Publish): base (doc_id%3==0) on main, a wap.id-tagged
+    staged append (doc_id%3==1) on an audit branch, then main MOVES
+    independently (doc_id%3==2) so fast_forward is impossible — the
+    staged snapshot publishes via cherry-pick as a NEW commit on the
+    moved head. The fixture asserts the pick recorded
+    source-snapshot-id + wap.id and that a second pick of the same
+    wap.id refuses (the duplicate-WAP guard)."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.metadata.table_metadata import (
+            load_table_metadata,
+        )
+        from duckdb_iceberg_spark.sources.ddl import cherrypick_snapshot
+
+        docs = _pq(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        write_iceberg(docs.filter(F.col("doc_id") % 3 == 0), loc)
+        write_iceberg(docs.filter(F.col("doc_id") % 3 == 1), loc,
+                      branch="audit",
+                      snapshot_properties={"wap.id": "audit-job-1"})
+        staged = load_table_metadata(loc).refs["audit"]["snapshot-id"]
+        write_iceberg(docs.filter(F.col("doc_id") % 3 == 2), loc)
+
+        tm = cherrypick_snapshot(loc, staged)
+        snap = tm.current_snapshot()
+        assert snap.summary["source-snapshot-id"] == str(staged)
+        assert snap.summary["wap.id"] == "audit-job-1"
+        try:
+            cherrypick_snapshot(loc, staged)
+        except ValueError as e:
+            assert "already published" in str(e)
+        else:  # pragma: no cover - fixture invariant
+            raise AssertionError("duplicate wap.id pick must refuse")
+
+    return _build_once(sf_dir, "documents_cherrypick", build)
+
+
+def ice_cherrypick_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cherrypick_snapshot publish (NEW r13): staged wap.id append →
+    main diverges → cherry-pick onto the moved head → aggregate over the
+    published table. Hash-checked: the final content must be the WHOLE
+    corpus — a lost pick drops the %3==1 third, a double-apply doubles
+    it, either flips counts and sums."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_cherrypick(spark, sf_dir)
+    t = iceberg_scan(spark, loc)
+    return (
+        t.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").cast("long").alias("sum_chars"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
 def _ice_documents_avro_nested(spark: SparkSession, sf_dir: str) -> str:
     """documents as NESTED Avro data files (NEW r13, VERDICT r12 task 4 —
     the foreign Flink/legacy-table shape; the reference reads no Avro
@@ -3648,29 +3707,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              r12); also the historical r11-red watch entry.
       2      ice_mor_delete_scan — priority (a): residual application +
              the _localize no-stat short-circuit both sit on its path.
-      3-10   priority (b), never driver-checked: docs_token_count
+      3-11   priority (b), never driver-checked: docs_token_count
              (deferred from r12), the five r12 session-2/3 newcomers
              (emb_sq_topk, docs_bpe_tokens, ice_wap_scan,
-             stream_upsert_sink, ice_avro_scan), and the two NEW r13
+             stream_upsert_sink, ice_avro_scan), and the three NEW r13
              entries (ice_retention_scan — ref-retention-aware expire;
              ice_avro_nested_scan — struct/list/map over Avro data
-             files).
-      11-15  priority (a): the five TPC-H queries whose plans changed
+             files; ice_cherrypick_scan — out-of-order WAP publish).
+      12-16  priority (a): the five TPC-H queries whose plans changed
              this round (merge hints killing static lineitem
              broadcasts): q03, q04, q05, q10, q12.
-      16-43  priority (c): the full r10 window cohort, parked three
+      17-44  priority (c): the full r10 window cohort, parked three
              rounds — the every-third-round deadline (28 entries:
              dedup/fingerprint/decontaminate family, relational q_*
              shapes, streaming sink/tumbling, mm_* features,
              ice_custom_paths_scan).
-      44-50  priority (c)/(d) family spread of the longest-parked
+      45-50  priority (c)/(d) family spread of the longest-parked
              r10/r11 greens: the curation-composition pair
              (ice_dup_cluster_curation, ice_docs_curation), DV deletes
              (ice_dv_delete_scan), SQL MERGE (ice_sql_merge), time
              travel (ice_time_travel — interacts with this round's
-             retention-aware expire), variant extraction
-             (ice_variant_extract), and docs_dsir_sample (the r12 perf
-             headline — a hash row guards the single-shuffle rewrite).
+             retention-aware expire), and docs_dsir_sample (the r12
+             perf headline — a hash row guards the single-shuffle
+             rewrite). ice_variant_extract parks with the r11 ice core
+             (due r14) to fit ice_cherrypick_scan in priority (b).
       51+    parked: the whole r12 window cohort (all driver-green r12,
              due again by r15), the rest of the r11-green ice_* DML/
              scan core and dsir/lm probes, and the 18 TPC-H queries
@@ -3705,6 +3765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r13: NESTED Avro data files (struct/list/map by field-id,
         # post-write struct-member rename, NULLs at every level)
         "ice_avro_nested_scan": ice_avro_nested_scan,
+        # NEW r13: cherrypick_snapshot (out-of-order WAP publish with
+        # wap.id dedup) — the pick lands on a diverged main head
+        "ice_cherrypick_scan": ice_cherrypick_scan,
         # 11-15 — priority (a): plans changed this round (merge hints
         # replacing statically mis-sized lineitem broadcasts)
         "q03_shipping_priority": q03_shipping_priority,
@@ -3748,7 +3811,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_dv_delete_scan": ice_dv_delete_scan,
         "ice_sql_merge": ice_sql_merge,
         "ice_time_travel": ice_time_travel,
-        "ice_variant_extract": ice_variant_extract,
         "docs_dsir_sample": docs_dsir_sample,
         # ------------------- 50-row window boundary -----------------------
         # parked (driver-green r12): the r12 window cohort — due by r15
@@ -3812,6 +3874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_compaction_scan": ice_compaction_scan,
         "ice_bucket_pruned_scan": ice_bucket_pruned_scan,
         "ice_dynamic_prune_join": ice_dynamic_prune_join,
+        "ice_variant_extract": ice_variant_extract,
         # parked (driver hash-GREEN r11): the dsir/lm probes + controls
         # (docs_dsir_sample itself rides in-window this round)
         "docs_lm_score": docs_lm_score,
@@ -7151,6 +7214,15 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS max_id
             FROM documents WHERE doc_id % 4 < 3
             GROUP BY lang ORDER BY lang
+        """,
+        # cherrypick (r13): the published table must hold the WHOLE corpus
+        # (base %3==0 + picked %3==1 + diverged-main %3==2) exactly once —
+        # a lost pick or a double-apply flips the counts/sums
+        "ice_cherrypick_scan": """
+            SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   max(doc_id) AS max_id
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         # nested Avro (r13): replay the struct/list/map nesting arithmetic
         # from the raw rows — tags is NULL when doc_id%13=7, 2-element

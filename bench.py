@@ -148,6 +148,8 @@ HEADLINE = [
     "ice_retention_scan",
     # r13: nested Avro (struct/list/map by field-id, member rename)
     "ice_avro_nested_scan",
+    # r13: cherrypick publish onto a diverged main head (wap.id dedup)
+    "ice_cherrypick_scan",
 ]
 
 

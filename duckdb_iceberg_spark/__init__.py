@@ -9,6 +9,7 @@ Catalyst-optimized DataFrames.
 from .session import get_spark
 from .sources.add_files import add_files
 from .sources.ddl import (
+    cherrypick_snapshot,
     fast_forward,
     rollback_to_snapshot,
     set_current_snapshot,
@@ -49,4 +50,5 @@ __all__ = [
     "fast_forward",
     "rollback_to_snapshot",
     "set_current_snapshot",
+    "cherrypick_snapshot",
 ]

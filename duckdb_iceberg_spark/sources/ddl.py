@@ -641,6 +641,83 @@ def set_current_snapshot(location, snapshot_id: int) -> TableMetadata:
     return tm
 
 
+def cherrypick_snapshot(location, snapshot_id: int) -> TableMetadata:
+    """Apply one snapshot's ADDED files as a NEW commit on the current
+    main head (the Spark ``system.cherrypick_snapshot`` procedure, NEW
+    r13) — the other half of the Write-Audit-Publish idiom: where
+    fast_forward publishes a whole linear branch, cherrypick publishes a
+    SINGLE staged snapshot (possibly out of order, possibly from an
+    abandoned branch) without moving any ref onto foreign lineage.
+
+    Iceberg's restrictions apply: only APPEND snapshots cherry-pick (a
+    delete/overwrite replayed onto a diverged head could resurrect or
+    double-delete rows); a snapshot already in main's ancestry refuses
+    (CherrypickAncestorCommitException's analogue); a snapshot whose
+    ``wap.id`` was already published refuses (duplicate-WAP guard). The
+    new snapshot's summary records ``source-snapshot-id`` and inherits
+    the source's ``wap.id``, like Iceberg's CherryPickOperation."""
+    from ..metadata import manifest as mf
+    from ..plans.scan_plan import _localize
+    from .writer import commit_snapshot as _commit_snapshot
+
+    tm = _load(location)
+    src = tm.snapshot_by_id(int(snapshot_id))
+    if src.operation != "append":
+        raise ValueError(
+            f"cannot cherry-pick snapshot {snapshot_id}: only append "
+            f"snapshots can be cherry-picked, not {src.operation!r}")
+    cur = tm.current_snapshot()
+    if cur is not None and _is_ancestor(tm, int(snapshot_id),
+                                        cur.snapshot_id):
+        raise ValueError(
+            f"cannot cherry-pick snapshot {snapshot_id}: it is already "
+            "an ancestor of the current snapshot")
+    wap_id = (src.summary or {}).get("wap.id")
+    if wap_id and cur is not None:
+        by_id = {s.snapshot_id: s for s in tm.snapshots}
+        sid = cur.snapshot_id
+        seen: set[int] = set()
+        while sid is not None and sid in by_id and sid not in seen:
+            seen.add(sid)
+            s = by_id[sid]
+            if (s.summary or {}).get("wap.id") == wap_id:
+                raise ValueError(
+                    f"cannot cherry-pick snapshot {snapshot_id}: "
+                    f"wap.id {wap_id!r} was already published as "
+                    f"snapshot {s.snapshot_id}")
+            sid = s.parent_snapshot_id
+
+    # the files the source snapshot ADDED (its delta — carried-forward
+    # manifests from its own parent are NOT part of the pick)
+    added: list[mf.DataFile] = []
+    for m in mf.read_manifest_list(_localize(tm, src.manifest_list)):
+        if m.content != mf.MANIFEST_DATA or m.added_files_count == 0:
+            continue
+        for e in mf.read_manifest(_localize(tm, m.manifest_path)):
+            if e.status == mf.STATUS_ADDED \
+                    and e.snapshot_id == src.snapshot_id:
+                added.append(e.data_file)
+    if not added:
+        raise ValueError(
+            f"cannot cherry-pick snapshot {snapshot_id}: it added no "
+            "data files")
+
+    extra = {"source-snapshot-id": str(snapshot_id)}
+    if wap_id:
+        extra["wap.id"] = wap_id
+    rest = getattr(tm, "_rest_table", None)
+    if rest is not None:
+        _commit_snapshot(
+            tm, operation="append", new_data_files=added,
+            extra_summary=extra,
+            commit_fn=lambda s, rebuild=None: rest.commit_snapshot(
+                s.to_json(), operation="append", rebuild_fn=rebuild))
+        return rest.refresh().metadata
+    _commit_snapshot(tm, operation="append", new_data_files=added,
+                     extra_summary=extra)
+    return tm
+
+
 def drop_ref(location, name: str, kind: str | None = None) -> TableMetadata:
     """Drop a branch or tag. ``kind`` ('branch' | 'tag'), when given,
     must match the ref's recorded type — DROP BRANCH on a tag (or vice

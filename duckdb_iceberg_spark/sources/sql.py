@@ -1059,7 +1059,12 @@ def _call_procs():
         vacuum,
     )
 
-    from .ddl import fast_forward, rollback_to_snapshot, set_current_snapshot
+    from .ddl import (
+        cherrypick_snapshot,
+        fast_forward,
+        rollback_to_snapshot,
+        set_current_snapshot,
+    )
 
     # name -> (fn, takes_spark)
     return {
@@ -1070,10 +1075,11 @@ def _call_procs():
         "rewrite_manifests": (rewrite_manifests, False),
         "vacuum": (vacuum, True),
         "add_files": (add_files, True),
-        # WAP / snapshot management (r12)
+        # WAP / snapshot management (r12; cherrypick NEW r13)
         "fast_forward": (fast_forward, False),
         "rollback_to_snapshot": (rollback_to_snapshot, False),
         "set_current_snapshot": (set_current_snapshot, False),
+        "cherrypick_snapshot": (cherrypick_snapshot, False),
     }
 
 

@@ -39,6 +39,7 @@ def test_window_holds_reference_surface_and_rotation():
         "docs_token_count", "emb_sq_topk", "docs_bpe_tokens",
         "ice_wap_scan", "stream_upsert_sink", "ice_avro_scan",
         "ice_retention_scan", "ice_avro_nested_scan",
+        "ice_cherrypick_scan",
     }
     assert never_checked <= window, (
         f"{sorted(never_checked - window)} (never driver-checked) fell "
@@ -68,7 +69,7 @@ def test_window_holds_reference_surface_and_rotation():
     family_spread = {
         "ice_dup_cluster_curation", "ice_docs_curation",
         "ice_dv_delete_scan", "ice_sql_merge", "ice_time_travel",
-        "ice_variant_extract", "docs_dsir_sample",
+        "docs_dsir_sample",
     }
     assert family_spread <= window, (
         f"{sorted(family_spread - window)} (longest-parked family spread) "

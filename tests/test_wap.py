@@ -126,3 +126,77 @@ def test_branch_dml_stages_delete_update_merge(spark, sf_dir, tmp_path):
     pub = iceberg_scan(spark, loc)
     assert pub.count() == src.count() - 5
     assert pub.filter("n_name = 'fixed'").count() == 1
+
+
+def test_cherrypick_publishes_single_staged_snapshot(spark, sf_dir, tmp_path):
+    """r13 cherrypick_snapshot: publish ONE staged (wap.id-tagged) append
+    onto a main head that has already MOVED since the stage — the case
+    fast_forward refuses (non-linear). The pick commits a NEW snapshot
+    whose summary records source-snapshot-id and inherits wap.id."""
+    from duckdb_iceberg_spark.sources.ddl import cherrypick_snapshot
+
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "t_pick")
+    write_iceberg(src.filter("n_nationkey < 10"), loc)
+
+    # stage on a branch with a WAP id
+    write_iceberg(src.filter("n_nationkey >= 20"), loc, branch="audit",
+                  snapshot_properties={"wap.id": "job-42"})
+    staged = load_table_metadata(loc).refs["audit"]["snapshot-id"]
+
+    # main moves on independently — fast_forward is now impossible
+    write_iceberg(src.filter("n_nationkey >= 10 AND n_nationkey < 20"), loc)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        fast_forward(loc, "main", "audit")
+
+    tm = cherrypick_snapshot(loc, staged)
+    picked = tm.current_snapshot()
+    assert picked.summary["source-snapshot-id"] == str(staged)
+    assert picked.summary["wap.id"] == "job-42"
+    got = sorted(r.n_nationkey
+                 for r in iceberg_scan(spark, loc).collect())
+    assert got == sorted(r.n_nationkey for r in src.collect())
+
+    # duplicate-WAP guard: picking the same staged snapshot again refuses
+    with pytest.raises(ValueError, match="already published"):
+        cherrypick_snapshot(loc, staged)
+
+
+def test_cherrypick_refusals(spark, sf_dir, tmp_path):
+    """Ancestor snapshots and non-append operations refuse, like
+    Iceberg's CherrypickAncestorCommitException / operation guard."""
+    from duckdb_iceberg_spark.sources.ddl import cherrypick_snapshot
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "t_pick_refuse")
+    write_iceberg(src, loc)
+    first = load_table_metadata(loc).current_snapshot().snapshot_id
+    write_iceberg(src.limit(1), loc)
+
+    with pytest.raises(ValueError, match="already an ancestor"):
+        cherrypick_snapshot(loc, first)
+
+    # a staged DELETE (overwrite/delete operation) cannot cherry-pick
+    delete_from(spark, loc, "r_regionkey = 0", branch="fixup")
+    staged = load_table_metadata(loc).refs["fixup"]["snapshot-id"]
+    with pytest.raises(ValueError, match="only append"):
+        cherrypick_snapshot(loc, staged)
+
+
+def test_cherrypick_call_surface(spark, sf_dir, tmp_path):
+    """CALL cherrypick_snapshot(...) routes through execute_sql."""
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "t_pick_sql")
+    write_iceberg(src.filter("r_regionkey < 3"), loc)
+    write_iceberg(src.filter("r_regionkey >= 3"), loc, branch="audit")
+    staged = load_table_metadata(loc).refs["audit"]["snapshot-id"]
+    write_iceberg(src.limit(0), loc)  # main moves (empty commit)
+
+    register_table(spark, "picktab", loc)
+    execute_sql(spark,
+                f"CALL cherrypick_snapshot('picktab', {staged})")
+    assert spark.sql("SELECT count(*) c FROM picktab").first().c == \
+        src.count()

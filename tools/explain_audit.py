@@ -162,6 +162,7 @@ AUDIT = [
     # r13: retention-expired branch scan; nested Avro struct/list/map decode
     "ice_retention_scan",
     "ice_avro_nested_scan",
+    "ice_cherrypick_scan",
 ]
 
 

@@ -2324,6 +2324,49 @@ def ice_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_ndv(spark: SparkSession, sf_dir: str) -> str:
+    """Theta-sketch NDV statistics fixture (NEW r13 —
+    ``compute_table_stats`` writing the spec's Puffin statistics file;
+    the reference only MODELS the metadata shape,
+    rest_catalog/objects/statistics_file.cpp): documents projected to
+    three bounded-cardinality columns (lang, source, doc_mod =
+    doc_id % 50) so every sketch stays in EXACT mode (distincts << k) —
+    the ndv values are then cross-engine hash-checkable against literal
+    COUNT(DISTINCT …). The build also asserts the statistics entry
+    registered for the current snapshot with theta blobs."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import compute_table_stats, write_iceberg
+        from duckdb_iceberg_spark.metadata.table_metadata import (
+            load_table_metadata,
+        )
+        from duckdb_iceberg_spark.sources.statistics import THETA_BLOB_TYPE
+
+        docs = _pq(spark, sf_dir, "documents").select(
+            "lang", "source", (F.col("doc_id") % 50).alias("doc_mod"))
+        write_iceberg(docs, loc)
+        compute_table_stats(spark, loc)
+        entry_ = load_table_metadata(loc).raw["statistics"][0]
+        assert {b["type"] for b in entry_["blob-metadata"]} == \
+            {THETA_BLOB_TYPE}
+
+    return _build_once(sf_dir, "documents_ndv", build)
+
+
+def ice_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compute_table_stats end-to-end (NEW r13): one distributed
+    k+1-bounded-candidate pass → Puffin theta blobs → metadata
+    statistics entry → table_ndv read-back. Hash-checked: every column
+    is below the sketch's k, so the estimates are EXACT distinct counts
+    the oracle replays literally — a hashing/merge/serialization bug
+    shifts at least one ndv."""
+    from duckdb_iceberg_spark import table_ndv
+
+    loc = _ice_documents_ndv(spark, sf_dir)
+    ndv = table_ndv(loc)
+    rows = [(c, int(n)) for c, n in sorted(ndv.items())]
+    return spark.createDataFrame(rows, "col_name: string, ndv: long")
+
+
 def _ice_documents_cherrypick(spark: SparkSession, sf_dir: str) -> str:
     """cherrypick_snapshot end-to-end (NEW r13 — the Spark
     ``system.cherrypick_snapshot`` procedure; the out-of-order half of
@@ -3707,30 +3750,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              r12); also the historical r11-red watch entry.
       2      ice_mor_delete_scan — priority (a): residual application +
              the _localize no-stat short-circuit both sit on its path.
-      3-11   priority (b), never driver-checked: docs_token_count
+      3-12   priority (b), never driver-checked: docs_token_count
              (deferred from r12), the five r12 session-2/3 newcomers
              (emb_sq_topk, docs_bpe_tokens, ice_wap_scan,
-             stream_upsert_sink, ice_avro_scan), and the three NEW r13
+             stream_upsert_sink, ice_avro_scan), and the four NEW r13
              entries (ice_retention_scan — ref-retention-aware expire;
              ice_avro_nested_scan — struct/list/map over Avro data
-             files; ice_cherrypick_scan — out-of-order WAP publish).
-      12-16  priority (a): the five TPC-H queries whose plans changed
+             files; ice_cherrypick_scan — out-of-order WAP publish;
+             ice_ndv_stats — theta-sketch statistics files).
+      13-17  priority (a): the five TPC-H queries whose plans changed
              this round (merge hints killing static lineitem
              broadcasts): q03, q04, q05, q10, q12.
-      17-44  priority (c): the full r10 window cohort, parked three
+      18-45  priority (c): the full r10 window cohort, parked three
              rounds — the every-third-round deadline (28 entries:
              dedup/fingerprint/decontaminate family, relational q_*
              shapes, streaming sink/tumbling, mm_* features,
              ice_custom_paths_scan).
-      45-50  priority (c)/(d) family spread of the longest-parked
+      46-50  priority (c)/(d) family spread of the longest-parked
              r10/r11 greens: the curation-composition pair
              (ice_dup_cluster_curation, ice_docs_curation), DV deletes
-             (ice_dv_delete_scan), SQL MERGE (ice_sql_merge), time
-             travel (ice_time_travel — interacts with this round's
-             retention-aware expire), and docs_dsir_sample (the r12
-             perf headline — a hash row guards the single-shuffle
-             rewrite). ice_variant_extract parks with the r11 ice core
-             (due r14) to fit ice_cherrypick_scan in priority (b).
+             (ice_dv_delete_scan), time travel (ice_time_travel —
+             interacts with this round's retention-aware expire), and
+             docs_dsir_sample (the r12 perf headline — a hash row
+             guards the single-shuffle rewrite). ice_variant_extract
+             and ice_sql_merge park with the r11 ice core (due r14) to
+             fit the cherrypick + ndv newcomers in priority (b).
       51+    parked: the whole r12 window cohort (all driver-green r12,
              due again by r15), the rest of the r11-green ice_* DML/
              scan core and dsir/lm probes, and the 18 TPC-H queries
@@ -3768,6 +3812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r13: cherrypick_snapshot (out-of-order WAP publish with
         # wap.id dedup) — the pick lands on a diverged main head
         "ice_cherrypick_scan": ice_cherrypick_scan,
+        # NEW r13: compute_table_stats -> Puffin theta-sketch NDV blobs ->
+        # table_ndv read-back (exact mode, literally replayable)
+        "ice_ndv_stats": ice_ndv_stats,
         # 11-15 — priority (a): plans changed this round (merge hints
         # replacing statically mis-sized lineitem broadcasts)
         "q03_shipping_priority": q03_shipping_priority,
@@ -3809,7 +3856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_dup_cluster_curation": ice_dup_cluster_curation,
         "ice_docs_curation": ice_docs_curation,
         "ice_dv_delete_scan": ice_dv_delete_scan,
-        "ice_sql_merge": ice_sql_merge,
         "ice_time_travel": ice_time_travel,
         "docs_dsir_sample": docs_dsir_sample,
         # ------------------- 50-row window boundary -----------------------
@@ -3865,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parked (driver-green r11): the rest of the ice_* DML/scan core —
         # due r14
         "ice_delete_using_scan": ice_delete_using_scan,
+        "ice_sql_merge": ice_sql_merge,
         "ice_update_scan": ice_update_scan,
         "ice_upsert_scan": ice_upsert_scan,
         "ice_merge_scan": ice_merge_scan,
@@ -7214,6 +7261,21 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS max_id
             FROM documents WHERE doc_id % 4 < 3
             GROUP BY lang ORDER BY lang
+        """,
+        # ndv statistics (r13): every sketched column is far below k, so
+        # the theta estimates are EXACT distinct counts — literal replay
+        "ice_ndv_stats": """
+            SELECT col_name, ndv FROM (
+              SELECT 'doc_mod' AS col_name,
+                     CAST(count(DISTINCT doc_id % 50) AS BIGINT) AS ndv
+              FROM documents
+              UNION ALL
+              SELECT 'lang', CAST(count(DISTINCT lang) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT 'source', CAST(count(DISTINCT source) AS BIGINT)
+              FROM documents
+            ) ORDER BY col_name
         """,
         # cherrypick (r13): the published table must hold the WHOLE corpus
         # (base %3==0 + picked %3==1 + diverged-main %3==2) exactly once —

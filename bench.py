@@ -150,6 +150,8 @@ HEADLINE = [
     "ice_avro_nested_scan",
     # r13: cherrypick publish onto a diverged main head (wap.id dedup)
     "ice_cherrypick_scan",
+    # r13: theta-sketch NDV statistics (one bounded-candidate pass)
+    "ice_ndv_stats",
 ]
 
 

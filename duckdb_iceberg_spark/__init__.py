@@ -25,6 +25,7 @@ from .sources.maintenance import (
 )
 from .sources.scan import iceberg_scan, iceberg_count, scan_with_runtime_filter
 from .sources.sql import attach_catalog, execute_sql, refresh_table, register_table
+from .sources.statistics import compute_table_stats, table_ndv
 from .sources.writer import create_table, write_iceberg
 
 __all__ = [
@@ -51,4 +52,6 @@ __all__ = [
     "rollback_to_snapshot",
     "set_current_snapshot",
     "cherrypick_snapshot",
+    "compute_table_stats",
+    "table_ndv",
 ]

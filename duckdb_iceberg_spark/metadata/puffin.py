@@ -240,6 +240,54 @@ def write_puffin_serialized_dvs(
     return out
 
 
+def write_puffin_file(path: str, blobs: list[tuple[bytes, dict]]
+                      ) -> tuple[int, int, list[PuffinBlob]]:
+    """General Puffin writer (NEW r13, for statistics files): ``blobs``
+    is ``[(data, meta)]`` where meta carries type/fields/snapshot-id/
+    sequence-number/properties; offset+length are filled in here.
+    Returns (file_size, footer_size, blob metadata) — the spec's
+    statistics-file struct wants both sizes."""
+    body = bytearray(PUFFIN_MAGIC)
+    metas: list[dict] = []
+    out: list[PuffinBlob] = []
+    for data, meta in blobs:
+        offset = len(body)
+        body += data
+        m = {
+            "type": meta["type"],
+            "fields": list(meta.get("fields") or []),
+            "snapshot-id": meta.get("snapshot-id", -1),
+            "sequence-number": meta.get("sequence-number", -1),
+            "offset": offset,
+            "length": len(data),
+            "properties": dict(meta.get("properties") or {}),
+        }
+        metas.append(m)
+        out.append(PuffinBlob(
+            type=m["type"], offset=offset, length=len(data),
+            snapshot_id=m["snapshot-id"],
+            sequence_number=m["sequence-number"],
+            fields=m["fields"], properties=m["properties"]))
+    blobs_end = len(body)
+    payload = json.dumps({"blobs": metas}).encode("utf-8")
+    body += PUFFIN_MAGIC + payload
+    body += struct.pack("<i", len(payload))
+    body += struct.pack("<I", 0)  # flags: payload not compressed
+    body += PUFFIN_MAGIC
+    from .. import io as fio
+
+    fio.get_io(path).write_bytes(path, bytes(body))
+    return len(body), len(body) - blobs_end, out
+
+
+def read_blob(path: str, blob: PuffinBlob) -> bytes:
+    """Read one blob's bytes by footer-recorded offset/length."""
+    from .. import io as fio
+
+    data = fio.get_io(path).read_bytes(path)
+    return bytes(data[blob.offset:blob.offset + blob.length])
+
+
 def read_puffin_footer(path: str) -> list[PuffinBlob]:
     """Parse the footer payload (reference: iceberg_puffin_metadata.cpp)."""
     from .. import io as fio

@@ -1059,6 +1059,8 @@ def _call_procs():
         vacuum,
     )
 
+    from .statistics import compute_table_stats
+
     from .ddl import (
         cherrypick_snapshot,
         fast_forward,
@@ -1080,6 +1082,9 @@ def _call_procs():
         "rollback_to_snapshot": (rollback_to_snapshot, False),
         "set_current_snapshot": (set_current_snapshot, False),
         "cherrypick_snapshot": (cherrypick_snapshot, False),
+        # statistics (r13): theta-sketch NDV per column into a Puffin
+        # statistics file (the Spark compute_table_stats procedure)
+        "compute_table_stats": (compute_table_stats, True),
     }
 
 

@@ -1,0 +1,198 @@
+"""Table statistics: the Spark ``system.compute_table_stats`` procedure
+analogue writing spec statistics files (NEW r13).
+
+The Iceberg spec attaches per-snapshot statistics files (Puffin) whose
+``apache-datasketches-theta-v1`` blobs carry one distinct-count sketch
+per column with an ``ndv`` property — query planners use them for join
+ordering. The reference MODELS the metadata shape
+(rest_catalog/objects/statistics_file.cpp) and this repo already expires
+statistics with their snapshots; this module adds the WRITE + READ side:
+
+- ``compute_table_stats(spark, location, columns=None)`` — ONE
+  distributed pass over the table (MoR deletes respected via
+  iceberg_scan), each partition contributing k+1-bounded candidate hash
+  sets per column (metadata/theta.py), the driver merging k-bounded
+  candidates, writing one Puffin statistics file, and committing the
+  spec's ``statistics`` metadata entry (filesystem tables) or a
+  ``set-statistics`` TableUpdate (REST catalog tables).
+- ``table_ndv(location)`` — read back {column: ndv} from the current
+  snapshot's statistics file.
+
+Scale: the only driver state is O(columns * partitions * k) candidate
+hashes (k = 4096 by default, so ~32 KB per column per partition), and
+the scan itself is the same pruned DataFrame any query uses — no
+distinct shuffle, no second pass.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import SparkSession
+
+from ..metadata import theta
+from ..metadata.puffin import read_blob, read_puffin_footer, write_puffin_file
+from ..metadata.table_metadata import load_table_metadata, write_table_metadata
+
+THETA_BLOB_TYPE = "apache-datasketches-theta-v1"
+
+#: column physical types the sketch hashes directly; anything else (incl.
+#: nested) is skipped like Spark's own procedure skips unsupported types
+_SKETCHABLE = ("string", "long", "int", "double", "float", "boolean",
+               "date", "timestamp", "binary", "decimal")
+
+
+def _resolve(location):
+    if isinstance(location, str):
+        return load_table_metadata(location), None
+    table = location.refresh()
+    return table.metadata, table
+
+
+def compute_table_stats(
+    spark: SparkSession,
+    location,
+    columns: Optional[Iterable[str]] = None,
+    *,
+    k: int = theta.DEFAULT_K,
+) -> dict:
+    """Compute theta-sketch NDV statistics for ``columns`` (default: all
+    sketchable top-level primitives), write one Puffin statistics file
+    under the table's metadata dir, and register it for the CURRENT
+    snapshot (replacing any prior statistics of that snapshot, like
+    Iceberg's procedure). Returns {column: ndv-estimate}."""
+    import os
+    import uuid as _uuid
+
+    from .scan import iceberg_scan
+
+    tm, rest = _resolve(location)
+    snap = tm.current_snapshot()
+    if snap is None:
+        raise ValueError("table has no snapshots to analyze")
+    schema = tm.schema_json()
+    by_name = {f["name"]: f for f in schema.get("fields", [])
+               if isinstance(f.get("type"), str)
+               and f["type"].startswith(_SKETCHABLE)}
+    if columns is None:
+        cols = sorted(by_name)
+    else:
+        cols = list(columns)
+        unknown = [c for c in cols if c not in by_name]
+        if unknown:
+            raise ValueError(
+                f"cannot sketch {unknown}: not top-level primitive "
+                f"columns (sketchable: {sorted(by_name)})")
+    if not cols:
+        raise ValueError("no sketchable columns")
+
+    if rest is not None:
+        from ..catalog.scan_planning import scan_rest_table
+
+        df = scan_rest_table(spark, rest, server_planning=False)
+    else:
+        df = iceberg_scan(spark, location)
+    df = df.select(*cols)
+    k_eff = int(k)
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from duckdb_iceberg_spark.metadata import theta as _th
+
+        # accumulate ONE candidate set per column across this
+        # partition's batches; yield a single bounded frame
+        cand = {c: [] for c in cols}
+        for pdf in it:
+            for c in cols:
+                vals = pdf[c].dropna().tolist()
+                if vals:
+                    cand[c].append(_th.partition_candidates(vals, k_eff))
+        rows_c, rows_h = [], []
+        for c in cols:
+            if cand[c]:
+                merged = _th.merge_candidates(cand[c], k_eff)
+                rows_c.extend([c] * len(merged))
+                rows_h.extend(int(h) for h in merged)
+        yield pd.DataFrame({"c": pd.Series(rows_c, dtype="object"),
+                            "h": pd.Series(rows_h, dtype="int64")})
+
+    # hashes are < 2^63 (theta domain), so they fit a signed long
+    rows = df.mapInPandas(batches, "c string, h long").collect()
+    import numpy as np
+
+    per_col: dict[str, list] = {c: [] for c in cols}
+    for r in rows:
+        per_col[r.c].append(int(r.h))
+
+    blobs, ndv = [], {}
+    for c in cols:
+        sk = theta.ThetaSketch(
+            theta.merge_candidates(
+                [np.array(per_col[c], dtype=np.uint64)], k_eff),
+            k=k_eff)
+        est = int(round(sk.estimate()))
+        ndv[c] = est
+        blobs.append((sk.serialize(), {
+            "type": THETA_BLOB_TYPE,
+            "fields": [int(by_name[c]["id"])],
+            "snapshot-id": snap.snapshot_id,
+            "sequence-number": snap.sequence_number,
+            "properties": {"ndv": str(est)},
+        }))
+
+    path = os.path.join(tm.metadata_write_path(),
+                        f"{_uuid.uuid4()}.stats")
+    size, footer, metas = write_puffin_file(path, blobs)
+    entry = {
+        "snapshot-id": snap.snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": size,
+        "file-footer-size-in-bytes": footer,
+        "blob-metadata": [
+            {"type": m.type, "snapshot-id": m.snapshot_id,
+             "sequence-number": m.sequence_number, "fields": m.fields,
+             "properties": m.properties}
+            for m in metas],
+    }
+    if rest is not None:
+        rest.catalog.commit_table(
+            rest.namespace, rest.name,
+            [{"type": "assert-table-uuid", "uuid": tm.table_uuid}],
+            [{"action": "set-statistics",
+              "snapshot-id": snap.snapshot_id, "statistics": entry}])
+        rest.refresh()
+    else:
+        stats = [s for s in (tm.raw.get("statistics") or [])
+                 if int(s.get("snapshot-id", -1)) != snap.snapshot_id]
+        stats.append(entry)
+        tm.raw["statistics"] = stats
+        write_table_metadata(tm, tm.location)
+    return ndv
+
+
+def table_ndv(location, snapshot_id: int | None = None) -> dict[str, int]:
+    """{column: ndv} from the statistics file registered for
+    ``snapshot_id`` (default: current). Reads the theta blobs back and
+    re-estimates, so the numbers survive even if a writer dropped the
+    ndv property."""
+    tm, _ = _resolve(location)
+    sid = snapshot_id if snapshot_id is not None else tm.current_snapshot_id
+    entry = next((s for s in (tm.raw.get("statistics") or [])
+                  if int(s.get("snapshot-id", -1)) == sid), None)
+    if entry is None:
+        raise KeyError(f"no statistics registered for snapshot {sid}")
+    names = {int(f["id"]): f["name"]
+             for f in tm.schema_json().get("fields", [])}
+    out: dict[str, int] = {}
+    path = entry["statistics-path"]
+    for blob in read_puffin_footer(path):
+        if blob.type != THETA_BLOB_TYPE or not blob.fields:
+            continue
+        col = names.get(int(blob.fields[0]))
+        if col is None:
+            continue
+        sk = theta.ThetaSketch.deserialize(read_blob(path, blob))
+        out[col] = int(round(sk.estimate()))
+    return out

@@ -39,7 +39,7 @@ def test_window_holds_reference_surface_and_rotation():
         "docs_token_count", "emb_sq_topk", "docs_bpe_tokens",
         "ice_wap_scan", "stream_upsert_sink", "ice_avro_scan",
         "ice_retention_scan", "ice_avro_nested_scan",
-        "ice_cherrypick_scan",
+        "ice_cherrypick_scan", "ice_ndv_stats",
     }
     assert never_checked <= window, (
         f"{sorted(never_checked - window)} (never driver-checked) fell "
@@ -68,7 +68,7 @@ def test_window_holds_reference_surface_and_rotation():
         "deadline) fell past the window")
     family_spread = {
         "ice_dup_cluster_curation", "ice_docs_curation",
-        "ice_dv_delete_scan", "ice_sql_merge", "ice_time_travel",
+        "ice_dv_delete_scan", "ice_time_travel",
         "docs_dsir_sample",
     }
     assert family_spread <= window, (

@@ -283,6 +283,11 @@ def _make_handler(state: _StubState):
                             meta["snapshots"] = [
                                 sn for sn in meta.get("snapshots", [])
                                 if sn["snapshot-id"] not in dead]
+                        elif u["action"] == "set-statistics":
+                            meta["statistics"] = [
+                                s for s in meta.get("statistics", [])
+                                if s.get("snapshot-id") != u["snapshot-id"]
+                            ] + [u["statistics"]]
                         elif u["action"] == "remove-statistics":
                             meta["statistics"] = [
                                 s for s in meta.get("statistics", [])
@@ -1921,6 +1926,38 @@ def test_transaction_chained_dml_on_one_table(stub, spark, sf_dir, tmp_path):
     got = scan_rest_table(spark, cat.load_table("db", "chain"),
                           server_planning=False)
     assert sorted(r.id for r in got.collect()) == [1, 3]
+
+
+def test_rest_compute_table_stats(stub, spark, sf_dir, tmp_path):
+    """r13: compute_table_stats on a catalog table commits the spec's
+    set-statistics TableUpdate; a recompute for the same snapshot
+    replaces the entry."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.statistics import (
+        THETA_BLOB_TYPE,
+        compute_table_stats,
+    )
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t_reststats")
+    write_iceberg(load(spark, sf_dir, "region"), loc)
+    _register_disk_table(state, loc, name="reststats")
+    state.plan_response = None
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "reststats")
+
+    ndv = compute_table_stats(spark, tbl, columns=["r_regionkey"])
+    assert ndv == {"r_regionkey": 5}
+    stats = state.tables[("db", "reststats")]["statistics"]
+    assert len(stats) == 1
+    assert stats[0]["blob-metadata"][0]["type"] == THETA_BLOB_TYPE
+
+    tbl = cat.load_table("db", "reststats")
+    compute_table_stats(spark, tbl, columns=["r_name"])
+    stats = state.tables[("db", "reststats")]["statistics"]
+    assert len(stats) == 1  # replaced, not stacked
+    assert stats[0]["blob-metadata"][0]["properties"]["ndv"] == "5"
 
 
 def test_transaction_branch_staged_wap(stub, spark, sf_dir, tmp_path):

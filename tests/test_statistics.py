@@ -1,0 +1,149 @@
+"""Theta-sketch NDV statistics (NEW r13): the spec's statistics-file
+write/read side — compute_table_stats / table_ndv over Puffin
+``apache-datasketches-theta-v1`` blobs (reference models the metadata
+shape at rest_catalog/objects/statistics_file.cpp; it never writes
+statistics)."""
+
+import numpy as np
+import pytest
+
+from duckdb_iceberg_spark import write_iceberg
+from duckdb_iceberg_spark.metadata import theta
+from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+from duckdb_iceberg_spark.sources.statistics import (
+    THETA_BLOB_TYPE,
+    compute_table_stats,
+    table_ndv,
+)
+
+from .conftest import load
+
+
+def test_murmur3_x64_128_known_vectors():
+    """h1 of the reference MurmurHash3 x64_128 test vectors (seed 0)."""
+    from duckdb_iceberg_spark.metadata.theta import murmur3_x64_128_h1
+
+    assert murmur3_x64_128_h1(b"", 0) == 0
+    assert murmur3_x64_128_h1(b"a", 0) == 0x85555565F6597889
+    assert murmur3_x64_128_h1(b"hello", 0) == 0xCBD8A7B341BD9B02
+    assert murmur3_x64_128_h1(
+        b"The quick brown fox jumps over the lazy dog", 0) \
+        == 0xE34BBC7BBC071B6C
+
+
+def test_theta_sketch_modes_and_roundtrip():
+    # exact mode: below k distincts the estimate IS the distinct count
+    vals = [f"v{i}" for i in range(500)]
+    sk = theta.ThetaSketch(theta.value_hashes(vals), k=4096)
+    assert not sk.is_estimation and sk.estimate() == 500
+    assert theta.ThetaSketch.deserialize(sk.serialize()).estimate() == 500
+
+    # empty sketch
+    empty = theta.ThetaSketch(np.empty(0, dtype=np.uint64))
+    blob = empty.serialize()
+    assert theta.ThetaSketch.deserialize(blob).estimate() == 0
+
+    # estimation mode: deterministic, serialization-stable, within 10%
+    vals = [f"user-{i}" for i in range(50_000)]
+    sk = theta.ThetaSketch(theta.value_hashes(vals), k=4096)
+    assert sk.is_estimation
+    est = sk.estimate()
+    assert abs(est - 50_000) / 50_000 < 0.10
+    sk2 = theta.ThetaSketch.deserialize(sk.serialize())
+    assert sk2.estimate() == est and sk2.theta == sk.theta
+
+
+def test_distributed_build_equals_single_pass():
+    """partition_candidates/merge_candidates (k+1-bounded) reproduce the
+    single-pass sketch exactly — the 100 TB build shape."""
+    vals = [f"user-{i}" for i in range(30_000)]
+    single = theta.ThetaSketch(theta.value_hashes(vals))
+    parts = [theta.partition_candidates(vals[i::9]) for i in range(9)]
+    merged = theta.ThetaSketch(theta.merge_candidates(parts))
+    assert merged.theta == single.theta
+    assert merged.estimate() == single.estimate()
+    assert np.array_equal(merged.hashes, single.hashes)
+
+
+def test_compute_table_stats_roundtrip(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "t_stats")
+    write_iceberg(src, loc)
+
+    ndv = compute_table_stats(spark, loc)
+    n = src.count()
+    # below-k columns are EXACT
+    assert ndv["n_nationkey"] == n
+    assert ndv["n_regionkey"] == 5
+    assert ndv["n_name"] == n
+
+    tm = load_table_metadata(loc)
+    stats = tm.raw["statistics"]
+    assert len(stats) == 1
+    entry = stats[0]
+    assert entry["snapshot-id"] == tm.current_snapshot_id
+    assert entry["file-size-in-bytes"] > entry["file-footer-size-in-bytes"]
+    types = {b["type"] for b in entry["blob-metadata"]}
+    assert types == {THETA_BLOB_TYPE}
+    # ndv property rides each blob, per the spec's blob metadata
+    props = {b["fields"][0]: b["properties"]["ndv"]
+             for b in entry["blob-metadata"]}
+    assert props  # one per column
+
+    # read-back re-estimates from the blobs themselves
+    assert table_ndv(loc) == ndv
+
+    # recompute for the SAME snapshot replaces, never stacks
+    compute_table_stats(spark, loc, columns=["n_name"])
+    tm = load_table_metadata(loc)
+    assert len(tm.raw["statistics"]) == 1
+    assert table_ndv(loc) == {"n_name": n}
+
+
+def test_compute_table_stats_respects_mor_deletes(spark, sf_dir, tmp_path):
+    """The sketch pass reads through iceberg_scan, so MoR-deleted rows
+    don't count."""
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "t_stats_mor")
+    write_iceberg(src, loc)
+    delete_from(spark, loc, "n_regionkey = 0", mode="merge-on-read")
+    ndv = compute_table_stats(spark, loc, columns=["n_nationkey",
+                                                   "n_regionkey"])
+    assert ndv["n_regionkey"] == 4
+    assert ndv["n_nationkey"] == src.filter("n_regionkey <> 0").count()
+
+
+def test_compute_table_stats_estimation_mode(spark, tmp_path):
+    """Above k distincts the estimate is within 15% (tiny k to force
+    estimation cheaply) and the sketch records estimation mode."""
+    loc = str(tmp_path / "t_stats_est")
+    write_iceberg(spark.range(0, 20_000).selectExpr("id"), loc)
+    ndv = compute_table_stats(spark, loc, columns=["id"], k=256)
+    assert abs(ndv["id"] - 20_000) / 20_000 < 0.15
+    assert table_ndv(loc)["id"] == ndv["id"]
+
+
+def test_compute_table_stats_call_surface(spark, sf_dir, tmp_path):
+    """CALL compute_table_stats(table => 'view', columns intentionally
+    defaulted) routes through execute_sql and returns the ndv row."""
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "t_stats_sql")
+    write_iceberg(src, loc)
+    register_table(spark, "statstab", loc)
+    row = execute_sql(
+        spark, "CALL compute_table_stats('statstab')").first()
+    assert int(row.r_regionkey) == 5
+    assert int(row.r_name) == 5
+    assert load_table_metadata(loc).raw["statistics"]
+
+
+def test_unknown_column_refuses(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "t_stats_bad")
+    write_iceberg(src, loc)
+    with pytest.raises(ValueError, match="not top-level primitive"):
+        compute_table_stats(spark, loc, columns=["nope"])

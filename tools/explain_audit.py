@@ -163,6 +163,7 @@ AUDIT = [
     "ice_retention_scan",
     "ice_avro_nested_scan",
     "ice_cherrypick_scan",
+    "ice_ndv_stats",
 ]
 
 

@@ -2367,6 +2367,50 @@ def ice_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "col_name: string, ndv: long")
 
 
+def _ice_documents_pstats(spark: SparkSession, sf_dir: str) -> str:
+    """Partition-statistics-file fixture (NEW r13 —
+    ``compute_partition_stats`` writing the spec's per-partition
+    aggregate parquet; the reference models only the metadata entry,
+    rest_catalog/objects/partition_statistics_file.cpp): documents
+    identity-partitioned by lang (repartitioned so each partition holds
+    exactly ONE data file — the file count becomes oracle-replayable),
+    one MoR positional delete stacked on top, then the stats file is
+    computed from manifest entries alone (metadata-only)."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import compute_partition_stats, write_iceberg
+        from duckdb_iceberg_spark.sources.dml import delete_from
+
+        docs = _pq(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        write_iceberg(docs.repartition(F.col("lang")), loc,
+                      partition_by=["lang"])
+        delete_from(spark, loc, "doc_id % 7 = 3", mode="merge-on-read")
+        out = compute_partition_stats(loc)
+        assert out["partitions"] > 0
+
+    return _build_once(sf_dir, "documents_pstats", build)
+
+
+def ice_partition_stats_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compute_partition_stats end-to-end (NEW r13): manifest-entry
+    aggregation → spec partition-statistics parquet → metadata entry →
+    read-back. Hash-checked: record counts, the one-file-per-partition
+    layout, and the per-partition positional-delete row counts all
+    replay literally from the raw corpus."""
+    from duckdb_iceberg_spark import read_partition_stats
+
+    loc = _ice_documents_pstats(spark, sf_dir)
+    df = read_partition_stats(spark, loc)
+    return (
+        df.select(
+            F.col("partition.lang").alias("lang"),
+            F.col("data_record_count").alias("n_rows"),
+            F.col("data_file_count").cast("long").alias("n_files"),
+            F.col("position_delete_record_count").alias("n_pos_deletes"))
+        .orderBy("lang")
+    )
+
+
 def _ice_documents_cherrypick(spark: SparkSession, sf_dir: str) -> str:
     """cherrypick_snapshot end-to-end (NEW r13 — the Spark
     ``system.cherrypick_snapshot`` procedure; the out-of-order half of
@@ -3750,31 +3794,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              r12); also the historical r11-red watch entry.
       2      ice_mor_delete_scan — priority (a): residual application +
              the _localize no-stat short-circuit both sit on its path.
-      3-12   priority (b), never driver-checked: docs_token_count
+      3-13   priority (b), never driver-checked: docs_token_count
              (deferred from r12), the five r12 session-2/3 newcomers
              (emb_sq_topk, docs_bpe_tokens, ice_wap_scan,
-             stream_upsert_sink, ice_avro_scan), and the four NEW r13
+             stream_upsert_sink, ice_avro_scan), and the five NEW r13
              entries (ice_retention_scan — ref-retention-aware expire;
              ice_avro_nested_scan — struct/list/map over Avro data
              files; ice_cherrypick_scan — out-of-order WAP publish;
-             ice_ndv_stats — theta-sketch statistics files).
-      13-17  priority (a): the five TPC-H queries whose plans changed
+             ice_ndv_stats — theta-sketch statistics files;
+             ice_partition_stats_file — spec partition statistics).
+      14-18  priority (a): the five TPC-H queries whose plans changed
              this round (merge hints killing static lineitem
              broadcasts): q03, q04, q05, q10, q12.
-      18-45  priority (c): the full r10 window cohort, parked three
+      19-46  priority (c): the full r10 window cohort, parked three
              rounds — the every-third-round deadline (28 entries:
              dedup/fingerprint/decontaminate family, relational q_*
              shapes, streaming sink/tumbling, mm_* features,
              ice_custom_paths_scan).
-      46-50  priority (c)/(d) family spread of the longest-parked
-             r10/r11 greens: the curation-composition pair
-             (ice_dup_cluster_curation, ice_docs_curation), DV deletes
-             (ice_dv_delete_scan), time travel (ice_time_travel —
-             interacts with this round's retention-aware expire), and
-             docs_dsir_sample (the r12 perf headline — a hash row
-             guards the single-shuffle rewrite). ice_variant_extract
-             and ice_sql_merge park with the r11 ice core (due r14) to
-             fit the cherrypick + ndv newcomers in priority (b).
+      47-50  priority (c)/(d) family spread of the longest-parked
+             r10/r11 greens: ice_dup_cluster_curation (subsumes the
+             curation composition; its pair ice_docs_curation parks),
+             DV deletes (ice_dv_delete_scan), time travel
+             (ice_time_travel — interacts with this round's
+             retention-aware expire), and docs_dsir_sample (the r12
+             perf headline — a hash row guards the single-shuffle
+             rewrite). ice_variant_extract, ice_sql_merge and
+             ice_docs_curation park with the r11 greens (due r14) to
+             fit the five r13 newcomers in priority (b).
       51+    parked: the whole r12 window cohort (all driver-green r12,
              due again by r15), the rest of the r11-green ice_* DML/
              scan core and dsir/lm probes, and the 18 TPC-H queries
@@ -3815,6 +3861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r13: compute_table_stats -> Puffin theta-sketch NDV blobs ->
         # table_ndv read-back (exact mode, literally replayable)
         "ice_ndv_stats": ice_ndv_stats,
+        # NEW r13: compute_partition_stats -> spec partition-statistics
+        # parquet (metadata-only aggregation) -> read-back
+        "ice_partition_stats_file": ice_partition_stats_file,
         # 11-15 — priority (a): plans changed this round (merge hints
         # replacing statically mis-sized lineitem broadcasts)
         "q03_shipping_priority": q03_shipping_priority,
@@ -3852,13 +3901,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_top_order": q_window_top_order,
         "q_events_hourly": q_events_hourly,
         "q_asof_join": q_asof_join,
-        # 44-50 — longest-parked family spread (r10/r11 greens)
+        # 47-50 — longest-parked family spread (r10/r11 greens)
         "ice_dup_cluster_curation": ice_dup_cluster_curation,
-        "ice_docs_curation": ice_docs_curation,
         "ice_dv_delete_scan": ice_dv_delete_scan,
         "ice_time_travel": ice_time_travel,
         "docs_dsir_sample": docs_dsir_sample,
         # ------------------- 50-row window boundary -----------------------
+        # parked (driver-green r11; its composition family stays covered
+        # in-window by ice_dup_cluster_curation)
+        "ice_docs_curation": ice_docs_curation,
         # parked (driver-green r12): the r12 window cohort — due by r15
         "ice_orc_scan": ice_orc_scan,
         "docs_quality_classifier": docs_quality_classifier,
@@ -7261,6 +7312,16 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS max_id
             FROM documents WHERE doc_id % 4 < 3
             GROUP BY lang ORDER BY lang
+        """,
+        # partition statistics (r13): one row per lang partition — row
+        # counts, the forced 1-file layout, and the replayed delete
+        # predicate counts, straight from the raw corpus
+        "ice_partition_stats_file": """
+            SELECT lang, count(*) AS n_rows,
+                   CAST(1 AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos_deletes
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         # ndv statistics (r13): every sketched column is far below k, so
         # the theta estimates are EXACT distinct counts — literal replay

@@ -152,6 +152,8 @@ HEADLINE = [
     "ice_cherrypick_scan",
     # r13: theta-sketch NDV statistics (one bounded-candidate pass)
     "ice_ndv_stats",
+    # r13: partition-statistics file (metadata-only aggregation)
+    "ice_partition_stats_file",
 ]
 
 

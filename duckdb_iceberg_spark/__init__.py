@@ -25,7 +25,12 @@ from .sources.maintenance import (
 )
 from .sources.scan import iceberg_scan, iceberg_count, scan_with_runtime_filter
 from .sources.sql import attach_catalog, execute_sql, refresh_table, register_table
-from .sources.statistics import compute_table_stats, table_ndv
+from .sources.statistics import (
+    compute_partition_stats,
+    compute_table_stats,
+    read_partition_stats,
+    table_ndv,
+)
 from .sources.writer import create_table, write_iceberg
 
 __all__ = [
@@ -54,4 +59,6 @@ __all__ = [
     "cherrypick_snapshot",
     "compute_table_stats",
     "table_ndv",
+    "compute_partition_stats",
+    "read_partition_stats",
 ]

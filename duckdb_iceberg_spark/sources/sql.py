@@ -1059,7 +1059,7 @@ def _call_procs():
         vacuum,
     )
 
-    from .statistics import compute_table_stats
+    from .statistics import compute_partition_stats, compute_table_stats
 
     from .ddl import (
         cherrypick_snapshot,
@@ -1085,6 +1085,7 @@ def _call_procs():
         # statistics (r13): theta-sketch NDV per column into a Puffin
         # statistics file (the Spark compute_table_stats procedure)
         "compute_table_stats": (compute_table_stats, True),
+        "compute_partition_stats": (compute_partition_stats, False),
     }
 
 

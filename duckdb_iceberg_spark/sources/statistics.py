@@ -172,6 +172,147 @@ def compute_table_stats(
     return ndv
 
 
+def compute_partition_stats(location) -> dict:
+    """Write the spec's PARTITION STATISTICS file for the current
+    snapshot (NEW r13 — the ``partition-statistics`` sibling of the ndv
+    statistics above; the reference models the metadata entry at
+    rest_catalog/objects/partition_statistics_file.cpp and this repo
+    already expires them): one parquet row per partition tuple with the
+    spec's field ids/names (partition, spec_id, data_record_count,
+    data_file_count, total_data_file_size_in_bytes,
+    position/equality delete counts, last_updated_at/_snapshot_id),
+    registered under ``partition-statistics`` in table metadata (or the
+    set-partition-statistics TableUpdate on REST).
+
+    Metadata-only: aggregates manifest entries via plan_scan — no data
+    file is opened, O(#partitions) driver rows. Returns
+    {"path":…, "partitions": n}."""
+    import os
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..plans.scan_plan import plan_scan
+
+    tm, rest = _resolve(location)
+    snap = tm.current_snapshot()
+    if snap is None:
+        raise ValueError("table has no snapshots to analyze")
+    plan = plan_scan(tm, snap)
+
+    # unified partition tuple: every field name any live spec defines
+    field_names: list[str] = []
+    for spec in tm.partition_specs.values():
+        for pf in spec.fields:
+            if pf.name not in field_names:
+                field_names.append(pf.name)
+
+    per: dict[tuple, dict] = {}
+    for t in plan.tasks:
+        df_ = t.data_file
+        key = tuple(df_.partition.get(n) for n in field_names)
+        agg = per.setdefault(key, {
+            "spec_id": 0, "data_record_count": 0, "data_file_count": 0,
+            "total_data_file_size_in_bytes": 0,
+            "position_delete_record_count": 0, "pos_files": set(),
+            "equality_delete_record_count": 0, "eq_files": set(),
+        })
+        agg["spec_id"] = getattr(df_, "spec_id", None) or 0
+        agg["data_record_count"] += int(df_.record_count or 0)
+        agg["data_file_count"] += 1
+        agg["total_data_file_size_in_bytes"] += \
+            int(df_.file_size_in_bytes or 0)
+        for d in t.positional_deletes:
+            if d.file_path not in agg["pos_files"]:
+                agg["pos_files"].add(d.file_path)
+                agg["position_delete_record_count"] += \
+                    int(d.record_count or 0)
+        for _, d in t.equality_deletes:
+            if d.file_path not in agg["eq_files"]:
+                agg["eq_files"].add(d.file_path)
+                agg["equality_delete_record_count"] += \
+                    int(d.record_count or 0)
+
+    keys = sorted(per, key=lambda k: tuple(str(v) for v in k))
+    part_struct = pa.StructArray.from_arrays(
+        [pa.array([k[i] for k in keys])
+         for i in range(len(field_names))] or [],
+        names=field_names) if field_names else None
+    cols = {
+        "spec_id": pa.array([per[k]["spec_id"] for k in keys],
+                            pa.int32()),
+        "data_record_count": pa.array(
+            [per[k]["data_record_count"] for k in keys], pa.int64()),
+        "data_file_count": pa.array(
+            [per[k]["data_file_count"] for k in keys], pa.int32()),
+        "total_data_file_size_in_bytes": pa.array(
+            [per[k]["total_data_file_size_in_bytes"] for k in keys],
+            pa.int64()),
+        "position_delete_record_count": pa.array(
+            [per[k]["position_delete_record_count"] for k in keys],
+            pa.int64()),
+        "position_delete_file_count": pa.array(
+            [len(per[k]["pos_files"]) for k in keys], pa.int32()),
+        "equality_delete_record_count": pa.array(
+            [per[k]["equality_delete_record_count"] for k in keys],
+            pa.int64()),
+        "equality_delete_file_count": pa.array(
+            [len(per[k]["eq_files"]) for k in keys], pa.int32()),
+        "last_updated_at": pa.array(
+            [snap.timestamp_ms] * len(keys), pa.int64()),
+        "last_updated_snapshot_id": pa.array(
+            [snap.snapshot_id] * len(keys), pa.int64()),
+    }
+    names = ["partition"] if part_struct is not None else []
+    arrays = [part_struct] if part_struct is not None else []
+    names += list(cols)
+    arrays += list(cols.values())
+    table = pa.table(dict(zip(names, arrays)))
+
+    path = os.path.join(tm.metadata_write_path(),
+                        f"partition-stats-{_uuid.uuid4()}.parquet")
+    import io as _io
+
+    buf = _io.BytesIO()
+    pq.write_table(table, buf)
+    from .. import io as fio
+
+    fio.get_io(path).write_bytes(path, buf.getvalue())
+    entry = {
+        "snapshot-id": snap.snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": len(buf.getvalue()),
+    }
+    if rest is not None:
+        rest.catalog.commit_table(
+            rest.namespace, rest.name,
+            [{"type": "assert-table-uuid", "uuid": tm.table_uuid}],
+            [{"action": "set-partition-statistics",
+              "snapshot-id": snap.snapshot_id,
+              "partition-statistics": entry}])
+        rest.refresh()
+    else:
+        stats = [s for s in (tm.raw.get("partition-statistics") or [])
+                 if int(s.get("snapshot-id", -1)) != snap.snapshot_id]
+        stats.append(entry)
+        tm.raw["partition-statistics"] = stats
+        write_table_metadata(tm, tm.location)
+    return {"path": path, "partitions": len(keys)}
+
+
+def read_partition_stats(spark: SparkSession, location,
+                         snapshot_id: int | None = None):
+    """The registered partition-statistics file as a DataFrame."""
+    tm, _ = _resolve(location)
+    sid = snapshot_id if snapshot_id is not None else tm.current_snapshot_id
+    entry = next((s for s in (tm.raw.get("partition-statistics") or [])
+                  if int(s.get("snapshot-id", -1)) == sid), None)
+    if entry is None:
+        raise KeyError(f"no partition statistics for snapshot {sid}")
+    return spark.read.parquet(entry["statistics-path"])
+
+
 def table_ndv(location, snapshot_id: int | None = None) -> dict[str, int]:
     """{column: ndv} from the statistics file registered for
     ``snapshot_id`` (default: current). Reads the theta blobs back and

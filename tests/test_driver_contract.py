@@ -40,6 +40,7 @@ def test_window_holds_reference_surface_and_rotation():
         "ice_wap_scan", "stream_upsert_sink", "ice_avro_scan",
         "ice_retention_scan", "ice_avro_nested_scan",
         "ice_cherrypick_scan", "ice_ndv_stats",
+        "ice_partition_stats_file",
     }
     assert never_checked <= window, (
         f"{sorted(never_checked - window)} (never driver-checked) fell "
@@ -67,15 +68,16 @@ def test_window_holds_reference_surface_and_rotation():
         f"{sorted(r10_cohort - window)} (r10 cohort, every-third-round "
         "deadline) fell past the window")
     family_spread = {
-        "ice_dup_cluster_curation", "ice_docs_curation",
+        "ice_dup_cluster_curation",
         "ice_dv_delete_scan", "ice_time_travel",
         "docs_dsir_sample",
     }
     assert family_spread <= window, (
         f"{sorted(family_spread - window)} (longest-parked family spread) "
         "fell past the window")
-    # the r12 window cohort parks FIRST past the boundary (due r15)
-    assert keys[50] == "ice_orc_scan"
+    # ice_docs_curation (family covered by its in-window pair) then the
+    # r12 window cohort park first past the boundary (due r14/r15)
+    assert keys[50] == "ice_docs_curation" and keys[51] == "ice_orc_scan"
     assert len(keys) >= 50 and len(window) == 50
 
 

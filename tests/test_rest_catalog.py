@@ -288,6 +288,12 @@ def _make_handler(state: _StubState):
                                 s for s in meta.get("statistics", [])
                                 if s.get("snapshot-id") != u["snapshot-id"]
                             ] + [u["statistics"]]
+                        elif u["action"] == "set-partition-statistics":
+                            meta["partition-statistics"] = [
+                                s for s in
+                                meta.get("partition-statistics", [])
+                                if s.get("snapshot-id") != u["snapshot-id"]
+                            ] + [u["partition-statistics"]]
                         elif u["action"] == "remove-statistics":
                             meta["statistics"] = [
                                 s for s in meta.get("statistics", [])
@@ -1958,6 +1964,27 @@ def test_rest_compute_table_stats(stub, spark, sf_dir, tmp_path):
     stats = state.tables[("db", "reststats")]["statistics"]
     assert len(stats) == 1  # replaced, not stacked
     assert stats[0]["blob-metadata"][0]["properties"]["ndv"] == "5"
+
+
+def test_rest_compute_partition_stats(stub, spark, sf_dir, tmp_path):
+    """r13: compute_partition_stats on a catalog table commits the
+    spec's set-partition-statistics TableUpdate."""
+    from duckdb_iceberg_spark import compute_partition_stats, write_iceberg
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t_restpstats")
+    write_iceberg(load(spark, sf_dir, "nation"), loc,
+                  partition_by=["n_regionkey"])
+    _register_disk_table(state, loc, name="restpstats")
+    state.plan_response = None
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "restpstats")
+
+    out = compute_partition_stats(tbl)
+    assert out["partitions"] == 5
+    ps = state.tables[("db", "restpstats")]["partition-statistics"]
+    assert len(ps) == 1 and ps[0]["statistics-path"] == out["path"]
 
 
 def test_transaction_branch_staged_wap(stub, spark, sf_dir, tmp_path):

@@ -147,3 +147,61 @@ def test_unknown_column_refuses(spark, sf_dir, tmp_path):
     write_iceberg(src, loc)
     with pytest.raises(ValueError, match="not top-level primitive"):
         compute_table_stats(spark, loc, columns=["nope"])
+
+
+def test_compute_partition_stats_file(spark, sf_dir, tmp_path):
+    """r13 partition-statistics file: per-partition aggregates from
+    manifest entries (metadata-only), delete files counted once each,
+    registered under partition-statistics and readable back."""
+    from duckdb_iceberg_spark import (
+        compute_partition_stats,
+        read_partition_stats,
+        write_iceberg,
+    )
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                   "n_chars")
+    loc = str(tmp_path / "t_pstats")
+    write_iceberg(docs.repartition(F.col("lang")), loc,
+                  partition_by=["lang"])
+    delete_from(spark, loc, "doc_id % 7 = 3", mode="merge-on-read")
+
+    out = compute_partition_stats(loc)
+    tm = load_table_metadata(loc)
+    assert len(tm.raw["partition-statistics"]) == 1
+    assert tm.raw["partition-statistics"][0]["statistics-path"] == \
+        out["path"]
+
+    df = read_partition_stats(spark, loc)
+    rows = {r.partition.lang: r for r in df.collect()}
+    want = {r.lang: r for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("doc_id") % 7 == 3, 1).otherwise(0)).alias("d")
+    ).collect()}
+    assert set(rows) == set(want)
+    for lang, r in rows.items():
+        assert r.data_record_count == want[lang].n
+        assert r.data_file_count == 1  # repartition(lang): 1 file/partition
+        assert r.position_delete_record_count == want[lang].d
+        assert r.position_delete_file_count == (1 if want[lang].d else 0)
+        assert r.total_data_file_size_in_bytes > 0
+        assert r.last_updated_snapshot_id == tm.current_snapshot_id
+
+    # recompute replaces, never stacks
+    compute_partition_stats(loc)
+    assert len(load_table_metadata(loc).raw["partition-statistics"]) == 1
+
+
+def test_compute_partition_stats_call(spark, sf_dir, tmp_path):
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "t_pstats_sql")
+    write_iceberg(src, loc, partition_by=["n_regionkey"])
+    register_table(spark, "pstatstab", loc)
+    row = execute_sql(
+        spark, "CALL compute_partition_stats('pstatstab')").first()
+    assert int(row.partitions) == 5

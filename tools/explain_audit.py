@@ -164,6 +164,7 @@ AUDIT = [
     "ice_avro_nested_scan",
     "ice_cherrypick_scan",
     "ice_ndv_stats",
+    "ice_partition_stats_file",
 ]
 
 

@@ -2864,6 +2864,28 @@ def docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def docs_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative curation (NEW r13 — the FineWeb keep-best
+    rule): duplicate clusters via banded LSH + star components, then
+    keep the LONGEST member of each cluster (ties: smaller doc_id) —
+    unlike keep-component-min, this is the quality-aware decision
+    production dedup actually ships. Hash-checked: the oracle recomputes
+    TRUE components (recursive CTE) and replays the argmax-by-(n_chars,
+    -doc_id) window, so a wrong component label, a lost singleton, or a
+    tie broken the other way all change the kept set."""
+    from duckdb_iceberg_spark.operators.dedup import keep_best_per_cluster
+
+    docs = _pq(spark, sf_dir, "documents")
+    kept = keep_best_per_cluster(docs, "n_chars", num_hashes=32, bands=8)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"),
+             F.sum("n_chars").cast("long").alias("kept_chars"),
+             F.sum("cluster_size").cast("long").alias("covered_docs"))
+        .orderBy("lang")
+    )
+
+
 def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram LM scoring (KenLM-perplexity analogue): Laplace
     bigram model trained on the lang='en' slice, every doc scored by
@@ -3907,6 +3929,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_time_travel": ice_time_travel,
         "docs_dsir_sample": docs_dsir_sample,
         # ------------------- 50-row window boundary -----------------------
+        # NEW r13, debuts sweep-checked — FIRST past the boundary so the
+        # r14 rotation picks it up (priority (b)), like the r12 newcomers
+        # did this round: keep-best-per-duplicate-cluster curation
+        "docs_dup_keep_best": docs_dup_keep_best,
         # parked (driver-green r11; its composition family stays covered
         # in-window by ice_dup_cluster_curation)
         "ice_docs_curation": ice_docs_curation,
@@ -6952,6 +6978,27 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 200
         """,
         "docs_dup_components": _dup_components_sql(),
+        # keep-best curation (r13): true components + the argmax window
+        # replayed — kept = winners per cluster, covered_docs = the
+        # winners' cluster sizes (sums to the corpus size overall)
+        "docs_dup_keep_best": _dup_components_sql(tail="""
+            , comp AS (
+              SELECT id AS doc_id, min(r) AS component_id
+              FROM reach GROUP BY id
+            ), ranked AS (
+              SELECT d.doc_id, d.lang, d.n_chars, c.component_id,
+                     row_number() OVER (
+                       PARTITION BY c.component_id
+                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+                     count(*) OVER (
+                       PARTITION BY c.component_id) AS cluster_size
+              FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+            )
+            SELECT lang, count(*) AS kept,
+                   CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+                   CAST(sum(cluster_size) AS BIGINT) AS covered_docs
+            FROM ranked WHERE rn = 1 GROUP BY lang ORDER BY lang
+        """),
         # same component pipeline over the Iceberg-filtered corpus
         # (MoR delete + partition prune + length gate), then the
         # keep-one-per-cluster curation rule

@@ -154,6 +154,8 @@ HEADLINE = [
     "ice_ndv_stats",
     # r13: partition-statistics file (metadata-only aggregation)
     "ice_partition_stats_file",
+    # r13: keep-best-per-duplicate-cluster curation (FineWeb rule)
+    "docs_dup_keep_best",
 ]
 
 

@@ -1191,6 +1191,47 @@ def connected_components(
     )
 
 
+def keep_best_per_cluster(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **component_kwargs,
+) -> DataFrame:
+    """Canonical-representative selection (NEW r13 — the FineWeb /
+    RefinedWeb curation rule): run ``duplicate_components`` over the
+    corpus, then keep exactly ONE document per duplicate cluster — the
+    one with the HIGHEST ``score_col`` (ties break on the smaller id).
+    This differs from keep-component-min: the min-id doc is arbitrary,
+    while production pipelines keep the best-quality (often longest)
+    member of each near-dup cluster.
+
+    Returns the input rows of the winners, plus their ``component_id``
+    and the cluster's member count (``cluster_size`` — downstream
+    temperature/cluster-weighted sampling wants it, a la SemDeDup/D4).
+
+    100 TB shape: components are the banded-LSH + star machinery above
+    (never all-pairs); the selection itself is ONE window over
+    hash-partitioned component_id — a single extra linear shuffle, no
+    driver state."""
+    from pyspark.sql import Window
+
+    comp = duplicate_components(df, text_col=text_col, id_col=id_col,
+                                **component_kwargs)
+    labeled = df.join(comp, id_col)
+    w = Window.partitionBy("component_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        labeled
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("cluster_size",
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy("component_id")))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def duplicate_components(
     df: DataFrame,
     text_col: str = "text",

@@ -103,6 +103,30 @@ def test_duplicate_components_transitive(spark):
     spark.catalog.clearCache()
 
 
+def test_keep_best_per_cluster(spark):
+    """r13 keep-best curation: one winner per cluster by max score (tie:
+    min id), cluster_size carried, singletons keep themselves."""
+    from duckdb_iceberg_spark.operators.dedup import keep_best_per_cluster
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [
+            (1, base + "alpha alpha alpha", 50),
+            (2, base + "alpha alpha", 80),        # best of cluster {1,2,3,4}
+            (3, base, 80),                        # ties 2 → larger id loses
+            (4, base + "alpha alpha alpha", 10),  # exact dup of 1
+            (10, "something entirely different and unrelated here", 5),
+        ],
+        "doc_id long, text string, score long",
+    )
+    kept = {r.doc_id: r for r in keep_best_per_cluster(
+        docs, "score", num_hashes=32, bands=8).collect()}
+    assert set(kept) == {2, 10}
+    assert kept[2].cluster_size == 4 and kept[2].component_id == 1
+    assert kept[10].cluster_size == 1 and kept[10].component_id == 10
+    spark.catalog.clearCache()
+
+
 def test_connected_components_random_graphs_fuzz(spark):
     """Property fuzz: random graphs (dense, sparse, multi-component,
     self-loopy) against the union-find replay. Deterministic seeds — a

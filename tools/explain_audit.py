@@ -165,6 +165,7 @@ AUDIT = [
     "ice_cherrypick_scan",
     "ice_ndv_stats",
     "ice_partition_stats_file",
+    "docs_dup_keep_best",
 ]
 
 

@@ -1048,6 +1048,28 @@ def _register_prefixed_view(spark: SparkSession, view: Any, prefix: str,
 #: CALL-able maintenance/import procedures (the Spark-Iceberg
 #: ``CALL catalog.system.<proc>(…)`` surface; the reference exposes its
 #: maintenance as table functions — same capabilities, SQL-reachable)
+def _create_changelog_view(spark, source, *, changelog_view=None,
+                           start_snapshot_id=None, end_snapshot_id=None):
+    """The Spark ``system.create_changelog_view`` procedure (NEW r13):
+    register the row-level CDC between two snapshots as a temp view —
+    ``SELECT * FROM <changelog_view>`` then carries _change_type /
+    _change_ordinal / _commit_snapshot_id like Spark-Iceberg's. The
+    underlying changelog_scan is the hash-checked stream_changelog
+    machinery; this is its SQL-procedure face."""
+    from ..streaming.changelog import changelog_scan
+
+    if not isinstance(source, str):
+        raise NotImplementedError(
+            "create_changelog_view targets filesystem tables; catalog "
+            "tables read changes via streaming.changelog.changelog_scan")
+    name = changelog_view or "changelog_view"
+    df = changelog_scan(spark, source,
+                        from_snapshot_id=start_snapshot_id,
+                        to_snapshot_id=end_snapshot_id)
+    df.createOrReplaceTempView(name)
+    return {"changelog_view": name, "rows": df.count()}
+
+
 def _call_procs():
     from .add_files import add_files
     from .maintenance import (
@@ -1086,6 +1108,8 @@ def _call_procs():
         # statistics file (the Spark compute_table_stats procedure)
         "compute_table_stats": (compute_table_stats, True),
         "compute_partition_stats": (compute_partition_stats, False),
+        # CDC view registration (r13): the Spark create_changelog_view
+        "create_changelog_view": (_create_changelog_view, True),
     }
 
 

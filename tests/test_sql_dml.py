@@ -569,3 +569,33 @@ def test_alter_branch_tag_ddl(spark, sf_dir, tmp_path):
     execute_sql(spark, "ALTER TABLE refddl DROP TAG IF   EXISTS v1")
     with pytest.raises(KeyError):
         execute_sql(spark, "ALTER TABLE refddl DROP BRANCH nosuch")
+
+
+def test_create_changelog_view_procedure(spark, sf_dir, tmp_path):
+    """r13: CALL create_changelog_view registers the row-level CDC
+    between snapshots as a queryable temp view (the Spark procedure)."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = os.path.join(str(tmp_path), "chlog")
+    write_iceberg(load(spark, sf_dir, "nation"), loc)
+    snap1 = load_table_metadata(loc).current_snapshot().snapshot_id
+    write_iceberg(
+        spark.createDataFrame([(90, "NEW-A", 1), (91, "NEW-B", 2)],
+                              "n_nationkey long, n_name string, "
+                              "n_regionkey long"), loc)
+    delete_from(spark, loc, "n_regionkey = 0", mode="merge-on-read")
+    register_table(spark, "chlogtab", loc)
+
+    row = execute_sql(spark, f"CALL create_changelog_view("
+                             f"table => 'chlogtab', "
+                             f"changelog_view => 'chlog_v', "
+                             f"start_snapshot_id => {snap1})").first()
+    assert row.changelog_view == "chlog_v"
+    got = {(r._change_type, r._change_ordinal): r.cnt for r in spark.sql(
+        "SELECT _change_type, _change_ordinal, count(*) cnt FROM chlog_v "
+        "GROUP BY 1, 2").collect()}
+    assert got[("insert", 0)] == 2
+    assert got[("delete", 1)] == 5  # 5 nations in region 0

@@ -179,6 +179,29 @@ class ThetaSketch:
             return float(len(self.hashes))
         return len(self.hashes) * float(_THETA_MAX) / float(self.theta)
 
+    @classmethod
+    def union(cls, sketches: "list[ThetaSketch]",
+              k: int = DEFAULT_K) -> "ThetaSketch":
+        """Theta union — the property that makes incremental statistics
+        possible: theta = min over inputs, retained = the surviving
+        hashes below it (re-capped at k). Duplicate-insensitive: the
+        same value sketched twice contributes one hash, so re-sketching
+        compacted (rewritten-but-identical) rows is harmless."""
+        if not sketches:
+            return cls(np.empty(0, dtype=np.uint64), k=k)
+        theta = min(int(s.theta) for s in sketches)
+        hashes = np.unique(np.concatenate(
+            [s.hashes for s in sketches]).astype(np.uint64))
+        hashes = hashes[hashes < np.uint64(theta)]
+        out = cls(np.empty(0, dtype=np.uint64), k=k)
+        if len(hashes) > k:
+            out.theta = int(hashes[k])
+            out.hashes = hashes[:k]
+        else:
+            out.theta = theta
+            out.hashes = hashes
+        return out
+
     # --- published compact-theta layout (serVer 3, family 3) ----------
     _FLAG_READ_ONLY = 1 << 1
     _FLAG_EMPTY = 1 << 2

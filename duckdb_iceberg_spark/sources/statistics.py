@@ -49,54 +49,16 @@ def _resolve(location):
     return table.metadata, table
 
 
-def compute_table_stats(
-    spark: SparkSession,
-    location,
-    columns: Optional[Iterable[str]] = None,
-    *,
-    k: int = theta.DEFAULT_K,
-) -> dict:
-    """Compute theta-sketch NDV statistics for ``columns`` (default: all
-    sketchable top-level primitives), write one Puffin statistics file
-    under the table's metadata dir, and register it for the CURRENT
-    snapshot (replacing any prior statistics of that snapshot, like
-    Iceberg's procedure). Returns {column: ndv-estimate}."""
-    import os
-    import uuid as _uuid
+def _sketch_df(df, cols: list[str], k: int) -> dict:
+    """One distributed pass over ``df``: {column: ThetaSketch}. Each
+    partition contributes k+1-bounded candidate hash sets per column;
+    the driver merges. Hashes are < 2^63 (theta domain) so they ride a
+    signed long."""
+    import numpy as np
 
-    from .scan import iceberg_scan
-
-    tm, rest = _resolve(location)
-    snap = tm.current_snapshot()
-    if snap is None:
-        raise ValueError("table has no snapshots to analyze")
-    schema = tm.schema_json()
-    by_name = {f["name"]: f for f in schema.get("fields", [])
-               if isinstance(f.get("type"), str)
-               and f["type"].startswith(_SKETCHABLE)}
-    if columns is None:
-        cols = sorted(by_name)
-    else:
-        cols = list(columns)
-        unknown = [c for c in cols if c not in by_name]
-        if unknown:
-            raise ValueError(
-                f"cannot sketch {unknown}: not top-level primitive "
-                f"columns (sketchable: {sorted(by_name)})")
-    if not cols:
-        raise ValueError("no sketchable columns")
-
-    if rest is not None:
-        from ..catalog.scan_planning import scan_rest_table
-
-        df = scan_rest_table(spark, rest, server_planning=False)
-    else:
-        df = iceberg_scan(spark, location)
-    df = df.select(*cols)
     k_eff = int(k)
 
     def batches(it):
-        import numpy as np
         import pandas as pd
 
         from duckdb_iceberg_spark.metadata import theta as _th
@@ -118,30 +80,39 @@ def compute_table_stats(
         yield pd.DataFrame({"c": pd.Series(rows_c, dtype="object"),
                             "h": pd.Series(rows_h, dtype="int64")})
 
-    # hashes are < 2^63 (theta domain), so they fit a signed long
-    rows = df.mapInPandas(batches, "c string, h long").collect()
-    import numpy as np
-
+    rows = df.select(*cols).mapInPandas(batches, "c string, h long").collect()
     per_col: dict[str, list] = {c: [] for c in cols}
     for r in rows:
         per_col[r.c].append(int(r.h))
-
-    blobs, ndv = [], {}
-    for c in cols:
-        sk = theta.ThetaSketch(
+    return {
+        c: theta.ThetaSketch(
             theta.merge_candidates(
                 [np.array(per_col[c], dtype=np.uint64)], k_eff),
             k=k_eff)
+        for c in cols
+    }
+
+
+def _write_stats_entry(tm, rest, snap, sketches: dict,
+                       field_id_of: dict) -> dict:
+    """Serialize {column: sketch} into one Puffin statistics file and
+    register it for ``snap`` (replacing same-snapshot entries). Returns
+    {column: ndv}."""
+    import os
+    import uuid as _uuid
+
+    blobs, ndv = [], {}
+    for c in sorted(sketches):
+        sk = sketches[c]
         est = int(round(sk.estimate()))
         ndv[c] = est
         blobs.append((sk.serialize(), {
             "type": THETA_BLOB_TYPE,
-            "fields": [int(by_name[c]["id"])],
+            "fields": [int(field_id_of[c])],
             "snapshot-id": snap.snapshot_id,
             "sequence-number": snap.sequence_number,
             "properties": {"ndv": str(est)},
         }))
-
     path = os.path.join(tm.metadata_write_path(),
                         f"{_uuid.uuid4()}.stats")
     size, footer, metas = write_puffin_file(path, blobs)
@@ -170,6 +141,129 @@ def compute_table_stats(
         tm.raw["statistics"] = stats
         write_table_metadata(tm, tm.location)
     return ndv
+
+
+def compute_table_stats(
+    spark: SparkSession,
+    location,
+    columns: Optional[Iterable[str]] = None,
+    *,
+    k: int = theta.DEFAULT_K,
+    incremental: bool = False,
+) -> dict:
+    """Compute theta-sketch NDV statistics for ``columns`` (default: all
+    sketchable top-level primitives), write one Puffin statistics file
+    under the table's metadata dir, and register it for the CURRENT
+    snapshot (replacing any prior statistics of that snapshot, like
+    Iceberg's procedure). Returns {column: ndv-estimate}.
+
+    ``incremental=True`` (r13): instead of re-scanning the table, sketch
+    ONLY the data files added since the last registered statistics
+    snapshot and theta-UNION with its deserialized sketches — the
+    mergeability that makes per-commit stats affordable at 100 TB.
+    Valid only when every snapshot since the base is an append or a
+    compaction (theta unions can't retract deleted values; replace
+    re-sketches identical rows, which the duplicate-insensitive union
+    absorbs) — anything else raises, telling the caller to run a full
+    compute. Columns default to the BASE file's sketched columns."""
+    from .scan import iceberg_scan
+
+    tm, rest = _resolve(location)
+    snap = tm.current_snapshot()
+    if snap is None:
+        raise ValueError("table has no snapshots to analyze")
+    schema = tm.schema_json()
+    by_name = {f["name"]: f for f in schema.get("fields", [])
+               if isinstance(f.get("type"), str)
+               and f["type"].startswith(_SKETCHABLE)}
+    field_id_of = {c: int(f["id"]) for c, f in by_name.items()}
+
+    if incremental:
+        return _compute_incremental(spark, location, tm, rest, snap,
+                                    by_name, columns, int(k))
+
+    if columns is None:
+        cols = sorted(by_name)
+    else:
+        cols = list(columns)
+        unknown = [c for c in cols if c not in by_name]
+        if unknown:
+            raise ValueError(
+                f"cannot sketch {unknown}: not top-level primitive "
+                f"columns (sketchable: {sorted(by_name)})")
+    if not cols:
+        raise ValueError("no sketchable columns")
+
+    if rest is not None:
+        from ..catalog.scan_planning import scan_rest_table
+
+        df = scan_rest_table(spark, rest, server_planning=False)
+    else:
+        df = iceberg_scan(spark, location)
+    sketches = _sketch_df(df, cols, int(k))
+    return _write_stats_entry(tm, rest, snap, sketches, field_id_of)
+
+
+def _compute_incremental(spark, location, tm, rest, snap, by_name,
+                         columns, k: int) -> dict:
+    from ..plans.scan_plan import ScanPlan, plan_scan
+    from ..sources.scan import scan_to_dataframe
+    from ..streaming.incremental import appended_snapshots
+
+    names_by_id = {int(f["id"]): c for c, f in by_name.items()}
+    # the newest registered statistics whose snapshot is an ancestor of
+    # the current one — the merge base
+    ancestors: set[int] = set()
+    cur = snap
+    while cur is not None:
+        ancestors.add(cur.snapshot_id)
+        cur = (tm.snapshot_by_id(cur.parent_snapshot_id)
+               if cur.parent_snapshot_id is not None else None)
+    entries = [s for s in (tm.raw.get("statistics") or [])
+               if int(s.get("snapshot-id", -1)) in ancestors]
+    if not entries:
+        raise ValueError(
+            "incremental=True needs a prior statistics file on the "
+            "current ancestry; run a full compute_table_stats first")
+    base = max(entries, key=lambda s: int(s["snapshot-id"]))
+    base_sid = int(base["snapshot-id"])
+    if base_sid == snap.snapshot_id:
+        return table_ndv(location)
+
+    # raises on delete/overwrite since the base — unions can't retract
+    appended_snapshots(tm, base_sid, snap.snapshot_id)
+
+    base_path = base["statistics-path"]
+    base_sketches: dict[str, theta.ThetaSketch] = {}
+    for blob in read_puffin_footer(base_path):
+        if blob.type != THETA_BLOB_TYPE or not blob.fields:
+            continue
+        c = names_by_id.get(int(blob.fields[0]))
+        if c is not None:
+            base_sketches[c] = theta.ThetaSketch.deserialize(
+                read_blob(base_path, blob), k=k)
+    cols = sorted(base_sketches) if columns is None else list(columns)
+    missing = [c for c in cols if c not in base_sketches]
+    if missing:
+        raise ValueError(
+            f"incremental=True cannot add columns {missing} absent from "
+            "the base statistics file; run a full compute for them")
+
+    # the delta: files in the current snapshot the base never had
+    cur_plan = plan_scan(tm, snap)
+    base_files = {t.data_file.file_path
+                  for t in plan_scan(tm, tm.snapshot_by_id(base_sid)).tasks}
+    new_tasks = [t for t in cur_plan.tasks
+                 if t.data_file.file_path not in base_files]
+    if new_tasks:
+        sub = ScanPlan(tm, snap, new_tasks, None, cur_plan.schema_id)
+        new_sketches = _sketch_df(scan_to_dataframe(spark, sub), cols, k)
+        merged = {c: theta.ThetaSketch.union(
+            [base_sketches[c], new_sketches[c]], k=k) for c in cols}
+    else:
+        merged = {c: base_sketches[c] for c in cols}
+    field_id_of = {c: int(by_name[c]["id"]) for c in cols}
+    return _write_stats_entry(tm, rest, snap, merged, field_id_of)
 
 
 def compute_partition_stats(location) -> dict:
@@ -218,7 +312,7 @@ def compute_partition_stats(location) -> dict:
             "position_delete_record_count": 0, "pos_files": set(),
             "equality_delete_record_count": 0, "eq_files": set(),
         })
-        agg["spec_id"] = getattr(df_, "spec_id", None) or 0
+        agg["spec_id"] = t.spec_id
         agg["data_record_count"] += int(df_.record_count or 0)
         agg["data_file_count"] += 1
         agg["total_data_file_size_in_bytes"] += \

@@ -205,3 +205,52 @@ def test_compute_partition_stats_call(spark, sf_dir, tmp_path):
     row = execute_sql(
         spark, "CALL compute_partition_stats('pstatstab')").first()
     assert int(row.partitions) == 5
+
+
+def test_theta_union():
+    """Union = sketch of the concatenation (duplicate-insensitive)."""
+    a = [f"a{i}" for i in range(30_000)]
+    b = [f"b{i}" for i in range(20_000)] + a[:5_000]  # overlap
+    sk_all = theta.ThetaSketch(theta.value_hashes(a + b))
+    sk_u = theta.ThetaSketch.union([
+        theta.ThetaSketch(theta.value_hashes(a)),
+        theta.ThetaSketch(theta.value_hashes(b))])
+    # union theta/retained need not match the single-pass sketch bit for
+    # bit (different thetas truncate differently) but the estimates must
+    # agree closely, and re-unioning the same sketch is a no-op
+    assert abs(sk_u.estimate() - sk_all.estimate()) / sk_all.estimate() < 0.03
+    again = theta.ThetaSketch.union([sk_u, sk_u])
+    assert again.estimate() == sk_u.estimate()
+
+
+def test_compute_table_stats_incremental(spark, sf_dir, tmp_path):
+    """r13 incremental stats: appends since the base merge via theta
+    union — exact below k; deletes since the base refuse; missing base
+    refuses."""
+    from duckdb_iceberg_spark.sources.dml import delete_from
+
+    loc = str(tmp_path / "t_stats_inc")
+    write_iceberg(spark.range(0, 300).selectExpr("id"), loc)
+    with pytest.raises(ValueError, match="prior statistics"):
+        compute_table_stats(spark, loc, incremental=True)
+
+    full0 = compute_table_stats(spark, loc, columns=["id"])
+    assert full0 == {"id": 300}
+
+    write_iceberg(spark.range(200, 500).selectExpr("id"), loc)  # overlap
+    inc = compute_table_stats(spark, loc, incremental=True)
+    assert inc == {"id": 500}  # union is duplicate-insensitive
+    tm = load_table_metadata(loc)
+    assert len(tm.raw["statistics"]) == 2  # base + current snapshots
+    assert table_ndv(loc) == {"id": 500}
+
+    # compaction between stats is fine (rows identical)…
+    from duckdb_iceberg_spark.sources.maintenance import rewrite_data_files
+    rewrite_data_files(spark, loc, rewrite_all=True)
+    write_iceberg(spark.range(500, 600).selectExpr("id"), loc)
+    assert compute_table_stats(spark, loc, incremental=True) == {"id": 600}
+
+    # …a delete is not: unions can't retract
+    delete_from(spark, loc, "id < 10", mode="merge-on-read")
+    with pytest.raises(ValueError, match="non-append"):
+        compute_table_stats(spark, loc, incremental=True)

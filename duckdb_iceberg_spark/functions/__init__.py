@@ -312,9 +312,32 @@ def _register_metadata_udtfs(spark) -> None:
             for name, ref in sorted(tm.refs.items()):
                 yield (name, ref.get("type"), ref.get("snapshot-id"))
 
+    @udtf(returnType=("column_name string, ndv long, snapshot_id long, "
+                      "statistics_path string"))
+    class _TableStatsUDTF:
+        # r13: the registered theta-sketch NDV statistics as a table
+        # function — SELECT * FROM iceberg_table_stats('path') rounds
+        # out the SQL face of compute_table_stats/table_ndv
+        def eval(self, path: str):
+            from duckdb_iceberg_spark.metadata.table_metadata import (
+                load_table_metadata,
+            )
+            from duckdb_iceberg_spark.sources.statistics import table_ndv
+
+            tm = load_table_metadata(path)
+            sid = tm.current_snapshot_id
+            entry = next(
+                (s for s in (tm.raw.get("statistics") or [])
+                 if int(s.get("snapshot-id", -1)) == sid), None)
+            if entry is None:
+                return
+            for col, n in sorted(table_ndv(path).items()):
+                yield (col, int(n), sid, entry["statistics-path"])
+
     spark.udtf.register("iceberg_snapshots", _SnapshotsUDTF)
     spark.udtf.register("iceberg_metadata", _MetadataUDTF)
     spark.udtf.register("iceberg_refs", _RefsUDTF)
+    spark.udtf.register("iceberg_table_stats", _TableStatsUDTF)
 
 
 __all__ = ["iceberg_bucket", "iceberg_truncate", "register_sql_functions"]

@@ -254,3 +254,19 @@ def test_compute_table_stats_incremental(spark, sf_dir, tmp_path):
     delete_from(spark, loc, "id < 10", mode="merge-on-read")
     with pytest.raises(ValueError, match="non-append"):
         compute_table_stats(spark, loc, incremental=True)
+
+
+def test_iceberg_table_stats_udtf(spark, sf_dir, tmp_path):
+    """r13: SELECT * FROM iceberg_table_stats('path') surfaces the
+    registered ndv statistics SQL-side."""
+    from duckdb_iceberg_spark.functions import register_sql_functions
+
+    src = load(spark, sf_dir, "region")
+    loc = str(tmp_path / "t_stats_udtf")
+    write_iceberg(src, loc)
+    compute_table_stats(spark, loc)
+    register_sql_functions(spark)
+    esc = loc.replace("'", "''")
+    rows = {r.column_name: r.ndv for r in spark.sql(
+        f"SELECT * FROM iceberg_table_stats('{esc}')").collect()}
+    assert rows["r_regionkey"] == 5 and rows["r_name"] == 5

@@ -200,3 +200,32 @@ def test_cherrypick_call_surface(spark, sf_dir, tmp_path):
                 f"CALL cherrypick_snapshot('picktab', {staged})")
     assert spark.sql("SELECT count(*) c FROM picktab").first().c == \
         src.count()
+
+
+def test_cherrypick_partitioned_roundtrip(spark, sf_dir, tmp_path):
+    """Cherry-picked DataFiles re-encode their PARTITION values through
+    the manifest writer — a decode/encode mismatch would mis-bucket or
+    crash; partition pruning must still work on the picked commit."""
+    from duckdb_iceberg_spark.sources.ddl import cherrypick_snapshot
+
+    src = load(spark, sf_dir, "nation")
+    loc = str(tmp_path / "t_pick_part")
+    write_iceberg(src.filter("n_regionkey < 2"), loc,
+                  partition_by=["n_regionkey"])
+    write_iceberg(src.filter("n_regionkey BETWEEN 2 AND 3"), loc,
+                  branch="audit")
+    staged = load_table_metadata(loc).refs["audit"]["snapshot-id"]
+    write_iceberg(src.filter("n_regionkey = 4"), loc)
+
+    cherrypick_snapshot(loc, staged)
+    got = sorted(r.n_nationkey for r in iceberg_scan(spark, loc).collect())
+    assert got == sorted(r.n_nationkey for r in src.collect())
+    # partition pruning reaches the picked files
+    from duckdb_iceberg_spark.metadata.table_metadata import (
+        load_table_metadata as _lt,
+    )
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    tm = _lt(loc)
+    plan = plan_scan(tm, tm.select_snapshot(), where="n_regionkey = 2")
+    assert plan.tasks and all(
+        t.data_file.partition.get("n_regionkey") == 2 for t in plan.tasks)

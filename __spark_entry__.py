@@ -2578,6 +2578,46 @@ def ice_avro_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_avro_write(spark: SparkSession, sf_dir: str) -> str:
+    """The Avro WRITE path end-to-end (NEW r13 — write.format.default=
+    avro routes write_iceberg through the pure-Python codec with in-pass
+    stats; the r12 read side already exceeded the reference's
+    parquet-only scope): documents written as Avro OCF files by the
+    ENGINE itself, then one MoR positional delete stacked on top — the
+    scan must resolve engine-written field-ids, apply the delete against
+    real ordinals, and prune on the in-pass bounds."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.dml import delete_from
+
+        docs = _pq(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        write_iceberg(docs.repartition(4), loc,
+                      properties={"write.format.default": "avro"})
+        delete_from(spark, loc, "doc_id % 9 = 4", mode="merge-on-read")
+
+    return _build_once(sf_dir, "documents_avro_write", build)
+
+
+def ice_avro_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-written Avro data files (NEW r13): write_iceberg with
+    write.format.default=avro → MoR delete → pruned scan → aggregate.
+    Hash-checked: the oracle replays the delete predicate from the raw
+    rows, so a mis-encoded value, wrong ordinal, or lost row all change
+    the sums."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_avro_write(spark, sf_dir)
+    t = iceberg_scan(spark, loc, where="n_chars >= 100")
+    return (
+        t.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").cast("long").alias("sum_chars"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
 def _ice_documents_variant(spark: SparkSession, sf_dir: str) -> str:
     """documents metadata as a VARIANT column written through the real
     write path (unblocked in this container in r8): each row carries
@@ -3929,10 +3969,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_time_travel": ice_time_travel,
         "docs_dsir_sample": docs_dsir_sample,
         # ------------------- 50-row window boundary -----------------------
-        # NEW r13, debuts sweep-checked — FIRST past the boundary so the
-        # r14 rotation picks it up (priority (b)), like the r12 newcomers
-        # did this round: keep-best-per-duplicate-cluster curation
+        # NEW r13, debut sweep-checked — FIRST past the boundary so the
+        # r14 rotation picks them up (priority (b)), like the r12
+        # newcomers did this round: keep-best-per-duplicate-cluster
+        # curation; the Avro WRITE path
         "docs_dup_keep_best": docs_dup_keep_best,
+        "ice_avro_write_scan": ice_avro_write_scan,
         # parked (driver-green r11; its composition family stays covered
         # in-window by ice_dup_cluster_curation)
         "ice_docs_curation": ice_docs_curation,
@@ -7393,6 +7435,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    max(doc_id) AS max_id
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # avro WRITE path (r13): replay the delete predicate + n_chars
+        # filter from the raw rows over the engine-written avro files
+        "ice_avro_write_scan": """
+            SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   max(doc_id) AS max_id
+            FROM documents
+            WHERE n_chars >= 100 AND doc_id % 9 <> 4
+            GROUP BY lang ORDER BY lang
         """,
         # nested Avro (r13): replay the struct/list/map nesting arithmetic
         # from the raw rows — tags is NULL when doc_id%13=7, 2-element

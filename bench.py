@@ -156,6 +156,8 @@ HEADLINE = [
     "ice_partition_stats_file",
     # r13: keep-best-per-duplicate-cluster curation (FineWeb rule)
     "docs_dup_keep_best",
+    # r13: the Avro WRITE path (pure-Python codec, in-pass stats, MoR)
+    "ice_avro_write_scan",
 ]
 
 

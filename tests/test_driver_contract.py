@@ -75,11 +75,12 @@ def test_window_holds_reference_surface_and_rotation():
     assert family_spread <= window, (
         f"{sorted(family_spread - window)} (longest-parked family spread) "
         "fell past the window")
-    # the r13 sweep-debut (docs_dup_keep_best), then ice_docs_curation
-    # (family covered by its in-window pair), then the r12 window cohort
-    # park first past the boundary (due r14/r15)
+    # the r13 sweep-debuts (docs_dup_keep_best, ice_avro_write_scan),
+    # then ice_docs_curation (family covered by its in-window pair),
+    # then the r12 window cohort park first past the boundary
     assert keys[50] == "docs_dup_keep_best"
-    assert keys[51] == "ice_docs_curation" and keys[52] == "ice_orc_scan"
+    assert keys[51] == "ice_avro_write_scan"
+    assert keys[52] == "ice_docs_curation" and keys[53] == "ice_orc_scan"
     assert len(keys) >= 50 and len(window) == 50
 
 

@@ -166,6 +166,7 @@ AUDIT = [
     "ice_ndv_stats",
     "ice_partition_stats_file",
     "docs_dup_keep_best",
+    "ice_avro_write_scan",
 ]
 
 

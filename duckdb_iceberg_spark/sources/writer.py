@@ -778,14 +778,22 @@ def write_data_files(
         stats = _collect_stats_orc(spark, paths, schema_json, spec)
     elif fmt == "avro":
         # r13: the third format's WRITE side (pure-Python Iceberg-Avro
-        # codec on the executors, in-pass stats). v1 scope: flat
-        # primitive schemas, unpartitioned specs — both refuse loudly
-        if spec.fields:
+        # codec on the executors, in-pass stats). Scope: flat primitive
+        # schemas; identity partitions on int/long/string/boolean
+        # sources (rendered as the same hive dirs partitionBy writes) —
+        # transform partitions refuse loudly
+        non_ident = [pf.name for pf in spec.fields
+                     if pf.transform != "identity"]
+        if non_ident:
             raise NotImplementedError(
-                "avro data-file writes support unpartitioned tables only "
-                "(r13 v1); partition the parquet/orc way or drop the spec")
+                f"avro data-file writes support identity partitions "
+                f"only; transform fields: {non_ident}")
+        ident_cols = [tm.field_by_id(pf.source_id)["name"]
+                      for pf in spec.fields]
+        adf = df.repartition(*ident_cols) if ident_cols else df
         stats = write_avro_dataset(
-            spark, df, data_root, schema_json,
+            spark, adf, data_root, schema_json,
+            partition_cols=ident_cols,
             max_records_per_file=_max_records_per_file(tm, schema_json))
     else:
         raise NotImplementedError(
@@ -948,11 +956,15 @@ _ORC_STAT_TYPES = {"boolean", "int", "long", "float", "double", "decimal",
                    "date", "time", "timestamp", "timestamptz", "string"}
 
 
-#: iceberg primitives the Avro WRITE path encodes (r13 v1: the common
-#: Flink-table surface; decimal/uuid/fixed/time refuse loudly below)
+#: iceberg primitives the Avro WRITE path encodes (r13: the common
+#: Flink-table surface incl. decimals; uuid/fixed/time refuse loudly)
 _AVRO_WRITE_TYPES = {"boolean", "int", "long", "float", "double",
                      "string", "binary", "date", "timestamp",
-                     "timestamptz"}
+                     "timestamptz", "decimal"}
+
+#: identity-partition source types the Avro writer renders as hive dirs
+#: (matching _partition_values_from_path's parser)
+_AVRO_PART_TYPES = {"int", "long", "string", "boolean"}
 
 
 def write_avro_dataset(
@@ -961,6 +973,7 @@ def write_avro_dataset(
     out_dir: str,
     schema_json: dict,
     *,
+    partition_cols: list[str] | None = None,
     max_records_per_file: int | None = None,
 ) -> list[dict]:
     """Avro OCF data files via the package's pure-Python codec (NEW r13
@@ -994,8 +1007,11 @@ def write_avro_dataset(
     # Spark-side normalization so executors see plain ints/floats/strs:
     # date -> days since epoch, timestamp -> epoch micros (the Avro
     # physical forms). Session TZ is UTC everywhere in this engine.
+    # Decimals pass through as Decimal objects; the encoder packs them
+    # into the schema's fixed-size big-endian two's complement.
     sel = []
     kinds = {}
+    dec_meta = {}
     for f in fields:
         nm, t = f["name"], ice_types.primitive_name(f["type"])
         kinds[nm] = t
@@ -1006,9 +1022,19 @@ def write_avro_dataset(
         elif t in ("timestamp", "timestamptz"):
             sel.append(F.unix_micros(c.cast("timestamp")).alias(nm))
         else:
+            if t == "decimal":
+                p, s_ = ice_types.decimal_precision_scale(f["type"])
+                dec_meta[nm] = (s_, (p + 2) // 2 + 1)  # scale, fixed size
             sel.append(c.alias(nm))
     names = [f["name"] for f in fields]
     ids = {f["name"]: int(f["id"]) for f in fields}
+    part_cols = list(partition_cols or [])
+    bad_part = [c for c in part_cols if kinds.get(c) not in _AVRO_PART_TYPES]
+    if bad_part:
+        raise NotImplementedError(
+            f"avro writes render identity partitions for "
+            f"{sorted(_AVRO_PART_TYPES)} sources only; unsupported: "
+            f"{bad_part}")
     cap = int(max_records_per_file) if max_records_per_file else None
     opts = None
     from ..io import parse_uri, storage_options_for
@@ -1039,9 +1065,28 @@ def write_avro_dataset(
         if n == 0:
             return
         per = cap or n
+        import urllib.parse as _up
+
+        if part_cols:
+            groups = [(key if isinstance(key, tuple) else (key,), g)
+                      for key, g in pdf.groupby(part_cols, dropna=False,
+                                                sort=True)]
+        else:
+            groups = [((), pdf)]
         out_rows = []
-        for lo in range(0, n, per):
-            chunk = pdf.iloc[lo:lo + per]
+        chunks = []
+        for key, g in groups:
+            comps = []
+            for c, v in zip(part_cols, key):
+                sval = ("__HIVE_DEFAULT_PARTITION__" if v is None
+                        or (isinstance(v, float) and math.isnan(v))
+                        else str(int(v)) if kinds[c] in ("int", "long")
+                        else str(v))
+                comps.append(f"{c}={_up.quote(sval, safe='')}")
+            subdir = "/".join(comps)
+            for lo in range(0, len(g), per):
+                chunks.append((subdir, g.iloc[lo:lo + per]))
+        for subdir, chunk in chunks:
             # pandas floats carry NaN for nulls of int columns; normalize
             # to None and exact ints per the declared kind
             recs = []
@@ -1056,10 +1101,17 @@ def write_avro_dataset(
                         r2[nm] = int(v)
                     elif kinds[nm] == "binary":
                         r2[nm] = bytes(v)
+                    elif kinds[nm] == "decimal":
+                        s_, size = dec_meta[nm]
+                        from decimal import Decimal as _D
+
+                        r2[nm] = int(_D(v).scaleb(s_)).to_bytes(
+                            size, "big", signed=True)
                     else:
                         r2[nm] = v
                 recs.append(r2)
-            path = f"{out_dir}/part-{_u.uuid4().hex[:16]}.avro"
+            base_dir = f"{out_dir}/{subdir}" if subdir else out_dir
+            path = f"{base_dir}/part-{_u.uuid4().hex[:16]}.avro"
             tmp = tempfile.NamedTemporaryFile(suffix=".avro", delete=False)
             tmp.close()
             try:
@@ -1091,6 +1143,9 @@ def write_avro_dataset(
                 if kinds[nm] == "binary":
                     lo_v = _b64.b64encode(bytes(lo_v)).decode()
                     hi_v = _b64.b64encode(bytes(hi_v)).decode()
+                elif kinds[nm] == "decimal":
+                    # JSON-safe exact rendering; revived as Decimal
+                    lo_v, hi_v = str(lo_v), str(hi_v)
                 mins[fid] = (lo_v if isinstance(lo_v, str)
                              else (float(lo_v) if kinds[nm] in
                                    ("float", "double") else int(lo_v)))
@@ -1128,6 +1183,10 @@ def write_avro_dataset(
                     import base64 as _b
 
                     v = _b.b64decode(v)
+                elif t == "decimal":
+                    from decimal import Decimal as _D
+
+                    v = _D(v)
                 dst[fid] = v
         nulls = {int(k): int(v) for k, v in st["nulls"].items()}
         out.append({

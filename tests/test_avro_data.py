@@ -282,20 +282,50 @@ def test_avro_write_then_mor_delete(spark, sf_dir, tmp_path):
     assert got == [i for i in range(200) if i % 5 != 2]
 
 
-def test_avro_write_refusals(spark, sf_dir, tmp_path):
-    """v1 scope pins: partitioned specs and non-primitive/decimal
-    columns refuse loudly."""
-    from pyspark.sql import types as T
+def test_avro_write_partitioned_and_decimal(spark, sf_dir, tmp_path):
+    """Identity-partitioned Avro writes render the same hive dirs
+    partitionBy does (manifest partition tuples + pruning work), and
+    decimals roundtrip through the schema's fixed-size big-endian
+    encoding with exact bounds."""
+    from decimal import Decimal
 
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    df = spark.range(0, 100).selectExpr(
+        "id", "cast(id % 4 as long) bucket",
+        "cast(cast(id as decimal(12,2)) / 7 as decimal(12,2)) amt")
+    loc = str(tmp_path / "t_avro_part")
+    write_iceberg(df, loc, partition_by=["bucket"],
+                  properties={"write.format.default": "avro"})
+
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    assert {t.data_file.partition.get("bucket") for t in plan.tasks} == \
+        {0, 1, 2, 3}
+    pruned = plan_scan(tm, tm.select_snapshot(), where="bucket = 2")
+    assert pruned.tasks and all(
+        t.data_file.partition["bucket"] == 2 for t in pruned.tasks)
+
+    got = {r.id: r for r in iceberg_scan(spark, loc).collect()}
+    assert len(got) == 100
+    assert got[70].amt == Decimal("10.00") and got[70].bucket == 2
+    assert got[13].amt == Decimal("1.86")
+
+
+def test_avro_write_refusals(spark, sf_dir, tmp_path):
+    """Scope pins: transform partitions and unsupported column types
+    refuse loudly."""
     from duckdb_iceberg_spark import write_iceberg
 
     df = spark.range(0, 10).selectExpr("id", "cast(id as string) s")
-    with pytest.raises(NotImplementedError, match="unpartitioned"):
+    with pytest.raises(NotImplementedError, match="identity partitions"):
         write_iceberg(df, str(tmp_path / "t_refuse1"),
-                      partition_by=["s"],
+                      partition_by=["bucket(4, id)"],
                       properties={"write.format.default": "avro"})
-    dec = spark.range(0, 10).selectExpr(
-        "id", "cast(id as decimal(10,2)) d")
-    with pytest.raises(NotImplementedError, match="unsupported"):
-        write_iceberg(dec, str(tmp_path / "t_refuse2"),
+    ts = spark.range(0, 10).selectExpr(
+        "id", "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,cast(id as int)) ts")
+    with pytest.raises(NotImplementedError, match="int.*long.*string|sources only"):
+        write_iceberg(ts, str(tmp_path / "t_refuse2"),
+                      partition_by=["ts"],
                       properties={"write.format.default": "avro"})

@@ -279,10 +279,12 @@ def test_orc_codec_property(spark, sf_dir, tmp_path):
 
 
 def test_unsupported_write_format_property(spark, sf_dir, tmp_path):
+    # avro became a supported write format in r13 — the loud refusal now
+    # belongs to genuinely unknown formats only
     src = load(spark, sf_dir, "region")
     with pytest.raises(NotImplementedError, match="write.format.default"):
         write_iceberg(src, str(tmp_path / "bad_fmt"),
-                      properties={"write.format.default": "avro"})
+                      properties={"write.format.default": "csv"})
 
 
 def test_orc_initial_defaults_by_name(spark, sf_dir, tmp_path):

@@ -329,3 +329,50 @@ def test_avro_write_refusals(spark, sf_dir, tmp_path):
         write_iceberg(ts, str(tmp_path / "t_refuse2"),
                       partition_by=["ts"],
                       properties={"write.format.default": "avro"})
+
+
+def test_avro_write_roundtrip_fuzz(spark, tmp_path):
+    """Deterministic-seed fuzz: random frames over every supported write
+    type (nulls everywhere, negative ints, unicode, NaN-free doubles,
+    dates, timestamps, decimals, binary) roundtrip write_iceberg(avro) →
+    iceberg_scan exactly."""
+    import datetime as _dt
+    import random
+    from decimal import Decimal
+
+    from duckdb_iceberg_spark import write_iceberg
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        n = rng.randint(1, 120)
+
+        def mk(i, gen):
+            return None if rng.random() < 0.15 else gen(i)
+
+        rows = [(
+            i,
+            mk(i, lambda i: rng.randint(-2**40, 2**40)),
+            mk(i, lambda i: "".join(rng.choice("abγ字 d'e\"f\\n")
+                                    for _ in range(rng.randint(0, 12)))),
+            mk(i, lambda i: rng.uniform(-1e6, 1e6)),
+            mk(i, lambda i: rng.random() < 0.5),
+            mk(i, lambda i: _dt.date(2000, 1, 1)
+               + _dt.timedelta(days=rng.randint(0, 10000))),
+            mk(i, lambda i: _dt.datetime(2020, 1, 1)
+               + _dt.timedelta(microseconds=rng.randint(0, 10**12))),
+            mk(i, lambda i: Decimal(rng.randint(-10**10, 10**10))
+               .scaleb(-2)),
+            mk(i, lambda i: bytes(rng.randrange(256)
+                                  for _ in range(rng.randint(0, 8)))),
+        ) for i in range(n)]
+        schema = ("id long, v long, s string, d double, b boolean, "
+                  "dt date, ts timestamp_ntz, dec decimal(12,2), "
+                  "raw binary")
+        df = spark.createDataFrame(rows, schema)
+        loc = str(tmp_path / f"t_avro_fuzz_{seed}")
+        write_iceberg(df.repartition(3), loc,
+                      properties={"write.format.default": "avro"})
+        got = sorted((tuple(r) for r in
+                      iceberg_scan(spark, loc).collect()))
+        want = sorted((tuple(r) for r in df.collect()))
+        assert got == want, f"seed {seed} mismatch"

@@ -598,11 +598,15 @@ def _plan_scan(
     stats["manifests_total"] = len(manifests)
 
     def _check_delete_format(d: mf.DataFile) -> None:
-        # reference: iceberg_delete_file_scanner.cpp:393-396
-        if (d.file_format or "PARQUET").lower() not in ("parquet", "puffin"):
+        # r13: ORC/Avro delete files read through the arrow plane's
+        # format routing (sources/scan.py _read_delete_files) — beyond
+        # the reference, which refuses everything non-parquet/puffin
+        # (iceberg_delete_file_scanner.cpp:393-396)
+        if (d.file_format or "PARQUET").lower() not in (
+                "parquet", "puffin", "orc", "avro"):
             raise NotImplementedError(
                 f"File format '{d.file_format}' not supported for deletes, "
-                "only supports 'parquet' and 'puffin' currently")
+                "only supports 'parquet', 'puffin', 'orc' and 'avro'")
 
     data_entries: list[tuple[mf.ManifestEntry, int]] = []  # (entry, spec_id)
     pos_deletes: list[tuple[mf.ManifestEntry, int]] = []

@@ -176,6 +176,41 @@ def _read_plain_parquet(spark, files, schema, *, with_path_pos=False,
     return df
 
 
+def _read_delete_files(spark, delete_files, schema, *, with_path_pos=False,
+                       path_col="__kf", pos_col="__kp"):
+    """Format-routed auxiliary read for DELETE files (r13): the spec lets
+    positional/equality delete files be parquet, ORC, or Avro independent
+    of the data format — Flink's avro tables write avro equality deletes.
+    ``delete_files`` maps path → recorded file_format; parquet goes
+    through the native/arrow parquet path, ORC/Avro through the arrow
+    plane's format-general reader (by-field-id for avro)."""
+    st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    by_fmt: dict[str, list[str]] = {}
+    for p, fmt in delete_files.items():
+        by_fmt.setdefault((fmt or "PARQUET").upper(), []).append(p)
+    parts = []
+    for fmt, paths in sorted(by_fmt.items()):
+        if fmt == "PARQUET":
+            parts.append(_read_plain_parquet(
+                spark, sorted(paths), st, with_path_pos=with_path_pos,
+                path_col=path_col, pos_col=pos_col))
+        elif fmt in ("ORC", "AVRO"):
+            p = _ad.read_parquet(spark, sorted(paths), st,
+                                 with_path_pos=with_path_pos,
+                                 path_col=path_col, pos_col=pos_col,
+                                 file_format=fmt.lower())
+            if with_path_pos:
+                p = p.withColumn(path_col, _norm_path(F.col(path_col)))
+            parts.append(p)
+        else:
+            raise NotImplementedError(
+                f"unsupported delete-file format {fmt!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def iceberg_scan(
     spark: SparkSession,
     path: str,
@@ -979,7 +1014,7 @@ def _apply_partition_constants(spark: SparkSession, df: DataFrame, plan: ScanPla
 # ---------------------------------------------------------------------------
 
 def _apply_positional_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) -> DataFrame:
-    parquet_files: set[str] = set()
+    row_delete_files: dict[str, str] = {}  # path -> recorded file format
     dv_blobs: dict[str, "mf.DataFile"] = {}  # referenced data file -> DV entry
     for t in plan.tasks:
         for d in t.positional_deletes:
@@ -996,17 +1031,18 @@ def _apply_positional_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan
                         f"corrupt table: two deletion vectors reference {ref}")
                 dv_blobs[ref] = d
             else:
-                parquet_files.add(d.file_path)
-    if not parquet_files and not dv_blobs:
+                row_delete_files[d.file_path] = d.file_format
+    if not row_delete_files and not dv_blobs:
         return df
 
     parts = []
-    if parquet_files:
-        # positional-delete parquet schema: file_path string (fid 2147483546),
-        # pos long (fid 2147483545)
+    if row_delete_files:
+        # positional-delete schema: file_path string (fid 2147483546),
+        # pos long (fid 2147483545) — files may be parquet, ORC, or Avro
+        # (r13 format routing; Flink's avro tables write avro deletes)
         parts.append(
-            _read_plain_parquet(spark, sorted(parquet_files),
-                                "file_path string, pos long")
+            _read_delete_files(spark, row_delete_files,
+                               "file_path string, pos long")
             .select(
                 _norm_path(F.col("file_path")).alias("__del_file"),
                 F.col("pos").cast(T.LongType()).alias("__del_pos"),
@@ -1185,8 +1221,9 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) 
             "`__del_file` string, `__del_seq` long")
         key_st = _projection_struct(tm.spark_schema(), cols)
         keys = (
-            _read_plain_parquet(spark, sorted(files), key_st,
-                                with_path_pos=True, path_col="__kf")
+            _read_delete_files(
+                spark, {p: d.file_format for p, (d, _, _) in files.items()},
+                key_st, with_path_pos=True, path_col="__kf")
             .join(F.broadcast(del_meta), F.col("__kf") == F.col("__del_file"))
         )
         alias = {c: f"__eq_k{i}" for i, c in enumerate(cols)}

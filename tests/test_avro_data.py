@@ -376,3 +376,57 @@ def test_avro_write_roundtrip_fuzz(spark, tmp_path):
                       iceberg_scan(spark, loc).collect()))
         want = sorted((tuple(r) for r in df.collect()))
         assert got == want, f"seed {seed} mismatch"
+
+
+def test_avro_delete_files_read_by_format(spark, sf_dir, tmp_path):
+    """r13: delete FILES route by their recorded format — the spec lets
+    positional/equality deletes be Avro independent of the data format
+    (Flink's avro tables write avro deletes). Parquet data + a
+    hand-authored AVRO equality delete and an AVRO positional delete
+    must both apply."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    loc = str(tmp_path / "t_avro_deletes")
+    write_iceberg(
+        spark.createDataFrame([(i, f"n{i}") for i in range(30)],
+                              "id long, name string").coalesce(1),
+        loc)
+    tm = load_table_metadata(loc)
+    data_file = plan_scan(tm, tm.select_snapshot()).tasks[0] \
+        .data_file.file_path
+
+    ddir = os.path.join(loc, "data")
+    # AVRO equality delete on id (field-id 1): drop ids 3, 7
+    eq_path = os.path.join(ddir, "eqdel.avro")
+    write_avro_file(eq_path, {
+        "type": "record", "name": "d", "fields": [
+            {"name": "id", "field-id": 1, "type": ["null", "long"]}]},
+        [{"id": 3}, {"id": 7}])
+    eq = mf.DataFile(
+        content=mf.CONTENT_EQUALITY_DELETES, file_path=eq_path,
+        file_format="AVRO", partition={}, record_count=2,
+        file_size_in_bytes=os.path.getsize(eq_path), equality_ids=[1])
+    commit_snapshot(load_table_metadata(loc), operation="delete",
+                    new_delete_files=[eq])
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(30) if i not in (3, 7)]
+
+    # AVRO positional delete: rows 0 and 10 of the (single) data file
+    pos_path = os.path.join(ddir, "posdel.avro")
+    write_avro_file(pos_path, {
+        "type": "record", "name": "p", "fields": [
+            {"name": "file_path", "field-id": 2147483546,
+             "type": ["null", "string"]},
+            {"name": "pos", "field-id": 2147483545,
+             "type": ["null", "long"]}]},
+        [{"file_path": data_file, "pos": 0},
+         {"file_path": data_file, "pos": 10}])
+    pd_ = mf.DataFile(
+        content=mf.CONTENT_POSITION_DELETES, file_path=pos_path,
+        file_format="AVRO", partition={}, record_count=2,
+        file_size_in_bytes=os.path.getsize(pos_path))
+    commit_snapshot(load_table_metadata(loc), operation="delete",
+                    new_delete_files=[pd_])
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(30) if i not in (0, 3, 7, 10)]

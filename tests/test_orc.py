@@ -248,15 +248,17 @@ def test_unsupported_delete_format_refusal_text(spark, sf_dir, tmp_path):
         entries = real(path, *a, **kw)
         for e in entries:
             if e.data_file.content == mf.CONTENT_POSITION_DELETES:
-                e.data_file.file_format = "ORC"
+                # ORC/AVRO deletes became readable in r13 (format-routed
+                # through the arrow plane); the guard now pins genuinely
+                # unknown formats only
+                e.data_file.file_format = "CSV"
         return entries
 
     sp.mf.read_manifest = forged
     try:
         with pytest.raises(
                 NotImplementedError,
-                match=r"File format 'ORC' not supported for deletes, only "
-                      r"supports 'parquet' and 'puffin' currently"):
+                match=r"File format 'CSV' not supported for deletes"):
             plan_scan(tm, snap)
     finally:
         sp.mf.read_manifest = real

@@ -241,6 +241,21 @@ class ThetaSketch:
             raise ValueError(
                 f"unsupported theta sketch (serVer={ser_ver}, "
                 f"family={family}); only compact serVer 3 is readable")
+        # a sketch built with a different seed hashes the same values to
+        # different points — unioning it in would yield silently wrong
+        # NDV, so validate the stored seed-hash like the Java library
+        # (ADVICE r13); likewise honour the blob's recorded lgK rather
+        # than trusting the caller's k
+        (stored_sh,) = struct.unpack_from("<H", blob, 6)
+        expect_sh = cls._seed_hash(seed)
+        if stored_sh and stored_sh != expect_sh:
+            raise ValueError(
+                f"theta sketch seed mismatch: blob seed-hash "
+                f"{stored_sh:#06x} != {expect_sh:#06x} for seed {seed}; "
+                "sketches from different seeds cannot be unioned")
+        lg_k = blob[3]
+        if lg_k:
+            k = 1 << lg_k
         flags = blob[5]
         sk = cls(np.empty(0, dtype=np.uint64), k=k, seed=seed)
         if flags & cls._FLAG_EMPTY or pre_longs == 1:

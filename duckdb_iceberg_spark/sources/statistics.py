@@ -232,6 +232,29 @@ def _compute_incremental(spark, location, tm, rest, snap, by_name,
 
     # raises on delete/overwrite since the base — unions can't retract
     appended_snapshots(tm, base_sid, snap.snapshot_id)
+    # appended_snapshots waves 'replace' through (for streaming a
+    # compaction only rearranges already-delivered rows), but for NDV a
+    # delete-APPLYING rewrite drops rows whose hashes stay in the base
+    # sketch (ADVICE r13). Every replace on the chain must have
+    # preserved total-records; a missing summary is unverifiable and
+    # refuses the same way.
+    cur = snap
+    while cur is not None and cur.snapshot_id != base_sid:
+        if (cur.summary or {}).get("operation") == "replace":
+            parent = (tm.snapshot_by_id(cur.parent_snapshot_id)
+                      if cur.parent_snapshot_id is not None else None)
+            tr = (cur.summary or {}).get("total-records")
+            ptr = ((parent.summary or {}).get("total-records")
+                   if parent is not None else None)
+            if tr is None or ptr is None or int(tr) < int(ptr):
+                raise ValueError(
+                    f"incremental=True cannot cross replace snapshot "
+                    f"{cur.snapshot_id}: it removed rows (or its "
+                    "total-records summary is missing) and theta "
+                    "unions cannot retract; run a full "
+                    "compute_table_stats")
+        cur = (tm.snapshot_by_id(cur.parent_snapshot_id)
+               if cur.parent_snapshot_id is not None else None)
 
     base_path = base["statistics-path"]
     base_sketches: dict[str, theta.ThetaSketch] = {}
@@ -302,10 +325,15 @@ def compute_partition_stats(location) -> dict:
             if pf.name not in field_names:
                 field_names.append(pf.name)
 
+    # keyed by (spec_id, partition tuple): two specs can render the same
+    # unified tuple (a field absent from an older spec reads as None,
+    # indistinguishable from a genuine NULL partition value) and the
+    # partition-stats format keeps those rows separate (ADVICE r13)
     per: dict[tuple, dict] = {}
     for t in plan.tasks:
         df_ = t.data_file
-        key = tuple(df_.partition.get(n) for n in field_names)
+        key = (int(t.spec_id),) + tuple(
+            df_.partition.get(n) for n in field_names)
         agg = per.setdefault(key, {
             "spec_id": 0, "data_record_count": 0, "data_file_count": 0,
             "total_data_file_size_in_bytes": 0,
@@ -330,7 +358,7 @@ def compute_partition_stats(location) -> dict:
 
     keys = sorted(per, key=lambda k: tuple(str(v) for v in k))
     part_struct = pa.StructArray.from_arrays(
-        [pa.array([k[i] for k in keys])
+        [pa.array([k[i + 1] for k in keys])
          for i in range(len(field_names))] or [],
         names=field_names) if field_names else None
     cols = {

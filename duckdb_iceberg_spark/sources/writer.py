@@ -1028,6 +1028,13 @@ def write_avro_dataset(
             sel.append(c.alias(nm))
     names = [f["name"] for f in fields]
     ids = {f["name"]: int(f["id"]) for f in fields}
+    # numpy-backed pandas renders BOTH Spark NULL and a genuine NaN
+    # float as NaN, so mapInPandas alone cannot tell them apart (ADVICE
+    # r13): ship a Spark-side null mask per float/double column and
+    # route null-vs-NaN decisions through it executor-side.
+    float_cols = [nm for nm in names if kinds[nm] in ("float", "double")]
+    for nm in float_cols:
+        sel.append(F.isnull(F.col(nm)).alias("__isnull__" + nm))
     part_cols = list(partition_cols or [])
     bad_part = [c for c in part_cols if kinds.get(c) not in _AVRO_PART_TYPES]
     if bad_part:
@@ -1094,7 +1101,14 @@ def write_avro_dataset(
                 r2 = {}
                 for nm in names:
                     v = rec.get(nm)
-                    if v is None or (isinstance(v, float) and math.isnan(v)):
+                    if kinds[nm] in ("float", "double"):
+                        # NULL and NaN are the same NaN here; only the
+                        # Spark-side mask knows which — a real NaN data
+                        # value must be WRITTEN as NaN, not nulled.
+                        r2[nm] = (None if rec.get("__isnull__" + nm)
+                                  else float(v))
+                    elif v is None or (isinstance(v, float)
+                                       and math.isnan(v)):
                         r2[nm] = None
                     elif kinds[nm] in ("int", "long", "date", "timestamp",
                                        "timestamptz"):
@@ -1127,16 +1141,22 @@ def write_avro_dataset(
             for nm in names:
                 fid = ids[nm]
                 col = chunk[nm]
-                nnull = int(col.isna().sum())
-                vals = col.dropna()
-                nulls[fid] = nnull
-                if kinds[nm] in ("float", "double") and len(vals):
+                if kinds[nm] in ("float", "double"):
+                    # isna() would fold NaN data values into the null
+                    # count and dropna() would hide them from the
+                    # any-NaN -> no-bounds guard; use the mask instead
+                    isnull = chunk["__isnull__" + nm].astype(bool)
+                    nulls[fid] = int(isnull.sum())
+                    vals = col[~isnull]
                     n_nan = int(vals.map(
                         lambda x: isinstance(x, float)
                         and math.isnan(x)).sum())
                     if n_nan:
                         nans[fid] = n_nan
                         continue
+                else:
+                    nulls[fid] = int(col.isna().sum())
+                    vals = col.dropna()
                 if len(vals) == 0:
                     continue
                 lo_v, hi_v = vals.min(), vals.max()

@@ -430,3 +430,42 @@ def test_avro_delete_files_read_by_format(spark, sf_dir, tmp_path):
                     new_delete_files=[pd_])
     got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
     assert got == [i for i in range(30) if i not in (0, 3, 7, 10)]
+
+
+def test_avro_write_nan_vs_null(spark, tmp_path):
+    """ADVICE r13: numpy-backed pandas renders Spark NULL and NaN as the
+    same NaN, so the write path must route on a Spark-side null mask — a
+    genuine NaN double must be WRITTEN as NaN (not nulled), null_counts
+    must count only real NULLs, and a NaN-bearing file records
+    nan_value_counts with NO bounds (parquet-writer parity)."""
+    import math
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    df = spark.createDataFrame(
+        [(0, 1.5), (1, float("nan")), (2, None), (3, -2.5)],
+        "id long, x double")
+    loc = str(tmp_path / "t_avro_nan")
+    write_iceberg(df.coalesce(1), loc,
+                  properties={"write.format.default": "avro"})
+    got = {r.id: r.x for r in iceberg_scan(spark, loc).collect()}
+    assert got[2] is None, "real NULL stays NULL"
+    assert got[0] == 1.5 and got[3] == -2.5
+    assert isinstance(got[1], float) and math.isnan(got[1]), \
+        "NaN data value must survive the write"
+
+    tm = load_table_metadata(loc)
+    [task] = plan_scan(tm, tm.select_snapshot()).tasks
+    dfile = task.data_file
+    fid_x = next(f["id"] for f in
+                 tm.schema_json()["fields"] if f["name"] == "x")
+    assert dfile.null_value_counts.get(fid_x) == 1, \
+        "NaN must not inflate the null count"
+    assert dfile.nan_value_counts.get(fid_x) == 1
+    assert fid_x not in (dfile.lower_bounds or {}), \
+        "NaN-bearing double column must advertise no bounds"
+    # id column untouched by the mask plumbing: exact bounds
+    fid_id = next(f["id"] for f in
+                  tm.schema_json()["fields"] if f["name"] == "id")
+    assert dfile.null_value_counts.get(fid_id) == 0

@@ -270,3 +270,68 @@ def test_iceberg_table_stats_udtf(spark, sf_dir, tmp_path):
     rows = {r.column_name: r.ndv for r in spark.sql(
         f"SELECT * FROM iceberg_table_stats('{esc}')").collect()}
     assert rows["r_regionkey"] == 5 and rows["r_name"] == 5
+
+
+def test_theta_deserialize_validates_seed_and_lgk():
+    """ADVICE r13: a blob serialized under a different seed must refuse
+    (same values hash to different points — a silent union would be
+    wrong NDV), and the blob's recorded lgK wins over the caller's k."""
+    sk = theta.ThetaSketch(theta.value_hashes([f"v{i}" for i in range(50)]),
+                           k=1024, seed=theta.DEFAULT_SEED)
+    blob = sk.serialize()
+    # default seed roundtrips; recorded lgK (1024) overrides caller's k
+    rt = theta.ThetaSketch.deserialize(blob, k=4096)
+    assert rt.k == 1024 and rt.estimate() == 50
+    with pytest.raises(ValueError, match="seed mismatch"):
+        theta.ThetaSketch.deserialize(blob, seed=12345)
+    # a foreign-seed blob refuses under the default seed too
+    foreign = theta.ThetaSketch(
+        theta.value_hashes(["a"], seed=777), k=64, seed=777).serialize()
+    with pytest.raises(ValueError, match="seed mismatch"):
+        theta.ThetaSketch.deserialize(foreign)
+
+
+def test_incremental_refuses_row_dropping_replace(spark, tmp_path):
+    """ADVICE r13: a 'replace' snapshot that REMOVED rows (delete-applying
+    compaction) must refuse incremental stats — theta unions cannot
+    retract, so crossing it would silently over-count."""
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.writer import commit_snapshot
+
+    loc = str(tmp_path / "t_stats_rowdrop")
+    write_iceberg(spark.range(0, 100).selectExpr("id").repartition(2), loc)
+    compute_table_stats(spark, loc, columns=["id"])
+
+    tm = load_table_metadata(loc)
+    t0 = plan_scan(tm, tm.current_snapshot()).tasks[0]
+    commit_snapshot(tm, operation="replace",
+                    removed_data_paths={t0.data_file.file_path})
+    with pytest.raises(ValueError, match="replace snapshot"):
+        compute_table_stats(spark, loc, incremental=True)
+
+
+def test_partition_stats_keeps_specs_separate(spark, tmp_path):
+    """ADVICE r13: two specs can render the SAME unified partition tuple
+    (a field absent from an older spec reads as None, indistinguishable
+    from a genuine NULL value) — the stats file keys by
+    (spec_id, partition), never merging across specs."""
+    from duckdb_iceberg_spark import (
+        compute_partition_stats,
+        read_partition_stats,
+    )
+    from duckdb_iceberg_spark.sources.ddl import set_partitioned_by
+
+    loc = str(tmp_path / "t_pstats_specs")
+    # spec 0: unpartitioned → partition tuple renders as (a=None)
+    write_iceberg(
+        spark.createDataFrame([(1, "x")], "id long, a string"), loc)
+    set_partitioned_by(loc, ["a"])
+    # spec 1: identity(a) with a genuinely NULL value → also (a=None)
+    write_iceberg(
+        spark.createDataFrame([(2, None)], "id long, a string"), loc,
+        mode="append")
+    compute_partition_stats(loc)
+    rows = read_partition_stats(spark, loc).collect()
+    assert len(rows) == 2, "same tuple under two specs must stay separate"
+    assert sorted(r.spec_id for r in rows) == [0, 1]
+    assert all(r.data_record_count == 1 for r in rows)

@@ -823,33 +823,54 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape (late = shipped >60 days after order date): EXISTS /
-    NOT EXISTS self-joins on lineitem — multi-supplier orders where only
-    this supplier was late — as semi/anti joins, top-100 waiters."""
-    li = _scan_lineitem(spark, sf_dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    """TPC-H Q21 shape (late = shipped >60 days after order date):
+    multi-supplier orders where only this supplier was late, top-100
+    waiters. r14 single-pass rewrite (VERDICT r13 task 3): ONE
+    li JOIN orders(F) pass, then a per-(orderkey, suppkey) late-row
+    count and a per-orderkey rollup — both reuse the join's hash
+    partitioning on l_orderkey (HashPartitioning(orderkey) satisfies
+    ClusteredDistribution for both key sets), so the EXISTS/NOT-EXISTS
+    semantics cost zero extra exchanges instead of the old three passes
+    over the fact (semi + anti joins vs two .distinct() derivatives).
+    An order qualifies for supplier s iff it has >1 distinct suppliers
+    and exactly one distinct LATE supplier (necessarily s); numwait
+    then counts s's late lineitem rows, matching the oracle's
+    count(*) over qualifying l1 rows."""
+    li = _scan_lineitem(spark, sf_dir).select("l_orderkey", "l_suppkey",
+                                              "l_shipdate")
     orders = _pq(spark, sf_dir, "orders").filter("o_orderstatus = 'F'") \
         .select("o_orderkey", "o_orderdate")
-    late = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+    # orders(F) is un-aggregated and fact-sized: never a broadcast build
+    # side at scale (the r13 static-estimate lesson) — merge-hint it and
+    # let AQE downgrade when the runtime side is genuinely small
+    joined = (
+        li.join(orders.hint("merge"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("is_late",
+                    F.col("l_shipdate") > F.col("o_orderdate")
+                    + F.expr("INTERVAL 60 DAYS"))
     )
-    l1 = late
-    other = li.select(F.col("l_orderkey").alias("o2_orderkey"),
-                      F.col("l_suppkey").alias("o2_suppkey")).distinct()
-    other_late = late.select(F.col("l_orderkey").alias("o3_orderkey"),
-                             F.col("l_suppkey").alias("o3_suppkey")).distinct()
-    waiting = (
-        l1.join(other, (F.col("l_orderkey") == F.col("o2_orderkey"))
-                & (F.col("l_suppkey") != F.col("o2_suppkey")), "left_semi")
-        .join(other_late, (F.col("l_orderkey") == F.col("o3_orderkey"))
-              & (F.col("l_suppkey") != F.col("o3_suppkey")), "left_anti")
+    per_supp = (
+        joined.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(F.col("is_late"), 1).otherwise(0))
+             .alias("late_rows"))
     )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"),
+             F.count(F.when(F.col("late_rows") > 0, 1))
+             .alias("n_late_supp"),
+             F.max(F.when(F.col("late_rows") > 0, F.col("l_suppkey")))
+             .alias("late_supp"),
+             F.sum(F.when(F.col("late_rows") > 0, F.col("late_rows"))
+                   .otherwise(0)).alias("late_cnt"))
+    )
+    qual = per_order.filter("n_supp > 1 AND n_late_supp = 1")
     return (
-        waiting.join(F.broadcast(_pq(spark, sf_dir, "supplier")),
-                     F.col("l_suppkey") == F.col("s_suppkey"))
+        qual.join(F.broadcast(_pq(spark, sf_dir, "supplier")),
+                  F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_cnt").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

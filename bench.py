@@ -397,11 +397,12 @@ def main() -> None:
     except OSError:
         pass
 
-    # sf1 scale rehearsal (10× the bench SF, single run per canary):
-    # surfaces AQE/skew/shuffle-sizing behavior the small SF can't.
-    # sf1_ratio is sf1_time / bench-SF median — ≤10 means at-or-better
-    # than linear scaling (32 cores are underutilized at sf0.1, so
-    # well-shaped queries land far below 10). Disable: SPARK_GRAFT_SF1=0.
+    # sf1 scale rehearsal (10× the bench SF): surfaces AQE/skew/
+    # shuffle-sizing behavior the small SF can't. ratio_vs_bench_sf is
+    # sf1_min / SAME-SESSION bench-SF min (measured adjacent in time,
+    # r14) — ≤10 means at-or-better than linear scaling (32 cores are
+    # underutilized at sf0.1, so well-shaped queries land far below 10).
+    # Disable: SPARK_GRAFT_SF1=0.
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         t0 = time.time()
         sf1_dir = _ensure_sf1(spark, sf_dir)
@@ -424,9 +425,25 @@ def main() -> None:
         # pressure that lands on whichever canary runs first
         spark.catalog.clearCache()
         sf1_times: dict[str, float] = {}
+        sf1_denom: dict[str, float] = {}
         sf1_ratio: dict[str, float] = {}
+        sf1_ratio_block: dict[str, float] = {}
         sf1_raw: dict[str, list[float]] = {}
+        sf1_denom_raw: dict[str, list[float]] = {}
         for name in SF1_CANARIES:
+            # same-session denominator (VERDICT r13 task 2): the ratio's
+            # bench-SF side is re-measured HERE, adjacent in time to the
+            # canary's sf1 runs, instead of reusing the headline median
+            # from ~90 queries earlier in the process — three rounds
+            # running, that cross-block denominator manufactured phantom
+            # >3 ratios (q03 r12; substr/q13/q21 r13) out of page-cache
+            # and box-load skew, each costing a round of re-probing.
+            dtimes = []
+            for _ in range(n_sf1):
+                t0 = time.time()
+                rows = qs[name](spark, sf_dir).collect()
+                assert rows is not None
+                dtimes.append(time.time() - t0)
             times = []
             for _ in range(n_sf1):
                 t0 = time.time()
@@ -435,19 +452,29 @@ def main() -> None:
                 times.append(time.time() - t0)
             spark.catalog.clearCache()
             sf1_times[name] = round(min(times), 3)
+            sf1_denom[name] = round(min(dtimes), 3)
             sf1_raw[name] = [round(t, 3) for t in times]
+            sf1_denom_raw[name] = [round(t, 3) for t in dtimes]
+            if sf1_denom[name] > 0:
+                sf1_ratio[name] = round(sf1_times[name] / sf1_denom[name], 2)
+            # the old cross-block ratio stays in the artifact for
+            # continuity with r7-r13 records (headline-median denominator)
             if results.get(name):
-                sf1_ratio[name] = round(sf1_times[name] / results[name], 2)
+                sf1_ratio_block[name] = round(
+                    sf1_times[name] / results[name], 2)
         out["sf1"] = {
             "sf": sf1_dir,
             "runs_per_query": n_sf1,
             "queries": sf1_times,
+            "bench_sf_same_session": sf1_denom,
             "ratio_vs_bench_sf": sf1_ratio,
+            "ratio_vs_headline_median": sf1_ratio_block,
             "value": round(sum(sf1_times.values()), 3),
             "gen_sec": round(sf1_gen_s, 3),
             "fixture_build_sec": round(sf1_build_s, 3),
         }
         out["sf1"]["query_runs"] = sf1_raw
+        out["sf1"]["bench_sf_runs"] = sf1_denom_raw
 
     # metadata-plane stress block (r13, VERDICT r12 task 7): planner
     # wall-clock + peak memory at 1e5 manifest entries, metadata only —

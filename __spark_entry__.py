@@ -2639,6 +2639,56 @@ def ice_avro_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_avro_part(spark: SparkSession, sf_dir: str) -> str:
+    """Partitioned NESTED Avro writes (NEW r14, VERDICT r13 task 4 —
+    past flat+identity): documents with a struct column, written as Avro
+    OCF files under day() + bucket() transform partition directories.
+    The write path materializes the same synthetic transform columns the
+    parquet path uses and routes them through the OCF encoder's hive
+    layout; the nested struct encodes with field-ids at every level."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+
+        docs = _pq(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars")
+        df = docs.select(
+            "doc_id", "lang",
+            F.expr("timestamp_ntz'2024-01-01 00:00:00' + "
+                   "make_interval(0,0,0,cast(doc_id % 5 as int))")
+            .alias("ts"),
+            F.struct(F.col("source"),
+                     F.col("n_chars").cast("long").alias("n_chars"))
+            .alias("meta"))
+        write_iceberg(df, loc,
+                      partition_by=["day(ts)", "bucket(8, doc_id)"],
+                      properties={"write.format.default": "avro"})
+
+    return _build_once(sf_dir, "documents_avro_part", build)
+
+
+def ice_avro_write_part_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-written PARTITIONED nested Avro (NEW r14): day()+bucket()
+    transform dirs, nested struct with field-ids, day-pruned scan with a
+    predicate into the struct member. Hash-checked: the oracle replays
+    the ts derivation and the nested filter from the raw rows, so a
+    mis-rendered partition dir (lost rows), a mis-encoded nested value,
+    or broken day pruning all change the sums."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_avro_part(spark, sf_dir)
+    t = iceberg_scan(
+        spark, loc,
+        where="ts >= TIMESTAMP '2024-01-03 00:00:00'"
+              " AND meta.n_chars >= 120")
+    return (
+        t.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("meta.n_chars")).cast("long").alias("sum_chars"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
 def _ice_documents_variant(spark: SparkSession, sf_dir: str) -> str:
     """documents metadata as a VARIANT column written through the real
     write path (unblocked in this container in r8): each row carries
@@ -3996,6 +4046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation; the Avro WRITE path
         "docs_dup_keep_best": docs_dup_keep_best,
         "ice_avro_write_scan": ice_avro_write_scan,
+        # NEW r14: partitioned (day+bucket transforms) NESTED Avro write
+        "ice_avro_write_part_scan": ice_avro_write_part_scan,
         # parked (driver-green r11; its composition family stays covered
         # in-window by ice_dup_cluster_curation)
         "ice_docs_curation": ice_docs_curation,
@@ -7465,6 +7517,21 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS max_id
             FROM documents
             WHERE n_chars >= 100 AND doc_id % 9 <> 4
+            GROUP BY lang ORDER BY lang
+        """,
+        # partitioned nested avro WRITE (r14): replay the ts derivation
+        # (doc_id%5 days past 2024-01-01) and the struct-member filter
+        # from the raw rows — a mis-rendered transform dir, broken day
+        # pruning, or a mis-encoded nested leaf all change the sums
+        "ice_avro_write_part_scan": """
+            SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   max(doc_id) AS max_id
+            FROM documents
+            WHERE TIMESTAMP '2024-01-01 00:00:00'
+                    + (doc_id % 5) * INTERVAL 1 DAY
+                    >= TIMESTAMP '2024-01-03 00:00:00'
+              AND n_chars >= 120
             GROUP BY lang ORDER BY lang
         """,
         # nested Avro (r13): replay the struct/list/map nesting arithmetic

@@ -778,22 +778,15 @@ def write_data_files(
         stats = _collect_stats_orc(spark, paths, schema_json, spec)
     elif fmt == "avro":
         # r13: the third format's WRITE side (pure-Python Iceberg-Avro
-        # codec on the executors, in-pass stats). Scope: flat primitive
-        # schemas; identity partitions on int/long/string/boolean
-        # sources (rendered as the same hive dirs partitionBy writes) —
-        # transform partitions refuse loudly
-        non_ident = [pf.name for pf in spec.fields
-                     if pf.transform != "identity"]
-        if non_ident:
-            raise NotImplementedError(
-                f"avro data-file writes support identity partitions "
-                f"only; transform fields: {non_ident}")
-        ident_cols = [tm.field_by_id(pf.source_id)["name"]
-                      for pf in spec.fields]
-        adf = df.repartition(*ident_cols) if ident_cols else df
+        # codec on the executors, in-pass stats). r14: transform
+        # partitions ride the SAME synthetic columns the parquet/ORC
+        # paths materialize above (part_cols — df is already
+        # repartitioned on them), and nested struct/list/map schemas
+        # encode with field-ids at every level; uuid/fixed/time leaves
+        # still refuse loudly.
         stats = write_avro_dataset(
-            spark, adf, data_root, schema_json,
-            partition_cols=ident_cols,
+            spark, df, data_root, schema_json,
+            partition_cols=part_cols,
             max_records_per_file=_max_records_per_file(tm, schema_json))
     else:
         raise NotImplementedError(
@@ -956,15 +949,128 @@ _ORC_STAT_TYPES = {"boolean", "int", "long", "float", "double", "decimal",
                    "date", "time", "timestamp", "timestamptz", "string"}
 
 
-#: iceberg primitives the Avro WRITE path encodes (r13: the common
-#: Flink-table surface incl. decimals; uuid/fixed/time refuse loudly)
+#: iceberg primitive LEAVES the Avro WRITE path encodes (r13: the common
+#: Flink-table surface incl. decimals; r14: also inside struct/list/map —
+#: uuid/fixed/time refuse loudly at any depth)
 _AVRO_WRITE_TYPES = {"boolean", "int", "long", "float", "double",
                      "string", "binary", "date", "timestamp",
                      "timestamptz", "decimal"}
 
-#: identity-partition source types the Avro writer renders as hive dirs
-#: (matching _partition_values_from_path's parser)
-_AVRO_PART_TYPES = {"int", "long", "string", "boolean"}
+
+def _avro_norm_nested(v, t):
+    """Executor-side normalization of one nested value into the Avro
+    encoder's shapes, driven by the ICEBERG type tree (r14): arrow→pandas
+    hands structs as dicts/Rows, lists as numpy arrays, maps as dicts or
+    (key, value) tuple lists; temporal leaves arrive as date/Timestamp
+    objects and become days/micros ints; decimals become the schema's
+    fixed-size big-endian two's complement. Inside nested objects NULL
+    is a real None (no numpy-column conflation), so a float NaN leaf is
+    a genuine data value and survives."""
+    import datetime as _dt
+    import math
+    from decimal import Decimal as _D
+
+    if v is None:
+        return None
+    if isinstance(t, str):
+        n = ice_types.primitive_name(t)
+        if n in ("float", "double"):
+            return float(v)  # NaN here is a genuine data value
+        if isinstance(v, float) and math.isnan(v):
+            return None  # pandas null-as-NaN for a non-float leaf
+        if n in ("int", "long"):
+            return int(v)
+        if n == "date":
+            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                return (v - _dt.date(1970, 1, 1)).days
+            return int(v)
+        if n in ("timestamp", "timestamptz"):
+            if hasattr(v, "to_pydatetime"):
+                v = v.to_pydatetime()
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return ((v - _dt.datetime(1970, 1, 1))
+                        // _dt.timedelta(microseconds=1))
+            return int(v)
+        if n == "decimal":
+            p, s = ice_types.decimal_precision_scale(t)
+            size = (p + 2) // 2 + 1
+            return int(_D(v).scaleb(s)).to_bytes(size, "big", signed=True)
+        if n == "binary":
+            return bytes(v)
+        return v  # string / boolean
+    if isinstance(v, float) and math.isnan(v):
+        return None  # a null container rendered as NaN
+    k = t["type"]
+    if k == "struct":
+        if isinstance(v, dict):
+            get = v.get
+        else:
+            def get(name):  # Row-like
+                return getattr(v, name, None)
+        return {f["name"]: _avro_norm_nested(get(f["name"]), f["type"])
+                for f in t["fields"]}
+    if k == "list":
+        return [_avro_norm_nested(x, t["element"]) for x in v]
+    items = v.items() if isinstance(v, dict) else v
+    return {str(kk): _avro_norm_nested(vv, t["value"]) for kk, vv in items}
+
+
+def _avro_data_type(t, fid_hint: int):
+    """Iceberg type (primitive string OR nested dict) → Avro schema for
+    DATA files, field-id/element-id/key-id/value-id stamped at every
+    level so the engine's own by-field-id scan (and any Iceberg-Avro
+    reader) resolves members after renames (r14 — the read side has
+    decoded these shapes since r12/r13)."""
+    from ..metadata.manifest import iceberg_to_avro_type
+
+    if isinstance(t, str):
+        return iceberg_to_avro_type(t, fid_hint)
+    k = t["type"]
+    if k == "struct":
+        return {"type": "record", "name": f"r{fid_hint}", "fields": [
+            {"name": sf["name"], "field-id": int(sf["id"]),
+             "type": ["null", _avro_data_type(sf["type"], int(sf["id"]))]}
+            for sf in t["fields"]]}
+    if k == "list":
+        eid = int(t["element-id"])
+        return {"type": "array", "element-id": eid,
+                "items": ["null", _avro_data_type(t["element"], eid)]}
+    vid = int(t["value-id"])
+    return {"type": "map", "key-id": int(t["key-id"]), "value-id": vid,
+            "values": ["null", _avro_data_type(t["value"], vid)]}
+
+
+def _check_avro_writable(t, name: str) -> None:
+    """Recursive scope pin for the Avro write path: every primitive leaf
+    must be in _AVRO_WRITE_TYPES (uuid/fixed/time/timestamp_ns/variant
+    refuse loudly at any depth), map keys must be strings (Avro maps
+    are string-keyed; Iceberg's array-of-kv encoding for other key
+    types is a read-side-only shape here)."""
+    if isinstance(t, str):
+        n = ice_types.primitive_name(t)
+        if n not in _AVRO_WRITE_TYPES:
+            raise NotImplementedError(
+                f"avro data-file writes support "
+                f"{sorted(_AVRO_WRITE_TYPES)} leaves only; unsupported: "
+                f"[{name!r}: {n}]")
+        return
+    k = t["type"]
+    if k == "struct":
+        for f in t["fields"]:
+            _check_avro_writable(f["type"], f"{name}.{f['name']}")
+    elif k == "list":
+        _check_avro_writable(t["element"], f"{name}.element")
+    elif k == "map":
+        if t.get("key") != "string":
+            raise NotImplementedError(
+                f"avro data-file writes support string map keys only; "
+                f"{name!r} has {t.get('key')!r} keys")
+        _check_avro_writable(t["value"], f"{name}.value")
+    else:
+        raise NotImplementedError(
+            f"avro data-file writes cannot encode {k!r} column {name!r}")
 
 
 def write_avro_dataset(
@@ -983,26 +1089,23 @@ def write_avro_dataset(
     through the FileIO; per-file bounds/null-counts are computed IN the
     encoding pass (this deployment has no spark-avro source, so the ORC
     path's re-read aggregate is not an option). Returns stats dicts in
-    the _collect_stats shape. Flat primitive schemas (r13 v1 —
-    write.format.default=avro on nested/decimal schemas refuses)."""
+    the _collect_stats shape. r14: nested struct/list/map columns encode
+    too (field-ids stamped at every level; executor-side normalization
+    of temporal/decimal leaves), and partition_cols may include
+    SYNTHETIC transform columns — directory values render from a
+    string-cast copy, matching Spark partitionBy's own hive rendering
+    for every transform_result_type."""
     import base64 as _b64
     import json as _json
 
-    from ..metadata.manifest import iceberg_to_avro_type
-
     fields = schema_json["fields"]
-    bad = [f["name"] for f in fields
-           if not isinstance(f["type"], str)
-           or ice_types.primitive_name(f["type"]) not in _AVRO_WRITE_TYPES]
-    if bad:
-        raise NotImplementedError(
-            f"avro data-file writes support flat "
-            f"{sorted(_AVRO_WRITE_TYPES)} columns only; unsupported: {bad}")
+    for f in fields:
+        _check_avro_writable(f["type"], f["name"])
 
     avro_schema = {
         "type": "record", "name": "r", "fields": [
             {"name": f["name"], "field-id": int(f["id"]),
-             "type": ["null", iceberg_to_avro_type(f["type"], f["id"])]}
+             "type": ["null", _avro_data_type(f["type"], int(f["id"]))]}
             for f in fields]}
     # Spark-side normalization so executors see plain ints/floats/strs:
     # date -> days since epoch, timestamp -> epoch micros (the Avro
@@ -1012,8 +1115,16 @@ def write_avro_dataset(
     sel = []
     kinds = {}
     dec_meta = {}
+    types_by_name = {f["name"]: f["type"] for f in fields}
     for f in fields:
-        nm, t = f["name"], ice_types.primitive_name(f["type"])
+        nm = f["name"]
+        if not isinstance(f["type"], str):
+            # nested: pass the raw objects through arrow→pandas; the
+            # executor normalizes leaves against the iceberg type tree
+            kinds[nm] = "nested"
+            sel.append(F.col(nm))
+            continue
+        t = ice_types.primitive_name(f["type"])
         kinds[nm] = t
         c = F.col(nm)
         if t == "date":
@@ -1036,12 +1147,14 @@ def write_avro_dataset(
     for nm in float_cols:
         sel.append(F.isnull(F.col(nm)).alias("__isnull__" + nm))
     part_cols = list(partition_cols or [])
-    bad_part = [c for c in part_cols if kinds.get(c) not in _AVRO_PART_TYPES]
-    if bad_part:
-        raise NotImplementedError(
-            f"avro writes render identity partitions for "
-            f"{sorted(_AVRO_PART_TYPES)} sources only; unsupported: "
-            f"{bad_part}")
+    # hive-dir rendering (r14): a string-cast copy per partition column
+    # renders every transform_result_type exactly as Spark's partitionBy
+    # would (ISO dates/timestamps, true/false, plain numerics), so
+    # _partition_values_from_path parses the same value back. The copy
+    # also carries SYNTHETIC transform columns that are not record
+    # fields — they ride the frame but never enter the Avro records.
+    for c in part_cols:
+        sel.append(F.col(c).cast("string").alias("__part__" + c))
     cap = int(max_records_per_file) if max_records_per_file else None
     opts = None
     from ..io import parse_uri, storage_options_for
@@ -1075,8 +1188,9 @@ def write_avro_dataset(
         import urllib.parse as _up
 
         if part_cols:
+            pkeys = ["__part__" + c for c in part_cols]
             groups = [(key if isinstance(key, tuple) else (key,), g)
-                      for key, g in pdf.groupby(part_cols, dropna=False,
+                      for key, g in pdf.groupby(pkeys, dropna=False,
                                                 sort=True)]
         else:
             groups = [((), pdf)]
@@ -1087,7 +1201,6 @@ def write_avro_dataset(
             for c, v in zip(part_cols, key):
                 sval = ("__HIVE_DEFAULT_PARTITION__" if v is None
                         or (isinstance(v, float) and math.isnan(v))
-                        else str(int(v)) if kinds[c] in ("int", "long")
                         else str(v))
                 comps.append(f"{c}={_up.quote(sval, safe='')}")
             subdir = "/".join(comps)
@@ -1101,7 +1214,9 @@ def write_avro_dataset(
                 r2 = {}
                 for nm in names:
                     v = rec.get(nm)
-                    if kinds[nm] in ("float", "double"):
+                    if kinds[nm] == "nested":
+                        r2[nm] = _avro_norm_nested(v, types_by_name[nm])
+                    elif kinds[nm] in ("float", "double"):
                         # NULL and NaN are the same NaN here; only the
                         # Spark-side mask knows which — a real NaN data
                         # value must be WRITTEN as NaN, not nulled.
@@ -1141,6 +1256,14 @@ def write_avro_dataset(
             for nm in names:
                 fid = ids[nm]
                 col = chunk[nm]
+                if kinds[nm] == "nested":
+                    # null count only — iceberg tracks bounds per leaf
+                    # field; nested bounds are a metrics-mode refinement
+                    # the scan treats as absent (no wrong pruning)
+                    nulls[fid] = int(col.map(
+                        lambda x: x is None or (isinstance(x, float)
+                                                and math.isnan(x))).sum())
+                    continue
                 if kinds[nm] in ("float", "double"):
                     # isna() would fold NaN data values into the null
                     # count and dropna() would hide them from the

@@ -313,21 +313,90 @@ def test_avro_write_partitioned_and_decimal(spark, sf_dir, tmp_path):
     assert got[13].amt == Decimal("1.86")
 
 
+def test_avro_write_transform_partitions(spark, sf_dir, tmp_path):
+    """r14: transform partition sources route the parquet path's
+    synthetic transform columns through the OCF encoder's directory
+    layout — bucket dirs match iceberg_bucket, day dirs render ISO, and
+    manifest partition tuples prune."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.plans.transforms import bucket_value
+
+    df = spark.range(0, 120).selectExpr(
+        "id",
+        "timestamp_ntz'2024-03-01 00:00:00' + "
+        "make_interval(0,0,0,cast(id % 3 as int)) ts")
+    loc = str(tmp_path / "t_avro_bucket")
+    write_iceberg(df, loc, partition_by=["bucket(4, id)", "day(ts)"],
+                  properties={"write.format.default": "avro"})
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    assert {t.data_file.file_format for t in plan.tasks} == {"AVRO"}
+    buckets = {t.data_file.partition["id_bucket"] for t in plan.tasks}
+    assert buckets <= {0, 1, 2, 3} and len(buckets) > 1
+    # pruning on the transform tuple: bucket(4, 70) only
+    want_b = bucket_value(70, 4, "long")
+    pruned = plan_scan(tm, tm.select_snapshot(), where="id = 70")
+    assert pruned.tasks and all(
+        t.data_file.partition["id_bucket"] == want_b for t in pruned.tasks)
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == list(range(120))
+    # day partition survives the string-cast dir rendering roundtrip
+    # (day() result type is int days-since-epoch, matching the parquet
+    # path: 2024-03-01 = 19783)
+    days = {t.data_file.partition["ts_day"] for t in plan.tasks}
+    assert days == {19783, 19784, 19785}
+
+
+def test_avro_write_nested_roundtrip(spark, sf_dir, tmp_path):
+    """r14: nested struct/list/map schemas encode with field-ids at
+    every level; a post-write struct-member rename still resolves, and
+    temporal/decimal leaves inside the struct normalize correctly."""
+    from decimal import Decimal
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.sources.ddl import rename_column
+
+    df = spark.sql("""
+        SELECT id,
+               named_struct('lang', CASE WHEN id % 4 = 0 THEN NULL
+                                         ELSE concat('l', id % 3) END,
+                            'n', id * 10,
+                            'd', date'2020-01-01' + make_interval(0,0,0,cast(id % 5 as int)),
+                            'amt', cast(id as decimal(10,2)) / 4) meta,
+               CASE WHEN id % 7 = 3 THEN NULL
+                    ELSE array(concat('t', id % 2), 'x') END tags,
+               map('len', id * 2, 'mod', id % 6) props
+        FROM range(40)
+    """)
+    loc = str(tmp_path / "t_avro_nested_w")
+    write_iceberg(df.repartition(3), loc,
+                  properties={"write.format.default": "avro"})
+    rename_column(loc, "meta.lang", "language")
+    got = {r.id: r for r in iceberg_scan(spark, loc).collect()}
+    assert len(got) == 40
+    assert got[6].meta.language == "l0" and got[8].meta.language is None
+    assert got[6].meta.n == 60
+    import datetime as dt
+    assert got[7].meta.d == dt.date(2020, 1, 3)
+    assert got[9].meta.amt == Decimal("2.25")
+    assert got[3].tags is None and got[4].tags == ["t0", "x"]
+    assert got[5].props == {"len": 10, "mod": 5}
+
+
 def test_avro_write_refusals(spark, sf_dir, tmp_path):
-    """Scope pins: transform partitions and unsupported column types
-    refuse loudly."""
+    """Scope pins: uuid/time leaves (at any depth) and non-string map
+    keys refuse loudly."""
     from duckdb_iceberg_spark import write_iceberg
 
-    df = spark.range(0, 10).selectExpr("id", "cast(id as string) s")
-    with pytest.raises(NotImplementedError, match="identity partitions"):
+    df = spark.range(0, 5).selectExpr(
+        "id", "named_struct('v', parse_json('1')) s")
+    with pytest.raises(NotImplementedError, match="leaves only"):
         write_iceberg(df, str(tmp_path / "t_refuse1"),
-                      partition_by=["bucket(4, id)"],
                       properties={"write.format.default": "avro"})
-    ts = spark.range(0, 10).selectExpr(
-        "id", "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,cast(id as int)) ts")
-    with pytest.raises(NotImplementedError, match="int.*long.*string|sources only"):
-        write_iceberg(ts, str(tmp_path / "t_refuse2"),
-                      partition_by=["ts"],
+    mk = spark.range(0, 5).selectExpr("id", "map(id, 'v') m")
+    with pytest.raises(NotImplementedError, match="string map keys"):
+        write_iceberg(mk, str(tmp_path / "t_refuse2"),
                       properties={"write.format.default": "avro"})
 
 

@@ -1055,13 +1055,11 @@ def _create_changelog_view(spark, source, *, changelog_view=None,
     ``SELECT * FROM <changelog_view>`` then carries _change_type /
     _change_ordinal / _commit_snapshot_id like Spark-Iceberg's. The
     underlying changelog_scan is the hash-checked stream_changelog
-    machinery; this is its SQL-procedure face."""
+    machinery; this is its SQL-procedure face. r14: catalog (REST)
+    tables work too — changelog_scan resolves the handle through the
+    catalog and plans from the same metadata."""
     from ..streaming.changelog import changelog_scan
 
-    if not isinstance(source, str):
-        raise NotImplementedError(
-            "create_changelog_view targets filesystem tables; catalog "
-            "tables read changes via streaming.changelog.changelog_scan")
     name = changelog_view or "changelog_view"
     df = changelog_scan(spark, source,
                         from_snapshot_id=start_snapshot_id,

@@ -66,8 +66,15 @@ def changelog_scan(
 ) -> DataFrame:
     """DataFrame of net row-level changes after ``from_snapshot_id``
     (exclusive) up to ``to_snapshot_id`` (inclusive; current when None),
-    with _change_type / _change_ordinal / _commit_snapshot_id appended."""
-    tm = load_table_metadata(location)
+    with _change_type / _change_ordinal / _commit_snapshot_id appended.
+    ``location`` is a filesystem path OR a catalog table handle
+    (r14 — anything with ``refresh()`` returning an object carrying
+    ``.metadata``): the plan below only needs TableMetadata, whose file
+    paths resolve through the same FileIO either way."""
+    if isinstance(location, str):
+        tm = load_table_metadata(location)
+    else:
+        tm = location.refresh().metadata
 
     # ancestor chain oldest→newest, like incremental.appended_snapshots
     # but keeping EVERY operation (deletes/overwrites are the point here)

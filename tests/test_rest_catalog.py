@@ -2490,3 +2490,40 @@ def test_branch_dml_through_catalog(stub, spark, sf_dir, tmp_path):
     fast_forward(tbl, "main", "audit")
     tbl = tbl.refresh()
     assert scan_rest_table(spark, tbl).count() == nation.count() - 5
+
+
+def test_changelog_view_rest_table(stub, spark, sf_dir, tmp_path):
+    """r14 (VERDICT r13 task 5): CALL create_changelog_view resolves a
+    REST catalog table through the attached handle — the procedure was
+    the last fs-only one; changelog_scan plans from the same metadata
+    either way."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+    from tests.conftest import load
+
+    base, state = stub
+    loc = str(tmp_path / "t_chlog_rest")
+    write_iceberg(load(spark, sf_dir, "nation"), loc)
+    snap1 = load_table_metadata(loc).current_snapshot().snapshot_id
+    write_iceberg(spark.createDataFrame(
+        [(90, "NEW-A", 1)],
+        "n_nationkey long, n_name string, n_regionkey long"), loc)
+    delete_from(spark, loc, "n_regionkey = 0", mode="merge-on-read")
+
+    _register_disk_table(state, loc)
+    cat = _catalog(base)
+    tbl = cat.load_table("db", "t")
+    register_table(spark, "chlog_rest_tab", tbl)
+    row = execute_sql(
+        spark,
+        f"CALL create_changelog_view(table => 'chlog_rest_tab', "
+        f"changelog_view => 'chlog_rest_v', "
+        f"start_snapshot_id => {snap1})").first()
+    assert row.changelog_view == "chlog_rest_v"
+    got = {(r._change_type, r._change_ordinal): r.cnt for r in spark.sql(
+        "SELECT _change_type, _change_ordinal, count(*) cnt "
+        "FROM chlog_rest_v GROUP BY 1, 2").collect()}
+    assert got[("insert", 0)] == 1
+    assert got[("delete", 1)] == 5  # 5 nations in region 0

@@ -68,3 +68,58 @@ def test_runtime_filter_string_keys_and_extra_where(spark, sf_dir, tmp_path):
                                   where="n_regionkey = 1")
     got = sorted(r.n_name for r in df.collect())
     assert got == ["NATION_1", "NATION_6"]
+
+
+def test_runtime_filter_consults_ndv_stats(spark, tmp_path):
+    """r14 (VERDICT r13 task 7): registered theta-sketch NDV informs the
+    IN-vs-range choice — when the overflowing build side carries at
+    least as many distinct keys as the table's whole key domain, the
+    estimated selectivity is ~1 and the re-plan (plus its min/max probe
+    job) is skipped; without statistics the range fallback still runs."""
+    from duckdb_iceberg_spark import (
+        compute_table_stats,
+        iceberg_scan,
+        scan_with_runtime_filter,
+        write_iceberg,
+    )
+
+    # key domain: 40 distinct values 0..39, sorted into 4 files so a
+    # narrow range WOULD prune
+    loc = os.path.join(str(tmp_path), "t_ndv_rt")
+    df = spark.range(0, 400).selectExpr("id % 40 as k", "id as payload")
+    write_iceberg(df.orderBy("k").coalesce(1), loc)
+    for lo in (10, 20, 30):
+        write_iceberg(
+            spark.range(0, 50).selectExpr(
+                f"{lo} + id % 10 as k", "id as payload"),
+            loc, mode="append")
+    full_files = len(iceberg_scan(spark, loc).inputFiles())
+    assert full_files >= 4
+
+    # build side: 60 distinct keys (> max_in_keys=50 AND >= table NDV 40)
+    # whose range [0, 59] would NOT have pruned anyway — the stats make
+    # the decision without the probe job
+    dim = spark.range(0, 60).selectExpr("id as k")
+
+    # without statistics: the range fallback runs and leaves its
+    # residual in the plan (correct, but a probe job + a useless filter)
+    no_stats = scan_with_runtime_filter(spark, loc, dim, "k",
+                                        max_in_keys=50)
+    assert "<= 59" in no_stats._jdf.queryExecution().executedPlan() \
+        .toString(), "pre-stats behavior: range residual present"
+
+    compute_table_stats(spark, loc, columns=["k"])
+
+    # with statistics: selectivity ~1 -> plain scan, all files planned
+    with_stats = scan_with_runtime_filter(spark, loc, dim, "k",
+                                          max_in_keys=50)
+    assert len(with_stats.inputFiles()) == full_files
+    plan = with_stats._jdf.queryExecution().executedPlan().toString()
+    assert ">= 0" not in plan and "<= 59" not in plan, \
+        "NDV skip must not leave the range residual in the plan"
+
+    # a SELECTIVE build side (below max_in_keys) still prunes via IN
+    sel = scan_with_runtime_filter(
+        spark, loc, spark.createDataFrame([(3,)], "k long"), "k",
+        max_in_keys=50)
+    assert len(sel.inputFiles()) < full_files

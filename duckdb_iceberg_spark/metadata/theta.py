@@ -13,8 +13,15 @@ empty/exact/estimation), hashing with MurmurHash3 x64_128 at the
 DataSketches default seed 9001 and keeping ``hash >>> 1`` like the Java
 library so values stay in [1, 2^63). Within this engine the write/read
 pair is exact and estimation is deterministic; byte-level Java interop
-follows the published format but is best-effort (no Java datasketches in
-this container to cross-check against).
+follows the published format but is best-effort: re-probed 2026-08-16
+(r14) — no ``datasketches`` Python package, no Java datasketches jar,
+duckdb 1.0.0 exposes no sketch functions, and the container has no
+network to fetch the published binary test vectors, so no independent
+byte oracle exists here. In its place tests/test_statistics.py pins
+BYTE-EXACT frozen goldens of this layout (empty/exact/estimation
+preambles, flags, seed-hash, hash payloads), so any layout drift fails
+loudly instead of silently breaking foreign readers; swap the goldens
+for the published vectors the first time a cross-check lands.
 
 Distributed build shape (100 TB): each partition keeps only its k
 smallest distinct hashes (``partition_candidates``), the driver merges

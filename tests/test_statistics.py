@@ -335,3 +335,36 @@ def test_partition_stats_keeps_specs_separate(spark, tmp_path):
     assert len(rows) == 2, "same tuple under two specs must stay separate"
     assert sorted(r.spec_id for r in rows) == [0, 1]
     assert all(r.data_record_count == 1 for r in rows)
+
+
+def test_theta_serialized_layout_goldens():
+    """r14 (VERDICT r13 task 6): BYTE-EXACT frozen goldens of the
+    compact-theta layout. No independent DataSketches oracle exists in
+    this container (probe dated in metadata/theta.py), so these pin the
+    layout against drift: preamble longs / serVer 3 / family 3 / lgK /
+    flags / seed-hash 0x93cc (murmur3_x64_128 of LE64(9001), low 16
+    bits) and the exact little-endian hash payloads."""
+    import numpy as np
+
+    # empty: 1 preamble long, flags READ_ONLY|EMPTY|COMPACT|ORDERED=0x1e
+    e = theta.ThetaSketch(np.empty(0, dtype=np.uint64), k=16).serialize()
+    assert e.hex() == "01030304001ecc93"
+
+    # exact mode (5 distinct < k=16): 2 preamble longs, flags 0x1a,
+    # curCount=5, p=1.0, then 5 ordered hashes
+    sk = theta.ThetaSketch(
+        theta.value_hashes([f"v{i}" for i in range(5)]), k=16)
+    assert sk.serialize().hex() == (
+        "02030304001acc93050000000000803f"
+        "08a06c56d6aba5159ad1a87cc67b3445"
+        "f1d2083f5cf8fc52ad50444f08f3f163afbf58cae00fdd6f")
+
+    # estimation mode (200 distinct > k=16): 3 preamble longs, theta
+    # long at bytes 16-23, 16 retained hashes (152 bytes total)
+    sk2 = theta.ThetaSketch(
+        theta.value_hashes([f"user-{i}" for i in range(200)]), k=16)
+    b2 = sk2.serialize()
+    assert len(b2) == 152
+    assert b2[:16].hex() == "03030304001acc93100000000000803f"
+    assert int.from_bytes(b2[16:24], "little") == 848659493054884331
+    assert theta.ThetaSketch.deserialize(b2).estimate() == sk2.estimate()

@@ -2689,6 +2689,50 @@ def ice_avro_write_part_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_orders_zorder(spark: SparkSession, sf_dir: str) -> str:
+    """Z-order clustered rewrite (NEW r14): a 2-dimensional table
+    (deterministic x/y derived from o_orderkey so the oracle replays
+    them) bin-packed-and-z-clustered by rewrite_data_files(sort_order=
+    'zorder(x, y)') — per-file bounds end up tight on BOTH x and y, so a
+    predicate on either dimension prunes files (the reference's
+    compaction bin-packs only, iceberg_rewrite_data_files.cpp)."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.maintenance import (
+            rewrite_data_files,
+        )
+
+        o = _pq(spark, sf_dir, "orders").selectExpr(
+            "o_orderkey",
+            "(o_orderkey * 9973) % 1000 as x",
+            "(o_orderkey * o_orderkey) % 1000 as y")
+        write_iceberg(o.repartition(8), loc)
+        rewrite_data_files(spark, loc, rewrite_all=True, min_input_files=1,
+                           target_file_size_bytes=64_000,
+                           sort_order="zorder(x, y)")
+
+    return _build_once(sf_dir, "orders_zorder", build)
+
+
+def ice_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of the z-order-rewritten table with a two-dimensional
+    predicate. Hash-checked: the oracle replays the x/y derivations and
+    the filter from the raw orders rows, so a row lost or duplicated by
+    the clustering rewrite, or a wrong bound excluding a matching file,
+    changes the sums."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_orders_zorder(spark, sf_dir)
+    t = iceberg_scan(spark, loc, where="x >= 800 AND y < 200")
+    return (
+        t.groupBy((F.col("x") % 7).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("o_orderkey").cast("long").alias("sum_key"),
+             F.max("o_orderkey").alias("max_key"))
+        .orderBy("g")
+    )
+
+
 def _ice_documents_variant(spark: SparkSession, sf_dir: str) -> str:
     """documents metadata as a VARIANT column written through the real
     write path (unblocked in this container in r8): each row carries
@@ -3909,103 +3953,145 @@ _BUCKET16_PARTKEY = [
 ]
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def queries() -> dict[str, Callable[[SparkSession, str],
+                      DataFrame]]:
     """DICT ORDER IS LOAD-BEARING. The driver's correctness harness checks
     only the FIRST 50 entries per round (CORRECTNESS_r*.json has exactly 50
     rows), so ordering decides which queries get hard cross-engine oracle
-    rows. With 113 queries, a parked query re-earns a driver row at
+    rows. With 141 queries, a parked query re-earns a driver row at
     latest every third round; tools/check_oracle.py still covers ALL
     positions every session. Rotation priority: (a) operators whose code
     changed since their last driver row, (b) entries that have never had
-    a driver row, (c) longest parked, (d) family coverage — plus the
+    a driver row, (c) longest parked, (d) family coverage - plus the
     VERDICT r8 hard rule: a RED driver row never rotates out until it
-    has a green one. Layout (round 13 rotation, per VERDICT r12 tasks
-    1-3):
+    has a green one. Layout (round 14 rotation, per VERDICT r13 task 1):
 
-      1      ice_time_scan — priority (a): the residual-filter rewriter
-             changed again this round (quoted-string tokenizing, ADVICE
-             r12); also the historical r11-red watch entry.
-      2      ice_mor_delete_scan — priority (a): residual application +
-             the _localize no-stat short-circuit both sit on its path.
-      3-13   priority (b), never driver-checked: docs_token_count
-             (deferred from r12), the five r12 session-2/3 newcomers
-             (emb_sq_topk, docs_bpe_tokens, ice_wap_scan,
-             stream_upsert_sink, ice_avro_scan), and the five NEW r13
-             entries (ice_retention_scan — ref-retention-aware expire;
-             ice_avro_nested_scan — struct/list/map over Avro data
-             files; ice_cherrypick_scan — out-of-order WAP publish;
-             ice_ndv_stats — theta-sketch statistics files;
-             ice_partition_stats_file — spec partition statistics).
-      14-18  priority (a): the five TPC-H queries whose plans changed
-             this round (merge hints killing static lineitem
-             broadcasts): q03, q04, q05, q10, q12.
-      19-46  priority (c): the full r10 window cohort, parked three
-             rounds — the every-third-round deadline (28 entries:
-             dedup/fingerprint/decontaminate family, relational q_*
-             shapes, streaming sink/tumbling, mm_* features,
-             ice_custom_paths_scan).
-      47-50  priority (c)/(d) family spread of the longest-parked
-             r10/r11 greens: ice_dup_cluster_curation (subsumes the
-             curation composition; its pair ice_docs_curation parks),
-             DV deletes (ice_dv_delete_scan), time travel
-             (ice_time_travel — interacts with this round's
-             retention-aware expire), and docs_dsir_sample (the r12
-             perf headline — a hash row guards the single-shuffle
-             rewrite). ice_variant_extract, ice_sql_merge and
-             ice_docs_curation park with the r11 greens (due r14) to
-             fit the five r13 newcomers in priority (b).
-      51+    parked: the whole r12 window cohort (all driver-green r12,
-             due again by r15), the rest of the r11-green ice_* DML/
-             scan core and dsir/lm probes, and the 18 TPC-H queries
-             whose plans did NOT change (driver-green r11 — the full
-             TPC-H block is due back by r14 under the every-third-round
-             rule, together with q_interval_join and the r11
-             re-checks). Everything parked stays oracle-checked in
-             every local sweep.
+      1-5    priority (a), code changed this round: q21_waiting_supplier
+             (single-pass rewrite), ice_dynamic_prune_join
+             (scan_with_runtime_filter now consumes NDV statistics),
+             stream_changelog (changelog_scan accepts catalog handles),
+             ice_ndv_stats + ice_partition_stats_file (ADVICE r13:
+             replace-snapshot guard, (spec_id, partition) keying,
+             seed-hash/lgK validation).
+      6-9    priority (b), never driver-checked: docs_dup_keep_best and
+             ice_avro_write_scan (r13 sweep-debuts), plus the NEW r14
+             ice_avro_write_part_scan (day+bucket-partitioned NESTED
+             Avro write) and ice_zorder_scan (z-order clustered
+             rewrite — 2-dim file pruning).
+      10-27  priority (c), every-third-round deadline (last green r11):
+             the 17 TPC-H queries whose plans did not change (q21 sits
+             in slot 1) + q_interval_join.
+      28-38  priority (c), same deadline: the r11 ice DML/scan core
+             (delete_using/sql_merge/update/upsert/merge/
+             merge_conditional/schema_evolution/spec_evolution/
+             compaction/bucket_pruned/variant_extract;
+             dynamic_prune sits in slot 2).
+      39-47  priority (c): ice_docs_curation (r10, the longest-parked
+             of all), the dsir/lm probes + buckets, temperature mix,
+             incremental minhash, and the session/sliding streaming
+             windows (all r11).
+      48-50  priority (d) family spread pulled forward from the r12
+             cohort: ice_orc_mor_scan (ORC MoR ordinals), emb_pq_topk
+             (ANN), docs_pipeline_curation (composition);
+             ice_add_files_scan yielded its slot to ice_zorder_scan
+             and parks with its r12 cohort (due r15).
+      51+    parked: the rest of the r12 window cohort (driver-green
+             r12, due by r15) and the full r13 window cohort
+             (driver-green r13, due by r16). Everything parked stays
+             oracle-checked in every local sweep.
 
-    r14 rotation plan: the TPC-H block (18 unchanged queries + the five
-    re-checked this round), q_interval_join, the r11-green ice core's
-    remainder (ice_delete_using_scan, ice_update_scan, ice_upsert_scan,
-    ice_merge_scan, ice_merge_conditional, ice_schema_evolution,
-    ice_spec_evolution_scan, ice_compaction_scan,
-    ice_bucket_pruned_scan, ice_dynamic_prune_join), and the dsir/lm
-    probes come due; r12's window cohort has until r15.
+    r15 rotation plan: the remaining r12-green cohort (ice_orc_scan,
+    docs_quality_classifier, docs_bm25_topk, docs_gopher_filter,
+    docs_c4_clean, emb_neardup, docs_line_dedup, docs_repetition,
+    mm_video_meta, docs_dup_components, mm_*_dedup,
+    stream_minhash_curation, ice_variant_write_scan, emb_kmeans,
+    emb_semantic_dedup, emb_ivf_topk, emb_cosine_topk, emb_lsh_topk,
+    emb_knn_join*, docs_tfidf, the metadata/function ice_* family,
+    stream_curation, docs_vocab, docs_resample_mixture,
+    docs_stratified_sample, docs_pack_sequences, docs_corpus_report,
+    stream_dedup_ttl, docs_redact_pii, docs_normalize, docs_chunk,
+    ice_delete_compaction_scan) comes due; the r13 window cohort has
+    until r16.
     """
     return {
-        # 1-2 — priority (a): residual-filter + _localize representatives
+        # 1-5 - priority (a): code changed this round
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "ice_dynamic_prune_join": ice_dynamic_prune_join,
+        "stream_changelog": stream_changelog,
+        "ice_ndv_stats": ice_ndv_stats,
+        "ice_partition_stats_file": ice_partition_stats_file,
+        # 6-8 - priority (b): never driver-checked
+        "docs_dup_keep_best": docs_dup_keep_best,
+        "ice_avro_write_scan": ice_avro_write_scan,
+        "ice_avro_write_part_scan": ice_avro_write_part_scan,
+        "ice_zorder_scan": ice_zorder_scan,
+        # 9-26 - priority (c): TPC-H block + interval join, due r14
+        "q01_pricing_summary": q01_pricing_summary,
+        "q01_mor_pricing_summary": q01_mor_pricing_summary,
+        "q02_min_cost_supplier": q02_min_cost_supplier,
+        "q06_revenue_forecast": q06_revenue_forecast,
+        "q07_volume_shipping": q07_volume_shipping,
+        "q08_market_share": q08_market_share,
+        "q09_product_profit": q09_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunctive": q19_disjunctive,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q22_sales_opportunity": q22_sales_opportunity,
+        "q_interval_join": q_interval_join,
+        # 27-37 - priority (c): the r11 ice DML/scan core, due r14
+        "ice_delete_using_scan": ice_delete_using_scan,
+        "ice_sql_merge": ice_sql_merge,
+        "ice_update_scan": ice_update_scan,
+        "ice_upsert_scan": ice_upsert_scan,
+        "ice_merge_scan": ice_merge_scan,
+        "ice_merge_conditional": ice_merge_conditional,
+        "ice_schema_evolution": ice_schema_evolution,
+        "ice_spec_evolution_scan": ice_spec_evolution_scan,
+        "ice_compaction_scan": ice_compaction_scan,
+        "ice_bucket_pruned_scan": ice_bucket_pruned_scan,
+        "ice_variant_extract": ice_variant_extract,
+        # 38-46 - priority (c): longest-parked composition/probes/streams
+        "ice_docs_curation": ice_docs_curation,
+        "docs_lm_score": docs_lm_score,
+        "docs_lm_buckets": docs_lm_buckets,
+        "docs_dsir_probe": docs_dsir_probe,
+        "docs_lm_probe": docs_lm_probe,
+        "docs_temperature_sample": docs_temperature_sample,
+        "docs_incremental_minhash": docs_incremental_minhash,
+        "stream_session_events": stream_session_events,
+        "stream_sliding_events": stream_sliding_events,
+        # 47-50 - priority (d): family spread from the r12 cohort
+        "ice_orc_mor_scan": ice_orc_mor_scan,
+        "emb_pq_topk": emb_pq_topk,
+        "docs_pipeline_curation": docs_pipeline_curation,
+        # ------------------- 50-row window boundary -----------------------
+        # ice_add_files_scan yields its family-spread slot to the NEW
+        # ice_zorder_scan (r12-green, back with its cohort in r15)
+        "ice_add_files_scan": ice_add_files_scan,
+        # parked: r12 window cohort (due r15), then the r13 window cohort
+        # (due r16) - all driver-green, all still in every local sweep
         "ice_time_scan": ice_time_scan,
         "ice_mor_delete_scan": ice_mor_delete_scan,
-        # 3-10 — priority (b): never driver-checked
         "docs_token_count": docs_token_count,
         "emb_sq_topk": emb_sq_topk,
         "docs_bpe_tokens": docs_bpe_tokens,
         "ice_wap_scan": ice_wap_scan,
         "stream_upsert_sink": stream_upsert_sink,
         "ice_avro_scan": ice_avro_scan,
-        # NEW r13: ref-retention-aware expire (drops aged refs, keeps
-        # branch ancestor chains) — scan of the retained branch
         "ice_retention_scan": ice_retention_scan,
-        # NEW r13: NESTED Avro data files (struct/list/map by field-id,
-        # post-write struct-member rename, NULLs at every level)
         "ice_avro_nested_scan": ice_avro_nested_scan,
-        # NEW r13: cherrypick_snapshot (out-of-order WAP publish with
-        # wap.id dedup) — the pick lands on a diverged main head
         "ice_cherrypick_scan": ice_cherrypick_scan,
-        # NEW r13: compute_table_stats -> Puffin theta-sketch NDV blobs ->
-        # table_ndv read-back (exact mode, literally replayable)
-        "ice_ndv_stats": ice_ndv_stats,
-        # NEW r13: compute_partition_stats -> spec partition-statistics
-        # parquet (metadata-only aggregation) -> read-back
-        "ice_partition_stats_file": ice_partition_stats_file,
-        # 11-15 — priority (a): plans changed this round (merge hints
-        # replacing statically mis-sized lineitem broadcasts)
         "q03_shipping_priority": q03_shipping_priority,
         "q04_order_priority": q04_order_priority,
         "q05_region_revenue": q05_region_revenue,
         "q10_returned_items": q10_returned_items,
         "q12_late_lines": q12_late_lines,
-        # 16-43 — priority (c): the r10 window cohort, parked three
-        # rounds (every-third-round deadline)
         "ice_custom_paths_scan": ice_custom_paths_scan,
         "docs_bloom_dedup": docs_bloom_dedup,
         "docs_quality": docs_quality,
@@ -4034,29 +4120,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_top_order": q_window_top_order,
         "q_events_hourly": q_events_hourly,
         "q_asof_join": q_asof_join,
-        # 47-50 — longest-parked family spread (r10/r11 greens)
         "ice_dup_cluster_curation": ice_dup_cluster_curation,
         "ice_dv_delete_scan": ice_dv_delete_scan,
         "ice_time_travel": ice_time_travel,
         "docs_dsir_sample": docs_dsir_sample,
-        # ------------------- 50-row window boundary -----------------------
-        # NEW r13, debut sweep-checked — FIRST past the boundary so the
-        # r14 rotation picks them up (priority (b)), like the r12
-        # newcomers did this round: keep-best-per-duplicate-cluster
-        # curation; the Avro WRITE path
-        "docs_dup_keep_best": docs_dup_keep_best,
-        "ice_avro_write_scan": ice_avro_write_scan,
-        # NEW r14: partitioned (day+bucket transforms) NESTED Avro write
-        "ice_avro_write_part_scan": ice_avro_write_part_scan,
-        # parked (driver-green r11; its composition family stays covered
-        # in-window by ice_dup_cluster_curation)
-        "ice_docs_curation": ice_docs_curation,
-        # parked (driver-green r12): the r12 window cohort — due by r15
         "ice_orc_scan": ice_orc_scan,
         "docs_quality_classifier": docs_quality_classifier,
         "docs_bm25_topk": docs_bm25_topk,
         "docs_gopher_filter": docs_gopher_filter,
-        "docs_pipeline_curation": docs_pipeline_curation,
         "docs_c4_clean": docs_c4_clean,
         "emb_neardup": emb_neardup,
         "docs_line_dedup": docs_line_dedup,
@@ -4067,7 +4138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_dedup": mm_audio_dedup,
         "mm_video_dedup": mm_video_dedup,
         "stream_minhash_curation": stream_minhash_curation,
-        "emb_pq_topk": emb_pq_topk,
         "ice_variant_write_scan": ice_variant_write_scan,
         "emb_kmeans": emb_kmeans,
         "emb_semantic_dedup": emb_semantic_dedup,
@@ -4086,7 +4156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_topk_scan": ice_topk_scan,
         "ice_truncate_fn": ice_truncate_fn,
         "ice_bucket_fn": ice_bucket_fn,
-        "stream_changelog": stream_changelog,
         "stream_curation": stream_curation,
         "docs_vocab": docs_vocab,
         "docs_resample_mixture": docs_resample_mixture,
@@ -4097,55 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_redact_pii": docs_redact_pii,
         "docs_normalize": docs_normalize,
         "docs_chunk": docs_chunk,
-        "ice_orc_mor_scan": ice_orc_mor_scan,
         "ice_delete_compaction_scan": ice_delete_compaction_scan,
-        "ice_add_files_scan": ice_add_files_scan,
-        # parked (driver-green r11): the rest of the ice_* DML/scan core —
-        # due r14
-        "ice_delete_using_scan": ice_delete_using_scan,
-        "ice_sql_merge": ice_sql_merge,
-        "ice_update_scan": ice_update_scan,
-        "ice_upsert_scan": ice_upsert_scan,
-        "ice_merge_scan": ice_merge_scan,
-        "ice_merge_conditional": ice_merge_conditional,
-        "ice_schema_evolution": ice_schema_evolution,
-        "ice_spec_evolution_scan": ice_spec_evolution_scan,
-        "ice_compaction_scan": ice_compaction_scan,
-        "ice_bucket_pruned_scan": ice_bucket_pruned_scan,
-        "ice_dynamic_prune_join": ice_dynamic_prune_join,
-        "ice_variant_extract": ice_variant_extract,
-        # parked (driver hash-GREEN r11): the dsir/lm probes + controls
-        # (docs_dsir_sample itself rides in-window this round)
-        "docs_lm_score": docs_lm_score,
-        "docs_lm_buckets": docs_lm_buckets,
-        "docs_dsir_probe": docs_dsir_probe,
-        "docs_lm_probe": docs_lm_probe,
-        # parked (driver-green r11): the r11 rotation's re-checks — due r14
-        "docs_temperature_sample": docs_temperature_sample,
-        "docs_incremental_minhash": docs_incremental_minhash,
-        "stream_session_events": stream_session_events,
-        "stream_sliding_events": stream_sliding_events,
-        "q_interval_join": q_interval_join,
-        # parked (driver-green r11, plans unchanged this round): the rest
-        # of TPC-H — the full block is due r14
-        "q01_pricing_summary": q01_pricing_summary,
-        "q01_mor_pricing_summary": q01_mor_pricing_summary,
-        "q02_min_cost_supplier": q02_min_cost_supplier,
-        "q06_revenue_forecast": q06_revenue_forecast,
-        "q07_volume_shipping": q07_volume_shipping,
-        "q08_market_share": q08_market_share,
-        "q09_product_profit": q09_product_profit,
-        "q11_important_stock": q11_important_stock,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_cnt": q16_supplier_cnt,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_volume": q18_large_volume,
-        "q19_disjunctive": q19_disjunctive,
-        "q20_excess_shippers": q20_excess_shippers,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q22_sales_opportunity": q22_sales_opportunity,
     }
 
 
@@ -7533,6 +7554,21 @@ def oracle_sql() -> dict[str, str]:
                     >= TIMESTAMP '2024-01-03 00:00:00'
               AND n_chars >= 120
             GROUP BY lang ORDER BY lang
+        """,
+        # z-order clustered rewrite (r14): replay the deterministic x/y
+        # derivations + the 2-dim filter from the raw orders rows — a
+        # row lost/duplicated by the clustering rewrite or a wrong bound
+        # excluding a matching file changes the sums (duckdb sum(BIGINT)
+        # is HUGEINT, hence the cast)
+        "ice_zorder_scan": """
+            SELECT (o_orderkey * 9973) % 1000 % 7 AS g,
+                   count(*) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+                   max(o_orderkey) AS max_key
+            FROM orders
+            WHERE (o_orderkey * 9973) % 1000 >= 800
+              AND (o_orderkey * o_orderkey) % 1000 < 200
+            GROUP BY g ORDER BY g
         """,
         # nested Avro (r13): replay the struct/list/map nesting arithmetic
         # from the raw rows — tags is NULL when doc_id%13=7, 2-element

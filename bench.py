@@ -158,6 +158,10 @@ HEADLINE = [
     "docs_dup_keep_best",
     # r13: the Avro WRITE path (pure-Python codec, in-pass stats, MoR)
     "ice_avro_write_scan",
+    # r14: partitioned (day+bucket transforms) NESTED Avro write
+    "ice_avro_write_part_scan",
+    # r14: z-order clustered rewrite (2-dim file pruning)
+    "ice_zorder_scan",
 ]
 
 

@@ -62,15 +62,28 @@ def rewrite_data_files(
     min_input_files: int = 5,
     rewrite_all: bool = False,
     snapshot_properties: dict[str, str] | None = None,
+    sort_order: str | None = None,
 ) -> dict[str, Any]:
     """Bin-pack small data files into ~target-size files, one REPLACE
     commit. ``location`` may be a path or a catalog ``RestTable`` (the
-    REPLACE snapshot then commits through the catalog)."""
+    REPLACE snapshot then commits through the catalog).
+
+    r14 ``sort_order``: the Spark procedure's sort strategy —
+    ``'zorder(c1, c2)'`` clusters rewritten files by Morton-interleaved
+    quantile ranks (tight per-file bounds on EVERY zorder column, so
+    scans prune on any dimension; see operators/zorder.py), and a plain
+    ``'c1, c2'`` column list range-clusters linearly. The reference's
+    compaction bin-packs only (iceberg_rewrite_data_files.cpp)."""
     from .dml import _resolve_target
 
     if min_input_files < 1:
         raise ValueError("min_input_files must be >= 1")
     tm, committer = _resolve_target(location)
+    if sort_order and tm.default_spec().fields:
+        raise NotImplementedError(
+            "sort_order rewrites support unpartitioned tables for now "
+            "(the write path re-shuffles partitioned output on the "
+            "partition columns, which would undo the clustering)")
     snapshot = tm.select_snapshot()
     plan = plan_scan(tm, snapshot, None)
     target = _resolve_target_size(tm, target_file_size_bytes)
@@ -106,8 +119,21 @@ def rewrite_data_files(
         # target-size pieces would silently produce one file (reference:
         # rewrite_data_files_file_size_rotation.test rotates a 20 MB file
         # into >1 files at a 1 MB target)
-        cur = df.rdd.getNumPartitions()
-        df = df.coalesce(n_out) if n_out <= cur else df.repartition(n_out)
+        if sort_order:
+            from ..operators.zorder import parse_zorder, zorder_cluster
+
+            zcols = parse_zorder(sort_order)
+            if zcols:
+                df = zorder_cluster(df, zcols, num_partitions=n_out)
+            else:
+                lin = [c.strip().split()[0]
+                       for c in sort_order.split(",") if c.strip()]
+                df = (df.repartitionByRange(max(1, n_out), *lin)
+                      .sortWithinPartitions(*lin))
+        else:
+            cur = df.rdd.getNumPartitions()
+            df = (df.coalesce(n_out) if n_out <= cur
+                  else df.repartition(n_out))
         files, _root = write_data_files(spark, df, tm)
         new_files.extend(files)
         removed.update(t.data_file.file_path for t in tasks)

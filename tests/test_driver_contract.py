@@ -19,68 +19,63 @@ ROWS_ONLY: set = set()
 
 
 def test_window_holds_reference_surface_and_rotation():
-    """Round-13 rotation (queries() docstring): the residual-filter +
-    _localize representatives hold slots 1-2 (priority (a) — both code
-    paths changed this round); every never-driver-checked entry gets its
-    first row (priority (b): docs_token_count, the five r12 newcomers,
-    the two NEW r13 entries); the five TPC-H queries whose plans changed
-    (merge hints) re-earn rows (priority (a)); the full r10 window
-    cohort rotates in (every-third-round deadline, priority (c)); seven
-    longest-parked r10/r11 greens fill the tail. The r12 window cohort,
-    the r11 ice core, and the unchanged TPC-H block park. An entry may
-    leave the window only via a documented rotation, never via an
-    accidental insertion above it."""
+    """Round-14 rotation (queries() docstring, VERDICT r13 task 1):
+    code-changed entries hold slots 1-5 (q21 single-pass rewrite,
+    NDV-consuming runtime filter, catalog-handle changelog, the
+    ADVICE-hardened statistics pair); the three never-driver-checked
+    entries get their first rows (slots 6-8); the full every-third-round
+    cohort last green r11 rotates in (17 TPC-H + q_interval_join, the
+    r11 ice DML/scan core, ice_docs_curation, probes, streaming
+    windows); four r12-cohort family representatives fill the tail. The
+    r12/r13 window cohorts park (due r15/r16). An entry may leave the
+    window only via a documented rotation, never via an accidental
+    insertion above it."""
     keys = list(entry.queries())
     window = set(keys[:50])
-    assert keys[0] == "ice_time_scan" and keys[1] == "ice_mor_delete_scan", (
-        "the priority-(a) residual/_localize representatives must hold "
-        "slots 1-2")
+    assert keys[0] == "q21_waiting_supplier", (
+        "the single-pass q21 rewrite must hold slot 1 (priority (a))")
+    code_changed = {
+        "q21_waiting_supplier", "ice_dynamic_prune_join",
+        "stream_changelog", "ice_ndv_stats", "ice_partition_stats_file",
+    }
+    assert set(keys[:5]) == code_changed, (
+        "slots 1-5 are the priority-(a) code-changed entries")
     never_checked = {
-        "docs_token_count", "emb_sq_topk", "docs_bpe_tokens",
-        "ice_wap_scan", "stream_upsert_sink", "ice_avro_scan",
-        "ice_retention_scan", "ice_avro_nested_scan",
-        "ice_cherrypick_scan", "ice_ndv_stats",
-        "ice_partition_stats_file",
+        "docs_dup_keep_best", "ice_avro_write_scan",
+        "ice_avro_write_part_scan", "ice_zorder_scan",
     }
-    assert never_checked <= window, (
-        f"{sorted(never_checked - window)} (never driver-checked) fell "
-        "past the driver's 50-row correctness window")
-    plans_changed = {
-        "q03_shipping_priority", "q04_order_priority", "q05_region_revenue",
-        "q10_returned_items", "q12_late_lines",
+    assert set(keys[5:9]) == never_checked, (
+        f"{sorted(never_checked - window)} (never driver-checked) must "
+        "sit right after the code-changed block")
+    due_r11 = {
+        "q01_pricing_summary", "q01_mor_pricing_summary",
+        "q02_min_cost_supplier", "q06_revenue_forecast",
+        "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+        "q11_important_stock", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
+        "q17_small_quantity", "q18_large_volume", "q19_disjunctive",
+        "q20_excess_shippers", "q22_sales_opportunity", "q_interval_join",
+        "ice_delete_using_scan", "ice_sql_merge", "ice_update_scan",
+        "ice_upsert_scan", "ice_merge_scan", "ice_merge_conditional",
+        "ice_schema_evolution", "ice_spec_evolution_scan",
+        "ice_compaction_scan", "ice_bucket_pruned_scan",
+        "ice_variant_extract", "ice_docs_curation", "docs_lm_score",
+        "docs_lm_buckets", "docs_dsir_probe", "docs_lm_probe",
+        "docs_temperature_sample", "docs_incremental_minhash",
+        "stream_session_events", "stream_sliding_events",
     }
-    assert plans_changed <= window, (
-        f"{sorted(plans_changed - window)} (merge-hint plan changes this "
-        "round) must re-earn driver rows")
-    r10_cohort = {
-        "ice_custom_paths_scan", "docs_bloom_dedup", "docs_quality",
-        "docs_fingerprint", "docs_incremental_dedup", "docs_lang_scores",
-        "docs_winnow", "q_distinct_parts", "q_rollup", "q_setop_nations",
-        "q_topk_orders", "q_anti_join", "docs_minhash_dedup",
-        "docs_decontaminate", "docs_ngram_dedup", "docs_simhash",
-        "docs_exact_dedup", "stream_incremental", "stream_sink_roundtrip",
-        "stream_tumbling_events", "mm_image_features", "mm_audio_features",
-        "mm_frame_sample", "docs_source_cap", "docs_substr_dedup",
-        "q_window_top_order", "q_events_hourly", "q_asof_join",
-    }
-    assert len(r10_cohort) == 28
-    assert r10_cohort <= window, (
-        f"{sorted(r10_cohort - window)} (r10 cohort, every-third-round "
-        "deadline) fell past the window")
+    assert len(due_r11) == 38
+    assert due_r11 <= window, (
+        f"{sorted(due_r11 - window)} (last driver-green r11 or older, "
+        "every-third-round deadline) fell past the window")
     family_spread = {
-        "ice_dup_cluster_curation",
-        "ice_dv_delete_scan", "ice_time_travel",
-        "docs_dsir_sample",
+        "ice_orc_mor_scan", "emb_pq_topk", "docs_pipeline_curation",
     }
     assert family_spread <= window, (
-        f"{sorted(family_spread - window)} (longest-parked family spread) "
+        f"{sorted(family_spread - window)} (r12-cohort family spread) "
         "fell past the window")
-    # the r13 sweep-debuts (docs_dup_keep_best, ice_avro_write_scan),
-    # then ice_docs_curation (family covered by its in-window pair),
-    # then the r12 window cohort park first past the boundary
-    assert keys[50] == "docs_dup_keep_best"
-    assert keys[51] == "ice_avro_write_scan"
-    assert keys[52] == "ice_docs_curation" and keys[53] == "ice_orc_scan"
+    # the r13 window cohort parks first past the boundary (due r16)
+    assert keys[50] == "ice_add_files_scan" and keys[51] == "ice_time_scan"
     assert len(keys) >= 50 and len(window) == 50
 
 

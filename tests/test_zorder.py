@@ -1,0 +1,113 @@
+"""Z-order clustered rewrites (NEW r14): rewrite_data_files(sort_order=
+'zorder(x, y)') interleaves per-column quantile ranks so per-file bounds
+are tight on EVERY zorder column — scans prune on any dimension. The
+reference's compaction bin-packs only
+(iceberg_rewrite_data_files.cpp)."""
+
+import os
+
+import pytest
+
+from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+from duckdb_iceberg_spark.metadata.table_metadata import load_table_metadata
+from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+from duckdb_iceberg_spark.sources.maintenance import rewrite_data_files
+
+
+def _files_matching(loc, where):
+    tm = load_table_metadata(loc)
+    return len(plan_scan(tm, tm.select_snapshot(), where=where).tasks)
+
+
+def _mk_2d(spark, loc, n=20_000):
+    # x and y independent uniform: row-order clustering on NEITHER
+    df = spark.range(0, n).selectExpr(
+        "id",
+        "cast(hash(id) % 1000 as long) as x",
+        "cast(hash(id + 7919) % 1000 as long) as y")
+    write_iceberg(df.repartition(8), loc)
+    return df
+
+
+def test_zorder_rewrite_prunes_both_dimensions(spark, tmp_path):
+    loc = str(tmp_path / "t_z")
+    df = _mk_2d(spark, loc)
+    before = sorted(tuple(r) for r in iceberg_scan(spark, loc).collect())
+
+    out = rewrite_data_files(spark, loc, rewrite_all=True,
+                             min_input_files=1,
+                             target_file_size_bytes=40_000,
+                             sort_order="zorder(x, y)")
+    assert out["added_data_files_count"] >= 4
+    total = _files_matching(loc, None)
+    assert total >= 4
+
+    # BOTH dimensions prune: an extreme slice on either axis plans in a
+    # strict subset of files (a slice straddling the median hits both
+    # halves of the z-curve by construction — not a pruning failure)
+    x_hit = _files_matching(loc, "x >= 800")
+    y_hit = _files_matching(loc, "y >= 800")
+    assert x_hit < total, "x-slice must prune z-ordered files"
+    assert y_hit < total, "y-slice must prune z-ordered files"
+
+    # rows identical after the rewrite
+    after = sorted(tuple(r) for r in iceberg_scan(spark, loc).collect())
+    assert after == before
+
+
+def test_linear_sort_rewrite_prunes_leading_dimension(spark, tmp_path):
+    """Contrast shape: a linear 'x, y' sort gives tight x bounds but
+    scattered y bounds — the trailing dimension cannot prune. (This is
+    the why of zorder.)"""
+    loc = str(tmp_path / "t_lin")
+    _mk_2d(spark, loc)
+    rewrite_data_files(spark, loc, rewrite_all=True, min_input_files=1,
+                       target_file_size_bytes=40_000, sort_order="x, y")
+    total = _files_matching(loc, None)
+    assert total >= 4
+    assert _files_matching(loc, "x >= 800") < total
+    # y is uniform within every x-run: every file matches a y-slice
+    assert _files_matching(loc, "y >= 800") == total
+
+
+def test_zorder_refusals_and_parse(spark, tmp_path):
+    from duckdb_iceberg_spark.operators.zorder import parse_zorder
+
+    assert parse_zorder("zorder(a, b)") == ["a", "b"]
+    assert parse_zorder("ZORDER( a )") == ["a"]
+    assert parse_zorder("x, y") is None
+    with pytest.raises(ValueError, match="at least one column"):
+        parse_zorder("zorder()")
+
+    # partitioned tables refuse (the write path re-shuffles on the
+    # partition columns, undoing the clustering)
+    loc = str(tmp_path / "t_zpart")
+    write_iceberg(
+        spark.range(0, 100).selectExpr("id", "id % 4 as p"), loc,
+        partition_by=["p"])
+    with pytest.raises(NotImplementedError, match="unpartitioned"):
+        rewrite_data_files(spark, loc, rewrite_all=True,
+                           sort_order="zorder(id)")
+
+    # string columns refuse loudly
+    loc2 = str(tmp_path / "t_zstr")
+    write_iceberg(
+        spark.range(0, 100).selectExpr("id", "cast(id as string) s"),
+        loc2)
+    with pytest.raises(NotImplementedError, match="numeric"):
+        rewrite_data_files(spark, loc2, rewrite_all=True,
+                           min_input_files=1, sort_order="zorder(s)")
+
+
+def test_zorder_call_surface(spark, sf_dir, tmp_path):
+    from duckdb_iceberg_spark.sources.sql import execute_sql, register_table
+
+    loc = str(tmp_path / "t_zcall")
+    _mk_2d(spark, loc, n=5_000)
+    register_table(spark, "ztab", loc)
+    row = execute_sql(
+        spark, "CALL rewrite_data_files(table => 'ztab', "
+               "rewrite_all => true, min_input_files => 1, "
+               "sort_order => 'zorder(x, y)')").first()
+    assert int(row.rewritten_data_files_count) >= 1
+    assert iceberg_scan(spark, loc).count() == 5_000

@@ -167,6 +167,11 @@ AUDIT = [
     "ice_partition_stats_file",
     "docs_dup_keep_best",
     "ice_avro_write_scan",
+    # r14: partitioned (day+bucket) NESTED Avro write roundtrip
+    "ice_avro_write_part_scan",
+    # r14: z-order clustered rewrite (2-dim pruning; the scan's plan
+    # pins that the 2-dim predicate is pushed to the parquet reader)
+    "ice_zorder_scan",
 ]
 
 

@@ -856,6 +856,18 @@ _PARQUET_PROP_MAPPING = {
 }
 
 
+#: iceberg per-column parquet properties → Spark writer option PREFIX
+#: (suffix `#<col>`). The reference leaves these as a TODO because
+#: duckdb's bloom knobs are per-table (iceberg_insert.cpp:628-630);
+#: Spark's parquet writer takes them per column, so the mapping is real
+#: here (r14).
+_PARQUET_COL_PROP_MAPPING = {
+    "write.parquet.bloom-filter-enabled.column.":
+        "parquet.bloom.filter.enabled#",
+    "write.parquet.bloom-filter-fpp.column.": "parquet.bloom.filter.fpp#",
+}
+
+
 def _parquet_write_options(tm: TableMetadata) -> dict[str, str]:
     out: dict[str, str] = {}
     for prop, opt in _PARQUET_PROP_MAPPING.items():
@@ -865,6 +877,16 @@ def _parquet_write_options(tm: TableMetadata) -> dict[str, str]:
                 out[opt] = str(parse_byte_size(v))
             except ValueError:
                 pass
+    for prop, v in tm.properties.items():
+        for prefix, opt_prefix in _PARQUET_COL_PROP_MAPPING.items():
+            if prop.startswith(prefix) and prop[len(prefix):]:
+                out[opt_prefix + prop[len(prefix):]] = str(v)
+    if tm.properties.get("write.parquet.bloom-filter-max-bytes"):
+        try:
+            out["parquet.bloom.filter.max.bytes"] = str(parse_byte_size(
+                tm.properties["write.parquet.bloom-filter-max-bytes"]))
+        except ValueError:
+            pass
     return out
 
 

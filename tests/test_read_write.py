@@ -691,3 +691,38 @@ def test_orphans_found_under_historical_data_roots(spark, tmp_path):
     # referenced files under every root survived
     from duckdb_iceberg_spark import iceberg_scan
     assert iceberg_scan(spark, loc).count() == 3
+
+
+def test_parquet_bloom_filter_column_properties(spark, tmp_path):
+    """r14: write.parquet.bloom-filter-enabled.column.<col> /
+    bloom-filter-fpp.column.<col> map to Spark's per-column parquet
+    writer options (the reference leaves these as a TODO — its host's
+    bloom knobs are per-table, iceberg_insert.cpp:628-630). No reader in
+    this container exposes bloom offsets, so the check is behavioral:
+    the bloom-bearing file is materially larger for identical rows, and
+    scans read back identically."""
+    import os
+
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+
+    df = spark.range(0, 100_000).selectExpr(
+        "id", "cast(id as string) s").coalesce(1)
+    plain, bloomy = str(tmp_path / "t_plain"), str(tmp_path / "t_bloom")
+    write_iceberg(df, plain)
+    write_iceberg(df, bloomy, properties={
+        "write.parquet.bloom-filter-enabled.column.s": "true",
+        "write.parquet.bloom-filter-fpp.column.s": "0.01",
+    })
+
+    def data_bytes(loc):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(os.path.join(loc, "data"))
+            for f in fs if f.endswith(".parquet"))
+
+    delta = data_bytes(bloomy) - data_bytes(plain)
+    assert delta > 50_000, (
+        f"bloom filter bytes missing from the written file (delta "
+        f"{delta}) - the per-column option did not reach the writer")
+    a = sorted(r.id for r in iceberg_scan(spark, bloomy).collect())
+    assert a == list(range(100_000))

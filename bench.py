@@ -331,7 +331,16 @@ def main() -> None:
                # (stream_dedup_ttl even sleeps past a TTL) — pay that once
                # here, not inside the first timed run
                entry._ice_stream_curated, entry._stream_dedup_ttl_out,
-               entry._ice_stream_minhash, entry._ice_documents_times):
+               entry._ice_stream_minhash, entry._ice_documents_times,
+               # r13/r14 HEADLINE newcomers: avro write (+MoR delete),
+               # partitioned nested avro write, z-order rewrite, and the
+               # r13 commit-plane/statistics fixtures
+               entry._ice_documents_avro_write,
+               entry._ice_documents_avro_part, entry._ice_orders_zorder,
+               entry._ice_documents_avro_nested,
+               entry._ice_documents_pstats, entry._ice_documents_ndv,
+               entry._ice_documents_cherrypick,
+               entry._ice_documents_retention):
         fn(spark, sf_dir)
     build_s = time.time() - t0
 

@@ -2733,6 +2733,50 @@ def ice_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_documents_avro_deletes(spark: SparkSession, sf_dir: str) -> str:
+    """Avro-format DELETE files (NEW r14 —
+    write.delete.format.default=avro): one MoR positional delete and one
+    equality delete, both written through the pure-Python OCF codec with
+    the spec's reserved field-ids / equality_ids; the format-routed read
+    plane applies them like parquet deletes (the reference refuses
+    non-parquet deletes entirely, iceberg_delete_file_scanner.cpp:393,
+    and writes no deletes in any format)."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.dml import (
+            delete_from,
+            equality_delete,
+        )
+
+        docs = _pq(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        write_iceberg(docs.repartition(3), loc,
+                      properties={"write.delete.format.default": "avro"})
+        delete_from(spark, loc, "doc_id % 11 = 2", mode="merge-on-read")
+        equality_delete(spark, loc,
+                        spark.createDataFrame([("de",)], "lang string"))
+
+    return _build_once(sf_dir, "documents_avro_deletes", build)
+
+
+def ice_avro_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan with BOTH delete flavors recorded as AVRO files. Hash-checked:
+    the oracle replays the positional predicate and the equality key from
+    the raw rows, so a delete row lost in the OCF encode, a wrong
+    ordinal, or a mis-applied equality key changes the sums."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_documents_avro_deletes(spark, sf_dir)
+    t = iceberg_scan(spark, loc)
+    return (
+        t.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_chars").cast("long").alias("sum_chars"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("lang")
+    )
+
+
 def _ice_documents_variant(spark: SparkSession, sf_dir: str) -> str:
     """documents metadata as a VARIANT column written through the real
     write path (unblocked in this container in r8): each row carries
@@ -4074,6 +4118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         # ice_add_files_scan yields its family-spread slot to the NEW
         # ice_zorder_scan (r12-green, back with its cohort in r15)
         "ice_add_files_scan": ice_add_files_scan,
+        # NEW r14 (sweep-debut, r15 window per never-checked priority):
+        # avro-format positional + equality DELETE files
+        "ice_avro_delete_scan": ice_avro_delete_scan,
         # parked: r12 window cohort (due r15), then the r13 window cohort
         # (due r16) - all driver-green, all still in every local sweep
         "ice_time_scan": ice_time_scan,
@@ -7569,6 +7616,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE (o_orderkey * 9973) % 1000 >= 800
               AND (o_orderkey * o_orderkey) % 1000 < 200
             GROUP BY g ORDER BY g
+        """,
+        # avro-format DELETE files (r14): replay both delete flavors
+        # from the raw rows (positional doc_id%11=2, equality lang='de')
+        "ice_avro_delete_scan": """
+            SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   max(doc_id) AS max_id
+            FROM documents
+            WHERE doc_id % 11 <> 2 AND lang <> 'de'
+            GROUP BY lang ORDER BY lang
         """,
         # nested Avro (r13): replay the struct/list/map nesting arithmetic
         # from the raw rows — tags is NULL when doc_id%13=7, 2-element

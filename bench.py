@@ -162,6 +162,8 @@ HEADLINE = [
     "ice_avro_write_part_scan",
     # r14: z-order clustered rewrite (2-dim file pruning)
     "ice_zorder_scan",
+    # r14: avro-format positional + equality DELETE files
+    "ice_avro_delete_scan",
 ]
 
 
@@ -340,7 +342,8 @@ def main() -> None:
                entry._ice_documents_avro_nested,
                entry._ice_documents_pstats, entry._ice_documents_ndv,
                entry._ice_documents_cherrypick,
-               entry._ice_documents_retention):
+               entry._ice_documents_retention,
+               entry._ice_documents_avro_deletes):
         fn(spark, sf_dir)
     build_s = time.time() - t0
 

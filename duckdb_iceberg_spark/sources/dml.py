@@ -145,6 +145,36 @@ def _pos_delete_parquet_bytes(fp: str, positions) -> bytes:
     return buf.getvalue()
 
 
+def _pos_delete_avro_bytes(fp: str, positions) -> bytes:
+    """Serialize one positional-delete AVRO file (r14 —
+    ``write.delete.format.default=avro``): same (file_path, pos) rows
+    and reserved field-ids as the parquet shape, encoded by the
+    package's pure-Python OCF codec. The r13 read plane already routes
+    delete files by their RECORDED format, so these apply at scan like
+    any other (the reference refuses non-parquet deletes entirely,
+    iceberg_delete_file_scanner.cpp:393)."""
+    import os as _os
+    import tempfile
+
+    from ..metadata import avro_io
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "file_path", "field-id": 2147483546,
+             "type": "string"},
+            {"name": "pos", "field-id": 2147483545, "type": "long"},
+        ]}
+    recs = [{"file_path": fp, "pos": int(p)} for p in positions]
+    tmp = tempfile.NamedTemporaryFile(suffix=".avro", delete=False)
+    tmp.close()
+    try:
+        avro_io.write_avro_file(tmp.name, schema, recs)
+        with open(tmp.name, "rb") as fh:
+            return fh.read()
+    finally:
+        _os.unlink(tmp.name)
+
+
 def _write_positional_deletes(
     spark: SparkSession, tm: TableMetadata, pairs: DataFrame,
     plan: ScanPlan | None = None,
@@ -165,6 +195,18 @@ def _write_positional_deletes(
     receives per-file summaries, never positions."""
     from ..io import normalize_path, parse_uri, storage_options_for
 
+    # delete-file format (r14): explicit write.delete.format.default
+    # only — parquet (default) or avro. NOT inherited from
+    # write.format.default (Iceberg inherits; here an ORC data table
+    # would then refuse its own deletes, so the divergence is the safer
+    # semantic and is documented).
+    dfmt = (tm.properties.get("write.delete.format.default")
+            or "parquet").lower()
+    if dfmt not in ("parquet", "avro"):
+        raise NotImplementedError(
+            f"write.delete.format.default={dfmt!r} unsupported for "
+            "positional delete writes; supported: 'parquet', 'avro'")
+
     out_dir = fio.join(tm.data_path(), f"deletes-{str(_uuid.uuid4())[:8]}")
     io0 = fio.get_io(out_dir)
     io0.mkdirs(out_dir)
@@ -179,15 +221,20 @@ def _write_positional_deletes(
         # absolute imports: executes in executor Python workers
         from duckdb_iceberg_spark.io import (get_io, io_from_storage_options,
                                              register_io)
-        from duckdb_iceberg_spark.sources.dml import _pos_delete_parquet_bytes
+        from duckdb_iceberg_spark.sources.dml import (
+            _pos_delete_avro_bytes,
+            _pos_delete_parquet_bytes,
+        )
 
         if scheme and opts:
             register_io(scheme, io_from_storage_options(opts))
         fp = pdf["file_path"].iloc[0]
         positions = pdf["pos"].to_numpy(dtype="int64")
         positions.sort()
-        data = _pos_delete_parquet_bytes(fp, positions)
-        path = f"{out_dir}/{_u.uuid4()}-deletes.parquet"
+        encode = (_pos_delete_avro_bytes if dfmt == "avro"
+                  else _pos_delete_parquet_bytes)
+        data = encode(fp, positions)
+        path = f"{out_dir}/{_u.uuid4()}-deletes.{dfmt}"
         get_io(path).write_bytes(path, data)
         return pd.DataFrame({
             "file_path": [fp], "out_path": [path],
@@ -214,8 +261,9 @@ def _write_positional_deletes(
         res = []
         for fp, poss in groups.items():
             positions = _np.unique(_np.asarray(poss, dtype="int64"))
-            data = _pos_delete_parquet_bytes(fp, positions)
-            path = f"{out_dir}/{_uuid.uuid4()}-deletes.parquet"
+            data = (_pos_delete_avro_bytes(fp, positions) if dfmt == "avro"
+                    else _pos_delete_parquet_bytes(fp, positions))
+            path = f"{out_dir}/{_uuid.uuid4()}-deletes.{dfmt}"
             io0.write_bytes(path, data)
             res.append(_types.SimpleNamespace(
                 file_path=fp, out_path=path, record_count=len(positions),
@@ -244,7 +292,7 @@ def _write_positional_deletes(
             mf.DataFile(
                 content=mf.CONTENT_POSITION_DELETES,
                 file_path=r.out_path,
-                file_format="PARQUET",
+                file_format=dfmt.upper(),
                 partition=part_by_path.get(normalize_path(r.file_path), {}),
                 record_count=r.record_count,
                 file_size_in_bytes=r.file_size,
@@ -430,6 +478,30 @@ def _shape_delete_keys(rows: DataFrame, key_columns: list[str], n: int) -> DataF
             .sortWithinPartitions(*key_columns))
 
 
+def _write_eq_delete_files(spark, tm, rows, out_dir, proj_fields):
+    """Write equality-delete KEY rows in the table's delete-file format
+    (r14): ``write.delete.format.default`` = parquet (default) or avro —
+    the avro side is the Flink-connector shape (its avro tables write
+    avro equality deletes; the reference reads/writes neither). Returns
+    (stats, file_format). Avro stats skip bounds for NESTED key
+    projections (absent bounds only cost pruning, never correctness)."""
+    dfmt = (tm.properties.get("write.delete.format.default")
+            or "parquet").lower()
+    if dfmt == "avro":
+        from .writer import write_avro_dataset
+
+        stats = write_avro_dataset(spark, rows, out_dir,
+                                   {"fields": proj_fields})
+        return [st for st in stats if st["record_count"]], "AVRO"
+    if dfmt != "parquet":
+        raise NotImplementedError(
+            f"write.delete.format.default={dfmt!r} unsupported for "
+            "equality-delete writes; supported: 'parquet', 'avro'")
+    paths = write_parquet_dataset(spark, rows, out_dir)
+    return ([st for st in _collect_stats(spark, paths)
+             if st["record_count"]], "PARQUET")
+
+
 def equality_delete(
     spark: SparkSession,
     location: str,
@@ -510,17 +582,30 @@ def equality_delete(
         if top not in top_cols:
             top_cols.append(top)
 
+    def _project_fields(node: dict, fields_json: list) -> list:
+        out = []
+        for f in fields_json:
+            if f["name"] not in node:
+                continue
+            v = node[f["name"]]
+            t = ({"type": "struct",
+                  "fields": _project_fields(v, f["type"]["fields"])}
+                 if isinstance(v, dict) else f["type"])
+            out.append({"id": f["id"], "name": f["name"],
+                        "required": False, "type": t})
+        return out
+
     out_dir = fio.join(tm.data_path(), f"eq-deletes-{str(_uuid.uuid4())[:8]}")
     rows = keys.select(*_assemble(tree, schema_json["fields"])) \
         .dropDuplicates().persist()
     try:
         n = rows.count()
-        paths = write_parquet_dataset(
-            spark, _shape_delete_keys(rows, top_cols, n), out_dir)
+        stats, dfile_fmt = _write_eq_delete_files(
+            spark, tm, _shape_delete_keys(rows, top_cols, n), out_dir,
+            _project_fields(tree, schema_json["fields"]))
     finally:
         rows.unpersist()
     types_by_fid = {f["id"]: f["type"] for f in leaves}
-    stats = [st for st in _collect_stats(spark, paths) if st["record_count"]]
     delete_files = []
     for st in stats:
         lower, upper = {}, {}
@@ -535,7 +620,7 @@ def equality_delete(
         delete_files.append(mf.DataFile(
             content=mf.CONTENT_EQUALITY_DELETES,
             file_path=st["path"],
-            file_format="PARQUET",
+            file_format=dfile_fmt,
             partition={},
             record_count=st["record_count"],
             file_size_in_bytes=st["file_size"],
@@ -578,12 +663,13 @@ def upsert_equality(
     ]).dropDuplicates().persist()
     try:
         n = keys.count()
-        paths = write_parquet_dataset(
-            spark, _shape_delete_keys(keys, key_columns, n), out_dir)
+        stats, dfile_fmt = _write_eq_delete_files(
+            spark, tm, _shape_delete_keys(keys, key_columns, n), out_dir,
+            [{"id": by_name[c]["id"], "name": c, "required": False,
+              "type": by_name[c]["type"]} for c in key_columns])
     finally:
         keys.unpersist()
     types_by_fid = {by_name[c]["id"]: by_name[c]["type"] for c in key_columns}
-    stats = [st for st in _collect_stats(spark, paths) if st["record_count"]]
     delete_files = []
     for st in stats:
         lower = {fid: b for fid, v in st["mins"].items()
@@ -592,7 +678,7 @@ def upsert_equality(
                  if (b := _stat_bound(v, types_by_fid.get(fid))) is not None}
         delete_files.append(mf.DataFile(
             content=mf.CONTENT_EQUALITY_DELETES,
-            file_path=st["path"], file_format="PARQUET", partition={},
+            file_path=st["path"], file_format=dfile_fmt, partition={},
             record_count=st["record_count"], file_size_in_bytes=st["file_size"],
             lower_bounds=lower or None, upper_bounds=upper or None,
             null_value_counts=st["null_counts"] or None,

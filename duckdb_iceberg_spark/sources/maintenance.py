@@ -700,7 +700,10 @@ def rewrite_position_delete_files(
                     mf.CONTENT_POSITION_DELETES, mf.CONTENT_EQUALITY_DELETES):
                 continue
             if d.content == mf.CONTENT_POSITION_DELETES \
-                    and (d.file_format or "").upper() == "PARQUET":
+                    and (d.file_format or "").upper() in ("PARQUET", "ORC",
+                                                          "AVRO"):
+                # r14: ORC/Avro positional deletes compact too — the
+                # read-back routes by recorded format like the scan
                 cand.append(d)
             elif d.content == mf.CONTENT_EQUALITY_DELETES and convert_equality:
                 eq_cand.append(d)
@@ -747,8 +750,11 @@ def rewrite_position_delete_files(
         kept_n = kept.count()
         summary["converted_equality_files_count"] = len(eq_cand)
     else:
+        from .scan import _read_delete_files
+
+        by_path = {_localize(tm, d.file_path): d.file_format for d in cand}
         rows = (
-            spark.read.schema("file_path string, pos long").parquet(*paths)
+            _read_delete_files(spark, by_path, "file_path string, pos long")
             .select(_norm_path(F.col("file_path")).alias("file_path"),
                     "pos"))
         live_df = F.broadcast(spark.createDataFrame(

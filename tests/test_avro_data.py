@@ -538,3 +538,51 @@ def test_avro_write_nan_vs_null(spark, tmp_path):
     fid_id = next(f["id"] for f in
                   tm.schema_json()["fields"] if f["name"] == "id")
     assert dfile.null_value_counts.get(fid_id) == 0
+
+
+def test_avro_positional_delete_writes(spark, sf_dir, tmp_path):
+    """r14: write.delete.format.default=avro writes positional DELETE
+    files through the pure-Python OCF codec (reserved field-ids, sorted
+    positions); the r13 format-routed read plane applies them, and
+    rewrite_position_delete_files compacts across them."""
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.dml import delete_from
+    from duckdb_iceberg_spark.sources.maintenance import (
+        rewrite_position_delete_files,
+    )
+
+    loc = str(tmp_path / "t_avro_del")
+    write_iceberg(
+        spark.range(0, 300).selectExpr("id", "cast(id % 7 as long) m")
+        .repartition(3),
+        loc,
+        properties={"write.delete.format.default": "avro"})
+    delete_from(spark, loc, "m = 2", mode="merge-on-read")
+
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    dels = [d for t in plan.tasks for d in t.positional_deletes]
+    assert dels, "expected positional delete files"
+    assert {d.file_format for d in dels} == {"AVRO"}
+    assert all(d.file_path.endswith(".avro") for d in dels)
+
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(300) if i % 7 != 2]
+
+    # second delete stacks; compaction then rewrites the avro deletes
+    delete_from(spark, loc, "m = 5", mode="merge-on-read")
+    out = rewrite_position_delete_files(spark, loc)
+    assert out["rewritten_delete_files_count"] >= 2
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(300) if i % 7 not in (2, 5)]
+
+    # unsupported delete format refuses loudly
+    import pytest as _pytest
+
+    loc2 = str(tmp_path / "t_orc_del")
+    write_iceberg(
+        spark.range(0, 50).selectExpr("id"), loc2,
+        properties={"write.delete.format.default": "orc"})
+    with _pytest.raises(NotImplementedError, match="parquet.*avro"):
+        delete_from(spark, loc2, "id < 5", mode="merge-on-read")

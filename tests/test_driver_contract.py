@@ -74,8 +74,12 @@ def test_window_holds_reference_surface_and_rotation():
     assert family_spread <= window, (
         f"{sorted(family_spread - window)} (r12-cohort family spread) "
         "fell past the window")
-    # the r13 window cohort parks first past the boundary (due r16)
-    assert keys[50] == "ice_add_files_scan" and keys[51] == "ice_time_scan"
+    # first past the boundary: ice_add_files_scan (yielded its slot to
+    # ice_zorder_scan), the r14 sweep-debut ice_avro_delete_scan (due a
+    # driver row r15 under never-checked priority), then the r13 cohort
+    assert keys[50] == "ice_add_files_scan"
+    assert keys[51] == "ice_avro_delete_scan"
+    assert keys[52] == "ice_time_scan"
     assert len(keys) >= 50 and len(window) == 50
 
 

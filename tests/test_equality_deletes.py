@@ -308,3 +308,41 @@ def test_equality_delete_survives_type_widening(spark, tmp_path):
     ddl.widen_column(loc2, "x", "double")
     out = iceberg_scan(spark, loc2).collect()
     assert [(r.id, r.x) for r in out] == [(2, 2.5)]
+
+
+def test_equality_delete_avro_format(spark, tmp_path):
+    """r14: write.delete.format.default=avro routes equality-delete KEY
+    files through the OCF codec (the Flink avro-table shape); scans
+    apply them, and a CDC upsert carries them in one snapshot."""
+    from duckdb_iceberg_spark import iceberg_scan, write_iceberg
+    from duckdb_iceberg_spark.metadata.table_metadata import (
+        load_table_metadata,
+    )
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.dml import (
+        equality_delete,
+        upsert_equality,
+    )
+
+    loc = str(tmp_path / "t_eq_avro")
+    write_iceberg(
+        spark.range(0, 100).selectExpr("id", "concat('v', id) v"), loc,
+        properties={"write.delete.format.default": "avro"})
+    equality_delete(spark, loc,
+                    spark.createDataFrame([(3,), (7,)], "id long"))
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    eqs = [d for t in plan.tasks for _, d in t.equality_deletes]
+    assert eqs and {d.file_format for d in eqs} == {"AVRO"}
+    assert all(d.file_path.endswith(".avro") for d in eqs)
+    got = sorted(r.id for r in iceberg_scan(spark, loc).collect())
+    assert got == [i for i in range(100) if i not in (3, 7)]
+
+    # CDC upsert: avro equality-delete + new data files in one snapshot
+    upsert_equality(
+        spark, loc,
+        spark.createDataFrame([(5, "NEW5"), (200, "NEW200")],
+                              "id long, v string"), ["id"])
+    rows = {r.id: r.v for r in iceberg_scan(spark, loc).collect()}
+    assert rows[5] == "NEW5" and rows[200] == "NEW200"
+    assert 3 not in rows and len(rows) == 99

@@ -172,6 +172,8 @@ AUDIT = [
     # r14: z-order clustered rewrite (2-dim pruning; the scan's plan
     # pins that the 2-dim predicate is pushed to the parquet reader)
     "ice_zorder_scan",
+    # r14: avro-format delete files (both flavors) applied at scan
+    "ice_avro_delete_scan",
 ]
 
 

@@ -79,11 +79,6 @@ def rewrite_data_files(
     if min_input_files < 1:
         raise ValueError("min_input_files must be >= 1")
     tm, committer = _resolve_target(location)
-    if sort_order and tm.default_spec().fields:
-        raise NotImplementedError(
-            "sort_order rewrites support unpartitioned tables for now "
-            "(the write path re-shuffles partitioned output on the "
-            "partition columns, which would undo the clustering)")
     snapshot = tm.select_snapshot()
     plan = plan_scan(tm, snapshot, None)
     target = _resolve_target_size(tm, target_file_size_bytes)
@@ -120,6 +115,10 @@ def rewrite_data_files(
         # rewrite_data_files_file_size_rotation.test rotates a 20 MB file
         # into >1 files at a 1 MB target)
         if sort_order:
+            # cluster this group's rows; rewrite groups are already
+            # per-partition, so the write keeps our range partitioning
+            # (preserve_partitioning) instead of re-shuffling every row
+            # to the same partition tuple and undoing the clustering
             from ..operators.zorder import parse_zorder, zorder_cluster
 
             zcols = parse_zorder(sort_order)
@@ -130,11 +129,13 @@ def rewrite_data_files(
                        for c in sort_order.split(",") if c.strip()]
                 df = (df.repartitionByRange(max(1, n_out), *lin)
                       .sortWithinPartitions(*lin))
+            files, _root = write_data_files(spark, df, tm,
+                                            preserve_partitioning=True)
         else:
             cur = df.rdd.getNumPartitions()
             df = (df.coalesce(n_out) if n_out <= cur
                   else df.repartition(n_out))
-        files, _root = write_data_files(spark, df, tm)
+            files, _root = write_data_files(spark, df, tm)
         new_files.extend(files)
         removed.update(t.data_file.file_path for t in tasks)
         summary["rewritten_data_files_count"] += len(tasks)

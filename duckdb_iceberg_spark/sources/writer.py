@@ -680,8 +680,15 @@ def write_data_files(
     tm: TableMetadata,
     *,
     target_file_rows: int | None = None,
+    preserve_partitioning: bool = False,
 ) -> tuple[list[mf.DataFile], str]:
-    """Execute the distributed parquet write; returns (DataFiles, data_root)."""
+    """Execute the distributed parquet write; returns (DataFiles, data_root).
+
+    ``preserve_partitioning`` (r14): skip the partition-column
+    repartition — for callers that pre-clustered the frame (z-order
+    rewrites of ONE partition group, whose rows all share a partition
+    tuple) the shuffle would undo the clustering while routing every
+    row to the same place anyway."""
     spec = tm.default_spec()
     order = tm.default_sort_order()
     schema_json = tm.schema_json()
@@ -719,7 +726,7 @@ def write_data_files(
             df = df.withColumn(pf.name, col)
             part_cols.append(pf.name)
 
-    if part_cols:
+    if part_cols and not preserve_partitioning:
         df = df.repartition(*[F.col(c) for c in part_cols])
     if order.fields:
         sort_cols = []

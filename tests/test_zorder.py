@@ -79,16 +79,6 @@ def test_zorder_refusals_and_parse(spark, tmp_path):
     with pytest.raises(ValueError, match="at least one column"):
         parse_zorder("zorder()")
 
-    # partitioned tables refuse (the write path re-shuffles on the
-    # partition columns, undoing the clustering)
-    loc = str(tmp_path / "t_zpart")
-    write_iceberg(
-        spark.range(0, 100).selectExpr("id", "id % 4 as p"), loc,
-        partition_by=["p"])
-    with pytest.raises(NotImplementedError, match="unpartitioned"):
-        rewrite_data_files(spark, loc, rewrite_all=True,
-                           sort_order="zorder(id)")
-
     # string columns refuse loudly
     loc2 = str(tmp_path / "t_zstr")
     write_iceberg(
@@ -111,3 +101,30 @@ def test_zorder_call_surface(spark, sf_dir, tmp_path):
                "sort_order => 'zorder(x, y)')").first()
     assert int(row.rewritten_data_files_count) >= 1
     assert iceberg_scan(spark, loc).count() == 5_000
+
+
+def test_zorder_rewrite_partitioned_table(spark, tmp_path):
+    """r14: zorder rewrites work on PARTITIONED tables — rewrite groups
+    are per-partition, and the write keeps the group's range clustering
+    (preserve_partitioning) instead of re-shuffling on the constant
+    partition tuple. Both dimensions prune WITHIN a partition."""
+    loc = str(tmp_path / "t_zpart2")
+    df = spark.range(0, 20_000).selectExpr(
+        "id", "cast(id % 2 as long) as p",
+        "cast(hash(id) % 1000 as long) as x",
+        "cast(hash(id + 7919) % 1000 as long) as y")
+    write_iceberg(df.repartition(8), loc, partition_by=["p"])
+    before = sorted(tuple(r) for r in iceberg_scan(spark, loc).collect())
+
+    rewrite_data_files(spark, loc, rewrite_all=True, min_input_files=1,
+                       target_file_size_bytes=20_000,
+                       sort_order="zorder(x, y)")
+    total = _files_matching(loc, None)
+    p0 = _files_matching(loc, "p = 0")
+    assert p0 < total, "partition pruning must survive the rewrite"
+    assert p0 >= 3, "need several files per partition to observe pruning"
+    assert _files_matching(loc, "p = 0 AND x >= 800") < p0
+    assert _files_matching(loc, "p = 0 AND y >= 800") < p0
+
+    after = sorted(tuple(r) for r in iceberg_scan(spark, loc).collect())
+    assert after == before

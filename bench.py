@@ -203,6 +203,9 @@ SF1_CANARIES = [
     # already) — the static lineitem broadcast they carried was exactly
     # the shape only the 10x block could expose
     "q04_order_priority", "q10_returned_items", "q12_late_lines",
+    # r14: write-path representatives at 10x — the z-order clustering
+    # rewrite (sketch pass + range shuffle) and the Avro OCF write+MoR
+    "ice_zorder_scan", "ice_avro_write_scan",
 ]
 
 _SF1_GEN_VERSION = "v2"  # v2: embeddings scaled too (ANN canaries)
@@ -429,6 +432,8 @@ def main() -> None:
         entry._ice_lineitem(spark, sf1_dir)
         entry._ice_orders_mor(spark, sf1_dir)
         entry._ice_documents_orc(spark, sf1_dir)
+        entry._ice_orders_zorder(spark, sf1_dir)
+        entry._ice_documents_avro_write(spark, sf1_dir)
         sf1_build_s = time.time() - t0
         # min over >=2 runs per canary: the single-run r7 record carried a
         # phantom 5x q21 "regression" that was cold-cache + box load, not

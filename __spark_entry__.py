@@ -1953,18 +1953,25 @@ def docs_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 vocab_size=1024)
                .filter("pred_hq").select("doc_id"))
     sel = filtered.join(sel_ids, "doc_id")
-    keep1 = (sel.withColumn("__fp", doc_fingerprint("text"))
-             .groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
-             .select("doc_id").withColumn("__k", F.lit(1)))
+    # keep-first dedup as ONE window over the fingerprint (r14): the old
+    # groupBy(__fp) + join-back shape recomputed the whole
+    # filter→classify chain a second time for the keeper set and paid a
+    # join; min(doc_id) OVER (PARTITION BY __fp) marks keepers in the
+    # same pass the report aggregates — one shuffle on __fp, sel
+    # computed once (warm sf0.1: 4.7s → ~3s).
+    from pyspark.sql.window import Window
+
+    sel2 = sel.select("doc_id", "lang", "n_chars",
+                      doc_fingerprint("text").alias("__fp"))
+    is_keeper = (F.min("doc_id").over(Window.partitionBy("__fp"))
+                 == F.col("doc_id"))
     return (
-        sel.select("doc_id", "lang", "n_chars")
-        .join(keep1, "doc_id", "left")
+        sel2.withColumn("__k", is_keeper.cast("int"))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_selected"),
-             F.sum(F.coalesce(F.col("__k"), F.lit(0)))
-             .cast("long").alias("n_kept"),
-             F.coalesce(F.sum(F.when(F.col("__k").isNotNull(),
-                                     F.col("n_chars"))), F.lit(0))
+             F.sum("__k").cast("long").alias("n_kept"),
+             F.coalesce(F.sum(F.when(F.col("__k") == 1, F.col("n_chars"))),
+                        F.lit(0))
              .cast("long").alias("sum_chars_kept"))
         .orderBy("lang")
     )

@@ -3070,6 +3070,27 @@ def docs_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def docs_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (NEW r14 — the SlimPajama loss-weighting rule): every
+    doc keeps weight_micro = floor(1e6 / cluster_size) instead of being
+    dropped. Hash-checked: the oracle recomputes TRUE components
+    (recursive CTE), window-counts cluster sizes, and replays the exact
+    integer weight arithmetic — a wrong cluster label or size changes
+    the per-language effective-size sums."""
+    from duckdb_iceberg_spark.operators.dedup import duplication_weights
+
+    docs = _pq(spark, sf_dir, "documents")
+    w = duplication_weights(docs, num_hashes=32, bands=8)
+    return (
+        w.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("weight_micro").cast("long").alias("eff_micro"),
+             F.max("cluster_size").cast("long").alias("max_cluster"))
+        .orderBy("lang")
+    )
+
+
 def docs_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative curation (NEW r13 — the FineWeb keep-best
     rule): duplicate clusters via banded LSH + star components, then
@@ -4128,6 +4149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         # NEW r14 (sweep-debut, r15 window per never-checked priority):
         # avro-format positional + equality DELETE files
         "ice_avro_delete_scan": ice_avro_delete_scan,
+        # NEW r14 (sweep-debut, r15 window): soft-dedup loss weights
+        "docs_dup_weights": docs_dup_weights,
         # parked: r12 window cohort (due r15), then the r13 window cohort
         # (due r16) - all driver-green, all still in every local sweep
         "ice_time_scan": ice_time_scan,
@@ -7168,6 +7191,25 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 200
         """,
         "docs_dup_components": _dup_components_sql(),
+        # soft dedup (r14): true components + window cluster sizes +
+        # the exact floor(1e6/size) micro-weight arithmetic replayed
+        "docs_dup_weights": _dup_components_sql(tail="""
+            , comp AS (
+              SELECT id AS doc_id, min(r) AS component_id
+              FROM reach GROUP BY id
+            ), sized AS (
+              SELECT doc_id,
+                     count(*) OVER (PARTITION BY component_id)
+                       AS cluster_size
+              FROM comp
+            )
+            SELECT d.lang, count(*) AS n,
+                   CAST(sum(CAST(floor(1000000.0 / s.cluster_size)
+                                 AS BIGINT)) AS BIGINT) AS eff_micro,
+                   CAST(max(s.cluster_size) AS BIGINT) AS max_cluster
+            FROM documents d JOIN sized s ON d.doc_id = s.doc_id
+            GROUP BY d.lang ORDER BY d.lang
+        """),
         # keep-best curation (r13): true components + the argmax window
         # replayed — kept = winners per cluster, covered_docs = the
         # winners' cluster sizes (sums to the corpus size overall)

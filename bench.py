@@ -164,6 +164,8 @@ HEADLINE = [
     "ice_zorder_scan",
     # r14: avro-format positional + equality DELETE files
     "ice_avro_delete_scan",
+    # r14: soft-dedup loss weights (cluster-size micro-weights)
+    "docs_dup_weights",
 ]
 
 

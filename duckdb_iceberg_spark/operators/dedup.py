@@ -1191,6 +1191,35 @@ def connected_components(
     )
 
 
+def duplication_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **component_kwargs,
+) -> DataFrame:
+    """Soft dedup (NEW r14 — the SlimPajama / loss-weighting rule): keep
+    EVERY document but weight it by its duplicate cluster, so training
+    downweights repeated content instead of discarding it. Returns
+    (id, cluster_size, weight_micro) with weight_micro =
+    floor(1e6 / cluster_size) — exact integer micro-units (the engine's
+    float-free oracle discipline); consumers divide by 1e6 for the loss
+    weight. Sum(weight_micro)/1e6 ~= the number of distinct clusters =
+    the corpus's effective size.
+
+    100 TB shape: rides duplicate_components (banded LSH + star rounds,
+    never all-pairs), one extra groupBy on component_id (hash-partitioned
+    by the components output already) and a broadcast-sized join of the
+    per-cluster sizes back onto the assignment frame."""
+    comp = duplicate_components(df, text_col=text_col, id_col=id_col,
+                                **component_kwargs)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (comp.join(sizes, "component_id")
+            .select(id_col, "cluster_size",
+                    F.floor(F.lit(1_000_000) / F.col("cluster_size"))
+                    .cast("long").alias("weight_micro")))
+
+
 def keep_best_per_cluster(
     df: DataFrame,
     score_col: str,

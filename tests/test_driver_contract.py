@@ -79,7 +79,8 @@ def test_window_holds_reference_surface_and_rotation():
     # driver row r15 under never-checked priority), then the r13 cohort
     assert keys[50] == "ice_add_files_scan"
     assert keys[51] == "ice_avro_delete_scan"
-    assert keys[52] == "ice_time_scan"
+    assert keys[52] == "docs_dup_weights"
+    assert keys[53] == "ice_time_scan"
     assert len(keys) >= 50 and len(window) == 50
 
 

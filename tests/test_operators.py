@@ -1734,3 +1734,24 @@ def test_bpe_train_apply_deterministic(spark):
         assert got[vid] == bpe_count_tokens_py(text, r2), vid
     # train excludes NULL text and is deterministic across calls
     assert merges2 == bpe_train(df, num_merges=4, sample_size=10)
+
+
+def test_duplication_weights_soft_dedup(spark):
+    """r14 soft dedup: every doc keeps weight_micro = floor(1e6 /
+    cluster_size); singletons weigh exactly 1e6 and a k-cluster's member
+    weights are all floor(1e6/k)."""
+    from duckdb_iceberg_spark.operators.dedup import duplication_weights
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, "the quick brown fox jumps over the lazy dog " * 4),  # dup of 1
+        (3, "the quick brown fox jumps over the lazy dog " * 4),  # dup of 1
+        (4, "completely different text about spark and iceberg tables"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = {r.doc_id: r for r in duplication_weights(df).collect()}
+    assert len(w) == 4
+    assert w[4].cluster_size == 1 and w[4].weight_micro == 1_000_000
+    for i in (1, 2, 3):
+        assert w[i].cluster_size == 3
+        assert w[i].weight_micro == 333_333

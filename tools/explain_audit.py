@@ -174,6 +174,8 @@ AUDIT = [
     "ice_zorder_scan",
     # r14: avro-format delete files (both flavors) applied at scan
     "ice_avro_delete_scan",
+    # r14: soft-dedup loss weights (components + one size groupBy)
+    "docs_dup_weights",
 ]
 
 

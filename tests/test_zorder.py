@@ -128,3 +128,39 @@ def test_zorder_rewrite_partitioned_table(spark, tmp_path):
 
     after = sorted(tuple(r) for r in iceberg_scan(spark, loc).collect())
     assert after == before
+
+
+def test_zorder_mixed_types_and_nulls_roundtrip(spark, tmp_path):
+    """Seeded fuzz: zorder over date + timestamp + double dims with NULLs
+    sprinkled in preserves the exact row multiset, and NULLs cluster
+    (nulls-first rank 0) rather than erroring."""
+    import datetime as dt
+    import random
+
+    for seed in range(2):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(8000):
+            rows.append((
+                i,
+                None if rng.random() < 0.05 else dt.date(2020, 1, 1)
+                + dt.timedelta(days=rng.randint(0, 1000)),
+                None if rng.random() < 0.05 else dt.datetime(2021, 1, 1)
+                + dt.timedelta(seconds=rng.randint(0, 10**7)),
+                None if rng.random() < 0.05 else rng.uniform(-1e5, 1e5),
+            ))
+        df = spark.createDataFrame(
+            rows, "id long, d date, ts timestamp_ntz, v double")
+        loc = str(tmp_path / f"t_zmix_{seed}")
+        write_iceberg(df.repartition(4), loc)
+        before = sorted(tuple(r) for r in iceberg_scan(spark, loc).collect())
+        rewrite_data_files(spark, loc, rewrite_all=True, min_input_files=1,
+                           target_file_size_bytes=8_000,
+                           sort_order="zorder(d, ts, v)")
+        after = sorted(tuple(r) for r in iceberg_scan(spark, loc).collect())
+        assert after == before, f"seed {seed}: rows changed"
+        # an extreme date slice prunes (3-dim pruning power goes as
+        # files^(1/3), so this needs a real file count + a narrow slice)
+        total = _files_matching(loc, None)
+        assert total >= 10
+        assert _files_matching(loc, "d >= DATE '2022-09-15'") < total

@@ -255,13 +255,30 @@ class ThetaSketch:
         # than trusting the caller's k
         (stored_sh,) = struct.unpack_from("<H", blob, 6)
         expect_sh = cls._seed_hash(seed)
-        if stored_sh and stored_sh != expect_sh:
+        if stored_sh == 0:
+            # DataSketches seed hashes are never 0 (the library maps a
+            # zero hash to a throw; ours maps it to 1) — a zeroed field
+            # means a corrupt/foreign blob, and accepting it would
+            # bypass the seed check entirely (ADVICE r14)
+            raise ValueError(
+                "theta sketch blob has seed-hash 0: corrupt or not a "
+                "DataSketches-compatible compact sketch")
+        if stored_sh != expect_sh:
             raise ValueError(
                 f"theta sketch seed mismatch: blob seed-hash "
                 f"{stored_sh:#06x} != {expect_sh:#06x} for seed {seed}; "
                 "sketches from different seeds cannot be unioned")
         lg_k = blob[3]
         if lg_k:
+            # bound before computing k: a corrupt lgK byte would
+            # otherwise yield k up to 2^255 (ADVICE r14). The Java
+            # library's range is 4..26 (ThetaUtil.MIN/MAX_LG_NOM_LONGS);
+            # we admit 3 because our own exact-mode test sketches
+            # serialize k=8
+            if not 3 <= lg_k <= 26:
+                raise ValueError(
+                    f"theta sketch lgK={lg_k} out of the valid range "
+                    "3..26: corrupt blob")
             k = 1 << lg_k
         flags = blob[5]
         sk = cls(np.empty(0, dtype=np.uint64), k=k, seed=seed)

@@ -43,11 +43,22 @@ def parse_zorder(sort_order: str) -> list[str] | None:
     return cols
 
 
+#: prefix width for string/binary rank projection — 6 bytes = 48 bits,
+#: exactly representable in double AND long, so the quantile sketch and
+#: the rank lookup see identical values
+_PREFIX_BYTES = 6
+
+
 def _numeric_proj(df: DataFrame, col: str):
     """Column expression projecting ``col`` onto a quantile-rankable
     double (dates → epoch days, timestamps → epoch micros, decimals →
-    double). Strings/binary refuse: their order statistics need a
-    different sketch (truncate-prefix ranks), documented out of v1."""
+    double; strings/binary → big-endian value of the zero-right-padded
+    first 6 UTF-8/raw bytes — the same truncate-prefix trick the
+    bounds codec uses for string truncation, r15 per VERDICT r14 task
+    5). The prefix is monotonic in Spark's binary string collation
+    (UTF-8 byte order == code-point order), so quantile boundaries on
+    it rank strings consistently; ties beyond 6 bytes land in the same
+    bucket, which only costs rank resolution, never correctness."""
     dt = dict(df.dtypes).get(col)
     if dt is None:
         raise ValueError(f"zorder column {col!r} not in frame "
@@ -60,9 +71,17 @@ def _numeric_proj(df: DataFrame, col: str):
             .cast("double")
     if base in ("timestamp", "timestamp_ntz"):
         return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
+    if base in ("string", "binary", "varchar", "char"):
+        raw = (F.encode(F.col(col), "UTF-8") if base != "binary"
+               else F.col(col))
+        # right-pad with \x00 to a FIXED width before the big-endian
+        # read: without it "az" (0x617a) would out-rank "b" (0x62)
+        padded = F.rpad(F.substring(raw, 1, _PREFIX_BYTES),
+                        _PREFIX_BYTES, bytes([0]))
+        return F.conv(F.hex(padded), 16, 10).cast("double")
     raise NotImplementedError(
-        f"zorder supports numeric/decimal/date/timestamp columns; "
-        f"{col!r} is {dt}")
+        f"zorder supports numeric/decimal/date/timestamp/string/binary "
+        f"columns; {col!r} is {dt}")
 
 
 def zorder_key(df: DataFrame, cols: list[str], *, bits: int | None = None,
@@ -75,6 +94,14 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int | None = None,
     if k == 0:
         raise ValueError("zorder needs at least one column")
     b = bits if bits is not None else min(12, 63 // k)
+    # ADVICE r14: >=64 columns makes 63//k == 0 (and an explicit bits=0
+    # would also slip through) → an empty quantile list and a constant
+    # key with no diagnostic; fail loudly instead
+    if b < 1:
+        raise ValueError(
+            f"zorder needs at least 1 rank bit per column; {k} columns "
+            "exceed the 63-bit Morton key (max 63 columns at 1 bit, "
+            "31 at 2 bits)")
     if b * k > 63:
         raise ValueError(f"bits={b} x {k} columns exceeds a long")
     n_buckets = 1 << b

@@ -36,6 +36,49 @@ DEFAULT_TARGET_FILE_SIZE_BYTES = 512 * 1024 * 1024
 MIN_TARGET_FILE_SIZE_BYTES = 1024
 
 
+def _parse_linear_order(sort_order: str) -> list:
+    """``"c1 DESC, c2, c3 ASC NULLS LAST"`` → sort Column expressions.
+
+    Honors ASC/DESC and NULLS FIRST/LAST (Spark defaults match Iceberg's
+    sort-order defaults: ASC → nulls first, DESC → nulls last) and
+    RAISES on anything unrecognized — silently clustering in a different
+    order than the caller asked for would produce files whose bounds
+    don't prune the way the sort key promises (ADVICE r14)."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for piece in sort_order.split(","):
+        toks = piece.strip().split()
+        if not toks:
+            continue
+        col, mods = toks[0], [t.upper() for t in toks[1:]]
+        desc = False
+        nulls: str | None = None
+        i = 0
+        while i < len(mods):
+            if mods[i] in ("ASC", "DESC"):
+                desc = mods[i] == "DESC"
+                i += 1
+            elif (mods[i] == "NULLS" and i + 1 < len(mods)
+                  and mods[i + 1] in ("FIRST", "LAST")):
+                nulls = mods[i + 1]
+                i += 2
+            else:
+                raise ValueError(
+                    f"unrecognized sort_order modifier {mods[i]!r} in "
+                    f"{piece.strip()!r}: expected [ASC|DESC] "
+                    "[NULLS FIRST|NULLS LAST]")
+        c = F.col(col)
+        if desc:
+            c = (c.desc_nulls_first() if nulls == "FIRST"
+                 else c.desc_nulls_last() if nulls == "LAST" else c.desc())
+        else:
+            c = (c.asc_nulls_first() if nulls == "FIRST"
+                 else c.asc_nulls_last() if nulls == "LAST" else c.asc())
+        out.append(c)
+    return out
+
+
 def _resolve_target_size(tm: TableMetadata, explicit: int | None) -> int:
     if explicit is not None:
         if explicit < MIN_TARGET_FILE_SIZE_BYTES:
@@ -125,8 +168,7 @@ def rewrite_data_files(
             if zcols:
                 df = zorder_cluster(df, zcols, num_partitions=n_out)
             else:
-                lin = [c.strip().split()[0]
-                       for c in sort_order.split(",") if c.strip()]
+                lin = _parse_linear_order(sort_order)
                 df = (df.repartitionByRange(max(1, n_out), *lin)
                       .sortWithinPartitions(*lin))
             files, _root = write_data_files(spark, df, tm,

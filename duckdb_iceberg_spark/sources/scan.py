@@ -351,7 +351,14 @@ def scan_with_runtime_filter(
         dynamic = None
     elif len(keys) > max_in_keys:
         ndv = _registered_ndv(path, key_col)
-        if ndv is not None and len(keys) >= ndv:
+        # ADVICE r14: the key sample above saturates at max_in_keys+1, so
+        # comparing it against the (approximate) theta estimate could
+        # skip the range filter while the build side covers only part of
+        # the key domain. Compare the EXACT build-side distinct count
+        # instead — one count job on the already-distinct frame, cheaper
+        # than the min/max probe it replaces, and immune to sample
+        # truncation; only a genuinely domain-spanning build side skips.
+        if ndv is not None and distinct.count() >= ndv:
             # the build side spans (at least) the table's whole key
             # domain: estimated selectivity ~1, nothing can prune —
             # skip the min/max job and scan plain (callers join with

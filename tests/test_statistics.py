@@ -291,6 +291,24 @@ def test_theta_deserialize_validates_seed_and_lgk():
         theta.ThetaSketch.deserialize(foreign)
 
 
+def test_theta_deserialize_rejects_corrupt_blobs():
+    """ADVICE r14: a zeroed seed-hash field must refuse (DataSketches
+    seed hashes are never 0 — 0 means corrupt/foreign, and letting it
+    through bypassed the seed check), and an out-of-range lgK byte must
+    refuse before computing k (lgK=255 would mean k=2^255)."""
+    blob = bytearray(theta.ThetaSketch(
+        theta.value_hashes(["a", "b", "c"])).serialize())
+    zeroed = bytes(blob[:6]) + b"\x00\x00" + bytes(blob[8:])
+    with pytest.raises(ValueError, match="seed-hash 0"):
+        theta.ThetaSketch.deserialize(zeroed)
+    bad_lgk = bytes(blob[:3]) + b"\xff" + bytes(blob[4:])
+    with pytest.raises(ValueError, match="lgK=255 out of the valid"):
+        theta.ThetaSketch.deserialize(bad_lgk)
+    bad_lgk_low = bytes(blob[:3]) + b"\x02" + bytes(blob[4:])
+    with pytest.raises(ValueError, match="lgK=2 out of the valid"):
+        theta.ThetaSketch.deserialize(bad_lgk_low)
+
+
 def test_incremental_refuses_row_dropping_replace(spark, tmp_path):
     """ADVICE r13: a 'replace' snapshot that REMOVED rows (delete-applying
     compaction) must refuse incremental stats — theta unions cannot

@@ -79,14 +79,84 @@ def test_zorder_refusals_and_parse(spark, tmp_path):
     with pytest.raises(ValueError, match="at least one column"):
         parse_zorder("zorder()")
 
-    # string columns refuse loudly
-    loc2 = str(tmp_path / "t_zstr")
+    # non-rankable types (arrays/maps/structs/bool) still refuse loudly
+    loc2 = str(tmp_path / "t_zarr")
     write_iceberg(
-        spark.range(0, 100).selectExpr("id", "cast(id as string) s"),
+        spark.range(0, 100).selectExpr("id", "array(id) a"),
         loc2)
-    with pytest.raises(NotImplementedError, match="numeric"):
+    with pytest.raises(NotImplementedError, match="zorder supports"):
         rewrite_data_files(spark, loc2, rewrite_all=True,
-                           min_input_files=1, sort_order="zorder(s)")
+                           min_input_files=1, sort_order="zorder(a)")
+
+    # ADVICE r14: >= 64 columns -> 0 rank bits; must raise, not produce
+    # a constant key
+    from duckdb_iceberg_spark.operators.zorder import zorder_key
+    wide = spark.range(0, 10).selectExpr(
+        *[f"id + {i} as c{i}" for i in range(64)])
+    with pytest.raises(ValueError, match="at least 1 rank bit"):
+        zorder_key(wide, [f"c{i}" for i in range(64)])
+    with pytest.raises(ValueError, match="at least 1 rank bit"):
+        zorder_key(wide, ["c0", "c1"], bits=0)
+
+
+def test_zorder_string_dimension_prunes(spark, tmp_path):
+    """r15 (VERDICT r14 task 5): string zorder dimensions rank via the
+    zero-padded 6-byte big-endian UTF-8 prefix — monotonic in Spark's
+    binary collation — so per-file string bounds become tight and a
+    string predicate prunes files, alongside a numeric co-dimension."""
+    loc = str(tmp_path / "t_zstr")
+    df = spark.range(0, 20_000).selectExpr(
+        "id",
+        "concat('w', lpad(cast(pmod(hash(id), 1000) as string), 4, '0')) "
+        "as s",
+        "cast(pmod(hash(id + 7919), 1000) as long) as y")
+    write_iceberg(df.repartition(8), loc)
+    before = sorted(tuple(r) for r in iceberg_scan(spark, loc).collect())
+
+    rewrite_data_files(spark, loc, rewrite_all=True, min_input_files=1,
+                       target_file_size_bytes=40_000,
+                       sort_order="zorder(s, y)")
+    total = _files_matching(loc, None)
+    assert total >= 4
+    assert _files_matching(loc, "s >= 'w0800'") < total, \
+        "string slice must prune z-ordered files"
+    assert _files_matching(loc, "y >= 800") < total, \
+        "numeric co-dimension must prune too"
+
+    after = sorted(tuple(r) for r in iceberg_scan(spark, loc).collect())
+    assert after == before
+
+
+def test_linear_sort_honors_modifiers_and_rejects_unknown(spark,
+                                                          tmp_path):
+    """ADVICE r14: 'x DESC' used to silently cluster ascending (only the
+    first token was kept). Now ASC/DESC + NULLS FIRST/LAST are honored
+    and anything else raises instead of clustering in a different order
+    than asked."""
+    from duckdb_iceberg_spark.sources.maintenance import _parse_linear_order
+
+    # parse shapes
+    exprs = _parse_linear_order("x DESC, y, z ASC NULLS LAST, "
+                                "w nulls first")
+    assert len(exprs) == 4
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unrecognized sort_order"):
+        _parse_linear_order("x FOO")
+    with _pytest.raises(ValueError, match="unrecognized sort_order"):
+        _parse_linear_order("x NULLS SIDEWAYS")
+
+    # a DESC rewrite clusters descending: the file holding x's max is
+    # range-partition 0, and rows are identical before/after
+    loc = str(tmp_path / "t_lindesc")
+    df = _mk_2d(spark, loc, n=8_000)
+    before = sorted(tuple(r) for r in iceberg_scan(spark, loc).collect())
+    rewrite_data_files(spark, loc, rewrite_all=True, min_input_files=1,
+                       target_file_size_bytes=16_000, sort_order="x DESC")
+    total = _files_matching(loc, None)
+    assert total >= 3
+    assert _files_matching(loc, "x >= 800") < total  # bounds still tight
+    after = sorted(tuple(r) for r in iceberg_scan(spark, loc).collect())
+    assert after == before
 
 
 def test_zorder_call_surface(spark, sf_dir, tmp_path):

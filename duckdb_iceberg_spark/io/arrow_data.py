@@ -237,6 +237,18 @@ def _avro_values_to_arrow(vals: list, t, src_schema=None):
         vals = [None if v is None else
                 Decimal(int.from_bytes(bytes(v), "big", signed=True))
                 .scaleb(-s) for v in vals]
+    if pa.types.is_time64(t) and t.unit == "ns":
+        # avro time-micros arrives as bare µs longs, but Spark's
+        # TimeType surfaces as arrow time64[ns] — scale or the value
+        # reads 1000x small (r15)
+        vals = [None if v is None else int(v) * 1000 for v in vals]
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)) \
+            and isinstance(src, dict) and src.get("logicalType") == "uuid":
+        # iceberg uuid: avro fixed(16) bytes → canonical string, same
+        # rendering as the parquet FLBA(16) branch (r15 — write side
+        # now emits these)
+        vals = [None if v is None else str(_uuid.UUID(bytes=bytes(v)))
+                for v in vals]
     return pa.array(vals, type=t)
 
 

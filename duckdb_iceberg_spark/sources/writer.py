@@ -979,11 +979,18 @@ _ORC_STAT_TYPES = {"boolean", "int", "long", "float", "double", "decimal",
 
 
 #: iceberg primitive LEAVES the Avro WRITE path encodes (r13: the common
-#: Flink-table surface incl. decimals; r14: also inside struct/list/map —
-#: uuid/fixed/time refuse loudly at any depth)
+#: Flink-table surface incl. decimals; r14: also inside struct/list/map)
 _AVRO_WRITE_TYPES = {"boolean", "int", "long", "float", "double",
                      "string", "binary", "date", "timestamp",
                      "timestamptz", "decimal"}
+
+#: r15 (VERDICT r14 task 6): uuid/fixed/time encode at TOP LEVEL — the
+#: codec has decoded all three since r12 (uuid → fixed(16) w/ uuid
+#: logical type, fixed[L] → fixed(L), time → time-micros long), so only
+#: the encode gate was missing. They stay refused INSIDE struct/list/map
+#: because the arrow read plane doesn't resolve nested uuid
+#: (io/arrow_data.py) — a write we can't read back would be a trap.
+_AVRO_WRITE_TYPES_TOP = _AVRO_WRITE_TYPES | {"uuid", "fixed", "time"}
 
 
 def _avro_norm_nested(v, t):
@@ -1071,18 +1078,23 @@ def _avro_data_type(t, fid_hint: int):
             "values": ["null", _avro_data_type(t["value"], vid)]}
 
 
-def _check_avro_writable(t, name: str) -> None:
+def _check_avro_writable(t, name: str, top: bool = False) -> None:
     """Recursive scope pin for the Avro write path: every primitive leaf
-    must be in _AVRO_WRITE_TYPES (uuid/fixed/time/timestamp_ns/variant
-    refuse loudly at any depth), map keys must be strings (Avro maps
-    are string-keyed; Iceberg's array-of-kv encoding for other key
-    types is a read-side-only shape here)."""
+    must be in _AVRO_WRITE_TYPES (timestamp_ns/variant refuse loudly at
+    any depth; r15: uuid/fixed/time are writable at TOP level but still
+    refuse inside struct/list/map — the arrow read plane doesn't resolve
+    them nested), map keys must be strings (Avro maps are string-keyed;
+    Iceberg's array-of-kv encoding for other key types is a
+    read-side-only shape here)."""
     if isinstance(t, str):
         n = ice_types.primitive_name(t)
-        if n not in _AVRO_WRITE_TYPES:
+        allowed = _AVRO_WRITE_TYPES_TOP if top else _AVRO_WRITE_TYPES
+        if n not in allowed:
+            scope = ("" if top
+                     else " (nested — uuid/fixed/time are top-level only)")
             raise NotImplementedError(
                 f"avro data-file writes support "
-                f"{sorted(_AVRO_WRITE_TYPES)} leaves only; unsupported: "
+                f"{sorted(allowed)} leaves only{scope}; unsupported: "
                 f"[{name!r}: {n}]")
         return
     k = t["type"]
@@ -1129,7 +1141,7 @@ def write_avro_dataset(
 
     fields = schema_json["fields"]
     for f in fields:
-        _check_avro_writable(f["type"], f["name"])
+        _check_avro_writable(f["type"], f["name"], top=True)
 
     avro_schema = {
         "type": "record", "name": "r", "fields": [
@@ -1144,6 +1156,7 @@ def write_avro_dataset(
     sel = []
     kinds = {}
     dec_meta = {}
+    fix_meta = {}
     types_by_name = {f["name"]: f["type"] for f in fields}
     for f in fields:
         nm = f["name"]
@@ -1165,6 +1178,13 @@ def write_avro_dataset(
             if t == "decimal":
                 p, s_ = ice_types.decimal_precision_scale(f["type"])
                 dec_meta[nm] = (s_, (p + 2) // 2 + 1)  # scale, fixed size
+            elif t == "fixed":
+                import re as _re
+
+                fix_meta[nm] = int(
+                    _re.match(r"fixed\[(\d+)\]", f["type"]).group(1))
+            # time/uuid pass through raw (datetime.time or canonical
+            # string); the executor normalizes to micros / 16 bytes
             sel.append(c.alias(nm))
     names = [f["name"] for f in fields]
     ids = {f["name"]: int(f["id"]) for f in fields}
@@ -1257,6 +1277,24 @@ def write_avro_dataset(
                     elif kinds[nm] in ("int", "long", "date", "timestamp",
                                        "timestamptz"):
                         r2[nm] = int(v)
+                    elif kinds[nm] == "time":
+                        # datetime.time (TimeType session) or already-µs
+                        # long (pre-4.1 mapping) → time-micros long
+                        from duckdb_iceberg_spark.metadata import (
+                            types as _itypes)
+
+                        r2[nm] = _itypes.time_to_micros(v)
+                    elif kinds[nm] == "uuid":
+                        import uuid as _uuid2
+
+                        r2[nm] = _uuid2.UUID(str(v)).bytes
+                    elif kinds[nm] == "fixed":
+                        b = bytes(v)
+                        if len(b) != fix_meta[nm]:
+                            raise ValueError(
+                                f"fixed[{fix_meta[nm]}] column {nm!r} got "
+                                f"a {len(b)}-byte value")
+                        r2[nm] = b
                     elif kinds[nm] == "binary":
                         r2[nm] = bytes(v)
                     elif kinds[nm] == "decimal":
@@ -1306,6 +1344,29 @@ def write_avro_dataset(
                     if n_nan:
                         nans[fid] = n_nan
                         continue
+                elif kinds[nm] in ("time", "uuid", "fixed"):
+                    # r15: bounds in the value's ORDER-PRESERVING form —
+                    # micros for time; raw bytes for uuid/fixed (byte
+                    # order == canonical-hex order for uuid)
+                    nulls[fid] = int(col.isna().sum())
+                    vals = col.dropna()
+                    if len(vals) == 0:
+                        continue
+                    if kinds[nm] == "time":
+                        from duckdb_iceberg_spark.metadata import (
+                            types as _itypes)
+
+                        conv = [_itypes.time_to_micros(x) for x in vals]
+                        mins[fid], maxs[fid] = min(conv), max(conv)
+                    else:
+                        import uuid as _uuid3
+
+                        conv = [(_uuid3.UUID(str(x)).bytes
+                                 if kinds[nm] == "uuid" else bytes(x))
+                                for x in vals]
+                        mins[fid] = _b64.b64encode(min(conv)).decode()
+                        maxs[fid] = _b64.b64encode(max(conv)).decode()
+                    continue
                 else:
                     nulls[fid] = int(col.isna().sum())
                     vals = col.dropna()
@@ -1351,7 +1412,9 @@ def write_avro_dataset(
                 elif t in ("timestamp", "timestamptz"):
                     v = (_dt.datetime(1970, 1, 1)
                          + _dt.timedelta(microseconds=int(v)))
-                elif t == "binary":
+                elif t == "time":
+                    v = ice_types.micros_to_time(int(v))
+                elif t in ("binary", "uuid", "fixed"):
                     import base64 as _b
 
                     v = _b.b64decode(v)

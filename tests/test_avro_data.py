@@ -384,8 +384,89 @@ def test_avro_write_nested_roundtrip(spark, sf_dir, tmp_path):
     assert got[5].props == {"len": 10, "mod": 5}
 
 
+def test_avro_write_uuid_fixed_time_roundtrip(spark, tmp_path):
+    """r15 (VERDICT r14 task 6): uuid/fixed/time encode at TOP level —
+    the codec has decoded all three since r12 (uuid → fixed(16)+uuid
+    logical type, fixed[L] → fixed(L), time → time-micros long), so the
+    encode gate lifts; in-pass bounds land in order-preserving form and
+    time bounds prune."""
+    import datetime as dt
+    import uuid as _u
+
+    from pyspark.sql import types as T
+
+    from duckdb_iceberg_spark import write_iceberg
+    from duckdb_iceberg_spark.metadata.types import (FIELD_ID_KEY,
+                                                     ICEBERG_TYPE_KEY)
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    def fld(name, dtype, fid, ice=None):
+        md = {FIELD_ID_KEY: fid}
+        if ice:
+            md[ICEBERG_TYPE_KEY] = ice
+        return T.StructField(name, dtype, True, metadata=md)
+
+    schema = T.StructType([
+        fld("id", T.LongType(), 1),
+        fld("t_time", T.LongType(), 2, "time"),
+        fld("t_uuid", T.StringType(), 3, "uuid"),
+        fld("t_fixed", T.BinaryType(), 4, "fixed[8]"),
+    ])
+    us = sorted(str(_u.uuid5(_u.NAMESPACE_DNS, f"n{i}")) for i in range(3))
+    rows = [(i, (3 * 3600 + i) * 1_000_000 + 250_000, us[i],
+             bytes([i + 1]) * 8) for i in range(3)]
+    rows.append((3, None, None, None))
+    df = spark.createDataFrame(rows, schema)
+    loc = str(tmp_path / "t_avro_exotic")
+    write_iceberg(df.coalesce(1), loc,
+                  properties={"write.format.default": "avro"})
+    # second file with a DISJOINT time range, for pruning
+    rows_hi = [(10 + i, (20 * 3600 + i) * 1_000_000, us[i],
+                bytes([9]) * 8) for i in range(3)]
+    write_iceberg(spark.createDataFrame(rows_hi, schema).coalesce(1),
+                  loc, mode="append")
+
+    tm = load_table_metadata(loc)
+    plan = plan_scan(tm, tm.select_snapshot())
+    assert {t.data_file.file_format for t in plan.tasks} == {"AVRO"}
+    assert len(plan.tasks) == 2
+
+    got = {r.id: r for r in iceberg_scan(spark, loc).collect()}
+    assert got[1].t_uuid == us[1] and got[3].t_uuid is None
+    assert got[2].t_fixed == bytes([3]) * 8 and got[3].t_fixed is None
+    t1 = got[1].t_time
+    if isinstance(t1, dt.time):  # TimeType session
+        assert t1 == dt.time(3, 0, 1, 250_000)
+    else:  # flag-off long mapping
+        assert int(t1) == (3 * 3600 + 1) * 1_000_000 + 250_000
+    assert got[3].t_time is None
+
+    # time bounds revive and prune: only the low-range file plans in
+    pruned = plan_scan(tm, tm.select_snapshot(),
+                       where="t_time < '06:00:00'")
+    assert len(pruned.tasks) == 1
+
+    # declared iceberg types survive the roundtrip
+    declared = {f["name"]: f["type"]
+                for f in tm.schema_json()["fields"]}
+    assert declared["t_uuid"] == "uuid"
+    assert declared["t_fixed"] == "fixed[8]"
+    assert declared["t_time"] == "time"
+
+    # nested uuid still refuses (the arrow read plane can't resolve it;
+    # schema inference can't even declare one from a Spark frame, so pin
+    # the gate directly)
+    from duckdb_iceberg_spark.sources.writer import _check_avro_writable
+
+    _check_avro_writable("uuid", "u", top=True)  # top level: fine
+    with pytest.raises(NotImplementedError, match="nested"):
+        _check_avro_writable(
+            {"type": "struct", "fields": [
+                {"name": "u", "id": 3, "type": "uuid"}]}, "s", top=True)
+
+
 def test_avro_write_refusals(spark, sf_dir, tmp_path):
-    """Scope pins: uuid/time leaves (at any depth) and non-string map
+    """Scope pins: variant leaves (at any depth) and non-string map
     keys refuse loudly."""
     from duckdb_iceberg_spark import write_iceberg
 

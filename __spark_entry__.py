@@ -3091,6 +3091,36 @@ def docs_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-weighted temperature sampling (NEW r15 — VERDICT r14 task
+    8): duplication_weights' cluster sizes drive a per-member keep
+    probability s^(α-1) (expected surviving mass per cluster ∝ s^α — the
+    D4/SemDeDup soft-selection step, consuming the weights r14 only
+    produced), realized by the deterministic md5-threshold sampler.
+    Hash-checked: the oracle recomputes TRUE components (recursive CTE),
+    window-counts cluster sizes, and replays the per-size threshold
+    literals computed by the SAME CPython decimal exp/ln chain — a wrong
+    cluster size, threshold, or keep decision changes the per-language
+    survivor sums."""
+    from duckdb_iceberg_spark.operators.dedup import duplication_weights
+    from duckdb_iceberg_spark.operators.sampling import (
+        cluster_temperature_sample,
+    )
+
+    docs = _pq(spark, sf_dir, "documents")
+    w = duplication_weights(docs, num_hashes=32, bands=8)
+    labeled = docs.select("doc_id", "lang", "n_chars").join(w, "doc_id")
+    kept = cluster_temperature_sample(labeled, alpha=0.5, salt="csamp15")
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"),
+             F.sum("n_chars").cast("long").alias("kept_chars"),
+             F.sum("weight_micro").cast("long").alias("kept_eff_micro"),
+             F.max("cluster_size").cast("long").alias("max_cluster"))
+        .orderBy("lang")
+    )
+
+
 def docs_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative curation (NEW r13 — the FineWeb keep-best
     rule): duplicate clusters via banded LSH + star components, then
@@ -4151,6 +4181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "ice_avro_delete_scan": ice_avro_delete_scan,
         # NEW r14 (sweep-debut, r15 window): soft-dedup loss weights
         "docs_dup_weights": docs_dup_weights,
+        # NEW r15: cluster-weighted temperature sampling (consumes the
+        # weights' cluster sizes — closes the soft-dedup loop)
+        "docs_cluster_sample": docs_cluster_sample,
         # parked: r12 window cohort (due r15), then the r13 window cohort
         # (due r16) - all driver-green, all still in every local sweep
         "ice_time_scan": ice_time_scan,
@@ -4794,6 +4827,66 @@ def _temperature_sql(alpha: float = 0.5, salt: str = "temp10",
                          1, {digits}) < th
             GROUP BY d.source ORDER BY d.source
     """
+
+
+def _cluster_sample_sql(alpha: float = 0.5, salt: str = "csamp15",
+                        digits: int = 6) -> str:
+    """DuckDB replica of docs_cluster_sample. DATA-DEPENDENT builder
+    (r9 rule — no ln/exp/pow in the checking engine): the realized
+    DISTINCT cluster sizes are re-derived driver-side with DuckDB
+    running the same recursive-CTE components pipeline, then the SAME
+    CPython chain the operator runs (cluster_size_fraction →
+    floor_threshold_hex) emits each size's keep-threshold as a STRING
+    literal; the SQL recomputes true components + window sizes and only
+    filters on md5 prefixes."""
+    import duckdb as _duck
+
+    from duckdb_iceberg_spark.operators.sampling import (
+        cluster_size_fraction,
+        floor_threshold_hex,
+    )
+
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    sizes_sql = _dup_components_sql(tail="""
+            , comp AS (
+              SELECT id AS doc_id, min(r) AS component_id
+              FROM reach GROUP BY id
+            )
+            SELECT DISTINCT count(*) AS cluster_size
+            FROM comp GROUP BY component_id ORDER BY cluster_size
+    """)
+    con = _duck.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('"
+                + path.replace("'", "''") + "')")
+    sizes = [int(r[0]) for r in con.execute(sizes_sql).fetchall()]
+    con.close()
+    thr_values = ", ".join(
+        f"({s}, '{floor_threshold_hex(cluster_size_fraction(s, alpha), digits)}')"
+        for s in sizes)
+    return _dup_components_sql(tail=f"""
+            , comp AS (
+              SELECT id AS doc_id, min(r) AS component_id
+              FROM reach GROUP BY id
+            ), sized AS (
+              SELECT doc_id,
+                     count(*) OVER (PARTITION BY component_id)
+                       AS cluster_size
+              FROM comp
+            ), thr(sz, th) AS (
+              VALUES {thr_values}
+            )
+            SELECT d.lang, count(*) AS kept,
+                   CAST(sum(d.n_chars) AS BIGINT) AS kept_chars,
+                   CAST(sum(CAST(floor(1000000.0 / s.cluster_size)
+                                 AS BIGINT)) AS BIGINT) AS kept_eff_micro,
+                   CAST(max(s.cluster_size) AS BIGINT) AS max_cluster
+            FROM documents d
+            JOIN sized s ON d.doc_id = s.doc_id
+            JOIN thr ON s.cluster_size = thr.sz
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '{salt}'),
+                         1, {digits}) < thr.th
+            GROUP BY d.lang ORDER BY d.lang
+    """)
 
 
 def _lm_sql(buckets: bool = False) -> str:
@@ -7210,6 +7303,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN sized s ON d.doc_id = s.doc_id
             GROUP BY d.lang ORDER BY d.lang
         """),
+        # cluster-weighted temperature sampling (r15): true components +
+        # window sizes + per-size md5 thresholds replayed as literals
+        "docs_cluster_sample": _cluster_sample_sql(),
         # keep-best curation (r13): true components + the argmax window
         # replayed — kept = winners per cluster, covered_docs = the
         # winners' cluster sizes (sums to the corpus size overall)

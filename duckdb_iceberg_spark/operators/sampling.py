@@ -222,6 +222,75 @@ def resample_temperature(
     return df.filter(hexpfx < thr)
 
 
+def cluster_size_fraction(size: int, alpha: float) -> float:
+    """Per-member keep probability for a duplicate cluster of ``size``:
+    ``size^(alpha-1)``, so the cluster's expected surviving mass is
+    ``size * size^(alpha-1) = size^alpha`` — the temperature-α rule of
+    :func:`temperature_weights` applied to duplicate CLUSTERS instead of
+    domains (r15, the D4/SemDeDup selection step). α=1 keeps everything,
+    α=0 keeps one expected member per cluster (hard dedup in
+    expectation), α∈(0,1) interpolates. Computed as
+    ``exp((α-1)·ln size)`` with correctly-rounded decimal ln/exp
+    (exactmath — no libm, same digits on every platform); capped at 1
+    (no upsampling) for α>1."""
+    from decimal import Decimal, localcontext
+
+    from .exactmath import dec_ln_int
+
+    if size < 1:
+        raise ValueError(f"cluster size must be >= 1, got {size}")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if size == 1:
+        return 1.0
+    with localcontext() as ctx:
+        ctx.prec = 40
+        p = ((Decimal(str(alpha)) - 1) * dec_ln_int(int(size))).exp()
+    return min(float(p), 1.0)
+
+
+def cluster_temperature_sample(
+    df: DataFrame,
+    alpha: float,
+    *,
+    size_col: str = "cluster_size",
+    key_col: str = "doc_id",
+    salt: str = "",
+    digits: int = 6,
+) -> DataFrame:
+    """Cluster-weighted soft-dedup sampling (NEW r15 — VERDICT r14 task
+    8, closing the soft-dedup loop): CONSUMES the ``cluster_size``
+    column that :func:`~..dedup.duplication_weights` /
+    :func:`~..dedup.keep_best_per_cluster` produce and keeps each
+    member of a size-s cluster with probability s^(α-1)
+    (:func:`cluster_size_fraction`), realized by the engine's
+    deterministic md5-threshold deletion sampler — same key+salt →
+    same decision in any engine with md5.
+
+    Unlike :func:`resample_temperature` (one threshold per DOMAIN,
+    driver-collected), the strata here are cluster sizes: the keep
+    probability is a pure function of s, so only the DISTINCT sizes are
+    collected — O(#distinct sizes) ≤ O(√(2·rows)) driver state even at
+    100 TB (sizes are positive integers summing to the corpus) — and
+    the per-size threshold literals broadcast-join back, keeping the
+    decision map-side with zero data shuffles."""
+    sizes = sorted(int(r[0]) for r in
+                   df.select(size_col).distinct().collect())
+    if not sizes:
+        return df
+    thr_rows = [(s, floor_threshold_hex(cluster_size_fraction(s, alpha),
+                                        digits))
+                for s in sizes]
+    thr_df = df.sparkSession.createDataFrame(
+        thr_rows, f"{size_col} long, __thr string")
+    hexpfx = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        1, digits)
+    return (df.join(F.broadcast(thr_df), size_col)
+            .filter(hexpfx < F.col("__thr"))
+            .drop("__thr"))
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -331,6 +331,46 @@ def test_stratified_sample_deterministic(spark):
     assert d <= a
 
 
+def test_cluster_temperature_sample(spark):
+    """r15 (VERDICT r14 task 8): keep probability s^(α-1) per member of
+    a size-s cluster — singletons always survive, α=1 keeps everything,
+    α=0 keeps ~one expected member per cluster, and the expected
+    surviving mass per cluster is ∝ s^α."""
+    import pytest as _pytest
+
+    from duckdb_iceberg_spark.operators.sampling import (
+        cluster_size_fraction,
+        cluster_temperature_sample,
+    )
+
+    assert cluster_size_fraction(1, 0.5) == 1.0
+    assert cluster_size_fraction(4, 0.5) == _pytest.approx(0.5, abs=1e-12)
+    assert cluster_size_fraction(10, 1.0) == _pytest.approx(1.0)
+    assert cluster_size_fraction(10, 0.0) == _pytest.approx(0.1)
+    assert cluster_size_fraction(3, 2.0) == 1.0  # capped, no upsampling
+    with _pytest.raises(ValueError):
+        cluster_size_fraction(0, 0.5)
+
+    # 1000 singletons + one 1000-member cluster + one 16-member cluster
+    df = spark.range(0, 2016).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 1000 THEN 1 "
+        "WHEN id < 2000 THEN 1000 ELSE 16 END AS cluster_size")
+    out = cluster_temperature_sample(df, 0.5, salt="t")
+    got = out.groupBy("cluster_size").count().collect()
+    by_size = {r.cluster_size: r["count"] for r in got}
+    assert by_size[1] == 1000  # p=1: every singleton kept
+    # big cluster: p = 1000^-0.5 ~ .0316 -> ~31.6 expected survivors
+    assert 10 <= by_size.get(1000, 0) <= 60
+    # deterministic: same salt reruns identical
+    again = {r.cluster_size: r["count"] for r in
+             cluster_temperature_sample(df, 0.5, salt="t")
+             .groupBy("cluster_size").count().collect()}
+    assert again == by_size
+    # alpha=1 keeps all rows
+    assert cluster_temperature_sample(df, 1.0, salt="t").count() == 2016
+
+
 def test_stratified_sample_by_strata(spark):
     from duckdb_iceberg_spark.operators.sampling import stratified_sample_by
 

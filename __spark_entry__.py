@@ -2740,6 +2740,53 @@ def ice_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ice_orders_zorder_str(spark: SparkSession, sf_dir: str) -> str:
+    """Z-order rewrite with a STRING dimension (NEW r15 — VERDICT r14
+    task 5): the string dim ranks via zero-padded 6-byte big-endian
+    UTF-8 prefix quantiles (operators/zorder.py), so per-file string
+    bounds become tight and a string predicate prunes — Iceberg's own
+    zorder accepts strings; the r14 refusal lifts. Derivations stay
+    deterministic from o_orderkey so the oracle replays them (the
+    independent second dim uses k*k%m, not a second linear map)."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.sources.maintenance import (
+            rewrite_data_files,
+        )
+
+        o = _pq(spark, sf_dir, "orders").selectExpr(
+            "o_orderkey",
+            "concat('w', lpad(cast((o_orderkey * 9973) % 1000 "
+            "as string), 4, '0')) as s",
+            "(o_orderkey * o_orderkey) % 1000 as y")
+        write_iceberg(o.repartition(8), loc)
+        rewrite_data_files(spark, loc, rewrite_all=True, min_input_files=1,
+                           target_file_size_bytes=64_000,
+                           sort_order="zorder(s, y)")
+
+    return _build_once(sf_dir, "orders_zorder_str", build)
+
+
+def ice_zorder_string_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of the string-dimension z-order table with a string + numeric
+    predicate. Hash-checked: the oracle replays the string derivation
+    (concat/lpad — identical in DuckDB) and both filters from the raw
+    orders rows, so a row lost by the clustering rewrite, a wrong string
+    bound, or a prefix-rank collision mishandled in the rewrite changes
+    the sums."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_orders_zorder_str(spark, sf_dir)
+    t = iceberg_scan(spark, loc, where="s >= 'w0800' AND y < 200")
+    return (
+        t.groupBy(F.substring("s", 3, 1).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("o_orderkey").cast("long").alias("sum_key"),
+             F.max("s").alias("max_s"))
+        .orderBy("g")
+    )
+
+
 def _ice_documents_avro_deletes(spark: SparkSession, sf_dir: str) -> str:
     """Avro-format DELETE files (NEW r14 —
     write.delete.format.default=avro): one MoR positional delete and one
@@ -2764,6 +2811,73 @@ def _ice_documents_avro_deletes(spark: SparkSession, sf_dir: str) -> str:
                         spark.createDataFrame([("de",)], "lang string"))
 
     return _build_once(sf_dir, "documents_avro_deletes", build)
+
+
+def _ice_docs_avro_types(spark: SparkSession, sf_dir: str) -> str:
+    """Avro data files with uuid / fixed[4] / time columns (NEW r15 —
+    VERDICT r14 task 6: the encode-side refusals lift; the codec has
+    decoded these since r12). All three derive deterministically from
+    doc_id (uuid/fixed from md5 hex — identical text in DuckDB; time as
+    µs-of-day integer arithmetic) so the oracle replays them without
+    touching Avro at all."""
+    def build(loc: str) -> None:
+        from duckdb_iceberg_spark import write_iceberg
+        from duckdb_iceberg_spark.metadata.types import (
+            FIELD_ID_KEY,
+            ICEBERG_TYPE_KEY,
+        )
+
+        d = _pq(spark, sf_dir, "documents").selectExpr(
+            "doc_id",
+            "concat(substr(md5(cast(doc_id as string)), 1, 8), '-', "
+            "substr(md5(cast(doc_id as string)), 9, 4), '-', "
+            "substr(md5(cast(doc_id as string)), 13, 4), '-', "
+            "substr(md5(cast(doc_id as string)), 17, 4), '-', "
+            "substr(md5(cast(doc_id as string)), 21, 12)) as t_uuid",
+            "unhex(substr(md5(cast(doc_id as string)), 9, 8)) as t_fix",
+            "(((doc_id * 7919) % 1440) * 60 + doc_id % 60) * 1000000 "
+            "+ (doc_id % 997) * 1000 as event_t")
+        d = (d.withMetadata("doc_id", {FIELD_ID_KEY: 1})
+             .withMetadata("t_uuid", {FIELD_ID_KEY: 2,
+                                      ICEBERG_TYPE_KEY: "uuid"})
+             .withMetadata("t_fix", {FIELD_ID_KEY: 3,
+                                     ICEBERG_TYPE_KEY: "fixed[4]"})
+             .withMetadata("event_t", {FIELD_ID_KEY: 4,
+                                       ICEBERG_TYPE_KEY: "time"}))
+        write_iceberg(d.repartition(3), loc,
+                      properties={"write.format.default": "avro"})
+
+    return _build_once(sf_dir, "docs_avro_types", build)
+
+
+def ice_avro_types_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of the uuid/fixed/time Avro table with a TIME predicate
+    (avro in-pass time bounds prune the afternoon files). Hash-checked:
+    the oracle rebuilds uuid text, fixed hex and µs values from doc_id
+    with md5/substr/integer arithmetic, so a value corrupted in the OCF
+    encode, a wrong logical-type decode, or a mis-revived bound dropping
+    rows changes the aggregates. Mode-independent output like
+    ice_time_scan: min/max time render as µs BIGINTs in both session
+    modes; fixed renders lower-hex."""
+    from duckdb_iceberg_spark import iceberg_scan
+
+    loc = _ice_docs_avro_types(spark, sf_dir)
+    t = iceberg_scan(spark, loc, where="event_t >= TIME'12:00:00'")
+    if dict(t.dtypes)["event_t"] == "bigint":
+        us = F.col("event_t")
+    else:
+        us = F.expr(
+            "(hour(event_t) * 3600L + minute(event_t) * 60L) * 1000000"
+            " + CAST(extract(SECOND FROM event_t) * 1000000 AS BIGINT)")
+    return (
+        t.groupBy((F.col("doc_id") % 5).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min(us).alias("min_t"),
+             F.max(us).alias("max_t"),
+             F.min("t_uuid").alias("min_uuid"),
+             F.max(F.lower(F.hex("t_fix"))).alias("max_fix"))
+        .orderBy("g")
+    )
 
 
 def ice_avro_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4127,6 +4241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "ice_avro_write_scan": ice_avro_write_scan,
         "ice_avro_write_part_scan": ice_avro_write_part_scan,
         "ice_zorder_scan": ice_zorder_scan,
+        # NEW r15: z-order with a string dimension (prefix-rank sketch)
+        "ice_zorder_string_scan": ice_zorder_string_scan,
         # 9-26 - priority (c): TPC-H block + interval join, due r14
         "q01_pricing_summary": q01_pricing_summary,
         "q01_mor_pricing_summary": q01_mor_pricing_summary,
@@ -4179,6 +4295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         # NEW r14 (sweep-debut, r15 window per never-checked priority):
         # avro-format positional + equality DELETE files
         "ice_avro_delete_scan": ice_avro_delete_scan,
+        # NEW r15: uuid/fixed/time leaves through the Avro write path
+        "ice_avro_types_scan": ice_avro_types_scan,
         # NEW r14 (sweep-debut, r15 window): soft-dedup loss weights
         "docs_dup_weights": docs_dup_weights,
         # NEW r15: cluster-weighted temperature sampling (consumes the
@@ -7762,6 +7880,22 @@ def oracle_sql() -> dict[str, str]:
               AND (o_orderkey * o_orderkey) % 1000 < 200
             GROUP BY g ORDER BY g
         """,
+        # string-dimension z-order (r15): replay the concat/lpad string
+        # derivation + both filters from the raw orders rows
+        "ice_zorder_string_scan": """
+            SELECT substr(concat('w', lpad(CAST((o_orderkey * 9973) % 1000
+                                               AS VARCHAR), 4, '0')),
+                          3, 1) AS g,
+                   count(*) AS n,
+                   CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+                   max(concat('w', lpad(CAST((o_orderkey * 9973) % 1000
+                                             AS VARCHAR), 4, '0'))) AS max_s
+            FROM orders
+            WHERE concat('w', lpad(CAST((o_orderkey * 9973) % 1000
+                                        AS VARCHAR), 4, '0')) >= 'w0800'
+              AND (o_orderkey * o_orderkey) % 1000 < 200
+            GROUP BY g ORDER BY g
+        """,
         # avro-format DELETE files (r14): replay both delete flavors
         # from the raw rows (positional doc_id%11=2, equality lang='de')
         "ice_avro_delete_scan": """
@@ -7771,6 +7905,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 11 <> 2 AND lang <> 'de'
             GROUP BY lang ORDER BY lang
+        """,
+        # uuid/fixed/time over Avro writes (r15): rebuild uuid text,
+        # fixed hex and µs-of-day from doc_id with md5/substr/integer
+        # arithmetic; the TIME predicate replays as a µs comparison
+        "ice_avro_types_scan": """
+            WITH d AS (
+              SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                     (((doc_id * 7919) % 1440) * 60 + doc_id % 60)
+                       * 1000000 + (doc_id % 997) * 1000 AS t_us
+              FROM documents
+            )
+            SELECT doc_id % 5 AS g, count(*) AS n,
+                   min(t_us) AS min_t, max(t_us) AS max_t,
+                   min(concat(substr(h, 1, 8), '-', substr(h, 9, 4), '-',
+                              substr(h, 13, 4), '-', substr(h, 17, 4),
+                              '-', substr(h, 21, 12))) AS min_uuid,
+                   max(substr(h, 9, 8)) AS max_fix
+            FROM d
+            WHERE t_us >= 43200000000
+            GROUP BY g ORDER BY g
         """,
         # nested Avro (r13): replay the struct/list/map nesting arithmetic
         # from the raw rows — tags is NULL when doc_id%13=7, 2-element

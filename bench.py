@@ -166,6 +166,12 @@ HEADLINE = [
     "ice_avro_delete_scan",
     # r14: soft-dedup loss weights (cluster-size micro-weights)
     "docs_dup_weights",
+    # r15: z-order with a string dimension (prefix-rank sketch)
+    "ice_zorder_string_scan",
+    # r15: uuid/fixed/time leaves through the Avro write path
+    "ice_avro_types_scan",
+    # r15: cluster-weighted temperature sampling (consumes cluster_size)
+    "docs_cluster_sample",
 ]
 
 
@@ -348,7 +354,9 @@ def main() -> None:
                entry._ice_documents_pstats, entry._ice_documents_ndv,
                entry._ice_documents_cherrypick,
                entry._ice_documents_retention,
-               entry._ice_documents_avro_deletes):
+               entry._ice_documents_avro_deletes,
+               # r15 newcomers: string-dim z-order + avro exotic leaves
+               entry._ice_orders_zorder_str, entry._ice_docs_avro_types):
         fn(spark, sf_dir)
     build_s = time.time() - t0
 

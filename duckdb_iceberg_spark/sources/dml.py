@@ -825,7 +825,15 @@ def delete_using(
     cond = F.expr(condition)
 
     df = scan_to_dataframe(spark, plan, with_file_info=True)
-    matched = df.alias("tgt").join(using.alias("src"), cond, "leftsemi")
+    # r15: size the USING side from statistics (engine scan plan if it
+    # is one of our scans, Spark's estimate otherwise) — broadcast only
+    # under the threshold, else pin a merge join so Spark's static
+    # estimate can't mis-broadcast a fact-sized source
+    from ..plans.join_strategy import apply_side_hint, decide_broadcast
+
+    bcast = decide_broadcast(using, spark)
+    matched = df.alias("tgt").join(
+        apply_side_hint(using.alias("src"), bcast), cond, "leftsemi")
     pairs = matched.select(
         F.col("filename").alias("file_path"),
         F.col("file_row_number").alias("pos"),
@@ -852,7 +860,8 @@ def delete_using(
     sub = ScanPlan(tm, snapshot, rewrite_tasks, None, plan.schema_id)
     remaining = (
         scan_to_dataframe(spark, sub).alias("tgt")
-        .join(using.alias("src"), cond, "left_anti")
+        .join(apply_side_hint(using.alias("src"), bcast), cond,
+              "left_anti")
     )
     new_files, _ = write_data_files(spark, remaining, tm)
     removed = {t.data_file.file_path for t in rewrite_tasks}
@@ -1138,7 +1147,7 @@ def merge_into(
     when_matched_delete: bool = False,
     when_not_matched_insert: Mapping[str, Any] | bool | None = None,
     mode: str | None = None,
-    broadcast_source: bool = True,
+    broadcast_source: bool | None = None,
     branch: str | None = None,
 ) -> TableMetadata:
     """MERGE INTO target USING source ON cond — all WHEN clauses share one
@@ -1166,9 +1175,16 @@ def merge_into(
     standard; Iceberg and the reference raise), detected via a count over
     the affected (file, row) pairs and raised before any write.
 
-    ``broadcast_source`` hints the source side of every target⋈source join;
-    the normal MERGE source is delta-sized, and the hint keeps the target
-    from shuffling. Pass ``False`` for a source too large to broadcast.
+    ``broadcast_source`` hints the source side of every target⋈source
+    join; the normal MERGE source is delta-sized, and the hint keeps the
+    target from shuffling. The default ``None`` decides from STATISTICS
+    (r15, plans/join_strategy.py — VERDICT r14 task 4): an engine scan
+    plan attached to the source sizes it from manifest byte/row counts
+    (delete cardinality subtracted), otherwise Spark's optimized-plan
+    estimate, compared against ``autoBroadcastJoinThreshold``; unknown
+    or over-threshold sources get ``.hint("merge")``, which also STOPS
+    Spark's own static estimate from mis-broadcasting them (the r13
+    five-query defect class). Pass ``True``/``False`` to force.
 
     ``location`` may be a path or a catalog ``RestTable`` (the snapshot
     then commits through the catalog)."""
@@ -1202,7 +1218,11 @@ def merge_into(
     # broadcast hint is unsupported noise); hinted source where it's the
     # build side of a target⋈source join
     src_plain = source.alias("src")
-    src = F.broadcast(src_plain) if broadcast_source else src_plain
+    from ..plans.join_strategy import apply_side_hint, decide_broadcast
+
+    if broadcast_source is None:
+        broadcast_source = decide_broadcast(source, spark)
+    src = apply_side_hint(src_plain, broadcast_source)
     cond = F.expr(on)
     mode = _resolve_mode(tm, mode, "write.merge.mode")
 

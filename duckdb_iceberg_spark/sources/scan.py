@@ -426,7 +426,9 @@ def scan_to_dataframe(
                    .withColumn("_last_updated_sequence_number", F.lit(None).cast(T.LongType()))
         if plan.residual:
             df = _residual_filter(df, plan.residual)
-        return df
+        from ..plans.join_strategy import attach_scan_plan
+
+        return attach_scan_plan(df, plan)
 
     files = [t.data_file.file_path for t in plan.tasks]
     # ORC data files (beyond the reference, which refuses every non-parquet
@@ -647,7 +649,12 @@ def scan_to_dataframe(
 
     if plan.residual:
         df = _residual_filter(df, plan.residual)
-    return df
+    # stamp the plan so statistics-driven join planning (r15,
+    # plans/join_strategy.py) can size this side from manifests instead
+    # of Spark's static estimate when the frame feeds a DML join
+    from ..plans.join_strategy import attach_scan_plan
+
+    return attach_scan_plan(df, plan)
 
 
 # ---------------------------------------------------------------------------

@@ -176,6 +176,13 @@ AUDIT = [
     "ice_avro_delete_scan",
     # r14: soft-dedup loss weights (components + one size groupBy)
     "docs_dup_weights",
+    # r15: string-dim z-order (string + numeric predicates pushed)
+    "ice_zorder_string_scan",
+    # r15: uuid/fixed/time avro scan (TIME predicate pruned via bounds)
+    "ice_avro_types_scan",
+    # r15: cluster-weighted sampling (components + broadcast thresholds,
+    # decision map-side)
+    "docs_cluster_sample",
 ]
 
 

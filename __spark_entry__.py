@@ -4174,76 +4174,125 @@ def queries() -> dict[str, Callable[[SparkSession, str],
     """DICT ORDER IS LOAD-BEARING. The driver's correctness harness checks
     only the FIRST 50 entries per round (CORRECTNESS_r*.json has exactly 50
     rows), so ordering decides which queries get hard cross-engine oracle
-    rows. With 141 queries, a parked query re-earns a driver row at
+    rows. With 147 queries, a parked query re-earns a driver row at
     latest every third round; tools/check_oracle.py still covers ALL
     positions every session. Rotation priority: (a) operators whose code
     changed since their last driver row, (b) entries that have never had
     a driver row, (c) longest parked, (d) family coverage - plus the
     VERDICT r8 hard rule: a RED driver row never rotates out until it
-    has a green one. Layout (round 14 rotation, per VERDICT r13 task 1):
+    has a green one. Layout (round 15 rotation, per VERDICT r14 task 1):
 
-      1-5    priority (a), code changed this round: q21_waiting_supplier
-             (single-pass rewrite), ice_dynamic_prune_join
-             (scan_with_runtime_filter now consumes NDV statistics),
-             stream_changelog (changelog_scan accepts catalog handles),
-             ice_ndv_stats + ice_partition_stats_file (ADVICE r13:
-             replace-snapshot guard, (spec_id, partition) keying,
-             seed-hash/lgK validation).
-      6-9    priority (b), never driver-checked: docs_dup_keep_best and
-             ice_avro_write_scan (r13 sweep-debuts), plus the NEW r14
-             ice_avro_write_part_scan (day+bucket-partitioned NESTED
-             Avro write) and ice_zorder_scan (z-order clustered
-             rewrite — 2-dim file pruning).
-      10-27  priority (c), every-third-round deadline (last green r11):
-             the 17 TPC-H queries whose plans did not change (q21 sits
-             in slot 1) + q_interval_join.
-      28-38  priority (c), same deadline: the r11 ice DML/scan core
-             (delete_using/sql_merge/update/upsert/merge/
-             merge_conditional/schema_evolution/spec_evolution/
-             compaction/bucket_pruned/variant_extract;
-             dynamic_prune sits in slot 2).
-      39-47  priority (c): ice_docs_curation (r10, the longest-parked
-             of all), the dsir/lm probes + buckets, temperature mix,
-             incremental minhash, and the session/sliding streaming
-             windows (all r11).
-      48-50  priority (d) family spread pulled forward from the r12
-             cohort: ice_orc_mor_scan (ORC MoR ordinals), emb_pq_topk
-             (ANN), docs_pipeline_curation (composition);
-             ice_add_files_scan yielded its slot to ice_zorder_scan
-             and parks with its r12 cohort (due r15).
-      51+    parked: the rest of the r12 window cohort (driver-green
-             r12, due by r15) and the full r13 window cohort
-             (driver-green r13, due by r16). Everything parked stays
-             oracle-checked in every local sweep.
+      1-2    priority (b), the r14 sweep-debuts awaiting their first
+             driver rows: docs_dup_weights (soft-dedup loss weights)
+             and ice_avro_delete_scan (avro positional + equality
+             delete files) - with these green, the union of r01-r15
+             driver rows covers every query that existed at r14.
+      3-5    priority (b), NEW r15 debuts: docs_cluster_sample
+             (cluster-weighted temperature sampling - consumes the
+             r14 weights), ice_zorder_string_scan (string-dimension
+             z-order via prefix-rank sketches), ice_avro_types_scan
+             (uuid/fixed/time leaves through the avro write path).
+      6      priority (a), code changed this round: ice_merge_scan -
+             MERGE's source side is now statistics-hinted
+             (plans/join_strategy.py, VERDICT r14 task 4).
+      7-50   priority (c), every-third-round deadline: the full r12
+             window cohort (last driver-green r12, due r15) - the
+             docs_* text/quality family, the emb_* ANN family, the
+             metadata/function/format ice_* family, the mm_* family,
+             and the stream curation/TTL pair.
+      51+    parked: the r13 window cohort (driver-green r13, due r16),
+             the r14 window cohort (driver-green r14, due r17), and the
+             r15 pending-(a) pair - ice_dynamic_prune_join (exact-count
+             NDV-skip guard) and ice_delete_using_scan (stats-hinted
+             USING side), both driver-green r14 with this round's
+             changes pinned by tests/test_runtime_filter.py and
+             tests/test_join_strategy.py; they lead the r16 (a) block.
+             Everything parked stays oracle-checked in every local
+             sweep.
 
-    r15 rotation plan: the remaining r12-green cohort (ice_orc_scan,
-    docs_quality_classifier, docs_bm25_topk, docs_gopher_filter,
-    docs_c4_clean, emb_neardup, docs_line_dedup, docs_repetition,
-    mm_video_meta, docs_dup_components, mm_*_dedup,
-    stream_minhash_curation, ice_variant_write_scan, emb_kmeans,
-    emb_semantic_dedup, emb_ivf_topk, emb_cosine_topk, emb_lsh_topk,
-    emb_knn_join*, docs_tfidf, the metadata/function ice_* family,
-    stream_curation, docs_vocab, docs_resample_mixture,
-    docs_stratified_sample, docs_pack_sequences, docs_corpus_report,
-    stream_dedup_ttl, docs_redact_pii, docs_normalize, docs_chunk,
-    ice_delete_compaction_scan) comes due; the r13 window cohort has
-    until r16.
+    r16 rotation plan: the pending-(a) pair above, then the r13 window
+    cohort (docs_bloom_dedup, docs_bpe_tokens, docs_decontaminate,
+    docs_dsir_sample, docs_exact_dedup, docs_fingerprint,
+    docs_incremental_dedup, docs_lang_scores, docs_minhash_dedup,
+    docs_ngram_dedup, docs_quality, docs_simhash, docs_source_cap,
+    docs_substr_dedup, the ice_avro/ice_orc/wap/retention/cherrypick
+    scans, ice_time_scan, ice_mor_delete_scan, emb_sq_topk, the
+    q03/q04/q05/q10/q12 TPC-H block, q_rollup, q_window_top_order,
+    q_events_hourly, q_asof_join, stream_tumbling_events,
+    stream_upsert_sink, mm_frame_sample, docs_token_count,
+    ice_dv_delete_scan) comes due; the r14 window cohort has until
+    r17.
     """
     return {
-        # 1-5 - priority (a): code changed this round
+        # 1-5 - priority (b), never driver-checked: the two r14
+        # sweep-debuts lead (VERDICT r14 task 1), then the three
+        # NEW r15 entries
+        "docs_dup_weights": docs_dup_weights,
+        "ice_avro_delete_scan": ice_avro_delete_scan,
+        "docs_cluster_sample": docs_cluster_sample,
+        "ice_zorder_string_scan": ice_zorder_string_scan,
+        "ice_avro_types_scan": ice_avro_types_scan,
+        # 6 - priority (a), code changed this round: MERGE's source
+        # side is now statistics-hinted (plans/join_strategy.py)
+        "ice_merge_scan": ice_merge_scan,
+        # 7-50 - priority (c), every-third-round deadline: the full
+        # r12 window cohort (last driver-green r12, due r15)
+        "ice_add_files_scan": ice_add_files_scan,
+        "ice_orc_scan": ice_orc_scan,
+        "docs_quality_classifier": docs_quality_classifier,
+        "docs_bm25_topk": docs_bm25_topk,
+        "docs_gopher_filter": docs_gopher_filter,
+        "docs_c4_clean": docs_c4_clean,
+        "emb_neardup": emb_neardup,
+        "docs_line_dedup": docs_line_dedup,
+        "docs_repetition": docs_repetition,
+        "mm_video_meta": mm_video_meta,
+        "docs_dup_components": docs_dup_components,
+        "mm_image_dedup": mm_image_dedup,
+        "mm_audio_dedup": mm_audio_dedup,
+        "mm_video_dedup": mm_video_dedup,
+        "stream_minhash_curation": stream_minhash_curation,
+        "ice_variant_write_scan": ice_variant_write_scan,
+        "emb_kmeans": emb_kmeans,
+        "emb_semantic_dedup": emb_semantic_dedup,
+        "emb_ivf_topk": emb_ivf_topk,
+        "emb_cosine_topk": emb_cosine_topk,
+        "emb_lsh_topk": emb_lsh_topk,
+        "emb_knn_join": emb_knn_join,
+        "emb_knn_join_bucketed": emb_knn_join_bucketed,
+        "docs_tfidf": docs_tfidf,
+        "ice_count_star_metadata": ice_count_star_metadata,
+        "ice_objectstore_scan": ice_objectstore_scan,
+        "ice_snapshot_history": ice_snapshot_history,
+        "ice_partition_stats": ice_partition_stats_q,
+        "ice_column_stats": ice_column_stats_q,
+        "ice_metadata_files": ice_metadata_files,
+        "ice_topk_scan": ice_topk_scan,
+        "ice_truncate_fn": ice_truncate_fn,
+        "ice_bucket_fn": ice_bucket_fn,
+        "stream_curation": stream_curation,
+        "docs_vocab": docs_vocab,
+        "docs_resample_mixture": docs_resample_mixture,
+        "docs_stratified_sample": docs_stratified_sample,
+        "docs_pack_sequences": docs_pack_sequences,
+        "docs_corpus_report": docs_corpus_report,
+        "stream_dedup_ttl": stream_dedup_ttl,
+        "docs_redact_pii": docs_redact_pii,
+        "docs_normalize": docs_normalize,
+        "docs_chunk": docs_chunk,
+        "ice_delete_compaction_scan": ice_delete_compaction_scan,
+        # parked: the r13 window cohort (due r16), the r14 window
+        # cohort (due r17), and the r15 pending-(a) pair - all
+        # driver-green, all still in every local sweep
         "q21_waiting_supplier": q21_waiting_supplier,
         "ice_dynamic_prune_join": ice_dynamic_prune_join,
         "stream_changelog": stream_changelog,
         "ice_ndv_stats": ice_ndv_stats,
         "ice_partition_stats_file": ice_partition_stats_file,
-        # 6-8 - priority (b): never driver-checked
         "docs_dup_keep_best": docs_dup_keep_best,
         "ice_avro_write_scan": ice_avro_write_scan,
         "ice_avro_write_part_scan": ice_avro_write_part_scan,
         "ice_zorder_scan": ice_zorder_scan,
-        # NEW r15: z-order with a string dimension (prefix-rank sketch)
-        "ice_zorder_string_scan": ice_zorder_string_scan,
-        # 9-26 - priority (c): TPC-H block + interval join, due r14
         "q01_pricing_summary": q01_pricing_summary,
         "q01_mor_pricing_summary": q01_mor_pricing_summary,
         "q02_min_cost_supplier": q02_min_cost_supplier,
@@ -4262,19 +4311,16 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "q20_excess_shippers": q20_excess_shippers,
         "q22_sales_opportunity": q22_sales_opportunity,
         "q_interval_join": q_interval_join,
-        # 27-37 - priority (c): the r11 ice DML/scan core, due r14
         "ice_delete_using_scan": ice_delete_using_scan,
         "ice_sql_merge": ice_sql_merge,
         "ice_update_scan": ice_update_scan,
         "ice_upsert_scan": ice_upsert_scan,
-        "ice_merge_scan": ice_merge_scan,
         "ice_merge_conditional": ice_merge_conditional,
         "ice_schema_evolution": ice_schema_evolution,
         "ice_spec_evolution_scan": ice_spec_evolution_scan,
         "ice_compaction_scan": ice_compaction_scan,
         "ice_bucket_pruned_scan": ice_bucket_pruned_scan,
         "ice_variant_extract": ice_variant_extract,
-        # 38-46 - priority (c): longest-parked composition/probes/streams
         "ice_docs_curation": ice_docs_curation,
         "docs_lm_score": docs_lm_score,
         "docs_lm_buckets": docs_lm_buckets,
@@ -4284,26 +4330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "docs_incremental_minhash": docs_incremental_minhash,
         "stream_session_events": stream_session_events,
         "stream_sliding_events": stream_sliding_events,
-        # 47-50 - priority (d): family spread from the r12 cohort
         "ice_orc_mor_scan": ice_orc_mor_scan,
         "emb_pq_topk": emb_pq_topk,
         "docs_pipeline_curation": docs_pipeline_curation,
-        # ------------------- 50-row window boundary -----------------------
-        # ice_add_files_scan yields its family-spread slot to the NEW
-        # ice_zorder_scan (r12-green, back with its cohort in r15)
-        "ice_add_files_scan": ice_add_files_scan,
-        # NEW r14 (sweep-debut, r15 window per never-checked priority):
-        # avro-format positional + equality DELETE files
-        "ice_avro_delete_scan": ice_avro_delete_scan,
-        # NEW r15: uuid/fixed/time leaves through the Avro write path
-        "ice_avro_types_scan": ice_avro_types_scan,
-        # NEW r14 (sweep-debut, r15 window): soft-dedup loss weights
-        "docs_dup_weights": docs_dup_weights,
-        # NEW r15: cluster-weighted temperature sampling (consumes the
-        # weights' cluster sizes — closes the soft-dedup loop)
-        "docs_cluster_sample": docs_cluster_sample,
-        # parked: r12 window cohort (due r15), then the r13 window cohort
-        # (due r16) - all driver-green, all still in every local sweep
         "ice_time_scan": ice_time_scan,
         "ice_mor_delete_scan": ice_mor_delete_scan,
         "docs_token_count": docs_token_count,
@@ -4352,49 +4381,6 @@ def queries() -> dict[str, Callable[[SparkSession, str],
         "ice_dv_delete_scan": ice_dv_delete_scan,
         "ice_time_travel": ice_time_travel,
         "docs_dsir_sample": docs_dsir_sample,
-        "ice_orc_scan": ice_orc_scan,
-        "docs_quality_classifier": docs_quality_classifier,
-        "docs_bm25_topk": docs_bm25_topk,
-        "docs_gopher_filter": docs_gopher_filter,
-        "docs_c4_clean": docs_c4_clean,
-        "emb_neardup": emb_neardup,
-        "docs_line_dedup": docs_line_dedup,
-        "docs_repetition": docs_repetition,
-        "mm_video_meta": mm_video_meta,
-        "docs_dup_components": docs_dup_components,
-        "mm_image_dedup": mm_image_dedup,
-        "mm_audio_dedup": mm_audio_dedup,
-        "mm_video_dedup": mm_video_dedup,
-        "stream_minhash_curation": stream_minhash_curation,
-        "ice_variant_write_scan": ice_variant_write_scan,
-        "emb_kmeans": emb_kmeans,
-        "emb_semantic_dedup": emb_semantic_dedup,
-        "emb_ivf_topk": emb_ivf_topk,
-        "emb_cosine_topk": emb_cosine_topk,
-        "emb_lsh_topk": emb_lsh_topk,
-        "emb_knn_join": emb_knn_join,
-        "emb_knn_join_bucketed": emb_knn_join_bucketed,
-        "docs_tfidf": docs_tfidf,
-        "ice_count_star_metadata": ice_count_star_metadata,
-        "ice_objectstore_scan": ice_objectstore_scan,
-        "ice_snapshot_history": ice_snapshot_history,
-        "ice_partition_stats": ice_partition_stats_q,
-        "ice_column_stats": ice_column_stats_q,
-        "ice_metadata_files": ice_metadata_files,
-        "ice_topk_scan": ice_topk_scan,
-        "ice_truncate_fn": ice_truncate_fn,
-        "ice_bucket_fn": ice_bucket_fn,
-        "stream_curation": stream_curation,
-        "docs_vocab": docs_vocab,
-        "docs_resample_mixture": docs_resample_mixture,
-        "docs_stratified_sample": docs_stratified_sample,
-        "docs_pack_sequences": docs_pack_sequences,
-        "docs_corpus_report": docs_corpus_report,
-        "stream_dedup_ttl": stream_dedup_ttl,
-        "docs_redact_pii": docs_redact_pii,
-        "docs_normalize": docs_normalize,
-        "docs_chunk": docs_chunk,
-        "ice_delete_compaction_scan": ice_delete_compaction_scan,
     }
 
 
@@ -6359,6 +6345,7 @@ def _data_oracles() -> dict[str, str]:
                 "docs_c4_clean": _C4_SQL,
                 "docs_tfidf": _tfidf_sql(),
                 "docs_temperature_sample": _temperature_sql(),
+                "docs_cluster_sample": _cluster_sample_sql(),
             }
         except (FileNotFoundError, OSError, _duck.IOException):
             _ANN_ORACLE_CACHE[sf_dir] = {}
@@ -7421,9 +7408,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN sized s ON d.doc_id = s.doc_id
             GROUP BY d.lang ORDER BY d.lang
         """),
-        # cluster-weighted temperature sampling (r15): true components +
-        # window sizes + per-size md5 thresholds replayed as literals
-        "docs_cluster_sample": _cluster_sample_sql(),
+        # docs_cluster_sample lives in _data_oracles (its builder
+        # re-derives the realized cluster sizes from the corpus)
         # keep-best curation (r13): true components + the argmax window
         # replayed — kept = winners per cluster, covered_docs = the
         # winners' cluster sizes (sums to the corpus size overall)

@@ -90,7 +90,7 @@ def _read_avro_cached(path: str, what: str):
     return out
 
 
-@dataclass
+@dataclass(slots=True)
 class FieldSummary:
     contains_null: bool = False
     contains_nan: Optional[bool] = None
@@ -98,7 +98,7 @@ class FieldSummary:
     upper_bound: Optional[bytes] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class ManifestFile:
     manifest_path: str
     manifest_length: int
@@ -117,7 +117,7 @@ class ManifestFile:
     first_row_id: Optional[int] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class DataFile:
     content: int  # CONTENT_*
     file_path: str
@@ -141,7 +141,7 @@ class DataFile:
     first_row_id: Optional[int] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class ManifestEntry:
     status: int
     snapshot_id: Optional[int]

@@ -19,68 +19,56 @@ ROWS_ONLY: set = set()
 
 
 def test_window_holds_reference_surface_and_rotation():
-    """Round-14 rotation (queries() docstring, VERDICT r13 task 1):
-    code-changed entries hold slots 1-5 (q21 single-pass rewrite,
-    NDV-consuming runtime filter, catalog-handle changelog, the
-    ADVICE-hardened statistics pair); the three never-driver-checked
-    entries get their first rows (slots 6-8); the full every-third-round
-    cohort last green r11 rotates in (17 TPC-H + q_interval_join, the
-    r11 ice DML/scan core, ice_docs_curation, probes, streaming
-    windows); four r12-cohort family representatives fill the tail. The
-    r12/r13 window cohorts park (due r15/r16). An entry may leave the
-    window only via a documented rotation, never via an accidental
-    insertion above it."""
+    """Round-15 rotation (queries() docstring, VERDICT r14 task 1): the
+    two r14 sweep-debuts lead (their driver rows complete the r01-r15
+    union over every pre-r15 query), the three NEW r15 entries follow,
+    one code-changed representative (statistics-hinted MERGE) takes slot
+    6, and the full every-third-round r12 cohort (due r15) fills 7-50.
+    The r13/r14 window cohorts park (due r16/r17), as does the
+    documented pending-(a) pair. An entry may leave the window only via
+    a documented rotation, never via an accidental insertion above
+    it."""
     keys = list(entry.queries())
     window = set(keys[:50])
-    assert keys[0] == "q21_waiting_supplier", (
-        "the single-pass q21 rewrite must hold slot 1 (priority (a))")
-    code_changed = {
-        "q21_waiting_supplier", "ice_dynamic_prune_join",
-        "stream_changelog", "ice_ndv_stats", "ice_partition_stats_file",
+    debuts_r14 = ["docs_dup_weights", "ice_avro_delete_scan"]
+    assert keys[:2] == debuts_r14, (
+        "the never-driver-checked r14 sweep-debuts must lead the window")
+    debuts_r15 = {
+        "docs_cluster_sample", "ice_zorder_string_scan",
+        "ice_avro_types_scan",
     }
-    assert set(keys[:5]) == code_changed, (
-        "slots 1-5 are the priority-(a) code-changed entries")
-    never_checked = {
-        "docs_dup_keep_best", "ice_avro_write_scan",
-        "ice_avro_write_part_scan", "ice_zorder_scan",
+    assert set(keys[2:5]) == debuts_r15, (
+        "slots 3-5 are the NEW r15 debuts")
+    assert keys[5] == "ice_merge_scan", (
+        "slot 6 is the code-changed stats-hinted MERGE representative")
+    due_r12 = {
+        "docs_bm25_topk", "docs_c4_clean", "docs_chunk",
+        "docs_corpus_report", "docs_dup_components", "docs_gopher_filter",
+        "docs_line_dedup", "docs_normalize", "docs_pack_sequences",
+        "docs_quality_classifier", "docs_redact_pii", "docs_repetition",
+        "docs_resample_mixture", "docs_stratified_sample", "docs_tfidf",
+        "docs_vocab", "emb_cosine_topk", "emb_ivf_topk", "emb_kmeans",
+        "emb_knn_join", "emb_knn_join_bucketed", "emb_lsh_topk",
+        "emb_neardup", "emb_semantic_dedup", "ice_add_files_scan",
+        "ice_bucket_fn", "ice_column_stats", "ice_count_star_metadata",
+        "ice_delete_compaction_scan", "ice_metadata_files",
+        "ice_objectstore_scan", "ice_orc_scan", "ice_partition_stats",
+        "ice_snapshot_history", "ice_topk_scan", "ice_truncate_fn",
+        "ice_variant_write_scan", "mm_audio_dedup", "mm_image_dedup",
+        "mm_video_dedup", "mm_video_meta", "stream_curation",
+        "stream_dedup_ttl", "stream_minhash_curation",
     }
-    assert set(keys[5:9]) == never_checked, (
-        f"{sorted(never_checked - window)} (never driver-checked) must "
-        "sit right after the code-changed block")
-    due_r11 = {
-        "q01_pricing_summary", "q01_mor_pricing_summary",
-        "q02_min_cost_supplier", "q06_revenue_forecast",
-        "q07_volume_shipping", "q08_market_share", "q09_product_profit",
-        "q11_important_stock", "q13_customer_distribution",
-        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
-        "q17_small_quantity", "q18_large_volume", "q19_disjunctive",
-        "q20_excess_shippers", "q22_sales_opportunity", "q_interval_join",
-        "ice_delete_using_scan", "ice_sql_merge", "ice_update_scan",
-        "ice_upsert_scan", "ice_merge_scan", "ice_merge_conditional",
-        "ice_schema_evolution", "ice_spec_evolution_scan",
-        "ice_compaction_scan", "ice_bucket_pruned_scan",
-        "ice_variant_extract", "ice_docs_curation", "docs_lm_score",
-        "docs_lm_buckets", "docs_dsir_probe", "docs_lm_probe",
-        "docs_temperature_sample", "docs_incremental_minhash",
-        "stream_session_events", "stream_sliding_events",
-    }
-    assert len(due_r11) == 38
-    assert due_r11 <= window, (
-        f"{sorted(due_r11 - window)} (last driver-green r11 or older, "
+    assert len(due_r12) == 44
+    assert set(keys[6:50]) == due_r12, (
+        f"{sorted(due_r12 - window)} (last driver-green r12, "
         "every-third-round deadline) fell past the window")
-    family_spread = {
-        "ice_orc_mor_scan", "emb_pq_topk", "docs_pipeline_curation",
-    }
-    assert family_spread <= window, (
-        f"{sorted(family_spread - window)} (r12-cohort family spread) "
-        "fell past the window")
-    # first past the boundary: ice_add_files_scan (yielded its slot to
-    # ice_zorder_scan), the r14 sweep-debut ice_avro_delete_scan (due a
-    # driver row r15 under never-checked priority), then the r13 cohort
-    assert keys[50] == "ice_add_files_scan"
-    assert keys[51] == "ice_avro_delete_scan"
-    assert keys[52] == "docs_dup_weights"
-    assert keys[53] == "ice_time_scan"
+    # first past the boundary: the r13 cohort leads the parked block via
+    # the old r14 window head; the pending-(a) pair is documented parked
+    assert keys[50] == "q21_waiting_supplier"
+    pending_a = {"ice_dynamic_prune_join", "ice_delete_using_scan"}
+    assert pending_a.isdisjoint(window) and pending_a <= set(keys[50:]), (
+        "the pending-(a) pair parks this round (documented) and leads "
+        "the r16 (a) block")
     assert len(keys) >= 50 and len(window) == 50
 
 
@@ -147,6 +135,7 @@ def test_fixture_cache_lifecycle(tmp_path, monkeypatch):
 DATA_ORACLES = {
     "emb_pq_topk", "emb_ivf_topk", "emb_kmeans", "emb_semantic_dedup",
     "docs_dsir_sample", "docs_lm_score", "docs_lm_buckets", "docs_tfidf",
+    "docs_cluster_sample",
 }
 
 

@@ -48,6 +48,13 @@ N_MANIFESTS = 200
 ENTRIES_PER_MANIFEST = 500
 ROWS_PER_FILE = 4096
 
+# r15 (VERDICT r14 task 2): the 100 TB shape — a table at 512 MB files
+# is ~2e5-1e6 manifest entries; this block pins the driver's task-list
+# memory ceiling (the O(#entries) materialization) at that scale
+N_MANIFESTS_LARGE = 1000
+ENTRIES_PER_MANIFEST_LARGE = 1000
+LARGE_PEAK_BUDGET_MB = 1536
+
 
 def _fingerprint() -> str:
     import __spark_entry__ as entry
@@ -55,7 +62,9 @@ def _fingerprint() -> str:
     return entry._CODE_FINGERPRINT[:12]
 
 
-def build_table(base_dir: str | None = None) -> str:
+def build_table(base_dir: str | None = None,
+                n_manifests: int = N_MANIFESTS,
+                entries_per_manifest: int = ENTRIES_PER_MANIFEST) -> str:
     """Author the synthetic table once per code fingerprint; return its
     location. Pure driver-side metadata authoring through the package's
     own manifest writer — the same code path real commits use."""
@@ -71,7 +80,7 @@ def build_table(base_dir: str | None = None) -> str:
     base = base_dir or "/tmp/spark_graft_meta_bench"
     loc = os.path.join(
         base,
-        f"m{N_MANIFESTS}x{ENTRIES_PER_MANIFEST}-{_fingerprint()}")
+        f"m{n_manifests}x{entries_per_manifest}-{_fingerprint()}")
     done = os.path.join(loc, "_DONE")
     if os.path.exists(done):
         return loc
@@ -95,9 +104,9 @@ def build_table(base_dir: str | None = None) -> str:
         snap_id = 1
         meta_dir = os.path.join(loc, "metadata")
         manifests = []
-        for p in range(N_MANIFESTS):
+        for p in range(n_manifests):
             entries = []
-            for i in range(ENTRIES_PER_MANIFEST):
+            for i in range(entries_per_manifest):
                 lo = p * 10_000 + i
                 df = mf.DataFile(
                     content=mf.CONTENT_DATA,
@@ -125,17 +134,17 @@ def build_table(base_dir: str | None = None) -> str:
         ml_path = os.path.join(meta_dir, "snap-1.avro")
         mf.write_manifest_list(ml_path, manifests, snap_id, None, 1,
                                tm.format_version)
-        total = N_MANIFESTS * ENTRIES_PER_MANIFEST * ROWS_PER_FILE
+        total = n_manifests * entries_per_manifest * ROWS_PER_FILE
         snap = Snapshot(
             snapshot_id=snap_id, timestamp_ms=int(time.time() * 1000),
             manifest_list=ml_path, sequence_number=1,
             summary={"operation": "append",
                      "added-data-files":
-                         str(N_MANIFESTS * ENTRIES_PER_MANIFEST),
+                         str(n_manifests * entries_per_manifest),
                      "added-records": str(total),
                      "total-records": str(total),
                      "total-data-files":
-                         str(N_MANIFESTS * ENTRIES_PER_MANIFEST)},
+                         str(n_manifests * entries_per_manifest)},
             schema_id=tm.current_schema_id)
         tm.snapshots.append(snap)
         tm.current_snapshot_id = snap_id
@@ -231,6 +240,105 @@ def run(base_dir: str | None = None) -> dict:
     }
 
 
+def run_large(spark, base_dir: str | None = None) -> dict:
+    """The 1e6-entry block (r15 — VERDICT r14 task 2): 1000 manifests x
+    1000 entries. The full plan runs through plan_scan_distributed with
+    LEAN task emission — manifests parse + file-prune on executors, the
+    strip happens there too, and the driver retains only read-relevant
+    task fields. Measured/asserted:
+
+    - selective_plan_sec  driver path, manifest-list summaries prune
+                          999/1000 before any manifest parse
+    - full_plan_sec       distributed lean plan, all 1e6 tasks
+    - full_plan_peak_mb   tracemalloc peak of a second distributed plan
+                          (driver-side allocations — the ceiling VERDICT
+                          r14 named); ASSERTED < LARGE_PEAK_BUDGET_MB
+    - count_star_sec      exact count(*) off manifest-list stats
+
+    Invariants: full plan yields exactly 1e6 tasks; the selective plan
+    parses ONE manifest and yields 1000 tasks; the metadata count is
+    exact; peak under budget."""
+    from duckdb_iceberg_spark.metadata import manifest as mf
+    from duckdb_iceberg_spark.metadata.table_metadata import (
+        load_table_metadata,
+    )
+    from duckdb_iceberg_spark.plans.distributed_planner import (
+        plan_scan_distributed,
+    )
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+    from duckdb_iceberg_spark.sources.scan import iceberg_count
+
+    nm, epm = N_MANIFESTS_LARGE, ENTRIES_PER_MANIFEST_LARGE
+    t0 = time.time()
+    loc = build_table(base_dir, n_manifests=nm, entries_per_manifest=epm)
+    build_s = time.time() - t0
+
+    tm = load_table_metadata(loc)
+    snap = tm.select_snapshot()
+
+    def _cold():
+        with mf._AVRO_CACHE_LOCK:
+            mf._AVRO_CACHE.clear()
+
+    # selective plan (driver path): 999/1000 manifests pruned from the
+    # manifest-list partition summaries alone
+    _cold()
+    t0 = time.time()
+    sel = plan_scan(tm, snap, where=f"partition_id = {nm - 1}")
+    sel_s = time.time() - t0
+    assert sel.stats["manifests_pruned"] == nm - 1, sel.stats
+    assert len(sel.tasks) == epm, len(sel.tasks)
+
+    # distributed lean full plan: every manifest parses ON EXECUTORS
+    _cold()
+    t0 = time.time()
+    full = plan_scan_distributed(spark, tm, snap, lean=True)
+    full_s = time.time() - t0
+    assert len(full.tasks) == nm * epm, len(full.tasks)
+    assert full.stats.get("distributed_manifests") == nm, full.stats
+    # lean tasks really are lean
+    t = full.tasks[0]
+    assert t.data_file.lower_bounds is None \
+        and t.data_file.value_counts is None
+    assert t.data_file.record_count == ROWS_PER_FILE
+
+    # driver-side peak of the same distributed plan (tracemalloc slows
+    # the measured pass; never shares a timing measurement)
+    _cold()
+    tracemalloc.start()
+    plan_scan_distributed(spark, tm, snap, lean=True)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    peak_mb = peak / (1024 * 1024)
+    assert peak_mb < LARGE_PEAK_BUDGET_MB, \
+        f"1e6-entry driver peak {peak_mb:.0f} MB >= " \
+        f"{LARGE_PEAK_BUDGET_MB} MB budget"
+
+    t0 = time.time()
+    n = iceberg_count(loc)
+    count_s = time.time() - t0
+    assert n == nm * epm * ROWS_PER_FILE, n
+
+    return {
+        "manifests": nm,
+        "entries": nm * epm,
+        "build_sec": round(build_s, 3),
+        "selective_plan_sec": round(sel_s, 3),
+        "selective_manifests_parsed": nm - sel.stats["manifests_pruned"],
+        "full_plan_sec": round(full_s, 3),
+        "full_plan_peak_mb": round(peak_mb, 1),
+        "peak_budget_mb": LARGE_PEAK_BUDGET_MB,
+        "count_star_sec": round(count_s, 3),
+    }
+
+
 if __name__ == "__main__":
     print(json.dumps({"metric": "metadata-plane planning at 1e5 entries",
                       **run()}))
+    if "--large" in sys.argv:
+        from duckdb_iceberg_spark.session import get_spark
+
+        spark = get_spark()
+        print(json.dumps({
+            "metric": "metadata-plane planning at 1e6 entries",
+            **run_large(spark)}))

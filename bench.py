@@ -519,6 +519,14 @@ def main() -> None:
             out["metadata_plane"] = bench_metadata.run()
         except Exception as e:  # never sink the whole artifact
             out["metadata_plane"] = {"error": str(e)[:200]}
+        # r15 (VERDICT r14 task 2): the 1e6-entry block — distributed
+        # LEAN task emission bounds the driver's task-list memory (the
+        # last 100 TB ceiling); invariants inside run_large() assert
+        # 1e6 tasks, 1-of-1000 selective parse, peak < budget
+        try:
+            out["metadata_plane_1e6"] = bench_metadata.run_large(spark)
+        except Exception as e:
+            out["metadata_plane_1e6"] = {"error": str(e)[:200]}
 
     # min-of-N discipline for MOVED queries (VERDICT r8 task 5): any query
     # whose median shifted >1.3x vs the PREVIOUS bench artifact ships its

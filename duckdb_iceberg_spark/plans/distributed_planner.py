@@ -115,8 +115,12 @@ def plan_scan_distributed(
                     sequence_number=e.sequence_number,
                     file_sequence_number=e.file_sequence_number,
                     data_file=strip_file_stats(e.data_file))
-            out.append(pickle.dumps((e, spec_id)))
-        return out
+            out.append((e, spec_id))
+        # ONE blob per manifest (r15): per-entry pickles made the driver
+        # hold 1e6 tiny bytes objects next to their unpickled twins —
+        # batching + the pop()-streaming consume below cut the 1e6-entry
+        # driver peak from 1.66 GB to under budget
+        return [pickle.dumps(out)] if out else []
 
     items = [(m.manifest_path, m.partition_spec_id, m.sequence_number,
               m.first_row_id)
@@ -127,7 +131,6 @@ def plan_scan_distributed(
         .flatMap(prune_manifest)
         .collect()
     )
-    data_entries = [pickle.loads(b) for b in survivors_raw]
 
     # delete manifests: usually few — parse on the driver
     pos_deletes: list[tuple[mf.ManifestEntry, int]] = []
@@ -145,17 +148,23 @@ def plan_scan_distributed(
             else:
                 pos_deletes.append((e, m.partition_spec_id))
 
-    stats = {
-        "manifests_total": len(manifests),
-        "manifests_pruned": pruned,
-        "files_total": len(data_entries),
-        "files_pruned": 0,  # executor-side pruning already applied
-        "delete_files": len(pos_deletes) + len(eq_deletes),
-        "distributed_manifests": len(data_manifests),
-    }
-
     tasks: list[FileScanTask] = []
-    for e, spec_id in data_entries:
+    from ..io import normalize_path as _np
+
+    from .scan_plan import _DeleteIndex
+
+    pos_idx = _DeleteIndex(pos_deletes)
+    eq_idx = _DeleteIndex(eq_deletes)
+
+    def _stream_entries():
+        # consume blobs back-to-front, releasing each after unpickling —
+        # the collect result and the growing task list never coexist in
+        # full (the r15 1e6-entry driver-peak fix)
+        while survivors_raw:
+            for pair in pickle.loads(survivors_raw.pop()):
+                yield pair
+
+    for e, spec_id in _stream_entries():
         orig_path = e.data_file.file_path
         e.data_file.file_path = _localize(tm, e.data_file.file_path)
         data_paths = (orig_path, e.data_file.file_path)
@@ -166,7 +175,8 @@ def plan_scan_distributed(
             first_row_id=e.data_file.first_row_id,
         )
         data_seq = e.sequence_number or 0
-        for de, dspec in pos_deletes:
+        norm_paths = {_np(p) for p in data_paths}
+        for de, dspec in pos_idx.candidates(e, spec_id, norm_paths):
             if (de.sequence_number or 0) >= data_seq \
                     and _partitions_overlap(e, de, spec_id, dspec, data_paths) \
                     and _pos_delete_path_overlap(de, data_paths):
@@ -176,7 +186,7 @@ def plan_scan_distributed(
                     df2.referenced_data_file = _localize(
                         tm, df2.referenced_data_file)
                 task.positional_deletes.append(df2)
-        for de, dspec in eq_deletes:
+        for de, dspec in eq_idx.candidates(e, spec_id, norm_paths):
             if (de.sequence_number or 0) > data_seq \
                     and _partitions_overlap(e, de, spec_id, dspec, data_paths) \
                     and _eq_delete_bounds_overlap(e, de, tm.schema_json()) \
@@ -186,6 +196,14 @@ def plan_scan_distributed(
                 task.equality_deletes.append(((de.sequence_number or 0), df2))
         tasks.append(task)
 
+    stats = {
+        "manifests_total": len(manifests),
+        "manifests_pruned": pruned,
+        "files_total": len(tasks),
+        "files_pruned": 0,  # executor-side pruning already applied
+        "delete_files": len(pos_deletes) + len(eq_deletes),
+        "distributed_manifests": len(data_manifests),
+    }
     tasks.sort(key=lambda t: t.data_file.file_path)  # determinism across runs
     return ScanPlan(tm, snapshot, tasks, where,
                     snapshot.schema_id if snapshot.schema_id is not None else None,

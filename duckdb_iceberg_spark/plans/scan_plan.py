@@ -558,6 +558,79 @@ def manifests_for_snapshot(tm: TableMetadata,
     ]
 
 
+class _DeleteIndex:
+    """Partition-keyed candidate index over delete entries (r15).
+
+    The delete-attachment loops were O(data_files × delete_files) — at
+    100 TB (1e5-1e6 data files, 1e4+ MoR delete files) that is 1e9+
+    driver-side overlap checks. Deletes bucket by (a) normalized
+    ``referenced_data_file`` (DVs target exactly one file), (b) exact
+    (spec_id, partition-tuple) for fully-valued partitions — identity-
+    partitioned MoR, the common shape — with (c) small fallback lists
+    for unpartitioned deletes, NULL-valued partition tuples, and
+    cross-spec conservative application. Candidate sets are a SUPERSET
+    of true matches by construction; the caller still runs the original
+    overlap predicates per candidate, so semantics are unchanged and
+    the equivalence is pinned by the planner parity tests."""
+
+    __slots__ = ("by_ref", "exact", "by_spec", "loose", "unpart")
+
+    def __init__(self, deletes):
+        from ..io import normalize_path
+
+        self.by_ref: dict = {}
+        self.exact: dict = {}
+        self.by_spec: dict = {}
+        self.loose: list = []
+        self.unpart: list = []
+        for item in deletes:
+            de, dspec = item
+            d = de.data_file
+            if d.referenced_data_file:
+                self.by_ref.setdefault(
+                    normalize_path(d.referenced_data_file), []).append(item)
+                continue
+            pp = d.partition
+            if not pp:
+                self.unpart.append(item)
+                continue
+            self.by_spec.setdefault(dspec, []).append(item)
+            if all(v is not None for v in pp.values()):
+                try:
+                    key = (dspec, tuple(sorted(pp.items())))
+                    self.exact.setdefault(key, []).append(item)
+                    continue
+                except TypeError:  # unhashable/unorderable value
+                    pass
+            self.loose.append(item)
+
+    def candidates(self, data_entry, data_spec_id: int,
+                   norm_paths) -> list:
+        out = list(self.unpart)
+        for p in norm_paths:
+            out += self.by_ref.get(p, [])
+        dp = data_entry.data_file.partition
+        if dp and all(v is not None for v in dp.values()):
+            try:
+                out += self.exact.get(
+                    (data_spec_id, tuple(sorted(dp.items()))), [])
+                out += [it for it in self.loose if it[1] == data_spec_id]
+                # different spec ⇒ the overlap predicate is conservative
+                # TRUE, so every cross-spec partitioned delete stays a
+                # candidate (empty in the single-spec common case)
+                for ds, lst in self.by_spec.items():
+                    if ds != data_spec_id:
+                        out += lst
+                return out
+            except TypeError:
+                pass
+        # vacuous/NULL-valued data partition: every partitioned delete
+        # remains a candidate
+        for lst in self.by_spec.values():
+            out += lst
+        return out
+
+
 def strip_file_stats(df: "mf.DataFile") -> "mf.DataFile":
     """Copy of a pruning-complete DataFile without its per-column stat
     maps (r15 — VERDICT r14 task 2). Once a file is planned IN, the read
@@ -682,6 +755,10 @@ def _plan_scan(
     schema_json = tm.schemas.get(scan_schema_id, tm.schemas[tm.current_schema_id])
 
     tasks: list[FileScanTask] = []
+    from ..io import normalize_path as _np
+
+    pos_idx = _DeleteIndex(pos_deletes)
+    eq_idx = _DeleteIndex(eq_deletes)
     for e, spec_id in data_entries:
         spec = tm.partition_specs.get(spec_id, PartitionSpec(spec_id, []))
         if not _file_matches(e, spec, tm, pred, schema_json):
@@ -713,7 +790,8 @@ def _plan_scan(
             first_row_id=e.data_file.first_row_id,
         )
         data_seq = e.sequence_number or 0
-        for de, dspec in pos_deletes:
+        norm_paths = {_np(p) for p in data_paths}
+        for de, dspec in pos_idx.candidates(e, spec_id, norm_paths):
             # positional deletes apply at delete.seq >= data.seq
             # (reference: iceberg_file_pruner.cpp:340-356)
             if (de.sequence_number or 0) >= data_seq \
@@ -729,7 +807,7 @@ def _plan_scan(
                         tm, df2.referenced_data_file)
                 task.positional_deletes.append(
                     strip_file_stats(df2) if lean else df2)
-        for de, dspec in eq_deletes:
+        for de, dspec in eq_idx.candidates(e, spec_id, norm_paths):
             # equality deletes apply strictly after: delete.seq > data.seq
             if (de.sequence_number or 0) > data_seq \
                     and _partitions_overlap(e, de, spec_id, dspec, data_paths) \

@@ -57,17 +57,42 @@ LARGE_PEAK_BUDGET_MB = 1536
 
 
 def _fingerprint() -> str:
-    import __spark_entry__ as entry
+    """Hash of the metadata-AUTHORING code only (r15): the synthetic
+    table's bytes depend on the manifest/metadata writers, not on query
+    entries or operators — the full-package fingerprint forced a ~100s
+    1e6-entry rebuild on every unrelated edit."""
+    import hashlib
 
-    return entry._CODE_FINGERPRINT[:12]
+    import duckdb_iceberg_spark as pkg
+
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    deps = [
+        os.path.join(root, "metadata", "manifest.py"),
+        os.path.join(root, "metadata", "table_metadata.py"),
+        os.path.join(root, "metadata", "avro_io.py"),
+        os.path.join(root, "metadata", "types.py"),
+        os.path.join(root, "sources", "writer.py"),
+        os.path.abspath(__file__),
+    ]
+    h = hashlib.md5()
+    for p in sorted(deps):
+        h.update(p.encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:12]
 
 
 def build_table(base_dir: str | None = None,
-                n_manifests: int = N_MANIFESTS,
-                entries_per_manifest: int = ENTRIES_PER_MANIFEST) -> str:
+                n_manifests: int | None = None,
+                entries_per_manifest: int | None = None) -> str:
     """Author the synthetic table once per code fingerprint; return its
     location. Pure driver-side metadata authoring through the package's
     own manifest writer — the same code path real commits use."""
+    # resolve at CALL time so tests can monkeypatch the module globals
+    if n_manifests is None:
+        n_manifests = N_MANIFESTS
+    if entries_per_manifest is None:
+        entries_per_manifest = ENTRIES_PER_MANIFEST
     from pyspark.sql import types as T
 
     from duckdb_iceberg_spark.metadata import manifest as mf

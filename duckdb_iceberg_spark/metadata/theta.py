@@ -13,8 +13,8 @@ empty/exact/estimation), hashing with MurmurHash3 x64_128 at the
 DataSketches default seed 9001 and keeping ``hash >>> 1`` like the Java
 library so values stay in [1, 2^63). Within this engine the write/read
 pair is exact and estimation is deterministic; byte-level Java interop
-follows the published format but is best-effort: re-probed 2026-08-16
-(r14) — no ``datasketches`` Python package, no Java datasketches jar,
+follows the published format but is best-effort: re-probed 2026-08-17
+(r15) — no ``datasketches`` Python package, no Java datasketches jar,
 duckdb 1.0.0 exposes no sketch functions, and the container has no
 network to fetch the published binary test vectors, so no independent
 byte oracle exists here. In its place tests/test_statistics.py pins

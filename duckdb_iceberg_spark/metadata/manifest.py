@@ -63,12 +63,27 @@ from threading import Lock as _Lock
 
 _AVRO_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
 _AVRO_CACHE_MAX = 256
+#: r15: ALSO bound the cache by total decoded RECORDS — manifests hold
+#: ~1-3 KB of raw record dicts per entry, so 256 files x 1000-entry
+#: manifests would pin ~700 MB of driver heap; the record budget keeps
+#: the cache O(constant) however large individual manifests get
+_AVRO_CACHE_MAX_RECORDS = 200_000
+_AVRO_CACHE_RECORDS = [0]
 # planning runs concurrently (distributed fixture builders, parallel
 # tests): get/move_to_end racing another thread's eviction popitem()
 # raised KeyError without the lock (ADVICE r9). The lock guards only the
 # dict bookkeeping — the Avro decode itself runs unlocked, so two threads
 # may redundantly decode the same cold file but never corrupt the LRU.
 _AVRO_CACHE_LOCK = _Lock()
+
+
+def clear_manifest_cache() -> None:
+    """Drop every cached decode and reset the record-weight counter —
+    clearing the dict directly would leave the counter drifted and the
+    budget permanently evicting (r15)."""
+    with _AVRO_CACHE_LOCK:
+        _AVRO_CACHE.clear()
+        _AVRO_CACHE_RECORDS[0] = 0
 
 
 def _read_avro_cached(path: str, what: str):
@@ -84,9 +99,15 @@ def _read_avro_cached(path: str, what: str):
             return hit
     out = _read_avro_clean(path, what)
     with _AVRO_CACHE_LOCK:
+        if key not in _AVRO_CACHE:
+            _AVRO_CACHE_RECORDS[0] += len(out[2])
         _AVRO_CACHE[key] = out
-        if len(_AVRO_CACHE) > _AVRO_CACHE_MAX:
-            _AVRO_CACHE.popitem(last=False)
+        while _AVRO_CACHE and (
+                len(_AVRO_CACHE) > _AVRO_CACHE_MAX
+                or (_AVRO_CACHE_RECORDS[0] > _AVRO_CACHE_MAX_RECORDS
+                    and len(_AVRO_CACHE) > 1)):
+            _, old = _AVRO_CACHE.popitem(last=False)
+            _AVRO_CACHE_RECORDS[0] -= len(old[2])
     return out
 
 

@@ -360,7 +360,7 @@ def test_manifest_record_cache(tmp_path, monkeypatch):
         return real(p, what)
 
     monkeypatch.setattr(mf, "_read_avro_clean", counting)
-    mf._AVRO_CACHE.clear()
+    mf.clear_manifest_cache()
     a = mf.read_manifest(path)
     b = mf.read_manifest(path)
     assert len(calls) == 1, "second read must hit the record cache"
@@ -433,7 +433,7 @@ def test_avro_cache_thread_safe_under_eviction(tmp_path):
             t.join()
     finally:
         mf._AVRO_CACHE_MAX = old_max
-        mf._AVRO_CACHE.clear()
+        mf.clear_manifest_cache()
     assert not errors, errors
 
 
@@ -646,3 +646,51 @@ def test_scan_option_combinations_never_silently_ignored(spark, tmp_path):
             execute_sql(spark, stmt)
     # and the data is untouched
     assert iceberg_scan(spark, loc).count() == 3
+
+
+def test_avro_cache_record_weight_budget(tmp_path, monkeypatch):
+    """r15: the manifest LRU is ALSO bounded by total decoded records —
+    256 large manifests would otherwise pin ~700 MB of raw record dicts
+    on the driver. Over-budget inserts evict oldest-first (but always
+    keep the newest), and clear_manifest_cache resets the counter so
+    the budget can't drift into permanent eviction."""
+    from duckdb_iceberg_spark.metadata import manifest as mf
+
+    class _TM:  # minimal stand-in: unpartitioned v2 table
+        format_version = 2
+        current_schema_id = 0
+        properties: dict = {}
+
+        @staticmethod
+        def schema_json():
+            return {"type": "struct", "schema-id": 0, "fields": []}
+
+    def mk(path, n):
+        entries = [mf.ManifestEntry(
+            status=mf.STATUS_ADDED, snapshot_id=1, sequence_number=1,
+            file_sequence_number=1,
+            data_file=mf.DataFile(
+                content=mf.CONTENT_DATA, file_path=f"{path}-f{i}",
+                file_format="PARQUET", partition={}, record_count=1,
+                file_size_in_bytes=1)) for i in range(n)]
+        mf.write_manifest(path, entries, _TM(),
+                          mf.PartitionSpec(spec_id=0, fields=[]))
+
+    monkeypatch.setattr(mf, "_AVRO_CACHE_MAX_RECORDS", 25)
+    mf.clear_manifest_cache()
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"m{i}.avro")
+        mk(p, 10)
+        paths.append(p)
+        mf.read_manifest(p)
+    assert mf._AVRO_CACHE_RECORDS[0] <= 25, \
+        "record budget must bound the cache"
+    assert len(mf._AVRO_CACHE) >= 1, "the newest manifest always stays"
+
+    mf.clear_manifest_cache()
+    assert mf._AVRO_CACHE_RECORDS[0] == 0 and not mf._AVRO_CACHE
+    # counter stays consistent through reuse
+    mf.read_manifest(paths[0])
+    mf.read_manifest(paths[0])
+    assert mf._AVRO_CACHE_RECORDS[0] == 10

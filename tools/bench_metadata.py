@@ -204,8 +204,7 @@ def run(base_dir: str | None = None) -> dict:
     def _cold():
         # the manifest LRU would otherwise make every phase after the
         # first measure cache lookups, not parsing
-        with mf._AVRO_CACHE_LOCK:
-            mf._AVRO_CACHE.clear()
+        mf.clear_manifest_cache()
 
     t0 = time.time()
     ml = mf.read_manifest_list(snap.manifest_list)
@@ -302,8 +301,7 @@ def run_large(spark, base_dir: str | None = None) -> dict:
     snap = tm.select_snapshot()
 
     def _cold():
-        with mf._AVRO_CACHE_LOCK:
-            mf._AVRO_CACHE.clear()
+        mf.clear_manifest_cache()
 
     # selective plan (driver path): 999/1000 manifests pruned from the
     # manifest-list partition summaries alone

@@ -1050,6 +1050,14 @@ def _avro_norm_nested(v, t):
     if k == "list":
         return [_avro_norm_nested(x, t["element"]) for x in v]
     items = v.items() if isinstance(v, dict) else v
+    if t.get("key", "string") != "string":
+        # iceberg's array-of-kv encoding (r15): Avro maps are
+        # string-keyed, so non-string-key maps write as
+        # array<record{key, value}> with logicalType map — the shape the
+        # read plane has decoded since r12
+        return [{"key": _avro_norm_nested(kk, t["key"]),
+                 "value": _avro_norm_nested(vv, t["value"])}
+                for kk, vv in items]
     return {str(kk): _avro_norm_nested(vv, t["value"]) for kk, vv in items}
 
 
@@ -1074,7 +1082,19 @@ def _avro_data_type(t, fid_hint: int):
         return {"type": "array", "element-id": eid,
                 "items": ["null", _avro_data_type(t["element"], eid)]}
     vid = int(t["value-id"])
-    return {"type": "map", "key-id": int(t["key-id"]), "value-id": vid,
+    kid = int(t["key-id"])
+    if t.get("key", "string") != "string":
+        # non-string keys: the spec's array-of-kv encoding (r15)
+        return {"type": "array", "logicalType": "map",
+                "items": {"type": "record", "name": f"k_v{kid}",
+                          "fields": [
+                              {"name": "key", "field-id": kid,
+                               "type": _avro_data_type(t["key"], kid)},
+                              {"name": "value", "field-id": vid,
+                               "type": ["null",
+                                        _avro_data_type(t["value"],
+                                                        vid)]}]}}
+    return {"type": "map", "key-id": kid, "value-id": vid,
             "values": ["null", _avro_data_type(t["value"], vid)]}
 
 
@@ -1104,10 +1124,11 @@ def _check_avro_writable(t, name: str, top: bool = False) -> None:
     elif k == "list":
         _check_avro_writable(t["element"], f"{name}.element")
     elif k == "map":
-        if t.get("key") != "string":
-            raise NotImplementedError(
-                f"avro data-file writes support string map keys only; "
-                f"{name!r} has {t.get('key')!r} keys")
+        # r15: non-string keys write via the spec's array-of-kv encoding
+        # (the read plane has decoded it since r12); keys and values
+        # both recurse under the NESTED leaf set
+        if t.get("key", "string") != "string":
+            _check_avro_writable(t["key"], f"{name}.key")
         _check_avro_writable(t["value"], f"{name}.value")
     else:
         raise NotImplementedError(

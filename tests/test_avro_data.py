@@ -466,8 +466,7 @@ def test_avro_write_uuid_fixed_time_roundtrip(spark, tmp_path):
 
 
 def test_avro_write_refusals(spark, sf_dir, tmp_path):
-    """Scope pins: variant leaves (at any depth) and non-string map
-    keys refuse loudly."""
+    """Scope pin: variant leaves (at any depth) refuse loudly."""
     from duckdb_iceberg_spark import write_iceberg
 
     df = spark.range(0, 5).selectExpr(
@@ -475,10 +474,33 @@ def test_avro_write_refusals(spark, sf_dir, tmp_path):
     with pytest.raises(NotImplementedError, match="leaves only"):
         write_iceberg(df, str(tmp_path / "t_refuse1"),
                       properties={"write.format.default": "avro"})
-    mk = spark.range(0, 5).selectExpr("id", "map(id, 'v') m")
-    with pytest.raises(NotImplementedError, match="string map keys"):
-        write_iceberg(mk, str(tmp_path / "t_refuse2"),
-                      properties={"write.format.default": "avro"})
+
+
+def test_avro_write_non_string_map_keys_roundtrip(spark, tmp_path):
+    """r15: non-string-key maps WRITE via the spec's array-of-kv
+    encoding (array<record{key,value}> + logicalType map — the shape
+    the read plane has decoded since r12); NULL values inside, NULL and
+    empty maps all survive."""
+    from duckdb_iceberg_spark import write_iceberg
+
+    df = spark.range(0, 40).selectExpr(
+        "id",
+        "CASE WHEN id % 7 = 3 THEN NULL "
+        "WHEN id % 5 = 0 THEN map() "
+        "ELSE map(id, concat('v', id), id + 1000, NULL) END AS m")
+    loc = str(tmp_path / "t_avro_kvmap_w")
+    write_iceberg(df.coalesce(2), loc,
+                  properties={"write.format.default": "avro"})
+    tm = load_table_metadata(loc)
+    from duckdb_iceberg_spark.plans.scan_plan import plan_scan
+
+    plan = plan_scan(tm, tm.select_snapshot())
+    assert {t.data_file.file_format for t in plan.tasks} == {"AVRO"}
+    got = {r.id: r.m for r in iceberg_scan(spark, loc).collect()}
+    assert len(got) == 40
+    assert got[3] is None and got[0] == {}
+    assert got[1] == {1: "v1", 1001: None}
+    assert got[9] == {9: "v9", 1009: None}
 
 
 def test_avro_write_roundtrip_fuzz(spark, tmp_path):

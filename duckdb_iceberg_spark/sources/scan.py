@@ -225,6 +225,7 @@ def iceberg_scan(
     with_file_info: bool = False,
     with_row_lineage: bool = False,
     plan: ScanPlan | None = None,
+    lean: bool = False,
 ) -> DataFrame:
     """Scan an Iceberg table at ``path`` into a DataFrame.
 
@@ -233,6 +234,12 @@ def iceberg_scan(
     additionally resolves a branch or tag name from the metadata refs map.
     ``where`` is both a pruning hint (driver-side file pruning) and a
     residual filter (applied by Spark, so over-approximation is safe).
+
+    ``lean=True`` (r15) strips per-column stats from the planned tasks
+    after pruning — ~3x less driver memory per planned file on
+    many-file tables; the read itself never consults them. Leave off
+    when the returned frame feeds statistics consumers (scan-order
+    reads, stats aggregation).
     """
     if plan is not None:
         # a precomputed plan already pins metadata version + snapshot:
@@ -261,7 +268,7 @@ def iceberg_scan(
         # read the snapshot's schema, LATEST reads the current schema
         explicit = snapshot_id is not None or as_of is not None
         plan = plan_scan_distributed(spark, tm, snapshot, where,
-                                     snapshot_schema=explicit)
+                                     snapshot_schema=explicit, lean=lean)
     return scan_to_dataframe(spark, plan, with_file_info=with_file_info,
                              with_row_lineage=with_row_lineage)
 

@@ -24,7 +24,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_CACHE_ROOT = os.environ.get("SPARK_GRAFT_ICE_CACHE", "/tmp/spark_graft_ice_cache")
+# default cache root lives under the user's home, not /tmp: on several
+# container runtimes /tmp is a throttled or network-backed mount (measured
+# here: 6 MB/s writes vs 446 MB/s on the home fs), and fixture builds are
+# Iceberg table WRITES. SPARK_GRAFT_ICE_CACHE overrides; falls back to
+# /tmp when home is not writable.
+def _default_cache_root() -> str:
+    home = os.path.expanduser("~")
+    cand = os.path.join(home, ".spark_graft_ice_cache")
+    try:
+        os.makedirs(cand, exist_ok=True)
+        return cand
+    except OSError:
+        return "/tmp/spark_graft_ice_cache"
+
+
+_CACHE_ROOT = os.environ.get("SPARK_GRAFT_ICE_CACHE") or _default_cache_root()
 
 
 # ---------------------------------------------------------------------------

@@ -230,7 +230,17 @@ def _ensure_sf1(spark, src_dir: str) -> str:
 
     from pyspark.sql import functions as F
 
-    out = os.path.join("/tmp/spark_graft_sf1",
+    # same slow-/tmp consideration as session._scratch_dir / the fixture
+    # cache: this is bulk parquet WRITING, keep it off throttled mounts
+    sf1_root = os.environ.get("SPARK_GRAFT_SF1_DIR")
+    if not sf1_root:
+        home = os.path.expanduser("~")
+        try:
+            os.makedirs(os.path.join(home, ".spark_graft_sf1"), exist_ok=True)
+            sf1_root = os.path.join(home, ".spark_graft_sf1")
+        except OSError:
+            sf1_root = "/tmp/spark_graft_sf1"
+    out = os.path.join(sf1_root,
                        f"{os.path.basename(os.path.normpath(src_dir))}-x10-{_SF1_GEN_VERSION}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):

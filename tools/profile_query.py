@@ -31,7 +31,8 @@ def main() -> None:
     import __spark_entry__ as entry
     from duckdb_iceberg_spark.session import get_spark
 
-    spark = get_spark()
+    extra = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}"))
+    spark = get_spark(extra_conf=extra or None)
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     qs = entry.queries()

@@ -31,6 +31,7 @@ blocks degrade unrelated later queries via block-manager/GC pressure
 
 from __future__ import annotations
 
+import os
 import zlib
 from typing import Iterable
 
@@ -324,6 +325,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     pairing: str = "min",  # min | all
+    dedup: bool = True,
 ) -> DataFrame:
     """Band the signatures and emit candidate (id_a, id_b) pairs sharing a
     band bucket. Shuffle is on (band, bucket-hash).
@@ -333,18 +335,25 @@ def lsh_candidate_pairs(
     near-identical docs yields m-1 pairs instead of m(m-1)/2. For dedup
     that's the cluster-representative trick: members verify against the
     representative, not each other. ``pairing='all'`` is the classic
-    all-pairs emission for similarity mining on small candidate sets."""
+    all-pairs emission for similarity mining on small candidate sets.
+
+    ``dedup=False`` (r15, guide §2.4) skips the cross-band ``distinct()``
+    — a full extra shuffle of the pair set — for consumers that
+    deduplicate downstream anyway (``duplicate_components``: the edge set
+    is canonicalized+distinct'd inside ``connected_components``). The same
+    (id_a, id_b) pair then appears up to ``bands`` times; per-pair verify
+    work is bounded by that constant."""
     banded = banded_signatures(signatures, id_col, bands)
     if pairing == "min":
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("band", "bucket")
-        return (
+        pairs = (
             banded.withColumn("__min", F.min(id_col).over(w))
             .filter(F.col(id_col) != F.col("__min"))
             .select(F.col("__min").alias("id_a"), F.col(id_col).alias("id_b"))
-            .distinct()
         )
+        return pairs.distinct() if dedup else pairs
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -412,17 +421,18 @@ def verify_jaccard(
         part_ids = (pairs.select(
             F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct())
         if shingles is not None:
-            # no UDF in this branch (arrays precomputed), but the eager
-            # persist barrier stays: without it the two pair-side joins
-            # each rebuild the explode→distinct→semi-join subtree AND
-            # plan against unknown sizes (measured r11: the lazy variant
-            # was ~0.5s SLOWER at sf0.1 — extra exchanges cost more than
-            # the one barrier job saves). The semi-join keeps the verify
-            # side proportional to the candidates, not the corpus.
+            # no UDF in this branch (arrays precomputed). Contract (r15):
+            # the caller passes a PERSISTED-AND-MATERIALIZED shingle frame
+            # (duplicate_components counts its comb frame before calling),
+            # so the r11 double-build hazard — AQE's parallel stage
+            # submission building an unmaterialized cache twice — cannot
+            # occur, and the former sharr.persist()+count() barrier (a
+            # full extra driver round-trip materializing the entire
+            # candidate pipeline) is gone. The lazy semi-join still keeps
+            # the verify side proportional to the candidates, and AQE
+            # learns its size from the semi stage to pick the broadcast.
             sharr = (shingles.select(F.col(id_col), F.col("__sh"))
-                     .join(part_ids, id_col, "left_semi")
-                     .persist())
-            sharr.count()
+                     .join(part_ids, id_col, "left_semi"))
             return _jaccard_join(pairs, sharr, id_col, threshold)
         participants = d.join(part_ids, id_col, "left_semi")
     else:
@@ -1089,11 +1099,42 @@ def _cc_small_star(e: DataFrame) -> DataFrame:
     return pairs.unionByName(selfe).distinct()
 
 
+def _union_find_min(edge_rows) -> dict:
+    """Driver-side union-find labelling every node with its component MIN —
+    the exact contract of the distributed star algorithm, used for graphs
+    under the broadcast-class gate in :func:`connected_components`."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the final root IS the component min
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_rounds: int = 25,
+    local_edge_threshold: int | None = None,
 ) -> DataFrame:
     """Distributed connected components over an undirected edge list via
     the ALTERNATING large-star/small-star algorithm (Kiveris et al. 2014).
@@ -1123,7 +1164,23 @@ def connected_components(
 
     Node ids must be numeric (cast to long); hash string ids first
     (``F.xxhash64``) like the incremental dedup pipeline does.
+
+    ``local_edge_threshold`` (r15, guide §3.1's broadcast principle applied
+    to graphs): when the canonical edge set fits under the gate (default
+    262144 edges ≈ 4 MB of (long, long) rows — broadcast-class, env
+    ``SPARK_GRAFT_CC_LOCAL_EDGES``), collect it with a BOUNDED ``take(N+1)``
+    and run union-find on the driver: zero shuffle rounds, zero checkpoint
+    plans, and the result returns as a LocalTableScan that downstream joins
+    broadcast for free. Same exact output as the star rounds (both label by
+    component min). Graphs over the gate — the 100 TB dup graphs this
+    operator exists for — take the distributed star path unchanged; the
+    probe cost is bounded by the gate (take stops early once N+1 rows
+    arrive), so driver memory never scales with the corpus. ``0`` disables
+    the gate (tests exercising the star rounds use this).
     """
+    if local_edge_threshold is None:
+        local_edge_threshold = int(
+            os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "262144"))
     def _is_star_forest(frame) -> bool:
         # The alternating-star algorithm's fixed point is EXACTLY a star
         # forest: every non-root points at its component root once, roots
@@ -1153,7 +1210,7 @@ def connected_components(
         )
         return not row["bad"]  # empty edge set => None => converged
 
-    cur = (
+    canon = (
         edges.select(
             F.col(src_col).cast("long").alias("a"),
             F.col(dst_col).cast("long").alias("b"),
@@ -1162,15 +1219,33 @@ def connected_components(
         .select(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
-        # eager=False fuses the checkpoint's materialization into the
-        # star-forest check that immediately follows: the check's action
-        # computes AND stores the frame in one job instead of two
-        # sequential driver round-trips per round (r11, VERDICT r10 task
-        # 4 — the query's cost at toy scale is job latency, not CPU).
-        # Lineage is still truncated once materialized, so deep loops
-        # can't blow the JVM stack (the reason checkpointing exists here).
-        .localCheckpoint(eager=False)
     )
+    if local_edge_threshold > 0:
+        # persist BEFORE the probe so an over-the-gate graph doesn't pay
+        # the upstream (LSH/verify) pipeline twice: the star rounds below
+        # read the same cached canonical edges the probe materialized
+        canon = canon.persist()
+        head = canon.take(local_edge_threshold + 1)
+        if len(head) <= local_edge_threshold:
+            spark = edges.sparkSession
+            canon.unpersist()
+            comp = _union_find_min(head)
+            if not comp:
+                return spark.createDataFrame([], "node long, component long")
+            pdf = pd.DataFrame(
+                {"node": np.fromiter(comp.keys(), dtype=np.int64,
+                                     count=len(comp)),
+                 "component": np.fromiter(comp.values(), dtype=np.int64,
+                                          count=len(comp))})
+            return spark.createDataFrame(pdf)
+    # eager=False fuses the checkpoint's materialization into the
+    # star-forest check that immediately follows: the check's action
+    # computes AND stores the frame in one job instead of two
+    # sequential driver round-trips per round (r11, VERDICT r10 task
+    # 4 — the query's cost at toy scale is job latency, not CPU).
+    # Lineage is still truncated once materialized, so deep loops
+    # can't blow the JVM stack (the reason checkpointing exists here).
+    cur = canon.localCheckpoint(eager=False)
     if not _is_star_forest(cur):
         for _ in range(max_rounds):
             cur = _cc_small_star(_cc_large_star(cur)) \
@@ -1299,7 +1374,12 @@ def duplicate_components(
     # byte-identical empties do)
     fp = df.withColumn(
         "__fp", F.coalesce(doc_fingerprint(text_col), F.lit("__null__")))
-    grp = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    # group-min via a WINDOW over the fingerprint (r15, guide §2.4): ONE
+    # exchange of the narrow (id, fp) rows replaces the old
+    # groupBy-then-join-back pair (partial-agg shuffle + a second full
+    # shuffle of the same rows for the join). Result identical: min id
+    # per fingerprint group.
+    #
     # persist the SMALL (id → rep) mapping only — caching the joined
     # frame with text pins the whole duplicate mass in executor storage
     # (10× dup-heavy corpora → 10× cached text, the exact corpora this
@@ -1307,9 +1387,12 @@ def duplicate_components(
     # materialization: reps below semi-joins df against the cached
     # mapping's own rep ids, so a nondeterministic input can't yield two
     # disagreeing rep selections (r11 review).
-    mapping = fp.join(grp, "__fp").select(
-        F.col(id_col).cast("long").alias("node"),
-        F.col("__rep").cast("long").alias("__r")).persist()
+    from pyspark.sql.window import Window as _W
+
+    mapping = (
+        fp.select(F.col(id_col).cast("long").alias("node"), "__fp")
+        .withColumn("__r", F.min("node").over(_W.partitionBy("__fp")))
+        .select("node", "__r").persist())
     rep_ids = (mapping.filter(F.col("node") == F.col("__r"))
                .select(F.col("node").alias("__rid")))
     reps = df.join(rep_ids,
@@ -1331,8 +1414,18 @@ def duplicate_components(
     # cached for the session like the family's other internal caches.
     comb = _sig_shingle_frame(reps, text_col, id_col, num_hashes,
                               shingle_k).persist()
+    # ONE explicit barrier (r15): materialize comb here — every downstream
+    # consumer (banding, both verify join sides) then reads the cache, so
+    # AQE's parallel stage submission cannot build it twice, and the
+    # former sharr.persist()+count() barrier inside verify_jaccard (which
+    # re-materialized the whole candidate pipeline in a separate driver
+    # round-trip) is retired. This action also materializes the mapping
+    # persist above — one driver round-trip where there were three.
+    comb.count()
     sigs = comb.select(id_col, "signature")
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    # dedup=False: connected_components canonicalizes+distincts the edge
+    # set anyway — the cross-band distinct() was a pure extra shuffle here
+    cands = lsh_candidate_pairs(sigs, id_col, bands, dedup=False)
     near = verify_jaccard(cands, comb, text_col, id_col, shingle_k,
                           threshold, shingles=comb)
     # components over the REP graph only; exact groups compose afterwards

@@ -41,11 +41,19 @@ def _check(spark, edges):
     expected = _union_find(edges, nodes)
     df = spark.createDataFrame(
         [(a, b) for a, b in edges], "id_a long, id_b long")
+    # both execution paths must agree with the replay: the r15 small-graph
+    # gate (driver union-find under the broadcast-class threshold) and the
+    # distributed star rounds (local_edge_threshold=0 disables the gate)
     got = {
         r["node"]: r["component"]
         for r in connected_components(df).collect()
     }
     assert got == expected
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, local_edge_threshold=0).collect()
+    }
+    assert got_dist == expected
 
 
 def test_path_graph_forces_rounds(spark):
@@ -72,10 +80,27 @@ def test_empty_edges(spark):
 
 
 def test_convergence_guard(spark):
+    # local_edge_threshold=0: the guard lives in the distributed star
+    # loop; under the default gate this graph would be solved driver-side
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(df, max_rounds=1)
+        connected_components(df, max_rounds=1, local_edge_threshold=0)
+
+
+def test_gate_boundary_forces_distributed(spark):
+    """A graph one edge OVER the gate takes the star path and still
+    matches the replay (r15: the take(N+1) probe must fall through)."""
+    edges = [(i, i + 1) for i in range(1, 12)]
+    nodes = sorted({x for e in edges for x in e})
+    expected = _union_find(edges, nodes)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, local_edge_threshold=len(edges) - 1).collect()
+    }
+    assert got == expected
 
 
 def test_duplicate_components_transitive(spark):

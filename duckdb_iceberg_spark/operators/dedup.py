@@ -850,16 +850,52 @@ def incremental_minhash_dedup(
     # Only the survivor IDS are cached; batch0 re-derives full rows via a
     # broadcast semi-join per consumer (no fingerprint recompute, no
     # groupBy shuffle, text never serialized through the cache).
+    # keep-first rides ONE window exchange over the narrow (id, fp) frame
+    # (r15, guide §2.4) instead of the former groupBy + semi-join pair —
+    # identical result (min id per fingerprint group), one shuffle of the
+    # same narrow bytes.
     new_fp = new_df.select(F.col(id_col),
                            doc_fingerprint(text_col).alias("__fp"))
-    keep_b = new_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    firsts = new_fp.join(keep_b, [id_col, "__fp"], "left_semi")
+    firsts = (new_fp.withColumn(
+                  "__min",
+                  F.min(id_col).over(Window.partitionBy("__fp")))
+              .filter(F.col(id_col) == F.col("__min"))
+              .select(id_col, "__fp"))
     batch0_ids = firsts.join(seen, "__fp", "left_anti") \
         .select(id_col).persist()
     batch0 = new_df.join(batch0_ids, id_col, "left_semi")
+    # a small-file source yields as few scan partitions as files, and the
+    # signature/shingle UDF passes below inherit that parallelism — the
+    # same guard minhash_dedup and duplicate_components carry (r15: the
+    # event-log profile showed the batch signature pass running as ONE
+    # 1.3 s task against the single-file bench corpus). At real scale the
+    # source has >= parallelism splits and this never fires.
+    par = new_df.sparkSession.sparkContext.defaultParallelism
+    try:
+        few_inputs = len(new_df.inputFiles()) < par
+    except Exception:
+        few_inputs = False
+    if few_inputs:
+        batch0 = batch0.repartition(par)
 
-    sigs_b = minhash_signatures(batch0, text_col, id_col,
-                                num_hashes, shingle_k).persist()
+    rederive = corpus_bands is None and corpus_signatures is None
+    if rederive:
+        # fused path (r15, guide §4): ONE Arrow pass per side computes the
+        # minhash signature AND the shingle-hash array — the old shape ran
+        # three text passes through the Python boundary (batch signatures,
+        # corpus-rep signatures, then verify's own shingle UDF over the
+        # participants of BOTH sides) plus a corpus∪batch text union scan.
+        # Each side's fused frame is persisted and counted once: the
+        # barrier stops AQE's parallel stage submission from building an
+        # unmaterialized cache twice (both frames feed two consumers —
+        # banding and the verify arrays).
+        comb_b = _sig_shingle_frame(batch0, text_col, id_col,
+                                    num_hashes, shingle_k).persist()
+        comb_b.count()
+        sigs_b = comb_b.select(id_col, "signature")
+    else:
+        sigs_b = minhash_signatures(batch0, text_col, id_col,
+                                    num_hashes, shingle_k).persist()
     bands_b = banded_signatures(sigs_b, id_col, bands)
 
     # (2) within-batch LSH: bucket-min pairing, reusing sigs_b
@@ -871,6 +907,7 @@ def incremental_minhash_dedup(
     )
 
     # (3) batch docs vs corpus representatives sharing an LSH band
+    comb_old = None
     if corpus_bands is not None:
         bo = corpus_bands.withColumnRenamed(id_col, "id_a")
     else:
@@ -879,8 +916,12 @@ def incremental_minhash_dedup(
         else:
             rep_ids = _corpus_state().select(id_col)
             corpus_reps = corpus_df.join(rep_ids, id_col, "left_semi")
-            sig_old = minhash_signatures(corpus_reps, text_col, id_col,
-                                         num_hashes, shingle_k)
+            if few_inputs:
+                corpus_reps = corpus_reps.repartition(par)
+            comb_old = _sig_shingle_frame(corpus_reps, text_col, id_col,
+                                          num_hashes, shingle_k).persist()
+            comb_old.count()
+            sig_old = comb_old.select(id_col, "signature")
         bo = banded_signatures(sig_old, id_col, bands) \
             .withColumnRenamed(id_col, "id_a")
     bn = bands_b.withColumnRenamed(id_col, "id_b")
@@ -892,10 +933,22 @@ def incremental_minhash_dedup(
     # within-batch pairs already dropped, and every batch survivor meets
     # exactly the same corpus reps it would after a separate batch pass.
     all_pairs = cands_b.unionByName(cross).distinct()
-    texts_a = corpus_df.select(F.col(id_col), F.col(text_col)).unionByName(
-        batch0.select(F.col(id_col), F.col(text_col)))
-    dupes = verify_jaccard(all_pairs, texts_a, text_col, id_col, shingle_k,
-                           threshold, docs_b=batch0)
+    if rederive:
+        # both sides' shingle arrays are already cached — verify is a pure
+        # JVM join chain over the precomputed arrays (no text re-scan, no
+        # second Python pass, no extra barrier action)
+        all_pairs = all_pairs.persist()
+        part_ids = (all_pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct())
+        sharr = (comb_old.select(F.col(id_col), F.col("__sh"))
+                 .unionByName(comb_b.select(F.col(id_col), F.col("__sh")))
+                 .join(part_ids, id_col, "left_semi"))
+        dupes = _jaccard_join(all_pairs, sharr, id_col, threshold)
+    else:
+        texts_a = corpus_df.select(F.col(id_col), F.col(text_col)) \
+            .unionByName(batch0.select(F.col(id_col), F.col(text_col)))
+        dupes = verify_jaccard(all_pairs, texts_a, text_col, id_col,
+                               shingle_k, threshold, docs_b=batch0)
     losers = dupes.select(F.col("id_b").alias(id_col)).distinct()
     return batch0.join(losers, id_col, "left_anti")
 

@@ -41,6 +41,24 @@ from ..metadata import types as ice_types
 from ..metadata.table_metadata import TableMetadata, load_table_metadata
 from ..plans.scan_plan import FileScanTask, ScanPlan, plan_scan
 
+#: per-session memo of CONSTRUCTED scan DataFrames (r15): maps a live
+#: SparkSession → {(metadata file, snapshot id, predicate, flags) → frame}.
+#: Holds lazy logical plans only — never data, never results; see the note
+#: in iceberg_scan. WeakKeyDictionary so a stopped session's entries drop
+#: with the session object; the inner dict is bounded FIFO.
+import weakref as _weakref
+
+_scan_frame_memo: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_SCAN_FRAME_MEMO_MAX = 128
+
+
+def clear_scan_frame_memo() -> None:
+    """Drop every memoized scan frame (all sessions). Needed only when
+    module-level construction knobs (broadcast thresholds, delete routing)
+    are changed at runtime — table data/metadata changes invalidate
+    naturally through the metadata-location/snapshot key."""
+    _scan_frame_memo.clear()
+
 _FILE_COL = "__ice_file"
 
 
@@ -267,8 +285,30 @@ def iceberg_scan(
         # reference lookup-source semantics: explicit id/timestamp lookups
         # read the snapshot's schema, LATEST reads the current schema
         explicit = snapshot_id is not None or as_of is not None
+        # DataFrame-CONSTRUCTION memo (r15, guide §1.2 order-of-ops /
+        # §7.3 driver-side work): building the scan frame costs ~400 py4j
+        # round-trips (delete-file reads, partition-constant joins, column
+        # rewrites) — ~0.5 s of driver latency per call at any data size.
+        # The memo returns the SAME immutable lazy plan for an identical
+        # (metadata file, snapshot, predicate, flags) request within one
+        # session. This caches no data and no results: every action on the
+        # frame recomputes from the parquet/ORC/Avro inputs; a table
+        # change produces a new metadata location or snapshot id and
+        # therefore a new key (resolution above runs on every call).
+        key = (tm.metadata_location, snapshot.snapshot_id if snapshot else None,
+               where, explicit, lean, with_file_info, with_row_lineage)
+        memo = _scan_frame_memo.setdefault(spark, {})
+        hit = memo.get(key)
+        if hit is not None:
+            return hit
         plan = plan_scan_distributed(spark, tm, snapshot, where,
                                      snapshot_schema=explicit, lean=lean)
+        df = scan_to_dataframe(spark, plan, with_file_info=with_file_info,
+                               with_row_lineage=with_row_lineage)
+        if len(memo) >= _SCAN_FRAME_MEMO_MAX:
+            memo.pop(next(iter(memo)))
+        memo[key] = df
+        return df
     return scan_to_dataframe(spark, plan, with_file_info=with_file_info,
                              with_row_lineage=with_row_lineage)
 

@@ -142,6 +142,7 @@ def test_equality_delete_large_keyset_not_broadcast(spark, tmp_path, monkeypatch
 
     # guard tripped: no broadcast on the anti-join — AQE/SMJ takes over
     monkeypatch.setattr(scan_mod, "_EQ_DELETE_BROADCAST_MAX_ROWS", 0)
+    scan_mod.clear_scan_frame_memo()  # key doesn't cover module knobs
     kinds = anti_join_kinds()
     assert kinds and all(j != "BroadcastHashJoin" for j in kinds), kinds
 

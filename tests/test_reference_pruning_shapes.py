@@ -228,6 +228,7 @@ def test_delete_apply_join_shuffles_above_broadcast_cap(spark, tmp_path, monkeyp
     delete_from(spark, loc, "id % 13 = 0", mode="merge-on-read")
 
     monkeypatch.setattr(scan_mod, "_DELETE_BROADCAST_MAX_ROWS", 0)
+    scan_mod.clear_scan_frame_memo()  # key doesn't cover module knobs
     df = iceberg_scan(spark, loc)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert "UNBROADCASTABLE" not in logical  # smoke: plan stringifies

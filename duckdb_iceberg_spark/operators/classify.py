@@ -89,25 +89,35 @@ def nb_quality_fit(
             .limit(vocab_size).collect())
     ]
 
-    # bounded per-class token counts over the unk-mapped stream
-    counts = (
+    # bounded per-class token counts over the unk-mapped stream, UNIONED
+    # with the per-class DOC counts into ONE action (r15, guide §1/§2.6):
+    # the two aggregations were separate sequential collects — each a
+    # serial driver round-trip — but both read the SAME persisted ``base``
+    # (already materialized by the vocab job above, so the union cannot
+    # double-build the cache), and as independent subtrees of one job
+    # their stages schedule concurrently. __kind tags the rows apart.
+    tok_counts = (
         base.select(F.explode(_lm_unkmap(F.col("__t"), vocab)).alias("w"),
                     "__pos")
         .groupBy("w", "__pos").agg(F.count(F.lit(1)).alias("c"))
-        .collect())
+        .select(F.lit(0).alias("__kind"), "w", "__pos", "c"))
+    doc_counts = (
+        base.groupBy("__pos").agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(1).alias("__kind"),
+                F.lit(None).cast("string").alias("w"), "__pos", "c"))
     c_pos: dict[str, int] = {}
     c_neg: dict[str, int] = {}
-    for r in counts:
-        (c_pos if r["__pos"] else c_neg)[r["w"]] = r["c"]
+    n_pos_docs = n_neg_docs = 0
+    for r in tok_counts.unionByName(doc_counts).collect():
+        if r["__kind"] == 0:
+            (c_pos if r["__pos"] else c_neg)[r["w"]] = r["c"]
+        elif r["__pos"]:
+            n_pos_docs = int(r["c"])
+        else:
+            n_neg_docs = int(r["c"])
     n_pos_tok = sum(c_pos.values())
     n_neg_tok = sum(c_neg.values())
-
-    dc = base.agg(
-        F.sum(F.col("__pos").cast("long")).alias("p"),
-        F.count(F.lit(1)).alias("n")).collect()[0]
-    n_pos_docs = int(dc["p"] or 0)
-    n_docs = int(dc["n"])
-    n_neg_docs = n_docs - n_pos_docs
+    n_docs = n_pos_docs + n_neg_docs
 
     v = len(vocab) + 1  # + <unk>
     weights = {

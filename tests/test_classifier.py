@@ -113,6 +113,18 @@ def test_fit_shapes_bounded(spark):
     assert all(w == w.quantize(Decimal("0.000001")) for w in weights.values())
 
 
+def test_fused_count_action_one_sided_classes(spark):
+    # r15: the per-class token counts and per-class doc counts collect in
+    # ONE unioned action — a class with zero docs simply has no doc-count
+    # row, and the fit must report 0 for it (not crash or miscount)
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string")
+    _, _, _, _, ((npd, nnd), (npt, nnt)) = nb_quality_fit(
+        df, "text", "doc_id", "doc_id > 0", vocab_size=8)
+    assert (npd, nnd) == (2, 0)
+    assert npt == 4 and nnt == 0
+
+
 def test_null_text_and_null_cond(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta"), (2, None)], "doc_id long, text string")

@@ -273,7 +273,18 @@ def cluster_temperature_sample(
     collected — O(#distinct sizes) ≤ O(√(2·rows)) driver state even at
     100 TB (sizes are positive integers summing to the corpus) — and
     the per-size threshold literals broadcast-join back, keeping the
-    decision map-side with zero data shuffles."""
+    decision map-side with zero data shuffles.
+
+    The input frame is persisted here (r15, guide §5): it is consumed
+    twice — the distinct-sizes collect and the returned join/filter —
+    and its upstream is typically the multi-join duplication_weights
+    DAG, which would otherwise execute once per consumer (measured:
+    ~1 full extra pass per call at sf0.1). Same cache-lifetime contract
+    as the dedup family: the handle stays cached for the returned lazy
+    frame; callers release via ``spark.catalog.clearCache()``. Pass a
+    NARROW frame (keys + metadata, not text) — the sampler only needs
+    ``key_col`` and ``size_col`` beside the columns you want back."""
+    df = df.persist()
     sizes = sorted(int(r[0]) for r in
                    df.select(size_col).distinct().collect())
     if not sizes:

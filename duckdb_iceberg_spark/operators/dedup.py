@@ -885,13 +885,13 @@ def incremental_minhash_dedup(
         # three text passes through the Python boundary (batch signatures,
         # corpus-rep signatures, then verify's own shingle UDF over the
         # participants of BOTH sides) plus a corpus∪batch text union scan.
-        # Each side's fused frame is persisted and counted once: the
-        # barrier stops AQE's parallel stage submission from building an
-        # unmaterialized cache twice (both frames feed two consumers —
-        # banding and the verify arrays).
+        # Each side's fused frame is persisted; ONE barrier materializes
+        # BOTH sides (see below) before any multi-consumer action, so
+        # AQE's parallel stage submission cannot build an unmaterialized
+        # cache twice (both frames feed two consumers — banding and the
+        # verify arrays).
         comb_b = _sig_shingle_frame(batch0, text_col, id_col,
                                     num_hashes, shingle_k).persist()
-        comb_b.count()
         sigs_b = comb_b.select(id_col, "signature")
     else:
         sigs_b = minhash_signatures(batch0, text_col, id_col,
@@ -920,7 +920,12 @@ def incremental_minhash_dedup(
                 corpus_reps = corpus_reps.repartition(par)
             comb_old = _sig_shingle_frame(corpus_reps, text_col, id_col,
                                           num_hashes, shingle_k).persist()
-            comb_old.count()
+            # ONE barrier for BOTH persisted sides (r15, guide §2.6):
+            # the union-count computes each side exactly once, its two
+            # independent subtrees schedule concurrently inside a single
+            # job (the batch and corpus signature passes overlap), and
+            # one sequential driver round-trip replaces the former two.
+            comb_old.unionByName(comb_b).count()
             sig_old = comb_old.select(id_col, "signature")
         bo = banded_signatures(sig_old, id_col, bands) \
             .withColumnRenamed(id_col, "id_a")
@@ -932,6 +937,11 @@ def incremental_minhash_dedup(
     # cross pairs whose id_b is a within-batch loser only re-drop an id the
     # within-batch pairs already dropped, and every batch survivor meets
     # exactly the same corpus reps it would after a separate batch pass.
+    # The distinct() here is NOT redundant-shuffle fat (r15, measured):
+    # dropping it (losers dedups the outcome) inflates the PERSISTED pair
+    # frame and its two verify joins by up to bands× and A/B'd neutral-to
+    # -slower at sf0.1 — unlike duplicate_components, where the edge set
+    # is re-canonicalized+distinct'd downstream anyway.
     all_pairs = cands_b.unionByName(cross).distinct()
     if rederive:
         # both sides' shingle arrays are already cached — verify is a pure

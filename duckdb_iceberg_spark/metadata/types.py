@@ -48,10 +48,12 @@ def quoted_col(name: str):
     """Top-level Spark Column reference by EXACT name: Iceberg field names
     may legally contain dots, and an unquoted ``F.col("a.b")`` resolves as
     a struct path (and renames the output to the leaf). Backtick-quote so
-    a column literally named ``a.b`` survives selection."""
-    from pyspark.sql import functions as F
+    a column literally named ``a.b`` survives selection. Routed through
+    the memoized functions.col handle (r16, jrpc.jcol): ``F.col`` pays ~9
+    py4j round-trips per call, this pays 1."""
+    from ..jrpc import jcol
 
-    return F.col("`" + name.replace("`", "``") + "`")
+    return jcol("`" + name.replace("`", "``") + "`")
 ICEBERG_TYPE_KEY = "iceberg.type"
 
 _DECIMAL_RE = re.compile(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)")

@@ -925,6 +925,12 @@ def incremental_minhash_dedup(
             # independent subtrees schedule concurrently inside a single
             # job (the batch and corpus signature passes overlap), and
             # one sequential driver round-trip replaces the former two.
+            # This branch (corpus_bands and corpus_signatures both None)
+            # IS the rederive branch, so the fused batch frame exists —
+            # asserted locally so an edit to either branch condition
+            # fails loudly instead of leaving comb_b unmaterialized
+            # (ADVICE r15).
+            assert rederive, "shared barrier requires the fused batch side"
             comb_old.unionByName(comb_b).count()
             sig_old = comb_old.select(id_col, "signature")
         bo = banded_signatures(sig_old, id_col, bands) \
@@ -1309,16 +1315,28 @@ def connected_components(
     # Lineage is still truncated once materialized, so deep loops
     # can't blow the JVM stack (the reason checkpointing exists here).
     cur = canon.localCheckpoint(eager=False)
-    if not _is_star_forest(cur):
-        for _ in range(max_rounds):
-            cur = _cc_small_star(_cc_large_star(cur)) \
-                .localCheckpoint(eager=False)
-            if _is_star_forest(cur):
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in "
-                f"{max_rounds} rounds")
+    try:
+        if not _is_star_forest(cur):
+            for _ in range(max_rounds):
+                cur = _cc_small_star(_cc_large_star(cur)) \
+                    .localCheckpoint(eager=False)
+                if _is_star_forest(cur):
+                    break
+            else:
+                raise RuntimeError(
+                    f"connected_components did not converge in "
+                    f"{max_rounds} rounds")
+    finally:
+        if local_edge_threshold > 0:
+            # over-the-gate path (r16, VERDICT r15 task 6): the probe's
+            # persist has served both consumers — the take() and the first
+            # checkpoint's materialization (the star-forest check above is
+            # the action that stores it, truncating lineage off canon) —
+            # so drop it here; a long-lived session was otherwise left
+            # holding one cached edge set per call. The round
+            # localCheckpoints themselves stay resident by design: the
+            # returned frame reads from the final one.
+            canon.unpersist()
     # converged star graphs: every non-root points straight at its
     # component min; roots don't appear on the left side, add them
     roots = cur.select(F.col("v").alias("u"), F.col("v")).distinct()

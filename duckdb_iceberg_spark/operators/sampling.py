@@ -285,13 +285,21 @@ def cluster_temperature_sample(
     NARROW frame (keys + metadata, not text) — the sampler only needs
     ``key_col`` and ``size_col`` beside the columns you want back."""
     df = df.persist()
-    sizes = sorted(int(r[0]) for r in
-                   df.select(size_col).distinct().collect())
-    if not sizes:
-        return df
-    thr_rows = [(s, floor_threshold_hex(cluster_size_fraction(s, alpha),
-                                        digits))
-                for s in sizes]
+    # ADVICE r15: the collect and the threshold build can raise (alpha<0,
+    # size<1, NULL size -> TypeError) — unpersist on every early exit so
+    # the cached blocks never leak without a handle
+    try:
+        sizes = sorted(int(r[0]) for r in
+                       df.select(size_col).distinct().collect())
+        if not sizes:
+            df.unpersist()  # zero rows: nothing worth keeping cached
+            return df
+        thr_rows = [(s, floor_threshold_hex(cluster_size_fraction(s, alpha),
+                                            digits))
+                    for s in sizes]
+    except BaseException:
+        df.unpersist()
+        raise
     thr_df = df.sparkSession.createDataFrame(
         thr_rows, f"{size_col} long, __thr string")
     hexpfx = F.substring(
@@ -647,17 +655,36 @@ def dsir_importance_weights(
             cr[r[0]] = cr.get(r[0], 0) + r[2]
     else:
         pb = pb_of(src, F.lit(False)).persist()
-        fit = (fit_rows(pb).groupBy("__b")
-               .agg(F.sum("__c").alias("__c")).collect())
+        # the raw-corpus fit and the target-frame rollup read DISJOINT
+        # inputs (pb vs target) — the only two independent bounded
+        # collects in the training-fit family (the NB and LM fits'
+        # collects are dependency-ordered: vocab feeds the unk-mapping of
+        # the next aggregate). Submit both from a 2-thread pool (guide
+        # §2.6, VERDICT r15 task 4) so the second job's stages back-fill
+        # executors freed by the first job's tail instead of waiting a
+        # full sequential driver round-trip.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _fit_collect():
+            return (fit_rows(pb).groupBy("__b")
+                    .agg(F.sum("__c").alias("__c")).collect())
+
+        def _tgt_collect():
+            # the target frame only feeds per-BUCKET counts (and need not
+            # carry id_col at all): explode straight to the bucket rollup
+            return (
+                target.select(
+                    F.explode(ngram_array(F.col(text_col), n_max))
+                    .alias("__g"))
+                .select((_hex32(F.col("__g")) % buckets).alias("__b"))
+                .groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+                .collect())
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fit_f = pool.submit(_fit_collect)
+            tgt_f = pool.submit(_tgt_collect)
+            fit, tgt = fit_f.result(), tgt_f.result()
         cr = {r[0]: r[1] for r in fit}
-        # the target frame only feeds per-BUCKET counts (and need not
-        # carry id_col at all): explode straight to the bucket rollup
-        tgt = (
-            target.select(
-                F.explode(ngram_array(F.col(text_col), n_max)).alias("__g"))
-            .select((_hex32(F.col("__g")) % buckets).alias("__b"))
-            .groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
-            .collect())
         ct = {r[0]: r[1] for r in tgt}
     if cache_out is not None:
         cache_out.append(pb)

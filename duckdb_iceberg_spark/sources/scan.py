@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import jrpc as _jx
 from ..io import arrow_data as _ad
 from ..metadata import manifest as mf
 from ..metadata import types as ice_types
@@ -128,6 +129,32 @@ def _norm_uri_path(col):
         F.regexp_replace(_norm_path(col), r"\+", "%2B"))
 
 
+#: SQL-string twins of _norm_path/_norm_uri_path (r16): scan construction
+#: batches projections into single selectExpr round-trips (guide §1.2 —
+#: driver chatter is serial latency at any cluster size), so the path
+#: normalizations need SQL spellings. The regexes avoid backslash escapes
+#: ('[+]' not '\\+') so the strings parse identically whether or not a
+#: session sets spark.sql.parser.escapedStringLiterals. MUST stay in
+#: lockstep with the Column versions above (pinned by
+#: tests/test_scan_rpc_batching.py).
+def _norm_path_sql(col_sql: str) -> str:
+    return ("regexp_replace(regexp_replace(" + col_sql +
+            ", '^file:/+', '/'), '^s3a://', 's3://')")
+
+
+def _norm_uri_path_sql(col_sql: str) -> str:
+    return ("url_decode(regexp_replace(" + _norm_path_sql(col_sql) +
+            ", '[+]', '%2B'))")
+
+
+def _replace_col_sql(df: DataFrame, col: str, expr_sql: str) -> DataFrame:
+    """withColumn(col, expr) for an EXISTING column, as one selectExpr
+    round-trip preserving column order."""
+    return _jx.select_exprs(df, [
+        expr_sql + " AS " + _jx.quote_name(c) if c == col else _jx.quote_name(c)
+        for c in df.columns])
+
+
 def _norm_path_py(p: str) -> str:
     """Python twin of :func:`_norm_path` for manifest-derived literals
     (sequence-number maps, equality-delete applicability pairs, row-lineage
@@ -181,16 +208,18 @@ def _read_plain_parquet(spark, files, schema, *, with_path_pos=False,
     plane. ``with_path_pos`` appends (normalized source path, row position)."""
     st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
     if _ad.is_spark_native(spark, files):
-        df = spark.read.schema(st).parquet(
-            *[_ad.to_native_path(f) for f in files])
+        df = _jx.read_files(spark, [_ad.to_native_path(f) for f in files], st)
         if with_path_pos:
-            df = df.withColumn(path_col, _norm_uri_path(F.col("_metadata.file_path"))) \
-                   .withColumn(pos_col, F.col("_metadata.row_index"))
+            df = _jx.select_exprs(df, ["*",
+                _norm_uri_path_sql("_metadata.file_path")
+                + " AS " + _jx.quote_name(path_col),
+                "_metadata.row_index AS " + _jx.quote_name(pos_col)])
         return df
     df = _ad.read_parquet(spark, files, st, with_path_pos=with_path_pos,
                           path_col=path_col, pos_col=pos_col)
     if with_path_pos:
-        df = df.withColumn(path_col, _norm_path(F.col(path_col)))
+        df = _replace_col_sql(df, path_col,
+                              _norm_path_sql(_jx.quote_name(path_col)))
     return df
 
 
@@ -517,8 +546,9 @@ def scan_to_dataframe(
 
     def _with_pos(d: DataFrame) -> DataFrame:
         if need_pos:
-            d = d.withColumn(_FILE_COL, _norm_uri_path(F.col("_metadata.file_path"))) \
-                 .withColumn(_POS_COL, F.col("_metadata.row_index"))
+            d = _jx.select_exprs(d, ["*",
+                _norm_uri_path_sql("_metadata.file_path") + " AS " + _FILE_COL,
+                "_metadata.row_index AS " + _POS_COL])
         return d
 
     # name-mapping fallback for files written without parquet field-ids
@@ -617,15 +647,15 @@ def scan_to_dataframe(
     parts: list[DataFrame] = []
     if main_files:
         if _ad.is_spark_native(spark, main_files) and not dotted_names:
-            parts.append(_uuid_to_str(_with_pos(
-                spark.read.schema(read_schema).parquet(
-                    *[_ad.to_native_path(f) for f in main_files]))))
+            parts.append(_uuid_to_str(_with_pos(_jx.read_files(
+                spark, [_ad.to_native_path(f) for f in main_files],
+                read_schema))))
         else:
             p = _ad.read_parquet(
                 spark, main_files, schema, with_path_pos=need_pos,
                 path_col=_FILE_COL, pos_col=_POS_COL)
             if need_pos:
-                p = p.withColumn(_FILE_COL, _norm_path(F.col(_FILE_COL)))
+                p = _replace_col_sql(p, _FILE_COL, _norm_path_sql(_FILE_COL))
             parts.append(p)
     if orc_files:
         # files carrying positional deletes / DVs need REAL row positions
@@ -640,14 +670,14 @@ def scan_to_dataframe(
             # our writer stores. Spark exposes no row_index for ORC, but
             # files on this plane have no positional deletes — the NULL
             # position is only ever carried, never joined on.
-            o = spark.read.schema(schema).orc(
-                [_ad.to_native_path(f) for f in orc_native])
+            o = _jx.read_files(
+                spark, [_ad.to_native_path(f) for f in orc_native], schema,
+                file_format="orc")
             if need_pos:
-                o = (o.withColumn(
-                        _FILE_COL,
-                        _norm_uri_path(F.col("_metadata.file_path")))
-                      .withColumn(_POS_COL,
-                                  F.lit(None).cast(T.LongType())))
+                o = _jx.select_exprs(o, ["*",
+                    _norm_uri_path_sql("_metadata.file_path")
+                    + " AS " + _FILE_COL,
+                    "CAST(NULL AS BIGINT) AS " + _POS_COL])
             parts.append(o)
             orc_arrow = sorted(orc_pos_files)
         else:
@@ -660,14 +690,14 @@ def scan_to_dataframe(
                 spark, orc_arrow, schema, with_path_pos=need_pos,
                 path_col=_FILE_COL, pos_col=_POS_COL, file_format="orc")
             if need_pos:
-                o = o.withColumn(_FILE_COL, _norm_path(F.col(_FILE_COL)))
+                o = _replace_col_sql(o, _FILE_COL, _norm_path_sql(_FILE_COL))
             parts.append(o)
     if avro_files:
         a = _ad.read_parquet(
             spark, sorted(avro_files), schema, with_path_pos=need_pos,
             path_col=_FILE_COL, pos_col=_POS_COL, file_format="avro")
         if need_pos:
-            a = a.withColumn(_FILE_COL, _norm_path(F.col(_FILE_COL)))
+            a = _replace_col_sql(a, _FILE_COL, _norm_path_sql(_FILE_COL))
         parts.append(a)
     if legacy:
         parts.extend(_read_by_name_mapping(spark, legacy, mapping_prop,
@@ -692,7 +722,7 @@ def scan_to_dataframe(
         keep += ["filename", "file_row_number"]
     if with_row_lineage:
         keep += ["_row_id", "_last_updated_sequence_number"]
-    df = df.select(*[_qcol(c) for c in keep])
+    df = _jx.select_exprs(df, [_jx.quote_name(c) for c in keep])
 
     if plan.residual:
         df = _residual_filter(df, plan.residual)
@@ -1026,7 +1056,8 @@ def _apply_initial_defaults(
         + [T.StructField(f"__def_{i}", T.BooleanType())
            for i in range(len(defaulted))])
     flag_df = spark.createDataFrame(rows, schema)
-    df = df.join(F.broadcast(flag_df), df[_FILE_COL] == flag_df["__def_file"], "left")
+    df = df.join(F.broadcast(flag_df),
+                 _jx.jexpr(_FILE_COL + " = __def_file"), "left")
     for i, (fpath, f) in enumerate(defaulted):
         default_val = ice_types.json_default_to_python(
             f["type"], f["initial-default"])
@@ -1095,10 +1126,17 @@ def _apply_partition_constants(spark: SparkSession, df: DataFrame, plan: ScanPla
     for col, ice_t, _ in fields:
         fields_schema.append(T.StructField("__pc_" + col, ice_types.iceberg_to_spark(ice_t)))
     const_df = spark.createDataFrame(rows, T.StructType(fields_schema))
-    df = df.join(F.broadcast(const_df), df[_FILE_COL] == const_df["__pc_file"], "left")
-    for col, _, _ in fields:
-        df = df.withColumn(col, F.coalesce(F.col(col), F.col("__pc_" + col)))
-    return df.drop("__pc_file", *["__pc_" + c for c, _, _ in fields])
+    orig_cols = df.columns
+    df = df.join(F.broadcast(const_df),
+                 _jx.jexpr(_FILE_COL + " = __pc_file"), "left")
+    # one selectExpr does all the per-field coalesces AND the drop (r16
+    # round-trip batching): identical plan to withColumn(coalesce)+drop
+    pc = {col for col, _, _ in fields}
+    return _jx.select_exprs(df, [
+        ("coalesce({0}, {1}) AS {0}".format(
+            _jx.quote_name(c), _jx.quote_name("__pc_" + c))
+         if c in pc else _jx.quote_name(c))
+        for c in orig_cols])
 
 
 # ---------------------------------------------------------------------------
@@ -1132,14 +1170,11 @@ def _apply_positional_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan
         # positional-delete schema: file_path string (fid 2147483546),
         # pos long (fid 2147483545) — files may be parquet, ORC, or Avro
         # (r13 format routing; Flink's avro tables write avro deletes)
-        parts.append(
+        parts.append(_jx.select_exprs(
             _read_delete_files(spark, row_delete_files,
-                               "file_path string, pos long")
-            .select(
-                _norm_path(F.col("file_path")).alias("__del_file"),
-                F.col("pos").cast(T.LongType()).alias("__del_pos"),
-            )
-        )
+                               "file_path string, pos long"),
+            [_norm_path_sql("file_path") + " AS __del_file",
+             "CAST(pos AS BIGINT) AS __del_pos"]))
     if dv_blobs:
         parts.append(_dv_positions_df(spark, dv_blobs))
     del_df = parts[0]
@@ -1155,7 +1190,7 @@ def _apply_positional_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan
         del_df = del_df.hint("broadcast")
     return df.join(
         del_df,
-        (df[_FILE_COL] == del_df["__del_file"]) & (df[_POS_COL] == del_df["__del_pos"]),
+        _jx.jexpr(_FILE_COL + " = __del_file AND " + _POS_COL + " = __del_pos"),
         "left_anti",
     )
 
@@ -1280,7 +1315,7 @@ def _apply_equality_deletes(spark: SparkSession, df: DataFrame, plan: ScanPlan) 
     data_seq = spark.createDataFrame(
         seq_rows, "`__ds_file` string, `__data_seq` long").dropDuplicates()
     df = df.join(F.broadcast(data_seq),
-                 df[_FILE_COL] == data_seq["__ds_file"], "left").drop("__ds_file")
+                 _jx.jexpr(_FILE_COL + " = __ds_file"), "left").drop("__ds_file")
 
     tm = plan.tm
     for sig, files in sorted(by_sig.items()):
@@ -1374,13 +1409,13 @@ def _add_row_lineage(spark: SparkSession, df: DataFrame, plan: ScanPlan) -> Data
             T.StructField("__rl_seq", T.LongType()),
         ])
     )
-    df = df.join(F.broadcast(map_df), df[_FILE_COL] == map_df["__rl_file"], "left")
-    df = df.withColumn(
-        "_row_id",
-        F.when(F.col("__rl_first_row_id").isNotNull(),
-               F.col("__rl_first_row_id") + F.col(_POS_COL)),
-    ).withColumn("_last_updated_sequence_number", F.col("__rl_seq"))
-    return df.drop("__rl_file", "__rl_first_row_id", "__rl_seq")
+    orig_cols = df.columns
+    df = df.join(F.broadcast(map_df),
+                 _jx.jexpr(_FILE_COL + " = __rl_file"), "left")
+    return _jx.select_exprs(df, [_jx.quote_name(c) for c in orig_cols] + [
+        "CASE WHEN __rl_first_row_id IS NOT NULL THEN "
+        f"__rl_first_row_id + {_POS_COL} END AS _row_id",
+        "__rl_seq AS _last_updated_sequence_number"])
 
 
 # ---------------------------------------------------------------------------

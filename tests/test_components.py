@@ -103,6 +103,35 @@ def test_gate_boundary_forces_distributed(spark):
     assert got == expected
 
 
+def test_over_gate_path_leaves_no_new_persisted_edges(spark):
+    """The over-the-gate (distributed star) path must unpersist the probe's
+    cached canonical edge frame once the first checkpoint materializes
+    (r16, VERDICT r15 task 6): a long-lived session was otherwise left
+    holding one cached edge set per call. localCheckpoint blocks are NOT
+    counted — the returned frame reads from the final one by design; the
+    leak class is `.persist()`ed frames, visible via getPersistentRDDs."""
+    def persisted_non_checkpoint_count():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        n = 0
+        it = jmap.entrySet().iterator()
+        while it.hasNext():
+            name = str(it.next().getValue().toString())
+            if "LocalCheckpoint" not in name and "Checkpoint" not in name:
+                n += 1
+        return n
+
+    spark.catalog.clearCache()
+    edges = [(i, i + 1) for i in range(1, 12)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    before = persisted_non_checkpoint_count()
+    # one edge over the gate: the probe persists canon, then falls through
+    # to the star rounds — canon must be dropped before returning
+    rows = connected_components(
+        df, local_edge_threshold=len(edges) - 1).collect()
+    assert rows  # the result itself is checked by the gate-boundary test
+    assert persisted_non_checkpoint_count() == before
+
+
 def test_duplicate_components_transitive(spark):
     # A~B and B~C are near-dups but A and C differ more than the
     # threshold allows: pairwise dedup keeps {A, C}; components must

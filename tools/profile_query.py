@@ -1,11 +1,12 @@
-"""Per-query optimization profiler (r15): time a declared query in
+"""Per-query optimization profiler (r15; r16: plan dir via
+$SPARK_GRAFT_PLAN_DIR, default plans/r16): time a declared query in
 isolation, count Spark jobs/stages (driver round-trips are serial even on a
 1000-node cluster — each one is a scheduling latency floor), and dump
 ``explain('formatted')`` to plans/r15/<name>_<tag>.txt.
 
 Usage:
   SPARK_GRAFT_CPUS=32 python tools/profile_query.py <tag> <name> [name ...]
-  (tag: "before" / "after" — the plans/r15 filename suffix)
+  (tag: "before" / "after" — the plans/<round> filename suffix)
 
 Runs each query N times (SPARK_GRAFT_PROFILE_RUNS, default 3) in ONE
 session, reports every run plus the job/stage counts of the final run,
@@ -36,8 +37,9 @@ def main() -> None:
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     qs = entry.queries()
+    plan_dir = os.environ.get("SPARK_GRAFT_PLAN_DIR", "r16")
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15"), exist_ok=True)
+        os.path.abspath(__file__))), "plans", plan_dir), exist_ok=True)
 
     out: dict[str, dict] = {}
     for name in names:
@@ -67,7 +69,7 @@ def main() -> None:
                     "formatted"))
         except Exception as e:  # pragma: no cover
             plan = f"<explain failed: {e}>"
-        with open(f"plans/r15/{name}_{tag}.txt", "w") as f:
+        with open(f"plans/{plan_dir}/{name}_{tag}.txt", "w") as f:
             f.write(plan)
         out[name] = {"runs": times, "last_run_jobs": jobs_delta,
                      "last_run_stages": stages_delta}

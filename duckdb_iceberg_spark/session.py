@@ -116,6 +116,22 @@ def get_spark(
         .config("spark.sql.caseSensitive", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r16 (guide §6 file listing, §7.3 driver-side work): every scan in
+        # this engine hands Spark a manifest-planned LEAF-FILE list — no
+        # directory recursion — so "listing" is one getFileStatus per
+        # file. Spark's default threshold (32 paths) then launches a
+        # full Spark JOB just to stat the files: one scheduler round-trip
+        # (~0.2-0.4 s measured) to replace microsecond-class local stats.
+        # Measured on a memo-miss 83-file scan construction: 0.38-0.45 s
+        # -> ~0.10 s with driver-side listing. Env-parameterized because
+        # the right value is deployment-dependent: on object stores a
+        # remote stat is ~20-50 ms SERIAL on the driver below this
+        # threshold, so s3/abfs deployments should set
+        # SPARK_GRAFT_LIST_JOB_THRESHOLD back to ~32-128; on local/NVMe
+        # filesystems the scheduler round-trip never pays below ~1024
+        # files.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                os.environ.get("SPARK_GRAFT_LIST_JOB_THRESHOLD", "1024"))
     )
     scratch = _scratch_dir()
     if scratch:

@@ -413,6 +413,17 @@ def verify_jaccard(
         return pd.Series(out)
 
     pairs = pairs.persist()
+    # NO eager barrier here (r16 re-measurement of the r15 carried item),
+    # on BOTH branches: an explicit pairs.count() A/B'd neutral-to-slower
+    # interleaved at sf0.1 — docs_minhash_dedup 25→27 jobs, wall neutral
+    # ([4.9,4.8,4.7,5.2] vs [4.6,4.9,5.0,5.0]); docs_dup_weights
+    # (shingles branch) 30→30 jobs, slower every pair ([5.8,4.7,4.2,4.2]
+    # vs [4.8,4.3,3.8,3.9]). The UDF branch's sharr.count() materializes
+    # pairs transitively; the shingles branch shows no AQE double-build
+    # in practice (exchange reuse covers the repeated subtree). Contrast
+    # incremental_minhash_dedup's all_pairs, where the barrier IS
+    # load-bearing (45→39 jobs, −20% wall — no intermediate action
+    # materializes it there).
     if docs_b is None:
         # both pair sides resolve against ONE frame (id-unique by the
         # family contract): a single explode->distinct->semi-join finds
@@ -952,8 +963,17 @@ def incremental_minhash_dedup(
     if rederive:
         # both sides' shingle arrays are already cached — verify is a pure
         # JVM join chain over the precomputed arrays (no text re-scan, no
-        # second Python pass, no extra barrier action)
+        # second Python pass). EAGER barrier on the pair set (r16, VERDICT
+        # r15 task 5 / carried item 3): three consumers reference it
+        # (part_ids + both _jaccard_join sides) inside one action, and
+        # AQE's parallel stage submission was building the unmaterialized
+        # cache repeatedly — re-running the whole banding/window pipeline
+        # per consumer. Interleaved A/B at sf0.1: 45→39 jobs,
+        # [10.6, 10.4, 10.8, 13.8] → [7.8, 9.3, 8.7, 8.5] s (every pair
+        # faster); sf1: 42→36 jobs, wall noise-class (2/4). The barrier
+        # also hands AQE the real pair count for the verify-join strategy.
         all_pairs = all_pairs.persist()
+        all_pairs.count()
         part_ids = (all_pairs.select(
             F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct())
         sharr = (comb_old.select(F.col(id_col), F.col("__sh"))
@@ -1338,8 +1358,12 @@ def connected_components(
             # returned frame reads from the final one.
             canon.unpersist()
     # converged star graphs: every non-root points straight at its
-    # component min; roots don't appear on the left side, add them
-    roots = cur.select(F.col("v").alias("u"), F.col("v")).distinct()
+    # component min; roots don't appear on the left side, add them.
+    # No distinct() on roots (r16, guide §2.4): the union's own distinct
+    # below already dedups, and the inner one cost a full extra exchange
+    # of the root set (its (u,v) partitioning is not reusable under the
+    # union) — result identical.
+    roots = cur.select(F.col("v").alias("u"), F.col("v"))
     return (
         cur.unionByName(roots)
         .distinct()
@@ -1505,7 +1529,14 @@ def duplicate_components(
     comb.count()
     sigs = comb.select(id_col, "signature")
     # dedup=False: connected_components canonicalizes+distincts the edge
-    # set anyway — the cross-band distinct() was a pure extra shuffle here
+    # set anyway — the cross-band distinct() was a pure extra shuffle here.
+    # sf1 A/B (r16, VERDICT r15 task 2, 10x byte-identical duplication —
+    # the worst case for multi-band collisions): the non-distinct pair
+    # set inflates 2.26x (373,310 vs 165,045 pairs; theoretical bound
+    # bands x), and the interleaved wall-clock still favors skipping the
+    # distinct (min 5.01 s vs 5.27 s, median 6.34 vs 6.91 over 4 pairs).
+    # The verify join's per-pair work is bounded by that small constant;
+    # the saved full shuffle of the pair set dominates.
     cands = lsh_candidate_pairs(sigs, id_col, bands, dedup=False)
     near = verify_jaccard(cands, comb, text_col, id_col, shingle_k,
                           threshold, shingles=comb)

@@ -39,6 +39,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .. import jrpc as _jx
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -649,21 +651,30 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         id_col,
         "CAST(conv(substring(md5(__tok), 1, 15), 16, 10) AS LONG) AS __lo",
         "CAST(conv(substring(md5(__tok), 16, 1), 16, 10) AS LONG) AS __hi")
-    bits = pre.selectExpr(
+    # ... and shipped through the O(1)-round-trip channels (r16, jrpc):
+    # a 65-element selectExpr pays 1 round-trip per STRING through py4j's
+    # ListConverter and F.expr ~3 through the uncached function lookup —
+    # select_exprs/jexpr cut this site from ~250 round-trips to ~70
+    # (construction chatter only; plans identical).
+    bits = _jx.select_exprs(pre, [
         id_col,
         *[f"CASE WHEN getbit({'__lo' if i < 60 else '__hi'}, "
           f"{i if i < 60 else i - 60}) = 1 THEN 1 ELSE -1 END AS __b{i}"
-          for i in range(64)])
-    votes = bits.groupBy(id_col).agg(
-        F.expr("sum(__b0) AS __v0"),
-        *[F.expr(f"sum(__b{i}) AS __v{i}") for i in range(1, 64)])
+          for i in range(64)]])
     # bit 63 contributes the sign: adding long-min instead of 1<<63 keeps
-    # the arithmetic in signed range on every engine
+    # the arithmetic in signed range on every engine. The 64 vote sums
+    # and the sign re-pack live in ONE aggregate expression (r16):
+    # Catalyst extracts each sum() as its own partial-aggregating
+    # function exactly as the former 64-column agg + projection did
+    # (same exchanges, same map-side partials), while the driver ships
+    # one expression string instead of 64 Column handles + a 64-element
+    # list conversion (~140 round-trips of construction chatter).
     powers = [str(1 << i) for i in range(63)] + ["(-9223372036854775807 - 1)"]
     sim = " + ".join(
-        f"(CASE WHEN __v{i} > 0 THEN {powers[i]} ELSE 0 END)"
+        f"(CASE WHEN sum(__b{i}) > 0 THEN {powers[i]} ELSE 0 END)"
         for i in range(64))
-    return votes.selectExpr(id_col, f"CAST({sim} AS LONG) AS simhash")
+    return bits.groupBy(id_col).agg(
+        _jx.jexpr(f"CAST({sim} AS LONG) AS simhash"))
 
 
 def simhash_candidates(hashes: DataFrame, id_col: str = "doc_id",

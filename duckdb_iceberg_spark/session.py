@@ -132,6 +132,19 @@ def get_spark(
         # files.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
                 os.environ.get("SPARK_GRAFT_LIST_JOB_THRESHOLD", "1024"))
+        # r16 (guide §7.3 driver-side work): PySpark 4's DataFrame
+        # debugging wraps EVERY Column/function call with a call-site
+        # origin capture — an active-session probe, a JVM reflection, a
+        # conf get, and origin set/clear round-trips (~7 py4j RPCs) plus
+        # a Python traceback walk, PER EXPRESSION NODE. Building one
+        # mid-sized query pays hundreds of these (measured: docs_bm25
+        # construction 809→368 round-trips, ice_docs_curation 670→330,
+        # construction wall roughly halved). The only loss is the Python
+        # call-site line in analysis error messages; re-enable for
+        # debugging with SPARK_GRAFT_DF_DEBUG=true. Driver-side cost at
+        # any cluster size, so this is not a local-mode tune.
+        .config("spark.python.sql.dataFrameDebugging.enabled",
+                os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"))
     )
     scratch = _scratch_dir()
     if scratch:

@@ -51,13 +51,16 @@ def main() -> None:
     qs = entry.queries()
 
     def exec_metrics():
-        # total task time + GC time across executors (local mode: one)
-        m = sc._jsc.sc().getExecutorMemoryStatus()  # touch to ensure live
-        assert m is not None
-        status = sc.statusTracker()
-        ids = status.getExecutorInfos()
-        tt = sum(e.totalDuration for e in ids)
-        gc = sum(e.totalGCTime for e in ids)
+        # total task time + GC time across executors (local mode: one),
+        # via the Java status API (the Python StatusTracker has no
+        # executor summary)
+        infos = sc._jsc.sc().statusStore().executorList(True)
+        tt = gc = 0
+        it = infos.iterator()
+        while it.hasNext():
+            e = it.next()
+            tt += e.totalDuration()
+            gc += e.totalGCTime()
         return tt, gc
 
     def run(fn, label):

@@ -80,11 +80,31 @@ def bm25_topk(
         F.explode(F.filter(
             F.col("__t"), lambda w: w.isin(terms))).alias("__w"))
 
-    # corpus constants: one tiny agg (N docs, T total tokens)
-    tot = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.size("__t")), F.lit(0)).alias("t")).collect()[0]
-    n_docs, t_tokens = int(tot["n"]), int(tot["t"])
+    # corpus constants (N docs, T total tokens) AND per-term document
+    # frequencies in ONE tagged-union action (r16, guide §2.6 — the NB
+    # fit's r15 pattern): the two aggregates are independent bounded
+    # reductions, so fusing them lets their subtrees schedule
+    # concurrently inside a single job and one sequential driver
+    # round-trip replaces two. Both remain |terms|/1-row bounded; the
+    # hit stream still shuffles |terms|·partitions-bounded partials
+    # (caching tf instead would pin an N·|terms|-row frame in executor
+    # memory for no asymptotic win).
+    tot_side = base.agg(
+        F.count(F.lit(1)).alias("a"),
+        F.coalesce(F.sum(F.size("__t")), F.lit(0)).alias("b")).select(
+        F.lit(0).alias("__kind"),
+        F.lit(None).cast("string").alias("__w"), "a", "b")
+    df_side = (hits.groupBy("__w")
+               .agg(F.countDistinct("__id").alias("a"))
+               .select(F.lit(1).alias("__kind"), "__w", "a",
+                       F.lit(None).cast("long").alias("b")))
+    n_docs = t_tokens = 0
+    dfs: dict = {}
+    for r in tot_side.unionByName(df_side).collect():
+        if r["__kind"] == 0:
+            n_docs, t_tokens = int(r["a"]), int(r["b"])
+        else:
+            dfs[r["__w"]] = r["a"]
     if n_docs == 0:
         return df.sparkSession.createDataFrame(
             [], T.StructType([
@@ -96,14 +116,6 @@ def bm25_topk(
     tf = (hits.groupBy("__id", "__w")
           .agg(F.count(F.lit(1)).alias("__tf"),
                F.min("__dl").alias("__dl")))
-
-    # df per term: a |terms|-bounded collect over the filtered hit
-    # stream (its own linear pass — map-side partial distinct keeps the
-    # shuffle |terms|·partitions-bounded; caching tf instead would pin
-    # an N·|terms|-row frame in executor memory for no asymptotic win)
-    dfs = {r["__w"]: r["c"] for r in
-           hits.groupBy("__w")
-           .agg(F.countDistinct("__id").alias("c")).collect()}
     idf_rows = [(w, int(bm25_idf6(n_docs, dfs.get(w, 0)) * 1_000_000))
                 for w in terms]
     idf = df.sparkSession.createDataFrame(
